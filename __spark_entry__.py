@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship metadata-ETL-shaped pipeline on
+sf0.001; ``queries()`` / ``oracle_sql()`` expose the oracle-checked
+operator inventory from SURVEY.md section 2 (see PARITY.md for the
+operator-id -> query map).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators import add_date_parts, epoch_ms_to_timestamp, ffill_bfill
+from image_matadata_batchprocessing_aws_spark.queries import all_oracles, all_queries
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's metadata-ETL chain (scan -> cast ->
+    timestamp/date-parts -> sentinel-null -> ffill/bfill -> fill ->
+    grouped audit agg) re-expressed as one lazy DataFrame plan over the
+    events table (SURVEY.md section 3.1 'Spark shape')."""
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    e = e.withColumn("ts_ms", F.unix_millis("ts"))
+    e = epoch_ms_to_timestamp(e, "ts_ms", out="ts2")
+    e = add_date_parts(e, "ts2")
+    e = e.withColumn("v", F.when(F.col("event_type") != "error", F.col("value")))
+    e = ffill_bfill(e, ["v"], order_by="event_id", partition_by=["user_id"])
+    e = e.na.fill({"v": 0.0})
+    return (
+        e.groupBy("event_type", "year", "month", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+            F.round(F.avg("v"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md section 2."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query (rows-only ops —
+    e.g. approx sketches, heuristic lang-id — are intentionally absent)."""
+    return all_oracles()

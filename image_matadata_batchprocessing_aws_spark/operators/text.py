@@ -1,0 +1,101 @@
+"""Text-analysis operators for the documents table (Stage 5 / north star).
+
+All tokenization stays JVM-side (split / higher-order functions) — no
+Python in the hot path.  The language-ID heuristic is the one operator
+with a driver-side profile table (tiny, broadcast).
+
+Scale: every operator here is embarrassingly parallel (per-row map) or
+a token-explode + reduce; the explode output is bounded by total token
+count, and aggregations combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny stopword list used by quality scoring (shared with oracles).
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish regex variant: split on
+    non-alphanumerics would go here; synthetic corpus is space-joined)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token count, non-space char count, average token length."""
+    toks = tokens(text_col)
+    nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("long"),
+            "n_chars_nospace": nospace.cast("long"),
+            "avg_token_len": F.round(nospace / F.size(toks), 4),
+        }
+    )
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score: length-normalized token size x
+    (1 - stopword ratio).  Mirrors common LLM-corpus quality filters."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    stop_ratio = stop / n
+    avg_len = F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / n
+    return df.withColumns(
+        {
+            "n_tokens": n.cast("long"),
+            "stop_ratio": F.round(stop_ratio, 4),
+            "quality": F.round(F.least(F.lit(1.0), avg_len / 8.0) * (1.0 - stop_ratio), 4),
+        }
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Deterministic 60-bit document fingerprint (md5-derived — portable
+    across engines; see functions.md5_int64)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    return df.withColumn(out, md5_int64(F.lower(F.trim(F.col(text_col)))))
+
+
+#: Character-bigram profiles for a toy language-ID heuristic.  Real
+#: deployments plug in fasttext/cld3 via a pandas UDF; the engine surface
+#: (profile broadcast + score argmax) is what matters here.
+_LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an"],
+    "de": ["en", "er", "ch", "de", "ei"],
+    "fr": ["es", "le", "de", "en", "re"],
+    "es": ["de", "la", "os", "en", "ar"],
+    "zh": ["zh", "sh", "ng", "ia", "uo"],
+}
+
+
+def add_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """N-gram-overlap language ID: score = count of profile bigrams present;
+    argmax wins (ties broken by language code order). Rows-only check —
+    the heuristic itself is engine-internal."""
+    text = F.lower(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                sum(
+                    (F.when(text.contains(bg), 1).otherwise(0) for bg in profile),
+                    F.lit(0),
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, profile in sorted(_LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return df.withColumn(out, best["lang"])

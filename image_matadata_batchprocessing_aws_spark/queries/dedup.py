@@ -1,0 +1,188 @@
+"""Deduplication queries over documents (Stage 5 / north star).
+
+Exact hash dedup, shingle-Jaccard, MinHash+LSH, SimHash — all with
+bit-exact DuckDB oracles (hashes are md5-derived; see
+functions.md5_int64), plus embedding-cosine near-dup.
+
+On the synthetic corpus most near-dup result sets are small or empty
+(no true dups are planted) — the operators' recall is proven on crafted
+duplicate fixtures in tests/test_dedup.py; the oracles here prove the
+pipeline math is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from image_matadata_batchprocessing_aws_spark.functions import cosine_sim
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+
+# Shared oracle CTE fragments --------------------------------------------
+
+_SHINGLES_CTE = r"""
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END) AS s
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jac AS (SELECT p.id_a, p.id_b,
+                       round(p.inter / CAST(sa.sz + sb.sz - p.inter AS DOUBLE), 4) AS jaccard
+                FROM pairs p
+                JOIN sizes sa ON p.id_a = sa.doc_id
+                JOIN sizes sb ON p.id_b = sb.doc_id)
+"""
+
+
+def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_groups(t(spark, sf, "documents"))
+
+
+def dedup_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_keep_first(t(spark, sf, "documents")).select("doc_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        t(spark, sf, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        t(spark, sf, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(t(spark, sf, "documents"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_pairs(t(spark, sf, "documents"))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute verification; the LSH-bucketed
+    scale path is similarity.ann_lsh_bucket)."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = pairs.select(
+        "id_a", "id_b", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4).alias("cosine")
+    )
+    return sim.where(F.col("cosine") >= COSINE_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_exact_rows": dedup_exact_rows,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    bit_sums = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}" for j in range(bits)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{j} * 2 >= n THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return rf"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, {md5_int64_sql("tok")} AS h FROM ex),
+        bitsum AS (
+          SELECT doc_id, count(*) AS n,
+                 {bit_sums}
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM bitsum
+    """
+
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    base = _simhash_oracle(bits)
+    # reuse the per-doc simhash as a subquery; all-pairs is fine at oracle scale
+    return f"""
+        WITH s AS ({base})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+_MINHASH_ORACLE = rf"""
+        WITH {_SHINGLES_CTE},
+        seeds AS (SELECT unnest(range(8)) AS seed),
+        mh AS (SELECT doc_id, seed, min({md5_int64_sql("seed || '|' || shingle")}) AS h
+               FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+        bandix AS (SELECT unnest(range(4)) AS bi),
+        bands AS (SELECT doc_id, bi,
+                         md5(sig[2 * bi + 1] || '|' || sig[2 * bi + 2]) AS band_key
+                  FROM sig CROSS JOIN bandix),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a
+                 JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id)
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+ORACLES = {
+    "dedup_exact_groups": """
+        SELECT md5(lower(trim(text))) AS text_hash,
+               min(doc_id) AS canonical_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "dedup_exact_rows": """
+        WITH g AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep
+                   FROM documents GROUP BY 1)
+        SELECT d.doc_id FROM documents d
+        JOIN g ON md5(lower(trim(d.text))) = g.h AND d.doc_id = g.keep
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": _MINHASH_ORACLE,
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
+    "dedup_embedding_cosine": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.ce, b.ce), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.ce, b.ce), 4) >= {COSINE_THRESHOLD}
+    """,
+}

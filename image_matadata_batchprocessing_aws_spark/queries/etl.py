@@ -1,0 +1,350 @@
+"""Metadata-ETL operator queries (SURVEY section 2.1-2.2, 2.4-2.8).
+
+Each query re-expresses one (or a tight cluster) of the reference's
+pandas ETL steps over the driver tables, with a DuckDB oracle twin.
+The reference steps live in ``Image_Train_Model/read_csv_s3_train.py``
+unless noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators import (
+    add_batch_id,
+    drop_columns,
+    ffill_bfill,
+    label_encode,
+    minmax_scale,
+    zscore_scale,
+)
+from image_matadata_batchprocessing_aws_spark.operators.batching import add_row_bytes
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+
+# --- P1/P2/F1: drop, cast, trim (ref :61,:64-69) -------------------------
+
+
+def etl_project_cast(spark: SparkSession, sf: str) -> DataFrame:
+    c = drop_columns(t(spark, sf, "customer"), ["c_mktsegment"])
+    return c.select(
+        F.col("c_custkey").cast("string").alias("c_custkey_str"),
+        F.trim(F.col("c_name")).alias("c_name_trim"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal"),
+    )
+
+
+# --- F2/F3: epoch-ms -> timestamp + date parts w/ 1970 defaults (ref :72-75)
+
+
+def etl_epoch_dateparts(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    ts_n = F.when(F.col("event_type") != "signup", F.col("ts"))  # null for signup
+    e = e.select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis(ts_n)).alias("__ts2"),
+    )
+    return e.select(
+        "event_id",
+        "ts_ms",
+        F.coalesce(F.year("__ts2"), F.lit(1970)).cast("long").alias("year"),
+        F.coalesce(F.month("__ts2"), F.lit(1)).cast("long").alias("month"),
+        F.coalesce(F.dayofmonth("__ts2"), F.lit(1)).cast("long").alias("day"),
+    )
+
+
+# --- P6/W1/F4: sentinel->null, ffill+bfill per key, constant fill (ref :77-84)
+
+
+def etl_sentinel_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    filled = ffill_bfill(e, ["v"], order_by="event_id", partition_by=["user_id"])
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("v"), F.lit(0.0)).alias("value_filled"),
+    )
+
+
+# --- P5/A6/A7: null audit + total-missing gate (ref :86-94,136-139) ------
+
+
+def etl_null_audit(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events").select(
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+        F.when(F.col("event_type") != "view", F.col("props")).alias("props"),
+        "user_id",
+    )
+    return e.agg(
+        F.count(F.when(F.col("value").isNull(), 1)).alias("value_nulls"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("props_nulls"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("user_id_nulls"),
+        (
+            F.count(F.when(F.col("value").isNull(), 1))
+            + F.count(F.when(F.col("props").isNull(), 1))
+            + F.count(F.when(F.col("user_id").isNull(), 1))
+        ).alias("total_nulls"),
+    )
+
+
+# --- A8: global label encoding (ref :96-100; global fit fixes per-chunk bug)
+
+
+def etl_label_encode(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    enc = label_encode(li, ["l_returnflag", "l_linestatus"], suffix="_code")
+    return enc.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag_code").cast("long").alias("l_returnflag_code"),
+        F.col("l_linestatus_code").cast("long").alias("l_linestatus_code"),
+    )
+
+
+# --- A3: global z-score (ref :107-109) -----------------------------------
+
+
+def etl_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    sc = zscore_scale(li, ["l_quantity", "l_extendedprice"], suffix="_z")
+    return sc.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity_z"), 4).alias("quantity_z"),
+        F.round(F.col("l_extendedprice_z"), 4).alias("extendedprice_z"),
+    )
+
+
+# --- A2: global min-max scale (train.py:124,127) -------------------------
+
+
+def etl_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    sc = minmax_scale(c, ["c_acctbal"], suffix="_mm")
+    return sc.select(
+        "c_custkey", F.round(F.col("c_acctbal_mm"), 4).alias("acctbal_mm")
+    )
+
+
+# --- A9/W2: deterministic count-based batching (process_test_train_Images.py:31,49-56)
+
+
+def etl_batch_id(spark: SparkSession, sf: str) -> DataFrame:
+    e = add_batch_id(t(spark, sf, "events"), 200, order_by="event_id")
+    return e.groupBy("batch_id").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+# --- U1: union-all of chunks == whole table (ref :122-134) ---------------
+
+
+def etl_union_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    lo = li.filter(F.col("l_quantity") < 25)
+    hi = li.filter(F.col("l_quantity") >= 25)
+    return (
+        lo.unionByName(hi)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# --- F6: approximate row byte size (split_image_Script.py:35) ------------
+
+
+def etl_row_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    n = t(spark, sf, "nation")
+    return add_row_bytes(n).select(
+        "n_nationkey", F.col("row_bytes").cast("long").alias("row_bytes")
+    )
+
+
+# --- F10: path/key manipulation (process_test_train_Images.py:38,69) -----
+
+
+def etl_path_ops(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    path = F.concat(F.lit("s3://bucket/images/"), F.col("source"), F.lit(".csv"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(path, r"^[a-z0-9+.-]+://[^/]+/", "").alias("key"),
+        F.format_string("part_%03d", (F.col("doc_id") % 7).cast("int")).alias("part_name"),
+    )
+
+
+# --- O2: head / offset-limit display window (read_npy_format.py:11) ------
+
+
+def etl_limit_offset(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .offset(180)
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- O1: sorted distinct keys (train.py:25) ------------------------------
+
+
+def etl_distinct_values(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "events").select("event_type").distinct()
+
+
+# --- A5: mean rowwise Euclidean distance (train.py:105-113) --------------
+
+
+def eval_euclidean_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    dist = F.sqrt(
+        F.pow(F.col("l_extendedprice") / 1000.0 - F.col("l_quantity"), 2)
+        + F.pow(F.col("l_discount") - F.col("l_tax"), 2)
+    )
+    return li.agg(F.round(F.avg(dist), 4).alias("avg_euclidean"))
+
+
+QUERIES = {
+    "etl_project_cast": etl_project_cast,
+    "etl_epoch_dateparts": etl_epoch_dateparts,
+    "etl_sentinel_ffill": etl_sentinel_ffill,
+    "etl_null_audit": etl_null_audit,
+    "etl_label_encode": etl_label_encode,
+    "etl_zscore": etl_zscore,
+    "etl_minmax": etl_minmax,
+    "etl_batch_id": etl_batch_id,
+    "etl_union_chunks": etl_union_chunks,
+    "etl_row_bytes": etl_row_bytes,
+    "etl_path_ops": etl_path_ops,
+    "etl_limit_offset": etl_limit_offset,
+    "etl_distinct_values": etl_distinct_values,
+    "eval_euclidean_scalar": eval_euclidean_scalar,
+}
+
+ORACLES = {
+    "etl_project_cast": """
+        SELECT CAST(c_custkey AS VARCHAR) AS c_custkey_str,
+               trim(c_name) AS c_name_trim, c_nationkey, c_acctbal
+        FROM customer
+    """,
+    "etl_epoch_dateparts": """
+        WITH b AS (
+          SELECT event_id, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN event_type <> 'signup' THEN ts END AS ts2
+          FROM events)
+        SELECT event_id, ts_ms,
+               CAST(coalesce(year(ts2), 1970) AS BIGINT) AS year,
+               CAST(coalesce(month(ts2), 1) AS BIGINT) AS month,
+               CAST(coalesce(day(ts2), 1) AS BIGINT) AS day
+        FROM b
+    """,
+    "etl_sentinel_ffill": """
+        WITH base AS (
+          SELECT event_id, user_id,
+                 CASE WHEN event_type <> 'error' THEN value END AS v
+          FROM events),
+        f AS (
+          SELECT event_id, user_id,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+          FROM base),
+        fb AS (
+          SELECT event_id, user_id,
+                 coalesce(vf, first_value(vf IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS vfb
+          FROM f)
+        SELECT event_id, user_id, coalesce(vfb, 0.0) AS value_filled FROM fb
+    """,
+    "etl_null_audit": """
+        WITH b AS (
+          SELECT CASE WHEN event_type <> 'error' THEN value END AS value,
+                 CASE WHEN event_type <> 'view' THEN props END AS props,
+                 user_id
+          FROM events)
+        SELECT count(CASE WHEN value IS NULL THEN 1 END) AS value_nulls,
+               count(CASE WHEN props IS NULL THEN 1 END) AS props_nulls,
+               count(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls,
+               count(CASE WHEN value IS NULL THEN 1 END)
+                 + count(CASE WHEN props IS NULL THEN 1 END)
+                 + count(CASE WHEN user_id IS NULL THEN 1 END) AS total_nulls
+        FROM b
+    """,
+    "etl_label_encode": """
+        WITH c1 AS (
+          SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
+          FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem WHERE l_returnflag IS NOT NULL)),
+        c2 AS (
+          SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
+          FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem WHERE l_linestatus IS NOT NULL))
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(c1.code AS BIGINT) AS l_returnflag_code,
+               CAST(c2.code AS BIGINT) AS l_linestatus_code
+        FROM lineitem l
+        LEFT JOIN c1 ON l.l_returnflag = c1.v
+        LEFT JOIN c2 ON l.l_linestatus = c2.v
+    """,
+    "etl_zscore": """
+        SELECT l_orderkey, l_linenumber,
+               round((l_quantity - avg(l_quantity) OVER ())
+                     / stddev_samp(l_quantity) OVER (), 4) AS quantity_z,
+               round((l_extendedprice - avg(l_extendedprice) OVER ())
+                     / stddev_samp(l_extendedprice) OVER (), 4) AS extendedprice_z
+        FROM lineitem
+    """,
+    "etl_minmax": """
+        SELECT c_custkey,
+               round((c_acctbal - min(c_acctbal) OVER ())
+                     / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS acctbal_mm
+        FROM customer
+    """,
+    "etl_batch_id": """
+        WITH b AS (
+          SELECT event_id,
+                 CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 200.0) AS BIGINT) AS batch_id
+          FROM events)
+        SELECT batch_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        FROM b GROUP BY batch_id
+    """,
+    "etl_union_chunks": """
+        WITH u AS (
+          SELECT * FROM lineitem WHERE l_quantity < 25
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_quantity >= 25)
+        SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM u GROUP BY l_returnflag
+    """,
+    "etl_row_bytes": """
+        SELECT n_nationkey,
+               CAST(length(concat_ws(',', n_nationkey, n_name, n_regionkey)) + 1 AS BIGINT) AS row_bytes
+        FROM nation
+    """,
+    "etl_path_ops": """
+        SELECT doc_id,
+               regexp_replace('s3://bucket/images/' || source || '.csv',
+                              '^[a-z0-9+.-]+://[^/]+/', '') AS key,
+               printf('part_%03d', CAST(doc_id % 7 AS INT)) AS part_name
+        FROM documents
+    """,
+    "etl_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 5 OFFSET 180
+    """,
+    "etl_distinct_values": "SELECT DISTINCT event_type FROM events",
+    "eval_euclidean_scalar": """
+        SELECT round(avg(sqrt(pow(l_extendedprice / 1000.0 - l_quantity, 2)
+                              + pow(l_discount - l_tax, 2))), 4) AS avg_euclidean
+        FROM lineitem
+    """,
+}

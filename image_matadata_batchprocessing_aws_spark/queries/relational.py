@@ -1,0 +1,466 @@
+"""Star-schema relational queries (SURVEY section 2.3-2.7 + Stage 2).
+
+The reference has no joins — its image<->metadata pairing is positional
+(``train.py:59-64``).  The engine makes joins explicit and exercises the
+full relational surface Catalyst provides: broadcast/sort-merge equi
+joins, semi/anti, outer+agg, rollup/cube/grouping sets, ranking and
+frame windows, set ops, pivot, top-k.
+
+Scale notes: dimension joins (region/nation/customer) broadcast; fact-
+fact joins shuffle on the join key with AQE skew splitting; top-k uses
+rank-pushdown-friendly window + filter (no global sort of the fact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+
+# --- TPC-H Q1 style pricing summary (grouped agg, 8 aggregates) ----------
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- TPC-H Q3 style: 3-way join + grouped revenue + deterministic top-10 -
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ in the parquet; format as a string
+            # (tz-free on both engines) instead of epoch math
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate_str"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 style: 6-way join chain, broadcast dims --------------------
+
+
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = t(spark, sf, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# --- semi / anti joins (EXISTS / NOT EXISTS) -----------------------------
+
+
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- left outer join + per-key agg with null handling --------------------
+
+
+def join_outer_agg(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+    )
+
+
+# --- rollup / cube / grouping sets ---------------------------------------
+
+
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    path = f"{sf}/lineitem.parquet"
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM parquet.`{path}`
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- distinct aggregates --------------------------------------------------
+
+
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ sketch count — engine-specific estimates, so no SQL oracle
+    (driver records the weaker rows-only check)."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# --- descriptive stats (A2/A3 fit statistics as a query) -----------------
+
+
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- windows: ranking, top-k per group, lag/lead, running frames ---------
+
+
+def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def window_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# --- global deterministic top-k ------------------------------------------
+
+
+def sort_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --- set operations -------------------------------------------------------
+
+
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT (set semantics — distinct first, then subtract): nations
+    with positive-balance customers but no negative-balance supplier."""
+    c = (
+        t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return c.exceptAll(s)
+
+
+# --- pivot ----------------------------------------------------------------
+
+
+def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    p = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
+    return p.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("qty_open"),
+        F.round(F.col("F"), 2).alias("qty_finished"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_outer_agg": join_outer_agg,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_stats": agg_stats,
+    "window_topk_per_group": window_topk_per_group,
+    "window_rank_dense": window_rank_dense,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "sort_topk": sort_topk,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "pivot_status": pivot_status,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l.l_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "join_outer_agg": """
+        SELECT c.c_custkey,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    "agg_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "agg_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_stats": """
+        SELECT round(avg(l_quantity), 4) AS avg_qty,
+               round(stddev_samp(l_quantity), 4) AS std_qty,
+               round(min(l_quantity), 2) AS min_qty,
+               round(max(l_quantity), 2) AS max_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(stddev_samp(l_extendedprice), 4) AS std_price,
+               count(*) AS n
+        FROM lineitem
+    """,
+    "window_topk_per_group": """
+        WITH r AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 3
+    """,
+    "window_rank_dense": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS BIGINT) AS drnk
+        FROM orders
+    """,
+    "window_lag_lead": """
+        SELECT event_id, user_id,
+               lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+               lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+        FROM events
+    """,
+    "window_running_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        FROM events
+    """,
+    "sort_topk": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
+    """,
+    "pivot_status": """
+        SELECT l_returnflag,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_finished
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

@@ -1,0 +1,140 @@
+"""Batch twins of the Structured Streaming surface (SURVEY section 2.9).
+
+The live streaming versions (readStream + watermark + windows +
+foreachBatch) are in ``image_matadata_batchprocessing_aws_spark.streaming`` and covered by tests;
+these batch equivalents compute the same windowed semantics so the
+driver's DuckDB oracle can verify values.  Window starts are emitted as
+epoch-ms BIGINT (tz-unambiguous across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+GAP_MS = 30 * 60 * 1000  # session gap: 30 minutes
+
+
+def stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n", "sum_value")
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session (the batch
+    twin of ``session_window(ts, gap)``)."""
+    e = t(spark, sf, "events").withColumn("ts_ms", F.unix_millis("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    e = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > F.lit(GAP_MS), F.lit(1)
+        ).otherwise(F.when(F.lag("ts_ms").over(w).isNull(), F.lit(1)).otherwise(F.lit(0))),
+    )
+    e = e.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return e.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def stream_dedup_keyed(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark``: deterministic
+    keep-earliest per key."""
+    e = t(spark, sf, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")
+    )
+
+
+def stream_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON prop extraction over the stream table (get_json_object /
+    from_json surface motivated by ``events.props``)."""
+    e = t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return e.groupBy("event_type").agg(
+        F.count("k").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sliding_counts": stream_sliding_counts,
+    "stream_session_windows": stream_session_windows,
+    "stream_dedup_keyed": stream_dedup_keyed,
+    "stream_json_props": stream_json_props,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": """
+        SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_sliding_counts": """
+        WITH b AS (
+          SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w0, value
+          FROM events),
+        x AS (
+          SELECT unnest([w0, w0 - 300000]) AS window_start_ms, value FROM b)
+        SELECT window_start_ms, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM x GROUP BY 1
+    """,
+    "stream_session_windows": f"""
+        WITH b AS (
+          SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events),
+        l AS (
+          SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms
+          FROM b),
+        m AS (
+          SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > {GAP_MS}
+                         THEN 1 ELSE 0 END AS is_new
+          FROM l),
+        s AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM m)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+               min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_idx
+    """,
+    "stream_dedup_keyed": """
+        SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dups
+        FROM events GROUP BY user_id, event_type
+    """,
+    "stream_json_props": """
+        WITH b AS (
+          SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, count(k) AS n, round(avg(k), 4) AS avg_k, max(k) AS max_k
+        FROM b GROUP BY event_type
+    """,
+}

@@ -1,0 +1,102 @@
+"""Text-analysis queries over the documents table (Stage 5).
+
+Token/char statistics, quality scoring, per-language aggregates,
+portable fingerprints, and the language-ID heuristic (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.text import (
+    STOPWORDS,
+    add_fingerprint,
+    add_lang_id,
+    add_quality_score,
+    add_token_stats,
+)
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = add_token_stats(t(spark, sf, "documents"))
+    return d.select("doc_id", "n_tokens", "n_chars_nospace", "avg_token_len")
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = add_quality_score(t(spark, sf, "documents"))
+    return d.select("doc_id", "n_tokens", "stop_ratio", "quality")
+
+
+def text_lang_agg(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = add_fingerprint(t(spark, sf, "documents"))
+    return d.select("doc_id", "fingerprint")
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic n-gram language ID — engine-internal scoring, rows-only
+    driver check (no SQL oracle)."""
+    d = add_lang_id(t(spark, sf, "documents"))
+    return d.select("doc_id", "lang", "lang_pred")
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_agg": text_lang_agg,
+    "text_fingerprint": text_fingerprint,
+    "text_lang_id": text_lang_id,
+}
+
+ORACLES = {
+    "text_token_stats": r"""
+        WITH b AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                 length(regexp_replace(text, '\s', '', 'g')) AS n_chars_nospace
+          FROM documents)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_chars_nospace AS BIGINT) AS n_chars_nospace,
+               round(n_chars_nospace / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len
+        FROM b
+    """,
+    "text_quality_score": rf"""
+        WITH b AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '\s', '', 'g')) AS nospace
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop,
+                 nospace
+          FROM b)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+               round(least(1.0, (nospace / CAST(n_tokens AS DOUBLE)) / 8.0)
+                     * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 4) AS quality
+        FROM s
+    """,
+    "text_lang_agg": """
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id, {md5_int64_sql("lower(trim(text))")} AS fingerprint
+        FROM documents
+    """,
+}

@@ -1,0 +1,89 @@
+"""Recall tests on crafted near-duplicate corpora (the driver tables have
+no planted dups, so the oracle checks there prove math parity; these
+prove the operators actually find duplicates)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+    as_double_array,
+    knn_bruteforce,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit -> high jaccard
+FAR = (
+    "completely different content about spark query engines and shuffle "
+    "partitioning strategies for large scale distributed aggregation jobs"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    groups = exact_dedup_groups(d).collect()
+    assert {(r.canonical_id, r.n_dups) for r in groups} == {(0, 2), (2, 1), (3, 1)}
+    kept = sorted(r.doc_id for r in exact_dedup_keep_first(d).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-token edit
+    assert not any(3 in p for p in pairs)  # unrelated doc excluded
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_pairs_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(_docs(spark)).collect()}
+    assert pairs.get((0, 1)) == 0  # identical docs, identical simhash
+    assert (0, 2) in pairs  # near-dup within hamming budget
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_knn_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qe")
+    )
+    c = df.where(F.col("vec_id") >= 2).select(
+        F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("ce")
+    )
+    got = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in knn_bruteforce(q, c, k=3, metric="cosine").collect()
+    }
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    for qid in range(2):
+        sims = (v64[2:] @ v64[qid]) / (norms[2:] * norms[qid])
+        order = np.argsort(np.round(sims, 6))[::-1][:3] + 2
+        for rank, nid in enumerate(order, start=1):
+            assert got[(qid, rank)] == nid

@@ -1,0 +1,33 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql()
+are aligned, every query runs at sf0.001 and returns a stable schema."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 4
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # rows-only ops are the documented exceptions
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"agg_approx_distinct", "text_lang_id"}
+
+
+def test_all_queries_run_at_smoke_sf(spark):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        df.limit(1).collect()  # plan executes

@@ -1,0 +1,79 @@
+"""Operator unit tests: ffill/bfill ordering, global encoders/scalers.
+
+The ffill quirk (order-dependence, SURVEY W1) and the global-vs-per-chunk
+fit divergence (SURVEY A3/A8) are the reference's two behavioral traps —
+tested explicitly here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators import ffill, bfill, ffill_bfill, label_encode, minmax_scale, zscore_scale
+from image_matadata_batchprocessing_aws_spark.operators.impute import ffill_partitioned
+
+
+def _seq_df(spark):
+    # ordering column, value with leading + mid nulls
+    return spark.createDataFrame(
+        [(0, None), (1, "a"), (2, None), (3, None), (4, "b"), (5, None)],
+        "ord long, v string",
+    )
+
+
+def test_ffill_then_bfill_matches_pandas_semantics(spark):
+    out = ffill_bfill(_seq_df(spark), ["v"], order_by="ord")
+    got = [r.v for r in out.orderBy("ord").collect()]
+    # pandas: ffill -> [None,a,a,a,b,b]; bfill -> [a,a,a,a,b,b]
+    assert got == ["a", "a", "a", "a", "b", "b"]
+
+
+def test_ffill_only_leaves_leading_null(spark):
+    out = ffill(_seq_df(spark), ["v"], order_by="ord")
+    got = [r.v for r in out.orderBy("ord").collect()]
+    assert got == [None, "a", "a", "a", "b", "b"]
+
+
+def test_bfill_only_leaves_trailing_null(spark):
+    out = bfill(_seq_df(spark), ["v"], order_by="ord")
+    got = [r.v for r in out.orderBy("ord").collect()]
+    assert got == ["a", "a", "b", "b", "b", None]
+
+
+def test_ffill_partitioned_matches_global(spark):
+    rows = [(i, None if i % 3 else f"v{i}") for i in range(200)]
+    rows[0] = (0, "v0")
+    df = spark.createDataFrame(rows, "ord long, v string")
+    expect = [r.v for r in ffill(df, ["v"], order_by="ord").orderBy("ord").collect()]
+    got = [
+        r.v
+        for r in ffill_partitioned(df, ["v"], order_by="ord").orderBy("ord").collect()
+    ]
+    assert got == expect
+
+
+def test_label_encode_is_global_sorted_bijection(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "c"), (4, "a"), (5, None)], "id long, cat string"
+    )
+    out = label_encode(df, ["cat"], suffix="_code")
+    got = {r.id: r.cat_code for r in out.collect()}
+    # global fit, lexicographic: a->0, b->1, c->2; nulls stay null
+    assert got == {1: 1, 2: 0, 3: 2, 4: 0, 5: None}
+
+
+def test_zscore_global_fit(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, x double")
+    out = zscore_scale(df, ["x"], suffix="_z")
+    stats = out.agg(F.avg("x_z"), F.stddev_samp("x_z")).collect()[0]
+    assert abs(stats[0]) < 1e-12
+    assert abs(stats[1] - 1.0) < 1e-12
+
+
+def test_minmax_bounds(spark):
+    df = spark.createDataFrame([(i, float(i * 3 + 1)) for i in range(10)], "id long, x double")
+    out = minmax_scale(df, ["x"], suffix="_m")
+    stats = out.agg(F.min("x_m"), F.max("x_m")).collect()[0]
+    assert stats[0] == 0.0 and stats[1] == 1.0

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.text import (
+    add_fingerprint,
+    add_lang_id,
+    add_quality_score,
+    add_token_stats,
+)
+from image_matadata_batchprocessing_aws_spark.sources.csv_source import read_csv
+from pyspark.sql import types as T
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "  a bb  ccc ")], "doc_id long, text string")
+    r = add_token_stats(df).collect()[0]
+    assert r.n_tokens == 3
+    assert r.n_chars_nospace == 6
+    assert abs(r.avg_token_len - 2.0) < 1e-9
+
+
+def test_quality_and_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat"), (3, "zebra xylophone quartz")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r.quality for r in add_quality_score(df).collect()}
+    assert q[1] == q[2]
+    fp = {r.doc_id: r.fingerprint for r in add_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    assert all(v >= 0 for v in fp.values())
+
+
+def test_lang_id_emits_known_code(spark):
+    df = spark.createDataFrame([(1, "the weather in the north")], "doc_id long, text string")
+    r = add_lang_id(df).collect()[0]
+    assert r.lang_pred in {"en", "de", "fr", "es", "zh"}
+
+
+def test_schemad_csv_with_sentinels(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("id,country,road_index\n1,  us ,0.5\n2,NA,\n3,<NA>,1.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("country", T.StringType()),
+            T.StructField("road_index", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema)
+    rows = {r.id: (r.country, r.road_index) for r in df.collect()}
+    assert rows[1] == ("  us ", 0.5)  # trim is a separate operator
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, 1.5)

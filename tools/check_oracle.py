@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, sorted column
+names, and order-insensitive values (exact for ints/strings, tight
+tolerance for floats — if a float differs beyond 1e-9 the driver's
+value-hash would likely differ too, so we flag it).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from image_matadata_batchprocessing_aws_spark import get_spark  # noqa: E402
+from image_matadata_batchprocessing_aws_spark.schemas import DRIVER_TABLES  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(round(v, 9) + 0.0)  # normalize -0.0
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return [columns[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    spark = get_spark(cpus=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        sc, sn = normalize(srows, scols)
+        dc, dn = normalize(drows, dcols)
+        status = []
+        if sc != dc:
+            status.append(f"columns {sc} != {dc}")
+        if len(sn) != len(dn):
+            status.append(f"rowcount {len(sn)} != {len(dn)}")
+        if not status and sn != dn:
+            # find first mismatch for diagnosis
+            bad = sum(1 for a, b in zip(sn, dn) if a != b)
+            first = next(((a, b) for a, b in zip(sn, dn) if a != b), None)
+            status.append(f"{bad} differing rows; first: spark={first[0]} duckdb={first[1]}")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(sn)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
