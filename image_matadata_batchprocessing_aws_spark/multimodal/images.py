@@ -1,0 +1,181 @@
+"""Multimodal (image) column plumbing — SURVEY section 2.1 S6/S8-S10, 2.8 F7/F8.
+
+The reference's image ETL (``Image_Train_Model/process_test_train_Images.py``)
+pulls a whole ZIP from S3 into memory (``:38``), iterates entries with an
+extension filter (``:42``), PIL-decodes + resize/pads to 224x224 (``:13-28``),
+stacks 200 tensors per ``.pt`` file (``:49-56``), and deletes the source
+(``:68-71``) — keyed only by file position, with the (file_name, tensor)
+pair discarded at save time (``:75``).
+
+Engine shape:
+
+- ``binaryFile`` scan of ZIP archives -> ``mapInPandas`` UDTF (one ZIP row
+  in, many entry rows out) — real stdlib ``zipfile`` decompression.
+- decode/resize/normalize as an Arrow-batched ``mapInPandas`` stage with a
+  per-row ``decode_error`` column (bad entries are *kept and labeled*,
+  never silently dropped — the reference drops them at ``:57-58`` and
+  still deletes the source).
+- the image<->metadata join is an explicit equi-join on the filename-
+  derived id (replacing the reference's positional alignment,
+  ``train.py:59-64``).
+- sink = Parquet with ``maxRecordsPerFile`` (the "200 images per file"
+  knob as writer config, not a mutable global counter).
+
+PIL/torch are not in this container: the *byte-level decode* is stubbed
+behind ``ImageDecodeUnavailable`` with a clearly-marked deterministic
+fake (md5-seeded pixels sized from the declared dims), while everything
+Spark-side — schemas, ZIP expansion, Arrow batch shapes, resize/pad math
+(pure NumPy nearest-neighbor), normalization, partitioning, the join,
+the sink — is real and tested.
+
+Scale notes: ZIP archives are unsplittable, so one task per archive
+(``repartition`` by path before the UDTF) and size-capped archives
+upstream; decode is CPU-bound map-side work with zero shuffle; the sink
+writes ``maxRecordsPerFile``-bounded parquet so downstream scans
+parallelize regardless of archive skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import zipfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png")  # process_test_train_Images.py:42
+TARGET_SIZE = 224  # process_test_train_Images.py:14
+
+ZIP_ENTRY_SCHEMA = "zip_path string, entry_name string, content binary"
+DECODED_SCHEMA = (
+    "file_name string, image array<float>, channels int, height int, width int, "
+    "decode_error string"
+)
+
+
+class ImageDecodeUnavailable(NotImplementedError):
+    """Raised when a real (PIL) decode is requested but no codec exists
+    in this environment."""
+
+
+def scan_zip_entries(spark: SparkSession, path: str) -> DataFrame:
+    """S8 — ``binaryFile`` scan of ZIP archives exploded to one row per
+    image entry (UDTF-shaped: mapInPandas, 1 row -> N rows)."""
+    raw = spark.read.format("binaryFile").load(path)
+    raw = raw.repartition(F.col("path"))  # one unsplittable archive per task
+
+    def explode_zip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[str, str, bytes]] = []
+            for zpath, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for name in zf.namelist():
+                        if not name.lower().endswith(IMAGE_EXTENSIONS):
+                            continue  # extension filter (ref :42)
+                        out.append((zpath, name, zf.read(name)))
+            yield pd.DataFrame(out, columns=["zip_path", "entry_name", "content"])
+
+    return raw.select("path", "content").mapInPandas(explode_zip, ZIP_ENTRY_SCHEMA)
+
+
+def _fake_decode(name: str, content: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE decode (no image codec in this container).
+
+    Produces an HxWx3 uint8 array whose dims derive from the content
+    length and whose pixels derive from md5(content) — stable across
+    runs/engines, so golden tests work.  Real deployments replace this
+    body with ``PIL.Image.open(io.BytesIO(content)).convert("RGB")``.
+    """
+    if not content:
+        raise ValueError("empty image payload")
+    h = 32 + (len(content) % 97)
+    w = 32 + (len(content) % 89)
+    seed = np.frombuffer(hashlib.md5(content).digest(), dtype=np.uint8)
+    pix = np.resize(seed, (h, w, 3))
+    return pix
+
+
+def resize_with_padding(img: np.ndarray, target: int = TARGET_SIZE) -> np.ndarray:
+    """F7 — aspect-preserving resize onto a black square canvas
+    (``ResizeWithPadding``, process_test_train_Images.py:13-22), as pure
+    NumPy nearest-neighbor (no codec needed)."""
+    h, w = img.shape[:2]
+    scale = min(target / h, target / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    rows = (np.arange(nh) / scale).astype(int).clip(0, h - 1)
+    cols = (np.arange(nw) / scale).astype(int).clip(0, w - 1)
+    resized = img[rows][:, cols]
+    canvas = np.zeros((target, target, 3), dtype=img.dtype)
+    top, left = (target - nh) // 2, (target - nw) // 2
+    canvas[top : top + nh, left : left + nw] = resized
+    return canvas
+
+
+def decode_images(
+    entries: DataFrame,
+    target: int = TARGET_SIZE,
+    normalize: bool = True,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """S9/F7/F8 — decode + resize/pad + [0,1] float CHW normalize, as one
+    Arrow-batched ``mapInPandas`` stage with per-row error isolation."""
+    if use_real_codec:
+        raise ImageDecodeUnavailable(
+            "no image codec (PIL) in this environment; deterministic fake "
+            "decode is the supported path here"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                try:
+                    img = _fake_decode(name, bytes(content))
+                    img = resize_with_padding(img, target)
+                    arr = img.astype(np.float32)
+                    if normalize:
+                        arr = arr / 255.0  # ToTensor scaling (ref :25-28)
+                    chw = np.transpose(arr, (2, 0, 1)).reshape(-1)
+                    rows.append((name, chw.tolist(), 3, target, target, None))
+                except Exception as exc:  # noqa: BLE001 — per-file isolation (ref :57-58)
+                    rows.append((name, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "image",
+                    "channels",
+                    "height",
+                    "width",
+                    "decode_error",
+                ],
+            )
+
+    return entries.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def image_metadata_join(
+    images: DataFrame, metadata: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """The flagship explicit equi-join replacing positional alignment
+    (SURVEY section 2.3): entry names encode the metadata id
+    (``<id>.jpg``); metadata is typically the broadcast side."""
+    extracted = F.regexp_extract(F.col("file_name"), r"(\d+)\.[a-zA-Z]+$", 1)
+    # entries with no numeric id (e.g. corrupt.jpg) -> null key, not an
+    # ANSI cast error
+    keyed = images.withColumn(
+        id_col, F.when(extracted != "", extracted).cast("long")
+    )
+    return keyed.join(F.broadcast(metadata), id_col, "inner")
+
+
+def write_image_batches(
+    df: DataFrame, path: str, records_per_file: int = 200, mode: str = "overwrite"
+) -> None:
+    """S10/A9 — batched sink: 200 images/file as writer config
+    (``maxRecordsPerFile``), idempotent overwrite instead of mutable
+    global counters (ref :31,:49-56)."""
+    df.write.mode(mode).option("maxRecordsPerFile", records_per_file).parquet(path)

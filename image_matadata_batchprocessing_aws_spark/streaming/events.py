@@ -1,0 +1,118 @@
+"""Structured Streaming surface over the events table (SURVEY section 2.9).
+
+The reference is batch-only; its closest streaming analogues are
+incremental chunk processing with delete-after-consume (S1/S13) and
+resumable part numbering (W2).  This module is the engine extension:
+file-replayed ``readStream`` -> watermarked windowed aggregations ->
+``foreachBatch`` numbered sink (the A9 batch-counter semantics, made
+exactly-once by Spark's epoch id).
+
+The batch twins of every aggregation here live in
+``queries/streaming_batch.py`` and are DuckDB-oracle-checked; tests
+assert stream-vs-batch equivalence on the same input.
+
+Scale notes: watermarks bound state (late rows beyond the delay are
+dropped); session windows use the native ``session_window`` operator so
+state merges run in the state store, not the driver; sinks write
+partitioned parquet per epoch — no single-writer bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.schemas import EVENTS_SCHEMA
+
+
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source replay of an events parquet directory.
+
+    Expects microsecond/millisecond timestamps (for the driver's
+    nanos-typed table, re-materialize via ``load_table`` + write first —
+    see tests).  ``maxFilesPerTrigger`` gives deterministic micro-batch
+    replay for tests.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n", "sum_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (gap-merged in the state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup on event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def start_numbered_batch_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "numbered_sink",
+):
+    """foreachBatch sink mirroring the reference's numbered batch files
+    (A9/W2): each micro-batch writes ``batch_id=<epoch>`` parquet,
+    idempotent under replay (epoch id is stable, mode=overwrite on the
+    epoch's own partition directory)."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={epoch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -23,7 +23,11 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # rows-only ops are the documented exceptions
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"agg_approx_distinct", "text_lang_id"}
+    assert rows_only == {
+        "agg_approx_distinct",
+        "text_lang_id",
+        "multimodal_image_pipeline",
+    }
 
 
 def test_all_queries_run_at_smoke_sf(spark):

@@ -1,0 +1,96 @@
+"""Image-path tests: ZIP explode, deterministic decode, resize/pad math,
+error isolation, explicit image<->metadata join, batched sink."""
+
+from __future__ import annotations
+
+import glob
+import io
+import zipfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.multimodal import (
+    decode_images,
+    image_metadata_join,
+    scan_zip_entries,
+    write_image_batches,
+)
+from image_matadata_batchprocessing_aws_spark.multimodal.images import TARGET_SIZE, resize_with_padding
+
+
+def _make_zip(path, entries):
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, content in entries:
+            zf.writestr(name, content)
+
+
+def test_zip_scan_filters_and_explodes(spark, tmp_path):
+    _make_zip(
+        tmp_path / "part1.zip",
+        [
+            ("101.jpg", b"fake-jpeg-bytes-101"),
+            ("102.png", b"fake-png-bytes-102"),
+            ("readme.txt", b"not an image"),
+        ],
+    )
+    _make_zip(tmp_path / "part2.zip", [("103.jpeg", b"fake-bytes-103")])
+    entries = scan_zip_entries(spark, str(tmp_path / "*.zip"))
+    rows = entries.collect()
+    names = sorted(r.entry_name for r in rows)
+    assert names == ["101.jpg", "102.png", "103.jpeg"]  # .txt filtered (ref :42)
+    assert all(isinstance(bytes(r.content), bytes) and len(r.content) > 0 for r in rows)
+
+
+def test_decode_shapes_and_error_isolation(spark, tmp_path):
+    _make_zip(
+        tmp_path / "p.zip",
+        [("7.jpg", b"x" * 500), ("8.jpg", b""), ("9.jpg", b"y" * 123)],
+    )
+    decoded = decode_images(scan_zip_entries(spark, str(tmp_path / "p.zip")))
+    rows = {r.file_name: r for r in decoded.collect()}
+    ok = rows["7.jpg"]
+    assert (ok.channels, ok.height, ok.width) == (3, TARGET_SIZE, TARGET_SIZE)
+    assert len(ok.image) == 3 * TARGET_SIZE * TARGET_SIZE
+    assert ok.decode_error is None
+    assert all(0.0 <= v <= 1.0 for v in ok.image[:100])
+    # empty payload -> kept, labeled (never silently dropped)
+    assert rows["8.jpg"].decode_error is not None
+    assert rows["8.jpg"].image is None
+    # determinism across runs
+    again = {r.file_name: r for r in decode_images(scan_zip_entries(spark, str(tmp_path / "p.zip"))).collect()}
+    assert again["7.jpg"].image[:10] == ok.image[:10]
+
+
+def test_resize_with_padding_golden():
+    img = np.full((100, 200, 3), 255, dtype=np.uint8)  # wide image
+    out = resize_with_padding(img, 224)
+    assert out.shape == (224, 224, 3)
+    assert out[:, :, :].max() == 255
+    # aspect preserved: scaled to 112x224, centered vertically
+    assert out[0].max() == 0 and out[223].max() == 0  # top/bottom padding rows
+    assert out[112].max() == 255  # center row has content
+    # left/right edges have content (full width used)
+    assert out[112, 0].max() == 255 and out[112, 223].max() == 255
+
+
+def test_image_metadata_join_and_sink(spark, tmp_path):
+    _make_zip(
+        tmp_path / "z.zip",
+        [("101.jpg", b"a" * 50), ("102.jpg", b"b" * 60), ("999.jpg", b"c" * 70)],
+    )
+    decoded = decode_images(scan_zip_entries(spark, str(tmp_path / "z.zip")))
+    meta = spark.createDataFrame(
+        [(101, 48.1, 11.5), (102, 40.7, -74.0)], "id long, latitude double, longitude double"
+    )
+    joined = image_metadata_join(decoded, meta)
+    got = {r.id: (r.latitude, r.file_name) for r in joined.collect()}
+    assert set(got) == {101, 102}  # 999 has no metadata -> inner join drops
+    assert got[101] == (48.1, "101.jpg")
+    out = str(tmp_path / "sink")
+    write_image_batches(joined, out, records_per_file=1)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 2  # maxRecordsPerFile honored (A9 as writer config)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert "image" in back.columns and "latitude" in back.columns

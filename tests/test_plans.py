@@ -1,0 +1,32 @@
+"""Plan-level scale guarantees (SURVEY section 4): pushdown reaches the
+parquet scan, dimension joins broadcast, the hot path stays JVM-side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.plans import assert_no_python_udf, plan_report
+from image_matadata_batchprocessing_aws_spark.queries.etl import etl_zscore
+from image_matadata_batchprocessing_aws_spark.queries.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+)
+from tests.conftest import SF_CORRECT
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    rep = plan_report(q1_pricing_summary(spark, SF_CORRECT))
+    assert rep["has_pushed_filters"]  # shipdate predicate reaches the scan
+    assert rep["has_partial_agg"]  # map-side combine before the shuffle
+    assert not rep["python_in_plan"]
+
+
+def test_q3_q5_broadcast_dimensions(spark):
+    assert plan_report(q3_shipping_priority(spark, SF_CORRECT))["has_broadcast_join"]
+    assert plan_report(q5_region_revenue(spark, SF_CORRECT))["has_broadcast_join"]
+
+
+def test_no_python_udf_in_relational_plans(spark):
+    for q in (q1_pricing_summary, q3_shipping_priority, q5_region_revenue, etl_zscore):
+        assert_no_python_udf(q(spark, SF_CORRECT))

@@ -1,0 +1,122 @@
+"""Structured Streaming tests: replay the events table as a file stream
+and assert stream results equal the oracle-checked batch twins."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+    stream_tumbling_counts,
+)
+from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+from image_matadata_batchprocessing_aws_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    session_counts,
+    sliding_counts,
+    start_numbered_batch_sink,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-materialize the (nanos-typed) events table as a 4-file parquet
+    dir so the file stream replays multiple micro-batches.  Files are
+    range-partitioned + sorted by ts so replay is (approximately) in
+    event-time order — otherwise the watermark would legitimately drop
+    out-of-order micro-batches as late data."""
+    import glob as _glob
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    ids = [r.event_id for r in ev.select("event_id").orderBy("ts").collect()]
+    quarters = [set(ids[i * n // 4 : (i + 1) * n // 4]) for i in range(4)]
+    for i, q in enumerate(quarters):
+        tmp = f"{d}_tmp{i}"
+        ev.where(F.col("event_id").isin(list(q))).coalesce(1).sortWithinPartitions(
+            "ts"
+        ).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, os.path.join(d, f"chunk_{i}.parquet"))
+        shutil.rmtree(tmp)
+    return d
+
+
+def _run_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, tumbling_counts(stream), "tumbling_out")
+    batch = stream_tumbling_counts(spark, SF_SMOKE)
+    g = {(r.window_start_ms, r.event_type): (r.n, r.sum_value) for r in got.collect()}
+    b = {(r.window_start_ms, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    assert g == b
+
+
+def test_sliding_stream_rows_double_counted(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, sliding_counts(stream), "sliding_out")
+    total_rows = load_table(spark, SF_SMOKE, "events").count()
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * total_rows  # width=2x slide
+
+
+def test_session_stream_produces_sessions(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, session_counts(stream), "session_out")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r.session_end_ms >= r.session_start_ms for r in rows)
+    per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    by_user = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.n for r in per_user} == by_user  # every event in exactly one session
+
+
+def test_dedup_within_watermark(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").collect()[0]
+    assert out.n == out.d  # no duplicate event_ids survive
+
+
+def test_numbered_batch_sink(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_numbered_batch_sink(stream, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == load_table(spark, SF_SMOKE, "events").count()
+    assert back.select("batch_id").distinct().count() >= 2  # numbered micro-batches
