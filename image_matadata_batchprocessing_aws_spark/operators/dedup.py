@@ -52,26 +52,51 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
     return df.join(keep, id_col, "left_semi")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side HOFs)."""
-    toks = tokens(col)
-    # guard: sequence(0, k) with k < 0 would descend (and element_at(0)
-    # errors under ANSI mode), so short docs get an empty index array
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<integer>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an (already materialized) token
+    array column.  Built from ``slice`` + ``zip_with`` so each token array
+    is traversed n times total — NOT per-shingle.  (The per-index
+    ``transform(sequence(...), i -> element_at(toks, i+j))`` formulation
+    re-evaluates ``toks`` — and anything inside it, e.g. a regex split —
+    once per element per term, which is quadratic in document length.)
+
+    Docs with fewer than n tokens yield an empty array (slice length 0)."""
+    k = F.size(toks) - F.lit(n - 1)
+    slices = [F.slice(toks, j + 1, F.greatest(k, F.lit(0))) for j in range(n)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.array_distinct(grams)
 
 
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a raw text column.  Compositional
+    form — tokenizes inline (n splits per row).  Hot paths should
+    materialize tokens once via :func:`shingle_df` instead."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, __sh) with the distinct-shingle array materialized through a
+    real projection boundary, so the regex tokenization runs exactly once
+    per document.  Docs with an empty shingle set are dropped (they cannot
+    near-dup by shingles)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = toked.select(F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh"))
+    return sh.where(F.size("__sh") > 0)
+
+
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    return shingle_df(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
+    )
+
+
+def _shingle_sizes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Per-doc distinct-shingle count, computed map-side (``F.size`` over the
+    shingle array) — replaces an explode + groupBy shuffle."""
+    return shingle_df(df, text_col, id_col, n).select(
+        F.col(id_col), F.size("__sh").cast("long").alias("set_size")
     )
 
 
@@ -90,7 +115,7 @@ def ngram_jaccard_pairs(
     one shuffle on the pair key for the intersection count.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sizes = _shingle_sizes(df, text_col, id_col, n)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -123,26 +148,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for seed j, min over shingles of
     md5_int64(j || '|' || shingle).  Docs with < n tokens get no signature
-    (empty shingle set — they can't near-dup by shingles)."""
-    ex = _exploded_shingles(df, text_col, id_col, n)
-    seeded = ex.select(
-        id_col,
-        F.explode(
-            F.array(*[F.lit(j) for j in range(num_hashes)])
-        ).alias("seed"),
-        "shingle",
+    (empty shingle set — they can't near-dup by shingles).
+
+    Computed entirely map-side: the shingle set is already an array column,
+    so each signature slot is ``array_min(transform(shingles, hash_j))`` —
+    no explode, no shuffle, whole-stage codegen end to end.  (The naive
+    form — explode shingles x seeds, groupBy(id, seed), groupBy(id) — costs
+    two shuffles of |shingles| * num_hashes rows; this costs zero.)"""
+    sh = shingle_df(df, text_col, id_col, n)
+
+    def seeded_hash(j: int):
+        # single-arg lambda: a 2-arg HOF lambda would receive the array
+        # index as its second argument and clobber the seed
+        return lambda s: md5_int64(F.concat_ws("|", F.lit(j), s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), seeded_hash(j)))
+            for j in range(num_hashes)
+        ]
     )
-    hashed = seeded.withColumn(
-        "h", md5_int64(F.concat_ws("|", F.col("seed"), F.col("shingle")))
-    )
-    return (
-        hashed.groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig_pairs"))
-        .withColumn("signature", F.col("sig_pairs.minhash"))
-        .drop("sig_pairs")
-    )
+    # One explicit exchange on the (tiny) signature table: downstream
+    # self-joins reference it from several branches, and without a shuffle
+    # boundary each branch would recompute every per-shingle hash.  With
+    # it, ReusedExchange materializes signatures exactly once.
+    return sh.select(F.col(id_col), sig.alias("signature")).repartition(F.col(id_col))
 
 
 def minhash_lsh_pairs(
@@ -184,6 +214,10 @@ def minhash_lsh_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = band_entries.alias("a")
     b = band_entries.alias("b")
+    # The candidate table is tiny (near-dup pairs) but referenced three
+    # times downstream (final join + both sides of the id union); persist
+    # it so LSH banding runs exactly once — lineage recomputation here
+    # would re-hash the whole corpus per reference.
     cands = (
         a.join(
             b,
@@ -195,6 +229,7 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+        .persist()
     )
     # Verify ONLY candidate docs: restrict the shingle posting lists to ids
     # that appear in some candidate pair before the quadratic-ish
@@ -206,8 +241,13 @@ def minhash_lsh_pairs(
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    ex = _exploded_shingles(df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # Shingle arrays for candidate docs, computed once and shared by the
+    # posting-list self-join (2 refs) and the size lookup (1 ref).
+    cand_sh = shingle_df(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
+    ).persist()
+    ex = cand_sh.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    sizes = cand_sh.select(F.col(id_col), F.size("__sh").cast("long").alias("set_size"))
     ea, eb = ex.alias("ea"), ex.alias("eb")
     inter = (
         ea.join(eb, F.col("ea.shingle") == F.col("eb.shingle"))
