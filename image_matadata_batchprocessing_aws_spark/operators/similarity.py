@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from image_matadata_batchprocessing_aws_spark.functions import cosine_sim, l2_dist
+from image_matadata_batchprocessing_aws_spark.functions import cosine_sim, dot, l2_dist, l2_norm
 
 
 def as_double_array(col: Column | str) -> Column:
@@ -50,6 +50,39 @@ def add_lsh_bucket(
     return df.withColumn(out, bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cv",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (IVF coarse quantization).  ``cents`` must be broadcast-sized (k
+    centroids); the assignment is a map-side broadcast crossJoin — the
+    corpus is never shuffled, only the small (id, cent_id) output.
+    Deterministic tie-break on centroid id.
+
+    Norms are precomputed per side before the crossJoin (cosine =
+    dot/(||a||*||b||)) so each pair costs one array pass, not three —
+    bit-identical to the naive form (same expression tree per factor)."""
+    dn = df.withColumn("__na", l2_norm(F.col(vec_col)))
+    cn = cents.withColumn("__nc", l2_norm(F.col(cent_vec)))
+    pairs = dn.crossJoin(F.broadcast(cn))
+    scored = pairs.withColumn(
+        "__csim",
+        F.round(dot(F.col(vec_col), F.col(cent_vec)) / (F.col("__na") * F.col("__nc")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col(cent_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .drop("__rn", "__csim", "__na", "__nc", cent_vec)
+    )
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -63,9 +96,15 @@ def knn_bruteforce(
     """Exact top-k per query.  ``queries`` must be broadcast-sized;
     ``corpus`` stays partitioned (map-side join, partial top-k per
     partition via the window after AQE coalesces)."""
-    pairs = corpus.crossJoin(F.broadcast(queries))
+    pairs = corpus.withColumn("__nc", l2_norm(F.col(vec_c))).crossJoin(
+        F.broadcast(queries.withColumn("__nq", l2_norm(F.col(vec_q))))
+    )
     if metric == "cosine":
-        score = F.round(cosine_sim(F.col(vec_q), F.col(vec_c)), 6)
+        # norms precomputed per side: one array pass per pair, bit-identical
+        # to dot/(||q||*||c||) evaluated inline
+        score = F.round(
+            dot(F.col(vec_q), F.col(vec_c)) / (F.col("__nq") * F.col("__nc")), 6
+        )
         order = [F.col("score").desc(), F.col(corpus_id)]
     elif metric == "l2":
         score = F.round(l2_dist(F.col(vec_q), F.col(vec_c)), 6)

@@ -24,8 +24,9 @@ from image_matadata_batchprocessing_aws_spark.queries import relational as _rela
 from image_matadata_batchprocessing_aws_spark.queries import similarity as _similarity
 from image_matadata_batchprocessing_aws_spark.queries import streaming_batch as _streaming
 from image_matadata_batchprocessing_aws_spark.queries import text as _text
+from image_matadata_batchprocessing_aws_spark.queries import timejoins as _timejoins
 
-_MODULES = [_etl, _relational, _streaming, _text, _dedup, _similarity, _multimodal]
+_MODULES = [_etl, _relational, _streaming, _text, _dedup, _similarity, _multimodal, _timejoins]
 
 
 def all_queries():

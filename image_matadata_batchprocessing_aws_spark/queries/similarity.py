@@ -9,11 +9,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from image_matadata_batchprocessing_aws_spark.functions import l2_norm
+from image_matadata_batchprocessing_aws_spark.functions import dot, l2_norm
+from pyspark.sql import Window
+
 from image_matadata_batchprocessing_aws_spark.operators.similarity import (
     add_lsh_bucket,
     as_double_array,
     cosine_sim,
+    ivf_assign,
     knn_bruteforce,
     lsh_projections,
 )
@@ -21,6 +24,8 @@ from image_matadata_batchprocessing_aws_spark.queries.util import t
 
 K = 5
 N_QUERIES = 10
+CENT_MOD = 37  # centroids = corpus vectors with vec_id % CENT_MOD == 0
+NPROBE = 2
 
 
 def _qc(spark: SparkSession, sf: str):
@@ -68,6 +73,50 @@ def ann_lsh_bucket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (corpus vectors with
+    ``vec_id % CENT_MOD == 0``), corpus assigned to its nearest centroid
+    map-side (broadcast), queries probe the NPROBE nearest cells, exact
+    cosine re-scoring + top-k inside the probed cells only.
+
+    Scale path vs brute force: per query the scan shrinks from |corpus| to
+    the probed cells (~ NPROBE/k_cents of the data), and every join is on
+    the tiny ``cent_id`` key."""
+    e = t(spark, sf, "embeddings").select("vec_id", as_double_array("embedding").alias("e"))
+    corpus = e.where(F.col("vec_id") >= N_QUERIES)
+    cents = corpus.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("cv")
+    )
+    cells = ivf_assign(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
+        cents,
+        id_col="neighbor_id",
+        vec_col="ce",
+        nprobe=1,
+    )
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    probes = ivf_assign(qs, cents, id_col="query_id", vec_col="qe", nprobe=NPROBE)
+    scored = (
+        probes.withColumn("__nq", l2_norm(F.col("qe")))
+        .join(cells.withColumn("__nc", l2_norm(F.col("ce"))), "cent_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qe"), F.col("ce")) / (F.col("__nq") * F.col("__nc")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", "score", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "label", l2_norm(as_double_array("embedding")).alias("norm")
@@ -81,6 +130,7 @@ QUERIES = {
     "knn_brute_cosine": knn_brute_cosine,
     "knn_brute_l2": knn_brute_l2,
     "ann_lsh_bucket": ann_lsh_bucket,
+    "ann_ivf": ann_ivf,
     "embedding_stats": embedding_stats,
 }
 
@@ -138,6 +188,34 @@ ORACLES = {
         FROM r WHERE rn <= {K}
     """,
     "ann_lsh_bucket": _ann_oracle(),
+    "ann_ivf": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, e AS cv FROM v
+                  WHERE vec_id >= {N_QUERIES} AND vec_id % {CENT_MOD} = 0),
+        corpus AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= {N_QUERIES}),
+        ca AS (SELECT neighbor_id, ce, cent_id,
+                      row_number() OVER (PARTITION BY neighbor_id
+                                         ORDER BY round(list_cosine_similarity(ce, cv), 6) DESC,
+                                                  cent_id) AS rn
+               FROM corpus CROSS JOIN cents),
+        cells AS (SELECT neighbor_id, ce, cent_id FROM ca WHERE rn <= 1),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+        qa AS (SELECT query_id, qe, cent_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(list_cosine_similarity(qe, cv), 6) DESC,
+                                                  cent_id) AS rn
+               FROM q CROSS JOIN cents),
+        probes AS (SELECT query_id, qe, cent_id FROM qa WHERE rn <= {NPROBE}),
+        s AS (SELECT p.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(p.qe, c.ce), 6) AS score
+              FROM probes p JOIN cells c ON p.cent_id = c.cent_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rn
+              FROM s)
+        SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= {K}
+    """,
     "embedding_stats": """
         SELECT label, count(*) AS n,
                round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -1,0 +1,90 @@
+"""As-of and binned range join operator semantics on tiny literal frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.joins import asof_join, range_join_binned
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_null_extension(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01T10:00:00"), "p1"),
+            (2, "u", _ts("2024-01-01T12:00:00"), "p2"),
+            (3, "v", _ts("2024-01-01T09:00:00"), "p3"),  # no prior right row
+        ],
+        "id long, k string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", _ts("2024-01-01T09:30:00")),
+            (11, "u", _ts("2024-01-01T12:00:00")),  # equal ts: inclusive match
+            (12, "u", _ts("2024-01-01T13:00:00")),  # future: never matched
+            (13, "v", _ts("2024-01-01T09:30:00")),  # after left row for v
+        ],
+        "id long, k string, ts timestamp",
+    )
+    out = {
+        r["id"]: r["r_id"]
+        for r in asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()
+    }
+    assert out == {1: 10, 2: 11, 3: None}
+
+
+def test_asof_keeps_all_left_columns(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T10:00:00"), 5.0)], "id long, k string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(9, "u", _ts("2024-01-01T08:00:00"))], "rid long, k string, ts timestamp"
+    )
+    row = asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()[0]
+    assert (row["id"], row["v"], row["r_rid"]) == (1, 5.0, 9)
+
+
+def test_range_join_binned_boundaries_and_bin_crossing(spark):
+    facts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),  # == start: included
+            (2, _ts("2024-01-01T05:59:59")),  # inside, same bin
+            (3, _ts("2024-01-01T06:00:00")),  # == end: excluded
+            (4, _ts("2024-01-01T03:30:00")),  # inside window 2 (bin-crossing)
+        ],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T06:00:00")),
+            (200, _ts("2024-01-01T03:00:00"), _ts("2024-01-01T09:00:00")),  # spans 2 bins
+        ],
+        "window_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join_binned(
+        facts, intervals, fact_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        bin_width_seconds=6 * 3600,
+    )
+    got = {(r["window_id"], r["event_id"]) for r in out.collect()}
+    assert got == {(100, 1), (100, 2), (100, 4), (200, 2), (200, 3), (200, 4)}
+
+
+def test_range_join_produces_equi_join_not_nested_loop(spark):
+    facts = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros((F.col("id") * 600_000_000).cast("long")).alias("ts"),
+    )
+    intervals = spark.range(5).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_micros((F.col("id") * 7_200_000_000).cast("long")).alias("start_ts"),
+        F.timestamp_micros((F.col("id") * 7_200_000_000 + 3_600_000_000).cast("long")).alias("end_ts"),
+    )
+    plan = range_join_binned(
+        facts, intervals, "ts", "start_ts", "end_ts", bin_width_seconds=3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
