@@ -145,10 +145,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature per doc: for seed j, min over shingles of
-    md5_int64(j || '|' || shingle).  Docs with < n tokens get no signature
+    hash(j, shingle).  Docs with < n tokens get no signature
     (empty shingle set — they can't near-dup by shingles).
+
+    ``hash_fn="md5"`` (default) derives 60-bit ints from md5 hex —
+    bit-reproducible in DuckDB, used by the oracle-checked queries.
+    ``hash_fn="xxhash64"`` is the production scale path: Spark's native
+    seeded xxhash64 is several times cheaper per shingle with the same
+    statistical behavior (signature VALUES differ; near-dup recall does
+    not).
 
     Computed entirely map-side: the shingle set is already an array column,
     so each signature slot is ``array_min(transform(shingles, hash_j))`` —
@@ -160,6 +168,8 @@ def minhash_signatures(
     def seeded_hash(j: int):
         # single-arg lambda: a 2-arg HOF lambda would receive the array
         # index as its second argument and clobber the seed
+        if hash_fn == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(j), s)
         return lambda s: md5_int64(F.concat_ws("|", F.lit(j), s))
 
     sig = F.array(
@@ -183,13 +193,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate pairs -> exact
     Jaccard verification.  rows = bands implies num_hashes/bands hashes
     per band; the band key is a single md5 over the band's slice, so the
-    bucket join shuffles small keys only."""
+    bucket join shuffles small keys only.  ``hash_fn``: see
+    :func:`minhash_signatures` (md5 = oracle-portable, xxhash64 = fast)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
     band_entries = sigs.select(
         id_col,
         F.explode(

@@ -58,6 +58,16 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_lsh_xxhash64_fast_path(spark):
+    # production hash: same recall, no md5 in the hot path
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5, hash_fn="xxhash64").collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_simhash_pairs_near_dup(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(_docs(spark)).collect()}
     assert pairs.get((0, 1)) == 0  # identical docs, identical simhash

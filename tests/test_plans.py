@@ -27,6 +27,18 @@ def test_q3_q5_broadcast_dimensions(spark):
     assert plan_report(q5_region_revenue(spark, SF_CORRECT))["has_broadcast_join"]
 
 
+def test_ann_ivf_broadcasts_centroids(spark):
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import ann_ivf
+
+    df = ann_ivf(spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    # centroid assignment: broadcast cartesian (no equi key => nested-loop
+    # is the right physical op, with the tiny centroid side broadcast)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not plan_report(df)["python_in_plan"]
+
+
 def test_no_python_udf_in_relational_plans(spark):
     for q in (q1_pricing_summary, q3_shipping_priority, q5_region_revenue, etl_zscore):
         assert_no_python_udf(q(spark, SF_CORRECT))
