@@ -23,7 +23,11 @@ from image_matadata_batchprocessing_aws_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
-from image_matadata_batchprocessing_aws_spark.functions import cosine_sim
+from image_matadata_batchprocessing_aws_spark.functions import cosine_sim, dot, l2_norm
+from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+    add_lsh_bucket,
+    as_double_array,
+)
 from image_matadata_batchprocessing_aws_spark.queries.util import t
 
 JACCARD_THRESHOLD = 0.5
@@ -95,6 +99,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return sim.where(F.col("cosine") >= COSINE_THRESHOLD)
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path for embedding near-dup: sign-projection LSH buckets
+    assigned map-side, candidate pairs from a bucket equi-join (small int
+    key — never the all-pairs cross join), exact cosine verification
+    within buckets only.  Norms precomputed per side (one array pass per
+    pair)."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    b = add_lsh_bucket(e, "e", "bucket").withColumn("__n", l2_norm(F.col("e")))
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("__n").alias("na"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("__n").alias("nb"), "bucket"
+    )
+    pairs = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+    ).where(F.col("cosine") >= COSINE_THRESHOLD)
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_exact_rows": dedup_exact_rows,
@@ -103,6 +131,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 
@@ -185,4 +214,28 @@ ORACLES = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.ce, b.ce), 4) >= {COSINE_THRESHOLD}
     """,
+    "dedup_embedding_lsh": None,  # built lazily below (needs plane literals)
 }
+
+
+def _embedding_lsh_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import lsh_projections
+
+    def proj_sql(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {proj_sql(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(lsh_projections())
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, e, CAST({terms} AS BIGINT) AS bucket FROM v)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, c.e), 4) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE round(list_cosine_similarity(a.e, c.e), 4) >= {COSINE_THRESHOLD}
+    """
+
+
+ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()

@@ -87,6 +87,43 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q6 style: pure filter + agg (pushdown showcase) ---------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-table filter-aggregate: every predicate pushes to the
+    parquet scan (row-group pruning), the agg is one partial/final pair —
+    the cheapest possible shape at 100 TB."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+# --- TPC-H Q17 style: per-key threshold from a self-aggregate ------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Lineitems below half their part's average quantity.  The per-part
+    averages are a partial/final agg whose output (one row per part) joins
+    back shuffle-on-key; no correlated per-row subquery execution."""
+    li = t(spark, sf, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    j = li.join(avg_qty, "l_partkey").where(F.col("l_quantity") < F.col("half_avg"))
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # --- semi / anti joins (EXISTS / NOT EXISTS) -----------------------------
 
 
@@ -302,6 +339,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_outer_agg": join_outer_agg,
@@ -349,6 +388,22 @@ ORACLES = {
         GROUP BY l.l_orderkey, o.o_orderdate
         ORDER BY revenue DESC, l.l_orderkey
         LIMIT 10
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q17_small_quantity_revenue": """
+        WITH a AS (SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < a.half_avg
     """,
     "q5_region_revenue": """
         SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

@@ -6,8 +6,10 @@ from image_matadata_batchprocessing_aws_spark.streaming.events import (
     dedup_within_watermark,
     start_numbered_batch_sink,
 )
+from image_matadata_batchprocessing_aws_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "running_user_totals",
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",

@@ -6,7 +6,7 @@ from __future__ import annotations
 import glob
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
     stream_tumbling_counts,
@@ -108,6 +108,46 @@ def test_dedup_within_watermark(spark, events_dir):
     q.stop()
     out = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").collect()[0]
     assert out.n == out.d  # no duplicate event_ids survive
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, events_dir):
+    from image_matadata_batchprocessing_aws_spark.streaming import running_user_totals
+
+    stream = read_events_stream(spark, events_dir)  # 4 micro-batches
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM stateful_out")
+    # emitted counts grow monotonically; the max per user must equal the
+    # batch ground truth (state carried across micro-batches)
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in got.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+    truth = {
+        r.user_id: (r.n, r.s)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("s"))
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for u, (n, tot) in truth.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - tot) < 0.02  # float accumulation order differs
 
 
 def test_numbered_batch_sink(spark, events_dir, tmp_path):
