@@ -80,8 +80,15 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
     """(id, __sh) with the distinct-shingle array materialized through a
     real projection boundary, so the regex tokenization runs exactly once
     per document.  Docs with an empty shingle set are dropped (they cannot
-    near-dup by shingles)."""
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    near-dup by shingles).
+
+    The input is repartitioned to full parallelism first: compact corpora
+    (one parquet file => one scan partition) would otherwise run the
+    hash/tokenize-heavy map work in a single task.  One cheap shuffle of
+    raw (id, text) rows buys num-cores-way parallelism for everything
+    downstream."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(par).select(F.col(id_col), tokens(text_col).alias("__toks"))
     sh = toked.select(F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh"))
     return sh.where(F.size("__sh") > 0)
 
@@ -178,11 +185,7 @@ def minhash_signatures(
             for j in range(num_hashes)
         ]
     )
-    # One explicit exchange on the (tiny) signature table: downstream
-    # self-joins reference it from several branches, and without a shuffle
-    # boundary each branch would recompute every per-shingle hash.  With
-    # it, ReusedExchange materializes signatures exactly once.
-    return sh.select(F.col(id_col), sig.alias("signature")).repartition(F.col(id_col))
+    return sh.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -201,7 +204,12 @@ def minhash_lsh_pairs(
     bucket join shuffles small keys only.  ``hash_fn``: see
     :func:`minhash_signatures` (md5 = oracle-portable, xxhash64 = fast)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    # persist: the band self-join references the signature table from both
+    # sides, and exchange reuse across AQE query-stage branches is not
+    # guaranteed — without materialization every per-shingle hash runs
+    # once per branch (measured 3x slower).  The signature table is
+    # id + num_hashes longs: tiny relative to the corpus at any scale.
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn).persist()
     band_entries = sigs.select(
         id_col,
         F.explode(
@@ -290,7 +298,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """Per-doc SimHash over distinct tokens: bit j is 1 iff the count of
     token-hashes with bit j set is >= half the token count (md5-derived
     token hashes — portable)."""
-    ex = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(par).select(
         id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", md5_int64("tok"))
     bit_cols = [

@@ -71,16 +71,24 @@ def ivf_assign(
     dn = df.withColumn("__na", l2_norm(F.col(vec_col)))
     cn = cents.withColumn("__nc", l2_norm(F.col(cent_vec)))
     pairs = dn.crossJoin(F.broadcast(cn))
-    scored = pairs.withColumn(
-        "__csim",
-        F.round(dot(F.col(vec_col), F.col(cent_vec)) / (F.col("__na") * F.col("__nc")), 6),
+    # Keep ONLY (id, cent_id, sim) through the argmax shuffle — shuffling
+    # the vectors themselves would move |df| * k_cents embeddings; the
+    # slim projection moves 16-byte rows, and the vectors come back via a
+    # broadcast-able join on the id.
+    slim = pairs.select(
+        F.col(id_col),
+        F.col(cent_id),
+        F.round(
+            dot(F.col(vec_col), F.col(cent_vec)) / (F.col("__na") * F.col("__nc")), 6
+        ).alias("__csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col(cent_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
+    picked = (
+        slim.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= nprobe)
-        .drop("__rn", "__csim", "__na", "__nc", cent_vec)
+        .select(id_col, cent_id)
     )
+    return df.join(picked, id_col)
 
 
 def knn_bruteforce(
