@@ -72,7 +72,11 @@ def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFram
     one broadcast join — no serialization point.
     """
     parted = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, F.col(order_by))
-    parted = parted.withColumn("__pid", F.spark_partition_id())
+    # persist BEFORE reading spark_partition_id: range boundaries come from
+    # sampling, so two jobs over the same lineage can assign different
+    # partition ids — the boundary-collect job and the output job must see
+    # the same assignment or carries attach to the wrong partitions
+    parted = parted.withColumn("__pid", F.spark_partition_id()).persist()
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.col(order_by).asc())

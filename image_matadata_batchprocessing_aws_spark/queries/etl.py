@@ -70,6 +70,23 @@ def etl_sentinel_ffill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def etl_ffill_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-order forward fill via the SCALE PATH (ffill_partitioned:
+    range-partition + per-partition window + boundary broadcast — never a
+    single-partition window), oracle-checked against a plain
+    last_value-ignore-nulls window."""
+    from image_matadata_batchprocessing_aws_spark.operators.impute import ffill_partitioned
+
+    e = t(spark, sf, "events").withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    filled = ffill_partitioned(e, ["v"], order_by="event_id")
+    return filled.select(
+        "event_id",
+        F.round(F.coalesce(F.col("v"), F.lit(0.0)), 2).alias("v_filled"),
+    )
+
+
 # --- P5/A6/A7: null audit + total-missing gate (ref :86-94,136-139) ------
 
 
@@ -218,6 +235,7 @@ QUERIES = {
     "etl_project_cast": etl_project_cast,
     "etl_epoch_dateparts": etl_epoch_dateparts,
     "etl_sentinel_ffill": etl_sentinel_ffill,
+    "etl_ffill_global": etl_ffill_global,
     "etl_null_audit": etl_null_audit,
     "etl_label_encode": etl_label_encode,
     "etl_zscore": etl_zscore,
@@ -247,6 +265,14 @@ ORACLES = {
                CAST(coalesce(month(ts2), 1) AS BIGINT) AS month,
                CAST(coalesce(day(ts2), 1) AS BIGINT) AS day
         FROM b
+    """,
+    "etl_ffill_global": """
+        SELECT event_id,
+               round(coalesce(
+                 last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                   OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0.0), 2) AS v_filled
+        FROM events
     """,
     "etl_sentinel_ffill": """
         WITH base AS (

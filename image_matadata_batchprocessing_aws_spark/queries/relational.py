@@ -209,6 +209,19 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``).  At 100 TB prefer ``approx_percentile``
+    (t-digest, single pass, bounded memory); the exact form is the
+    correctness anchor."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+    )
+
+
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ sketch count — engine-specific estimates, so no SQL oracle
     (driver records the weaker rows-only check)."""
@@ -348,6 +361,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_distinct": agg_distinct,
+    "agg_percentiles": agg_percentiles,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_stats": agg_stats,
     "window_topk_per_group": window_topk_per_group,
@@ -388,6 +402,13 @@ ORACLES = {
         GROUP BY l.l_orderkey, o.o_orderdate
         ORDER BY revenue DESC, l.l_orderkey
         LIMIT 10
+    """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

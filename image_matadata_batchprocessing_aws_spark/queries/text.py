@@ -100,3 +100,32 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+def _lang_id_oracle() -> str:
+    """SQL twin of operators.text.add_lang_id, generated from the same
+    profile dict so the two can't drift.  argmax = max (score, lang)
+    struct, i.e. ties go to the lexicographically larger code — mirrored
+    here by ORDER BY score DESC, lang DESC."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import _LANG_PROFILES
+
+    arms = []
+    for lang, profile in sorted(_LANG_PROFILES.items()):
+        score = " + ".join(
+            f"(CASE WHEN contains(lt, '{bg}') THEN 1 ELSE 0 END)" for bg in profile
+        )
+        arms.append(f"SELECT doc_id, '{lang}' AS plang, {score} AS score FROM t")
+    union = "\n          UNION ALL ".join(arms)
+    return f"""
+        WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        s AS ({union}),
+        r AS (SELECT doc_id, plang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, plang DESC) AS rn
+              FROM s)
+        SELECT d.doc_id, d.lang, r.plang AS lang_pred
+        FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+    """
+
+
+ORACLES["text_lang_id"] = _lang_id_oracle()

@@ -25,7 +25,6 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "agg_approx_distinct",
-        "text_lang_id",
         "multimodal_image_pipeline",
     }
 
