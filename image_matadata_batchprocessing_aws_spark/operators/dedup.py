@@ -113,6 +113,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs by shared shingle, verified by exact Jaccard.
 
@@ -120,9 +121,25 @@ def ngram_jaccard_pairs(
     (posting-list join — skew-bounded because a shingle shared by k docs
     yields k(k-1)/2 pairs; rare shingles dominate by construction),
     one shuffle on the pair key for the intersection count.
+
+    ``max_df`` is the skew guard for adversarial corpora: shingles whose
+    document frequency exceeds it are dropped before the self-join (a
+    boilerplate shingle in k docs costs k^2 join rows; it also carries no
+    dedup signal).  Jaccard is then computed over the pruned shingle sets
+    — standard MinHash-era practice.  Default off for oracle parity.
     """
     ex = _exploded_shingles(df, text_col, id_col, n)
-    sizes = _shingle_sizes(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    else:
+        sizes = _shingle_sizes(df, text_col, id_col, n)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

@@ -58,6 +58,29 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms and conditions apply to this offer"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma delta epsilon {boiler}"),
+            (1, f"alpha beta gamma delta zeta {boiler}"),  # near-dup of 0
+            (2, f"one two three four five {boiler}"),      # unrelated, shares boilerplate
+            (3, f"six seven eight nine ten {boiler}"),     # unrelated, shares boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    # without the guard the boilerplate connects everything at low jaccard
+    all_pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert (2, 3) in all_pairs
+    # with the guard, boilerplate shingles (df=4 > 2) are pruned: the true
+    # near-dup (shares rare shingles) survives, coincidental pairs don't
+    pruned = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.1, max_df=2).collect()}
+    assert (0, 1) in pruned
+    assert (2, 3) not in pruned
+
+
 def test_minhash_lsh_xxhash64_fast_path(spark):
     # production hash: same recall, no md5 in the hot path
     pairs = {
