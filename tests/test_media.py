@@ -1,0 +1,64 @@
+"""Audio/video multimodal plumbing: UDTF fan-out shape, typed metadata,
+determinism, error isolation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.multimodal.media import (
+    FRAME_SIZE,
+    MediaCodecUnavailable,
+    N_AUDIO_FEATURES,
+    extract_audio_features,
+    sample_video_frames,
+)
+
+
+def _videos(spark):
+    return spark.createDataFrame(
+        [
+            ("a.mp4", b"x" * 5000),   # 5 fake frames -> idx 0 sampled w/ every_n=10... see test
+            ("b.mp4", b"y" * 30000),  # 30 fake frames
+            ("bad.mp4", b""),         # decode error row
+        ],
+        "file_name string, content binary",
+    )
+
+
+def test_frame_sampling_fanout_and_errors(spark):
+    out = sample_video_frames(_videos(spark), every_n=10, max_frames=2).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r.file_name, []).append(r)
+    # 5 frames, every 10th -> just frame 0; 30 frames -> 0,10 (max_frames=2 caps)
+    assert [r.frame_idx for r in by_file["a.mp4"]] == [0]
+    assert [r.frame_idx for r in sorted(by_file["b.mp4"], key=lambda r: r.frame_idx)] == [0, 10]
+    assert all(len(r.frame) == FRAME_SIZE * FRAME_SIZE * 3 for r in by_file["b.mp4"])
+    (bad,) = by_file["bad.mp4"]
+    assert bad.decode_error and bad.frame is None  # kept + labeled, not dropped
+
+
+def test_frame_sampling_deterministic(spark):
+    a = sample_video_frames(_videos(spark)).orderBy("file_name", "frame_idx").collect()
+    b = sample_video_frames(_videos(spark)).orderBy("file_name", "frame_idx").collect()
+    assert a == b
+
+
+def test_audio_features_shape_and_metadata(spark):
+    audio = spark.createDataFrame(
+        [("a.wav", b"z" * 32000), ("bad.wav", b"")], "file_name string, content binary"
+    )
+    rows = {r.file_name: r for r in extract_audio_features(audio).collect()}
+    ok = rows["a.wav"]
+    assert ok.n_features == N_AUDIO_FEATURES and len(ok.features) == N_AUDIO_FEATURES
+    assert ok.duration_s == 2.0  # 32000 bytes @ 16kB/s
+    assert all(0.0 <= v <= 1.0 for v in ok.features)
+    assert rows["bad.wav"].decode_error
+
+
+def test_real_codec_is_explicitly_unavailable(spark):
+    with pytest.raises(MediaCodecUnavailable):
+        sample_video_frames(_videos(spark), use_real_codec=True)
+    with pytest.raises(MediaCodecUnavailable):
+        extract_audio_features(_videos(spark), use_real_codec=True)

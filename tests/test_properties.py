@@ -1,0 +1,74 @@
+"""Property-style invariants (SURVEY section 5): resize geometry under
+hypothesis, cross-engine hash parity, union-of-chunks equivalence,
+scaling idempotence."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64, md5_int64_sql
+from image_matadata_batchprocessing_aws_spark.multimodal.images import resize_with_padding
+from image_matadata_batchprocessing_aws_spark.operators.scale import zscore_scale
+from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@settings(max_examples=50, deadline=None)
+@given(h=st.integers(1, 300), w=st.integers(1, 300))
+def test_resize_with_padding_geometry(h, w):
+    img = np.full((h, w, 3), 200, dtype=np.uint8)
+    out = resize_with_padding(img, 224)
+    assert out.shape == (224, 224, 3)
+    nz_rows = np.where(out.any(axis=(1, 2)))[0]
+    nz_cols = np.where(out.any(axis=(0, 2)))[0]
+    nh, nw = len(nz_rows), len(nz_cols)
+    # aspect preserved: the longer side fills the canvas
+    assert max(nh, nw) in (223, 224)
+    # content centered within one pixel
+    assert abs(nz_rows[0] - (224 - nz_rows[-1] - 1)) <= 1
+    assert abs(nz_cols[0] - (224 - nz_cols[-1] - 1)) <= 1
+
+
+def test_md5_int64_cross_engine_parity(spark):
+    tricky = ["", " ", "a", "Zürich", "0|the quick brown", "名前", "x" * 500, "NA", "🙂"]
+    df = spark.createDataFrame([(s,) for s in tricky], "s string")
+    got = {
+        r.s: r.h for r in df.select("s", md5_int64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in tricky:
+        (expected,) = con.execute(
+            f"SELECT {md5_int64_sql('?')}", [s]
+        ).fetchone()
+        assert got[s] == expected, s
+
+
+def test_union_of_chunks_equals_whole_read(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    parts = li.randomSplit([0.3, 0.3, 0.4], seed=7)
+    import functools
+
+    reunited = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    assert reunited.count() == li.count()
+    a = reunited.agg(F.round(F.sum("l_extendedprice"), 2), F.sum("l_orderkey")).collect()
+    b = li.agg(F.round(F.sum("l_extendedprice"), 2), F.sum("l_orderkey")).collect()
+    assert a == b
+
+
+def test_zscore_idempotent_on_standardized_data(spark):
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    once = zscore_scale(e, ["value"])
+    stats = once.agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    ).collect()[0]
+    assert abs(stats.m) < 1e-9 and abs(stats.s - 1.0) < 1e-9
+    twice = zscore_scale(once, ["value"])
+    merged = once.select("event_id", F.col("value").alias("v1")).join(
+        twice.select("event_id", F.col("value").alias("v2")), "event_id"
+    )
+    max_diff = merged.agg(F.max(F.abs(F.col("v1") - F.col("v2")))).collect()[0][0]
+    assert max_diff < 1e-9
