@@ -107,9 +107,23 @@ def knn_bruteforce(
     pairs = corpus.withColumn("__nc", l2_norm(F.col(vec_c))).crossJoin(
         F.broadcast(queries.withColumn("__nq", l2_norm(F.col(vec_q))))
     )
+    return _topk_per_query(pairs, k, metric, query_id, corpus_id, vec_q, vec_c)
+
+
+def _topk_per_query(
+    pairs: DataFrame,
+    k: int,
+    metric: str,
+    query_id: str,
+    corpus_id: str,
+    vec_q: str,
+    vec_c: str,
+) -> DataFrame:
+    """Exact scoring + deterministic top-k over candidate (query, corpus)
+    pairs.  Expects precomputed ``__nq``/``__nc`` norm columns for the
+    cosine path (one array pass per pair)."""
     if metric == "cosine":
-        # norms precomputed per side: one array pass per pair, bit-identical
-        # to dot/(||q||*||c||) evaluated inline
+        # norms precomputed per side: bit-identical to dot/(||q||*||c||)
         score = F.round(
             dot(F.col(vec_q), F.col(vec_c)) / (F.col("__nq") * F.col("__nc")), 6
         )
@@ -128,3 +142,33 @@ def knn_bruteforce(
             query_id, corpus_id, F.col("score"), F.col("rn").cast("long").alias("rn")
         )
     )
+
+
+def knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    strategy: str = "auto",
+    brute_force_limit: int = 100_000,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_q: str = "qe",
+    vec_c: str = "ce",
+) -> DataFrame:
+    """Strategy-selecting kNN — the SURVEY section-4 'custom rewrite rule',
+    expressed at the API layer where PySpark can restructure the plan:
+    exact brute force while the corpus fits the linear-scan budget, else
+    sign-projection LSH bucketing so candidate generation becomes an
+    equi-join and each query scans ~1/2^planes of the corpus
+    (approximate: recall < 1 for neighbors straddling a hyperplane)."""
+    if strategy == "auto":
+        strategy = "brute" if corpus.count() <= brute_force_limit else "lsh"
+    if strategy == "brute":
+        return knn_bruteforce(queries, corpus, k, metric, query_id, corpus_id, vec_q, vec_c)
+    if strategy != "lsh":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    qb = add_lsh_bucket(queries.withColumn("__nq", l2_norm(F.col(vec_q))), vec_q, "__bucket")
+    cb = add_lsh_bucket(corpus.withColumn("__nc", l2_norm(F.col(vec_c))), vec_c, "__bucket")
+    pairs = cb.join(F.broadcast(qb), "__bucket")
+    return _topk_per_query(pairs, k, metric, query_id, corpus_id, vec_q, vec_c)

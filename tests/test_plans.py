@@ -42,3 +42,14 @@ def test_ann_ivf_broadcasts_centroids(spark):
 def test_no_python_udf_in_relational_plans(spark):
     for q in (q1_pricing_summary, q3_shipping_priority, q5_region_revenue, etl_zscore):
         assert_no_python_udf(q(spark, SF_CORRECT))
+
+
+def test_whole_inventory_stays_jvm_side(spark):
+    """Every declared query plans without row-at-a-time Python.  The only
+    Python allowed anywhere is Arrow mapInPandas in the multimodal
+    pipeline (shows as (Flat)MapInPandas/ArrowEvalPython-free plans
+    otherwise)."""
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+
+    for name, fn in all_queries().items():
+        assert_no_python_udf(fn(spark, SF_CORRECT)), name
