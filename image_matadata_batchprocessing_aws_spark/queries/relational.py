@@ -296,6 +296,26 @@ def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range rolling aggregate (hypertable-rollup shape): per user,
+    the sum/count of events in the trailing hour, as a RANGE frame over
+    event time.  One shuffle on user_id; frame scan is incremental per
+    partition."""
+    e = t(spark, sf, "events").withColumn("ts_us", F.unix_micros("ts"))
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+    )
+
+
 # --- global deterministic top-k ------------------------------------------
 
 
@@ -368,6 +388,7 @@ QUERIES = {
     "window_rank_dense": window_rank_dense,
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
+    "window_range_frame": window_range_frame,
     "sort_topk": sort_topk,
     "set_intersect": set_intersect,
     "set_except": set_except,
@@ -516,6 +537,14 @@ ORACLES = {
                round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
         FROM events
+    """,
+    "window_range_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_events_1h,
+               round(sum(value) OVER w, 2) AS sum_value_1h
+        FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     "sort_topk": """
         SELECT l_orderkey, l_linenumber, l_extendedprice

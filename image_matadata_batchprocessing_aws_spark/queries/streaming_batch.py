@@ -71,6 +71,15 @@ def stream_dedup_keyed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_json_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema'd ``from_json`` parse of the props column into a typed
+    struct (vs the path-extraction twin stream_json_props): one map-side
+    projection, nulls for malformed rows — PERMISSIVE semantics."""
+    e = t(spark, sf, "events")
+    p = e.withColumn("p", F.from_json("props", "k long"))
+    return p.select("event_id", F.col("p.k").alias("k"))
+
+
 def stream_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """JSON prop extraction over the stream table (get_json_object /
     from_json surface motivated by ``events.props``)."""
@@ -90,9 +99,14 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keyed": stream_dedup_keyed,
     "stream_json_props": stream_json_props,
+    "stream_json_schema": stream_json_schema,
 }
 
 ORACLES = {
+    "stream_json_schema": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
     "stream_tumbling_counts": """
         SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
