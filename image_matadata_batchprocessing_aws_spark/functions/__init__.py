@@ -34,6 +34,21 @@ def md5_int64_sql(expr: str) -> str:
     )
 
 
+def md5_int32(col: Column | str) -> Column:
+    """First 8 hex digits of md5 as a non-negative 32-bit-range long —
+    the base hash for universal-hash families (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def md5_int32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_int32`."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 8), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Array / vector math (generalizes the reference's Euclidean evaluation
 # aggregate, ``train.py:105-113``, to array<float> columns — SURVEY A5).

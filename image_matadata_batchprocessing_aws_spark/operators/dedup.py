@@ -19,8 +19,23 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+import numpy as np
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int32, md5_int64
 from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+
+#: Mersenne prime for the MinHash universal-hash family
+#: (h_j(x) = (a_j * (base(x) mod p) + b_j) mod p — one md5 per shingle,
+#: k affine transforms, the textbook construction).
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) coefficients, shared with the SQL oracles."""
+    rng = np.random.RandomState(seed)
+    a = [int(v) for v in rng.randint(1, MINHASH_PRIME, num_hashes)]
+    b = [int(v) for v in rng.randint(0, MINHASH_PRIME, num_hashes)]
+    return a, b
 
 
 def content_hash(col: Column | str, normalize: bool = True) -> Column:
@@ -175,12 +190,12 @@ def minhash_signatures(
     hash(j, shingle).  Docs with < n tokens get no signature
     (empty shingle set — they can't near-dup by shingles).
 
-    ``hash_fn="md5"`` (default) derives 60-bit ints from md5 hex —
-    bit-reproducible in DuckDB, used by the oracle-checked queries.
-    ``hash_fn="xxhash64"`` is the production scale path: Spark's native
-    seeded xxhash64 is several times cheaper per shingle with the same
-    statistical behavior (signature VALUES differ; near-dup recall does
-    not).
+    ``hash_fn="md5"`` (default) computes ONE md5-derived base hash per
+    shingle and derives the k slots via the universal family
+    ``(a_j * base + b_j) mod p`` — bit-reproducible in DuckDB (the
+    oracle inlines the same coefficients), and 8x cheaper than k
+    independent md5s.  ``hash_fn="xxhash64"`` swaps the base hash for
+    Spark's native seeded xxhash64 (no md5 at all) for production.
 
     Computed entirely map-side: the shingle set is already an array column,
     so each signature slot is ``array_min(transform(shingles, hash_j))`` —
@@ -188,21 +203,27 @@ def minhash_signatures(
     form — explode shingles x seeds, groupBy(id, seed), groupBy(id) — costs
     two shuffles of |shingles| * num_hashes rows; this costs zero.)"""
     sh = shingle_df(df, text_col, id_col, n)
+    # base hashes materialized through a projection boundary so the 8
+    # affine transforms below reuse them instead of re-hashing 8x
+    if hash_fn == "xxhash64":
+        base = lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))  # noqa: E731
+    else:
+        base = lambda s: md5_int32(s) % F.lit(MINHASH_PRIME)  # noqa: E731
+    based = sh.select(F.col(id_col), F.transform(F.col("__sh"), base).alias("__base"))
+    a, b = minhash_params(num_hashes)
 
-    def seeded_hash(j: int):
+    def affine(j: int):
         # single-arg lambda: a 2-arg HOF lambda would receive the array
-        # index as its second argument and clobber the seed
-        if hash_fn == "xxhash64":
-            return lambda s: F.xxhash64(F.lit(j), s)
-        return lambda s: md5_int64(F.concat_ws("|", F.lit(j), s))
+        # index as its second argument and clobber the closure
+        return lambda x: (F.lit(a[j]) * x + F.lit(b[j])) % F.lit(MINHASH_PRIME)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh"), seeded_hash(j)))
+            F.array_min(F.transform(F.col("__base"), affine(j)))
             for j in range(num_hashes)
         ]
     )
-    return sh.select(F.col(id_col), sig.alias("signature"))
+    return based.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(

@@ -26,12 +26,18 @@ def label_encode(
     """Replace each column's values with dense int codes 0..n_distinct-1
     assigned in ascending value order (nulls keep null)."""
     out = df
+    if max_distinct is not None and cols:
+        # one job for every column's cardinality guard, not one per column
+        approxes = df.agg(
+            *[F.approx_count_distinct(F.col(f"`{c}`")).alias(c) for c in cols]
+        ).collect()[0]
+        for c in cols:
+            if approxes[c] > max_distinct:
+                raise ValueError(
+                    f"label_encode({c}): ~{approxes[c]} distincts exceeds cap {max_distinct}"
+                )
     for c in cols:
         cq = F.col(f"`{c}`")
-        if max_distinct is not None:
-            approx = df.agg(F.approx_count_distinct(cq).alias("n")).collect()[0]["n"]
-            if approx > max_distinct:
-                raise ValueError(f"label_encode({c}): ~{approx} distincts exceeds cap {max_distinct}")
         dictionary = (
             df.select(cq.alias("__val"))
             .where(F.col("__val").isNotNull())

@@ -168,10 +168,28 @@ def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     """
 
 
+def _minhash_hash_sql() -> str:
+    """The universal-hash family, inlined with the SAME coefficients the
+    Spark side uses (operators.dedup.minhash_params)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    a, b = minhash_params(8)
+    a_list = "[" + ", ".join(str(v) for v in a) + "]"
+    b_list = "[" + ", ".join(str(v) for v in b) + "]"
+    return (
+        f"({a_list}[seed + 1] * ({md5_int32_sql('shingle')} % {MINHASH_PRIME}) "
+        f"+ {b_list}[seed + 1]) % {MINHASH_PRIME}"
+    )
+
+
 _MINHASH_ORACLE = rf"""
         WITH {_SHINGLES_CTE},
         seeds AS (SELECT unnest(range(8)) AS seed),
-        mh AS (SELECT doc_id, seed, min({md5_int64_sql("seed || '|' || shingle")}) AS h
+        mh AS (SELECT doc_id, seed, min({_minhash_hash_sql()}) AS h
                FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
         sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
         bandix AS (SELECT unnest(range(4)) AS bi),
