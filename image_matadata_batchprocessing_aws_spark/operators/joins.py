@@ -41,8 +41,12 @@ def asof_join(
     ``key`` (null-extended when no prior right row exists).
 
     Equivalent to DuckDB/pandas ``ASOF LEFT JOIN`` /
-    ``merge_asof(direction="backward")``.
+    ``merge_asof(direction="backward")``, including null-key semantics:
+    a null key never matches (SQL equi-join rule) — without the filter
+    below, Spark's window partitioning would group null-key rows together
+    and "match" them.
     """
+    right = right.where(F.col(key).isNotNull())
     lcols = left.columns
     rcols = right.columns
     rtype = "struct<" + ", ".join(f"`{f.name}`:{f.dataType.simpleString()}" for f in right.schema.fields) + ">"

@@ -50,6 +50,10 @@ def salted_join(
     Cost model: small side inflates n_salts x (it must be
     dimension-sized); the hot key's rows split across n_salts reducers.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full joins would surface each UNMATCHED small-side row
+        # once per salt replica
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salted_big = big.withColumn(
         "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
     )

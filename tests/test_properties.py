@@ -59,6 +59,28 @@ def test_union_of_chunks_equals_whole_read(spark):
     assert a == b
 
 
+def test_ffill_partitioned_matches_single_window(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.impute import ffill, ffill_partitioned
+
+    e = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"))
+    )
+    scale_path = {r.event_id: r.v for r in ffill_partitioned(e, ["v"], "event_id").collect()}
+    reference = {r.event_id: r.v for r in ffill(e, ["v"], order_by="event_id").collect()}
+    assert scale_path == reference
+
+
+def test_minhash_empty_result_on_all_unique_docs(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} about topic {i * 7}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs, threshold=0.9).count() == 0
+
+
 def test_zscore_idempotent_on_standardized_data(spark):
     e = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
     once = zscore_scale(e, ["value"])

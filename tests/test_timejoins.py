@@ -38,6 +38,17 @@ def test_asof_backward_inclusive_and_null_extension(spark):
     assert out == {1: 10, 2: 11, 3: None}
 
 
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01T10:00:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(9, None, _ts("2024-01-01T09:00:00"))], "id long, k string, ts timestamp"
+    )
+    row = asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()[0]
+    assert row["id"] == 1 and row["r_id"] is None  # SQL equi-join null rule
+
+
 def test_asof_keeps_all_left_columns(spark):
     left = spark.createDataFrame(
         [(1, "u", _ts("2024-01-01T10:00:00"), 5.0)], "id long, k string, ts timestamp, v double"
