@@ -24,6 +24,7 @@ from image_matadata_batchprocessing_aws_spark.operators.dedup import (
     simhash_pairs,
 )
 from image_matadata_batchprocessing_aws_spark.functions import cosine_sim, dot, l2_norm
+from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
 from image_matadata_batchprocessing_aws_spark.operators.similarity import (
     add_lsh_bucket,
     as_double_array,
@@ -123,8 +124,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("cosine") >= COSINE_THRESHOLD)
 
 
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate GROUPS: embedding-cosine
+    pairs form an undirected graph; each connected component is one
+    group, labeled by its minimum vec_id (the canonical doc to keep).
+    Iterative min-label propagation — the one genuinely iterative
+    operator in the inventory (oracled via DuckDB's recursive CTE)."""
+    pairs = dedup_embedding_cosine(spark, sf)
+    return connected_components(pairs, out_id="vec_id")
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
+    "dedup_components": dedup_components,
     "dedup_exact_rows": dedup_exact_rows,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -257,3 +269,18 @@ def _embedding_lsh_oracle() -> str:
 
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+
+# Components via recursive CTE: reachability closure, then min reachable
+# id per vertex == the component label the Spark side converges to.
+ORACLES["dedup_components"] = f"""
+    WITH RECURSIVE cc_pairs AS ({ORACLES["dedup_embedding_cosine"]}),
+    cc_edges AS (SELECT id_a AS va, id_b AS vb FROM cc_pairs
+                 UNION ALL SELECT id_b AS va, id_a AS vb FROM cc_pairs),
+    cc_reach(src, node) AS (
+        SELECT va AS src, va AS node FROM cc_edges
+        UNION
+        SELECT r.src, g.vb FROM cc_reach r JOIN cc_edges g ON r.node = g.va
+    )
+    SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS component
+    FROM cc_reach GROUP BY src
+"""

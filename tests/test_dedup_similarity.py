@@ -120,3 +120,40 @@ def test_knn_matches_numpy(spark):
         order = np.argsort(np.round(sims, 6))[::-1][:3] + 2
         for rank, nid in enumerate(order, start=1):
             assert got[(qid, rank)] == nid
+
+
+# Connected components (dedup-group resolution) --------------------------
+
+
+def test_components_chain_propagates_min_across_hops(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    # path graph 5-4-3-2-1: diameter 4 forces multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_components_disjoint_groups_and_stats(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        connected_components,
+        dedup_group_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges)
+    got = {r.id: r.component for r in comps.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+    sizes = {r.component: r.group_size for r in dedup_group_stats(comps).collect()}
+    assert sizes == {10: 3, 20: 2, 30: 2}
+
+
+def test_components_empty_edges(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
