@@ -1,0 +1,98 @@
+"""Reproducible sampling and sequence packing (Stage 5 / north star).
+
+The reference samples with framework RNG (``DataLoader(shuffle=True)``
+``train.py:144``; ``random_split``
+``Best-Model-architecture-for-local.py:106-109``) — fine for a training
+consumer, wrong for a data *pipeline*, where a sample must be (a)
+reproducible across reruns/engines, (b) consistent under re-partitioning,
+and (c) stable when the corpus grows (a doc's in/out decision never flips
+because unrelated rows arrived).  Hash-based sampling gives all three:
+``keep iff h(key, salt) mod D < fraction * D``.  ``rand(seed)``-based
+sampling gives none (it is ordering/partitioning-dependent).
+
+Scale design: the sample predicate is a pure map-side filter — pushes
+past projections, costs zero shuffles, and composes with partition
+pruning.  Stratified sampling is the same predicate with a per-stratum
+fraction looked up from a broadcast-sized literal map.
+
+Sequence packing (GPT-style pretraining prep): documents concatenated in
+a deterministic order and cut into fixed token-budget context windows;
+``pack_id = floor(exclusive_cumsum(tokens) / budget)`` assigns each doc
+to the window where it starts.  One window-function pass; the global
+ordering requirement is the same single-ordering constraint as W1
+(ffill) and shares its mitigation — at 100 TB, pack within hash-bucketed
+shards (``partition_by``) so each shard packs independently in parallel,
+which is also what training actually wants (one packed stream per
+data-parallel rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64, md5_int64_sql
+
+#: Denominator for the keep-threshold (basis points of basis points —
+#: fraction resolution 1e-8, plenty for corpus sampling).
+SAMPLE_DENOM = 100_000_000
+
+
+def sample_predicate(key: Column | str, fraction: float, salt: str = "") -> Column:
+    """Deterministic keep-predicate: stable under reruns, partitioning,
+    and corpus growth.  ``salt`` decorrelates independent samples drawn
+    from the same keys (e.g. train vs holdout)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = md5_int64(F.concat(c.cast("string"), F.lit(salt)))
+    return (h % SAMPLE_DENOM) < int(fraction * SAMPLE_DENOM)
+
+
+def sample_predicate_sql(key_expr: str, fraction: float, salt: str = "") -> str:
+    """DuckDB twin of :func:`sample_predicate`."""
+    h = md5_int64_sql(f"CAST({key_expr} AS VARCHAR) || '{salt}'")
+    return f"({h} % {SAMPLE_DENOM}) < {int(fraction * SAMPLE_DENOM)}"
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, decided per ``key``."""
+    return df.where(sample_predicate(key, fraction, salt))
+
+
+def hash_sample_stratified(
+    df: DataFrame, key: str, strata: str, fractions: dict, salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample English to 10%
+    but keep 100% of low-resource languages.  ``fractions`` maps stratum
+    value -> fraction; absent strata are dropped (fraction 0)."""
+    c = F.col(key)
+    h = md5_int64(F.concat(c.cast("string"), F.lit(salt))) % SAMPLE_DENOM
+    thresh = F.lit(0)
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata) == F.lit(value), F.lit(int(frac * SAMPLE_DENOM))).otherwise(thresh)
+    return df.where(h < thresh)
+
+
+def pack_documents(
+    df: DataFrame,
+    token_col: str,
+    order_by: str,
+    budget: int,
+    partition_by: str | None = None,
+    out_pack: str = "pack_id",
+    out_offset: str = "pack_offset",
+) -> DataFrame:
+    """Assign each document a context-window ``pack_id`` and its token
+    ``offset`` within the concatenated stream (exclusive running sum over
+    a deterministic order).  ``partition_by`` shards the stream so packing
+    parallelizes (pack ids are then per-shard)."""
+    keys = [partition_by] if partition_by else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn(out_offset, offset).withColumn(
+        out_pack, (F.col(out_offset) / F.lit(budget)).cast("long")
+    )

@@ -21,12 +21,23 @@ from image_matadata_batchprocessing_aws_spark.queries import dedup as _dedup
 from image_matadata_batchprocessing_aws_spark.queries import etl as _etl
 from image_matadata_batchprocessing_aws_spark.queries import multimodal as _multimodal
 from image_matadata_batchprocessing_aws_spark.queries import relational as _relational
+from image_matadata_batchprocessing_aws_spark.queries import sampling as _sampling
 from image_matadata_batchprocessing_aws_spark.queries import similarity as _similarity
 from image_matadata_batchprocessing_aws_spark.queries import streaming_batch as _streaming
 from image_matadata_batchprocessing_aws_spark.queries import text as _text
 from image_matadata_batchprocessing_aws_spark.queries import timejoins as _timejoins
 
-_MODULES = [_etl, _relational, _streaming, _text, _dedup, _similarity, _multimodal, _timejoins]
+_MODULES = [
+    _etl,
+    _relational,
+    _streaming,
+    _text,
+    _dedup,
+    _similarity,
+    _multimodal,
+    _timejoins,
+    _sampling,
+]
 
 
 def all_queries():

@@ -1,0 +1,101 @@
+"""Reproducible-sampling and sequence-packing queries (Stage 5).
+
+Hash-based deterministic sampling (the production replacement for the
+reference's RNG splits, ``train.py:144`` /
+``Best-Model-architecture-for-local.py:106-109``) and GPT-style context
+-window packing — both bit-reproducible in DuckDB, so fully
+oracle-checked, unlike ``rand()``-based sampling which no oracle can
+mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+    SAMPLE_DENOM,
+    hash_sample,
+    hash_sample_stratified,
+    pack_documents,
+    sample_predicate_sql,
+)
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+from image_matadata_batchprocessing_aws_spark.operators.text import token_count
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+SAMPLE_FRACTION = 0.2
+#: Downsample the high-resource language, keep the rest — the standard
+#: language-rebalancing move in pretraining-corpus prep.
+STRATA_FRACTIONS = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+PACK_BUDGET = 512
+
+
+def sample_hash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~20% corpus sample keyed on doc_id: rerun-stable,
+    partitioning-independent, pure map-side filter."""
+    return hash_sample(t(spark, sf, "documents"), "doc_id", SAMPLE_FRACTION).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def sample_stratified_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-rebalanced sample: en down to 25%, others kept whole."""
+    return hash_sample_stratified(
+        t(spark, sf, "documents"), "doc_id", "lang", STRATA_FRACTIONS
+    ).select("doc_id", "lang")
+
+
+def pack_context_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language packed pretraining stream: docs ordered by id, cut
+    into 512-token context windows (exclusive-cumsum offset).  Sharding
+    by lang is the parallel scale path — each shard packs independently."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_documents(
+        d, token_col="n_tokens", order_by="doc_id", budget=PACK_BUDGET, partition_by="lang"
+    )
+
+
+QUERIES = {
+    "sample_hash_docs": sample_hash_docs,
+    "sample_stratified_lang": sample_stratified_lang,
+    "pack_context_windows": pack_context_windows,
+}
+
+
+def _stratified_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * SAMPLE_DENOM)}"
+        for v, f in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+ORACLES = {
+    "sample_hash_docs": f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {sample_predicate_sql("doc_id", SAMPLE_FRACTION)}
+    """,
+    "sample_stratified_lang": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({md5_int64_sql("CAST(doc_id AS VARCHAR) || ''")} % {SAMPLE_DENOM})
+              < {_stratified_threshold_sql()}
+    """,
+    "pack_context_windows": rf"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        offs AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS pack_offset
+          FROM toks)
+        SELECT doc_id, lang, n_tokens, pack_offset,
+               CAST(floor(pack_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM offs
+    """,
+}

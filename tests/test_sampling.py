@@ -1,0 +1,76 @@
+"""Properties of deterministic sampling and sequence packing: the whole
+point of hash sampling is invariance (rerun, partitioning, corpus
+growth), so that is what we assert — plus packing's offset arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+    hash_sample,
+    hash_sample_stratified,
+    pack_documents,
+)
+
+
+def _corpus(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def test_hash_sample_invariant_under_partitioning(spark):
+    d = _corpus(spark)
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in hash_sample(d.repartition(17), "doc_id", 0.3).collect()}
+    assert a == b and 0 < len(a) < 400
+
+
+def test_hash_sample_stable_under_corpus_growth(spark):
+    # a doc's keep/drop decision never flips when other rows arrive
+    small = _corpus(spark, 100)
+    big = _corpus(spark, 400)
+    from_small = {r.doc_id for r in hash_sample(small, "doc_id", 0.3).collect()}
+    from_big = {
+        r.doc_id for r in hash_sample(big, "doc_id", 0.3).where("doc_id < 100").collect()
+    }
+    assert from_small == from_big
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    d = _corpus(spark)
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.5, salt="a").collect()}
+    b = {r.doc_id for r in hash_sample(d, "doc_id", 0.5, salt="b").collect()}
+    assert a != b  # independent draws
+    # both are ~half; their overlap is ~quarter (loose bounds)
+    assert 100 < len(a) < 300 and 100 < len(b) < 300
+    assert len(a & b) < min(len(a), len(b))
+
+
+def test_stratified_fractions_respected(spark):
+    d = _corpus(spark)
+    out = hash_sample_stratified(
+        d, "doc_id", "grp", {"0": 1.0, "1": 0.2}
+    )
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("0") == 134  # stratum kept whole (ids ≡ 0 mod 3)
+    assert 0 < counts.get("1", 0) < 80  # downsampled well below its 133
+    assert "2" not in counts  # absent stratum dropped
+
+
+def test_pack_documents_offset_arithmetic(spark):
+    d = _corpus(spark, 60)
+    out = pack_documents(
+        d, token_col="n_tokens", order_by="doc_id", budget=16, partition_by="grp"
+    ).collect()
+    by_grp: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.grp, r.doc_id)):
+        by_grp.setdefault(r.grp, []).append(r)
+    for rows in by_grp.values():
+        expect_offset = 0
+        for r in rows:
+            assert r.pack_offset == expect_offset
+            assert r.pack_id == expect_offset // 16
+            expect_offset += r.n_tokens
