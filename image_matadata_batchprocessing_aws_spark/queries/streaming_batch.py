@@ -71,6 +71,18 @@ def stream_dedup_keyed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream attribution join
+    (``streaming.attribution_join`` — watermarks no-op in batch, so this
+    IS that operator run on the bounded table)."""
+    from image_matadata_batchprocessing_aws_spark.streaming import attribution_join
+
+    e = t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    return attribution_join(clicks, purchases, max_delay="1 hour")
+
+
 def stream_json_schema(spark: SparkSession, sf: str) -> DataFrame:
     """Schema'd ``from_json`` parse of the props column into a typed
     struct (vs the path-extraction twin stream_json_props): one map-side
@@ -98,11 +110,24 @@ QUERIES = {
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_keyed": stream_dedup_keyed,
+    "stream_join_attribution": stream_join_attribution,
     "stream_json_props": stream_json_props,
     "stream_json_schema": stream_json_schema,
 }
 
 ORACLES = {
+    "stream_join_attribution": """
+        WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, p.user_id, c.click_id,
+               CAST(epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts) AS BIGINT) AS lag_ms,
+               round(p.value, 2) AS value
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.click_ts BETWEEN p.purchase_ts - INTERVAL '1 hour'
+                                        AND p.purchase_ts
+    """,
     "stream_json_schema": """
         SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM events

@@ -1,4 +1,5 @@
 from image_matadata_batchprocessing_aws_spark.streaming.events import (
+    attribution_join,
     read_events_stream,
     tumbling_counts,
     sliding_counts,
@@ -10,6 +11,7 @@ from image_matadata_batchprocessing_aws_spark.streaming.stateful import running_
 
 __all__ = [
     "running_user_totals",
+    "attribution_join",
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",

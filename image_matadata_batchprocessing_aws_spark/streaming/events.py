@@ -87,6 +87,47 @@ def session_counts(
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every (purchase, click) pair by the same
+    user where the click happened within ``max_delay`` BEFORE the
+    purchase (inclusive) — ad-attribution semantics.
+
+    State is bounded on both sides: each input is watermarked and the
+    join condition constrains both event times, so Spark evicts buffered
+    rows once the watermark passes ``ts + max_delay`` (without the
+    two-sided time-range predicate a stream-stream join must buffer one
+    side forever).  ``withWatermark`` is a no-op in batch, so the same
+    function is the oracle-checked batch twin (`stream_join_attribution`).
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        f"click_user = user_id AND "
+        f"click_ts BETWEEN purchase_ts - INTERVAL {max_delay} AND purchase_ts"
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("lag_ms"),
+        F.round("value", 2).alias("value"),
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming dedup on event_id with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

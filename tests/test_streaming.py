@@ -160,3 +160,34 @@ def test_numbered_batch_sink(spark, events_dir, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == load_table(spark, SF_SMOKE, "events").count()
     assert back.select("batch_id").distinct().count() >= 2  # numbered micro-batches
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    """Watermarked stream-stream join over the 4-chunk replay equals the
+    oracle-checked batch twin (append mode; time-range state eviction)."""
+    from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+        stream_join_attribution,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming import attribution_join
+
+    stream = read_events_stream(spark, events_dir)
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    joined = attribution_join(clicks, purchases, max_delay="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attribution_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.purchase_id, r.click_id): r.lag_ms
+        for r in spark.sql("SELECT * FROM attribution_out").collect()
+    }
+    batch = {
+        (r.purchase_id, r.click_id): r.lag_ms
+        for r in stream_join_attribution(spark, SF_SMOKE).collect()
+    }
+    assert got == batch and len(batch) > 0
