@@ -25,9 +25,29 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (BPE-ish regex variant: split on
-    non-alphanumerics would go here; synthetic corpus is space-joined)."""
+    """Whitespace token count (see :func:`bpe_token_count` for the
+    subword-style variant)."""
     return F.size(tokens(col)).cast("long")
+
+
+#: BPE-style pre-tokenization: letter runs, digit runs, and individual
+#: punctuation marks each become a token — the split a GPT-2-family
+#: byte-pair tokenizer applies before merges, so its count tracks real
+#: LLM token budgets far closer than whitespace counts do.
+BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokens.  NOTE: pass the pattern via ``F.lit`` and the
+    explicit group index 0 — Spark's default idx is 1 (errors on
+    group-less patterns), and embedding the pattern in a SQL string
+    literal would eat the ``\\s`` escape."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
 
 
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -9,11 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from image_matadata_batchprocessing_aws_spark.operators.text import (
+    BPE_SPLIT,
     STOPWORDS,
     add_fingerprint,
     add_lang_id,
     add_quality_score,
     add_token_stats,
+    bpe_token_count,
+    token_count,
 )
 from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
 from image_matadata_batchprocessing_aws_spark.queries.util import t
@@ -45,6 +48,20 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "fingerprint")
 
 
+def text_token_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace vs BPE-style pre-token counts per doc — the budget a
+    GPT-family tokenizer would actually charge (letter runs / digit runs
+    / punctuation marks), plus the inflation ratio."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+    return d.withColumn(
+        "bpe_ratio", F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4)
+    )
+
+
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic n-gram language ID — engine-internal scoring, rows-only
     driver check (no SQL oracle)."""
@@ -57,6 +74,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_agg": text_lang_agg,
     "text_fingerprint": text_fingerprint,
+    "text_token_bpe": text_token_bpe,
     "text_lang_id": text_lang_id,
 }
 
@@ -98,6 +116,16 @@ ORACLES = {
     "text_fingerprint": f"""
         SELECT doc_id, {md5_int64_sql("lower(trim(text))")} AS fingerprint
         FROM documents
+    """,
+    "text_token_bpe": rf"""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '{BPE_SPLIT}')) AS BIGINT) AS n_bpe_tokens
+          FROM documents)
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               round(n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE), 4) AS bpe_ratio
+        FROM b
     """,
 }
 

@@ -53,3 +53,17 @@ def test_schemad_csv_with_sentinels(spark, tmp_path):
     assert rows[1] == ("  us ", 0.5)  # trim is a separate operator
     assert rows[2] == (None, None)
     assert rows[3] == (None, 1.5)
+
+
+def test_bpe_tokens_split_words_digits_punct(spark):
+    from pyspark.sql import functions as F
+
+    from image_matadata_batchprocessing_aws_spark.operators.text import bpe_token_count, bpe_tokens
+
+    row = (
+        spark.createDataFrame([("Hello, world! v2.0 costs $35",)], "t string")
+        .select(bpe_tokens("t").alias("toks"), bpe_token_count("t").alias("n"))
+        .collect()[0]
+    )
+    assert row.toks == ["Hello", ",", "world", "!", "v", "2", ".", "0", "costs", "$", "35"]
+    assert row.n == 11
