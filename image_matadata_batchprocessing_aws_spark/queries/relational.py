@@ -124,6 +124,48 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q4 style: EXISTS decorrelated to a semi-join ------------------
+
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders with at least one late lineitem, counted per priority: the
+    EXISTS subquery decorrelates to a left-semi join (shuffle on orderkey,
+    no row duplication, no distinct needed), then a tiny grouped count."""
+    o = t(spark, sf, "orders")
+    late = t(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1996-06-30"))
+    sel = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    j = sel.join(late, sel.o_orderkey == late.l_orderkey, "left_semi")
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --- TPC-H Q14 style: conditional aggregation ----------------------------
+
+
+def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Share of revenue from promo-class parts in one month: broadcast
+    the part dimension, conditional sum via when() — one scan, one
+    broadcast join, one agg."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # --- semi / anti joins (EXISTS / NOT EXISTS) -----------------------------
 
 
@@ -372,7 +414,9 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
+    "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_share": q14_promo_share,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -430,6 +474,27 @@ ORACLES = {
                round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > TIMESTAMP '1996-06-30')
+        GROUP BY o_orderpriority
+    """,
+    "q14_promo_share": """
+        SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01'
     """,
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

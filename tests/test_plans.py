@@ -53,3 +53,18 @@ def test_whole_inventory_stays_jvm_side(spark):
 
     for name, fn in all_queries().items():
         assert_no_python_udf(fn(spark, SF_CORRECT)), name
+
+
+def test_q14_broadcasts_part_and_pushes_dates(spark):
+    from image_matadata_batchprocessing_aws_spark.queries.relational import q14_promo_share
+
+    rep = plan_report(q14_promo_share(spark, SF_CORRECT))
+    assert rep["has_broadcast_join"]
+    assert rep["has_pushed_filters"]  # shipdate range reaches the scan
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.queries.relational import q4_order_priority
+
+    assert "LeftSemi" in formatted_plan(q4_order_priority(spark, SF_CORRECT))
