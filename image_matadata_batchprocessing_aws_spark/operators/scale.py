@@ -29,6 +29,33 @@ def zscore_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     return out.drop(*[f"__mean_{c}" for c in cols], *[f"__std_{c}" for c in cols])
 
 
+def robust_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
+    """``(x - median) / IQR`` per column, globally fit — the
+    outlier-resistant member of the scaler family (a single extreme value
+    shifts mean/min/max arbitrarily but not the quartiles).  Uses Spark's
+    EXACT interpolated ``percentile`` (matches DuckDB ``quantile_cont``
+    bit-for-bit, so fully oracle-able); at 100 TB swap in
+    ``percentile_approx`` and accept the documented error bound — the
+    two-pass broadcast structure is identical."""
+    stats = df.agg(
+        *[F.percentile(F.col(f"`{c}`"), F.lit(0.5)).alias(f"__med_{c}") for c in cols],
+        *[
+            (
+                F.percentile(F.col(f"`{c}`"), F.lit(0.75))
+                - F.percentile(F.col(f"`{c}`"), F.lit(0.25))
+            ).alias(f"__iqr_{c}")
+            for c in cols
+        ],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        out = out.withColumn(
+            c + suffix,
+            (F.col(f"`{c}`") - F.col(f"__med_{c}")) / F.col(f"__iqr_{c}"),
+        )
+    return out.drop(*[f"__med_{c}" for c in cols], *[f"__iqr_{c}" for c in cols])
+
+
 def minmax_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     """``(x - min) / (max - min)`` per column, globally fit (A2;
     mirrors ``train.py:124,127``)."""

@@ -136,6 +136,19 @@ def etl_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- robust (median/IQR) scale — outlier-resistant family member ---------
+
+
+def etl_robust_scale(spark: SparkSession, sf: str) -> DataFrame:
+    from image_matadata_batchprocessing_aws_spark.operators.scale import robust_scale
+
+    c = t(spark, sf, "customer")
+    sc = robust_scale(c, ["c_acctbal"], suffix="_rs")
+    return sc.select(
+        "c_custkey", F.round(F.col("c_acctbal_rs"), 4).alias("acctbal_rs")
+    )
+
+
 # --- A2: global min-max scale (train.py:124,127) -------------------------
 
 
@@ -240,6 +253,7 @@ QUERIES = {
     "etl_label_encode": etl_label_encode,
     "etl_zscore": etl_zscore,
     "etl_minmax": etl_minmax,
+    "etl_robust_scale": etl_robust_scale,
     "etl_batch_id": etl_batch_id,
     "etl_union_chunks": etl_union_chunks,
     "etl_row_bytes": etl_row_bytes,
@@ -328,6 +342,13 @@ ORACLES = {
                round((l_extendedprice - avg(l_extendedprice) OVER ())
                      / stddev_samp(l_extendedprice) OVER (), 4) AS extendedprice_z
         FROM lineitem
+    """,
+    "etl_robust_scale": """
+        SELECT c_custkey,
+               round((c_acctbal - quantile_cont(c_acctbal, 0.5) OVER ())
+                     / (quantile_cont(c_acctbal, 0.75) OVER ()
+                        - quantile_cont(c_acctbal, 0.25) OVER ()), 4) AS acctbal_rs
+        FROM customer
     """,
     "etl_minmax": """
         SELECT c_custkey,

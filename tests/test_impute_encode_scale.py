@@ -77,3 +77,33 @@ def test_minmax_bounds(spark):
     out = minmax_scale(df, ["x"], suffix="_m")
     stats = out.agg(F.min("x_m"), F.max("x_m")).collect()[0]
     assert stats[0] == 0.0 and stats[1] == 1.0
+
+
+def test_robust_scale_resists_outliers(spark):
+    from pyspark.sql import functions as F
+
+    from image_matadata_batchprocessing_aws_spark.operators.scale import robust_scale, zscore_scale
+
+    base = [(i, float(i % 10)) for i in range(100)]
+    clean = spark.createDataFrame(base, "id long, v double")
+    dirty = spark.createDataFrame(base + [(999, 1e9)], "id long, v double")
+
+    def codes(df):
+        return {
+            r.id: round(r.v_s, 6)
+            for r in robust_scale(df, ["v"], suffix="_s").where("id < 100").collect()
+        }
+
+    # median/IQR: the 1e9 outlier's influence is bounded — each clean
+    # row's scaled value moves only by the tiny quantile-interpolation
+    # shift from n=100 -> 101, never proportionally to the outlier...
+    a, b = codes(clean), codes(dirty)
+    assert max(abs(a[k] - b[k]) for k in a) < 0.2
+    # ...whereas mean/std collapses the clean rows' spread to ~1e-8
+    # (std is dominated by the outlier) while robust keeps it O(1)
+    z = [
+        r.v_s
+        for r in zscore_scale(dirty, ["v"], suffix="_s").where("id < 100").collect()
+    ]
+    assert max(z) - min(z) < 1e-6
+    assert max(b.values()) - min(b.values()) > 0.5
