@@ -166,6 +166,75 @@ def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q13 style: outer join with join-predicate filter + histogram --
+
+
+def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution of customers by order count, where the order filter
+    lives in the JOIN condition (not WHERE) so zero-order customers
+    survive the left outer join.  Two shuffles: outer join on custkey,
+    then a tiny count-of-counts agg — the classic double-groupBy shape."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- TPC-H Q19 style: disjunctive multi-clause predicate -----------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue under an OR of three conjunctive brand/size/quantity
+    clauses.  The shared ``l_partkey = p_partkey`` equi-condition stays a
+    broadcast hash join; the disjunction is a post-join filter Catalyst
+    can partially push (common conjuncts factor out), never a
+    nested-loop."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --- TPC-H Q22 style: scalar subquery + anti join ------------------------
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """Wealthy customers (acctbal above the global positive average — a
+    one-row scalar subquery, broadcast) with no *recent* order (anti
+    join on custkey), grouped by nation.  Both the scalar stat and the
+    grouped output are tiny; the only real shuffle is the anti join."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_orderdate") >= F.lit("1998-06-01"))
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg_bal"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 # --- semi / anti joins (EXISTS / NOT EXISTS) -----------------------------
 
 
@@ -416,8 +485,11 @@ QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_share": q14_promo_share,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_outer_agg": join_outer_agg,
@@ -511,6 +583,37 @@ ORACLES = {
                count(*) AS n_items
         FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
         WHERE l.l_quantity < a.half_avg
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+        GROUP BY c_count
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_global_sales_opportunity": """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= '1998-06-01')
+        GROUP BY c_nationkey
     """,
     "q5_region_revenue": """
         SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

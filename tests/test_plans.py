@@ -68,3 +68,26 @@ def test_q4_exists_plans_as_semi_join(spark):
     from image_matadata_batchprocessing_aws_spark.queries.relational import q4_order_priority
 
     assert "LeftSemi" in formatted_plan(q4_order_priority(spark, SF_CORRECT))
+
+
+def test_q19_broadcasts_part_under_disjunction(spark):
+    from image_matadata_batchprocessing_aws_spark.queries.relational import q19_disjunctive_revenue
+
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+
+    df = q19_disjunctive_revenue(spark, SF_CORRECT)
+    rep = plan_report(df)
+    # the shared equi-key keeps this a hash join despite the OR-of-ANDs
+    assert rep["has_broadcast_join"]
+    assert "NestedLoop" not in formatted_plan(df)
+    assert not rep["python_in_plan"]
+
+
+def test_q22_not_exists_plans_as_anti_join(spark):
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.queries.relational import (
+        q22_global_sales_opportunity,
+    )
+
+    plan = formatted_plan(q22_global_sales_opportunity(spark, SF_CORRECT))
+    assert "LeftAnti" in plan
