@@ -119,3 +119,37 @@ def add_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     )
     best = F.array_max(scores)
     return df.withColumn(out, best["lang"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the share of all
+    token bigrams taken by the single most frequent bigram
+    (``top_bigram_frac``) and the fraction of duplicated tokens
+    (``dup_token_frac``).  High values flag boilerplate / keyword-stuffed
+    documents that repetition filters drop from LLM training corpora.
+
+    Scale: ``dup_token_frac`` is map-side only (array_distinct on the
+    row's own tokens).  The bigram mode needs a count-per-(doc, bigram)
+    — explode then two hash aggregations, both combining map-side, keyed
+    by doc so the shuffle is bounded by total bigram count.  No Python.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    base = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round((n - F.size(F.array_distinct(toks))) / n, 4).alias("dup_token_frac"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    per_bigram = base.groupBy(id_col, "n_tokens", "dup_token_frac", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_bigram.groupBy(id_col, "n_tokens", "dup_token_frac").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_frac"),
+    )

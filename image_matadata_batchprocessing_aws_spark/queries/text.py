@@ -62,6 +62,18 @@ def text_token_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filter signals: top-bigram share and
+    duplicate-token fraction per document (docs with <2 tokens have no
+    bigrams and drop out on both engines)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import repetition_stats
+
+    d = repetition_stats(t(spark, sf, "documents"))
+    return d.select(
+        "doc_id", "n_tokens", "dup_token_frac", "n_bigrams", "top_bigram_frac"
+    )
+
+
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic n-gram language ID — engine-internal scoring, rows-only
     driver check (no SQL oracle)."""
@@ -75,6 +87,7 @@ QUERIES = {
     "text_lang_agg": text_lang_agg,
     "text_fingerprint": text_fingerprint,
     "text_token_bpe": text_token_bpe,
+    "text_repetition_stats": text_repetition_stats,
     "text_lang_id": text_lang_id,
 }
 
@@ -116,6 +129,25 @@ ORACLES = {
     "text_fingerprint": f"""
         SELECT doc_id, {md5_int64_sql("lower(trim(text))")} AS fingerprint
         FROM documents
+    """,
+    "text_repetition_stats": r"""
+        WITH b AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 round((len(toks) - len(list_distinct(toks)))
+                       / CAST(len(toks) AS DOUBLE), 4) AS dup_token_frac,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM b),
+        c AS (
+          SELECT doc_id, n_tokens, dup_token_frac, bigram, count(*) AS cnt
+          FROM s GROUP BY doc_id, n_tokens, dup_token_frac, bigram)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup_token_frac,
+               CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_bigram_frac
+        FROM c GROUP BY doc_id, n_tokens, dup_token_frac
     """,
     "text_token_bpe": rf"""
         WITH b AS (

@@ -67,3 +67,23 @@ def test_bpe_tokens_split_words_digits_punct(spark):
     )
     assert row.toks == ["Hello", ",", "world", "!", "v", "2", ".", "0", "costs", "$", "35"]
     assert row.n == 11
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a quick brown fox jumps over lazy dogs"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # doc 1: 7 bigrams, "buy now" appears 4 times -> 4/7; 2 distinct of 8 tokens
+    assert out[1].n_tokens == 8 and out[1].n_bigrams == 7
+    assert abs(out[1].top_bigram_frac - round(4 / 7, 4)) < 1e-9
+    assert out[1].dup_token_frac == 0.75
+    # doc 2: all tokens and bigrams unique
+    assert out[2].top_bigram_frac == round(1 / 7, 4)
+    assert out[2].dup_token_frac == 0.0
