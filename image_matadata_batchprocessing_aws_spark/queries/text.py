@@ -74,6 +74,16 @@ def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus scrub over the events props payload: number runs (and any
+    email/phone shapes) replaced by [LABEL] tokens, with per-row
+    redaction counts."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import redact
+
+    d = redact(t(spark, sf, "events").select("event_id", "props"), "props")
+    return d.select("event_id", "redacted", "n_redactions")
+
+
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic n-gram language ID — engine-internal scoring, rows-only
     driver check (no SQL oracle)."""
@@ -189,3 +199,24 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES["text_lang_id"] = _lang_id_oracle()
+
+
+def _redact_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.text import REDACT_PATTERNS
+
+    sql = "WITH s0 AS (SELECT event_id, props AS t, 0 AS n FROM events)"
+    prev = "s0"
+    for i, (label, pat) in enumerate(REDACT_PATTERNS, start=1):
+        sql += (
+            f", s{i} AS (SELECT event_id,"
+            f" regexp_replace(t, '{pat}', '[{label}]', 'g') AS t,"
+            f" n + len(regexp_extract_all(t, '{pat}')) AS n FROM {prev})"
+        )
+        prev = f"s{i}"
+    return sql + (
+        f" SELECT event_id, t AS redacted, CAST(n AS BIGINT) AS n_redactions FROM {prev}"
+    )
+
+
+QUERIES["text_redact"] = text_redact
+ORACLES["text_redact"] = _redact_oracle()

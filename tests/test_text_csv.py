@@ -87,3 +87,19 @@ def test_repetition_stats_flags_boilerplate(spark):
     # doc 2: all tokens and bigrams unique
     assert out[2].top_bigram_frac == round(1 / 7, 4)
     assert out[2].dup_token_frac == 0.0
+
+
+def test_redact_scrubs_email_phone_numbers(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail jane.doe+x@corp.example.org or call +1 (555) 123-4567 room 42"),
+            (2, "no pii here"),
+        ],
+        "id long, t string",
+    )
+    out = {r.id: r for r in redact(df, "t").collect()}
+    assert out[1].redacted == "mail [EMAIL] or call [PHONE] room [NUM]"
+    assert out[1].n_redactions == 3
+    assert out[2].redacted == "no pii here" and out[2].n_redactions == 0
