@@ -27,17 +27,24 @@ HEADLINE = [
     "etl_sentinel_ffill",
     "etl_label_encode",
     "etl_zscore",
+    "etl_batch_id",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q19_disjunctive_revenue",
     "window_topk_per_group",
     "stream_session_windows",
     "stream_sliding_counts",
     "text_quality_score",
+    "text_redact",
     "dedup_minhash_lsh",
+    "dedup_components",
     "knn_brute_cosine",
     "ann_ivf",
     "join_asof_click_purchase",
+    "pack_context_windows",
 ]
 
 

@@ -98,6 +98,20 @@ def _fake_decode(name: str, content: bytes) -> np.ndarray:
     return pix
 
 
+def _pil_decode(name: str, content: bytes) -> np.ndarray:
+    """Real codec path: PIL decode to an HxWx3 uint8 RGB array
+    (``process_test_train_Images.py:45``).  Import is local so
+    environments without PIL can still use every other path."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise ImageDecodeUnavailable(
+            "use_real_codec=True but PIL is not importable here; pass "
+            "decode_fn= or install pillow"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+
+
 def resize_with_padding(img: np.ndarray, target: int = TARGET_SIZE) -> np.ndarray:
     """F7 — aspect-preserving resize onto a black square canvas
     (``ResizeWithPadding``, process_test_train_Images.py:13-22), as pure
@@ -119,21 +133,36 @@ def decode_images(
     target: int = TARGET_SIZE,
     normalize: bool = True,
     use_real_codec: bool = False,
+    decode_fn=None,
 ) -> DataFrame:
     """S9/F7/F8 — decode + resize/pad + [0,1] float CHW normalize, as one
-    Arrow-batched ``mapInPandas`` stage with per-row error isolation."""
-    if use_real_codec:
-        raise ImageDecodeUnavailable(
-            "no image codec (PIL) in this environment; deterministic fake "
-            "decode is the supported path here"
-        )
+    Arrow-batched ``mapInPandas`` stage with per-row error isolation.
+
+    The byte-level decode is a pluggable seam: ``decode_fn(name, content)
+    -> HxWx3 uint8 ndarray``.  Default is the deterministic fake (no codec
+    in this container); ``use_real_codec=True`` selects the PIL decoder and
+    fails fast at plan time (driver-side) when PIL is absent, instead of
+    per-task on the executors.
+    """
+    if decode_fn is None:
+        if use_real_codec:
+            try:
+                import PIL  # noqa: F401, PLC0415
+            except ImportError as exc:
+                raise ImageDecodeUnavailable(
+                    "use_real_codec=True but PIL is not importable here; "
+                    "pass decode_fn= or install pillow"
+                ) from exc
+            decode_fn = _pil_decode
+        else:
+            decode_fn = _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for name, content in zip(pdf["entry_name"], pdf["content"]):
                 try:
-                    img = _fake_decode(name, bytes(content))
+                    img = decode_fn(name, bytes(content))
                     img = resize_with_padding(img, target)
                     arr = img.astype(np.float32)
                     if normalize:

@@ -12,8 +12,14 @@ from image_matadata_batchprocessing_aws_spark.operators.encode import label_enco
 from image_matadata_batchprocessing_aws_spark.operators.scale import zscore_scale, minmax_scale
 from image_matadata_batchprocessing_aws_spark.operators.audit import null_audit, total_nulls, expect_no_nulls
 from image_matadata_batchprocessing_aws_spark.operators.batching import add_batch_id, write_size_split_csv
+from image_matadata_batchprocessing_aws_spark.operators.cleanup import (
+    cleanup_after_commit,
+    write_parquet_then_cleanup,
+)
 
 __all__ = [
+    "cleanup_after_commit",
+    "write_parquet_then_cleanup",
     "drop_columns",
     "cast_columns",
     "trim_columns",

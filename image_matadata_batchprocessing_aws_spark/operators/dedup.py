@@ -317,7 +317,7 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
+    result = (
         cands.join(inter, ["id_a", "id_b"])
         .join(sa, "id_a")
         .join(sb, "id_b")
@@ -330,6 +330,14 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Cache lifecycle: materialize the (near-dup-pair-sized, i.e. tiny)
+    # result eagerly so the persisted intermediates can be released here
+    # instead of leaking into the next query — at 100 TB a leaked
+    # signature table is real executor memory.
+    result = result.localCheckpoint(eager=True)
+    for c in (sigs, cands, cand_sh):
+        c.unpersist()
+    return result
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

@@ -6,22 +6,26 @@ can map to different codes in different chunks — a correctness bug we
 deliberately fix: codes are fit **globally** over sorted distinct values
 (dense codes ``0..n-1``, lexicographic — sklearn's convention).
 
-Scale: the dictionary is distinct-cardinality-sized, not data-sized; the
-window that assigns codes runs over that small set only, and the join
-back is an explicit broadcast.  Guard high-cardinality columns with
-``max_distinct`` (``approx_count_distinct`` pre-check).
+Scale: the dictionary is distinct-cardinality-sized, not data-sized, and
+``max_distinct`` (default 100k) caps it — a dictionary past that is not a
+dictionary any more.  Codes are assigned from the driver-sorted collected
+distincts (an O(cardinality) collect, already bounded by the cap), never
+from an unpartitioned window.  Small dictionaries (<= ``map_literal_cap``)
+become a map-side literal lookup — zero joins, so a 7-column encode stays
+one narrow stage; larger ones fall back to an explicit broadcast join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def label_encode(
     df: DataFrame,
     cols: list[str],
     suffix: str = "",
-    max_distinct: int | None = 10_000_000,
+    max_distinct: int | None = 100_000,
+    map_literal_cap: int = 1024,
 ) -> DataFrame:
     """Replace each column's values with dense int codes 0..n_distinct-1
     assigned in ascending value order (nulls keep null)."""
@@ -32,21 +36,51 @@ def label_encode(
             *[F.approx_count_distinct(F.col(f"`{c}`")).alias(c) for c in cols]
         ).collect()[0]
         for c in cols:
-            if approxes[c] > max_distinct:
+            # approx_count_distinct standard error ~2%; 1.1 margin keeps the guard honest
+            if approxes[c] > max_distinct * 1.1:
                 raise ValueError(
                     f"label_encode({c}): ~{approxes[c]} distincts exceeds cap {max_distinct}"
                 )
+    field_type = {f.name: f.dataType for f in df.schema.fields}
     for c in cols:
-        cq = F.col(f"`{c}`")
-        dictionary = (
-            df.select(cq.alias("__val"))
-            .where(F.col("__val").isNotNull())
+        vals = [
+            r[0]
+            for r in df.select(F.col(f"`{c}`").alias("__v"))
+            .where(F.col("__v").isNotNull())
             .distinct()
-            .withColumn("__code", (F.dense_rank().over(Window.orderBy(F.col("__val"))) - 1))
-        )
-        out = (
-            out.join(F.broadcast(dictionary), out[c] == dictionary["__val"], "left")
-            .withColumn(c + suffix, F.col("__code"))
-            .drop("__val", "__code")
-        )
+            .collect()
+        ]
+        if max_distinct is not None and len(vals) > max_distinct:
+            raise ValueError(
+                f"label_encode({c}): {len(vals)} distincts exceeds cap {max_distinct}"
+            )
+        # Python sort on str is code-point order == UTF-8 binary order ==
+        # Spark/DuckDB default string ordering, so codes match an engine-side
+        # ORDER BY assignment
+        vals.sort()
+        if len(vals) <= map_literal_cap:
+            pairs = []
+            for code, v in enumerate(vals):
+                pairs += [F.lit(v), F.lit(code)]
+            lookup = (
+                F.try_element_at(F.create_map(*pairs), F.col(f"`{c}`"))
+                if pairs
+                else F.lit(None).cast("int")
+            )
+            out = out.withColumn(c + suffix, lookup)
+        else:
+            dictionary = df.sparkSession.createDataFrame(
+                [(v, code) for code, v in enumerate(vals)],
+                schema=T.StructType(
+                    [
+                        T.StructField("__val", field_type[c]),
+                        T.StructField("__code", T.IntegerType()),
+                    ]
+                ),
+            )
+            out = (
+                out.join(F.broadcast(dictionary), out[c] == dictionary["__val"], "left")
+                .withColumn(c + suffix, F.col("__code"))
+                .drop("__val", "__code")
+            )
     return out

@@ -7,33 +7,61 @@ the minimum doc id in the component is the canonical representative
 `Image_Train_Model/read_csv_s3_train.py:96-100` label-encode keeps
 sorted-first codes).
 
-Algorithm: iterative min-label propagation. Every vertex starts labeled
-with itself; each round takes the min of its own label and its
-neighbors' labels; fixpoint = components. This is inherently iterative
-(not expressible as one SQL query without recursion), so the driver runs
-a loop — but every step inside the loop is a distributed shuffle
-(join + groupBy), never a collect.
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm).  Each round rewrites the edge list so every node attaches to
+the minimum of a neighborhood; the fixpoint is a forest of stars whose
+center is the component minimum.  Convergence is O(log^2 n) rounds worst
+case (O(log n) in practice, including adversarial path graphs) — unlike
+plain min-label propagation, whose round count equals the graph
+*diameter* and hard-fails on long chains.
 
 Scale design:
 
-- Per round: one shuffle joining labels to the symmetrized edge list on
-  vertex id, one groupBy(vertex) min. Both partition on the vertex id,
-  so AQE reuses the exchange where possible.
+- Per round: two groupBy/join pairs, all partitioned on the vertex id —
+  no collects, no single-partition stages; AQE can reuse exchanges.
 - ``localCheckpoint`` each round truncates lineage — without it the plan
   doubles per iteration and Catalyst analysis goes exponential.
-- Rounds needed = graph diameter. Near-dup components are shallow (a
-  dup cluster is near-cliquey), so 3-5 rounds typically converge; the
-  O(log n)-round alternating large-star/small-star algorithm (Kiveris et
-  al., "Connected Components in MapReduce and Beyond") is the upgrade
-  path for adversarially long chains — same join/groupBy building
-  blocks, different edge rewrite per round.
-- Convergence check is a count() on the (checkpointed) label delta —
-  an O(|V|) metadata-sized action per round, not a data collect.
+- Convergence check is an O(1)-result aggregate (edge count + xxhash64
+  checksum of the edge set), not a data collect and not a subtract.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u}).
+
+    Input edges are directed larger→smaller, so symmetrize first; output
+    edges are again larger→smaller (m is the neighborhood minimum).
+    """
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+    mins = mins.select("u", F.least("__mn", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Attach u and all its smaller neighbors to m = min of that set.
+
+    Input edges directed larger→smaller (every v < u), so m = min(v).
+    Emits (u, m) plus (v, m) for each smaller neighbor v != m.
+    """
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    centers = mins.select("u", F.col("m").alias("v"))
+    spokes = (
+        e.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return centers.unionByName(spokes).distinct()
 
 
 def connected_components(
@@ -51,39 +79,55 @@ def connected_components(
     never appearing in a pair) are by definition their own singleton
     component and can be union'd in by the caller if needed.
     """
-    sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
-        edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
+    # materialize the caller's edge plan exactly ONCE — it may be an
+    # expensive pair-generation query (LSH banding, cosine verification),
+    # and both the vertex set and the canonical edge list derive from it
+    edges0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    vertices = (
+        edges0.select(F.col("a").alias("id"))
+        .unionByName(edges0.select(F.col("b").alias("id")))
+        .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
-    labels = sym.select("id").distinct().withColumn("component", F.col("id"))
+    e = (
+        edges0.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _sig(e)
     for _ in range(max_iterations):
-        nbr_labels = sym.join(
-            labels.select(F.col("id").alias("nbr"), F.col("component").alias("nbr_comp")),
-            "nbr",
-        )
-        cand = nbr_labels.groupBy("id").agg(F.min("nbr_comp").alias("cand"))
-        merged = (
-            labels.join(cand, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("__old"),
-                F.least(F.col("component"), F.coalesce("cand", "component")).alias(
-                    "component"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.where(F.col("component") != F.col("__old")).count()
-        labels = merged.drop("__old")
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
             break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "
-            "(graph diameter exceeds the budget — switch to large-star/small-star)"
+            "(large-star/small-star converges in O(log^2 n) — this graph is "
+            "beyond any practical size or the edge ids are unstable)"
         )
-    return labels.select(
-        F.col("id").alias(out_id), F.col("component").alias(out_component)
+    # fixpoint is a star forest: each non-center u has exactly one edge to
+    # its component minimum; centers and isolated-in-edge-list vertices
+    # label themselves
+    parents = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        vertices.join(parents.select(F.col("u").alias("id"), "component"), "id", "left")
+        .select(
+            F.col("id").alias(out_id),
+            F.coalesce("component", "id").alias(out_component),
+        )
     )
 
 

@@ -72,11 +72,14 @@ def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFram
     one broadcast join — no serialization point.
     """
     parted = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, F.col(order_by))
-    # persist BEFORE reading spark_partition_id: range boundaries come from
-    # sampling, so two jobs over the same lineage can assign different
+    # materialize BEFORE reading spark_partition_id: range boundaries come
+    # from sampling, so two jobs over the same lineage can assign different
     # partition ids — the boundary-collect job and the output job must see
-    # the same assignment or carries attach to the wrong partitions
-    parted = parted.withColumn("__pid", F.spark_partition_id()).persist()
+    # the same assignment or carries attach to the wrong partitions.
+    # localCheckpoint (not persist): blocks are freed by the ContextCleaner
+    # when the frame is GC'd, and repeated calls with an identical plan
+    # don't trip CacheManager's already-cached dedup
+    parted = parted.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.col(order_by).asc())
@@ -105,9 +108,18 @@ def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFram
     carry_rows = [
         {"__pid": pid, **{f"__carry_{c}": v for c, v in vals.items()}} for pid, vals in carry.items()
     ]
-    carry_df = spark.createDataFrame(carry_rows, schema=None) if carry_rows else None
-    if carry_df is None:
+    if not carry_rows:
         return filled.drop("__pid")
+    # explicit schema: inference raises on all-None carry columns and can
+    # drift from the source column type, breaking the coalesce below
+    from pyspark.sql import types as T
+
+    field_type = {f.name: f.dataType for f in df.schema.fields}
+    carry_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType())]
+        + [T.StructField(f"__carry_{c}", field_type[c]) for c in cols]
+    )
+    carry_df = spark.createDataFrame(carry_rows, schema=carry_schema)
     out = filled.join(F.broadcast(carry_df), "__pid", "left")
     out = out.withColumns({c: F.coalesce(F.col(f"`{c}`"), F.col(f"`__carry_{c}`")) for c in cols})
     return out.drop("__pid", *[f"__carry_{c}" for c in cols])

@@ -35,6 +35,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "r_",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward inclusive as-of join: each left row gains the columns of
     the right row with the greatest ``right_ts <= left_ts`` for the same
@@ -45,6 +46,11 @@ def asof_join(
     a null key never matches (SQL equi-join rule) — without the filter
     below, Spark's window partitioning would group null-key rows together
     and "match" them.
+
+    Duplicate right rows at equal ``(key, right_ts)`` resolve
+    deterministically: by the greatest ``tiebreak`` column value when
+    given, else by a stable hash of the whole right row — never by
+    whichever duplicate the partition sort happened to place last.
     """
     right = right.where(F.col(key).isNotNull())
     lcols = left.columns
@@ -54,22 +60,30 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
         F.lit(None).cast(rtype).alias("__r"),
     )
     ltype = "struct<" + ", ".join(f"`{f.name}`:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+    r_tb = (
+        F.col(tiebreak).cast("long")
+        if tiebreak is not None
+        else F.xxhash64(F.struct(*[F.col(c) for c in rcols]))
+    )
     r_tag = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        r_tb.alias("__tb"),
         F.lit(None).cast(ltype).alias("__l"),
         F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
     u = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts => inclusive (>=) match
+    # right rows sort before left rows at equal ts => inclusive (>=) match;
+    # __tb makes F.last deterministic among equal-(key, ts) right rows
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))

@@ -36,19 +36,26 @@ from image_matadata_batchprocessing_aws_spark.functions import md5_int64, md5_in
 #: fraction resolution 1e-8, plenty for corpus sampling).
 SAMPLE_DENOM = 100_000_000
 
+#: Delimiter between key and salt before hashing: without one,
+#: (key='ab', salt='c') and (key='a', salt='bc') hash identically, so
+#: differently-salted samples are not independent for adversarial pairs.
+#: Unit separator — expressible as chr(31) in SQL, never in real keys.
+SAMPLE_DELIM = "\x1f"
+
 
 def sample_predicate(key: Column | str, fraction: float, salt: str = "") -> Column:
     """Deterministic keep-predicate: stable under reruns, partitioning,
     and corpus growth.  ``salt`` decorrelates independent samples drawn
     from the same keys (e.g. train vs holdout)."""
     c = F.col(key) if isinstance(key, str) else key
-    h = md5_int64(F.concat(c.cast("string"), F.lit(salt)))
+    h = md5_int64(F.concat(c.cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt)))
     return (h % SAMPLE_DENOM) < int(fraction * SAMPLE_DENOM)
 
 
 def sample_predicate_sql(key_expr: str, fraction: float, salt: str = "") -> str:
-    """DuckDB twin of :func:`sample_predicate`."""
-    h = md5_int64_sql(f"CAST({key_expr} AS VARCHAR) || '{salt}'")
+    """DuckDB twin of :func:`sample_predicate` (salt single-quote-escaped)."""
+    lit = salt.replace("'", "''")
+    h = md5_int64_sql(f"CAST({key_expr} AS VARCHAR) || chr(31) || '{lit}'")
     return f"({h} % {SAMPLE_DENOM}) < {int(fraction * SAMPLE_DENOM)}"
 
 
@@ -66,11 +73,36 @@ def hash_sample_stratified(
     but keep 100% of low-resource languages.  ``fractions`` maps stratum
     value -> fraction; absent strata are dropped (fraction 0)."""
     c = F.col(key)
-    h = md5_int64(F.concat(c.cast("string"), F.lit(salt))) % SAMPLE_DENOM
+    h = md5_int64(F.concat(c.cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))) % SAMPLE_DENOM
     thresh = F.lit(0)
     for value, frac in sorted(fractions.items()):
         thresh = F.when(F.col(strata) == F.lit(value), F.lit(int(frac * SAMPLE_DENOM))).otherwise(thresh)
     return df.where(h < thresh)
+
+
+def shuffle_deterministic(
+    df: DataFrame, key: str, seed: str = "", out: str = "shuffle_pos"
+) -> DataFrame:
+    """O3 — reproducible global shuffle (the engine-surface upgrade of the
+    reference's ``DataLoader(shuffle=True)`` / ``orderBy(rand(seed))``):
+    rows are permuted by ``md5(key, seed)``, so the order is stable across
+    reruns, partitionings, and engines — and a different ``seed`` gives an
+    independent permutation.  Position assignment runs the two-pass global
+    numbering (range shuffle + per-partition window + broadcast prefix
+    offsets), never a single-partition window; ``key`` breaks md5-collision
+    ties deterministically."""
+    from image_matadata_batchprocessing_aws_spark.operators.batching import global_row_number
+
+    h = md5_int64(
+        F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(str(seed)))
+    )
+    return global_row_number(df.withColumn("__sh", h), ["__sh", key], out).drop("__sh")
+
+
+def shuffle_sql(key_expr: str, seed: str = "") -> str:
+    """DuckDB ORDER BY twin of :func:`shuffle_deterministic`'s hash."""
+    lit = str(seed).replace("'", "''")
+    return md5_int64_sql(f"CAST({key_expr} AS VARCHAR) || chr(31) || '{lit}'")
 
 
 def pack_documents(

@@ -29,6 +29,51 @@ def zscore_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     return out.drop(*[f"__mean_{c}" for c in cols], *[f"__std_{c}" for c in cols])
 
 
+def zscore_scale_exact(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
+    """Cross-engine-deterministic z-score (A3, oracle-parity variant).
+
+    ``avg``/``stddev_samp`` over doubles are FP-accumulation-order
+    dependent: Spark's partial aggregates combine in partition order, so
+    the fitted statistics drift by an ulp as parallelism changes — enough
+    to flip a ``round(z, 4)`` boundary digit vs DuckDB (round-1 driver
+    failure).  This variant computes the sufficient statistics as EXACT
+    decimal sums (decimal addition is associative — any accumulation
+    order yields the same value), converts once to double, and derives
+    mean/std driver-side-free with scalar IEEE ops:
+
+        mean = double(sum_dec) / n
+        std  = sqrt((double(sumsq_dec) - double(sum_dec)^2 / n) / (n - 1))
+
+    Identical decimal sums => identical doubles => identical per-row z on
+    any engine that follows IEEE-754 (DuckDB does).  The decimal cast per
+    row rounds a double to 10 fractional digits — deterministic and
+    engine-agnostic; decimal(38,10) leaves 28 integer digits of headroom
+    for the sum of squares.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(f"`{c}`")
+        aggs += [
+            F.sum(col.cast("decimal(38,10)")).alias(f"__s_{c}"),
+            F.sum((col * col).cast("decimal(38,10)")).alias(f"__ss_{c}"),
+            F.count(col).alias(f"__n_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        s = F.col(f"__s_{c}").cast("double")
+        ss = F.col(f"__ss_{c}").cast("double")
+        n = F.col(f"__n_{c}").cast("double")
+        mean = s / n
+        std = F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+        out = out.withColumn(c + suffix, (F.col(f"`{c}`") - mean) / std)
+    return out.drop(
+        *[f"__s_{c}" for c in cols],
+        *[f"__ss_{c}" for c in cols],
+        *[f"__n_{c}" for c in cols],
+    )
+
+
 def robust_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     """``(x - median) / IQR`` per column, globally fit — the
     outlier-resistant member of the scaler family (a single extreme value

@@ -144,6 +144,24 @@ def _topk_per_query(
     )
 
 
+def estimated_rows(df: DataFrame) -> int:
+    """Plan-time row estimate from Catalyst statistics — launches NO job.
+
+    Uses the optimized plan's ``rowCount`` when the source provides one
+    (CBO stats, local relations), else ``sizeInBytes / schema.defaultSize``
+    (file sources report scan bytes).  An estimate is exactly right for a
+    strategy pick: a 2x error cannot turn a billion-row corpus into a
+    brute-force candidate.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stats = plan.stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    width = max(1, plan.schema().defaultSize())
+    return int(str(stats.sizeInBytes())) // width
+
+
 def knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -163,7 +181,8 @@ def knn(
     equi-join and each query scans ~1/2^planes of the corpus
     (approximate: recall < 1 for neighbors straddling a hyperplane)."""
     if strategy == "auto":
-        strategy = "brute" if corpus.count() <= brute_force_limit else "lsh"
+        # plan-time statistics, never an eager count() job
+        strategy = "brute" if estimated_rows(corpus) <= brute_force_limit else "lsh"
     if strategy == "brute":
         return knn_bruteforce(queries, corpus, k, metric, query_id, corpus_id, vec_q, vec_c)
     if strategy != "lsh":

@@ -33,6 +33,9 @@ from image_matadata_batchprocessing_aws_spark.queries.util import t
 
 JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
+#: Lower bar for the components graph: denser edges -> multi-hop groups,
+#: which actually exercises the star-contraction rounds.
+CC_COSINE_THRESHOLD = 0.1
 
 # Shared oracle CTE fragments --------------------------------------------
 
@@ -100,12 +103,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return sim.where(F.col("cosine") >= COSINE_THRESHOLD)
 
 
-def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Scale path for embedding near-dup: sign-projection LSH buckets
-    assigned map-side, candidate pairs from a bucket equi-join (small int
-    key — never the all-pairs cross join), exact cosine verification
-    within buckets only.  Norms precomputed per side (one array pass per
-    pair)."""
+def _lsh_pair_frame(spark: SparkSession, sf: str, threshold: float) -> DataFrame:
+    """Sign-projection LSH candidate pairs + exact cosine verification
+    within buckets (the embedding near-dup scale path)."""
     e = t(spark, sf, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("e")
     )
@@ -121,16 +121,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "id_a",
         "id_b",
         F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
-    ).where(F.col("cosine") >= COSINE_THRESHOLD)
+    ).where(F.col("cosine") >= threshold)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path for embedding near-dup: sign-projection LSH buckets
+    assigned map-side, candidate pairs from a bucket equi-join (small int
+    key — never the all-pairs cross join), exact cosine verification
+    within buckets only.  Norms precomputed per side (one array pass per
+    pair)."""
+    return _lsh_pair_frame(spark, sf, COSINE_THRESHOLD)
 
 
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs resolved into duplicate GROUPS: embedding-cosine
-    pairs form an undirected graph; each connected component is one
-    group, labeled by its minimum vec_id (the canonical doc to keep).
-    Iterative min-label propagation — the one genuinely iterative
-    operator in the inventory (oracled via DuckDB's recursive CTE)."""
-    pairs = dedup_embedding_cosine(spark, sf)
+    """Near-dup pairs resolved into duplicate GROUPS: LSH-bucketed
+    embedding pairs form an undirected graph; each connected component is
+    one group, labeled by its minimum vec_id (the canonical doc to keep).
+    Resolved by alternating large-star/small-star (O(log n) rounds) —
+    the one genuinely iterative operator in the inventory (oracled via
+    DuckDB's recursive CTE).  Pairs come from the LSH scale path, not the
+    quadratic all-pairs baseline, so the whole query is 100-TB-shaped; a
+    low threshold densifies the graph into multi-hop components."""
+    pairs = _lsh_pair_frame(spark, sf, CC_COSINE_THRESHOLD)
     return connected_components(pairs, out_id="vec_id")
 
 
@@ -248,7 +260,7 @@ ORACLES = {
 }
 
 
-def _embedding_lsh_oracle() -> str:
+def _embedding_lsh_oracle(threshold: float = COSINE_THRESHOLD) -> str:
     from image_matadata_batchprocessing_aws_spark.operators.similarity import lsh_projections
 
     def proj_sql(plane: list[float]) -> str:
@@ -264,7 +276,7 @@ def _embedding_lsh_oracle() -> str:
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                round(list_cosine_similarity(a.e, c.e), 4) AS cosine
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        WHERE round(list_cosine_similarity(a.e, c.e), 4) >= {COSINE_THRESHOLD}
+        WHERE round(list_cosine_similarity(a.e, c.e), 4) >= {threshold}
     """
 
 
@@ -272,8 +284,10 @@ ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 
 # Components via recursive CTE: reachability closure, then min reachable
 # id per vertex == the component label the Spark side converges to.
+# Pair CTE = the LSH scale path at the densified threshold (must mirror
+# dedup_components' Spark-side pair generation exactly).
 ORACLES["dedup_components"] = f"""
-    WITH RECURSIVE cc_pairs AS ({ORACLES["dedup_embedding_cosine"]}),
+    WITH RECURSIVE cc_pairs AS ({_embedding_lsh_oracle(CC_COSINE_THRESHOLD)}),
     cc_edges AS (SELECT id_a AS va, id_b AS vb FROM cc_pairs
                  UNION ALL SELECT id_b AS va, id_a AS vb FROM cc_pairs),
     cc_reach(src, node) AS (

@@ -16,7 +16,6 @@ from image_matadata_batchprocessing_aws_spark.operators import (
     ffill_bfill,
     label_encode,
     minmax_scale,
-    zscore_scale,
 )
 from image_matadata_batchprocessing_aws_spark.operators.batching import add_row_bytes
 from image_matadata_batchprocessing_aws_spark.queries.util import t
@@ -126,13 +125,19 @@ def etl_label_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def etl_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-stat z-score: decimal sums make the fitted mean/std
+    bit-identical across Spark and DuckDB (round-1 driver failure was a
+    1-ulp stats drift flipping round() boundary digits); ``+ 0.0`` after
+    round() folds -0.0 into +0.0 identically on both engines."""
+    from image_matadata_batchprocessing_aws_spark.operators.scale import zscore_scale_exact
+
     li = t(spark, sf, "lineitem")
-    sc = zscore_scale(li, ["l_quantity", "l_extendedprice"], suffix="_z")
+    sc = zscore_scale_exact(li, ["l_quantity", "l_extendedprice"], suffix="_z")
     return sc.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_quantity_z"), 4).alias("quantity_z"),
-        F.round(F.col("l_extendedprice_z"), 4).alias("extendedprice_z"),
+        (F.round(F.col("l_quantity_z"), 4) + F.lit(0.0)).alias("quantity_z"),
+        (F.round(F.col("l_extendedprice_z"), 4) + F.lit(0.0)).alias("extendedprice_z"),
     )
 
 
@@ -336,12 +341,20 @@ ORACLES = {
         LEFT JOIN c2 ON l.l_linestatus = c2.v
     """,
     "etl_zscore": """
+        WITH st AS (
+          SELECT CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s_q,
+                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS ss_q,
+                 CAST(count(l_quantity) AS DOUBLE) AS n_q,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_p,
+                 CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS ss_p,
+                 CAST(count(l_extendedprice) AS DOUBLE) AS n_p
+          FROM lineitem)
         SELECT l_orderkey, l_linenumber,
-               round((l_quantity - avg(l_quantity) OVER ())
-                     / stddev_samp(l_quantity) OVER (), 4) AS quantity_z,
-               round((l_extendedprice - avg(l_extendedprice) OVER ())
-                     / stddev_samp(l_extendedprice) OVER (), 4) AS extendedprice_z
-        FROM lineitem
+               round((l_quantity - s_q / n_q)
+                     / sqrt((ss_q - s_q * s_q / n_q) / (n_q - 1.0)), 4) + 0.0 AS quantity_z,
+               round((l_extendedprice - s_p / n_p)
+                     / sqrt((ss_p - s_p * s_p / n_p) / (n_p - 1.0)), 4) + 0.0 AS extendedprice_z
+        FROM lineitem, st
     """,
     "etl_robust_scale": """
         SELECT c_custkey,

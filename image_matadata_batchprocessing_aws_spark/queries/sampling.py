@@ -18,6 +18,8 @@ from image_matadata_batchprocessing_aws_spark.operators.sampling import (
     hash_sample_stratified,
     pack_documents,
     sample_predicate_sql,
+    shuffle_deterministic,
+    shuffle_sql,
 )
 from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
 from image_matadata_batchprocessing_aws_spark.operators.text import token_count
@@ -57,9 +59,19 @@ def pack_context_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sample_shuffle_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """O3 — deterministic global shuffle of the corpus: md5-permuted
+    order, reproducible across engines (unlike rand(), which no oracle
+    can mirror); two-pass numbering, no single-partition window."""
+    return shuffle_deterministic(
+        t(spark, sf, "documents"), "doc_id", seed="42"
+    ).select("doc_id", "shuffle_pos")
+
+
 QUERIES = {
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
+    "sample_shuffle_docs": sample_shuffle_docs,
     "pack_context_windows": pack_context_windows,
 }
 
@@ -79,8 +91,14 @@ ORACLES = {
     """,
     "sample_stratified_lang": f"""
         SELECT doc_id, lang FROM documents
-        WHERE ({md5_int64_sql("CAST(doc_id AS VARCHAR) || ''")} % {SAMPLE_DENOM})
+        WHERE ({md5_int64_sql("CAST(doc_id AS VARCHAR) || chr(31) || ''")} % {SAMPLE_DENOM})
               < {_stratified_threshold_sql()}
+    """,
+    "sample_shuffle_docs": f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {shuffle_sql("doc_id", "42")}, doc_id) - 1
+                    AS BIGINT) AS shuffle_pos
+        FROM documents
     """,
     "pack_context_windows": rf"""
         WITH toks AS (

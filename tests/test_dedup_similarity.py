@@ -157,3 +157,54 @@ def test_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_components_long_path_converges_in_log_rounds(spark):
+    """large-star/small-star: a path graph far longer than the old
+    diameter-bounded budget (200 hops >> 30) must converge — and in
+    O(log n) rounds, which max_iterations=10 enforces for n=200."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges, max_iterations=10).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_components_random_graph_matches_union_find(spark):
+    """Cross-check the distributed algorithm against a driver-side
+    union-find oracle on a random sparse graph (fixed seed)."""
+    import random
+
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    n, m = 300, 260  # sparse: many components, varied shapes
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    seen = {v for p in pairs for v in p}
+    expected = {v: find(v) for v in seen}
+    # union-find roots are not guaranteed minimal under path compression;
+    # normalize to min-of-component
+    comp_min: dict[int, int] = {}
+    for v, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[r] for v, r in expected.items()}
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == expected

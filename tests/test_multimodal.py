@@ -62,6 +62,58 @@ def test_decode_shapes_and_error_isolation(spark, tmp_path):
     assert again["7.jpg"].image[:10] == ok.image[:10]
 
 
+def test_decode_fn_seam_custom_decoder(spark, tmp_path):
+    """The byte-decode is pluggable: a caller-supplied decode_fn replaces
+    the deterministic fake without editing the module."""
+    _make_zip(tmp_path / "s.zip", [("5.jpg", b"ignored")])
+
+    def all_gray(name, content):
+        return np.full((10, 10, 3), 128, dtype=np.uint8)
+
+    decoded = decode_images(
+        scan_zip_entries(spark, str(tmp_path / "s.zip")), decode_fn=all_gray
+    )
+    row = decoded.collect()[0]
+    assert row.decode_error is None
+    # every non-padding pixel is 128/255
+    vals = {round(v, 6) for v in row.image if v != 0.0}
+    assert vals == {round(128 / 255.0, 6)}
+
+
+def test_real_codec_gate(spark, tmp_path):
+    """use_real_codec=True fails fast (driver-side) without PIL; with PIL
+    present it decodes a real PNG end to end."""
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
+        ImageDecodeUnavailable,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    _make_zip(tmp_path / "r.zip", [("3.png", _tiny_png() if has_pil else b"x")])
+    entries = scan_zip_entries(spark, str(tmp_path / "r.zip"))
+    if not has_pil:
+        with pytest.raises(ImageDecodeUnavailable):
+            decode_images(entries, use_real_codec=True)
+    else:  # pragma: no cover - environment-dependent
+        row = decode_images(entries, use_real_codec=True).collect()[0]
+        assert row.decode_error is None
+        assert (row.channels, row.height, row.width) == (3, TARGET_SIZE, TARGET_SIZE)
+
+
+def _tiny_png() -> bytes:  # pragma: no cover - only runs when PIL exists
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def test_resize_with_padding_golden():
     img = np.full((100, 200, 3), 255, dtype=np.uint8)  # wide image
     out = resize_with_padding(img, 224)

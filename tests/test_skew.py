@@ -71,3 +71,21 @@ def test_knn_auto_strategy_and_lsh_recall_on_planted_dups(spark):
     lsh = knn(queries, corpus, k=1, strategy="lsh")
     top1_lsh = {r.query_id: r.neighbor_id for r in lsh.collect()}
     assert top1_lsh == {i: 100 + i for i in range(5)}
+
+
+def test_knn_auto_plan_construction_launches_no_job(spark):
+    """strategy='auto' must decide from Catalyst statistics, not an eager
+    count() — constructing the plan may not run a single Spark job."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import knn
+
+    queries = spark.createDataFrame(
+        [(1, [1.0] * 64)], "query_id long, qe array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(10)], "neighbor_id long, ce array<double>"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    knn(queries, corpus, k=1, strategy="auto")  # plan only, no action
+    after = set(tracker.getJobIdsForGroup())
+    assert after == before

@@ -2,9 +2,10 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, then compares row count, sorted column
-names, and order-insensitive values (exact for ints/strings, tight
-tolerance for floats — if a float differs beyond 1e-9 the driver's
-value-hash would likely differ too, so we flag it).
+names, and order-insensitive values.  Floats compare EXACTLY (bitwise,
+including the -0.0/+0.0 distinction) because the driver's value hash is
+exact — round-1's etl_zscore failed the driver while passing a tolerant
+local check, so tolerance here is a footgun, not a feature.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -35,7 +36,8 @@ def normalize(rows, columns):
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(round(v, 9) + 0.0)  # normalize -0.0
+                    # exact: repr distinguishes -0.0 from 0.0 and 1-ulp diffs
+                    vals.append(repr(v))
             else:
                 vals.append(v)
         out.append(tuple(vals))
@@ -51,7 +53,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    spark = get_spark(cpus=8)
+    import os
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
