@@ -81,7 +81,9 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale path vs brute force: per query the scan shrinks from |corpus| to
     the probed cells (~ NPROBE/k_cents of the data), and every join is on
-    the tiny ``cent_id`` key."""
+    the tiny ``cent_id`` key.  (Mod-sampled centroids keep this query
+    SQL-oracle-able; the production centroid source is
+    ``operators/clustering.kmeans_train`` — same broadcast shape.)"""
     e = t(spark, sf, "embeddings").select("vec_id", as_double_array("embedding").alias("e"))
     corpus = e.where(F.col("vec_id") >= N_QUERIES)
     cents = corpus.where(F.col("vec_id") % CENT_MOD == 0).select(
@@ -117,6 +119,31 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: map-side
+    literal-centroid assignment (zero shuffle), slim per-dimension avg
+    update (one shuffle/round), deterministic md5 top-k init.  Genuinely
+    iterative — not SQL-expressible, so this entry carries the driver's
+    rows-only check; the algorithm's correctness is property-tested on
+    planted clusters (tests/test_clustering.py)."""
+    from image_matadata_batchprocessing_aws_spark.operators.clustering import (
+        kmeans_predict,
+        kmeans_train,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    # small k / few rounds: each round recompiles the literal-centroid
+    # codegen expression, so the fixed cost per round dominates at test
+    # scale (at production scale it amortizes over the scan)
+    cents, _ = kmeans_train(
+        e, k=4, vec_col="e", id_col="vec_id", max_iterations=6, tol=1e-4
+    )
+    out = kmeans_predict(e, cents, "e", "cluster_id")
+    return out.groupBy("cluster_id").agg(F.count("*").alias("n"))
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "label", l2_norm(as_double_array("embedding")).alias("norm")
@@ -131,6 +158,7 @@ QUERIES = {
     "knn_brute_l2": knn_brute_l2,
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf": ann_ivf,
+    "embedding_kmeans": embedding_kmeans,
     "embedding_stats": embedding_stats,
 }
 

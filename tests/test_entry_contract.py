@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == {
         "agg_approx_distinct",
         "multimodal_image_pipeline",
+        "embedding_kmeans",  # iterative driver loop — not SQL-expressible
     }
 
 

@@ -94,3 +94,41 @@ def test_zscore_idempotent_on_standardized_data(spark):
     )
     max_diff = merged.agg(F.max(F.abs(F.col("v1") - F.col("v2")))).collect()[0][0]
     assert max_diff < 1e-9
+
+
+def test_global_row_number_matches_single_window(spark):
+    """Two-pass numbering == a keyless row_number window, on a frame
+    spread over many partitions with an adversarial initial layout."""
+    from pyspark.sql import Window
+
+    from image_matadata_batchprocessing_aws_spark.operators.batching import global_row_number
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id").repartition(13)
+    got = {
+        r.event_id: r.pos
+        for r in global_row_number(e, ["event_id"], "pos").collect()
+    }
+    w = Window.orderBy("event_id")
+    want = {
+        r.event_id: r.pos
+        for r in e.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_shuffle_deterministic_partitioning_invariant(spark):
+    """The permutation is a pure function of (key, seed): repartitioning
+    must not change any position, and a different seed must."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import shuffle_deterministic
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    a = {r.doc_id: r.shuffle_pos for r in shuffle_deterministic(d, "doc_id", "s1").collect()}
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_deterministic(d.repartition(17), "doc_id", "s1").collect()
+    }
+    assert a == b
+    c = {r.doc_id: r.shuffle_pos for r in shuffle_deterministic(d, "doc_id", "s2").collect()}
+    assert c != a  # independent permutation per seed
+    # positions form an exact 0..n-1 permutation in every case
+    assert sorted(a.values()) == list(range(len(a)))
