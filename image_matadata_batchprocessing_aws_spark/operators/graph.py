@@ -40,11 +40,12 @@ def _large_star(e: DataFrame) -> DataFrame:
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
     mins = mins.select("u", F.least("__mn", "u").alias("m"))
+    # no distinct here: _small_star dedups at the end of the round, so an
+    # intermediate distinct would only add a shuffle
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
