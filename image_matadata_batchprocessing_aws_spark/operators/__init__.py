@@ -16,10 +16,16 @@ from image_matadata_batchprocessing_aws_spark.operators.cleanup import (
     cleanup_after_commit,
     write_parquet_then_cleanup,
 )
+from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+    compact_parquet,
+    write_partitioned,
+)
 
 __all__ = [
     "cleanup_after_commit",
     "write_parquet_then_cleanup",
+    "compact_parquet",
+    "write_partitioned",
     "drop_columns",
     "cast_columns",
     "trim_columns",

@@ -1,0 +1,79 @@
+"""Table maintenance sinks a 100 TB pipeline actually needs: dynamic
+partition overwrite and small-file compaction.
+
+The reference's closest analogues are the split-and-upload scripts
+(``split and upload/split_image_Script.py:39-52``,
+``split_csv_script.py:33-40``): hand-rolled file sizing plus
+whole-prefix re-uploads.  Engine semantics: partitioned parquet with
+(1) *dynamic* overwrite — an incremental batch replaces only the
+partitions it contains, never the whole table — and (2) compaction that
+rewrites a partition's many small files into size-targeted ones without
+touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    dynamic: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout parquet write.  With ``dynamic=True`` (the only sane
+    default for incremental loads), overwrite replaces ONLY the
+    partitions present in ``df`` — a day's reprocess cannot wipe the
+    other 3650 days.  Static overwrite (``dynamic=False``) replaces the
+    whole table root."""
+    spark = df.sparkSession
+    prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
+    spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic" if dynamic else "static")
+    try:
+        df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet table's many small files into ~``target_file_bytes``
+    files; returns the file count written.  Small files are the silent
+    killer of 100 TB scans (one task + one open per file); compaction
+    restores ``maxPartitionBytes``-sized units.
+
+    File count is sized from the table's actual on-disk bytes (Hadoop
+    ``getContentSummary`` — metadata only, no data read).  Spark refuses
+    to overwrite a path it is reading, so the rewrite goes to a sibling
+    temp directory and swaps in after the write COMMITS (write, delete
+    old, rename) — a failed write leaves the original untouched.  On
+    object stores without atomic rename, point the swap at a manifest /
+    table format instead; the sizing and repartition logic is identical.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if partition_by:
+        # co-locate rows of one table-partition per task so each output
+        # file belongs to a single hive partition directory
+        compacted = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        compacted.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    tmp_jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(jpath, True)
+    fs.rename(tmp_jpath, jpath)
+    return n_files

@@ -1,0 +1,74 @@
+"""Dynamic partition overwrite + small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+    compact_parquet,
+    write_partitioned,
+)
+
+
+def test_dynamic_overwrite_replaces_only_present_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "day1"), (2, "day1"), (3, "day2")],
+        "id long, day string",
+    )
+    write_partitioned(full, path, ["day"])
+    # incremental reprocess of day 1 only, with different rows
+    day1 = spark.createDataFrame([(10, "day1")], "id long, day string")
+    write_partitioned(day1, path, ["day"], dynamic=True)
+    back = spark.read.parquet(path)
+    got = {(r.id, r.day) for r in back.collect()}
+    # day 2 survives; day 1 fully replaced
+    assert got == {(10, "day1"), (3, "day2")}
+
+
+def test_static_overwrite_replaces_whole_table(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string"
+    )
+    write_partitioned(full, path, ["part"])
+    only_a = spark.createDataFrame([(9, "a")], "id long, part string")
+    write_partitioned(only_a, path, ["part"], dynamic=False)
+    assert {r.id for r in spark.read.parquet(path).collect()} == {9}
+
+
+def test_overwrite_mode_conf_restored(spark, tmp_path):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    df = spark.createDataFrame([(1, "x")], "id long, p string")
+    write_partitioned(df, str(tmp_path / "t3"), ["p"], dynamic=True)
+    assert spark.conf.get(key, "static") == before
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(2000).toDF("id").repartition(40).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    n = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(2000))
+
+
+def test_compact_partitioned_keeps_layout(spark, tmp_path):
+    path = str(tmp_path / "fragp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1000)], "id long, p string"
+    )
+    df.repartition(20).write.partitionBy("p").parquet(path)
+    assert len(glob.glob(f"{path}/p=*/*.parquet")) >= 20
+    compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024, partition_by=["p"])
+    assert sorted(glob.glob(f"{path}/p=*")) == [f"{path}/p=a", f"{path}/p=b"]
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.groupBy("p").count().count() == 2
