@@ -18,6 +18,7 @@ from image_matadata_batchprocessing_aws_spark.operators.cleanup import (
 )
 from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
     compact_parquet,
+    merge_upsert,
     write_partitioned,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "cleanup_after_commit",
     "write_parquet_then_cleanup",
     "compact_parquet",
+    "merge_upsert",
     "write_partitioned",
     "drop_columns",
     "cast_columns",

@@ -77,3 +77,40 @@ def compact_parquet(
     fs.delete(jpath, True)
     fs.rename(tmp_jpath, jpath)
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Keyed upsert into a parquet table: rows in ``updates`` replace
+    same-key rows, new keys append, absent keys survive — the incremental
+    replacement for the reference's reprocess-everything pattern
+    (``read_csv_s3_train.py:122-134`` rebuilds the whole table per run).
+
+    Plan: anti-join the existing table against the (typically small)
+    update keys — broadcast-able — then union and rewrite via the same
+    commit-then-swap as :func:`compact_parquet`.  With ``partition_by``,
+    only an updates-partition-pruned slice of the table need be rewritten
+    in a table-format deployment; the parquet fallback rewrites the
+    table, which is still one scan + one broadcast anti-join, no
+    shuffle of the big side.
+    """
+    existing = spark.read.parquet(path)
+    keys = updates.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(updates.select(*existing.columns))
+    tmp = path.rstrip("/") + "__merge_tmp"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)

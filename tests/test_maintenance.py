@@ -72,3 +72,32 @@ def test_compact_partitioned_keeps_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.groupBy("p").count().count() == 2
+
+
+def test_merge_upsert_replaces_appends_and_keeps(spark, tmp_path):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, "old")], "id long, v string"
+    )
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "new"), (3, "new"), (4, "added")], "id long, v string"
+    )
+    merge_upsert(spark, path, updates, key="id")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new", 2: "keep", 3: "new", 4: "added"}
+
+
+def test_merge_upsert_failed_write_preserves_original(spark, tmp_path):
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import merge_upsert
+
+    path = str(tmp_path / "m2")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    bad = spark.createDataFrame([(2,)], "other long")  # schema mismatch -> raises
+    with pytest.raises(Exception):
+        merge_upsert(spark, path, bad, key="id")
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1}
