@@ -177,3 +177,52 @@ def redact(df: DataFrame, text_col: str, out: str = "redacted") -> DataFrame:
         total = total + F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, f"[{label}]")
     return df.withColumns({out: cur, "n_redactions": total.cast("long")})
+
+
+def drop_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1,
+    delim: str = "\n",
+) -> DataFrame:
+    """CCNet/Gopher-style line-level dedup: drop every line whose
+    document frequency exceeds ``max_doc_freq`` (boilerplate — headers,
+    cookie banners, license footers — repeats across documents; prose
+    does not).  Blank lines always survive.
+
+    Returns one row per input doc: ``(id, text_kept, n_lines_kept,
+    n_lines_dropped)`` — a doc whose every line is boilerplate keeps its
+    row with an empty ``text_kept``, so downstream joins never lose keys.
+
+    Scale shape: explode lines (bounded by total line count), one
+    groupBy per distinct line for document frequency, one join back, one
+    groupBy(doc) to reassemble (order restored via ``array_sort`` on the
+    captured line position — ``collect_list`` order is not deterministic
+    and must never be relied on).  At 100 TB join/group on
+    ``xxhash64(line)`` instead of the raw text to keep shuffle keys
+    small; raw lines here keep the op DuckDB-oracle-exact.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), F.lit(delim)))
+    ).select(F.col(id_col), F.col("pos"), F.col("col").alias("__line"))
+    freq = (
+        lines.where(F.col("__line") != "")
+        .groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    )
+    flagged = lines.join(freq, "__line", "left").select(
+        F.col(id_col),
+        "pos",
+        "__line",
+        ((F.col("__line") == "") | (F.col("__df") <= max_doc_freq)).alias("__keep"),
+    )
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("__line"), F.col("__keep")))
+    )
+    kept = F.filter(entries, lambda x: x["__keep"])
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda x: x["__line"]), delim).alias("text_kept"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(entries) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )

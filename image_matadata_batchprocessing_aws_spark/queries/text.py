@@ -91,6 +91,17 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang", "lang_pred")
 
 
+def text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style boilerplate removal: lines shared by 2+ docs drop (on
+    the single-line synthetic corpus this empties exact-duplicate texts,
+    keeping every doc's row).  Multi-line recall is fixture-tested."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import drop_common_lines
+
+    return drop_common_lines(
+        t(spark, sf, "documents"), "text", "doc_id", max_doc_freq=1
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -98,6 +109,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_bpe": text_token_bpe,
     "text_repetition_stats": text_repetition_stats,
+    "text_line_dedup": text_line_dedup,
     "text_lang_id": text_lang_id,
 }
 
@@ -220,3 +232,29 @@ def _redact_oracle() -> str:
 
 QUERIES["text_redact"] = text_redact
 ORACLES["text_redact"] = _redact_oracle()
+
+# Line-level dedup oracle: aligned unnests give (line, pos); doc
+# frequency over non-blank lines; string_agg skips NULLed-out dropped
+# lines; left join from documents keeps fully-boilerplate docs.
+ORACLES["text_line_dedup"] = """
+    WITH sp AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(parts) AS line,
+             unnest(range(1, len(parts) + 1)) AS pos
+      FROM sp),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) AS df
+      FROM lines WHERE line <> '' GROUP BY line),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (l.line = '' OR f.df <= 1) AS keep
+      FROM lines l LEFT JOIN freq f USING (line))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+             AS text_kept,
+           CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_lines_kept,
+           CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_lines_dropped
+    FROM flagged GROUP BY doc_id
+"""

@@ -103,3 +103,39 @@ def test_redact_scrubs_email_phone_numbers(spark):
     assert out[1].redacted == "mail [EMAIL] or call [PHONE] room [NUM]"
     assert out[1].n_redactions == 3
     assert out[2].redacted == "no pii here" and out[2].n_redactions == 0
+
+
+def test_drop_common_lines_boilerplate_removal(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import drop_common_lines
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    footer = "(c) example corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique prose about owls\n\n{footer}"),
+            (2, f"{banner}\ndifferent text about rivers\n{footer}"),
+            (3, f"{banner}\nthird essay entirely\n{footer}"),
+            (4, "a document with no boilerplate at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_common_lines(docs, max_doc_freq=1).collect()}
+    assert out[1].text_kept == "unique prose about owls\n"  # blank line survives
+    assert out[1].n_lines_dropped == 2  # banner + footer
+    assert out[2].text_kept == "different text about rivers"
+    assert out[3].text_kept == "third essay entirely"
+    assert out[4].text_kept == "a document with no boilerplate at all"
+    assert out[4].n_lines_dropped == 0
+
+
+def test_drop_common_lines_keeps_fully_boilerplate_doc_row(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import drop_common_lines
+
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_common_lines(docs, max_doc_freq=1).collect()}
+    assert set(out) == {1, 2, 3}  # no doc row vanishes
+    assert out[1].text_kept == "" and out[1].n_lines_dropped == 1
+    assert out[3].text_kept == "other"
