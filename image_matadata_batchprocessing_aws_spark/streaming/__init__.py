@@ -5,6 +5,7 @@ from image_matadata_batchprocessing_aws_spark.streaming.events import (
     sliding_counts,
     session_counts,
     dedup_within_watermark,
+    enrich_with_dimension,
     start_numbered_batch_sink,
 )
 from image_matadata_batchprocessing_aws_spark.streaming.stateful import running_user_totals
@@ -17,5 +18,6 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "enrich_with_dimension",
     "start_numbered_batch_sink",
 ]

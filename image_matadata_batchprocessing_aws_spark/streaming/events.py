@@ -133,6 +133,17 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    *current* state of the static side (Spark re-evaluates the batch plan
+    per trigger, so a dimension backed by a parquet path picks up table
+    updates between triggers — no restart).  The dim side is explicitly
+    broadcast: stream-side state stays zero, no shuffle of the stream."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def start_numbered_batch_sink(
     stream_df: DataFrame,
     out_dir: str,

@@ -191,3 +191,35 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir):
         for r in stream_join_attribution(spark, SF_SMOKE).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_stream_static_enrichment_join(spark, events_dir, tmp_path):
+    """Stream-static join: each micro-batch enriches against the static
+    dim (broadcast, zero stream-side state); rows with no dim key
+    null-extend under how='left'."""
+    from image_matadata_batchprocessing_aws_spark.streaming import enrich_with_dimension
+
+    dim_path = str(tmp_path / "user_dim")
+    users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct()
+    # enroll only even user ids in the dimension
+    users.where(F.col("user_id") % 2 == 0).withColumn(
+        "tier", F.lit("gold")
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    stream = read_events_stream(spark, events_dir)
+    enriched = enrich_with_dimension(stream, dim, "user_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT user_id, tier FROM enriched_mem").collect()
+    assert len(got) == load_table(spark, SF_SMOKE, "events").count()
+    for r in got:
+        if r.user_id is not None and r.user_id % 2 == 0:
+            assert r.tier == "gold"
+        else:
+            assert r.tier is None
