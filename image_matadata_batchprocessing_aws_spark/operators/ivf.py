@@ -67,14 +67,23 @@ def ann_query_indexed(
 
     cents = np.asarray(centroids, dtype=float)
     q_rows = queries.select(query_id, vec_q).collect()  # queries are small
-    probe_ids: set[int] = set()
+    probe_map: list[tuple] = []  # (query_id, cent_id) — strict nprobe per query
     for r in q_rows:
         qv = np.asarray(r[vec_q], dtype=float)
         d2 = ((cents - qv) ** 2).sum(axis=1)
-        probe_ids.update(int(i) for i in np.argsort(d2, kind="stable")[:nprobe])
-    cells = probe_cells(spark, index_path, sorted(probe_ids))
-    pairs = cells.withColumn("__nc", l2_norm(F.col(vec_c))).crossJoin(
-        F.broadcast(queries.withColumn("__nq", l2_norm(F.col(vec_q))))
+        for i in np.argsort(d2, kind="stable")[:nprobe]:
+            probe_map.append((r[query_id], int(i)))
+    probe_ids = sorted({cid for _, cid in probe_map})
+    cells = probe_cells(spark, index_path, probe_ids)
+    probes = spark.createDataFrame(probe_map, f"{query_id} long, cent_id int")
+    # each query joins ONLY its own probed cells (cent_id from the probe
+    # map), not the union of all queries' probes — strict IVF semantics
+    pairs = (
+        cells.withColumn("__nc", l2_norm(F.col(vec_c)))
+        .join(F.broadcast(probes), "cent_id")
+        .join(
+            F.broadcast(queries.withColumn("__nq", l2_norm(F.col(vec_q)))), query_id
+        )
     )
     scored = pairs.select(
         query_id,

@@ -62,3 +62,13 @@ def test_indexed_ann_matches_in_cell_bruteforce(spark, tmp_path):
     # every query returns exactly k rows from its probed cell
     counts = top.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+    # strict nprobe=1: all of a query's neighbors come from ONE cell —
+    # never from another query's probed cell
+    idx = spark.read.parquet(path).select("vec_id", "cent_id")
+    cells_per_q = (
+        top.join(idx, top.neighbor_id == idx.vec_id)
+        .groupBy("query_id")
+        .agg(F.count_distinct("cent_id").alias("nc"))
+        .collect()
+    )
+    assert all(r.nc == 1 for r in cells_per_q)
