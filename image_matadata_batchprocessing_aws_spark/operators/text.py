@@ -203,8 +203,12 @@ def drop_common_lines(
     ``xxhash64(line)`` instead of the raw text to keep shuffle keys
     small; raw lines here keep the op DuckDB-oracle-exact.
     """
+    import re as _re
+
+    # F.split takes a REGEX; the oracle's string_split is literal — quote
+    # the delimiter so both engines split on the same literal string
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), F.lit(delim)))
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), F.lit(_re.escape(delim))))
     ).select(F.col(id_col), F.col("pos"), F.col("col").alias("__line"))
     freq = (
         lines.where(F.col("__line") != "")

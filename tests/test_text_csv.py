@@ -139,3 +139,17 @@ def test_drop_common_lines_keeps_fully_boilerplate_doc_row(spark):
     assert set(out) == {1, 2, 3}  # no doc row vanishes
     assert out[1].text_kept == "" and out[1].n_lines_dropped == 1
     assert out[3].text_kept == "other"
+
+
+def test_drop_common_lines_regex_metachar_delimiter(spark):
+    """Delimiter is literal, not regex: '.' must split on dots only."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import drop_common_lines
+
+    docs = spark.createDataFrame(
+        [(1, "shared sentence.unique one"), (2, "shared sentence.unique two")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_common_lines(docs, max_doc_freq=1, delim=".").collect()}
+    assert out[1].text_kept == "unique one"
+    assert out[2].text_kept == "unique two"
+    assert out[1].n_lines_dropped == 1
