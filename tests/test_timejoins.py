@@ -99,3 +99,39 @@ def test_range_join_produces_equi_join_not_nested_loop(spark):
         facts, intervals, "ts", "start_ts", "end_ts", bin_width_seconds=3600
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_asof_random_matches_reference_with_duplicate_ts(spark):
+    """Randomized cross-check vs a driver-side reference, with planted
+    duplicate (key, ts) right rows: the deterministic tiebreak must pick
+    the greatest tiebreak value, on every partitioning."""
+    import random
+
+    rng = random.Random(99)
+    lefts = [(i, rng.randrange(5), rng.randrange(100)) for i in range(200)]
+    rights = []
+    for j in range(150):
+        rights.append((j, rng.randrange(5), rng.randrange(100), rng.randrange(1000)))
+    # plant exact duplicates of (key, ts) with different payloads
+    for j in range(150, 170):
+        base = rights[rng.randrange(150)]
+        rights.append((j, base[1], base[2], rng.randrange(1000)))
+
+    expected = {}
+    for lid, k, lt in lefts:
+        cands = [r for r in rights if r[1] == k and r[2] <= lt]
+        if not cands:
+            expected[lid] = None
+        else:
+            best_ts = max(r[2] for r in cands)
+            at_ts = [r for r in cands if r[2] == best_ts]
+            expected[lid] = max(at_ts, key=lambda r: r[0])[0]  # max tiebreak=rid
+
+    left = spark.createDataFrame(lefts, "lid long, k long, lt long")
+    right = spark.createDataFrame(rights, "rid long, k long, rt long, payload long")
+    for reparted in (right, right.repartition(13)):
+        out = asof_join(
+            left, reparted, key="k", left_ts="lt", right_ts="rt", tiebreak="rid"
+        )
+        got = {r.lid: r.r_rid for r in out.collect()}
+        assert got == expected
