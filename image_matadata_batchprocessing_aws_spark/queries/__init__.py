@@ -17,6 +17,7 @@ Cross-engine determinism rules (every query follows them):
 
 from __future__ import annotations
 
+from image_matadata_batchprocessing_aws_spark.queries import chunking as _chunking
 from image_matadata_batchprocessing_aws_spark.queries import dedup as _dedup
 from image_matadata_batchprocessing_aws_spark.queries import etl as _etl
 from image_matadata_batchprocessing_aws_spark.queries import multimodal as _multimodal
@@ -43,6 +44,7 @@ _MODULES = [
     _multimodal,
     _streaming,
     _relational,
+    _chunking,
 ]
 
 

@@ -74,3 +74,22 @@ def test_pack_documents_offset_arithmetic(spark):
             assert r.pack_offset == expect_offset
             assert r.pack_id == expect_offset // 16
             expect_offset += r.n_tokens
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from image_matadata_batchprocessing_aws_spark.queries.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens) for r in out.collect()}
+    # doc 1: 10 tokens, starts 0,3,6,9 -> 4 chunks; overlap of 1 token
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)  # tail partial chunk kept
+    # doc 2: single token -> exactly one chunk
+    assert got[(2, 0)] == ("solo", 1)
+    assert len(got) == 5
