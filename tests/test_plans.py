@@ -91,3 +91,16 @@ def test_q22_not_exists_plans_as_anti_join(spark):
 
     plan = formatted_plan(q22_global_sales_opportunity(spark, SF_CORRECT))
     assert "LeftAnti" in plan
+
+
+def test_two_pass_numbering_broadcasts_offsets(spark):
+    """The keyless numbering ops join per-partition offsets back with an
+    explicit broadcast — never a shuffled join of the big side."""
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.queries.etl import etl_batch_id
+    from image_matadata_batchprocessing_aws_spark.queries.sampling import sample_shuffle_docs
+
+    for q in (etl_batch_id, sample_shuffle_docs):
+        plan = formatted_plan(q(spark, SF_CORRECT))
+        assert "BroadcastHashJoin" in plan
+        assert not plan_report(q(spark, SF_CORRECT))["python_in_plan"]
