@@ -45,6 +45,9 @@ HEADLINE = [
     "ann_ivf",
     "join_asof_click_purchase",
     "pack_context_windows",
+    "sample_shuffle_docs",
+    "text_line_dedup",
+    "chunk_docs_overlap",
 ]
 
 
