@@ -108,7 +108,10 @@ def connected_components(
 
     prev = _sig(e)
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate below is the action
+        # that materializes it — one job per round for both lineage
+        # truncation and the convergence probe, not two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _sig(e)
         if cur == prev:
             break
