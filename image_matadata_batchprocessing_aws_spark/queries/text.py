@@ -85,8 +85,9 @@ def text_redact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic n-gram language ID — engine-internal scoring, rows-only
-    driver check (no SQL oracle)."""
+    """Heuristic n-gram language ID — scored against the same profile
+    table on both engines (oracle generated from the profile dict, so
+    the two can't drift)."""
     d = add_lang_id(t(spark, sf, "documents"))
     return d.select("doc_id", "lang", "lang_pred")
 

@@ -132,3 +132,29 @@ def test_shuffle_deterministic_partitioning_invariant(spark):
     assert c != a  # independent permutation per seed
     # positions form an exact 0..n-1 permutation in every case
     assert sorted(a.values()) == list(range(len(a)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=16),
+    stride_delta=st.integers(min_value=0, max_value=8),
+)
+def test_chunking_covers_every_token(spark, n_tokens, chunk, stride_delta):
+    """Every token of a doc appears in at least one chunk; chunk_ids are
+    dense 0..m-1; no chunk exceeds the token budget."""
+    from image_matadata_batchprocessing_aws_spark.queries.chunking import chunk_documents
+
+    stride = max(1, chunk - stride_delta)  # stride <= chunk => full coverage
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    ids = sorted(r.chunk_id for r in rows)
+    assert ids == list(range(len(rows)))
+    seen = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert 1 <= len(toks) <= chunk
+        assert r.n_chunk_tokens == len(toks)
+        seen.update(toks)
+    assert seen == {f"w{i}" for i in range(n_tokens)}
