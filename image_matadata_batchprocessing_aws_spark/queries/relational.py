@@ -466,6 +466,114 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     return c.exceptAll(s)
 
 
+# --- TPC-H Q7 style: bilateral nation trade volume ------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Five-way join (lineitem-orders-customer-supplier-nation x2) with
+    a symmetric nation-pair predicate.  Both nation dims broadcast; the
+    two fact-side joins shuffle on their keys with AQE skew handling —
+    the canonical multi-join shape at 100 TB."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q10 style: returned-item customer ranking ----------------------
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Top customers by revenue lost to returns: fact joins shuffle on
+    keys, nation broadcast, deterministic top-k tiebreak on custkey."""
+    li = t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+# --- TPC-H Q18 style: large-volume orders ---------------------------------
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold: the per-order
+    quantity sum is a partial/final agg whose survivors (few) semi-join
+    restrict the fact scan — never a correlated per-row subquery."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    j = (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        # year() on TIMESTAMP_NTZ is session-timezone-free (an epoch-ms
+        # conversion here would shift under the driver's vanilla session)
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
 # --- pivot ----------------------------------------------------------------
 
 
@@ -490,6 +598,9 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_outer_agg": join_outer_agg,
@@ -512,6 +623,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
