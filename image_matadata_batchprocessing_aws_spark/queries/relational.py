@@ -574,6 +574,77 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q8 style: national market share --------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier-nation market share within a region per year: the share
+    is a conditional-sum / sum ratio inside one grouped agg — no second
+    pass over the join; dims broadcast, one fact shuffle per join key."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    p = t(spark, sf, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    n_c = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = t(spark, sf, "region").where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    n_s = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q15 style: top supplier by revenue ------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppliers achieving the maximum revenue: revenue per supplier is
+    one partial/final agg; the max is a 1-row broadcast joined back —
+    the view + subquery of the original, as two aggs and zero windows."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.mr).select(
+        "l_suppkey", "total_revenue"
+    )
+    s = t(spark, sf, "supplier")
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
 # --- pivot ----------------------------------------------------------------
 
 
@@ -599,7 +670,9 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -663,6 +736,38 @@ ORACLES = {
         FROM orders
         JOIN big ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """,
+    "q8_market_share": """
+        WITH j AS (
+          SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS vol,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+            AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END)
+                     / sum(vol), 4) AS mkt_share,
+               count(*) AS n_items
+        FROM j GROUP BY 1
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
