@@ -230,3 +230,57 @@ def drop_common_lines(
         F.size(kept).cast("long").alias("n_lines_kept"),
         (F.size(entries) - F.size(kept)).cast("long").alias("n_lines_dropped"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a bag-of-words query (public
+    formula; Robertson & Zaragoza 2009).  Returns the ``top_k`` docs by
+    rounded score with a deterministic id tiebreak.
+
+    Scale shape: tokens explode but are FILTERED TO QUERY TERMS before
+    any shuffle (posting lists for |q| terms only, not the whole vocab);
+    term statistics (df per term, N, avgdl) are a handful of rows,
+    broadcast back; the scoring join is per-(doc, term) on the tiny term
+    key.  At 100 TB the df/avgdl statistics come from a precomputed
+    index table rather than a rescan — the query-side plan is identical.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__dl"))
+    ex = base.select(
+        F.col(id_col), F.col("__dl"), F.explode("__t").alias("__term")
+    ).where(F.col("__term").isin(query_terms))
+    tf = ex.groupBy(id_col, "__dl", "__term").agg(F.count("*").alias("__tf"))
+    stats = base.agg(
+        F.count("*").alias("__N"), F.avg("__dl").alias("__avgdl")
+    )
+    dfreq = tf.groupBy("__term").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                1.0
+                + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(F.round(F.sum("__s"), 4).alias("bm25"))
+    return agg.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_k)

@@ -23,6 +23,7 @@ from image_matadata_batchprocessing_aws_spark.queries import etl as _etl
 from image_matadata_batchprocessing_aws_spark.queries import multimodal as _multimodal
 from image_matadata_batchprocessing_aws_spark.queries import relational as _relational
 from image_matadata_batchprocessing_aws_spark.queries import sampling as _sampling
+from image_matadata_batchprocessing_aws_spark.queries import search as _search
 from image_matadata_batchprocessing_aws_spark.queries import similarity as _similarity
 from image_matadata_batchprocessing_aws_spark.queries import streaming_batch as _streaming
 from image_matadata_batchprocessing_aws_spark.queries import text as _text
@@ -45,6 +46,7 @@ _MODULES = [
     _streaming,
     _relational,
     _chunking,
+    _search,
 ]
 
 

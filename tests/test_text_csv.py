@@ -153,3 +153,24 @@ def test_drop_common_lines_regex_metachar_delimiter(spark):
     assert out[1].text_kept == "unique one"
     assert out[2].text_kept == "unique two"
     assert out[1].n_lines_dropped == 1
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join vector spark join vector spark"),
+            (2, "spark appears once in this much longer document about nothing"),
+            (3, "entirely unrelated prose with no matching terms at all"),
+            (4, "join join"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_rank(docs, ["spark", "join", "vector"], top_k=10).collect()
+    order = [r.doc_id for r in rows]
+    assert order[0] == 1  # richest doc first
+    assert 3 not in order  # no matching terms -> no row
+    assert len(order) == 3
+    scores = {r.doc_id: r.bm25 for r in rows}
+    assert scores[1] > scores[4] > 0 and scores[2] > 0
