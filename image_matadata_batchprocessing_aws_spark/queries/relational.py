@@ -645,6 +645,128 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q2 style: min-cost supplier per part ---------------------------
+#
+# The driver's star schema has no partsupp table, so lineitem serves as
+# the part-supplier offer relation and the lowest observed
+# l_extendedprice per part stands in for min(ps_supplycost).  Same
+# decorrelation shape as the original: per-group min + equality
+# join-back instead of a correlated subquery per part.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """min is order-insensitive over raw parquet doubles, so the
+    join-back equality is bit-exact cross-engine (no rounding needed —
+    unlike avg/sum, min never depends on accumulation order)."""
+    p = (
+        t(spark, sf, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_brand")
+    )
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    offers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    mn = offers.groupBy("p_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    best = (
+        offers.join(
+            mn.withColumnRenamed("p_partkey", "mk"),
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_brand", "l_suppkey", "min_price")
+        .distinct()
+    )
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    return (
+        best.join(s, best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "min_price", "s_acctbal")
+    )
+
+
+# --- TPC-H Q9 style: product-type profit by nation and year ---------------
+#
+# No ps_supplycost in the test data; cost is proxied as
+# 0.1 * p_retailprice * l_quantity.  The join tree and the
+# groupBy(nation, year) rollup are the original's.
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        t(spark, sf, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        F.round(F.sum(profit), 2).alias("sum_profit"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --- TPC-H Q11 style: important parts by value share ----------------------
+#
+# No partsupp: part value is sum(l_extendedprice * l_quantity) over
+# lineitems supplied from one nation.  The original's HAVING-over-scalar-
+# subquery becomes a 1-row broadcast threshold crossJoin — the fact table
+# is scanned twice but shuffled only on l_partkey.
+
+
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    contrib = li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+    value = contrib.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+    )
+    threshold = value.agg((F.sum("part_value") * 0.001).alias("cutoff"))
+    return (
+        value.crossJoin(F.broadcast(threshold))
+        .where(F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+# --- TPC-H Q16 style: supplier counts per part descriptor -----------------
+#
+# No partsupp: the distinct (l_partkey, l_suppkey) pairs from lineitem
+# are the supplies relation; suppliers with negative account balance
+# stand in for the original's complaints-comment exclusion (anti-join).
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 20)
+    )
+    bad = t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey).join(
+        F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
 # --- pivot ----------------------------------------------------------------
 
 
@@ -674,6 +796,10 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_outer_agg": join_outer_agg,
@@ -696,6 +822,61 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+          SELECT p_partkey, p_brand, l_suppkey, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size <= 15 AND p_type = 'SMALL'),
+        mn AS (
+          SELECT p_partkey AS mk, min(l_extendedprice) AS min_price
+          FROM offers GROUP BY 1),
+        best AS (
+          SELECT DISTINCT p_partkey, p_brand, l_suppkey, min_price
+          FROM offers JOIN mn
+            ON p_partkey = mk AND l_extendedprice = min_price)
+        SELECT p_partkey, p_brand, s_name, n_name, min_price, s_acctbal
+        FROM best
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1), 2) AS sum_profit,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": """
+        WITH contrib AS (
+          SELECT l_partkey, l_extendedprice * l_quantity AS v
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'),
+        value AS (
+          SELECT l_partkey, sum(v) AS part_value FROM contrib GROUP BY 1)
+        SELECT l_partkey, round(part_value, 2) AS part_value
+        FROM value
+        WHERE part_value > (SELECT sum(part_value) * 0.001 FROM value)
+    """,
+    "q16_supplier_part_counts": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 20
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
     "q7_nation_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS BIGINT) AS l_year,
