@@ -203,6 +203,16 @@ def minhash_signatures(
     form — explode shingles x seeds, groupBy(id, seed), groupBy(id) — costs
     two shuffles of |shingles| * num_hashes rows; this costs zero.)"""
     sh = shingle_df(df, text_col, id_col, n)
+    return _signatures_from_shingles(sh, id_col, num_hashes, hash_fn)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, hash_fn: str
+) -> DataFrame:
+    """Map-side signature derivation from a prebuilt (id, __sh) frame —
+    lets :func:`minhash_lsh_pairs` share one shingle table between
+    signature generation and Jaccard verification instead of scanning
+    and tokenizing the corpus twice."""
     # base hashes materialized through a projection boundary so the 8
     # affine transforms below reuse them instead of re-hashing 8x
     if hash_fn == "xxhash64":
@@ -242,12 +252,14 @@ def minhash_lsh_pairs(
     bucket join shuffles small keys only.  ``hash_fn``: see
     :func:`minhash_signatures` (md5 = oracle-portable, xxhash64 = fast)."""
     rows_per_band = num_hashes // bands
-    # persist: the band self-join references the signature table from both
-    # sides, and exchange reuse across AQE query-stage branches is not
-    # guaranteed — without materialization every per-shingle hash runs
-    # once per branch (measured 3x slower).  The signature table is
-    # id + num_hashes longs: tiny relative to the corpus at any scale.
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn).persist()
+    # One shingle table feeds BOTH signature generation and Jaccard
+    # verification: persisting it means the corpus is scanned, tokenized
+    # and shingled exactly once end-to-end (signatures and the band
+    # self-join recompute only cheap map-side hash transforms from the
+    # cached arrays; without materialization every per-shingle hash runs
+    # once per self-join branch — measured 3x slower).
+    sh_all = shingle_df(df, text_col, id_col, n).persist()
+    sigs = _signatures_from_shingles(sh_all, id_col, num_hashes, hash_fn)
     band_entries = sigs.select(
         id_col,
         F.explode(
@@ -272,10 +284,8 @@ def minhash_lsh_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = band_entries.alias("a")
     b = band_entries.alias("b")
-    # The candidate table is tiny (near-dup pairs) but referenced three
-    # times downstream (final join + both sides of the id union); persist
-    # it so LSH banding runs exactly once — lineage recomputation here
-    # would re-hash the whole corpus per reference.
+    # Candidate pairs: distinct (id_a, id_b) sharing any band bucket.
+    # Referenced once downstream, so no persist — banding runs once.
     cands = (
         a.join(
             b,
@@ -287,56 +297,47 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-        .persist()
     )
-    # Verify ONLY candidate docs: restrict the shingle posting lists to ids
-    # that appear in some candidate pair before the quadratic-ish
-    # intersection join — at scale the candidate set is tiny relative to
-    # the corpus, so this is the difference between O(candidates) and
-    # O(all co-shingled pairs) verification work.
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # Verify per CANDIDATE PAIR, map-side: join the pair list against the
+    # cached shingle table on each id and compute the exact Jaccard with
+    # array_intersect — O(|candidate pairs|) intersection work, zero
+    # explode and no posting-list self-join (the posting-list form costs
+    # two extra shuffles and computes intersections for every co-shingled
+    # doc pair, not just band-collision pairs).  Both joins are plain
+    # equi-joins on the id: AQE broadcasts the (tiny) pair side locally
+    # and falls back to a safe hash shuffle if candidates ever blow up.
+    sha = sh_all.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.size("__sh").cast("long").alias("size_a"),
     )
-    # Shingle arrays for candidate docs, computed once and shared by the
-    # posting-list self-join (2 refs) and the size lookup (1 ref).
-    cand_sh = shingle_df(
-        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n
-    ).persist()
-    ex = cand_sh.select(F.col(id_col), F.explode("__sh").alias("shingle"))
-    sizes = cand_sh.select(F.col(id_col), F.size("__sh").cast("long").alias("set_size"))
-    ea, eb = ex.alias("ea"), ex.alias("eb")
-    inter = (
-        ea.join(eb, F.col("ea.shingle") == F.col("eb.shingle"))
-        .where(F.col(f"ea.{id_col}") < F.col(f"eb.{id_col}"))
-        .groupBy(
-            F.col(f"ea.{id_col}").alias("id_a"), F.col(f"eb.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    shb = sh_all.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.size("__sh").cast("long").alias("size_b"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long")
     result = (
-        cands.join(inter, ["id_a", "id_b"])
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("__inter", inter)
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+                F.col("__inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("__inter")),
+                4,
             ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     # Cache lifecycle: materialize the (near-dup-pair-sized, i.e. tiny)
-    # result eagerly so the persisted intermediates can be released here
+    # result eagerly so the persisted shingle table can be released here
     # instead of leaking into the next query — at 100 TB a leaked
-    # signature table is real executor memory.
+    # corpus-sized cache is real executor memory.
     result = result.localCheckpoint(eager=True)
-    for c in (sigs, cands, cand_sh):
-        c.unpersist()
+    sh_all.unpersist()
     return result
 
 

@@ -125,10 +125,11 @@ def etl_label_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def etl_zscore(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact-stat z-score: decimal sums make the fitted mean/std
-    bit-identical across Spark and DuckDB (round-1 driver failure was a
-    1-ulp stats drift flipping round() boundary digits); ``+ 0.0`` after
-    round() folds -0.0 into +0.0 identically on both engines."""
+    """Exact-stat z-score: scaled-BIGINT sums (associative, parallelism-
+    independent) make the fitted mean/std bit-identical across Spark and
+    DuckDB (round-1 driver failure was a 1-ulp stats drift flipping
+    round() boundary digits); ``+ 0.0`` after round() folds -0.0 into
+    +0.0 identically on both engines."""
     from image_matadata_batchprocessing_aws_spark.operators.scale import zscore_scale_exact
 
     li = t(spark, sf, "lineitem")
@@ -341,14 +342,21 @@ ORACLES = {
         LEFT JOIN c2 ON l.l_linestatus = c2.v
     """,
     "etl_zscore": """
-        WITH st AS (
-          SELECT CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s_q,
-                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS ss_q,
+        WITH sc AS (
+          SELECT CAST(round(l_quantity * 10000.0) AS BIGINT) AS vq,
+                 CAST(round(l_extendedprice * 10000.0) AS BIGINT) AS vp,
+                 l_quantity, l_extendedprice
+          FROM lineitem),
+        st AS (
+          SELECT CAST(sum(vq) AS DOUBLE) / 10000.0 AS s_q,
+                 (CAST(sum((vq * vq) >> 30) AS DOUBLE) * 1073741824.0
+                  + CAST(sum((vq * vq) & 1073741823) AS DOUBLE)) / 100000000.0 AS ss_q,
                  CAST(count(l_quantity) AS DOUBLE) AS n_q,
-                 CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_p,
-                 CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS ss_p,
+                 CAST(sum(vp) AS DOUBLE) / 10000.0 AS s_p,
+                 (CAST(sum((vp * vp) >> 30) AS DOUBLE) * 1073741824.0
+                  + CAST(sum((vp * vp) & 1073741823) AS DOUBLE)) / 100000000.0 AS ss_p,
                  CAST(count(l_extendedprice) AS DOUBLE) AS n_p
-          FROM lineitem)
+          FROM sc)
         SELECT l_orderkey, l_linenumber,
                round((l_quantity - s_q / n_q)
                      / sqrt((ss_q - s_q * s_q / n_q) / (n_q - 1.0)), 4) + 0.0 AS quantity_z,
