@@ -341,6 +341,53 @@ def minhash_lsh_pairs(
     return result
 
 
+def decontamination_report(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style): flag training
+    documents that share >= ``min_hits`` distinct word ``n``-grams with
+    any document in a benchmark/eval corpus.  Returns
+    ``(id, n_hits, set_size, overlap_frac)`` per flagged doc.
+
+    Scale shape: the benchmark side is tiny relative to the training
+    corpus (thousands of eval items vs billions of docs), so its distinct
+    shingle set BROADCASTS; training shingles explode map-side, the hit
+    probe is a broadcast hash join (no shuffle of the corpus), and the
+    only shuffle is the groupBy on matched ids — bounded by matching
+    rows, not corpus size.  ``set_size`` rides along the exploded rows
+    (grouping on the functionally-dependent (id, set_size) pair), so the
+    training corpus is scanned and tokenized exactly ONCE.
+    """
+    bench_sh = (
+        shingle_df(bench_df, text_col, id_col, n)
+        .select(F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    tr = shingle_df(train_df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("set_size"),
+        F.explode("__sh").alias("shingle"),
+    )
+    return (
+        tr.join(F.broadcast(bench_sh), "shingle")
+        # shingle arrays are distinct per doc, so count(*) == distinct hits
+        .groupBy(id_col, "set_size")
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+        .select(
+            id_col,
+            "n_hits",
+            "set_size",
+            F.round(F.col("n_hits") / F.col("set_size"), 4).alias("overlap_frac"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit j is 1 iff the count of
     token-hashes with bit j set is >= half the token count (md5-derived

@@ -146,6 +146,21 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(pairs, out_id="vec_id")
 
 
+def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 4-gram
+    with a (simulated) benchmark slice — ``doc_id % 50 == 0`` stands in
+    for an eval set.  The benchmark shingle set broadcasts; the training
+    corpus is scanned once (operators/dedup.decontamination_report)."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        decontamination_report,
+    )
+
+    docs = t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return decontamination_report(train, bench, n=4, min_hits=1)
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_components": dedup_components,
@@ -156,6 +171,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_decontaminate": dedup_decontaminate,
 }
 
 
@@ -231,6 +247,27 @@ _MINHASH_ORACLE = rf"""
 
 
 ORACLES = {
+    "dedup_decontaminate": r"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(CASE WHEN len(t) >= 4
+                        THEN list_transform(range(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                        ELSE CAST([] AS VARCHAR[]) END) AS s
+               FROM toks),
+        nonempty AS (SELECT * FROM sh WHERE len(s) > 0),
+        bench AS (SELECT DISTINCT unnest(s) AS shingle FROM nonempty
+                  WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS set_size,
+                      unnest(s) AS shingle
+               FROM nonempty WHERE doc_id % 50 <> 0)
+        SELECT doc_id, count(*) AS n_hits, set_size,
+               round(count(*) / CAST(set_size AS DOUBLE), 4) AS overlap_frac
+        FROM tr JOIN bench USING (shingle)
+        GROUP BY doc_id, set_size
+        HAVING count(*) >= 1
+    """,
     "dedup_exact_groups": """
         SELECT md5(lower(trim(text))) AS text_hash,
                min(doc_id) AS canonical_id, count(*) AS n_dups

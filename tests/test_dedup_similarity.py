@@ -208,3 +208,34 @@ def test_components_random_graph_matches_union_find(spark):
     edges = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == expected
+
+
+def test_decontamination_report(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        decontamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 4-grams "alpha beta gamma delta" and
+            # "beta gamma delta epsilon" with the benchmark doc
+            (0, "alpha beta gamma delta epsilon unrelated tail words here"),
+            # no shared 4-gram (order scrambled)
+            (1, "delta gamma beta alpha zeta epsilon something else"),
+            # exact benchmark text -> every 4-gram hits
+            (2, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decontamination_report(train, bench, n=4, min_hits=1).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert rows[0].n_hits == 2 and rows[0].set_size == 6
+    assert rows[2].n_hits == 3 and rows[2].set_size == 3
+    assert rows[2].overlap_frac == 1.0
