@@ -245,12 +245,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate pairs -> exact
     Jaccard verification.  rows = bands implies num_hashes/bands hashes
     per band; the band key is a single md5 over the band's slice, so the
     bucket join shuffles small keys only.  ``hash_fn``: see
-    :func:`minhash_signatures` (md5 = oracle-portable, xxhash64 = fast)."""
+    :func:`minhash_signatures` (md5 = oracle-portable, xxhash64 = fast).
+
+    ``materialize=True`` (default) persists the shared shingle table for
+    the duration of the call, eagerly computes the (tiny) result and
+    releases the cache before returning — no cross-query memory leak.
+    ``materialize=False`` returns the fully lazy plan (for
+    ``.explain()`` inspection or callers composing their own lifecycle);
+    the shingle stage will then recompute once per downstream branch."""
     rows_per_band = num_hashes // bands
     # One shingle table feeds BOTH signature generation and Jaccard
     # verification: persisting it means the corpus is scanned, tokenized
@@ -258,7 +266,9 @@ def minhash_lsh_pairs(
     # self-join recompute only cheap map-side hash transforms from the
     # cached arrays; without materialization every per-shingle hash runs
     # once per self-join branch — measured 3x slower).
-    sh_all = shingle_df(df, text_col, id_col, n).persist()
+    sh_all = shingle_df(df, text_col, id_col, n)
+    if materialize:
+        sh_all = sh_all.persist()
     sigs = _signatures_from_shingles(sh_all, id_col, num_hashes, hash_fn)
     band_entries = sigs.select(
         id_col,
@@ -336,8 +346,9 @@ def minhash_lsh_pairs(
     # result eagerly so the persisted shingle table can be released here
     # instead of leaking into the next query — at 100 TB a leaked
     # corpus-sized cache is real executor memory.
-    result = result.localCheckpoint(eager=True)
-    sh_all.unpersist()
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        sh_all.unpersist()
     return result
 
 
