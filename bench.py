@@ -48,6 +48,9 @@ HEADLINE = [
     "sample_shuffle_docs",
     "text_line_dedup",
     "chunk_docs_overlap",
+    "q9_product_profit",
+    "dedup_decontaminate",
+    "pipeline_pretraining_corpus",
 ]
 
 
