@@ -19,14 +19,19 @@ from image_matadata_batchprocessing_aws_spark.schemas import DRIVER_TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table (``{sf_dir}/{name}.parquet``).
 
-    The ``events`` table stores TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-convert to a
-    microsecond TimestampType (``ts div 1000`` — integer division, no
-    double round-trip that would lose precision at 1e18 ns).
+    The ``events`` table stores naive (``isAdjustedToUTC=0``) parquet
+    timestamps.  Spark 4 would infer those as TIMESTAMP_NTZ, which
+    ``unix_millis`` and window functions reject; we disable NTZ inference
+    so the stored micros are read as instant-typed TIMESTAMP — with the
+    session timezone pinned to UTC (session.py) this is the exact same
+    wall-clock AND the exact same epoch value DuckDB's ``epoch_ms``
+    computes, so oracle parity is timezone-independent.  Older generators
+    wrote TIMESTAMP(NANOS), which the vectorized reader rejects; the
+    ``nanosAsLong`` + floor-convert branch keeps those readable too.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
