@@ -51,6 +51,8 @@ HEADLINE = [
     "q9_product_profit",
     "dedup_decontaminate",
     "pipeline_pretraining_corpus",
+    "text_charlm_score",
+    "text_tfidf_keywords",
 ]
 
 

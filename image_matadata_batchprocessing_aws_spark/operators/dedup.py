@@ -94,8 +94,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, __sh) with the distinct-shingle array materialized through a
     real projection boundary, so the regex tokenization runs exactly once
-    per document.  Docs with an empty shingle set are dropped (they cannot
-    near-dup by shingles).
+    per document.  Docs with an empty shingle set KEEP their row (empty
+    array) — deliberately unfiltered: a ``where(size(__sh) > 0)`` here
+    gets pushed below the projections to the scan with the whole
+    tokenize+shingle alias chain inlined as a per-row scan predicate,
+    re-running the construction several times per row.  Consumers drop
+    empties where it's free: ``explode_outer`` + null-filter on the
+    generated column (nothing to push), or a plain filter after the
+    table is persisted (pushdown stops at the cache).
 
     The input is repartitioned to full parallelism first: compact corpora
     (one parquet file => one scan partition) would otherwise run the
@@ -104,13 +110,22 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
     downstream."""
     par = df.sparkSession.sparkContext.defaultParallelism
     toked = df.repartition(par).select(F.col(id_col), tokens(text_col).alias("__toks"))
-    sh = toked.select(F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh"))
-    return sh.where(F.size("__sh") > 0)
+    return toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return shingle_df(df, text_col, id_col, n).select(
-        F.col(id_col), F.explode("__sh").alias("shingle")
+    """(id, shingle) rows; empty-shingle docs vanish.  explode_OUTER, not
+    explode: inner explode makes the optimizer infer ``size(__sh) > 0``
+    and push it — fully inlined — into the scan (see
+    :func:`shingle_df`); the outer form infers nothing, and the
+    null-filter on the GENERATED column cannot be pushed below its
+    Generate node."""
+    return (
+        shingle_df(df, text_col, id_col, n)
+        .select(F.col(id_col), F.explode_outer("__sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
 
 
@@ -219,6 +234,12 @@ def _signatures_from_shingles(
         base = lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))  # noqa: E731
     else:
         base = lambda s: md5_int32(s) % F.lit(MINHASH_PRIME)  # noqa: E731
+    # Empty shingle sets MUST drop here: array_min over an empty array is
+    # null, and all-null signatures would band every short doc into one
+    # giant false bucket.  Cheap on the persisted path (filter lands on
+    # the cache); on the lazy path it pushes into the scan (2x tokenize,
+    # still linear — see shingle_df).
+    sh = sh.where(F.size("__sh") > 0)
     based = sh.select(F.col(id_col), F.transform(F.col("__sh"), base).alias("__base"))
     a, b = minhash_params(num_hashes)
 
@@ -374,15 +395,23 @@ def decontamination_report(
     (grouping on the functionally-dependent (id, set_size) pair), so the
     training corpus is scanned and tokenized exactly ONCE.
     """
+    # explode_outer + null-filter, not explode: see _exploded_shingles —
+    # inner explode's inferred size() filter re-runs the shingle build
+    # inside the scan predicate.
     bench_sh = (
         shingle_df(bench_df, text_col, id_col, n)
-        .select(F.explode("__sh").alias("shingle"))
+        .select(F.explode_outer("__sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
         .distinct()
     )
-    tr = shingle_df(train_df, text_col, id_col, n).select(
-        F.col(id_col),
-        F.size("__sh").cast("long").alias("set_size"),
-        F.explode("__sh").alias("shingle"),
+    tr = (
+        shingle_df(train_df, text_col, id_col, n)
+        .select(
+            F.col(id_col),
+            F.size("__sh").cast("long").alias("set_size"),
+            F.explode_outer("__sh").alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
     )
     return (
         tr.join(F.broadcast(bench_sh), "shingle")

@@ -179,6 +179,127 @@ def redact(df: DataFrame, text_col: str, out: str = "redacted") -> DataFrame:
     return df.withColumns({out: cur, "n_redactions": total.cast("long")})
 
 
+def normalize_chars(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace runs to single spaces + trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Character trigrams (with multiplicity) of an ALREADY-MATERIALIZED
+    string column.  Two traps here:
+
+    - the input must be a plain column attribute, not an expression: the
+      ``transform`` lambda evaluates its argument once per element, so a
+      regex-normalization expression inlined here runs O(len) times —
+      O(len^2) total (measured 70x slowdown).  Normalize into a real
+      column first (:func:`normalize_chars` in its own ``select``).
+    - the explicit ``when`` guard matters: ``sequence(1, 0)`` counts
+      DOWN (Spark defaults to step -1 when start > stop) instead of
+      yielding an empty range, so short strings need the empty-array
+      branch, not the sequence."""
+    s = F.col(col) if isinstance(col, str) else col
+    n = F.length(s) - 2
+    return F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, 3))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def charlm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram language-model quality score (the CCNet/KenLM
+    perplexity-filter idea, self-trained on the corpus): per document,
+    the mean quantized log2-frequency of its trigrams under the corpus
+    trigram distribution.  Natural prose reuses frequent trigrams and
+    scores high; gibberish / binary junk hits rare trigrams and scores
+    low — threshold on ``charlm_bits`` to drop it.
+
+    Cross-engine exactness: float ``ln`` differs by ulps between JVM and
+    C libm, so the log2 is quantized to the integer BIT LENGTH of the
+    trigram count (``floor(log2 cnt) + 1``, via base-2 string length —
+    exact in any engine).  Integer sums are associative, so any
+    parallelism yields identical scores; the single final division is
+    the same IEEE op on both sides.
+
+    Scale shape: the model is bounded by charset^3 (~1e5-1e6 rows
+    regardless of corpus size) => BROADCAST; the per-doc explode feeds a
+    broadcast hash join and partially-aggregates map-side, so the only
+    shuffle carries ~one row per document.  The model subtree re-executes
+    once for the probe side — persist it when reusing across queries.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    norm = df.repartition(par).select(
+        F.col(id_col), normalize_chars(text_col).alias("__s")
+    )
+    tris = norm.select(F.col(id_col), char_trigrams("__s").alias("__tris"))
+    # explode_OUTER, not explode: inner explode makes the optimizer infer
+    # a size(__tris) > 0 filter and push it to the SCAN with the alias
+    # chain inlined — re-running the whole normalize+trigram build (with
+    # the regex re-evaluated per element, i.e. O(len^2)) once per row as
+    # a scan predicate.  Outer explode infers nothing; the inner join on
+    # __tri drops the null rows the outer form emits for empty arrays.
+    ex = tris.select(id_col, F.explode_outer("__tris").alias("__tri"))
+    model = ex.groupBy("__tri").agg(F.count("*").alias("__cnt"))
+    bits = F.length(F.conv(F.col("__cnt"), 10, 2)).cast("long")
+    return (
+        ex.join(F.broadcast(model), "__tri")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(bits).alias("__bits"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.round(F.col("__bits") / F.col("n_trigrams"), 4).alias("charlm_bits"),
+        )
+    )
+
+
+#: Keyword tokenization: lowercase letter runs of length >= 2.
+KEYWORD_PATTERN = r"[a-z]{2,}"
+
+
+def tfidf_keywords(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf.  The idf is the RAW
+    inverse document-frequency ratio ``N / df`` (no log): ranking by
+    ``tf * N / df`` is cross-engine exact — integer products divided
+    once, the same IEEE op in any engine — where a float ``log`` idf
+    could flip ranks between engines by an ulp.  Stopwords self-damp
+    (df ~ N drives the ratio toward tf alone).
+
+    Scale shape: tf is one hash aggregation keyed (doc, token); df is a
+    second over tf's distinct doc-token pairs, bounded by vocabulary; the
+    join back is on token (AQE broadcasts it when the vocab is small);
+    the final top-k window partitions BY DOCUMENT, so no global sort and
+    no single-partition window at any corpus size."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(KEYWORD_PATTERN), F.lit(0))
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", (F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
 def drop_common_lines(
     df: DataFrame,
     text_col: str = "text",

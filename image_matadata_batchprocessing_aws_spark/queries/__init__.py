@@ -52,10 +52,15 @@ _MODULES = [
     _search,
 ]
 
-#: Driver-green in CORRECTNESS_r01 and trivial (LIMIT/OFFSET, DISTINCT);
-#: moved below the 50-entry fold to make room for queries that have
-#: never had a driver row.
-_DEMOTED = ["etl_limit_offset", "etl_distinct_values"]
+#: Driver-green in CORRECTNESS_r01 and trivial (LIMIT/OFFSET, DISTINCT,
+#: scalar row-bytes / path functions); moved below the 50-entry fold to
+#: make room for queries that have never had a driver row.
+_DEMOTED = [
+    "etl_limit_offset",
+    "etl_distinct_values",
+    "etl_row_bytes",
+    "etl_path_ops",
+]
 
 
 def all_queries():

@@ -259,3 +259,69 @@ ORACLES["text_line_dedup"] = """
            CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_lines_dropped
     FROM flagged GROUP BY doc_id
 """
+
+
+def text_charlm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity filter, self-trained: mean quantized
+    log2 corpus-frequency of each doc's char trigrams.  The bit-length
+    quantization keeps the score integer-exact across engines (float ln
+    differs by ulps between JVM and C libm)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import charlm_score
+
+    return charlm_score(t(spark, sf, "documents"))
+
+
+def text_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 keywords per doc by tf-idf (raw-ratio idf — exact integer
+    products and one IEEE division, so ranks can't drift cross-engine)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(t(spark, sf, "documents"), k=5)
+
+
+QUERIES["text_charlm_score"] = text_charlm_score
+QUERIES["text_tfidf_keywords"] = text_tfidf_keywords
+
+# Trigrams via substring over a whitespace-normalized string; DuckDB's
+# range(a, b) is end-exclusive so range(1, greatest(len-2,0)+1) yields
+# exactly the 1..len-2 trigram starts (empty below 3 chars). bin(cnt)
+# mirrors Spark's conv(cnt, 10, 2) digit-for-digit.
+ORACLES["text_charlm_score"] = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(s) - 2, 0) + 1),
+                                   i -> substring(s, i, 3))) AS tri
+      FROM norm),
+    model AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY tri)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(CAST(sum(length(bin(m.cnt))) AS DOUBLE)
+                 / count(*), 4) AS charlm_bits
+    FROM tri t JOIN model m USING (tri)
+    GROUP BY t.doc_id
+"""
+
+ORACLES["text_tfidf_keywords"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rank, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tfidf, 4) AS tfidf
+    FROM ranked WHERE rnk <= 5
+"""

@@ -174,3 +174,65 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert len(order) == 3
     scores = {r.doc_id: r.bm25 for r in rows}
     assert scores[1] > scores[4] > 0 and scores[2] > 0
+
+
+def test_charlm_scores_natural_text_above_gibberish(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import charlm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "the dog sat on the mat"),
+            (4, "qzx jvq wkf pzy bqx"),  # trigrams shared with nothing
+            (5, "ab"),                   # < 3 chars -> no trigrams, no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in charlm_score(docs).collect()}
+    assert 5 not in out
+    assert set(out) == {1, 2, 3, 4}
+    # the three near-identical prose docs share trigrams -> high bits;
+    # the gibberish doc's trigrams are singletons -> every count is 1,
+    # bit length 1, mean exactly 1.0
+    assert out[4].charlm_bits == 1.0
+    for d in (1, 2, 3):
+        assert out[d].charlm_bits > 1.5
+    # n_trigrams = len(normalized) - 2
+    assert out[1].n_trigrams == len("the cat sat on the mat") - 2
+
+
+def test_charlm_whitespace_normalization_collapses_runs(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import charlm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a  b\t c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in charlm_score(docs).collect()}
+    # both normalize to "a b c" -> identical trigram sets and scores
+    assert out[1].n_trigrams == out[2].n_trigrams == 3
+    assert out[1].charlm_bits == out[2].charlm_bits
+
+
+def test_tfidf_keywords_rank_rare_terms_first(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common words everywhere"),
+            (3, "common words again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)[0]
+    # zebra: tf=3, df=1, N=3 -> tfidf 9.0 beats common (tf=2, df=3 -> 2.0)
+    assert top1.token == "zebra" and top1.tfidf == 9.0
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # ranks are 1..k and deterministic
+    assert [r.rank for r in sorted(by_doc[1], key=lambda r: r.rank)] == [1, 2]
