@@ -767,6 +767,103 @@ def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q12 style: late-shipment counts by priority class --------------
+#
+# The test schema has no l_shipmode / l_commitdate / l_receiptdate, so
+# lateness is the order-to-ship delay (l_shipdate vs o_orderdate; median
+# delay in the generated data is ~35 days) bucketed into delay classes,
+# which also stand in for the original's ship-mode grouping.  The
+# high/low priority split is the original's CASE-sum pivot verbatim.
+# Instant comparisons against o_orderdate + INTERVAL avoid any
+# date-truncation semantics difference between engines.
+
+
+def q12_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    bucket = (
+        F.when(F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "FAST")
+        .when(F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "NORMAL")
+        .otherwise("LATE")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("delay_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+# --- TPC-H Q20 style: dominant suppliers of selected parts ----------------
+#
+# No partsupp/ps_availqty: the supplies relation is lineitem's
+# (part, supplier) shipped volume, and a supplier "dominates" a part
+# when their shipped quantity exceeds twice the part's mean
+# per-supplier quantity — the original's availqty > 0.5 * sum(qty)
+# excess-stock threshold re-expressed over observable data (and stable
+# as supplier counts grow, unlike an absolute share cut).  Same shape:
+# per-part aggregate, threshold semi-join, supplier/nation join.
+# The comparison multiplies exact integer-ish sums cross-wise
+# (pair_qty * n_supp > 2 * part_qty) — no division, so engine parity
+# can't hinge on float quotients.
+
+
+def q20_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part").where(F.col("p_name").like("%red%")).select("p_partkey")
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pair = red.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("pair_qty"))
+    tot = pair.groupBy("l_partkey").agg(
+        F.sum("pair_qty").alias("part_qty"), F.count("*").alias("n_supp")
+    )
+    dominant = (
+        pair.join(tot, "l_partkey")
+        .where(F.col("pair_qty") * F.col("n_supp") > 2.0 * F.col("part_qty"))
+        .select("l_suppkey", "l_partkey")
+    )
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    counts = dominant.groupBy("l_suppkey").agg(F.count("*").alias("n_dominated_parts"))
+    return (
+        counts.join(s, counts.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"), "n_dominated_parts")
+    )
+
+
+# --- TPC-H Q21 style: suppliers who alone held up multi-supplier orders ---
+#
+# No l_commitdate/l_receiptdate: "kept the order waiting" is shipping
+# more than 60 days after the order date.  The original's double
+# EXISTS/NOT EXISTS correlation (another supplier in the order; no
+# other LATE supplier in the order) collapses into one per-order
+# aggregate — distinct suppliers vs distinct late suppliers — then a
+# join back to the unique late supplier.  One shuffle on the order key,
+# one on the supplier key; no correlated per-row subqueries.
+
+
+def q21_waiting_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blocking = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("late_supp")
+    s = t(spark, sf, "supplier")
+    return (
+        blocking.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(s, F.col("late_supp") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
 # --- pivot ----------------------------------------------------------------
 
 
@@ -800,6 +897,9 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q11_important_parts": q11_important_parts,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q12_late_shipments": q12_late_shipments,
+    "q20_dominant_part_suppliers": q20_dominant_part_suppliers,
+    "q21_waiting_orders": q21_waiting_orders,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_outer_agg": join_outer_agg,
@@ -822,6 +922,59 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q12_late_shipments": """
+        SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+                    WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'NORMAL'
+                    ELSE 'LATE' END AS delay_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q20_dominant_part_suppliers": """
+        WITH red AS (
+          SELECT l_partkey, l_suppkey, l_quantity
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%red%'),
+        pair AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+          FROM red GROUP BY 1, 2),
+        tot AS (
+          SELECT l_partkey, sum(pair_qty) AS part_qty, count(*) AS n_supp
+          FROM pair GROUP BY 1),
+        dominant AS (
+          SELECT l_suppkey, pair.l_partkey
+          FROM pair JOIN tot ON pair.l_partkey = tot.l_partkey
+          WHERE pair_qty * n_supp > 2.0 * part_qty),
+        counts AS (
+          SELECT l_suppkey, count(*) AS n_dominated_parts
+          FROM dominant GROUP BY 1)
+        SELECT s_name, n_name AS nation,
+               CAST(n_dominated_parts AS BIGINT) AS n_dominated_parts
+        FROM counts
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "q21_waiting_orders": """
+        WITH j AS (
+          SELECT l_orderkey, l_suppkey,
+                 (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+                 min(CASE WHEN late THEN l_suppkey END) AS late_supp
+          FROM j GROUP BY 1),
+        blocking AS (
+          SELECT late_supp FROM per_order
+          WHERE n_supp > 1 AND n_late_supp = 1)
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM blocking JOIN supplier ON late_supp = s_suppkey
+        GROUP BY s_name
+    """,
     "q2_min_cost_supplier": """
         WITH offers AS (
           SELECT p_partkey, p_brand, l_suppkey, l_extendedprice
