@@ -104,3 +104,56 @@ def test_two_pass_numbering_broadcasts_offsets(spark):
         plan = formatted_plan(q(spark, SF_CORRECT))
         assert "BroadcastHashJoin" in plan
         assert not plan_report(q(spark, SF_CORRECT))["python_in_plan"]
+
+
+def test_no_expression_construction_inlined_into_scan_filters(spark):
+    """Regression guard for the inferred-filter pushdown trap: filters on
+    (or inferred from) exploded token/shingle/trigram arrays must NOT be
+    pushed into the parquet scan with the construction chain inlined —
+    that re-runs tokenization (worst case quadratically, measured 70x on
+    the char-trigram path) once per row as a scan predicate.
+
+    Only the INFERRED filters are flagged (size/isnotnull over a
+    transform/zip_with construction — pure recomputation, zero
+    selectivity benefit).  Genuine user predicates that happen to be
+    expensive (e.g. the pipeline's quality >= 0.5 gate) are allowed to
+    push: they cut rows before the downstream shuffles, which at scale
+    outweighs evaluating the expression at the scan."""
+    import re
+
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+
+    heavy = (
+        "size(CASE WHEN",
+        "size(transform(",
+        "size(array_distinct(zip_with",
+        "isnotnull(transform(",
+        "isnotnull(zip_with(",
+        "isnotnull(array_distinct(zip_with",
+    )
+    qs = all_queries()
+    for name in (
+        "text_charlm_score",
+        "text_tfidf_keywords",
+        "dedup_decontaminate",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "pipeline_pretraining_corpus",
+    ):
+        plan = qs[name](spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+        # scan-adjacent filter lines: the FileScan's DataFilters plus any
+        # Filter node whose next line is a FileScan
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            is_scan_filter = "DataFilters: [" in line or (
+                re.search(r"\bFilter\b", line)
+                and i + 1 < len(lines)
+                and "FileScan" in lines[i + 1]
+            )
+            if not is_scan_filter:
+                continue
+            for marker in heavy:
+                assert marker not in line, (
+                    f"{name}: expression construction pushed into scan filter: "
+                    f"{line.strip()[:200]}"
+                )
