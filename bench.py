@@ -53,6 +53,7 @@ HEADLINE = [
     "pipeline_pretraining_corpus",
     "text_charlm_score",
     "text_tfidf_keywords",
+    "dedup_incremental",
 ]
 
 

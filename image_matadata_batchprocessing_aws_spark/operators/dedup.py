@@ -257,6 +257,35 @@ def _signatures_from_shingles(
     return based.select(F.col(id_col), sig.alias("signature"))
 
 
+def _band_entries(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_key) rows: one md5 over each band's signature
+    slice — the bucket join shuffles 16-byte keys, never signatures."""
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(F.col("signature"), bi * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -291,28 +320,7 @@ def minhash_lsh_pairs(
     if materialize:
         sh_all = sh_all.persist()
     sigs = _signatures_from_shingles(sh_all, id_col, num_hashes, hash_fn)
-    band_entries = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at(F.col("signature"), bi * rows_per_band + j + 1)
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    band_entries = _band_entries(sigs, id_col, bands, rows_per_band)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     # Candidate pairs: distinct (id_a, id_b) sharing any band bucket.
@@ -426,6 +434,116 @@ def decontamination_report(
             F.round(F.col("n_hits") / F.col("set_size"), 4).alias("overlap_frac"),
         )
     )
+
+
+def incremental_dedup_report(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    materialize: bool = True,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the shape a
+    continuously-ingesting pipeline actually runs (the full-corpus
+    :func:`minhash_lsh_pairs` re-pairs everything; here the corpus is
+    settled and only new-vs-corpus matches matter).  Per new doc:
+    ``status`` in ('exact_dup', 'near_dup', 'unique') and ``match_id``
+    (the minimum matching corpus doc; null when unique).
+
+    Stages, in scale order:
+
+    1. exact: content hashes both sides, equi-join on the hash (never
+       the text); exact dups exit before any shingling.
+    2. near: MinHash band keys for the remaining new docs join the
+       corpus band keys — new-side bands only ever meet corpus-side
+       bands, so the join is new x corpus, not corpus x corpus.
+       Candidates verify per pair with map-side ``array_intersect``
+       Jaccard, exactly like the full-corpus path.
+
+    At 100 TB the corpus-side shingle/signature tables are the kind of
+    thing the IVF layout does for vectors — computed once, stored
+    keyed by band (``operators/ivf.py`` pattern); here they derive
+    lazily from the corpus frame, and ``materialize=True`` persists the
+    two shingle tables for the duration of the call.
+    """
+    rows_per_band = num_hashes // bands
+    # stage 1: exact content-hash match, keep the canonical (min) corpus id
+    corp_h = (
+        corpus_df.select(content_hash(text_col).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("match_id"))
+    )
+    new_h = new_df.select(F.col(id_col), content_hash(text_col).alias("__h"))
+    exact = new_h.join(corp_h, "__h").select(
+        id_col, F.lit("exact_dup").alias("status"), "match_id"
+    )
+    rest = new_df.join(exact.select(id_col), id_col, "left_anti")
+
+    # stage 2: banded MinHash, new-vs-corpus only
+    sh_new = shingle_df(rest, text_col, id_col, n)
+    sh_corp = shingle_df(corpus_df, text_col, id_col, n)
+    if materialize:
+        sh_new = sh_new.persist()
+        sh_corp = sh_corp.persist()
+    bn = _band_entries(
+        _signatures_from_shingles(sh_new, id_col, num_hashes, hash_fn),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("new_id"), "band", "band_key")
+    bc = _band_entries(
+        _signatures_from_shingles(sh_corp, id_col, num_hashes, hash_fn),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("corp_id"), "band", "band_key")
+    cands = bn.join(bc, ["band", "band_key"]).select("new_id", "corp_id").distinct()
+    sha = sh_new.select(
+        F.col(id_col).alias("new_id"),
+        F.col("__sh").alias("__sh_a"),
+        F.size("__sh").cast("long").alias("size_a"),
+    )
+    shb = sh_corp.select(
+        F.col(id_col).alias("corp_id"),
+        F.col("__sh").alias("__sh_b"),
+        F.size("__sh").cast("long").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long")
+    near = (
+        cands.join(sha, "new_id")
+        .join(shb, "corp_id")
+        .withColumn("__inter", inter)
+        .where(
+            F.round(
+                F.col("__inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("__inter")),
+                4,
+            )
+            >= threshold
+        )
+        .groupBy("new_id")
+        .agg(F.min("corp_id").alias("match_id"))
+        .select(
+            F.col("new_id").alias(id_col),
+            F.lit("near_dup").alias("status"),
+            "match_id",
+        )
+    )
+    unique = (
+        rest.join(near.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit("unique").alias("status"),
+            F.lit(None).cast("long").alias("match_id"),
+        )
+    )
+    result = exact.unionByName(near).unionByName(unique)
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        sh_new.unpersist()
+        sh_corp.unpersist()
+    return result
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:

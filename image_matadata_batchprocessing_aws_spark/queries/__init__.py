@@ -60,6 +60,7 @@ _DEMOTED = [
     "etl_distinct_values",
     "etl_row_bytes",
     "etl_path_ops",
+    "etl_union_chunks",
 ]
 
 

@@ -80,6 +80,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: every 10th doc plays the incoming batch,
+    the rest the settled corpus.  Exact content-hash matches exit before
+    shingling; the MinHash band join is new-vs-corpus only."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        incremental_dedup_report,
+    )
+
+    docs = t(spark, sf, "documents")
+    return incremental_dedup_report(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(t(spark, sf, "documents"))
 
@@ -172,6 +188,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_incremental": dedup_incremental,
 }
 
 
@@ -334,4 +351,46 @@ ORACLES["dedup_components"] = f"""
     )
     SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS component
     FROM cc_reach GROUP BY src
+"""
+
+ORACLES["dedup_incremental"] = rf"""
+        WITH {_SHINGLES_CTE},
+        newd AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents
+                 WHERE doc_id % 10 = 0),
+        corph AS (SELECT md5(lower(trim(text))) AS ch, min(doc_id) AS match_id
+                  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        exact AS (SELECT n.doc_id, c.match_id FROM newd n JOIN corph c USING (ch)),
+        rest AS (SELECT doc_id FROM newd
+                 WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+        seeds AS (SELECT unnest(range(8)) AS seed),
+        mh AS (SELECT doc_id, seed, min({_minhash_hash_sql()}) AS h
+               FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+        bandix AS (SELECT unnest(range(4)) AS bi),
+        bands AS (SELECT doc_id, bi,
+                         md5(sig[2 * bi + 1] || '|' || sig[2 * bi + 2]) AS band_key
+                  FROM sig CROSS JOIN bandix),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corp_id
+                 FROM bands a
+                 JOIN rest r ON a.doc_id = r.doc_id
+                 JOIN bands b ON a.bi = b.bi AND a.band_key = b.band_key
+                 WHERE b.doc_id % 10 <> 0),
+        inter AS (SELECT c.new_id, c.corp_id, count(*) AS inter
+                  FROM cand c
+                  JOIN ex ea ON ea.doc_id = c.new_id
+                  JOIN ex eb ON eb.doc_id = c.corp_id AND eb.shingle = ea.shingle
+                  GROUP BY 1, 2),
+        near AS (SELECT i.new_id AS doc_id, min(i.corp_id) AS match_id
+                 FROM inter i
+                 JOIN sizes sa ON sa.doc_id = i.new_id
+                 JOIN sizes sb ON sb.doc_id = i.corp_id
+                 WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4)
+                       >= {JACCARD_THRESHOLD}
+                 GROUP BY 1)
+        SELECT doc_id, 'exact_dup' AS status, match_id FROM exact
+        UNION ALL
+        SELECT doc_id, 'near_dup' AS status, match_id FROM near
+        UNION ALL
+        SELECT doc_id, 'unique' AS status, CAST(NULL AS BIGINT) AS match_id
+        FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """

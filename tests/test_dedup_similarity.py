@@ -239,3 +239,33 @@ def test_decontamination_report(spark):
     assert rows[0].n_hits == 2 and rows[0].set_size == 6
     assert rows[2].n_hits == 3 and rows[2].set_size == 3
     assert rows[2].overlap_frac == 1.0
+
+
+def test_incremental_dedup_statuses_on_planted_batch(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        incremental_dedup_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "completely different corpus material about spark planning"),
+            (3, "the quick brown fox jumps over the lazy dog near the river"),  # dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river"),  # exact
+            (101, "the quick brown fox jumps over the lazy cat near the river"),  # near
+            (102, "entirely novel text with no relation to anything stored"),     # unique
+            (103, "xy"),                                                          # no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup_report(new, corpus).collect()}
+    assert out[100].status == "exact_dup" and out[100].match_id == 1  # min id wins
+    assert out[101].status == "near_dup" and out[101].match_id in (1, 3)
+    assert out[102].status == "unique" and out[102].match_id is None
+    assert out[103].status == "unique"
+    assert len(out) == 4  # every new doc classified exactly once
