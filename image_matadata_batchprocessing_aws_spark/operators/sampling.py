@@ -105,6 +105,68 @@ def shuffle_sql(key_expr: str, seed: str = "") -> str:
     return md5_int64_sql(f"CAST({key_expr} AS VARCHAR) || chr(31) || '{lit}'")
 
 
+def quota_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    n_per_stratum: int,
+    salt: str = "",
+    out: str = "quota_rank",
+) -> DataFrame:
+    """EXACT-size per-stratum sampling: precisely ``n_per_stratum`` rows
+    from each stratum (or all of it, if smaller), chosen by hash order —
+    the quota analogue of :func:`hash_sample_stratified`, for when the
+    spec says "exactly 10k docs per language", not "roughly 10%".
+
+    Deterministic and rerun/partitioning-stable like every sampler here;
+    NOT growth-stable (a new doc hashing into the top-N evicts the old
+    rank-N doc — inherent to any exact-quota rule).  The ranking window
+    partitions BY STRATUM, so work parallelizes across strata and no
+    single-partition window exists at any corpus size; a mega-stratum is
+    still one partition's sort — shard such strata first or fall back to
+    the fractional sampler."""
+    h = md5_int64(
+        F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+    )
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn(out, F.row_number().over(w).cast("long"))
+        .where(F.col(out) <= n_per_stratum)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    token_col: str,
+    budget: int,
+    salt: str = "",
+    out: str = "budget_used",
+) -> DataFrame:
+    """Greedy token-budget corpus selection: per stratum, take docs in
+    hash order until the cumulative token count reaches ``budget`` —
+    "fill 1B tokens per language" as one window pass.  A doc is kept iff
+    the budget has room for ALL its tokens (inclusive running sum <=
+    budget: no partial documents, matching how pretraining mixtures are
+    specified).  ``out`` reports the running total through each kept doc.
+
+    Same scale shape as :func:`quota_sample`: per-stratum window, no
+    global sort, deterministic under reruns and re-partitioning."""
+    h = md5_int64(
+        F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+    )
+    w = (
+        Window.partitionBy(strata)
+        .orderBy(h.asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(out, F.sum(token_col).over(w).cast("long"))
+        .where(F.col(out) <= budget)
+    )
+
+
 def pack_documents(
     df: DataFrame,
     token_col: str,

@@ -61,6 +61,8 @@ _DEMOTED = [
     "etl_row_bytes",
     "etl_path_ops",
     "etl_union_chunks",
+    "etl_project_cast",
+    "eval_euclidean_scalar",
 ]
 
 

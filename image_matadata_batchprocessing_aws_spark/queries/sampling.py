@@ -68,11 +68,43 @@ def sample_shuffle_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "shuffle_pos")
 
 
+QUOTA_N = 50
+TOKEN_BUDGET = 5_000
+
+
+def sample_quota_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-quota sampling: precisely 50 docs per language (hash order),
+    for specs phrased as counts rather than fractions."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import quota_sample
+
+    return quota_sample(
+        t(spark, sf, "documents"), "doc_id", "lang", QUOTA_N
+    ).select("doc_id", "lang", "quota_rank")
+
+
+def sample_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy token-budget selection: fill 5k whitespace tokens per
+    language in hash order, whole docs only — the "N tokens per language"
+    mixture spec as one per-stratum window pass."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return token_budget_select(
+        d, "doc_id", "lang", "n_tokens", TOKEN_BUDGET
+    ).select("doc_id", "lang", "n_tokens", "budget_used")
+
+
 QUERIES = {
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
     "sample_shuffle_docs": sample_shuffle_docs,
     "pack_context_windows": pack_context_windows,
+    "sample_quota_lang": sample_quota_lang,
+    "sample_token_budget": sample_token_budget,
 }
 
 
@@ -115,5 +147,29 @@ ORACLES = {
         SELECT doc_id, lang, n_tokens, pack_offset,
                CAST(floor(pack_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id
         FROM offs
+    """,
+    "sample_quota_lang": f"""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {shuffle_sql("doc_id")}, doc_id) AS quota_rank
+          FROM documents)
+        SELECT doc_id, lang, CAST(quota_rank AS BIGINT) AS quota_rank
+        FROM r WHERE quota_rank <= {QUOTA_N}
+    """,
+    "sample_token_budget": rf"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang
+                                     ORDER BY {shuffle_sql("doc_id")}, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS budget_used
+          FROM d)
+        SELECT doc_id, lang, n_tokens, CAST(budget_used AS BIGINT) AS budget_used
+        FROM s WHERE budget_used <= {TOKEN_BUDGET}
     """,
 }

@@ -93,3 +93,42 @@ def test_chunk_documents_overlap_and_tail(spark):
     # doc 2: single token -> exactly one chunk
     assert got[(2, 0)] == ("solo", 1)
     assert len(got) == 5
+
+
+def test_quota_sample_exact_counts_and_partitioning_invariance(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import quota_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_sample(docs, "doc_id", "lang", 5)
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 5 and len(by_lang["de"]) == 5
+    # small stratum: returned whole, not padded
+    tiny = quota_sample(docs.where("doc_id < 4"), "doc_id", "lang", 5)
+    assert tiny.count() == 4
+    # repartitioning must not change the selection
+    out2 = quota_sample(docs.repartition(13), "doc_id", "lang", 5)
+    got2 = {(r.lang, r.doc_id) for r in out2.collect()}
+    assert got2 == {(lang, d) for lang, ds in by_lang.items() for d in ds}
+
+
+def test_token_budget_select_whole_docs_within_budget(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [(i, "en", 10) for i in range(10)] + [(100, "de", 7), (101, "de", 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = token_budget_select(docs, "doc_id", "lang", "n_tokens", budget=35)
+    got = {r.lang: [] for r in out.collect()}
+    for r in out.collect():
+        got[r.lang].append(r)
+    # en: 10-token docs, budget 35 -> exactly 3 kept (30 <= 35 < 40)
+    assert len(got["en"]) == 3
+    assert max(r.budget_used for r in got["en"]) == 30
+    # de: 7 + 8 = 15 <= 35 -> both kept regardless of order
+    assert len(got["de"]) == 2
+    # whole docs only: no row's running total exceeds the budget
+    assert all(r.budget_used <= 35 for rs in got.values() for r in rs)
