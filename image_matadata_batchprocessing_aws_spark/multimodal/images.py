@@ -208,3 +208,64 @@ def write_image_batches(
     (``maxRecordsPerFile``), idempotent overwrite instead of mutable
     global counters (ref :31,:49-56)."""
     df.write.mode(mode).option("maxRecordsPerFile", records_per_file).parquet(path)
+
+
+def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Image format + pixel dimensions parsed from BINARY HEADERS with
+    pure Catalyst expressions — no codec, no Python, no UDF: the parse
+    runs inside whole-stage codegen at scan speed, so a 100 TB image
+    lake gets a queryable (format, width, height) catalog from one pass
+    of the first few dozen bytes per file (parquet/binaryFile scans
+    read lazily — only the accessed byte ranges of each row's column).
+
+    Fixed-offset formats are parsed exactly: PNG (IHDR big-endian 32-bit
+    at bytes 17-24), GIF87a/89a (little-endian 16-bit at 7-10), BMP
+    (little-endian 32-bit at 19-26).  JPEG dimensions live in a
+    variable-position SOF marker — that needs a real scan, so JPEG rows
+    report the format with null dims and flow to the decode UDTF
+    (:func:`decode_images`); unknown magics are labeled 'unknown'.
+
+    Big/little-endian integer extraction: ``hex()`` of a binary slice,
+    byte-order fixed by slice order, then ``conv(_, 16, 10)``.
+    """
+    c = F.col(content_col)
+    magic = F.hex(F.substring(c, 1, 8))
+
+    def be(pos: int, nbytes: int):
+        return F.conv(F.hex(F.substring(c, pos, nbytes)), 16, 10).cast("long")
+
+    def le(pos: int, nbytes: int):
+        # reverse byte order by concatenating single-byte hex slices
+        return F.conv(
+            F.concat(*[F.hex(F.substring(c, pos + i, 1)) for i in range(nbytes - 1, -1, -1)]),
+            16,
+            10,
+        ).cast("long")
+
+    fmt = (
+        F.when(magic.startswith("89504E470D0A1A0A"), "png")
+        .when(magic.startswith("474946383761") | magic.startswith("474946383961"), "gif")
+        .when(magic.startswith("424D"), "bmp")
+        .when(magic.startswith("FFD8FF"), "jpeg")
+        .otherwise("unknown")
+    )
+    width = (
+        F.when(fmt == "png", be(17, 4))
+        .when(fmt == "gif", le(7, 2))
+        .when(fmt == "bmp", le(19, 4))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    height = (
+        F.when(fmt == "png", be(21, 4))
+        .when(fmt == "gif", le(9, 2))
+        .when(fmt == "bmp", le(23, 4))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return df.withColumns(
+        {
+            "image_format": fmt,
+            "image_width": width,
+            "image_height": height,
+            "image_bytes": F.octet_length(c).cast("long"),
+        }
+    )

@@ -21,8 +21,30 @@ from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
     merge_upsert,
     write_partitioned,
 )
+from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    incremental_dedup_report,
+    minhash_lsh_pairs,
+)
+from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+    hash_sample,
+    quota_sample,
+    token_budget_select,
+)
+from image_matadata_batchprocessing_aws_spark.operators.text import (
+    charlm_score,
+    tfidf_keywords,
+)
 
 __all__ = [
+    "exact_dedup_keep_first",
+    "incremental_dedup_report",
+    "minhash_lsh_pairs",
+    "hash_sample",
+    "quota_sample",
+    "token_budget_select",
+    "charlm_score",
+    "tfidf_keywords",
     "cleanup_after_commit",
     "write_parquet_then_cleanup",
     "compact_parquet",

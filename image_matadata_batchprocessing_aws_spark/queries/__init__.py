@@ -63,6 +63,9 @@ _DEMOTED = [
     "etl_union_chunks",
     "etl_project_cast",
     "eval_euclidean_scalar",
+    # rows-only (binary fixture input) — least driver signal, so it
+    # yields its in-window slot to fully-oracled queries
+    "multimodal_image_sniff",
 ]
 
 

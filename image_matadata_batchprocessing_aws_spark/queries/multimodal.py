@@ -66,9 +66,25 @@ def multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_image_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Codec-free header catalog of the fixture ZIP's entries: format +
+    dimensions parsed from the binary headers with pure Catalyst
+    expressions (multimodal/images.sniff_image_meta).  Rows-only check
+    (binary fixture input, no SQL twin)."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
+        sniff_image_meta,
+    )
+
+    entries = scan_zip_entries(spark, _FIXTURE_ZIP)
+    return sniff_image_meta(entries).select(
+        "entry_name", "image_format", "image_width", "image_height", "image_bytes"
+    )
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_pipeline": multimodal_image_pipeline,
+    "multimodal_image_sniff": multimodal_image_sniff,
 }
 
 ORACLES = {

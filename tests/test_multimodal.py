@@ -146,3 +146,43 @@ def test_image_metadata_join_and_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert "image" in back.columns and "latitude" in back.columns
+
+
+def test_sniff_image_meta_parses_headers_without_codecs(spark):
+    import struct
+    import zlib
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import sniff_image_meta
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+    def bmp(w, h):
+        # BITMAPINFOHEADER: file header 14 bytes, then biSize + biWidth/biHeight
+        return b"BM" + b"\x00" * 12 + struct.pack("<III", 40, w, h) + b"\x00" * 20
+
+    rows = [
+        (1, bytearray(png(640, 480))),
+        (2, bytearray(gif(320, 200))),
+        (3, bytearray(bmp(1024, 768))),
+        (4, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)),  # jpeg: fmt only
+        (5, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in sniff_image_meta(df).collect()}
+    assert (out[1].image_format, out[1].image_width, out[1].image_height) == ("png", 640, 480)
+    assert (out[2].image_format, out[2].image_width, out[2].image_height) == ("gif", 320, 200)
+    assert (out[3].image_format, out[3].image_width, out[3].image_height) == ("bmp", 1024, 768)
+    assert out[4].image_format == "jpeg" and out[4].image_width is None
+    assert out[5].image_format == "unknown" and out[5].image_width is None
+    assert out[1].image_bytes == len(png(640, 480))
