@@ -375,8 +375,11 @@ def bm25_rank(
     """
     toks = tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__dl"))
+    # explode_outer: inner explode would infer a size(__t) > 0 scan filter
+    # with the tokenization inlined (re-split per row at the scan); the
+    # isin filter below drops the outer form's null rows anyway
     ex = base.select(
-        F.col(id_col), F.col("__dl"), F.explode("__t").alias("__term")
+        F.col(id_col), F.col("__dl"), F.explode_outer("__t").alias("__term")
     ).where(F.col("__term").isin(query_terms))
     tf = ex.groupBy(id_col, "__dl", "__term").agg(F.count("*").alias("__tf"))
     stats = base.agg(

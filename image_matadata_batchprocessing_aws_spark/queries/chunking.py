@@ -40,11 +40,21 @@ def chunk_documents(
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
     )
+    # posexplode_OUTER + a null-guard on the GENERATED column only: the
+    # inner form makes the optimizer infer size/non-null filters over the
+    # starts sequence, and even a `__start < __n` guard lets constraint
+    # propagation push an inferred isnotnull(__n) into the scan with the
+    # tokenization inlined (an extra full split per row at the scan).
+    # The sequence upper bound (greatest(__n - 1, 0), step `stride`)
+    # already guarantees every generated start < __n for any tokenized
+    # doc (whitespace split yields >= 1 token), so only the outer form's
+    # null row (null text) needs dropping — and a predicate on a
+    # generated column cannot be pushed below its Generate.
     ex = d.select(
         F.col(id_col),
         "__t",
-        F.posexplode(starts).alias("chunk_id", "__start"),
-    ).where(F.col("__start") < F.col("__n"))
+        F.posexplode_outer(starts).alias("chunk_id", "__start"),
+    ).where(F.col("__start").isNotNull())
     piece = F.slice(F.col("__t"), F.col("__start") + 1, F.lit(chunk_tokens))
     return ex.select(
         F.col(id_col),

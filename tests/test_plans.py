@@ -130,9 +130,18 @@ def test_no_expression_construction_inlined_into_scan_filters(spark):
         "isnotnull(transform(",
         "isnotnull(zip_with(",
         "isnotnull(array_distinct(zip_with",
+        # inferred-explode / constraint-propagation shapes over a raw
+        # tokenization (a bare size(split( also appears legitimately
+        # inside the pipeline's quality predicate, so match the
+        # null-check forms that only the optimizer generates)
+        "isnotnull(split(",
+        "isnotnull(size(split(",
+        "isnotnull(regexp_extract_all",
     )
     qs = all_queries()
     for name in (
+        "chunk_docs_overlap",
+        "search_bm25",
         "text_charlm_score",
         "text_tfidf_keywords",
         "dedup_decontaminate",
