@@ -27,6 +27,7 @@ def test_oracle_keys_subset_of_queries():
         "agg_approx_distinct",
         "multimodal_image_pipeline",
         "embedding_kmeans",  # iterative driver loop — not SQL-expressible
+        "multimodal_image_sniff",  # binary fixture input — no SQL twin
     }
 
 
