@@ -123,3 +123,48 @@ def range_join_binned(
         (F.col(fact_ts) >= F.col(start_ts)) & (F.col(fact_ts) < F.col(end_ts))
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width_seconds: int,
+) -> DataFrame:
+    """Interval-x-interval overlap join (half-open semantics:
+    ``l_start < r_end AND r_start < l_end``) as a bin equi-join —
+    the two-sided generalization of :func:`range_join_binned`, and the
+    third member of the temporal-join family (as-of, point-in-interval,
+    interval-overlap).
+
+    Both sides explode to the bins they cover; the equi-join on the bin
+    replaces the inequality nested-loop.  An overlapping pair shares
+    every bin in the intersection of its ranges, so to emit each pair
+    exactly ONCE without a distinct shuffle, a pair matches only in its
+    FIRST shared bin — ``greatest(bin(l_start), bin(r_start))``, which
+    is always inside both bin ranges when the intervals overlap.
+
+    Pick ``bin_width_seconds`` near the typical interval length: each
+    row produces ``length/bin + 1`` bin rows, and a bin containing many
+    interval starts is an ordinary hash-join hot key (AQE skew-split
+    applies).
+    """
+
+    def bin_of(c) -> Column:
+        return F.floor(F.unix_micros(c) / F.lit(bin_width_seconds * 1_000_000)).cast("long")
+
+    l = left.withColumn(
+        "__bin", F.explode(F.sequence(bin_of(F.col(l_start)), bin_of(F.col(l_end))))
+    )
+    r = right.withColumn(
+        "__bin", F.explode(F.sequence(bin_of(F.col(r_start)), bin_of(F.col(r_end))))
+    )
+    joined = l.join(r, "__bin").where(
+        (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        & (F.col("__bin") == F.greatest(bin_of(F.col(l_start)), bin_of(F.col(r_start))))
+    )
+    return joined.drop("__bin")

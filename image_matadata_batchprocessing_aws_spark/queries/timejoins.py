@@ -11,11 +11,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from image_matadata_batchprocessing_aws_spark.operators.joins import asof_join, range_join_binned
+from image_matadata_batchprocessing_aws_spark.operators.joins import (
+    asof_join,
+    interval_overlap_join_binned,
+    range_join_binned,
+)
 from image_matadata_batchprocessing_aws_spark.queries.util import t
 
 WINDOW_HOURS = 6
 ANCHOR_MOD = 500  # every ANCHOR_MOD-th event anchors a window
+PROMO_MOD, PROMO_HOURS = 97, 4
+MAINT_MOD, MAINT_HOURS = 89, 2
 
 
 def join_asof_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
@@ -59,9 +65,39 @@ def join_range_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping (promo window x maintenance window) pairs with the
+    overlap duration: interval-x-interval join via the first-shared-bin
+    equi-join — no inequality nested-loop, no distinct."""
+    ev = t(spark, sf, "events")
+    promo = ev.where(F.col("event_id") % PROMO_MOD == 0).select(
+        F.col("event_id").alias("promo_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {PROMO_HOURS} HOURS")).alias("p_end"),
+    )
+    maint = ev.where(F.col("event_id") % MAINT_MOD == 0).select(
+        F.col("event_id").alias("maint_id"),
+        F.col("ts").alias("m_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {MAINT_HOURS} HOURS")).alias("m_end"),
+    )
+    j = interval_overlap_join_binned(
+        promo, maint, "p_start", "p_end", "m_start", "m_end",
+        bin_width_seconds=PROMO_HOURS * 3600,
+    )
+    return j.select(
+        "promo_id",
+        "maint_id",
+        (
+            F.unix_micros(F.least("p_end", "m_end"))
+            - F.unix_micros(F.greatest("p_start", "m_start"))
+        ).alias("overlap_us"),
+    )
+
+
 QUERIES = {
     "join_asof_click_purchase": join_asof_click_purchase,
     "join_range_event_windows": join_range_event_windows,
+    "join_interval_overlap": join_interval_overlap,
 }
 
 ORACLES = {
@@ -80,5 +116,17 @@ ORACLES = {
         SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
         FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
         GROUP BY w.window_id
+    """,
+    "join_interval_overlap": f"""
+        WITH p AS (SELECT event_id AS promo_id, ts AS p_start,
+                          ts + INTERVAL {PROMO_HOURS} HOUR AS p_end
+                   FROM events WHERE event_id % {PROMO_MOD} = 0),
+        m AS (SELECT event_id AS maint_id, ts AS m_start,
+                     ts + INTERVAL {MAINT_HOURS} HOUR AS m_end
+              FROM events WHERE event_id % {MAINT_MOD} = 0)
+        SELECT promo_id, maint_id,
+               epoch_us(least(p_end, m_end)) - epoch_us(greatest(p_start, m_start))
+                 AS overlap_us
+        FROM p JOIN m ON p_start < m_end AND m_start < p_end
     """,
 }

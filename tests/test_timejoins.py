@@ -135,3 +135,34 @@ def test_asof_random_matches_reference_with_duplicate_ts(spark):
         )
         got = {r.lid: r.r_rid for r in out.collect()}
         assert got == expected
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    from datetime import datetime
+
+    from image_matadata_batchprocessing_aws_spark.operators.joins import (
+        interval_overlap_join_binned,
+    )
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), ts(10)), (2, ts(12), ts(13))],
+        "lid long, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts(1), ts(9)),     # nested in lid=1: shares MANY 1h bins
+            (11, ts(9, 30), ts(11)),  # overlaps lid=1 tail only
+            (12, ts(10), ts(12)),   # touches lid=1 end exactly: half-open, no overlap
+            (13, ts(20), ts(21)),   # disjoint from everything
+        ],
+        "rid long, r_start timestamp, r_end timestamp",
+    )
+    out = interval_overlap_join_binned(
+        left, right, "l_start", "l_end", "r_start", "r_end", bin_width_seconds=3600
+    ).select("lid", "rid")
+    rows = [(r.lid, r.rid) for r in out.collect()]
+    # exactly-once per overlapping pair, even for the many-shared-bin pair
+    assert sorted(rows) == [(1, 10), (1, 11)]
