@@ -63,9 +63,11 @@ _DEMOTED = [
     "etl_union_chunks",
     "etl_project_cast",
     "eval_euclidean_scalar",
-    # rows-only (binary fixture input) — least driver signal, so it
-    # yields its in-window slot to fully-oracled queries
+    # rows-only (binary fixture input / iterative k-means) — least
+    # driver signal, so they yield their in-window slots to
+    # fully-oracled queries
     "multimodal_image_sniff",
+    "embedding_semdedup",
 ]
 
 

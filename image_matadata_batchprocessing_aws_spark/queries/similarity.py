@@ -144,6 +144,26 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("cluster_id").agg(F.count("*").alias("n"))
 
 
+def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: k-means cluster the
+    corpus, near-identical pairs searched WITHIN clusters only (N^2/k
+    pair evaluations, equi-join on cluster_id), star-contraction group
+    resolution, keep-min-per-group.  Iterative k-means inside — rows-only
+    driver check; recall on planted near-copies is property-tested
+    (tests/test_semdedup.py)."""
+    from image_matadata_batchprocessing_aws_spark.operators.clustering import kmeans_train
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import semantic_dedup
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    cents, _ = kmeans_train(
+        e, k=4, vec_col="e", id_col="vec_id", max_iterations=4, tol=1e-4
+    )
+    out = semantic_dedup(e, cents, vec_col="e", id_col="vec_id", threshold=0.95)
+    return out.select("vec_id", "component", "keep")
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "label", l2_norm(as_double_array("embedding")).alias("norm")
@@ -160,6 +180,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "embedding_kmeans": embedding_kmeans,
     "embedding_stats": embedding_stats,
+    "embedding_semdedup": embedding_semdedup,
 }
 
 

@@ -28,6 +28,7 @@ def test_oracle_keys_subset_of_queries():
         "multimodal_image_pipeline",
         "embedding_kmeans",  # iterative driver loop — not SQL-expressible
         "multimodal_image_sniff",  # binary fixture input — no SQL twin
+        "embedding_semdedup",  # iterative k-means inside — rows-only
     }
 
 
