@@ -68,6 +68,7 @@ _DEMOTED = [
     # fully-oracled queries
     "multimodal_image_sniff",
     "embedding_semdedup",
+    "embedding_kmeans",
 ]
 
 
