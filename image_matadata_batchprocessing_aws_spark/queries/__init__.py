@@ -69,6 +69,9 @@ _DEMOTED = [
     "multimodal_image_sniff",
     "embedding_semdedup",
     "embedding_kmeans",
+    # same operator as the in-window sample_stratified_lang (different
+    # stratum column) — redundant driver signal
+    "sample_source_mixture",
 ]
 
 

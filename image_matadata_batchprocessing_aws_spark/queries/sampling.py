@@ -98,6 +98,23 @@ def sample_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "budget_used")
 
 
+#: Corpus-mixture weights by SOURCE (the Pile/Dolma-style move: keep
+#: curated sources whole, downsample the bulk crawl).  The synthetic
+#: corpus ships sources src0..src19; src0-src4 play the curated slice.
+#: Values are keep-fractions; >1x upsampling belongs to the training
+#: consumer (epoch repeats), not the sampler.
+SOURCE_MIX = {f"src{i}": (1.0 if i < 5 else 0.3) for i in range(20)}
+
+
+def sample_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing: per-source keep-fractions applied with the same
+    deterministic hash predicate as every sampler here — map-side only,
+    rerun/partitioning/growth-stable."""
+    return hash_sample_stratified(
+        t(spark, sf, "documents"), "doc_id", "source", SOURCE_MIX, salt="mix-v1"
+    ).select("doc_id", "source", "lang")
+
+
 QUERIES = {
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
@@ -105,6 +122,7 @@ QUERIES = {
     "pack_context_windows": pack_context_windows,
     "sample_quota_lang": sample_quota_lang,
     "sample_token_budget": sample_token_budget,
+    "sample_source_mixture": sample_source_mixture,
 }
 
 
@@ -112,6 +130,14 @@ def _stratified_threshold_sql() -> str:
     cases = " ".join(
         f"WHEN lang = '{v}' THEN {int(f * SAMPLE_DENOM)}"
         for v, f in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+def _source_mix_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{v}' THEN {int(f * SAMPLE_DENOM)}"
+        for v, f in sorted(SOURCE_MIX.items())
     )
     return f"(CASE {cases} ELSE 0 END)"
 
@@ -156,6 +182,11 @@ ORACLES = {
           FROM documents)
         SELECT doc_id, lang, CAST(quota_rank AS BIGINT) AS quota_rank
         FROM r WHERE quota_rank <= {QUOTA_N}
+    """,
+    "sample_source_mixture": f"""
+        SELECT doc_id, source, lang FROM documents
+        WHERE ({md5_int64_sql("CAST(doc_id AS VARCHAR) || chr(31) || 'mix-v1'")}
+               % {SAMPLE_DENOM}) < {_source_mix_threshold_sql()}
     """,
     "sample_token_budget": rf"""
         WITH d AS (
