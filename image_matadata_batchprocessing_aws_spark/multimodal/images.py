@@ -213,22 +213,41 @@ def write_image_batches(
 def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Image format + pixel dimensions parsed from BINARY HEADERS with
     pure Catalyst expressions — no codec, no Python, no UDF: the parse
-    runs inside whole-stage codegen at scan speed, so a 100 TB image
-    lake gets a queryable (format, width, height) catalog from one pass
-    of the first few dozen bytes per file (parquet/binaryFile scans
-    read lazily — only the accessed byte ranges of each row's column).
+    runs inside whole-stage codegen at scan speed.  The expression only
+    ever touches the first 34 bytes of each value (every offset below is
+    inside an explicit ``substring(content, 1, 34)`` prefix).  Note
+    Spark's ``binaryFile`` source still materializes each FILE in full to
+    build the content column — for a 100 TB lake, run this sniff once at
+    ingest and persist the (path, format, width, height) catalog as
+    parquet; subsequent catalog queries then never touch the blobs.
 
-    Fixed-offset formats are parsed exactly: PNG (IHDR big-endian 32-bit
-    at bytes 17-24), GIF87a/89a (little-endian 16-bit at 7-10), BMP
-    (little-endian 32-bit at 19-26).  JPEG dimensions live in a
-    variable-position SOF marker — that needs a real scan, so JPEG rows
-    report the format with null dims and flow to the decode UDTF
-    (:func:`decode_images`); unknown magics are labeled 'unknown'.
+    Fixed-offset formats parse exactly:
+
+    - PNG — IHDR big-endian 32-bit at bytes 17-24;
+    - GIF87a/89a — little-endian 16-bit at 7-10;
+    - BMP — gated on the DIB header-size field (LE 32-bit at 15-18):
+      BITMAPCOREHEADER (12) stores 16-bit dims at 19-22, all later
+      headers (40/108/124…) signed 32-bit dims at 19-26.  biHeight < 0
+      means top-down row order — magnitude is the pixel height; a
+      negative biWidth is invalid and yields null;
+    - WEBP — RIFF container, dispatched on the first chunk tag:
+      ``VP8X`` (extended: 24-bit LE canvas dims minus one at 25-30),
+      ``VP8L`` (lossless: two 14-bit fields packed after the 0x2F
+      signature byte), ``VP8 `` (lossy: 14-bit LE dims after the
+      0x9D012A start code, validated).
+
+    JPEG dimensions live in a variable-position SOF marker — that needs
+    a real scan, so JPEG rows report the format with null dims and flow
+    to the decode UDTF (:func:`decode_images`); unknown magics are
+    labeled 'unknown'.
 
     Big/little-endian integer extraction: ``hex()`` of a binary slice,
     byte-order fixed by slice order, then ``conv(_, 16, 10)``.
     """
-    c = F.col(content_col)
+    full = F.col(content_col)
+    # every parsed offset is <= 34; slicing keeps the codegen expressions
+    # over a bounded prefix no matter how large the blob is
+    c = F.substring(full, 1, 34)
     magic = F.hex(F.substring(c, 1, 8))
 
     def be(pos: int, nbytes: int):
@@ -242,30 +261,73 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             10,
         ).cast("long")
 
+    def s32(col):
+        # reinterpret an unsigned LE 32-bit read as signed int32
+        return F.when(col > 0x7FFFFFFF, col - 0x100000000).otherwise(col)
+
+    def positive_or_null(col):
+        return F.when(col > 0, col)
+
+    webp_tag = F.hex(F.substring(c, 13, 4))  # first RIFF chunk id
+    is_webp = magic.startswith("52494646") & (F.hex(F.substring(c, 9, 4)) == F.lit("57454250"))
     fmt = (
         F.when(magic.startswith("89504E470D0A1A0A"), "png")
         .when(magic.startswith("474946383761") | magic.startswith("474946383961"), "gif")
         .when(magic.startswith("424D"), "bmp")
         .when(magic.startswith("FFD8FF"), "jpeg")
+        .when(is_webp, "webp")
         .otherwise("unknown")
     )
+
+    # BMP: DIB header size decides layout; int32 dims are signed
+    dib = le(15, 4)
+    bmp_w = F.when(dib == 12, le(19, 2)).otherwise(positive_or_null(s32(le(19, 4))))
+    bmp_h = F.when(dib == 12, le(21, 2)).otherwise(positive_or_null(F.abs(s32(le(23, 4)))))
+
+    # WEBP VP8L: signature byte 0x2F at 21, then uint32 LE at 22-25 packs
+    # width-1 (bits 0-13) and height-1 (bits 14-27)
+    vp8l_ok = F.hex(F.substring(c, 21, 1)) == F.lit("2F")
+    vp8l_packed = le(22, 4)
+    vp8l_w = F.when(vp8l_ok, vp8l_packed.bitwiseAND(F.lit(0x3FFF)) + 1)
+    vp8l_h = F.when(vp8l_ok, F.shiftright(vp8l_packed, 14).bitwiseAND(F.lit(0x3FFF)) + 1)
+
+    # WEBP VP8 (lossy): keyframe start code 9D 01 2A at 24-26, then
+    # 16-bit LE fields whose low 14 bits are the dims
+    vp8_ok = F.hex(F.substring(c, 24, 3)) == F.lit("9D012A")
+    vp8_w = F.when(vp8_ok, le(27, 2).bitwiseAND(F.lit(0x3FFF)))
+    vp8_h = F.when(vp8_ok, le(29, 2).bitwiseAND(F.lit(0x3FFF)))
+
+    # WEBP VP8X: 24-bit LE canvas-width-1 / height-1 at 25-27 / 28-30
+    webp_w = (
+        F.when(webp_tag == "56503858", le(25, 3) + 1)
+        .when(webp_tag == "5650384C", vp8l_w)
+        .when(webp_tag == "56503820", vp8_w)
+    )
+    webp_h = (
+        F.when(webp_tag == "56503858", le(28, 3) + 1)
+        .when(webp_tag == "5650384C", vp8l_h)
+        .when(webp_tag == "56503820", vp8_h)
+    )
+
     width = (
         F.when(fmt == "png", be(17, 4))
         .when(fmt == "gif", le(7, 2))
-        .when(fmt == "bmp", le(19, 4))
+        .when(fmt == "bmp", bmp_w)
+        .when(fmt == "webp", webp_w)
         .otherwise(F.lit(None).cast("long"))
     )
     height = (
         F.when(fmt == "png", be(21, 4))
         .when(fmt == "gif", le(9, 2))
-        .when(fmt == "bmp", le(23, 4))
+        .when(fmt == "bmp", bmp_h)
+        .when(fmt == "webp", webp_h)
         .otherwise(F.lit(None).cast("long"))
     )
     return df.withColumns(
         {
             "image_format": fmt,
-            "image_width": width,
-            "image_height": height,
-            "image_bytes": F.octet_length(c).cast("long"),
+            "image_width": width.cast("long"),
+            "image_height": height.cast("long"),
+            "image_bytes": F.octet_length(full).cast("long"),
         }
     )

@@ -470,6 +470,14 @@ def incremental_dedup_report(
     keyed by band (``operators/ivf.py`` pattern); here they derive
     lazily from the corpus frame, and ``materialize=True`` persists the
     two shingle tables for the duration of the call.
+
+    **materialize=True executes the whole job AT CALL TIME** (eager
+    ``localCheckpoint``), pinning the result to executor-local storage —
+    that is what makes it safe to ``unpersist`` the shingle caches
+    before returning.  Call with ``materialize=False`` to get the fully
+    lazy plan instead (nothing runs until an action); the trade is that
+    each of the three status branches re-derives its shingles, and
+    nothing is pinned.
     """
     rows_per_band = num_hashes // bands
     # stage 1: exact content-hash match, keep the canonical (min) corpus id

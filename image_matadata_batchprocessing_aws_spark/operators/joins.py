@@ -94,6 +94,18 @@ def asof_join(
     )
 
 
+def _assert_no_bin_column(*dfs: DataFrame) -> None:
+    """The binned joins use ``__bin`` as a scratch column on both inputs;
+    ``withColumn`` would silently OVERWRITE a caller column of that name
+    and the trailing ``drop`` would then delete caller data."""
+    for df in dfs:
+        if "__bin" in df.columns:
+            raise ValueError(
+                "input already has a '__bin' column; rename it before "
+                "calling a binned join (the name is used internally)"
+            )
+
+
 def range_join_binned(
     facts: DataFrame,
     intervals: DataFrame,
@@ -110,6 +122,8 @@ def range_join_binned(
     length: each interval produces ``length/bin + 1`` bin rows, and each
     fact exactly one.
     """
+
+    _assert_no_bin_column(facts, intervals)
 
     def bin_of(c: Column) -> Column:
         return F.floor(F.unix_micros(c) / F.lit(bin_width_seconds * 1_000_000)).cast("long")
@@ -152,6 +166,8 @@ def interval_overlap_join_binned(
     interval starts is an ordinary hash-join hot key (AQE skew-split
     applies).
     """
+
+    _assert_no_bin_column(left, right)
 
     def bin_of(c) -> Column:
         return F.floor(F.unix_micros(c) / F.lit(bin_width_seconds * 1_000_000)).cast("long")

@@ -30,13 +30,6 @@ from image_matadata_batchprocessing_aws_spark.queries import streaming_batch as 
 from image_matadata_batchprocessing_aws_spark.queries import text as _text
 from image_matadata_batchprocessing_aws_spark.queries import timejoins as _timejoins
 
-# Registry order IS the driver's correctness-check order (first 50 entries
-# get oracle rows).  North-star families (dedup/similarity/text/timejoins/
-# sampling/multimodal/pipeline) go right after etl so every family lands
-# inside the window; streaming's stream_json_* pair (no round-1 driver
-# rows) fills the remaining slots.  relational's entries sit below the
-# fold: all were driver-verified green in CORRECTNESS_r01, as were the
-# _DEMOTED trivial etl entries below.
 _MODULES = [
     _etl,
     _dedup,
@@ -52,9 +45,70 @@ _MODULES = [
     _search,
 ]
 
-#: Driver-green in CORRECTNESS_r01 and trivial (LIMIT/OFFSET, DISTINCT,
-#: scalar row-bytes / path functions); moved below the 50-entry fold to
-#: make room for queries that have never had a driver row.
+#: Registry order IS the driver's correctness-check order: the first 50
+#: entries get oracle rows each round.  Round-3 window goal: every one of
+#: the 104 oracled queries has a driver row across rounds.  The 15 oracled
+#: queries with no r01/r02 row go first; the remaining slots re-confirm
+#: r02-greens on the regenerated testdata, preferring one representative
+#: per operator family (the dropped siblings are already driver-green and
+#: sit just below the fold).
+_WINDOW = [
+    # -- never driver-checked (locally oracle-exact, VERDICT r2 item 1) --
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_orders",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_orders",
+    "chunk_docs_overlap",
+    "search_bm25",
+    "sample_source_mixture",
+    # -- r02-green re-confirmation on regenerated testdata --
+    "etl_zscore",  # r01's one red row; keep a row every round
+    "dedup_exact_groups",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
+    "dedup_decontaminate",
+    "dedup_incremental",
+    "knn_brute_cosine",
+    "ann_lsh_bucket",
+    "ann_ivf",
+    "embedding_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_agg",
+    "text_token_bpe",
+    "text_repetition_stats",
+    "text_line_dedup",
+    "text_lang_id",
+    "text_redact",
+    "text_charlm_score",
+    "text_tfidf_keywords",
+    "join_asof_click_purchase",
+    "join_range_event_windows",
+    "join_interval_overlap",
+    "sample_hash_docs",
+    "sample_stratified_lang",
+    "sample_shuffle_docs",
+    "pack_context_windows",
+    "sample_token_budget",
+    "multimodal_binary_meta",
+    "pipeline_pretraining_corpus",
+    "stream_json_props",
+]
+
+#: Rows-only or redundant driver signal; pinned to the very end so they
+#: never displace an oracled query from the window.
 _DEMOTED = [
     "etl_limit_offset",
     "etl_distinct_values",
@@ -67,11 +121,9 @@ _DEMOTED = [
     # driver signal, so they yield their in-window slots to
     # fully-oracled queries
     "multimodal_image_sniff",
+    "multimodal_image_pipeline",
     "embedding_semdedup",
     "embedding_kmeans",
-    # same operator as the in-window sample_stratified_lang (different
-    # stratum column) — redundant driver signal
-    "sample_source_mixture",
 ]
 
 
@@ -82,9 +134,18 @@ def all_queries():
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
+    if len(_WINDOW) != 50 or len(set(_WINDOW)) != 50:
+        raise ValueError(f"_WINDOW must be 50 unique names, got {len(_WINDOW)}")
+    bad = (set(_WINDOW) | set(_DEMOTED)) - set(out)
+    if bad:
+        raise ValueError(f"unknown names in _WINDOW/_DEMOTED: {bad}")
+    if set(_WINDOW) & set(_DEMOTED):
+        raise ValueError("overlap between _WINDOW and _DEMOTED")
+    ordered = {name: out.pop(name) for name in _WINDOW}
     for name in _DEMOTED:
-        out[name] = out.pop(name)  # re-insert at the end
-    return out
+        out[name] = out.pop(name)  # re-insert at the end of the remainder
+    ordered.update(out)
+    return ordered
 
 
 def all_oracles():

@@ -168,8 +168,29 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
         return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
 
     def bmp(w, h):
-        # BITMAPINFOHEADER: file header 14 bytes, then biSize + biWidth/biHeight
-        return b"BM" + b"\x00" * 12 + struct.pack("<III", 40, w, h) + b"\x00" * 20
+        # BITMAPINFOHEADER: file header 14 bytes, then biSize + signed dims
+        return b"BM" + b"\x00" * 12 + struct.pack("<Iii", 40, w, h) + b"\x00" * 20
+
+    def bmp_core(w, h):
+        # BITMAPCOREHEADER (OS/2): biSize=12, then uint16 dims
+        return b"BM" + b"\x00" * 12 + struct.pack("<IHH", 12, w, h) + b"\x00" * 20
+
+    def webp(tag, payload):
+        body = b"WEBP" + tag + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def webp_vp8x(w, h):
+        flags = b"\x00" + b"\x00\x00\x00"
+        dims = struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        return webp(b"VP8X", flags + dims + b"\x00" * 8)
+
+    def webp_vp8l(w, h):
+        packed = (w - 1) | ((h - 1) << 14)
+        return webp(b"VP8L", b"\x2f" + struct.pack("<I", packed) + b"\x00" * 8)
+
+    def webp_vp8(w, h):
+        # 3-byte frame tag, start code, then 14-bit LE dims
+        return webp(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 8)
 
     rows = [
         (1, bytearray(png(640, 480))),
@@ -177,6 +198,12 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
         (3, bytearray(bmp(1024, 768))),
         (4, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)),  # jpeg: fmt only
         (5, bytearray(b"not an image at all")),
+        (6, bytearray(bmp(800, -600))),  # top-down BMP: negative biHeight
+        (7, bytearray(bmp_core(320, 240))),  # 12-byte OS/2 core header
+        (8, bytearray(webp_vp8x(1920, 1080))),
+        (9, bytearray(webp_vp8l(511, 257))),
+        (10, bytearray(webp_vp8(640, 360))),
+        (11, bytearray(webp(b"VP8 ", b"\x00" * 16))),  # lossy w/o start code
     ]
     df = spark.createDataFrame(rows, "id long, content binary")
     out = {r.id: r for r in sniff_image_meta(df).collect()}
@@ -186,3 +213,10 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
     assert out[4].image_format == "jpeg" and out[4].image_width is None
     assert out[5].image_format == "unknown" and out[5].image_width is None
     assert out[1].image_bytes == len(png(640, 480))
+    # signed biHeight: magnitude recovered, not 2^32-600
+    assert (out[6].image_format, out[6].image_width, out[6].image_height) == ("bmp", 800, 600)
+    assert (out[7].image_format, out[7].image_width, out[7].image_height) == ("bmp", 320, 240)
+    assert (out[8].image_format, out[8].image_width, out[8].image_height) == ("webp", 1920, 1080)
+    assert (out[9].image_format, out[9].image_width, out[9].image_height) == ("webp", 511, 257)
+    assert (out[10].image_format, out[10].image_width, out[10].image_height) == ("webp", 640, 360)
+    assert out[11].image_format == "webp" and out[11].image_width is None

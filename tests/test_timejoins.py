@@ -166,3 +166,28 @@ def test_interval_overlap_join_emits_each_pair_once(spark):
     rows = [(r.lid, r.rid) for r in out.collect()]
     # exactly-once per overlapping pair, even for the many-shared-bin pair
     assert sorted(rows) == [(1, 10), (1, 11)]
+
+
+def test_binned_joins_refuse_caller_bin_column(spark):
+    """__bin is internal scratch; a caller column of that name must raise,
+    not be silently overwritten and dropped."""
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.operators.joins import (
+        interval_overlap_join_binned,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 7)], "event_id long, ts timestamp, __bin long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T06:00:00"))],
+        "window_id long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="__bin"):
+        range_join_binned(facts, intervals, "ts", "start_ts", "end_ts", 3600)
+    with pytest.raises(ValueError, match="__bin"):
+        interval_overlap_join_binned(
+            intervals, facts.withColumnRenamed("ts", "r_end"),
+            "start_ts", "end_ts", "r_end", "r_end", 3600,
+        )
