@@ -42,14 +42,17 @@ def label_encode(
                     f"label_encode({c}): ~{approxes[c]} distincts exceeds cap {max_distinct}"
                 )
     field_type = {f.name: f.dataType for f in df.schema.fields}
+    # ONE job collects every column's distincts: collect_set does map-side
+    # partial dedup per column, so a k-column encode is guard-job +
+    # distinct-job = 2 jobs total, not k+1.  Driver memory is bounded by
+    # the cardinality guard above (collect_set drops nulls, matching the
+    # old per-column isNotNull/distinct path).
+    if cols:
+        sets = df.agg(
+            *[F.collect_set(F.col(f"`{c}`")).alias(c) for c in cols]
+        ).collect()[0]
     for c in cols:
-        vals = [
-            r[0]
-            for r in df.select(F.col(f"`{c}`").alias("__v"))
-            .where(F.col("__v").isNotNull())
-            .distinct()
-            .collect()
-        ]
+        vals = list(sets[c])
         if max_distinct is not None and len(vals) > max_distinct:
             raise ValueError(
                 f"label_encode({c}): {len(vals)} distincts exceeds cap {max_distinct}"

@@ -9,15 +9,24 @@ column) and the fill is global over each partition group.
 Scale note: a single global ordering would serialize 100 TB through one
 window partition.  The operator therefore requires ``partition_by`` keys
 for large tables (fills run per key group, parallel across groups) and
-only permits the keyless global form for dimension-sized inputs.  For a
-truly global fill at scale, the two-pass algorithm applies: per-partition
-fill via ``mapInPandas`` + a small driver-collected table of per-partition
-boundary values broadcast back — implemented by ``ffill_partitioned``.
+only permits the keyless global form for dimension-sized inputs — and
+that contract is ENFORCED, not just documented: a keyless call first
+counts at most ``global_row_cap + 1`` rows (a LIMIT-bounded job, cheap);
+past the cap, ``ffill`` auto-routes to the two-pass
+:func:`ffill_partitioned` and ``bfill`` refuses.  For a truly global
+fill at scale, the two-pass algorithm applies: per-partition fill +
+a small driver-collected table of per-partition boundary values
+broadcast back — implemented by ``ffill_partitioned``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+#: Keyless global windows serialize everything through ONE task; past this
+#: many rows the single-partition sort/spill dominates and the two-pass
+#: path wins.  Pass ``global_row_cap=None`` to opt out (test fixtures).
+GLOBAL_WINDOW_ROW_CAP = 2_000_000
 
 
 def _window(order_by: str, partition_by: list[str] | None, forward: bool):
@@ -27,13 +36,26 @@ def _window(order_by: str, partition_by: list[str] | None, forward: bool):
     return w.orderBy(F.col(order_by).asc()).rowsBetween(0, Window.unboundedFollowing)
 
 
+def _exceeds(df: DataFrame, cap: int | None) -> bool:
+    """True iff df has more than ``cap`` rows, reading at most cap+1."""
+    if cap is None:
+        return False
+    return df.limit(cap + 1).count() > cap
+
+
 def ffill(
     df: DataFrame,
     cols: list[str],
     order_by: str,
     partition_by: list[str] | None = None,
+    global_row_cap: int | None = GLOBAL_WINDOW_ROW_CAP,
 ) -> DataFrame:
-    """Forward-fill: last non-null value at-or-before this row."""
+    """Forward-fill: last non-null value at-or-before this row.
+
+    Keyless (global) calls on inputs past ``global_row_cap`` rows take the
+    two-pass :func:`ffill_partitioned` path automatically."""
+    if not partition_by and _exceeds(df, global_row_cap):
+        return ffill_partitioned(df, cols, order_by)
     w = _window(order_by, partition_by, forward=True)
     return df.withColumns({c: F.last(F.col(f"`{c}`"), ignorenulls=True).over(w) for c in cols})
 
@@ -43,8 +65,19 @@ def bfill(
     cols: list[str],
     order_by: str,
     partition_by: list[str] | None = None,
+    global_row_cap: int | None = GLOBAL_WINDOW_ROW_CAP,
 ) -> DataFrame:
-    """Backward-fill: first non-null value at-or-after this row."""
+    """Backward-fill: first non-null value at-or-after this row.
+
+    Keyless (global) calls refuse inputs past ``global_row_cap`` rows —
+    supply ``partition_by`` keys (or run :func:`ffill_partitioned` on the
+    reversed ordering)."""
+    if not partition_by and _exceeds(df, global_row_cap):
+        raise ValueError(
+            f"keyless global bfill over >{global_row_cap} rows would sort "
+            "everything in ONE window partition; pass partition_by keys, "
+            "or global_row_cap=None to insist"
+        )
     w = _window(order_by, partition_by, forward=False)
     return df.withColumns({c: F.first(F.col(f"`{c}`"), ignorenulls=True).over(w) for c in cols})
 
@@ -54,11 +87,25 @@ def ffill_bfill(
     cols: list[str],
     order_by: str,
     partition_by: list[str] | None = None,
+    global_row_cap: int | None = GLOBAL_WINDOW_ROW_CAP,
 ) -> DataFrame:
     """``ffill().bfill()`` — the reference's exact imputation order
     (``read_csv_s3_train.py:77-80``): forward first, then remaining
     leading nulls filled backward."""
-    return bfill(ffill(df, cols, order_by, partition_by), cols, order_by, partition_by)
+    if not partition_by and _exceeds(df, global_row_cap):
+        raise ValueError(
+            f"keyless global ffill_bfill over >{global_row_cap} rows would "
+            "sort everything in ONE window partition; pass partition_by "
+            "keys, or global_row_cap=None to insist"
+        )
+    # cap already checked once over the same input; don't re-count per leg
+    return bfill(
+        ffill(df, cols, order_by, partition_by, global_row_cap=None),
+        cols,
+        order_by,
+        partition_by,
+        global_row_cap=None,
+    )
 
 
 def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFrame:

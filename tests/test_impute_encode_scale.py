@@ -107,3 +107,50 @@ def test_robust_scale_resists_outliers(spark):
     ]
     assert max(z) - min(z) < 1e-6
     assert max(b.values()) - min(b.values()) > 0.5
+
+
+def test_keyless_fill_guard_routes_or_refuses(spark, monkeypatch):
+    """The keyless global-window contract is enforced in code: past the
+    row cap, ffill takes the two-pass partitioned path and bfill /
+    ffill_bfill refuse."""
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.operators import impute
+
+    df = _seq_df(spark)
+
+    routed = {}
+
+    def spy(d, cols, order_by):
+        routed["hit"] = True
+        return impute.ffill(d, cols, order_by, global_row_cap=None)
+
+    monkeypatch.setattr(impute, "ffill_partitioned", spy)
+    out = impute.ffill(df, ["v"], order_by="ord", global_row_cap=3)
+    assert routed.get("hit"), "large keyless ffill must take the two-pass path"
+    got = [r.v for r in out.orderBy("ord").collect()]
+    assert got == [None, "a", "a", "a", "b", "b"]  # same semantics either path
+
+    with pytest.raises(ValueError, match="partition_by"):
+        impute.bfill(df, ["v"], order_by="ord", global_row_cap=3)
+    with pytest.raises(ValueError, match="partition_by"):
+        impute.ffill_bfill(df, ["v"], order_by="ord", global_row_cap=3)
+    # keyed calls never count rows or refuse, whatever the size
+    keyed = impute.ffill_bfill(
+        df.withColumn("k", F.col("ord") % 2), ["v"], order_by="ord",
+        partition_by=["k"], global_row_cap=0,
+    )
+    assert keyed.count() == 6
+
+
+def test_label_encode_multi_column_one_collect_job(spark):
+    """k-column encode: codes stay global-sorted per column, and the
+    distinct collection is a single collect_set job (2 jobs total with
+    the cardinality guard), not one job per column."""
+    df = spark.createDataFrame(
+        [(1, "b", 30), (2, "a", 10), (3, "c", 20), (4, "a", None)],
+        "id long, cat string, num int",
+    )
+    out = label_encode(df, ["cat", "num"], suffix="_code")
+    got = {r.id: (r.cat_code, r.num_code) for r in out.collect()}
+    assert got == {1: (1, 2), 2: (0, 0), 3: (2, 1), 4: (0, None)}
