@@ -43,6 +43,13 @@ def _sq_l2_to_literal(vec_col, centroid: list[float]):
     )
 
 
+def nearest_sq_dist(vec_col, centroids: list[list[float]]):
+    """Squared L2 distance to the nearest literal centroid — the per-row
+    SSE contribution, as one map-side codegen expression."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array_min(F.array(*[_sq_l2_to_literal(v, c) for c in centroids]))
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -59,31 +66,21 @@ def assign_clusters(
     return df.withColumn(out, cid)
 
 
-def kmeans_train(
+def kmeans_init(
     df: DataFrame,
     k: int,
     vec_col: str = "e",
     id_col: str = "vec_id",
-    max_iterations: int = 20,
-    tol: float = 1e-6,
     salt: str = "kmeans-init",
-) -> tuple[list[list[float]], int]:
-    """Fit k centroids with Lloyd's algorithm; returns ``(centroids,
-    iterations_run)``.  Centroids are plain Python lists — broadcast-sized
-    state that downstream callers inline into :func:`assign_clusters` or
-    feed to ``similarity.ivf_assign`` as a centroid frame."""
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("kmeans_train: empty input")
-    dim = dim_row["d"]
+) -> list[list[float]]:
+    """Deterministic farthest-first init (Gonzalez k-center traversal):
+    seed 1 = the min-md5(id, salt) row (reproducible, no RNG); each next
+    seed = the point farthest from its nearest chosen seed.  One
+    map-side pass + 1-row max_by aggregate per seed — k-1 tiny jobs.
+    Unlike a pure hash sample, this cannot drop two seeds into the same
+    dense blob, so well-separated clusters each get exactly one seed."""
     if df.limit(k).count() < k:
-        raise ValueError(f"kmeans_train: k={k} exceeds input row count")
-    # Deterministic farthest-first init (Gonzalez k-center traversal):
-    # seed 1 = the min-md5(id, salt) row (reproducible, no RNG); each next
-    # seed = the point farthest from its nearest chosen seed.  One
-    # map-side pass + 1-row max_by aggregate per seed — k-1 tiny jobs.
-    # Unlike a pure hash sample, this cannot drop two seeds into the same
-    # dense blob, so well-separated clusters each get exactly one seed.
+        raise ValueError(f"kmeans_init: k={k} exceeds input row count")
     h = md5_int64(F.concat(F.col(id_col).cast("string"), F.lit("\x1f"), F.lit(salt)))
     first = (
         df.select(F.col(vec_col).alias("v"), h.alias("__h")).orderBy("__h").first()
@@ -100,6 +97,28 @@ def kmeans_train(
             .alias("p")
         ).first()
         centroids.append([float(x) for x in far["p"]["v"]])
+    return centroids
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+    salt: str = "kmeans-init",
+) -> tuple[list[list[float]], int]:
+    """Fit k centroids with Lloyd's algorithm; returns ``(centroids,
+    iterations_run)``.  Centroids are plain Python lists — broadcast-sized
+    state that downstream callers inline into :func:`assign_clusters` or
+    feed to ``similarity.ivf_assign`` as a centroid frame.  Init is the
+    deterministic :func:`kmeans_init` traversal."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_train: empty input")
+    dim = dim_row["d"]
+    centroids = kmeans_init(df, k, vec_col, id_col, salt)
 
     iterations = 0
     for _ in range(max_iterations):

@@ -69,6 +69,11 @@ _WINDOW = [
     "chunk_docs_overlap",
     "search_bm25",
     "sample_source_mixture",
+    # -- new r03: oracled invariant/fixed-centroid twins of the rows-only
+    #    kmeans/semdedup pair (VERDICT r2 item 7) --
+    "kmeans_round_update",
+    "kmeans_invariants",
+    "semdedup_fixed_centroids",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -77,7 +82,6 @@ _WINDOW = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
-    "dedup_embedding_cosine",
     "dedup_decontaminate",
     "dedup_incremental",
     "knn_brute_cosine",
@@ -91,7 +95,6 @@ _WINDOW = [
     "text_repetition_stats",
     "text_line_dedup",
     "text_lang_id",
-    "text_redact",
     "text_charlm_score",
     "text_tfidf_keywords",
     "join_asof_click_purchase",
@@ -101,7 +104,6 @@ _WINDOW = [
     "sample_stratified_lang",
     "sample_shuffle_docs",
     "pack_context_windows",
-    "sample_token_budget",
     "multimodal_binary_meta",
     "pipeline_pretraining_corpus",
     "stream_json_props",

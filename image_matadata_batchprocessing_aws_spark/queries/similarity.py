@@ -164,6 +164,124 @@ def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "component", "keep")
 
 
+CENT_MOD_KM = 100  # deterministic centroids: vec_id % 100 == 0 (5 of 500)
+SEM_THRESHOLD = 0.8  # within-cluster near-identical cosine cut
+
+
+def _fixed_centroids(e: DataFrame) -> list[list[float]]:
+    """Mod-sampled deterministic centroids, collected driver-side (k x dim
+    doubles — the same broadcast-sized state kmeans_train produces).
+    SQL-expressible, so queries built on them get FULL oracles."""
+    rows = (
+        e.where(F.col("vec_id") % CENT_MOD_KM == 0)
+        .orderBy("vec_id")
+        .select("e")
+        .collect()
+    )
+    return [[float(x) for x in r["e"]] for r in rows]
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+
+
+def kmeans_round_update(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE Lloyd round with a full oracle: deterministic mod-sampled
+    centroids, the real map-side literal-centroid assignment
+    (:func:`assign_clusters` — zero shuffle), and the real slim update
+    shuffle (groupBy + per-dimension avg, map-side partials), exactly the
+    per-round plan :func:`kmeans_train` executes.  The ITERATION is the
+    only part left to the rows-only/property-tested ``embedding_kmeans``;
+    every building block gets an exact DuckDB row here.  Output per
+    cluster: size + the updated centroid compressed to two exact scalars
+    (L2 norm and coordinate sum, round-6 both sides)."""
+    from image_matadata_batchprocessing_aws_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    e = _emb(spark, sf)
+    cents = _fixed_centroids(e)
+    dim = len(cents[0])
+    assigned = assign_clusters(e, cents, "e", "cluster_id")
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.avg(F.element_at(F.col("e"), i + 1)).alias(f"__m{i}")
+            for i in range(dim)
+        ],
+    )
+    norm_sq = None
+    coord_sum = None
+    for i in range(dim):
+        m = F.col(f"__m{i}")
+        norm_sq = m * m if norm_sq is None else norm_sq + m * m
+        coord_sum = m if coord_sum is None else coord_sum + m
+    return agg.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(norm_sq), 6).alias("centroid_norm"),
+        F.round(coord_sum, 6).alias("centroid_sum"),
+    )
+
+
+def semdedup_fixed_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with the iterative fit factored out: the full
+    cluster-bounded pipeline (map-side assignment, within-cluster pair
+    equi-join, star-contraction components, keep-min) runs on
+    deterministic mod-sampled centroids, which makes every stage
+    SQL-expressible — the driver gets an EXACT oracle row for the whole
+    semantic-dedup machinery (components via DuckDB recursive CTE).
+    ``embedding_semdedup`` keeps the kmeans-trained, rows-only variant."""
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    e = _emb(spark, sf)
+    cents = _fixed_centroids(e)
+    out = semantic_dedup(e, cents, vec_col="e", id_col="vec_id", threshold=SEM_THRESHOLD)
+    return out.select("vec_id", "component", "keep")
+
+
+def kmeans_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-checkable invariants of the FULL iterative fit: Lloyd's
+    defining property is monotone SSE improvement over its own init, and
+    the deterministic farthest-first init plus non-empty-cluster fallback
+    pin the cluster count to exactly k.  The oracle states the invariants
+    as constants (plus the SQL-computed corpus size), so a driver row
+    turns red if the iteration ever regresses — strictly stronger than
+    the rows-only check the trained variant used to carry."""
+    from image_matadata_batchprocessing_aws_spark.operators.clustering import (
+        kmeans_init,
+        kmeans_predict,
+        kmeans_train,
+        nearest_sq_dist,
+    )
+
+    K_FIT = 4
+    e = _emb(spark, sf)
+    init = kmeans_init(e, K_FIT, vec_col="e", id_col="vec_id")
+    final, _ = kmeans_train(
+        e, k=K_FIT, vec_col="e", id_col="vec_id", max_iterations=6, tol=1e-4
+    )
+    sse = e.agg(
+        F.sum(nearest_sq_dist("e", init)).alias("sse_init"),
+        F.sum(nearest_sq_dist("e", final)).alias("sse_final"),
+    )
+    sizes = (
+        kmeans_predict(e, final, "e", "cluster_id")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("k_clusters"), F.sum("n").alias("n_total"))
+    )
+    return sizes.crossJoin(sse).select(
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.col("k_clusters") <= F.lit(K_FIT)).alias("k_bounded"),
+        (F.col("sse_final") <= F.col("sse_init")).alias("sse_monotone"),
+    )
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "label", l2_norm(as_double_array("embedding")).alias("norm")
@@ -181,7 +299,24 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "embedding_stats": embedding_stats,
     "embedding_semdedup": embedding_semdedup,
+    "kmeans_round_update": kmeans_round_update,
+    "kmeans_invariants": kmeans_invariants,
+    "semdedup_fixed_centroids": semdedup_fixed_centroids,
 }
+
+# Shared CTE prefix: deterministic mod-sampled centroids (cid = dense rank
+# by vec_id, matching the collect-then-index order on the Spark side) and
+# nearest-centroid assignment by L2 with lowest-cid tie-break — the SQL
+# twin of assign_clusters over _fixed_centroids.
+_ASSIGN_CTES = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cv
+              FROM v WHERE vec_id % {CENT_MOD_KM} = 0),
+    dists AS (SELECT v.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY v.vec_id
+                                        ORDER BY list_distance(v.e, c.cv), c.cid) AS rn
+              FROM v CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, cid FROM dists WHERE rn = 1)"""
 
 
 def _proj_sql(plane: list[float]) -> str:
@@ -270,5 +405,44 @@ ORACLES = {
                round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
         FROM embeddings GROUP BY label
+    """,
+    "kmeans_round_update": f"""
+        WITH {_ASSIGN_CTES},
+        dims AS (SELECT a.cid, t.i, avg(v.e[CAST(t.i AS INT)]) AS m
+                 FROM assigned a JOIN v USING (vec_id)
+                 CROSS JOIN range(1, 65) t(i)
+                 GROUP BY a.cid, t.i),
+        upd AS (SELECT cid, sqrt(sum(m * m)) AS nrm, sum(m) AS s
+                FROM dims GROUP BY cid),
+        sz AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid)
+        SELECT CAST(sz.cid AS BIGINT) AS cluster_id, CAST(sz.n AS BIGINT) AS n,
+               round(upd.nrm, 6) AS centroid_norm, round(upd.s, 6) AS centroid_sum
+        FROM sz JOIN upd USING (cid)
+    """,
+    "semdedup_fixed_centroids": f"""
+        WITH RECURSIVE {_ASSIGN_CTES},
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a
+              JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= {SEM_THRESHOLD}),
+        edges AS (SELECT id_a AS ea, id_b AS eb FROM p
+                  UNION ALL SELECT id_b AS ea, id_a AS eb FROM p),
+        reach(src, node) AS (
+            SELECT ea AS src, ea AS node FROM edges
+            UNION
+            SELECT r.src, g.eb FROM reach r JOIN edges g ON r.node = g.ea),
+        comp AS (SELECT src AS vec_id, min(node) AS component
+                 FROM reach GROUP BY src)
+        SELECT v.vec_id,
+               CAST(coalesce(c.component, v.vec_id) AS BIGINT) AS component,
+               v.vec_id = coalesce(c.component, v.vec_id) AS keep
+        FROM v LEFT JOIN comp c ON v.vec_id = c.vec_id
+    """,
+    "kmeans_invariants": """
+        SELECT (SELECT count(*) FROM embeddings) AS n_total,
+               TRUE AS k_bounded,
+               TRUE AS sse_monotone
     """,
 }
