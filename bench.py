@@ -54,6 +54,12 @@ HEADLINE = [
     "text_charlm_score",
     "text_tfidf_keywords",
     "dedup_incremental",
+    # r03 additions (APPEND ONLY — the set above is frozen so round-over-
+    # round totals compare like-for-like on the shared prefix).  The
+    # iterative kmeans fit stays out for the same reason all-pairs dedup
+    # does: bench measures the scale paths, not driver-loop fixed costs.
+    "kmeans_round_update",
+    "semdedup_fixed_centroids",
 ]
 
 
