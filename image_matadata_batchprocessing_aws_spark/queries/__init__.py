@@ -74,6 +74,7 @@ _WINDOW = [
     "kmeans_round_update",
     "kmeans_invariants",
     "semdedup_fixed_centroids",
+    "multimodal_sniff_roundtrip",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -102,7 +103,6 @@ _WINDOW = [
     "join_interval_overlap",
     "sample_hash_docs",
     "sample_stratified_lang",
-    "sample_shuffle_docs",
     "pack_context_windows",
     "multimodal_binary_meta",
     "pipeline_pretraining_corpus",

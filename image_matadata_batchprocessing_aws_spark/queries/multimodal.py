@@ -81,15 +81,88 @@ def multimodal_image_sniff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S9 with a FULL oracle: per document, synthesize a real image
+    header (PNG / GIF / classic BMP / top-down negative-height BMP /
+    WEBP-VP8L, chosen by ``doc_id % 5``, dimensions from doc_id
+    arithmetic) as a binary column with pure expressions, then run the
+    production header sniffer over it.  The DuckDB twin never touches
+    bytes — it recomputes the expected (format, width, height, size)
+    directly from the same arithmetic, so any error in the parse
+    expressions (endianness, offsets, BMP sign recovery, VP8L bit
+    unpacking) turns the driver row red.  Complements the rows-only
+    fixture-ZIP sniff, which covers the binaryFile/ZIP input path."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
+        sniff_image_meta,
+    )
+
+    def be_hex(col, nbytes: int):
+        return F.lpad(F.hex(col), nbytes * 2, "0")
+
+    def le_hex(col, nbytes: int):
+        be = F.lpad(F.hex(col), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    d = t(spark, sf, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    w = (F.col("doc_id") % 800 + 1).cast("long")
+    h = ((F.col("doc_id") * 7) % 600 + 1).cast("long")
+    neg_h = F.lit(4294967296).cast("long") - h  # two's-complement top-down
+    vp8l_packed = (w - 1) + (h - 1) * 16384  # width-1 | (height-1)<<14
+    hexstr = (
+        F.when(m == 0, F.concat(
+            F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            be_hex(w, 4), be_hex(h, 4),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("474946383961"), le_hex(w, 2), le_hex(h, 2),
+        ))
+        .when(m == 2, F.concat(
+            F.lit("424D" + "00" * 12 + "28000000"), le_hex(w, 4), le_hex(h, 4),
+        ))
+        .when(m == 3, F.concat(
+            F.lit("424D" + "00" * 12 + "28000000"), le_hex(w, 4), le_hex(neg_h, 4),
+        ))
+        .otherwise(F.concat(
+            F.lit("52494646" + "11000000" + "57454250" + "5650384C" + "05000000" + "2F"),
+            le_hex(vp8l_packed, 4),
+        ))
+    )
+    built = d.withColumn("content", F.unhex(hexstr))
+    return sniff_image_meta(built).select(
+        "doc_id", "image_format", "image_width", "image_height", "image_bytes"
+    )
+
+
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_pipeline": multimodal_image_pipeline,
     "multimodal_image_sniff": multimodal_image_sniff,
+    "multimodal_sniff_roundtrip": multimodal_sniff_roundtrip,
 }
 
 ORACLES = {
     "multimodal_binary_meta": """
         SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
         FROM documents
+    """,
+    # Independent recomputation: expected catalog values from the same
+    # doc_id arithmetic, no byte construction or parsing — the Spark side
+    # must build AND parse the headers correctly to match.
+    "multimodal_sniff_roundtrip": """
+        WITH s AS (SELECT doc_id, doc_id % 5 AS m,
+                          CAST(doc_id % 800 + 1 AS BIGINT) AS w,
+                          CAST((doc_id * 7) % 600 + 1 AS BIGINT) AS h
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
+                    WHEN m IN (2, 3) THEN 'bmp' ELSE 'webp' END AS image_format,
+               w AS image_width,
+               h AS image_height,
+               CAST(CASE WHEN m = 0 THEN 24 WHEN m = 1 THEN 10
+                         WHEN m IN (2, 3) THEN 26 ELSE 25 END AS BIGINT) AS image_bytes
+        FROM s
     """,
 }
