@@ -167,6 +167,56 @@ def token_budget_select(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+    out: str = "wkey",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``n`` rows
+    (Efraimidis–Spirakis A-Res, public algorithm): each row draws a
+    deterministic uniform u from ``md5(key, salt)`` and ranks by
+    ``ln(u) / weight`` descending — inclusion probability proportional
+    to weight, no replacement, one pass.
+
+    Scale shape: the rank key is a pure map-side expression and the
+    global top-n plans as ``TakeOrderedAndProject`` (per-partition
+    partial top-n, then a driver-side merge of n-row heads) — no global
+    sort, no single-partition window.  Deterministic under reruns and
+    re-partitioning like every sampler here; the key is ``round(_, 12)``
+    with the row key as tiebreak so the cutoff is engine-portable.
+    Weights must be > 0 (rows with null/non-positive weight are
+    dropped, matching "a zero-weight doc is never sampled")."""
+    h = md5_int64(
+        F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+    )
+    # u in (0, 1]: +1 keeps ln() finite at the h % D == -? floor; md5_int64
+    # is non-negative so h % D is in [0, D)
+    u = (h % SAMPLE_DENOM + 1) / F.lit(float(SAMPLE_DENOM + 1))
+    wkey = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(out, wkey)
+        .orderBy(F.col(out).desc(), F.col(key).asc())
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    key_expr: str, weight_expr: str, n: int, salt: str = ""
+) -> str:
+    """DuckDB ORDER BY/LIMIT twin of :func:`weighted_sample`'s ranking
+    (returns the ORDER BY ... LIMIT suffix operand expressions)."""
+    lit = salt.replace("'", "''")
+    h = md5_int64_sql(f"CAST({key_expr} AS VARCHAR) || chr(31) || '{lit}'")
+    return (
+        f"round(ln((({h}) % {SAMPLE_DENOM} + 1) / {float(SAMPLE_DENOM + 1)!r}) "
+        f"/ ({weight_expr}), 12)"
+    )
+
+
 def pack_documents(
     df: DataFrame,
     token_col: str,

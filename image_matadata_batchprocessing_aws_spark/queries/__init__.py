@@ -75,6 +75,7 @@ _WINDOW = [
     "kmeans_invariants",
     "semdedup_fixed_centroids",
     "multimodal_sniff_roundtrip",
+    "sample_weighted",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -85,7 +86,6 @@ _WINDOW = [
     "dedup_embedding_lsh",
     "dedup_decontaminate",
     "dedup_incremental",
-    "knn_brute_cosine",
     "ann_lsh_bucket",
     "ann_ivf",
     "embedding_stats",

@@ -20,6 +20,7 @@ from image_matadata_batchprocessing_aws_spark.operators.sampling import (
     sample_predicate_sql,
     shuffle_deterministic,
     shuffle_sql,
+    weighted_sample_sql,
 )
 from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
 from image_matadata_batchprocessing_aws_spark.operators.text import token_count
@@ -115,6 +116,23 @@ def sample_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source", "lang")
 
 
+WEIGHTED_N = 200
+
+
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted corpus sampling: exactly 200 docs drawn WITHOUT
+    replacement with probability proportional to n_chars
+    (Efraimidis-Spirakis A-Res over a deterministic md5 uniform) — the
+    "prefer long documents" selection move, rerun/partitioning-stable,
+    planned as a distributed partial top-n (TakeOrderedAndProject)."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", WEIGHTED_N, salt="wsample-v1")
+
+
 QUERIES = {
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
@@ -123,6 +141,7 @@ QUERIES = {
     "sample_quota_lang": sample_quota_lang,
     "sample_token_budget": sample_token_budget,
     "sample_source_mixture": sample_source_mixture,
+    "sample_weighted": sample_weighted,
 }
 
 
@@ -187,6 +206,14 @@ ORACLES = {
         SELECT doc_id, source, lang FROM documents
         WHERE ({md5_int64_sql("CAST(doc_id AS VARCHAR) || chr(31) || 'mix-v1'")}
                % {SAMPLE_DENOM}) < {_source_mix_threshold_sql()}
+    """,
+    "sample_weighted": f"""
+        WITH k AS (
+          SELECT doc_id, lang, n_chars,
+                 {weighted_sample_sql("doc_id", "n_chars", WEIGHTED_N, "wsample-v1")} AS wkey
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, lang, n_chars, wkey FROM k
+        ORDER BY wkey DESC, doc_id ASC LIMIT {WEIGHTED_N}
     """,
     "sample_token_budget": rf"""
         WITH d AS (

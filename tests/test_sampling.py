@@ -132,3 +132,29 @@ def test_token_budget_select_whole_docs_within_budget(spark):
     assert len(got["de"]) == 2
     # whole docs only: no row's running total exceeds the budget
     assert all(r.budget_used <= 35 for rs in got.values() for r in rs)
+
+
+def test_weighted_sample_deterministic_exact_n_and_weight_sensitive(spark):
+    """A-Res weighted sampling: exactly n rows, stable under
+    re-partitioning, a dominant weight is always selected, zero/negative
+    weights never are, and the global top-n plans as a distributed
+    TakeOrderedAndProject (no global sort, no single-partition window)."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 10.0) for i in range(500)]
+    rows.append((900, 1e12))  # dominant weight: p(excluded) astronomically small
+    rows.append((901, 0.0))   # never sampled
+    rows.append((902, -5.0))  # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "doc_id", "w", 50, salt="s1")
+    got = {r.doc_id for r in out.collect()}
+    assert len(got) == 50
+    assert 900 in got and 901 not in got and 902 not in got
+    again = {r.doc_id for r in weighted_sample(df.repartition(17), "doc_id", "w", 50, salt="s1").collect()}
+    assert again == got
+    other = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 50, salt="s2").collect()}
+    assert other != got  # independent draw under a different salt
+    plan = weighted_sample(df, "doc_id", "w", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
