@@ -236,17 +236,23 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
       signature byte), ``VP8 `` (lossy: 14-bit LE dims after the
       0x9D012A start code, validated).
 
-    JPEG dimensions live in a variable-position SOF marker — that needs
-    a real scan, so JPEG rows report the format with null dims and flow
-    to the decode UDTF (:func:`decode_images`); unknown magics are
-    labeled 'unknown'.
+    JPEG dimensions live in a variable-position SOF marker, so they get
+    a BOUNDED SEGMENT WALK instead of a fixed offset: ``F.aggregate``
+    over a constant step sequence carries (position, dims, done) through
+    up to 12 marker segments of a 4 KiB prefix — still a single JVM-side
+    expression (higher-order functions evaluate iteratively at runtime,
+    so the walk cannot blow up the plan the way an unrolled when-chain
+    would).  A SOF marker past the prefix or segment budget degrades to
+    null dims (the row still reports ``format='jpeg'`` and can flow to
+    the decode UDTF, :func:`decode_images`); unknown magics are labeled
+    'unknown'.
 
     Big/little-endian integer extraction: ``hex()`` of a binary slice,
     byte-order fixed by slice order, then ``conv(_, 16, 10)``.
     """
     full = F.col(content_col)
-    # every parsed offset is <= 34; slicing keeps the codegen expressions
-    # over a bounded prefix no matter how large the blob is
+    # every fixed-offset parse is <= byte 34; slicing keeps the codegen
+    # expressions over a bounded prefix no matter how large the blob is
     c = F.substring(full, 1, 34)
     magic = F.hex(F.substring(c, 1, 8))
 
@@ -297,6 +303,47 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     vp8_w = F.when(vp8_ok, le(27, 2).bitwiseAND(F.lit(0x3FFF)))
     vp8_h = F.when(vp8_ok, le(29, 2).bitwiseAND(F.lit(0x3FFF)))
 
+    # JPEG: walk marker segments (FF mm LEN...) from byte 3 until a
+    # start-of-frame marker (dims at +5/+7 past the segment start) or the
+    # segment/prefix budget runs out.  The accumulator rides through
+    # F.aggregate, so the 12-step walk is iterative at runtime.
+    jpeg_prefix = F.substring(full, 1, 4096)
+
+    def jbyte(pos):
+        return F.conv(F.hex(jpeg_prefix.substr(pos, F.lit(1))), 16, 10).cast("long")
+
+    def jbe16(pos):
+        return F.conv(F.hex(jpeg_prefix.substr(pos, F.lit(2))), 16, 10).cast("long")
+
+    _SOF_MARKERS = [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+
+    def _jpeg_step(acc, _):
+        pos = acc["pos"]
+        done = acc["done"]
+        is_ff = jbyte(pos) == 0xFF
+        is_sof = is_ff & jbyte(pos + 1).isin(_SOF_MARKERS)
+        new_done = done | is_sof | ~is_ff
+        return F.struct(
+            F.when(new_done, pos).otherwise(pos + 2 + jbe16(pos + 2)).alias("pos"),
+            F.when(~done & is_sof, jbe16(pos + 7)).otherwise(acc["w"]).alias("w"),
+            F.when(~done & is_sof, jbe16(pos + 5)).otherwise(acc["h"]).alias("h"),
+            new_done.alias("done"),
+        )
+
+    jpeg_walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(12)),
+        F.struct(
+            F.lit(3).cast("long").alias("pos"),
+            F.lit(None).cast("long").alias("w"),
+            F.lit(None).cast("long").alias("h"),
+            F.lit(False).alias("done"),
+        ),
+        _jpeg_step,
+    )
+    jpeg_w = jpeg_walk["w"]
+    jpeg_h = jpeg_walk["h"]
+
     # WEBP VP8X: 24-bit LE canvas-width-1 / height-1 at 25-27 / 28-30
     webp_w = (
         F.when(webp_tag == "56503858", le(25, 3) + 1)
@@ -314,6 +361,7 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(fmt == "gif", le(7, 2))
         .when(fmt == "bmp", bmp_w)
         .when(fmt == "webp", webp_w)
+        .when(fmt == "jpeg", jpeg_w)
         .otherwise(F.lit(None).cast("long"))
     )
     height = (
@@ -321,6 +369,7 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(fmt == "gif", le(9, 2))
         .when(fmt == "bmp", bmp_h)
         .when(fmt == "webp", webp_h)
+        .when(fmt == "jpeg", jpeg_h)
         .otherwise(F.lit(None).cast("long"))
     )
     return df.withColumns(

@@ -84,14 +84,15 @@ def multimodal_image_sniff(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S9 with a FULL oracle: per document, synthesize a real image
     header (PNG / GIF / classic BMP / top-down negative-height BMP /
-    WEBP-VP8L, chosen by ``doc_id % 5``, dimensions from doc_id
-    arithmetic) as a binary column with pure expressions, then run the
-    production header sniffer over it.  The DuckDB twin never touches
-    bytes — it recomputes the expected (format, width, height, size)
-    directly from the same arithmetic, so any error in the parse
-    expressions (endianness, offsets, BMP sign recovery, VP8L bit
-    unpacking) turns the driver row red.  Complements the rows-only
-    fixture-ZIP sniff, which covers the binaryFile/ZIP input path."""
+    WEBP-VP8L / JPEG-with-APP0, chosen by ``doc_id % 6``, dimensions
+    from doc_id arithmetic) as a binary column with pure expressions,
+    then run the production header sniffer over it.  The DuckDB twin
+    never touches bytes — it recomputes the expected (format, width,
+    height, size) directly from the same arithmetic, so any error in
+    the parse expressions (endianness, offsets, BMP sign recovery, VP8L
+    bit unpacking, the JPEG SOF segment walk) turns the driver row red.
+    Complements the rows-only fixture-ZIP sniff, which covers the
+    binaryFile/ZIP input path."""
     from image_matadata_batchprocessing_aws_spark.multimodal.images import (
         sniff_image_meta,
     )
@@ -106,7 +107,7 @@ def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     d = t(spark, sf, "documents").select("doc_id")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     w = (F.col("doc_id") % 800 + 1).cast("long")
     h = ((F.col("doc_id") * 7) % 600 + 1).cast("long")
     neg_h = F.lit(4294967296).cast("long") - h  # two's-complement top-down
@@ -125,9 +126,15 @@ def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .when(m == 3, F.concat(
             F.lit("424D" + "00" * 12 + "28000000"), le_hex(w, 4), le_hex(neg_h, 4),
         ))
-        .otherwise(F.concat(
+        .when(m == 4, F.concat(
             F.lit("52494646" + "11000000" + "57454250" + "5650384C" + "05000000" + "2F"),
             le_hex(vp8l_packed, 4),
+        ))
+        # JPEG: SOI + APP0(len 16) + SOF0(precision 8, h, w) — the SOF
+        # walk must hop the APP0 segment to find the dims
+        .otherwise(F.concat(
+            F.lit("FFD8" + "FFE0" + "0010" + "00" * 14 + "FFC0" + "0011" + "08"),
+            be_hex(h, 2), be_hex(w, 2),
         ))
     )
     built = d.withColumn("content", F.unhex(hexstr))
@@ -152,17 +159,19 @@ ORACLES = {
     # doc_id arithmetic, no byte construction or parsing — the Spark side
     # must build AND parse the headers correctly to match.
     "multimodal_sniff_roundtrip": """
-        WITH s AS (SELECT doc_id, doc_id % 5 AS m,
+        WITH s AS (SELECT doc_id, doc_id % 6 AS m,
                           CAST(doc_id % 800 + 1 AS BIGINT) AS w,
                           CAST((doc_id * 7) % 600 + 1 AS BIGINT) AS h
                    FROM documents)
         SELECT doc_id,
                CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
-                    WHEN m IN (2, 3) THEN 'bmp' ELSE 'webp' END AS image_format,
+                    WHEN m IN (2, 3) THEN 'bmp' WHEN m = 4 THEN 'webp'
+                    ELSE 'jpeg' END AS image_format,
                w AS image_width,
                h AS image_height,
                CAST(CASE WHEN m = 0 THEN 24 WHEN m = 1 THEN 10
-                         WHEN m IN (2, 3) THEN 26 ELSE 25 END AS BIGINT) AS image_bytes
+                         WHEN m IN (2, 3) THEN 26 WHEN m = 4 THEN 25
+                         ELSE 29 END AS BIGINT) AS image_bytes
         FROM s
     """,
 }

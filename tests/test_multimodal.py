@@ -192,6 +192,13 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
         # 3-byte frame tag, start code, then 14-bit LE dims
         return webp(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 8)
 
+    def jpeg_seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def jpeg(w, h, pre_segments=(), sof_marker=0xC0):
+        sof = struct.pack(">BHH", 8, h, w) + b"\x03" + b"\x00" * 9
+        return b"\xff\xd8" + b"".join(pre_segments) + jpeg_seg(sof_marker, sof)
+
     rows = [
         (1, bytearray(png(640, 480))),
         (2, bytearray(gif(320, 200))),
@@ -204,6 +211,18 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
         (9, bytearray(webp_vp8l(511, 257))),
         (10, bytearray(webp_vp8(640, 360))),
         (11, bytearray(webp(b"VP8 ", b"\x00" * 16))),  # lossy w/o start code
+        # JPEG SOF walk: bare SOF0, EXIF-style skipped APP segments
+        # (pushing SOF past the 34-byte fixed prefix), progressive SOF2,
+        # and a truncated stream that must degrade to null dims
+        (12, bytearray(jpeg(1600, 1200))),
+        (13, bytearray(jpeg(320, 240, pre_segments=(
+            jpeg_seg(0xE0, b"JFIF\x00" + b"\x00" * 11),
+            jpeg_seg(0xE1, b"Exif\x00\x00" + b"\x00" * 60),
+            jpeg_seg(0xDB, b"\x00" * 65),
+        )))),
+        (14, bytearray(jpeg(12, 7, pre_segments=(jpeg_seg(0xC4, b"\x00" * 20),),
+                            sof_marker=0xC2))),
+        (15, bytearray(b"\xff\xd8\xff\xe0\x00\x00" + b"\x00" * 20)),
     ]
     df = spark.createDataFrame(rows, "id long, content binary")
     out = {r.id: r for r in sniff_image_meta(df).collect()}
@@ -220,3 +239,10 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
     assert (out[9].image_format, out[9].image_width, out[9].image_height) == ("webp", 511, 257)
     assert (out[10].image_format, out[10].image_width, out[10].image_height) == ("webp", 640, 360)
     assert out[11].image_format == "webp" and out[11].image_width is None
+    assert (out[12].image_format, out[12].image_width, out[12].image_height) == ("jpeg", 1600, 1200)
+    # SOF sits past the 34-byte fixed prefix: the segment walk finds it
+    assert (out[13].image_format, out[13].image_width, out[13].image_height) == ("jpeg", 320, 240)
+    # DHT (C4) is NOT a SOF marker; progressive SOF2 is
+    assert (out[14].image_format, out[14].image_width, out[14].image_height) == ("jpeg", 12, 7)
+    # truncated stream: format sniffed, dims degrade to null
+    assert out[15].image_format == "jpeg" and out[15].image_width is None
