@@ -165,7 +165,12 @@ def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 CENT_MOD_KM = 100  # deterministic centroids: vec_id % 100 == 0 (5 of 500)
-SEM_THRESHOLD = 0.8  # within-cluster near-identical cosine cut
+#: Within-cluster pair cut.  The synthetic embeddings carry no planted
+#: near-copies, so production-style 0.95 yields ZERO pairs and the
+#: components/keep stages would never run — 0.3 densifies the graph into
+#: real multi-member groups (same move as dedup_components'
+#: CC_COSINE_THRESHOLD) so the oracle exercises the whole pipeline.
+SEM_THRESHOLD = 0.3
 
 
 def _fixed_centroids(e: DataFrame) -> list[list[float]]:
