@@ -244,8 +244,11 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     so the walk cannot blow up the plan the way an unrolled when-chain
     would).  A SOF marker past the prefix or segment budget degrades to
     null dims (the row still reports ``format='jpeg'`` and can flow to
-    the decode UDTF, :func:`decode_images`); unknown magics are labeled
-    'unknown'.
+    the decode UDTF, :func:`decode_images`).  TIFF (both ``II`` and
+    ``MM`` byte orders) rides the same pattern: follow the IFD offset,
+    then walk up to 32 directory entries for the ImageWidth/ImageLength
+    tags (0x0100/0x0101, SHORT or LONG, left-justified value field).
+    Unknown magics are labeled 'unknown'.
 
     Big/little-endian integer extraction: ``hex()`` of a binary slice,
     byte-order fixed by slice order, then ``conv(_, 16, 10)``.
@@ -276,12 +279,15 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 
     webp_tag = F.hex(F.substring(c, 13, 4))  # first RIFF chunk id
     is_webp = magic.startswith("52494646") & (F.hex(F.substring(c, 9, 4)) == F.lit("57454250"))
+    is_tiff_le = magic.startswith("49492A00")
+    is_tiff_be = magic.startswith("4D4D002A")
     fmt = (
         F.when(magic.startswith("89504E470D0A1A0A"), "png")
         .when(magic.startswith("474946383761") | magic.startswith("474946383961"), "gif")
         .when(magic.startswith("424D"), "bmp")
         .when(magic.startswith("FFD8FF"), "jpeg")
         .when(is_webp, "webp")
+        .when(is_tiff_le | is_tiff_be, "tiff")
         .otherwise("unknown")
     )
 
@@ -344,6 +350,52 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     jpeg_w = jpeg_walk["w"]
     jpeg_h = jpeg_walk["h"]
 
+    # TIFF: header gives the IFD offset; the IFD is a counted table of
+    # 12-byte entries (tag, type, count, value) — walk up to 32 entries
+    # for ImageWidth (0x0100) / ImageLength (0x0101).  SHORT(3)/LONG(4)
+    # values are left-justified in the 4-byte value field, so a 16- or
+    # 32-bit read at entry+8 in the file's byte order is the value.
+    tiff_prefix = F.substring(full, 1, 4096)
+
+    def _tiff_walk(little: bool):
+        def rd(pos, nbytes: int):
+            h = F.hex(tiff_prefix.substr(pos, F.lit(nbytes)))
+            if little:
+                h = F.concat(
+                    *[F.substring(h, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+                )
+            return F.conv(h, 16, 10).cast("long")
+
+        ifd = rd(F.lit(5), 4) + 1  # 0-based file offset -> 1-based pos
+        n_entries = rd(ifd, 2)
+
+        def step(acc, i):
+            epos = ifd + 2 + (i - 1) * 12
+            valid = i <= n_entries
+            tag = rd(epos, 2)
+            typ = rd(epos + 2, 2)
+            val = F.when(typ == 3, rd(epos + 8, 2)).when(typ == 4, rd(epos + 8, 4))
+            return F.struct(
+                F.when(valid & (tag == 0x0100) & acc["w"].isNull(), val)
+                .otherwise(acc["w"]).alias("w"),
+                F.when(valid & (tag == 0x0101) & acc["h"].isNull(), val)
+                .otherwise(acc["h"]).alias("h"),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(32)),
+            F.struct(
+                F.lit(None).cast("long").alias("w"),
+                F.lit(None).cast("long").alias("h"),
+            ),
+            step,
+        )
+
+    tiff_le_walk = _tiff_walk(little=True)
+    tiff_be_walk = _tiff_walk(little=False)
+    tiff_w = F.when(is_tiff_le, tiff_le_walk["w"]).when(is_tiff_be, tiff_be_walk["w"])
+    tiff_h = F.when(is_tiff_le, tiff_le_walk["h"]).when(is_tiff_be, tiff_be_walk["h"])
+
     # WEBP VP8X: 24-bit LE canvas-width-1 / height-1 at 25-27 / 28-30
     webp_w = (
         F.when(webp_tag == "56503858", le(25, 3) + 1)
@@ -362,6 +414,7 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(fmt == "bmp", bmp_w)
         .when(fmt == "webp", webp_w)
         .when(fmt == "jpeg", jpeg_w)
+        .when(fmt == "tiff", tiff_w)
         .otherwise(F.lit(None).cast("long"))
     )
     height = (
@@ -370,6 +423,7 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(fmt == "bmp", bmp_h)
         .when(fmt == "webp", webp_h)
         .when(fmt == "jpeg", jpeg_h)
+        .when(fmt == "tiff", tiff_h)
         .otherwise(F.lit(None).cast("long"))
     )
     return df.withColumns(

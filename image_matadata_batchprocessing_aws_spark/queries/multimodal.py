@@ -84,13 +84,14 @@ def multimodal_image_sniff(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S9 with a FULL oracle: per document, synthesize a real image
     header (PNG / GIF / classic BMP / top-down negative-height BMP /
-    WEBP-VP8L / JPEG-with-APP0, chosen by ``doc_id % 6``, dimensions
-    from doc_id arithmetic) as a binary column with pure expressions,
-    then run the production header sniffer over it.  The DuckDB twin
-    never touches bytes — it recomputes the expected (format, width,
-    height, size) directly from the same arithmetic, so any error in
-    the parse expressions (endianness, offsets, BMP sign recovery, VP8L
-    bit unpacking, the JPEG SOF segment walk) turns the driver row red.
+    WEBP-VP8L / JPEG-with-APP0 / TIFF in both byte orders, chosen by
+    ``doc_id % 8``, dimensions from doc_id arithmetic) as a binary
+    column with pure expressions, then run the production header
+    sniffer over it.  The DuckDB twin never touches bytes — it
+    recomputes the expected (format, width, height, size) directly from
+    the same arithmetic, so any error in the parse expressions
+    (endianness, offsets, BMP sign recovery, VP8L bit unpacking, the
+    JPEG SOF segment walk, the TIFF IFD walk) turns the driver row red.
     Complements the rows-only fixture-ZIP sniff, which covers the
     binaryFile/ZIP input path."""
     from image_matadata_batchprocessing_aws_spark.multimodal.images import (
@@ -107,7 +108,7 @@ def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     d = t(spark, sf, "documents").select("doc_id")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 8
     w = (F.col("doc_id") % 800 + 1).cast("long")
     h = ((F.col("doc_id") * 7) % 600 + 1).cast("long")
     neg_h = F.lit(4294967296).cast("long") - h  # two's-complement top-down
@@ -132,9 +133,26 @@ def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ))
         # JPEG: SOI + APP0(len 16) + SOF0(precision 8, h, w) — the SOF
         # walk must hop the APP0 segment to find the dims
-        .otherwise(F.concat(
+        .when(m == 5, F.concat(
             F.lit("FFD8" + "FFE0" + "0010" + "00" * 14 + "FFC0" + "0011" + "08"),
             be_hex(h, 2), be_hex(w, 2),
+        ))
+        # TIFF little-endian, SHORT dims: header + IFD@8 with 2 entries
+        .when(m == 6, F.concat(
+            F.lit("49492A00" + "08000000" + "0200"
+                  + "0001" + "0300" + "01000000"),
+            le_hex(w, 2), F.lit("0000"),
+            F.lit("0101" + "0300" + "01000000"),
+            le_hex(h, 2), F.lit("0000" + "00000000"),
+        ))
+        # TIFF big-endian, LONG dims
+        .otherwise(F.concat(
+            F.lit("4D4D002A" + "00000008" + "0002"
+                  + "0100" + "0004" + "00000001"),
+            be_hex(w, 4),
+            F.lit("0101" + "0004" + "00000001"),
+            be_hex(h, 4),
+            F.lit("00000000"),
         ))
     )
     built = d.withColumn("content", F.unhex(hexstr))
@@ -159,19 +177,19 @@ ORACLES = {
     # doc_id arithmetic, no byte construction or parsing — the Spark side
     # must build AND parse the headers correctly to match.
     "multimodal_sniff_roundtrip": """
-        WITH s AS (SELECT doc_id, doc_id % 6 AS m,
+        WITH s AS (SELECT doc_id, doc_id % 8 AS m,
                           CAST(doc_id % 800 + 1 AS BIGINT) AS w,
                           CAST((doc_id * 7) % 600 + 1 AS BIGINT) AS h
                    FROM documents)
         SELECT doc_id,
                CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
                     WHEN m IN (2, 3) THEN 'bmp' WHEN m = 4 THEN 'webp'
-                    ELSE 'jpeg' END AS image_format,
+                    WHEN m = 5 THEN 'jpeg' ELSE 'tiff' END AS image_format,
                w AS image_width,
                h AS image_height,
                CAST(CASE WHEN m = 0 THEN 24 WHEN m = 1 THEN 10
                          WHEN m IN (2, 3) THEN 26 WHEN m = 4 THEN 25
-                         ELSE 29 END AS BIGINT) AS image_bytes
+                         WHEN m = 5 THEN 29 ELSE 38 END AS BIGINT) AS image_bytes
         FROM s
     """,
 }

@@ -199,6 +199,19 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
         sof = struct.pack(">BHH", 8, h, w) + b"\x03" + b"\x00" * 9
         return b"\xff\xd8" + b"".join(pre_segments) + jpeg_seg(sof_marker, sof)
 
+    def tiff(w, h, little=True, typ=3, extra_entries=0):
+        e, hdr = ("<", b"II*\x00") if little else (">", b"MM\x00*")
+        def entry(tag, value):
+            if typ == 3:
+                val = struct.pack(e + "H", value) + b"\x00\x00"
+            else:
+                val = struct.pack(e + "I", value)
+            return struct.pack(e + "HHI", tag, typ, 1) + val
+        pad = b"".join(entry(0x0FE, 0) for _ in range(extra_entries))
+        n = extra_entries + 2
+        ifd = struct.pack(e + "H", n) + pad + entry(0x100, w) + entry(0x101, h)
+        return hdr + struct.pack(e + "I", 8) + ifd + b"\x00\x00\x00\x00"
+
     rows = [
         (1, bytearray(png(640, 480))),
         (2, bytearray(gif(320, 200))),
@@ -223,6 +236,11 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
         (14, bytearray(jpeg(12, 7, pre_segments=(jpeg_seg(0xC4, b"\x00" * 20),),
                             sof_marker=0xC2))),
         (15, bytearray(b"\xff\xd8\xff\xe0\x00\x00" + b"\x00" * 20)),
+        # TIFF IFD walk: little-endian SHORT dims, big-endian LONG dims
+        # behind leading non-dim entries, and an IFD with no dim tags
+        (16, bytearray(tiff(2048, 1536, little=True, typ=3))),
+        (17, bytearray(tiff(70000, 50000, little=False, typ=4, extra_entries=3))),
+        (18, bytearray(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0) + b"\x00" * 4)),
     ]
     df = spark.createDataFrame(rows, "id long, content binary")
     out = {r.id: r for r in sniff_image_meta(df).collect()}
@@ -246,3 +264,6 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
     assert (out[14].image_format, out[14].image_width, out[14].image_height) == ("jpeg", 12, 7)
     # truncated stream: format sniffed, dims degrade to null
     assert out[15].image_format == "jpeg" and out[15].image_width is None
+    assert (out[16].image_format, out[16].image_width, out[16].image_height) == ("tiff", 2048, 1536)
+    assert (out[17].image_format, out[17].image_width, out[17].image_height) == ("tiff", 70000, 50000)
+    assert out[18].image_format == "tiff" and out[18].image_width is None
