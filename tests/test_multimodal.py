@@ -267,3 +267,57 @@ def test_sniff_image_meta_parses_headers_without_codecs(spark):
     assert (out[16].image_format, out[16].image_width, out[16].image_height) == ("tiff", 2048, 1536)
     assert (out[17].image_format, out[17].image_width, out[17].image_height) == ("tiff", 70000, 50000)
     assert out[18].image_format == "tiff" and out[18].image_width is None
+
+
+def test_sniff_walks_fuzz_random_layouts(spark):
+    """Seeded fuzz over the two iterative walks: random JPEG pre-SOF
+    segment stacks and random TIFF IFD entry sets (both byte orders,
+    SHORT/LONG, shuffled entry order) must all round-trip through the
+    sniffer in one batch."""
+    import random
+    import struct
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import sniff_image_meta
+
+    rng = random.Random(1234)
+    rows = []
+    expected = {}
+    for i in range(80):
+        w, h = rng.randrange(1, 60000), rng.randrange(1, 60000)
+        segs = []
+        for _ in range(rng.randrange(0, 8)):
+            marker = rng.choice([0xE0, 0xE1, 0xE2, 0xDB, 0xC4, 0xFE])
+            payload = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80)))
+            segs.append(bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload)
+        sof_marker = rng.choice([0xC0, 0xC1, 0xC2, 0xCA])
+        sof = struct.pack(">BHH", 8, h, w) + b"\x03" + b"\x00" * 9
+        blob = b"\xff\xd8" + b"".join(segs) + bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+        # walk budget: 12 segments / 4 KiB prefix; our layouts stay inside
+        rows.append((i, bytearray(blob)))
+        expected[i] = ("jpeg", w, h)
+    for i in range(80, 160):
+        w, h = rng.randrange(1, 100000), rng.randrange(1, 100000)
+        little = rng.random() < 0.5
+        e, hdr = ("<", b"II*\x00") if little else (">", b"MM\x00*")
+        typ = rng.choice([3, 4])
+        if typ == 3:
+            w, h = w % 65535 + 1, h % 65535 + 1
+
+        def entry(tag, value):
+            val = struct.pack(e + "H", value) + b"\x00\x00" if typ == 3 else struct.pack(e + "I", value)
+            return struct.pack(e + "HHI", tag, typ, 1) + val
+
+        entries = [entry(0x100, w), entry(0x101, h)]
+        entries += [entry(rng.choice([0x0FE, 0x106, 0x111]), rng.randrange(1000))
+                    for _ in range(rng.randrange(0, 20))]
+        # tags other than width/length are ignored wherever they sit
+        rng.shuffle(entries)
+        ifd = struct.pack(e + "H", len(entries)) + b"".join(entries)
+        blob = hdr + struct.pack(e + "I", 8) + ifd + b"\x00" * 4
+        rows.append((i, bytearray(blob)))
+        expected[i] = ("tiff", w, h)
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in sniff_image_meta(df).collect()}
+    for i, (fmt, w, h) in expected.items():
+        got = (out[i].image_format, out[i].image_width, out[i].image_height)
+        assert got == (fmt, w, h), f"case {i}: {got} != {(fmt, w, h)}"
