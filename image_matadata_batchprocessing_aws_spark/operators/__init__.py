@@ -29,6 +29,7 @@ from image_matadata_batchprocessing_aws_spark.operators.dedup import (
 from image_matadata_batchprocessing_aws_spark.operators.sampling import (
     hash_sample,
     quota_sample,
+    weighted_sample,
     token_budget_select,
 )
 from image_matadata_batchprocessing_aws_spark.operators.text import (
@@ -42,6 +43,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "hash_sample",
     "quota_sample",
+    "weighted_sample",
     "token_budget_select",
     "charlm_score",
     "tfidf_keywords",
