@@ -76,6 +76,7 @@ _WINDOW = [
     "semdedup_fixed_centroids",
     "multimodal_sniff_roundtrip",
     "sample_weighted",
+    "join_salted_skew",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -91,7 +92,6 @@ _WINDOW = [
     "embedding_stats",
     "text_token_stats",
     "text_quality_score",
-    "text_lang_agg",
     "text_token_bpe",
     "text_repetition_stats",
     "text_line_dedup",

@@ -94,13 +94,43 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-spread equi-join with a plain-join oracle: orders x customer
+    through ``salted_join`` (big side salted, small side replicated,
+    join on (key, salt)) must produce EXACTLY the rows of the ordinary
+    join — the multiplicity-preservation property that makes salting a
+    safe drop-in when AQE's runtime skew split can't see the hot key
+    (operators/skew.py; the explicit fallback beside the session's
+    AQE-on default)."""
+    from image_matadata_batchprocessing_aws_spark.operators.skew import salted_join
+
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    out = salted_join(orders, cust, "o_custkey", n_salts=8)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
 QUERIES = {
     "join_asof_click_purchase": join_asof_click_purchase,
     "join_range_event_windows": join_range_event_windows,
     "join_interval_overlap": join_interval_overlap,
+    "join_salted_skew": join_salted_skew,
 }
 
 ORACLES = {
+    "join_salted_skew": """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
+               c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "join_asof_click_purchase": """
         WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
