@@ -79,6 +79,16 @@ def compact_parquet(
     return n_files
 
 
+def merge_frames(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """The lazy upsert plan: rows in ``updates`` replace same-key rows of
+    ``existing``, new keys append, absent keys survive.  One broadcast
+    anti-join on the (typically small) update key set + a union — the
+    big side never shuffles."""
+    keys = updates.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), key, "left_anti")
+    return kept.unionByName(updates.select(*existing.columns))
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -91,18 +101,15 @@ def merge_upsert(
     replacement for the reference's reprocess-everything pattern
     (``read_csv_s3_train.py:122-134`` rebuilds the whole table per run).
 
-    Plan: anti-join the existing table against the (typically small)
-    update keys — broadcast-able — then union and rewrite via the same
-    commit-then-swap as :func:`compact_parquet`.  With ``partition_by``,
-    only an updates-partition-pruned slice of the table need be rewritten
-    in a table-format deployment; the parquet fallback rewrites the
-    table, which is still one scan + one broadcast anti-join, no
-    shuffle of the big side.
+    Plan: :func:`merge_frames` (broadcast anti-join + union), then
+    rewrite via the same commit-then-swap as :func:`compact_parquet`.
+    With ``partition_by``, only an updates-partition-pruned slice of the
+    table need be rewritten in a table-format deployment; the parquet
+    fallback rewrites the table, which is still one scan + one broadcast
+    anti-join, no shuffle of the big side.
     """
     existing = spark.read.parquet(path)
-    keys = updates.select(key).distinct()
-    kept = existing.join(F.broadcast(keys), key, "left_anti")
-    merged = kept.unionByName(updates.select(*existing.columns))
+    merged = merge_frames(existing, updates, key)
     tmp = path.rstrip("/") + "__merge_tmp"
     writer = merged.write.mode("overwrite")
     if partition_by:

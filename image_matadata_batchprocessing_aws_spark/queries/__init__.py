@@ -77,6 +77,8 @@ _WINDOW = [
     "multimodal_sniff_roundtrip",
     "sample_weighted",
     "join_salted_skew",
+    "etl_merge_upsert",
+    "agg_skewsafe_distinct",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -92,8 +94,6 @@ _WINDOW = [
     "embedding_stats",
     "text_token_stats",
     "text_quality_score",
-    "text_token_bpe",
-    "text_repetition_stats",
     "text_line_dedup",
     "text_lang_id",
     "text_charlm_score",

@@ -250,7 +250,28 @@ def eval_euclidean_scalar(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(F.round(F.avg(dist), 4).alias("avg_euclidean"))
 
 
+def etl_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed upsert semantics with a full oracle: every 7th customer
+    plays an updates batch (account balance zeroed, name tagged);
+    ``maintenance.merge_frames`` (broadcast anti-join + union — the lazy
+    plan inside ``merge_upsert``'s commit-then-swap rewrite) must match
+    the SQL anti-join/union twin exactly: updated keys replaced, others
+    untouched."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        merge_frames,
+    )
+
+    c = t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED:"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return merge_frames(c, updates, "c_custkey")
+
+
 QUERIES = {
+    "etl_merge_upsert": etl_merge_upsert,
     "etl_project_cast": etl_project_cast,
     "etl_epoch_dateparts": etl_epoch_dateparts,
     "etl_sentinel_ffill": etl_sentinel_ffill,
@@ -270,6 +291,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_merge_upsert": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey, 'UPDATED:' || c_name AS c_name, 0.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+    """,
     "etl_project_cast": """
         SELECT CAST(c_custkey AS VARCHAR) AS c_custkey_str,
                trim(c_name) AS c_name_trim, c_nationkey, c_acctbal

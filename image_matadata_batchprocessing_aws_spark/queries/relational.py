@@ -877,7 +877,21 @@ def pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_skewsafe_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group distinct counts via the skew-safe two-shuffle
+    formulation (operators/skew.skewsafe_count_distinct): dedupe on
+    (group, value) first — spread by the value dimension — then count;
+    a hot group's value set never lands on one reducer."""
+    from image_matadata_batchprocessing_aws_spark.operators.skew import (
+        skewsafe_count_distinct,
+    )
+
+    li = t(spark, sf, "lineitem")
+    return skewsafe_count_distinct(li, ["l_returnflag"], "l_suppkey")
+
+
 QUERIES = {
+    "agg_skewsafe_distinct": agg_skewsafe_distinct,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -922,6 +936,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_skewsafe_distinct": """
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_distinct_l_suppkey
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q12_late_shipments": """
         SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'FAST'
                     WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'NORMAL'
