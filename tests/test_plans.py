@@ -166,3 +166,19 @@ def test_no_expression_construction_inlined_into_scan_filters(spark):
                     f"{name}: expression construction pushed into scan filter: "
                     f"{line.strip()[:200]}"
                 )
+
+
+def test_skew_and_merge_plan_shapes(spark):
+    """join_salted_skew stays a hash join on (key, salt) — never a
+    NestedLoop; etl_merge_upsert's upsert plans as a broadcast LEFT ANTI
+    on the update keys, so the big side never shuffles."""
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.queries.etl import etl_merge_upsert
+    from image_matadata_batchprocessing_aws_spark.queries.timejoins import join_salted_skew
+
+    salted = formatted_plan(join_salted_skew(spark, SF_CORRECT))
+    assert "NestedLoop" not in salted
+
+    merged = formatted_plan(etl_merge_upsert(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in merged and "LeftAnti" in merged
+    assert "SortMergeJoin" not in merged
