@@ -335,10 +335,36 @@ def agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ sketch count — engine-specific estimates, so no SQL oracle
-    (driver records the weaker rows-only check)."""
+    (driver records the weaker rows-only check).  The oracled error-bound
+    twin is :func:`agg_approx_bound`."""
     li = t(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+APPROX_RSD = 0.05
+
+
+def agg_approx_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Invariant oracle for the HLL++ sketch: the estimate's value is
+    engine-specific, but its CONTRACT — relative error within a few
+    standard deviations of the requested rsd — is checkable.  Per group:
+    exact distinct count (oracle-recomputable) plus a boolean asserting
+    ``|approx - exact| <= 4 * rsd * exact``; the oracle states the bound
+    as TRUE, so a driver row turns red if the sketch ever degrades."""
+    li = t(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", APPROX_RSD).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            <= 4 * APPROX_RSD * F.col("exact_parts")
+        ).alias("within_bound"),
     )
 
 
@@ -923,6 +949,7 @@ QUERIES = {
     "agg_distinct": agg_distinct,
     "agg_percentiles": agg_percentiles,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_bound": agg_approx_bound,
     "agg_stats": agg_stats,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_dense": window_rank_dense,
@@ -936,6 +963,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_approx_bound": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "agg_skewsafe_distinct": """
         SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_distinct_l_suppkey
         FROM lineitem GROUP BY l_returnflag
