@@ -39,6 +39,53 @@ def write_partitioned(
         spark.conf.set(_OVERWRITE_MODE_KEY, prev)
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) key over already-quantized non-negative integer
+    columns: the low ``bits`` of each column, bit-interleaved (column 0
+    gets the least-significant lane).  Pure integer shift/mask codegen —
+    expressible identically in any SQL engine, so it oracles exactly.
+
+    Rows close in the Z-key are close in EVERY interleaved dimension, so
+    range-sorting a table by the key co-locates multi-dimensional
+    neighborhoods into the same files/row groups — parquet min/max stats
+    then prune scans filtered on ANY of the dimensions, where a plain
+    sort only serves its leading column.  Quantize continuous columns to
+    an integer grid first (e.g. ``floor(value / step)``); ``bits`` per
+    dimension bounds key width (dims * bits <= 63)."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a 63-bit key")
+    key = None
+    for j, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for b in range(bits):
+            term = F.shiftleft(
+                F.shiftright(col, b).bitwiseAND(F.lit(1)), b * n + j
+            ).cast("long")
+            key = term if key is None else key + term
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimizing rewrite: range-partition by the Z-order key of
+    ``cols`` (each output file covers one compact key range — the
+    multi-dimensional analogue of a sorted layout), then drop the key.
+    The engine-side half of Delta/Iceberg's OPTIMIZE ZORDER."""
+    spark = df.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    keyed = df.withColumn("__zkey", zorder_key(cols, bits))
+    keyed.repartitionByRange(n, F.col("__zkey")).sortWithinPartitions(
+        "__zkey"
+    ).drop("__zkey").write.mode(mode).parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -78,13 +78,13 @@ _WINDOW = [
     "sample_weighted",
     "join_salted_skew",
     "etl_merge_upsert",
+    "etl_zorder_key",
     "agg_skewsafe_distinct",
     "agg_approx_bound",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
     "dedup_components",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_decontaminate",

@@ -250,6 +250,39 @@ def eval_euclidean_scalar(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(F.round(F.avg(dist), 4).alias("avg_euclidean"))
 
 
+ZORDER_BITS = 8
+
+
+def etl_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout key over (nation, quantized balance):
+    bit-interleaved integer expression (maintenance.zorder_key — the
+    sort key behind write_zordered's multi-dimensional file clustering),
+    exact in any engine, so fully oracled.  Balance quantizes to a
+    100-unit grid shifted non-negative."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        zorder_key,
+    )
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor((F.col("c_acctbal") + 1000.0) / 100.0).cast("long").alias("abucket"),
+    )
+    return c.withColumn(
+        "zkey", zorder_key(["nation", "abucket"], bits=ZORDER_BITS)
+    )
+
+
+def _zorder_sql(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + j})"
+        for j, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def etl_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Keyed upsert semantics with a full oracle: every 7th customer
     plays an updates batch (account balance zeroed, name tagged);
@@ -271,6 +304,7 @@ def etl_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_zorder_key": etl_zorder_key,
     "etl_merge_upsert": etl_merge_upsert,
     "etl_project_cast": etl_project_cast,
     "etl_epoch_dateparts": etl_epoch_dateparts,
@@ -291,6 +325,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_zorder_key": f"""
+        WITH q AS (SELECT c_custkey,
+                          CAST(c_nationkey AS BIGINT) AS nation,
+                          CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) AS abucket
+                   FROM customer)
+        SELECT c_custkey, nation, abucket,
+               CAST({_zorder_sql(["nation", "abucket"], ZORDER_BITS)} AS BIGINT) AS zkey
+        FROM q
+    """,
     "etl_merge_upsert": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
         WHERE c_custkey % 7 <> 0

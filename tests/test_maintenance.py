@@ -101,3 +101,41 @@ def test_merge_upsert_failed_write_preserves_original(spark, tmp_path):
     with pytest.raises(Exception):
         merge_upsert(spark, path, bad, key="id")
     assert {r.id for r in spark.read.parquet(path).collect()} == {1}
+
+
+def test_zorder_key_matches_morton_reference_and_layout(spark, tmp_path):
+    """zorder_key == a driver-side Morton interleave on a grid, and
+    write_zordered produces files whose rows are contiguous in the key
+    (each file covers one compact Z-range => parquet min/max stats can
+    prune on EITHER dimension)."""
+    import glob
+
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        write_zordered,
+        zorder_key,
+    )
+
+    def morton(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = [(i, i % 13, (i * 7) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r.id: r.z for r in df.withColumn("z", zorder_key(["x", "y"], 8)).collect()}
+    assert got == {i: morton(x, y) for i, x, y in rows}
+
+    out = str(tmp_path / "zsorted")
+    write_zordered(df, out, ["x", "y"], bits=8, n_files=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f).collect()
+        keys = [morton(r.x, r.y) for r in part]
+        assert keys == sorted(keys)  # sorted within file
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # files cover disjoint, ordered key ranges
