@@ -79,6 +79,7 @@ _WINDOW = [
     "join_salted_skew",
     "etl_merge_upsert",
     "etl_zorder_key",
+    "stream_anti_corpus",
     "agg_skewsafe_distinct",
     "agg_approx_bound",
     # -- r02-green re-confirmation on regenerated testdata --
@@ -91,7 +92,6 @@ _WINDOW = [
     "dedup_incremental",
     "ann_lsh_bucket",
     "ann_ivf",
-    "embedding_stats",
     "text_token_stats",
     "text_quality_score",
     "text_line_dedup",

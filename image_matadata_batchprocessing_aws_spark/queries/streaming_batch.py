@@ -105,10 +105,31 @@ def stream_json_props(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_anti_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of streaming.dedup_against_corpus (stream-static LEFT
+    ANTI): every 10th event plays the incoming stream, the rest the
+    settled corpus; stream rows whose (user_id, event_type, hour) the
+    corpus already contains are dropped (hour granularity keeps the key
+    selective enough that both outcomes occur).  The live version
+    replays this as a per-micro-batch broadcast anti-join with zero
+    stream state (tests/test_streaming.py asserts stream == this
+    batch)."""
+    from image_matadata_batchprocessing_aws_spark.streaming import (
+        dedup_against_corpus,
+    )
+
+    e = t(spark, sf, "events").withColumn("hr", F.date_trunc("hour", "ts"))
+    new = e.where(F.col("event_id") % 10 == 0)
+    corpus = e.where(F.col("event_id") % 10 != 0)
+    out = dedup_against_corpus(new, corpus, ["user_id", "event_type", "hr"])
+    return out.select("event_id", "user_id", "event_type")
+
+
 # stream_json_* lead: they had no round-1 driver correctness rows, and only
 # the first 5 streaming entries fit inside the driver's 50-entry window
 # (the trailing stream_* pair was driver-verified green in CORRECTNESS_r01).
 QUERIES = {
+    "stream_anti_corpus": stream_anti_corpus,
     "stream_json_props": stream_json_props,
     "stream_json_schema": stream_json_schema,
     "stream_tumbling_counts": stream_tumbling_counts,
@@ -119,6 +140,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_anti_corpus": """
+        SELECT e.event_id, e.user_id, e.event_type
+        FROM events e
+        WHERE e.event_id % 10 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_id % 10 <> 0
+                AND c.user_id = e.user_id
+                AND c.event_type = e.event_type
+                AND date_trunc('hour', c.ts) = date_trunc('hour', e.ts))
+    """,
     "stream_join_attribution": """
         WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
                    FROM events WHERE event_type = 'click'),

@@ -5,6 +5,7 @@ from image_matadata_batchprocessing_aws_spark.streaming.events import (
     sliding_counts,
     session_counts,
     dedup_within_watermark,
+    dedup_against_corpus,
     enrich_with_dimension,
     start_numbered_batch_sink,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "dedup_against_corpus",
     "enrich_with_dimension",
     "start_numbered_batch_sink",
 ]

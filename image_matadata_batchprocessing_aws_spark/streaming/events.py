@@ -144,6 +144,21 @@ def enrich_with_dimension(
     return stream.join(F.broadcast(dim), key, how)
 
 
+def dedup_against_corpus(
+    stream: DataFrame, corpus: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Streaming incremental-ingest dedup: drop stream rows whose key
+    combination already exists in the settled corpus — the streaming
+    half of ``operators.dedup.incremental_dedup_report``'s exact stage.
+    A stream-static LEFT ANTI join: the corpus key set broadcasts (it is
+    re-read per trigger, so corpus growth between triggers is picked
+    up), stream-side state stays zero, and the stream never shuffles.
+    At 100 TB the static side should be the corpus's key/hash TABLE
+    (content hashes, not text) — distinct-key-sized, not corpus-sized."""
+    corpus_keys = corpus.select(*keys).distinct()
+    return stream.join(F.broadcast(corpus_keys), keys, "left_anti")
+
+
 def start_numbered_batch_sink(
     stream_df: DataFrame,
     out_dir: str,

@@ -223,3 +223,36 @@ def test_stream_static_enrichment_join(spark, events_dir, tmp_path):
             assert r.tier == "gold"
         else:
             assert r.tier is None
+
+
+def test_stream_anti_corpus_matches_batch(spark, events_dir):
+    """Stream-static LEFT ANTI dedup: replaying the 'new' slice as a
+    stream and anti-joining each micro-batch against the settled corpus
+    must keep exactly the rows the oracle-checked batch twin keeps —
+    zero stream-side state, corpus keys broadcast."""
+    from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+        stream_anti_corpus,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming import dedup_against_corpus
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    corpus = ev.where(F.col("event_id") % 10 != 0)
+    stream = (
+        read_events_stream(spark, events_dir)
+        .where(F.col("event_id") % 10 == 0)
+        .withColumn("hr", F.date_trunc("hour", "ts"))
+    )
+    deduped = dedup_against_corpus(stream, corpus, ["user_id", "event_type", "hr"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anti_corpus_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id for r in spark.sql("SELECT event_id FROM anti_corpus_mem").collect()}
+    expect = {r.event_id for r in stream_anti_corpus(spark, SF_SMOKE).collect()}
+    assert got == expect and len(got) > 0
