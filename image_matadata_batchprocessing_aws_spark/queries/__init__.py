@@ -26,6 +26,7 @@ from image_matadata_batchprocessing_aws_spark.queries import relational as _rela
 from image_matadata_batchprocessing_aws_spark.queries import sampling as _sampling
 from image_matadata_batchprocessing_aws_spark.queries import search as _search
 from image_matadata_batchprocessing_aws_spark.queries import similarity as _similarity
+from image_matadata_batchprocessing_aws_spark.queries import sketches as _sketches
 from image_matadata_batchprocessing_aws_spark.queries import streaming_batch as _streaming
 from image_matadata_batchprocessing_aws_spark.queries import text as _text
 from image_matadata_batchprocessing_aws_spark.queries import timejoins as _timejoins
@@ -43,6 +44,7 @@ _MODULES = [
     _relational,
     _chunking,
     _search,
+    _sketches,
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50

@@ -1,0 +1,154 @@
+"""Sketch queries: Bloom-filter decontamination and Count-Min heavy
+hitters — the fixed-size-summary twins of the exact membership/count
+operators, fully oracled because the sketches are md5-deterministic
+(DuckDB reproduces every counter and every false positive exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+from image_matadata_batchprocessing_aws_spark.operators.dedup import shingle_df
+from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+    bloom_build,
+    bloom_dense,
+    bloom_hit_any,
+    cms_build,
+    cms_estimate,
+)
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+#: Bloom sizing for the benchmark-shingle set: k=3 hashes, m=2^13 bits
+#: (1 KiB sketch).  At sf0.01 the bench slice holds ~500 shingles, so
+#: the fill factor stays low and false positives are rare but present —
+#: which is the point: the oracle reproduces them exactly.
+BLOOM_K = 3
+BLOOM_M = 8192
+
+#: Count-Min sizing: d=3 rows of w=512 counters (12 KiB of longs).
+CMS_D = 3
+CMS_W = 512
+CMS_TOPK = 20
+
+
+def sketch_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark slice's word 4-gram
+    shingles build a 1 KiB sketch (distributed bit_or groupBy, collected
+    like any fit statistic); training docs probe it map-side — zero join,
+    zero shuffle on the corpus scan.  ``exact_hit`` audits each flagged
+    doc against the exact broadcast-join path: no false negatives ever
+    (guaranteed), false positives show as (bloom_hit, NOT exact_hit) and
+    are identical in the DuckDB twin because positions are md5-derived.
+
+    Sketch twin of :func:`queries.dedup.dedup_decontaminate` (same
+    eval-set split, same shingle construction)."""
+    docs = t(spark, sf, "documents")
+    sh = shingle_df(docs, "text", "doc_id", n=4).where(F.size("__sh") > 0)
+    bench = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    dense = bloom_dense(
+        bloom_build(bench, "shingle", BLOOM_K, BLOOM_M).collect(), BLOOM_M
+    )
+    train = sh.where(F.col("doc_id") % 50 != 0)
+    probed = train.where(bloom_hit_any(F.col("__sh"), dense, BLOOM_K, BLOOM_M)).select(
+        "doc_id"
+    )
+    exact = (
+        train.select("doc_id", F.explode("__sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    return probed.join(exact, "doc_id", "left").select(
+        "doc_id",
+        F.lit(True).alias("bloom_hit"),
+        F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+    )
+
+
+def sketch_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min heavy hitters over the event stream's user ids: build a
+    3x512 counter sketch in one explode+groupBy pass (shuffle bounded at
+    d*w rows per task by partial aggregation), then point-query every
+    candidate against the broadcast counter table.  Estimates are
+    deterministic overcounts (est_cnt >= exact_cnt always); the top-k by
+    estimate is compared against exact counts computed in the same
+    query, and the oracle reproduces both sides exactly."""
+    ev = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    counters = cms_build(ev, "user_id", CMS_D, CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimate(exact, counters, "user_id", CMS_D, CMS_W)
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+        )
+        .orderBy(F.col("est_cnt").desc(), "user_id")
+        .limit(CMS_TOPK)
+    )
+
+
+QUERIES = {
+    "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
+    "sketch_countmin_heavy": sketch_countmin_heavy,
+}
+
+#: Shared with queries/dedup.py's decontaminate oracle: word 4-gram
+#: shingles, distinct per doc, empty-shingle docs dropped.
+_SHINGLES_4 = r"""
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(CASE WHEN len(t) >= 4
+                        THEN list_transform(range(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                        ELSE CAST([] AS VARCHAR[]) END) AS s
+               FROM toks),
+        nonempty AS (SELECT * FROM sh WHERE len(s) > 0)
+"""
+
+_BLOOM_POS = md5_int64_sql("i || ':' || shingle")
+
+ORACLES = {
+    "sketch_bloom_decontaminate": rf"""
+        WITH {_SHINGLES_4},
+        bench AS (SELECT DISTINCT unnest(s) AS shingle FROM nonempty
+                  WHERE doc_id % 50 = 0),
+        seeds AS (SELECT unnest(range({BLOOM_K})) AS i),
+        bits AS (SELECT DISTINCT ({_BLOOM_POS}) % {BLOOM_M} AS p
+                 FROM bench CROSS JOIN seeds),
+        tr AS (SELECT doc_id, unnest(s) AS shingle FROM nonempty
+               WHERE doc_id % 50 <> 0),
+        pr AS (SELECT doc_id, shingle, i, ({_BLOOM_POS}) % {BLOOM_M} AS p
+               FROM tr CROSS JOIN seeds),
+        hits AS (SELECT doc_id FROM pr JOIN bits USING (p)
+                 GROUP BY doc_id, shingle HAVING count(*) = {BLOOM_K}),
+        bloomdocs AS (SELECT DISTINCT doc_id FROM hits),
+        exactdocs AS (SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (shingle))
+        SELECT b.doc_id, TRUE AS bloom_hit,
+               (e.doc_id IS NOT NULL) AS exact_hit
+        FROM bloomdocs b LEFT JOIN exactdocs e ON b.doc_id = e.doc_id
+    """,
+    "sketch_countmin_heavy": rf"""
+        WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        seeds AS (SELECT unnest(range({CMS_D})) AS r),
+        h AS (SELECT r, ({md5_int64_sql("r || ':' || CAST(user_id AS VARCHAR)")}) % {CMS_W} AS c,
+                     user_id
+              FROM ev CROSS JOIN seeds),
+        counters AS (SELECT r, c, count(*) AS cnt FROM h GROUP BY r, c),
+        probes AS (SELECT DISTINCT user_id, r, c FROM h),
+        est AS (SELECT user_id, min(cnt) AS est_cnt
+                FROM probes JOIN counters USING (r, c) GROUP BY user_id),
+        exact AS (SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY user_id)
+        SELECT user_id, exact_cnt, est_cnt
+        FROM exact JOIN est USING (user_id)
+        ORDER BY est_cnt DESC, user_id LIMIT {CMS_TOPK}
+    """,
+}
