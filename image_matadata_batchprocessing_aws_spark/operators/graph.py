@@ -140,3 +140,81 @@ def dedup_group_stats(components: DataFrame, component_col: str = "component") -
     component id IS the canonical (minimum) doc id by construction, so
     keep it and drop the other ``group_size - 1`` docs."""
     return components.groupBy(component_col).agg(F.count("*").alias("group_size"))
+
+
+# --- PageRank (fixed-point arithmetic, fixed iteration count) --------------
+
+#: Rank mass is tracked in units of 1e-12 as BIGINT — integer sums are
+#: associative/commutative, so the result is independent of partitioning
+#: and task order (a float PageRank differs in final ulps between
+#: engines AND between runs; scaled-long arithmetic is how etl_zscore
+#: already solved this).
+PR_SCALE = 10**12
+
+#: Damping factor 0.85 as an integer ratio.
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Power-iteration PageRank with deterministic fixed-point math.
+
+    ``edges`` is a directed edge list; every node must appear as a source
+    at least once (callers with dangling nodes symmetrize or add
+    self-loops first — the query twin uses a bidirectional bipartite
+    graph, so the invariant holds by construction).
+
+    Returns (node, rank_scaled): rank in units of 1/scale after
+    ``iterations`` rounds from a uniform start.  Contributions use
+    truncating integer division, so a little mass leaks per round —
+    identically in every engine, which is the point: the DuckDB oracle
+    unrolls the same iterations as CTEs and matches bit-for-bit.
+
+    Scale design: each round is one join of the rank vector with the
+    (pre-computed) out-degree table on the node id, one join with the
+    edge list on the source id, and one groupBy(dst) sum — all shuffles
+    keyed on the node id, so a cluster co-partitions them; partial
+    aggregation combines contributions map-side.  The loop builds ONE
+    lazy plan (iterations is small and fixed); an open-ended variant
+    would localCheckpoint per round like ``connected_components`` to
+    truncate lineage.
+    """
+    deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count("*").alias("__n"))
+    base = nodes.crossJoin(F.broadcast(n1))
+    ranks = base.select(
+        "node", "__n", F.expr(f"CAST({scale} div __n AS BIGINT)").alias("rank_scaled")
+    )
+    for _ in range(iterations):
+        shares = ranks.join(deg, ranks["node"] == deg[src]).select(
+            F.col("node").alias("__src"),
+            F.expr(
+                f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
+            ).alias("__share"),
+        )
+        incoming = (
+            shares.join(edges, shares["__src"] == edges[src])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("__share").alias("__inc"))
+        )
+        ranks = base.join(incoming, "node", "left").select(
+            "node",
+            "__n",
+            (
+                F.expr(
+                    f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __n) AS BIGINT)"
+                )
+                + F.coalesce(F.col("__inc"), F.lit(0))
+            ).alias("rank_scaled"),
+        )
+    return ranks.select("node", F.col("rank_scaled").cast("long").alias("rank_scaled"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from image_matadata_batchprocessing_aws_spark.queries import chunking as _chunking
 from image_matadata_batchprocessing_aws_spark.queries import dedup as _dedup
 from image_matadata_batchprocessing_aws_spark.queries import etl as _etl
+from image_matadata_batchprocessing_aws_spark.queries import graphq as _graphq
 from image_matadata_batchprocessing_aws_spark.queries import multimodal as _multimodal
 from image_matadata_batchprocessing_aws_spark.queries import pipeline as _pipeline
 from image_matadata_batchprocessing_aws_spark.queries import relational as _relational
@@ -45,6 +46,7 @@ _MODULES = [
     _chunking,
     _search,
     _sketches,
+    _graphq,
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50

@@ -303,7 +303,38 @@ def etl_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return merge_frames(c, updates, "c_custkey")
 
 
+def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: per
+    user, each event_type change opens a new version row with
+    [valid_from_ms, valid_to_ms) validity (epoch ms; open-ended current
+    row has NULL valid_to and is_current=true).  Deterministic ordering
+    via (ts, event_id) so same-timestamp events version identically in
+    every engine.
+
+    Scale: two window passes partitioned on user_id — the change filter
+    drops rows before the (cheap) second pass, and nothing leaves the
+    user's partition; at 100 TB this is one shuffle on the dimension key,
+    the same shape warehouses run nightly."""
+    ev = t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn("__prev", F.lag("event_type").over(w)).where(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.lead(F.unix_millis("ts")).over(w2).alias("valid_to_ms"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(F.unix_millis("ts")).over(w2).isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
+    "etl_scd2_history": etl_scd2_history,
     "etl_zorder_key": etl_zorder_key,
     "etl_merge_upsert": etl_merge_upsert,
     "etl_project_cast": etl_project_cast,
@@ -325,6 +356,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_scd2_history": """
+        WITH ev AS (SELECT * FROM events
+                    WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        ch AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_type
+               FROM ev),
+        vers AS (SELECT user_id, event_type, ts, event_id
+                 FROM ch WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type,
+               epoch_ms(ts) AS valid_from_ms,
+               lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               (lead(epoch_ms(ts)) OVER w IS NULL) AS is_current
+        FROM vers
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "etl_zorder_key": f"""
         WITH q AS (SELECT c_custkey,
                           CAST(c_nationkey AS BIGINT) AS nation,

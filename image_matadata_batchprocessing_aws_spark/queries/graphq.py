@@ -1,0 +1,114 @@
+"""Graph analytics queries: PageRank over the customer-supplier
+interaction graph.
+
+Pairs with the connected-components operator (``operators/graph.py``, the
+dedup group resolver) to cover the two classic iterative graph shapes:
+label contraction and power iteration.  PageRank here is the
+training-data-curation use case — scoring web-domain/document authority
+to weight a crawl corpus — expressed on the TPC-H-ish tables the driver
+ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    pagerank_scaled,
+)
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+PR_ITERS = 3
+PR_TOPK = 30
+
+
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank on the bipartite customer-supplier graph (an edge when a
+    customer's order contains a supplier's line item), made bidirectional
+    so the walk alternates sides and every node has out-degree >= 1.
+    Node encoding: customer -> 2*custkey, supplier -> 2*suppkey + 1.
+
+    Fixed-point scaled-long arithmetic (operators/graph.pagerank_scaled)
+    makes the result exact across engines: the oracle unrolls the same
+    three iterations as CTEs.  Top-30 by rank with a unique
+    (kind, entity) tiebreak."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank_scaled(edges, iterations=PR_ITERS)
+    return (
+        pr.select(
+            F.expr("node % 2").cast("long").alias("node_kind"),
+            F.expr("node div 2").cast("long").alias("entity_id"),
+            "rank_scaled",
+        )
+        .orderBy(F.col("rank_scaled").desc(), "node_kind", "entity_id")
+        .limit(PR_TOPK)
+    )
+
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+}
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """Unrolled power-iteration CTE chain — one (contribution, rank) CTE
+    pair per round, integer math throughout (DuckDB sums BIGINT into
+    HUGEINT, so each round casts back)."""
+    base = f"({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) // ({PR_DAMP_DEN} * nn.n)"
+    ctes = [
+        """pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (SELECT c AS src, s AS dst FROM pairs
+                     UNION ALL SELECT s AS src, c AS dst FROM pairs)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (SELECT DISTINCT node FROM
+                     (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_scaled
+                   FROM nodes CROSS JOIN nn)""",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""i{it} AS (SELECT e.dst AS node,
+                       sum((r.rank_scaled * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * d.deg)) AS inc
+                FROM {prev} r JOIN deg d ON r.node = d.src
+                JOIN edges e ON r.node = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS (SELECT nodes.node,
+                       CAST({base} + coalesce(i.inc, 0) AS BIGINT) AS rank_scaled
+                FROM nodes CROSS JOIN nn LEFT JOIN i{it} i ON nodes.node = i.node)"""
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT CAST(node % 2 AS BIGINT) AS node_kind,
+               CAST(node // 2 AS BIGINT) AS entity_id,
+               rank_scaled
+        FROM {prev}
+        ORDER BY rank_scaled DESC, node_kind, entity_id
+        LIMIT {PR_TOPK}"""
+    )
+
+
+ORACLES = {
+    "graph_pagerank": _pagerank_oracle(),
+}

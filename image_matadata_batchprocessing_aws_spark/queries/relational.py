@@ -368,6 +368,47 @@ def agg_approx_bound(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+QAPPROX_ACC = 200
+
+
+def agg_quantile_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Invariant oracle for the approximate-percentile sketch, same
+    pattern as :func:`agg_approx_bound`: the sketch value is
+    engine-specific, but percentile_approx's CONTRACT is a rank-error
+    guarantee of n/accuracy.  Per group: the exact rank interval of the
+    approximate median must intersect [n/2 - n/acc - 1, n/2 + n/acc + 1];
+    the oracle states the bound as TRUE plus the (recomputable) group
+    size, so a driver row turns red if the sketch ever degrades.
+
+    Two passes: a tiny per-group sketch agg broadcast back onto the
+    table, then one exact rank count — the same global-fit-then-apply
+    shape as the scalers."""
+    li = t(spark, sf, "lineitem")
+    fit = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, QAPPROX_ACC).alias("__v"),
+        F.count("*").alias("__n"),
+    )
+    j = li.join(F.broadcast(fit), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_extendedprice") < F.col("__v"), 1).otherwise(0)).alias(
+            "__rank_lo"
+        ),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("__v"), 1).otherwise(0)).alias(
+            "__rank_hi"
+        ),
+        F.max("__n").alias("__n"),
+    )
+    eps = F.col("__n") / QAPPROX_ACC + 1
+    return ranks.select(
+        "l_returnflag",
+        F.col("__n").cast("long").alias("n_rows"),
+        (
+            (F.col("__rank_lo") <= 0.5 * F.col("__n") + eps)
+            & (F.col("__rank_hi") >= 0.5 * F.col("__n") - eps)
+        ).alias("within_bound"),
+    )
+
+
 # --- descriptive stats (A2/A3 fit statistics as a query) -----------------
 
 
@@ -950,6 +991,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_bound": agg_approx_bound,
+    "agg_quantile_bound": agg_quantile_bound,
     "agg_stats": agg_stats,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_dense": window_rank_dense,
@@ -970,6 +1012,10 @@ ORACLES = {
     """,
     "agg_skewsafe_distinct": """
         SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_distinct_l_suppkey
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_quantile_bound": """
+        SELECT l_returnflag, count(*) AS n_rows, TRUE AS within_bound
         FROM lineitem GROUP BY l_returnflag
     """,
     "q12_late_shipments": """
