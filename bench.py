@@ -60,6 +60,12 @@ HEADLINE = [
     # does: bench measures the scale paths, not driver-loop fixed costs.
     "kmeans_round_update",
     "semdedup_fixed_centroids",
+    # r03 batch 2 (append only)
+    "graph_pagerank",
+    "sketch_bloom_decontaminate",
+    "sketch_countmin_heavy",
+    "search_hybrid_rrf",
+    "etl_scd2_history",
 ]
 
 
