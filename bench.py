@@ -66,6 +66,9 @@ HEADLINE = [
     "sketch_countmin_heavy",
     "search_hybrid_rrf",
     "etl_scd2_history",
+    "sample_curriculum",
+    "join_bloom_prefilter",
+    "ann_pq_adc",
 ]
 
 

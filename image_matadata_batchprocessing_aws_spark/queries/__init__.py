@@ -94,6 +94,9 @@ _WINDOW = [
     "etl_scd2_history",
     "search_hybrid_rrf",
     "agg_quantile_bound",
+    "sample_curriculum",
+    "join_bloom_prefilter",
+    "ann_pq_adc",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -104,11 +107,8 @@ _WINDOW = [
     "ann_ivf",
     "text_quality_score",
     "text_line_dedup",
-    "text_lang_id",
     "text_charlm_score",
     "join_asof_click_purchase",
-    "join_interval_overlap",
-    "sample_stratified_lang",
     "pack_context_windows",
     "multimodal_binary_meta",
     "pipeline_pretraining_corpus",

@@ -133,7 +133,31 @@ def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample(d, "doc_id", "n_chars", WEIGHTED_N, salt="wsample-v1")
 
 
+CURRICULUM_STAGES = 4
+
+
+def sample_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum staging: per language, docs are split into 4
+    equal-population difficulty stages by length (short-first curricula —
+    ntile over (n_chars, doc_id)).  The window partitions on lang, so at
+    100 TB each stratum stages independently after one shuffle on the
+    stratum key; a global curriculum would instead quantize against
+    approx-quantile cut points (agg_quantile_bound's sketch) to avoid a
+    single ordered partition."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(CURRICULUM_STAGES).over(w).cast("long").alias("stage"),
+    )
+
+
 QUERIES = {
+    "sample_curriculum": sample_curriculum,
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
     "sample_shuffle_docs": sample_shuffle_docs,
@@ -162,6 +186,13 @@ def _source_mix_threshold_sql() -> str:
 
 
 ORACLES = {
+    "sample_curriculum": f"""
+        SELECT doc_id, lang, n_chars,
+               CAST(ntile({CURRICULUM_STAGES})
+                    OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS stage
+        FROM documents
+    """,
     "sample_hash_docs": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {sample_predicate_sql("doc_id", SAMPLE_FRACTION)}

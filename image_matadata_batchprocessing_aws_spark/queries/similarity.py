@@ -287,6 +287,49 @@ def kmeans_invariants(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: PQ geometry for the 64-dim embeddings: 4 subspaces of 16 dims;
+#: codewords = corpus vectors with vec_id % 29 == 3 (deterministic
+#: mod-sample keeps the oracle exact; production = per-subspace k-means).
+PQ_SUB = 4
+PQ_SUBDIM = 16
+PQ_CW_MOD = 29
+PQ_CW_REM = 3
+
+
+def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/pq.py): corpus vectors compress to 4 codeword ids; each
+    query precomputes a broadcast distance table to every codeword and
+    ranks candidates by the SUM of 4 scaled-long table lookups — no
+    per-candidate float vector math, bit-exact across engines because
+    the ADC sum is integer.  Complements ann_ivf (pruning) as the
+    compression half of the published IVFPQ construction."""
+    from image_matadata_batchprocessing_aws_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    corpus = e.where(F.col("vec_id") >= N_QUERIES)
+    cb = pq_codebook(
+        corpus.where(F.col("vec_id") % PQ_CW_MOD == PQ_CW_REM),
+        "vec_id",
+        "e",
+        PQ_SUB,
+        PQ_SUBDIM,
+    )
+    codes = pq_encode(corpus, cb, "vec_id", "e", PQ_SUB, PQ_SUBDIM)
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return pq_adc_topk(
+        qs, codes, cb, "query_id", "qe", "vec_id", PQ_SUB, PQ_SUBDIM, K
+    )
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "label", l2_norm(as_double_array("embedding")).alias("norm")
@@ -301,6 +344,7 @@ QUERIES = {
     "knn_brute_l2": knn_brute_l2,
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf": ann_ivf,
+    "ann_pq_adc": ann_pq_adc,
     "embedding_kmeans": embedding_kmeans,
     "embedding_stats": embedding_stats,
     "embedding_semdedup": embedding_semdedup,
@@ -377,6 +421,39 @@ ORACLES = {
         FROM r WHERE rn <= {K}
     """,
     "ann_lsh_bucket": _ann_oracle(),
+    "ann_pq_adc": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        corpus AS (SELECT * FROM v WHERE vec_id >= {N_QUERIES}),
+        subs AS (SELECT CAST(unnest(range({PQ_SUB})) AS INTEGER) AS s),
+        cw AS (SELECT s, vec_id AS cw_id, e[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS cv
+               FROM corpus CROSS JOIN subs
+               WHERE vec_id % {PQ_CW_MOD} = {PQ_CW_REM}),
+        csub AS (SELECT vec_id, s, e[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+                 FROM corpus CROSS JOIN subs),
+        cdist AS (SELECT vec_id, s, cw_id,
+                         round(list_distance(sv, cv), 6) AS d
+                  FROM csub JOIN cw USING (s)),
+        codes AS (SELECT vec_id, s, cw_id FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cw_id) AS rn
+                     FROM cdist)
+                  WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {N_QUERIES}),
+        qsub AS (SELECT query_id, s, e[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+                 FROM q CROSS JOIN subs),
+        qdist AS (SELECT query_id, s, cw_id,
+                         CAST(round(list_distance(sv, cv) * {1_000_000}) AS BIGINT) AS qd
+                  FROM qsub JOIN cw USING (s)),
+        adc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       CAST(sum(qd) AS BIGINT) AS adc_scaled
+                FROM codes c JOIN qdist USING (s, cw_id)
+                GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adc_scaled, rn FROM
+          (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_scaled, neighbor_id) AS BIGINT) AS rn
+           FROM adc)
+        WHERE rn <= {K}
+    """,
     "ann_ivf": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         cents AS (SELECT vec_id AS cent_id, e AS cv FROM v

@@ -112,9 +112,39 @@ def sketch_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter join (the Bloom-join pattern engines apply under
+    the hood, here as an explicit operator): the filtered build side
+    (BUILDING-segment customers) summarizes its join keys into a Bloom
+    sketch; the probe side (orders) drops non-matching rows MAP-SIDE at
+    the scan, before any exchange.  False positives are harmless — the
+    join itself re-verifies every surviving row — so the result is
+    bit-identical to the plain join, which is exactly what the oracle
+    states.  At 100 TB this turns a full-fact-table shuffle into a
+    shuffle of just the matching fraction."""
+    c = (
+        t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    m = bloom_capacity(c.count(), BLOOM_BITS_PER_KEY)
+    dense = bloom_dense(
+        bloom_build(
+            c.select(F.col("c_custkey").cast("string").alias("k")), "k", BLOOM_K, m
+        ).collect(),
+        m,
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    pre = o.where(bloom_hit(F.col("o_custkey").cast("string"), dense, BLOOM_K, m))
+    return pre.join(c, pre["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 QUERIES = {
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
     "sketch_countmin_heavy": sketch_countmin_heavy,
+    "join_bloom_prefilter": join_bloom_prefilter,
 }
 
 #: Shared with queries/dedup.py's decontaminate oracle: word 4-gram
@@ -170,5 +200,10 @@ ORACLES = {
         SELECT user_id, exact_cnt, est_cnt
         FROM exact JOIN est USING (user_id)
         ORDER BY est_cnt DESC, user_id LIMIT {CMS_TOPK}
+    """,
+    "join_bloom_prefilter": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
     """,
 }

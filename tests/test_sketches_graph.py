@@ -109,3 +109,53 @@ def test_pagerank_star_center_dominates(spark):
     assert all(ranks[0] > ranks[i] for i in range(1, 6))
     leaf_ranks = {ranks[i] for i in range(1, 6)}
     assert len(leaf_ranks) == 1  # leaves are symmetric
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, tmp_path):
+    # the runtime-filter pattern: prefilter by a bloom of the build-side
+    # keys, then join — must be row-identical to the plain join because
+    # the join re-verifies every FP
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        bloom_capacity,
+    )
+
+    big = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    keys = [str(i) for i in range(0, 5000, 17)]
+    small = spark.createDataFrame([(int(x),) for x in keys], "k long")
+    m = bloom_capacity(len(keys), 64)
+    dense = _sketch(spark, keys, m=m)
+    pre = big.where(bloom_hit(F.col("k").cast("string"), dense, K, m))
+    got = sorted(map(tuple, pre.join(small, "k").collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want
+
+
+def test_pq_encode_picks_nearest_codeword_and_adc_ranks_exact_match_first(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((12, 8))
+    rows = [(int(i), [float(v) for v in base[i]]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    cb = pq_codebook(vecs.where(F.col("vec_id") % 3 == 0), "vec_id", "e", 2, 4)
+    codes = pq_encode(vecs, cb, "vec_id", "e", 2, 4)
+    # a codeword-source vector must encode to ITSELF in every subspace
+    self_codes = {
+        (r.vec_id, r.s): r.cw_id
+        for r in codes.where(F.col("vec_id") % 3 == 0).collect()
+    }
+    assert all(cw == vid for (vid, _s), cw in self_codes.items())
+    # ADC: querying WITH a codeword vector ranks that vector first (its
+    # quantization error is exactly 0)
+    q = vecs.where(F.col("vec_id") == 6).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    top = pq_adc_topk(q, codes, cb, "query_id", "qe", "vec_id", 2, 4, 3)
+    first = top.where(F.col("rn") == 1).collect()[0]
+    assert first.neighbor_id == 6 and first.adc_scaled == 0
