@@ -69,6 +69,8 @@ HEADLINE = [
     "sample_curriculum",
     "join_bloom_prefilter",
     "ann_pq_adc",
+    "funnel_conversion",
+    "stream_cms_counters",
 ]
 
 

@@ -97,22 +97,22 @@ _WINDOW = [
     "sample_curriculum",
     "join_bloom_prefilter",
     "ann_pq_adc",
+    "etl_unpivot",
+    "funnel_conversion",
+    "sample_curriculum_global",
+    "stream_cms_counters",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
     "dedup_components",
     "dedup_minhash_lsh",
-    "dedup_decontaminate",
     "dedup_incremental",
     "ann_ivf",
     "text_quality_score",
-    "text_line_dedup",
     "text_charlm_score",
     "join_asof_click_purchase",
-    "pack_context_windows",
     "multimodal_binary_meta",
     "pipeline_pretraining_corpus",
-    "stream_json_props",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -303,6 +303,20 @@ def etl_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return merge_frames(c, updates, "c_custkey")
 
 
+def etl_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long melt of the lineitem measures (DataFrame.unpivot —
+    Catalyst's Expand node, one pass, no join/union of self-scans).
+    Downsampled by orderkey so the long output stays driver-collectable;
+    the oracle is the portable UNION ALL formulation."""
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % 20 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
 def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from an event log: per
     user, each event_type change opens a new version row with
@@ -334,6 +348,7 @@ def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_unpivot": etl_unpivot,
     "etl_scd2_history": etl_scd2_history,
     "etl_zorder_key": etl_zorder_key,
     "etl_merge_upsert": etl_merge_upsert,
@@ -356,6 +371,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_unpivot": """
+        WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM li
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM li
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+    """,
     "etl_scd2_history": """
         WITH ev AS (SELECT * FROM events
                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),

@@ -156,8 +156,33 @@ def sample_curriculum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sample_curriculum_global(spark: SparkSession, sf: str) -> DataFrame:
+    """The GLOBAL curriculum variant promised in sample_curriculum's
+    docstring: quartile cut points come from one tiny aggregate
+    (broadcast back), and staging is three map-side comparisons — no
+    ordered window anywhere, so there is no single-partition stage to
+    saturate at 100 TB.  Cut points round to 4 decimals on both engines
+    (Spark percentile == DuckDB quantile_cont, linear interpolation)."""
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    cuts = d.agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("q2"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("q3"),
+    )
+    stage = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("q1")).cast("int")
+        + (F.col("n_chars") > F.col("q2")).cast("int")
+        + (F.col("n_chars") > F.col("q3")).cast("int")
+    )
+    return d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_chars", stage.cast("long").alias("stage")
+    )
+
+
 QUERIES = {
     "sample_curriculum": sample_curriculum,
+    "sample_curriculum_global": sample_curriculum_global,
     "sample_hash_docs": sample_hash_docs,
     "sample_stratified_lang": sample_stratified_lang,
     "sample_shuffle_docs": sample_shuffle_docs,
@@ -192,6 +217,16 @@ ORACLES = {
                     OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
                  AS stage
         FROM documents
+    """,
+    "sample_curriculum_global": """
+        WITH cuts AS (SELECT round(quantile_cont(n_chars, 0.25), 4) AS q1,
+                             round(quantile_cont(n_chars, 0.5), 4) AS q2,
+                             round(quantile_cont(n_chars, 0.75), 4) AS q3
+                      FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(1 + (n_chars > q1)::INT + (n_chars > q2)::INT
+                      + (n_chars > q3)::INT AS BIGINT) AS stage
+        FROM documents CROSS JOIN cuts
     """,
     "sample_hash_docs": f"""
         SELECT doc_id, lang, n_chars FROM documents

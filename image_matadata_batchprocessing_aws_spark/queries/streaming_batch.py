@@ -128,7 +128,26 @@ def stream_anti_corpus(spark: SparkSession, sf: str) -> DataFrame:
 # stream_json_* lead: they had no round-1 driver correctness rows, and only
 # the first 5 streaming entries fit inside the driver's 50-entry window
 # (the trailing stream_* pair was driver-verified green in CORRECTNESS_r01).
+def stream_cms_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING Count-Min build: cms_build is a pure
+    streaming aggregation (explode + groupBy + count), so the identical
+    operator runs under readStream with complete/update output —
+    Count-Min is linear/mergeable, which is exactly why micro-batch
+    partial counts compose to the same sketch (tests/test_streaming.py
+    asserts stream == this batch).  Output is the raw (r, c, cnt)
+    counter table; the point-query surface over it is
+    sketch_countmin_heavy."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import cms_build
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import CMS_D, CMS_W
+
+    ev = t(spark, sf, "events")
+    return cms_build(ev, "user_id", CMS_D, CMS_W).select(
+        F.col("r").cast("long").alias("r"), "c", "cnt"
+    )
+
+
 QUERIES = {
+    "stream_cms_counters": stream_cms_counters,
     "stream_anti_corpus": stream_anti_corpus,
     "stream_json_props": stream_json_props,
     "stream_json_schema": stream_json_schema,
@@ -139,7 +158,21 @@ QUERIES = {
     "stream_join_attribution": stream_join_attribution,
 }
 
+def _cms_counters_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import CMS_D, CMS_W
+
+    return f"""
+        WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        seeds AS (SELECT unnest(range({CMS_D})) AS r),
+        h AS (SELECT r, ({md5_int64_sql("r || ':' || CAST(user_id AS VARCHAR)")}) % {CMS_W} AS c
+              FROM ev CROSS JOIN seeds)
+        SELECT r, c, count(*) AS cnt FROM h GROUP BY r, c
+    """
+
+
 ORACLES = {
+    "stream_cms_counters": _cms_counters_oracle(),
     "stream_anti_corpus": """
         SELECT e.event_id, e.user_id, e.event_type
         FROM events e

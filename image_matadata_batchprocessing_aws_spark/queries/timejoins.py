@@ -118,7 +118,43 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel analysis over the event log: signup -> first click
+    AFTER the signup -> first purchase AFTER that click, per user; output
+    is the stage-survival table (one row per stage with user counts).
+
+    Shape: one conditional-min aggregation per stage, each joined back on
+    user_id — three shuffles on the same key (co-partitioned on a
+    cluster), no windows over unbounded event sequences, no self-join
+    fan-out.  The asof-join family (join_asof_click_purchase) answers
+    per-event attribution; this answers the cohort question."""
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias("t_signup")
+    ).where(F.col("t_signup").isNotNull())
+    c = (
+        ev.join(s, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts_ms") > F.col("t_signup")))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts_ms") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n")).select(F.lit(1).cast("long").alias("stage"), F.lit("signup").alias("event"), "n")
+        .unionByName(c.agg(F.count("*").alias("n")).select(F.lit(2).cast("long").alias("stage"), F.lit("click_after_signup").alias("event"), "n"))
+        .unionByName(p.agg(F.count("*").alias("n")).select(F.lit(3).cast("long").alias("stage"), F.lit("purchase_after_click").alias("event"), "n"))
+    )
+
+
 QUERIES = {
+    "funnel_conversion": funnel_conversion,
     "join_asof_click_purchase": join_asof_click_purchase,
     "join_range_event_windows": join_range_event_windows,
     "join_interval_overlap": join_interval_overlap,
@@ -126,6 +162,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_conversion": """
+        WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        s AS (SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t_signup
+              FROM ev GROUP BY user_id HAVING t_signup IS NOT NULL),
+        c AS (SELECT ev.user_id, min(ts_ms) AS t_click
+              FROM ev JOIN s USING (user_id)
+              WHERE event_type = 'click' AND ts_ms > t_signup
+              GROUP BY ev.user_id),
+        p AS (SELECT ev.user_id, min(ts_ms) AS t_purchase
+              FROM ev JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts_ms > t_click
+              GROUP BY ev.user_id)
+        SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event, count(*) AS n FROM s
+        UNION ALL
+        SELECT 2, 'click_after_signup', count(*) FROM c
+        UNION ALL
+        SELECT 3, 'purchase_after_click', count(*) FROM p
+    """,
     "join_salted_skew": """
         SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
                c.c_name, c.c_mktsegment

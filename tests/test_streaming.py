@@ -256,3 +256,22 @@ def test_stream_anti_corpus_matches_batch(spark, events_dir):
     got = {r.event_id for r in spark.sql("SELECT event_id FROM anti_corpus_mem").collect()}
     expect = {r.event_id for r in stream_anti_corpus(spark, SF_SMOKE).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_cms_stream_matches_batch(spark, events_dir):
+    """Count-Min is linear/mergeable: the SAME cms_build operator run as
+    a streaming aggregation over micro-batches converges to the batch
+    sketch exactly."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import cms_build
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import CMS_D, CMS_W
+    from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+        stream_cms_counters,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        spark, cms_build(stream, "user_id", CMS_D, CMS_W), "cms_out"
+    )
+    g = {(r.r, r.c): r.cnt for r in got.collect()}
+    b = {(r.r, r.c): r.cnt for r in stream_cms_counters(spark, SF_SMOKE).collect()}
+    assert g == b
