@@ -71,6 +71,8 @@ HEADLINE = [
     "ann_pq_adc",
     "funnel_conversion",
     "stream_cms_counters",
+    "graph_triangles",
+    "etl_profile_table",
 ]
 
 

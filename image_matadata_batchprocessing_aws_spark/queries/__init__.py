@@ -101,6 +101,8 @@ _WINDOW = [
     "funnel_conversion",
     "sample_curriculum_global",
     "stream_cms_counters",
+    "graph_triangles",
+    "etl_profile_table",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_exact_groups",
@@ -110,8 +112,6 @@ _WINDOW = [
     "ann_ivf",
     "text_quality_score",
     "text_charlm_score",
-    "join_asof_click_purchase",
-    "multimodal_binary_meta",
     "pipeline_pretraining_corpus",
 ]
 

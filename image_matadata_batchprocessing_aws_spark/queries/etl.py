@@ -317,6 +317,42 @@ def etl_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def etl_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass table profiler: per column, null count and exact distinct
+    cardinality, plus the table row count — the post-write verification
+    scan (S12) grown into a data-quality report.  Multiple exact
+    count_distincts plan as one Expand pass here; at 100 TB swap them
+    for approx_count_distinct (the HLL contract is oracle-checked by
+    agg_approx_bound) — same single-scan shape."""
+    ev = t(spark, sf, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__{c}_nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__{c}_distinct"))
+    wide = ev.agg(F.count("*").alias("n_rows"), *aggs)
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"__{c}_nulls").cast("long").alias("n_nulls"),
+                    F.col(f"__{c}_distinct").cast("long").alias("n_distinct"),
+                )
+                for c in _PROFILE_COLS
+            ]
+        )
+    ).alias("e")
+    return wide.select("n_rows", entries).select(
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.n_nulls").alias("n_nulls"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        "n_rows",
+    )
+
+
 def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from an event log: per
     user, each event_type change opens a new version row with
@@ -348,6 +384,7 @@ def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_profile_table": etl_profile_table,
     "etl_unpivot": etl_unpivot,
     "etl_scd2_history": etl_scd2_history,
     "etl_zorder_key": etl_zorder_key,
@@ -371,6 +408,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_profile_table": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               count(*) AS n_rows
+        FROM events
+        """
+        for c in _PROFILE_COLS
+    ),
     "etl_unpivot": """
         WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
         SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM li

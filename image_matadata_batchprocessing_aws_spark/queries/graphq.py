@@ -60,8 +60,50 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TRI_ORDER_MOD = 4  # sample 1/4 of orders so the co-purchase graph stays bounded
+
+
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts appearing
+    in the same order), the third classic graph shape next to connected
+    components and PageRank.  Edges are canonical (a < b, distinct); the
+    count is the standard edge-edge-edge join with a < b < c so each
+    triangle is enumerated exactly once.  Output: one row of graph-size
+    stats plus the triangle count.
+
+    Scale: the two joins key on single vertex columns — co-partitioned
+    shuffles.  Production pushes enumeration to the low-degree endpoint
+    first (degree-ordered orientation halves the worst-case join
+    fan-out); the orientation here is vertex-id order, which the oracle
+    can mirror exactly."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.where(F.col("l_orderkey") % TRI_ORDER_MOD == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = edges.select(F.col("a").alias("v")).union(edges.select("b")).distinct()
+    stats = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        nodes.agg(F.count("*").alias("n_nodes"))
+    )
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
 }
 
 
@@ -111,4 +153,19 @@ def _pagerank_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
+    "graph_triangles": f"""
+        WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                    WHERE l_orderkey % {TRI_ORDER_MOD} = 0),
+        edges AS (SELECT DISTINCT x.p AS a, y.p AS b
+                  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        nodes AS (SELECT DISTINCT v FROM
+                  (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM edges e1
+                JOIN edges e2 ON e1.b = e2.a
+                JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b)
+        SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+               (SELECT count(*) FROM edges) AS n_edges,
+               (SELECT n_triangles FROM tri) AS n_triangles
+    """,
 }

@@ -159,3 +159,24 @@ def test_pq_encode_picks_nearest_codeword_and_adc_ranks_exact_match_first(spark)
     top = pq_adc_topk(q, codes, cb, "query_id", "qe", "vec_id", 2, 4, 3)
     first = top.where(F.col("rn") == 1).collect()[0]
     assert first.neighbor_id == 6 and first.adc_scaled == 0
+
+
+def test_new_query_plan_shapes(spark):
+    """Plan-shape regression locks for the r03 additions: the bloom
+    prefilter reaches the probe scan BEFORE the join, PQ's codebook and
+    ADC tables broadcast, and the graph joins never degenerate to
+    nested loops."""
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+    from tests.conftest import SF_CORRECT
+
+    qs = all_queries()
+    p = formatted_plan(qs["join_bloom_prefilter"](spark, SF_CORRECT))
+    # the md5-derived probe filter must sit on the orders branch (scan
+    # side), not above the join
+    join_pos = p.index("Join")
+    assert "md5" in p[join_pos:], "bloom probe filter missing below the join"
+    pq = formatted_plan(qs["ann_pq_adc"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in pq and "NestedLoop" not in pq
+    for name in ("graph_pagerank", "graph_triangles", "funnel_conversion"):
+        plan = formatted_plan(qs[name](spark, SF_CORRECT))
+        assert "CartesianProduct" not in plan, name
