@@ -73,6 +73,8 @@ HEADLINE = [
     "stream_cms_counters",
     "graph_triangles",
     "etl_profile_table",
+    "etl_cdc_compact",
+    "agg_histogram",
 ]
 
 

@@ -103,15 +103,15 @@ _WINDOW = [
     "stream_cms_counters",
     "graph_triangles",
     "etl_profile_table",
+    "etl_cdc_compact",
+    "agg_histogram",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
-    "dedup_exact_groups",
     "dedup_components",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "ann_ivf",
     "text_quality_score",
-    "text_charlm_score",
     "pipeline_pretraining_corpus",
 ]
 

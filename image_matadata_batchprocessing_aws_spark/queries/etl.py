@@ -317,6 +317,54 @@ def etl_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def etl_cdc_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC log compaction (latest-record-wins): the event log plays a
+    change stream keyed by user_id — 'error' events act as deletes,
+    everything else as upserts.  Keep each key's latest row by
+    (ts, event_id), drop keys whose latest op is a delete: the
+    materialize step of a merge-on-read table.  One window pass
+    partitioned on the key — a single shuffle at any scale."""
+    ev = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return latest.where(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.unix_millis("ts").alias("last_ts_ms"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+HIST_BUCKETS = 20
+
+
+def agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice: global min/max from one
+    tiny aggregate broadcast back (the two-pass fit-then-apply shape of
+    the scalers), bucket index as a map-side expression, one count
+    groupBy over 20 groups.  The bucket arithmetic is identical IEEE
+    double math on both engines, so the oracle matches exactly."""
+    li = t(spark, sf, "lineitem").select("l_extendedprice")
+    fit = li.agg(
+        F.min("l_extendedprice").alias("__lo"), F.max("l_extendedprice").alias("__hi")
+    )
+    j = li.crossJoin(F.broadcast(fit))
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("__lo"))
+            / ((F.col("__hi") - F.col("__lo")) / HIST_BUCKETS)
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        j.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
 
 
@@ -384,6 +432,8 @@ def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_cdc_compact": etl_cdc_compact,
+    "agg_histogram": agg_histogram,
     "etl_profile_table": etl_profile_table,
     "etl_unpivot": etl_unpivot,
     "etl_scd2_history": etl_scd2_history,
@@ -408,7 +458,27 @@ QUERIES = {
 }
 
 ORACLES = {
-    "etl_profile_table": "\nUNION ALL\n".join(
+    "etl_cdc_compact": """
+        WITH latest AS (
+          SELECT user_id, event_type, ts, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id IS NOT NULL)
+        SELECT user_id, event_type AS last_event_type,
+               epoch_ms(ts) AS last_ts_ms,
+               round(value, 2) AS last_value
+        FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "agg_histogram": f"""
+        WITH fit AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                     FROM lineitem)
+        SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / {HIST_BUCKETS})),
+                          {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM lineitem CROSS JOIN fit
+        GROUP BY 1
+    """,
+    "etl_profile_table":"\nUNION ALL\n".join(
         f"""
         SELECT '{c}' AS col_name,
                CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
