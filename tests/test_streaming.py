@@ -275,3 +275,42 @@ def test_cms_stream_matches_batch(spark, events_dir):
     g = {(r.r, r.c): r.cnt for r in got.collect()}
     b = {(r.r, r.c): r.cnt for r in stream_cms_counters(spark, SF_SMOKE).collect()}
     assert g == b
+
+
+def test_numbered_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
+    """Restart recovery: stop the sink, add a new input file, restart
+    with the SAME checkpoint — the query resumes at the next epoch
+    (no reprocessing of completed batches, no epoch-id reuse) and
+    exactly the new rows land in new batch directories."""
+    import os
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for f in sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))[:2]:
+        shutil.copy(f, in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream = read_events_stream(spark, in_dir)
+    q = start_numbered_batch_sink(stream, out_dir, ckpt, query_name="resume_a")
+    q.processAllAvailable()
+    q.stop()
+    first_rows = spark.read.parquet(out_dir).count()
+    first_epochs = {
+        r.batch_id for r in spark.read.parquet(out_dir).select("batch_id").distinct().collect()
+    }
+
+    # new data arrives while the query is down
+    shutil.copy(sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))[2], in_dir)
+    q2 = start_numbered_batch_sink(
+        read_events_stream(spark, in_dir), out_dir, ckpt, query_name="resume_b"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    back = spark.read.parquet(out_dir)
+    new_epochs = {
+        r.batch_id for r in back.select("batch_id").distinct().collect()
+    } - first_epochs
+    assert new_epochs and min(new_epochs) > max(first_epochs)  # strictly advancing
+    third = spark.read.parquet(f"{events_dir}/chunk_2.parquet").count()
+    assert back.count() == first_rows + third  # old batches untouched, new rows exactly once
