@@ -75,6 +75,8 @@ HEADLINE = [
     "etl_profile_table",
     "etl_cdc_compact",
     "agg_histogram",
+    "dedup_levenshtein",
+    "sample_split_assign",
 ]
 
 

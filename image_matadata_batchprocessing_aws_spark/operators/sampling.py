@@ -240,3 +240,40 @@ def pack_documents(
     return df.withColumn(out_offset, offset).withColumn(
         out_pack, (F.col(out_offset) / F.lit(budget)).cast("long")
     )
+
+
+def split_assign(
+    df: DataFrame, key: str, fractions: list, salt: str = ""
+) -> DataFrame:
+    """Deterministic disjoint-cover split (train/val/test): one hash per
+    key, bucketed by cumulative thresholds — every row lands in exactly
+    one split, stable under reruns, partitioning, and corpus growth
+    (unlike seeded randomSplit, whose assignment changes with
+    partitioning).  ``fractions`` is [(name, fraction), ...]; the last
+    split absorbs rounding slack.  Pure map-side expression."""
+    c = F.col(key)
+    h = (
+        md5_int64(F.concat(c.cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt)))
+        % SAMPLE_DENOM
+    )
+    expr = F.lit(fractions[-1][0])
+    acc = 0.0
+    bounds = []
+    for name, frac in fractions[:-1]:
+        acc += frac
+        bounds.append((name, int(acc * SAMPLE_DENOM)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(key_expr: str, fractions: list, salt: str = "") -> str:
+    """DuckDB twin of :func:`split_assign`'s split expression."""
+    lit = salt.replace("'", "''")
+    h = f"({md5_int64_sql(f'CAST({key_expr} AS VARCHAR) || chr(31) || {chr(39)}{lit}{chr(39)}')} % {SAMPLE_DENOM})"
+    acc = 0.0
+    cases = []
+    for name, frac in fractions[:-1]:
+        acc += frac
+        cases.append(f"WHEN {h} < {int(acc * SAMPLE_DENOM)} THEN '{name}'")
+    return f"(CASE {' '.join(cases)} ELSE '{fractions[-1][0]}' END)"

@@ -105,13 +105,13 @@ _WINDOW = [
     "etl_profile_table",
     "etl_cdc_compact",
     "agg_histogram",
+    "dedup_levenshtein",
+    "sample_split_assign",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_components",
-    "dedup_minhash_lsh",
     "dedup_incremental",
     "ann_ivf",
-    "text_quality_score",
     "pipeline_pretraining_corpus",
 ]
 

@@ -177,7 +177,39 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return decontamination_report(train, bench, n=4, min_hits=1)
 
 
+LEV_PREFIX = 80  # edit distance over a bounded prefix: O(80^2) per pair
+LEV_MAX = 20
+
+
+def dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup verification: SimHash banding proposes the
+    candidate pairs (never all-pairs), and a bounded-prefix Levenshtein
+    confirms them — the char-level fuzzy metric Jaccard/MinHash can't
+    express (transpositions, small in-place edits).  The prefix cap
+    keeps the DP quadratic in a CONSTANT (80^2), not document length;
+    both engines implement the classic unit-cost DP, so the distance is
+    integer-exact."""
+    docs = t(spark, sf, "documents")
+    pairs = simhash_pairs(docs).select("id_a", "id_b")
+    txt = docs.select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("__pfx")
+    )
+    a = txt.select(F.col("doc_id").alias("id_a"), F.col("__pfx").alias("__pa"))
+    b = txt.select(F.col("doc_id").alias("id_b"), F.col("__pfx").alias("__pb"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__pa", "__pb").cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= LEV_MAX)
+    )
+
+
 QUERIES = {
+    "dedup_levenshtein": dedup_levenshtein,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_components": dedup_components,
     "dedup_exact_rows": dedup_exact_rows,
@@ -264,6 +296,17 @@ _MINHASH_ORACLE = rf"""
 
 
 ORACLES = {
+    "dedup_levenshtein": f"""
+        WITH sp AS ({_simhash_pairs_oracle()})
+        SELECT sp.id_a, sp.id_b,
+               CAST(levenshtein(substr(da.text, 1, {LEV_PREFIX}),
+                                substr(db.text, 1, {LEV_PREFIX})) AS BIGINT) AS lev
+        FROM sp
+        JOIN documents da ON sp.id_a = da.doc_id
+        JOIN documents db ON sp.id_b = db.doc_id
+        WHERE levenshtein(substr(da.text, 1, {LEV_PREFIX}),
+                          substr(db.text, 1, {LEV_PREFIX})) <= {LEV_MAX}
+    """,
     "dedup_decontaminate": r"""
         WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                       FROM documents),

@@ -180,7 +180,25 @@ def sample_curriculum_global(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SPLIT_SPEC = [("train", 0.70), ("val", 0.15), ("test", 0.15)]
+SPLIT_SALT = "split-v1"
+
+
+def sample_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (the oracle-checkable
+    upgrade of the reference's seeded randomSplit, SURVEY O4): one md5
+    per doc bucketed by cumulative thresholds — disjoint cover, stable
+    under reruns/partitioning/growth, pure map-side."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        split_assign,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    return split_assign(d, "doc_id", SPLIT_SPEC, salt=SPLIT_SALT)
+
+
 QUERIES = {
+    "sample_split_assign": sample_split_assign,
     "sample_curriculum": sample_curriculum,
     "sample_curriculum_global": sample_curriculum_global,
     "sample_hash_docs": sample_hash_docs,
@@ -210,7 +228,20 @@ def _source_mix_threshold_sql() -> str:
     return f"(CASE {cases} ELSE 0 END)"
 
 
+def _split_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        split_assign_sql,
+    )
+
+    return f"""
+        SELECT doc_id, lang,
+               {split_assign_sql("doc_id", SPLIT_SPEC, SPLIT_SALT)} AS split
+        FROM documents
+    """
+
+
 ORACLES = {
+    "sample_split_assign": _split_oracle(),
     "sample_curriculum": f"""
         SELECT doc_id, lang, n_chars,
                CAST(ntile({CURRICULUM_STAGES})
