@@ -29,8 +29,25 @@ from image_matadata_batchprocessing_aws_spark.operators.dedup import (
 from image_matadata_batchprocessing_aws_spark.operators.sampling import (
     hash_sample,
     quota_sample,
+    split_assign,
     weighted_sample,
     token_budget_select,
+)
+from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+    bloom_build,
+    bloom_capacity,
+    bloom_hit,
+    cms_build,
+    cms_estimate,
+)
+from image_matadata_batchprocessing_aws_spark.operators.graph import (
+    connected_components,
+    pagerank_scaled,
+)
+from image_matadata_batchprocessing_aws_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
 )
 from image_matadata_batchprocessing_aws_spark.operators.text import (
     charlm_score,
@@ -38,6 +55,17 @@ from image_matadata_batchprocessing_aws_spark.operators.text import (
 )
 
 __all__ = [
+    "bloom_build",
+    "bloom_capacity",
+    "bloom_hit",
+    "cms_build",
+    "cms_estimate",
+    "connected_components",
+    "pagerank_scaled",
+    "pq_adc_topk",
+    "pq_codebook",
+    "pq_encode",
+    "split_assign",
     "exact_dedup_keep_first",
     "incremental_dedup_report",
     "minhash_lsh_pairs",

@@ -107,11 +107,11 @@ _WINDOW = [
     "agg_histogram",
     "dedup_levenshtein",
     "sample_split_assign",
+    "etl_dates_dim",
+    "text_normalize",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
     "dedup_components",
-    "dedup_incremental",
-    "ann_ivf",
     "pipeline_pretraining_corpus",
 ]
 

@@ -317,6 +317,33 @@ def etl_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def etl_dates_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-dimension generation: the order-date span unrolled into
+    one row per day with date parts and a weekend flag — the generator
+    pattern (sequence + explode from a 1-row min/max aggregate) that
+    star schemas build their date dimension with.  Zero input rows
+    shuffle; the generator runs on a single 1-row driver of the span.
+    Day-of-week convention: 0 = Sunday (Spark's dayofweek - 1 == DuckDB
+    dayofweek)."""
+    o = t(spark, sf, "orders")
+    span = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("d0"),
+        F.to_date(F.max("o_orderdate")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    dow = (F.dayofweek("d") - 1).cast("long")
+    return days.select(
+        F.col("d").alias("date"),
+        F.year("d").cast("long").alias("year"),
+        F.month("d").cast("long").alias("month"),
+        F.dayofmonth("d").cast("long").alias("day"),
+        dow.alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
+
+
 def etl_cdc_compact(spark: SparkSession, sf: str) -> DataFrame:
     """CDC log compaction (latest-record-wins): the event log plays a
     change stream keyed by user_id — 'error' events act as deletes,
@@ -432,6 +459,7 @@ def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_dates_dim": etl_dates_dim,
     "etl_cdc_compact": etl_cdc_compact,
     "agg_histogram": agg_histogram,
     "etl_profile_table": etl_profile_table,
@@ -458,6 +486,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_dates_dim": """
+        WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                             CAST(max(o_orderdate) AS DATE) AS d1
+                      FROM orders),
+        days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+                 FROM span)
+        SELECT d AS date,
+               CAST(year(d) AS BIGINT) AS year,
+               CAST(month(d) AS BIGINT) AS month,
+               CAST(day(d) AS BIGINT) AS day,
+               CAST(dayofweek(d) AS BIGINT) AS dow,
+               dayofweek(d) IN (0, 6) AS is_weekend
+        FROM days
+    """,
     "etl_cdc_compact": """
         WITH latest AS (
           SELECT user_id, event_type, ts, value,

@@ -325,3 +325,39 @@ ORACLES["text_tfidf_keywords"] = r"""
            round(tfidf, 4) AS tfidf
     FROM ranked WHERE rnk <= 5
 """
+
+
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text normalization (the pre-dedup/pre-tokenize pass):
+    casefold, strip punctuation to spaces, collapse whitespace runs,
+    trim.  Pure map-side regexp chain (whole-stage codegen); the corpus
+    is ASCII so both engines' lower() and regex classes agree exactly
+    (DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all)."""
+    from image_matadata_batchprocessing_aws_spark.queries.util import t as _t
+
+    d = _t(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+QUERIES["text_normalize"] = text_normalize
+ORACLES["text_normalize"] = r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM n
+"""
