@@ -123,3 +123,59 @@ def extract_audio_features(
             )
 
     return audio.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+def sniff_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Codec-free WAV header sniffer (the audio twin of
+    ``images.sniff_image_meta``): RIFF/WAVE magic, PCM fmt chunk fields
+    (channels, sample rate, bits per sample) and — when the canonical
+    ``data`` chunk follows fmt — the sample count and integer-ms
+    duration, all as pure Catalyst expressions over a 44-byte prefix.
+    Non-RIFF blobs label ``audio_format='unknown'`` with null fields;
+    non-PCM or non-canonical chunk layouts keep the 'wav' label but null
+    the derived fields (a full chunk walk a la the TIFF IFD walk slots
+    in here if non-canonical layouts ever matter).
+
+    Little-endian extraction: single-byte hex slices concatenated in
+    reverse, then ``conv(_, 16, 10)`` — same move as the image sniffer.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.substring(F.col(content_col), 1, 44)
+
+    def tag(pos: int, nbytes: int):
+        return F.hex(F.substring(c, pos, nbytes))
+
+    def le(pos: int, nbytes: int):
+        return F.conv(
+            F.concat(
+                *[F.hex(F.substring(c, pos + i, 1)) for i in range(nbytes - 1, -1, -1)]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    is_wav = (tag(1, 4) == "52494646") & (tag(9, 4) == "57415645")
+    has_fmt = tag(13, 4) == "666D7420"
+    is_pcm = le(21, 2) == 1
+    ok = is_wav & has_fmt & is_pcm
+    channels = F.when(ok, le(23, 2))
+    rate = F.when(ok, le(25, 4))
+    bits = F.when(ok, le(35, 2))
+    block = F.when(ok, le(33, 2))
+    has_data = ok & (tag(37, 4) == "64617461")
+    data_size = F.when(has_data, le(41, 4))
+    n_samples = (data_size / block).cast("long")
+    duration_ms = F.when(
+        has_data, ((n_samples * 1000) / rate).cast("long")
+    )
+    return df.withColumns(
+        {
+            "audio_format": F.when(is_wav, F.lit("wav")).otherwise(F.lit("unknown")),
+            "audio_channels": channels.cast("long"),
+            "audio_sample_rate": rate.cast("long"),
+            "audio_bits": bits.cast("long"),
+            "audio_n_samples": F.when(has_data, n_samples).cast("long"),
+            "audio_duration_ms": duration_ms.cast("long"),
+        }
+    )

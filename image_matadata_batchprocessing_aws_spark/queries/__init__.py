@@ -109,10 +109,10 @@ _WINDOW = [
     "sample_split_assign",
     "etl_dates_dim",
     "text_normalize",
+    "multimodal_audio_sniff",
+    "text_ngram_topk",
     # -- r02-green re-confirmation on regenerated testdata --
     "etl_zscore",  # r01's one red row; keep a row every round
-    "dedup_components",
-    "pipeline_pretraining_corpus",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -161,7 +161,62 @@ def multimodal_sniff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_audio_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """The audio twin of multimodal_sniff_roundtrip: per document,
+    synthesize a canonical PCM WAV header (channels / sample rate / bit
+    depth / data size from doc_id arithmetic) as a binary column, run
+    the codec-free WAV sniffer (multimodal/media.sniff_audio_meta) over
+    it, and let the DuckDB twin recompute the expected fields from the
+    same arithmetic without touching bytes — any endianness or offset
+    error in the parse turns the driver row red."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.media import (
+        sniff_audio_meta,
+    )
+
+    def le_hex(col, nbytes: int):
+        be = F.lpad(F.hex(col), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    d = t(spark, sf, "documents").select("doc_id")
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100), F.lit(48000)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    ).cast("long")
+    bits = F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(16)).cast("long")
+    block = (ch * bits / 8).cast("long")
+    n_samples = (F.col("doc_id") % 1000 + 1).cast("long")
+    data_size = n_samples * block
+    hexstr = F.concat(
+        F.lit("52494646"),
+        le_hex(data_size + 36, 4),
+        F.lit("57415645" + "666D7420"),
+        le_hex(F.lit(16), 4),
+        le_hex(F.lit(1), 2),
+        le_hex(ch, 2),
+        le_hex(rate, 4),
+        le_hex(rate * block, 4),
+        le_hex(block, 2),
+        le_hex(bits, 2),
+        F.lit("64617461"),
+        le_hex(data_size, 4),
+    )
+    built = d.withColumn("content", F.unhex(hexstr))
+    return sniff_audio_meta(built).select(
+        "doc_id",
+        "audio_format",
+        "audio_channels",
+        "audio_sample_rate",
+        "audio_bits",
+        "audio_n_samples",
+        "audio_duration_ms",
+    )
+
+
 QUERIES = {
+    "multimodal_audio_sniff": multimodal_audio_sniff,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_pipeline": multimodal_image_pipeline,
     "multimodal_image_sniff": multimodal_image_sniff,
@@ -169,6 +224,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_audio_sniff": """
+        WITH s AS (SELECT doc_id,
+                          CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+                          CAST([8000, 16000, 44100, 48000][(doc_id % 4 + 1)::INT] AS BIGINT) AS rate,
+                          CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+                          CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
+                   FROM documents)
+        SELECT doc_id,
+               'wav' AS audio_format,
+               ch AS audio_channels,
+               rate AS audio_sample_rate,
+               bits AS audio_bits,
+               n_samples AS audio_n_samples,
+               CAST(floor(n_samples * 1000 / rate) AS BIGINT) AS audio_duration_ms
+        FROM s
+    """,
     "multimodal_binary_meta": """
         SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
         FROM documents

@@ -409,6 +409,28 @@ def agg_quantile_bound(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic value
+    tiebreak: count sub-aggregate + max_by over a (count, value) struct —
+    two partial-aggregated shuffles, no window over the raw data.  The
+    classic 'most common ship mode per flag' style statistic."""
+    li = t(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__n")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max(F.struct(F.col("__n"), F.col("l_linestatus"))).alias("__best")
+        )
+        .select(
+            "l_returnflag",
+            F.col("__best.l_linestatus").alias("mode_linestatus"),
+            F.col("__best.__n").cast("long").alias("mode_count"),
+        )
+    )
+
+
 # --- descriptive stats (A2/A3 fit statistics as a query) -----------------
 
 
@@ -992,6 +1014,7 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_approx_bound": agg_approx_bound,
     "agg_quantile_bound": agg_quantile_bound,
+    "agg_mode": agg_mode,
     "agg_stats": agg_stats,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_dense": window_rank_dense,
@@ -1017,6 +1040,16 @@ ORACLES = {
     "agg_quantile_bound": """
         SELECT l_returnflag, count(*) AS n_rows, TRUE AS within_bound
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_mode": """
+        WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+                   FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY n DESC, l_linestatus DESC) AS rn
+              FROM c)
+        SELECT l_returnflag, l_linestatus AS mode_linestatus,
+               CAST(n AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1
     """,
     "q12_late_shipments": """
         SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'FAST'

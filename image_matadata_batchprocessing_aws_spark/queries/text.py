@@ -361,3 +361,56 @@ ORACLES["text_normalize"] = r"""
     SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
     FROM n
 """
+
+
+NGRAM_TOPK = 5
+
+
+def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language top-5 word bigrams WITH multiplicity (corpus phrase
+    statistics — the grouped-heavy-hitter complement of the per-doc
+    tf-idf keywords).  Bigram build is two slices + zip_with (tokens
+    traversed twice, never per-gram); the count groupBy partially
+    aggregates map-side and the top-k window partitions BY LANGUAGE —
+    no global sort.  At extreme cardinality the exact count swaps for
+    the Count-Min estimate (operators/sketches.cms_build), same
+    downstream shape."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+    from image_matadata_batchprocessing_aws_spark.queries.util import t as _t
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents").select("lang", tokens("text").alias("__t"))
+    k = F.size("__t") - 1
+    grams = F.zip_with(
+        F.slice("__t", 1, F.greatest(k, F.lit(0))),
+        F.slice("__t", 2, F.greatest(k, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counted = (
+        d.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "gram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= NGRAM_TOPK)
+        .select("lang", "gram", F.col("n").cast("long").alias("n"), "rn")
+    )
+
+
+QUERIES["text_ngram_topk"] = text_ngram_topk
+ORACLES["text_ngram_topk"] = rf"""
+    WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    grams AS (SELECT lang,
+                     unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS gram
+              FROM toks),
+    counted AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+                         ORDER BY n DESC, gram) AS rn
+               FROM counted)
+    SELECT lang, gram, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {NGRAM_TOPK}
+"""

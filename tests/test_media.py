@@ -62,3 +62,23 @@ def test_real_codec_is_explicitly_unavailable(spark):
         sample_video_frames(_videos(spark), use_real_codec=True)
     with pytest.raises(MediaCodecUnavailable):
         extract_audio_features(_videos(spark), use_real_codec=True)
+
+
+def test_audio_sniffer_rejects_non_wav_and_non_canonical(spark):
+    from pyspark.sql import functions as F
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.media import (
+        sniff_audio_meta,
+    )
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 40),  # PNG magic
+        (2, b"RIFF" + b"\x00" * 4 + b"WAVE" + b"JUNK" + b"\x00" * 28),  # no fmt chunk
+        (3, b"\x00" * 10),  # short garbage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: (r.audio_format, r.audio_channels) for r in
+           sniff_audio_meta(df).collect()}
+    assert got[1] == ("unknown", None)
+    assert got[2] == ("wav", None)  # labeled wav, derived fields nulled
+    assert got[3] == ("unknown", None)
