@@ -180,3 +180,41 @@ def test_new_query_plan_shapes(spark):
     for name in ("graph_pagerank", "graph_triangles", "funnel_conversion"):
         plan = formatted_plan(qs[name](spark, SF_CORRECT))
         assert "CartesianProduct" not in plan, name
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """Independent check: the distributed fixed-point PageRank equals a
+    pure-Python integer implementation of the same recurrence on a
+    pseudo-random 60-node graph (same scale, damping, truncation)."""
+    import random
+
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+    )
+
+    rng = random.Random(11)
+    nodes = list(range(60))
+    edges = set()
+    for u in nodes:  # every node gets >= 1 outgoing edge (operator contract)
+        for _ in range(rng.randint(1, 4)):
+            v = rng.choice(nodes)
+            if v != u:
+                edges.add((u, v))
+    edges = sorted(edges)
+
+    got = _pr(spark, edges, iters=3)
+
+    present = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(present)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {v: PR_SCALE // n for v in present}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    for _ in range(3):
+        inc = {v: 0 for v in present}
+        for u, v in edges:
+            inc[v] += (rank[u] * PR_DAMP_NUM) // (PR_DAMP_DEN * deg[u])
+        rank = {v: base + inc[v] for v in present}
+    assert got == rank
