@@ -50,12 +50,15 @@ _MODULES = [
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-3 window goal: every one of
-#: the 104 oracled queries has a driver row across rounds.  The 15 oracled
-#: queries with no r01/r02 row go first; the remaining slots re-confirm
-#: r02-greens on the regenerated testdata, preferring one representative
-#: per operator family (the dropped siblings are already driver-green and
-#: sit just below the fold).
+#: entries get oracle rows each round.  Round-3 composition: the 15
+#: oracled queries with no r01/r02 row go first (closing the
+#: every-oracled-query-has-a-driver-row gap), then every NEW r03 query
+#: (sketches, graph, PQ, SCD2/CDC, funnel, curriculum, splits,
+#: normalization, sniffers, ...), then etl_zscore as the standing
+#: re-confirmation (r01's one red row).  Displaced entries are ALL
+#: r01/r02 driver-green; of the new oracled queries only ``agg_mode``
+#: sits below the fold (window capacity — locally oracle-exact at
+#: sf0.01 and sf0.001, first in line for the r04 rotation).
 _WINDOW = [
     # -- never driver-checked (locally oracle-exact, VERDICT r2 item 1) --
     "q2_min_cost_supplier",
