@@ -153,8 +153,28 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def join_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the per-user
+    event counts joined back so that NULL user ids match the NULL group
+    instead of dropping — the semantics backfills and audit joins need.
+    Spark plans eqNullSafe as a hash join (the condition is still an
+    equality on a coalesced key), not a nested loop."""
+    ev = t(spark, sf, "events").select("event_id", "user_id").alias("e")
+    d = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("group_n"))
+        .select(F.col("user_id").alias("g_user_id"), "group_n")
+    )
+    return ev.join(d, F.col("e.user_id").eqNullSafe(F.col("g_user_id"))).select(
+        "event_id",
+        F.col("e.user_id").alias("user_id"),
+        F.col("group_n").cast("long").alias("group_n"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
+    "join_nullsafe": join_nullsafe,
     "join_asof_click_purchase": join_asof_click_purchase,
     "join_range_event_windows": join_range_event_windows,
     "join_interval_overlap": join_interval_overlap,
@@ -180,6 +200,11 @@ ORACLES = {
         SELECT 2, 'click_after_signup', count(*) FROM c
         UNION ALL
         SELECT 3, 'purchase_after_click', count(*) FROM p
+    """,
+    "join_nullsafe": """
+        WITH d AS (SELECT user_id, count(*) AS group_n FROM events GROUP BY user_id)
+        SELECT e.event_id, e.user_id, d.group_n
+        FROM events e JOIN d ON e.user_id IS NOT DISTINCT FROM d.user_id
     """,
     "join_salted_skew": """
         SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
