@@ -77,6 +77,7 @@ HEADLINE = [
     "agg_histogram",
     "dedup_levenshtein",
     "sample_split_assign",
+    "ann_ivfpq",
 ]
 
 

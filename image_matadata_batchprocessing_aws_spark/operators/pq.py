@@ -116,11 +116,17 @@ def pq_adc_topk(
     n_sub: int,
     sub_dim: int,
     k: int,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: per query, the distance table to every
     codeword (scaled-long quantized), joined to candidate codes on the
     (s, cw_id) key, summed, ranked.  Returns (query_id, neighbor_id,
-    adc_scaled, rn <= k)."""
+    adc_scaled, rn <= k).
+
+    ``candidates`` (optional): a (query_id, code_id) pair table
+    restricting which corpus items each query scores — the IVFPQ
+    composition passes the probed cells' members here, so ADC work is
+    nprobe/k_cents of the corpus per query instead of all of it."""
     qsubs = queries.select(
         F.col(query_id),
         F.explode(
@@ -143,11 +149,13 @@ def pq_adc_topk(
         .cast("long")
         .alias("qd"),
     )
-    adc = (
-        codes.join(F.broadcast(qdist), ["s", "cw_id"])
-        .groupBy(query_id, code_id)
-        .agg(F.sum("qd").alias("adc_scaled"))
-    )
+    if candidates is not None:
+        scored = candidates.join(codes, code_id).join(
+            F.broadcast(qdist), [query_id, "s", "cw_id"]
+        )
+    else:
+        scored = codes.join(F.broadcast(qdist), ["s", "cw_id"])
+    adc = scored.groupBy(query_id, code_id).agg(F.sum("qd").alias("adc_scaled"))
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id).orderBy("adc_scaled", code_id)

@@ -330,6 +330,56 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed IVFPQ construction (Jégou et al., public): IVF cells
+    prune WHICH vectors each query touches (nprobe of the coarse cells),
+    PQ/ADC compresses HOW the survivors are scored (scaled-long table
+    lookups, no per-candidate float math).  Per query the ADC work is
+    nprobe/k_cents of the corpus; every join key is a tiny id (cent_id /
+    (s, cw_id)); the codebook and query-distance tables broadcast.  The
+    whole composition stays SQL-expressible, so the driver gets an exact
+    oracle row for the full index shape."""
+    from image_matadata_batchprocessing_aws_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    corpus = e.where(F.col("vec_id") >= N_QUERIES)
+    cents = corpus.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("cv")
+    )
+    cells = ivf_assign(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
+        cents,
+        id_col="neighbor_id",
+        vec_col="ce",
+        nprobe=1,
+    ).select("cent_id", "neighbor_id")
+    cb = pq_codebook(
+        corpus.where(F.col("vec_id") % PQ_CW_MOD == PQ_CW_REM),
+        "vec_id",
+        "e",
+        PQ_SUB,
+        PQ_SUBDIM,
+    )
+    codes = pq_encode(corpus, cb, "vec_id", "e", PQ_SUB, PQ_SUBDIM)
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    probes = ivf_assign(qs, cents, id_col="query_id", vec_col="qe", nprobe=NPROBE)
+    cand = probes.select("cent_id", "query_id").join(cells, "cent_id").select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return pq_adc_topk(
+        qs, codes, cb, "query_id", "qe", "vec_id", PQ_SUB, PQ_SUBDIM, K,
+        candidates=cand,
+    )
+
+
 def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "label", l2_norm(as_double_array("embedding")).alias("norm")
@@ -345,6 +395,7 @@ QUERIES = {
     "ann_lsh_bucket": ann_lsh_bucket,
     "ann_ivf": ann_ivf,
     "ann_pq_adc": ann_pq_adc,
+    "ann_ivfpq": ann_ivfpq,
     "embedding_kmeans": embedding_kmeans,
     "embedding_stats": embedding_stats,
     "embedding_semdedup": embedding_semdedup,
@@ -421,6 +472,58 @@ ORACLES = {
         FROM r WHERE rn <= {K}
     """,
     "ann_lsh_bucket": _ann_oracle(),
+    "ann_ivfpq": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, e AS cv FROM v
+                  WHERE vec_id >= {N_QUERIES} AND vec_id % {CENT_MOD} = 0),
+        corpus AS (SELECT vec_id, e FROM v WHERE vec_id >= {N_QUERIES}),
+        ca AS (SELECT vec_id, cent_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(list_cosine_similarity(e, cv), 6) DESC,
+                                                  cent_id) AS rn
+               FROM corpus CROSS JOIN cents),
+        cells AS (SELECT vec_id AS neighbor_id, cent_id FROM ca WHERE rn <= 1),
+        q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {N_QUERIES}),
+        qa AS (SELECT query_id, cent_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(list_cosine_similarity(e, cv), 6) DESC,
+                                                  cent_id) AS rn
+               FROM q CROSS JOIN cents),
+        probes AS (SELECT query_id, cent_id FROM qa WHERE rn <= {NPROBE}),
+        cand AS (SELECT p.query_id, c.neighbor_id
+                 FROM probes p JOIN cells c USING (cent_id)),
+        subs AS (SELECT CAST(unnest(range({PQ_SUB})) AS INTEGER) AS s),
+        cw AS (SELECT s, vec_id AS cw_id, e[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS cv
+               FROM corpus CROSS JOIN subs
+               WHERE vec_id % {PQ_CW_MOD} = {PQ_CW_REM}),
+        csub AS (SELECT vec_id, s, e[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+                 FROM corpus CROSS JOIN subs),
+        cdist AS (SELECT vec_id, s, cw_id,
+                         round(list_distance(sv, cv), 6) AS d
+                  FROM csub JOIN cw USING (s)),
+        codes AS (SELECT vec_id, s, cw_id FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cw_id) AS rn
+                     FROM cdist)
+                  WHERE rn = 1),
+        qsub AS (SELECT query_id, s, e[s*{PQ_SUBDIM}+1 : s*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sv
+                 FROM q CROSS JOIN subs),
+        qdist AS (SELECT query_id, s, cw_id,
+                         CAST(round(list_distance(sv, cv) * {1_000_000}) AS BIGINT) AS qd
+                  FROM qsub JOIN cw USING (s)),
+        adc AS (SELECT cand.query_id, cand.neighbor_id,
+                       CAST(sum(qd) AS BIGINT) AS adc_scaled
+                FROM cand
+                JOIN codes ON cand.neighbor_id = codes.vec_id
+                JOIN qdist ON cand.query_id = qdist.query_id
+                          AND codes.s = qdist.s AND codes.cw_id = qdist.cw_id
+                GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adc_scaled, rn FROM
+          (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_scaled, neighbor_id) AS BIGINT) AS rn
+           FROM adc)
+        WHERE rn <= {K}
+    """,
     "ann_pq_adc": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         corpus AS (SELECT * FROM v WHERE vec_id >= {N_QUERIES}),
