@@ -277,3 +277,31 @@ def split_assign_sql(key_expr: str, fractions: list, salt: str = "") -> str:
         acc += frac
         cases.append(f"WHEN {h} < {int(acc * SAMPLE_DENOM)} THEN '{name}'")
     return f"(CASE {' '.join(cases)} ELSE '{fractions[-1][0]}' END)"
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    key: str,
+    group: str,
+    weight_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum A-Res: :func:`weighted_sample`'s rank key, cut at n
+    WITHIN each group by a window partitioned on the stratum — the
+    "n docs per language, preferring long ones" mixture spec.  One
+    shuffle on the group key; the global variant's TakeOrderedAndProject
+    becomes a per-group top-n."""
+    h = md5_int64(
+        F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+    )
+    u = (h % SAMPLE_DENOM + 1) / F.lit(float(SAMPLE_DENOM + 1))
+    wkey = F.round(F.log(u) / F.col(weight_col), 12)
+    w = Window.partitionBy(group).orderBy(F.col("__wkey").desc(), F.col(key).asc())
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__wkey", wkey)
+        .withColumn("wrank", F.row_number().over(w).cast("long"))
+        .where(F.col("wrank") <= n_per_group)
+        .drop("__wkey")
+    )

@@ -409,6 +409,24 @@ def agg_quantile_bound(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-position windows (cume_dist + percent_rank per
+    return flag) — the remaining members of the ranking-window family.
+    Both are peer-group semantics, identical across engines; rounded to
+    6 so the doubles compare exactly.  Orderkey-sampled so the output
+    stays driver-collectable."""
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
 def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group mode (most frequent value) with a deterministic value
     tiebreak: count sub-aggregate + max_by over a (count, value) struct —
@@ -1016,6 +1034,7 @@ QUERIES = {
     "agg_quantile_bound": agg_quantile_bound,
     "agg_mode": agg_mode,
     "agg_stats": agg_stats,
+    "window_cume_dist": window_cume_dist,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_dense": window_rank_dense,
     "window_lag_lead": window_lag_lead,
@@ -1040,6 +1059,14 @@ ORACLES = {
     "agg_quantile_bound": """
         SELECT l_returnflag, count(*) AS n_rows, TRUE AS within_bound
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "window_cume_dist": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               round(cume_dist() OVER w, 6) AS cd,
+               round(percent_rank() OVER w, 6) AS pr
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
     """,
     "agg_mode": """
         WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n

@@ -197,7 +197,26 @@ def sample_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     return split_assign(d, "doc_id", SPLIT_SPEC, salt=SPLIT_SALT)
 
 
+WEIGHTED_PER_LANG = 30
+
+
+def sample_weighted_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length-weighted sampling without replacement
+    (operators/sampling.weighted_sample_grouped): exactly 30 docs per
+    language, inclusion probability proportional to n_chars — the
+    stratified form of sample_weighted, one shuffle on the stratum."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        weighted_sample_grouped,
+    )
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_grouped(
+        d, "doc_id", "lang", "n_chars", WEIGHTED_PER_LANG, salt="wsample-v1"
+    )
+
+
 QUERIES = {
+    "sample_weighted_lang": sample_weighted_lang,
     "sample_split_assign": sample_split_assign,
     "sample_curriculum": sample_curriculum,
     "sample_curriculum_global": sample_curriculum_global,
@@ -240,7 +259,24 @@ def _split_oracle() -> str:
     """
 
 
+def _weighted_lang_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        weighted_sample_sql,
+    )
+
+    wkey = weighted_sample_sql("doc_id", "n_chars", 0, salt="wsample-v1")
+    return f"""
+        WITH r AS (SELECT doc_id, lang, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY {wkey} DESC, doc_id) AS wrank
+                   FROM documents WHERE n_chars > 0)
+        SELECT doc_id, lang, n_chars, CAST(wrank AS BIGINT) AS wrank
+        FROM r WHERE wrank <= {WEIGHTED_PER_LANG}
+    """
+
+
 ORACLES = {
+    "sample_weighted_lang": _weighted_lang_oracle(),
     "sample_split_assign": _split_oracle(),
     "sample_curriculum": f"""
         SELECT doc_id, lang, n_chars,
