@@ -409,6 +409,22 @@ def agg_quantile_bound(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def agg_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance of quantity vs extended price — single-pass partial
+    aggregation like every moment statistic here; rounded to 4 on both
+    engines (the same tolerance class agg_stats' stddev has survived
+    three testdata regenerations with)."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 def window_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-position windows (cume_dist + percent_rank per
     return flag) — the remaining members of the ranking-window family.
@@ -1034,6 +1050,7 @@ QUERIES = {
     "agg_quantile_bound": agg_quantile_bound,
     "agg_mode": agg_mode,
     "agg_stats": agg_stats,
+    "agg_corr": agg_corr,
     "window_cume_dist": window_cume_dist,
     "window_topk_per_group": window_topk_per_group,
     "window_rank_dense": window_rank_dense,
@@ -1058,6 +1075,13 @@ ORACLES = {
     """,
     "agg_quantile_bound": """
         SELECT l_returnflag, count(*) AS n_rows, TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_corr": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,
     "window_cume_dist": """
