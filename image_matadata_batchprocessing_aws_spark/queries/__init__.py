@@ -58,8 +58,9 @@ _MODULES = [
 #: re-confirmation (r01's one red row).  Displaced entries are ALL
 #: r01/r02 driver-green; of the new oracled queries only ``agg_mode``,
 #: ``join_nullsafe``, ``ann_ivfpq``, ``sample_weighted_lang``,
-#: ``window_cume_dist``, and ``agg_corr`` sit below the fold (window
-#: capacity — all six locally oracle-exact at sf0.01 and sf0.001,
+#: ``window_cume_dist``, ``agg_corr``, ``eval_ann_recall``, and
+#: ``etl_star_flatten`` sit below the fold (window
+#: capacity — all locally oracle-exact at sf0.01 and sf0.001,
 #: first in line for the r04 rotation).
 _WINDOW = [
     # -- never driver-checked (locally oracle-exact, VERDICT r2 item 1) --

@@ -317,6 +317,36 @@ def etl_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def etl_star_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-schema denormalization: the 'one big table' build that
+    feature pipelines and BI extracts run — orders widened with
+    customer, nation, and region attributes in one broadcast-join chain
+    (every dimension is broadcast-sized, so the fact table never
+    shuffles; the plan is a single scan + three BroadcastHashJoins).
+    Orderkey-sampled so the wide output stays driver-collectable."""
+    o = t(spark, sf, "orders").where(F.col("o_orderkey") % 20 == 0)
+    c = t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
 def etl_dates_dim(spark: SparkSession, sf: str) -> DataFrame:
     """Calendar-dimension generation: the order-date span unrolled into
     one row per day with date parts and a weekend flag — the generator
@@ -459,6 +489,7 @@ def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_star_flatten": etl_star_flatten,
     "etl_dates_dim": etl_dates_dim,
     "etl_cdc_compact": etl_cdc_compact,
     "agg_histogram": agg_histogram,
@@ -486,6 +517,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "etl_star_flatten": """
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               c_custkey, c_name, c_acctbal,
+               n_name AS nation, r_name AS region
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderkey % 20 = 0
+    """,
     "etl_dates_dim": """
         WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
                              CAST(max(o_orderdate) AS DATE) AS d1
