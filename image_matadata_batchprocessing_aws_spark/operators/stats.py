@@ -1,0 +1,184 @@
+"""Statistical model-fitting aggregates (extends SURVEY section 2.4).
+
+The reference's only model fitting is the scikit-learn / torch training
+step downstream of the ETL (``train.py:124-141``); these operators are
+the aggregation-pushdown versions of the model-prep statistics an LLM /
+analytics pipeline computes IN the engine instead of in driver Python:
+grouped least-squares fits and percentile-clip (winsorize) outlier
+handling.
+
+Cross-engine determinism follows the ``zscore_scale_exact`` playbook
+(``operators/scale.py``): quantize inputs to scaled BIGINTs, accumulate
+the sufficient statistics as EXACT integer sums (associative, so
+partition order / parallelism cannot change a bit), then reconstruct the
+fit in double precision with the identical scalar op sequence on both
+engines.  Products that can overflow int64 split into high/low 30-bit
+halves (``shiftright`` / bitmask) summed separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TWO30 = 1073741824  # 2^30
+
+
+def _scaled(col: str, digits: int) -> Column:
+    return F.round(F.col(f"`{col}`") * F.lit(float(10**digits))).cast("long")
+
+
+def _hi(prod: Column) -> Column:
+    return F.sum(F.shiftright(prod, 30))
+
+
+def _lo(prod: Column) -> Column:
+    return F.sum(prod.bitwiseAND(F.lit(TWO30 - 1)))
+
+
+def _recombine(hi: str, lo: str, descale: float) -> Column:
+    return (
+        F.col(hi).cast("double") * F.lit(float(TWO30)) + F.col(lo).cast("double")
+    ) / F.lit(descale)
+
+
+def grouped_regression(
+    df: DataFrame,
+    group_by: list[str],
+    x: str,
+    y: str,
+    x_digits: int = 2,
+    y_digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y = slope*x +
+    intercept`` with the coefficient of determination ``r2`` — the
+    engine-side replacement for collect-then-sklearn model prep.
+
+    One shuffle (the groupBy), map-side partial aggregation of six
+    integer sums; the closed-form solve is a scalar epilogue:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        r2    = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Sum-of-products overflow: |x_scaled| <= X, |y_scaled| <= Y requires
+    ``X*Y*rows_per_group < 2^63`` for Sxy; Sxx/Syy ride the hi/lo
+    30-bit split so only the per-row square must fit int64 (|v| < 2^31
+    after scaling).  ANSI mode overflows loudly, never silently.
+
+    At 100 TB the shape is unchanged: integer partial aggregates are
+    the cheapest distributive aggregate Spark has, and the group count
+    (not the row count) bounds the result.  The formula reconstruction
+    happens in double on the final 1-row-per-group frame.
+    """
+    xs, ys = _scaled(x, x_digits), _scaled(y, y_digits)
+    agg = df.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xs).alias("__sx"),
+        F.sum(ys).alias("__sy"),
+        F.sum(xs * ys).alias("__sxy"),
+        _hi(xs * xs).alias("__sxx_hi"),
+        _lo(xs * xs).alias("__sxx_lo"),
+        _hi(ys * ys).alias("__syy_hi"),
+        _lo(ys * ys).alias("__syy_lo"),
+    )
+    xd, yd = float(10**x_digits), float(10**y_digits)
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double") / F.lit(xd)
+    sy = F.col("__sy").cast("double") / F.lit(yd)
+    sxy = F.col("__sxy").cast("double") / F.lit(xd * yd)
+    sxx = _recombine("__sxx_hi", "__sxx_lo", xd * xd)
+    syy = _recombine("__syy_hi", "__syy_lo", yd * yd)
+    cov_n = n * sxy - sx * sy  # n^2 * covariance
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    slope = cov_n / var_x_n
+    return agg.select(
+        *group_by,
+        F.col("__n").alias("n"),
+        F.round(slope, round_digits).alias("slope"),
+        F.round((sy - slope * sx) / n, round_digits).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x_n * var_y_n), round_digits).alias("r2"),
+    )
+
+
+def grouped_regression_sql(
+    table: str,
+    group_by: str,
+    x: str,
+    y: str,
+    x_digits: int = 2,
+    y_digits: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`grouped_regression` — the same scaled-long
+    sufficient statistics and the same double reconstruction sequence,
+    NOT DuckDB's built-in ``regr_slope`` (whose double accumulation
+    order need not match Spark's)."""
+    xd, yd = float(10**x_digits), float(10**y_digits)
+    return f"""
+        WITH s AS (
+          SELECT {group_by},
+                 CAST(round({x} * {xd}) AS BIGINT) AS xs,
+                 CAST(round({y} * {yd}) AS BIGINT) AS ys
+          FROM {table}),
+        a AS (
+          SELECT {group_by},
+                 count(*) AS n,
+                 sum(xs) AS sxr, sum(ys) AS syr, sum(xs * ys) AS sxyr,
+                 sum(xs * xs // 1073741824) AS sxx_hi,
+                 sum(xs * xs % 1073741824) AS sxx_lo,
+                 sum(ys * ys // 1073741824) AS syy_hi,
+                 sum(ys * ys % 1073741824) AS syy_lo
+          FROM s GROUP BY {group_by}),
+        r AS (
+          SELECT {group_by}, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(sxr AS DOUBLE) / {xd} AS sx,
+                 CAST(syr AS DOUBLE) / {yd} AS sy,
+                 CAST(sxyr AS DOUBLE) / {xd * yd} AS sxy,
+                 (CAST(sxx_hi AS DOUBLE) * 1073741824.0 + CAST(sxx_lo AS DOUBLE))
+                   / {xd * xd} AS sxx,
+                 (CAST(syy_hi AS DOUBLE) * 1073741824.0 + CAST(syy_lo AS DOUBLE))
+                   / {yd * yd} AS syy
+          FROM a)
+        SELECT {group_by}, n,
+               round((nd * sxy - sx * sy) / (nd * sxx - sx * sx),
+                     {round_digits}) AS slope,
+               round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+                     / nd, {round_digits}) AS intercept,
+               round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+                     {round_digits}) AS r2
+        FROM r
+    """
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "",
+) -> DataFrame:
+    """Percentile clipping (winsorization): values below the ``lower``
+    quantile or above the ``upper`` quantile snap to the boundary —
+    the standard heavy-tail tamer applied before scaling/fitting, and
+    the global-fit counterpart of the reference's ad-hoc outlier drops.
+
+    Two passes like every scaler in :mod:`operators.scale`: pass 1 is
+    one tiny aggregate row of EXACT interpolated percentiles (matches
+    DuckDB ``quantile_cont`` bit-for-bit), broadcast via a literal
+    crossJoin; pass 2 is a map-side ``least``/``greatest`` — no
+    shuffle.  At 100 TB swap ``percentile`` for ``percentile_approx``
+    (same two-pass shape, documented rank-error bound)."""
+    stats = df.agg(
+        *[F.percentile(F.col(f"`{c}`"), F.lit(lower)).alias(f"__lo_{c}") for c in cols],
+        *[F.percentile(F.col(f"`{c}`"), F.lit(upper)).alias(f"__hi_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        out = out.withColumn(
+            c + suffix,
+            F.least(F.greatest(F.col(f"`{c}`"), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")),
+        )
+    return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])

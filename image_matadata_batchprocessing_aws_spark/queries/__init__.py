@@ -17,6 +17,7 @@ Cross-engine determinism rules (every query follows them):
 
 from __future__ import annotations
 
+from image_matadata_batchprocessing_aws_spark.queries import analytics as _analytics
 from image_matadata_batchprocessing_aws_spark.queries import chunking as _chunking
 from image_matadata_batchprocessing_aws_spark.queries import dedup as _dedup
 from image_matadata_batchprocessing_aws_spark.queries import etl as _etl
@@ -47,6 +48,7 @@ _MODULES = [
     _search,
     _sketches,
     _graphq,
+    _analytics,
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50

@@ -1,0 +1,338 @@
+"""Statistical / time-series / funnel-retrieval analytics queries
+(r03 batch 4): engine-side model-prep statistics, hypertable-style
+rollups, vocabulary building, and coarse-to-fine Matryoshka retrieval.
+
+Every query is fully oracled; determinism via the scaled-long exact-sum
+playbook (``operators/stats.py``) or exact interpolated percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.similarity import as_double_array, cosine_sim
+from image_matadata_batchprocessing_aws_spark.operators.stats import (
+    grouped_regression,
+    grouped_regression_sql,
+    winsorize,
+)
+from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+    resample_daily,
+    rollup_cascade_daily,
+)
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+# --- grouped OLS regression (engine-side model prep) ---------------------
+
+
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag least-squares fit of extendedprice on quantity:
+    slope/intercept/r2 from six exact integer partial sums — one
+    shuffle, map-side combine, 3-row result."""
+    return grouped_regression(
+        t(spark, sf, "lineitem"), ["l_returnflag"], x="l_quantity", y="l_extendedprice"
+    )
+
+
+# --- winsorize (percentile clip) -----------------------------------------
+
+
+def etl_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """P01/P99 clip of customer balances + a clipped flag; exact
+    interpolated percentiles broadcast, map-side clip."""
+    c = t(spark, sf, "customer")
+    w = winsorize(c, ["c_acctbal"], lower=0.01, upper=0.99, suffix="_w")
+    return w.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal_w"), 4).alias("acctbal_w"),
+        (F.col("c_acctbal_w") != F.col("c_acctbal")).alias("clipped"),
+    )
+
+
+# --- daily resample + gap fill -------------------------------------------
+
+RESAMPLE_MAX_USER = 20
+
+
+def etl_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily grid over each user's own active span: additive
+    metrics zero-filled, state metric forward-filled.  Users bounded for
+    result-size hygiene; the plan is keyed on user_id throughout."""
+    e = t(spark, sf, "events").where(F.col("user_id") < RESAMPLE_MAX_USER)
+    return resample_daily(e, key="user_id", ts_col="ts", value_col="value")
+
+
+# --- hourly -> daily cascading rollup ------------------------------------
+
+
+def agg_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-rollup cascade: daily tier re-aggregates the hourly
+    tier's distributive partials (scaled-long sum + count), never the
+    raw events — bit-identical to a direct daily aggregate, which is
+    exactly what the oracle computes."""
+    return rollup_cascade_daily(t(spark, sf, "events"), ts_col="ts", value_col="value")
+
+
+# --- vocabulary build ----------------------------------------------------
+
+VOCAB_TOP = 100
+
+
+def text_vocab_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 corpus vocabulary with counts and cumulative coverage —
+    the first step of any tokenizer/frequency-filter build.  Explode is
+    the only row expansion; the count groupBy does map-side partial
+    aggregation so the shuffle carries (token, partial-count), not
+    token instances; coverage is a running sum over the (tiny) ranked
+    vocab."""
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # partial top-k, tiny driver merge) — NOT a global row_number window,
+    # which would drag the whole vocabulary through one task.  The
+    # rank/coverage windows below run on the 100-row result only.
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_TOP)
+    # single-partition window is the intended shape (the frame is bounded
+    # at VOCAB_TOP rows by the limit above); partitioning by __total — a
+    # real column that is constant across the frame — states that in the
+    # plan without the keyless-window warning (a foldable lit() key would
+    # be optimized away and re-trigger it)
+    w_rank = Window.partitionBy("__total").orderBy(F.col("cnt").desc(), "token")
+    ranked = (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.sum("cnt").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ),
+        )
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        "coverage",
+    )
+
+
+# --- Matryoshka coarse-to-fine retrieval ---------------------------------
+
+MAT_N_QUERIES = 10
+MAT_HEAD_DIMS = 8
+MAT_SHORTLIST = 20
+MAT_K = 5
+
+
+def ann_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage funnel retrieval over nested (Matryoshka) embeddings:
+    stage 1 shortlists top-20 per query by cosine on the FIRST 8 DIMS
+    (8x cheaper per comparison, the only stage that touches the whole
+    corpus); stage 2 re-scores the 20-row shortlist with exact cosine
+    over all 64 dims and keeps top-5.
+
+    Scale shape: queries broadcast in both stages; the corpus is
+    scanned once (stage 1) map-side; stage 2's input is
+    shortlist-sized (queries x 20), so re-ranking cost is independent
+    of corpus size — the standard recall-vs-cost funnel of a production
+    retrieval stack, here as one lazy two-join plan."""
+    e = t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < MAT_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qe"),
+    )
+    c = e.where(F.col("vec_id") >= MAT_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("ce"),
+    )
+    head = lambda col: F.slice(col, 1, MAT_HEAD_DIMS)  # noqa: E731
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ce",
+            "qe",
+            F.round(cosine_sim(head(F.col("qe")), head(F.col("ce"))), 6).alias("head_score"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("head_score").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .where(F.col("__rn") <= MAT_SHORTLIST)
+    )
+    fine = coarse.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("qe"), F.col("ce")), 6).alias("score"),
+    ).withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+        )
+        .cast("long"),
+    )
+    return fine.where(F.col("rn") <= MAT_K).select("query_id", "neighbor_id", "score", "rn")
+
+
+# --- per-label embedding centroids (exact) -------------------------------
+
+CENTROID_DIGITS = 6
+EMB_DIM = 64
+
+
+def embedding_centroid_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(label, dimension) centroid of the embedding corpus — the
+    class-prototype build (nearest-centroid classifiers, SemDeDup seeds,
+    cluster summaries).  posexplode -> one (label, pos)-keyed shuffle of
+    scaled-long partials; means reconstruct in double from exact integer
+    sums, so any partition order gives identical bits."""
+    e = t(spark, sf, "embeddings").select(
+        "label", F.posexplode(as_double_array("embedding")).alias("pos", "x")
+    )
+    scale = float(10**CENTROID_DIGITS)
+    agg = e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x") * F.lit(scale)).cast("long")).alias("__s"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("__s").cast("double") / F.lit(scale) / F.col("n").cast("double"),
+            CENTROID_DIGITS,
+        ).alias("dim_mean"),
+    )
+
+
+QUERIES = {
+    "agg_regression": agg_regression,
+    "etl_winsorize": etl_winsorize,
+    "etl_resample_gapfill": etl_resample_gapfill,
+    "agg_rollup_cascade": agg_rollup_cascade,
+    "text_vocab_build": text_vocab_build,
+    "ann_matryoshka_rerank": ann_matryoshka_rerank,
+    "embedding_centroid_label": embedding_centroid_label,
+}
+
+ORACLES = {
+    "agg_regression": grouped_regression_sql(
+        "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+    ),
+    "etl_winsorize": """
+        WITH st AS (SELECT quantile_cont(c_acctbal, 0.01) AS lo,
+                           quantile_cont(c_acctbal, 0.99) AS hi
+                    FROM customer)
+        SELECT c_custkey,
+               round(least(greatest(c_acctbal, lo), hi), 4) AS acctbal_w,
+               least(greatest(c_acctbal, lo), hi) <> c_acctbal AS clipped
+        FROM customer, st
+    """,
+    "etl_resample_gapfill": f"""
+        WITH sparse AS (
+          SELECT user_id,
+                 epoch_us(ts) // 86400000000 AS day,
+                 count(*) AS n_events,
+                 sum(CAST(round(value * 10000.0) AS BIGINT)) AS vsum
+          FROM events WHERE user_id < {RESAMPLE_MAX_USER}
+          GROUP BY user_id, epoch_us(ts) // 86400000000),
+        bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                   FROM sparse GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds)
+        SELECT g.user_id, g.day,
+               CAST(coalesce(s.n_events, 0) AS BIGINT) AS n_events,
+               CAST(coalesce(s.vsum, 0) AS DOUBLE) / 10000.0 AS day_sum,
+               max(CASE WHEN s.vsum IS NOT NULL THEN g.day END)
+                 OVER (PARTITION BY g.user_id ORDER BY g.day
+                       ROWS UNBOUNDED PRECEDING) AS last_active_day
+        FROM grid g LEFT JOIN sparse s
+          ON s.user_id = g.user_id AND s.day = g.day
+    """,
+    "agg_rollup_cascade": """
+        WITH hourly AS (
+          SELECT epoch_us(ts) // 3600000000 AS hour,
+                 count(*) AS n,
+                 sum(CAST(round(value * 10000.0) AS BIGINT)) AS vsum
+          FROM events GROUP BY epoch_us(ts) // 3600000000),
+        daily AS (
+          SELECT hour // 24 AS day,
+                 sum(n) AS n_events,
+                 sum(vsum) AS vsum,
+                 count(*) AS n_active_hours
+          FROM hourly GROUP BY hour // 24)
+        SELECT day,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_active_hours AS BIGINT) AS n_active_hours,
+               round(CAST(vsum AS DOUBLE) / 10000.0, 4) AS day_sum,
+               round(CAST(vsum AS DOUBLE) / 10000.0 / CAST(n_events AS DOUBLE), 4)
+                 AS day_avg
+        FROM daily
+    """,
+    "text_vocab_build": rf"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM tok
+                   WHERE token <> '' GROUP BY token),
+        total AS (SELECT sum(cnt) AS total FROM counts),
+        ranked AS (
+          SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+                 round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(total AS DOUBLE), 6) AS coverage
+          FROM counts, total)
+        SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+               coverage
+        FROM ranked WHERE rank <= {VOCAB_TOP}
+    """,
+    "ann_matryoshka_rerank": f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < {MAT_N_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id >= {MAT_N_QUERIES}),
+        coarse AS (
+          SELECT query_id, neighbor_id, qe, ce,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(
+                              qe[1:{MAT_HEAD_DIMS}], ce[1:{MAT_HEAD_DIMS}]), 6) DESC,
+                            neighbor_id) AS crn
+          FROM q CROSS JOIN c),
+        fine AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qe, ce), 6) AS score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+                            neighbor_id) AS rn
+          FROM coarse WHERE crn <= {MAT_SHORTLIST})
+        SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
+        FROM fine WHERE rn <= {MAT_K}
+    """,
+    "embedding_centroid_label": f"""
+        WITH x AS (
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS xs
+          FROM embeddings, range({EMB_DIM}) t(i))
+        SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(xs) AS DOUBLE) / 1000000.0
+                     / CAST(count(*) AS DOUBLE), 6) AS dim_mean
+        FROM x GROUP BY label, pos
+    """,
+}
