@@ -1,0 +1,145 @@
+"""Exact-substring duplicate-span detection (LLM-data-pipeline op).
+
+The suffix-array exact-substring dedup of Lee et al., *Deduplicating
+Training Data Makes Language Models Better* (ACL 2022), re-expressed for
+a shared-nothing engine: instead of one global suffix array (a
+single-machine construction), every document emits its POSITIONAL token
+k-grams, a fingerprint groupBy finds k-grams occurring more than once in
+the corpus, and a per-document run-merge window stitches consecutive
+duplicated positions back into MAXIMAL duplicated spans — exactly the
+spans a suffix array would report at resolution k (any duplicated
+substring of >= k tokens covers >= 1 duplicated k-gram, and a span of
+consecutive duplicated k-grams is a duplicated substring witness).
+
+Scale shape (the reason this formulation wins on a cluster):
+
+- the positions table is corpus-token-sized but NARROW (id, pos, 60-bit
+  fingerprint) — the text itself never shuffles;
+- one shuffle keyed on the fingerprint for the multiplicity count; the
+  duplicated-fingerprint set that comes back is contamination-sized, so
+  the semi-join back onto positions broadcasts when dup rates are low
+  (AQE picks this up from the runtime size) and reuses the fingerprint
+  exchange otherwise;
+- the run-merge window partitions by document — embarrassingly parallel
+  across docs, no global ordering anywhere;
+- the positions frame feeds two branches (multiplicity groupBy and the
+  join-back), so the plan tokenizes the corpus twice; at 100 TB persist
+  the narrow positions table once (parquet or ``persist()``) and both
+  branches read the 20-byte rows instead of re-shingling the text — the
+  same one-materialization rule :func:`operators.dedup.shingle_df`
+  documents.
+
+Reference scope note: the reference repo has no text dedup at all (its
+ETL is image metadata, ``read_csv_s3_train.py``); this module is part of
+the beyond-reference training-data surface SURVEY section 6 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+
+
+def positional_kgrams(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, fp): one row per token position 0..n_tokens-k, where
+    ``fp`` is the 60-bit md5 fingerprint of the space-joined k-gram
+    starting there.  NON-distinct on purpose (a k-gram repeated inside
+    one document is a duplication witness too — the suffix-array
+    definition counts occurrences, not documents).
+
+    The k-gram array builds with the same slice+zip_with construction as
+    :func:`operators.dedup.shingles_from_tokens` (each token array is
+    traversed k times total, never per-gram), minus the distinct.  Docs
+    shorter than k tokens (or all-whitespace) emit nothing.
+    """
+    toks: Column = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t")).where(
+        (F.trim(F.col(text_col)) != "") & (F.size("__t") >= k)
+    )
+    n = F.size("__t") - F.lit(k - 1)
+    slices = [F.slice("__t", j + 1, F.greatest(n, F.lit(0))) for j in range(k)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda x, y: F.concat(x, F.lit(" "), y))
+    return base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__gram")
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        md5_int64(F.col("__gram")).alias("fp"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every contiguous run
+    of positions whose k-gram occurs >= ``min_count`` times corpus-wide
+    collapses to one row (doc, span_start, span_end, n_dup_grams), where
+    span bounds are 0-based TOKEN indices and ``span_end`` covers the
+    last token of the last duplicated k-gram (so span length in tokens
+    is ``span_end - span_start + 1 >= k``).
+
+    Downstream policy is the caller's: cut the spans out (the paper's
+    choice), drop documents past a duplicated-fraction threshold, or
+    feed the spans to a blocklist.  This operator only finds them.
+    """
+    pos = positional_kgrams(df, text_col, id_col, k)
+    dup_fps = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("__cnt")).where(
+        F.col("__cnt") >= min_count
+    )
+    # both sides arrive partitioned by fp (the groupBy's exchange reuses);
+    # when the duplicated set is small AQE demotes this to a broadcast
+    hits = pos.join(dup_fps.select("fp"), "fp", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = hits.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .drop("__grp")
+    )
+
+
+def doc_dup_fraction(
+    spans: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-token fraction from a
+    :func:`duplicated_spans` result: span token-lengths sum per doc
+    (maximal runs never overlap, so the sum is exact coverage) against
+    the doc's token count.  Docs with no duplicated span report 0.0 —
+    the ranking a drop-or-keep policy thresholds on."""
+    cover = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__dup_toks")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col(text_col))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return toks.join(cover, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("__dup_toks", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("__dup_toks", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )

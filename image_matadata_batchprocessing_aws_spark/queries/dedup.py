@@ -96,6 +96,35 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Exact-substring span resolution in tokens (Lee et al. use 50 BPE
+#: tokens at web scale; the synthetic corpus's planted repeats are
+#: sentence-sized, so 5 words exercises the run-merge properly).
+SUBSTR_K = 5
+
+
+def dedup_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup, detection stage: maximal duplicated token
+    spans (>= SUBSTR_K tokens, >= 2 corpus-wide occurrences) per doc —
+    the distributed stand-in for a suffix-array scan."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        duplicated_spans,
+    )
+
+    return duplicated_spans(t(spark, sf, "documents"), k=SUBSTR_K)
+
+
+def dedup_substr_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup, policy stage: per-doc duplicated-token
+    fraction (0.0 for clean docs) — what a drop/trim threshold reads."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        doc_dup_fraction,
+        duplicated_spans,
+    )
+
+    docs = t(spark, sf, "documents")
+    return doc_dup_fraction(duplicated_spans(docs, k=SUBSTR_K), docs)
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(t(spark, sf, "documents"))
 
@@ -222,6 +251,8 @@ def dedup_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "dedup_levenshtein": dedup_levenshtein,
+    "dedup_substr_spans": dedup_substr_spans,
+    "dedup_substr_fraction": dedup_substr_fraction,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_components": dedup_components,
     "dedup_exact_rows": dedup_exact_rows,
@@ -448,4 +479,61 @@ ORACLES["dedup_incremental"] = rf"""
         UNION ALL
         SELECT doc_id, 'unique' AS status, CAST(NULL AS BIGINT) AS match_id
         FROM rest WHERE doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+_SUBSTR_GRAM_FP = md5_int64_sql(
+    f"array_to_string(list_slice(t, pos + 1, pos + {SUBSTR_K}), ' ')"
+)
+
+#: Shared CTE chain for the exact-substring pair: positional k-grams ->
+#: corpus-wide multiplicity -> consecutive-run merge (the pos -
+#: row_number grouping trick, identical on both engines).
+_SUBSTR_RUNS = rf"""
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+        pos AS (
+          SELECT doc_id, t, unnest(range(len(t) - {SUBSTR_K - 1})) AS pos
+          FROM toks WHERE len(t) >= {SUBSTR_K}),
+        grams AS (
+          SELECT doc_id, pos, {_SUBSTR_GRAM_FP} AS fp
+          FROM pos),
+        dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (fp)),
+        runs AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+          FROM hits)
+"""
+
+ORACLES["dedup_substr_spans"] = f"""
+        WITH {_SUBSTR_RUNS}
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM runs GROUP BY doc_id, grp
+"""
+
+ORACLES["dedup_substr_fraction"] = rf"""
+        WITH {_SUBSTR_RUNS},
+        spans AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_K - 1} AS e
+          FROM runs GROUP BY doc_id, grp),
+        cover AS (SELECT doc_id, sum(e - s + 1) AS dup_toks
+                  FROM spans GROUP BY doc_id),
+        alltoks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+          FROM documents)
+        SELECT a.doc_id,
+               CAST(a.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.dup_toks, 0) AS BIGINT) AS dup_tokens,
+               round(CAST(coalesce(c.dup_toks, 0) AS DOUBLE)
+                     / CAST(greatest(a.n_tokens, 1) AS DOUBLE), 6)
+                 AS dup_fraction
+        FROM alltoks a LEFT JOIN cover c USING (doc_id)
 """

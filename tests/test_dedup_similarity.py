@@ -269,3 +269,72 @@ def test_incremental_dedup_statuses_on_planted_batch(spark):
     assert out[102].status == "unique" and out[102].match_id is None
     assert out[103].status == "unique"
     assert len(out) == 4  # every new doc classified exactly once
+
+
+# --- exact-substring duplicated spans ------------------------------------
+
+
+def test_duplicated_spans_merges_maximal_runs(spark):
+    """Two docs share one 7-token sentence embedded in distinct prose:
+    every k-gram inside it duplicates, nothing outside does, and the
+    consecutive run merges into exactly ONE maximal span per doc with
+    span length 7 tokens (= 7 - k + 1 dup k-grams)."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        doc_dup_fraction,
+        duplicated_spans,
+    )
+
+    shared = "pack my box with five dozen jugs"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma {shared} delta epsilon"),
+            (1, f"unrelated opening words here {shared} and a different tail"),
+            (2, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicated_spans(docs, k=5).collect()
+    }
+    # doc 0: shared starts at token 3; doc 1: at token 4
+    assert spans == {0: (3, 9, 3), 1: (4, 10, 3)}
+    frac = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in doc_dup_fraction(duplicated_spans(docs, k=5), docs).collect()
+    }
+    assert frac[0] == (12, 7) and frac[1] == (15, 7) and frac[2][1] == 0
+
+
+def test_duplicated_spans_within_one_doc(spark):
+    """A k-gram repeated INSIDE one document counts as duplication
+    (occurrence-based, like the suffix-array definition)."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        duplicated_spans,
+    )
+
+    phrase = "one two three four five"
+    docs = spark.createDataFrame(
+        [(0, f"{phrase} filler words in between {phrase}")],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(docs, k=5).collect()
+    starts = sorted((r.span_start, r.span_end) for r in rows)
+    assert starts == [(0, 4), (9, 13)]
+
+
+def test_duplicated_spans_short_and_empty_docs(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        doc_dup_fraction,
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "too short"), (1, "   "), (2, "a b c d e"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=5)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    assert got == {(2, 0, 4), (3, 0, 4)}
+    frac = {r.doc_id: r.dup_fraction for r in doc_dup_fraction(spans, docs).collect()}
+    assert frac[0] == 0.0 and frac[1] == 0.0 and frac[2] == 1.0 and frac[3] == 1.0
