@@ -177,3 +177,96 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+# --- HyperLogLog-style distinct sketch -------------------------------------
+#
+# The third sketch of the trio (membership = Bloom, frequency = Count-Min,
+# cardinality = this).  Spark's approx_count_distinct is the production
+# HLL++; this explicit register-table formulation exists for what the
+# built-in cannot do as a black box: the REGISTERS are a first-class
+# DataFrame keyed by (group, bucket), so per-partition / per-day sketches
+# persist as tiny tables and any rollup (per-group -> global, daily ->
+# monthly) is a groupBy(bucket).max(reg) MERGE — no rescan of the raw
+# 100 TB, which is the entire point of a mergeable sketch.  Register
+# updates are max() (associative, commutative), so partial aggregation
+# bounds every task's shuffle at m rows per group.
+#
+# Determinism: md5-derived 60-bit hashes; rank-of-first-one computed via
+# integer bit-length (length(bin(v)) — minimal-width in both engines), and
+# the harmonic sum accumulates as EXACT scaled BIGINTs (term = 1 <<
+# (rho_max - reg), zero buckets contribute 1 << rho_max), so the final
+# double division is the only float op and both engines see identical
+# bits.  No float pow, no float log anywhere.
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """(group..., bucket, reg) register table: bucket = low p hash bits,
+    reg = max rank of the first set bit (from the top) of the remaining
+    60-p bits, rank 1-based; a zero remainder ranks 60-p+1 (all zeros)."""
+    m = 1 << p
+    width = 60 - p
+    key = F.col(key_col)
+    h = md5_int64(key.cast("string"))
+    v = F.shiftright(h, p)
+    bitlen = F.when(v > 0, F.length(F.bin(v))).otherwise(F.lit(0))
+    rho = (F.lit(width + 1) - bitlen).cast("int")
+    return (
+        df.where(key.isNotNull())
+        .select(*group_cols, (h % F.lit(m)).alias("bucket"), rho.alias("__rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("reg"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to a coarser grouping (or to one global
+    sketch with ``group_cols=[]``): max per bucket — the rollup that
+    makes the sketch mergeable."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 9) -> DataFrame:
+    """Cardinality estimate per group from a register table: the raw HLL
+    harmonic-mean formula, with the 2^-reg sum carried as exact scaled
+    integers (one BIGINT per non-empty bucket, empty buckets folded in as
+    a count).  Columns: n_buckets_set, est (rounded 4).
+
+    RAW formula only — accurate for n >> 2.5m; below that, production
+    HLL++ switches to linear counting (m * ln(m / empty_buckets)), which
+    is deliberately omitted here: ln() is not bit-reproducible across
+    engines, and Spark's built-in ``approx_count_distinct`` already IS
+    HLL++ when small-n accuracy matters.  This operator's value is the
+    first-class register TABLE (persistable, mergeable with
+    :func:`hll_merge`), not small-range bias handling."""
+    m = 1 << p
+    width = 60 - p
+    rho_max = width + 1
+    # 2^(rho_max - reg) via literal-array lookup: shiftleft() wants a
+    # literal shift amount, same workaround as _mask8
+    pow2 = F.array(*[F.lit(1 << i) for i in range(rho_max + 1)])
+    term = F.element_at(pow2, (F.lit(rho_max) - F.col("reg") + F.lit(1)).cast("int"))
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets_set"),
+        F.sum(term).alias("__sum_set"),
+    )
+    zeros = (F.lit(m) - F.col("n_buckets_set")).cast("long")
+    sum_q = F.col("__sum_set") + zeros * F.lit(1 << rho_max)
+    est = (
+        F.lit(hll_alpha(m) * m * m * float(1 << rho_max))
+        / sum_q.cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_buckets_set").cast("long").alias("n_buckets_set"),
+        F.round(est, 4).alias("est"),
+    )

@@ -207,3 +207,108 @@ ORACLES = {
         WHERE c_mktsegment = 'BUILDING'
     """,
 }
+
+
+# --- HyperLogLog distinct sketch ------------------------------------------
+
+from image_matadata_batchprocessing_aws_spark.operators.sketches import (  # noqa: E402
+    hll_alpha,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from image_matadata_batchprocessing_aws_spark.operators.dedup import (  # noqa: E402
+    word_shingles,
+)
+
+HLL_P = 9  # 512 registers, ~4.6% standard error
+
+
+def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-cardinality demo: per-language distinct word-3-gram
+    estimates (thousands per language — the regime the raw harmonic-mean
+    formula is built for; the corpus's word VOCABULARY is only ~31 terms,
+    squarely in linear-counting territory, so 3-grams are the honest
+    pick) from 512-register HLL sketches, PLUS a global '__all__' row
+    computed by MERGING the per-language register tables (groupBy bucket,
+    max reg) — the corpus is scanned once; the rollup never rescans it.
+    Exact distinct counts ride along so the driver row locks the
+    estimator's accuracy, not just its determinism."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "lang", F.explode(word_shingles(F.col("text"), n=3)).alias("token")
+    ).where(F.col("token") != "")
+    regs = hll_registers(tok, "token", ["lang"], p=HLL_P)
+    # the register table is tiny (langs * 512 rows) and feeds BOTH the
+    # per-language estimate and the merged rollup: pin it
+    regs = regs.localCheckpoint(eager=False)
+    per = hll_estimate(regs, ["lang"], p=HLL_P)
+    merged = hll_estimate(hll_merge(regs, []), [], p=HLL_P).select(
+        F.lit("__all__").alias("lang"), "n_buckets_set", "est"
+    )
+    exact_per = tok.groupBy("lang").agg(
+        F.count_distinct("token").alias("exact_distinct")
+    )
+    exact_all = tok.agg(
+        F.lit("__all__").alias("lang"),
+        F.count_distinct("token").alias("exact_distinct"),
+    )
+    return per.unionByName(merged).join(
+        exact_per.unionByName(exact_all), "lang"
+    ).select("lang", "n_buckets_set", "est", F.col("exact_distinct").cast("long").alias("exact_distinct"))
+
+
+QUERIES["sketch_hll_distinct"] = sketch_hll_distinct
+
+_HLL_M = 1 << HLL_P
+_HLL_RHO_MAX = 60 - HLL_P + 1
+#: The full numerator alpha*m^2*2^rho_max as ONE Python-computed double
+#: literal embedded in both engines (repr round-trips doubles exactly),
+#: so the estimate's only float op is a single division on each side.
+_HLL_NUM = repr(hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_RHO_MAX))
+
+_HLL_H = md5_int64_sql("token")
+
+ORACLES["sketch_hll_distinct"] = rf"""
+        WITH toks AS (
+          SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        sh AS (SELECT lang,
+                      list_distinct(CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END) AS s
+               FROM toks),
+        tok AS (SELECT lang, unnest(s) AS token FROM sh),
+        tk AS (SELECT lang, token FROM tok WHERE token <> ''),
+        hashed AS (
+          SELECT lang, token, ({_HLL_H}) % {_HLL_M} AS bucket,
+                 ({_HLL_H}) // {_HLL_M} AS v
+          FROM tk),
+        regs AS (
+          SELECT lang, bucket,
+                 max({_HLL_RHO_MAX} - CASE WHEN v > 0 THEN length(bin(v)) ELSE 0 END)
+                   AS reg
+          FROM hashed GROUP BY lang, bucket),
+        allregs AS (
+          SELECT lang, bucket, reg FROM regs
+          UNION ALL
+          SELECT '__all__' AS lang, bucket, max(reg) AS reg
+          FROM regs GROUP BY bucket),
+        agg AS (
+          SELECT lang, count(*) AS n_set,
+                 sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - reg)) AS sum_set
+          FROM allregs GROUP BY lang),
+        est AS (
+          SELECT lang, n_set,
+                 round({_HLL_NUM} / CAST(sum_set
+                       + ({_HLL_M} - n_set) * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX})
+                       AS DOUBLE), 4) AS est
+          FROM agg),
+        exact AS (
+          SELECT lang, count(DISTINCT token) AS exact_distinct FROM tk GROUP BY lang
+          UNION ALL
+          SELECT '__all__' AS lang, count(DISTINCT token) AS exact_distinct FROM tk)
+        SELECT e.lang, CAST(e.n_set AS BIGINT) AS n_buckets_set, e.est,
+               CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+        FROM est e JOIN exact x ON e.lang = x.lang
+"""

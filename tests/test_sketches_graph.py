@@ -218,3 +218,44 @@ def test_pagerank_matches_pure_python_reference(spark):
             inc[v] += (rank[u] * PR_DAMP_NUM) // (PR_DAMP_DEN * deg[u])
         rank = {v: base + inc[v] for v in present}
     assert got == rank
+
+
+# --- HyperLogLog ----------------------------------------------------------
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Mergeability is the defining property: max-merging the register
+    tables of two disjoint halves must give EXACTLY the registers (and
+    hence the estimate) of sketching the union directly."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rows = [(i, f"key-{i}", "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "i long, k string, half string")
+    split = hll_registers(df, "k", ["half"], p=7)
+    merged = hll_merge(split, [])
+    direct = hll_registers(df, "k", [], p=7)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est = hll_estimate(direct, [], p=7).collect()[0]
+    # 128 registers -> ~9% standard error; allow 4 sigma
+    assert abs(est.est - 2000) / 2000 < 0.36
+
+
+def test_hll_estimate_tracks_cardinality_order(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    # n >> 2.5m: the raw harmonic-mean formula's accurate regime (below
+    # that, production HLL++ switches to linear counting — out of scope
+    # for this explicit-register demo, whose queries sit in this regime)
+    rows = [(f"g{g}-key-{i}", f"g{g}") for g in (1, 2) for i in range(4000 * g)]
+    df = spark.createDataFrame(rows, "k string, g string")
+    regs = hll_registers(df, "k", ["g"], p=9)
+    out = {r.g: r.est for r in hll_estimate(regs, ["g"], p=9).collect()}
+    assert out["g1"] < out["g2"]
+    assert abs(out["g1"] - 4000) / 4000 < 0.2 and abs(out["g2"] - 8000) / 8000 < 0.2
