@@ -28,30 +28,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def asof_join(
+def _asof_tagged_union(
     left: DataFrame,
     right: DataFrame,
     key: str,
     left_ts: str,
     right_ts: str,
-    right_prefix: str = "r_",
-    tiebreak: str | None = None,
-) -> DataFrame:
-    """Backward inclusive as-of join: each left row gains the columns of
-    the right row with the greatest ``right_ts <= left_ts`` for the same
-    ``key`` (null-extended when no prior right row exists).
+    tiebreak: str | None,
+):
+    """Shared prologue of the as-of family: tag both inputs, pack each
+    side's columns into one struct, and union — one frame the carry
+    windows can sort once per direction.  Returns (union, lcols, rcols).
 
-    Equivalent to DuckDB/pandas ``ASOF LEFT JOIN`` /
-    ``merge_asof(direction="backward")``, including null-key semantics:
-    a null key never matches (SQL equi-join rule) — without the filter
-    below, Spark's window partitioning would group null-key rows together
-    and "match" them.
-
-    Duplicate right rows at equal ``(key, right_ts)`` resolve
-    deterministically: by the greatest ``tiebreak`` column value when
-    given, else by a stable hash of the whole right row — never by
-    whichever duplicate the partition sort happened to place last.
-    """
+    Null-key right rows are dropped (SQL equi-join rule: null never
+    matches); ``__tb`` makes duplicate-(key, ts) right rows resolve
+    deterministically — by the ``tiebreak`` column when given, else by a
+    stable hash of the whole right row."""
     right = right.where(F.col(key).isNotNull())
     lcols = left.columns
     rcols = right.columns
@@ -78,16 +70,133 @@ def asof_join(
         F.lit(None).cast(ltype).alias("__l"),
         F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
-    u = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts => inclusive (>=) match;
-    # __tb makes F.last deterministic among equal-(key, ts) right rows
-    w = (
+    return l_tag.unionByName(r_tag), lcols, rcols
+
+
+#: Backward carry: right rows sort BEFORE left rows at equal ts, so the
+#: running last() at a left row has seen every right row with ts <= its
+#: own (inclusive match); greatest __tb wins among equal-(key, ts) rights.
+def _w_backward():
+    return (
         Window.partitionBy("__k")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+
+
+#: Forward carry: left rows sort BEFORE right rows at equal ts, so the
+#: first() over [current, end] at a left row sees every right row with
+#: ts >= its own (inclusive); smallest __tb wins among equal-ts rights.
+def _w_forward():
+    return (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tb").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join: each left row gains the columns of
+    the right row with the greatest ``right_ts <= left_ts`` for the same
+    ``key`` (null-extended when no prior right row exists).
+
+    Equivalent to DuckDB/pandas ``ASOF LEFT JOIN`` /
+    ``merge_asof(direction="backward")``, including null-key semantics:
+    a null key never matches (SQL equi-join rule) — without the filter
+    in the shared prologue, Spark's window partitioning would group
+    null-key rows together and "match" them.
+
+    Duplicate right rows at equal ``(key, right_ts)`` resolve
+    deterministically: by the greatest ``tiebreak`` column value when
+    given, else by a stable hash of the whole right row — never by
+    whichever duplicate the partition sort happened to place last.
+    """
+    u, lcols, rcols = _asof_tagged_union(left, right, key, left_ts, right_ts, tiebreak)
+    carried = u.withColumn("__m", F.last("__r", ignorenulls=True).over(_w_backward()))
     out = carried.where(F.col("__side") == 1)
+    return out.select(
+        *[F.col("__l").getField(c).alias(c) for c in lcols],
+        *[F.col("__m").getField(c).alias(f"{right_prefix}{c}") for c in rcols],
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward inclusive as-of join: the right row with the SMALLEST
+    ``right_ts >= left_ts`` per key (pandas ``direction="forward"``,
+    DuckDB ``ASOF ... ON l.ts <= r.ts``) — "what happened next": next
+    click after an impression, next failure after a deploy.
+
+    Same union-and-carry cost model as :func:`asof_join` (one shuffle on
+    the key, one sort); only the carry direction flips: first() over the
+    tail of the partition instead of last() over the head.  Equal-ts
+    ties take the SMALLEST tiebreak (mirror image of backward)."""
+    u, lcols, rcols = _asof_tagged_union(left, right, key, left_ts, right_ts, tiebreak)
+    carried = u.withColumn("__m", F.first("__r", ignorenulls=True).over(_w_forward()))
+    out = carried.where(F.col("__side") == 1)
+    return out.select(
+        *[F.col("__l").getField(c).alias(c) for c in lcols],
+        *[F.col("__m").getField(c).alias(f"{right_prefix}{c}") for c in rcols],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "r_",
+    tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join (pandas ``direction="nearest"``): whichever of
+    the backward and forward candidates is closer in absolute time wins;
+    an exact-distance tie goes BACKWARD (documented, deterministic).
+    ``tolerance_seconds`` nulls out matches farther than the bound in
+    either direction — the "within an hour" guard every sensor/event
+    alignment wants.
+
+    Timestamps must be TimestampType (distances compare in epoch
+    microseconds).  Cost: the same single key-shuffle; the two carry
+    windows share the exchange and differ only in sort order, so the
+    plan is one Exchange + two in-partition sorts — still linear, still
+    no inequality nested-loop."""
+    u, lcols, rcols = _asof_tagged_union(left, right, key, left_ts, right_ts, tiebreak)
+    carried = u.withColumn(
+        "__mb", F.last("__r", ignorenulls=True).over(_w_backward())
+    ).withColumn("__mf", F.first("__r", ignorenulls=True).over(_w_forward()))
+    out = carried.where(F.col("__side") == 1)
+    here = F.unix_micros(F.col("__ts"))
+    bdiff = here - F.unix_micros(F.col("__mb").getField(right_ts))
+    fdiff = F.unix_micros(F.col("__mf").getField(right_ts)) - here
+    if tolerance_seconds is not None:
+        tol = F.lit(int(tolerance_seconds) * 1_000_000)
+        out = out.withColumn(
+            "__mb", F.when(bdiff <= tol, F.col("__mb"))
+        ).withColumn("__mf", F.when(fdiff <= tol, F.col("__mf")))
+        bdiff = here - F.unix_micros(F.col("__mb").getField(right_ts))
+        fdiff = F.unix_micros(F.col("__mf").getField(right_ts)) - here
+    chosen = F.when(
+        F.col("__mb").isNotNull() & (F.col("__mf").isNull() | (bdiff <= fdiff)),
+        F.col("__mb"),
+    ).otherwise(F.col("__mf"))
+    out = out.withColumn("__m", chosen)
     return out.select(
         *[F.col("__l").getField(c).alias(c) for c in lcols],
         *[F.col("__m").getField(c).alias(f"{right_prefix}{c}") for c in rcols],

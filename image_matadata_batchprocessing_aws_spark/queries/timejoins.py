@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from image_matadata_batchprocessing_aws_spark.operators.joins import (
     asof_join,
+    asof_join_forward,
+    asof_join_nearest,
     interval_overlap_join_binned,
     range_join_binned,
 )
@@ -37,6 +39,57 @@ def join_asof_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round("value", 2).alias("value"),
+        F.col("click_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias("lag_us"),
+    )
+
+
+NEAREST_TOL_HOURS = 12
+
+
+def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase, the NEXT click (inclusive) by the same user —
+    the forward direction of the as-of family; same one-shuffle
+    union-and-carry plan, carry direction flipped."""
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join_forward(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", right_prefix="click_"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("click_event_id"),
+        (F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("ts"))).alias("lead_us"),
+    )
+
+
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase, the click closest in time EITHER direction,
+    but only within NEAREST_TOL_HOURS (ties go backward) — the
+    sensor-alignment shape of the as-of family, with the tolerance guard
+    exercised (far-away matches null out)."""
+    ev = t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join_nearest(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_prefix="click_",
+        tolerance_seconds=NEAREST_TOL_HOURS * 3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
         F.col("click_event_id"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias("lag_us"),
     )
@@ -176,6 +229,8 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "join_nullsafe": join_nullsafe,
     "join_asof_click_purchase": join_asof_click_purchase,
+    "join_asof_forward": join_asof_forward,
+    "join_asof_nearest": join_asof_nearest,
     "join_range_event_windows": join_range_event_windows,
     "join_interval_overlap": join_interval_overlap,
     "join_salted_skew": join_salted_skew,
@@ -218,6 +273,50 @@ ORACLES = {
                c.event_id AS click_event_id,
                epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join_asof_forward": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+               c.event_id AS click_event_id,
+               epoch_us(c.ts) - epoch_us(p.ts) AS lead_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    # nearest = choose between the two directed candidates after the
+    # tolerance guard; exact-distance ties go backward — stated in the
+    # operator contract and mirrored literally here
+    "join_asof_nearest": f"""
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        b AS (SELECT p.event_id, c.event_id AS cid, c.ts AS cts
+              FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        f AS (SELECT p.event_id, c.event_id AS cid, c.ts AS cts
+              FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts),
+        tol AS (
+          SELECT p.event_id, p.user_id, p.ts,
+                 CASE WHEN epoch_us(p.ts) - epoch_us(b.cts)
+                           <= CAST({NEAREST_TOL_HOURS * 3600} AS BIGINT) * 1000000 THEN b.cid END AS bcid,
+                 CASE WHEN epoch_us(p.ts) - epoch_us(b.cts)
+                           <= CAST({NEAREST_TOL_HOURS * 3600} AS BIGINT) * 1000000 THEN b.cts END AS bcts,
+                 CASE WHEN epoch_us(f.cts) - epoch_us(p.ts)
+                           <= CAST({NEAREST_TOL_HOURS * 3600} AS BIGINT) * 1000000 THEN f.cid END AS fcid,
+                 CASE WHEN epoch_us(f.cts) - epoch_us(p.ts)
+                           <= CAST({NEAREST_TOL_HOURS * 3600} AS BIGINT) * 1000000 THEN f.cts END AS fcts
+          FROM p
+          LEFT JOIN b ON p.event_id = b.event_id
+          LEFT JOIN f ON p.event_id = f.event_id),
+        pick AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN bcid IS NOT NULL AND (fcid IS NULL OR
+                           epoch_us(ts) - epoch_us(bcts) <= epoch_us(fcts) - epoch_us(ts))
+                      THEN bcid ELSE fcid END AS click_event_id,
+                 CASE WHEN bcid IS NOT NULL AND (fcid IS NULL OR
+                           epoch_us(ts) - epoch_us(bcts) <= epoch_us(fcts) - epoch_us(ts))
+                      THEN bcts ELSE fcts END AS cts
+          FROM tol)
+        SELECT event_id, user_id, click_event_id,
+               epoch_us(ts) - epoch_us(cts) AS lag_us
+        FROM pick
     """,
     "join_range_event_windows": f"""
         WITH w AS (SELECT event_id AS window_id, ts AS start_ts,

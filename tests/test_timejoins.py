@@ -191,3 +191,66 @@ def test_binned_joins_refuse_caller_bin_column(spark):
             intervals, facts.withColumnRenamed("ts", "r_end"),
             "start_ts", "end_ts", "r_end", "r_end", 3600,
         )
+
+
+# --- as-of direction variants ---------------------------------------------
+
+
+def _ts_df(spark, rows, schema):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+
+
+def test_asof_forward_picks_next_inclusive(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.joins import asof_join_forward
+
+    left = _ts_df(spark, [(1, "a", 100), (2, "a", 205), (3, "b", 100)], "lid long, k string, ts long")
+    right = _ts_df(
+        spark,
+        [(10, "a", 100), (11, "a", 200), (12, "a", 300)],
+        "rid long, k string, ts long",
+    )
+    got = {
+        r.lid: r.r_rid
+        for r in asof_join_forward(left, right, "k", "ts", "ts").collect()
+    }
+    # lid 1: equal ts is inclusive -> rid 10; lid 2: next after 205 -> 300;
+    # lid 3: no right rows for key b -> null
+    assert got == {1: 10, 2: 12, 3: None}
+
+
+def test_asof_nearest_tie_goes_backward_and_tolerance_nulls(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.joins import asof_join_nearest
+
+    left = _ts_df(
+        spark,
+        [(1, "a", 150), (2, "a", 198), (3, "a", 1000), (4, "b", 50)],
+        "lid long, k string, ts long",
+    )
+    right = _ts_df(
+        spark, [(10, "a", 100), (11, "a", 200)], "rid long, k string, ts long"
+    )
+    got = {
+        r.lid: r.r_rid
+        for r in asof_join_nearest(
+            left, right, "k", "ts", "ts", tolerance_seconds=300
+        ).collect()
+    }
+    # lid 1: dist 50 both ways -> tie -> backward rid 10
+    # lid 2: 98 back vs 2 forward -> rid 11
+    # lid 3: nearest is 800s away > 300s tolerance -> null
+    # lid 4: no key match -> null
+    assert got == {1: 10, 2: 11, 3: None, 4: None}
+
+
+def test_asof_nearest_without_tolerance_always_matches(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.joins import asof_join_nearest
+
+    left = _ts_df(spark, [(1, "a", 10), (2, "a", 10_000)], "lid long, k string, ts long")
+    right = _ts_df(spark, [(10, "a", 5_000)], "rid long, k string, ts long")
+    got = {
+        r.lid: r.r_rid for r in asof_join_nearest(left, right, "k", "ts", "ts").collect()
+    }
+    assert got == {1: 10, 2: 10}
