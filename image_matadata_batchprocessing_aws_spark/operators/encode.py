@@ -87,3 +87,47 @@ def label_encode(
                 .drop("__val", "__code")
             )
     return out
+
+
+def one_hot_encode(
+    df: DataFrame,
+    cols: list[str],
+    categories: dict[str, list] | None = None,
+    max_distinct: int = 64,
+) -> DataFrame:
+    """Indicator-column expansion (sklearn ``OneHotEncoder`` /
+    ``pd.get_dummies``): each input column gains one ``{col}_{value}``
+    0/1 column per category; null inputs encode as all-zeros (sklearn
+    ``handle_unknown='ignore'`` convention).
+
+    ``categories`` pins the domain explicitly (schema stability across
+    runs/partitions of a pipeline — the production default: a one-hot
+    SCHEMA that depends on which values happened to be present is a
+    training-serving skew bug).  When omitted, the domain is fit with
+    one job over all columns (same single-job pattern as
+    :func:`label_encode`) and guarded by ``max_distinct`` — one-hot past
+    ~dozens of categories is a sparse-matrix problem, not a
+    wide-DataFrame problem.  Encoding itself is pure map-side
+    comparisons — no join, no shuffle, whole-stage codegen."""
+    if categories is None:
+        sets = df.agg(
+            *[F.collect_set(F.col(f"`{c}`")).alias(c) for c in cols]
+        ).collect()[0]
+        categories = {}
+        for c in cols:
+            vals = sorted(sets[c])
+            if len(vals) > max_distinct:
+                raise ValueError(
+                    f"one_hot_encode({c}): {len(vals)} categories exceeds "
+                    f"cap {max_distinct}; pass an explicit domain or use "
+                    "label_encode + embedding instead"
+                )
+            categories[c] = vals
+    out = df
+    for c in cols:
+        for v in categories[c]:
+            out = out.withColumn(
+                f"{c}_{v}",
+                F.when(F.col(f"`{c}`") == F.lit(v), 1).otherwise(0).cast("int"),
+            )
+    return out

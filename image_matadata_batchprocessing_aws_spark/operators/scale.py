@@ -135,3 +135,36 @@ def minmax_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
             / (F.col(f"__max_{c}") - F.col(f"__min_{c}")),
         )
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+
+
+def quantile_bin(
+    df: DataFrame, cols: list[str], n_bins: int = 4, suffix: str = "_bin"
+) -> DataFrame:
+    """Equal-frequency discretization (sklearn ``KBinsDiscretizer``
+    strategy='quantile'): bin k holds values in (b_k, b_{k+1}] where the
+    boundaries are the 1/n..(n-1)/n interpolated percentiles; the lowest
+    bin is 0, values above the last boundary get n_bins-1.  Same global
+    two-pass shape as every scaler here: one tiny EXACT-``percentile``
+    aggregate row broadcast via crossJoin, then the bin index as a pure
+    map-side sum of (x > boundary) comparisons — no shuffle of the data,
+    no per-row quantile lookups.  At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (documented rank-error; identical structure)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    stats = df.agg(
+        *[
+            F.percentile(F.col(f"`{c}`"), F.lit(q)).alias(f"__q{i}_{c}")
+            for c in cols
+            for i, q in enumerate(qs)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        bin_idx = None
+        for i in range(len(qs)):
+            above = (F.col(f"`{c}`") > F.col(f"__q{i}_{c}")).cast("int")
+            bin_idx = above if bin_idx is None else bin_idx + above
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(f"`{c}`").isNotNull(), bin_idx).cast("long"),
+        )
+    return out.drop(*[f"__q{i}_{c}" for c in cols for i in range(len(qs))])

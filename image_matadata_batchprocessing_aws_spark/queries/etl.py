@@ -166,6 +166,40 @@ def etl_minmax(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- equal-frequency discretization (KBinsDiscretizer twin) --------------
+
+
+def etl_quantile_bin(spark: SparkSession, sf: str) -> DataFrame:
+    """Quartile binning of customer balances: global exact-percentile
+    boundaries broadcast, bin index as map-side comparisons."""
+    from image_matadata_batchprocessing_aws_spark.operators.scale import quantile_bin
+
+    c = t(spark, sf, "customer")
+    b = quantile_bin(c, ["c_acctbal"], n_bins=4, suffix="_bin")
+    return b.select("c_custkey", F.col("c_acctbal_bin").alias("acctbal_bin"))
+
+
+# --- one-hot indicator expansion (OneHotEncoder / get_dummies twin) ------
+
+#: Pinned TPC-H domains — the production contract: one-hot SCHEMA must
+#: not depend on which values a given run happened to see.
+ONE_HOT_DOMAINS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
+
+
+def etl_one_hot(spark: SparkSession, sf: str) -> DataFrame:
+    from image_matadata_batchprocessing_aws_spark.operators.encode import one_hot_encode
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    oh = one_hot_encode(li, ["l_returnflag", "l_linestatus"], categories=ONE_HOT_DOMAINS)
+    return oh.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[f"{c}_{v}" for c, vals in ONE_HOT_DOMAINS.items() for v in vals],
+    )
+
+
 # --- A9/W2: deterministic count-based batching (process_test_train_Images.py:31,49-56)
 
 
@@ -507,6 +541,8 @@ QUERIES = {
     "etl_zscore": etl_zscore,
     "etl_minmax": etl_minmax,
     "etl_robust_scale": etl_robust_scale,
+    "etl_quantile_bin": etl_quantile_bin,
+    "etl_one_hot": etl_one_hot,
     "etl_batch_id": etl_batch_id,
     "etl_union_chunks": etl_union_chunks,
     "etl_row_bytes": etl_row_bytes,
@@ -720,6 +756,23 @@ ORACLES = {
                round((c_acctbal - min(c_acctbal) OVER ())
                      / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS acctbal_mm
         FROM customer
+    """,
+    "etl_quantile_bin": """
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal > quantile_cont(c_acctbal, 0.25) OVER () AS INT)
+                  + CAST(c_acctbal > quantile_cont(c_acctbal, 0.50) OVER () AS INT)
+                  + CAST(c_acctbal > quantile_cont(c_acctbal, 0.75) OVER () AS INT)
+                    AS BIGINT) AS acctbal_bin
+        FROM customer
+    """,
+    "etl_one_hot": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS INT) AS l_returnflag_A,
+               CAST(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS INT) AS l_returnflag_N,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT) AS l_returnflag_R,
+               CAST(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS INT) AS l_linestatus_F,
+               CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS INT) AS l_linestatus_O
+        FROM lineitem
     """,
     "etl_batch_id": """
         WITH b AS (

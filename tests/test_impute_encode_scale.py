@@ -154,3 +154,51 @@ def test_label_encode_multi_column_one_collect_job(spark):
     out = label_encode(df, ["cat", "num"], suffix="_code")
     got = {r.id: (r.cat_code, r.num_code) for r in out.collect()}
     assert got == {1: (1, 2), 2: (0, 0), 3: (2, 1), 4: (0, None)}
+
+
+# --- quantile binning / one-hot -------------------------------------------
+
+
+def test_quantile_bin_equal_frequency_and_nulls(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.scale import quantile_bin
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = quantile_bin(df, ["x"], n_bins=4).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.x_bin, []).append(r.id)
+    assert r is not None
+    # null input -> null bin; 100 values split 25/25/25/25
+    assert sorted(len(v) for k, v in by_bin.items() if k is not None) == [25, 25, 25, 25]
+    assert len(by_bin.get(None, [])) == 1
+    # monotone: every value in bin k is below every value in bin k+1
+    for k in range(3):
+        assert max(by_bin[k]) < min(by_bin[k + 1])
+
+
+def test_one_hot_pinned_and_fitted(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.encode import one_hot_encode
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, None)], "id long, c string"
+    )
+    # fitted domain: collect_set drops nulls -> columns c_a, c_b
+    out = one_hot_encode(df, ["c"])
+    assert set(out.columns) == {"id", "c", "c_a", "c_b"}
+    got = {r.id: (r.c_a, r.c_b) for r in out.collect()}
+    assert got == {0: (1, 0), 1: (0, 1), 2: (0, 0)}  # null row is all-zeros
+    # pinned domain keeps schema stable even for absent categories
+    out2 = one_hot_encode(df, ["c"], categories={"c": ["a", "b", "z"]})
+    assert "c_z" in out2.columns
+    assert all(r.c_z == 0 for r in out2.collect())
+
+
+def test_one_hot_cardinality_guard(spark):
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.operators.encode import one_hot_encode
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(70)], "id long, c string")
+    with pytest.raises(ValueError, match="categories exceeds"):
+        one_hot_encode(df, ["c"], max_distinct=64)
