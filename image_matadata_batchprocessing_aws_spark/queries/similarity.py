@@ -678,3 +678,72 @@ ORACLES["eval_ann_recall"] = f"""
     FROM (SELECT DISTINCT query_id FROM truth) q
     LEFT JOIN hits USING (query_id)
 """
+
+
+# --- NDCG@K of the IVFPQ ranking ------------------------------------------
+
+#: Rank discounts 1/log2(rank+1), quantized to exact 2^40-scaled BIGINTs
+#: computed ONCE in Python and embedded as literals in both engines — the
+#: DCG sum is then pure integer arithmetic (associative, order-free) and
+#: the only float op is the final dcg/idcg division.  No engine-side
+#: log() anywhere, so no cross-engine last-ulp roulette.
+import math
+
+NDCG_SCALE = 1 << 40
+NDCG_DISCOUNT = [round(NDCG_SCALE / math.log2(i + 1)) for i in range(1, K + 1)]
+#: Ideal DCG: the true top-K in perfect order (graded relevance K..1).
+NDCG_IDEAL = sum((K - i) * NDCG_DISCOUNT[i] for i in range(K))
+
+
+def eval_ann_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded ranking quality of the IVFPQ index: NDCG@K against exact
+    L2 ground truth (relevance of true rank r = K-r+1, 0 for misses) —
+    the order-sensitive companion to recall@k (`eval_ann_recall`): recall
+    only counts set overlap; NDCG also pays for returning the right
+    neighbors in the wrong order."""
+    truth = knn_brute_l2(spark, sf).select(
+        "query_id", "neighbor_id", (F.lit(K) - F.col("rn") + 1).alias("rel")
+    )
+    approx = ann_ivfpq(spark, sf).select("query_id", "neighbor_id", "rn")
+    disc = F.array(*[F.lit(d) for d in NDCG_DISCOUNT])
+    scored = approx.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        (
+            F.coalesce("rel", F.lit(0)) * F.element_at(disc, F.col("rn").cast("int"))
+        ).alias("__gain"),
+    )
+    per_q = (
+        approx.select("query_id")
+        .distinct()
+        .join(scored.groupBy("query_id").agg(F.sum("__gain").alias("__dcg")), "query_id", "left")
+    )
+    dcg = F.coalesce("__dcg", F.lit(0))
+    return per_q.select(
+        "query_id",
+        dcg.cast("long").alias("dcg_q"),
+        F.round(dcg / F.lit(float(NDCG_IDEAL)), 6).alias("ndcg"),
+    )
+
+
+QUERIES["eval_ann_ndcg"] = eval_ann_ndcg
+
+_NDCG_DISC_CASE = " ".join(
+    f"WHEN {i + 1} THEN CAST({d} AS BIGINT)" for i, d in enumerate(NDCG_DISCOUNT)
+)
+
+ORACLES["eval_ann_ndcg"] = f"""
+    WITH truth AS ({ORACLES["knn_brute_l2"]}),
+    approx AS ({ORACLES["ann_ivfpq"]}),
+    scored AS (
+      SELECT a.query_id,
+             coalesce({K} - t.rn + 1, 0)
+               * (CASE a.rn {_NDCG_DISC_CASE} END) AS gain
+      FROM approx a LEFT JOIN truth t
+        ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id),
+    dcg AS (SELECT query_id, sum(gain) AS dcg_q FROM scored GROUP BY query_id)
+    SELECT q.query_id,
+           CAST(coalesce(dcg_q, 0) AS BIGINT) AS dcg_q,
+           round(CAST(coalesce(dcg_q, 0) AS DOUBLE) / {float(NDCG_IDEAL)!r}, 6) AS ndcg
+    FROM (SELECT DISTINCT query_id FROM approx) q
+    LEFT JOIN dcg USING (query_id)
+"""
