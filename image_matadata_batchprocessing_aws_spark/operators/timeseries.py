@@ -125,3 +125,74 @@ def rollup_cascade_daily(
         F.round(v, value_digits).alias("day_sum"),
         F.round(v / F.col("n_events").cast("double"), value_digits).alias("day_avg"),
     )
+
+
+def rolling_anomaly_zscore(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    lookback: int = 20,
+    min_periods: int = 10,
+    threshold: float = 3.0,
+    value_digits: int = 4,
+) -> DataFrame:
+    """Trailing-window anomaly detection: each observation's z-score
+    against the PRECEDING ``lookback`` observations of the same key
+    (current row excluded — an outlier must not dilute its own
+    baseline), null until ``min_periods`` history exists, flagged at
+    ``|z| > threshold``.
+
+    Cross-engine determinism is the hard part of rolling floats: sliding
+    SUM over doubles is association-sensitive and engines disagree on
+    the tree shape (DuckDB segment-trees it, Spark recomputes in frame
+    order).  So the window aggregates are scaled-BIGINT sums (exact,
+    association-free) and mean/std/z reconstruct per row in doubles with
+    the same scalar sequence both sides.  Requires
+    ``|value| * 10^digits < sqrt(2^63 / lookback)`` so the
+    sum-of-squares stays in int64 (~3e7 at digits=4, lookback=20).
+
+    ROWS (not RANGE) framing over ``(ts, tiebreak)``: a deterministic
+    total order per key, so the frame content — and therefore every
+    sum — is reproducible.  One shuffle on the key; windows over time
+    series parallelize across keys."""
+    scale = float(10**value_digits)
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-lookback, -1)
+    )
+    base = df.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.col(value_col),
+        xs.alias("__xs"),
+    )
+    stats = base.select(
+        key,
+        ts_col,
+        order_tiebreak,
+        value_col,
+        "__xs",
+        F.count("__xs").over(w).alias("__n"),
+        F.sum("__xs").over(w).alias("__s"),
+        F.sum(F.col("__xs") * F.col("__xs")).over(w).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    std = F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+    z = (F.col("__xs").cast("double") - s / n) / std
+    z = F.when(F.col("__n") >= min_periods, F.round(z, 4))
+    return stats.select(
+        key,
+        ts_col,
+        order_tiebreak,
+        value_col,
+        F.col("__n").cast("long").alias("n_baseline"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
+    )

@@ -218,6 +218,43 @@ def embedding_centroid_label(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- rolling-window anomaly detection ------------------------------------
+
+ANOM_LOOKBACK = 20
+ANOM_MIN_PERIODS = 10
+ANOM_THRESHOLD = 3.0
+
+
+def ts_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trailing-window z-score anomaly flags over the event
+    stream (baseline = previous 20 observations, current excluded):
+    exact scaled-long window sums, float reconstruction per row."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        rolling_anomaly_zscore,
+    )
+
+    e = t(spark, sf, "events")
+    out = rolling_anomaly_zscore(
+        e,
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_tiebreak="event_id",
+        lookback=ANOM_LOOKBACK,
+        min_periods=ANOM_MIN_PERIODS,
+        threshold=ANOM_THRESHOLD,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        "n_baseline",
+        "z",
+        "is_anomaly",
+    )
+
+
 QUERIES = {
     "agg_regression": agg_regression,
     "etl_winsorize": etl_winsorize,
@@ -226,6 +263,7 @@ QUERIES = {
     "text_vocab_build": text_vocab_build,
     "ann_matryoshka_rerank": ann_matryoshka_rerank,
     "embedding_centroid_label": embedding_centroid_label,
+    "ts_anomaly_events": ts_anomaly_events,
 }
 
 ORACLES = {
@@ -322,6 +360,33 @@ ORACLES = {
           FROM coarse WHERE crn <= {MAT_SHORTLIST})
         SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rn
         FROM fine WHERE rn <= {MAT_K}
+    """,
+    "ts_anomaly_events": f"""
+        WITH b AS (
+          SELECT user_id, event_id, ts, value,
+                 CAST(round(value * 10000.0) AS BIGINT) AS xs
+          FROM events),
+        st AS (
+          SELECT user_id, event_id, ts, value, xs,
+                 count(xs) OVER w AS n,
+                 sum(xs) OVER w AS s,
+                 sum(xs * xs) OVER w AS ss
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)),
+        zc AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+                 CAST(n AS BIGINT) AS n_baseline,
+                 CASE WHEN n >= {ANOM_MIN_PERIODS} THEN
+                   round((CAST(xs AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt((CAST(ss AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1.0)), 4)
+                 END AS z
+          FROM st)
+        SELECT event_id, user_id, ts_ms, value, n_baseline, z,
+               abs(z) > {ANOM_THRESHOLD} AS is_anomaly
+        FROM zc
     """,
     "embedding_centroid_label": f"""
         WITH x AS (

@@ -125,6 +125,37 @@ def dedup_substr_fraction(spark: SparkSession, sf: str) -> DataFrame:
     return doc_dup_fraction(duplicated_spans(docs, k=SUBSTR_K), docs)
 
 
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup resolution — the POLICY stage most dedup
+    pipelines actually ship: MinHash-LSH pairs -> connected components ->
+    within each duplicate group keep the HIGHEST-QUALITY member (longest
+    text, doc_id tiebreak), not the arbitrary minimum id.  Singleton
+    docs skip the window entirely (anti-join + literal keep=true), so
+    the rank window runs only over the pair-sized component table —
+    at 100 TB that's the contamination, not the corpus."""
+    docs = t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
+    comps = connected_components(pairs, out_id="doc_id")
+    meta = docs.select("doc_id", "n_chars")
+    in_comp = meta.join(comps, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = in_comp.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    singles = meta.join(comps.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").cast("long").alias("component"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(True).alias("keep"),
+    )
+    return ranked.unionByName(singles)
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(t(spark, sf, "documents"))
 
@@ -253,6 +284,7 @@ QUERIES = {
     "dedup_levenshtein": dedup_levenshtein,
     "dedup_substr_spans": dedup_substr_spans,
     "dedup_substr_fraction": dedup_substr_fraction,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_components": dedup_components,
     "dedup_exact_rows": dedup_exact_rows,
@@ -536,4 +568,24 @@ ORACLES["dedup_substr_fraction"] = rf"""
                      / CAST(greatest(a.n_tokens, 1) AS DOUBLE), 6)
                  AS dup_fraction
         FROM alltoks a LEFT JOIN cover c USING (doc_id)
+"""
+
+ORACLES["dedup_keep_best"] = f"""
+    WITH RECURSIVE kb_pairs AS ({_MINHASH_ORACLE}),
+    kb_edges AS (SELECT id_a AS va, id_b AS vb FROM kb_pairs
+                 UNION ALL SELECT id_b AS va, id_a AS vb FROM kb_pairs),
+    kb_reach(src, node) AS (
+        SELECT va AS src, va AS node FROM kb_edges
+        UNION
+        SELECT r.src, g.vb FROM kb_reach r JOIN kb_edges g ON r.node = g.va),
+    kb_comp AS (SELECT src AS doc_id, min(node) AS component
+                FROM kb_reach GROUP BY src),
+    kb_m AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                    d.n_chars
+             FROM documents d LEFT JOIN kb_comp c USING (doc_id))
+    SELECT doc_id, CAST(component AS BIGINT) AS component,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) = 1 AS keep
+    FROM kb_m
 """
