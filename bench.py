@@ -78,6 +78,18 @@ HEADLINE = [
     "dedup_levenshtein",
     "sample_split_assign",
     "ann_ivfpq",
+    # r03 batch 3 (append only): substring dedup, HLL, time-series,
+    # analytics, retrieval funnel
+    "dedup_substr_spans",
+    "dedup_keep_best",
+    "sketch_hll_distinct",
+    "join_asof_nearest",
+    "ts_anomaly_events",
+    "agg_regression",
+    "agg_rollup_cascade",
+    "text_vocab_build",
+    "ann_matryoshka_rerank",
+    "etl_quantile_bin",
 ]
 
 
