@@ -63,7 +63,15 @@ _MODULES = [
 #: ``window_cume_dist``, ``agg_corr``, ``eval_ann_recall``, and
 #: ``etl_star_flatten`` sit below the fold (window
 #: capacity — all locally oracle-exact at sf0.01 and sf0.001,
-#: first in line for the r04 rotation).
+#: first in line for the r04 rotation).  The r03 late additions join
+#: that queue: ``agg_regression``, ``etl_winsorize``,
+#: ``etl_resample_gapfill``, ``agg_rollup_cascade``,
+#: ``text_vocab_build``, ``ann_matryoshka_rerank``,
+#: ``embedding_centroid_label``, ``ts_anomaly_events``,
+#: ``dedup_substr_spans``, ``dedup_substr_fraction``,
+#: ``dedup_keep_best``, ``sketch_hll_distinct``, ``join_asof_forward``,
+#: ``join_asof_nearest``, ``etl_quantile_bin``, ``etl_one_hot``,
+#: ``eval_ann_ndcg`` — every one locally oracle-exact at both sf dirs.
 _WINDOW = [
     # -- never driver-checked (locally oracle-exact, VERDICT r2 item 1) --
     "q2_min_cost_supplier",
