@@ -146,8 +146,26 @@ def stream_cms_counters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stream_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING HyperLogLog build: register update is
+    max() — associative and commutative like Count-Min's count — so the
+    identical ``hll_registers`` operator runs as a streaming aggregation
+    and micro-batch partial maxima converge to the batch register table
+    exactly (tests/test_streaming.py asserts stream == this batch).
+    Output is the raw register table; the estimate surface over it is
+    sketch_hll_distinct."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import hll_registers
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import HLL_P
+
+    ev = t(spark, sf, "events")
+    return hll_registers(ev, "user_id", [], p=HLL_P).select(
+        "bucket", F.col("reg").cast("long").alias("reg")
+    )
+
+
 QUERIES = {
     "stream_cms_counters": stream_cms_counters,
+    "stream_hll_registers": stream_hll_registers,
     "stream_anti_corpus": stream_anti_corpus,
     "stream_json_props": stream_json_props,
     "stream_json_schema": stream_json_schema,
@@ -171,8 +189,26 @@ def _cms_counters_oracle() -> str:
     """
 
 
+def _hll_registers_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import HLL_P
+
+    m = 1 << HLL_P
+    rho_max = 60 - HLL_P + 1
+    h = md5_int64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        hashed AS (SELECT ({h}) % {m} AS bucket, ({h}) // {m} AS v FROM ev)
+        SELECT bucket,
+               CAST(max({rho_max} - CASE WHEN v > 0 THEN length(bin(v)) ELSE 0 END)
+                    AS BIGINT) AS reg
+        FROM hashed GROUP BY bucket
+    """
+
+
 ORACLES = {
     "stream_cms_counters": _cms_counters_oracle(),
+    "stream_hll_registers": _hll_registers_oracle(),
     "stream_anti_corpus": """
         SELECT e.event_id, e.user_id, e.event_type
         FROM events e

@@ -314,3 +314,20 @@ def test_numbered_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
     assert new_epochs and min(new_epochs) > max(first_epochs)  # strictly advancing
     third = spark.read.parquet(f"{events_dir}/chunk_2.parquet").count()
     assert back.count() == first_rows + third  # old batches untouched, new rows exactly once
+
+
+def test_hll_stream_matches_batch(spark, events_dir):
+    """HLL register update is max() — associative/commutative — so the
+    SAME hll_registers operator run as a streaming aggregation over
+    micro-batches converges to the batch register table exactly."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import hll_registers
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import HLL_P
+    from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+        stream_hll_registers,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, hll_registers(stream, "user_id", [], p=HLL_P), "hll_out")
+    g = {r.bucket: r.reg for r in got.collect()}
+    b = {r.bucket: r.reg for r in stream_hll_registers(spark, SF_SMOKE).collect()}
+    assert g == b and len(g) > 0
