@@ -182,3 +182,103 @@ def winsorize(
             F.least(F.greatest(F.col(f"`{c}`"), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")),
         )
     return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift report between a reference window and a
+    current window — the data-quality monitor a production feature
+    pipeline runs on every ingest.  Per feature: total-variation
+    distance ``TV = 0.5 * sum_bins |p_i - q_i|`` over an equal-frequency
+    histogram whose BOUNDARIES COME FROM THE REFERENCE period (current
+    data is binned against the baseline's deciles, the standard drift
+    convention; categorical features bin by value).
+
+    TV instead of PSI/KL on purpose: those need ln(), whose last ulp
+    differs across engines and would make the metric
+    parallelism-dependent.  TV reduces to EXACT integer arithmetic —
+    ``|rc_i * Nc - cc_i * Nr|`` summed as BIGINTs (associative), one
+    double division at the end — and is a bounded [0, 1] metric with the
+    same "how much did the histogram move" reading.  Requires
+    ``count * count < 2^63`` (fine to ~3e9 rows per side; shard the
+    windows or sample above that).
+
+    Plan shape: per numeric feature one tiny REF-side percentile row
+    (broadcast), then ONE conditional-count groupBy over the unioned
+    windows (map-side partials, <= n_bins groups); the TV fold runs on
+    the n_bins-row table.  Nothing data-sized ever shuffles."""
+    tagged = ref.withColumn("__is_ref", F.lit(True)).unionByName(
+        cur.withColumn("__is_ref", F.lit(False))
+    )
+    outs = []
+    for c in numeric_cols:
+        qs = [i / n_bins for i in range(1, n_bins)]
+        bounds = ref.agg(
+            *[
+                F.percentile(F.col(f"`{c}`"), F.lit(q)).alias(f"__q{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        b = tagged.where(F.col(f"`{c}`").isNotNull()).crossJoin(F.broadcast(bounds))
+        bin_idx = None
+        for i in range(len(qs)):
+            above = (F.col(f"`{c}`") > F.col(f"__q{i}")).cast("int")
+            bin_idx = above if bin_idx is None else bin_idx + above
+        outs.append(
+            _tv_fold(
+                b.select(bin_idx.alias("__bin"), "__is_ref")
+                .groupBy("__bin")
+                .agg(*_cond_counts()),
+                c,
+            )
+        )
+    for c in categorical_cols:
+        b = tagged.select(
+            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("__null__")).alias("__bin"),
+            "__is_ref",
+        )
+        outs.append(_tv_fold(b.groupBy("__bin").agg(*_cond_counts()), c))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def _cond_counts():
+    return [
+        F.coalesce(F.sum(F.when(F.col("__is_ref"), 1)), F.lit(0)).cast("long").alias("__rc"),
+        F.coalesce(F.sum(F.when(~F.col("__is_ref"), 1)), F.lit(0)).cast("long").alias("__cc"),
+    ]
+
+
+def _tv_fold(counts: DataFrame, feature: str) -> DataFrame:
+    """(bin, rc, cc) -> one (feature, n_ref, n_cur, tv) row via the
+    exact-integer cross-product formula."""
+    totals = counts.agg(
+        F.sum("__rc").cast("long").alias("__nr"), F.sum("__cc").cast("long").alias("__nc")
+    )
+    folded = (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                F.abs(F.col("__rc") * F.col("__nc") - F.col("__cc") * F.col("__nr"))
+            ).alias("__num"),
+            F.first("__nr").alias("__nr"),
+            F.first("__nc").alias("__nc"),
+        )
+    )
+    return folded.select(
+        F.lit(feature).alias("feature"),
+        F.col("__nr").alias("n_ref"),
+        F.col("__nc").alias("n_cur"),
+        F.round(
+            F.col("__num").cast("double")
+            / (F.lit(2.0) * F.col("__nr").cast("double") * F.col("__nc").cast("double")),
+            6,
+        ).alias("tv"),
+    )

@@ -255,6 +255,28 @@ def ts_anomaly_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- distribution drift report -------------------------------------------
+
+DRIFT_BINS = 10
+
+
+def etl_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality drift monitor: events split at the exact median
+    timestamp into reference/current windows; per feature the
+    total-variation distance over reference-anchored deciles (value) or
+    category frequencies (event_type).  Integer-exact TV (no ln), one
+    conditional-count groupBy per feature."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import histogram_drift
+
+    ev = t(spark, sf, "events")
+    ts_d = F.unix_micros("ts").cast("double")
+    med = ev.agg(F.percentile(ts_d, F.lit(0.5)).alias("__cut"))
+    lab = ev.crossJoin(F.broadcast(med))
+    ref = lab.where(ts_d <= F.col("__cut")).drop("__cut")
+    cur = lab.where(ts_d > F.col("__cut")).drop("__cut")
+    return histogram_drift(ref, cur, ["value"], ["event_type"], n_bins=DRIFT_BINS)
+
+
 QUERIES = {
     "agg_regression": agg_regression,
     "etl_winsorize": etl_winsorize,
@@ -264,7 +286,14 @@ QUERIES = {
     "ann_matryoshka_rerank": ann_matryoshka_rerank,
     "embedding_centroid_label": embedding_centroid_label,
     "ts_anomaly_events": ts_anomaly_events,
+    "etl_drift_report": etl_drift_report,
 }
+
+_DRIFT_QS = ", ".join(
+    f"quantile_cont(value, {i / DRIFT_BINS}) FILTER (WHERE is_ref) AS q{i}"
+    for i in range(1, DRIFT_BINS)
+)
+_DRIFT_BIN = " + ".join(f"CAST(value > q{i} AS INT)" for i in range(1, DRIFT_BINS))
 
 ORACLES = {
     "agg_regression": grouped_regression_sql(
@@ -387,6 +416,47 @@ ORACLES = {
         SELECT event_id, user_id, ts_ms, value, n_baseline, z,
                abs(z) > {ANOM_THRESHOLD} AS is_anomaly
         FROM zc
+    """,
+    "etl_drift_report": f"""
+        WITH cutoff AS (
+          SELECT quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.5) AS cut
+          FROM events),
+        lab AS (
+          SELECT value, event_type,
+                 CAST(epoch_us(ts) AS DOUBLE) <= cut AS is_ref
+          FROM events, cutoff),
+        bounds AS (SELECT {_DRIFT_QS} FROM lab),
+        vbin AS (
+          SELECT {_DRIFT_BIN} AS bin, is_ref
+          FROM lab, bounds WHERE value IS NOT NULL),
+        vcnt AS (
+          SELECT bin,
+                 CAST(coalesce(count(*) FILTER (WHERE is_ref), 0) AS BIGINT) AS rc,
+                 CAST(coalesce(count(*) FILTER (WHERE NOT is_ref), 0) AS BIGINT) AS cc
+          FROM vbin GROUP BY bin),
+        vt AS (SELECT sum(rc) AS nr, sum(cc) AS nc FROM vcnt),
+        v AS (
+          SELECT 'value' AS feature,
+                 CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+                 round(CAST(sum(abs(rc * nc - cc * nr)) AS DOUBLE)
+                       / (2.0 * CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS tv
+          FROM vcnt, vt GROUP BY nr, nc),
+        cbin AS (
+          SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS bin, is_ref
+          FROM lab),
+        ccnt AS (
+          SELECT bin,
+                 CAST(coalesce(count(*) FILTER (WHERE is_ref), 0) AS BIGINT) AS rc,
+                 CAST(coalesce(count(*) FILTER (WHERE NOT is_ref), 0) AS BIGINT) AS cc
+          FROM cbin GROUP BY bin),
+        ct AS (SELECT sum(rc) AS nr, sum(cc) AS nc FROM ccnt),
+        cv AS (
+          SELECT 'event_type' AS feature,
+                 CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+                 round(CAST(sum(abs(rc * nc - cc * nr)) AS DOUBLE)
+                       / (2.0 * CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS tv
+          FROM ccnt, ct GROUP BY nr, nc)
+        SELECT * FROM v UNION ALL SELECT * FROM cv
     """,
     "embedding_centroid_label": f"""
         WITH x AS (

@@ -1,0 +1,89 @@
+"""Unit tests for the statistics / time-series operators on literal
+frames: OLS against numpy, winsorize bounds, gap-filled resampling,
+planted anomaly spikes, and planted distribution drift."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import (
+    grouped_regression,
+    histogram_drift,
+    winsorize,
+)
+from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+    resample_daily,
+    rolling_anomaly_zscore,
+)
+
+
+def test_grouped_regression_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, (slope, icept) in (("a", (2.5, 1.0)), ("b", (-1.25, 4.0))):
+        x = rng.uniform(0, 50, 200)
+        y = slope * x + icept + rng.normal(0, 0.5, 200)
+        rows += [(g, round(float(xi), 2), round(float(yi), 2)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_regression(df, ["g"], "x", "y").collect()}
+    for g in ("a", "b"):
+        xs = np.array([r[1] for r in rows if r[0] == g])
+        ys = np.array([r[2] for r in rows if r[0] == g])
+        m, b = np.polyfit(xs, ys, 1)
+        assert abs(got[g].slope - m) < 1e-3
+        assert abs(got[g].intercept - b) < 1e-3
+        assert 0.9 < got[g].r2 <= 1.0
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(101)], "id long, x double")
+    out = winsorize(df, ["x"], lower=0.05, upper=0.95, suffix="_w").collect()
+    vals = sorted(r.x_w for r in out)
+    assert vals[0] == 5.0 and vals[-1] == 95.0  # exact interpolated P05/P95
+    assert sum(1 for r in out if r.x_w != r.x) == 10  # 5 clipped each tail
+
+
+def test_resample_daily_fills_gaps(spark):
+    day = 86400
+    rows = [(1, 0 * day, 10.0), (1, 1 * day, 5.0), (1, 4 * day, 2.0)]
+    df = spark.createDataFrame(rows, "k long, sec long, v double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    out = {r.day: r for r in resample_daily(df, "k", "ts", "v").collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]  # full grid, gaps included
+    assert out[2].n_events == 0 and out[2].day_sum == 0.0
+    assert out[2].last_active_day == 1  # state metric forward-fills
+    assert out[4].last_active_day == 4
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    rows = [(1, i, i, 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows[25] = (1, 25, 25, 500.0)  # the spike
+    df = spark.createDataFrame(rows, "k long, sec long, id long, v double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "id", "v"
+    )
+    out = {r.id: r for r in rolling_anomaly_zscore(df, "k", "ts", "v", "id").collect()}
+    assert out[25].is_anomaly
+    assert out[5].z is None  # not enough history yet
+    flagged = [i for i, r in out.items() if r.is_anomaly]
+    assert flagged == [25]  # steady rows never flag
+
+
+def test_histogram_drift_detects_planted_shift(spark):
+    rng = np.random.default_rng(3)
+    ref = spark.createDataFrame(
+        [(float(v), "x") for v in rng.normal(0, 1, 2000)], "value double, cat string"
+    )
+    same = spark.createDataFrame(
+        [(float(v), "x") for v in rng.normal(0, 1, 2000)], "value double, cat string"
+    )
+    shifted = spark.createDataFrame(
+        [(float(v), "y" if i % 2 else "x") for i, v in enumerate(rng.normal(2, 1, 2000))],
+        "value double, cat string",
+    )
+    low = {r.feature: r.tv for r in histogram_drift(ref, same, ["value"], ["cat"]).collect()}
+    high = {r.feature: r.tv for r in histogram_drift(ref, shifted, ["value"], ["cat"]).collect()}
+    assert low["value"] < 0.1 and low["cat"] == 0.0
+    assert high["value"] > 0.5  # a 2-sigma mean shift moves most mass
+    assert abs(high["cat"] - 0.5) < 0.01  # half the rows switched category
