@@ -179,3 +179,52 @@ def sniff_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             "audio_duration_ms": duration_ms.cast("long"),
         }
     )
+
+
+def sniff_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Codec-free video CONTAINER sniffer, completing the sniffer trio
+    (image formats, WAV audio, video containers): identifies MP4/ISO-BMFF
+    (``ftyp`` box — major brand + ftyp box size extracted), RIFF/AVI,
+    and Matroska/WebM (EBML magic) from a 16-byte prefix as pure
+    Catalyst expressions.  Stream dimensions/duration live inside
+    codec-specific boxes (moov/avih/EBML segment) — that is decode
+    territory, kept behind the Pandas-UDF seam (`sample_video_frames`);
+    cataloging 100 TB of video starts with exactly this cheap
+    container/brand pass.
+
+    MP4 brand is decoded as ASCII only when all four bytes are printable
+    (0x20-0x7E) — a malformed ftyp yields null brand, not mojibake.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.substring(F.col(content_col), 1, 16)
+
+    def tag(pos: int, nbytes: int):
+        return F.hex(F.substring(c, pos, nbytes))
+
+    def be(pos: int, nbytes: int):
+        return F.conv(tag(pos, nbytes), 16, 10).cast("long")
+
+    is_mp4 = tag(5, 4) == "66747970"  # 'ftyp'
+    is_avi = (tag(1, 4) == "52494646") & (tag(9, 4) == "41564920")  # RIFF..'AVI '
+    is_mkv = tag(1, 4) == "1A45DFA3"  # EBML
+    brand_bin = F.substring(c, 9, 4)
+    brand_printable = F.forall(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: F.conv(F.hex(F.substring(brand_bin, i.cast("int"), 1)), 16, 10),
+        ),
+        lambda b: (b >= 32) & (b <= 126),
+    )
+    return df.withColumns(
+        {
+            "video_format": F.when(is_mp4, F.lit("mp4"))
+            .when(is_avi, F.lit("avi"))
+            .when(is_mkv, F.lit("mkv"))
+            .otherwise(F.lit("unknown")),
+            "video_brand": F.when(
+                is_mp4 & brand_printable, brand_bin.cast("string")
+            ),
+            "video_ftyp_bytes": F.when(is_mp4, be(1, 4)),
+        }
+    )

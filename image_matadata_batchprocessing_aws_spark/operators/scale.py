@@ -168,3 +168,41 @@ def quantile_bin(
             F.when(F.col(f"`{c}`").isNotNull(), bin_idx).cast("long"),
         )
     return out.drop(*[f"__q{i}_{c}" for c in cols for i in range(len(qs))])
+
+
+#: Gaussian consistency factor: MAD * 1.4826 estimates sigma.  A single
+#: double literal used identically on both engines.
+MAD_CONSISTENCY = 1.4826
+
+
+def mad_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
+    """Median/MAD scaling — the most outlier-resistant member of the
+    scaler family (breakdown point 50%, vs 25% for the IQR
+    ``robust_scale``): ``(x - median) / (1.4826 * MAD)`` where MAD is
+    the median absolute deviation.  THREE passes because the second
+    statistic is nested (median of deviations FROM the first-pass
+    median): two tiny exact-``percentile`` aggregate rows broadcast in
+    sequence, then a map-side transform — still nothing data-sized
+    shuffling, still ``percentile_approx``-swappable at 100 TB."""
+    med = df.agg(
+        *[F.percentile(F.col(f"`{c}`"), F.lit(0.5)).alias(f"__med_{c}") for c in cols]
+    )
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        *[
+            F.percentile(F.abs(F.col(f"`{c}`") - F.col(f"__med_{c}")), F.lit(0.5)).alias(
+                f"__mad_{c}"
+            )
+            for c in cols
+        ]
+    )
+    out = with_med.crossJoin(F.broadcast(mad))
+    for c in cols:
+        out = out.withColumn(
+            c + suffix,
+            (F.col(f"`{c}`") - F.col(f"__med_{c}"))
+            / (F.lit(MAD_CONSISTENCY) * F.col(f"__mad_{c}")),
+        )
+    return out.drop(
+        *[f"__med_{c}" for c in cols], *[f"__mad_{c}" for c in cols]
+    )

@@ -196,3 +196,51 @@ def rolling_anomaly_zscore(
         z.alias("z"),
         (F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    value_digits: int = 4,
+) -> DataFrame:
+    """Duration-weighted mean per key — the hypertable ``time_weight``
+    aggregate: each observation's value holds until the NEXT observation
+    (last-observation-carried-forward), so the mean weights each value
+    by its holding interval, not by sample count.  Irregularly-sampled
+    series (the norm for event data) need this: a plain avg over-weights
+    bursts.
+
+    One keyed window computes lead-timestamps; the final row of each key
+    has no holding interval and drops (standard LOCF convention).  Exact
+    arithmetic: scaled-long value x interval-ms products summed as
+    BIGINTs.  The products' SUM telescopes to value_max * key_span_ms
+    (intervals sum to the span), so the int64 bound depends on the
+    SPAN, not the row count: |v| * 10^digits * span_ms < 2^63 — at
+    digits=4 that is ~30 years for values up to 1e6."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    scale = float(10**value_digits)
+    stepped = df.select(
+        F.col(key),
+        F.round(F.col(value_col) * F.lit(scale)).cast("long").alias("__vs"),
+        ((F.lead(us).over(w) - us) / F.lit(1000)).cast("long").alias("__dt_ms"),
+    ).where(F.col("__dt_ms").isNotNull())
+    agg = stepped.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dt_ms").alias("__span_ms"),
+        F.sum(F.col("__vs") * F.col("__dt_ms")).alias("__wsum"),
+    )
+    return agg.select(
+        key,
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        F.col("__span_ms").cast("long").alias("span_ms"),
+        F.round(
+            F.col("__wsum").cast("double")
+            / F.col("__span_ms").cast("double")
+            / F.lit(scale),
+            6,
+        ).alias("twa"),
+    )

@@ -277,6 +277,46 @@ def etl_drift_report(spark: SparkSession, sf: str) -> DataFrame:
     return histogram_drift(ref, cur, ["value"], ["event_type"], n_bins=DRIFT_BINS)
 
 
+# --- duration-weighted mean (hypertable time_weight) ---------------------
+
+
+def ts_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user duration-weighted mean of the event value
+    (last-observation-carried-forward weighting): one keyed window for
+    lead-timestamps, exact scaled-long products whose sum telescopes to
+    value_max * span — int64-safe at any row count."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    e = t(spark, sf, "events")
+    return time_weighted_avg(
+        e, key="user_id", ts_col="ts", value_col="value", order_tiebreak="event_id"
+    )
+
+
+# --- retention cohort matrix ---------------------------------------------
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def agg_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    week, counted in each subsequent activity week (offset 0, 1, 2, ...).
+    Two aggregations — first-week per user (min), then distinct users
+    per (cohort_week, offset) — both keyed shuffles with map-side
+    partials; the matrix is weeks², never data-sized."""
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    week = F.floor(F.unix_micros("ts") / F.lit(WEEK_US)).cast("long")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 QUERIES = {
     "agg_regression": agg_regression,
     "etl_winsorize": etl_winsorize,
@@ -287,6 +327,8 @@ QUERIES = {
     "embedding_centroid_label": embedding_centroid_label,
     "ts_anomaly_events": ts_anomaly_events,
     "etl_drift_report": etl_drift_report,
+    "ts_time_weighted": ts_time_weighted,
+    "agg_retention_cohorts": agg_retention_cohorts,
 }
 
 _DRIFT_QS = ", ".join(
@@ -416,6 +458,34 @@ ORACLES = {
         SELECT event_id, user_id, ts_ms, value, n_baseline, z,
                abs(z) > {ANOM_THRESHOLD} AS is_anomaly
         FROM zc
+    """,
+    "ts_time_weighted": """
+        WITH s AS (
+          SELECT user_id,
+                 CAST(round(value * 10000.0) AS BIGINT) AS vs,
+                 (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                  - epoch_us(ts)) // 1000 AS dt_ms
+          FROM events),
+        f AS (SELECT user_id, vs, dt_ms FROM s WHERE dt_ms IS NOT NULL)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(dt_ms) AS BIGINT) AS span_ms,
+               round(CAST(sum(vs * dt_ms) AS DOUBLE)
+                     / CAST(sum(dt_ms) AS DOUBLE) / 10000.0, 6) AS twa
+        FROM f GROUP BY user_id
+    """,
+    "agg_retention_cohorts": f"""
+        WITH uw AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week
+          FROM events WHERE user_id IS NOT NULL),
+        cohort AS (SELECT user_id, min(week) AS cohort_week
+                   FROM uw GROUP BY user_id)
+        SELECT c.cohort_week,
+               u.week - c.cohort_week AS week_offset,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+        FROM uw u JOIN cohort c USING (user_id)
+        GROUP BY c.cohort_week, u.week - c.cohort_week
     """,
     "etl_drift_report": f"""
         WITH cutoff AS (

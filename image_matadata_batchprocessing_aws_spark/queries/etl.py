@@ -166,6 +166,19 @@ def etl_minmax(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- median/MAD scale — highest-breakdown member of the scaler family ----
+
+
+def etl_mad_scale(spark: SparkSession, sf: str) -> DataFrame:
+    from image_matadata_batchprocessing_aws_spark.operators.scale import mad_scale
+
+    c = t(spark, sf, "customer")
+    sc = mad_scale(c, ["c_acctbal"], suffix="_mad")
+    return sc.select(
+        "c_custkey", F.round(F.col("c_acctbal_mad"), 4).alias("acctbal_mad")
+    )
+
+
 # --- equal-frequency discretization (KBinsDiscretizer twin) --------------
 
 
@@ -541,6 +554,7 @@ QUERIES = {
     "etl_zscore": etl_zscore,
     "etl_minmax": etl_minmax,
     "etl_robust_scale": etl_robust_scale,
+    "etl_mad_scale": etl_mad_scale,
     "etl_quantile_bin": etl_quantile_bin,
     "etl_one_hot": etl_one_hot,
     "etl_batch_id": etl_batch_id,
@@ -756,6 +770,14 @@ ORACLES = {
                round((c_acctbal - min(c_acctbal) OVER ())
                      / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS acctbal_mm
         FROM customer
+    """,
+    "etl_mad_scale": """
+        WITH med AS (SELECT quantile_cont(c_acctbal, 0.5) AS m FROM customer),
+        mad AS (SELECT quantile_cont(abs(c_acctbal - m), 0.5) AS d
+                FROM customer, med)
+        SELECT c_custkey,
+               round((c_acctbal - m) / (1.4826 * d), 4) AS acctbal_mad
+        FROM customer, med, mad
     """,
     "etl_quantile_bin": """
         SELECT c_custkey,

@@ -215,8 +215,42 @@ def multimodal_audio_sniff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: MP4 major brands cycled through by the synthesizer, with their ASCII
+#: hex (computed once here; the oracle indexes the same list).
+VIDEO_BRANDS = ["isom", "mp42", "avc1", "dash"]
+_VIDEO_BRANDS_HEX = [b.encode().hex().upper() for b in VIDEO_BRANDS]
+
+
+def multimodal_video_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """The video twin of the sniffer pair: per document synthesize an
+    MP4 ftyp box / RIFF-AVI header / Matroska EBML magic (container and
+    brand chosen by doc_id arithmetic), run the codec-free container
+    sniffer over the binary, and let the DuckDB twin recompute the
+    expected fields from the same arithmetic without touching bytes."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.media import sniff_video_meta
+
+    d = t(spark, sf, "documents").select("doc_id")
+    kind = F.col("doc_id") % 3
+    brand_hex = F.element_at(
+        F.array(*[F.lit(b) for b in _VIDEO_BRANDS_HEX]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    ftyp_size = (F.lit(16) + (F.col("doc_id") % 17) * 8).cast("long")
+    mp4 = F.concat(
+        F.lpad(F.hex(ftyp_size), 8, "0"), F.lit("66747970"), brand_hex, F.lit("00000000")
+    )
+    avi = F.lit("52494646" + "24000000" + "41564920" + "00000000")
+    mkv = F.lit("1A45DFA3" + "00" * 12)
+    hexstr = F.when(kind == 0, mp4).when(kind == 1, avi).otherwise(mkv)
+    built = d.withColumn("content", F.unhex(hexstr))
+    return sniff_video_meta(built).select(
+        "doc_id", "video_format", "video_brand", "video_ftyp_bytes"
+    )
+
+
 QUERIES = {
     "multimodal_audio_sniff": multimodal_audio_sniff,
+    "multimodal_video_sniff": multimodal_video_sniff,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_image_pipeline": multimodal_image_pipeline,
     "multimodal_image_sniff": multimodal_image_sniff,
@@ -224,6 +258,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_video_sniff": f"""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi'
+                    ELSE 'mkv' END AS video_format,
+               CASE WHEN doc_id % 3 = 0
+                    THEN (['{VIDEO_BRANDS[0]}', '{VIDEO_BRANDS[1]}',
+                           '{VIDEO_BRANDS[2]}', '{VIDEO_BRANDS[3]}'])
+                         [CAST(doc_id % 4 + 1 AS INT)]
+               END AS video_brand,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST(16 + (doc_id % 17) * 8 AS BIGINT)
+               END AS video_ftyp_bytes
+        FROM documents
+    """,
     "multimodal_audio_sniff": """
         WITH s AS (SELECT doc_id,
                           CAST(doc_id % 2 + 1 AS BIGINT) AS ch,

@@ -82,3 +82,24 @@ def test_audio_sniffer_rejects_non_wav_and_non_canonical(spark):
     assert got[1] == ("unknown", None)
     assert got[2] == ("wav", None)  # labeled wav, derived fields nulled
     assert got[3] == ("unknown", None)
+
+
+def test_video_sniffer_identifies_containers_and_guards_brand(spark):
+    from image_matadata_batchprocessing_aws_spark.multimodal.media import sniff_video_meta
+
+    rows = [
+        (0, bytes.fromhex("00000020") + b"ftypisom" + bytes(4)),
+        (1, b"RIFF" + bytes.fromhex("24000000") + b"AVI " + bytes(4)),
+        (2, bytes.fromhex("1A45DFA3") + bytes(12)),
+        (3, b"\x00" * 16),  # unknown magic
+        (4, bytes.fromhex("00000018") + b"ftyp" + bytes.fromhex("00010203") + bytes(4)),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r for r in sniff_video_meta(df).collect()}
+    assert got[0].video_format == "mp4" and got[0].video_brand == "isom"
+    assert got[0].video_ftyp_bytes == 32
+    assert got[1].video_format == "avi" and got[1].video_brand is None
+    assert got[2].video_format == "mkv"
+    assert got[3].video_format == "unknown"
+    # unprintable brand bytes -> null brand, format still mp4
+    assert got[4].video_format == "mp4" and got[4].video_brand is None
