@@ -282,3 +282,100 @@ def _tv_fold(counts: DataFrame, feature: str) -> DataFrame:
             6,
         ).alias("tv"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson correlation for EVERY pair of ``cols`` from ONE
+    single-row aggregate — d columns cost one scan with d + d(d+1)/2
+    map-side integer partial sums (count, per-column sums, hi/lo-split
+    pairwise products including squares), not d² scans; pair rows unfold
+    from the 1-row result with an explode of literal structs.
+
+    Same determinism contract as :func:`grouped_regression`: scaled
+    BIGINTs, hi/lo 30-bit product sums, double reconstruction in one
+    fixed scalar sequence.  Requires NON-NEGATIVE values (shiftright/
+    bitmask splitting is unsigned-style; shift negative columns to a
+    baseline first) and per-row products inside int64
+    (``(max|x| * 10^digits)^2 < 2^63``)."""
+    xs = {c: _scaled(c, digits) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(xs[c]).alias(f"__s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            prod = xs[a] * xs[b]
+            aggs.append(_hi(prod).alias(f"__p_{a}__{b}_hi"))
+            aggs.append(_lo(prod).alias(f"__p_{a}__{b}_lo"))
+    row = df.agg(*aggs)
+    scale = float(10**digits)
+    n = F.col("__n").cast("double")
+
+    def s(c):
+        return F.col(f"__s_{c}").cast("double") / F.lit(scale)
+
+    def p(a, b):
+        return _recombine(f"__p_{a}__{b}_hi", f"__p_{a}__{b}_lo", scale * scale)
+
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            corr = (n * p(a, b) - s(a) * s(b)) / F.sqrt(
+                (n * p(a, a) - s(a) * s(a)) * (n * p(b, b) - s(b) * s(b))
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, round_digits).alias("corr"),
+                )
+            )
+    return row.select(
+        F.col("__n").cast("long").alias("n"), F.explode(F.array(*structs)).alias("__p")
+    ).select("__p.col_a", "__p.col_b", "n", "__p.corr")
+
+
+def correlation_matrix_sql(
+    table: str, cols: list[str], digits: int = 2, round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`correlation_matrix` — the same scaled-long
+    hi/lo sums and reconstruction, NOT the built-in corr()."""
+    scale = float(10**digits)
+    sel = [f"CAST(round({c} * {scale}) AS BIGINT) AS x_{c}" for c in cols]
+    aggs = ["count(*) AS n"] + [f"sum(x_{c}) AS s_{c}" for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(f"sum(x_{a} * x_{b} // 1073741824) AS p_{a}_{b}_hi")
+            aggs.append(f"sum(x_{a} * x_{b} % 1073741824) AS p_{a}_{b}_lo")
+
+    def s(c):
+        return f"(CAST(s_{c} AS DOUBLE) / {scale})"
+
+    def p(a, b):
+        return (
+            f"((CAST(p_{a}_{b}_hi AS DOUBLE) * 1073741824.0"
+            f" + CAST(p_{a}_{b}_lo AS DOUBLE)) / {scale * scale})"
+        )
+
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            corr = (
+                f"round((nd * {p(a, b)} - {s(a)} * {s(b)})"
+                f" / sqrt((nd * {p(a, a)} - {s(a)} * {s(a)})"
+                f" * (nd * {p(b, b)} - {s(b)} * {s(b)})), {round_digits})"
+            )
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n,"
+                f" {corr} AS corr FROM a"
+            )
+    union = "\n        UNION ALL\n        ".join(rows)
+    return f"""
+        WITH sc AS (SELECT {", ".join(sel)} FROM {table}),
+        a AS (SELECT {", ".join(aggs)}, CAST(count(*) AS DOUBLE) AS nd FROM sc)
+        {union}
+    """

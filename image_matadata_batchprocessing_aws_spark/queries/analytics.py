@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from image_matadata_batchprocessing_aws_spark.operators.similarity import as_double_array, cosine_sim
 from image_matadata_batchprocessing_aws_spark.operators.stats import (
+    correlation_matrix,
+    correlation_matrix_sql,
     grouped_regression,
     grouped_regression_sql,
     winsorize,
@@ -277,6 +279,90 @@ def etl_drift_report(spark: SparkSession, sf: str) -> DataFrame:
     return histogram_drift(ref, cur, ["value"], ["event_type"], n_bins=DRIFT_BINS)
 
 
+# --- full correlation matrix ---------------------------------------------
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs Pearson matrix over lineitem's four numeric measures:
+    one scan, one 1-row integer aggregate, six unfolded pair rows —
+    the d-column generalization of agg_corr with the exact-sum
+    playbook instead of float corr()."""
+    return correlation_matrix(t(spark, sf, "lineitem"), CORR_COLS, digits=2)
+
+
+# --- source-mixture diversity (Gini impurity) ----------------------------
+
+
+def agg_source_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language source-mixture diversity as GINI IMPURITY
+    ``1 - sum_i (cnt_i/N)^2`` — the corpus-composition monitor a
+    mixture-weighted sampler watches.  Gini instead of Shannon entropy
+    on purpose: entropy needs ln() (cross-engine ulp roulette); Gini is
+    an exact rational of integer counts with one double division.  Two
+    keyed aggregations, both map-side-partial."""
+    d = t(spark, sf, "documents")
+    per_src = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("__cnt"))
+    agg = per_src.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("__cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("__cnt") * F.col("__cnt")).alias("__ss"),
+    )
+    return agg.select(
+        "lang",
+        "n_sources",
+        "n_docs",
+        F.round(
+            F.lit(1.0)
+            - F.col("__ss").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- incremental aggregate maintenance -----------------------------------
+
+
+def etl_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate-refresh-without-rescan: a settled per-user aggregate
+    table (90% of events) merges with a new batch's partials (the other
+    10%) by COMBINING DISTRIBUTIVE PARTIALS — sum of sums, sum of
+    counts, max of maxes; avg derives at the end.  The oracle computes
+    the direct aggregate over all events, which the merge must equal
+    bit-for-bit (scaled-long sums are associative) — the invariant that
+    makes nightly incremental rollups trustworthy at 100 TB."""
+    ev = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+
+    def partials(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("__vsum"),
+            F.max("value").alias("__vmax"),
+        )
+
+    base = partials(ev.where(F.col("event_id") % 10 != 0))
+    delta = partials(ev.where(F.col("event_id") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_events"),
+            F.sum("__vsum").alias("__vsum"),
+            F.max("__vmax").alias("max_value"),
+        )
+    )
+    v = F.col("__vsum").cast("double") / F.lit(10000.0)
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.round(v, 4).alias("sum_value"),
+        "max_value",
+        F.round(v / F.col("n_events").cast("double"), 6).alias("avg_value"),
+    )
+
+
 # --- duration-weighted mean (hypertable time_weight) ---------------------
 
 
@@ -327,6 +413,9 @@ QUERIES = {
     "embedding_centroid_label": embedding_centroid_label,
     "ts_anomaly_events": ts_anomaly_events,
     "etl_drift_report": etl_drift_report,
+    "agg_corr_matrix": agg_corr_matrix,
+    "agg_source_diversity": agg_source_diversity,
+    "etl_incremental_agg": etl_incremental_agg,
     "ts_time_weighted": ts_time_weighted,
     "agg_retention_cohorts": agg_retention_cohorts,
 }
@@ -458,6 +547,35 @@ ORACLES = {
         SELECT event_id, user_id, ts_ms, value, n_baseline, z,
                abs(z) > {ANOM_THRESHOLD} AS is_anomaly
         FROM zc
+    """,
+    "agg_corr_matrix": correlation_matrix_sql("lineitem", CORR_COLS, digits=2),
+    "agg_source_diversity": """
+        WITH per_src AS (
+          SELECT lang, source, count(*) AS cnt
+          FROM documents GROUP BY lang, source),
+        agg AS (
+          SELECT lang, count(*) AS n_sources, sum(cnt) AS n_docs,
+                 sum(cnt * cnt) AS ss
+          FROM per_src GROUP BY lang)
+        SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               round(1.0 - CAST(ss AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS gini
+        FROM agg
+    """,
+    "etl_incremental_agg": """
+        WITH ev AS (SELECT user_id, value FROM events WHERE user_id IS NOT NULL),
+        agg AS (
+          SELECT user_id, count(*) AS n_events,
+                 sum(CAST(round(value * 10000) AS BIGINT)) AS vsum,
+                 max(value) AS max_value
+          FROM ev GROUP BY user_id)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               round(CAST(vsum AS DOUBLE) / 10000.0, 4) AS sum_value,
+               max_value,
+               round(CAST(vsum AS DOUBLE) / 10000.0
+                     / CAST(n_events AS DOUBLE), 6) AS avg_value
+        FROM agg
     """,
     "ts_time_weighted": """
         WITH s AS (
