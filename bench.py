@@ -90,6 +90,12 @@ HEADLINE = [
     "text_vocab_build",
     "ann_matryoshka_rerank",
     "etl_quantile_bin",
+    # r03 batch 4 (append only)
+    "agg_corr_matrix",
+    "etl_drift_report",
+    "ts_time_weighted",
+    "etl_incremental_agg",
+    "agg_retention_cohorts",
 ]
 
 
