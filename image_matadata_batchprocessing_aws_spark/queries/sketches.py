@@ -240,9 +240,14 @@ def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     Exact distinct counts ride along so the driver row locks the
     estimator's accuracy, not just its determinism."""
     d = t(spark, sf, "documents")
-    tok = d.select(
-        "lang", F.explode(word_shingles(F.col("text"), n=3)).alias("token")
-    ).where(F.col("token") != "")
+    # three consumers (register build, per-lang exact, global exact):
+    # persist so the shingle construction runs once (plan-keyed cache,
+    # same no-growth argument as sketch_bloom_decontaminate)
+    tok = (
+        d.select("lang", F.explode(word_shingles(F.col("text"), n=3)).alias("token"))
+        .where(F.col("token") != "")
+        .persist()
+    )
     regs = hll_registers(tok, "token", ["lang"], p=HLL_P)
     # the register table is tiny (langs * 512 rows) and feeds BOTH the
     # per-language estimate and the merged rollup: pin it
