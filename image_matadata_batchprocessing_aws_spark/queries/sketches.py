@@ -93,6 +93,43 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Fixed sketch size for the merge demo (both halves and the direct
+#: build must share one m, so it cannot be data-sized).
+BLOOM_MERGE_M = 1 << 14
+
+
+def sketch_bloom_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom mergeability, proven in-query: build byte tables for two
+    disjoint halves of the customer key set, OR-merge them
+    (groupBy byte, bit_or — the same shape HLL merges with max), and
+    compare byte-for-byte against the direct single-pass build over all
+    keys.  Output is the merged byte table plus an ``equal`` flag that
+    must be TRUE on every row — with this, all three sketches (Bloom,
+    Count-Min via sum, HLL via max) carry an engine-checked merge
+    story: per-shard sketches union without rescanning shards."""
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    h1 = bloom_build(c.where(F.col("k").cast("long") % 2 == 0), "k", BLOOM_K, BLOOM_MERGE_M)
+    h2 = bloom_build(c.where(F.col("k").cast("long") % 2 != 0), "k", BLOOM_K, BLOOM_MERGE_M)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("byte_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(c, "k", BLOOM_K, BLOOM_MERGE_M).select(
+        "byte_idx", F.col("bits").alias("__direct")
+    )
+    return (
+        merged.join(direct, "byte_idx", "full")
+        .select(
+            "byte_idx",
+            F.col("bits").cast("long").alias("bits"),
+            (F.col("bits") == F.col("__direct")).alias("equal"),
+        )
+    )
+
+
 def sketch_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min heavy hitters over the event stream's user ids: build a
     3x512 counter sketch in one explode+groupBy pass (shuffle bounded at
@@ -148,6 +185,7 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
+    "sketch_bloom_merge": sketch_bloom_merge,
     "sketch_countmin_heavy": sketch_countmin_heavy,
     "join_bloom_prefilter": join_bloom_prefilter,
 }
@@ -168,7 +206,24 @@ _SHINGLES_4 = r"""
 
 _BLOOM_POS = md5_int64_sql("i || ':' || shingle")
 
+
+_BLOOM_MERGE_POS = md5_int64_sql("i || ':' || CAST(c_custkey AS VARCHAR)")
+
+ORACLES_BLOOM_MERGE = rf"""
+        WITH seeds AS (SELECT unnest(range({BLOOM_K})) AS i),
+        pos AS (SELECT c_custkey, ({_BLOOM_MERGE_POS}) % {BLOOM_MERGE_M} AS p
+                FROM customer CROSS JOIN seeds),
+        bits AS (SELECT DISTINCT p // 8 AS byte_idx,
+                        CAST(pow(2, p % 8) AS INT) AS mask
+                 FROM pos)
+        SELECT CAST(byte_idx AS BIGINT) AS byte_idx,
+               CAST(bit_or(mask) AS BIGINT) AS bits,
+               TRUE AS equal
+        FROM bits GROUP BY byte_idx
+"""
+
 ORACLES = {
+    "sketch_bloom_merge": ORACLES_BLOOM_MERGE,
     "sketch_bloom_decontaminate": rf"""
         WITH {_SHINGLES_4},
         bench AS (SELECT DISTINCT unnest(s) AS shingle FROM nonempty

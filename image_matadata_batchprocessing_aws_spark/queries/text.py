@@ -414,3 +414,43 @@ ORACLES["text_ngram_topk"] = rf"""
     SELECT lang, gram, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {NGRAM_TOPK}
 """
+
+
+# --- sentence segmentation ------------------------------------------------
+
+
+def text_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex sentence segmentation with per-sentence stats — the unit
+    below the document (chunkers, readability scores, curriculum
+    heuristics all want it).  Split on terminal-punctuation runs
+    ``[.!?]+`` (deliberately RE2-compatible — no lookbehind, so the
+    DuckDB twin splits on the identical pattern); empty fragments drop
+    but keep their original split position, so the (doc, part) key is
+    stable under both engines.  Pure map-side: split, posexplode,
+    filter, measure."""
+    d = t(spark, sf, "documents")
+    parts = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("part_idx", "__s")
+    )
+    s = F.trim(F.col("__s"))
+    return parts.where(s != "").select(
+        "doc_id",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.length(s).cast("long").alias("n_chars"),
+        F.size(F.split(s, r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+QUERIES["text_sentences"] = text_sentences
+ORACLES["text_sentences"] = r"""
+    WITH parts AS (
+      SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr
+      FROM documents),
+    pos AS (
+      SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM parts),
+    s AS (SELECT doc_id, i AS part_idx, trim(arr[i + 1]) AS sent FROM pos)
+    SELECT doc_id, CAST(part_idx AS BIGINT) AS part_idx,
+           CAST(length(sent) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS n_tokens
+    FROM s WHERE sent <> ''
+"""
