@@ -182,3 +182,67 @@ def test_skew_and_merge_plan_shapes(spark):
     merged = formatted_plan(etl_merge_upsert(spark, SF_CORRECT))
     assert "BroadcastHashJoin" in merged and "LeftAnti" in merged
     assert "SortMergeJoin" not in merged
+
+
+def test_substr_spans_broadcast_dup_set_and_keyed_window(spark):
+    """Exact-substring dedup plan shape: the duplicated-fingerprint set
+    comes back as a broadcast LeftSemi (contamination-sized side), the
+    run-merge window is keyed by doc (no keyless WindowExec), and
+    nothing Python touches the path."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import duplicated_spans
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    df = duplicated_spans(
+        load_table(spark, SF_CORRECT, "documents"), materialize=False
+    )
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert not plan_report(df)["python_in_plan"]
+
+
+def test_asof_nearest_single_exchange_two_sorts(spark):
+    """Nearest as-of: both carry directions must share ONE exchange on
+    the key (the windows differ only in sort order) — two exchanges
+    would mean the plan re-shuffles per direction."""
+    from image_matadata_batchprocessing_aws_spark.operators.joins import asof_join_nearest
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    df = asof_join_nearest(left, right, "user_id", "ts", "ts")
+    import re
+
+    plan = formatted_plan(df)
+    # one exchange on __k; both carry windows (two sorts) sit above it
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2, plan
+
+
+def test_corr_matrix_single_aggregate_no_shuffle_of_pairs(spark):
+    """The all-pairs correlation is ONE 1-row aggregate: no joins, no
+    window, a single exchange (the global agg's singlePartition)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import correlation_matrix
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    df = correlation_matrix(
+        load_table(spark, SF_CORRECT, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan_report(df)["has_partial_agg"]
+
+
+def test_hll_registers_partial_aggregation(spark):
+    """Register build must combine map-side (max is associative): the
+    shuffle carries <= m rows per group per task, not the key stream."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import hll_registers
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    df = hll_registers(load_table(spark, SF_CORRECT, "events"), "user_id", [], p=9)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"] and not rep["python_in_plan"]
