@@ -89,6 +89,11 @@ def duplicated_spans(
     last token of the last duplicated k-gram (so span length in tokens
     is ``span_end - span_start + 1 >= k``).
 
+    Spans are maximal in k-gram POSITION space; two spans of one doc can
+    still overlap by up to k-1 TOKENS (runs whose starts differ by
+    2..k-1 positions) — consumers measuring token coverage must union
+    the intervals (:func:`doc_dup_fraction` does).
+
     Downstream policy is the caller's: cut the spans out (the paper's
     choice), drop documents past a duplicated-fraction threshold, or
     feed the spans to a blocklist.  This operator only finds them.
@@ -128,12 +133,31 @@ def doc_dup_fraction(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document duplicated-token fraction from a
-    :func:`duplicated_spans` result: span token-lengths sum per doc
-    (maximal runs never overlap, so the sum is exact coverage) against
-    the doc's token count.  Docs with no duplicated span report 0.0 —
-    the ranking a drop-or-keep policy thresholds on."""
-    cover = spans.groupBy(id_col).agg(
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__dup_toks")
+    :func:`duplicated_spans` result, via INTERVAL UNION: span runs are
+    maximal in k-gram POSITION space, but two runs whose starts differ
+    by 2..k-1 still overlap in TOKEN space (each k-gram covers k
+    tokens), so a raw span-length sum overcounts — a "a b a b a"/k=3
+    corpus would report 6 of 5 tokens duplicated.  The union is the
+    classic islands pass: running max of prior span ends per doc, a new
+    island when the next start clears it, min/max per island.  Docs
+    with no duplicated span report 0.0."""
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "__new_isl",
+        F.when(prev_end.isNull() | (F.col("span_start") > prev_end), 1).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "__isl",
+        F.sum("__new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    union = islanded.groupBy(id_col, "__isl").agg(
+        F.min("span_start").alias("__s"), F.max("span_end").alias("__e")
+    )
+    cover = union.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("__dup_toks")
     )
     toks = df.select(
         F.col(id_col),

@@ -553,8 +553,24 @@ ORACLES["dedup_substr_fraction"] = rf"""
         spans AS (
           SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_K - 1} AS e
           FROM runs GROUP BY doc_id, grp),
+        -- interval union: spans are maximal in k-gram position space but
+        -- can overlap by up to k-1 TOKENS; islands pass mirrors Spark
+        flagged AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) THEN 1 ELSE 0 END AS new_isl
+          FROM spans),
+        islanded AS (
+          SELECT doc_id, s, e,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+          FROM flagged),
+        un AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM islanded GROUP BY doc_id, isl),
         cover AS (SELECT doc_id, sum(e - s + 1) AS dup_toks
-                  FROM spans GROUP BY doc_id),
+                  FROM un GROUP BY doc_id),
         alltoks AS (
           SELECT doc_id,
                  CASE WHEN trim(text) = '' THEN 0

@@ -338,3 +338,21 @@ def test_duplicated_spans_short_and_empty_docs(spark):
     assert got == {(2, 0, 4), (3, 0, 4)}
     frac = {r.doc_id: r.dup_fraction for r in doc_dup_fraction(spans, docs).collect()}
     assert frac[0] == 0.0 and frac[1] == 0.0 and frac[2] == 1.0 and frac[3] == 1.0
+
+
+def test_dup_fraction_unions_overlapping_spans(spark):
+    """Regression: 'a b a b a' at k=3 yields two position-runs whose
+    token spans overlap (0-2 and 2-4); a raw sum would report 6/5 dup
+    tokens — the interval union must report exactly 5/5."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        doc_dup_fraction,
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame([(0, "a b a b a")], "doc_id long, text string")
+    spans = sorted(
+        (r.span_start, r.span_end) for r in duplicated_spans(docs, k=3).collect()
+    )
+    assert spans == [(0, 2), (2, 4)]  # overlapping at token 2
+    r = doc_dup_fraction(duplicated_spans(docs, k=3), docs).collect()[0]
+    assert (r.n_tokens, r.dup_tokens, r.dup_fraction) == (5, 5, 1.0)

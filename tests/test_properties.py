@@ -158,3 +158,77 @@ def test_chunking_covers_every_token(spark, n_tokens, chunk, stride_delta):
         assert r.n_chunk_tokens == len(toks)
         seen.update(toks)
     assert seen == {f"w{i}" for i in range(n_tokens)}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=2, max_value=8),
+    vocab=st.integers(min_value=3, max_value=8),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_duplicated_spans_match_bruteforce(spark, seed, n_docs, vocab, k):
+    """duplicated_spans == a brute-force Python reference on random
+    small-vocab corpora (small vocab => real collisions): same maximal
+    runs, spans never overlap within a doc, every span >= k tokens."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        duplicated_spans,
+    )
+
+    rng = np.random.default_rng(seed)
+    docs = {
+        i: [f"t{rng.integers(vocab)}" for _ in range(int(rng.integers(k, 20)))]
+        for i in range(n_docs)
+    }
+    # brute force: count every positional k-gram corpus-wide, mark
+    # duplicated positions, merge consecutive runs
+    from collections import Counter
+
+    counts = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - k + 1):
+            counts[tuple(toks[i : i + k])] += 1
+    expect = set()
+    for d, toks in docs.items():
+        dup = [
+            i
+            for i in range(len(toks) - k + 1)
+            if counts[tuple(toks[i : i + k])] >= 2
+        ]
+        run = []
+        for i in dup:
+            if run and i == run[-1] + 1:
+                run.append(i)
+            else:
+                if run:
+                    expect.add((d, run[0], run[-1] + k - 1, len(run)))
+                run = [i]
+        if run:
+            expect.add((d, run[0], run[-1] + k - 1, len(run)))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicated_spans(df, k=k, materialize=False).collect()
+    }
+    assert got == expect
+    # invariants: spans >= k tokens; distinct runs may overlap in TOKEN
+    # space, but never by k or more (that would be one run)
+    per_doc = {}
+    for d, s, e, _ in got:
+        assert e - s + 1 >= k
+        per_doc.setdefault(d, []).append((s, e))
+    for spans in per_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > s1 and e1 - s2 + 1 < k  # overlap bounded by k-1
+    # dup_fraction must stay in [0, 1] even with overlapping spans
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        doc_dup_fraction,
+    )
+
+    fr = doc_dup_fraction(
+        duplicated_spans(df, k=k, materialize=False), df
+    ).collect()
+    assert all(0.0 <= r.dup_fraction <= 1.0 for r in fr)
