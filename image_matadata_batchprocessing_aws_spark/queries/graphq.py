@@ -169,3 +169,48 @@ ORACLES = {
                (SELECT n_triangles FROM tri) AS n_triangles
     """,
 }
+
+
+# --- degree distribution ---------------------------------------------------
+
+
+def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the customer-supplier graph — the first
+    diagnostic before any iterative graph job (max degree bounds the
+    hottest key every per-vertex shuffle sees; the histogram predicts
+    skew-split behavior).  Two keyed aggregations: degree per node, then
+    node count per degree; output is the histogram plus per-side
+    (customer/supplier) rows, degree-bounded, never node-bounded."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    nodes = pairs.select(F.col("c").alias("node")).unionByName(
+        pairs.select(F.col("s").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(F.expr("node % 2").cast("long").alias("node_kind"), "degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select("node_kind", F.col("degree").cast("long").alias("degree"), "n_nodes")
+    )
+
+
+QUERIES["graph_degree_stats"] = graph_degree_stats
+ORACLES["graph_degree_stats"] = """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT c AS node FROM pairs UNION ALL SELECT s AS node FROM pairs),
+    deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY node)
+    SELECT CAST(node % 2 AS BIGINT) AS node_kind,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY node % 2, degree
+"""

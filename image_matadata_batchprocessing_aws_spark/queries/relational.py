@@ -589,6 +589,24 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     return c.exceptAll(s)
 
 
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics): per nationkey,
+    min(customer multiplicity, supplier multiplicity) copies survive —
+    the bag-algebra member the distinct-set ops don't cover.  Plans as
+    one aggregation per side + a join, never a row-pairing blowup."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL (multiset): customer-side multiplicity minus
+    supplier-side multiplicity, clamped at zero, per nationkey."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
 # --- TPC-H Q7 style: bilateral nation trade volume ------------------------
 
 
@@ -1060,6 +1078,8 @@ QUERIES = {
     "sort_topk": sort_topk,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
     "pivot_status": pivot_status,
 }
 
@@ -1500,6 +1520,16 @@ ORACLES = {
         SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
         EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
+    """,
+    "set_intersect_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "set_except_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
     """,
     "pivot_status": """
         SELECT l_returnflag,

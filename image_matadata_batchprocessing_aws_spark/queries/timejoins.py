@@ -206,6 +206,50 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_DAYS = 7
+_FUNNEL_WINDOW_MS = FUNNEL_WINDOW_DAYS * 86400 * 1000
+
+
+def funnel_conversion_bounded(spark: SparkSession, sf: str) -> DataFrame:
+    """The funnel with a CONVERSION WINDOW — each stage must land within
+    7 days of the previous one, the form product analytics actually
+    reports (an unbounded funnel credits a purchase a year later).
+    Identical three-aggregation shape as funnel_conversion; the bound is
+    one extra map-side predicate per stage."""
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    win = F.lit(_FUNNEL_WINDOW_MS)
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias("t_signup")
+    ).where(F.col("t_signup").isNotNull())
+    c = (
+        ev.join(s, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts_ms") > F.col("t_signup"))
+            & (F.col("ts_ms") <= F.col("t_signup") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_ms") > F.col("t_click"))
+            & (F.col("ts_ms") <= F.col("t_click") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n")).select(F.lit(1).cast("long").alias("stage"), F.lit("signup").alias("event"), "n")
+        .unionByName(c.agg(F.count("*").alias("n")).select(F.lit(2).cast("long").alias("stage"), F.lit("click_7d").alias("event"), "n"))
+        .unionByName(p.agg(F.count("*").alias("n")).select(F.lit(3).cast("long").alias("stage"), F.lit("purchase_7d").alias("event"), "n"))
+    )
+
+
 def join_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
     """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the per-user
     event counts joined back so that NULL user ids match the NULL group
@@ -227,6 +271,7 @@ def join_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "funnel_conversion": funnel_conversion,
+    "funnel_conversion_bounded": funnel_conversion_bounded,
     "join_nullsafe": join_nullsafe,
     "join_asof_click_purchase": join_asof_click_purchase,
     "join_asof_forward": join_asof_forward,
@@ -265,6 +310,27 @@ ORACLES = {
         SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total,
                c.c_name, c.c_mktsegment
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "funnel_conversion_bounded": f"""
+        WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        s AS (SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t_signup
+              FROM ev GROUP BY user_id HAVING t_signup IS NOT NULL),
+        c AS (SELECT ev.user_id, min(ts_ms) AS t_click
+              FROM ev JOIN s USING (user_id)
+              WHERE event_type = 'click' AND ts_ms > t_signup
+                AND ts_ms <= t_signup + {_FUNNEL_WINDOW_MS}
+              GROUP BY ev.user_id),
+        p AS (SELECT ev.user_id, min(ts_ms) AS t_purchase
+              FROM ev JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts_ms > t_click
+                AND ts_ms <= t_click + {_FUNNEL_WINDOW_MS}
+              GROUP BY ev.user_id)
+        SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event, count(*) AS n FROM s
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS stage, 'click_7d' AS event, count(*) AS n FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT) AS stage, 'purchase_7d' AS event, count(*) AS n FROM p
     """,
     "join_asof_click_purchase": """
         WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
