@@ -281,3 +281,50 @@ ORACLES = {
         FROM b GROUP BY event_type
     """,
 }
+
+
+def stream_corpus_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of streaming.curate_stream (quality gate -> corpus
+    anti-join -> hash sample): every 10th event plays the stream, the
+    rest the settled corpus; stream==batch equivalence in
+    tests/test_streaming.py, exact oracle here."""
+    from image_matadata_batchprocessing_aws_spark.streaming import curate_stream
+
+    e = t(spark, sf, "events")
+    new = e.where(F.col("event_id") % 10 == 0)
+    corpus = e.where(F.col("event_id") % 10 != 0).withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    out = curate_stream(new, corpus)
+    return out.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+
+
+QUERIES["stream_corpus_curate"] = stream_corpus_curate
+
+
+def _corpus_curate_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = md5_int64_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+        WITH corpus AS (
+          SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+          FROM events WHERE event_id % 10 <> 0),
+        q AS (
+          SELECT event_id, user_id, event_type, value,
+                 date_trunc('hour', ts) AS hr
+          FROM events
+          WHERE event_id % 10 = 0 AND user_id IS NOT NULL
+            AND value IS NOT NULL AND value > 1.0),
+        d AS (
+          SELECT q.* FROM q
+          WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                            WHERE c.user_id = q.user_id
+                              AND c.event_type = q.event_type
+                              AND c.hr = q.hr))
+        SELECT event_id, user_id, event_type, round(value, 2) AS value
+        FROM d WHERE ({h}) % 10 < 7
+    """
+
+
+ORACLES["stream_corpus_curate"] = _corpus_curate_oracle()

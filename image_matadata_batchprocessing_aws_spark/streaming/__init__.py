@@ -5,6 +5,7 @@ from image_matadata_batchprocessing_aws_spark.streaming.events import (
     sliding_counts,
     session_counts,
     dedup_within_watermark,
+    curate_stream,
     dedup_against_corpus,
     enrich_with_dimension,
     start_numbered_batch_sink,
@@ -19,6 +20,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "curate_stream",
     "dedup_against_corpus",
     "enrich_with_dimension",
     "start_numbered_batch_sink",

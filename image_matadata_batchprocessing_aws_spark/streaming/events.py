@@ -183,3 +183,32 @@ def start_numbered_batch_sink(
         .queryName(query_name)
         .start()
     )
+
+
+def curate_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    rate_num: int = 7,
+    rate_den: int = 10,
+) -> DataFrame:
+    """The pretraining-corpus builder as a LIVE pipeline — the streaming
+    twin of ``queries.pipeline.pipeline_pretraining_corpus``'s shape:
+    quality gate (map-side predicates) -> dedup against the settled
+    corpus (stream-static broadcast anti-join, zero stream state) ->
+    deterministic hash sampling (md5 rate gate, map-side).  Every stage
+    is stateless per micro-batch, so the composition runs under
+    ``readStream`` with append output and NO watermark bookkeeping —
+    exactly which rows survive is a pure function of the row and the
+    corpus, which is what makes the stream==batch equivalence testable
+    (and the batch twin oracle-checkable)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    q = stream.where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > 1.0)
+    ).withColumn("hr", F.date_trunc("hour", "ts"))
+    d = dedup_against_corpus(q, corpus, ["user_id", "event_type", "hr"])
+    return d.where(
+        md5_int64(F.col("event_id").cast("string")) % F.lit(rate_den) < F.lit(rate_num)
+    )

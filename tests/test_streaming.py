@@ -331,3 +331,32 @@ def test_hll_stream_matches_batch(spark, events_dir):
     g = {r.bucket: r.reg for r in got.collect()}
     b = {r.bucket: r.reg for r in stream_hll_registers(spark, SF_SMOKE).collect()}
     assert g == b and len(g) > 0
+
+
+def test_corpus_curation_stream_matches_batch(spark, events_dir):
+    """The composed corpus-curation pipeline (quality gate -> corpus
+    anti-join -> hash sample) is stateless per micro-batch, so running
+    it live over file micro-batches must keep exactly the rows the
+    oracle-checked batch twin keeps."""
+    from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+        stream_corpus_curate,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming import curate_stream
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    corpus = ev.where(F.col("event_id") % 10 != 0).withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    stream = read_events_stream(spark, events_dir).where(F.col("event_id") % 10 == 0)
+    live = curate_stream(stream, corpus)
+    q = (
+        live.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id for r in spark.sql("SELECT event_id FROM curate_mem").collect()}
+    expect = {r.event_id for r in stream_corpus_curate(spark, SF_SMOKE).collect()}
+    assert got == expect and len(got) > 0
