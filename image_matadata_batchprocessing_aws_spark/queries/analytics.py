@@ -659,3 +659,126 @@ ORACLES = {
         FROM x GROUP BY label, pos
     """,
 }
+
+
+# --- event-transition matrix (Markov counts) ------------------------------
+
+
+def agg_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order transition counts over each user's ordered event
+    sequence (prev_type -> type), with per-source probabilities — the
+    Markov-chain fit behind session modeling and next-event prediction.
+    One keyed window (lag over (ts, event_id)) + one small groupBy;
+    probabilities are exact count ratios, one double division."""
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("__n").alias("__tot"))
+    return cnt.join(tot, "prev_type").select(
+        "prev_type",
+        "event_type",
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__n").cast("double") / F.col("__tot").cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+# --- frequent co-purchase pairs ------------------------------------------
+
+PAIR_ORDER_MOD = 4  # sample orders like graph_triangles so pairs stay bounded
+PAIR_TOPK = 25
+
+
+def agg_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket frequent pairs: top-25 part pairs by co-order
+    count.  Canonical a < b self-join keyed on the order id (the basket),
+    map-side-combined count, TakeOrderedAndProject top-k — the support
+    side of association-rule mining, no global sort."""
+    li = (
+        t(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") % PAIR_ORDER_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "o").where(F.col("part_a") < F.col("part_b"))
+    cnt = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return cnt.orderBy(
+        F.col("n_orders").desc(), "part_a", "part_b"
+    ).limit(PAIR_TOPK)
+
+
+# --- exact decimal aggregation -------------------------------------------
+
+
+def agg_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Money math on DECIMAL(38,2) — the type a ledger actually uses:
+    revenue per return flag summed exactly (no float accumulation at
+    all; both engines' decimal adders are integer-exact, so no round()
+    hedging is needed anywhere in this query)."""
+    li = t(spark, sf, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("disc_price"),
+    )
+    return d.groupBy("l_returnflag").agg(
+        F.sum("price").cast("decimal(38,2)").alias("sum_price"),
+        F.sum("disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["agg_event_transitions"] = agg_event_transitions
+QUERIES["agg_frequent_pairs"] = agg_frequent_pairs
+QUERIES["agg_decimal_exact"] = agg_decimal_exact
+
+ORACLES["agg_event_transitions"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events WHERE user_id IS NOT NULL),
+    cnt AS (SELECT prev_type, event_type, count(*) AS n FROM seq
+            WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+    tot AS (SELECT prev_type, sum(n) AS tot FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.event_type, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM cnt c JOIN tot t USING (prev_type)
+"""
+
+ORACLES["agg_frequent_pairs"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey
+                FROM lineitem WHERE l_orderkey % {PAIR_ORDER_MOD} = 0),
+    pairs AS (SELECT a.part_a, b.part_b
+              FROM (SELECT o, l_partkey AS part_a FROM li) a
+              JOIN (SELECT o, l_partkey AS part_b FROM li) b USING (o)
+              WHERE part_a < part_b)
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT {PAIR_TOPK}
+"""
+
+ORACLES["agg_decimal_exact"] = """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+             AS sum_disc_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
