@@ -192,6 +192,30 @@ def etl_quantile_bin(spark: SparkSession, sf: str) -> DataFrame:
     return b.select("c_custkey", F.col("c_acctbal_bin").alias("acctbal_bin"))
 
 
+def etl_quantile_bin_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-GROUP equal-frequency binning: each nation's customers binned
+    against that nation's own quartiles (the grouped-fit form of
+    etl_quantile_bin — normalizing within strata instead of globally).
+    The boundary table is group-count-sized, broadcast back; the bin
+    index stays a map-side comparison sum."""
+    c = t(spark, sf, "customer")
+    bounds = c.groupBy("c_nationkey").agg(
+        *[
+            F.percentile(F.col("c_acctbal"), F.lit(q)).alias(f"__q{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+    j = c.join(F.broadcast(bounds), "c_nationkey")
+    bin_idx = sum(
+        (F.col("c_acctbal") > F.col(f"__q{i}")).cast("int") for i in range(3)
+    )
+    return j.select(
+        "c_custkey",
+        "c_nationkey",
+        bin_idx.cast("long").alias("acctbal_bin"),
+    )
+
+
 # --- one-hot indicator expansion (OneHotEncoder / get_dummies twin) ------
 
 #: Pinned TPC-H domains — the production contract: one-hot SCHEMA must
@@ -556,6 +580,7 @@ QUERIES = {
     "etl_robust_scale": etl_robust_scale,
     "etl_mad_scale": etl_mad_scale,
     "etl_quantile_bin": etl_quantile_bin,
+    "etl_quantile_bin_grouped": etl_quantile_bin_grouped,
     "etl_one_hot": etl_one_hot,
     "etl_batch_id": etl_batch_id,
     "etl_union_chunks": etl_union_chunks,
@@ -786,6 +811,19 @@ ORACLES = {
                   + CAST(c_acctbal > quantile_cont(c_acctbal, 0.75) OVER () AS INT)
                     AS BIGINT) AS acctbal_bin
         FROM customer
+    """,
+    "etl_quantile_bin_grouped": """
+        WITH b AS (
+          SELECT c_nationkey,
+                 quantile_cont(c_acctbal, 0.25) AS q0,
+                 quantile_cont(c_acctbal, 0.50) AS q1,
+                 quantile_cont(c_acctbal, 0.75) AS q2
+          FROM customer GROUP BY c_nationkey)
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(CAST(c.c_acctbal > b.q0 AS INT)
+                  + CAST(c.c_acctbal > b.q1 AS INT)
+                  + CAST(c.c_acctbal > b.q2 AS INT) AS BIGINT) AS acctbal_bin
+        FROM customer c JOIN b USING (c_nationkey)
     """,
     "etl_one_hot": """
         SELECT l_orderkey, l_linenumber,
