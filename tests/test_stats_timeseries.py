@@ -87,3 +87,33 @@ def test_histogram_drift_detects_planted_shift(spark):
     assert low["value"] < 0.1 and low["cat"] == 0.0
     assert high["value"] > 0.5  # a 2-sigma mean shift moves most mass
     assert abs(high["cat"] - 0.5) < 0.01  # half the rows switched category
+
+
+def test_histogram_drift_invariants(spark):
+    """TV bounds: identical windows give exactly 0; completely disjoint
+    categories give exactly 1; anything in between stays in [0, 1]."""
+    a = spark.createDataFrame([(float(i % 7), "x") for i in range(500)], "v double, c string")
+    b = spark.createDataFrame([(float(i % 7), "y") for i in range(300)], "v double, c string")
+    same = {r.feature: r.tv for r in histogram_drift(a, a, ["v"], ["c"]).collect()}
+    assert same["v"] == 0.0 and same["c"] == 0.0
+    disjoint = {r.feature: r.tv for r in histogram_drift(a, b, [], ["c"]).collect()}
+    assert disjoint["c"] == 1.0  # no category overlap
+    partial = {r.feature: r.tv for r in histogram_drift(a, b, ["v"], []).collect()}
+    assert 0.0 <= partial["v"] <= 1.0
+
+
+def test_time_weighted_avg_exact_on_crafted_steps(spark):
+    """Hand-computable LOCF integral: value 10 for 2s, 20 for 1s, last
+    observation carries no interval -> twa = (10*2 + 20*1)/3."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 10.0), (1, 2, 1, 20.0), (1, 3, 2, 99.0)],
+        "k long, sec long, id long, v double",
+    ).select("k", F2.timestamp_seconds("sec").alias("ts"), "id", "v")
+    r = time_weighted_avg(df, "k", "ts", "v", "id").collect()[0]
+    assert (r.n_intervals, r.span_ms) == (2, 3000)
+    assert r.twa == round((10 * 2 + 20 * 1) / 3, 6)  # operator rounds to 6
