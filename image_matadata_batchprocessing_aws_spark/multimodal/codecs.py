@@ -1,0 +1,304 @@
+"""REAL image decoders in pure numpy + stdlib — no PIL, no C codec.
+
+Closes most of the S9 decode gap (SURVEY §2.1; reference decode is
+``process_test_train_Images.py:45`` via PIL): PNG, BMP and PPM/PGM are
+fully decodable with nothing but ``zlib`` (stdlib) and numpy, so the
+"real codec" path no longer needs an absent third-party library for
+these formats.  JPEG/WEBP/GIF stay behind the PIL seam
+(``images._pil_decode``) — entropy-coded DCT decoding is genuinely
+codec territory.
+
+Formats:
+
+- **PNG** (``decode_png``): 8-bit depth, color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth) inverted per the spec; multiple IDAT
+  chunks concatenated; non-interlaced only (interlace=1 raises).  Alpha
+  is dropped (PIL ``convert("RGB")`` semantics for the pipeline).
+- **BMP** (``decode_bmp``): BITMAPINFOHEADER (40+) uncompressed 24/32
+  bpp, bottom-up and top-down row orders, 4-byte row padding, BGR(A) →
+  RGB; 8-bit paletted via the BGRX color table.
+- **PPM/PGM** (``decode_ppm``): binary P6/P5, maxval <= 255,
+  whitespace/comment-tolerant header.
+
+Everything returns HxWx3 uint8 (the pipeline contract of
+``images.decode_images``).  These run INSIDE the Arrow-batched
+mapInPandas stage — per-image Python is the accepted slow path there,
+and the scanline un-filter loops are bounded by image height.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class ImageFormatError(ValueError):
+    """Malformed or unsupported image payload."""
+
+
+# --- PNG -------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    off = 8
+    while off + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[off : off + 4])
+        ctype = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + length]
+        yield ctype, payload
+        off += 12 + length  # length + type + payload + crc
+        if ctype == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering -> (h, w*bpp) uint8."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ImageFormatError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: left neighbor — sequential in x
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up: fully vectorized
+            row = (row.astype(np.int16) + prior).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                ul = int(prior[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + _paeth(left, int(prior[x]), ul)) & 0xFF
+        else:
+            raise ImageFormatError(f"unknown PNG filter type {ftype}")
+        out[y] = row
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    if not content.startswith(_PNG_MAGIC):
+        raise ImageFormatError("not a PNG (bad magic)")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(content):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if ihdr is None:
+        raise ImageFormatError("PNG missing IHDR")
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ImageFormatError(f"unsupported PNG bit depth {depth} (only 8)")
+    if ctype_code not in _PNG_CHANNELS:
+        raise ImageFormatError(f"unsupported PNG color type {ctype_code}")
+    if comp != 0 or filt != 0:
+        raise ImageFormatError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ImageFormatError("interlaced (Adam7) PNG not supported")
+    if w == 0 or h == 0:
+        raise ImageFormatError("zero-dimension PNG")
+    ch = _PNG_CHANNELS[ctype_code]
+    raw = zlib.decompress(bytes(idat))
+    px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype_code == 2:
+        return px
+    if ctype_code == 6:
+        return px[:, :, :3].copy()
+    if ctype_code == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_code == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if plte is None:
+        raise ImageFormatError("palette PNG missing PLTE chunk")
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ImageFormatError("palette index out of range")
+    return plte[idx]
+
+
+def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT) — fixture generator for
+    the decoder's round-trip tests and for building realistic binary
+    columns in demos.  Accepts HxWx3 uint8 (color_type 2) or HxW
+    (color_type 0)."""
+    if color_type == 2:
+        h, w, _ = img.shape
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    elif color_type == 0:
+        h, w = img.shape
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    else:
+        raise ImageFormatError("encoder supports color types 0 and 2 only")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --- BMP -------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ImageFormatError("not a BMP (bad magic / truncated)")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size,) = struct.unpack("<I", content[14:18])
+    if hdr_size < 40:
+        raise ImageFormatError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack("<ii", content[18:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if w <= 0 or h_signed == 0:
+        raise ImageFormatError("invalid BMP dimensions")
+    if compression != 0:
+        raise ImageFormatError(f"compressed BMP (method {compression}) not supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 8:
+        n_colors = struct.unpack("<I", content[46:50])[0] or 256
+        tbl_off = 14 + hdr_size
+        table = np.frombuffer(
+            content, dtype=np.uint8, count=n_colors * 4, offset=tbl_off
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        row_bytes = (w + 3) & ~3
+        rows = []
+        for y in range(h):
+            off = data_off + y * row_bytes
+            idx = np.frombuffer(content, dtype=np.uint8, count=w, offset=off)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ImageFormatError("BMP palette index out of range")
+            rows.append(table[idx])
+        img = np.stack(rows)
+    elif bpp in (24, 32):
+        ch = bpp // 8
+        row_bytes = (w * ch + 3) & ~3
+        if data_off + row_bytes * h > len(content):
+            raise ImageFormatError("BMP pixel data truncated")
+        rows = []
+        for y in range(h):
+            off = data_off + y * row_bytes
+            px = np.frombuffer(
+                content, dtype=np.uint8, count=w * ch, offset=off
+            ).reshape(w, ch)
+            rows.append(px[:, :3][:, ::-1])  # BGR(A) -> RGB
+        img = np.stack(rows)
+    else:
+        raise ImageFormatError(f"unsupported BMP bit depth {bpp}")
+    return img if top_down else img[::-1].copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (fixture generator)."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    body = b"".join(img[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    pixel_off = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", pixel_off + len(body), 0, 0, pixel_off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+# --- PPM / PGM -------------------------------------------------------------
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    if content[:2] not in (b"P6", b"P5"):
+        raise ImageFormatError("not a binary PPM/PGM")
+    gray = content[:2] == b"P5"
+    # header: magic, width, height, maxval — whitespace separated with
+    # '#' comments; pixel data starts after the single whitespace byte
+    # following maxval
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ImageFormatError("PPM header truncated")
+        c = content[pos : pos + 1]
+        if c == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tok = content[start:pos]
+            if not tok.isdigit():
+                raise ImageFormatError(f"bad PPM header token {tok!r}")
+            tokens.append(int(tok))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255 or maxval <= 0 or w <= 0 or h <= 0:
+        raise ImageFormatError("unsupported PPM header values")
+    ch = 1 if gray else 3
+    need = w * h * ch
+    if len(content) - pos < need:
+        raise ImageFormatError("PPM pixel data truncated")
+    px = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos)
+    img = px.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if gray else img.copy()
+
+
+# --- dispatch --------------------------------------------------------------
+
+
+def decode_image_auto(name: str, content: bytes) -> np.ndarray:
+    """Real-codec dispatch on magic bytes: PNG/BMP/PPM decode HERE in
+    pure numpy+stdlib; anything else (JPEG, WEBP, GIF, TIFF) raises
+    ``ImageFormatError`` so the caller can route to the PIL seam or to
+    the pipeline's error column.  Drop-in ``decode_fn`` for
+    ``images.decode_images``."""
+    if not content:
+        raise ImageFormatError("empty image payload")
+    if content.startswith(_PNG_MAGIC):
+        return decode_png(content)
+    if content.startswith(b"BM"):
+        return decode_bmp(content)
+    if content[:2] in (b"P6", b"P5"):
+        return decode_ppm(content)
+    raise ImageFormatError(
+        f"no pure-python decoder for {name!r} (magic {content[:4]!r}); "
+        "JPEG/WEBP/GIF need the PIL path"
+    )

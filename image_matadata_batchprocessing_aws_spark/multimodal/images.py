@@ -112,6 +112,24 @@ def _pil_decode(name: str, content: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
 
 
+def _real_decode(name: str, content: bytes) -> np.ndarray:
+    """Real-codec dispatch: pure numpy+stdlib decoders first (PNG, BMP,
+    PPM — ``multimodal/codecs.py``), PIL only for the entropy-coded
+    formats a pure decoder can't reach.  Raises per image (the
+    mapInPandas stage isolates it into ``decode_error``)."""
+    from image_matadata_batchprocessing_aws_spark.multimodal import codecs
+
+    # dispatch on magic so a MALFORMED png/bmp/ppm reports its real
+    # parse error instead of falling through to the PIL seam
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return codecs.decode_png(content)
+    if content[:2] == b"BM":
+        return codecs.decode_bmp(content)
+    if content[:2] in (b"P6", b"P5"):
+        return codecs.decode_ppm(content)
+    return _pil_decode(name, content)
+
+
 def resize_with_padding(img: np.ndarray, target: int = TARGET_SIZE) -> np.ndarray:
     """F7 — aspect-preserving resize onto a black square canvas
     (``ResizeWithPadding``, process_test_train_Images.py:13-22), as pure
@@ -139,23 +157,17 @@ def decode_images(
     Arrow-batched ``mapInPandas`` stage with per-row error isolation.
 
     The byte-level decode is a pluggable seam: ``decode_fn(name, content)
-    -> HxWx3 uint8 ndarray``.  Default is the deterministic fake (no codec
-    in this container); ``use_real_codec=True`` selects the PIL decoder and
-    fails fast at plan time (driver-side) when PIL is absent, instead of
-    per-task on the executors.
+    -> HxWx3 uint8 ndarray``.  ``use_real_codec=True`` selects REAL
+    decoding: PNG / BMP / PPM decode in pure numpy+stdlib
+    (``multimodal/codecs.py`` — no third-party codec needed), and only
+    the entropy-coded formats (JPEG/WEBP/GIF) route to the PIL seam
+    (``_pil_decode``); where PIL is absent those rows land in the
+    ``decode_error`` column (per-row isolation) instead of failing the
+    job.  Default remains the deterministic fake — stable golden-test
+    pixels with zero per-row branching.
     """
     if decode_fn is None:
-        if use_real_codec:
-            try:
-                import PIL  # noqa: F401, PLC0415
-            except ImportError as exc:
-                raise ImageDecodeUnavailable(
-                    "use_real_codec=True but PIL is not importable here; "
-                    "pass decode_fn= or install pillow"
-                ) from exc
-            decode_fn = _pil_decode
-        else:
-            decode_fn = _fake_decode
+        decode_fn = _real_decode if use_real_codec else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -312,3 +312,92 @@ ORACLES = {
         FROM s
     """,
 }
+
+
+# --- REAL PNG decode with a closed-form oracle ----------------------------
+
+#: (h, w) pairs where aspect-preserving resize onto the 224 canvas gives
+#: INTEGRAL content dims (h*scale, w*scale both integers), so the
+#: decoded pixel sums have closed forms SQL can state exactly.
+PNG_DIMS = [
+    (8, 14), (14, 8), (16, 28), (28, 16), (32, 56),
+    (56, 32), (112, 224), (224, 112), (224, 224), (7, 7),
+]
+PNG_N_DOCS = 30
+
+
+def _png_content_pixels() -> list[int]:
+    out = []
+    for h, w in PNG_DIMS:
+        scale = min(224 / h, 224 / w)
+        nh, nw = int(h * scale), int(w * scale)
+        assert nh == h * scale and nw == w * scale  # integral by construction
+        out.append(nh * nw)
+    return out
+
+
+def multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decoding, driver-checked: solid-color PNGs (genuine
+    zlib-compressed, CRC'd files from the pure-python encoder) are
+    decoded by the pure-numpy PNG decoder (``multimodal/codecs.py`` — no
+    PIL anywhere) through the full Arrow ``mapInPandas`` pipeline, and
+    the per-channel pixel sums after aspect-preserving resize+pad are
+    compared against their CLOSED FORMS (value x content-pixel count;
+    dimensions chosen so the resize is integral).  float32 sums stay
+    exact (all values < 2^24).  The fixture synthesis is driver-side and
+    fixture-sized (30 tiny PNGs); the decode is the distributed stage
+    under test."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+
+    rows = []
+    for doc_id in range(PNG_N_DOCS):
+        h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+        v = (doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = v
+        rows.append((doc_id, f"{doc_id}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    decoded = decode_images(entries, use_real_codec=True, normalize=False)
+
+    def chan_sum(c: int):
+        # CHW layout: channel c occupies slice [c*224*224, (c+1)*224*224)
+        return F.aggregate(
+            F.slice(F.col("image"), c * 224 * 224 + 1, 224 * 224),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    out = decoded.join(entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name")
+    return out.select(
+        "doc_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        chan_sum(0).alias("r_sum"),
+        chan_sum(1).alias("g_sum"),
+        chan_sum(2).alias("b_sum"),
+    )
+
+
+QUERIES["multimodal_png_decode"] = multimodal_png_decode
+
+_PNG_PIX_CASE = " ".join(
+    f"WHEN {i} THEN {px}" for i, px in enumerate(_png_content_pixels())
+)
+
+ORACLES["multimodal_png_decode"] = f"""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(224 AS BIGINT) AS height,
+           CAST(224 AS BIGINT) AS width,
+           CAST((doc_id % 251) * px AS BIGINT) AS r_sum,
+           CAST(((doc_id * 7) % 251) * px AS BIGINT) AS g_sum,
+           CAST(((doc_id * 13) % 251) * px AS BIGINT) AS b_sum
+    FROM (SELECT unnest(range({PNG_N_DOCS})) AS doc_id),
+         LATERAL (SELECT CASE doc_id % {len(PNG_DIMS)} {_PNG_PIX_CASE} END AS px)
+"""

@@ -80,38 +80,34 @@ def test_decode_fn_seam_custom_decoder(spark, tmp_path):
     assert vals == {round(128 / 255.0, 6)}
 
 
-def test_real_codec_gate(spark, tmp_path):
-    """use_real_codec=True fails fast (driver-side) without PIL; with PIL
-    present it decodes a real PNG end to end."""
-    import pytest
+def test_real_codec_decodes_png_without_pil(spark, tmp_path):
+    """use_real_codec=True REALLY decodes: a genuine PNG (zlib-compressed,
+    CRC'd) comes back pixel-correct through the full Arrow pipeline with
+    no PIL in the container; an entropy-coded format (JPEG magic) lands
+    in the error column instead of failing the job."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
 
-    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
-        ImageDecodeUnavailable,
+    red = np.zeros((4, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    _make_zip(
+        tmp_path / "r.zip",
+        [("3.png", encode_png(red)), ("4.jpg", b"\xff\xd8\xff\xe0fakejpeg")],
     )
-
-    try:
-        import PIL  # noqa: F401
-        has_pil = True
-    except ImportError:
-        has_pil = False
-
-    _make_zip(tmp_path / "r.zip", [("3.png", _tiny_png() if has_pil else b"x")])
     entries = scan_zip_entries(spark, str(tmp_path / "r.zip"))
-    if not has_pil:
-        with pytest.raises(ImageDecodeUnavailable):
-            decode_images(entries, use_real_codec=True)
-    else:  # pragma: no cover - environment-dependent
-        row = decode_images(entries, use_real_codec=True).collect()[0]
-        assert row.decode_error is None
-        assert (row.channels, row.height, row.width) == (3, TARGET_SIZE, TARGET_SIZE)
-
-
-def _tiny_png() -> bytes:  # pragma: no cover - only runs when PIL exists
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
-    return buf.getvalue()
+    rows = {
+        r.file_name: r
+        for r in decode_images(entries, use_real_codec=True, normalize=False).collect()
+    }
+    ok = rows["3.png"]
+    assert ok.decode_error is None
+    assert (ok.channels, ok.height, ok.width) == (3, TARGET_SIZE, TARGET_SIZE)
+    # the red square is upscaled onto the canvas: exactly the two pixel
+    # values {0, 200} survive, channel R only
+    img = np.array(ok.image, dtype=np.float32).reshape(3, TARGET_SIZE, TARGET_SIZE)
+    assert set(np.unique(img[0])) <= {0.0, 200.0} and 200.0 in set(np.unique(img[0]))
+    assert img[1].max() == 0.0 and img[2].max() == 0.0
+    bad = rows["4.jpg"]
+    assert bad.image is None and "PIL" in bad.decode_error
 
 
 def test_resize_with_padding_golden():
