@@ -21,12 +21,18 @@ Engine shape:
 - sink = Parquet with ``maxRecordsPerFile`` (the "200 images per file"
   knob as writer config, not a mutable global counter).
 
-PIL/torch are not in this container: the *byte-level decode* is stubbed
-behind ``ImageDecodeUnavailable`` with a clearly-marked deterministic
-fake (md5-seeded pixels sized from the declared dims), while everything
-Spark-side — schemas, ZIP expansion, Arrow batch shapes, resize/pad math
-(pure NumPy nearest-neighbor), normalization, partitioning, the join,
-the sink — is real and tested.
+Byte-level decode is REAL for PNG / BMP / PPM — pure numpy+stdlib
+decoders in ``multimodal/codecs.py`` (zlib inflate + scanline
+un-filtering for PNG; no third-party codec), selected by
+``use_real_codec=True`` and proven against a closed-form pixel-sum
+oracle (``queries.multimodal.multimodal_png_decode``).  Only the
+entropy-coded formats (JPEG/WEBP/GIF) remain behind the PIL seam
+(``ImageDecodeUnavailable`` per row when PIL is absent).  The default
+decode_fn stays the clearly-marked deterministic fake (md5-seeded
+pixels) for format-independent golden tests; everything Spark-side —
+schemas, ZIP expansion, Arrow batch shapes, resize/pad math (pure NumPy
+nearest-neighbor), normalization, partitioning, the join, the sink — is
+shared by both paths and tested.
 
 Scale notes: ZIP archives are unsplittable, so one task per archive
 (``repartition`` by path before the UDTF) and size-capped archives
