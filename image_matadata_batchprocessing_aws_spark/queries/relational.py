@@ -1538,3 +1538,31 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag
     """,
 }
+
+
+def sql_api_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """API-parity proof: TPC-H Q1 written as PLAIN SQL through
+    ``spark.sql`` over registered temp views — same Catalyst planner,
+    same plan, same answer as the DataFrame formulation
+    (q1_pricing_summary).  The oracle is intentionally the identical SQL
+    text run on DuckDB: one query string, three engines' worth of
+    agreement (Spark SQL, Spark DataFrame, DuckDB)."""
+    from image_matadata_batchprocessing_aws_spark.sources.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_API_Q1)
+
+
+_SQL_API_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["sql_api_q1"] = sql_api_q1
+ORACLES["sql_api_q1"] = _SQL_API_Q1

@@ -45,3 +45,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Expose every driver table as a temp view so the engine's SECOND
+    API — plain ``spark.sql`` — works against the same data: the
+    DataFrame operators and ANSI SQL share one Catalyst planner, so a
+    user can mix freely (``spark.sql("SELECT ... FROM lineitem")`` after
+    one call here).  Views are lazy scans (no materialization); the
+    events timestamp normalization rides along from :func:`load_table`.
+    Returns the registered view names."""
+    names = []
+    for name in DRIVER_TABLES:
+        view = f"{name}{suffix}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

@@ -37,3 +37,15 @@ def test_all_queries_run_at_smoke_sf(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(1).collect()  # plan executes
+
+
+def test_register_views_enables_plain_sql(spark):
+    from image_matadata_batchprocessing_aws_spark.sources.tables import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "events" in names
+    n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0].n
+    assert n > 0
+    # events ts normalization rides along: unix_millis works through SQL
+    r = spark.sql("SELECT max(unix_millis(ts)) AS m FROM events").collect()[0].m
+    assert r > 0
