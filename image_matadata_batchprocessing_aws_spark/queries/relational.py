@@ -1566,3 +1566,33 @@ _SQL_API_Q1 = """
 
 QUERIES["sql_api_q1"] = sql_api_q1
 ORACLES["sql_api_q1"] = _SQL_API_Q1
+
+
+def window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """The value-picking window functions (first_value / nth_value /
+    last_value over the full partition frame) — per user: first, third
+    and last event value in time order, attached to every event row.
+    Deterministic order via the (ts, event_id) composite; one shuffle on
+    the key."""
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(wf), 2).alias("first_v"),
+        F.round(F.nth_value("value", 3).over(wf), 2).alias("third_v"),
+        F.round(F.last("value").over(wf), 2).alias("last_v"),
+    )
+
+
+QUERIES["window_nth_value"] = window_nth_value
+ORACLES["window_nth_value"] = """
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w, 2) AS first_v,
+           round(nth_value(value, 3) OVER w, 2) AS third_v,
+           round(last_value(value) OVER w, 2) AS last_v
+    FROM events WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
