@@ -236,3 +236,51 @@ def test_tfidf_keywords_rank_rare_terms_first(spark):
     assert all(len(v) <= 2 for v in by_doc.values())
     # ranks are 1..k and deterministic
     assert [r.rank for r in sorted(by_doc[1], key=lambda r: r.rank)] == [1, 2]
+
+
+def test_jsonl_source_roundtrip_with_explicit_schema(spark, tmp_path):
+    """JSONL is a first-class source: write the events slice as
+    newline-delimited JSON, read it back with an EXPLICIT schema (no
+    inference job — the same no-inferSchema rule as CSV), values
+    identical.  PERMISSIVE mode parks malformed lines in
+    _corrupt_record instead of failing the scan."""
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type"
+    ).limit(50)
+    p = str(tmp_path / "ev_json")
+    e.write.mode("overwrite").json(p)
+    back = spark.read.schema("event_id long, user_id long, event_type string").json(p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+    # corrupt-line isolation
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"event_id": 1, "user_id": 2, "event_type": "click"}\nnot-json\n')
+    parsed = spark.read.schema(
+        "event_id long, user_id long, event_type string, _corrupt_record string"
+    ).json(str(bad))
+    rows = parsed.collect()
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+    assert sum(1 for r in rows if r.event_id == 1) == 1
+
+
+def test_orc_sink_and_scan_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships built-in: writer ->
+    reader round-trip must be value-identical to the parquet source,
+    with predicate pushdown available on the scan."""
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    p = str(tmp_path / "cust_orc")
+    c.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == c.schema
+    assert sorted(r.c_custkey for r in back.collect()) == sorted(
+        r.c_custkey for r in c.collect()
+    )
+    plan = back.where(F.col("c_custkey") == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan  # scan-level pushdown on ORC too
