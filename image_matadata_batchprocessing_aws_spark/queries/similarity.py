@@ -747,3 +747,51 @@ ORACLES["eval_ann_ndcg"] = f"""
     FROM (SELECT DISTINCT query_id FROM approx) q
     LEFT JOIN dcg USING (query_id)
 """
+
+
+# --- int8 scalar quantization ---------------------------------------------
+
+
+def embedding_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus — the 4x storage
+    cut every vector store applies before PQ: per-vector symmetric scale
+    (maxabs/127), quantized codes q = round(x/scale), map-side only.
+    Output per vector: the scale, the quantized L1 mass (an
+    integer-exact code checksum), and the max absolute reconstruction
+    error |x - q*scale| (rounded 6) — the fidelity bound callers
+    threshold on.  Every op is a fixed scalar sequence on both engines;
+    no shuffle, no UDF."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    maxabs = F.array_max(F.transform("e", F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform("e", lambda x: F.round(x / scale).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with("e", q, lambda x, c: F.abs(x - c.cast("double") * scale))
+    )
+    l1 = F.aggregate(q, F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        l1.alias("code_l1"),
+        F.round(recon_err, 6).alias("max_err"),
+    )
+
+
+QUERIES["embedding_int8_quantize"] = embedding_int8_quantize
+ORACLES["embedding_int8_quantize"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id, e, scale,
+                 list_transform(e, x -> CAST(round(x / scale) AS INT)) AS codes
+          FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_l1,
+           round(list_max(list_transform(list_zip(e, codes),
+                 p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))), 6) AS max_err
+    FROM q
+"""

@@ -254,3 +254,60 @@ def test_asof_nearest_without_tolerance_always_matches(spark):
         r.lid: r.r_rid for r in asof_join_nearest(left, right, "k", "ts", "ts").collect()
     }
     assert got == {1: 10, 2: 10}
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """All three as-of directions cross-validated against pandas
+    merge_asof on randomized frames (distinct timestamps per key, so
+    tie policy differences cannot blur the comparison)."""
+    import numpy as np
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.operators.joins import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        keys = ["a", "b", "c"]
+        lrows, rrows = [], []
+        lid = rid = 0
+        for k in keys:
+            lts = rng.choice(20_000, size=15, replace=False)
+            rts = rng.choice(20_000, size=10, replace=False)
+            for ts in lts:
+                lrows.append((lid, k, int(ts)))
+                lid += 1
+            for ts in rts:
+                rrows.append((rid, k, int(ts)))
+                rid += 1
+        left = spark.createDataFrame(lrows, "lid long, k string, sec long").select(
+            "lid", "k", F.timestamp_seconds("sec").alias("ts")
+        )
+        right = spark.createDataFrame(rrows, "rid long, k string, sec long").select(
+            "rid", "k", F.timestamp_seconds("sec").alias("ts")
+        )
+        lp = pd.DataFrame(lrows, columns=["lid", "k", "sec"]).sort_values("sec")
+        rp = pd.DataFrame(rrows, columns=["rid", "k", "sec"]).sort_values("sec")
+        for direction, fn, tol in [
+            ("backward", asof_join, None),
+            ("forward", asof_join_forward, None),
+            ("nearest", asof_join_nearest, None),
+            ("nearest", asof_join_nearest, 500),
+        ]:
+            kwargs = {"tolerance_seconds": tol} if tol else {}
+            got = {
+                r.lid: r.r_rid
+                for r in fn(left, right, "k", "ts", "ts", **kwargs).collect()
+            }
+            pkw = {"tolerance": tol} if tol else {}
+            exp_df = pd.merge_asof(
+                lp, rp, on="sec", by="k", direction=direction, **pkw
+            )
+            exp = {
+                int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+                for row in exp_df.itertuples()
+            }
+            assert got == exp, (trial, direction, tol)
