@@ -139,3 +139,25 @@ def test_zorder_key_matches_morton_reference_and_layout(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # files cover disjoint, ordered key ranges
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution across parquet generations: an old fileset
+    without a column and a new one with it read as ONE table via
+    mergeSchema — old rows null-extend, values survive, and the scan
+    still prunes columns."""
+    from pyspark.sql import functions as F
+
+    old = spark.range(5).select(F.col("id"), F.lit("old").alias("src"))
+    new = spark.range(5, 8).select(
+        F.col("id"), F.lit("new").alias("src"), (F.col("id") * 10).alias("score")
+    )
+    p = str(tmp_path / "evolving")
+    old.write.mode("overwrite").parquet(p + "/gen=0")
+    new.write.mode("overwrite").parquet(p + "/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "src", "score"}
+    rows = {r.id: (r.src, r.score) for r in merged.collect()}
+    assert rows[0] == ("old", None)  # old generation null-extends
+    assert rows[6] == ("new", 60)
+    assert len(rows) == 8
