@@ -559,8 +559,33 @@ def etl_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def etl_scd2_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (AS OF) read over the SCD2 history — time travel
+    for a dimension table: the snapshot at the corpus's midpoint instant
+    is the unique version row per user whose [valid_from, valid_to)
+    interval contains it.  The instant derives from the data (integer
+    midpoint of min/max event ms) so the query is deterministic at any
+    SF; the history build is one keyed shuffle and the snapshot filter
+    is map-side over it."""
+    hist = etl_scd2_history(spark, sf)
+    ev = t(spark, sf, "events")
+    # floor division on BOTH engines: a bare /2 + cast would truncate on
+    # Spark but ROUND on DuckDB's double->bigint cast for odd sums
+    mid = ev.agg(
+        F.floor((F.min(F.unix_millis("ts")) + F.max(F.unix_millis("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("__t")
+    )
+    snap = hist.crossJoin(F.broadcast(mid)).where(
+        (F.col("valid_from_ms") <= F.col("__t"))
+        & (F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > F.col("__t")))
+    )
+    return snap.select("user_id", "event_type", "version", "valid_from_ms")
+
+
 QUERIES = {
     "etl_star_flatten": etl_star_flatten,
+    "etl_scd2_asof": etl_scd2_asof,
     "etl_dates_dim": etl_dates_dim,
     "etl_cdc_compact": etl_cdc_compact,
     "agg_histogram": agg_histogram,
@@ -655,6 +680,28 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+    """,
+    "etl_scd2_asof": """
+        WITH ev AS (SELECT * FROM events
+                    WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        ch AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev_type
+               FROM ev),
+        vers AS (SELECT user_id, event_type, ts, event_id
+                 FROM ch WHERE prev_type IS NULL OR prev_type <> event_type),
+        hist AS (
+          SELECT user_id, event_type,
+                 epoch_ms(ts) AS valid_from_ms,
+                 lead(epoch_ms(ts)) OVER w AS valid_to_ms,
+                 CAST(row_number() OVER w AS BIGINT) AS version
+          FROM vers
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        mid AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS t
+                FROM events)
+        SELECT user_id, event_type, version, valid_from_ms
+        FROM hist, mid
+        WHERE valid_from_ms <= t AND (valid_to_ms IS NULL OR valid_to_ms > t)
     """,
     "etl_scd2_history": """
         WITH ev AS (SELECT * FROM events
