@@ -108,3 +108,119 @@ _PIPELINE_ORACLE = rf"""
 
 QUERIES = {"pipeline_pretraining_corpus": pipeline_pretraining_corpus}
 ORACLES = {"pipeline_pretraining_corpus": _PIPELINE_ORACLE}
+
+
+# --- the embedding-modality corpus builder --------------------------------
+
+EMB_NORM_LO_Q = 0.05
+EMB_NORM_HI_Q = 0.95
+
+
+def pipeline_embedding_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The EMBEDDING twin of the flagship text corpus builder — the
+    stages a vector store runs before serving: (1) norm-band quality
+    gate (P05..P95 exact-percentile bounds — degenerate and outlier
+    vectors out), (2) semantic dedup over the survivors
+    (cluster-bounded pairs -> connected components -> keep group
+    minimum), (3) int8 scalar quantization of the kept vectors.  One
+    lazy composition; the gate is map-side after a 1-row broadcast, the
+    dedup pair search is cluster-bounded, quantization is map-side —
+    nothing data-sized shuffles except the pair/components stages, which
+    are contamination-sized."""
+    from image_matadata_batchprocessing_aws_spark.functions import l2_norm
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import semantic_dedup
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        SEM_THRESHOLD,
+        _emb,
+        _fixed_centroids,
+    )
+
+    e = _emb(spark, sf)
+    n = e.withColumn("__norm", l2_norm(F.col("e")))
+    bounds = n.agg(
+        F.percentile("__norm", F.lit(EMB_NORM_LO_Q)).alias("__lo"),
+        F.percentile("__norm", F.lit(EMB_NORM_HI_Q)).alias("__hi"),
+    )
+    gated = (
+        n.crossJoin(F.broadcast(bounds))
+        .where((F.col("__norm") >= F.col("__lo")) & (F.col("__norm") <= F.col("__hi")))
+        .select("vec_id", "e")
+    )
+    cents = _fixed_centroids(gated)
+    dd = semantic_dedup(gated, cents, "e", "vec_id", SEM_THRESHOLD)
+    kept = gated.join(
+        dd.where(F.col("keep")).select("vec_id", F.col("component").cast("long").alias("component")),
+        "vec_id",
+    )
+    maxabs = F.array_max(F.transform("e", F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform("e", lambda x: F.round(x / scale).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with("e", q, lambda x, c: F.abs(x - c.cast("double") * scale))
+    )
+    l1 = F.aggregate(q, F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c))
+    return kept.select(
+        "vec_id",
+        "component",
+        F.round(scale, 6).alias("scale"),
+        l1.alias("code_l1"),
+        F.round(recon_err, 6).alias("max_err"),
+    )
+
+
+def _embedding_pipeline_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        CENT_MOD_KM,
+        SEM_THRESHOLD,
+    )
+
+    return f"""
+        WITH RECURSIVE v0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        nrm AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v0),
+        bq AS (SELECT quantile_cont(nm, {EMB_NORM_LO_Q}) AS lo,
+                      quantile_cont(nm, {EMB_NORM_HI_Q}) AS hi FROM nrm),
+        v AS (SELECT vec_id, e FROM nrm, bq WHERE nm >= lo AND nm <= hi),
+        cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cv
+                  FROM v WHERE vec_id % {CENT_MOD_KM} = 0),
+        dists AS (SELECT v.vec_id, c.cid,
+                         row_number() OVER (PARTITION BY v.vec_id
+                                            ORDER BY list_distance(v.e, c.cv), c.cid)
+                           AS rn
+                  FROM v CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM dists WHERE rn = 1),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a
+              JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= {SEM_THRESHOLD}),
+        edges AS (SELECT id_a AS ea, id_b AS eb FROM p
+                  UNION ALL SELECT id_b AS ea, id_a AS eb FROM p),
+        reach(src, node) AS (
+            SELECT ea AS src, ea AS node FROM edges
+            UNION
+            SELECT r.src, g.eb FROM reach r JOIN edges g ON r.node = g.ea),
+        comp AS (SELECT src AS vec_id, min(node) AS component
+                 FROM reach GROUP BY src),
+        kept AS (SELECT v.vec_id, v.e,
+                        CAST(coalesce(c.component, v.vec_id) AS BIGINT) AS component
+                 FROM v LEFT JOIN comp c ON v.vec_id = c.vec_id
+                 WHERE v.vec_id = coalesce(c.component, v.vec_id)),
+        s AS (SELECT vec_id, component, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM kept),
+        q AS (SELECT vec_id, component, e, scale,
+                     list_transform(e, x -> CAST(round(x / scale) AS INT)) AS codes
+              FROM s)
+        SELECT vec_id, component,
+               round(scale, 6) AS scale,
+               CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_l1,
+               round(list_max(list_transform(list_zip(e, codes),
+                     p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))), 6) AS max_err
+        FROM q
+    """
+
+
+QUERIES["pipeline_embedding_corpus"] = pipeline_embedding_corpus
+ORACLES["pipeline_embedding_corpus"] = _embedding_pipeline_oracle()
