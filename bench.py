@@ -96,6 +96,12 @@ HEADLINE = [
     "ts_time_weighted",
     "etl_incremental_agg",
     "agg_retention_cohorts",
+    # r03 batch 5 (append only)
+    "pipeline_embedding_corpus",
+    "embedding_int8_quantize",
+    "window_nth_value",
+    "funnel_conversion_bounded",
+    "agg_event_transitions",
 ]
 
 
