@@ -176,3 +176,64 @@ def doc_dup_fraction(
             6,
         ).alias("dup_fraction"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ACT stage of exact-substring dedup: rebuild each document
+    with every duplicated span CUT OUT (the aggressive variant — all
+    occurrences drop; keep-one-copy is a policy layer over the same
+    span table).  Returns (id, clean_text, n_tokens, n_removed).
+
+    Shape: duplicated spans -> interval union per doc -> explode the
+    union intervals to covered POSITIONS (rows = duplicated tokens, i.e.
+    contamination-sized) -> hash anti-join against the positional token
+    table -> per-doc ordered reassembly via array_sort on (pos, token)
+    structs (never trusting collect_list order — same rule as CCNet
+    line dedup).  Every stage is keyed by document."""
+    spans = duplicated_spans(df, text_col, id_col, k, min_count)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max("span_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "__new", F.when(prev_end.isNull() | (F.col("span_start") > prev_end), 1).otherwise(0)
+        )
+        .withColumn("__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("span_start").alias("__s"), F.max("span_end").alias("__e"))
+    )
+    covered = islands.select(
+        id_col, F.explode(F.sequence("__s", "__e")).alias("pos")
+    )
+    toks = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "__tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    counts = df.select(
+        F.col(id_col),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col(text_col))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return counts.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).cast("long").alias("n_removed"),
+    )

@@ -605,3 +605,64 @@ ORACLES["dedup_keep_best"] = f"""
                               ORDER BY n_chars DESC, doc_id) = 1 AS keep
     FROM kb_m
 """
+
+
+def dedup_substr_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup, ACT stage: documents rebuilt with every
+    duplicated span cut out (interval union -> covered positions ->
+    anti-join -> ordered reassembly)."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(t(spark, sf, "documents"), k=SUBSTR_K)
+
+
+QUERIES["dedup_substr_mask"] = dedup_substr_mask
+
+ORACLES["dedup_substr_mask"] = rf"""
+        WITH {_SUBSTR_RUNS},
+        spans AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_K - 1} AS e
+          FROM runs GROUP BY doc_id, grp),
+        flagged AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) THEN 1 ELSE 0 END AS new_isl
+          FROM spans),
+        islanded AS (
+          SELECT doc_id, s, e,
+                 sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+          FROM flagged),
+        un AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM islanded GROUP BY doc_id, isl),
+        covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM un),
+        alltoks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+        tokpos AS (
+          SELECT doc_id, t, unnest(range(len(t))) AS pos FROM alltoks),
+        tok AS (SELECT doc_id, pos, t[pos + 1] AS tk FROM tokpos),
+        kept AS (
+          SELECT k.doc_id, k.pos, k.tk FROM tok k
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = k.doc_id AND c.pos = k.pos)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        counts AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+          FROM documents)
+        SELECT c.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               CAST(c.n_tokens AS BIGINT) AS n_tokens,
+               CAST(c.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+"""

@@ -356,3 +356,26 @@ def test_dup_fraction_unions_overlapping_spans(spark):
     assert spans == [(0, 2), (2, 4)]  # overlapping at token 2
     r = doc_dup_fraction(duplicated_spans(docs, k=3), docs).collect()[0]
     assert (r.n_tokens, r.dup_tokens, r.dup_fraction) == (5, 5, 1.0)
+
+
+def test_remove_duplicated_spans_cuts_and_reassembles(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        remove_duplicated_spans,
+    )
+
+    shared = "pack my box with five dozen jugs"  # 7 tokens, duplicated
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma {shared} delta epsilon"),
+            (1, f"unrelated opening words here {shared} and a different tail"),
+            (2, "no overlap with anything else at all in this document"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, k=5).collect()}
+    assert out[0].clean_text == "alpha beta gamma delta epsilon"
+    assert out[0].n_removed == 7
+    assert out[1].clean_text == "unrelated opening words here and a different tail"
+    assert out[2].n_removed == 0 and out[2].clean_text.startswith("no overlap")
+    assert out[3].clean_text == "" and out[3].n_tokens == 0
