@@ -71,7 +71,11 @@ _MODULES = [
 #: ``dedup_substr_spans``, ``dedup_substr_fraction``,
 #: ``dedup_keep_best``, ``sketch_hll_distinct``, ``join_asof_forward``,
 #: ``join_asof_nearest``, ``etl_quantile_bin``, ``etl_one_hot``,
-#: ``eval_ann_ndcg`` — every one locally oracle-exact at both sf dirs.
+#: ``eval_ann_ndcg`` — and every later r03 batch (drift report, corr
+#: matrix, incremental agg, SCD2 as-of, substring mask, embedding
+#: pipeline, png decode, SQL-API parity, ... — see PARITY.md batches
+#: 4-10).  Every queued query is locally oracle-exact at BOTH sf dirs
+#: (tools/check_oracle.py full runs, 0 failures).
 _WINDOW = [
     # -- never driver-checked (locally oracle-exact, VERDICT r2 item 1) --
     "q2_min_cost_supplier",

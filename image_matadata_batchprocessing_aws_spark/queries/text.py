@@ -454,3 +454,74 @@ ORACLES["text_sentences"] = r"""
            CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS n_tokens
     FROM s WHERE sent <> ''
 """
+
+
+# --- readability ------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Readability profile per document — the quality-scoring companion
+    built on the sentence segmenter: sentence count, mean sentence
+    length (tokens), mean token length (chars), and a Flesch-style
+    grade PROXY (0.39 * tokens/sentence + 11.8 * chars/token - 15.59,
+    the ARI/FK shape with chars-per-token standing in for syllables —
+    honest about being a proxy; exact rational arithmetic, one rounded
+    double).  Everything derives from one sentence explode + one
+    groupBy."""
+    d = t(spark, sf, "documents")
+    parts = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("part_idx", "__s")
+    )
+    s = F.trim(F.col("__s"))
+    sent = parts.where(s != "").select(
+        "doc_id",
+        F.size(F.split(s, r"\s+")).cast("long").alias("__n_tok"),
+        F.length(F.regexp_replace(s, r"\s+", "")).cast("long").alias("__n_chr"),
+    )
+    agg = sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum("__n_tok").alias("__tok"),
+        F.sum("__n_chr").alias("__chr"),
+    )
+    tok = F.col("__tok").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_sentences",
+        F.col("__tok").cast("long").alias("n_tokens"),
+        F.round(tok / F.col("n_sentences").cast("double"), 4).alias("tokens_per_sentence"),
+        F.round(F.col("__chr").cast("double") / tok, 4).alias("chars_per_token"),
+        F.round(
+            F.lit(0.39) * (tok / F.col("n_sentences").cast("double"))
+            + F.lit(11.8) * (F.col("__chr").cast("double") / tok)
+            - F.lit(15.59),
+            4,
+        ).alias("grade_proxy"),
+    )
+
+
+QUERIES["text_readability"] = text_readability
+ORACLES["text_readability"] = r"""
+    WITH parts AS (
+      SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr FROM documents),
+    pos AS (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM parts),
+    s AS (SELECT doc_id, trim(arr[i + 1]) AS sent FROM pos),
+    sent AS (
+      SELECT doc_id,
+             len(string_split_regex(sent, '\s+')) AS n_tok,
+             length(regexp_replace(sent, '\s+', '', 'g')) AS n_chr
+      FROM s WHERE sent <> ''),
+    agg AS (
+      SELECT doc_id, count(*) AS n_sentences,
+             sum(n_tok) AS tok, sum(n_chr) AS chr
+      FROM sent GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(tok AS BIGINT) AS n_tokens,
+           round(CAST(tok AS DOUBLE) / CAST(n_sentences AS DOUBLE), 4)
+             AS tokens_per_sentence,
+           round(CAST(chr AS DOUBLE) / CAST(tok AS DOUBLE), 4) AS chars_per_token,
+           round(0.39 * (CAST(tok AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(chr AS DOUBLE) / CAST(tok AS DOUBLE)) - 15.59, 4)
+             AS grade_proxy
+    FROM agg
+"""
