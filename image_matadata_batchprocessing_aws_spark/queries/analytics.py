@@ -782,3 +782,67 @@ ORACLES["agg_decimal_exact"] = """
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --- Pareto concentration --------------------------------------------------
+
+
+def agg_pareto_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-decile concentration per nation: what share of total positive
+    account balance the top 10% of customers hold — the 80/20 diagnostic
+    for key-skew and revenue concentration.  Keyed rank window (one
+    shuffle), exact scaled-long sums, integer ceil for the decile
+    cutoff; one double division at the end."""
+    c = t(spark, sf, "customer").where(F.col("c_acctbal") > 0)
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    r = c.select(
+        "c_nationkey", bal.alias("__bal"), F.row_number().over(w).alias("__rn")
+    )
+    agg = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__bal").alias("__total"),
+    )
+    # integer ceil(n/10): the top decile has at least one member
+    cut = (F.col("n_customers") + F.lit(9)) / F.lit(10)
+    topk = agg.select(
+        "c_nationkey", "n_customers", "__total", F.floor(cut).cast("long").alias("__k")
+    )
+    top = (
+        r.join(F.broadcast(topk.select("c_nationkey", "__k")), "c_nationkey")
+        .where(F.col("__rn") <= F.col("__k"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("__bal").alias("__top"))
+    )
+    return topk.join(top, "c_nationkey").select(
+        "c_nationkey",
+        "n_customers",
+        F.col("__k").alias("n_top_decile"),
+        F.round(F.col("__top").cast("double") / F.col("__total").cast("double"), 6).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+QUERIES["agg_pareto_concentration"] = agg_pareto_concentration
+ORACLES["agg_pareto_concentration"] = """
+    WITH c AS (SELECT c_nationkey, c_custkey,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+                      row_number() OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal DESC, c_custkey) AS rn
+               FROM customer WHERE c_acctbal > 0),
+    agg AS (SELECT c_nationkey, count(*) AS n_customers, sum(bal) AS total,
+                   (count(*) + 9) // 10 AS k
+            FROM c GROUP BY c_nationkey),
+    top AS (SELECT c.c_nationkey, sum(c.bal) AS topsum
+            FROM c JOIN agg USING (c_nationkey)
+            WHERE c.rn <= agg.k GROUP BY c.c_nationkey)
+    SELECT a.c_nationkey,
+           CAST(a.n_customers AS BIGINT) AS n_customers,
+           CAST(a.k AS BIGINT) AS n_top_decile,
+           round(CAST(t.topsum AS DOUBLE) / CAST(a.total AS DOUBLE), 6)
+             AS top_decile_share
+    FROM agg a JOIN top t USING (c_nationkey)
+"""
