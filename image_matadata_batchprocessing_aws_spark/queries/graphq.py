@@ -214,3 +214,82 @@ ORACLES["graph_degree_stats"] = """
            CAST(count(*) AS BIGINT) AS n_nodes
     FROM deg GROUP BY node % 2, degree
 """
+
+
+# --- neighbor-set similarity ----------------------------------------------
+
+JACC_ORDER_MOD = 8  # denser sample than triangles would explode pairs
+JACC_MIN_SIM = 0.25
+JACC_TOPK = 30
+
+
+def graph_jaccard_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural node similarity on the co-purchase graph: Jaccard of
+    NEIGHBOR SETS, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — link-prediction's
+    baseline feature and the graph cousin of shingle-Jaccard dedup.
+    Candidate pairs come only from a shared-neighbor equi-join (two
+    edges meeting at a common vertex — never all node pairs); degrees
+    join in from a tiny per-node table; top-30 by similarity with an
+    id tiebreak."""
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % JACC_ORDER_MOD == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    # undirected adjacency: (node, neighbor) both ways
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    # pairs sharing neighbor n: co-membership in n's adjacency list
+    p1 = adj.select(F.col("n").alias("w"), F.col("v").alias("x"))
+    p2 = adj.select(F.col("n").alias("w"), F.col("v").alias("y"))
+    common = (
+        p1.join(p2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("deg").alias("__dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("deg").alias("__dy"))
+    sim = (
+        common.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("__inter").cast("long").alias("n_common"),
+            F.round(
+                F.col("__inter")
+                / (F.col("__dx") + F.col("__dy") - F.col("__inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACC_MIN_SIM)
+    )
+    return sim.orderBy(F.col("jaccard").desc(), "x", "y").limit(JACC_TOPK)
+
+
+QUERIES["graph_jaccard_neighbors"] = graph_jaccard_neighbors
+ORACLES["graph_jaccard_neighbors"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey
+                FROM lineitem WHERE l_orderkey % {JACC_ORDER_MOD} = 0),
+    edges AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM li a JOIN li b ON a.o = b.o AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT a AS v, b AS n FROM edges
+            UNION ALL SELECT b AS v, a AS n FROM edges),
+    deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+    common AS (SELECT p1.v AS x, p2.v AS y, count(*) AS inter
+               FROM adj p1 JOIN adj p2 ON p1.n = p2.n AND p1.v < p2.v
+               GROUP BY p1.v, p2.v),
+    sim AS (SELECT c.x, c.y, CAST(c.inter AS BIGINT) AS n_common,
+                   round(c.inter / CAST(dx.deg + dy.deg - c.inter AS DOUBLE), 6)
+                     AS jaccard
+            FROM common c
+            JOIN deg dx ON dx.v = c.x
+            JOIN deg dy ON dy.v = c.y)
+    SELECT x, y, n_common, jaccard FROM sim
+    WHERE jaccard >= {JACC_MIN_SIM}
+    ORDER BY jaccard DESC, x, y LIMIT {JACC_TOPK}
+"""
