@@ -379,3 +379,21 @@ def test_remove_duplicated_spans_cuts_and_reassembles(spark):
     assert out[1].clean_text == "unrelated opening words here and a different tail"
     assert out[2].n_removed == 0 and out[2].clean_text.startswith("no overlap")
     assert out[3].clean_text == "" and out[3].n_tokens == 0
+
+
+def test_int8_quantize_error_bound(spark):
+    """Symmetric scalar quantization contract: |x - q*scale| <= scale/2
+    for every coordinate (round-to-nearest), codes within [-127, 127]."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        embedding_int8_quantize,
+    )
+
+    out = embedding_int8_quantize(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        # both columns are rounded to 6 decimals independently; allow a
+        # half-ulp of that rounding on each side of the inequality
+        assert r.max_err <= r.scale / 2 + 1e-6
+        assert r.code_l1 <= 127 * 64  # 64 dims, |code| <= 127
