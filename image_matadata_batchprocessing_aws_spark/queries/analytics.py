@@ -846,3 +846,40 @@ ORACLES["agg_pareto_concentration"] = """
              AS top_decile_share
     FROM agg a JOIN top t USING (c_nationkey)
 """
+
+
+# --- seasonality profile ----------------------------------------------------
+
+
+def agg_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity profile of the event stream —
+    the seasonality fingerprint capacity planning and anomaly baselining
+    read first.  One map-side date-part projection + one 168-group
+    aggregate; value sums exact scaled longs."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("sum_value"),
+        )
+    )
+
+
+QUERIES["agg_seasonality"] = agg_seasonality
+# Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6
+ORACLES["agg_seasonality"] = """
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS sum_value
+    FROM events GROUP BY dayofweek(ts), hour(ts)
+"""

@@ -174,3 +174,57 @@ ORACLES = {
         LIMIT {TOP_K}
     """,
 }
+
+
+# --- phrase-position search (positional-index reuse) ------------------------
+
+PHRASE_K = 5
+
+
+def search_phrase_positions(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-phrase search via the POSITIONAL fingerprint index the
+    substring-dedup family builds (operators/substrings.positional_kgrams):
+    take the corpus's most frequent 5-gram (deterministic fp tiebreak)
+    and list every (doc, position) occurrence — the inverted-positional-
+    index lookup a phrase-search engine runs, here as two aggregations
+    over the same narrow positions table (no text ever shuffles)."""
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        positional_kgrams,
+    )
+
+    d = t(spark, sf, "documents")
+    pos = positional_kgrams(d, "text", "doc_id", PHRASE_K).persist()
+    top = (
+        pos.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), "fp")
+        .limit(1)
+    )
+    return (
+        pos.join(F.broadcast(top.select("fp")), "fp", "left_semi")
+        .select("doc_id", "pos")
+    )
+
+
+QUERIES["search_phrase_positions"] = search_phrase_positions
+
+
+def _phrase_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    fp = md5_int64_sql(f"array_to_string(list_slice(t, pos + 1, pos + {PHRASE_K}), ' ')")
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+        pz AS (
+          SELECT doc_id, t, unnest(range(len(t) - {PHRASE_K - 1})) AS pos
+          FROM toks WHERE len(t) >= {PHRASE_K}),
+        grams AS (SELECT doc_id, pos, {fp} AS fp FROM pz),
+        top AS (SELECT fp FROM grams GROUP BY fp
+                ORDER BY count(*) DESC, fp LIMIT 1)
+        SELECT g.doc_id, g.pos FROM grams g JOIN top USING (fp)
+    """
+
+
+ORACLES["search_phrase_positions"] = _phrase_oracle()
