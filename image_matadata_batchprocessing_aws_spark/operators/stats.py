@@ -379,3 +379,97 @@ def correlation_matrix_sql(
         a AS (SELECT {", ".join(aggs)}, CAST(count(*) AS DOUBLE) AS nd FROM sc)
         {union}
     """
+
+
+def grouped_spearman(
+    df: DataFrame,
+    group_by: list[str],
+    x: str,
+    y: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group SPEARMAN rank correlation — the monotone-relationship
+    detector Pearson misses — computed EXACTLY: average-tie ranks are
+    carried as doubled integers (2*avg_rank = 2*min_rank + ties - 1,
+    always integral), and the Pearson fold over those rank integers uses
+    the same hi/lo-split exact sums as :func:`grouped_regression`.  No
+    floats until the final reconstruction, so the coefficient is
+    bit-identical on any engine/partitioning.
+
+    Shape: two keyed rank windows (one per variable) + one grouped
+    integer aggregate.  Doubled ranks are <= 2n per group; the hi/lo
+    split keeps sums of their squares exact to ~2^31 rows per group."""
+    from pyspark.sql import Window
+
+    def ranked2(col: str, alias: str):
+        w = Window.partitionBy(*group_by).orderBy(col)
+        min_rank = F.rank().over(w)
+        ties = F.count(F.lit(1)).over(Window.partitionBy(*group_by, col))
+        return (2 * min_rank + ties - 1).cast("long").alias(alias)
+
+    r = df.select(*group_by, ranked2(x, "__rx"), ranked2(y, "__ry"))
+    rx, ry = F.col("__rx"), F.col("__ry")
+    agg = r.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        _hi(rx * ry).alias("__sxy_hi"),
+        _lo(rx * ry).alias("__sxy_lo"),
+        _hi(rx * rx).alias("__sxx_hi"),
+        _lo(rx * rx).alias("__sxx_lo"),
+        _hi(ry * ry).alias("__syy_hi"),
+        _lo(ry * ry).alias("__syy_lo"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = _recombine("__sxy_hi", "__sxy_lo", 1.0)
+    sxx = _recombine("__sxx_hi", "__sxx_lo", 1.0)
+    syy = _recombine("__syy_hi", "__syy_lo", 1.0)
+    rho = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        *group_by,
+        F.col("__n").cast("long").alias("n"),
+        F.round(rho, round_digits).alias("spearman"),
+    )
+
+
+def grouped_spearman_sql(
+    table: str, group_by: str, x: str, y: str, round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`grouped_spearman` — identical doubled-rank
+    construction and hi/lo integer sums (NOT the builtin corr on ranks,
+    whose accumulation order is engine-specific)."""
+    return f"""
+        WITH r AS (
+          SELECT {group_by},
+                 CAST(2 * rank() OVER (PARTITION BY {group_by} ORDER BY {x})
+                      + count(*) OVER (PARTITION BY {group_by}, {x}) - 1
+                      AS BIGINT) AS rx,
+                 CAST(2 * rank() OVER (PARTITION BY {group_by} ORDER BY {y})
+                      + count(*) OVER (PARTITION BY {group_by}, {y}) - 1
+                      AS BIGINT) AS ry
+          FROM {table}),
+        a AS (
+          SELECT {group_by}, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx * ry // 1073741824) AS sxy_hi,
+                 sum(rx * ry % 1073741824) AS sxy_lo,
+                 sum(rx * rx // 1073741824) AS sxx_hi,
+                 sum(rx * rx % 1073741824) AS sxx_lo,
+                 sum(ry * ry // 1073741824) AS syy_hi,
+                 sum(ry * ry % 1073741824) AS syy_lo
+          FROM r GROUP BY {group_by}),
+        d AS (
+          SELECT {group_by}, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxy_hi AS DOUBLE) * 1073741824.0 + CAST(sxy_lo AS DOUBLE) AS sxy,
+                 CAST(sxx_hi AS DOUBLE) * 1073741824.0 + CAST(sxx_lo AS DOUBLE) AS sxx,
+                 CAST(syy_hi AS DOUBLE) * 1073741824.0 + CAST(syy_lo AS DOUBLE) AS syy
+          FROM a)
+        SELECT {group_by}, CAST(n AS BIGINT) AS n,
+               round((nd * sxy - sxd * syd)
+                     / sqrt((nd * sxx - sxd * sxd) * (nd * syy - syd * syd)),
+                     {round_digits}) AS spearman
+        FROM d
+    """

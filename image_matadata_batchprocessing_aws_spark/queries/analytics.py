@@ -883,3 +883,28 @@ ORACLES["agg_seasonality"] = """
                  / 100.0, 2) AS sum_value
     FROM events GROUP BY dayofweek(ts), hour(ts)
 """
+
+
+# --- Spearman rank correlation ---------------------------------------------
+
+
+def agg_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag Spearman rho of quantity vs extended price —
+    exact doubled-integer tie-average ranks, hi/lo-split integer Pearson
+    fold (operators/stats.grouped_spearman)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import grouped_spearman
+
+    return grouped_spearman(
+        t(spark, sf, "lineitem"), ["l_returnflag"], x="l_quantity", y="l_extendedprice"
+    )
+
+
+QUERIES["agg_spearman"] = agg_spearman
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: E402
+    grouped_spearman_sql,
+)
+
+ORACLES["agg_spearman"] = grouped_spearman_sql(
+    "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+)

@@ -117,3 +117,36 @@ def test_time_weighted_avg_exact_on_crafted_steps(spark):
     r = time_weighted_avg(df, "k", "ts", "v", "id").collect()[0]
     assert (r.n_intervals, r.span_ms) == (2, 3000)
     assert r.twa == round((10 * 2 + 20 * 1) / 3, 6)  # operator rounds to 6
+
+
+def test_grouped_spearman_matches_scipy_formula(spark):
+    """Spearman via doubled-integer ranks == numpy reference (Pearson on
+    average-tie ranks), including ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 20, 300).astype(float)  # plenty of ties
+    y = 2.0 * x + rng.normal(0, 5, 300)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)], "g string, x double, y double"
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.stats import grouped_spearman
+
+    got = grouped_spearman(df, ["g"], "x", "y").collect()[0].spearman
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert got == round(float(expect), 6)  # operator rounds to 6
