@@ -377,3 +377,79 @@ ORACLES["sketch_hll_distinct"] = rf"""
                CAST(x.exact_distinct AS BIGINT) AS exact_distinct
         FROM est e JOIN exact x ON e.lang = x.lang
 """
+
+
+def sketch_hll_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hour distinct-user estimates from HOURLY HLL REGISTER TABLES —
+    the streaming-dashboard shape: each hour keeps m registers, hourly
+    cardinalities read off them, and (the point of mergeability) the
+    register tables roll up to a '__all__' day-scale estimate WITHOUT
+    rescanning events.  Exact distincts ride along per window."""
+    ev = t(spark, sf, "events").withColumn(
+        "hour_ms", F.unix_millis(F.date_trunc("hour", "ts"))
+    )
+    regs = hll_registers(ev, "user_id", ["hour_ms"], p=HLL_P).localCheckpoint(
+        eager=False
+    )
+    per = hll_estimate(regs, ["hour_ms"], p=HLL_P)
+    merged = hll_estimate(hll_merge(regs, []), [], p=HLL_P).select(
+        F.lit(-1).cast("long").alias("hour_ms"), "n_buckets_set", "est"
+    )
+    exact_per = ev.groupBy("hour_ms").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    exact_all = ev.agg(
+        F.lit(-1).cast("long").alias("hour_ms"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    return per.unionByName(merged).join(
+        exact_per.unionByName(exact_all), "hour_ms"
+    ).select(
+        "hour_ms",
+        "n_buckets_set",
+        "est",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+QUERIES["sketch_hll_windowed"] = sketch_hll_windowed
+
+_HLL_HW = md5_int64_sql("CAST(user_id AS VARCHAR)")
+
+ORACLES["sketch_hll_windowed"] = rf"""
+        WITH ev AS (
+          SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, user_id
+          FROM events WHERE user_id IS NOT NULL),
+        hashed AS (
+          SELECT hour_ms, user_id, ({_HLL_HW}) % {_HLL_M} AS bucket,
+                 ({_HLL_HW}) // {_HLL_M} AS v
+          FROM ev),
+        regs AS (
+          SELECT hour_ms, bucket,
+                 max({_HLL_RHO_MAX} - CASE WHEN v > 0 THEN length(bin(v)) ELSE 0 END)
+                   AS reg
+          FROM hashed GROUP BY hour_ms, bucket),
+        allregs AS (
+          SELECT hour_ms, bucket, reg FROM regs
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT) AS hour_ms, bucket, max(reg) AS reg
+          FROM regs GROUP BY bucket),
+        agg AS (
+          SELECT hour_ms, count(*) AS n_set,
+                 sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - reg)) AS sum_set
+          FROM allregs GROUP BY hour_ms),
+        est AS (
+          SELECT hour_ms, n_set,
+                 round({_HLL_NUM} / CAST(sum_set
+                       + ({_HLL_M} - n_set) * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX})
+                       AS DOUBLE), 4) AS est
+          FROM agg),
+        exact AS (
+          SELECT hour_ms, count(DISTINCT user_id) AS exact_distinct
+          FROM ev GROUP BY hour_ms
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT) AS hour_ms, count(DISTINCT user_id) FROM ev)
+        SELECT e.hour_ms, CAST(e.n_set AS BIGINT) AS n_buckets_set, e.est,
+               CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+        FROM est e JOIN exact x ON e.hour_ms = x.hour_ms
+"""
