@@ -920,3 +920,67 @@ ORACLES = {
         FROM lineitem
     """,
 }
+
+
+def etl_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per foreign
+    key, row counts and ORPHAN counts (child keys with no parent) — the
+    nightly data-quality gate a warehouse runs after ingest.  Each check
+    is one anti-join keyed on the FK (broadcast parents where small);
+    expected orphans on consistent TPC-H data: zero — the query proves
+    the MECHANISM and the driver locks the zeros."""
+    checks = [
+        ("orders.o_custkey->customer", t(spark, sf, "orders").select(F.col("o_custkey").alias("k")),
+         t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))),
+        ("lineitem.l_orderkey->orders", t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k")),
+         t(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey->part", t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k")),
+         t(spark, sf, "part").select(F.col("p_partkey").alias("k"))),
+        ("lineitem.l_suppkey->supplier", t(spark, sf, "lineitem").select(F.col("l_suppkey").alias("k")),
+         t(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))),
+        ("customer.c_nationkey->nation", t(spark, sf, "customer").select(F.col("c_nationkey").alias("k")),
+         t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))),
+    ]
+    out = None
+    for name, child, parent in checks:
+        row = child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            child.join(parent, "k", "left_anti").agg(
+                F.count(F.lit(1)).alias("n_orphans")
+            )
+        ).select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["etl_fk_audit"] = etl_fk_audit
+ORACLES["etl_fk_audit"] = """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+"""
