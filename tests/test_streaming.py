@@ -360,3 +360,27 @@ def test_corpus_curation_stream_matches_batch(spark, events_dir):
     got = {r.event_id for r in spark.sql("SELECT event_id FROM curate_mem").collect()}
     expect = {r.event_id for r in stream_corpus_curate(spark, SF_SMOKE).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_windowed_hll_stream_matches_batch(spark, events_dir):
+    """Grouped HLL registers (hour, bucket) -> max(reg) is still an
+    associative streaming aggregation: live micro-batches converge to
+    the same per-hour register tables the batch query builds."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import hll_registers
+    from image_matadata_batchprocessing_aws_spark.queries.sketches import HLL_P
+
+    stream = read_events_stream(spark, events_dir).withColumn(
+        "hour_ms", F.unix_millis(F.date_trunc("hour", "ts"))
+    )
+    got = _run_to_memory(
+        spark, hll_registers(stream, "user_id", ["hour_ms"], p=HLL_P), "hllw_out"
+    )
+    g = {(r.hour_ms, r.bucket): r.reg for r in got.collect()}
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "hour_ms", F.unix_millis(F.date_trunc("hour", "ts"))
+    )
+    b = {
+        (r.hour_ms, r.bucket): r.reg
+        for r in hll_registers(ev, "user_id", ["hour_ms"], p=HLL_P).collect()
+    }
+    assert g == b and len(g) > 0
