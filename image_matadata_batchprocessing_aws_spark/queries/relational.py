@@ -1596,3 +1596,36 @@ ORACLES["window_nth_value"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+def window_topk_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k WITH TIES (rank() <= k, the SQL 'FETCH FIRST k ROWS WITH
+    TIES' semantics) — boundary ties survive, unlike the row_number
+    top-k (window_topk_per_group), and the result size is data-dependent
+    by design.  Per return flag: every lineitem tying into the top-3
+    quantities."""
+    li = t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        li.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("quantity"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+QUERIES["window_topk_ties"] = window_topk_ties
+ORACLES["window_topk_ties"] = """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round(l_quantity, 2) AS quantity,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity DESC) AS rnk
+          FROM lineitem)
+    WHERE rnk <= 3
+"""
