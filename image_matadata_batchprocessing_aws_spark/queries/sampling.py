@@ -364,3 +364,59 @@ ORACLES = {
         FROM s WHERE budget_used <= {TOKEN_BUDGET}
     """,
 }
+
+
+def sample_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Resampling WITH REPLACEMENT, deterministically: each row
+    replicates md5(id) % 4 times (0..3 copies, mean 1.5 — the
+    hash-derived stand-in for a Poisson(1) bootstrap draw; honest proxy,
+    same plan shape), via explode(sequence) — no collect, no Python, and
+    rerun-stable like every sampler here.  Output compares original vs
+    resampled counts and means per return flag — the bootstrap loop's
+    inner statistic."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    li = t(spark, sf, "lineitem")
+    reps = (md5_int64(F.concat_ws(":", "l_orderkey", "l_linenumber")) % 4).cast("int")
+    boot = li.withColumn("__r", reps).where(F.col("__r") > 0).withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.col("__r")))
+    )
+    qs = F.round(F.col("l_quantity") * 100).cast("long")
+    orig = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_orig"),
+        F.sum(qs).alias("__s_orig"),
+    )
+    bs = boot.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.sum(qs).alias("__s_boot"),
+    )
+    return orig.join(bs, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_orig").cast("long").alias("n_orig"),
+        F.col("n_boot").cast("long").alias("n_boot"),
+        F.round(F.col("__s_orig").cast("double") / 100.0 / F.col("n_orig"), 6).alias("mean_orig"),
+        F.round(F.col("__s_boot").cast("double") / 100.0 / F.col("n_boot"), 6).alias("mean_boot"),
+    )
+
+
+QUERIES["sample_bootstrap"] = sample_bootstrap
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql as _mi64  # noqa: E402
+
+ORACLES["sample_bootstrap"] = f"""
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qs,
+             ({_mi64("l_orderkey || ':' || l_linenumber")}) % 4 AS r
+      FROM lineitem),
+    orig AS (SELECT l_returnflag, count(*) AS n_orig, sum(qs) AS s_orig
+             FROM li GROUP BY l_returnflag),
+    boot AS (SELECT l_returnflag, sum(r) AS n_boot, sum(qs * r) AS s_boot
+             FROM li WHERE r > 0 GROUP BY l_returnflag)
+    SELECT o.l_returnflag,
+           CAST(o.n_orig AS BIGINT) AS n_orig,
+           CAST(b.n_boot AS BIGINT) AS n_boot,
+           round(CAST(o.s_orig AS DOUBLE) / 100.0 / o.n_orig, 6) AS mean_orig,
+           round(CAST(b.s_boot AS DOUBLE) / 100.0 / b.n_boot, 6) AS mean_boot
+    FROM orig o JOIN boot b USING (l_returnflag)
+"""
