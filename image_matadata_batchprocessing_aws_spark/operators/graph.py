@@ -224,3 +224,43 @@ def pagerank_scaled(
             ).alias("rank_scaled"),
         )
     return ranks.select("node", F.col("rank_scaled").cast("long").alias("rank_scaled"))
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection): labels start
+    as node ids; each round every node adopts the most frequent label
+    among its neighbors, ties to the SMALLEST label — the deterministic
+    variant of Raghavan et al.'s LPA (the classic async form is
+    order-dependent; synchronous + min-tiebreak makes every round a pure
+    function of the previous labeling, so the result is reproducible and
+    SQL-oracle-able round for round).
+
+    Per round: one join (neighbor labels), one (node, label) count with
+    map-side partials, one per-node argmax via max(struct(cnt, -label))
+    — no window over anything data-sized.  ``rounds`` is fixed and
+    small (community structure stabilizes fast; at 100 TB each round is
+    two keyed shuffles, same cost model as a PageRank step).
+
+    Expects an undirected graph given as BOTH edge directions (like
+    :func:`pagerank_scaled`).  Node ids must be non-negative (the
+    min-tiebreak rides a negated id inside the argmax struct)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nl = edges.join(
+            labels.select(F.col("node").alias(dst), F.col("label").alias("__nl")),
+            dst,
+        ).select(F.col(src).alias("node"), "__nl")
+        cnt = nl.groupBy("node", "__nl").agg(F.count(F.lit(1)).alias("__c"))
+        labels = cnt.groupBy("node").agg(
+            (-F.max(F.struct(F.col("__c"), (-F.col("__nl")).alias("__m")))["__m"]).alias(
+                "label"
+            )
+        )
+    return labels.select("node", F.col("label").cast("long").alias("label"))

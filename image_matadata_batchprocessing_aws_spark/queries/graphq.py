@@ -293,3 +293,64 @@ ORACLES["graph_jaccard_neighbors"] = f"""
     WHERE jaccard >= {JACC_MIN_SIM}
     ORDER BY jaccard DESC, x, y LIMIT {JACC_TOPK}
 """
+
+
+# --- label propagation communities ------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def graph_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Two synchronous label-propagation rounds on the customer-supplier
+    graph (deterministic min-tiebreak LPA — operators/graph.py), plus
+    community sizes: the fourth iterative graph shape next to connected
+    components, PageRank, and triangles.  The oracle unrolls the same
+    two rounds as CTEs."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import label_propagation
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    lab = label_propagation(edges, rounds=LPA_ROUNDS)
+    return lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").alias("min_node"),
+    )
+
+
+QUERIES["graph_label_prop"] = graph_label_prop
+
+_LPA_ROUND = """
+    nl{r} AS (SELECT e.src AS node, l{p}.label AS nl
+              FROM edges e JOIN l{p} ON l{p}.node = e.dst),
+    cnt{r} AS (SELECT node, nl, count(*) AS c FROM nl{r} GROUP BY node, nl),
+    l{r} AS (SELECT node, nl AS label FROM (
+               SELECT node, nl,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, nl) AS rn
+               FROM cnt{r}) WHERE rn = 1)
+"""
+
+ORACLES["graph_label_prop"] = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LPA_ROUND.format(r=1, p=0)},
+    {_LPA_ROUND.format(r=2, p=1)}
+    SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM l2 GROUP BY label
+"""

@@ -259,3 +259,19 @@ def test_hll_estimate_tracks_cardinality_order(spark):
     out = {r.g: r.est for r in hll_estimate(regs, ["g"], p=9).collect()}
     assert out["g1"] < out["g2"]
     assert abs(out["g1"] - 4000) / 4000 < 0.2 and abs(out["g2"] - 8000) / 8000 < 0.2
+
+
+def test_label_propagation_disjoint_cliques(spark):
+    """Disjoint 4-cliques converge to their minimum member id within 2
+    synchronous rounds (round 1: everyone adopts the min neighbor; round
+    2: the min id itself gets it back by majority); rerun-deterministic."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import label_propagation
+
+    cl1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    cl2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a != b]
+    edges = spark.createDataFrame(cl1 + cl2, "src long, dst long")
+    lab = {r.node: r.label for r in label_propagation(edges, rounds=2).collect()}
+    assert {lab[n] for n in (1, 2, 3, 4)} == {1}
+    assert {lab[n] for n in (10, 11, 12, 13)} == {10}
+    again = {r.node: r.label for r in label_propagation(edges, rounds=2).collect()}
+    assert again == lab
