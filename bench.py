@@ -102,6 +102,12 @@ HEADLINE = [
     "window_nth_value",
     "funnel_conversion_bounded",
     "agg_event_transitions",
+    # r03 batch 6 (append only)
+    "dedup_substr_mask",
+    "sketch_hll_windowed",
+    "agg_spearman",
+    "graph_label_prop",
+    "etl_fk_audit",
 ]
 
 
