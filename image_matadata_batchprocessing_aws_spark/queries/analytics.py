@@ -908,3 +908,75 @@ from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: 
 ORACLES["agg_spearman"] = grouped_spearman_sql(
     "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
 )
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+
+def agg_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation — recency (last order date), frequency
+    (order count), monetary (total spend) — each scored into quartiles
+    against the customer population (the classic CRM cut).  One grouped
+    aggregate builds the metrics; one 1-row exact-percentile aggregate
+    broadcasts the boundaries; scores are map-side comparison sums, the
+    same proven shape as etl_quantile_bin."""
+    o = t(spark, sf, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(F.unix_date(F.col("o_orderdate").cast("date"))).cast("long").alias("recency_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("__m"),
+    )
+    m = m.withColumn("monetary", F.round(F.col("__m").cast("double") / 100.0, 2))
+    qs = (0.25, 0.5, 0.75)
+    bounds = m.agg(
+        *[F.percentile(F.col(c).cast("double"), F.lit(q)).alias(f"__{c}_{i}")
+          for c in ("recency_day", "frequency", "monetary") for i, q in enumerate(qs)]
+    )
+    j = m.crossJoin(F.broadcast(bounds))
+
+    def score(c: str):
+        return sum(
+            (F.col(c).cast("double") > F.col(f"__{c}_{i}")).cast("int") for i in range(3)
+        ).cast("long") + F.lit(1)
+
+    return j.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_day",
+        "frequency",
+        "monetary",
+        score("recency_day").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+
+
+QUERIES["agg_rfm_segments"] = agg_rfm_segments
+ORACLES["agg_rfm_segments"] = """
+    WITH m AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT)
+               AS recency_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0, 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT quantile_cont(CAST(recency_day AS DOUBLE), 0.25) AS r0,
+             quantile_cont(CAST(recency_day AS DOUBLE), 0.50) AS r1,
+             quantile_cont(CAST(recency_day AS DOUBLE), 0.75) AS r2,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f0,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.50) AS f1,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f2,
+             quantile_cont(monetary, 0.25) AS m0,
+             quantile_cont(monetary, 0.50) AS m1,
+             quantile_cont(monetary, 0.75) AS m2
+      FROM m)
+    SELECT c_custkey, recency_day, frequency, monetary,
+           CAST(CAST(recency_day > r0 AS INT) + CAST(recency_day > r1 AS INT)
+                + CAST(recency_day > r2 AS INT) + 1 AS BIGINT) AS r_score,
+           CAST(CAST(frequency > f0 AS INT) + CAST(frequency > f1 AS INT)
+                + CAST(frequency > f2 AS INT) + 1 AS BIGINT) AS f_score,
+           CAST(CAST(monetary > m0 AS INT) + CAST(monetary > m1 AS INT)
+                + CAST(monetary > m2 AS INT) + 1 AS BIGINT) AS m_score
+    FROM m, b
+"""
