@@ -108,6 +108,13 @@ HEADLINE = [
     "agg_spearman",
     "graph_label_prop",
     "etl_fk_audit",
+    # r03 batch 7 (append only, final)
+    "agg_rfm_segments",
+    "agg_pareto_concentration",
+    "agg_seasonality",
+    "graph_jaccard_neighbors",
+    "sample_bootstrap",
+    "text_readability",
 ]
 
 
