@@ -1629,3 +1629,43 @@ ORACLES["window_topk_ties"] = """
           FROM lineitem)
     WHERE rnk <= 3
 """
+
+
+def window_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running COUNT DISTINCT over an expanding window — which neither
+    engine supports natively (DISTINCT is banned in window aggregates) —
+    via the scalable reformulation: flag each (user, event_type) pair's
+    FIRST occurrence with a keyed row_number, then a running sum of the
+    flags in event-time order.  Two keyed windows, no quadratic
+    re-scan of the frame per row."""
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.withColumn(
+        "__new", (F.row_number().over(w_first) == 1).cast("int")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("__new").over(w_run).cast("long").alias("n_distinct_types_seen"),
+    )
+
+
+QUERIES["window_running_distinct"] = window_running_distinct
+ORACLES["window_running_distinct"] = """
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT event_id, user_id,
+           CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types_seen
+    FROM f
+"""
