@@ -3,7 +3,17 @@
 Runs a representative subset of the query inventory at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+``{"queries": {...}, "metric": ..., "unit": "sec", "sf": ..., "value": total_sec}``.
+
+Driver-capture contract (VERDICT r3 items 2+4): the driver keeps only a
+~2 KiB stdout tail, so the printed line carries the FROZEN 30-query
+prefix (the like-for-like round-over-round set, ~1.1 KiB) with
+``value`` = that prefix's total; the FULL headline set's per-query
+timings and total are written to ``BENCH_FULL.json`` next to this file
+(and summarized in-line as ``full_total``/``full_n``).  Keys are ordered
+so ``value`` is last — a truncated head still leaves the total readable
+in the tail — and the line is printed twice with console progress bars
+disabled so nothing interleaves.
 
 Headliners cover each operator family: ETL chain, grouped agg, multi-join,
 windows, streaming-batch windows, text, dedup (scalable shingle path),
@@ -23,6 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from image_matadata_batchprocessing_aws_spark import get_spark
 from image_matadata_batchprocessing_aws_spark.queries import all_queries
 
+#: First 30 entries = the frozen r02 prefix (append-only invariant,
+#: VERDICT r2 item on like-for-like totals).  FROZEN_PREFIX below slices
+#: it for the driver line.
 HEADLINE = [
     "etl_sentinel_ffill",
     "etl_label_encode",
@@ -117,11 +130,19 @@ HEADLINE = [
     "text_readability",
 ]
 
+#: The r02 30-query frozen prefix — the only set every recorded round
+#: shares, so its total is the comparable round-over-round number the
+#: driver line reports as ``value``.
+FROZEN_PREFIX = HEADLINE[:30]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="engine-bench")
+    spark = get_spark(
+        app_name="engine-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     qs = all_queries()
     # One untimed pass over the whole set warms JVM-wide JIT (scheduler,
     # shuffle, parquet reader paths shared by every query)...
@@ -157,18 +178,39 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = min(timings[name], time.time() - t0)
     timings = {k: round(v, 3) for k, v in timings.items()}
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    full_total = round(sum(timings.values()), 3)
+    prefix_total = round(sum(timings[k] for k in FROZEN_PREFIX), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": full_total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
+        fh.write("\n")
+    # Driver line: frozen-prefix dict only (~1.1 KiB, fits the driver's
+    # ~2 KiB tail capture), value LAST so truncation can't eat it.
+    line = json.dumps(
+        {
+            "queries": {k: timings[k] for k in FROZEN_PREFIX},
+            "metric": "headline_frozen30_total",
+            "unit": "sec",
+            "sf": sf_val,
+            "full_n": len(HEADLINE),
+            "full_total": full_total,
+            "full_file": "BENCH_FULL.json",
+            "value": prefix_total,
+        }
     )
+    print(line)
+    print(line)
 
 
 if __name__ == "__main__":

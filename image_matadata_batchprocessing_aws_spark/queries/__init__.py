@@ -52,87 +52,71 @@ _MODULES = [
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-3 composition: the 15
-#: oracled queries with no r01/r02 row go first (closing the
-#: every-oracled-query-has-a-driver-row gap), then every NEW r03 query
-#: (sketches, graph, PQ, SCD2/CDC, funnel, curriculum, splits,
-#: normalization, sniffers, ...), then etl_zscore as the standing
-#: re-confirmation (r01's one red row).  Displaced entries are ALL
-#: r01/r02 driver-green; of the new oracled queries only ``agg_mode``,
-#: ``join_nullsafe``, ``ann_ivfpq``, ``sample_weighted_lang``,
-#: ``window_cume_dist``, ``agg_corr``, ``eval_ann_recall``, and
-#: ``etl_star_flatten`` sit below the fold (window
-#: capacity — all locally oracle-exact at sf0.01 and sf0.001,
-#: first in line for the r04 rotation).  The r03 late additions join
-#: that queue: ``agg_regression``, ``etl_winsorize``,
-#: ``etl_resample_gapfill``, ``agg_rollup_cascade``,
-#: ``text_vocab_build``, ``ann_matryoshka_rerank``,
+#: entries get oracle rows each round.  Round-4 composition (VERDICT r3
+#: item 1): the registry is FROZEN at 208 queries this round; all 50
+#: slots go to oracled queries that have NEVER had a driver row
+#: (65 existed after r03 — the 15 that still miss this window are
 #: ``embedding_centroid_label``, ``ts_anomaly_events``,
-#: ``dedup_substr_spans``, ``dedup_substr_fraction``,
-#: ``dedup_keep_best``, ``sketch_hll_distinct``, ``join_asof_forward``,
-#: ``join_asof_nearest``, ``etl_quantile_bin``, ``etl_one_hot``,
-#: ``eval_ann_ndcg`` — and every later r03 batch (drift report, corr
-#: matrix, incremental agg, SCD2 as-of, substring mask, embedding
-#: pipeline, png decode, SQL-API parity, ... — see PARITY.md batches
-#: 4-10).  Every queued query is locally oracle-exact at BOTH sf dirs
-#: (tools/check_oracle.py full runs, 0 failures).
+#: ``etl_drift_report``, ``agg_corr_matrix``, ``agg_source_diversity``,
+#: ``etl_incremental_agg``, ``ts_time_weighted``,
+#: ``agg_retention_cohorts``, ``agg_event_transitions``,
+#: ``agg_frequent_pairs``, ``agg_decimal_exact``,
+#: ``agg_pareto_concentration``, ``agg_seasonality``, ``agg_spearman``,
+#: ``agg_rfm_segments`` and head the r05 queue).  Every window entry below is locally
+#: oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py, 0
+#: failures).  Driver-green union after r03 = 138/208; this window
+#: takes the union to 188 if all 50 land green.
 _WINDOW = [
-    # -- never driver-checked (locally oracle-exact, VERDICT r2 item 1) --
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_orders",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_orders",
-    "chunk_docs_overlap",
-    "search_bm25",
-    "sample_source_mixture",
-    # -- new r03: oracled invariant/fixed-centroid twins of the rows-only
-    #    kmeans/semdedup pair (VERDICT r2 item 7) --
-    "kmeans_round_update",
-    "kmeans_invariants",
-    "semdedup_fixed_centroids",
-    "multimodal_sniff_roundtrip",
-    "sample_weighted",
-    "join_salted_skew",
-    "etl_merge_upsert",
-    "etl_zorder_key",
-    "stream_anti_corpus",
-    "agg_skewsafe_distinct",
-    "agg_approx_bound",
-    # -- new r03 batch 2: sketches, graph, SCD2, hybrid search, quantile
-    #    bound — first driver rows for each --
-    "sketch_bloom_decontaminate",
-    "sketch_countmin_heavy",
-    "graph_pagerank",
-    "etl_scd2_history",
-    "search_hybrid_rrf",
-    "agg_quantile_bound",
-    "sample_curriculum",
-    "join_bloom_prefilter",
-    "ann_pq_adc",
-    "etl_unpivot",
-    "funnel_conversion",
-    "sample_curriculum_global",
-    "stream_cms_counters",
-    "graph_triangles",
-    "etl_profile_table",
-    "etl_cdc_compact",
-    "agg_histogram",
-    "dedup_levenshtein",
-    "sample_split_assign",
-    "etl_dates_dim",
-    "text_normalize",
-    "multimodal_audio_sniff",
-    "text_ngram_topk",
-    # -- r02-green re-confirmation on regenerated testdata --
-    "etl_zscore",  # r01's one red row; keep a row every round
+    "etl_star_flatten",
+    "etl_scd2_asof",
+    "etl_mad_scale",
+    "etl_quantile_bin",
+    "etl_quantile_bin_grouped",
+    "etl_one_hot",
+    "etl_fk_audit",
+    "dedup_substr_spans",
+    "dedup_substr_fraction",
+    "dedup_keep_best",
+    "dedup_substr_mask",
+    "ann_ivfpq",
+    "eval_ann_recall",
+    "eval_ann_ndcg",
+    "embedding_int8_quantize",
+    "text_sentences",
+    "text_readability",
+    "funnel_conversion_bounded",
+    "join_nullsafe",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "sample_weighted_lang",
+    "sample_bootstrap",
+    "multimodal_video_sniff",
+    "multimodal_png_decode",
+    "pipeline_embedding_corpus",
+    "stream_hll_registers",
+    "stream_corpus_curate",
+    "agg_mode",
+    "agg_corr",
+    "window_cume_dist",
+    "set_intersect_all",
+    "set_except_all",
+    "sql_api_q1",
+    "window_nth_value",
+    "window_topk_ties",
+    "window_running_distinct",
+    "search_phrase_positions",
+    "sketch_bloom_merge",
+    "sketch_hll_distinct",
+    "sketch_hll_windowed",
+    "graph_degree_stats",
+    "graph_jaccard_neighbors",
+    "graph_label_prop",
+    "agg_regression",
+    "etl_winsorize",
+    "etl_resample_gapfill",
+    "agg_rollup_cascade",
+    "text_vocab_build",
+    "ann_matryoshka_rerank",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they
