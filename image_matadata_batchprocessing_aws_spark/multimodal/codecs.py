@@ -196,10 +196,14 @@ def decode_bmp(content: bytes) -> np.ndarray:
     if bpp == 8:
         n_colors = struct.unpack("<I", content[46:50])[0] or 256
         tbl_off = 14 + hdr_size
+        if tbl_off + n_colors * 4 > len(content):
+            raise ImageFormatError("BMP color table truncated")
         table = np.frombuffer(
             content, dtype=np.uint8, count=n_colors * 4, offset=tbl_off
         ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
         row_bytes = (w + 3) & ~3
+        if data_off + row_bytes * h > len(content):
+            raise ImageFormatError("BMP pixel data truncated")
         rows = []
         for y in range(h):
             off = data_off + y * row_bytes

@@ -23,6 +23,7 @@ import numpy as np
 
 from image_matadata_batchprocessing_aws_spark.functions import md5_int32, md5_int64
 from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+from image_matadata_batchprocessing_aws_spark.operators.caching import track_persist
 
 #: Mersenne prime for the MinHash universal-hash family
 #: (h_j(x) = (a_j * (base(x) mod p) + b_j) mod p — one md5 per shingle,
@@ -318,7 +319,7 @@ def minhash_lsh_pairs(
     # once per self-join branch — measured 3x slower).
     sh_all = shingle_df(df, text_col, id_col, n)
     if materialize:
-        sh_all = sh_all.persist()
+        sh_all = track_persist(sh_all)
     sigs = _signatures_from_shingles(sh_all, id_col, num_hashes, hash_fn)
     band_entries = _band_entries(sigs, id_col, bands, rows_per_band)
     a = band_entries.alias("a")
@@ -496,8 +497,8 @@ def incremental_dedup_report(
     sh_new = shingle_df(rest, text_col, id_col, n)
     sh_corp = shingle_df(corpus_df, text_col, id_col, n)
     if materialize:
-        sh_new = sh_new.persist()
-        sh_corp = sh_corp.persist()
+        sh_new = track_persist(sh_new)
+        sh_corp = track_persist(sh_corp)
     bn = _band_entries(
         _signatures_from_shingles(sh_new, id_col, num_hashes, hash_fn),
         id_col, bands, rows_per_band,

@@ -183,7 +183,12 @@ def mad_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     statistic is nested (median of deviations FROM the first-pass
     median): two tiny exact-``percentile`` aggregate rows broadcast in
     sequence, then a map-side transform — still nothing data-sized
-    shuffling, still ``percentile_approx``-swappable at 100 TB."""
+    shuffling, still ``percentile_approx``-swappable at 100 TB.
+
+    Zero-spread guard: when a column's MAD is 0 (a majority value),
+    dividing would emit NaN/Infinity silently; like sklearn's
+    ``RobustScaler`` (unit scale for zero-spread features) the output
+    degrades to plain median-centering ``x - median``."""
     med = df.agg(
         *[F.percentile(F.col(f"`{c}`"), F.lit(0.5)).alias(f"__med_{c}") for c in cols]
     )
@@ -198,10 +203,13 @@ def mad_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     )
     out = with_med.crossJoin(F.broadcast(mad))
     for c in cols:
+        centered = F.col(f"`{c}`") - F.col(f"__med_{c}")
         out = out.withColumn(
             c + suffix,
-            (F.col(f"`{c}`") - F.col(f"__med_{c}"))
-            / (F.lit(MAD_CONSISTENCY) * F.col(f"__mad_{c}")),
+            F.when(
+                F.col(f"__mad_{c}") != 0,
+                centered / (F.lit(MAD_CONSISTENCY) * F.col(f"__mad_{c}")),
+            ).otherwise(centered),
         )
     return out.drop(
         *[f"__med_{c}" for c in cols], *[f"__mad_{c}" for c in cols]

@@ -37,10 +37,15 @@ def semantic_pairs(
     is an equi-join on cluster_id with norms precomputed per side."""
     # both pair sides derive from this frame: persist so the k x dim
     # literal-centroid assignment and the norm run once, not per side
-    # (cache entries key on the analyzed plan — repeat calls share one)
-    assigned = assign_clusters(df, centroids, vec_col, "__c").withColumn(
-        "__n", l2_norm(F.col(vec_col))
-    ).persist()
+    # (cache entries key on the analyzed plan — repeat calls share one;
+    # track_persist registers it for bulk release between batch queries)
+    from image_matadata_batchprocessing_aws_spark.operators.caching import track_persist
+
+    assigned = track_persist(
+        assign_clusters(df, centroids, vec_col, "__c").withColumn(
+            "__n", l2_norm(F.col(vec_col))
+        )
+    )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__n").alias("__na"), "__c",

@@ -91,13 +91,22 @@ def grouped_regression(
     cov_n = n * sxy - sx * sy  # n^2 * covariance
     var_x_n = n * sxx - sx * sx
     var_y_n = n * syy - sy * sy
-    slope = cov_n / var_x_n
+    # zero-variance guards: a group whose x (or y) is constant has no
+    # defined slope/r2 — emit NULL instead of silent Infinity/NaN from
+    # double division (mirrored in grouped_regression_sql)
+    slope = F.when(var_x_n != 0, cov_n / var_x_n)
     return agg.select(
         *group_by,
         F.col("__n").alias("n"),
         F.round(slope, round_digits).alias("slope"),
         F.round((sy - slope * sx) / n, round_digits).alias("intercept"),
-        F.round(cov_n * cov_n / (var_x_n * var_y_n), round_digits).alias("r2"),
+        F.round(
+            F.when(
+                (var_x_n != 0) & (var_y_n != 0),
+                cov_n * cov_n / (var_x_n * var_y_n),
+            ),
+            round_digits,
+        ).alias("r2"),
     )
 
 
@@ -142,12 +151,16 @@ def grouped_regression_sql(
                    / {yd * yd} AS syy
           FROM a)
         SELECT {group_by}, n,
-               round((nd * sxy - sx * sy) / (nd * sxx - sx * sx),
+               round(CASE WHEN nd * sxx - sx * sx <> 0 THEN
+                     (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END,
                      {round_digits}) AS slope,
-               round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+               round((sy - (CASE WHEN nd * sxx - sx * sx <> 0 THEN
+                     (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END) * sx)
                      / nd, {round_digits}) AS intercept,
-               round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
-                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+               round(CASE WHEN nd * sxx - sx * sx <> 0
+                          AND nd * syy - sy * sy <> 0 THEN
+                     (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END,
                      {round_digits}) AS r2
         FROM r
     """
@@ -170,16 +183,24 @@ def winsorize(
     DuckDB ``quantile_cont`` bit-for-bit), broadcast via a literal
     crossJoin; pass 2 is a map-side ``least``/``greatest`` — no
     shuffle.  At 100 TB swap ``percentile`` for ``percentile_approx``
-    (same two-pass shape, documented rank-error bound)."""
+    (same two-pass shape, documented rank-error bound).
+
+    NULL inputs stay NULL: Spark's ``greatest``/``least`` skip nulls
+    (``greatest(NULL, lo) = lo``), which would silently impute missing
+    values to the lower bound — clipping is gated on ``isNotNull`` so
+    winsorization never doubles as imputation (pandas/scipy ``clip``
+    semantics)."""
     stats = df.agg(
         *[F.percentile(F.col(f"`{c}`"), F.lit(lower)).alias(f"__lo_{c}") for c in cols],
         *[F.percentile(F.col(f"`{c}`"), F.lit(upper)).alias(f"__hi_{c}") for c in cols],
     )
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:
+        clipped = F.least(
+            F.greatest(F.col(f"`{c}`"), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+        )
         out = out.withColumn(
-            c + suffix,
-            F.least(F.greatest(F.col(f"`{c}`"), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")),
+            c + suffix, F.when(F.col(f"`{c}`").isNotNull(), clipped)
         )
     return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
 

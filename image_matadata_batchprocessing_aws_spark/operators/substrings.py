@@ -106,7 +106,9 @@ def duplicated_spans(
     """
     pos = positional_kgrams(df, text_col, id_col, k)
     if materialize:
-        pos = pos.persist()
+        from image_matadata_batchprocessing_aws_spark.operators.caching import track_persist
+
+        pos = track_persist(pos)
     dup_fps = pos.groupBy("fp").agg(F.count(F.lit(1)).alias("__cnt")).where(
         F.col("__cnt") >= min_count
     )

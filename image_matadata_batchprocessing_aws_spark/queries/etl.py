@@ -848,7 +848,9 @@ ORACLES = {
         mad AS (SELECT quantile_cont(abs(c_acctbal - m), 0.5) AS d
                 FROM customer, med)
         SELECT c_custkey,
-               round((c_acctbal - m) / (1.4826 * d), 4) AS acctbal_mad
+               round(CASE WHEN d <> 0
+                          THEN (c_acctbal - m) / (1.4826 * d)
+                          ELSE c_acctbal - m END, 4) AS acctbal_mad
         FROM customer, med, mad
     """,
     "etl_quantile_bin": """

@@ -17,6 +17,7 @@ from image_matadata_batchprocessing_aws_spark.functions import cosine_sim
 from image_matadata_batchprocessing_aws_spark.operators.similarity import as_double_array
 from image_matadata_batchprocessing_aws_spark.operators.text import bm25_rank
 from image_matadata_batchprocessing_aws_spark.queries.util import t
+from image_matadata_batchprocessing_aws_spark.operators.caching import track_persist
 
 QUERY_TERMS = ["join", "spark", "vector"]
 K1 = 1.2
@@ -193,7 +194,7 @@ def search_phrase_positions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = t(spark, sf, "documents")
-    pos = positional_kgrams(d, "text", "doc_id", PHRASE_K).persist()
+    pos = track_persist(positional_kgrams(d, "text", "doc_id", PHRASE_K))
     top = (
         pos.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -54,7 +54,7 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # times (measured ~2.4x on the whole query at sf0.1).  No cross-call
     # cache growth: Spark's cache manager keys on the analyzed plan, so
     # every call over the same sf dir maps to the SAME cache entry.
-    sh = shingle_df(docs, "text", "doc_id", n=4).where(F.size("__sh") > 0).persist()
+    sh = track_persist(shingle_df(docs, "text", "doc_id", n=4).where(F.size("__sh") > 0))
     bench = (
         sh.where(F.col("doc_id") % 50 == 0)
         .select(F.explode("__sh").alias("shingle"))
@@ -280,6 +280,7 @@ from image_matadata_batchprocessing_aws_spark.operators.sketches import (  # noq
 from image_matadata_batchprocessing_aws_spark.operators.dedup import (  # noqa: E402
     word_shingles,
 )
+from image_matadata_batchprocessing_aws_spark.operators.caching import track_persist  # noqa: E402
 
 HLL_P = 9  # 512 registers, ~4.6% standard error
 
@@ -298,10 +299,9 @@ def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     # three consumers (register build, per-lang exact, global exact):
     # persist so the shingle construction runs once (plan-keyed cache,
     # same no-growth argument as sketch_bloom_decontaminate)
-    tok = (
+    tok = track_persist(
         d.select("lang", F.explode(word_shingles(F.col("text"), n=3)).alias("token"))
         .where(F.col("token") != "")
-        .persist()
     )
     regs = hll_registers(tok, "token", ["lang"], p=HLL_P)
     # the register table is tiny (langs * 512 rows) and feeds BOTH the

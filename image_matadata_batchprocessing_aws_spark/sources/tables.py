@@ -39,14 +39,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every driver table as a temp view for ``spark.sql`` use."""
-    for name in DRIVER_TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
     """Expose every driver table as a temp view so the engine's SECOND
     API — plain ``spark.sql`` — works against the same data: the
@@ -54,9 +46,12 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[s
     user can mix freely (``spark.sql("SELECT ... FROM lineitem")`` after
     one call here).  Views are lazy scans (no materialization); the
     events timestamp normalization rides along from :func:`load_table`.
-    Returns the registered view names."""
+    Tables absent from a partially-populated ``sf_dir`` are skipped, not
+    raised on.  Returns the registered view names."""
     names = []
     for name in DRIVER_TABLES:
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            continue
         view = f"{name}{suffix}"
         load_table(spark, sf_dir, name).createOrReplaceTempView(view)
         names.append(view)

@@ -197,6 +197,13 @@ def test_bmp_8bit_palette():
     )
     assert np.array_equal(out, expect)
 
+    # ADVICE r3: truncated palette-BMP pixel data must raise the typed
+    # error (the documented contract), not a raw numpy ValueError
+    with pytest.raises(ImageFormatError, match="truncated"):
+        decode_bmp(data[:-3])
+    with pytest.raises(ImageFormatError, match="color table truncated"):
+        decode_bmp(data[: 14 + 40 + 100])
+
 
 def test_ppm_and_pgm_with_comments():
     img = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)

@@ -49,3 +49,30 @@ def test_register_views_enables_plain_sql(spark):
     # events ts normalization rides along: unix_millis works through SQL
     r = spark.sql("SELECT max(unix_millis(ts)) AS m FROM events").collect()[0].m
     assert r > 0
+
+
+def test_register_views_skips_missing_tables(spark, tmp_path):
+    # ADVICE r3: a partially-populated sf_dir must skip absent tables,
+    # not raise on the first missing parquet
+    from image_matadata_batchprocessing_aws_spark.sources.tables import register_views
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    import shutil
+
+    shutil.copy(src, tmp_path / "region.parquet")
+    names = register_views(spark, str(tmp_path), suffix="_partial")
+    assert names == ["region_partial"]
+    assert spark.sql("SELECT count(*) AS n FROM region_partial").collect()[0].n == 5
+
+
+def test_track_persist_release(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        release_persisted,
+        track_persist,
+    )
+
+    df = track_persist(spark.range(10))
+    df.count()
+    assert df.storageLevel.useMemory
+    assert release_persisted() >= 1
+    assert not df.storageLevel.useMemory

@@ -44,6 +44,37 @@ def test_winsorize_clips_to_percentiles(spark):
     assert sum(1 for r in out if r.x_w != r.x) == 10  # 5 clipped each tail
 
 
+def test_winsorize_preserves_nulls(spark):
+    # ADVICE r3: greatest(NULL, lo) = lo in Spark would silently impute
+    # missing values to the lower bound — nulls must stay null
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = {r.id: r.x_w for r in winsorize(df, ["x"], suffix="_w").collect()}
+    assert out[100] is None
+    assert out[50] == 50.0
+
+
+def test_mad_scale_zero_spread_degrades_to_centering(spark):
+    # ADVICE r3: MAD = 0 (majority value) must not emit NaN/Infinity;
+    # like sklearn RobustScaler the scale degrades to 1 (pure centering)
+    from image_matadata_batchprocessing_aws_spark.operators.scale import mad_scale
+
+    rows = [(i, 7.0) for i in range(8)] + [(8, 9.0), (9, 5.0)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = {r.id: r.x_m for r in mad_scale(df, ["x"], suffix="_m").collect()}
+    assert out[0] == 0.0  # (7 - median 7) / 1
+    assert out[8] == 2.0 and out[9] == -2.0
+    assert all(v == v and abs(v) != float("inf") for v in out.values())
+
+
+def test_grouped_regression_constant_x_yields_null(spark):
+    # zero x-variance: slope/r2 undefined -> NULL, not Infinity/NaN
+    rows = [("g", 1.0, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    (row,) = grouped_regression(df, ["k"], "x", "y").collect()
+    assert row.slope is None and row.r2 is None and row.intercept is None
+
+
 def test_resample_daily_fills_gaps(spark):
     day = 86400
     rows = [(1, 0 * day, 10.0), (1, 1 * day, 5.0), (1, 4 * day, 2.0)]

@@ -56,6 +56,8 @@ def main():
     import os
 
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    from image_matadata_batchprocessing_aws_spark.operators.caching import release_persisted
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -71,6 +73,10 @@ def main():
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
+        finally:
+            # drop operator-persisted intermediates so a 208-query
+            # session doesn't accumulate cached blocks (ADVICE r3)
+            release_persisted()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
