@@ -4,9 +4,10 @@ Closes most of the S9 decode gap (SURVEY §2.1; reference decode is
 ``process_test_train_Images.py:45`` via PIL): PNG, BMP and PPM/PGM are
 fully decodable with nothing but ``zlib`` (stdlib) and numpy, so the
 "real codec" path no longer needs an absent third-party library for
-these formats.  JPEG/WEBP/GIF stay behind the PIL seam
-(``images._pil_decode``) — entropy-coded DCT decoding is genuinely
-codec territory.
+these formats, and baseline sequential JPEG decodes for real too
+(canonical Huffman + matrix IDCT, see the JPEG section).  Only
+WEBP/GIF and non-baseline JPEG stay behind the PIL seam
+(``images._pil_decode``).
 
 Formats:
 
@@ -20,6 +21,11 @@ Formats:
   RGB; 8-bit paletted via the BGRX color table.
 - **PPM/PGM** (``decode_ppm``): binary P6/P5, maxval <= 255,
   whitespace/comment-tolerant header.
+- **JPEG** (``decode_jpeg``): baseline sequential DCT (SOF0/SOF1),
+  8-bit, grayscale or YCbCr with any sampling factors, restart
+  markers, 0xFF00 unstuffing; progressive/arithmetic/12-bit raise.
+  ``encode_jpeg`` (Annex K tables) generates fixtures;
+  ``jpeg_reference_pipeline`` is the bitstream-free oracle.
 
 Everything returns HxWx3 uint8 (the pipeline contract of
 ``images.decode_images``).  These run INSIDE the Arrow-batched
@@ -302,7 +308,608 @@ def decode_image_auto(name: str, content: bytes) -> np.ndarray:
         return decode_bmp(content)
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     raise ImageFormatError(
         f"no pure-python decoder for {name!r} (magic {content[:4]!r}); "
-        "JPEG/WEBP/GIF need the PIL path"
+        "WEBP/GIF need the PIL path"
     )
+
+
+# --- JPEG (baseline sequential DCT, ITU-T T.81) ----------------------------
+#
+# Closes the last S9 gap: entropy-coded decode with nothing but numpy +
+# stdlib.  Scope: baseline sequential (SOF0), 8-bit, 1 or 3 components,
+# any sampling factors (4:4:4 and 4:2:0 exercised by tests), restart
+# markers honored; progressive (SOF2) / arithmetic coding / 12-bit raise
+# a typed error.  ``encode_jpeg`` is the fixture generator (Annex K
+# standard quant + Huffman tables), same role ``encode_png`` plays for
+# the PNG oracle.  Reference behavior being matched: PIL decode at
+# ``process_test_train_Images.py:45``.
+
+#: zigzag position -> natural (row-major) index, T.81 Figure 5
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K Table K.1/K.2 base quantization tables (natural order)
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: Annex K Huffman specs: (bits[1..16] counts, symbol values)
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: forward C = T @ B @ T.T,
+    inverse B = T.T @ C @ T."""
+    i = np.arange(8)[:, None].astype(np.float64)
+    j = np.arange(8)[None, :].astype(np.float64)
+    m = 0.5 * np.cos((2 * j + 1) * i * np.pi / 16)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_JPEG_T = _jpeg_dct_matrix()
+
+
+def _jpeg_idct_block(coef: np.ndarray) -> np.ndarray:
+    """Dequantized natural-order 8x8 int coefficients -> float spatial
+    block (level-shift NOT applied)."""
+    return _JPEG_T.T @ coef.astype(np.float64) @ _JPEG_T
+
+
+def _jpeg_canonical_codes(bits: list[int], values: list[int]):
+    """Canonical Huffman code assignment (T.81 Annex C): returns
+    {(length, code): symbol} for decode and {symbol: (code, length)}
+    for encode."""
+    decode, encode = {}, {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[k]
+            decode[(length, code)] = sym
+            encode[sym] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return decode, encode
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffed marker is reached
+
+    def _load_byte(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ImageFormatError("JPEG entropy-coded data truncated")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise ImageFormatError("JPEG entropy-coded data truncated")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed 0xFF data byte
+            else:
+                self.marker = nxt
+                raise ImageFormatError(
+                    f"JPEG marker 0xFF{nxt:02X} inside entropy-coded data"
+                )
+        self.cur = b
+        self.nbits = 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._load_byte()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageFormatError("invalid JPEG Huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ImageFormatError("expected JPEG restart marker")
+        m = d[self.pos + 1]
+        if m != 0xD0 + (n % 8):
+            raise ImageFormatError(
+                f"JPEG restart marker out of sequence (0xFF{m:02X})"
+            )
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12: map an s-bit magnitude to its signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> HxWx3 uint8 RGB (grayscale
+    replicated).  Pure numpy + stdlib: marker parse, canonical Huffman,
+    zigzag/dequantize, matrix IDCT, box chroma upsampling, BT.601
+    YCbCr->RGB.  Progressive/arithmetic/12-bit/hierarchical raise
+    :class:`ImageFormatError`."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ImageFormatError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ImageFormatError("JPEG marker sync lost")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # parameterless
+        if pos + 2 > len(content):
+            raise ImageFormatError("JPEG segment length truncated")
+        (seglen,) = struct.unpack(">H", content[pos : pos + 2])
+        seg = content[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ImageFormatError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ImageFormatError("16-bit JPEG quant tables not supported")
+                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                if tbl.size != 64:
+                    raise ImageFormatError("JPEG DQT truncated")
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = tbl
+                qt[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nsym = sum(bits)
+                values = list(seg[p + 17 : p + 17 + nsym])
+                if len(bits) != 16 or len(values) != nsym:
+                    raise ImageFormatError("JPEG DHT truncated")
+                huff[(tc, th)], _ = _jpeg_canonical_codes(bits, values)
+                p += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ImageFormatError(f"{prec}-bit JPEG not supported")
+            if h == 0 or w == 0:
+                raise ImageFormatError("invalid JPEG dimensions")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tqi = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tqi))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageFormatError(
+                "progressive/hierarchical/arithmetic JPEG not supported (baseline only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ImageFormatError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            return _jpeg_decode_scan(
+                content, pos + seglen, frame, scan, qt, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ImageFormatError("JPEG has no scan (missing SOS)")
+
+
+def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ImageFormatError(f"JPEG missing quant table {tq}")
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+    reader = _JpegBitReader(data, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    n_rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_and_expect_rst(n_rst)
+            n_rst += 1
+            pred = {cid: 0 for cid, _, _ in scan}
+        my, mx = divmod(m, mcus_x)
+        for cid, td, ta in scan:
+            hs, vs, tq = by_id[cid]
+            dc_tbl = huff.get((0, td))
+            ac_tbl = huff.get((1, ta))
+            if dc_tbl is None or ac_tbl is None:
+                raise ImageFormatError("JPEG missing Huffman table")
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = reader.decode_symbol(dc_tbl)
+                    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+                    pred[cid] += diff
+                    coef[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tbl)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ImageFormatError("JPEG AC run overflows block")
+                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                            reader.read_bits(size), size
+                        )
+                        k += 1
+                    block = _jpeg_idct_block((coef * qt[tq]).reshape(8, 8))
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for cid, hs, vs, tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(out_planes) != 3:
+        raise ImageFormatError(f"{len(out_planes)}-component JPEG not supported")
+    y, cb, cr = out_planes
+    return _jpeg_ycc_to_rgb(y, cb, cr)
+
+
+def _jpeg_ycc_to_rgb(y, cb, cr) -> np.ndarray:
+    """BT.601 full-range YCbCr -> uint8 RGB (T.871 constants)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _jpeg_rgb_to_ycc(img: np.ndarray):
+    """BT.601 full-range RGB -> float YCbCr planes (not yet rounded)."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _jpeg_scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K base table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _jpeg_quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero quantization (deterministic, mirrored
+    by the oracle's expected-value computation)."""
+    x = coef / q
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.out)
+
+
+def _jpeg_encode_block(writer, coef_q, pred, enc_dc, enc_ac):
+    """Zigzag + Huffman-encode one quantized natural-order 8x8 block;
+    returns the new DC predictor."""
+    zz = coef_q.reshape(64)[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - pred
+    mag = abs(diff)
+    s = int(mag).bit_length()
+    code, length = enc_dc[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = enc_ac[0x00]  # EOB
+                writer.write(code, length)
+                break
+            run += 1
+            if run == 16:
+                code, length = enc_ac[0xF0]  # ZRL
+                writer.write(code, length)
+                run = 0
+            continue
+        mag = abs(v)
+        s = mag.bit_length()
+        code, length = enc_ac[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 75, subsampling: str = "4:4:4"
+) -> bytes:
+    """Baseline sequential JPEG writer (fixture generator): Annex K
+    standard Huffman tables, libjpeg-style quality-scaled Annex K quant
+    tables, 4:4:4 or 4:2:0 (box-mean chroma downsample), no restart
+    markers.  HxWx3 uint8 in."""
+    h, w, _ = img.shape
+    if subsampling == "4:4:4":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "4:2:0":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
+    y, cb, cr = _jpeg_rgb_to_ycc(img)
+    planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if subsampling == "4:2:0":
+        # pad to even, box-mean 2x2
+        for i in (1, 2):
+            p = planes[i]
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            planes[i] = 0.25 * (
+                pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]
+            )
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    blocks = []  # per component: 2D array padded to MCU grid
+    for (hs, vs), p in zip(samp, planes):
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        blocks.append(p - 128.0)
+    qts = [qly, qlc, qlc]
+    dec_dc_l, enc_dc_l = _jpeg_canonical_codes(*_JPEG_HUFF_DC_LUMA)
+    dec_ac_l, enc_ac_l = _jpeg_canonical_codes(*_JPEG_HUFF_AC_LUMA)
+    dec_dc_c, enc_dc_c = _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHROMA)
+    dec_ac_c, enc_ac_c = _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHROMA)
+    enc_dc = [enc_dc_l, enc_dc_c, enc_dc_c]
+    enc_ac = [enc_ac_l, enc_ac_c, enc_ac_c]
+    writer = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in range(3):
+            hs, vs = samp[ci]
+            q = qts[ci].reshape(8, 8)
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    blk = blocks[ci][y0 : y0 + 8, x0 : x0 + 8]
+                    coef = _JPEG_T @ blk @ _JPEG_T.T
+                    cq = _jpeg_quantize(coef, q)
+                    pred[ci] = _jpeg_encode_block(
+                        writer, cq, pred[ci], enc_dc[ci], enc_ac[ci]
+                    )
+    payload = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid: int, nat: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(nat[z]) for z in _JPEG_ZIGZAG))
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(
+            struct.pack(
+                ">BBB", cid, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1
+            )
+            for i, cid in enumerate((1, 2, 3))
+        ),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + b"".join(
+            struct.pack(">BB", cid, (0 if i == 0 else 1) * 0x11)
+            for i, cid in enumerate((1, 2, 3))
+        )
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8"
+        + dqt(0, qly)
+        + dqt(1, qlc)
+        + sof
+        + dht(0, 0, _JPEG_HUFF_DC_LUMA)
+        + dht(1, 0, _JPEG_HUFF_AC_LUMA)
+        + dht(0, 1, _JPEG_HUFF_DC_CHROMA)
+        + dht(1, 1, _JPEG_HUFF_AC_CHROMA)
+        + sos
+        + payload
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_reference_pipeline(img: np.ndarray, quality: int = 75) -> np.ndarray:
+    """Bitstream-free reference for what baseline 4:4:4 JPEG at
+    ``quality`` reconstructs: per 8x8 block, the same DCT -> quantize ->
+    dequantize -> IDCT -> color-convert float ops the codec pair uses,
+    with NO marker parsing, NO Huffman coding, NO bit I/O.  Oracle for
+    the round-trip tests and the driver query: agreement proves the
+    entire entropy-coding layer is transparent (coefficients survive
+    encode->decode bit-exactly)."""
+    h, w, _ = img.shape
+    qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
+    qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
+    y, cb, cr = _jpeg_rgb_to_ycc(img)
+    outs = []
+    for p, qt in ((y, qly), (cb, qlc), (cr, qlc)):
+        ph = -(-h // 8) * 8
+        pw = -(-w // 8) * 8
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        rec = np.zeros_like(p)
+        q = qt.reshape(8, 8)
+        for y0 in range(0, ph, 8):
+            for x0 in range(0, pw, 8):
+                blk = p[y0 : y0 + 8, x0 : x0 + 8]
+                coef = _JPEG_T @ blk @ _JPEG_T.T
+                cq = _jpeg_quantize(coef, q)
+                rec[y0 : y0 + 8, x0 : x0 + 8] = _jpeg_idct_block(
+                    (cq * q.reshape(8, 8).astype(np.int64))
+                )
+        outs.append(rec[:h, :w] + 128.0)
+    return _jpeg_ycc_to_rgb(*outs)

@@ -25,8 +25,9 @@ Byte-level decode is REAL for PNG / BMP / PPM — pure numpy+stdlib
 decoders in ``multimodal/codecs.py`` (zlib inflate + scanline
 un-filtering for PNG; no third-party codec), selected by
 ``use_real_codec=True`` and proven against a closed-form pixel-sum
-oracle (``queries.multimodal.multimodal_png_decode``).  Only the
-entropy-coded formats (JPEG/WEBP/GIF) remain behind the PIL seam
+oracles (``queries.multimodal.multimodal_png_decode`` /
+``multimodal_jpeg_decode`` — baseline JPEG decodes for real too).
+Only WEBP/GIF and non-baseline JPEG remain behind the PIL seam
 (``ImageDecodeUnavailable`` per row when PIL is absent).  The default
 decode_fn stays the clearly-marked deterministic fake (md5-seeded
 pixels) for format-independent golden tests; everything Spark-side —
@@ -120,9 +121,10 @@ def _pil_decode(name: str, content: bytes) -> np.ndarray:
 
 def _real_decode(name: str, content: bytes) -> np.ndarray:
     """Real-codec dispatch: pure numpy+stdlib decoders first (PNG, BMP,
-    PPM — ``multimodal/codecs.py``), PIL only for the entropy-coded
-    formats a pure decoder can't reach.  Raises per image (the
-    mapInPandas stage isolates it into ``decode_error``)."""
+    PPM, baseline JPEG — ``multimodal/codecs.py``), PIL only for the
+    formats a pure decoder can't reach (WEBP/GIF, progressive JPEG).
+    Raises per image (the mapInPandas stage isolates it into
+    ``decode_error``)."""
     from image_matadata_batchprocessing_aws_spark.multimodal import codecs
 
     # dispatch on magic so a MALFORMED png/bmp/ppm reports its real
@@ -133,6 +135,8 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
         return codecs.decode_bmp(content)
     if content[:2] in (b"P6", b"P5"):
         return codecs.decode_ppm(content)
+    if content[:2] == b"\xff\xd8":
+        return codecs.decode_jpeg(content)
     return _pil_decode(name, content)
 
 
@@ -165,8 +169,9 @@ def decode_images(
     The byte-level decode is a pluggable seam: ``decode_fn(name, content)
     -> HxWx3 uint8 ndarray``.  ``use_real_codec=True`` selects REAL
     decoding: PNG / BMP / PPM decode in pure numpy+stdlib
-    (``multimodal/codecs.py`` — no third-party codec needed), and only
-    the entropy-coded formats (JPEG/WEBP/GIF) route to the PIL seam
+    (``multimodal/codecs.py`` — no third-party codec needed), baseline
+    JPEG via the pure Huffman+IDCT decoder, and only WEBP/GIF and
+    non-baseline JPEG route to the PIL seam
     (``_pil_decode``); where PIL is absent those rows land in the
     ``decode_error`` column (per-row isolation) instead of failing the
     job.  Default remains the deterministic fake — stable golden-test

@@ -83,15 +83,24 @@ def test_decode_fn_seam_custom_decoder(spark, tmp_path):
 def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     """use_real_codec=True REALLY decodes: a genuine PNG (zlib-compressed,
     CRC'd) comes back pixel-correct through the full Arrow pipeline with
-    no PIL in the container; an entropy-coded format (JPEG magic) lands
-    in the error column instead of failing the job."""
-    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    no PIL in the container; a VALID baseline JPEG also decodes for
+    real; a malformed JPEG and a PIL-only format (GIF) land in the
+    error column instead of failing the job."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        encode_jpeg,
+        encode_png,
+    )
 
     red = np.zeros((4, 4, 3), dtype=np.uint8)
     red[:, :, 0] = 200
     _make_zip(
         tmp_path / "r.zip",
-        [("3.png", encode_png(red)), ("4.jpg", b"\xff\xd8\xff\xe0fakejpeg")],
+        [
+            ("3.png", encode_png(red)),
+            ("4.jpg", b"\xff\xd8\xff\xe0fakejpeg"),
+            ("5.jpg", encode_jpeg(red, quality=90)),
+            ("6.png", b"GIF89a\x01\x00fake"),  # GIF magic, ext passes filter
+        ],
     )
     entries = scan_zip_entries(spark, str(tmp_path / "r.zip"))
     rows = {
@@ -107,7 +116,12 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     assert set(np.unique(img[0])) <= {0.0, 200.0} and 200.0 in set(np.unique(img[0]))
     assert img[1].max() == 0.0 and img[2].max() == 0.0
     bad = rows["4.jpg"]
-    assert bad.image is None and "PIL" in bad.decode_error
+    assert bad.image is None and "JPEG" in bad.decode_error
+    jok = rows["5.jpg"]
+    assert jok.decode_error is None
+    assert (jok.channels, jok.height, jok.width) == (3, TARGET_SIZE, TARGET_SIZE)
+    gif = rows["6.png"]  # GIF magic routes to the PIL seam
+    assert gif.image is None and "PIL" in gif.decode_error
 
 
 def test_resize_with_padding_golden():
