@@ -190,6 +190,15 @@ def pagerank_scaled(
     # re-running it per reference — same lineage-truncation move as
     # connected_components
     edges = edges.localCheckpoint(eager=False)
+    deg, base, ranks = _pr_setup(edges, src, dst, scale)
+    for _ in range(iterations):
+        ranks = _pr_round(ranks, deg, edges, base, scale, src, dst)
+    return ranks.select("node", F.col("rank_scaled").cast("long").alias("rank_scaled"))
+
+
+def _pr_setup(edges: DataFrame, src: str, dst: str, scale: int):
+    """Shared PageRank prologue: out-degree table, (node, __n) base
+    frame with the broadcast node count, and the uniform start vector."""
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -201,29 +210,80 @@ def pagerank_scaled(
     ranks = base.select(
         "node", "__n", F.expr(f"CAST({scale} div __n AS BIGINT)").alias("rank_scaled")
     )
-    for _ in range(iterations):
-        shares = ranks.join(deg, ranks["node"] == deg[src]).select(
-            F.col("node").alias("__src"),
+    return deg, base, ranks
+
+
+def _pr_round(ranks, deg, edges, base, scale, src, dst) -> DataFrame:
+    """One damped power-iteration round in scaled-long arithmetic."""
+    shares = ranks.join(deg, ranks["node"] == deg[src]).select(
+        F.col("node").alias("__src"),
+        F.expr(
+            f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
+        ).alias("__share"),
+    )
+    incoming = (
+        shares.join(edges, shares["__src"] == edges[src])
+        .groupBy(F.col(dst).alias("node"))
+        .agg(F.sum("__share").alias("__inc"))
+    )
+    return base.join(incoming, "node", "left").select(
+        "node",
+        "__n",
+        (
             F.expr(
-                f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
-            ).alias("__share"),
+                f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __n) AS BIGINT)"
+            )
+            + F.coalesce(F.col("__inc"), F.lit(0))
+        ).alias("rank_scaled"),
+    )
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    tol_scaled: int = 10**6,
+    max_iterations: int = 60,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PR_SCALE,
+) -> tuple[DataFrame, int]:
+    """Production PageRank: iterate until the max per-node rank change
+    drops to ``tol_scaled`` (units of 1/scale; the default 1e6/1e12 =
+    1e-6 absolute), with the same deterministic fixed-point rounds as
+    :func:`pagerank_scaled` (which stays the 3-iteration oracle form —
+    VERDICT r3 item 5).
+
+    Same O(1)-per-round driver pattern as ``connected_components``: each
+    round lazily checkpoints the new rank vector (lineage truncation for
+    an open-ended loop) and ONE tiny aggregate — max |rank - prev| over
+    the node-keyed self-join — both materializes it and probes
+    convergence, so the driver pulls back a single long per round, never
+    data.  Returns (ranks, iterations_run)."""
+    edges = edges.localCheckpoint(eager=False)
+    deg, base, ranks = _pr_setup(edges, src, dst, scale)
+    ranks = ranks.localCheckpoint(eager=False)
+    for it in range(1, max_iterations + 1):
+        nxt = _pr_round(ranks, deg, edges, base, scale, src, dst).localCheckpoint(
+            eager=False
         )
-        incoming = (
-            shares.join(edges, shares["__src"] == edges[src])
-            .groupBy(F.col(dst).alias("node"))
-            .agg(F.sum("__share").alias("__inc"))
+        delta = (
+            nxt.select("node", F.col("rank_scaled").alias("__new"))
+            .join(ranks.select("node", F.col("rank_scaled").alias("__old")), "node")
+            .agg(F.max(F.abs(F.col("__new") - F.col("__old"))).alias("d"))
+            .collect()[0]["d"]
         )
-        ranks = base.join(incoming, "node", "left").select(
-            "node",
-            "__n",
-            (
-                F.expr(
-                    f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __n) AS BIGINT)"
-                )
-                + F.coalesce(F.col("__inc"), F.lit(0))
-            ).alias("rank_scaled"),
-        )
-    return ranks.select("node", F.col("rank_scaled").cast("long").alias("rank_scaled"))
+        ranks = nxt
+        if delta is not None and delta <= tol_scaled:
+            return (
+                ranks.select(
+                    "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
+                ),
+                it,
+            )
+    raise RuntimeError(
+        f"pagerank did not reach tol={tol_scaled} in {max_iterations} rounds "
+        "(damping 0.85 contracts the delta ~15%/round; raise max_iterations "
+        "or loosen tol)"
+    )
 
 
 def label_propagation(

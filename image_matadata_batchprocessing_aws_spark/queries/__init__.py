@@ -62,8 +62,9 @@ _MODULES = [
 #: ``agg_retention_cohorts``, ``agg_event_transitions``,
 #: ``agg_frequent_pairs``, ``agg_decimal_exact``,
 #: ``agg_pareto_concentration``, ``agg_seasonality``, ``agg_spearman``,
-#: ``agg_rfm_segments`` — plus r04's one addition
-#: ``multimodal_jpeg_decode`` (VERDICT item 4) — and head the r05 queue).  Every window entry below is locally
+#: ``agg_rfm_segments`` — plus r04's additions ``multimodal_jpeg_decode``
+#: (VERDICT item 4) and ``pagerank_converged`` (item 5) — and head the
+#: r05 queue).  Every window entry below is locally
 #: oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py, 0
 #: failures).  Driver-green union after r03 = 138/208; this window
 #: takes the union to 188 if all 50 land green.

@@ -17,6 +17,7 @@ from image_matadata_batchprocessing_aws_spark.operators.graph import (
     PR_DAMP_DEN,
     PR_DAMP_NUM,
     PR_SCALE,
+    pagerank_converged,
     pagerank_scaled,
 )
 from image_matadata_batchprocessing_aws_spark.queries.util import t
@@ -353,4 +354,76 @@ ORACLES["graph_label_prop"] = f"""
     SELECT label, CAST(count(*) AS BIGINT) AS n_members,
            CAST(min(node) AS BIGINT) AS min_node
     FROM l2 GROUP BY label
+"""
+
+
+# --- convergence-loop PageRank (invariant oracle) --------------------------
+
+#: 5e7 units of 1e-12 = 5e-5 absolute rank tolerance: ~20 damped rounds
+#: on this graph — a real convergence loop without a 40-job query.
+PR_TOL_SCALED = 5 * 10**7
+PR_MAX_ITERS = 60
+
+
+def _cust_supp_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The bidirectional customer-supplier bipartite graph shared by
+    graph_pagerank (fixed 3-iteration oracle form) and the converged
+    variant."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def graph_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """Tolerance-terminated PageRank (VERDICT r3 item 5): iterate until
+    max |Δrank| <= 5e-5, then state the invariants a correct power
+    iteration must satisfy — the oracle pins them as constants plus the
+    SQL-computed node count, so a driver row turns red if the loop ever
+    stops converging, leaks mass, or overruns its bound.
+
+    - ``n_nodes``: both engines count the bipartite node set.
+    - ``iters_in_bounds``: 1 <= iterations <= 60 (the operator RAISES on
+      non-convergence, so a green row proves real termination).
+    - ``rank_sum_ok``: total mass within [scale*999/1000, scale] — the
+      teleport/share truncations leak < 1 unit per node per round and
+      damping caps the steady-state leak at ~1e-6 of scale, so 0.1%% is
+      a safe-but-meaningful band.
+    - ``ranks_positive``: every node keeps at least the teleport floor.
+    """
+    edges = _cust_supp_edges(spark, sf)
+    ranks, iters = pagerank_converged(
+        edges, tol_scaled=PR_TOL_SCALED, max_iterations=PR_MAX_ITERS
+    )
+    return ranks.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.lit(1 <= iters <= PR_MAX_ITERS).alias("iters_in_bounds"),
+        (
+            (F.sum("rank_scaled") <= F.lit(PR_SCALE))
+            & (F.sum("rank_scaled") >= F.lit(PR_SCALE * 999 // 1000))
+        ).alias("rank_sum_ok"),
+        (F.min("rank_scaled") > F.lit(0)).alias("ranks_positive"),
+    )
+
+
+QUERIES["pagerank_converged"] = graph_pagerank_converged
+
+ORACLES["pagerank_converged"] = """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT CAST((SELECT count(DISTINCT c) FROM pairs)
+              + (SELECT count(DISTINCT s) FROM pairs) AS BIGINT) AS n_nodes,
+           TRUE AS iters_in_bounds,
+           TRUE AS rank_sum_ok,
+           TRUE AS ranks_positive
 """

@@ -5,6 +5,7 @@ shapes (map-side probe, broadcast counter join)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from image_matadata_batchprocessing_aws_spark.operators.sketches import (
@@ -109,6 +110,47 @@ def test_pagerank_star_center_dominates(spark):
     assert all(ranks[0] > ranks[i] for i in range(1, 6))
     leaf_ranks = {ranks[i] for i in range(1, 6)}
     assert len(leaf_ranks) == 1  # leaves are symmetric
+
+
+def test_pagerank_converged_reaches_fixpoint(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    # star + tail: asymmetric enough that convergence takes >1 round
+    edges = (
+        [(0, i) for i in range(1, 6)]
+        + [(i, 0) for i in range(1, 6)]
+        + [(5, 6), (6, 5)]
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # the star couples with damping into a slowly-decaying oscillating
+    # mode (~0.85^t): 5e7 of 1e12 converges in ~45 rounds
+    ranks_df, iters = pagerank_converged(e, tol_scaled=5 * 10**7, max_iterations=80)
+    ranks = {r.node: r.rank_scaled for r in ranks_df.collect()}
+    assert 1 < iters <= 60
+    total = sum(ranks.values())
+    assert PR_SCALE * 0.999 < total <= PR_SCALE
+    assert min(ranks.values()) > 0
+    # one more round moves nothing by more than tol (true fixpoint)
+    more = {
+        r.node: r.rank_scaled
+        for r in pagerank_converged(e, tol_scaled=5 * 10**7, max_iterations=81)[0].collect()
+    }
+    assert all(abs(more[n] - ranks[n]) <= 5 * 10**7 for n in ranks)
+    # and it agrees with the fixed-iteration form run long enough
+    deep = _pr(spark, edges, iters=60)
+    assert all(abs(deep[n] - ranks[n]) <= 10**8 for n in ranks)
+
+
+def test_pagerank_converged_raises_on_impossible_tol(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        pagerank_converged,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 0), (0, 2), (2, 0)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not reach"):
+        pagerank_converged(e, tol_scaled=0, max_iterations=2)
 
 
 def test_bloom_prefilter_join_equals_plain_join(spark, tmp_path):
