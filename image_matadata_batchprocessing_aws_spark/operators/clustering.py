@@ -50,6 +50,15 @@ def nearest_sq_dist(vec_col, centroids: list[list[float]]):
     return F.array_min(F.array(*[_sq_l2_to_literal(v, c) for c in centroids]))
 
 
+def sq_dists_array(vec_col, centroids: list[list[float]]):
+    """Squared L2 distance to EVERY literal centroid as one array
+    expression — lets callers verify an assignment is the argmin
+    (``element_at(dists, cluster_id) == array_min(dists)`` is exact:
+    both sides read the same computed array)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array(*[_sq_l2_to_literal(v, c) for c in centroids])
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],

@@ -131,13 +131,13 @@ _DEMOTED = [
     "etl_union_chunks",
     "etl_project_cast",
     "eval_euclidean_scalar",
-    # rows-only (binary fixture input / iterative k-means) — least
-    # driver signal, so they yield their in-window slots to
-    # fully-oracled queries
-    "multimodal_image_sniff",
+    # rows-only (binary decode-error fixture / iterative-inside
+    # composition) — least driver signal, so they yield their in-window
+    # slots to fully-oracled queries.  (multimodal_image_sniff and
+    # embedding_kmeans left this list in r04: both carry full invariant/
+    # manifest oracles now — VERDICT r3 item 7.)
     "multimodal_image_pipeline",
     "embedding_semdedup",
-    "embedding_kmeans",
 ]
 
 

@@ -28,6 +28,13 @@ _FIXTURE_ZIP = os.path.join(
     "images.zip",
 )
 
+#: Real encoded images with construction-known headers — manifest and
+#: generator: tools/make_image_fixture.py (the sniff oracle's source of
+#: truth).
+_REAL_FIXTURE_ZIP = os.path.join(
+    os.path.dirname(_FIXTURE_ZIP), "images_real.zip"
+)
+
 
 def multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary metadata surface: byte length + content hash of the
@@ -67,15 +74,20 @@ def multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def multimodal_image_sniff(spark: SparkSession, sf: str) -> DataFrame:
-    """Codec-free header catalog of the fixture ZIP's entries: format +
-    dimensions parsed from the binary headers with pure Catalyst
-    expressions (multimodal/images.sniff_image_meta).  Rows-only check
-    (binary fixture input, no SQL twin)."""
+    """Codec-free header catalog of a ZIP of REAL encoded images
+    (tools/make_image_fixture.py): format + dimensions parsed from the
+    binary headers with pure Catalyst expressions
+    (multimodal/images.sniff_image_meta) after the binaryFile + ZIP
+    UDTF scan.  FULL oracle (upgraded from rows-only, VERDICT r3 item
+    7): the DuckDB twin states the fixture manifest's
+    construction-known (name, format, w, h, bytes) literals, so this
+    row now verifies the ZIP input path AND the PNG/BMP/JPEG-SOF header
+    walks end-to-end."""
     from image_matadata_batchprocessing_aws_spark.multimodal.images import (
         sniff_image_meta,
     )
 
-    entries = scan_zip_entries(spark, _FIXTURE_ZIP)
+    entries = scan_zip_entries(spark, _REAL_FIXTURE_ZIP)
     return sniff_image_meta(entries).select(
         "entry_name", "image_format", "image_width", "image_height", "image_bytes"
     )
@@ -500,4 +512,19 @@ ORACLES["multimodal_jpeg_decode"] = f"""
            CAST((CASE doc_id {_JPEG_B_CASE} END) * px AS BIGINT) AS b_sum
     FROM (SELECT unnest(range({JPEG_N_DOCS})) AS doc_id),
          LATERAL (SELECT CASE doc_id % {len(PNG_DIMS)} {_PNG_PIX_CASE} END AS px)
+"""
+
+
+# oracle literals = tools/make_image_fixture.py's manifest output
+# (entry_name, format, width, height, byte length); the fixture zip and
+# these rows regenerate together, and tests/test_multimodal.py pins the
+# committed zip to the same manifest.
+ORACLES["multimodal_image_sniff"] = """
+    SELECT * FROM (VALUES
+        ('p1.png',  'png',  CAST(37  AS BIGINT), CAST(23  AS BIGINT), CAST(95  AS BIGINT)),
+        ('p2.png',  'png',  CAST(224 AS BIGINT), CAST(112 AS BIGINT), CAST(383 AS BIGINT)),
+        ('b1.png',  'bmp',  CAST(15  AS BIGINT), CAST(9   AS BIGINT), CAST(486 AS BIGINT)),
+        ('j1.jpg',  'jpeg', CAST(32  AS BIGINT), CAST(16  AS BIGINT), CAST(625 AS BIGINT)),
+        ('j2.jpeg', 'jpeg', CAST(9   AS BIGINT), CAST(7   AS BIGINT), CAST(614 AS BIGINT))
+    ) AS t(entry_name, image_format, image_width, image_height, image_bytes)
 """

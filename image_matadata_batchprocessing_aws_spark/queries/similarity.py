@@ -122,26 +122,62 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus: map-side
     literal-centroid assignment (zero shuffle), slim per-dimension avg
-    update (one shuffle/round), deterministic md5 top-k init.  Genuinely
-    iterative — not SQL-expressible, so this entry carries the driver's
-    rows-only check; the algorithm's correctness is property-tested on
-    planted clusters (tests/test_clustering.py)."""
+    update (one shuffle/round), deterministic farthest-first init.
+
+    FULL invariant oracle (upgraded from rows-only, VERDICT r3 item 7):
+    the genuinely-iterative fit can't be a CTE, but its defining
+    properties CAN be stated as constants the driver hash-checks —
+    every row's assignment is the argmin over the FINAL centroids
+    (``element_at(dists, cluster_id) == array_min(dists)``, exact: both
+    sides read one computed array), SSE is monotone vs the fit's own
+    init, the cluster count stays <= k, and every corpus row is
+    assigned (n_total is SQL-computed).  Algorithmic correctness on
+    planted clusters stays property-tested (tests/test_clustering.py)."""
     from image_matadata_batchprocessing_aws_spark.operators.clustering import (
+        kmeans_init,
         kmeans_predict,
         kmeans_train,
+        nearest_sq_dist,
+        sq_dists_array,
     )
 
+    K_FIT = 4
     e = t(spark, sf, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("e")
     )
     # small k / few rounds: each round recompiles the literal-centroid
     # codegen expression, so the fixed cost per round dominates at test
     # scale (at production scale it amortizes over the scan)
-    cents, _ = kmeans_train(
-        e, k=4, vec_col="e", id_col="vec_id", max_iterations=6, tol=1e-4
+    init = kmeans_init(e, K_FIT, vec_col="e", id_col="vec_id")
+    cents, iters = kmeans_train(
+        e, k=K_FIT, vec_col="e", id_col="vec_id", max_iterations=6, tol=1e-4
     )
-    out = kmeans_predict(e, cents, "e", "cluster_id")
-    return out.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    assigned = kmeans_predict(e, cents, "e", "cluster_id").withColumn(
+        "__dists", sq_dists_array("e", cents)
+    )
+    per_cluster = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                F.element_at("__dists", (F.col("cluster_id") + 1).cast("int"))  # 0-based id
+                != F.array_min("__dists")
+            ).cast("long")
+        ).alias("viol"),
+    )
+    sse = e.agg(
+        F.sum(nearest_sq_dist("e", init)).alias("sse_init"),
+        F.sum(nearest_sq_dist("e", cents)).alias("sse_final"),
+    )
+    return per_cluster.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        (F.count("*") <= F.lit(K_FIT)).alias("k_bounded"),
+        F.sum("viol").cast("long").alias("argmin_violations"),
+        F.lit(1 <= iters <= 6).alias("iters_bounded"),
+    ).crossJoin(
+        F.broadcast(
+            sse.select((F.col("sse_final") <= F.col("sse_init")).alias("sse_monotone"))
+        )
+    )
 
 
 def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -628,6 +664,13 @@ ORACLES = {
     "kmeans_invariants": """
         SELECT (SELECT count(*) FROM embeddings) AS n_total,
                TRUE AS k_bounded,
+               TRUE AS sse_monotone
+    """,
+    "embedding_kmeans": """
+        SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
+               TRUE AS k_bounded,
+               CAST(0 AS BIGINT) AS argmin_violations,
+               TRUE AS iters_bounded,
                TRUE AS sse_monotone
     """,
 }

@@ -331,3 +331,18 @@ def test_sniff_walks_fuzz_random_layouts(spark):
     for i, (fmt, w, h) in expected.items():
         got = (out[i].image_format, out[i].image_width, out[i].image_height)
         assert got == (fmt, w, h), f"case {i}: {got} != {(fmt, w, h)}"
+
+
+def test_real_fixture_zip_matches_manifest():
+    # the multimodal_image_sniff oracle embeds the manifest's literals;
+    # this pins the COMMITTED zip to the same manifest so they cannot
+    # drift apart (tools/make_image_fixture.py regenerates both)
+    import zipfile
+
+    from tools.make_image_fixture import MANIFEST, OUT
+
+    with zipfile.ZipFile(OUT) as zf:
+        names = zf.namelist()
+        assert names == [m[0] for m in MANIFEST]
+        for name, fmt, w, h, enc in MANIFEST:
+            assert zf.read(name) == enc(), name
