@@ -62,3 +62,111 @@ def test_semantic_pairs_never_cross_clusters(spark):
     cl = {r.vec_id: r.cluster_id for r in assign_clusters(df, cents).collect()}
     for r in pairs.collect():
         assert cl[r.id_a] == cl[r.id_b]
+
+
+def _planted_hot_cluster(spark, dim=8, seed=11):
+    """400 vectors: 200 DIVERSE vectors around one centroid (the 50%-mass
+    hot cluster), 10 exact-duplicate pairs planted inside it, and 200
+    spread across three other blobs."""
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import (  # noqa: F401
+        semantic_pairs_bounded,
+    )
+
+    rng = np.random.default_rng(seed)
+    cents = [
+        [10.0] + [0.0] * (dim - 1),
+        [-10.0] + [0.0] * (dim - 1),
+        [0.0, 10.0] + [0.0] * (dim - 2),
+        [0.0, -10.0] + [0.0] * (dim - 2),
+    ]
+    rows = []
+    vid = 0
+    # hot cluster: diverse (noise comparable to nothing — spread wide so
+    # LSH separates non-duplicates)
+    for i in range(180):
+        v = np.array(cents[0]) + rng.normal(0, 3.0, dim)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    # 10 planted exact-duplicate pairs inside the hot cluster
+    dup_pairs = []
+    for i in range(10):
+        v = np.array(cents[0]) + rng.normal(0, 3.0, dim)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in v]))
+        dup_pairs.append((vid, vid + 1)); vid += 2
+    # the other half of the corpus
+    for c in cents[1:]:
+        for i in range(66):
+            v = np.array(c) + rng.normal(0, 1.0, dim)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    return df, cents, dup_pairs
+
+
+def test_bounded_pairs_respect_budget_and_keep_exact_dups(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import (
+        semantic_pairs,
+        semantic_pairs_bounded,
+    )
+
+    df, cents, dup_pairs = _planted_hot_cluster(spark)
+    budget = 500  # n_cap = 32
+    # threshold=-1: every within-cell pair becomes a candidate, so the
+    # observable pair-degree proves the join bound
+    unbounded = semantic_pairs(df, cents, threshold=-1.0).count()
+    bounded = semantic_pairs_bounded(
+        df, cents, threshold=-1.0, pair_budget=budget
+    )
+    n_bounded = bounded.count()
+    assert unbounded > 19000  # the (f*N)^2 hazard is real on this corpus
+    assert n_bounded < unbounded * 0.4  # sub-split collapsed the hot join
+    # an id sits in exactly ONE cell, so its candidate degree bounds that
+    # cell's membership: degree <= n_cap - 1 proves every cell's pair
+    # count is within budget
+    deg = (
+        bounded.select(F.col("id_a").alias("i"))
+        .unionAll(bounded.select(F.col("id_b").alias("i")))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]["m"]
+    )
+    n_cap = 32
+    assert deg <= n_cap - 1
+    # LSH never separates exact duplicates: all 10 planted pairs survive
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_pairs_bounded(
+            df, cents, threshold=0.999, pair_budget=budget
+        ).collect()
+    }
+    assert set(dup_pairs) <= got
+
+
+def test_bounded_hash_fallback_caps_unsplittable_blob(spark):
+    # 100 IDENTICAL vectors: LSH correctly refuses to split them, so the
+    # hash stage must enforce the cap (and without it the blob stays hot)
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import (
+        semantic_pairs_bounded,
+    )
+
+    dim = 8
+    cents = [[5.0] + [0.0] * (dim - 1), [-5.0] + [0.0] * (dim - 1)]
+    v = [1.0] * dim
+    rows = [(i, v) for i in range(100)] + [
+        (100 + i, [-1.0] * dim) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    budget = 60  # n_cap = 11
+    bounded = semantic_pairs_bounded(df, cents, threshold=-1.0, pair_budget=budget)
+    deg = (
+        bounded.select(F.col("id_a").alias("i"))
+        .unionAll(bounded.select(F.col("id_b").alias("i")))
+        .groupBy("i").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m")).collect()[0]["m"]
+    )
+    assert deg <= 10  # hash salts brought every cell under n_cap=11
+    # recall-over-cost mode: the blob is left intact
+    free = semantic_pairs_bounded(
+        df, cents, threshold=-1.0, pair_budget=budget, enforce_budget=False
+    )
+    assert free.count() >= 100 * 99 // 2
