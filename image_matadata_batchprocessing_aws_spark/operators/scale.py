@@ -15,16 +15,25 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def zscore_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
-    """``(x - mean) / stddev_samp`` per column, globally fit (A3)."""
+    """``(x - mean) / stddev_samp`` per column, globally fit (A3).
+
+    Zero-spread guard (whole scaler family, mirrors ``mad_scale``): a
+    constant column has std 0 and dividing would emit NaN/Infinity
+    silently; like sklearn's ``StandardScaler`` (unit scale for
+    zero-variance features) the output degrades to centering
+    ``x - mean``."""
     stats = df.agg(
         *[F.avg(F.col(f"`{c}`")).alias(f"__mean_{c}") for c in cols],
         *[F.stddev_samp(F.col(f"`{c}`")).alias(f"__std_{c}") for c in cols],
     )
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:
+        centered = F.col(f"`{c}`") - F.col(f"__mean_{c}")
         out = out.withColumn(
             c + suffix,
-            (F.col(f"`{c}`") - F.col(f"__mean_{c}")) / F.col(f"__std_{c}"),
+            F.when(F.col(f"__std_{c}") != 0, centered / F.col(f"__std_{c}")).otherwise(
+                centered
+            ),
         )
     return out.drop(*[f"__mean_{c}" for c in cols], *[f"__std_{c}" for c in cols])
 
@@ -84,7 +93,11 @@ def zscore_scale_exact(
         n = F.col(f"__n_{c}").cast("double")
         mean = s / n
         std = F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
-        out = out.withColumn(c + suffix, (F.col(f"`{c}`") - mean) / std)
+        centered = F.col(f"`{c}`") - mean
+        # zero-spread guard (see zscore_scale): constant column -> centering
+        out = out.withColumn(
+            c + suffix, F.when(std != 0, centered / std).otherwise(centered)
+        )
     return out.drop(
         *[f"__s_{c}" for c in cols],
         *[f"__hi_{c}" for c in cols],
@@ -100,7 +113,11 @@ def robust_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     EXACT interpolated ``percentile`` (matches DuckDB ``quantile_cont``
     bit-for-bit, so fully oracle-able); at 100 TB swap in
     ``percentile_approx`` and accept the documented error bound — the
-    two-pass broadcast structure is identical."""
+    two-pass broadcast structure is identical.
+
+    Zero-spread guard (see ``zscore_scale``/``mad_scale``): IQR 0 (the
+    middle half shares one value) degrades to median-centering instead
+    of silent NaN/Infinity, matching sklearn's ``RobustScaler``."""
     stats = df.agg(
         *[F.percentile(F.col(f"`{c}`"), F.lit(0.5)).alias(f"__med_{c}") for c in cols],
         *[
@@ -113,26 +130,35 @@ def robust_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     )
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:
+        centered = F.col(f"`{c}`") - F.col(f"__med_{c}")
         out = out.withColumn(
             c + suffix,
-            (F.col(f"`{c}`") - F.col(f"__med_{c}")) / F.col(f"__iqr_{c}"),
+            F.when(F.col(f"__iqr_{c}") != 0, centered / F.col(f"__iqr_{c}")).otherwise(
+                centered
+            ),
         )
     return out.drop(*[f"__med_{c}" for c in cols], *[f"__iqr_{c}" for c in cols])
 
 
 def minmax_scale(df: DataFrame, cols: list[str], suffix: str = "") -> DataFrame:
     """``(x - min) / (max - min)`` per column, globally fit (A2;
-    mirrors ``train.py:124,127``)."""
+    mirrors ``train.py:124,127``).
+
+    Zero-spread guard (see ``zscore_scale``): a constant column has
+    max == min; instead of 0/0 NaN the output degrades to ``x - min``
+    (identically 0 here — sklearn's ``MinMaxScaler`` unit-scale
+    behavior)."""
     stats = df.agg(
         *[F.min(F.col(f"`{c}`")).alias(f"__min_{c}") for c in cols],
         *[F.max(F.col(f"`{c}`")).alias(f"__max_{c}") for c in cols],
     )
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:
+        spread = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+        centered = F.col(f"`{c}`") - F.col(f"__min_{c}")
         out = out.withColumn(
             c + suffix,
-            (F.col(f"`{c}`") - F.col(f"__min_{c}"))
-            / (F.col(f"__max_{c}") - F.col(f"__min_{c}")),
+            F.when(spread != 0, centered / spread).otherwise(centered),
         )
     return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
 

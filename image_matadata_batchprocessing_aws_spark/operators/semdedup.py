@@ -11,9 +11,10 @@ Scale shape: clustering bounds the pair search — a corpus of N vectors
 in k balanced clusters costs sum (N/k)^2 * k = N^2/k pair evaluations
 instead of N^2, and the within-cluster join is an equi-join on the tiny
 ``cluster_id`` key (never a cross join).  Skewed clusters are the
-hazard: a cluster holding f*N vectors costs (f*N)^2 — raise k or
-sub-split hot clusters (re-cluster within) when a cluster exceeds a
-pair budget.
+hazard: a cluster holding f*N vectors costs (f*N)^2 —
+:func:`semantic_pairs_bounded` implements the mitigation (median-split
+refinement + hash enforcement under a caller-set pair budget);
+:func:`semantic_pairs` stays as the exact, budget-free form.
 """
 
 from __future__ import annotations

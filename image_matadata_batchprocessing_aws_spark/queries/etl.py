@@ -824,24 +824,34 @@ ORACLES = {
                  CAST(count(l_extendedprice) AS DOUBLE) AS n_p
           FROM sc)
         SELECT l_orderkey, l_linenumber,
-               round((l_quantity - s_q / n_q)
-                     / sqrt((ss_q - s_q * s_q / n_q) / (n_q - 1.0)), 4) + 0.0 AS quantity_z,
-               round((l_extendedprice - s_p / n_p)
-                     / sqrt((ss_p - s_p * s_p / n_p) / (n_p - 1.0)), 4) + 0.0 AS extendedprice_z
+               round(CASE WHEN sqrt((ss_q - s_q * s_q / n_q) / (n_q - 1.0)) <> 0
+                          THEN (l_quantity - s_q / n_q)
+                               / sqrt((ss_q - s_q * s_q / n_q) / (n_q - 1.0))
+                          ELSE l_quantity - s_q / n_q END, 4) + 0.0 AS quantity_z,
+               round(CASE WHEN sqrt((ss_p - s_p * s_p / n_p) / (n_p - 1.0)) <> 0
+                          THEN (l_extendedprice - s_p / n_p)
+                               / sqrt((ss_p - s_p * s_p / n_p) / (n_p - 1.0))
+                          ELSE l_extendedprice - s_p / n_p END, 4) + 0.0 AS extendedprice_z
         FROM lineitem, st
     """,
     "etl_robust_scale": """
+        WITH st AS (SELECT quantile_cont(c_acctbal, 0.5) AS m,
+                           quantile_cont(c_acctbal, 0.75)
+                           - quantile_cont(c_acctbal, 0.25) AS iqr
+                    FROM customer)
         SELECT c_custkey,
-               round((c_acctbal - quantile_cont(c_acctbal, 0.5) OVER ())
-                     / (quantile_cont(c_acctbal, 0.75) OVER ()
-                        - quantile_cont(c_acctbal, 0.25) OVER ()), 4) AS acctbal_rs
-        FROM customer
+               round(CASE WHEN iqr <> 0 THEN (c_acctbal - m) / iqr
+                          ELSE c_acctbal - m END, 4) AS acctbal_rs
+        FROM customer, st
     """,
     "etl_minmax": """
+        WITH st AS (SELECT min(c_acctbal) AS lo,
+                           max(c_acctbal) - min(c_acctbal) AS spread
+                    FROM customer)
         SELECT c_custkey,
-               round((c_acctbal - min(c_acctbal) OVER ())
-                     / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4) AS acctbal_mm
-        FROM customer
+               round(CASE WHEN spread <> 0 THEN (c_acctbal - lo) / spread
+                          ELSE c_acctbal - lo END, 4) AS acctbal_mm
+        FROM customer, st
     """,
     "etl_mad_scale": """
         WITH med AS (SELECT quantile_cont(c_acctbal, 0.5) AS m FROM customer),

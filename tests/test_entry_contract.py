@@ -24,10 +24,8 @@ def test_oracle_keys_subset_of_queries():
     # rows-only ops are the documented exceptions
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "agg_approx_distinct",
-        "multimodal_image_pipeline",
-        "embedding_kmeans",  # iterative driver loop — not SQL-expressible
-        "multimodal_image_sniff",  # binary fixture input — no SQL twin
+        "agg_approx_distinct",  # HLL estimate — approx by definition
+        "multimodal_image_pipeline",  # binary decode pipeline — no SQL twin
         "embedding_semdedup",  # iterative k-means inside — rows-only
     }
 

@@ -202,3 +202,21 @@ def test_one_hot_cardinality_guard(spark):
     df = spark.createDataFrame([(i, f"v{i}") for i in range(70)], "id long, c string")
     with pytest.raises(ValueError, match="categories exceeds"):
         one_hot_encode(df, ["c"], max_distinct=64)
+
+
+def test_scalers_zero_spread_degrade_to_centering(spark):
+    # a constant column must never yield NaN/Infinity from 0-division:
+    # the whole scaler family degrades to centering (= 0.0 here),
+    # mirroring the mad_scale guard and sklearn's unit-scale behavior
+    import math
+
+    from image_matadata_batchprocessing_aws_spark.operators.scale import (
+        mad_scale,
+        robust_scale,
+        zscore_scale_exact,
+    )
+
+    df = spark.createDataFrame([(i, 7.0) for i in range(10)], "id long, x double")
+    for fn in (zscore_scale, zscore_scale_exact, robust_scale, minmax_scale, mad_scale):
+        vals = [r.x_s for r in fn(df, ["x"], suffix="_s").collect()]
+        assert all(v == 0.0 and math.isfinite(v) for v in vals), fn.__name__
