@@ -244,3 +244,113 @@ def time_weighted_avg(
             6,
         ).alias("twa"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    order_tiebreak: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based batch sessionization: consecutive events of one key
+    belong to the same session while the inter-event gap stays <= 
+    ``gap_minutes``; a longer gap starts a new session.  The batch twin
+    of the streaming session window (``streaming/events.py``), for
+    backfills and offline attribution over the same event tables.
+
+    Two stacked expressions over ONE keyed window (single shuffle on
+    ``key``, parallel across keys): a lag-gap boundary flag, then a
+    running sum of flags as the per-key session ordinal — the standard
+    islands formulation, identically expressible in ANSI SQL, so the
+    operator is exactly oracle-able.  ROWS framing over the
+    deterministic ``(ts, tiebreak)`` order makes the running sum
+    reproducible under any partitioning."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = F.lit(int(gap_minutes) * 60 * 1_000_000)
+    boundary = F.when(us - F.lag(us).over(w) > gap_us, F.lit(1)).otherwise(
+        F.lit(0)  # first row of a key: lag NULL -> comparison NULL -> 0
+    )
+    run = Window.partitionBy(key).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # two steps: a window expression can't nest inside another window's
+    # aggregate; both windows share one (key, order) sort so Catalyst
+    # plans a single exchange + sort for the pair
+    return (
+        df.withColumn("__new", boundary)
+        .withColumn("session_seq", F.sum("__new").over(run).cast("long"))
+        .drop("__new")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    order_tiebreak: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: start/end, event
+    count, and duration (ms).  One additional keyed groupBy on
+    (key, session_seq) — co-partitioned with the sessionize shuffle, so
+    AQE elides the second exchange."""
+    s = sessionize(df, key, ts_col, order_tiebreak, gap_minutes)
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        s.groupBy(key, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            ((F.max(us) - F.min(us)) / F.lit(1000)).cast("long").alias("duration_ms"),
+        )
+    )
+
+
+def ewma_trailing(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.2,
+    lookback: int = 50,
+    out: str = "ewma",
+    value_digits: int = 4,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing
+    ``lookback`` observations of each key (pandas ``ewm(adjust=False)``
+    recurrence, restarted at the frame head):
+
+        acc = x_0;  acc = (1 - alpha) * acc + alpha * x_i
+
+    Truncating to a bounded ROWS frame is what makes the operator
+    scale-safe BY CONSTRUCTION: the closed-form alternative
+    (``sum(x * (1-a)^(-i)) * (1-a)^t``) overflows doubles for long
+    keys, and an unbounded fold would hold a whole key's history per
+    row.  The truncation error is bounded by ``(1-alpha)^lookback``
+    (~1e-5 at the defaults) — documented, not silent.
+
+    Cross-engine determinism: values quantize to scaled BIGINTs first,
+    the frame's ROWS order is the deterministic ``(ts, tiebreak)``, and
+    the fold is the same left-to-right scalar IEEE sequence both
+    engines run (DuckDB twin: ``list(...) OVER`` + ``list_reduce``) —
+    so results are bit-identical, not approximately equal.  One shuffle
+    on ``key``; frames never exceed ``lookback`` elements."""
+    scale = float(10**value_digits)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    hist = F.collect_list(xs).over(w)  # frame order == window order
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(hist, 2, lookback),
+        F.element_at(hist, 1).cast("double"),
+        lambda acc, x: (F.lit(1.0) - a) * acc + a * x.cast("double"),
+    )
+    return df.withColumn(out, F.round(folded / F.lit(scale), 6))

@@ -181,3 +181,127 @@ def test_grouped_spearman_matches_scipy_formula(spark):
     rx, ry = avg_ranks(x), avg_ranks(y)
     expect = np.corrcoef(rx, ry)[0, 1]
     assert got == round(float(expect), 6)  # operator rounds to 6
+
+
+# --- sessionize / session_stats ------------------------------------------
+
+
+def _session_events(spark):
+    """Two users; user A has three sessions separated by >30 min gaps,
+    user B one session.  Timestamps in minutes from epoch."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user A: events at 0,5,10 | 60,62 | 200  (gaps 50 and 138 min)
+    for i, m in enumerate([0, 5, 10, 60, 62, 200]):
+        rows.append((1, i, t0 + timedelta(minutes=m), float(m)))
+    # user B: 0, 29, 58 — gaps exactly 29 min, one session
+    for i, m in enumerate([0, 29, 58]):
+        rows.append((2, 10 + i, t0 + timedelta(minutes=m), float(m)))
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+
+def test_sessionize_gap_islands(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        session_stats,
+        sessionize,
+    )
+
+    df = _session_events(spark)
+    out = sessionize(df, "user_id", "ts", "event_id", gap_minutes=30)
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in out.collect()
+    }
+    assert [got[(1, i)] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert [got[(2, 10 + i)] for i in range(3)] == [0, 0, 0]  # 30-min gap inclusive
+
+    st = {
+        (r.user_id, r.session_seq): r
+        for r in session_stats(df, "user_id", "ts", "event_id", gap_minutes=30).collect()
+    }
+    assert st[(1, 0)].n_events == 3 and st[(1, 0)].duration_ms == 10 * 60_000
+    assert st[(1, 1)].n_events == 2 and st[(1, 1)].duration_ms == 2 * 60_000
+    assert st[(1, 2)].n_events == 1 and st[(1, 2)].duration_ms == 0
+    assert st[(2, 0)].n_events == 3
+
+
+def test_sessionize_matches_duckdb_islands_sql(spark):
+    # prototype of the r05 oracle: identical islands formulation in DuckDB
+    import duckdb
+
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import sessionize
+
+    df = _session_events(spark)
+    out = sessionize(df, "user_id", "ts", "event_id", gap_minutes=30)
+    got = sorted(
+        (r.user_id, r.event_id, r.session_seq) for r in out.collect()
+    )
+    pdf = df.toPandas()
+    want = duckdb.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM pdf)
+        SELECT user_id, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+        """
+    ).fetchall()
+    assert got == sorted((int(u), int(e), int(s)) for u, e, s in want)
+
+
+# --- trailing EWMA -------------------------------------------------------
+
+
+def test_ewma_trailing_matches_python_fold(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import ewma_trailing
+
+    rng = np.random.default_rng(3)
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for k in (1, 2):
+        xs = [round(float(v), 4) for v in rng.uniform(-100, 100, 120)]
+        series[k] = xs
+        rows += [(k, i, t0 + timedelta(seconds=i), xs[i]) for i in range(len(xs))]
+    df = spark.createDataFrame(rows, "k long, i long, ts timestamp, x double")
+    alpha, lookback = 0.2, 50
+    out = ewma_trailing(df, "k", "ts", "x", "i", alpha=alpha, lookback=lookback)
+    got = {(r.k, r.i): r.ewma for r in out.collect()}
+    for k, xs in series.items():
+        scaled = [round(x * 10_000) for x in xs]
+        for t in range(len(xs)):
+            frame = scaled[max(0, t - lookback + 1) : t + 1]
+            acc = float(frame[0])
+            for v in frame[1:]:
+                acc = (1.0 - alpha) * acc + alpha * float(v)
+            assert got[(k, t)] == round(acc / 10_000, 6), (k, t)
+
+
+def test_ewma_trailing_truncation_is_negligible(spark):
+    # the bounded frame tracks the unbounded recurrence within (1-a)^L
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import ewma_trailing
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(4)
+    t0 = datetime(2024, 1, 1)
+    xs = [round(float(v), 4) for v in rng.uniform(0, 10, 300)]
+    rows = [(1, i, t0 + timedelta(seconds=i), xs[i]) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, i long, ts timestamp, x double")
+    out = ewma_trailing(df, "k", "ts", "x", "i", alpha=0.2, lookback=50)
+    got = {r.i: r.ewma for r in out.collect()}
+    acc = xs[0]
+    for i in range(1, 300):
+        acc = 0.8 * acc + 0.2 * xs[i]
+        if i >= 49:
+            assert abs(got[i] - acc) < 10 * (0.8 ** 50) * 10  # scaled bound
