@@ -168,3 +168,58 @@ def merge_upsert(
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+
+
+def quantize_linear(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    suffix: str = "_q",
+) -> DataFrame:
+    """Auto-quantization front end for :func:`zorder_key` /
+    :func:`write_zordered`: linearly buckets each continuous column into
+    ``[0, 2^bits)`` from its OWN fitted min/max, so callers don't have
+    to hand-pick a grid step per column.
+
+    Two-pass shape (the scaler-family pattern): one tiny min/max
+    aggregate row broadcasts, then bucketing is a map-side expression.
+    Zero-spread guard: a constant column buckets to 0 (no 0/0), and
+    NULLs bucket to 0 so they cluster together at the key's low end.
+    Linear bucketing keeps the grid deterministic and
+    engine-reproducible; heavily skewed columns can pre-transform
+    (log, rank) first — the downstream interleave is agnostic."""
+    hi = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__zmin_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__zmax_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        spread = F.col(f"__zmax_{c}") - F.col(f"__zmin_{c}")
+        frac = (F.col(c).cast("double") - F.col(f"__zmin_{c}")) / spread
+        out = out.withColumn(
+            c + suffix,
+            F.when(
+                F.col(c).isNull() | (spread == 0), F.lit(0).cast("long")
+            ).otherwise(
+                F.least(F.floor(frac * F.lit(float(hi + 1))).cast("long"), F.lit(hi))
+            ),
+        )
+    return out.drop(
+        *[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols]
+    )
+
+
+def zorder_index(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out: str = "zorder",
+) -> DataFrame:
+    """Convenience composition: :func:`quantize_linear` the continuous
+    ``cols``, interleave the buckets with :func:`zorder_key`, drop the
+    bucket columns.  See those two for the scale/semantics story."""
+    q = quantize_linear(df, cols, bits=bits)
+    return q.withColumn(
+        out, zorder_key([c + "_q" for c in cols], bits)
+    ).drop(*[c + "_q" for c in cols])

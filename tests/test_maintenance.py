@@ -161,3 +161,88 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert rows[0] == ("old", None)  # old generation null-extends
     assert rows[6] == ("new", 60)
     assert len(rows) == 8
+
+
+# --- Z-order clustering ---------------------------------------------------
+
+
+def _morton(xb, yb, bits):
+    z = 0
+    for j in range(bits):
+        z |= ((xb >> j) & 1) << (j * 2)
+        z |= ((yb >> j) & 1) << (j * 2 + 1)
+    return z
+
+
+def test_zorder_index_matches_python_morton(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import zorder_index
+
+    bits = 4
+    n = 1 << bits
+    rows = [(x * n + y, float(x), float(y)) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: r.zorder for r in zorder_index(df, ["x", "y"], bits=bits).collect()}
+    hi = n - 1
+    for x in range(n):
+        for y in range(n):
+            # linear quantization over [0, 15] maps value v -> bucket v
+            xb = min(int(x / hi * n), hi)
+            yb = min(int(y / hi * n), hi)
+            assert out[x * n + y] == _morton(xb, yb, bits), (x, y)
+
+
+def test_zorder_locality_quadrants(spark):
+    # the top 2 interleaved bits split the grid into its four quadrants:
+    # range-bucketing by zorder must bound BOTH dimensions, which a
+    # compound sort cannot do for the trailing column
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import zorder_index
+    from pyspark.sql import functions as F
+
+    bits = 4
+    n = 1 << bits
+    rows = [(float(x), float(y)) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    z = zorder_index(df, ["x", "y"], bits=bits)
+    quad = z.withColumn("q", F.shiftright("zorder", 2 * bits - 2))
+    spans = (
+        quad.groupBy("q")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    assert len(spans) == 4
+    for r in spans:
+        assert r.cnt == n * n / 4
+        assert r.sx <= n / 2 - 1 and r.sy <= n / 2 - 1
+
+
+def test_zorder_nulls_and_constant_cols(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import zorder_index
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, 3.0, 5.0), (3, 9.0, 5.0)], "id long, x double, y double"
+    )
+    out = {r.id: r.zorder for r in zorder_index(df, ["x", "y"], bits=4).collect()}
+    # y constant -> contributes bucket 0 everywhere; null x -> bucket 0
+    assert out[1] == 0
+    assert out[2] == 0  # x = min -> bucket 0
+    assert out[3] > 0
+
+
+def test_quantize_linear_feeds_write_zordered(spark, tmp_path):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        quantize_linear,
+        write_zordered,
+    )
+
+    rows = [(i, float(i % 37), float(i % 11)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    q = quantize_linear(df, ["x", "y"], bits=6)
+    path = str(tmp_path / "zt")
+    write_zordered(q, path, ["x_q", "y_q"], bits=6, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert {"id", "x", "y", "x_q", "y_q"} == set(back.columns)
