@@ -170,3 +170,62 @@ def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFram
     out = filled.join(F.broadcast(carry_df), "__pid", "left")
     out = out.withColumns({c: F.coalesce(F.col(f"`{c}`"), F.col(f"`__carry_{c}`")) for c in cols})
     return out.drop("__pid", *[f"__carry_{c}" for c in cols])
+
+
+def interpolate_linear(
+    df: DataFrame,
+    cols: list[str],
+    order_by: str,
+    partition_by: list[str] | None = None,
+    x_col: str | None = None,
+    global_row_cap: int | None = GLOBAL_WINDOW_ROW_CAP,
+) -> DataFrame:
+    """Linear interpolation of null runs — the gap-AWARE member of the
+    impute family (ffill/bfill repeat a neighbor; this draws the line
+    between both neighbors).  pandas ``Series.interpolate`` semantics:
+    interior nulls take ``prev + (next - prev) * (x - x_prev) /
+    (x_next - x_prev)``, LEADING nulls stay null (no left endpoint),
+    TRAILING nulls forward-fill (pandas' default limit_direction).
+
+    ``x_col=None`` interpolates on row POSITION (pandas
+    ``method='linear'``); a numeric ``x_col`` (e.g. epoch seconds)
+    time-weights the line (pandas ``method='values'``).  Duplicate x at
+    both endpoints degrades to the previous value (no 0/0).
+
+    Plan: the same one-sort window pair as :func:`ffill_bfill` — four
+    windowed expressions per column over ONE keyed (exchange, sort),
+    everything else map-side; parallel across keys.  Keyless calls past
+    ``global_row_cap`` are refused (the single-partition-window
+    landmine, `GLOBAL_WINDOW_ROW_CAP`): interpolation needs BOTH
+    neighbors, so the ffill two-pass carry trick doesn't transfer —
+    pre-key the data or raise the cap explicitly."""
+    if not partition_by and _exceeds(df, global_row_cap):
+        raise ValueError(
+            "interpolate_linear: keyless input exceeds global_row_cap "
+            f"({global_row_cap}); supply partition_by or raise the cap"
+        )
+    wb = _window(order_by, partition_by, forward=True)
+    wf = _window(order_by, partition_by, forward=False)
+    if x_col is None:
+        ww = (
+            Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        ).orderBy(F.col(order_by).asc())
+        x = F.row_number().over(ww).cast("double")
+    else:
+        x = F.col(x_col).cast("double")
+    out = df.withColumn("__x", x)
+    for c in cols:
+        v = F.col(f"`{c}`")
+        pv = F.last(v, ignorenulls=True).over(wb)
+        px = F.last(F.when(v.isNotNull(), F.col("__x")), ignorenulls=True).over(wb)
+        nv = F.first(v, ignorenulls=True).over(wf)
+        nx = F.first(F.when(v.isNotNull(), F.col("__x")), ignorenulls=True).over(wf)
+        interp = pv + (nv - pv) * (F.col("__x") - px) / (nx - px)
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v)
+            .when(pv.isNull(), F.lit(None))
+            .when(nv.isNull() | (nx == px), pv)
+            .otherwise(interp),
+        )
+    return out.drop("__x")

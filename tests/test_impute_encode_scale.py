@@ -220,3 +220,57 @@ def test_scalers_zero_spread_degrade_to_centering(spark):
     for fn in (zscore_scale, zscore_scale_exact, robust_scale, minmax_scale, mad_scale):
         vals = [r.x_s for r in fn(df, ["x"], suffix="_s").collect()]
         assert all(v == 0.0 and math.isfinite(v) for v in vals), fn.__name__
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.operators.impute import interpolate_linear
+
+    rng = np.random.default_rng(9)
+    rows = []
+    series = {}
+    for k in ("a", "b"):
+        vals = [round(float(v), 3) for v in rng.uniform(-50, 50, 60)]
+        mask = rng.uniform(size=60) < 0.35
+        vals = [None if m else v for v, m in zip(vals, mask)]
+        # force the edge cases: leading + trailing null runs
+        vals[0] = vals[1] = None
+        vals[-1] = None
+        series[k] = vals
+        rows += [(k, i, vals[i]) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = interpolate_linear(df, ["v"], order_by="i", partition_by=["k"])
+    got = {(r.k, r.i): r.v for r in out.collect()}
+    for k, vals in series.items():
+        want = pd.Series(vals, dtype="float64").interpolate(method="linear")
+        for i in range(60):
+            w = want.iloc[i]
+            g = got[(k, i)]
+            if pd.isna(w):
+                assert g is None, (k, i)
+            else:
+                assert g is not None and abs(g - w) < 1e-9, (k, i, g, w)
+
+
+def test_interpolate_linear_time_weighted(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.impute import interpolate_linear
+
+    # x spacing 1:3 — value interpolation must honor the abscissa
+    rows = [(0, 0.0, 0.0), (1, 10.0, None), (2, 40.0, 8.0)]
+    df = spark.createDataFrame(rows, "i long, x double, v double")
+    out = {r.i: r.v for r in interpolate_linear(
+        df, ["v"], order_by="i", x_col="x"
+    ).collect()}
+    assert out[1] == 2.0  # 0 + (8-0) * (10-0)/(40-0)
+
+
+def test_interpolate_linear_keyless_cap_refuses(spark):
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.operators.impute import interpolate_linear
+
+    df = spark.range(100).withColumn("v", F.lit(1.0))
+    with pytest.raises(ValueError, match="global_row_cap"):
+        interpolate_linear(df, ["v"], order_by="id", global_row_cap=10)
