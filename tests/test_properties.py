@@ -232,3 +232,43 @@ def test_duplicated_spans_match_bruteforce(spark, seed, n_docs, vocab, k):
         duplicated_spans(df, k=k, materialize=False), df
     ).collect()
     assert all(0.0 <= r.dup_fraction <= 1.0 for r in fr)
+
+
+def test_r04_operators_partitioning_invariant(spark):
+    """sessionize / ewma_trailing / interpolate_linear must return
+    identical values under any input partitioning — the determinism
+    property every keyed-window operator claims in its docstring."""
+    from datetime import datetime, timedelta
+
+    from image_matadata_batchprocessing_aws_spark.operators.impute import interpolate_linear
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        ewma_trailing,
+        sessionize,
+    )
+
+    rng = np.random.default_rng(12)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for k in range(5):
+        t = 0
+        for i in range(80):
+            t += int(rng.integers(1, 90))  # minutes; some gaps > 30
+            v = None if rng.uniform() < 0.2 else round(float(rng.uniform(0, 9)), 3)
+            rows.append((k, i, t0 + timedelta(minutes=t), v))
+    df = spark.createDataFrame(rows, "k long, i long, ts timestamp, v double")
+
+    def run(frame):
+        s = sessionize(frame, "k", "ts", "i", gap_minutes=30)
+        e = ewma_trailing(
+            frame.where(F.col("v").isNotNull()), "k", "ts", "v", "i", lookback=20
+        )
+        ii = interpolate_linear(frame, ["v"], order_by="ts", partition_by=["k"])
+        return (
+            sorted((r.k, r.i, r.session_seq) for r in s.collect()),
+            sorted((r.k, r.i, r.ewma) for r in e.collect()),
+            sorted((r.k, r.i, r.v) for r in ii.collect()),
+        )
+
+    a = run(df.repartition(13))
+    b = run(df.repartition(2, "k"))
+    assert a == b
