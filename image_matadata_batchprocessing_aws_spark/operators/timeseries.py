@@ -354,3 +354,36 @@ def ewma_trailing(
         lambda acc, x: (F.lit(1.0) - a) * acc + a * x.cast("double"),
     )
     return df.withColumn(out, F.round(folded / F.lit(scale), 6))
+
+
+def rolling_quantile(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    q: float = 0.5,
+    lookback: int = 20,
+    min_periods: int = 1,
+    out: str = "rolling_q",
+) -> DataFrame:
+    """Exact interpolated quantile over the trailing ``lookback``
+    observations of each key (current row included) — the robust
+    sibling of :func:`rolling_anomaly_zscore`'s mean/std baseline, for
+    median-smoothing and rolling-IQR outlier bands on noisy series.
+
+    ``percentile`` runs as a windowed aggregate over the same bounded
+    ROWS frame the rest of the trailing family uses: one shuffle on the
+    key, frames never exceed ``lookback`` elements, and Spark's exact
+    interpolated percentile matches DuckDB ``quantile_cont`` over the
+    identical frame bit-for-bit (the ``robust_scale`` parity argument),
+    so the operator oracles exactly.  Rows with fewer than
+    ``min_periods`` trailing observations emit null."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    qv = F.percentile(F.col(value_col), F.lit(float(q))).over(w)
+    n = F.count(F.col(value_col)).over(w)
+    return df.withColumn(out, F.when(n >= min_periods, F.round(qv, 6)))

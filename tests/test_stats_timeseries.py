@@ -305,3 +305,31 @@ def test_ewma_trailing_truncation_is_negligible(spark):
         acc = 0.8 * acc + 0.2 * xs[i]
         if i >= 49:
             assert abs(got[i] - acc) < 10 * (0.8 ** 50) * 10  # scaled bound
+
+
+def test_rolling_quantile_matches_pandas(spark):
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import rolling_quantile
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(6)
+    t0 = datetime(2024, 1, 1)
+    series = {}
+    rows = []
+    for k in (1, 2):
+        xs = [round(float(v), 3) for v in rng.uniform(-20, 20, 90)]
+        series[k] = xs
+        rows += [(k, i, t0 + timedelta(seconds=i), xs[i]) for i in range(90)]
+    df = spark.createDataFrame(rows, "k long, i long, ts timestamp, x double")
+    out = rolling_quantile(df, "k", "ts", "x", "i", q=0.5, lookback=15, min_periods=5)
+    got = {(r.k, r.i): r.rolling_q for r in out.collect()}
+    for k, xs in series.items():
+        want = pd.Series(xs).rolling(15, min_periods=5).median()
+        for i in range(90):
+            w = want.iloc[i]
+            g = got[(k, i)]
+            if pd.isna(w):
+                assert g is None
+            else:
+                assert abs(g - round(w, 6)) < 1e-9, (k, i)
