@@ -175,7 +175,7 @@ def ffill_partitioned(df: DataFrame, cols: list[str], order_by: str) -> DataFram
 def interpolate_linear(
     df: DataFrame,
     cols: list[str],
-    order_by: str,
+    order_by: str | list[str],
     partition_by: list[str] | None = None,
     x_col: str | None = None,
     global_row_cap: int | None = GLOBAL_WINDOW_ROW_CAP,
@@ -198,19 +198,24 @@ def interpolate_linear(
     ``global_row_cap`` are refused (the single-partition-window
     landmine, `GLOBAL_WINDOW_ROW_CAP`): interpolation needs BOTH
     neighbors, so the ffill two-pass carry trick doesn't transfer —
-    pre-key the data or raise the cap explicitly."""
+    pre-key the data or raise the cap explicitly.
+
+    ``order_by`` may be a list for a composite sort (timestamp plus a
+    tiebreak) — pass one so ties can't make neighbor choice
+    partitioning-dependent."""
     if not partition_by and _exceeds(df, global_row_cap):
         raise ValueError(
             "interpolate_linear: keyless input exceeds global_row_cap "
             f"({global_row_cap}); supply partition_by or raise the cap"
         )
-    wb = _window(order_by, partition_by, forward=True)
-    wf = _window(order_by, partition_by, forward=False)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    base = (
+        Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(*[F.col(c).asc() for c in order_cols])
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
     if x_col is None:
-        ww = (
-            Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
-        ).orderBy(F.col(order_by).asc())
-        x = F.row_number().over(ww).cast("double")
+        x = F.row_number().over(base).cast("double")
     else:
         x = F.col(x_col).cast("double")
     out = df.withColumn("__x", x)

@@ -1,0 +1,143 @@
+"""Oracle-ready queries for the r04 operator additions, QUEUED for r05
+registration (registry growth frozen in r04 while the driver-evidence
+backlog drains — VERDICT r3 item 1).
+
+This module is deliberately NOT in ``queries.__init__._MODULES``;
+``tests/test_r05_queue.py`` runs every pair through the same
+normalize-and-compare harness ``tools/check_oracle.py`` uses, so the
+queries carry full oracle-level confidence today and r05 registration
+is a one-line module append.
+
+Float-parity notes (the house rules, same as ``queries/etl.py``):
+values quantize to scaled BIGINTs before any accumulation, and both
+engines run the SAME textual scalar arithmetic — including writing
+``(1.0 - 0.2)`` rather than ``0.8`` in the EWMA oracle, because the
+subtraction's double differs from the literal by 1 ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+EWMA_ALPHA = 0.2
+EWMA_LOOKBACK = 20
+RQ_LOOKBACK = 15
+RQ_MIN_PERIODS = 5
+
+
+def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user trailing EWMA of event values (nulls filtered — Spark's
+    ``collect_list`` skips nulls while DuckDB's ``list`` keeps them, so
+    the contract excludes them explicitly)."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import ewma_trailing
+
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    out = ewma_trailing(
+        e, "user_id", "ts", "value", "event_id",
+        alpha=EWMA_ALPHA, lookback=EWMA_LOOKBACK,
+    )
+    return out.select("user_id", "event_id", "ewma")
+
+
+def etl_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentinel-null linear interpolation: error-event values null out
+    (the ``etl_sentinel_ffill`` convention), then interpolate
+    time-weighted on epoch-ms — the gap-aware upgrade of that query's
+    ffill."""
+    from image_matadata_batchprocessing_aws_spark.operators.impute import interpolate_linear
+
+    e = (
+        t(spark, sf, "events")
+        .withColumn("ts_ms", F.unix_millis("ts"))
+        .withColumn(
+            "v", F.when(F.col("event_type") != "error", F.col("value"))
+        )
+    )
+    out = interpolate_linear(
+        e, ["v"], order_by=["ts_ms", "event_id"], partition_by=["user_id"],
+        x_col="ts_ms",
+    )
+    return out.select(
+        "user_id", "event_id", F.round(F.col("v"), 6).alias("v_interp")
+    )
+
+
+def ts_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import rolling_quantile
+
+    e = t(spark, sf, "events")
+    out = rolling_quantile(
+        e, "user_id", "ts", "value", "event_id",
+        q=0.5, lookback=RQ_LOOKBACK, min_periods=RQ_MIN_PERIODS,
+    )
+    return out.select("user_id", "event_id", "rolling_q")
+
+
+QUERIES = {
+    "ts_ewma": ts_ewma,
+    "etl_interpolate": etl_interpolate,
+    "ts_rolling_median": ts_rolling_median,
+}
+
+ORACLES = {
+    "ts_ewma": f"""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                 CAST(round(value * 10000.0) AS BIGINT) AS xs
+          FROM events WHERE value IS NOT NULL),
+        l AS (
+          SELECT user_id, event_id,
+                 list(xs) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING
+                                AND CURRENT ROW) AS hist
+          FROM b)
+        SELECT user_id, event_id,
+               round(list_reduce(
+                       list_transform(hist, x -> CAST(x AS DOUBLE)),
+                       (acc, x) -> (1.0 - {EWMA_ALPHA}) * acc + {EWMA_ALPHA} * x
+                     ) / 10000.0, 6) AS ewma
+        FROM l
+    """,
+    "etl_interpolate": """
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN event_type <> 'error' THEN value END AS v
+          FROM events),
+        n AS (
+          SELECT user_id, event_id, v, CAST(ts_ms AS DOUBLE) AS x,
+                 last_value(v IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL
+                                 THEN CAST(ts_ms AS DOUBLE) END IGNORE NULLS)
+                   OVER wb AS px,
+                 first_value(v IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN v IS NOT NULL
+                                  THEN CAST(ts_ms AS DOUBLE) END IGNORE NULLS)
+                   OVER wf AS nx
+          FROM b
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, event_id,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NULL THEN NULL
+                          WHEN nv IS NULL OR nx = px THEN pv
+                          ELSE pv + (nv - pv) * (x - px) / (nx - px)
+                     END, 6) AS v_interp
+        FROM n
+    """,
+    "ts_rolling_median": f"""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+        SELECT user_id, event_id,
+               CASE WHEN count(value) OVER w >= {RQ_MIN_PERIODS}
+                    THEN round(quantile_cont(value, 0.5) OVER w, 6)
+               END AS rolling_q
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN {RQ_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+    """,
+}
