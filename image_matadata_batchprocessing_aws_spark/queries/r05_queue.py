@@ -141,3 +141,49 @@ ORACLES = {
                      ROWS BETWEEN {RQ_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
     """,
 }
+
+
+def etl_zorder_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """Auto-quantized Z-order key (maintenance.quantize_linear feeding
+    zorder_key): per-column min/max fit in one broadcast row, map-side
+    bucketing with null/zero-spread guards, then the bit interleave —
+    the no-hand-tuning version of ``etl_zorder_key``."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        quantize_linear,
+        zorder_key,
+    )
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.col("c_nationkey").cast("double").alias("nat"),
+    )
+    q = quantize_linear(c, ["bal", "nat"], bits=8)
+    return q.select(
+        "c_custkey",
+        "bal_q",
+        "nat_q",
+        zorder_key(["bal_q", "nat_q"], bits=8).alias("zkey"),
+    )
+
+
+ORACLES["etl_zorder_auto"] = """
+    WITH st AS (SELECT min(CAST(c_acctbal AS DOUBLE)) AS mn_bal,
+                       max(CAST(c_acctbal AS DOUBLE)) AS mx_bal,
+                       min(CAST(c_nationkey AS DOUBLE)) AS mn_nat,
+                       max(CAST(c_nationkey AS DOUBLE)) AS mx_nat
+                FROM customer),
+    b AS (SELECT c_custkey,
+                 CAST(c_acctbal AS DOUBLE) AS bal,
+                 CAST(c_nationkey AS DOUBLE) AS nat,
+                 mn_bal, mx_bal, mn_nat, mx_nat
+          FROM customer, st),
+    q AS (SELECT c_custkey,
+                 CASE WHEN bal IS NULL OR (mx_bal - mn_bal) = 0 THEN 0 ELSE least(CAST(floor(((bal - mn_bal) / (mx_bal - mn_bal)) * 256.0) AS BIGINT), 255) END AS bal_q,
+                 CASE WHEN nat IS NULL OR (mx_nat - mn_nat) = 0 THEN 0 ELSE least(CAST(floor(((nat - mn_nat) / (mx_nat - mn_nat)) * 256.0) AS BIGINT), 255) END AS nat_q
+          FROM b)
+    SELECT c_custkey, bal_q, nat_q,
+           CAST((((bal_q >> 0) & 1) << 0) + (((bal_q >> 1) & 1) << 2) + (((bal_q >> 2) & 1) << 4) + (((bal_q >> 3) & 1) << 6) + (((bal_q >> 4) & 1) << 8) + (((bal_q >> 5) & 1) << 10) + (((bal_q >> 6) & 1) << 12) + (((bal_q >> 7) & 1) << 14) + (((nat_q >> 0) & 1) << 1) + (((nat_q >> 1) & 1) << 3) + (((nat_q >> 2) & 1) << 5) + (((nat_q >> 3) & 1) << 7) + (((nat_q >> 4) & 1) << 9) + (((nat_q >> 5) & 1) << 11) + (((nat_q >> 6) & 1) << 13) + (((nat_q >> 7) & 1) << 15) AS BIGINT) AS zkey
+    FROM q
+"""
+QUERIES["etl_zorder_auto"] = etl_zorder_auto
