@@ -41,18 +41,20 @@ def stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Batch sessionization: gap > 30 min starts a new session (the batch
-    twin of ``session_window(ts, gap)``)."""
-    e = t(spark, sf, "events").withColumn("ts_ms", F.unix_millis("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    e = e.withColumn(
-        "is_new",
-        F.when(
-            F.col("ts_ms") - F.lag("ts_ms").over(w) > F.lit(GAP_MS), F.lit(1)
-        ).otherwise(F.when(F.lag("ts_ms").over(w).isNull(), F.lit(1)).otherwise(F.lit(0))),
+    twin of ``session_window(ts, gap)``), via the reusable
+    ``timeseries.sessionize`` islands operator (its 0-based per-key
+    ``session_seq`` shifts to this query's 1-based ``session_idx``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import sessionize
+
+    # truncate to ms BEFORE sessionizing: the oracle compares gaps in
+    # epoch-ms, so sub-ms timestamp precision (driver-regenerated events
+    # have varied) must not shift a boundary-exact gap or the sort order
+    e = t(spark, sf, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis("ts"))
     )
-    e = e.withColumn(
-        "session_idx",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    e = sessionize(e, "user_id", "ts", "event_id", gap_minutes=30)
+    e = e.withColumn("ts_ms", F.unix_millis("ts")).withColumn(
+        "session_idx", F.col("session_seq") + 1
     )
     return e.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
