@@ -187,3 +187,97 @@ ORACLES["etl_zorder_auto"] = """
     FROM q
 """
 QUERIES["etl_zorder_auto"] = etl_zorder_auto
+
+
+def semdedup_bounded_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-checkable invariants for the budget-bounded SemDeDup
+    (``semantic_dedup_bounded``) run with a pair budget small enough to
+    force hot-cell sub-splitting on this corpus: labeling must still
+    cover every vector, keep exactly one representative per component,
+    keep the minimum id, and never label upward.  The oracle states the
+    invariants as constants plus the SQL-computed corpus size (the
+    ``kmeans_invariants`` pattern — a driver row turns red if the
+    splitting machinery ever breaks the output contract)."""
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import (
+        semantic_dedup_bounded,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        SEM_THRESHOLD,
+        _emb,
+        _fixed_centroids,
+    )
+
+    e = _emb(spark, sf)
+    cents = _fixed_centroids(e)
+    out = semantic_dedup_bounded(
+        e, cents, vec_col="e", id_col="vec_id",
+        threshold=SEM_THRESHOLD, pair_budget=200,
+    )
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.min("vec_id").alias("min_id"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col("component") <= F.col("vec_id")).alias("component_le_id"),
+        F.min(F.col("keep") == (F.col("vec_id") == F.col("component"))).alias(
+            "keep_is_component_rep"
+        ),
+    ).crossJoin(
+        per_comp.agg(
+            F.min(F.col("n_keep") == 1).alias("one_keep_per_component"),
+            F.min(F.col("min_id") == F.col("component")).alias("component_is_min_id"),
+        )
+    )
+
+
+def text_bpe_first_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE round-0 with a full oracle (the ``kmeans_round_update``
+    pattern): the first merge is the argmax over frequency-weighted
+    adjacent character pairs of the initial symbol table — exactly
+    SQL-expressible, so the pair-counting + argmax-tiebreak machinery
+    the whole trainer iterates gets an exact DuckDB row.  The ITERATION
+    is pinned by the Sennrich worked-example unit test."""
+    from image_matadata_batchprocessing_aws_spark.operators.bpe import bpe_train, word_freq
+
+    docs = t(spark, sf, "documents")
+    merges, _ = bpe_train(word_freq(docs, "text"), n_merges=1, min_count=2)
+    rows = [(r, a, b, c) for r, a, b, c in merges]
+    return spark.createDataFrame(
+        rows, "merge_rank int, merge_left string, merge_right string, pair_count long"
+    )
+
+
+QUERIES["semdedup_bounded_checks"] = semdedup_bounded_checks
+QUERIES["text_bpe_first_merge"] = text_bpe_first_merge
+
+ORACLES["semdedup_bounded_checks"] = """
+    SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+           true AS component_le_id,
+           true AS keep_is_component_rep,
+           true AS one_keep_per_component,
+           true AS component_is_min_id
+"""
+
+ORACLES["text_bpe_first_merge"] = r"""
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w
+            FROM documents)
+      GROUP BY 1),
+    p AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS a,
+             CASE WHEN i < length(word)
+                  THEN substr(word, CAST(i + 1 AS INT), 1)
+                  ELSE '</w>' END AS b,
+             freq
+      FROM words, LATERAL unnest(range(1, length(word) + 1)) AS u(i))
+    SELECT CAST(0 AS INT) AS merge_rank,
+           a AS merge_left, b AS merge_right,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM p
+    GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 1
+"""
