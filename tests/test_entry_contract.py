@@ -73,6 +73,12 @@ def test_parity_doc_tally_matches_registry():
     assert m, "PARITY.md registry-tally paragraph missing"
     assert int(m.group(1)) == len(entrymod.queries())
     assert int(m.group(2)) == len(entrymod.oracle_sql())
+    # README quotes the same tally — lock it too (it drifted in r04)
+    readme = open("/root/repo/README.md").read()
+    m2 = re.search(r"\((\d+) entries, (\d+) with exact DuckDB oracles", readme)
+    assert m2, "README.md registry-tally sentence missing"
+    assert int(m2.group(1)) == len(entrymod.queries())
+    assert int(m2.group(2)) == len(entrymod.oracle_sql())
 
 
 def test_track_persist_release(spark):
