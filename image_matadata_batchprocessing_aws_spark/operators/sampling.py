@@ -305,3 +305,56 @@ def weighted_sample_grouped(
         .where(F.col("wrank") <= n_per_group)
         .drop("__wkey")
     )
+
+
+def negative_sample(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive-pair
+    building: each anchor draws ``k`` pseudo-random corpus rows via
+    hash-derived indices into an id-ordered corpus index —
+    ``idx_j = md5(anchor || j || seed) % N``.  Hash-derived like every
+    sampler in this module: rerun-stable, partitioning-independent, and
+    SQL-expressible, so the draw is exactly oracle-able.
+
+    An anchor that draws ITSELF drops that draw (no redraw — a
+    deterministic redraw chain is unbounded; callers needing exactly k
+    request k+1 and trim).  Returns (anchor_id, neg_rank, neg_id).
+
+    Scale shape: the corpus index comes from the two-pass
+    :func:`~image_matadata_batchprocessing_aws_spark.operators.batching.global_row_number`
+    (range shuffle + broadcast offsets, no single-partition window); the
+    draw table is anchors x k rows built map-side; resolution is one
+    equi-join on the index (AQE broadcasts it when the anchor set is
+    small).  N is a 1-row count — fit-statistic class."""
+    from image_matadata_batchprocessing_aws_spark.operators.batching import (
+        global_row_number,
+    )
+
+    n = corpus.select(id_col).count()
+    if n == 0:
+        raise ValueError("negative_sample: empty corpus")
+    indexed = global_row_number(corpus.select(id_col), [id_col], out="__idx")
+    draws = anchors.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank", "__j"),
+    )
+    h = md5_int64(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(SAMPLE_DELIM),
+            F.col("__j").cast("string"),
+            F.lit(SAMPLE_DELIM),
+            F.lit(str(seed)),
+        )
+    )
+    draws = draws.withColumn("__idx", F.pmod(h, F.lit(n)).cast("long")).drop("__j")
+    return (
+        draws.join(indexed, "__idx")
+        .where(F.col(id_col) != F.col("anchor_id"))
+        .select("anchor_id", "neg_rank", F.col(id_col).alias("neg_id"))
+    )

@@ -281,3 +281,47 @@ ORACLES["text_bpe_first_merge"] = r"""
     ORDER BY pair_count DESC, a, b
     LIMIT 1
 """
+
+
+def embedding_negative_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive negatives for every 50th vector: the hash-derived
+    uniform draw (``sampling.negative_sample``) with its exact SQL twin
+    — row_number index, md5-mod draw, equi-join resolution."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        negative_sample,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import _emb
+
+    e = _emb(spark, sf).select("vec_id")
+    anchors = e.where(F.col("vec_id") % 50 == 0)
+    return negative_sample(e, anchors, k=4, seed=9)
+
+
+QUERIES["embedding_negative_sample"] = embedding_negative_sample
+
+
+def _negative_sample_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import SAMPLE_DELIM
+
+    h = md5_int64_sql(
+        f"CAST(anchor_id AS VARCHAR) || '{SAMPLE_DELIM}' || "
+        f"CAST(j AS VARCHAR) || '{SAMPLE_DELIM}' || '9'"
+    )
+    return f"""
+        WITH idx AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS i
+          FROM embeddings),
+        n AS (SELECT count(*) AS n FROM embeddings),
+        d AS (
+          SELECT e.vec_id AS anchor_id, CAST(u.j AS INT) AS neg_rank, u.j,
+                 ({h}) % (SELECT n FROM n) AS i
+          FROM embeddings e, LATERAL unnest(range(0, 4)) AS u(j)
+          WHERE e.vec_id % 50 = 0)
+        SELECT anchor_id, neg_rank, idx.vec_id AS neg_id
+        FROM d JOIN idx USING (i)
+        WHERE idx.vec_id <> anchor_id
+    """
+
+
+ORACLES["embedding_negative_sample"] = _negative_sample_oracle()

@@ -158,3 +158,37 @@ def test_weighted_sample_deterministic_exact_n_and_weight_sensitive(spark):
     assert other != got  # independent draw under a different salt
     plan = weighted_sample(df, "doc_id", "w", 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_negative_sample_deterministic_and_matches_hash(spark):
+    import hashlib
+
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        SAMPLE_DELIM,
+        negative_sample,
+    )
+
+    corpus = spark.createDataFrame([(i,) for i in range(100)], "vec_id long")
+    anchors = spark.createDataFrame([(0,), (7,), (23,)], "vec_id long")
+    out = negative_sample(corpus, anchors, k=4, seed=9)
+    got = {(r.anchor_id, r.neg_rank): r.neg_id for r in out.collect()}
+
+    def draw(a, j):
+        s = f"{a}{SAMPLE_DELIM}{j}{SAMPLE_DELIM}9"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 100
+
+    for a in (0, 7, 23):
+        for j in range(4):
+            idx = draw(a, j)  # ids are 0..99 so index == id
+            if idx == a:
+                assert (a, j) not in got  # self-draw dropped, not redrawn
+            else:
+                assert got[(a, j)] == idx, (a, j)
+    # rerun over a different partitioning: identical
+    again = {
+        (r.anchor_id, r.neg_rank): r.neg_id
+        for r in negative_sample(
+            corpus.repartition(7), anchors.repartition(2), k=4, seed=9
+        ).collect()
+    }
+    assert again == got
