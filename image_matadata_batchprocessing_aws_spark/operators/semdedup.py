@@ -47,11 +47,17 @@ def semantic_pairs(
             "__n", l2_norm(F.col(vec_col))
         )
     )
-    a = assigned.select(
+    # zero-norm vectors have no direction: their cosine is 0/0 = NaN, and
+    # BOTH engines order NaN above every threshold, so an unguarded pair
+    # join would mark a zero vector as a duplicate of its whole cluster.
+    # Exclude them from PAIRING only — semantic_dedup's left join still
+    # returns them as kept singletons.
+    pairable = assigned.where(F.col("__n") != 0)
+    a = pairable.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__n").alias("__na"), "__c",
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
         F.col("__n").alias("__nb"), "__c",
     )
@@ -226,11 +232,14 @@ def semantic_pairs_bounded(
             )
             .drop("__cnt")
         )
-    a = cells.select(
+    # zero-norm guard: see semantic_pairs — NaN cosine orders above any
+    # threshold in both engines, so zero vectors must not enter the join
+    pairable = cells.where(F.col("__n") != 0)
+    a = pairable.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__n").alias("__na"), "__cell",
     )
-    b = cells.select(
+    b = pairable.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
         F.col("__n").alias("__nb"), "__cell",
     )

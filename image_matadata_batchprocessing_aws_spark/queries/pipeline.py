@@ -194,7 +194,9 @@ def _embedding_pipeline_oracle() -> str:
               JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
               JOIN v va ON va.vec_id = a.vec_id
               JOIN v vb ON vb.vec_id = b.vec_id
-              WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= {SEM_THRESHOLD}),
+              WHERE list_dot_product(va.e, va.e) <> 0
+                AND list_dot_product(vb.e, vb.e) <> 0
+                AND round(list_cosine_similarity(va.e, vb.e), 6) >= {SEM_THRESHOLD}),
         edges AS (SELECT id_a AS ea, id_b AS eb FROM p
                   UNION ALL SELECT id_b AS ea, id_a AS eb FROM p),
         reach(src, node) AS (

@@ -170,3 +170,24 @@ def test_bounded_hash_fallback_caps_unsplittable_blob(spark):
         df, cents, threshold=-1.0, pair_budget=budget, enforce_budget=False
     )
     assert free.count() >= 100 * 99 // 2
+
+
+def test_zero_norm_vectors_stay_singletons(spark):
+    # a zero vector's cosine is 0/0 = NaN, which both engines order
+    # above any threshold — unguarded it would pair with its whole
+    # cluster; guarded it must come back as a kept singleton
+    dim = 4
+    cents = [[5.0] + [0.0] * (dim - 1), [-5.0] + [0.0] * (dim - 1)]
+    rows = [
+        (0, [5.0, 0.0, 0.0, 0.0]),
+        (1, [5.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector (assigned somewhere)
+        (3, [-5.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    out = {r.vec_id: (r.component, r.keep) for r in semantic_dedup(
+        df, cents, threshold=0.9
+    ).collect()}
+    assert out[2] == (2, True)       # singleton, kept
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[3] == (3, True)
