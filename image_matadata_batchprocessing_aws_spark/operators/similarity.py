@@ -103,7 +103,14 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k per query.  ``queries`` must be broadcast-sized;
     ``corpus`` stays partitioned (map-side join, partial top-k per
-    partition via the window after AQE coalesces)."""
+    partition via the window after AQE coalesces).
+
+    Precondition (``metric="cosine"``): vectors must be non-zero — a
+    zero norm makes the score 0/0 = NaN, which both Spark and DuckDB
+    rank ABOVE every real score, so a zero corpus vector would top
+    every result list.  Filter zero norms upstream (the semantic-dedup
+    family does this internally; here the ranking contract makes the
+    caller decide).  ``metric="l2"`` is defined for all vectors."""
     pairs = corpus.withColumn("__nc", l2_norm(F.col(vec_c))).crossJoin(
         F.broadcast(queries.withColumn("__nq", l2_norm(F.col(vec_q))))
     )
