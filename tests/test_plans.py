@@ -246,3 +246,20 @@ def test_hll_registers_partial_aggregation(spark):
     df = hll_registers(load_table(spark, SF_CORRECT, "events"), "user_id", [], p=9)
     rep = plan_report(df)
     assert rep["has_partial_agg"] and not rep["python_in_plan"]
+
+
+def test_r05_queue_single_exchange_windows(spark):
+    """The queued window queries (EWMA, interpolation, rolling median)
+    stack every windowed expression on ONE keyed (exchange, sort) — a
+    second hashpartitioning exchange would mean the window specs
+    drifted apart."""
+    import re
+
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    for name in ("ts_ewma", "etl_interpolate", "ts_rolling_median"):
+        df = r05_queue.QUERIES[name](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == 1, (name, n_exchanges)
+        assert_no_python_udf(df)
