@@ -325,3 +325,88 @@ def _negative_sample_oracle() -> str:
 
 
 ORACLES["embedding_negative_sample"] = _negative_sample_oracle()
+
+
+DSIR_BUCKETS = 512
+DSIR_TAKE = 150
+DSIR_SEED = 3
+DSIR_TARGET_SOURCE = "src7"
+
+
+def sample_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select documents
+    whose hashed unigram+bigram distribution matches the ``src7`` target
+    slice — likelihood-ratio scoring + Gumbel top-k, all exactly
+    SQL-expressible (``operators/dsir.py``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.dsir import dsir_resample
+
+    docs = t(spark, sf, "documents")
+    source = docs.select("doc_id", "text")
+    target = docs.where(F.col("source") == DSIR_TARGET_SOURCE).select(
+        "doc_id", "text"
+    )
+    return dsir_resample(
+        source, target, n_take=DSIR_TAKE, buckets=DSIR_BUCKETS, seed=DSIR_SEED
+    )
+
+
+QUERIES["sample_dsir"] = sample_dsir
+
+
+def _dsir_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+    from image_matadata_batchprocessing_aws_spark.operators.dsir import LLR_SCALE
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import SAMPLE_DENOM
+
+    B = DSIR_BUCKETS
+    hg = md5_int64_sql("g")
+    hd = md5_int64_sql(f"CAST(doc_id AS VARCHAR) || chr(31) || '{DSIR_SEED}'")
+    u = f"((({hd}) % {SAMPLE_DENOM} + 1) / {float(SAMPLE_DENOM + 1)!r})"
+
+    def grams(cte: str) -> str:
+        return f"""
+          SELECT doc_id, ({hg}) % {B} AS bucket FROM (
+            SELECT s.doc_id, u.g FROM {cte} s, LATERAL unnest(s.w) AS u(g)
+            UNION ALL
+            SELECT s.doc_id,
+                   s.w[CAST(i AS INT)] || ' ' || s.w[CAST(i + 1 AS INT)] AS g
+            FROM {cte} s, LATERAL unnest(range(1, len(s.w))) AS u(i))
+        """
+
+    return f"""
+        WITH srcw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tgtw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE source = '{DSIR_TARGET_SOURCE}'),
+        sg AS ({grams("srcw")}),
+        tg AS ({grams("tgtw")}),
+        sc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+               FROM sg GROUP BY 1, 2),
+        sdist AS (SELECT bucket, sum(cnt) AS s_cnt FROM sc GROUP BY 1),
+        tdist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+                  FROM tg GROUP BY 1),
+        tot AS (SELECT (SELECT sum(s_cnt) FROM sdist) AS s_total,
+                       (SELECT sum(t_cnt) FROM tdist) AS t_total),
+        llr AS (
+          SELECT coalesce(sdist.bucket, tdist.bucket) AS bucket,
+                 CAST(round((ln((coalesce(t_cnt, 0) + 1.0)
+                                / (CAST(t_total AS DOUBLE) + {float(B)!r}))
+                           - ln((coalesce(s_cnt, 0) + 1.0)
+                                / (CAST(s_total AS DOUBLE) + {float(B)!r})))
+                           * {float(LLR_SCALE)!r}) AS BIGINT) AS llr_scaled
+          FROM sdist FULL JOIN tdist ON sdist.bucket = tdist.bucket, tot),
+        scores AS (
+          SELECT sc.doc_id,
+                 sum(sc.cnt * coalesce(llr.llr_scaled, 0)) AS lw
+          FROM sc LEFT JOIN llr ON sc.bucket = llr.bucket
+          GROUP BY 1)
+        SELECT doc_id,
+               round(CAST(lw AS DOUBLE) / {float(LLR_SCALE)!r}, 6) AS logw,
+               round(CAST(lw AS DOUBLE) / {float(LLR_SCALE)!r}
+                     + (- ln(- ln({u}))), 6) AS key
+        FROM scores
+        ORDER BY key DESC, doc_id
+        LIMIT {DSIR_TAKE}
+    """
+
+
+ORACLES["sample_dsir"] = _dsir_oracle()
