@@ -410,3 +410,93 @@ def _dsir_oracle() -> str:
 
 
 ORACLES["sample_dsir"] = _dsir_oracle()
+
+
+def pipeline_contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training triplets in one lazy plan: anchors are
+    vectors with at least one semantic near-neighbor (the cluster-
+    bounded pair search), the positive is the least-id such neighbor,
+    and two hash-drawn uniform negatives come from
+    ``sampling.negative_sample`` — every stage individually oracled,
+    composed end to end here."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        negative_sample,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.semdedup import (
+        semantic_pairs,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        SEM_THRESHOLD,
+        _emb,
+        _fixed_centroids,
+    )
+
+    e = _emb(spark, sf)
+    cents = _fixed_centroids(e)
+    pairs = semantic_pairs(e, cents, vec_col="e", id_col="vec_id",
+                           threshold=SEM_THRESHOLD)
+    # symmetrize, then one positive per anchor (least neighbor id)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("anchor_id"), F.col("id_a").alias("pos_id"))
+    )
+    pos = sym.groupBy("anchor_id").agg(F.min("pos_id").alias("pos_id"))
+    anchors = pos.select(F.col("anchor_id").alias("vec_id"))
+    negs = negative_sample(e.select("vec_id"), anchors, k=2, seed=5)
+    return (
+        pos.join(negs, "anchor_id")
+        .where((F.col("neg_id") != F.col("pos_id")))
+        .select("anchor_id", "pos_id", "neg_rank", "neg_id")
+    )
+
+
+QUERIES["pipeline_contrastive_triplets"] = pipeline_contrastive_triplets
+
+
+def _triplets_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        CENT_MOD_KM,
+        SEM_THRESHOLD,
+    )
+
+    h = md5_int64_sql("CAST(anchor_id AS VARCHAR) || chr(31) || "
+                      "CAST(j AS VARCHAR) || chr(31) || '5'")
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, e AS ce FROM v
+                  WHERE vec_id % {CENT_MOD_KM} = 0),
+        dists AS (SELECT v.vec_id, c.cid,
+                         row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round(list_cosine_similarity(v.e, c.ce), 6)
+                                      DESC, c.cid) AS rn
+                  FROM v CROSS JOIN cents c),
+        assigned AS (SELECT vec_id, cid FROM dists WHERE rn = 1),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a
+              JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN v va ON va.vec_id = a.vec_id
+              JOIN v vb ON vb.vec_id = b.vec_id
+              WHERE list_dot_product(va.e, va.e) <> 0
+                AND list_dot_product(vb.e, vb.e) <> 0
+                AND round(list_cosine_similarity(va.e, vb.e), 6)
+                      >= {SEM_THRESHOLD}),
+        sym AS (SELECT id_a AS anchor_id, id_b AS pos_id FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+        pos AS (SELECT anchor_id, min(pos_id) AS pos_id FROM sym GROUP BY 1),
+        idx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS i
+                FROM embeddings),
+        n AS (SELECT count(*) AS n FROM embeddings),
+        d AS (SELECT pos.anchor_id, pos.pos_id, CAST(u.j AS INT) AS neg_rank,
+                     ({h}) % (SELECT n FROM n) AS i
+              FROM pos, LATERAL unnest(range(0, 2)) AS u(j))
+        SELECT anchor_id, pos_id, neg_rank, idx.vec_id AS neg_id
+        FROM d JOIN idx USING (i)
+        WHERE idx.vec_id <> anchor_id AND idx.vec_id <> pos_id
+    """
+
+
+ORACLES["pipeline_contrastive_triplets"] = _triplets_oracle()
