@@ -500,3 +500,37 @@ def _triplets_oracle() -> str:
 
 
 ORACLES["pipeline_contrastive_triplets"] = _triplets_oracle()
+
+
+SPLIT_FRACTIONS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+SPLIT_SALT = "dedup-split-v1"
+
+
+def sample_split_dedup_aware(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-proof train/val/test split: the split hash keys on the
+    normalized CONTENT hash, not the doc id, so exact duplicates can
+    never straddle a split boundary (a val doc whose twin sits in train
+    silently inflates eval).  Pure composition of the oracled pieces:
+    ``dedup.content_hash`` + ``sampling.split_assign``."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import content_hash
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import split_assign
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", content_hash("text").alias("text_hash")
+    )
+    return split_assign(d, "text_hash", SPLIT_FRACTIONS, salt=SPLIT_SALT).select(
+        "doc_id", "split"
+    )
+
+
+QUERIES["sample_split_dedup_aware"] = sample_split_dedup_aware
+
+
+def _split_dedup_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import split_assign_sql
+
+    expr = split_assign_sql("md5(lower(trim(text)))", SPLIT_FRACTIONS, salt=SPLIT_SALT)
+    return f"SELECT doc_id, {expr} AS split FROM documents"
+
+
+ORACLES["sample_split_dedup_aware"] = _split_dedup_oracle()
