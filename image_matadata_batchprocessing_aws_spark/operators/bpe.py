@@ -143,3 +143,62 @@ def bpe_segment(
         if (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=False)
     return cur
+
+
+def bpe_tokenize_arrow(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    word_col: str = "word",
+    out: str = "syms",
+) -> DataFrame:
+    """Production-path tokenizer: the trained merge list broadcasts into
+    an Arrow ``mapInPandas`` stage that greedily applies the LOWEST-RANK
+    applicable merge per word (the standard BPE tokenize loop — provably
+    equivalent to replaying merges in rank order, which
+    ``test_bpe.py`` asserts against :func:`bpe_segment`).
+
+    This is the accepted Python slow path for BULK tokenization: one
+    O(merges) dict probe per adjacent pair instead of ``n_merges``
+    full map passes, no per-merge plan growth, Arrow batch transfer —
+    the trade the multimodal decode stage already documents.  Schema:
+    input columns pass through, ``out`` appends ``array<string>``."""
+    import pandas as pd
+
+    ranks = {(a, b): r for r, a, b, _ in merges}
+
+    def tokenize_word(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            # merge ALL occurrences of the chosen pair, left to right
+            a, b = syms[best_i], syms[best_i + 1]
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        return syms
+
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out}` array<string>"]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [tokenize_word(w) for w in pdf[word_col]]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

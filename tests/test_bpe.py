@@ -69,3 +69,25 @@ def test_word_freq_uses_bpe_pretokens(spark):
     )
     wf = {r.word: r.freq for r in word_freq(df).collect()}
     assert wf == {"the": 2, "cat": 2, "hat": 1, ",": 1, "!": 1}
+
+
+def test_bpe_tokenize_arrow_equivalent_to_segment_replay(spark):
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.operators.bpe import bpe_tokenize_arrow
+
+    # train on a richer corpus so merges chain (multi-level subwords)
+    rng = np.random.default_rng(8)
+    pool = ["lowering", "lowest", "newest", "widest", "slowest", "low", "wide"]
+    rows = [(w, int(rng.integers(1, 20))) for w in pool]
+    words = spark.createDataFrame(rows, "word string, freq long")
+    merges, _ = bpe_train(words, n_merges=25, min_count=1)
+    assert len(merges) >= 10  # enough depth to matter
+
+    # unseen words exercise partial matches
+    test_words = spark.createDataFrame(
+        [("slowing",), ("widening",), ("newlow",), ("x",)], "word string"
+    )
+    replay = {r.word: list(r.syms) for r in bpe_segment(test_words, merges).collect()}
+    arrow = {r.word: list(r.syms) for r in bpe_tokenize_arrow(test_words, merges).collect()}
+    assert arrow == replay
