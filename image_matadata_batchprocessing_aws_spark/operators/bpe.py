@@ -162,8 +162,6 @@ def bpe_tokenize_arrow(
     full map passes, no per-merge plan growth, Arrow batch transfer —
     the trade the multimodal decode stage already documents.  Schema:
     input columns pass through, ``out`` appends ``array<string>``."""
-    import pandas as pd
-
     ranks = {(a, b): r for r, a, b, _ in merges}
 
     def tokenize_word(word: str) -> list[str]:

@@ -68,6 +68,11 @@ _MODULES = [
 #: oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py, 0
 #: failures).  Driver-green union after r03 = 138/208; this window
 #: takes the union to 188 if all 50 land green.
+#:
+#: r05 PLAN: register ``queries/r05_queue.py`` (one `_MODULES` append —
+#: 10 new oracled queries, every pair already exact at both sf dirs via
+#: ``tests/test_r05_queue.py``), then fill the 50-slot window with the
+#: 17 backlog names above + the 10 queue queries + re-rotations.
 _WINDOW = [
     "etl_star_flatten",
     "etl_scd2_asof",
