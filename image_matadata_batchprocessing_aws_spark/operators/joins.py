@@ -293,3 +293,45 @@ def interval_overlap_join_binned(
         & (F.col("__bin") == F.greatest(bin_of(F.col(l_start)), bin_of(F.col(r_start))))
     )
     return joined.drop("__bin")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_edit: int = 2,
+    block_left=None,
+    block_right=None,
+    out_dist: str = "edit_distance",
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — record linkage between two
+    tables whose keys almost match (typos, truncations, dirty feeds).
+
+    The all-pairs edit-distance join is quadratic; BLOCKING makes it
+    tractable: candidates must share a cheap block key (default: the
+    lowercased first 3 characters), so the expensive ``levenshtein``
+    runs on the equi-join's candidates only.  This is the standard
+    recall trade — a typo inside the blocking window escapes the block;
+    run multiple passes with different block expressions (prefix,
+    suffix, soundex) and union when recall matters more than cost.
+
+    One equi-join shuffle on the block key; ``levenshtein`` is a JVM
+    expression with an exact DuckDB twin, so the operator oracles
+    exactly.  Skewed blocks (one hot prefix) fall to AQE skew-join like
+    any other equi-join."""
+    bl = (
+        block_left
+        if block_left is not None
+        else F.lower(F.substring(F.col(left_col), 1, 3))
+    )
+    br = (
+        block_right
+        if block_right is not None
+        else F.lower(F.substring(F.col(right_col), 1, 3))
+    )
+    lf = left.withColumn("__blk", bl)
+    rt = right.withColumn("__blk", br)
+    joined = lf.join(rt, "__blk").drop("__blk")
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    return joined.withColumn(out_dist, dist).where(F.col(out_dist) <= max_edit)

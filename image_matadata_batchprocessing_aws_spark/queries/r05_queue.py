@@ -534,3 +534,43 @@ def _split_dedup_oracle() -> str:
 
 
 ORACLES["sample_split_dedup_aware"] = _split_dedup_oracle()
+
+
+def join_fuzzy_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage against a deterministically-dirtied feed: every
+    customer name gets one character overwritten (an OCR-style
+    substitution), then ``joins.fuzzy_join`` links the feeds back,
+    blocking on a 4-char digit window so the quadratic edit-distance
+    verify runs per block, not per corpus."""
+    from image_matadata_batchprocessing_aws_spark.operators.joins import fuzzy_join
+
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    dirty = c.select(
+        (F.col("c_custkey") + 1_000_000).alias("feed_id"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("X"),
+            F.expr("substring(c_name, 11, 100)"),
+        ).alias("feed_name"),
+    )
+    out = fuzzy_join(
+        c, dirty, "c_name", "feed_name", max_edit=2,
+        block_left=F.substring(F.col("c_name"), 15, 4),
+        block_right=F.substring(F.col("feed_name"), 15, 4),
+    )
+    return out.select("c_custkey", "feed_id", "edit_distance")
+
+
+QUERIES["join_fuzzy_linkage"] = join_fuzzy_linkage
+
+ORACLES["join_fuzzy_linkage"] = """
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS feed_id,
+             substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 100) AS feed_name
+      FROM customer)
+    SELECT c.c_custkey, d.feed_id,
+           CAST(levenshtein(c.c_name, d.feed_name) AS INT) AS edit_distance
+    FROM customer c
+    JOIN dirty d
+      ON substr(c.c_name, 15, 4) = substr(d.feed_name, 15, 4)
+    WHERE levenshtein(c.c_name, d.feed_name) <= 2
+"""

@@ -311,3 +311,39 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                 for row in exp_df.itertuples()
             }
             assert got == exp, (trial, direction, tol)
+
+
+def test_fuzzy_join_blocked_linkage(spark):
+    from pyspark.sql import functions as F
+
+    from image_matadata_batchprocessing_aws_spark.operators.joins import fuzzy_join
+
+    clean = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "maria garcia"), (3, "wei chen")],
+        "id long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "jonathan smyth"), (11, "mariah garcia"), (12, "wei  chen"),
+         (13, "completely different")],
+        "id long, name string",
+    )
+    out = fuzzy_join(
+        clean,
+        dirty.withColumnRenamed("id", "rid").withColumnRenamed("name", "rname"),
+        "name",
+        "rname",
+        max_edit=2,
+    )
+    got = {(r.id, r.rid): r.edit_distance for r in out.collect()}
+    assert got == {(1, 10): 1, (2, 11): 1, (3, 12): 1}
+
+    # a typo INSIDE the blocking window escapes the block (documented
+    # recall trade) — a suffix-block second pass recovers it
+    dirty2 = spark.createDataFrame([(20, "xonathan smith")], "rid long, rname string")
+    assert fuzzy_join(clean, dirty2, "name", "rname", max_edit=2).count() == 0
+    suffix = fuzzy_join(
+        clean, dirty2, "name", "rname", max_edit=2,
+        block_left=F.lower(F.substring(F.col("name"), -3, 3)),
+        block_right=F.lower(F.substring(F.col("rname"), -3, 3)),
+    )
+    assert [(r.id, r.rid) for r in suffix.collect()] == [(1, 20)]
