@@ -324,3 +324,77 @@ def label_propagation(
             )
         )
     return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+HITS_SCALE = 10**9
+
+
+def hits_scaled(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) with the same
+    deterministic fixed-point arithmetic as :func:`pagerank_scaled`:
+    every quantity is a scaled long, every division truncates — so the
+    DuckDB oracle unrolls the identical rounds and matches bit-for-bit.
+
+    Per round: ``auth = A^T hub`` then L1-normalize to ``scale``;
+    ``hub = A auth`` then L1-normalize.  Nodes without incoming edges
+    carry authority 0, without outgoing carry hub 0 (the natural HITS
+    semantics on a directed — e.g. bipartite — graph).
+
+    Scale shape mirrors PageRank: each half-round is one edge join on a
+    node key + one groupBy(node) sum with map-side partials; the L1
+    total is a 1-row aggregate broadcast back (fit-statistic class).
+    Fixed small ``iterations`` builds one lazy plan.
+
+    Overflow bound: the start vector is L1-normalized (``scale div n``
+    per node), so every later L1 total stays <= ``scale`` and the
+    normalization product is bounded by ``scale^2`` — 1e18 at the
+    default 1e9, inside int64 for ANY graph size (a uniform
+    ``scale``-per-node start would overflow at n * scale^2)."""
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count("*").alias("__n"))
+    hub = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("node", F.expr(f"CAST({int(scale)} div __n AS BIGINT)").alias("hub"))
+    )
+
+    def _half(vec: DataFrame, vec_col: str, join_on: str, group_to: str, out: str):
+        raw = (
+            vec.join(edges, vec["node"] == edges[join_on])
+            .groupBy(F.col(group_to).alias("node"))
+            .agg(F.sum(vec_col).alias("__raw"))
+        )
+        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        return (
+            nodes.join(raw, "node", "left")
+            .na.fill({"__raw": 0})
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(f"CAST((__raw * {int(scale)}) div __tot AS BIGINT)").alias(out),
+            )
+        )
+
+    auth = None
+    for _ in range(iterations):
+        auth = _half(hub, "hub", src, dst, "auth")
+        hub = _half(auth, "auth", dst, src, "hub")
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub_scaled"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth_scaled"),
+        )
+    )

@@ -574,3 +574,78 @@ ORACLES["join_fuzzy_linkage"] = """
       ON substr(c.c_name, 15, 4) = substr(d.feed_name, 15, 4)
     WHERE levenshtein(c.c_name, d.feed_name) <= 2
 """
+
+
+HITS_ITERS = 2
+HITS_TOPK = 30
+
+
+def graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS on the DIRECTED customer->supplier bipartite graph (the
+    natural hub/authority split: customers endorse the suppliers their
+    orders touch).  Fixed-point scaled-long rounds
+    (``graph.hits_scaled``) make the result engine-exact; the oracle
+    unrolls the same half-rounds as CTEs.  Top-30 authorities."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import HITS_SCALE, hits_scaled
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits_scaled(edges, iterations=HITS_ITERS, scale=HITS_SCALE)
+    return (
+        out.orderBy(F.desc("auth_scaled"), F.asc("node"))
+        .limit(HITS_TOPK)
+        .select("node", "hub_scaled", "auth_scaled")
+    )
+
+
+QUERIES["graph_hits"] = graph_hits
+
+
+def _hits_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.graph import HITS_SCALE
+
+    s = HITS_SCALE
+    parts = [f"""
+        WITH e AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        h0 AS (SELECT node, {s} // (SELECT n FROM nn) AS v FROM nodes)"""]
+    prev_h = "h0"
+    for r in (1, 2):
+        parts.append(f""",
+        ar{r} AS (SELECT e.dst AS node, sum(h.v) AS raw
+                  FROM {prev_h} h JOIN e ON h.node = e.src GROUP BY 1),
+        a{r} AS (SELECT nodes.node,
+                        coalesce(ar{r}.raw, 0) * {s}
+                          // (SELECT sum(raw) FROM ar{r}) AS v
+                 FROM nodes LEFT JOIN ar{r} ON nodes.node = ar{r}.node),
+        hr{r} AS (SELECT e.src AS node, sum(a.v) AS raw
+                  FROM a{r} a JOIN e ON a.node = e.dst GROUP BY 1),
+        h{r} AS (SELECT nodes.node,
+                        coalesce(hr{r}.raw, 0) * {s}
+                          // (SELECT sum(raw) FROM hr{r}) AS v
+                 FROM nodes LEFT JOIN hr{r} ON nodes.node = hr{r}.node)""")
+        prev_h = f"h{r}"
+    parts.append(f"""
+        SELECT nodes.node,
+               CAST(h{HITS_ITERS}.v AS BIGINT) AS hub_scaled,
+               CAST(a{HITS_ITERS}.v AS BIGINT) AS auth_scaled
+        FROM nodes
+        JOIN h{HITS_ITERS} ON nodes.node = h{HITS_ITERS}.node
+        JOIN a{HITS_ITERS} ON nodes.node = a{HITS_ITERS}.node
+        ORDER BY auth_scaled DESC, nodes.node
+        LIMIT {HITS_TOPK}""")
+    return "".join(parts)
+
+
+ORACLES["graph_hits"] = _hits_oracle()

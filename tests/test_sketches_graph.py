@@ -317,3 +317,45 @@ def test_label_propagation_disjoint_cliques(spark):
     assert {lab[n] for n in (10, 11, 12, 13)} == {10}
     again = {r.node: r.label for r in label_propagation(edges, rounds=2).collect()}
     assert again == lab
+
+
+def test_hits_scaled_matches_python_replica_and_numpy_order(spark):
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.operators.graph import hits_scaled
+
+    # small directed bipartite-ish graph with a clear best authority (5)
+    E = [(1, 5), (2, 5), (3, 5), (1, 6), (2, 6), (4, 7), (3, 6)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    scale = 10**9
+    got = {
+        r.node: (r.hub_scaled, r.auth_scaled)
+        for r in hits_scaled(edges, iterations=3, scale=scale).collect()
+    }
+
+    # exact integer replica of the same rounds
+    nodes = sorted({n for e in E for n in e})
+    hub = {n: scale // len(nodes) for n in nodes}
+    auth = {}
+    for _ in range(3):
+        raw = {n: 0 for n in nodes}
+        for s, d in E:
+            raw[d] += hub[s]
+        tot = sum(raw.values())
+        auth = {n: (raw[n] * scale) // tot for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d in E:
+            raw[s] += auth[d]
+        tot = sum(raw.values())
+        hub = {n: (raw[n] * scale) // tot for n in nodes}
+    for n in nodes:
+        assert got[n] == (hub[n], auth[n]), n
+
+    # float HITS agrees on the ordering: 5 is the top authority, and
+    # hubs 1/2/3 (linked to both strong authorities) beat hub 4
+    auths = sorted(nodes, key=lambda n: -got[n][1])
+    assert auths[0] == 5
+    assert got[1][0] > got[4][0] and got[2][0] > got[4][0]
+    # zero cases: authorities have no out-edges -> hub 0; hubs have no
+    # in-edges -> auth 0
+    assert got[5][0] == 0 and got[1][1] == 0
