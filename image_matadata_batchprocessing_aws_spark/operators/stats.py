@@ -18,7 +18,7 @@ halves (``shiftright`` / bitmask) summed separately.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TWO30 = 1073741824  # 2^30
 
@@ -494,3 +494,67 @@ def grouped_spearman_sql(
                      {round_digits}) AS spearman
         FROM d
     """
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (right-censored): at each distinct
+    EVENT time ``t``, ``S(t) = prod_{s <= t} (1 - d_s / n_s)`` where
+    ``d_s`` counts events at ``s`` and ``n_s`` counts units still at
+    risk (duration >= s).  Censored units (``event = 0``) leave the
+    risk set without contributing a factor — the standard
+    churn/retention estimator.
+
+    Engine-exact plan: per-duration (d, c) counts in ONE groupBy, the
+    at-risk count as a reverse running sum over the duration-ordered
+    count table (bounded by DISTINCT durations, e.g. days — never unit
+    count), and the product in log domain with each ``ln(1 - d/n)``
+    quantized to a scaled BIGINT so the running sum is associative and
+    partitioning-independent; ``exp`` reconstructs at the end with one
+    scalar op on both engines.
+
+    Returns (t, n_risk, n_events, n_censored, survival) for event
+    times only, ordered by t."""
+    per_t = (
+        df.groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("d"),
+            F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc))
+    # a time where the whole risk set dies (d == n) zeroes the curve —
+    # ln(0) is -inf, so that factor rides a separate sticky flag instead
+    lnf = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    scaled = at_risk.withColumn(
+        "__lnf", F.round(lnf * F.lit(1e9)).cast("long")
+    ).withColumn("__zero", (F.col("d") == F.col("n_risk")).cast("int"))
+    w_asc = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    out = scaled.withColumn("__lnsum", F.sum("__lnf").over(w_asc)).withColumn(
+        "__zeroed", F.max("__zero").over(w_asc)
+    )
+    surv = F.when(F.col("__zeroed") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__lnsum").cast("double") / F.lit(1e9))
+    )
+    return (
+        out.where(F.col("d") > 0)
+        .select(
+            F.col("t"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.round(surv, round_digits).alias("survival"),
+        )
+        .orderBy("t")
+    )

@@ -649,3 +649,75 @@ def _hits_oracle() -> str:
 
 
 ORACLES["graph_hits"] = _hits_oracle()
+
+
+CHURN_GAP_HOURS = 24
+
+
+def agg_survival_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """User-churn survival curve: per-user activity span in HOURS is
+    the duration (the synthetic events table spans days, not months); a
+    user whose last event predates the corpus horizon by more than
+    ``CHURN_GAP_HOURS`` counts as churned (event), otherwise censored
+    (still active).  Kaplan-Meier over the spans
+    (``stats.kaplan_meier``) — the standard retention estimator,
+    engine-exact via scaled-log products."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kaplan_meier
+
+    e = t(spark, sf, "events").withColumn("ts_ms", F.unix_millis("ts"))
+    horizon = e.agg(F.max("ts_ms").alias("__hz"))
+    units = (
+        e.groupBy("user_id")
+        .agg(F.min("ts_ms").alias("__first"), F.max("ts_ms").alias("__last"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("__last") - F.col("__first")) / F.lit(3600000.0)
+            ).cast("long").alias("dur"),
+            (
+                F.col("__last")
+                < F.col("__hz") - F.lit(CHURN_GAP_HOURS * 3600000)
+            ).cast("int").alias("evt"),
+        )
+    )
+    return kaplan_meier(units, "dur", "evt")
+
+
+QUERIES["agg_survival_churn"] = agg_survival_churn
+
+ORACLES["agg_survival_churn"] = f"""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+    hz AS (SELECT max(ts_ms) AS h FROM e),
+    units AS (
+      SELECT user_id,
+             CAST(floor((max(ts_ms) - min(ts_ms)) / 3600000.0) AS BIGINT) AS dur,
+             CAST(max(ts_ms) < (SELECT h FROM hz)
+                               - {CHURN_GAP_HOURS * 3600000} AS INT) AS evt
+      FROM e GROUP BY user_id),
+    per_t AS (
+      SELECT dur AS t, sum(evt) AS d, sum(1 - evt) AS c
+      FROM units GROUP BY 1),
+    risk AS (
+      SELECT t, d, c,
+             sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+      FROM per_t),
+    lf AS (
+      SELECT t, d, c, n,
+             CAST(round((CASE WHEN d < n
+                              THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                              ELSE 0.0 END) * 1000000000.0) AS BIGINT) AS lnf,
+             CASE WHEN d = n THEN 1 ELSE 0 END AS z
+      FROM risk),
+    acc AS (
+      SELECT t, d, c, n,
+             sum(lnf) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS lnsum,
+             max(z) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS zeroed
+      FROM lf)
+    SELECT t, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           round(CASE WHEN zeroed = 1 THEN 0.0
+                      ELSE exp(CAST(lnsum AS DOUBLE) / 1000000000.0) END, 6)
+             AS survival
+    FROM acc WHERE d > 0 ORDER BY t
+"""

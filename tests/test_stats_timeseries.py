@@ -333,3 +333,47 @@ def test_rolling_quantile_matches_pandas(spark):
                 assert g is None
             else:
                 assert abs(g - round(w, 6)) < 1e-9, (k, i)
+
+
+# --- Kaplan-Meier survival --------------------------------------------
+
+
+def test_kaplan_meier_textbook_values(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kaplan_meier
+
+    rows = [(1, 6, 1), (2, 6, 1), (3, 6, 0), (4, 7, 1), (5, 10, 0)]
+    df = spark.createDataFrame(rows, "id long, dur long, evt int")
+    got = {r.t: r for r in kaplan_meier(df, "dur", "evt").collect()}
+    assert sorted(got) == [6, 7]  # censored-only times emit no row
+    assert (got[6].n_risk, got[6].n_events, got[6].n_censored) == (5, 2, 1)
+    assert abs(got[6].survival - 0.6) < 1e-9
+    assert (got[7].n_risk, got[7].n_events) == (2, 1)
+    assert abs(got[7].survival - 0.3) < 1e-9
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kaplan_meier
+
+    rng = np.random.default_rng(13)
+    durs = rng.integers(1, 40, 300)
+    evts = (rng.uniform(size=300) < 0.7).astype(int)
+    df = spark.createDataFrame(
+        [(i, int(d), int(e)) for i, (d, e) in enumerate(zip(durs, evts))],
+        "id long, dur long, evt int",
+    )
+    got = {r.t: r.survival for r in kaplan_meier(df, "dur", "evt").collect()}
+
+    s = 1.0
+    expect = {}
+    for t in sorted(set(durs)):
+        n = int((durs >= t).sum())
+        d = int(((durs == t) & (evts == 1)).sum())
+        if n > 0:
+            s *= (n - d) / n
+        if d > 0:
+            expect[t] = s
+    assert set(got) == set(expect)
+    for t in expect:
+        assert abs(got[t] - expect[t]) < 1e-6, t
