@@ -40,3 +40,10 @@ def test_queue_query_matches_oracle(spark, name):
     assert scols == ocols, (scols, ocols)
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+def test_queue_stays_jvm_side(spark):
+    from image_matadata_batchprocessing_aws_spark.plans import assert_no_python_udf
+
+    for name, fn in r05_queue.QUERIES.items():
+        assert_no_python_udf(fn(spark, SF_SMOKE))
