@@ -131,3 +131,55 @@ def one_hot_encode(
                 F.when(F.col(f"`{c}`") == F.lit(v), 1).otherwise(0).cast("int"),
             )
     return out
+
+
+def target_encode(
+    df: DataFrame,
+    cat_cols: list[str],
+    target_col: str,
+    suffix: str = "_te",
+    leave_one_out: bool = True,
+    target_digits: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Target (mean) encoding of categorical columns: each category maps
+    to the mean of ``target_col`` within it.  With ``leave_one_out``
+    (the default) a row's own target is excluded from its encoding —
+    ``(sum - y) / (n - 1)`` — the standard leakage guard for training
+    features (a category's row must not see its own label); singleton
+    categories encode NULL under LOO (no other evidence exists —
+    impute downstream, explicitly).
+
+    Exactness (house playbook): targets quantize to scaled BIGINTs so
+    the per-category sums are associative — the encoding is then a
+    per-row scalar on exact integers, bit-identical across engines and
+    partitionings.  Plan: one groupBy per encoded column (category-
+    sized result, broadcast back), then map-side arithmetic."""
+    scale = float(10**target_digits)
+    ys = F.round(F.col(target_col) * F.lit(scale)).cast("long")
+    out = df.withColumn("__ys", ys)
+    for c in cat_cols:
+        stats = (
+            out.groupBy(F.col(f"`{c}`").alias("__cat"))
+            .agg(F.sum("__ys").alias("__sum"), F.count("__ys").alias("__cnt"))
+        )
+        joined = out.join(
+            F.broadcast(stats), out[f"`{c}`"] == stats["__cat"], "left"
+        ).drop("__cat")
+        if leave_one_out:
+            enc = F.when(
+                F.col("__cnt") > 1,
+                (F.col("__sum") - F.col("__ys")).cast("double")
+                / (F.col("__cnt") - 1).cast("double")
+                / F.lit(scale),
+            )
+        else:
+            enc = (
+                F.col("__sum").cast("double")
+                / F.col("__cnt").cast("double")
+                / F.lit(scale)
+            )
+        out = joined.withColumn(c + suffix, F.round(enc, round_digits)).drop(
+            "__sum", "__cnt"
+        )
+    return out.drop("__ys")

@@ -500,6 +500,7 @@ def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    group_cols: list[str] | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """Kaplan-Meier survival curve (right-censored): at each distinct
@@ -518,15 +519,21 @@ def kaplan_meier(
     scalar op on both engines.
 
     Returns (t, n_risk, n_events, n_censored, survival) for event
-    times only, ordered by t."""
+    times only, ordered by t; with ``group_cols`` one curve per group
+    (cohort comparison), windows partitioned by the group so cohorts
+    parallelize."""
+    groups = list(group_cols or [])
     per_t = (
-        df.groupBy(F.col(duration_col).alias("t"))
+        df.groupBy(*groups, F.col(duration_col).alias("t"))
         .agg(
             F.sum(F.col(event_col).cast("long")).alias("d"),
             F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
         )
     )
-    w_desc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    w_desc = (
+        Window.partitionBy(*groups).orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     at_risk = per_t.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc))
     # a time where the whole risk set dies (d == n) zeroes the curve —
     # ln(0) is -inf, so that factor rides a separate sticky flag instead
@@ -540,7 +547,10 @@ def kaplan_meier(
     scaled = at_risk.withColumn(
         "__lnf", F.round(lnf * F.lit(1e9)).cast("long")
     ).withColumn("__zero", (F.col("d") == F.col("n_risk")).cast("int"))
-    w_asc = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    w_asc = (
+        Window.partitionBy(*groups).orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     out = scaled.withColumn("__lnsum", F.sum("__lnf").over(w_asc)).withColumn(
         "__zeroed", F.max("__zero").over(w_asc)
     )
@@ -550,11 +560,12 @@ def kaplan_meier(
     return (
         out.where(F.col("d") > 0)
         .select(
+            *groups,
             F.col("t"),
             F.col("n_risk").cast("long").alias("n_risk"),
             F.col("d").cast("long").alias("n_events"),
             F.col("c").cast("long").alias("n_censored"),
             F.round(surv, round_digits).alias("survival"),
         )
-        .orderBy("t")
+        .orderBy(*groups, "t")
     )

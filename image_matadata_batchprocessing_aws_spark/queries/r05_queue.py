@@ -721,3 +721,34 @@ ORACLES["agg_survival_churn"] = f"""
              AS survival
     FROM acc WHERE d > 0 ORDER BY t
 """
+
+
+def etl_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (``encode.target_encode``): the leakage-guarded mean-encoding
+    every tabular feature pipeline ships, scaled-BIGINT exact."""
+    from image_matadata_batchprocessing_aws_spark.operators.encode import target_encode
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = target_encode(o, ["o_orderpriority"], "o_totalprice", target_digits=2)
+    return out.select(
+        "o_orderkey", F.col("o_orderpriority_te").alias("priority_te")
+    )
+
+
+QUERIES["etl_target_encode"] = etl_target_encode
+
+ORACLES["etl_target_encode"] = """
+    WITH s AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS ys
+      FROM orders),
+    g AS (
+      SELECT o_orderpriority, sum(ys) AS sm, count(ys) AS cnt
+      FROM s GROUP BY 1)
+    SELECT o_orderkey,
+           round(CASE WHEN cnt > 1
+                      THEN CAST(sm - ys AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
+                           / 100.0 END, 6) AS priority_te
+    FROM s JOIN g USING (o_orderpriority)
+"""

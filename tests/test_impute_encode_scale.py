@@ -274,3 +274,19 @@ def test_interpolate_linear_keyless_cap_refuses(spark):
     df = spark.range(100).withColumn("v", F.lit(1.0))
     with pytest.raises(ValueError, match="global_row_cap"):
         interpolate_linear(df, ["v"], order_by="id", global_row_cap=10)
+
+
+def test_target_encode_loo_and_plain(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.encode import target_encode
+
+    rows = [(0, "a", 1.0), (1, "a", 3.0), (2, "a", 5.0), (3, "b", 10.0), (4, "c", 7.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    loo = {r.id: r.cat_te for r in target_encode(df, ["cat"], "y").collect()}
+    assert loo[0] == 4.0 and loo[1] == 3.0 and loo[2] == 2.0  # (sum-own)/(n-1)
+    assert loo[3] is None and loo[4] is None  # singletons: no evidence under LOO
+    plain = {
+        r.id: r.cat_te
+        for r in target_encode(df, ["cat"], "y", leave_one_out=False).collect()
+    }
+    assert plain[0] == plain[1] == plain[2] == 3.0
+    assert plain[3] == 10.0 and plain[4] == 7.0

@@ -377,3 +377,20 @@ def test_kaplan_meier_matches_python_reference(spark):
     assert set(got) == set(expect)
     for t in expect:
         assert abs(got[t] - expect[t]) < 1e-6, t
+
+
+def test_kaplan_meier_grouped_cohorts(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kaplan_meier
+
+    rows = (
+        [("a", i, 6, 1) for i in range(2)] + [("a", 2, 6, 0), ("a", 3, 7, 1)]
+        + [("b", 4, 3, 1), ("b", 5, 9, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, dur long, evt int")
+    got = {(r.g, r.t): r for r in kaplan_meier(df, "dur", "evt", ["g"]).collect()}
+    # cohort a: same curve as the ungrouped textbook fragment
+    assert abs(got[("a", 6)].survival - 0.5) < 1e-9  # 1 - 2/4
+    assert got[("a", 6)].n_risk == 4
+    assert abs(got[("a", 7)].survival - 0.0) < 1e-9  # risk set dies
+    # cohort b independent: t=3 with n=2 -> 0.5
+    assert got[("b", 3)].n_risk == 2 and abs(got[("b", 3)].survival - 0.5) < 1e-9
