@@ -293,9 +293,11 @@ def session_stats(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Per-session rollup over :func:`sessionize`: start/end, event
-    count, and duration (ms).  One additional keyed groupBy on
-    (key, session_seq) — co-partitioned with the sessionize shuffle, so
-    AQE elides the second exchange."""
+    count, and duration (ms).  The groupBy on (key, session_seq) adds
+    NO second exchange: hash-partitioning on ``key`` already clusters
+    every (key, session_seq) group, and Spark's distribution matching
+    accepts a partitioning on a subset of the grouping keys
+    (plan-verified: one Exchange total)."""
     s = sessionize(df, key, ts_col, order_tiebreak, gap_minutes)
     us = F.unix_micros(F.col(ts_col))
     return (
