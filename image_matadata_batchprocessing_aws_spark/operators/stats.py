@@ -569,3 +569,58 @@ def kaplan_meier(
         )
         .orderBy(*groups, "t")
     )
+
+
+def js_mixture_divergence(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    out: str = "js_divergence",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each group's categorical
+    distribution from the corpus-wide distribution — the data-mixture
+    diagnostic ("how far does source X's language mix drift from the
+    whole corpus?") a pretraining pipeline runs before reweighting.
+
+    ``JS(P_g || Q) = 0.5*KL(P_g||M) + 0.5*KL(Q||M)``, ``M=(P_g+Q)/2``,
+    in nats, bounded by ``ln 2``.
+
+    Determinism: every per-category term is quantized to a 1e-9-scaled
+    BIGINT before the per-group sum (the house rule — double summation
+    order can differ between engines), then one descale + round.
+    Zero-probability group cells contribute 0 by the KL convention; the
+    corpus side is positive for every category in the grid by
+    construction.
+
+    Scale shape: ONE data-sized partial-agg groupBy(group, cat); the
+    group totals, category totals and grand total are re-aggregations
+    of that cell table (aggregate-sized, never a rescan).  The grid
+    join runs on the cell table's own keys — everything after the
+    first groupBy is bounded by |groups| x |categories|.
+    """
+    cell = df.groupBy(group_col, cat_col).agg(F.count("*").alias("__c"))
+    gtot = cell.groupBy(group_col).agg(F.sum("__c").alias("__ng"))
+    ctot = cell.groupBy(cat_col).agg(F.sum("__c").alias("__nc"))
+    tot = cell.agg(F.sum("__c").alias("__n"))
+    grid = (
+        gtot.crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, [group_col, cat_col], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    p = F.col("__c").cast("double") / F.col("__ng").cast("double")
+    q = F.col("__nc").cast("double") / F.col("__n").cast("double")
+    m = (p + q) / 2.0
+    term = (
+        F.when(F.col("__c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + q * F.log(q / m)
+    )
+    q9 = F.round(term * 1000000000.0).cast("long")
+    agg = grid.groupBy(group_col).agg(
+        F.sum(q9).alias("__t9"), F.first("__ng").alias("__ng")
+    )
+    return agg.select(
+        group_col,
+        F.col("__ng").cast("long").alias("n_rows"),
+        F.round(0.5 * F.col("__t9").cast("double") / 1000000000.0, 6).alias(out),
+    )

@@ -410,3 +410,129 @@ def bm25_rank(
     )
     agg = scored.groupBy(id_col).agg(F.round(F.sum("__s"), 4).alias("bm25"))
     return agg.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_k)
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual
+    information over the alpha-token stream (``KEYWORD_PATTERN``
+    tokenization, same as :func:`tfidf_keywords`).
+
+    Reports ``pmi = ln(lift)`` but RANKS on the raw lift ratio
+    ``(c_xy/N_bi) / ((c_x/N_uni) * (c_y/N_uni))`` — integer counts
+    through identical double divisions in both engines, so the order is
+    reproducible where a log could wobble an ulp (the
+    ``tfidf_keywords`` playbook); ties break on the word pair.
+
+    Scale shape: the token explode is the data-sized pass; bigram and
+    unigram counts are partial-agg groupBys (map-side combine), the
+    two 1-row totals broadcast, and the unigram join keys on the
+    post-``min_count`` bigram table — candidate-sized, not
+    corpus-sized.  The final global top-k sorts only rows that survive
+    ``min_count``."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(KEYWORD_PATTERN), F.lit(0)
+    )
+    base = df.select(toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__c"))
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                " slice(__t, 2, greatest(size(__t) - 1, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("__bg")
+    ).select("__bg.w1", "__bg.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("__cxy"))
+    n_uni = uni.agg(F.sum("__c").alias("__nu"))
+    n_bi = bgc.agg(F.sum("__cxy").alias("__nb"))
+    u1 = uni.select(F.col("w").alias("__w1k"), F.col("__c").alias("__cx"))
+    u2 = uni.select(F.col("w").alias("__w2k"), F.col("__c").alias("__cy"))
+    cand = (
+        bgc.where(F.col("__cxy") >= min_count)
+        .join(u1, F.col("w1") == F.col("__w1k"))
+        .join(u2, F.col("w2") == F.col("__w2k"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    lift = (F.col("__cxy").cast("double") / F.col("__nb").cast("double")) / (
+        (F.col("__cx").cast("double") / F.col("__nu").cast("double"))
+        * (F.col("__cy").cast("double") / F.col("__nu").cast("double"))
+    )
+    scored = cand.select(
+        "w1",
+        "w2",
+        F.col("__cxy").cast("long").alias("pair_count"),
+        lift.alias("__lift"),
+        F.round(F.log(lift), 6).alias("pmi"),
+    )
+    return (
+        scored.orderBy(F.col("__lift").desc(), "w1", "w2")
+        .limit(top_k)
+        .drop("__lift")
+    )
+
+
+def chi2_tokens(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    min_df: int = 10,
+    top_k: int = 50,
+) -> DataFrame:
+    """Chi-squared token/label association for feature selection.
+
+    ``label`` is a boolean per-document expression (e.g. ``lang ==
+    'en'``).  Token presence is per-document (``array_distinct`` before
+    the explode).  The 2x2 contingency counts stay exact BIGINTs; the
+    statistic ``N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))`` is computed with
+    the squared term in double (``(ad-bc)`` itself fits int64, its
+    square may not).
+
+    Scale shape: one explode + one partial-agg groupBy(token); the
+    doc/label totals are a broadcast 1-row aggregate; ranking sorts
+    only tokens passing ``min_df``.  Rank key is the exact integer pair
+    ``((ad-bc)^2-as-double / margins)`` — a single division of
+    deterministic operands — with the token as tie-break."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(KEYWORD_PATTERN), F.lit(0))
+    )
+    base = df.select(toks.alias("__t"), label.cast("long").alias("__y"))
+    totals = base.agg(
+        F.count("*").alias("__n"), F.sum("__y").alias("__npos")
+    )
+    tok = (
+        base.select(F.explode("__t").alias("token"), "__y")
+        .groupBy("token")
+        .agg(F.count("*").alias("__df"), F.sum("__y").alias("__a"))
+        .where(F.col("__df") >= min_df)
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.col("__a")
+    b = F.col("__df") - F.col("__a")
+    c = F.col("__npos") - F.col("__a")
+    d = F.col("__n") - F.col("__npos") - b
+    det = (a * d - b * c).cast("double")
+    chi2 = (
+        F.col("__n").cast("double")
+        * det
+        * det
+        / ((a + b) * (c + d)).cast("double")
+        / ((a + c) * (b + d)).cast("double")
+    )
+    out = tok.select(
+        "token",
+        F.col("__df").cast("long").alias("doc_freq"),
+        a.cast("long").alias("n_pos_docs"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+    return out.orderBy(F.col("chi2").desc(), "token").limit(top_k)

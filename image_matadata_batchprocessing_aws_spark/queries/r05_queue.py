@@ -752,3 +752,190 @@ ORACLES["etl_target_encode"] = """
                            / 100.0 END, 6) AS priority_te
     FROM s JOIN g USING (o_orderpriority)
 """
+
+
+def eval_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped ROC AUC (tie-corrected Mann-Whitney): how well does
+    order price rank urgent orders, per order status."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import roc_auc
+
+    o = t(spark, sf, "orders").withColumn(
+        "__y",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0),
+    )
+    return roc_auc(o, "o_totalprice", "__y", group_by=["o_orderstatus"]).orderBy(
+        "o_orderstatus"
+    )
+
+
+QUERIES["eval_roc_auc"] = eval_roc_auc
+
+ORACLES["eval_roc_auc"] = """
+    WITH per AS (
+      SELECT o_orderstatus, o_totalprice AS s,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS p,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS n
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT o_orderstatus, p, n,
+             coalesce(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY s ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM per),
+    agg AS (
+      SELECT o_orderstatus, sum(p * (2 * cumneg + n)) AS u2,
+             sum(p) AS np, sum(n) AS nn
+      FROM cum GROUP BY 1)
+    SELECT o_orderstatus, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round(CAST(u2 AS DOUBLE) / CAST(2 * np * nn AS DOUBLE), 6) AS auc
+    FROM agg ORDER BY o_orderstatus
+"""
+
+
+def eval_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-diagram bins: min-max-normalized price as the
+    pseudo-probability that an order is finalized ('F')."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import calibration_bins
+
+    o = t(spark, sf, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("__mn"), F.max("o_totalprice").alias("__mx"))
+    base = o.crossJoin(F.broadcast(mm)).select(
+        ((F.col("o_totalprice") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))).alias(
+            "p"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    return calibration_bins(base, "p", "y", n_bins=10).orderBy("bin")
+
+
+QUERIES["eval_calibration"] = eval_calibration
+
+ORACLES["eval_calibration"] = """
+    WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    b AS (
+      SELECT least(CAST(floor((o_totalprice - mn) / (mx - mn) * 10) AS BIGINT), 9) AS bin,
+             CAST(round((o_totalprice - mn) / (mx - mn) * 1000000.0) AS BIGINT) AS p6,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders CROSS JOIN mm),
+    tot AS (SELECT count(*) AS nt FROM orders),
+    a AS (SELECT bin, count(*) AS n, sum(p6) AS sp6, sum(y) AS sy FROM b GROUP BY bin)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(CAST(sp6 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS confidence,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+           round(CAST(sp6 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gap,
+           round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS weight
+    FROM a CROSS JOIN tot ORDER BY bin
+"""
+
+
+def text_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI over the document corpus
+    (ranked on the exact lift ratio, reported as ln)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(t(spark, sf, "documents"), min_count=5, top_k=50)
+
+
+QUERIES["text_pmi_bigrams"] = text_pmi_bigrams
+
+ORACLES["text_pmi_bigrams"] = r"""
+    WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z]{2,}') AS tk FROM documents),
+    uni AS (SELECT u AS w, count(*) AS cx
+            FROM (SELECT unnest(tk) AS u FROM d) GROUP BY 1),
+    idx AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM d WHERE len(tk) >= 2),
+    bg AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM idx),
+    bgc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2),
+    nu AS (SELECT sum(cx) AS nuv FROM uni),
+    nb AS (SELECT sum(cxy) AS nbv FROM bgc),
+    cand AS (
+      SELECT w1, w2, cxy, u1.cx AS cx, u2.cx AS cy
+      FROM bgc JOIN uni u1 ON bgc.w1 = u1.w JOIN uni u2 ON bgc.w2 = u2.w
+      WHERE cxy >= 5),
+    sc AS (
+      SELECT w1, w2, CAST(cxy AS BIGINT) AS pair_count,
+             (CAST(cxy AS DOUBLE) / CAST(nbv AS DOUBLE))
+             / ((CAST(cx AS DOUBLE) / CAST(nuv AS DOUBLE))
+                * (CAST(cy AS DOUBLE) / CAST(nuv AS DOUBLE))) AS lift
+      FROM cand CROSS JOIN nu CROSS JOIN nb)
+    SELECT w1, w2, pair_count, round(ln(lift), 6) AS pmi
+    FROM sc ORDER BY lift DESC, w1, w2 LIMIT 50
+"""
+
+
+def text_chi2_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-squared token/label association: which tokens mark English
+    documents (presence-based, min doc-freq 10)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import chi2_tokens
+
+    return chi2_tokens(
+        t(spark, sf, "documents"), F.col("lang") == "en", min_df=10, top_k=50
+    )
+
+
+QUERIES["text_chi2_tokens"] = text_chi2_tokens
+
+ORACLES["text_chi2_tokens"] = r"""
+    WITH d AS (
+      SELECT list_distinct(regexp_extract_all(lower(text), '[a-z]{2,}')) AS tk,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    tot AS (SELECT count(*) AS n, sum(y) AS npos FROM d),
+    tk AS (SELECT u AS token, count(*) AS dfq, sum(y) AS a
+           FROM (SELECT unnest(tk) AS u, y FROM d) GROUP BY 1
+           HAVING count(*) >= 10),
+    sc AS (
+      SELECT token, dfq, a, dfq - a AS b, npos - a AS c,
+             n - npos - (dfq - a) AS dd, n
+      FROM tk CROSS JOIN tot),
+    x AS (
+      SELECT token, CAST(dfq AS BIGINT) AS doc_freq, CAST(a AS BIGINT) AS n_pos_docs,
+             round(CAST(n AS DOUBLE)
+                   * CAST(a * dd - b * c AS DOUBLE) * CAST(a * dd - b * c AS DOUBLE)
+                   / CAST((a + b) * (c + dd) AS DOUBLE)
+                   / CAST((a + c) * (b + dd) AS DOUBLE), 4) AS chi2
+      FROM sc)
+    SELECT token, doc_freq, n_pos_docs, chi2
+    FROM x ORDER BY chi2 DESC, token LIMIT 50
+"""
+
+
+def agg_js_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence of the language mix from
+    the corpus-wide mix — the pre-reweighting mixture diagnostic."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import js_mixture_divergence
+
+    return js_mixture_divergence(
+        t(spark, sf, "documents"), "source", "lang"
+    ).orderBy("source")
+
+
+QUERIES["agg_js_mixture"] = agg_js_mixture
+
+ORACLES["agg_js_mixture"] = """
+    WITH cell AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+    g AS (SELECT source, sum(c) AS ng FROM cell GROUP BY 1),
+    ct AS (SELECT lang, sum(c) AS nc FROM cell GROUP BY 1),
+    tt AS (SELECT sum(c) AS n FROM cell),
+    grid AS (
+      SELECT g.source, ct.lang, g.ng, ct.nc, tt.n, coalesce(cell.c, 0) AS c
+      FROM g CROSS JOIN ct CROSS JOIN tt
+      LEFT JOIN cell ON cell.source = g.source AND cell.lang = ct.lang),
+    term AS (
+      SELECT source, ng,
+             CAST(round((CASE WHEN c > 0
+                 THEN (CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                      * ln((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE))
+                           / ((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+                               + CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+                 ELSE 0.0 END
+               + (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln((CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                      / ((CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+                          + CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0)))
+               * 1000000000.0) AS BIGINT) AS t9
+      FROM grid)
+    SELECT source, CAST(ng AS BIGINT) AS n_rows,
+           round(0.5 * CAST(sum(t9) AS DOUBLE) / 1000000000.0, 6) AS js_divergence
+    FROM term GROUP BY source, ng ORDER BY source
+"""

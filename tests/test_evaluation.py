@@ -1,0 +1,111 @@
+"""Unit tests for the model-evaluation aggregates
+(``operators/evaluation.py``) and the JS mixture diagnostic —
+edge cases the null-free oracle columns never exercise."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.operators.evaluation import calibration_bins, roc_auc
+from image_matadata_batchprocessing_aws_spark.operators.stats import js_mixture_divergence
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = roc_auc(df, "s", "y").collect()
+    assert len(out) == 1
+    return out[0]
+
+
+def test_auc_perfect_separation(spark):
+    r = _auc(spark, [(0.1, 0), (0.2, 0), (0.3, 1), (0.4, 1)])
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_auc_reversed_is_zero(spark):
+    r = _auc(spark, [(0.1, 1), (0.2, 1), (0.3, 0), (0.4, 0)])
+    assert r["auc"] == 0.0
+
+
+def test_auc_all_tied_is_half(spark):
+    r = _auc(spark, [(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)])
+    assert r["auc"] == 0.5
+
+
+def test_auc_tie_correction_matches_hand_computation(spark):
+    # scores: 1,2,2,3  labels: 0,1,0,1
+    # pairs (pos vs neg): (2,1)=win, (2,2)=half, (3,1)=win, (3,2)=win
+    # AUC = 3.5/4 = 0.875
+    r = _auc(spark, [(1.0, 0), (2.0, 1), (2.0, 0), (3.0, 1)])
+    assert r["auc"] == 0.875
+
+
+def test_auc_monotone_transform_invariant(spark):
+    rows = [(float(i % 7), int(i % 3 == 0)) for i in range(40)]
+    base = _auc(spark, rows)["auc"]
+    warped = _auc(spark, [(s * 3.0 + 11.0, y) for s, y in rows])["auc"]
+    assert base == warped
+
+
+def test_auc_single_class_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 0), ("b", 2.0, 1)],
+        "g string, s double, y int",
+    )
+    out = {r["g"]: r["auc"] for r in roc_auc(df, "s", "y", group_by=["g"]).collect()}
+    assert out["a"] is None
+    assert out["b"] == 1.0
+
+
+def test_calibration_weights_and_counts(spark):
+    rows = [(i / 100.0, int(i >= 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = calibration_bins(df, "p", "y", n_bins=10).collect()
+    assert sorted(r["bin"] for r in out) == list(range(10))
+    assert sum(r["n"] for r in out) == 100
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-9
+    # perfectly sharp labels: low bins accuracy 0, high bins accuracy 1
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[0]["accuracy"] == 0.0 and by_bin[9]["accuracy"] == 1.0
+    # p = 1.0 lands in the top bin, not an 11th
+    top = calibration_bins(
+        spark.createDataFrame([(1.0, 1)], "p double, y int"), "p", "y"
+    ).collect()
+    assert [r["bin"] for r in top] == [9]
+
+
+def test_calibration_ece_from_bins(spark):
+    # constant prediction 0.7 vs 50% base rate -> ECE = 0.2
+    rows = [(0.7, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = calibration_bins(df, "p", "y").collect()
+    ece = sum(r["weight"] * abs(r["gap"]) for r in out)
+    assert abs(ece - 0.2) < 1e-6
+
+
+def test_js_identical_mix_is_zero(spark):
+    rows = [(g, l) for g in ("a", "b") for l in ("x", "x", "y")]
+    df = spark.createDataFrame(rows, "g string, l string")
+    out = js_mixture_divergence(df, "g", "l").collect()
+    assert all(r["js_divergence"] == 0.0 for r in out)
+
+
+def test_js_disjoint_mix_bounded_by_ln2(spark):
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5, "g string, l string"
+    )
+    out = {r["g"]: r["js_divergence"] for r in js_mixture_divergence(df, "g", "l").collect()}
+    # each group is fully disjoint from HALF the corpus:
+    # JS = 0.5*ln2 + 0.5*(0.5*ln... ) — just assert symmetry + bounds
+    assert out["a"] == out["b"]
+    assert 0.0 < out["a"] <= round(math.log(2.0), 6)
+
+
+def test_evaluation_plans_stay_jvm_side(spark):
+    from image_matadata_batchprocessing_aws_spark.plans import assert_no_python_udf
+
+    df = spark.createDataFrame([(1.0, 1), (0.5, 0)], "s double, y int")
+    assert_no_python_udf(roc_auc(df, "s", "y"))
+    assert_no_python_udf(calibration_bins(df, "s", "y"))
