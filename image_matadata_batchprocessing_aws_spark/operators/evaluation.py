@@ -126,3 +126,124 @@ def calibration_bins(
             "weight"
         ),
     )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 from the exact confusion matrix.
+
+    One row per class appearing in EITHER column: ``support`` (true
+    rows), ``predicted`` (rows the classifier assigned here), ``tp``,
+    then the three ratios.  F1 uses the count identity ``2*tp /
+    (support + predicted)`` — one division of exact BIGINTs instead of
+    the harmonic mean of two already-divided doubles, so both engines
+    compute the identical double.  ``precision`` is NULL when the class
+    is never predicted, ``recall`` NULL when it never occurs (sklearn
+    warns and reports 0; NULL states "undefined" honestly).
+
+    Scale shape: the only data-sized pass is the partial-agg
+    ``groupBy(label, pred)`` cell table; marginals and the class join
+    are re-aggregations of cells, bounded by |classes|^2.
+    """
+    cell = df.groupBy(
+        F.col(label_col).alias("__y"), F.col(pred_col).alias("__p")
+    ).agg(F.count("*").alias("__c"))
+    truth = cell.groupBy(F.col("__y").alias("cls")).agg(
+        F.sum("__c").alias("support")
+    )
+    pred = cell.groupBy(F.col("__p").alias("cls")).agg(
+        F.sum("__c").alias("predicted")
+    )
+    tp = (
+        cell.where(F.col("__y") == F.col("__p"))
+        .groupBy(F.col("__y").alias("cls"))
+        .agg(F.sum("__c").alias("tp"))
+    )
+    out = (
+        truth.join(pred, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("predicted") > 0,
+        F.col("tp").cast("double") / F.col("predicted").cast("double"),
+    )
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    f1 = F.when(
+        F.col("support") + F.col("predicted") > 0,
+        (2 * F.col("tp")).cast("double")
+        / (F.col("support") + F.col("predicted")).cast("double"),
+    )
+    return out.select(
+        "cls",
+        F.col("support").cast("long").alias("support"),
+        F.col("predicted").cast("long").alias("predicted"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two categorical
+    columns (two annotators, or a classifier against gold labels).
+
+    Integer form all the way down: with ``agree`` the diagonal count,
+    ``n`` the total and ``pe_num = sum_k row_k * col_k`` the chance
+    term, ``kappa = (agree*n - pe_num) / (n*n - pe_num)`` — the
+    standard ``(po-pe)/(1-pe)`` with both sides multiplied by ``n^2``,
+    so the ONLY floating operation is the final division of two exact
+    BIGINTs.  NULL when the denominator is 0 (both raters constant and
+    identical — agreement is vacuous, pe = 1).
+
+    Scale shape: one partial-agg ``groupBy(a, b)``; everything after is
+    |classes|^2-bounded re-aggregation, the three 1-row frames combined
+    with broadcast cross joins.
+    """
+    cell = df.groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b")).agg(
+        F.count("*").alias("__c")
+    )
+    marg = (
+        cell.groupBy("__a")
+        .agg(F.sum("__c").alias("__ra"))
+        .join(cell.groupBy("__b").agg(F.sum("__c").alias("__cb")),
+              F.col("__a") == F.col("__b"))
+        .agg(
+            F.coalesce(F.sum(F.col("__ra") * F.col("__cb")), F.lit(0)).alias(
+                "__pe_num"
+            )
+        )
+    )
+    tot = cell.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)).alias(
+            "__agree"
+        ),
+    )
+    out = tot.crossJoin(F.broadcast(marg))
+    kappa = F.when(
+        F.col("__n") * F.col("__n") - F.col("__pe_num") != 0,
+        (F.col("__agree") * F.col("__n") - F.col("__pe_num")).cast("double")
+        / (F.col("__n") * F.col("__n") - F.col("__pe_num")).cast("double"),
+    )
+    return out.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -398,3 +398,50 @@ def hits_scaled(
             F.coalesce("auth", F.lit(0)).cast("long").alias("auth_scaled"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling: repeatedly drop every
+    vertex whose current degree is below ``k`` (with the edges it
+    anchors), the standard coreness sieve for trimming low-signal
+    nodes from web/citation graphs before ranking or sampling.
+
+    Edges must be symmetric (both directions present, like the
+    PageRank builders produce), so degree is the src-side count.  A
+    FIXED round count keeps the result a pure function of the input —
+    the DuckDB oracle unrolls the same rounds as CTEs (the
+    ``pagerank_scaled`` playbook); run-to-convergence is one more
+    round-signature probe away when a caller wants the true core.
+
+    Returns surviving vertices as ``(node, degree)`` — degree AFTER
+    the last peel.
+
+    Scale shape: each round is one partial-agg ``groupBy(src)`` plus
+    two broadcast-sized semi joins against the still-alive vertex set
+    (vertex tables shrink monotonically; at web scale the filter list
+    exceeds broadcast range and the semi join shuffles on the vertex
+    key — same plan, bigger exchange).  ``localCheckpoint`` per round
+    truncates the lineage exactly as ``connected_components`` does.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(alive, "src", "left_semi")
+            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

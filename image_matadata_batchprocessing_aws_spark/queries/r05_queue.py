@@ -939,3 +939,162 @@ ORACLES["agg_js_mixture"] = """
            round(0.5 * CAST(sum(t9) AS DOUBLE) / 1000000000.0, 6) AS js_divergence
     FROM term GROUP BY source, ng ORDER BY source
 """
+
+
+KCORE_K = 10
+KCORE_ROUNDS = 3
+
+
+def eval_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Score the n-gram language-ID heuristic against the documents
+    table's gold ``lang`` column: per-class precision/recall/F1 from
+    the exact confusion matrix — the eval loop a labeling pipeline
+    runs before trusting a heuristic at corpus scale."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import confusion_metrics
+    from image_matadata_batchprocessing_aws_spark.operators.text import add_lang_id
+
+    d = add_lang_id(t(spark, sf, "documents"))
+    return confusion_metrics(d, "lang_pred", "lang").orderBy("cls")
+
+
+QUERIES["eval_confusion"] = eval_confusion
+
+
+def _confusion_oracle() -> str:
+    """Confusion SQL over the lang-ID twin (same generated profile SQL
+    as ``text_lang_id``, so predictions can't drift between the two)."""
+    from image_matadata_batchprocessing_aws_spark.queries.text import _lang_id_oracle
+
+    return f"""
+    WITH pl AS ({_lang_id_oracle()}),
+    cell AS (SELECT lang AS y, lang_pred AS p, count(*) AS c FROM pl GROUP BY 1, 2),
+    truth AS (SELECT y AS cls, sum(c) AS support FROM cell GROUP BY 1),
+    pred AS (SELECT p AS cls, sum(c) AS predicted FROM cell GROUP BY 1),
+    tp AS (SELECT y AS cls, sum(c) AS tp FROM cell WHERE y = p GROUP BY 1),
+    j AS (SELECT coalesce(truth.cls, pred.cls) AS cls,
+                 coalesce(support, 0) AS support,
+                 coalesce(predicted, 0) AS predicted
+          FROM truth FULL OUTER JOIN pred ON truth.cls = pred.cls),
+    m AS (SELECT j.cls, j.support, j.predicted, coalesce(tp.tp, 0) AS tp
+          FROM j LEFT JOIN tp ON j.cls = tp.cls)
+    SELECT cls, CAST(support AS BIGINT) AS support,
+           CAST(predicted AS BIGINT) AS predicted, CAST(tp AS BIGINT) AS tp,
+           round(CASE WHEN predicted > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END, 6)
+               AS "precision",
+           round(CASE WHEN support > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN support + predicted > 0
+                 THEN CAST(2 * tp AS DOUBLE)
+                      / CAST(support + predicted AS DOUBLE) END, 6) AS f1
+    FROM m ORDER BY cls
+    """
+
+
+ORACLES["eval_confusion"] = _confusion_oracle()
+
+
+def eval_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two order annotators: a price-band rule
+    and the stated priority collapsed to the same three bands — does
+    price agree with priority beyond chance?"""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import cohens_kappa
+
+    o = t(spark, sf, "orders").select(
+        F.when(F.col("o_totalprice") < 100000, "LOW")
+        .when(F.col("o_totalprice") < 200000, "MID")
+        .otherwise("HIGH")
+        .alias("rater_a"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "HIGH")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "MID")
+        .otherwise("LOW")
+        .alias("rater_b"),
+    )
+    return cohens_kappa(o, "rater_a", "rater_b")
+
+
+QUERIES["eval_kappa"] = eval_kappa
+
+ORACLES["eval_kappa"] = """
+    WITH r AS (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'LOW'
+                  WHEN o_totalprice < 200000 THEN 'MID' ELSE 'HIGH' END AS a,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'HIGH'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'MID' ELSE 'LOW' END AS b
+      FROM orders),
+    cell AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+    pe AS (SELECT coalesce(sum(ra.ra * cb.cb), 0) AS pe_num
+           FROM (SELECT a, sum(c) AS ra FROM cell GROUP BY 1) ra
+           JOIN (SELECT b, sum(c) AS cb FROM cell GROUP BY 1) cb ON ra.a = cb.b),
+    tot AS (SELECT sum(c) AS n,
+                   sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+            FROM cell)
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+           round(CASE WHEN n * n - pe_num != 0
+                 THEN CAST(agree * n - pe_num AS DOUBLE)
+                      / CAST(n * n - pe_num AS DOUBLE) END, 6) AS kappa
+    FROM tot CROSS JOIN pe
+"""
+
+
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Three k-core peel rounds (k=10) on the bidirectional
+    customer-supplier graph ``graph_pagerank`` builds — the coreness
+    sieve that trims low-signal nodes before authority ranking.
+    Output: every surviving node with its post-peel degree."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import kcore_peel
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    surv = kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return surv.select(
+        F.expr("node % 2").cast("long").alias("node_kind"),
+        F.expr("node div 2").cast("long").alias("entity_id"),
+        "degree",
+    ).orderBy("node_kind", "entity_id")
+
+
+QUERIES["graph_kcore"] = graph_kcore
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peel rounds as CTEs — the ``pagerank_scaled`` fixed-round
+    playbook: each round re-derives degrees over the surviving edge set
+    and keeps vertices at >= k."""
+    parts = [
+        """
+    WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e0 AS (SELECT c AS src, s AS dst FROM pairs
+           UNION ALL SELECT s AS src, c AS dst FROM pairs)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{r} AS (SELECT src FROM e{r - 1} GROUP BY 1 HAVING count(*) >= {k}),
+    e{r} AS (SELECT e.src, e.dst FROM e{r - 1} e
+             JOIN a{r} ON e.src = a{r}.src
+             JOIN a{r} b ON e.dst = b.src)"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(src % 2 AS BIGINT) AS node_kind,
+           CAST(src // 2 AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    return "".join(parts)
+
+
+ORACLES["graph_kcore"] = _kcore_oracle()

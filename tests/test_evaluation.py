@@ -109,3 +109,110 @@ def test_evaluation_plans_stay_jvm_side(spark):
     df = spark.createDataFrame([(1.0, 1), (0.5, 0)], "s double, y int")
     assert_no_python_udf(roc_auc(df, "s", "y"))
     assert_no_python_udf(calibration_bins(df, "s", "y"))
+
+
+# --- confusion_metrics / cohens_kappa --------------------------------------
+
+
+def test_confusion_hand_computed(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import confusion_metrics
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a")],
+        "y string, p string",
+    )
+    out = {r["cls"]: r for r in confusion_metrics(df, "p", "y").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["support"], a["predicted"], a["tp"]) == (3, 3, 2)
+    assert a["precision"] == round(2 / 3, 6) and a["recall"] == round(2 / 3, 6)
+    assert a["f1"] == round(4 / 6, 6)
+    assert (b["support"], b["predicted"], b["tp"]) == (2, 2, 1)
+
+
+def test_confusion_never_predicted_class_null_precision(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import confusion_metrics
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "b")], "y string, p string"
+    )
+    out = {r["cls"]: r for r in confusion_metrics(df, "p", "y").collect()}
+    assert out["a"]["predicted"] == 0 and out["a"]["precision"] is None
+    assert out["a"]["recall"] == 0.0  # 0 tp over 2 true rows
+    assert out["b"]["recall"] == 1.0
+
+
+def test_confusion_pred_only_class_null_recall(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import confusion_metrics
+
+    df = spark.createDataFrame([("a", "c"), ("a", "a")], "y string, p string")
+    out = {r["cls"]: r for r in confusion_metrics(df, "p", "y").collect()}
+    assert out["c"]["support"] == 0 and out["c"]["recall"] is None
+    assert out["c"]["precision"] == 0.0
+
+
+def test_kappa_hand_computed(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import cohens_kappa
+
+    # classic 2x2: agree=70%, pe=0.5 -> kappa=0.4
+    rows = (
+        [("x", "x")] * 35 + [("y", "y")] * 35 + [("x", "y")] * 15 + [("y", "x")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 100 and r["n_agree"] == 70
+    assert r["kappa"] == round((70 * 100 - 5000) / (10000 - 5000), 6) == 0.4
+
+
+def test_kappa_disjoint_label_sets_is_zero(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame([("x", "u"), ("y", "v")], "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n_agree"] == 0 and r["kappa"] == 0.0
+
+
+def test_kappa_constant_identical_raters_null(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] is None  # pe = 1: agreement is vacuous
+
+
+# --- kcore_peel ------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_kcore_triangle_survives_pendant_peels(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 plus pendant 4 hanging off 1
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+    out = {r["node"]: r["degree"] for r in kcore_peel(e, k=2, rounds=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_needs_second_round(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import kcore_peel
+
+    # chain 1-2-3-4-5: round 1 peels the endpoints, and round 2 empties
+    # the graph (3 passes the degree test but its neighbors die, so no
+    # edge survives — the true 2-core of a chain is empty)
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    e = _edges(spark, chain)
+    r1 = {r["node"]: r["degree"] for r in kcore_peel(e, k=2, rounds=1).collect()}
+    r2 = kcore_peel(e, k=2, rounds=2).collect()
+    assert r1 == {2: 1, 3: 2, 4: 1}
+    assert r2 == []
+
+
+def test_kcore_k1_keeps_everything(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import kcore_peel
+
+    e = _edges(spark, [(1, 2), (3, 4)])
+    out = kcore_peel(e, k=1, rounds=3).collect()
+    assert {r["node"] for r in out} == {1, 2, 3, 4}
