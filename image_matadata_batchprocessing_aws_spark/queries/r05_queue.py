@@ -1098,3 +1098,67 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 
 
 ORACLES["graph_kcore"] = _kcore_oracle()
+
+
+PCA_ITERS = 4
+
+
+def embedding_pca_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding corpus via fixed-point
+    power iteration over the (renormalized) scatter matrix — the
+    anisotropy / dominant-direction diagnostic an embedding pipeline
+    runs before whitening.  Bit-exact: every accumulation is
+    scaled-BIGINT and both engines' integer divisions truncate."""
+    from image_matadata_batchprocessing_aws_spark.operators.pca import pca_top_component_scaled
+
+    return pca_top_component_scaled(
+        t(spark, sf, "embeddings"), "embedding", iterations=PCA_ITERS
+    ).orderBy("dim_idx")
+
+
+QUERIES["embedding_pca_top"] = embedding_pca_top
+
+
+def _pca_oracle(iterations: int = PCA_ITERS) -> str:
+    """Unrolled power-iteration CTEs mirroring
+    ``operators/pca.pca_top_component_scaled`` constant for constant."""
+    from image_matadata_batchprocessing_aws_spark.operators.pca import (
+        PCA_Q,
+        PCA_S_SCALE,
+        PCA_V_SCALE,
+    )
+
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, ord - 1 AS i,
+             CAST(round(CAST(u AS DOUBLE) * {PCA_Q}) AS BIGINT) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS u,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)),
+    m AS (SELECT i, sum(x) // count(*) AS mn FROM q GROUP BY 1),
+    c AS (SELECT q.vec_id, q.i, q.x - m.mn AS c FROM q JOIN m USING (i)),
+    p AS (SELECT a.i AS i, b.i AS j, (a.c * b.c) // {PCA_Q} AS p
+          FROM c a JOIN c b ON a.vec_id = b.vec_id),
+    s AS (SELECT i, j, sum(p) AS s FROM p GROUP BY 1, 2),
+    sd AS (SELECT greatest(max(abs(s)) // {PCA_S_SCALE}, 1) AS d FROM s),
+    sn AS (SELECT i, j, s // d AS s FROM s CROSS JOIN sd),
+    v0 AS (SELECT DISTINCT i AS j, CAST({PCA_V_SCALE} AS BIGINT) AS v FROM sn)"""
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f""",
+    w{r} AS (SELECT sn.i, sum(sn.s * v{r - 1}.v) AS w
+             FROM sn JOIN v{r - 1} ON sn.j = v{r - 1}.j GROUP BY 1),
+    d{r} AS (SELECT greatest(max(abs(w)) // {PCA_V_SCALE}, 1) AS d FROM w{r}),
+    v{r} AS (SELECT i AS j, w // d AS v FROM w{r} CROSS JOIN d{r})"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS loading_scaled
+    FROM v{iterations} ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+ORACLES["embedding_pca_top"] = _pca_oracle()
