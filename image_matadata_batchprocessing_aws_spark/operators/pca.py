@@ -125,3 +125,73 @@ def pca_top_component_scaled(
         F.col("j").cast("long").alias("dim_idx"),
         F.col("v").cast("long").alias("loading_scaled"),
     )
+
+
+#: Projection coefficients are tracked at this scale.
+PCA_COEFF_SCALE = 10**6
+
+
+def remove_top_component_scaled(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    mean_q: list[int],
+    loadings: list[int],
+    q: int = PCA_Q,
+    coeff_scale: int = PCA_COEFF_SCALE,
+) -> DataFrame:
+    """'All-but-the-top' postprocessing (Mu & Viswanath 2018): subtract
+    the projection of each mean-centered vector onto the dominant
+    component, reporting per-vector squared norms before/after — the
+    anisotropy-correction diagnostic (how much of each embedding's
+    energy the common direction holds).
+
+    ``mean_q`` / ``loadings`` are the bounded fit statistics the PCA
+    pass collected (q-scaled means, v_scale-scaled loadings) passed as
+    plain ints so both engines consume identical literals.
+
+    Fixed-point overflow budget: |c_i| ~ 1e6, |v_i| <= 1e7+eps;
+    dot(c,v) <= d * 1e13, dot(v,v) <= d * 1e14 — both safe;
+    ``coeff = dot_cv div (dot_vv div coeff_scale)`` keeps every product
+    under 1e13.  Map-side only: zip_with/aggregate over the row's own
+    array, no shuffle at all (the output is row-per-vector).
+    """
+    dvv = sum(int(v) * int(v) for v in loadings)
+    dvv_r = max(dvv // coeff_scale, 1)
+    mean_lit = F.array(*[F.lit(int(m)) for m in mean_q])
+    v_lit = F.array(*[F.lit(int(v)) for v in loadings])
+    qarr = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * q).cast("long")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = df.select(
+        F.col(id_col), F.zip_with(qarr, mean_lit, lambda a, b: a - b).alias("__c")
+    )
+    # integer div truncates identically in both engines (verified for
+    # negatives), so coeff is the same BIGINT everywhere
+    corrected = base.select(
+        id_col, "__c", _dot(F.col("__c"), v_lit).alias("__dcv")
+    ).withColumn(
+        "__x",
+        F.expr(
+            f"transform(__c, (ci, i) -> ci - ((__dcv div {int(dvv_r)})"
+            f" * element_at(array({', '.join(str(int(v)) + 'L' for v in loadings)}), i + 1))"
+            f" div {int(coeff_scale)})"
+        ),
+    )
+    return corrected.select(
+        F.col(id_col),
+        F.expr(f"aggregate(__c, 0L, (acc, x) -> acc + x * x) div {int(q)}").alias(
+            "norm2_before_scaled"
+        ),
+        F.expr(f"aggregate(__x, 0L, (acc, x) -> acc + x * x) div {int(q)}").alias(
+            "norm2_after_scaled"
+        ),
+    )

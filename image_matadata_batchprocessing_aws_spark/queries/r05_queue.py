@@ -1119,9 +1119,10 @@ def embedding_pca_top(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["embedding_pca_top"] = embedding_pca_top
 
 
-def _pca_oracle(iterations: int = PCA_ITERS) -> str:
-    """Unrolled power-iteration CTEs mirroring
-    ``operators/pca.pca_top_component_scaled`` constant for constant."""
+def _pca_chain(iterations: int = PCA_ITERS) -> str:
+    """Shared unrolled power-iteration CTE chain mirroring
+    ``operators/pca.pca_top_component_scaled`` constant for constant
+    (used by both the PCA oracle and the whitening oracle)."""
     from image_matadata_batchprocessing_aws_spark.operators.pca import (
         PCA_Q,
         PCA_S_SCALE,
@@ -1153,12 +1154,83 @@ def _pca_oracle(iterations: int = PCA_ITERS) -> str:
     d{r} AS (SELECT greatest(max(abs(w)) // {PCA_V_SCALE}, 1) AS d FROM w{r}),
     v{r} AS (SELECT i AS j, w // d AS v FROM w{r} CROSS JOIN d{r})"""
         )
-    parts.append(
-        f"""
-    SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS loading_scaled
-    FROM v{iterations} ORDER BY 1"""
-    )
     return "".join(parts)
 
 
+def _pca_oracle(iterations: int = PCA_ITERS) -> str:
+    return (
+        _pca_chain(iterations)
+        + f"""
+    SELECT CAST(j AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS loading_scaled
+    FROM v{iterations} ORDER BY 1"""
+    )
+
+
 ORACLES["embedding_pca_top"] = _pca_oracle()
+
+
+def embedding_whiten_top(spark: SparkSession, sf: str) -> DataFrame:
+    """All-but-the-top anisotropy correction end-to-end: PCA the
+    corpus, collect the d-sized mean/loading fit statistics, project
+    the dominant direction out of every vector, and report per-vector
+    squared norms before/after — the energy the common direction held.
+    Norm monotonicity holds up to one truncation quantum (1e-6)."""
+    from image_matadata_batchprocessing_aws_spark.operators.pca import (
+        PCA_Q,
+        pca_top_component_scaled,
+        remove_top_component_scaled,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    qarr = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * PCA_Q).cast("long")
+    )
+    means = (
+        emb.select(qarr.alias("__q"))
+        .select(F.posexplode("__q").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+        .select("i", F.expr("sx div n").alias("m"))
+        .collect()
+    )
+    mean_q = [int(r["m"]) for r in sorted(means, key=lambda r: r["i"])]
+    loadings = [
+        int(r["loading_scaled"])
+        for r in pca_top_component_scaled(emb, iterations=PCA_ITERS)
+        .orderBy("dim_idx")
+        .collect()
+    ]
+    return remove_top_component_scaled(
+        emb, "embedding", "vec_id", mean_q, loadings
+    ).orderBy("vec_id")
+
+
+QUERIES["embedding_whiten_top"] = embedding_whiten_top
+
+
+def _whiten_oracle(iterations: int = PCA_ITERS) -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.pca import (
+        PCA_COEFF_SCALE,
+        PCA_Q,
+    )
+
+    return (
+        _pca_chain(iterations)
+        + f""",
+    dvv AS (SELECT sum(v * v) AS dvv FROM v{iterations}),
+    dr AS (SELECT greatest(dvv // {PCA_COEFF_SCALE}, 1) AS dr FROM dvv),
+    dcv AS (SELECT c.vec_id, sum(c.c * v.v) AS dcv
+            FROM c JOIN v{iterations} v ON c.i = v.j GROUP BY 1),
+    x AS (SELECT c.vec_id, c.i,
+                 c.c - ((dcv.dcv // dr.dr) * v.v) // {PCA_COEFF_SCALE} AS x
+          FROM c JOIN v{iterations} v ON c.i = v.j
+          JOIN dcv ON c.vec_id = dcv.vec_id CROSS JOIN dr),
+    nb AS (SELECT vec_id, sum(c * c) // {PCA_Q} AS nb FROM c GROUP BY 1),
+    na AS (SELECT vec_id, sum(x * x) // {PCA_Q} AS na FROM x GROUP BY 1)
+    SELECT nb.vec_id, CAST(nb AS BIGINT) AS norm2_before_scaled,
+           CAST(na AS BIGINT) AS norm2_after_scaled
+    FROM nb JOIN na ON nb.vec_id = na.vec_id ORDER BY nb.vec_id"""
+    )
+
+
+ORACLES["embedding_whiten_top"] = _whiten_oracle()

@@ -55,3 +55,52 @@ def test_pca_partitioning_invariant(spark):
     a = sorted(map(tuple, pca_top_component_scaled(df1, iterations=3).collect()))
     b = sorted(map(tuple, pca_top_component_scaled(df8, iterations=3).collect()))
     assert a == b
+
+
+def test_remove_top_strips_planted_common_direction(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.pca import (
+        PCA_Q,
+        remove_top_component_scaled,
+        pca_top_component_scaled,
+    )
+    from pyspark.sql import functions as F
+
+    # dim 0 carries almost all the CENTERED variance (a constant offset
+    # would vanish at mean-centering — variance is what PCA sees):
+    # removing the top component should collapse norms dramatically
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            [rng.gauss(0.0, 2.0)] + [rng.gauss(0.0, 0.05) for _ in range(7)],
+        )
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qarr = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * PCA_Q).cast("long")
+    )
+    means = (
+        df.select(qarr.alias("__q"))
+        .select(F.posexplode("__q").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+        .select("i", F.expr("sx div n").alias("m"))
+        .collect()
+    )
+    mean_q = [int(r["m"]) for r in sorted(means, key=lambda r: r["i"])]
+    loadings = [
+        int(r["loading_scaled"])
+        for r in pca_top_component_scaled(df, iterations=6).orderBy("dim_idx").collect()
+    ]
+    out = remove_top_component_scaled(
+        df, "embedding", "vec_id", mean_q, loadings
+    ).collect()
+    assert len(out) == 100
+    for r in out:
+        # monotone up to one truncation quantum
+        assert r["norm2_after_scaled"] <= r["norm2_before_scaled"] + 1
+    total_b = sum(r["norm2_before_scaled"] for r in out)
+    total_a = sum(r["norm2_after_scaled"] for r in out)
+    # the shared direction holds nearly all centered variance here
+    assert total_a < total_b * 0.15
