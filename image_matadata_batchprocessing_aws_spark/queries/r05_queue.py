@@ -1234,3 +1234,97 @@ def _whiten_oracle(iterations: int = PCA_ITERS) -> str:
 
 
 ORACLES["embedding_whiten_top"] = _whiten_oracle()
+
+
+MMR_K = 5
+MMR_QUERY_ID = 0
+
+
+def search_mmr_diverse(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy MMR over the embedding corpus: vec 0 is the query, the
+    other vectors are candidates, lambda = 0.7 — five picks balancing
+    relevance against redundancy, every round map-side with the picked
+    vectors as literals."""
+    from image_matadata_batchprocessing_aws_spark.operators.mmr import MMR_Q, mmr_select
+
+    emb = t(spark, sf, "embeddings")
+    qrow = (
+        emb.where(F.col("vec_id") == MMR_QUERY_ID)
+        .select(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * MMR_Q).cast("long"),
+            ).alias("__q")
+        )
+        .collect()[0]
+    )
+    picks = mmr_select(
+        emb.where(F.col("vec_id") != MMR_QUERY_ID),
+        "vec_id",
+        "embedding",
+        [int(x) for x in qrow["__q"]],
+        k=MMR_K,
+    )
+    return spark.createDataFrame(
+        [(p["rank"], p["id"], p["score10"]) for p in picks],
+        "rank long, id long, score10 long",
+    )
+
+
+QUERIES["search_mmr_diverse"] = search_mmr_diverse
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.mmr import MMR_Q
+
+    parts = [
+        f"""
+    WITH qv AS (
+      SELECT vec_id, ord - 1 AS i,
+             CAST(round(CAST(u AS DOUBLE) * {MMR_Q}) AS BIGINT) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS u,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)),
+    qq AS (SELECT i, x FROM qv WHERE vec_id = {MMR_QUERY_ID}),
+    rel AS (SELECT a.vec_id, sum(a.x * q.x) // {MMR_Q} AS rel
+            FROM qv a JOIN qq q USING (i)
+            WHERE a.vec_id != {MMR_QUERY_ID} GROUP BY 1),
+    s1 AS (SELECT vec_id, 7 * rel AS score FROM rel
+           ORDER BY score DESC, vec_id LIMIT 1)"""
+    ]
+    for r in range(2, k + 1):
+        prev = r - 1
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, r))
+        parts.append(
+            f""",
+    p{prev} AS (SELECT i, x FROM qv
+                WHERE vec_id = (SELECT vec_id FROM s{prev})),
+    sim{prev} AS (SELECT a.vec_id, sum(a.x * p.x) // {MMR_Q} AS s
+                  FROM qv a JOIN p{prev} p USING (i)
+                  WHERE a.vec_id != {MMR_QUERY_ID} GROUP BY 1)"""
+        )
+        ms = (
+            f"greatest({', '.join(f'sim{i}.s' for i in range(1, r))})"
+            if r > 2
+            else "sim1.s"
+        )
+        joins = " ".join(
+            f"JOIN sim{i} ON rel.vec_id = sim{i}.vec_id" for i in range(1, r)
+        )
+        parts.append(
+            f""",
+    s{r} AS (SELECT rel.vec_id, 7 * rel.rel - 3 * {ms} AS score
+             FROM rel {joins}
+             WHERE rel.vec_id NOT IN ({excl})
+             ORDER BY score DESC, rel.vec_id LIMIT 1)"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id AS id, CAST(score AS BIGINT) AS score10 FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM ({finals}) ORDER BY rank""")
+    return "".join(parts)
+
+
+ORACLES["search_mmr_diverse"] = _mmr_oracle()
