@@ -25,13 +25,15 @@ Scale shape: the one data-sized pass is the per-row outer-product
 explode — d^2 struct rows per vector, shrunk by map-side combine to
 d^2 rows PER PARTITION before the only data-sized shuffle.  The means
 pass is a d-row aggregate (the collected mean literal is a bounded fit
-statistic, the k-means-centroid precedent).  The scatter matrix is
-renormalized to a fixed magnitude so matvec arithmetic cannot overflow
-at ANY row count, and the d^2-row iteration joins are
-broadcast-trivial.  At 100 TB the explode amplification (x d^2 pre-
-combine) is the known cost of exact covariance — production would
-treeAggregate per-partition numpy outer products via mapInPandas (the
-accepted Python slow path); this stays JVM-side for the oracle.
+statistic, the k-means-centroid precedent).  The d^2-bounded scatter
+collects to the driver and the power iteration runs there in exact
+integer arithmetic — the MLlib computePrincipalComponents shape
+(distributed covariance, local eigensolve); the scatter renormalizes
+to a fixed magnitude first so matvec arithmetic cannot overflow at ANY
+row count.  At 100 TB the explode amplification (x d^2 pre-combine) is
+the known cost of exact covariance — production would treeAggregate
+per-partition numpy outer products via mapInPandas (the accepted
+Python slow path); the data passes stay JVM-side for the oracle.
 """
 
 from __future__ import annotations
@@ -86,44 +88,49 @@ def pca_top_component_scaled(
 
     cent = base.select(F.zip_with("__q", mean_lit, lambda a, b: a - b).alias("__c"))
 
-    # per-row outer products, quantized back to the input scale so the
-    # scatter sum grows linearly (not quadratically) in magnitude
+    # per-row outer products — UPPER TRIANGLE ONLY (the matrix is
+    # symmetric; the mirror is reconstructed for free driver-side),
+    # halving the explode volume; products quantize back to the input
+    # scale so the scatter sum grows linearly (not quadratically)
     pairs = cent.select(
         F.explode(
             F.expr(
-                f"flatten(transform(__c, (ci, i) -> transform(__c, (cj, j) ->"
-                f" struct(i AS i, j AS j, (ci * cj) div {int(q)} AS p))))"
+                f"flatten(transform(__c, (ci, i) ->"
+                f" transform(slice(__c, i + 1, size(__c) - i), (cj, jo) ->"
+                f" struct(i AS i, i + jo AS j, (ci * cj) div {int(q)} AS p))))"
             )
         ).alias("__s")
     ).select("__s.i", "__s.j", "__s.p")
-    scatter = pairs.groupBy("i", "j").agg(F.sum("p").alias("s"))
+    scatter = pairs.groupBy("i", "j").agg(F.sum("p").alias("s")).collect()
 
-    # renormalize: max |entry| becomes s_scale, killing row-count growth
-    smax = scatter.agg(F.max(F.abs(F.col("s"))).alias("__m")).select(
-        F.greatest(F.expr(f"__m div {int(s_scale)}"), F.lit(1)).alias("__d")
-    )
-    s_norm = scatter.crossJoin(F.broadcast(smax)).select(
-        "i", "j", F.expr("s div __d").alias("s")
-    )
+    # The scatter is d^2-bounded — collect it and iterate driver-side
+    # (the MLlib computePrincipalComponents shape: distributed
+    # covariance, local eigensolve).  A DataFrame-join iteration was
+    # measurably worse here: 32-task micro-jobs per round dominated by
+    # scheduling, and the lazy lineage re-evaluates the previous round
+    # twice (matvec + its own max) so plans compound geometrically.
+    # Python ints are arbitrary-precision but every value stays in the
+    # int64 budget above, and _tdiv reproduces the engines' truncating
+    # division exactly, so the result is bit-identical to the SQL twin.
+    def _tdiv(a: int, b: int) -> int:
+        q_ = abs(a) // abs(b)
+        return q_ if (a >= 0) == (b >= 0) else -q_
 
-    dim_rows = s_norm.select("i").distinct()
-    v = dim_rows.select(F.col("i").alias("j"), F.lit(int(v_scale)).alias("v"))
+    s_map = {(int(r["i"]), int(r["j"])): int(r["s"]) for r in scatter}
+    s_map.update(
+        {(j, i): s for (i, j), s in list(s_map.items()) if i != j}
+    )  # symmetric mirror
+    d_norm = max(_tdiv(max(abs(x) for x in s_map.values()), s_scale), 1)
+    sn = {k: _tdiv(x, d_norm) for k, x in s_map.items()}
+    dims = sorted({i for i, _ in sn})
+    vvec = {i: int(v_scale) for i in dims}
     for _ in range(iterations):
-        w = (
-            s_norm.join(v, "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("s") * F.col("v")).alias("w"))
-        )
-        wmax = w.agg(F.max(F.abs(F.col("w"))).alias("__m")).select(
-            F.greatest(F.expr(f"__m div {int(v_scale)}"), F.lit(1)).alias("__d")
-        )
-        v = (
-            w.crossJoin(F.broadcast(wmax))
-            .select(F.col("i").alias("j"), F.expr("w div __d").alias("v"))
-        )
-    return v.select(
-        F.col("j").cast("long").alias("dim_idx"),
-        F.col("v").cast("long").alias("loading_scaled"),
+        w = {i: sum(sn.get((i, j), 0) * vvec[j] for j in dims) for i in dims}
+        dw = max(_tdiv(max(abs(x) for x in w.values()), v_scale), 1)
+        vvec = {i: _tdiv(w[i], dw) for i in dims}
+    return df.sparkSession.createDataFrame(
+        [(int(i), int(vvec[i])) for i in dims],
+        "dim_idx long, loading_scaled long",
     )
 
 

@@ -1140,8 +1140,10 @@ def _pca_chain(iterations: int = PCA_ITERS) -> str:
     m AS (SELECT i, sum(x) // count(*) AS mn FROM q GROUP BY 1),
     c AS (SELECT q.vec_id, q.i, q.x - m.mn AS c FROM q JOIN m USING (i)),
     p AS (SELECT a.i AS i, b.i AS j, (a.c * b.c) // {PCA_Q} AS p
-          FROM c a JOIN c b ON a.vec_id = b.vec_id),
-    s AS (SELECT i, j, sum(p) AS s FROM p GROUP BY 1, 2),
+          FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i),
+    st AS (SELECT i, j, sum(p) AS s FROM p GROUP BY 1, 2),
+    s AS (SELECT i, j, s FROM st
+          UNION ALL SELECT j AS i, i AS j, s FROM st WHERE i != j),
     sd AS (SELECT greatest(max(abs(s)) // {PCA_S_SCALE}, 1) AS d FROM s),
     sn AS (SELECT i, j, s // d AS s FROM s CROSS JOIN sd),
     v0 AS (SELECT DISTINCT i AS j, CAST({PCA_V_SCALE} AS BIGINT) AS v FROM sn)"""
