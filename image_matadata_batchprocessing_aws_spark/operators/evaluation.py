@@ -247,3 +247,64 @@ def cohens_kappa(
         F.col("__agree").cast("long").alias("n_agree"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def mrr_first_relevant(
+    pairs: DataFrame,
+    query_col: str,
+    cand_col: str,
+    score_col: str,
+    relevant_col: str,
+    rr_scale: int = 10**9,
+) -> DataFrame:
+    """Reciprocal rank of the first relevant candidate per query —
+    ``(query, first_rank, rr_scaled)`` with ``rr_scaled = rr_scale div
+    first_rank`` (exact integer, so the mean over queries is a sum of
+    identical BIGINTs in any engine).  Queries with no relevant
+    candidate are absent (their RR is 0 by convention; the caller's
+    left join restores them if needed).
+
+    ``pairs`` is the scored (query x candidate) table; ``score_col``
+    must already be an exact (integer) score so ordering is
+    engine-independent; ties rank by ``cand_col`` ascending.
+
+    Scale shape: NEVER a per-query ranking window (a query's candidate
+    set is data-sized — the keyless-window landmine).  Two
+    aggregate-shaped passes instead: (1) per-query argmax of the
+    relevant candidates (one partial-agg max of a (score, -id) struct),
+    (2) the first relevant's rank = 1 + count of strictly-better
+    candidates, a partial-agg count against the broadcast per-query
+    best.  Both shuffles are query-keyed aggregations; nothing sorts.
+    """
+    best = (
+        pairs.where(F.col(relevant_col))
+        .groupBy(query_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"), (-F.col(cand_col)).alias("negid")
+                )
+            ).alias("__b")
+        )
+        .select(
+            query_col,
+            F.col("__b.s").alias("__bs"),
+            (-F.col("__b.negid")).alias("__bid"),
+        )
+    )
+    better = (
+        pairs.join(F.broadcast(best), query_col)
+        .where(
+            (F.col(score_col) > F.col("__bs"))
+            | ((F.col(score_col) == F.col("__bs")) & (F.col(cand_col) < F.col("__bid")))
+        )
+        .groupBy(query_col)
+        .agg(F.count("*").alias("__nb"))
+    )
+    out = best.join(better, query_col, "left").select(
+        query_col,
+        (F.coalesce("__nb", F.lit(0)) + 1).cast("long").alias("first_rank"),
+    )
+    return out.withColumn(
+        "rr_scaled", F.expr(f"{int(rr_scale)} div first_rank").cast("long")
+    )

@@ -1330,3 +1330,82 @@ def _mmr_oracle(k: int = MMR_K) -> str:
 
 
 ORACLES["search_mmr_diverse"] = _mmr_oracle()
+
+
+MRR_N_QUERIES = 20
+
+
+def eval_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-reciprocal-rank harness over the embedding corpus: the
+    first MRR_N_QUERIES vectors are queries, same-label candidates are
+    relevant, similarity is the exact integer dot product.  The rank
+    of the first relevant comes from aggregate counts, never a
+    per-query ranking window."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import mrr_first_relevant
+    from image_matadata_batchprocessing_aws_spark.operators.mmr import MMR_Q
+
+    emb = t(spark, sf, "embeddings")
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * MMR_Q).cast("long")
+    )
+    q = emb.where(F.col("vec_id") < MRR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        qv.alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    c = emb.where(F.col("vec_id") >= MRR_N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        qv.alias("__cv"),
+        F.col("label").alias("__cl"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        F.expr(
+            f"aggregate(zip_with(__qv, __cv, (a, b) -> a * b), 0L,"
+            f" (acc, x) -> acc + x) div {MMR_Q}"
+        ).alias("sim"),
+        (F.col("__ql") == F.col("__cl")).alias("rel"),
+    )
+    return mrr_first_relevant(
+        pairs, "query_id", "cand_id", "sim", "rel"
+    ).orderBy("query_id")
+
+
+QUERIES["eval_mrr"] = eval_mrr
+
+
+def _mrr_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.mmr import MMR_Q
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, label, ord - 1 AS i,
+             CAST(round(CAST(u AS DOUBLE) * {MMR_Q}) AS BIGINT) AS x
+      FROM (SELECT vec_id, label, unnest(embedding) AS u,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)),
+    sim AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             any_value(q.label) = any_value(c.label) AS rel,
+             sum(q.x * c.x) // {MMR_Q} AS sim
+      FROM qv q JOIN qv c ON q.i = c.i
+      WHERE q.vec_id < {MRR_N_QUERIES} AND c.vec_id >= {MRR_N_QUERIES}
+      GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, sim AS bs, cand_id AS bid FROM sim WHERE rel
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id ASC) = 1),
+    rnk AS (
+      SELECT b.query_id,
+             1 + count(*) FILTER (WHERE s.sim > b.bs
+                                  OR (s.sim = b.bs AND s.cand_id < b.bid)) AS r
+      FROM best b JOIN sim s ON s.query_id = b.query_id
+      GROUP BY 1)
+    SELECT query_id, CAST(r AS BIGINT) AS first_rank,
+           CAST(1000000000 // r AS BIGINT) AS rr_scaled
+    FROM rnk ORDER BY query_id
+"""
+
+
+ORACLES["eval_mrr"] = _mrr_oracle()

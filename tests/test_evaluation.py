@@ -216,3 +216,50 @@ def test_kcore_k1_keeps_everything(spark):
     e = _edges(spark, [(1, 2), (3, 4)])
     out = kcore_peel(e, k=1, rounds=3).collect()
     assert {r["node"] for r in out} == {1, 2, 3, 4}
+
+
+# --- mrr_first_relevant ----------------------------------------------------
+
+
+def _mk_pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "q long, c long, s long, rel boolean"
+    )
+
+
+def test_mrr_hand_computed(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import mrr_first_relevant
+
+    pairs = _mk_pairs(
+        spark,
+        [
+            # query 1: relevant candidate is 2nd-best -> rank 2
+            (1, 10, 100, False),
+            (1, 11, 90, True),
+            (1, 12, 80, True),
+            # query 2: relevant is the top hit -> rank 1
+            (2, 10, 50, True),
+            (2, 11, 40, False),
+        ],
+    )
+    out = {r["q"]: r for r in mrr_first_relevant(pairs, "q", "c", "s", "rel").collect()}
+    assert out[1]["first_rank"] == 2 and out[1]["rr_scaled"] == 500000000
+    assert out[2]["first_rank"] == 1 and out[2]["rr_scaled"] == 1000000000
+
+
+def test_mrr_tie_ranks_by_candidate_id(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import mrr_first_relevant
+
+    # two candidates tie at 100; the relevant one has the LARGER id, so
+    # the irrelevant (smaller-id) one outranks it -> rank 2
+    pairs = _mk_pairs(spark, [(1, 5, 100, False), (1, 9, 100, True)])
+    r = mrr_first_relevant(pairs, "q", "c", "s", "rel").collect()[0]
+    assert r["first_rank"] == 2
+
+
+def test_mrr_query_without_relevant_is_absent(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import mrr_first_relevant
+
+    pairs = _mk_pairs(spark, [(1, 5, 10, False), (2, 5, 10, True)])
+    out = mrr_first_relevant(pairs, "q", "c", "s", "rel").collect()
+    assert [r["q"] for r in out] == [2]
