@@ -308,3 +308,98 @@ def mrr_first_relevant(
     return out.withColumn(
         "rr_scaled", F.expr(f"{int(rr_scale)} div first_rank").cast("long")
     )
+
+
+def rouge_pair_scores(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """ROUGE-N precision/recall/F1 between the texts of given
+    ``(id_a, id_b)`` pairs — the overlap audit a summarization/dedup
+    pipeline runs on candidate pairs (clipped n-gram counts, the
+    standard multiset ROUGE).
+
+    Directional convention: ``id_a`` is the reference — recall is
+    overlap over a's length, precision over b's.  F1 uses the count
+    identity ``2*overlap/(len_a + len_b)`` (one division of exact
+    BIGINTs).  Zero-overlap pairs report 0, not NULL; empty texts
+    yield NULL for the affected ratio.
+
+    Scale shape: the data-sized passes are the n-gram explode and one
+    partial-agg ``groupBy(doc, gram)``; the overlap join runs pairs ->
+    a-grams -> b-grams keyed on (id, gram), so its volume is bounded by
+    candidate-pair gram counts, never corpus^2.  ``least(ca, cb)`` is
+    the multiset-intersection clip.
+    """
+    from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    if n == 1:
+        grams = toks
+    else:
+        parts = [
+            F.expr(
+                f"slice(split(trim({text_col}), '\\\\s+'), {k + 1},"
+                f" greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0))"
+            )
+            for k in range(n)
+        ]
+        grams = parts[0]
+        for nxt in parts[1:]:
+            grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    cnt = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count("*").alias("__c"))
+    )
+    lens = cnt.groupBy("__id").agg(F.sum("__c").alias("__len"))
+    ca = cnt.select(
+        F.col("__id").alias("id_a"), F.col("__g"), F.col("__c").alias("__ca")
+    )
+    cb = cnt.select(
+        F.col("__id").alias("id_b"), F.col("__g"), F.col("__c").alias("__cb")
+    )
+    ov = (
+        pairs.select("id_a", "id_b")
+        .join(ca, "id_a")
+        .join(cb, ["id_b", "__g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__ca", "__cb")).alias("__ov"))
+    )
+    la = lens.select(F.col("__id").alias("id_a"), F.col("__len").alias("__la"))
+    lb = lens.select(F.col("__id").alias("id_b"), F.col("__len").alias("__lb"))
+    out = (
+        pairs.select("id_a", "id_b")
+        .join(ov, ["id_a", "id_b"], "left")
+        .join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("__ov", F.lit(0)).alias("__ov"),
+            F.coalesce("__la", F.lit(0)).alias("__la"),
+            F.coalesce("__lb", F.lit(0)).alias("__lb"),
+        )
+    )
+    prec = F.when(
+        F.col("__lb") > 0, F.col("__ov").cast("double") / F.col("__lb").cast("double")
+    )
+    rec = F.when(
+        F.col("__la") > 0, F.col("__ov").cast("double") / F.col("__la").cast("double")
+    )
+    f1 = F.when(
+        F.col("__la") + F.col("__lb") > 0,
+        (2 * F.col("__ov")).cast("double")
+        / (F.col("__la") + F.col("__lb")).cast("double"),
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("__ov").cast("long").alias("overlap"),
+        F.round(prec, 6).alias("rouge_p"),
+        F.round(rec, 6).alias("rouge_r"),
+        F.round(f1, 6).alias("rouge_f"),
+    )

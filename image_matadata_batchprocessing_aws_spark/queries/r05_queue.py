@@ -1409,3 +1409,55 @@ def _mrr_oracle() -> str:
 
 
 ORACLES["eval_mrr"] = _mrr_oracle()
+
+
+def eval_rouge_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ROUGE-1 audit of the near-dup candidate pairs: clipped unigram
+    overlap P/R/F1 for every Jaccard-candidate pair — the secondary
+    signal a dedup reviewer uses to judge borderline pairs."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import ngram_jaccard_pairs
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import rouge_pair_scores
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return rouge_pair_scores(docs, pairs).orderBy("id_a", "id_b")
+
+
+QUERIES["eval_rouge_pairs"] = eval_rouge_pairs
+
+
+def _rouge_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import (
+        _SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    return rf"""
+    WITH {_SHINGLES_CTE},
+    cand AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS g
+            FROM documents),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+    lens AS (SELECT doc_id, sum(c) AS len FROM cnt GROUP BY 1),
+    ov AS (SELECT p.id_a, p.id_b, sum(least(a.c, b.c)) AS ov
+           FROM cand p
+           JOIN cnt a ON a.doc_id = p.id_a
+           JOIN cnt b ON b.doc_id = p.id_b AND b.g = a.g
+           GROUP BY 1, 2),
+    o AS (SELECT p.id_a, p.id_b, coalesce(ov.ov, 0) AS ov,
+                 la.len AS la, lb.len AS lb
+          FROM cand p
+          LEFT JOIN ov ON ov.id_a = p.id_a AND ov.id_b = p.id_b
+          JOIN lens la ON la.doc_id = p.id_a
+          JOIN lens lb ON lb.doc_id = p.id_b)
+    SELECT id_a, id_b, CAST(ov AS BIGINT) AS overlap,
+           round(CASE WHEN lb > 0 THEN ov / CAST(lb AS DOUBLE) END, 6) AS rouge_p,
+           round(CASE WHEN la > 0 THEN ov / CAST(la AS DOUBLE) END, 6) AS rouge_r,
+           round(CASE WHEN la + lb > 0
+                 THEN 2 * ov / CAST(la + lb AS DOUBLE) END, 6) AS rouge_f
+    FROM o ORDER BY id_a, id_b
+"""
+
+
+ORACLES["eval_rouge_pairs"] = _rouge_oracle()

@@ -263,3 +263,57 @@ def test_mrr_query_without_relevant_is_absent(spark):
     pairs = _mk_pairs(spark, [(1, 5, 10, False), (2, 5, 10, True)])
     out = mrr_first_relevant(pairs, "q", "c", "s", "rel").collect()
     assert [r["q"] for r in out] == [2]
+
+
+# --- rouge_pair_scores -----------------------------------------------------
+
+
+def test_rouge1_hand_computed(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import rouge_pair_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat lay on a rug")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = rouge_pair_scores(docs, pairs).collect()[0]
+    # clipped unigram overlap: the(1 of 2), cat, on -> 3; la=6, lb=6
+    assert r["overlap"] == 3
+    assert r["rouge_p"] == 0.5 and r["rouge_r"] == 0.5 and r["rouge_f"] == 0.5
+
+
+def test_rouge1_clips_repeated_tokens(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import rouge_pair_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = rouge_pair_scores(docs, pairs).collect()[0]
+    # min(3,1) for 'a' + min(1,3) for 'b' = 2
+    assert r["overlap"] == 2 and r["rouge_f"] == 0.5
+
+
+def test_rouge2_bigram_grain(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import rouge_pair_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat down"), (2, "the cat sat up")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = rouge_pair_scores(docs, pairs, n=2).collect()[0]
+    # shared bigrams: "the cat", "cat sat" -> 2 of 3 each side
+    assert r["overlap"] == 2
+    assert r["rouge_f"] == round(4 / 6, 6)
+
+
+def test_rouge_zero_overlap_is_zero_not_null(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import rouge_pair_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = rouge_pair_scores(docs, pairs).collect()[0]
+    assert r["overlap"] == 0 and r["rouge_f"] == 0.0
