@@ -430,17 +430,19 @@ def kcore_peel(
     truncates the lineage exactly as ``connected_components`` does.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    for _ in range(rounds):
+    for r in range(rounds):
+        if r > 0:
+            # truncate lineage BETWEEN rounds (not after the last one,
+            # so the final plan keeps its joins visible for plan tests)
+            e = e.localCheckpoint(eager=False)
         alive = (
             e.groupBy("src")
             .agg(F.count("*").alias("__deg"))
             .where(F.col("__deg") >= k)
             .select("src")
         )
-        e = (
-            e.join(alive, "src", "left_semi")
-            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+        e = e.join(alive, "src", "left_semi").join(
+            alive.select(F.col("src").alias("dst")), "dst", "left_semi"
         )
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("degree")

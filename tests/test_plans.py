@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from image_matadata_batchprocessing_aws_spark.plans import assert_no_python_udf, plan_report
+from image_matadata_batchprocessing_aws_spark.plans import (
+    assert_no_python_udf,
+    formatted_plan,
+    plan_report,
+)
 from image_matadata_batchprocessing_aws_spark.queries.etl import etl_zscore
 from image_matadata_batchprocessing_aws_spark.queries.relational import (
     q1_pricing_summary,
@@ -263,3 +267,43 @@ def test_r05_queue_single_exchange_windows(spark):
         n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n_exchanges == 1, (name, n_exchanges)
         assert_no_python_udf(df)
+
+
+def test_eval_family_plan_shapes(spark):
+    """The r04-queue eval/graph additions keep their promised shapes:
+    MRR never plans a Window (its whole point); ROC AUC's one Window
+    rides the per-score AGGREGATED table (so a partial agg precedes
+    it); k-core's vertex filters plan as semi joins; the confusion
+    matrix is pure aggregation — no sort, no window."""
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    mrr = r05_queue.QUERIES["eval_mrr"](spark, SF_CORRECT)
+    plan = mrr._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "MRR must not rank via window"
+    assert_no_python_udf(mrr)
+
+    auc = r05_queue.QUERIES["eval_roc_auc"](spark, SF_CORRECT)
+    plan = auc._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "partial_" in formatted_plan(auc), "per-score partial agg missing"
+
+    kcore = r05_queue.QUERIES["graph_kcore"](spark, SF_CORRECT)
+    plan = kcore._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "k-core alive-set filters must be semi joins"
+
+    conf = r05_queue.QUERIES["eval_confusion"](spark, SF_CORRECT)
+    plan = conf._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_" in formatted_plan(conf)
+
+
+def test_rouge_overlap_join_no_cartesian(spark):
+    """The ROUGE overlap join must route pairs through (id, gram) hash
+    joins — a cartesian/nested-loop product would mean the pair
+    bounding broke."""
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    df = r05_queue.QUERIES["eval_rouge_pairs"](spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
