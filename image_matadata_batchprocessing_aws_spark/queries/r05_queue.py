@@ -1461,3 +1461,75 @@ def _rouge_oracle() -> str:
 
 
 ORACLES["eval_rouge_pairs"] = _rouge_oracle()
+
+
+def etl_corpus_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus card — the one-stop data-card report a corpus
+    release ships: volume (docs, whitespace tokens, mean chars),
+    exact-duplicate rate (md5 text hash), and the dominant language
+    with its share.  Every stat is an exact count or a single division
+    of exact counts."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import token_count
+
+    d = t(spark, sf, "documents")
+    vol = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        F.sum("n_chars").alias("__sc"),
+        F.countDistinct(F.md5("text")).alias("__nd"),
+    )
+    lang_cell = d.groupBy("source", "lang").agg(F.count("*").alias("__c"))
+    top_lang = (
+        lang_cell.groupBy("source")
+        .agg(
+            F.max(
+                F.struct(F.col("__c").alias("c"), F.col("lang").alias("lang"))
+            ).alias("__t")
+        )
+        .select("source", F.col("__t.lang").alias("top_lang"), F.col("__t.c").alias("__tc"))
+    )
+    return (
+        vol.join(top_lang, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("__sc").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+            F.round(
+                (F.col("n_docs") - F.col("__nd")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            "top_lang",
+            F.round(
+                F.col("__tc").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["etl_corpus_card"] = etl_corpus_card
+
+ORACLES["etl_corpus_card"] = r"""
+    WITH vol AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
+             sum(n_chars) AS sc,
+             count(DISTINCT md5(text)) AS nd
+      FROM documents GROUP BY 1),
+    cell AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+    top AS (SELECT source, lang AS top_lang, c AS tc FROM cell
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY c DESC, lang DESC) = 1)
+    SELECT v.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(sc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS avg_chars,
+           round(CAST(n_docs - nd AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           top_lang,
+           round(CAST(tc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS top_lang_share
+    FROM vol v JOIN top ON v.source = top.source
+    ORDER BY v.source
+"""
