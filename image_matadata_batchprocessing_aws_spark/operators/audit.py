@@ -46,3 +46,23 @@ def expect_no_nulls(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def null_rows(df: DataFrame, col: str) -> DataFrame:
     """P5 — rows where ``col`` is null (``read_csv_s3_train.py:93``)."""
     return df.filter(F.col(f"`{col}`").isNull())
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations whose group is
+    smaller than ``k`` — each returned row is an equivalence class that
+    re-identifies its members (k-anonymity, Sweeney 2002).  A release
+    gate joins these combos back to suppress or generalize them.
+
+    Scale shape: one partial-agg groupBy on the quasi-identifier tuple;
+    the filter keeps only the risky (small!) classes, so the output is
+    bounded by the violation count, not the table.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") < k)
+        .select(*quasi_cols, F.col("group_size").cast("long").alias("group_size"))
+    )

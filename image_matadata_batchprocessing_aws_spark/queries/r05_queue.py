@@ -1533,3 +1533,80 @@ ORACLES["etl_corpus_card"] = r"""
     FROM vol v JOIN top ON v.source = top.source
     ORDER BY v.source
 """
+
+
+SEMANTIC_DECON_THRESHOLD = 0.4
+SEMANTIC_DECON_EVAL_LABEL = 9
+
+
+def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine to ANY held-out eval vector (label 9 as the benchmark
+    stand-in) reaches the threshold — the semantic sibling of the
+    n-gram `dedup_decontaminate`.  The eval side broadcasts; the
+    per-train max collapses the pair explosion back to one row per
+    flagged vector."""
+    from image_matadata_batchprocessing_aws_spark.functions import cosine_sim
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    ev = e.where(F.col("label") == SEMANTIC_DECON_EVAL_LABEL).select(
+        F.col("e").alias("ev")
+    )
+    tr = e.where(F.col("label") != SEMANTIC_DECON_EVAL_LABEL)
+    mx = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("e"), F.col("ev")), 4).alias("__c"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("__c").alias("max_eval_cosine"))
+    )
+    return (
+        mx.where(F.col("max_eval_cosine") >= SEMANTIC_DECON_THRESHOLD)
+        .select("vec_id", "max_eval_cosine")
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["decontaminate_semantic"] = decontaminate_semantic
+
+ORACLES["decontaminate_semantic"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    ev AS (SELECT e FROM e WHERE label = {SEMANTIC_DECON_EVAL_LABEL}),
+    tr AS (SELECT vec_id, e FROM e WHERE label != {SEMANTIC_DECON_EVAL_LABEL}),
+    mx AS (SELECT tr.vec_id,
+                  max(round(list_cosine_similarity(tr.e, ev.e), 4)) AS max_eval_cosine
+           FROM tr CROSS JOIN ev GROUP BY 1)
+    SELECT vec_id, max_eval_cosine FROM mx
+    WHERE max_eval_cosine >= {SEMANTIC_DECON_THRESHOLD}
+    ORDER BY vec_id
+"""
+
+
+K_ANON_K = 8
+
+
+def etl_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit of customers on the (nation, market-segment)
+    quasi-identifier pair: every equivalence class smaller than k=8 is
+    a re-identification risk a release gate must suppress."""
+    from image_matadata_batchprocessing_aws_spark.operators.audit import k_anonymity_audit
+
+    return k_anonymity_audit(
+        t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=K_ANON_K
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+QUERIES["etl_k_anonymity"] = etl_k_anonymity
+
+ORACLES["etl_k_anonymity"] = f"""
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+    FROM customer GROUP BY 1, 2 HAVING count(*) < {K_ANON_K}
+    ORDER BY 1, 2
+"""
