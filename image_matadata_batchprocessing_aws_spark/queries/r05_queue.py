@@ -1610,3 +1610,51 @@ ORACLES["etl_k_anonymity"] = f"""
     FROM customer GROUP BY 1, 2 HAVING count(*) < {K_ANON_K}
     ORDER BY 1, 2
 """
+
+
+def agg_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit audit of line-item extended
+    prices: observed digit shares against the log10(1 + 1/d)
+    expectation — the classic fabricated-data / corruption screen for
+    numeric columns.  The digit is exact string arithmetic; only the
+    reference probability touches a log, rounded to 6 digits on both
+    engines (ulp-safe)."""
+    li = t(spark, sf, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    tot = li.agg(F.count("*").alias("__n"))
+    obs = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("observed"))
+        .crossJoin(F.broadcast(tot))
+    )
+    benford_p = F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6)
+    share = F.col("observed").cast("double") / F.col("__n").cast("double")
+    return obs.select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        F.round(share, 6).alias("observed_share"),
+        benford_p.alias("benford_p"),
+        F.round(share - F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6).alias(
+            "deviation"
+        ),
+    ).orderBy("digit")
+
+
+QUERIES["agg_benford"] = agg_benford
+
+ORACLES["agg_benford"] = """
+    WITH tot AS (SELECT count(*) AS n FROM lineitem),
+    obs AS (SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*) AS observed
+            FROM lineitem GROUP BY 1)
+    SELECT digit, CAST(observed AS BIGINT) AS observed,
+           round(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE), 6) AS observed_share,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+           round(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE)
+                 - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS deviation
+    FROM obs CROSS JOIN tot ORDER BY digit
+"""
