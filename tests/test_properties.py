@@ -272,3 +272,46 @@ def test_r04_operators_partitioning_invariant(spark):
     a = run(df.repartition(13))
     b = run(df.repartition(2, "k"))
     assert a == b
+
+
+def test_r04_eval_operators_partitioning_invariant(spark):
+    """roc_auc / confusion_metrics / cohens_kappa / rouge_pair_scores
+    claim exact-integer determinism — identical output under any input
+    partitioning."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        cohens_kappa,
+        confusion_metrics,
+        roc_auc,
+        rouge_pair_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            round(float(rng.uniform(0, 1)), 3),
+            int(rng.integers(0, 2)),
+            ["a", "b", "c"][int(rng.integers(0, 3))],
+            ["a", "b", "c"][int(rng.integers(0, 3))],
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "s double, y int, p string, t string")
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(list("abcdefg"), size=12))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 28, 2)], "id_a long, id_b long"
+    )
+
+    def run(frame, dframe):
+        return (
+            sorted(map(tuple, roc_auc(frame, "s", "y").collect())),
+            sorted(map(tuple, confusion_metrics(frame, "p", "t").collect())),
+            sorted(map(tuple, cohens_kappa(frame, "p", "t").collect())),
+            sorted(map(tuple, rouge_pair_scores(dframe, pairs).collect())),
+        )
+
+    a = run(df.repartition(17), docs.repartition(9))
+    b = run(df.repartition(3, "p"), docs.coalesce(1))
+    assert a == b
