@@ -536,3 +536,43 @@ def chi2_tokens(
         F.round(chi2, 4).alias("chi2"),
     )
     return out.orderBy(F.col("chi2").desc(), "token").limit(top_k)
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick text vectors (Weinberger et al. 2009): every
+    whitespace token hashes to a dimension ``md5_int32(w) % dim`` with
+    a sign from the next hash bit, and the vector entry is the signed
+    term count — a vocabulary-free embedding that feeds the ANN / PCA /
+    MMR stack directly from text, no model required.
+
+    Output is the sparse grain ``(id, dim_idx, weight)`` with exact
+    zero-weight entries dropped (sign cancellation); densify with a
+    pivot or array assembly when a consumer needs fixed-width rows.
+
+    Scale shape: token explode (map-side) then ONE partial-agg
+    ``groupBy(id, dim_idx)`` — the shuffle carries at most ``dim`` rows
+    per document.  All hash arithmetic is md5-derived (the house base
+    hash), so the DuckDB twin is bit-identical.
+    """
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__w")
+    ).withColumn("__h", md5_int32("__w"))
+    return (
+        toks.groupBy(
+            id_col, (F.col("__h") % dim).cast("long").alias("dim_idx")
+        )
+        .agg(
+            F.sum(
+                F.when(F.expr(f"(__h div {int(dim)}) % 2") == 0, 1).otherwise(-1)
+            ).alias("weight")
+        )
+        .where(F.col("weight") != 0)
+        .select(id_col, "dim_idx", F.col("weight").cast("long").alias("weight"))
+    )

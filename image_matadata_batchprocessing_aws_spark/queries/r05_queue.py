@@ -1658,3 +1658,39 @@ ORACLES["agg_benford"] = """
                  - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS deviation
     FROM obs CROSS JOIN tot ORDER BY digit
 """
+
+
+HASH_EMBED_DIM = 64
+
+
+def text_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-free hashing-trick vectors for every document — the
+    bridge from raw text into the vector stack (ANN, PCA, MMR) with no
+    trained model in the loop."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import hash_embed
+
+    return hash_embed(
+        t(spark, sf, "documents"), dim=HASH_EMBED_DIM
+    ).orderBy("doc_id", "dim_idx")
+
+
+QUERIES["text_hash_embed"] = text_hash_embed
+
+
+def _hash_embed_oracle(dim: int = HASH_EMBED_DIM) -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+
+    return rf"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents),
+    h AS (SELECT doc_id, {md5_int32_sql('w')} AS h FROM tok),
+    agg AS (SELECT doc_id, h % {dim} AS dim_idx,
+                   sum(CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+            FROM h GROUP BY 1, 2)
+    SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+           CAST(weight AS BIGINT) AS weight
+    FROM agg WHERE weight != 0 ORDER BY doc_id, dim_idx
+"""
+
+
+ORACLES["text_hash_embed"] = _hash_embed_oracle()
