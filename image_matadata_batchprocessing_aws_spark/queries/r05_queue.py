@@ -1694,3 +1694,91 @@ def _hash_embed_oracle(dim: int = HASH_EMBED_DIM) -> str:
 
 
 ORACLES["text_hash_embed"] = _hash_embed_oracle()
+
+
+HE_KNN_QUERIES = 10
+HE_KNN_K = 5
+
+
+def search_hash_embed_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-to-text retrieval with no model in the loop: hashing-trick
+    vectors -> SPARSE cosine via a dim-keyed inner-product join (the
+    classic sparse-matmul shape — never densify, never cross join) ->
+    top-k per query.  Cosine divides the exact integer dot by the
+    sqrt of exact integer norm products (sqrt is correctly-rounded
+    IEEE, so both engines emit the same double)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import hash_embed
+    from pyspark.sql import Window
+
+    he = hash_embed(t(spark, sf, "documents"), dim=HASH_EMBED_DIM)
+    q = he.where(F.col("doc_id") < HE_KNN_QUERIES).select(
+        F.col("doc_id").alias("qid"), "dim_idx", F.col("weight").alias("wq")
+    )
+    dot = (
+        q.join(
+            he.select(
+                F.col("doc_id").alias("cid"), "dim_idx", F.col("weight").alias("wc")
+            ),
+            "dim_idx",
+        )
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("wq") * F.col("wc")).alias("__dot"))
+    )
+    n2 = he.groupBy("doc_id").agg(F.sum(F.col("weight") * F.col("weight")).alias("__n2"))
+    cos = (
+        dot.join(n2.select(F.col("doc_id").alias("qid"), F.col("__n2").alias("__nq")), "qid")
+        .join(n2.select(F.col("doc_id").alias("cid"), F.col("__n2").alias("__nc")), "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt((F.col("__nq") * F.col("__nc")).cast("double")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= HE_KNN_K)
+        .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )
+
+
+QUERIES["search_hash_embed_knn"] = search_hash_embed_knn
+
+
+def _he_knn_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+
+    dim = HASH_EMBED_DIM
+    return rf"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents),
+    hh AS (SELECT doc_id, {md5_int32_sql('w')} AS h FROM tok),
+    he AS (SELECT doc_id, h % {dim} AS dim_idx,
+                  sum(CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+           FROM hh GROUP BY 1, 2 HAVING sum(CASE WHEN (h // {dim}) % 2 = 0
+                                               THEN 1 ELSE -1 END) != 0),
+    dt AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+                  sum(q.weight * c.weight) AS dot
+           FROM he q JOIN he c ON q.dim_idx = c.dim_idx AND q.doc_id != c.doc_id
+           WHERE q.doc_id < {HE_KNN_QUERIES} GROUP BY 1, 2),
+    n2 AS (SELECT doc_id, sum(weight * weight) AS n2 FROM he GROUP BY 1),
+    cos AS (SELECT qid, cid,
+                   round(CAST(dot AS DOUBLE)
+                         / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)), 4) AS cosine
+            FROM dt JOIN n2 a ON dt.qid = a.doc_id JOIN n2 b ON dt.cid = b.doc_id),
+    r AS (SELECT qid, cid, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, cid ASC) AS rnk
+          FROM cos)
+    SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {HE_KNN_K} ORDER BY qid, rnk
+"""
+
+
+ORACLES["search_hash_embed_knn"] = _he_knn_oracle()
