@@ -132,12 +132,15 @@ def confusion_metrics(
     df: DataFrame,
     pred_col: str,
     label_col: str,
+    group_by: Sequence[str] = (),
 ) -> DataFrame:
-    """Per-class precision/recall/F1 from the exact confusion matrix.
+    """Per-class precision/recall/F1 from the exact confusion matrix,
+    optionally per group (a time window, a data source) via
+    ``group_by``.
 
-    One row per class appearing in EITHER column: ``support`` (true
-    rows), ``predicted`` (rows the classifier assigned here), ``tp``,
-    then the three ratios.  F1 uses the count identity ``2*tp /
+    One row per (group,) class appearing in EITHER column: ``support``
+    (true rows), ``predicted`` (rows the classifier assigned here),
+    ``tp``, then the three ratios.  F1 uses the count identity ``2*tp /
     (support + predicted)`` — one division of exact BIGINTs instead of
     the harmonic mean of two already-divided doubles, so both engines
     compute the identical double.  ``precision`` is NULL when the class
@@ -145,32 +148,59 @@ def confusion_metrics(
     warns and reports 0; NULL states "undefined" honestly).
 
     Scale shape: the only data-sized pass is the partial-agg
-    ``groupBy(label, pred)`` cell table; marginals and the class join
-    are re-aggregations of cells, bounded by |classes|^2.
+    ``groupBy(group, label, pred)`` cell table; marginals and the class
+    join are re-aggregations of cells, bounded by
+    |groups| x |classes|^2.
     """
+    keys = list(group_by)
     cell = df.groupBy(
-        F.col(label_col).alias("__y"), F.col(pred_col).alias("__p")
+        *keys, F.col(label_col).alias("__y"), F.col(pred_col).alias("__p")
     ).agg(F.count("*").alias("__c"))
-    truth = cell.groupBy(F.col("__y").alias("cls")).agg(
+    truth = cell.groupBy(*keys, F.col("__y").alias("cls")).agg(
         F.sum("__c").alias("support")
     )
-    pred = cell.groupBy(F.col("__p").alias("cls")).agg(
+    pred = cell.groupBy(*keys, F.col("__p").alias("cls")).agg(
         F.sum("__c").alias("predicted")
     )
     tp = (
         cell.where(F.col("__y") == F.col("__p"))
-        .groupBy(F.col("__y").alias("cls"))
+        .groupBy(*keys, F.col("__y").alias("cls"))
         .agg(F.sum("__c").alias("tp"))
     )
-    out = (
-        truth.join(pred, "cls", "full_outer")
-        .join(tp, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("support", F.lit(0)).alias("support"),
-            F.coalesce("predicted", F.lit(0)).alias("predicted"),
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-        )
+    # the three marginal frames share lineage (all derive from `cell`),
+    # which trips Spark's self-join attribute resolution under grouped
+    # keys — rename each side to disjoint column names before joining
+    jk = [*keys, "cls"]
+    truth = truth.select(
+        *[F.col(k).alias(f"__t_{k}") for k in jk], "support"
+    )
+    pred = pred.select(
+        *[F.col(k).alias(f"__q_{k}") for k in jk], "predicted"
+    )
+    tp = tp.select(*[F.col(k).alias(f"__x_{k}") for k in jk], "tp")
+    merged = truth.join(
+        pred,
+        [
+            F.col(f"__t_{k}").eqNullSafe(F.col(f"__q_{k}")) for k in jk
+        ],
+        "full_outer",
+    ).select(
+        *[
+            F.coalesce(F.col(f"__t_{k}"), F.col(f"__q_{k}")).alias(k)
+            for k in jk
+        ],
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("predicted", F.lit(0)).alias("predicted"),
+    )
+    out = merged.join(
+        tp,
+        [F.col(k).eqNullSafe(F.col(f"__x_{k}")) for k in jk],
+        "left",
+    ).select(
+        *jk,
+        "support",
+        "predicted",
+        F.coalesce("tp", F.lit(0)).alias("tp"),
     )
     prec = F.when(
         F.col("predicted") > 0,
@@ -186,6 +216,7 @@ def confusion_metrics(
         / (F.col("support") + F.col("predicted")).cast("double"),
     )
     return out.select(
+        *keys,
         "cls",
         F.col("support").cast("long").alias("support"),
         F.col("predicted").cast("long").alias("predicted"),

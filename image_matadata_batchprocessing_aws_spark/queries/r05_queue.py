@@ -1782,3 +1782,62 @@ def _he_knn_oracle() -> str:
 
 
 ORACLES["search_hash_embed_knn"] = _he_knn_oracle()
+
+
+def stream_confusion_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the live windowed model-quality monitor: hourly
+    confusion metrics of the value-band predictor against the true
+    event type — per (window, class) P/R/F1 from exact cells (the
+    stream side computes the same cells as its single aggregation;
+    tests assert stream == batch)."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import confusion_metrics
+    from image_matadata_batchprocessing_aws_spark.streaming.events import event_type_predictor
+
+    e = t(spark, sf, "events").select(
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
+        event_type_predictor().alias("__pred"),
+        F.col("event_type").alias("__truth"),
+    )
+    return confusion_metrics(
+        e, "__pred", "__truth", group_by=["window_start_ms"]
+    ).orderBy("window_start_ms", "cls")
+
+
+QUERIES["stream_confusion_windows"] = stream_confusion_windows
+
+ORACLES["stream_confusion_windows"] = """
+    WITH lab AS (
+      SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS w,
+             CASE WHEN value < 20 THEN 'view'
+                  WHEN value < 35 THEN 'click'
+                  WHEN value < 60 THEN 'signup'
+                  WHEN value < 100 THEN 'purchase'
+                  ELSE 'error' END AS p,
+             event_type AS y
+      FROM events),
+    cell AS (SELECT w, y, p, count(*) AS c FROM lab GROUP BY 1, 2, 3),
+    truth AS (SELECT w, y AS cls, sum(c) AS support FROM cell GROUP BY 1, 2),
+    pred AS (SELECT w, p AS cls, sum(c) AS predicted FROM cell GROUP BY 1, 2),
+    tp AS (SELECT w, y AS cls, sum(c) AS tp FROM cell WHERE y = p GROUP BY 1, 2),
+    j AS (SELECT coalesce(truth.w, pred.w) AS w,
+                 coalesce(truth.cls, pred.cls) AS cls,
+                 coalesce(support, 0) AS support,
+                 coalesce(predicted, 0) AS predicted
+          FROM truth FULL OUTER JOIN pred
+            ON truth.w = pred.w AND truth.cls = pred.cls),
+    m AS (SELECT j.w, j.cls, j.support, j.predicted, coalesce(tp.tp, 0) AS tp
+          FROM j LEFT JOIN tp ON j.w = tp.w AND j.cls = tp.cls)
+    SELECT w AS window_start_ms, cls,
+           CAST(support AS BIGINT) AS support,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(tp AS BIGINT) AS tp,
+           round(CASE WHEN predicted > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END, 6)
+               AS "precision",
+           round(CASE WHEN support > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN support + predicted > 0
+                 THEN CAST(2 * tp AS DOUBLE)
+                      / CAST(support + predicted AS DOUBLE) END, 6) AS f1
+    FROM m ORDER BY window_start_ms, cls
+"""

@@ -19,7 +19,7 @@ partitioned parquet per epoch — no single-writer bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from image_matadata_batchprocessing_aws_spark.schemas import EVENTS_SCHEMA
 
@@ -211,4 +211,44 @@ def curate_stream(
     d = dedup_against_corpus(q, corpus, ["user_id", "event_type", "hr"])
     return d.where(
         md5_int64(F.col("event_id").cast("string")) % F.lit(rate_den) < F.lit(rate_num)
+    )
+
+
+def event_type_predictor(value_col: str = "value") -> Column:
+    """Deterministic stand-in classifier: predict the event type from
+    fixed value bands — shared by the live windowed-confusion stream
+    and its batch twin so the two can't drift."""
+    v = F.col(value_col)
+    return (
+        F.when(v < 20, "view")
+        .when(v < 35, "click")
+        .when(v < 60, "signup")
+        .when(v < 100, "purchase")
+        .otherwise("error")
+    )
+
+
+def windowed_confusion_cells(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-window (pred, truth) confusion CELLS as the single streaming
+    aggregation — the stream side of a live model-quality monitor.
+    Finishing metrics (per-class P/R/F1) are a cells-sized
+    re-aggregation downstream (``evaluation.confusion_metrics``
+    grouped by the window), run in foreachBatch or on the sink table.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", width).alias("w"),
+            event_type_predictor().alias("pred"),
+            F.col("event_type").alias("truth"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "pred",
+            "truth",
+            "n",
+        )
     )
