@@ -70,9 +70,9 @@ _MODULES = [
 #: takes the union to 188 if all 50 land green.
 #:
 #: r05 PLAN: register ``queries/r05_queue.py`` (one `_MODULES` append —
-#: 34 new oracled queries, every pair already exact at both sf dirs via
+#: 35 new oracled queries, every pair already exact at both sf dirs via
 #: ``tests/test_r05_queue.py``), then fill the 50-slot window with the
-#: 17 backlog names above + the 34 queue queries + re-rotations.
+#: 17 backlog names above + the 35 queue queries + re-rotations.
 _WINDOW = [
     "etl_star_flatten",
     "etl_scd2_asof",

@@ -1841,3 +1841,109 @@ ORACLES["stream_confusion_windows"] = """
                       / CAST(support + predicted AS DOUBLE) END, 6) AS f1
     FROM m ORDER BY window_start_ms, cls
 """
+
+
+def pipeline_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end — the third flagship composition:
+    blocked fuzzy linkage (OCR-dirtied feed vs clean feed) -> connected
+    components over the match edges -> survivorship (canonical record =
+    minimum id, i.e. the clean feed's row).  One row per record with
+    its resolved entity, the surviving canonical name, and the entity's
+    size (singletons stay their own entity via the left join)."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+    from image_matadata_batchprocessing_aws_spark.operators.joins import fuzzy_join
+
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("record_id"), F.col("c_name").alias("name")
+    )
+    dirty = t(spark, sf, "customer").select(
+        (F.col("c_custkey") + 1_000_000).alias("record_id"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("X"),
+            F.expr("substring(c_name, 11, 100)"),
+        ).alias("name"),
+    )
+    records = c.unionByName(dirty)
+    pairs = fuzzy_join(
+        c.withColumnRenamed("record_id", "c_custkey").withColumnRenamed(
+            "name", "c_name"
+        ),
+        dirty.withColumnRenamed("record_id", "feed_id").withColumnRenamed(
+            "name", "feed_name"
+        ),
+        "c_name",
+        "feed_name",
+        max_edit=2,
+        block_left=F.substring(F.col("c_name"), 15, 4),
+        block_right=F.substring(F.col("feed_name"), 15, 4),
+    ).select("c_custkey", "feed_id")
+    cc = connected_components(pairs, src="c_custkey", dst="feed_id")
+    resolved = records.join(
+        cc.select(F.col("id").alias("record_id"), "component"),
+        "record_id",
+        "left",
+    ).select(
+        "record_id",
+        "name",
+        F.coalesce("component", "record_id").alias("entity_id"),
+    )
+    canon = resolved.groupBy("entity_id").agg(
+        F.min("record_id").alias("__canon_id"), F.count("*").alias("group_size")
+    )
+    canon_named = canon.join(
+        resolved.select(
+            F.col("record_id").alias("__canon_id"),
+            F.col("name").alias("canonical_name"),
+        ),
+        "__canon_id",
+    )
+    return (
+        resolved.join(
+            canon_named.select("entity_id", "canonical_name", "group_size"),
+            "entity_id",
+        )
+        .select(
+            "record_id",
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "canonical_name",
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+        .orderBy("record_id")
+    )
+
+
+QUERIES["pipeline_entity_resolution"] = pipeline_entity_resolution
+
+ORACLES["pipeline_entity_resolution"] = """
+    WITH RECURSIVE dirty AS (
+      SELECT c_custkey + 1000000 AS record_id,
+             substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 100) AS name
+      FROM customer),
+    pairs AS (
+      SELECT c.c_custkey AS va, d.record_id AS vb
+      FROM customer c JOIN dirty d
+        ON substr(c.c_name, 15, 4) = substr(d.name, 15, 4)
+      WHERE levenshtein(c.c_name, d.name) <= 2),
+    edges AS (SELECT va, vb FROM pairs UNION ALL SELECT vb, va FROM pairs),
+    reach(src, node) AS (
+        SELECT va AS src, va AS node FROM edges
+        UNION
+        SELECT r.src, g.vb FROM reach r JOIN edges g ON r.node = g.va),
+    cc AS (SELECT src AS record_id, min(node) AS comp FROM reach GROUP BY 1),
+    records AS (
+      SELECT c_custkey AS record_id, c_name AS name FROM customer
+      UNION ALL SELECT record_id, name FROM dirty),
+    resolved AS (
+      SELECT r.record_id, r.name,
+             coalesce(cc.comp, r.record_id) AS entity_id
+      FROM records r LEFT JOIN cc ON r.record_id = cc.record_id),
+    canon AS (SELECT entity_id, min(record_id) AS canon_id,
+                     count(*) AS group_size
+              FROM resolved GROUP BY 1),
+    named AS (SELECT c.entity_id, r.name AS canonical_name, c.group_size
+              FROM canon c JOIN resolved r ON r.record_id = c.canon_id)
+    SELECT v.record_id, CAST(v.entity_id AS BIGINT) AS entity_id,
+           n.canonical_name, CAST(n.group_size AS BIGINT) AS group_size
+    FROM resolved v JOIN named n ON v.entity_id = n.entity_id
+    ORDER BY v.record_id
+"""
