@@ -4,10 +4,10 @@ Closes most of the S9 decode gap (SURVEY §2.1; reference decode is
 ``process_test_train_Images.py:45`` via PIL): PNG, BMP and PPM/PGM are
 fully decodable with nothing but ``zlib`` (stdlib) and numpy, so the
 "real codec" path no longer needs an absent third-party library for
-these formats, and baseline sequential JPEG decodes for real too
-(canonical Huffman + matrix IDCT, see the JPEG section).  Only
-WEBP/GIF and non-baseline JPEG stay behind the PIL seam
-(``images._pil_decode``).
+these formats, baseline sequential JPEG decodes for real too
+(canonical Huffman + matrix IDCT, see the JPEG section), and GIF
+decodes for real (LZW, see the GIF section).  Only WEBP and
+non-baseline JPEG stay behind the PIL seam (``images._pil_decode``).
 
 Formats:
 
@@ -26,6 +26,9 @@ Formats:
   markers, 0xFF00 unstuffing; progressive/arithmetic/12-bit raise.
   ``encode_jpeg`` (Annex K tables) generates fixtures;
   ``jpeg_reference_pipeline`` is the bitstream-free oracle.
+- **GIF** (``decode_gif``): 87a/89a first frame, global/local color
+  tables, interlacing, deferred clear, frame placement on the logical
+  screen; ``encode_gif`` (real compressing LZW) generates fixtures.
 
 Everything returns HxWx3 uint8 (the pipeline contract of
 ``images.decode_images``).  These run INSIDE the Arrow-batched
@@ -310,9 +313,11 @@ def decode_image_auto(name: str, content: bytes) -> np.ndarray:
         return decode_ppm(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[:6] in _GIF_MAGICS:
+        return decode_gif(content)
     raise ImageFormatError(
         f"no pure-python decoder for {name!r} (magic {content[:4]!r}); "
-        "WEBP/GIF need the PIL path"
+        "WEBP needs the PIL path"
     )
 
 
@@ -913,3 +918,245 @@ def jpeg_reference_pipeline(img: np.ndarray, quality: int = 75) -> np.ndarray:
                 )
         outs.append(rec[:h, :w] + 128.0)
     return _jpeg_ycc_to_rgb(*outs)
+
+
+# --- GIF (87a/89a, LZW) ----------------------------------------------------
+#
+# The last non-entropy-DCT format behind the PIL seam (reference decode:
+# ``process_test_train_Images.py:45`` via PIL, which reads GIF natively).
+# GIF is a palette format with LZW-compressed index streams — fully
+# decodable with stdlib-only bit twiddling: variable-width LSB-first
+# codes (start ``min_code_size+1`` bits, grow to 12), clear/end control
+# codes, 4096-entry dictionary with deferred-clear tolerance, optional
+# Adam-style 4-pass interlacing, and frame placement onto the logical
+# screen.  ``encode_gif`` is the fixture generator (real compressing
+# LZW, not the uncompressed-GIF trick, so round-trip tests exercise
+# dictionary growth and width changes).  First frame only — the
+# pipeline contract is one HxWx3 uint8 per document.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """LZW-decode a GIF index stream (sub-blocks already concatenated)
+    -> uint8 palette-index array of length ``n_pixels``."""
+    if not 2 <= min_code_size <= 11:
+        raise ImageFormatError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ImageFormatError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ImageFormatError("GIF LZW code out of range after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ImageFormatError("GIF LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ImageFormatError("GIF pixel data truncated")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real compressing GIF LZW encoder (fixture generator), the exact
+    inverse discipline of ``_gif_lzw_decode``: width grows when the next
+    free code reaches ``1 << code_size``; at 4096 entries the dictionary
+    freezes (deferred clear), which every conformant decoder accepts."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    buf = b""
+    for b in indices:
+        nb = buf + bytes([b])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[nb] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        buf = nb[-1:]
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a -> HxWx3 uint8 on the
+    logical screen (background-filled when the frame is smaller).
+    Extensions (graphic control, comments, application) are skipped;
+    transparency is ignored — PIL ``convert("RGB")`` semantics, the
+    pipeline contract of ``images.decode_images``."""
+    if content[:6] not in _GIF_MAGICS:
+        raise ImageFormatError("not a GIF (bad magic)")
+    if len(content) < 13:
+        raise ImageFormatError("GIF header truncated")
+    sw, sh, packed, bg_idx = struct.unpack("<HHBB", content[6:12])
+    if sw == 0 or sh == 0:
+        raise ImageFormatError("zero-dimension GIF")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(content):
+            raise ImageFormatError("GIF global color table truncated")
+        gct = np.frombuffer(content, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ImageFormatError(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(content):
+            raise ImageFormatError("GIF image descriptor truncated")
+        fx, fy, fw, fh, ipacked = struct.unpack("<HHHHB", content[pos + 1 : pos + 10])
+        pos += 10
+        if fw == 0 or fh == 0 or fx + fw > sw or fy + fh > sh:
+            raise ImageFormatError("GIF frame outside logical screen")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(content):
+                raise ImageFormatError("GIF local color table truncated")
+            pal = np.frombuffer(content, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ImageFormatError("GIF frame has no color table")
+        if pos >= len(content):
+            raise ImageFormatError("GIF LZW header truncated")
+        min_code_size = content[pos]
+        pos += 1
+        chunks = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ImageFormatError("GIF data sub-blocks truncated")
+            ln = content[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.extend(content[pos : pos + ln])
+            if len(chunks) < ln:
+                raise ImageFormatError("GIF data sub-blocks truncated")
+            pos += ln
+        idx = _gif_lzw_decode(bytes(chunks), min_code_size, fw * fh)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ImageFormatError("GIF palette index out of range")
+        frame = idx.reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, fh, step) for start, step in _GIF_INTERLACE_PASSES]
+            )
+            deinter = np.empty_like(frame)
+            deinter[order] = frame
+            frame = deinter
+        rgb = pal[frame]
+        if fx == 0 and fy == 0 and fw == sw and fh == sh:
+            return rgb.copy()
+        bg = pal[bg_idx] if (gct is not None and bg_idx < len(gct)) else np.zeros(3, np.uint8)
+        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        canvas[fy : fy + fh, fx : fx + fw] = rgb
+        return canvas
+    raise ImageFormatError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal single-frame GIF89a writer (fixture generator): builds
+    the palette from the image's distinct colors (<= 256 required),
+    real compressing LZW."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ImageFormatError(f"GIF encoder needs <=256 distinct colors, got {len(pal)}")
+    depth = max(1, int(len(pal) - 1).bit_length())
+    n = 1 << depth
+    pal_padded = np.zeros((n, 3), dtype=np.uint8)
+    pal_padded[: len(pal)] = pal
+    indices = inverse.astype(np.uint8)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(start, h, step) for start, step in _GIF_INTERLACE_PASSES]
+        )
+        indices = indices.reshape(h, w)[order].reshape(-1)
+    min_code_size = max(2, depth)
+    lzw = _gif_lzw_encode(indices.tobytes(), min_code_size)
+    sub = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        sub.append(len(chunk))
+        sub.extend(chunk)
+    sub.append(0)
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    return (
+        header
+        + pal_padded.tobytes()
+        + desc
+        + bytes([min_code_size])
+        + bytes(sub)
+        + b"\x3b"
+    )

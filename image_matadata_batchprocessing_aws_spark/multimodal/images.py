@@ -26,8 +26,9 @@ decoders in ``multimodal/codecs.py`` (zlib inflate + scanline
 un-filtering for PNG; no third-party codec), selected by
 ``use_real_codec=True`` and proven against a closed-form pixel-sum
 oracles (``queries.multimodal.multimodal_png_decode`` /
-``multimodal_jpeg_decode`` — baseline JPEG decodes for real too).
-Only WEBP/GIF and non-baseline JPEG remain behind the PIL seam
+``multimodal_jpeg_decode`` — baseline JPEG decodes for real too, and
+GIF via the pure-stdlib LZW decoder).
+Only WEBP and non-baseline JPEG remain behind the PIL seam
 (``ImageDecodeUnavailable`` per row when PIL is absent).  The default
 decode_fn stays the clearly-marked deterministic fake (md5-seeded
 pixels) for format-independent golden tests; everything Spark-side —
@@ -121,8 +122,8 @@ def _pil_decode(name: str, content: bytes) -> np.ndarray:
 
 def _real_decode(name: str, content: bytes) -> np.ndarray:
     """Real-codec dispatch: pure numpy+stdlib decoders first (PNG, BMP,
-    PPM, baseline JPEG — ``multimodal/codecs.py``), PIL only for the
-    formats a pure decoder can't reach (WEBP/GIF, progressive JPEG).
+    PPM, baseline JPEG, GIF — ``multimodal/codecs.py``), PIL only for
+    the formats a pure decoder can't reach (WEBP, progressive JPEG).
     Raises per image (the mapInPandas stage isolates it into
     ``decode_error``)."""
     from image_matadata_batchprocessing_aws_spark.multimodal import codecs
@@ -137,6 +138,8 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
         return codecs.decode_ppm(content)
     if content[:2] == b"\xff\xd8":
         return codecs.decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return codecs.decode_gif(content)
     return _pil_decode(name, content)
 
 
@@ -168,9 +171,9 @@ def decode_images(
 
     The byte-level decode is a pluggable seam: ``decode_fn(name, content)
     -> HxWx3 uint8 ndarray``.  ``use_real_codec=True`` selects REAL
-    decoding: PNG / BMP / PPM decode in pure numpy+stdlib
+    decoding: PNG / BMP / PPM / GIF decode in pure numpy+stdlib
     (``multimodal/codecs.py`` — no third-party codec needed), baseline
-    JPEG via the pure Huffman+IDCT decoder, and only WEBP/GIF and
+    JPEG via the pure Huffman+IDCT decoder, and only WEBP and
     non-baseline JPEG route to the PIL seam
     (``_pil_decode``); where PIL is absent those rows land in the
     ``decode_error`` column (per-row isolation) instead of failing the

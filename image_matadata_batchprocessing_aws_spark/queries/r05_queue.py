@@ -1947,3 +1947,91 @@ ORACLES["pipeline_entity_resolution"] = """
     FROM resolved v JOIN named n ON v.entity_id = n.entity_id
     ORDER BY v.record_id
 """
+
+
+# --- REAL GIF decode with a closed-form oracle -----------------------------
+
+GIF_N_DOCS = 30
+
+
+def multimodal_gif_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF (LZW) decoding, oracle-checked (extends S9 beyond
+    PNG/BMP/PPM/JPEG; reference decode: ``process_test_train_Images.py:45``
+    via PIL, which reads GIF natively): solid-color GIFs from the
+    pure-stdlib encoder — alternating interlaced/progressive-scan
+    layouts — are decoded by the pure LZW decoder through the full
+    Arrow ``mapInPandas`` pipeline.  GIF is palette-lossless, so after
+    the integral aspect-preserving resize the per-channel pixel sums
+    are exactly ``color * visible_pixels`` — the same closed form the
+    PNG twin uses (no reconstruction error term, unlike JPEG)."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_gif
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    rows = []
+    for doc_id in range(GIF_N_DOCS):
+        h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+        v = (doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = v
+        rows.append(
+            (
+                doc_id,
+                f"{doc_id}.gif",
+                bytearray(encode_gif(img, interlace=doc_id % 2 == 1)),
+            )
+        )
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    decoded = decode_images(entries, use_real_codec=True, normalize=False)
+
+    def chan_sum(c: int):
+        return F.aggregate(
+            F.slice(F.col("image"), c * 224 * 224 + 1, 224 * 224),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    out = decoded.join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    return out.select(
+        "doc_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        chan_sum(0).alias("r_sum"),
+        chan_sum(1).alias("g_sum"),
+        chan_sum(2).alias("b_sum"),
+    )
+
+
+QUERIES["multimodal_gif_decode"] = multimodal_gif_decode
+
+
+def _gif_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import (
+        PNG_DIMS,
+        _png_content_pixels,
+    )
+
+    pix_case = " ".join(
+        f"WHEN {i} THEN {px}" for i, px in enumerate(_png_content_pixels())
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(224 AS BIGINT) AS height,
+               CAST(224 AS BIGINT) AS width,
+               CAST((doc_id % 251) * px AS BIGINT) AS r_sum,
+               CAST(((doc_id * 7) % 251) * px AS BIGINT) AS g_sum,
+               CAST(((doc_id * 13) % 251) * px AS BIGINT) AS b_sum
+        FROM (SELECT unnest(range({GIF_N_DOCS})) AS doc_id),
+             LATERAL (SELECT CASE doc_id % {len(PNG_DIMS)} {pix_case} END AS px)
+    """
+
+
+ORACLES["multimodal_gif_decode"] = _gif_oracle()

@@ -227,8 +227,12 @@ def test_auto_dispatch():
     # reports its parse error instead of "needs PIL"
     with pytest.raises(ImageFormatError, match="truncated|segment|no scan"):
         decode_image_auto("a.jpg", b"\xff\xd8\xff\xe0x")
-    with pytest.raises(ImageFormatError, match="PIL"):
+    # GIF magic now routes to the real LZW decoder: a malformed GIF
+    # reports its parse error instead of "needs PIL"
+    with pytest.raises(ImageFormatError, match="truncated"):
         decode_image_auto("a.gif", b"GIF89a\x01\x00")
+    with pytest.raises(ImageFormatError, match="PIL"):
+        decode_image_auto("a.webp", b"RIFF\x00\x00\x00\x00WEBP")
     with pytest.raises(ImageFormatError, match="empty"):
         decode_image_auto("a.jpg", b"")
 
@@ -309,3 +313,111 @@ def test_jpeg_grayscale_single_component():
     out = decode_image_auto("x.jpg", encode_jpeg(img))
     assert out.shape == (8, 8, 3)
     assert len(np.unique(out.reshape(-1, 3), axis=0)) == 1
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+def _quantized_image(h, w, n_colors, seed=0):
+    r = np.random.default_rng(seed)
+    pal = r.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    return pal[r.integers(0, n_colors, (h, w))]
+
+
+def test_gif_roundtrip_noise_palette():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = _quantized_image(95, 133, 200, seed=7)
+    out = decode_gif(encode_gif(img))
+    assert np.array_equal(out, img)
+
+
+def test_gif_interlaced_roundtrip():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = _quantized_image(37, 23, 16, seed=11)
+    data = encode_gif(img, interlace=True)
+    assert data[6 + 7 + 16 * 3 + 9] & 0x40  # interlace flag set in descriptor
+    assert np.array_equal(decode_gif(data), img)
+
+
+def test_gif_dictionary_overflow_deferred_clear():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    # 300x300 of 256-color noise assigns >4096 LZW entries -> the
+    # encoder freezes the dictionary (deferred clear) and the decoder
+    # must track the same freeze point bit-exactly
+    img = _quantized_image(300, 300, 256, seed=13)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_single_color_and_width_growth():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = np.full((17, 31, 3), 99, dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # smooth gradient: long runs compress heavily across width changes
+    grad = np.zeros((256, 256, 3), dtype=np.uint8)
+    grad[:, :, 0] = (np.arange(256)[:, None] // 2).astype(np.uint8)
+    data = encode_gif(grad)
+    assert len(data) < grad.size // 10  # actually compresses
+    assert np.array_equal(decode_gif(data), grad)
+
+
+def test_gif_real_world_vector():
+    """A canonical third-party 1x1 GIF (the ubiquitous transparent
+    tracking pixel) — validates spec conformance independently of our
+    own encoder: graphic-control extension skipping, 2-color global
+    table, 2-bit LZW."""
+    import base64
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import decode_gif
+
+    data = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    out = decode_gif(data)
+    assert out.shape == (1, 1, 3)
+    assert out[0, 0].tolist() == [0, 0, 0]
+
+
+def test_gif_error_contract():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = _quantized_image(9, 9, 4, seed=3)
+    data = encode_gif(img)
+    with pytest.raises(ImageFormatError, match="magic"):
+        decode_gif(b"XIF89a" + data[6:])
+    with pytest.raises(ImageFormatError, match="truncated"):
+        decode_gif(data[:10])
+    with pytest.raises(ImageFormatError, match="truncated"):
+        decode_gif(data[:-12])
+    with pytest.raises(ImageFormatError, match="no image data"):
+        decode_gif(data[:13] + data[13 : 13 + 3 * 4] + b"\x3b")
+    with pytest.raises(ImageFormatError, match="256 distinct"):
+        # full-range noise has far more than 256 distinct colors
+        encode_gif(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+
+
+def test_gif_auto_dispatch_and_pipeline_contract():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_gif
+
+    img = _quantized_image(21, 40, 8, seed=5)
+    out = decode_image_auto("anim.gif", encode_gif(img))
+    assert out.dtype == np.uint8 and out.shape == (21, 40, 3)
+    assert np.array_equal(out, img)

@@ -83,10 +83,11 @@ def test_decode_fn_seam_custom_decoder(spark, tmp_path):
 def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     """use_real_codec=True REALLY decodes: a genuine PNG (zlib-compressed,
     CRC'd) comes back pixel-correct through the full Arrow pipeline with
-    no PIL in the container; a VALID baseline JPEG also decodes for
-    real; a malformed JPEG and a PIL-only format (GIF) land in the
+    no PIL in the container; VALID baseline JPEG and GIF also decode
+    for real; a malformed JPEG and a PIL-only format (WEBP) land in the
     error column instead of failing the job."""
     from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        encode_gif,
         encode_jpeg,
         encode_png,
     )
@@ -99,7 +100,8 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
             ("3.png", encode_png(red)),
             ("4.jpg", b"\xff\xd8\xff\xe0fakejpeg"),
             ("5.jpg", encode_jpeg(red, quality=90)),
-            ("6.png", b"GIF89a\x01\x00fake"),  # GIF magic, ext passes filter
+            ("6.png", encode_gif(red)),  # GIF magic: real LZW decode now
+            ("7.png", b"RIFF\x00\x00\x00\x00WEBPfake"),  # WEBP stays on the PIL seam
         ],
     )
     entries = scan_zip_entries(spark, str(tmp_path / "r.zip"))
@@ -120,8 +122,11 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     jok = rows["5.jpg"]
     assert jok.decode_error is None
     assert (jok.channels, jok.height, jok.width) == (3, TARGET_SIZE, TARGET_SIZE)
-    gif = rows["6.png"]  # GIF magic routes to the PIL seam
-    assert gif.image is None and "PIL" in gif.decode_error
+    gif = rows["6.png"]  # GIF magic routes to the real LZW decoder
+    assert gif.decode_error is None
+    assert (gif.channels, gif.height, gif.width) == (3, TARGET_SIZE, TARGET_SIZE)
+    webp = rows["7.png"]  # WEBP is the one format left on the PIL seam
+    assert webp.image is None and "PIL" in webp.decode_error
 
 
 def test_resize_with_padding_golden():
