@@ -194,6 +194,101 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold pairs via prefix filtering (Chaudhuri et
+    al. SSJoin 2006 / Bayardo et al. All-Pairs 2007) — same result set
+    as :func:`ngram_jaccard_pairs`, provably, but the candidate join
+    indexes only each document's PREFIX: its ``L - ceil(t*L) + 1``
+    globally-rarest shingles (rank by document frequency ascending).
+    Any pair with ``J >= t`` must share at least one prefix shingle, so
+    no true pair is lost; common shingles — exactly the ones whose
+    posting lists explode quadratically — never enter the self-join
+    once they fall outside every prefix.
+
+    Shuffle profile: shingle-df count + join back (both keyed on
+    ``shingle``, co-partitioned), one keyed per-doc window for prefix
+    rank (bounded by doc shingle count — no global window), the
+    prefix-posting self-join, and an intersection count bounded by
+    candidate pairs x |set_a| — at 100 TB the prefix index is the
+    thing that keeps the posting lists small where
+    :func:`ngram_jaccard_pairs` relies on shingle rarity alone (its
+    ``max_df`` guard DROPS hot shingles and changes the answer; the
+    prefix filter skips them without changing it).
+
+    Ties in the global frequency order break on the shingle string, so
+    the prefix set is deterministic; correctness does not depend on the
+    order at all (any consistent global order preserves the guarantee —
+    rarest-first merely minimizes posting-list sizes).
+    """
+    from pyspark.sql.window import Window
+
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("dfreq").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    pref = ranked.where(F.col("pos") <= prefix_len).select(
+        id_col, "shingle", "set_size"
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # length filter: J >= t forces min|set| >= ceil(t * max|set|)
+        .where(
+            F.least(F.col("a.set_size"), F.col("b.set_size"))
+            >= F.ceil(
+                F.lit(threshold)
+                * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+            )
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+            ),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -397,3 +397,89 @@ def test_int8_quantize_error_bound(spark):
         # half-ulp of that rounding on each side of the inequality
         assert r.max_err <= r.scale / 2 + 1e-6
         assert r.code_l1 <= 127 * 64  # 64 dims, |code| <= 127
+
+
+def test_jaccard_prefix_equals_full_posting_join(spark):
+    """Prefix filtering is LOSSLESS: on random low-vocabulary corpora
+    (worst case for posting lists — heavy shingle sharing) the
+    prefix-filtered join returns exactly the brute-force answer at
+    several thresholds."""
+    import random
+
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    r = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(r.choice(vocab) for _ in range(r.randint(3, 40)))))
+    # plant explicit near-dups: copy with one token changed
+    for i, (src, txt) in enumerate(rows[:10]):
+        toks = txt.split()
+        toks[len(toks) // 2] = "ALTERED"
+        rows.append((100 + i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        full = {tuple(x) for x in ngram_jaccard_pairs(df, threshold=t).collect()}
+        pref = {tuple(x) for x in jaccard_prefix_pairs(df, threshold=t).collect()}
+        assert pref == full, f"threshold {t}: prefix {len(pref)} vs full {len(full)}"
+    assert full  # the planted near-dups make the t=0.8 set non-empty
+
+
+def test_jaccard_prefix_candidates_shrink(spark):
+    """The point of the prefix index: candidate pairs from the prefix
+    self-join are a strict subset of the full posting-list join's on a
+    corpus with shared shingles."""
+    from pyspark.sql.window import Window
+
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        _exploded_shingles,
+    )
+
+    import random
+
+    r = random.Random(5)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(r.choice(vocab) for _ in range(r.randint(5, 30))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = _exploded_shingles(df, "text", "doc_id", 3)
+    a, b = ex.alias("a"), ex.alias("b")
+    n_full = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("dfreq").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    pref = ranked.where(
+        F.col("pos") <= F.col("set_size") - F.ceil(F.lit(0.5) * F.col("set_size")) + 1
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    n_pref = (
+        pa.join(pb, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_pref < n_full
