@@ -4,10 +4,12 @@ Closes most of the S9 decode gap (SURVEY §2.1; reference decode is
 ``process_test_train_Images.py:45`` via PIL): PNG, BMP and PPM/PGM are
 fully decodable with nothing but ``zlib`` (stdlib) and numpy, so the
 "real codec" path no longer needs an absent third-party library for
-these formats, baseline sequential JPEG decodes for real too
-(canonical Huffman + matrix IDCT, see the JPEG section), and GIF
-decodes for real (LZW, see the GIF section).  Only WEBP and
-non-baseline JPEG stay behind the PIL seam (``images._pil_decode``).
+these formats, JPEG decodes for real too — baseline sequential AND
+progressive (canonical Huffman + matrix IDCT + full T.81 Annex G
+successive approximation, see the JPEG section) — and GIF decodes for
+real (LZW, see the GIF section).  Only WEBP and the exotic JPEG modes
+(arithmetic, 12-bit, hierarchical) stay behind the PIL seam
+(``images._pil_decode``).
 
 Formats:
 
@@ -21,11 +23,14 @@ Formats:
   RGB; 8-bit paletted via the BGRX color table.
 - **PPM/PGM** (``decode_ppm``): binary P6/P5, maxval <= 255,
   whitespace/comment-tolerant header.
-- **JPEG** (``decode_jpeg``): baseline sequential DCT (SOF0/SOF1),
-  8-bit, grayscale or YCbCr with any sampling factors, restart
-  markers, 0xFF00 unstuffing; progressive/arithmetic/12-bit raise.
-  ``encode_jpeg`` (Annex K tables) generates fixtures;
-  ``jpeg_reference_pipeline`` is the bitstream-free oracle.
+- **JPEG** (``decode_jpeg``): baseline sequential DCT (SOF0/SOF1) AND
+  progressive (SOF2 — spectral selection, successive approximation,
+  EOB runs, refinement ZRL), 8-bit, grayscale or YCbCr with any
+  sampling factors, restart markers, 0xFF00 unstuffing;
+  arithmetic/12-bit/hierarchical raise.  ``encode_jpeg`` (Annex K
+  tables; ``progressive=True`` emits a libjpeg-shaped scan script)
+  generates fixtures; ``jpeg_reference_pipeline`` is the
+  bitstream-free oracle.
 - **GIF** (``decode_gif``): 87a/89a first frame, global/local color
   tables, interlacing, deferred clear, frame placement on the logical
   screen; ``encode_gif`` (real compressing LZW) generates fixtures.
@@ -538,11 +543,14 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline sequential JPEG -> HxWx3 uint8 RGB (grayscale
-    replicated).  Pure numpy + stdlib: marker parse, canonical Huffman,
-    zigzag/dequantize, matrix IDCT, box chroma upsampling, BT.601
-    YCbCr->RGB.  Progressive/arithmetic/12-bit/hierarchical raise
-    :class:`ImageFormatError`."""
+    """Baseline sequential (SOF0/1) AND progressive (SOF2) JPEG ->
+    HxWx3 uint8 RGB (grayscale replicated).  Pure numpy + stdlib:
+    marker parse, canonical Huffman, zigzag/dequantize, matrix IDCT,
+    box chroma upsampling, BT.601 YCbCr->RGB.  Progressive support is
+    full T.81 Annex G entropy coding: spectral selection, successive
+    approximation (DC+AC first and refinement passes), EOB runs, ZRL
+    in refinement, restart markers.  Arithmetic/12-bit/hierarchical
+    raise :class:`ImageFormatError`."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ImageFormatError("not a JPEG (bad SOI)")
     pos = 2
@@ -550,12 +558,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     restart_interval = 0
-    while pos + 4 <= len(content):
+    progressive = False
+    store: dict[int, np.ndarray] | None = None  # cid -> (rows, cols, 64) natural
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ImageFormatError("JPEG marker sync lost")
         marker = content[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and store is not None:
+                return _jpeg_progressive_reconstruct(frame, qt, store)
             break
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # parameterless
@@ -589,7 +601,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     raise ImageFormatError("JPEG DHT truncated")
                 huff[(tc, th)], _ = _jpeg_canonical_codes(bits, values)
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (progressive)
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ImageFormatError(f"{prec}-bit JPEG not supported")
@@ -600,9 +612,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tqi = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tqi))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(hs for _, hs, _, _ in comps)
+                vmax = max(vs for _, _, vs, _ in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                store = {
+                    cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                    for cid, hs, vs, _ in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageFormatError(
-                "progressive/hierarchical/arithmetic JPEG not supported (baseline only)"
+                "hierarchical/arithmetic/lossless JPEG not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -614,9 +636,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _jpeg_decode_scan(
-                content, pos + seglen, frame, scan, qt, huff, restart_interval
+            if not progressive:
+                return _jpeg_decode_scan(
+                    content, pos + seglen, frame, scan, qt, huff, restart_interval
+                )
+            band = (seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns] >> 4,
+                    seg[3 + 2 * ns] & 0x0F)
+            pos = _jpeg_decode_scan_progressive(
+                content, pos + seglen, frame, scan, band, huff,
+                restart_interval, store,
             )
+            continue
         # APPn / COM / others: skip
         pos += seglen
     raise ImageFormatError("JPEG has no scan (missing SOS)")
@@ -676,6 +706,12 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_finish_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample to full resolution, crop to (h, w), level-shift and
+    color-convert — shared by the sequential and progressive paths."""
     out_planes = []
     for cid, hs, vs, tq in comps:
         p = planes[cid]
@@ -688,6 +724,208 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         raise ImageFormatError(f"{len(out_planes)}-component JPEG not supported")
     y, cb, cr = out_planes
     return _jpeg_ycc_to_rgb(y, cb, cr)
+
+
+# --- progressive JPEG (SOF2), T.81 Annex G entropy coding ------------------
+
+
+def _jpeg_decode_scan_progressive(
+    data, pos, frame, scan, band, huff, restart_interval, store
+):
+    """Decode ONE progressive scan into the coefficient ``store``
+    (natural-order int64 per block); returns the stream position of the
+    next marker.  Handles all four scan kinds: DC first / DC refinement
+    (interleaved or single-component) and AC first / AC refinement
+    (single-component, own-dimension block raster), with EOB runs and
+    restart markers."""
+    Ss, Se, Ah, Al = band
+    h, w, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    reader = _JpegBitReader(data, pos)
+    state = {"eobrun": 0, "pred": {cid: 0 for cid, _, _ in scan}}
+    n_rst = 0
+    n_units = 0
+
+    def maybe_restart():
+        nonlocal n_rst, n_units
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            reader.align_and_expect_rst(n_rst)
+            n_rst += 1
+            state["eobrun"] = 0
+            state["pred"] = {cid: 0 for cid, _, _ in scan}
+        n_units += 1
+
+    if Ss == 0:  # DC scan (Se must be 0; interleaved over scan comps)
+        if Se != 0:
+            raise ImageFormatError("JPEG DC scan with nonzero Se")
+        if len(scan) > 1:
+            # MCU-interleaved order (T.81: interleaved iff ns > 1)
+            for m in range(mcus_x * mcus_y):
+                maybe_restart()
+                my, mx = divmod(m, mcus_x)
+                for cid, td, _ta in scan:
+                    hs, vs, _tq = by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = store[cid][my * vs + by, mx * hs + bx]
+                            _jpeg_dc_pass(reader, huff, td, cid, blk, Ah, Al, state)
+        else:
+            # single-component non-interleaved DC scan: own block raster
+            cid, td, _ta = scan[0]
+            hs, vs, _tq = by_id[cid]
+            bw = -(-(-(-(w * hs) // hmax)) // 8)
+            bh = -(-(-(-(h * vs) // vmax)) // 8)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    maybe_restart()
+                    _jpeg_dc_pass(
+                        reader, huff, td, cid, store[cid][byy, bxx], Ah, Al, state
+                    )
+    else:  # AC scan: exactly one component, own-dimension raster
+        if len(scan) != 1:
+            raise ImageFormatError("JPEG AC progressive scan must be single-component")
+        cid, _td, ta = scan[0]
+        hs, vs, _tq = by_id[cid]
+        ac_tbl = huff.get((1, ta))
+        if ac_tbl is None:
+            raise ImageFormatError("JPEG missing Huffman table")
+        comp_w = -(-w * hs // hmax)
+        comp_h = -(-h * vs // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for byy in range(bh):
+            for bxx in range(bw):
+                maybe_restart()
+                blk = store[cid][byy, bxx]
+                if Ah == 0:
+                    state["eobrun"] = _jpeg_ac_first(
+                        reader, ac_tbl, blk, Ss, Se, Al, state["eobrun"]
+                    )
+                else:
+                    state["eobrun"] = _jpeg_ac_refine(
+                        reader, ac_tbl, blk, Ss, Se, Al, state["eobrun"]
+                    )
+    # advance to the next marker (discard padding bits and 0xFF fill)
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF)
+    ):
+        p += 1
+    return p
+
+
+def _jpeg_dc_pass(reader, huff, td, cid, blk, Ah, Al, state):
+    if Ah == 0:  # first pass: Huffman-coded diffs, point-transformed
+        dc_tbl = huff.get((0, td))
+        if dc_tbl is None:
+            raise ImageFormatError("JPEG missing Huffman table")
+        s = reader.decode_symbol(dc_tbl)
+        diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+        state["pred"][cid] += diff
+        blk[0] = state["pred"][cid] << Al
+    else:  # refinement: one raw bit appends to the magnitude
+        if reader.read_bit():
+            blk[0] |= 1 << Al
+
+
+def _jpeg_ac_first(reader, ac_tbl, blk, Ss, Se, Al, eobrun):
+    """T.81 G.1.2.2: first AC pass of a band — baseline AC coding plus
+    EOB runs; values arrive point-transformed (<< Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = reader.decode_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > Se:
+            raise ImageFormatError("JPEG AC run overflows band")
+        blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.read_bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(reader, ac_tbl, blk, Ss, Se, Al, eobrun):
+    """T.81 G.1.2.3: AC refinement pass — newly-significant coefficients
+    arrive as (run, 1) symbols with a sign bit; every already-nonzero
+    coefficient passed over consumes one correction bit."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+
+    def correct(z):
+        v = int(blk[z])
+        if reader.read_bit() and (v & p1) == 0:
+            blk[z] = v + (p1 if v >= 0 else m1)
+
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ImageFormatError("JPEG AC refinement size != 1")
+                newval = p1 if reader.read_bit() else m1
+            while k <= Se:
+                z = _JPEG_ZIGZAG[k]
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= Se:
+                blk[_JPEG_ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            z = _JPEG_ZIGZAG[k]
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_reconstruct(frame, qt, store) -> np.ndarray:
+    """Dequantize + batched IDCT of the accumulated coefficient store,
+    then the shared upsample/crop/color tail."""
+    h, w, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ImageFormatError(f"JPEG missing quant table {tq}")
+        arr = store[cid]
+        rows, cols, _ = arr.shape
+        deq = (arr * qt[tq][None, None, :]).astype(np.float64).reshape(
+            rows, cols, 8, 8
+        )
+        rec = np.einsum("ij,rcjk,kl->rcil", _JPEG_T.T, deq, _JPEG_T)
+        planes[cid] = rec.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w)
 
 
 def _jpeg_ycc_to_rgb(y, cb, cr) -> np.ndarray:
@@ -783,12 +1021,19 @@ def _jpeg_encode_block(writer, coef_q, pred, enc_dc, enc_ac):
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 75, subsampling: str = "4:4:4"
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline sequential JPEG writer (fixture generator): Annex K
-    standard Huffman tables, libjpeg-style quality-scaled Annex K quant
-    tables, 4:4:4 or 4:2:0 (box-mean chroma downsample), no restart
-    markers.  HxWx3 uint8 in."""
+    """Baseline sequential — or, with ``progressive=True``, progressive
+    (SOF2) — JPEG writer (fixture generator): Annex K standard Huffman
+    tables, libjpeg-style quality-scaled Annex K quant tables, 4:4:4 or
+    4:2:0 (box-mean chroma downsample), no restart markers.  HxWx3
+    uint8 in.  The progressive scan script mirrors libjpeg's default
+    shape (DC first+refine with successive approximation, split AC
+    bands, AC refinement per component); EOB runs are capped at 1 so
+    the Annex K alphabet suffices (no EOBn symbols)."""
     h, w, _ = img.shape
     if subsampling == "4:4:4":
         samp = [(1, 1), (1, 1), (1, 1)]
@@ -826,24 +1071,29 @@ def encode_jpeg(
     dec_ac_c, enc_ac_c = _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHROMA)
     enc_dc = [enc_dc_l, enc_dc_c, enc_dc_c]
     enc_ac = [enc_ac_l, enc_ac_c, enc_ac_c]
-    writer = _JpegBitWriter()
-    pred = [0, 0, 0]
-    for m in range(mcus_x * mcus_y):
-        my, mx = divmod(m, mcus_x)
-        for ci in range(3):
-            hs, vs = samp[ci]
-            q = qts[ci].reshape(8, 8)
-            for by in range(vs):
-                for bx in range(hs):
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    blk = blocks[ci][y0 : y0 + 8, x0 : x0 + 8]
-                    coef = _JPEG_T @ blk @ _JPEG_T.T
-                    cq = _jpeg_quantize(coef, q)
-                    pred[ci] = _jpeg_encode_block(
-                        writer, cq, pred[ci], enc_dc[ci], enc_ac[ci]
-                    )
-    payload = writer.flush()
+    if progressive:
+        body = _jpeg_encode_progressive_scans(
+            blocks, samp, qts, mcus_x, mcus_y, h, w, hmax, vmax, enc_dc, enc_ac
+        )
+    else:
+        writer = _JpegBitWriter()
+        pred = [0, 0, 0]
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(3):
+                hs, vs = samp[ci]
+                q = qts[ci].reshape(8, 8)
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        blk = blocks[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _JPEG_T @ blk @ _JPEG_T.T
+                        cq = _jpeg_quantize(coef, q)
+                        pred[ci] = _jpeg_encode_block(
+                            writer, cq, pred[ci], enc_dc[ci], enc_ac[ci]
+                        )
+        payload = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -856,7 +1106,7 @@ def encode_jpeg(
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
 
     sof = seg(
-        0xC0,
+        0xC2 if progressive else 0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + b"".join(
             struct.pack(
@@ -865,6 +1115,30 @@ def encode_jpeg(
             for i, cid in enumerate((1, 2, 3))
         ),
     )
+    head = (
+        b"\xff\xd8"
+        + dqt(0, qly)
+        + dqt(1, qlc)
+        + sof
+        + dht(0, 0, _JPEG_HUFF_DC_LUMA)
+        + dht(1, 0, _JPEG_HUFF_AC_LUMA)
+        + dht(0, 1, _JPEG_HUFF_DC_CHROMA)
+        + dht(1, 1, _JPEG_HUFF_AC_CHROMA)
+    )
+    if progressive:
+        scans = b""
+        for scan_comps, Ss, Se, Ah, Al, payload in body:
+            sos = seg(
+                0xDA,
+                bytes([len(scan_comps)])
+                + b"".join(
+                    struct.pack(">BB", ci + 1, (0 if ci == 0 else 1) * 0x11)
+                    for ci in scan_comps
+                )
+                + bytes([Ss, Se, (Ah << 4) | Al]),
+            )
+            scans += sos + payload
+        return head + scans + b"\xff\xd9"
     sos = seg(
         0xDA,
         bytes([3])
@@ -874,19 +1148,7 @@ def encode_jpeg(
         )
         + bytes([0, 63, 0]),
     )
-    return (
-        b"\xff\xd8"
-        + dqt(0, qly)
-        + dqt(1, qlc)
-        + sof
-        + dht(0, 0, _JPEG_HUFF_DC_LUMA)
-        + dht(1, 0, _JPEG_HUFF_AC_LUMA)
-        + dht(0, 1, _JPEG_HUFF_DC_CHROMA)
-        + dht(1, 1, _JPEG_HUFF_AC_CHROMA)
-        + sos
-        + payload
-        + b"\xff\xd9"
-    )
+    return head + sos + payload + b"\xff\xd9"
 
 
 def jpeg_reference_pipeline(img: np.ndarray, quality: int = 75) -> np.ndarray:
@@ -1160,3 +1422,183 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
         + bytes(sub)
         + b"\x3b"
     )
+
+
+# --- progressive JPEG encoder (fixture generator) --------------------------
+
+
+def _jpeg_enc_dc_first(writer, blocks_zz, order, ci_of, enc_dc, Al, pred):
+    for ci, by, bx in order:
+        v = int(blocks_zz[ci][by, bx, 0]) >> Al  # arithmetic point transform
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = abs(diff).bit_length()
+        code, length = enc_dc[ci][s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _jpeg_enc_dc_refine(writer, blocks_zz, order, Al):
+    for ci, by, bx in order:
+        writer.write((int(blocks_zz[ci][by, bx, 0]) >> Al) & 1, 1)
+
+
+def _jpeg_enc_ac_first_block(writer, zz, Ss, Se, Al, enc_ac):
+    """One block of a first AC scan: plain EOB per block (run length 1
+    keeps us inside the Annex K symbol alphabet, which has no EOBn
+    codes; spec-legal, just less compact than libjpeg)."""
+    tv = []
+    for k in range(Ss, Se + 1):
+        v = int(zz[k])
+        m = abs(v) >> Al
+        tv.append(m if v >= 0 else -m)
+    if not any(tv):
+        code, length = enc_ac[0x00]
+        writer.write(code, length)
+        return
+    last_nz = max(i for i, v in enumerate(tv) if v)
+    r = 0
+    for i, v in enumerate(tv):
+        if i > last_nz:
+            code, length = enc_ac[0x00]  # EOB covers the zero tail
+            writer.write(code, length)
+            break
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = enc_ac[0xF0]
+            writer.write(code, length)
+            r -= 16
+        s = abs(v).bit_length()
+        code, length = enc_ac[(r << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    else:
+        if r > 0:
+            code, length = enc_ac[0x00]
+            writer.write(code, length)
+
+
+def _jpeg_enc_ac_refine_block(writer, zz, Ss, Se, Al, enc_ac):
+    """One block of an AC refinement scan, emitted by SIMULATING the
+    decoder's traversal (T.81 G.1.2.3): correction bits for
+    already-nonzero coefficients are placed exactly where
+    :func:`_jpeg_ac_refine` reads them — after the Huffman symbol (and
+    sign) whose advance passes over them."""
+    tv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    signs = [int(zz[k]) > 0 for k in range(Ss, Se + 1)]
+    n = len(tv)
+    k = 0
+    while True:
+        events = []  # ('z', None) zero-history | ('c', bit) correction
+        j = None
+        kk = k
+        while kk < n:
+            t = tv[kk]
+            if t == 1:
+                j = kk
+                break
+            events.append(("z", None) if t == 0 else ("c", t & 1))
+            kk += 1
+        if j is None:
+            if events:
+                code, length = enc_ac[0x00]  # EOB(run 1) covers the tail
+                writer.write(code, length)
+                for kind, bit in events:
+                    if kind == "c":
+                        writer.write(bit, 1)
+            break
+        zcount = sum(1 for kind, _ in events if kind == "z")
+        ei = 0
+        while zcount > 15:
+            code, length = enc_ac[0xF0]  # ZRL: 16 zero-history positions
+            writer.write(code, length)
+            consumed = 0
+            while consumed < 16:
+                kind, bit = events[ei]
+                ei += 1
+                if kind == "z":
+                    consumed += 1
+                else:
+                    writer.write(bit, 1)
+            zcount -= 16
+        code, length = enc_ac[(zcount << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if signs[j] else 0, 1)
+        for kind, bit in events[ei:]:
+            if kind == "c":
+                writer.write(bit, 1)
+        k = j + 1
+        if k >= n:
+            break
+
+
+#: progressive scan script: DC first (Al=1) -> DC refinement, split AC
+#: first passes at Al=1, then AC refinement per component (libjpeg
+#: default shape, EOB runs capped at 1)
+_JPEG_PROG_SCRIPT = [
+    ("dc_first", [0, 1, 2], 0, 0, 0, 1),
+    ("dc_refine", [0, 1, 2], 0, 0, 1, 0),
+    ("ac_first", [0], 1, 5, 0, 1),
+    ("ac_first", [1], 1, 63, 0, 1),
+    ("ac_first", [2], 1, 63, 0, 1),
+    ("ac_first", [0], 6, 63, 0, 1),
+    ("ac_refine", [0], 1, 63, 1, 0),
+    ("ac_refine", [1], 1, 63, 1, 0),
+    ("ac_refine", [2], 1, 63, 1, 0),
+]
+
+
+def _jpeg_encode_progressive_scans(
+    blocks, samp, qts, mcus_x, mcus_y, h, w, hmax, vmax, enc_dc, enc_ac
+):
+    """Quantize every block once, then emit the scan script; returns
+    [(scan_comps, Ss, Se, Ah, Al, payload)]."""
+    coefs = []
+    for ci in range(3):
+        hs, vs = samp[ci]
+        q = qts[ci].reshape(8, 8)
+        rows, cols = mcus_y * vs, mcus_x * hs
+        arr = np.zeros((rows, cols, 64), dtype=np.int64)
+        for by in range(rows):
+            for bx in range(cols):
+                blk = blocks[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                cq = _jpeg_quantize(_JPEG_T @ blk @ _JPEG_T.T, q)
+                arr[by, bx] = cq.reshape(64)[_JPEG_ZIGZAG]
+        coefs.append(arr)
+    mcu_order = []
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in range(3):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    mcu_order.append((ci, my * vs + by, mx * hs + bx))
+
+    def own_blocks(ci):
+        hs, vs = samp[ci]
+        bw = -(-(-(-(w * hs) // hmax)) // 8)
+        bh = -(-(-(-(h * vs) // vmax)) // 8)
+        return [(by, bx) for by in range(bh) for bx in range(bw)]
+
+    out = []
+    for kind, scan_comps, Ss, Se, Ah, Al in _JPEG_PROG_SCRIPT:
+        wtr = _JpegBitWriter()
+        if kind == "dc_first":
+            pred = {ci: 0 for ci in scan_comps}
+            _jpeg_enc_dc_first(wtr, coefs, mcu_order, None, enc_dc, Al, pred)
+        elif kind == "dc_refine":
+            _jpeg_enc_dc_refine(wtr, coefs, mcu_order, Al)
+        else:
+            ci = scan_comps[0]
+            for by, bx in own_blocks(ci):
+                zz = coefs[ci][by, bx]
+                if kind == "ac_first":
+                    _jpeg_enc_ac_first_block(wtr, zz, Ss, Se, Al, enc_ac[ci])
+                else:
+                    _jpeg_enc_ac_refine_block(wtr, zz, Ss, Se, Al, enc_ac[ci])
+        out.append((scan_comps, Ss, Se, Ah, Al, wtr.flush()))
+    return out

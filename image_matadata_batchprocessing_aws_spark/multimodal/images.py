@@ -26,9 +26,10 @@ decoders in ``multimodal/codecs.py`` (zlib inflate + scanline
 un-filtering for PNG; no third-party codec), selected by
 ``use_real_codec=True`` and proven against a closed-form pixel-sum
 oracles (``queries.multimodal.multimodal_png_decode`` /
-``multimodal_jpeg_decode`` — baseline JPEG decodes for real too, and
-GIF via the pure-stdlib LZW decoder).
-Only WEBP and non-baseline JPEG remain behind the PIL seam
+``multimodal_jpeg_decode`` — baseline AND progressive JPEG decode
+for real too, and GIF via the pure-stdlib LZW decoder).
+Only WEBP and exotic JPEG modes (arithmetic, 12-bit) remain behind
+the PIL seam
 (``ImageDecodeUnavailable`` per row when PIL is absent).  The default
 decode_fn stays the clearly-marked deterministic fake (md5-seeded
 pixels) for format-independent golden tests; everything Spark-side —
@@ -122,8 +123,9 @@ def _pil_decode(name: str, content: bytes) -> np.ndarray:
 
 def _real_decode(name: str, content: bytes) -> np.ndarray:
     """Real-codec dispatch: pure numpy+stdlib decoders first (PNG, BMP,
-    PPM, baseline JPEG, GIF — ``multimodal/codecs.py``), PIL only for
-    the formats a pure decoder can't reach (WEBP, progressive JPEG).
+    PPM, baseline+progressive JPEG, GIF — ``multimodal/codecs.py``),
+    PIL only for the formats a pure decoder can't reach (WEBP,
+    arithmetic/12-bit JPEG).
     Raises per image (the mapInPandas stage isolates it into
     ``decode_error``)."""
     from image_matadata_batchprocessing_aws_spark.multimodal import codecs
@@ -173,8 +175,8 @@ def decode_images(
     -> HxWx3 uint8 ndarray``.  ``use_real_codec=True`` selects REAL
     decoding: PNG / BMP / PPM / GIF decode in pure numpy+stdlib
     (``multimodal/codecs.py`` — no third-party codec needed), baseline
-    JPEG via the pure Huffman+IDCT decoder, and only WEBP and
-    non-baseline JPEG route to the PIL seam
+    AND progressive JPEG via the pure Huffman+IDCT decoder, and only
+    WEBP and arithmetic/12-bit JPEG route to the PIL seam
     (``_pil_decode``); where PIL is absent those rows land in the
     ``decode_error`` column (per-row isolation) instead of failing the
     job.  Default remains the deterministic fake — stable golden-test

@@ -2070,3 +2070,98 @@ def _jaccard_prefix_oracle() -> str:
 
 
 ORACLES["dedup_jaccard_prefix"] = _jaccard_prefix_oracle()
+
+
+# --- REAL progressive-JPEG decode with the bitstream-free oracle -----------
+
+JPEG_PROG_N_DOCS = 24
+
+
+def multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decoding, oracle-checked: the full
+    T.81 Annex G entropy layer — spectral selection, successive
+    approximation (DC+AC first and refinement passes), refinement ZRL —
+    must transport every coefficient bit-exactly, so the decoded
+    solid-color fixtures match the SAME bitstream-free reference values
+    as the baseline twin ``multimodal_jpeg_decode`` (the two entropy
+    codings carry identical quantized coefficients).  Decoder
+    additionally validated against a real libjpeg-produced progressive
+    file in ``tests/test_codecs.py``."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_jpeg
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    rows = []
+    for doc_id in range(JPEG_PROG_N_DOCS):
+        h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+        v = (doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = v
+        q = 75 if doc_id % 2 == 0 else 90
+        ss = "4:4:4" if doc_id % 4 < 2 else "4:2:0"
+        rows.append(
+            (
+                doc_id,
+                f"{doc_id}.jpg",
+                bytearray(encode_jpeg(img, quality=q, subsampling=ss, progressive=True)),
+            )
+        )
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    decoded = decode_images(entries, use_real_codec=True, normalize=False)
+
+    def chan_sum(c: int):
+        return F.aggregate(
+            F.slice(F.col("image"), c * 224 * 224 + 1, 224 * 224),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    out = decoded.join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    return out.select(
+        "doc_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        chan_sum(0).alias("r_sum"),
+        chan_sum(1).alias("g_sum"),
+        chan_sum(2).alias("b_sum"),
+    )
+
+
+QUERIES["multimodal_jpeg_progressive"] = multimodal_jpeg_progressive
+
+
+def _jpeg_prog_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import (
+        PNG_DIMS,
+        _jpeg_expected_rgb,
+        _png_content_pixels,
+    )
+
+    vals = [_jpeg_expected_rgb(i) for i in range(JPEG_PROG_N_DOCS)]
+    r_case = " ".join(f"WHEN {i} THEN {v[0]}" for i, v in enumerate(vals))
+    g_case = " ".join(f"WHEN {i} THEN {v[1]}" for i, v in enumerate(vals))
+    b_case = " ".join(f"WHEN {i} THEN {v[2]}" for i, v in enumerate(vals))
+    pix_case = " ".join(
+        f"WHEN {i} THEN {px}" for i, px in enumerate(_png_content_pixels())
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(224 AS BIGINT) AS height,
+               CAST(224 AS BIGINT) AS width,
+               CAST((CASE doc_id {r_case} END) * px AS BIGINT) AS r_sum,
+               CAST((CASE doc_id {g_case} END) * px AS BIGINT) AS g_sum,
+               CAST((CASE doc_id {b_case} END) * px AS BIGINT) AS b_sum
+        FROM (SELECT unnest(range({JPEG_PROG_N_DOCS})) AS doc_id),
+             LATERAL (SELECT CASE doc_id % {len(PNG_DIMS)} {pix_case} END AS px)
+    """
+
+
+ORACLES["multimodal_jpeg_progressive"] = _jpeg_prog_oracle()

@@ -297,11 +297,16 @@ def test_jpeg_error_contract():
         decode_jpeg(data[:40])
     with pytest.raises(ImageFormatError, match="truncated|marker"):
         decode_jpeg(data[:-20])  # cut inside entropy-coded data
-    # SOF2 (progressive) rejected with a typed error
+    # SOF2 is now SUPPORTED; a baseline stream mislabeled progressive
+    # still fails typed (its interleaved scan claims Se=63 for a DC pass)
     mut = bytearray(data)
     i = bytes(mut).find(b"\xff\xc0")
     mut[i + 1] = 0xC2
-    with pytest.raises(ImageFormatError, match="progressive"):
+    with pytest.raises(ImageFormatError, match="DC scan"):
+        decode_jpeg(bytes(mut))
+    # arithmetic coding (SOF9) still rejected with a typed error
+    mut[i + 1] = 0xC9
+    with pytest.raises(ImageFormatError, match="arithmetic"):
         decode_jpeg(bytes(mut))
 
 
@@ -421,3 +426,98 @@ def test_gif_auto_dispatch_and_pipeline_contract():
     out = decode_image_auto("anim.gif", encode_gif(img))
     assert out.dtype == np.uint8 and out.shape == (21, 40, 3)
     assert np.array_equal(out, img)
+
+
+# --- progressive JPEG (SOF2) -----------------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """The progressive encode->decode pair must transport the SAME
+    quantized coefficients as the baseline pair: identical output
+    pixels, and both equal to the bitstream-free reference."""
+    for dims in [(16, 16), (24, 17), (31, 9)]:
+        img = rng.integers(0, 256, (*dims, 3), dtype=np.uint8)
+        for q in (75, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+            assert np.array_equal(prog, base)
+            assert np.array_equal(prog, jpeg_reference_pipeline(img, quality=q))
+
+
+def test_jpeg_progressive_420_and_smooth():
+    img = rng.integers(0, 256, (33, 26, 3), dtype=np.uint8)
+    p = decode_jpeg(encode_jpeg(img, quality=80, subsampling="4:2:0", progressive=True))
+    b = decode_jpeg(encode_jpeg(img, quality=80, subsampling="4:2:0"))
+    assert np.array_equal(p, b)
+    # smooth gradient: EOB-heavy scans, zero high bands
+    xs = np.linspace(0, 255, 40).astype(np.uint8)
+    smooth = np.repeat(np.repeat(xs[None, :, None], 40, 0), 3, 2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(smooth, quality=90, progressive=True)),
+        decode_jpeg(encode_jpeg(smooth, quality=90)),
+    )
+
+
+def test_jpeg_ac_refinement_pair_fuzz():
+    """Coefficient-level fuzz of the AC refinement encoder/decoder pair
+    (T.81 G.1.2.3) including the adversarial shape — a >15 zero-history
+    run followed by a previously-significant coefficient before the
+    newly-significant one — where correction-bit placement relative to
+    ZRL is easiest to get wrong."""
+    from image_matadata_batchprocessing_aws_spark.multimodal import codecs as C
+
+    dec_ac, enc_ac = C._jpeg_canonical_codes(*C._JPEG_HUFF_AC_LUMA)
+    r = np.random.default_rng(11)
+
+    def roundtrip(blocks_full, Al):
+        w = C._JpegBitWriter()
+        for zz in blocks_full:
+            C._jpeg_enc_ac_refine_block(w, zz, 1, 63, Al, enc_ac)
+        reader = C._JpegBitReader(w.flush() + b"\xff\xd9", 0)
+        eobrun = 0
+        outs = []
+        for zz in blocks_full:
+            prev = np.zeros(64, dtype=np.int64)
+            for k in range(1, 64):
+                v = int(zz[k])
+                m = (abs(v) >> (Al + 1)) << (Al + 1)
+                prev[C._JPEG_ZIGZAG[k]] = m if v >= 0 else -m
+            outs.append(prev)
+        for prev in outs:
+            eobrun = C._jpeg_ac_refine(reader, dec_ac, prev, 1, 63, Al, eobrun)
+        return outs
+
+    cases = []
+    for _ in range(60):
+        zz = np.zeros(64, dtype=np.int64)
+        pos = r.choice(np.arange(1, 64), size=r.integers(0, 10), replace=False)
+        for p in pos:
+            zz[p] = r.choice([-7, -3, -2, -1, 1, 2, 3, 9, 40])
+        cases.append(zz)
+    adversarial = np.zeros(64, dtype=np.int64)
+    adversarial[18] = 40  # previously significant after 17 zeros
+    adversarial[19] = 1  # newly significant right behind it
+    cases += [adversarial, adversarial]
+    outs = roundtrip(cases, 0)
+    for zz, out in zip(cases, outs):
+        want = np.zeros(64, dtype=np.int64)
+        for k in range(1, 64):
+            want[C._JPEG_ZIGZAG[k]] = int(zz[k])
+        assert np.array_equal(out, want)
+
+
+def test_jpeg_progressive_real_world_vector():
+    """A real libjpeg-produced progressive JPEG (SOF2 with EOB runs and
+    successive approximation) must decode to plausible full-range
+    content — conformance evidence independent of our own encoder."""
+    import os
+
+    path = (
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/f3.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("real-world progressive fixture not present")
+    out = decode_jpeg(open(path, "rb").read())
+    assert out.shape == (477, 720, 3)
+    assert out.std() > 30  # rich natural image, not a flat/garbled field
