@@ -270,3 +270,122 @@ def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 9) -> Dat
         F.col("n_buckets_set").cast("long").alias("n_buckets_set"),
         F.round(est, 4).alias("est"),
     )
+
+
+# --- KMV (k minimum values) ------------------------------------------------
+#
+# Beyer et al. 2007 "On synopses for distinct-value estimation under
+# multiset operations".  The niche HLL cannot cover: a KMV sketch
+# supports set INTERSECTION estimates (via the Jaccard of merged
+# sketches), not just unions.  House md5 hashes make every estimate
+# bit-reproducible across engines — the DuckDB twin recomputes the
+# same k smallest hashes and the same estimator arithmetic exactly.
+
+KMV_SPACE = float(1 << 60)  # md5_int64 is uniform on [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 128
+) -> DataFrame:
+    """(group..., pos, h): the k smallest distinct 60-bit hashes of
+    ``key_col`` per group, 1-based ``pos``.  Scale shape: one distinct
+    (hash dedup, map-side partial), one KEYED window bounded by group
+    distinct-count — never a global sort; the sketch is k rows per
+    group regardless of data volume."""
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col)
+    distinct = (
+        df.where(key.isNotNull())
+        .select(*group_cols, md5_int64(key.cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        distinct.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*group_cols, "pos", "h")
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 128) -> DataFrame:
+    """Merge sketch rows down to a coarser grouping: distinct hashes,
+    re-rank, keep k — the k smallest of a union of sets is computable
+    from the per-set k smallest, which is what makes KMV mergeable."""
+    from pyspark.sql.window import Window
+
+    distinct = sketches.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        distinct.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*group_cols, "pos", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 128) -> DataFrame:
+    """Distinct-count estimate per group: exact row count when the
+    group never filled its sketch (< k distinct), else the unbiased
+    (k-1) * SPACE / h_k estimator on the k-th smallest hash."""
+    per = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("pos") == k, F.col("h"))).alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("__hk").cast("double")
+    )
+    return per.select(
+        *group_cols,
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def kmv_jaccard_pair(
+    sketch: DataFrame,
+    group_col: str,
+    ga: str,
+    gb: str,
+    k: int = 128,
+) -> DataFrame:
+    """Jaccard / union / intersection estimates between two groups of
+    one sketch table (Beyer et al. §5): merge the two sketches, take
+    the k smallest of the union K, count how many members of K appear
+    in BOTH input sketches (rho = |K ∩ A ∩ B| / |K|), then
+    inter_est = rho * union_est.  One row out; every step is k-bounded
+    so the comparison costs O(k log k) regardless of set sizes."""
+    a = sketch.where(F.col(group_col) == ga).select("h")
+    b = sketch.where(F.col(group_col) == gb).select("h")
+    merged = kmv_merge(
+        sketch.where(F.col(group_col).isin([ga, gb])).withColumn(
+            "__g", F.lit(1)
+        ),
+        ["__g"],
+        k,
+    )
+    in_a = merged.join(a, "h", "left_semi")
+    in_both = in_a.join(b, "h", "left_semi")
+    union_est = kmv_estimate(merged, ["__g"], k).select(
+        "__g", F.col("est_distinct").alias("union_est")
+    )
+    counts = merged.groupBy("__g").agg(F.count(F.lit(1)).alias("k_used"))
+    both = in_both.groupBy().agg(F.count(F.lit(1)).alias("n_both")).withColumn(
+        "__g", F.lit(1)
+    )
+    out = (
+        counts.join(both, "__g", "left")
+        .na.fill({"n_both": 0})
+        .join(union_est, "__g")
+    )
+    rho = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return out.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        F.col("k_used").cast("long").alias("k_used"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(rho, 4).alias("jaccard_est"),
+        F.round(F.col("union_est"), 4).alias("union_est"),
+        F.round(rho * F.col("union_est"), 4).alias("inter_est"),
+    )

@@ -2165,3 +2165,148 @@ def _jpeg_prog_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg_progressive"] = _jpeg_prog_oracle()
+
+
+# --- KMV sketch: distinct + intersection estimates -------------------------
+
+KMV_K = 128
+
+
+def _user_day(spark: SparkSession, sf: str):
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    return e.withColumn(
+        "user_day",
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"), F.date_format("ts", "yyyy-MM-dd")
+        ),
+    )
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count estimation (Beyer et al. 2007) of user-days
+    per event type — the visitor-counting sketch whose register table
+    is k rows per group at ANY corpus size; exact distinct alongside
+    for judgeable error.  Bit-reproducible: house md5 hashes and
+    literal-identical estimator arithmetic in the DuckDB twin."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    e = _user_day(spark, sf)
+    sk = kmv_sketch(e, "user_day", ["event_type"], k=KMV_K)
+    est = kmv_estimate(sk, ["event_type"], k=KMV_K)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_day").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_sketch", "est_distinct",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+def sketch_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-INTERSECTION estimate — the operation HLL cannot do:
+    click vs purchase user-day overlap from two k-row sketches (merge,
+    Jaccard of sketch memberships, inter = jaccard * union_est), with
+    the exact overlap alongside."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        kmv_jaccard_pair,
+        kmv_sketch,
+    )
+
+    e = _user_day(spark, sf)
+    sk = kmv_sketch(e, "user_day", ["event_type"], k=KMV_K)
+    est = kmv_jaccard_pair(sk, "event_type", "click", "purchase", k=KMV_K)
+    clicks = e.where(F.col("event_type") == "click").select("user_day").distinct()
+    purch = e.where(F.col("event_type") == "purchase").select("user_day").distinct()
+    exact = (
+        clicks.join(purch, "user_day", "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+        .withColumn("__j", F.lit(1))
+    )
+    return est.withColumn("__j", F.lit(1)).join(exact, "__j").select(
+        "group_a", "group_b", "k_used", "n_both",
+        "jaccard_est", "union_est", "inter_est",
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+    )
+
+
+QUERIES["sketch_kmv_distinct"] = sketch_kmv_distinct
+QUERIES["sketch_kmv_intersect"] = sketch_kmv_intersect
+
+
+def _kmv_key_sql() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    return md5_int64_sql(
+        "CAST(user_id AS VARCHAR) || '#' || strftime(ts, '%Y-%m-%d')"
+    )
+
+
+def _kmv_oracles() -> tuple[str, str]:
+    h = _kmv_key_sql()
+    space = "1152921504606846976.0"  # 2^60, the md5_int64 hash space
+    distinct_sql = f"""
+        WITH keys AS (
+          SELECT DISTINCT event_type, {h} AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        rk AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS pos
+               FROM keys),
+        sk AS (SELECT * FROM rk WHERE pos <= {KMV_K}),
+        agg AS (SELECT event_type, count(*) AS n_sketch,
+                       max(CASE WHEN pos = {KMV_K} THEN hv END) AS hk
+                FROM sk GROUP BY 1),
+        exact AS (SELECT event_type, count(*) AS exact_distinct FROM keys GROUP BY 1)
+        SELECT a.event_type, CAST(a.n_sketch AS BIGINT) AS n_sketch,
+               round(CASE WHEN a.n_sketch < {KMV_K} THEN CAST(a.n_sketch AS DOUBLE)
+                          ELSE {KMV_K - 1}.0 * {space} / CAST(a.hk AS DOUBLE)
+                     END, 4) AS est_distinct,
+               CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+        FROM agg a JOIN exact e ON a.event_type = e.event_type
+    """
+    intersect_sql = f"""
+        WITH keys AS (
+          SELECT DISTINCT event_type, {h} AS hv
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')),
+        rk AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS pos
+               FROM keys),
+        sk AS (SELECT * FROM rk WHERE pos <= {KMV_K}),
+        mg AS (SELECT hv, row_number() OVER (ORDER BY hv) AS pos
+               FROM (SELECT DISTINCT hv FROM sk)),
+        merged AS (SELECT hv, pos FROM mg WHERE pos <= {KMV_K}),
+        stats AS (
+          SELECT count(*) AS k_used,
+                 max(CASE WHEN pos = {KMV_K} THEN hv END) AS hk,
+                 sum(CASE WHEN hv IN (SELECT hv FROM sk WHERE event_type = 'click')
+                           AND hv IN (SELECT hv FROM sk WHERE event_type = 'purchase')
+                          THEN 1 ELSE 0 END) AS n_both
+          FROM merged),
+        exact AS (
+          SELECT count(*) AS exact_inter FROM (
+            SELECT hv FROM keys WHERE event_type = 'click'
+            INTERSECT
+            SELECT hv FROM keys WHERE event_type = 'purchase'))
+        SELECT 'click' AS group_a, 'purchase' AS group_b,
+               CAST(s.k_used AS BIGINT) AS k_used,
+               CAST(s.n_both AS BIGINT) AS n_both,
+               round(CAST(s.n_both AS DOUBLE) / CAST(s.k_used AS DOUBLE), 4)
+                 AS jaccard_est,
+               round(u.union_est, 4) AS union_est,
+               round(CAST(s.n_both AS DOUBLE) / CAST(s.k_used AS DOUBLE)
+                     * u.union_est, 4) AS inter_est,
+               CAST(e.exact_inter AS BIGINT) AS exact_inter
+        FROM stats s, exact e,
+             LATERAL (SELECT CASE WHEN s.k_used < {KMV_K}
+                                  THEN CAST(s.k_used AS DOUBLE)
+                                  ELSE {KMV_K - 1}.0 * {space} / CAST(s.hk AS DOUBLE)
+                             END AS union_est) u
+    """
+    return distinct_sql, intersect_sql
+
+
+ORACLES["sketch_kmv_distinct"], ORACLES["sketch_kmv_intersect"] = _kmv_oracles()

@@ -359,3 +359,53 @@ def test_hits_scaled_matches_python_replica_and_numpy_order(spark):
     # zero cases: authorities have no out-edges -> hub 0; hubs have no
     # in-edges -> auth 0
     assert got[5][0] == 0 and got[1][1] == 0
+
+
+def test_kmv_estimate_accuracy_and_mergeability(spark):
+    """KMV on 5000 synthetic distinct keys: estimate within the
+    theoretical ~1/sqrt(k) band, and merge-of-parts equals
+    sketch-of-whole row for row (the mergeability contract)."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    n = 5000
+    rows = [(i % 4, f"key-{i}") for i in range(n)]  # 4 parts, all keys distinct
+    df = spark.createDataFrame(rows, "part int, key string")
+    whole = df.withColumn("g", F.lit(1))
+    k = 256
+    sk_whole = kmv_sketch(whole, "key", ["g"], k=k)
+    est = kmv_estimate(sk_whole, ["g"], k=k).collect()[0]
+    assert abs(est.est_distinct - n) / n < 3.0 / (k ** 0.5)  # 3-sigma band
+    # mergeability: union of per-part sketches == sketch of the union
+    sk_parts = kmv_sketch(df, "key", ["part"], k=k).withColumn("g", F.lit(1))
+    merged = kmv_merge(sk_parts, ["g"], k=k)
+    a = {(r.pos, r.h) for r in merged.collect()}
+    b = {(r.pos, r.h) for r in sk_whole.collect()}
+    assert a == b
+
+
+def test_kmv_jaccard_pair_overlap(spark):
+    """Planted 50% overlap between two groups comes back within the
+    sketch error band; disjoint groups come back ~0."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        kmv_jaccard_pair,
+        kmv_sketch,
+    )
+
+    rows = []
+    for i in range(2000):
+        rows.append(("a", f"shared-{i}" if i < 1000 else f"a-{i}"))
+        rows.append(("b", f"shared-{i}" if i < 1000 else f"b-{i}"))
+    df = spark.createDataFrame(rows, "grp string, key string")
+    sk = kmv_sketch(df, "key", ["grp"], k=256)
+    r = kmv_jaccard_pair(sk, "grp", "a", "b", k=256).collect()[0]
+    # true: |A|=|B|=2000, inter=1000, union=3000, J=1/3
+    assert abs(r.jaccard_est - 1 / 3) < 0.12
+    assert abs(r.inter_est - 1000) / 1000 < 0.35
+    rows2 = [("a", f"a-{i}") for i in range(500)] + [("b", f"b-{i}") for i in range(500)]
+    sk2 = kmv_sketch(spark.createDataFrame(rows2, "grp string, key string"), "key", ["grp"], k=256)
+    r2 = kmv_jaccard_pair(sk2, "grp", "a", "b", k=256).collect()[0]
+    assert r2.n_both == 0 and r2.inter_est == 0.0
