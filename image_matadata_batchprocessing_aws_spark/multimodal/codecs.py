@@ -7,9 +7,10 @@ fully decodable with nothing but ``zlib`` (stdlib) and numpy, so the
 these formats, JPEG decodes for real too — baseline sequential AND
 progressive (canonical Huffman + matrix IDCT + full T.81 Annex G
 successive approximation, see the JPEG section) — and GIF decodes for
-real (LZW, see the GIF section).  Only WEBP and the exotic JPEG modes
-(arithmetic, 12-bit, hierarchical) stay behind the PIL seam
-(``images._pil_decode``).
+real (LZW, see the GIF section), as does lossless WEBP (VP8L — see
+``multimodal/webp.py``).  Only LOSSY WebP (VP8 boolean arithmetic
+coder) and the exotic JPEG modes (arithmetic, 12-bit, hierarchical)
+stay behind the PIL seam (``images._pil_decode``).
 
 Formats:
 
@@ -320,9 +321,15 @@ def decode_image_auto(name: str, content: bytes) -> np.ndarray:
         return decode_jpeg(content)
     if content[:6] in _GIF_MAGICS:
         return decode_gif(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from image_matadata_batchprocessing_aws_spark.multimodal.webp import (  # noqa: PLC0415 — avoid an import cycle
+            decode_webp,
+        )
+
+        return decode_webp(content)
     raise ImageFormatError(
         f"no pure-python decoder for {name!r} (magic {content[:4]!r}); "
-        "WEBP needs the PIL path"
+        "only lossy WEBP and exotic JPEG modes need the PIL path"
     )
 
 

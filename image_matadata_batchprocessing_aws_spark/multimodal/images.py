@@ -28,7 +28,8 @@ un-filtering for PNG; no third-party codec), selected by
 oracles (``queries.multimodal.multimodal_png_decode`` /
 ``multimodal_jpeg_decode`` — baseline AND progressive JPEG decode
 for real too, and GIF via the pure-stdlib LZW decoder).
-Only WEBP and exotic JPEG modes (arithmetic, 12-bit) remain behind
+Lossless WEBP decodes for real too (``multimodal/webp.py``); only
+LOSSY WebP and exotic JPEG modes (arithmetic, 12-bit) remain behind
 the PIL seam
 (``ImageDecodeUnavailable`` per row when PIL is absent).  The default
 decode_fn stays the clearly-marked deterministic fake (md5-seeded
@@ -142,6 +143,17 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
         return codecs.decode_jpeg(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return codecs.decode_gif(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from image_matadata_batchprocessing_aws_spark.multimodal.webp import (  # noqa: PLC0415
+            decode_webp,
+        )
+
+        try:
+            return decode_webp(content)
+        except codecs.ImageFormatError as exc:
+            if "PIL path" not in str(exc):
+                raise
+            return _pil_decode(name, content)  # lossy VP8 / animation
     return _pil_decode(name, content)
 
 
@@ -175,8 +187,9 @@ def decode_images(
     -> HxWx3 uint8 ndarray``.  ``use_real_codec=True`` selects REAL
     decoding: PNG / BMP / PPM / GIF decode in pure numpy+stdlib
     (``multimodal/codecs.py`` — no third-party codec needed), baseline
-    AND progressive JPEG via the pure Huffman+IDCT decoder, and only
-    WEBP and arithmetic/12-bit JPEG route to the PIL seam
+    AND progressive JPEG via the pure Huffman+IDCT decoder, lossless
+    WEBP via the pure VP8L decoder (``multimodal/webp.py``), and only
+    lossy WEBP and arithmetic/12-bit JPEG route to the PIL seam
     (``_pil_decode``); where PIL is absent those rows land in the
     ``decode_error`` column (per-row isolation) instead of failing the
     job.  Default remains the deterministic fake — stable golden-test

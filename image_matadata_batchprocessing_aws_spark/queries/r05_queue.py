@@ -2310,3 +2310,112 @@ def _kmv_oracles() -> tuple[str, str]:
 
 
 ORACLES["sketch_kmv_distinct"], ORACLES["sketch_kmv_intersect"] = _kmv_oracles()
+
+
+# --- REAL lossless-WebP (VP8L) decode with a closed-form oracle ------------
+
+WEBP_N_DOCS = 30
+
+
+def _webp_expected(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(h, w, r_sum, g_sum, b_sum) closed forms for fixture ``doc_id``.
+    All PNG_DIMS divide 224, so the aspect-preserving resize scale is an
+    integer s and every source pixel becomes an s x s block: sums are
+    value x s^2 x (source-pixel count).  Even docs are solid (simple
+    prefix codes in the stream); odd docs carry a vertical green
+    gradient (normal length-limited Huffman codes), whose green sum is
+    s^2 * w * (h*base + h*(h-1)/2) with no mod-256 wrap by
+    construction."""
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+    s = min(224 // h, 224 // w)
+    v = (doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251)
+    if doc_id % 2 == 0:
+        r_sum, g_sum, b_sum = (v[0] * h * w * s * s, v[1] * h * w * s * s, v[2] * h * w * s * s)
+    else:
+        base = doc_id % 20
+        g_total = h * base + h * (h - 1) // 2
+        r_sum = v[0] * h * w * s * s
+        g_sum = g_total * w * s * s
+        b_sum = v[2] * h * w * s * s
+    return h, w, r_sum, g_sum, b_sum
+
+
+def multimodal_webp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL lossless-WebP decoding, oracle-checked (closes the WEBP
+    format seam of S9; reference decode: ``process_test_train_Images.py:45``
+    via PIL): VP8L files from the pure-python encoder — solid colors
+    (simple prefix codes) alternating with vertical-gradient images
+    (normal length-limited canonical Huffman codes) — are decoded by
+    the pure VP8L decoder (``multimodal/webp.py``: RIFF walk, canonical
+    prefix codes, LZ77/color-cache machinery) through the full Arrow
+    ``mapInPandas`` pipeline; per-channel pixel sums after the integral
+    aspect-preserving resize are compared against closed forms (VP8L is
+    lossless, so no reconstruction error term)."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.multimodal.webp import (
+        encode_webp_lossless,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    rows = []
+    for doc_id in range(WEBP_N_DOCS):
+        h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+        v = (doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = v
+        if doc_id % 2 == 1:
+            base = doc_id % 20
+            img[:, :, 1] = (base + np.arange(h, dtype=np.int64))[:, None] % 256
+        rows.append((doc_id, f"{doc_id}.webp", bytearray(encode_webp_lossless(img))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    decoded = decode_images(entries, use_real_codec=True, normalize=False)
+
+    def chan_sum(c: int):
+        return F.aggregate(
+            F.slice(F.col("image"), c * 224 * 224 + 1, 224 * 224),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    out = decoded.join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    return out.select(
+        "doc_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        chan_sum(0).alias("r_sum"),
+        chan_sum(1).alias("g_sum"),
+        chan_sum(2).alias("b_sum"),
+    )
+
+
+QUERIES["multimodal_webp_decode"] = multimodal_webp_decode
+
+
+def _webp_oracle() -> str:
+    rows = []
+    for doc_id in range(WEBP_N_DOCS):
+        _h, _w, r_sum, g_sum, b_sum = _webp_expected(doc_id)
+        rows.append(f"({doc_id}, {r_sum}, {g_sum}, {b_sum})")
+    values = ", ".join(rows)
+    return f"""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(224 AS BIGINT) AS height,
+               CAST(224 AS BIGINT) AS width,
+               CAST(r_sum AS BIGINT) AS r_sum,
+               CAST(g_sum AS BIGINT) AS g_sum,
+               CAST(b_sum AS BIGINT) AS b_sum
+        FROM (VALUES {values}) AS t(doc_id, r_sum, g_sum, b_sum)
+    """
+
+
+ORACLES["multimodal_webp_decode"] = _webp_oracle()

@@ -231,8 +231,14 @@ def test_auto_dispatch():
     # reports its parse error instead of "needs PIL"
     with pytest.raises(ImageFormatError, match="truncated"):
         decode_image_auto("a.gif", b"GIF89a\x01\x00")
-    with pytest.raises(ImageFormatError, match="PIL"):
+    # WEBP magic now routes to the real VP8L decoder: an empty
+    # container reports its parse error; only LOSSY VP8 needs PIL
+    with pytest.raises(ImageFormatError, match="no VP8L"):
         decode_image_auto("a.webp", b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(ImageFormatError, match="PIL"):
+        decode_image_auto(
+            "a.webp", b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"
+        )
     with pytest.raises(ImageFormatError, match="empty"):
         decode_image_auto("a.jpg", b"")
 

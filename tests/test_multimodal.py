@@ -83,9 +83,12 @@ def test_decode_fn_seam_custom_decoder(spark, tmp_path):
 def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     """use_real_codec=True REALLY decodes: a genuine PNG (zlib-compressed,
     CRC'd) comes back pixel-correct through the full Arrow pipeline with
-    no PIL in the container; VALID baseline JPEG and GIF also decode
-    for real; a malformed JPEG and a PIL-only format (WEBP) land in the
-    error column instead of failing the job."""
+    no PIL in the container; VALID baseline JPEG, GIF and lossless WEBP
+    also decode for real; a malformed JPEG and a PIL-only format (lossy
+    VP8 WEBP) land in the error column instead of failing the job."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.webp import (
+        encode_webp_lossless,
+    )
     from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
         encode_gif,
         encode_jpeg,
@@ -101,7 +104,9 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
             ("4.jpg", b"\xff\xd8\xff\xe0fakejpeg"),
             ("5.jpg", encode_jpeg(red, quality=90)),
             ("6.png", encode_gif(red)),  # GIF magic: real LZW decode now
-            ("7.png", b"RIFF\x00\x00\x00\x00WEBPfake"),  # WEBP stays on the PIL seam
+            ("7.png", encode_webp_lossless(red)),  # VP8L: real decode now
+            # lossy VP8: the one image format still on the PIL seam
+            ("8.png", b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"),
         ],
     )
     entries = scan_zip_entries(spark, str(tmp_path / "r.zip"))
@@ -125,8 +130,11 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     gif = rows["6.png"]  # GIF magic routes to the real LZW decoder
     assert gif.decode_error is None
     assert (gif.channels, gif.height, gif.width) == (3, TARGET_SIZE, TARGET_SIZE)
-    webp = rows["7.png"]  # WEBP is the one format left on the PIL seam
-    assert webp.image is None and "PIL" in webp.decode_error
+    webp = rows["7.png"]  # lossless WEBP routes to the real VP8L decoder
+    assert webp.decode_error is None
+    assert (webp.channels, webp.height, webp.width) == (3, TARGET_SIZE, TARGET_SIZE)
+    lossy = rows["8.png"]  # lossy VP8 is the one image format left on PIL
+    assert lossy.image is None and "PIL" in lossy.decode_error
 
 
 def test_resize_with_padding_golden():
