@@ -3,9 +3,11 @@ frame-sampling and feature-extraction as Arrow ``mapInPandas`` stages.
 
 Same design contract as multimodal/images.py: the Spark-side plumbing —
 schemas, batch shapes, UDTF-style row expansion, error isolation, typed
-metadata columns — is real and tested; the byte-level codecs (ffmpeg /
-librosa territory) are stubbed behind ``MediaCodecUnavailable`` with
-DETERMINISTIC FAKES (md5-seeded) so golden tests are stable.
+metadata columns — is real and tested.  Audio now has a REAL codec path
+(``multimodal/audio.py``: pure-stdlib WAV/PCM decode + numpy DSP
+features, used when ``use_real_codec=True``); video frame decode
+(ffmpeg territory) stays stubbed behind ``MediaCodecUnavailable`` with
+a DETERMINISTIC FAKE (md5-seeded) so golden tests are stable.
 
 Scale notes: both operators are pure map-side (zero shuffle), CPU-bound
 in the Arrow batch loop; media blobs are unsplittable so parallelism =
@@ -94,10 +96,13 @@ def extract_audio_features(
     audio: DataFrame, use_real_codec: bool = False
 ) -> DataFrame:
     """Fixed-width feature vector per audio blob (MFCC-shaped surface).
-    The fake derives ``N_AUDIO_FEATURES`` floats from md5(content) and
-    duration from the byte length (16 kB/s)."""
-    if use_real_codec:
-        raise MediaCodecUnavailable("no audio codec (librosa) in this environment")
+    ``use_real_codec=True`` now does REAL decoding for WAV/PCM blobs:
+    ``multimodal/audio.py`` parses RIFF/WAVE and computes a 16-float
+    DSP descriptor (RMS, ZCR, peak, spectral centroid/rolloff/flatness,
+    8 FFT band energies, duration, rate) — the librosa seam survives
+    only for compressed formats (mp3/ogg/flac), which raise per row
+    into ``decode_error``.  The default stays the deterministic fake
+    (md5 floats, byte-length duration at 16 kB/s)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -107,6 +112,16 @@ def extract_audio_features(
                     blob = bytes(content)
                     if not blob:
                         raise ValueError("empty audio payload")
+                    if use_real_codec:
+                        from image_matadata_batchprocessing_aws_spark.multimodal.audio import (  # noqa: PLC0415
+                            audio_feature_vector,
+                        )
+
+                        duration, feats = audio_feature_vector(blob)
+                        rows.append(
+                            (name, round(duration, 4), N_AUDIO_FEATURES, feats, None)
+                        )
+                        continue
                     seed = np.frombuffer(hashlib.md5(blob).digest(), dtype=np.uint8)
                     feats = (
                         np.resize(seed, N_AUDIO_FEATURES).astype(np.float32) / 255.0

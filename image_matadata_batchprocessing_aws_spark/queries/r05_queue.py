@@ -2419,3 +2419,91 @@ def _webp_oracle() -> str:
 
 
 ORACLES["multimodal_webp_decode"] = _webp_oracle()
+
+
+# --- REAL WAV/PCM decode with an integer-exact oracle ----------------------
+
+WAV_N_DOCS = 24
+WAV_M = 1999  # sawtooth modulus; samples span [-999, 999]
+
+
+def multimodal_wav_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV/PCM audio decoding, oracle-checked (the audio twin of
+    ``multimodal_png_decode``; reference treats media as opaque files —
+    this closes the librosa seam named in ``multimodal/media.py`` for
+    uncompressed audio): PCM16 WAVs holding a deterministic integer
+    sawtooth ``s[i] = ((i*a + b) % M) - M//2`` — alternating mono and
+    stereo (stats are channel 0, so stereo also proves de-interleave)
+    at four sample rates — are decoded by the pure RIFF parser through
+    the Arrow ``mapInPandas`` pipeline (``audio.wav_pcm_stats``), and
+    the INTEGER-EXACT per-blob statistics (sum |s|, sum s^2, peak,
+    sign-transition count) are recomputed by DuckDB from the same
+    closed-form sample generator."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        encode_wav_pcm16,
+        wav_pcm_stats,
+    )
+
+    rows = []
+    for d in range(WAV_N_DOCS):
+        rate = 4000 + 500 * (d % 4)
+        n = rate // 2  # 0.5 s
+        a, b = 769 + 2 * d, d * 31
+        ch0 = ((np.arange(n, dtype=np.int64) * a + b) % WAV_M) - WAV_M // 2
+        if d % 2 == 1:  # stereo: channel 1 is a different stream
+            ch1 = ((np.arange(n, dtype=np.int64) * 13 + 7) % WAV_M) - WAV_M // 2
+            samples = np.stack([ch0, ch1], axis=1)
+        else:
+            samples = ch0
+        rows.append((d, f"{d}.wav", bytearray(encode_wav_pcm16(samples, rate))))
+    audio = spark.createDataFrame(rows, "doc_id long, file_name string, content binary")
+    stats = wav_pcm_stats(audio.select("file_name", "content"))
+    return (
+        stats.join(audio.select("doc_id", "file_name"), "file_name")
+        .select(
+            "doc_id",
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("channels").cast("long").alias("channels"),
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.col("sum_abs").cast("long").alias("sum_abs"),
+            F.col("sum_sq").cast("long").alias("sum_sq"),
+            F.col("peak").cast("long").alias("peak"),
+            F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        )
+    )
+
+
+QUERIES["multimodal_wav_stats"] = multimodal_wav_stats
+
+ORACLES["multimodal_wav_stats"] = f"""
+    WITH params AS (
+      SELECT doc_id, 4000 + 500 * (doc_id % 4) AS rate,
+             769 + 2 * doc_id AS a, doc_id * 31 AS b,
+             1 + (doc_id % 2) AS channels
+      FROM (SELECT unnest(range({WAV_N_DOCS})) AS doc_id)),
+    samples AS (
+      SELECT p.doc_id, t.i,
+             ((t.i * p.a + p.b) % {WAV_M}) - {WAV_M // 2} AS s
+      FROM params p,
+           LATERAL (SELECT unnest(range(p.rate // 2)) AS i) t),
+    lagged AS (
+      SELECT doc_id, i, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samples),
+    agg AS (
+      SELECT doc_id, count(*) AS n_samples, sum(abs(s)) AS sum_abs,
+             sum(s * s) AS sum_sq, max(abs(s)) AS peak,
+             sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
+                      THEN 1 ELSE 0 END) AS zero_crossings
+      FROM lagged GROUP BY 1)
+    SELECT p.doc_id, CAST(p.rate AS BIGINT) AS sample_rate,
+           CAST(p.channels AS BIGINT) AS channels,
+           CAST(g.n_samples AS BIGINT) AS n_samples,
+           CAST(g.sum_abs AS BIGINT) AS sum_abs,
+           CAST(g.sum_sq AS BIGINT) AS sum_sq,
+           CAST(g.peak AS BIGINT) AS peak,
+           CAST(g.zero_crossings AS BIGINT) AS zero_crossings
+    FROM params p JOIN agg g ON p.doc_id = g.doc_id
+"""

@@ -1,0 +1,140 @@
+"""WAV/PCM codec + DSP feature tests (multimodal/audio.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+    AudioFormatError,
+    audio_feature_vector,
+    decode_wav,
+    encode_wav_pcm16,
+    wav_to_mono_float,
+)
+
+
+def test_pcm16_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, 1000, dtype=np.int64)
+    got, rate = decode_wav(encode_wav_pcm16(mono, 16000))
+    assert rate == 16000 and got.shape == (1000, 1)
+    assert np.array_equal(got[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (500, 2), dtype=np.int64)
+    got, rate = decode_wav(encode_wav_pcm16(stereo, 44100))
+    assert rate == 44100 and got.shape == (500, 2)
+    assert np.array_equal(got, stereo)
+
+
+def _wav(fmt_code, channels, rate, bits, data):
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_8_24_32_bit_and_float_depths():
+    # 8-bit unsigned recentres to signed
+    got, _ = decode_wav(_wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+    assert got[:, 0].tolist() == [-128, 0, 127]
+    # 24-bit little-endian signed
+    vals = [1, -1, (1 << 23) - 1, -(1 << 23)]
+    raw = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    got, _ = decode_wav(_wav(1, 1, 8000, 24, raw))
+    assert got[:, 0].tolist() == vals
+    # 32-bit int
+    arr = np.array([7, -9, 2**31 - 1], dtype="<i4")
+    got, _ = decode_wav(_wav(1, 1, 8000, 32, arr.tobytes()))
+    assert got[:, 0].tolist() == arr.tolist()
+    # float32 passes through as float64
+    f = np.array([0.5, -0.25, 1.0], dtype="<f4")
+    got, _ = decode_wav(_wav(3, 1, 8000, 32, f.tobytes()))
+    assert got.dtype == np.float64 and np.allclose(got[:, 0], f)
+
+
+def test_extra_chunks_skipped_and_errors_raised():
+    # LIST chunk before data is skipped
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 3, -3)
+    )
+    got, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert got[:, 0].tolist() == [3, -3]
+    with pytest.raises(AudioFormatError, match="RIFF"):
+        decode_wav(b"nope")
+    with pytest.raises(AudioFormatError, match="truncated"):
+        decode_wav(encode_wav_pcm16(np.arange(10), 8000)[:-5])
+    with pytest.raises(AudioFormatError, match="format code"):
+        decode_wav(_wav(85, 1, 8000, 16, b"\x00\x00"))  # mu-law etc.
+    with pytest.raises(AudioFormatError, match="bit depth"):
+        decode_wav(_wav(1, 1, 8000, 12, b"\x00\x00"))
+
+
+def test_mono_downmix_scaling():
+    stereo = np.array([[32767, -32767], [100, 300]], dtype=np.int64)
+    got, _ = decode_wav(encode_wav_pcm16(stereo, 8000))
+    mono = wav_to_mono_float(got)
+    assert abs(mono[0]) < 1e-9  # opposite phases cancel
+    assert abs(mono[1] - 200 / 32768) < 1e-9
+
+
+def test_feature_vector_on_known_tone():
+    rate = 16000
+    t = np.arange(rate * 2)  # 2 s
+    sine = np.round(8000 * np.sin(2 * np.pi * 1000 * t / rate)).astype(np.int64)
+    duration, feats = audio_feature_vector(encode_wav_pcm16(sine, rate))
+    assert duration == 2.0 and len(feats) == 16
+    rms, zcr, peak, centroid, rolloff, flatness = feats[:6]
+    assert abs(rms - (8000 / 32768) / 2**0.5) < 0.01
+    assert abs(zcr - 2 * 1000 / rate) < 0.005
+    assert abs(peak - 8000 / 32768) < 0.001
+    assert abs(centroid - 1000.0) < 5.0
+    assert 900.0 < rolloff < 1100.0
+    assert flatness < 0.01  # pure tone: extremely peaky spectrum
+    bands = feats[6:14]
+    assert abs(sum(bands) - 1.0) < 1e-6
+    assert bands[1] > 0.95  # 1 kHz of 8 kHz Nyquist -> second band
+    assert feats[14] == 2.0 and feats[15] == 16.0
+
+
+def test_wav_pcm_stats_and_frames(spark):
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        wav_frame_features,
+        wav_pcm_stats,
+    )
+
+    rate = 8000
+    saw = (np.arange(rate, dtype=np.int64) * 997 % 2001) - 1000  # 1 s sawtooth
+    df = spark.createDataFrame(
+        [
+            ("a.wav", bytearray(encode_wav_pcm16(saw, rate))),
+            ("bad.wav", bytearray(b"RIFFxxxxWAVEgarbage!")),
+        ],
+        "file_name string, content binary",
+    )
+    rows = {r.file_name: r for r in wav_pcm_stats(df).collect()}
+    ok = rows["a.wav"]
+    assert ok.n_samples == rate and ok.sample_rate == rate and ok.channels == 1
+    assert ok.sum_abs == int(np.abs(saw).sum())
+    assert ok.sum_sq == int((saw * saw).sum())
+    assert ok.peak == 1000
+    neg = saw < 0
+    assert ok.zero_crossings == int((neg[1:] != neg[:-1]).sum())
+    assert rows["bad.wav"].decode_error
+    frames = wav_frame_features(df, frame_ms=25, hop_ms=10).collect()
+    okf = [r for r in frames if r.file_name == "a.wav" and r.decode_error is None]
+    # (8000 - 200) // 80 + 1 = 98 frames
+    assert len(okf) == 98
+    assert okf[0].start_s == 0.0 and abs(okf[1].start_s - 0.010) < 1e-9
+    assert all(0.0 <= r.rms <= 1.0 and 0.0 <= r.zcr <= 1.0 for r in okf)

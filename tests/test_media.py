@@ -57,11 +57,40 @@ def test_audio_features_shape_and_metadata(spark):
     assert rows["bad.wav"].decode_error
 
 
-def test_real_codec_is_explicitly_unavailable(spark):
+def test_real_video_codec_is_explicitly_unavailable(spark):
     with pytest.raises(MediaCodecUnavailable):
         sample_video_frames(_videos(spark), use_real_codec=True)
-    with pytest.raises(MediaCodecUnavailable):
-        extract_audio_features(_videos(spark), use_real_codec=True)
+
+
+def test_real_audio_codec_decodes_wav_and_isolates_the_rest(spark):
+    """use_real_codec=True REALLY decodes WAV/PCM now (multimodal/
+    audio.py); non-WAV blobs land per row in decode_error."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        encode_wav_pcm16,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    sine = np.round(16000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int64)
+    df = spark.createDataFrame(
+        [
+            ("tone.wav", bytearray(encode_wav_pcm16(sine, rate))),
+            ("notaudio.mp3", bytearray(b"\xff\xfb\x90notawav")),
+        ],
+        "file_name string, content binary",
+    )
+    rows = {r.file_name: r for r in extract_audio_features(df, use_real_codec=True).collect()}
+    ok = rows["tone.wav"]
+    assert ok.decode_error is None and ok.duration_s == 1.0
+    assert ok.n_features == 16
+    rms, zcr, peak, centroid = ok.features[:4]
+    assert abs(rms - (16000 / 32768) / 2**0.5) < 0.01  # sine RMS = A/sqrt(2)
+    assert abs(zcr - 2 * 440 / rate) < 0.01  # 2f crossings/s, rate pairs/s
+    assert abs(centroid - 440.0) < 5.0  # pure tone -> spectral centroid at f
+    bad = rows["notaudio.mp3"]
+    assert bad.features is None and "RIFF" in bad.decode_error
 
 
 def test_audio_sniffer_rejects_non_wav_and_non_canonical(spark):
