@@ -5,9 +5,10 @@ Same design contract as multimodal/images.py: the Spark-side plumbing —
 schemas, batch shapes, UDTF-style row expansion, error isolation, typed
 metadata columns — is real and tested.  Audio now has a REAL codec path
 (``multimodal/audio.py``: pure-stdlib WAV/PCM decode + numpy DSP
-features, used when ``use_real_codec=True``); video frame decode
-(ffmpeg territory) stays stubbed behind ``MediaCodecUnavailable`` with
-a DETERMINISTIC FAKE (md5-seeded) so golden tests are stable.
+features, used when ``use_real_codec=True``) and so does MJPEG-in-AVI
+video (``multimodal/video.py``); inter-coded video (ffmpeg territory)
+errors per row, and the default paths stay DETERMINISTIC FAKES
+(md5-seeded) so golden tests are stable.
 
 Scale notes: both operators are pure map-side (zero shuffle), CPU-bound
 in the Arrow batch loop; media blobs are unsplittable so parallelism =
@@ -38,11 +39,6 @@ N_AUDIO_FEATURES = 16
 FRAME_SIZE = 32  # fake frames are FRAME_SIZE x FRAME_SIZE x 3
 
 
-class MediaCodecUnavailable(NotImplementedError):
-    """Raised when a real (ffmpeg/librosa) decode is requested but no
-    codec exists in this environment."""
-
-
 def _fake_frame(content: bytes, idx: int) -> np.ndarray:
     """DETERMINISTIC FAKE frame decode: pixels derive from
     md5(content || idx) — replace with an ffmpeg seek+decode in real
@@ -61,9 +57,17 @@ def sample_video_frames(
 ) -> DataFrame:
     """UDTF-shaped frame sampler: one (file_name, content) video row ->
     up to ``max_frames`` frame rows (every ``every_n``-th frame).  The
-    fake treats ``len(content) // 1024 + 1`` as the frame count."""
+    fake treats ``len(content) // 1024 + 1`` as the frame count.
+    ``use_real_codec=True`` now does REAL decoding for MJPEG-in-AVI
+    (``multimodal/video.py``: RIFF walk + the pure JPEG decoder);
+    inter-coded codecs (H.264/VP9/...) raise per row into
+    ``decode_error`` — they stay behind the ffmpeg seam."""
     if use_real_codec:
-        raise MediaCodecUnavailable("no video codec (ffmpeg) in this environment")
+        from image_matadata_batchprocessing_aws_spark.multimodal.video import (  # noqa: PLC0415
+            decode_video_frames,
+        )
+
+        return decode_video_frames(videos, every_n=every_n, max_frames=max_frames)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

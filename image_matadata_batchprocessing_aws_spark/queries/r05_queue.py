@@ -2507,3 +2507,91 @@ ORACLES["multimodal_wav_stats"] = f"""
            CAST(g.zero_crossings AS BIGINT) AS zero_crossings
     FROM params p JOIN agg g ON p.doc_id = g.doc_id
 """
+
+
+# --- REAL MJPEG-AVI frame sampling with a bitstream-free oracle ------------
+
+VIDEO_N_DOCS = 12
+
+
+def _video_frame_color(d: int, j: int) -> tuple[int, int, int]:
+    return ((d * 17 + j * 29) % 251, (d * 7 + j * 11) % 251, (d * 13 + j * 5) % 251)
+
+
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame decoding, oracle-checked (the video twin of
+    ``multimodal_jpeg_decode``; closes the ffmpeg seam of
+    ``media.sample_video_frames`` for the one genuinely decodable
+    codec): MJPEG AVIs of solid 8x8 frames are container-walked and
+    JPEG-decoded by ``multimodal/video.py`` through the Arrow
+    ``mapInPandas`` sampler (every 2nd frame, max 4), and each sampled
+    frame's pixel sum is compared against the bitstream-free reference
+    pipeline's reconstruction (solid 8x8 = one DCT block, so the
+    closed form is (r'+g'+b') * 64 with r'g'b' from
+    ``jpeg_reference_pipeline``)."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.video import (
+        decode_video_frames,
+        encode_avi_mjpeg,
+    )
+
+    rows = []
+    for d in range(VIDEO_N_DOCS):
+        frames = []
+        for j in range(6 + d % 5):
+            img = np.zeros((8, 8, 3), dtype=np.uint8)
+            img[:, :] = _video_frame_color(d, j)
+            frames.append(img)
+        q = 75 if d % 2 == 0 else 90
+        rows.append((d, f"{d}.avi", bytearray(encode_avi_mjpeg(frames, fps=10, quality=q))))
+    videos = spark.createDataFrame(rows, "doc_id long, file_name string, content binary")
+    out = decode_video_frames(
+        videos.select("file_name", "content"), every_n=2, max_frames=4, normalize=False
+    )
+    frame_sum = F.aggregate(
+        F.col("frame"), F.lit(0.0), lambda acc, x: acc + x
+    ).cast("long")
+    return (
+        out.where(F.col("decode_error").isNull())
+        .join(videos.select("doc_id", "file_name"), "file_name")
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("height").cast("long").alias("height"),
+            F.col("width").cast("long").alias("width"),
+            frame_sum.alias("frame_sum"),
+        )
+    )
+
+
+QUERIES["multimodal_video_frames"] = multimodal_video_frames
+
+
+def _video_oracle() -> str:
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        jpeg_reference_pipeline,
+    )
+
+    values = []
+    for d in range(VIDEO_N_DOCS):
+        n = 6 + d % 5
+        q = 75 if d % 2 == 0 else 90
+        picked = list(range(0, n, 2))[:4]
+        for j in picked:
+            img = np.zeros((8, 8, 3), dtype=np.uint8)
+            img[:, :] = _video_frame_color(d, j)
+            rec = jpeg_reference_pipeline(img, quality=q)
+            s = int(rec.astype(np.int64).sum())
+            values.append(f"({d}, {j}, {s})")
+    return f"""
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(8 AS BIGINT) AS height, CAST(8 AS BIGINT) AS width,
+               CAST(frame_sum AS BIGINT) AS frame_sum
+        FROM (VALUES {", ".join(values)}) AS t(doc_id, frame_idx, frame_sum)
+    """
+
+
+ORACLES["multimodal_video_frames"] = _video_oracle()

@@ -8,7 +8,6 @@ from pyspark.sql import functions as F
 
 from image_matadata_batchprocessing_aws_spark.multimodal.media import (
     FRAME_SIZE,
-    MediaCodecUnavailable,
     N_AUDIO_FEATURES,
     extract_audio_features,
     sample_video_frames,
@@ -57,9 +56,12 @@ def test_audio_features_shape_and_metadata(spark):
     assert rows["bad.wav"].decode_error
 
 
-def test_real_video_codec_is_explicitly_unavailable(spark):
-    with pytest.raises(MediaCodecUnavailable):
-        sample_video_frames(_videos(spark), use_real_codec=True)
+def test_real_video_codec_isolates_non_avi(spark):
+    """use_real_codec=True routes to the real MJPEG-AVI decoder now
+    (multimodal/video.py); non-AVI blobs land per row in decode_error
+    instead of raising."""
+    out = sample_video_frames(_videos(spark), use_real_codec=True).collect()
+    assert out and all(r.decode_error for r in out)
 
 
 def test_real_audio_codec_decodes_wav_and_isolates_the_rest(spark):
