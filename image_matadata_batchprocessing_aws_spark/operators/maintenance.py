@@ -223,3 +223,64 @@ def zorder_index(
     return q.withColumn(
         out, zorder_key([c + "_q" for c in cols], bits)
     ).drop(*[c + "_q" for c in cols])
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "change_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed (``op`` in I/U/D, ordered by ``ts_col``)
+    to a base snapshot: per key, the LATEST change wins — a final D
+    removes the key, a final I/U upserts its payload; keys with no
+    change survive untouched.
+
+    Scale shape: the feed is reduced first (one keyed window bounded by
+    feed volume, never base volume), then :func:`merge_frames`-style
+    anti-join + union — the base never shuffles, the change-key set
+    broadcasts.  Ties on ``ts_col`` break by op precedence D > U > I
+    (deletes win a same-timestamp race), then arbitrary-but-stated —
+    the SQL twin must order identically.
+    """
+    from pyspark.sql.window import Window
+
+    payload = [c for c in changes.columns if c not in (ts_col, op_col)]
+    prec = F.when(F.col(op_col) == "D", 2).when(F.col(op_col) == "U", 1).otherwise(0)
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), prec.desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    keys = latest.select(key).distinct()
+    survivors = base.join(F.broadcast(keys), key, "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(payload)
+    return survivors.unionByName(upserts.select(*base.columns))
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on,
+) -> DataFrame:
+    """Insert-only incremental view maintenance for an inner join:
+    Delta(A join B) = dA join B_old  UNION ALL  A_old join dB
+    UNION ALL  dA join dB.  Appending this to the stored old join
+    equals a full recompute — the IVM identity the oracle query states.
+
+    Scale shape: each term joins a DELTA (small, typically
+    broadcastable) against one full side or the other delta; the two
+    full tables are scanned once each and NEVER joined to each other —
+    that is the entire point at 100 TB, where old join old is the cost
+    you already paid."""
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

@@ -624,3 +624,37 @@ def js_mixture_divergence(
         F.col("__ng").cast("long").alias("n_rows"),
         F.round(0.5 * F.col("__t9").cast("double") / 1000000000.0, 6).alias(out),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp-v1",
+) -> DataFrame:
+    """Per-group counts with Laplace(1/epsilon) noise — the standard
+    epsilon-DP release mechanism for counting queries (sensitivity 1),
+    with DETERMINISTIC noise: uniform u derives from the house
+    md5_int64 of (salt || group key), then the Laplace inverse CDF
+    noise = -(1/eps) * sign(u-.5) * ln(1 - 2|u-.5|).  Determinism makes
+    the release reproducible AND bit-checkable by the DuckDB twin; a
+    production deployment swaps the hash for a secret-seeded PRF —
+    the mechanism and plan shape are identical.
+
+    Scale shape: one partial-aggregated groupBy; the noise is a
+    map-side expression over the (group-sized) aggregate output.
+    Rounded to 6 dp so cross-engine libm ulp differences cannot
+    surface."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    keyed = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in group_cols])
+    u = md5_int64(keyed) / F.lit(float(1 << 60))  # uniform [0, 1)
+    centered = u - F.lit(0.5)
+    mag = F.greatest(F.lit(1e-12), 1.0 - 2.0 * F.abs(centered))
+    noise = -(1.0 / F.lit(epsilon)) * F.signum(centered) * F.log(mag)
+    return df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("true_count")).select(
+        *group_cols,
+        F.col("true_count").cast("long").alias("true_count"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )

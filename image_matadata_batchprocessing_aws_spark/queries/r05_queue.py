@@ -2595,3 +2595,172 @@ def _video_oracle() -> str:
 
 
 ORACLES["multimodal_video_frames"] = _video_oracle()
+
+
+# --- CDC apply, join IVM, DP release ---------------------------------------
+
+
+def etl_apply_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply a CDC change feed to a base snapshot
+    (``maintenance.apply_cdc``): latest change per key wins, final D
+    deletes, I inserts new keys, same-timestamp races break D > U.
+    The feed is synthesized deterministically from orders (U at ts1 for
+    keys %7, a later U at ts2 for %3, D at ts3 for %11, a same-ts U+D
+    race at ts3 for %13, and I of fresh keys for %17) so the DuckDB
+    twin can rebuild the identical feed and state a full QUALIFY
+    replay.  Plan shape: the feed reduces on ONE keyed window bounded
+    by feed size; the base never shuffles (broadcast anti-join)."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import apply_cdc
+
+    o = t(spark, sf, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+    def change(cond, op, ts, key, status, price):
+        return o.where(cond).select(
+            key.alias("o_orderkey"),
+            F.col("o_custkey"),
+            status.alias("o_orderstatus"),
+            F.round(price, 2).alias("o_totalprice"),
+            F.lit(ts).alias("change_ts"),
+            F.lit(op).alias("op"),
+        )
+
+    k = F.col("o_orderkey")
+    p = F.col("o_totalprice")
+    changes = (
+        change(k % 7 == 0, "U", 1, k, F.lit("U1"), p + 100)
+        .unionByName(change(k % 3 == 0, "U", 2, k, F.lit("U2"), p + 200))
+        .unionByName(change(k % 11 == 0, "D", 3, k, F.lit("X"), p))
+        .unionByName(change((k % 13 == 0) & (k % 11 != 0), "U", 3, k, F.lit("U3"), p + 300))
+        .unionByName(change((k % 13 == 0) & (k % 11 != 0), "D", 3, k, F.lit("X"), p))
+        .unionByName(change(k % 17 == 0, "I", 1, k + 100000000, F.lit("N"), p))
+    )
+    out = apply_cdc(base, changes, "o_orderkey")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+QUERIES["etl_apply_cdc"] = etl_apply_cdc
+
+ORACLES["etl_apply_cdc"] = """
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+               round(o_totalprice + 100, 2) AS o_totalprice,
+               1 AS change_ts, 'U' AS op
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U2', round(o_totalprice + 200, 2), 2, 'U'
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', round(o_totalprice, 2), 3, 'D'
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U3', round(o_totalprice + 300, 2), 3, 'U'
+        FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', round(o_totalprice, 2), 3, 'D'
+        FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', round(o_totalprice, 2), 1, 'I'
+        FROM orders WHERE o_orderkey % 17 = 0),
+    latest AS (
+        SELECT * FROM changes
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY change_ts DESC,
+                     CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) = 1),
+    survivors AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus, o_totalprice
+    FROM survivors
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+           o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+"""
+
+
+def etl_incremental_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Insert-only join IVM (``maintenance.incremental_join_delta``):
+    orders and lineitem each split at 1997-01-01 into old/delta; the
+    maintained view = stored old join + the three delta terms
+    (dA*B_old, A_old*dB, dA*dB) — the two FULL tables are never joined
+    to each other.  The oracle states the IVM identity itself: a full
+    recompute of the join aggregate."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        incremental_join_delta,
+    )
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+    cut = "1997-01-01"
+    a_old, a_new = o.where(o.o_orderdate < cut), o.where(o.o_orderdate >= cut)
+    b_old, b_new = li.where(li.l_shipdate < cut), li.where(li.l_shipdate >= cut)
+    on = o.o_orderkey == li.l_orderkey
+    old_join = a_old.join(b_old, a_old.o_orderkey == b_old.l_orderkey)
+    delta = incremental_join_delta(
+        a_old, a_new, b_old, b_new,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    full = old_join.unionByName(delta)
+    return full.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+QUERIES["etl_incremental_join"] = etl_incremental_join
+
+ORACLES["etl_incremental_join"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""
+
+
+def agg_dp_noisy(spark: SparkSession, sf: str) -> DataFrame:
+    """Epsilon-DP counting release (``stats.dp_noisy_counts``):
+    per-market-segment customer counts plus Laplace(1/eps) noise from
+    the deterministic hash-uniform inverse CDF — reproducible releases
+    whose exact values the DuckDB twin recomputes (round 6 dp swallows
+    cross-libm ulp differences in ln)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import dp_noisy_counts
+
+    c = t(spark, sf, "customer")
+    return dp_noisy_counts(c, ["c_mktsegment"], epsilon=0.5)
+
+
+QUERIES["agg_dp_noisy"] = agg_dp_noisy
+
+
+def _dp_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = md5_int64_sql("'dp-v1|' || c_mktsegment")
+    return f"""
+        WITH agg AS (
+          SELECT c_mktsegment, count(*) AS true_count,
+                 ({h}) / 1152921504606846976.0 AS u
+          FROM customer GROUP BY 1),
+        noised AS (
+          SELECT c_mktsegment, true_count,
+                 -(1.0 / 0.5) * sign(u - 0.5)
+                   * ln(greatest(1e-12, 1.0 - 2.0 * abs(u - 0.5))) AS noise
+          FROM agg)
+        SELECT c_mktsegment, CAST(true_count AS BIGINT) AS true_count,
+               round(noise, 6) AS noise,
+               round(true_count + noise, 6) AS noisy_count
+        FROM noised
+    """
+
+
+ORACLES["agg_dp_noisy"] = _dp_oracle()

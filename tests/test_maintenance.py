@@ -246,3 +246,45 @@ def test_quantize_linear_feeds_write_zordered(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2000
     assert {"id", "x", "y", "x_q", "y_q"} == set(back.columns)
+
+
+def test_apply_cdc_semantics(spark):
+    """Latest-wins, D deletes, I inserts, same-ts race breaks D > U."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 1, "U"), (1, "a2", 2, "U"),     # latest U wins
+            (2, None, 1, "D"),                         # delete
+            (3, "c1", 5, "U"), (3, None, 5, "D"),      # same-ts race -> D
+            (9, "new", 1, "I"),                        # insert
+        ],
+        "k int, v string, change_ts int, op string",
+    )
+    got = {r.k: r.v for r in apply_cdc(base, changes, "k").collect()}
+    assert got == {1: "a2", 3: None, 4: "d", 9: "new"} or got == {1: "a2", 4: "d", 9: "new"}
+    # D must actually remove key 2 and key 3
+    assert 2 not in got and 3 not in got
+
+
+def test_incremental_join_delta_identity(spark):
+    """old join + delta terms == full recompute (insert-only IVM)."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(20)], "k int, av string")
+    b = spark.createDataFrame(
+        [(i % 10, f"b{i}") for i in range(30)], "k int, bv string"
+    )
+    a_old, a_new = a.where("k < 12"), a.where("k >= 12")
+    b_old, b_new = b.where("bv < 'b2'"), b.where("bv >= 'b2'")
+    on = ["k"]
+    maintained = a_old.join(b_old, on).unionByName(
+        incremental_join_delta(a_old, a_new, b_old, b_new, on)
+    )
+    full = a.join(b, on)
+    assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, full.collect()))

@@ -394,3 +394,25 @@ def test_kaplan_meier_grouped_cohorts(spark):
     assert abs(got[("a", 7)].survival - 0.0) < 1e-9  # risk set dies
     # cohort b independent: t=3 with n=2 -> 0.5
     assert got[("b", 3)].n_risk == 2 and abs(got[("b", 3)].survival - 0.5) < 1e-9
+
+
+def test_dp_noisy_counts_properties(spark):
+    """Noise is deterministic, Laplace-shaped (zero-heavy symmetric),
+    and noisy_count = true_count + noise."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"g{i % 40}", i) for i in range(400)], "g string, x int"
+    )
+    a = dp_noisy_counts(df, ["g"], epsilon=1.0).collect()
+    b = dp_noisy_counts(df, ["g"], epsilon=1.0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    for r in a:
+        assert r.true_count == 10
+        assert abs(r.noisy_count - (r.true_count + r.noise)) < 1e-9
+    noises = [r.noise for r in a]
+    assert any(n < 0 for n in noises) and any(n > 0 for n in noises)
+    assert max(abs(n) for n in noises) < 60  # ln(1e-12) bound at eps=1
+    # a different salt moves the noise
+    c = dp_noisy_counts(df, ["g"], epsilon=1.0, salt="other").collect()
+    assert sorted(r.noise for r in c) != sorted(noises)
