@@ -256,7 +256,10 @@ def apply_cdc(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    keys = latest.select(key).distinct()
+    # key set of the reduced feed == key set of the raw feed; deriving
+    # it from `changes` keeps the window subtree out of the anti-join
+    # branch (Spark re-plans shared subtrees, it doesn't reuse them)
+    keys = changes.select(key).distinct()
     survivors = base.join(F.broadcast(keys), key, "left_anti")
     upserts = latest.where(F.col(op_col) != "D").select(payload)
     return survivors.unionByName(upserts.select(*base.columns))

@@ -1,0 +1,96 @@
+"""Item-item collaborative filtering over basket co-occurrence.
+
+The classic "customers who bought X also bought Y" memory-based
+recommender (Sarwar et al. 2001, item-based CF; Linden et al. 2003,
+Amazon item-to-item), as pure DataFrame ops:
+
+1. distinct (basket, item) pairs;
+2. item support counts n_i (one partial-agg groupBy);
+3. co-occurrence counts co_ij via a per-basket self-join with
+   ``item_a < item_b`` (each unordered pair once);
+4. cosine similarity co_ij / sqrt(n_i * n_j), symmetrized back to
+   directed edges, top-k neighbors per item by a rank window.
+
+Scale notes (100 TB): the self-join is keyed on the basket id — the
+quadratic term is PER-BASKET size, not corpus size, so a
+``max_basket_items`` guard drops pathological baskets (a cart with 10k
+items contributes 50M pairs and no signal; the standard production
+mitigation).  Support counts are broadcast-sized (item-cardinality)
+joins.  The rank window is keyed by item and bounded by that item's
+candidate count.  Nothing data-sized collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def item_cooccurrence_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pair_count: int = 2,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """(item, neighbor, pair_count, cosine, rank): top-k most
+    cosine-similar co-purchased neighbors per item.  Deterministic ties:
+    (rounded cosine desc, pair count desc, neighbor asc)."""
+    pairs = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = pairs.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    bounded = pairs.join(
+        F.broadcast(sizes.where(F.col("__bn") <= max_basket_items).select("__b")),
+        "__b",
+    )
+    support = bounded.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a = bounded.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = bounded.select(F.col("__b"), F.col("__i").alias("item_b"))
+    co = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    directed = co.unionByName(
+        co.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "pair_count",
+        )
+    )
+    scored = (
+        directed.join(
+            F.broadcast(support.select(F.col("__i").alias("item_a"), F.col("__n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(support.select(F.col("__i").alias("item_b"), F.col("__n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(
+                F.col("pair_count") / F.sqrt(F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("pair_count").desc(), F.col("item_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("item_b").alias("neighbor"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2764,3 +2764,61 @@ def _dp_oracle() -> str:
 
 
 ORACLES["agg_dp_noisy"] = _dp_oracle()
+
+
+# --- item-item collaborative filtering --------------------------------------
+
+
+def reco_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-based CF (Sarwar et al. 2001 / Amazon item-to-item;
+    ``operators/reco.py``): top-3 cosine co-purchase neighbors per part
+    over order baskets.  The self-join is keyed per basket (quadratic
+    in BASKET size only, guarded by ``max_basket_items``); support
+    joins broadcast; the rank window is bounded per item.  Restricted
+    to parts in >= 3 baskets so the result is stable and compact."""
+    from image_matadata_batchprocessing_aws_spark.operators.reco import (
+        item_cooccurrence_topk,
+    )
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    out = item_cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=3, min_pair_count=2
+    )
+    return out.where(F.col("pair_count") >= 2).select(
+        F.col("item").cast("long").alias("item"),
+        F.col("neighbor").cast("long").alias("neighbor"),
+        "pair_count", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+QUERIES["reco_item_cooccurrence"] = reco_item_cooccurrence
+
+ORACLES["reco_item_cooccurrence"] = """
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    support AS (SELECT i, count(*) AS n FROM pairs GROUP BY 1),
+    co AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_count
+        FROM pairs a JOIN pairs b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+    directed AS (
+        SELECT item_a, item_b, pair_count FROM co
+        UNION ALL
+        SELECT item_b, item_a, pair_count FROM co),
+    scored AS (
+        SELECT d.item_a, d.item_b, d.pair_count,
+               round(d.pair_count / sqrt(sa.n * sb.n), 6) AS cosine
+        FROM directed d
+        JOIN support sa ON d.item_a = sa.i
+        JOIN support sb ON d.item_b = sb.i),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY item_a
+            ORDER BY cosine DESC, pair_count DESC, item_b ASC) AS rank
+        FROM scored)
+    SELECT CAST(item_a AS BIGINT) AS item, CAST(item_b AS BIGINT) AS neighbor,
+           CAST(pair_count AS BIGINT) AS pair_count, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+"""

@@ -483,3 +483,31 @@ def test_jaccard_prefix_candidates_shrink(spark):
         .count()
     )
     assert n_pref < n_full
+
+
+def test_item_cooccurrence_topk(spark):
+    """Known baskets: exact cosines, max_basket guard drops the
+    pathological basket entirely."""
+    from image_matadata_batchprocessing_aws_spark.operators.reco import (
+        item_cooccurrence_topk,
+    )
+
+    rows = [
+        # x co-occurs with y twice, with z once
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "z"),
+        (3, "x"),  # duplicate line collapses via distinct
+        # a giant basket that must be dropped by the guard
+        *[(9, f"junk{i}") for i in range(20)],
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = item_cooccurrence_topk(
+        df, "b", "i", k=2, min_pair_count=1, max_basket_items=10
+    ).collect()
+    got = {(r.item, r.neighbor): (r.pair_count, r.cosine, r.rank) for r in out}
+    # supports: x=3, y=2, z=2; co(x,y)=2, co(x,z)=2, co(y,z)=1
+    assert got[("x", "y")] == (2, round(2 / (3 * 2) ** 0.5, 6), 1)
+    assert got[("x", "z")] == (2, round(2 / (3 * 2) ** 0.5, 6), 2)  # tie -> z second (y < z)
+    assert got[("y", "x")][2] == 1 and got[("z", "x")][2] == 1
+    assert not any(r.item.startswith("junk") for r in out)

@@ -307,3 +307,39 @@ def test_rouge_overlap_join_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_ivm_dp_reco_plan_shapes(spark):
+    """The r04-queue data-engineering additions keep their promised
+    shapes: apply_cdc anti-joins the base against a BROADCAST key set
+    and reduces the feed on exactly one window; incremental_join plans
+    exactly 4 equi-joins (stored + 3 delta terms) and never a cartesian
+    product; dp_noisy is one partial aggregation with no window; the
+    reco self-join is keyed (no cartesian) with broadcast support
+    joins and one rank window."""
+    import re
+
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    cdc = r05_queue.QUERIES["etl_apply_cdc"](spark, SF_CORRECT)
+    plan = cdc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, "feed reduces on ONE window"
+    assert_no_python_udf(cdc)
+
+    ivm = r05_queue.QUERIES["etl_incremental_join"](spark, SF_CORRECT)
+    plan = ivm._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_joins = len(re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 4, f"expected stored + 3 delta joins, got {n_joins}"
+
+    dp = r05_queue.QUERIES["agg_dp_noisy"](spark, SF_CORRECT)
+    plan = dp._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_" in formatted_plan(dp)
+
+    reco = r05_queue.QUERIES["reco_item_cooccurrence"](spark, SF_CORRECT)
+    plan = reco._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert_no_python_udf(reco)
