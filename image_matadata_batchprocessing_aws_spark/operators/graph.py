@@ -447,3 +447,36 @@ def kcore_peel(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int) -> DataFrame:
+    """Bounded-depth BFS: (node, dist) for every node reachable from
+    ``sources`` (a one-column ``node`` frame) within ``max_depth`` hops,
+    dist = minimum hop count.  Classic distributed frontier expansion
+    (the unweighted special case of Pregel SSSP):
+
+    per round: frontier joins edges on src (keyed shuffle), new nodes =
+    anti-join against everything visited, then the frontier SHRINKS to
+    exactly the new nodes — each vertex is expanded at most once, so
+    total work is O(E reachable) regardless of depth.  ``localCheckpoint``
+    truncates lineage per round like ``connected_components``.  The
+    driver loop runs ``max_depth`` rounds (a fixed small constant —
+    this is the bounded-neighborhood query; unbounded reach is
+    ``connected_components``), exiting early when a frontier empties
+    via an O(1) ``isEmpty`` probe on the (shrinking) frontier."""
+    visited = sources.select(F.col("node"), F.lit(0).alias("dist")).distinct()
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        expanded = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_nodes = expanded.join(visited.select("node"), "node", "left_anti")
+        new_rows = new_nodes.select("node", F.lit(depth).alias("dist"))
+        visited = visited.unionByName(new_rows).localCheckpoint(eager=True)
+        frontier = visited.where(F.col("dist") == depth).select("node")
+        if frontier.isEmpty():
+            break
+    return visited

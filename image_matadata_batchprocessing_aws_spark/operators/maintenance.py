@@ -287,3 +287,34 @@ def incremental_join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def scd2_from_feed(
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "change_ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a CDC feed:
+    each I/U change opens a version valid [its ts, next change's ts);
+    the open version has ``valid_to`` null and ``is_current`` true; a D
+    closes its predecessor without opening a version.  ``valid_to`` is
+    computed BEFORE deletes are filtered, so a delete closes history
+    correctly.  Same-timestamp races order I < U < D (apply order:
+    insert, then update, then delete — a same-ts U+D leaves a
+    zero-length closed version), mirrored by the SQL twin.  The type-2
+    companion of :func:`apply_cdc` (type 1).
+
+    Scale shape: one keyed window over the feed (bounded by feed
+    volume) — history assembly never touches the dimension table."""
+    from pyspark.sql.window import Window
+
+    prec = F.when(F.col(op_col) == "D", 2).when(F.col(op_col) == "U", 1).otherwise(0)
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), prec.asc())
+    closed = changes.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+    return (
+        closed.where(F.col(op_col) != "D")
+        .withColumnRenamed(ts_col, "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col)
+    )

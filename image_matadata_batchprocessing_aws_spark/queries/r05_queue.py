@@ -2600,20 +2600,10 @@ ORACLES["multimodal_video_frames"] = _video_oracle()
 # --- CDC apply, join IVM, DP release ---------------------------------------
 
 
-def etl_apply_cdc(spark: SparkSession, sf: str) -> DataFrame:
-    """Apply a CDC change feed to a base snapshot
-    (``maintenance.apply_cdc``): latest change per key wins, final D
-    deletes, I inserts new keys, same-timestamp races break D > U.
-    The feed is synthesized deterministically from orders (U at ts1 for
-    keys %7, a later U at ts2 for %3, D at ts3 for %11, a same-ts U+D
-    race at ts3 for %13, and I of fresh keys for %17) so the DuckDB
-    twin can rebuild the identical feed and state a full QUALIFY
-    replay.  Plan shape: the feed reduces on ONE keyed window bounded
-    by feed size; the base never shuffles (broadcast anti-join)."""
-    from image_matadata_batchprocessing_aws_spark.operators.maintenance import apply_cdc
-
-    o = t(spark, sf, "orders")
-    base = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+def _cdc_feed(o: DataFrame) -> DataFrame:
+    """The deterministic synthetic CDC feed over orders shared by
+    ``etl_apply_cdc`` (type-1 replay) and ``etl_scd2_build`` (type-2
+    history); ``_CDC_FEED_SQL`` is its DuckDB twin."""
 
     def change(cond, op, ts, key, status, price):
         return o.where(cond).select(
@@ -2627,7 +2617,7 @@ def etl_apply_cdc(spark: SparkSession, sf: str) -> DataFrame:
 
     k = F.col("o_orderkey")
     p = F.col("o_totalprice")
-    changes = (
+    return (
         change(k % 7 == 0, "U", 1, k, F.lit("U1"), p + 100)
         .unionByName(change(k % 3 == 0, "U", 2, k, F.lit("U2"), p + 200))
         .unionByName(change(k % 11 == 0, "D", 3, k, F.lit("X"), p))
@@ -2635,19 +2625,9 @@ def etl_apply_cdc(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(change((k % 13 == 0) & (k % 11 != 0), "D", 3, k, F.lit("X"), p))
         .unionByName(change(k % 17 == 0, "I", 1, k + 100000000, F.lit("N"), p))
     )
-    out = apply_cdc(base, changes, "o_orderkey")
-    return out.select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        F.col("o_custkey").cast("long").alias("o_custkey"),
-        "o_orderstatus",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
-    )
 
 
-QUERIES["etl_apply_cdc"] = etl_apply_cdc
-
-ORACLES["etl_apply_cdc"] = """
-    WITH changes AS (
+_CDC_FEED_SQL = """
         SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
                round(o_totalprice + 100, 2) AS o_totalprice,
                1 AS change_ts, 'U' AS op
@@ -2666,7 +2646,37 @@ ORACLES["etl_apply_cdc"] = """
         FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
         UNION ALL
         SELECT o_orderkey + 100000000, o_custkey, 'N', round(o_totalprice, 2), 1, 'I'
-        FROM orders WHERE o_orderkey % 17 = 0),
+        FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+def etl_apply_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply a CDC change feed to a base snapshot
+    (``maintenance.apply_cdc``): latest change per key wins, final D
+    deletes, I inserts new keys, same-timestamp races break D > U.
+    The feed is synthesized deterministically from orders (U at ts1 for
+    keys %7, a later U at ts2 for %3, D at ts3 for %11, a same-ts U+D
+    race at ts3 for %13, and I of fresh keys for %17) so the DuckDB
+    twin can rebuild the identical feed and state a full QUALIFY
+    replay.  Plan shape: the feed reduces on ONE keyed window bounded
+    by feed size; the base never shuffles (broadcast anti-join)."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import apply_cdc
+
+    o = t(spark, sf, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    out = apply_cdc(base, _cdc_feed(o), "o_orderkey")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+QUERIES["etl_apply_cdc"] = etl_apply_cdc
+
+ORACLES["etl_apply_cdc"] = f"""
+    WITH changes AS ({_CDC_FEED_SQL}),
     latest AS (
         SELECT * FROM changes
         QUALIFY row_number() OVER (
@@ -2821,4 +2831,199 @@ ORACLES["reco_item_cooccurrence"] = """
            CAST(pair_count AS BIGINT) AS pair_count, cosine,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 3
+"""
+
+
+# --- SCD2 history build, bounded BFS, marketing attribution -----------------
+
+
+def etl_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 SCD history from the shared CDC feed
+    (``maintenance.scd2_from_feed``, the type-2 companion of
+    ``etl_apply_cdc``): each I/U opens a version valid [ts, next ts);
+    deletes close history without opening; same-ts races order
+    I < U < D.  One keyed window over the feed — the dimension table is
+    never touched.  The twin states the identical lead() replay."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        scd2_from_feed,
+    )
+
+    o = t(spark, sf, "orders")
+    hist = scd2_from_feed(_cdc_feed(o), "o_orderkey")
+    return hist.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )
+
+
+QUERIES["etl_scd2_build"] = etl_scd2_build
+
+ORACLES["etl_scd2_build"] = f"""
+    WITH changes AS ({_CDC_FEED_SQL}),
+    closed AS (
+        SELECT *, lead(change_ts) OVER (
+            PARTITION BY o_orderkey
+            ORDER BY change_ts ASC,
+                     CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END ASC
+        ) AS valid_to
+        FROM changes)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+           o_totalprice,
+           CAST(change_ts AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM closed WHERE op <> 'D'
+"""
+
+
+BFS_MAX_DEPTH = 3
+BFS_N_SOURCES = 5
+
+
+def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-depth BFS (``graph.bfs_levels``) from the first
+    {BFS_N_SOURCES} customers over the bidirectional customer-supplier
+    graph (the same edges PageRank walks): per level, node count and an
+    id checksum.  Frontier expansion expands each vertex at most once
+    (anti-join against visited), so total work is O(reachable edges);
+    the oracle is a depth-guarded recursive CTE taking min(dist)."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import bfs_levels
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    sources = (
+        t(spark, sf, "customer")
+        .where(F.col("c_custkey") <= BFS_N_SOURCES)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    visited = bfs_levels(edges, sources, max_depth=BFS_MAX_DEPTH)
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    ).select(F.col("dist").cast("long").alias("dist"), "n_nodes", "node_checksum")
+
+
+QUERIES["graph_bfs_levels"] = graph_bfs_levels
+
+ORACLES["graph_bfs_levels"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs),
+    bfs(node, d) AS (
+        SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey <= {BFS_N_SOURCES}
+        UNION
+        SELECT e.dst, b.d + 1
+        FROM bfs b JOIN edges e ON b.node = e.src
+        WHERE b.d < {BFS_MAX_DEPTH}),
+    m AS (SELECT node, min(d) AS dist FROM bfs GROUP BY 1)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM m GROUP BY 1
+"""
+
+
+ATTR_WINDOW_DAYS = 7
+
+
+def agg_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: every purchase
+    joins its user's click/view/signup touches in the prior
+    {ATTR_WINDOW_DAYS} days (keyed on user, so the quadratic term is
+    per-user activity, not corpus size); one window per purchase picks
+    the first and last touch (ties by event_id); purchases with no
+    touch attribute to 'none'.  Output: conversion counts per
+    (first_touch, last_touch) pair."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.where(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")),
+        "left",
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").asc_nulls_last(), F.col("t_id").asc_nulls_last()
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("t_ts").desc_nulls_last(), F.col("t_id").desc_nulls_last()
+    )
+    attributed = (
+        joined.withColumn("first_touch", F.first("t_type").over(w_first))
+        .withColumn("last_touch", F.first("t_type").over(w_last))
+        .groupBy("p_id", "first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        attributed.select(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("conversions"))
+    )
+
+
+QUERIES["agg_attribution"] = agg_attribution
+
+ORACLES["agg_attribution"] = f"""
+    WITH purchases AS (
+        SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    touches AS (
+        SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+               event_type AS t_type
+        FROM events
+        WHERE event_type IN ('click', 'view', 'signup') AND user_id IS NOT NULL),
+    ranked AS (
+        SELECT p.p_id, t.t_type,
+               row_number() OVER (PARTITION BY p.p_id
+                   ORDER BY t.t_ts ASC NULLS LAST, t.t_id ASC NULLS LAST) AS rf,
+               row_number() OVER (PARTITION BY p.p_id
+                   ORDER BY t.t_ts DESC NULLS LAST, t.t_id DESC NULLS LAST) AS rl
+        FROM purchases p
+        LEFT JOIN touches t
+          ON p.p_user = t.t_user
+         AND t.t_ts < p.p_ts
+         AND t.t_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY),
+    attributed AS (
+        SELECT p_id,
+               max(CASE WHEN rf = 1 THEN t_type END) AS first_touch,
+               max(CASE WHEN rl = 1 THEN t_type END) AS last_touch
+        FROM ranked GROUP BY 1)
+    SELECT coalesce(first_touch, 'none') AS first_touch,
+           coalesce(last_touch, 'none') AS last_touch,
+           CAST(count(*) AS BIGINT) AS conversions
+    FROM attributed GROUP BY 1, 2
 """

@@ -288,3 +288,26 @@ def test_incremental_join_delta_identity(spark):
     )
     full = a.join(b, on)
     assert sorted(map(tuple, maintained.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_scd2_from_feed_semantics(spark):
+    """Versions chain [ts, next ts); delete closes without opening;
+    same-ts U+D leaves a zero-length closed version."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        scd2_from_feed,
+    )
+
+    feed = spark.createDataFrame(
+        [
+            (1, "v1", 1, "I"), (1, "v2", 5, "U"),          # two versions
+            (2, "w1", 1, "I"), (2, None, 3, "D"),          # deleted
+            (3, "x1", 2, "U"), (3, None, 2, "D"),          # same-ts race
+        ],
+        "k int, v string, change_ts int, op string",
+    )
+    rows = {(r.k, r.valid_from): r for r in scd2_from_feed(feed, "k").collect()}
+    assert rows[(1, 1)].valid_to == 5 and not rows[(1, 1)].is_current
+    assert rows[(1, 5)].valid_to is None and rows[(1, 5)].is_current
+    assert rows[(2, 1)].valid_to == 3 and not rows[(2, 1)].is_current
+    assert rows[(3, 2)].valid_to == 2 and not rows[(3, 2)].is_current  # U before D
+    assert len(rows) == 4  # D rows never open versions

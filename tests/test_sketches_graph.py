@@ -409,3 +409,20 @@ def test_kmv_jaccard_pair_overlap(spark):
     sk2 = kmv_sketch(spark.createDataFrame(rows2, "grp string, key string"), "key", ["grp"], k=256)
     r2 = kmv_jaccard_pair(sk2, "grp", "a", "b", k=256).collect()[0]
     assert r2.n_both == 0 and r2.inter_est == 0.0
+
+
+def test_bfs_levels_min_distance_and_early_exit(spark):
+    """BFS assigns MIN hop distance on a graph with a shortcut, stops
+    at max_depth, and exits early on an exhausted component."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import bfs_levels
+
+    #     0 -> 1 -> 2 -> 3 -> 4,  plus shortcut 0 -> 3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], "src int, dst int"
+    )
+    src = spark.createDataFrame([(0,)], "node int")
+    got = {r.node: r.dist for r in bfs_levels(edges, src, max_depth=2).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}  # 3 via shortcut, 4 via 3
+    # tiny component exhausts before max_depth; result is stable
+    got2 = {r.node: r.dist for r in bfs_levels(edges, src, max_depth=10).collect()}
+    assert got2 == got
