@@ -139,12 +139,12 @@ _DEMOTED = [
     "etl_union_chunks",
     "etl_project_cast",
     "eval_euclidean_scalar",
-    # rows-only (binary decode-error fixture / iterative-inside
-    # composition) — least driver signal, so they yield their in-window
-    # slots to fully-oracled queries.  (multimodal_image_sniff and
-    # embedding_kmeans left this list in r04: both carry full invariant/
-    # manifest oracles now — VERDICT r3 item 7.)
-    "multimodal_image_pipeline",
+    # rows-only (iterative-inside composition) — least driver signal, so
+    # it yields its in-window slot to fully-oracled queries.
+    # (multimodal_image_sniff and embedding_kmeans left this list in
+    # r04 — invariant/manifest oracles, VERDICT r3 item 7 — and
+    # multimodal_image_pipeline followed with a recomputed-manifest
+    # full oracle.)
     "embedding_semdedup",
 ]
 

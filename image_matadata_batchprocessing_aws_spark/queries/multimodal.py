@@ -3,8 +3,8 @@
 The driver tables carry no binary columns, so: (a) binary *metadata*
 ops run over utf8-encoded document text with a DuckDB oracle; (b) the
 full image pipeline (ZIP scan -> decode -> resize -> join) runs over the
-committed deterministic fixture ``tests/fixtures/images.zip`` as a
-rows-only check (stable output; decode is the clearly-marked
+committed deterministic fixture ``tests/fixtures/images.zip`` against a
+recomputed-manifest full oracle (decode is the clearly-marked
 deterministic fake — see multimodal/images.py).
 """
 
@@ -50,8 +50,14 @@ def multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end image path on the fixture ZIP: binaryFile scan ->
     mapInPandas unzip -> decode/resize/pad (deterministic fake) ->
-    explicit image<->metadata join.  Rows-only driver check (no SQL
-    equivalent for the Arrow UDTF stages)."""
+    explicit image<->metadata join.  FULL oracle (upgraded from
+    rows-only): the fixture is static, so the oracle builder recomputes
+    the expected manifest with a plain-numpy replica of the
+    decode+resize+fold math (sequential float64 accumulation, matching
+    ``F.aggregate``'s left fold) — the driver row then proves the
+    DISTRIBUTED plumbing (binaryFile scan, ZIP UDTF, Arrow batches,
+    broadcast join, error-row routing of the empty corrupt.jpg member)
+    reproduces the local computation bit-for-bit."""
     entries = scan_zip_entries(spark, _FIXTURE_ZIP)
     decoded = decode_images(entries)
     meta = spark.createDataFrame(
@@ -528,3 +534,50 @@ ORACLES["multimodal_image_sniff"] = """
         ('j2.jpeg', 'jpeg', CAST(9   AS BIGINT), CAST(7   AS BIGINT), CAST(614 AS BIGINT))
     ) AS t(entry_name, image_format, image_width, image_height, image_bytes)
 """
+
+
+def _image_pipeline_oracle() -> str:
+    """Independent plain-numpy replica of fake-decode + resize/pad +
+    normalize + CHW left-fold sum over the static fixture ZIP (see
+    ``multimodal_image_pipeline``); emits the expected manifest as
+    literals."""
+    import hashlib
+    import zipfile
+
+    import numpy as np
+
+    meta = {101: 48.137, 102: 40.712, 103: 35.676}
+    rows = []
+    with zipfile.ZipFile(_FIXTURE_ZIP) as zf:
+        for name in ("101.jpg", "102.png", "103.jpeg"):
+            content = zf.read(name)
+            h, w = 32 + len(content) % 97, 32 + len(content) % 89
+            pix = np.resize(
+                np.frombuffer(hashlib.md5(content).digest(), dtype=np.uint8),
+                (h, w, 3),
+            )
+            scale = min(224 / h, 224 / w)
+            nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+            r = (np.arange(nh) / scale).astype(int).clip(0, h - 1)
+            c = (np.arange(nw) / scale).astype(int).clip(0, w - 1)
+            canvas = np.zeros((224, 224, 3), dtype=np.uint8)
+            top, left = (224 - nh) // 2, (224 - nw) // 2
+            canvas[top : top + nh, left : left + nw] = pix[r][:, c]
+            arr = canvas.astype(np.float32) / 255.0
+            chw = np.transpose(arr, (2, 0, 1)).reshape(-1)
+            total = round(float(np.cumsum(chw.astype(np.float64))[-1]), 2)
+            doc = int(name.split(".")[0])
+            rows.append(
+                f"({doc}, '{name}', CAST(3 AS BIGINT), CAST(224 AS BIGINT), "
+                f"CAST(224 AS BIGINT), false, {total}, {meta[doc]})"
+            )
+    return f"""
+        SELECT CAST(id AS BIGINT) AS id, file_name, channels, height, width,
+               failed, CAST(pixel_sum AS DOUBLE) AS pixel_sum,
+               CAST(latitude AS DOUBLE) AS latitude
+        FROM (VALUES {", ".join(rows)})
+          AS t(id, file_name, channels, height, width, failed, pixel_sum, latitude)
+    """
+
+
+ORACLES["multimodal_image_pipeline"] = _image_pipeline_oracle()

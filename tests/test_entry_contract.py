@@ -25,7 +25,6 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "agg_approx_distinct",  # HLL estimate — approx by definition
-        "multimodal_image_pipeline",  # binary decode pipeline — no SQL twin
         "embedding_semdedup",  # iterative k-means inside — rows-only
     }
 
