@@ -10,6 +10,7 @@ from image_matadata_batchprocessing_aws_spark.streaming.events import (
     enrich_with_dimension,
     start_numbered_batch_sink,
 )
+from image_matadata_batchprocessing_aws_spark.streaming.ivm import start_ivm_join_sink
 from image_matadata_batchprocessing_aws_spark.streaming.stateful import running_user_totals
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "dedup_against_corpus",
     "enrich_with_dimension",
     "start_numbered_batch_sink",
+    "start_ivm_join_sink",
 ]

@@ -438,3 +438,56 @@ def test_windowed_confusion_stream_matches_batch(spark, events_dir):
         F.unix_millis(F.date_trunc("hour", "ts")).alias("w")
     ).count()
     assert tot == {r.w: r["count"] for r in ev.collect()}
+
+
+def test_ivm_join_stream_matches_batch_join(spark, events_dir, tmp_path):
+    """Self-maintained stream-stream join (streaming/ivm.py): clicks and
+    purchases arrive as one tagged stream over 4 micro-batches; the
+    accumulated epoch-partitioned output equals the batch join of the
+    full inputs — matches across micro-batch boundaries included, which
+    a watermarked native join would need watermark slack to keep."""
+    from image_matadata_batchprocessing_aws_spark.streaming.ivm import (
+        start_ivm_join_sink,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    is_click = F.col("event_type") == "click"
+    tagged = (
+        stream.where(F.col("event_type").isin("click", "purchase"))
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.when(is_click, "a").otherwise("b").alias("side"),
+            "user_id",
+            F.when(is_click, F.col("event_id")).alias("a_id"),
+            F.when(~is_click, F.col("event_id")).alias("b_id"),
+        )
+    )
+    q = start_ivm_join_sink(
+        tagged,
+        "side",
+        ["user_id", "a_id"],
+        ["user_id", "b_id"],
+        ["user_id"],
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("user_id", "a_id", "b_id")
+        .collect()
+    )
+    ev = spark.read.parquet(events_dir).where(F.col("user_id").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("b_id")
+    )
+    exp = sorted(
+        (r.user_id, r.a_id, r.b_id) for r in clicks.join(purchases, "user_id").collect()
+    )
+    assert got == exp and len(got) > 0
