@@ -327,6 +327,12 @@ def decode_image_auto(name: str, content: bytes) -> np.ndarray:
         )
 
         return decode_webp(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from image_matadata_batchprocessing_aws_spark.multimodal.tiff import (  # noqa: PLC0415
+            decode_tiff,
+        )
+
+        return decode_tiff(content)
     raise ImageFormatError(
         f"no pure-python decoder for {name!r} (magic {content[:4]!r}); "
         "only lossy WEBP and exotic JPEG modes need the PIL path"

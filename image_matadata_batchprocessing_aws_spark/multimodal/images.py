@@ -154,6 +154,12 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
             if "PIL path" not in str(exc):
                 raise
             return _pil_decode(name, content)  # lossy VP8 / animation
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from image_matadata_batchprocessing_aws_spark.multimodal.tiff import (  # noqa: PLC0415
+            decode_tiff,
+        )
+
+        return decode_tiff(content)
     return _pil_decode(name, content)
 
 

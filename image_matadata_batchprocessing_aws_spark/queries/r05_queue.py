@@ -3027,3 +3027,88 @@ ORACLES["agg_attribution"] = f"""
            CAST(count(*) AS BIGINT) AS conversions
     FROM attributed GROUP BY 1, 2
 """
+
+
+# --- REAL TIFF decode with a closed-form oracle -----------------------------
+
+TIFF_N_DOCS = 30
+
+
+def multimodal_tiff_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-TIFF decoding, oracle-checked (extends the codec
+    family to its 6th format; the header sniffer already walks TIFF
+    IFDs as JVM exprs — this is the Arrow-stage decode): solid and
+    vertical-gradient fixtures rotate through uncompressed / LZW /
+    PackBits compression, both predictors, and both byte orders, so
+    every strip codec and the horizontal-differencing inverse run
+    through the full ``mapInPandas`` pipeline; per-channel pixel sums
+    after the integral resize are closed forms (TIFF is lossless)."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.multimodal.tiff import encode_tiff
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    rows = []
+    for doc_id in range(TIFF_N_DOCS):
+        h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+        v = (doc_id % 251, (doc_id * 7) % 251, (doc_id * 13) % 251)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = v
+        if doc_id % 2 == 1:
+            base = doc_id % 20
+            img[:, :, 1] = (base + np.arange(h, dtype=np.int64))[:, None] % 256
+        enc = encode_tiff(
+            img,
+            compression=(1, 5, 32773)[doc_id % 3],
+            predictor=1 + (doc_id // 3) % 2,
+            big_endian=doc_id % 5 == 0,
+        )
+        rows.append((doc_id, f"{doc_id}.tiff", bytearray(enc)))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    decoded = decode_images(entries, use_real_codec=True, normalize=False)
+
+    def chan_sum(c: int):
+        return F.aggregate(
+            F.slice(F.col("image"), c * 224 * 224 + 1, 224 * 224),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    out = decoded.join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    return out.select(
+        "doc_id",
+        F.col("channels").cast("long").alias("channels"),
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        chan_sum(0).alias("r_sum"),
+        chan_sum(1).alias("g_sum"),
+        chan_sum(2).alias("b_sum"),
+    )
+
+
+QUERIES["multimodal_tiff_decode"] = multimodal_tiff_decode
+
+
+def _tiff_oracle() -> str:
+    values = []
+    for doc_id in range(TIFF_N_DOCS):
+        _h, _w, r_sum, g_sum, b_sum = _webp_expected(doc_id)  # same fixture math
+        values.append(f"({doc_id}, {r_sum}, {g_sum}, {b_sum})")
+    return f"""
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(224 AS BIGINT) AS height,
+               CAST(224 AS BIGINT) AS width,
+               CAST(r_sum AS BIGINT) AS r_sum,
+               CAST(g_sum AS BIGINT) AS g_sum,
+               CAST(b_sum AS BIGINT) AS b_sum
+        FROM (VALUES {", ".join(values)}) AS t(doc_id, r_sum, g_sum, b_sum)
+    """
+
+
+ORACLES["multimodal_tiff_decode"] = _tiff_oracle()
