@@ -17,8 +17,9 @@ Formats:
 - **PNG** (``decode_png``): 8-bit depth, color types 0 (gray), 2 (RGB),
   3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
   (None/Sub/Up/Average/Paeth) inverted per the spec; multiple IDAT
-  chunks concatenated; non-interlaced only (interlace=1 raises).  Alpha
-  is dropped (PIL ``convert("RGB")`` semantics for the pipeline).
+  chunks concatenated; Adam7 interlacing de-interlaced (7 independently
+  filtered passes scattered to the grid).  Alpha is dropped (PIL
+  ``convert("RGB")`` semantics for the pipeline).
 - **BMP** (``decode_bmp``): BITMAPINFOHEADER (40+) uncompressed 24/32
   bpp, bottom-up and top-down row orders, 4-byte row padding, BGR(A) →
   RGB; 8-bit paletted via the BGRX color table.
@@ -114,6 +115,34 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Adam7: the stream is 7 independently-filtered sub-images (one
+    filter byte per sub-image scanline, unfiltering references only the
+    sub-image's own rows), scattered back onto the full grid."""
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass for small images
+        size = (1 + pw * ch) * ph
+        sub = raw[pos : pos + size]
+        if len(sub) < size:
+            raise ImageFormatError("interlaced PNG pixel data truncated")
+        pos += size
+        px = _unfilter(sub, ph, pw, ch).reshape(ph, pw, ch)
+        out[ys::ystep, xs::xstep] = px
+    return out
+
+
 def decode_png(content: bytes) -> np.ndarray:
     if not content.startswith(_PNG_MAGIC):
         raise ImageFormatError("not a PNG (bad magic)")
@@ -136,13 +165,19 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ImageFormatError(f"unsupported PNG color type {ctype_code}")
     if comp != 0 or filt != 0:
         raise ImageFormatError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ImageFormatError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ImageFormatError(f"bad PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ImageFormatError("zero-dimension PNG")
     ch = _PNG_CHANNELS[ctype_code]
-    raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageFormatError(f"PNG IDAT stream corrupt/truncated: {exc}") from exc
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, h, w, ch)
+    else:
+        px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
     if ctype_code == 2:
         return px
     if ctype_code == 6:
@@ -160,19 +195,29 @@ def decode_png(content: bytes) -> np.ndarray:
     return plte[idx]
 
 
-def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
+def encode_png(img: np.ndarray, color_type: int = 2, interlace: bool = False) -> bytes:
     """Minimal PNG writer (filter 0, one IDAT) — fixture generator for
     the decoder's round-trip tests and for building realistic binary
     columns in demos.  Accepts HxWx3 uint8 (color_type 2) or HxW
-    (color_type 0)."""
+    (color_type 0); ``interlace=True`` writes the Adam7 pass layout."""
     if color_type == 2:
         h, w, _ = img.shape
-        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        arr = img
     elif color_type == 0:
         h, w = img.shape
-        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        arr = img[:, :, None]
     else:
         raise ImageFormatError("encoder supports color types 0 and 2 only")
+    if interlace:
+        parts = []
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = arr[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         body = ctype + payload
@@ -180,7 +225,7 @@ def encode_png(img: np.ndarray, color_type: int = 2) -> bytes:
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)

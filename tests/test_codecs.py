@@ -137,14 +137,26 @@ def test_png_rejects_malformed():
     good = encode_png(img)
     with pytest.raises(ImageFormatError, match="magic"):
         decode_png(b"nope" + good)
-    interlaced = _png_from_raw(
+    # interlace=1 is SUPPORTED now; a non-interlaced stream relabeled
+    # as Adam7 underruns the pass layout and raises the typed error
+    relabeled = _png_from_raw(
         4, 4, 2, _forward_filter(img.reshape(4, 12), 3, 0)
     ).replace(
         struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0),
         struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1),
     )
-    with pytest.raises(ImageFormatError, match="interlaced"):
-        decode_png(interlaced)
+    with pytest.raises(
+        ImageFormatError, match="interlaced PNG pixel data|filter type"
+    ):
+        decode_png(relabeled)
+    bad_method = _png_from_raw(
+        4, 4, 2, _forward_filter(img.reshape(4, 12), 3, 0)
+    ).replace(
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2),
+    )
+    with pytest.raises(ImageFormatError, match="interlace method"):
+        decode_png(bad_method)
     # truncated pixel data
     short = _png_from_raw(4, 8, 2, _forward_filter(img.reshape(4, 12), 3, 0))
     with pytest.raises(ImageFormatError, match="truncated"):
@@ -527,3 +539,21 @@ def test_jpeg_progressive_real_world_vector():
     out = decode_jpeg(open(path, "rb").read())
     assert out.shape == (477, 720, 3)
     assert out.std() > 30  # rich natural image, not a flat/garbled field
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: 7 independently-filtered sub-images scatter back to the
+    full grid; edge dims leave some passes empty."""
+    for shape in [(1, 1, 3), (7, 13, 3), (8, 8, 3), (9, 10, 3), (2, 2, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        blob = encode_png(img, interlace=True)
+        assert np.array_equal(decode_png(blob), img), shape
+    gray = rng.integers(0, 256, size=(11, 6), dtype=np.uint8)
+    got = decode_png(encode_png(gray, color_type=0, interlace=True))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    # truncation surfaces as the codec error, not a numpy shape error
+    with pytest.raises(ImageFormatError, match="truncated|incorrect"):
+        import zlib as _z
+        full = encode_png(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), interlace=True)
+        # corrupt: drop the IEND and truncate the IDAT payload
+        decode_png(full[:60])
