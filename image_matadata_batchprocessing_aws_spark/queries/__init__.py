@@ -70,11 +70,11 @@ _MODULES = [
 #: takes the union to 188 if all 50 land green.
 #:
 #: r05 PLAN: register ``queries/r05_queue.py`` (one `_MODULES` append —
-#: 51 new oracled queries, every pair already exact at both sf dirs via
-#: ``tests/test_r05_queue.py``).  17 backlog names above + 51 queue
-#: queries = 68 never-driver-checked > one 50-slot window, so the r05
+#: 53 new oracled queries, every pair already exact at both sf dirs via
+#: ``tests/test_r05_queue.py``).  17 backlog names above + 53 queue
+#: queries = 70 never-driver-checked > one 50-slot window, so the r05
 #: window takes the 17 backlog + the first 33 queue entries
-#: (registration order), and r06 rotates in the remaining 18 + frozen
+#: (registration order), and r06 rotates in the remaining 20 + frozen
 #: re-verifications.
 _WINDOW = [
     "etl_star_flatten",

@@ -3112,3 +3112,192 @@ def _tiff_oracle() -> str:
 
 
 ORACLES["multimodal_tiff_decode"] = _tiff_oracle()
+
+
+# --- top navigation paths (session trigrams) --------------------------------
+
+PATHS_GAP_MIN = 30
+PATHS_TOPK = 15
+
+
+def agg_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top event-type trigram journeys across gap-based sessions
+    (``timeseries.sessionize`` + two lead() steps): the product-analytics
+    'common navigation paths' report.  Sessionize, lead(1)/lead(2)
+    within (user, session) on the SAME (key, order) sort — Catalyst
+    plans one exchange for all three window expressions — then a
+    partial-agg count and a deterministic top-k.  The twin restates the
+    islands sessionization and leads in ANSI SQL."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import sessionize
+
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    s = sessionize(e, "user_id", "ts", "event_id", gap_minutes=PATHS_GAP_MIN)
+    w = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = (
+        s.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"),
+        )
+    )
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "path").limit(PATHS_TOPK)
+
+
+QUERIES["agg_top_paths"] = agg_top_paths
+
+ORACLES["agg_top_paths"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {PATHS_GAP_MIN} * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE user_id IS NOT NULL),
+    sess AS (
+      SELECT *, sum(new_s) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ev),
+    tri AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path,
+             lead(event_type, 2) OVER w AS e3
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)),
+    counts AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE e3 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM counts ORDER BY n DESC, path LIMIT {PATHS_TOPK}
+"""
+
+
+# --- multimodal curation flagship -------------------------------------------
+
+MM_CURATE_N = 40
+
+
+def _mm_curate_expected():
+    """(format, n_files, n_decoded, n_unique_pixels) closed forms, plus
+    an '__all__' row whose global distinct count is far below the
+    per-format sum — the cross-format collapse the pixel-level dedup
+    exists for.  Construction: doc d gets format d%5 of (png, gif, bmp,
+    tiff, webp); pixel content is a solid color keyed by d%7
+    (gcd(7,5)=1, so every color appears in several formats); every 8th
+    doc is truncated to 3 bytes (decode-error row)."""
+    per_fmt = {}
+    all_colors = set()
+    fmts = ("png", "gif", "bmp", "tiff", "webp")
+    for d in range(MM_CURATE_N):
+        f = fmts[d % 5]
+        per_fmt.setdefault(f, {"n_files": 0, "n_ok": 0, "colors": set()})
+        per_fmt[f]["n_files"] += 1
+        if d % 8 == 0:
+            continue  # corrupt
+        per_fmt[f]["n_ok"] += 1
+        per_fmt[f]["colors"].add(d % 7)
+        all_colors.add(d % 7)
+    out = {
+        f: (v["n_files"], v["n_ok"], len(v["colors"])) for f, v in per_fmt.items()
+    }
+    out["__all__"] = (
+        MM_CURATE_N,
+        sum(v["n_ok"] for v in per_fmt.values()),
+        len(all_colors),
+    )
+    return out
+
+
+def pipeline_multimodal_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP multimodal curation: mixed-format corpus (PNG / GIF /
+    BMP / TIFF / lossless-WEBP from the five pure-python encoders, with
+    planted cross-format duplicate pixel content and corrupt members)
+    -> REAL decode through the Arrow pipeline with per-row error
+    isolation -> pixel-level exact dedup (md5 of the decoded tensor, so
+    a PNG and a TIFF of the same image collapse — byte-level hashing
+    cannot do that) -> per-format curation report plus an '__all__'
+    row whose global distinct count sits far below the per-format sum,
+    proving the cross-format collapse happened.  The oracle states the
+    construction's closed forms."""
+    import hashlib
+
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        encode_gif,
+        encode_bmp,
+        encode_png,
+    )
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.multimodal.tiff import encode_tiff
+    from image_matadata_batchprocessing_aws_spark.multimodal.webp import (
+        encode_webp_lossless,
+    )
+
+    encoders = {
+        "png": lambda im: encode_png(im, interlace=True),
+        "gif": encode_gif,
+        "bmp": encode_bmp,
+        "tiff": lambda im: encode_tiff(im, compression=5, predictor=2),
+        "webp": encode_webp_lossless,
+    }
+    fmts = ("png", "gif", "bmp", "tiff", "webp")
+    rows = []
+    for d in range(MM_CURATE_N):
+        fmt = fmts[d % 5]
+        v = d % 7
+        img = np.full((16, 16, 3), (v * 20, 255 - v * 20, v), dtype=np.uint8)
+        blob = encoders[fmt](img)
+        if d % 8 == 0:
+            blob = blob[:3]  # corrupt member
+        rows.append((d, fmt, f"{d}.{fmt}", bytearray(blob)))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, fmt string, entry_name string, content binary"
+    )
+    decoded = decode_images(
+        entries.select("entry_name", "content"), use_real_codec=True, normalize=False
+    )
+    keyed = decoded.join(
+        entries.select("fmt", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    def report_for(frame, label_col):
+        counts = frame.groupBy(label_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(F.col("decode_error").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_decoded"),
+        )
+        uniq = (
+            frame.where(F.col("decode_error").isNull())
+            .withColumn("pixel_hash", F.md5(F.to_json(F.col("image"))))
+            .groupBy(label_col)
+            .agg(F.countDistinct("pixel_hash").cast("long").alias("n_unique_pixels"))
+        )
+        return counts.join(uniq, label_col)
+
+    per_fmt = report_for(keyed, "fmt")
+    overall = report_for(keyed.withColumn("fmt", F.lit("__all__")), "fmt")
+    return per_fmt.unionByName(overall).select(
+        "fmt", "n_files", "n_decoded", "n_unique_pixels"
+    )
+
+
+QUERIES["pipeline_multimodal_curation"] = pipeline_multimodal_curation
+
+
+def _mm_curate_oracle() -> str:
+    rows = [
+        f"('{f}', {a}, {b}, {c})" for f, (a, b, c) in sorted(_mm_curate_expected().items())
+    ]
+    return f"""
+        SELECT fmt, CAST(n_files AS BIGINT) AS n_files,
+               CAST(n_decoded AS BIGINT) AS n_decoded,
+               CAST(n_unique_pixels AS BIGINT) AS n_unique_pixels
+        FROM (VALUES {", ".join(rows)}) AS t(fmt, n_files, n_decoded, n_unique_pixels)
+    """
+
+
+ORACLES["pipeline_multimodal_curation"] = _mm_curate_oracle()
