@@ -138,3 +138,23 @@ def test_wav_pcm_stats_and_frames(spark):
     assert len(okf) == 98
     assert okf[0].start_s == 0.0 and abs(okf[1].start_s - 0.010) < 1e-9
     assert all(0.0 <= r.rms <= 1.0 and 0.0 <= r.zcr <= 1.0 for r in okf)
+
+
+# --- property tests ----------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    channels=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int64)
+    got, got_rate = decode_wav(encode_wav_pcm16(samples, rate))
+    assert got_rate == rate and np.array_equal(got, samples)

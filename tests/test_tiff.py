@@ -113,3 +113,34 @@ def test_dispatch_from_decode_image_auto():
     img = np.full((5, 9, 3), (1, 128, 255), dtype=np.uint8)
     out = decode_image_auto("x.tiff", encode_tiff(img, compression=32773))
     assert np.array_equal(out, img)
+
+
+# --- property tests ----------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    compression=st.sampled_from([1, 5, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    rps=st.integers(1, 41),
+    be=st.booleans(),
+)
+def test_tiff_roundtrip_property(h, w, seed, compression, predictor, rps, be):
+    """Round-trip over arbitrary dims x strip sizes x codecs x
+    predictors x byte orders."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = encode_tiff(
+        img,
+        compression=compression,
+        predictor=predictor,
+        rows_per_strip=rps,
+        big_endian=be,
+    )
+    assert np.array_equal(decode_tiff(enc), img)

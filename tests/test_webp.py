@@ -472,3 +472,27 @@ def test_dispatch_from_decode_image_auto():
     img = np.full((9, 5, 3), (4, 200, 17), dtype=np.uint8)
     out = decode_image_auto("x.webp", encode_webp_lossless(img))
     assert np.array_equal(out, img)
+
+
+# --- property tests ----------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    palette=st.integers(2, 256),
+)
+def test_vp8l_roundtrip_property(h, w, seed, palette):
+    """Lossless round-trip over arbitrary dims x entropy levels: low
+    palettes force simple codes, high ones force normal length-limited
+    Huffman; every image decodes back bit-exactly."""
+    rng = np.random.default_rng(seed)
+    img = (rng.integers(0, palette, size=(h, w, 3)) * (256 // palette)).astype(
+        np.uint8
+    )
+    assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
