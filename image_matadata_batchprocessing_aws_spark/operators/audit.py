@@ -66,3 +66,89 @@ def k_anonymity_audit(
         .where(F.col("group_size") < k)
         .select(*quasi_cols, F.col("group_size").cast("long").alias("group_size"))
     )
+
+
+def expectations_report(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Deequ/Great-Expectations-style constraint suite as ONE aggregate
+    pass: each rule contributes a violation-count expression to a single
+    ``agg`` (map-side partials, no per-rule scans), then the flat result
+    unpivots into a (rule, column, violations, passed) report.
+
+    Rules (tuples):
+      ("not_null", col)            — null values
+      ("unique", col)              — non-null duplicates (count - distinct)
+      ("in_range", col, lo, hi)    — values outside [lo, hi]
+      ("in_set", col, values)      — values outside the allowed set
+      ("matches", col, regex)      — non-null values not matching
+      ("min_rows", n)              — table smaller than n (violations =
+                                     shortfall)
+
+    Scale: unique-rules add count_distinct to the same aggregate (one
+    expand, still a single job); everything else is a conditional count.
+    The report is rule-count sized."""
+    exprs = []
+    meta = []  # (rule_name, column, kind)
+    for i, rule in enumerate(rules):
+        kind = rule[0]
+        if kind == "not_null":
+            _, c = rule
+            exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"v{i}"))
+            meta.append((kind, c))
+        elif kind == "unique":
+            _, c = rule
+            exprs.append(
+                (F.count(F.col(c)) - F.count_distinct(F.col(c))).alias(f"v{i}")
+            )
+            meta.append((kind, c))
+        elif kind == "in_range":
+            _, c, lo, hi = rule
+            exprs.append(
+                F.count(
+                    F.when((F.col(c) < lo) | (F.col(c) > hi), 1)
+                ).alias(f"v{i}")
+            )
+            meta.append((kind, c))
+        elif kind == "in_set":
+            _, c, values = rule
+            exprs.append(
+                F.count(
+                    F.when(~F.col(c).isin(list(values)) | F.col(c).isNull(), 1)
+                ).alias(f"v{i}")
+            )
+            meta.append((kind, c))
+        elif kind == "matches":
+            _, c, pattern = rule
+            exprs.append(
+                F.count(
+                    F.when(F.col(c).isNotNull() & ~F.col(c).rlike(pattern), 1)
+                ).alias(f"v{i}")
+            )
+            meta.append((kind, c))
+        elif kind == "min_rows":
+            _, n = rule
+            exprs.append(
+                F.greatest(F.lit(0).cast("long"), F.lit(n) - F.count(F.lit(1)))
+                .alias(f"v{i}")
+            )
+            meta.append((kind, "*"))
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+    flat = df.agg(*exprs)
+    stacked = flat.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("rule"),
+                        F.lit(c).alias("column"),
+                        F.col(f"v{i}").cast("long").alias("violations"),
+                    )
+                    for i, (k, c) in enumerate(meta)
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select(
+        "r.rule", "r.column", "r.violations",
+        (F.col("r.violations") == 0).alias("passed"),
+    )

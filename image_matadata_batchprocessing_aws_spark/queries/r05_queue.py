@@ -3301,3 +3301,63 @@ def _mm_curate_oracle() -> str:
 
 
 ORACLES["pipeline_multimodal_curation"] = _mm_curate_oracle()
+
+
+# --- one-pass data-quality expectations suite -------------------------------
+
+
+def etl_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style constraint suite over orders (``audit.
+    expectations_report``): seven heterogeneous rules (nullability,
+    uniqueness, range, set membership, regex shape, row floor) checked
+    in ONE aggregate pass; the twin recomputes each violation count with
+    the same semantics (regex kept RE2/Java-common)."""
+    from image_matadata_batchprocessing_aws_spark.operators.audit import (
+        expectations_report,
+    )
+
+    o = t(spark, sf, "orders")
+    rules = [
+        ("not_null", "o_custkey"),
+        ("unique", "o_orderkey"),
+        ("unique", "o_orderpriority"),  # priorities repeat -> violations > 0
+        ("in_range", "o_totalprice", 0.0, 400000.0),
+        ("in_set", "o_orderstatus", ["F", "O", "P"]),
+        ("matches", "o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        ("min_rows", 1000000),  # deliberately above sf0.01 -> shortfall
+    ]
+    return expectations_report(o, rules).select(
+        "rule", "column",
+        F.col("violations").cast("long").alias("violations"),
+        "passed",
+    )
+
+
+QUERIES["etl_expectations"] = etl_expectations
+
+ORACLES["etl_expectations"] = """
+    WITH agg AS (
+      SELECT
+        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+        count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+        count(o_orderpriority) - count(DISTINCT o_orderpriority) AS v2,
+        count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 400000.0
+                   THEN 1 END) AS v3,
+        count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                     OR o_orderstatus IS NULL THEN 1 END) AS v4,
+        count(CASE WHEN o_orderpriority IS NOT NULL
+                    AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                   THEN 1 END) AS v5,
+        greatest(0, 1000000 - count(*)) AS v6
+      FROM orders)
+    SELECT t.rule, t.col AS "column", CAST(t.v AS BIGINT) AS violations,
+           t.v = 0 AS passed
+    FROM agg, LATERAL (
+      VALUES ('not_null', 'o_custkey', v0),
+             ('unique', 'o_orderkey', v1),
+             ('unique', 'o_orderpriority', v2),
+             ('in_range', 'o_totalprice', v3),
+             ('in_set', 'o_orderstatus', v4),
+             ('matches', 'o_orderpriority', v5),
+             ('min_rows', '*', v6)) AS t(rule, col, v)
+"""

@@ -48,3 +48,41 @@ def test_write_size_split_roundtrip(spark, tmp_path):
     back = spark.read.option("header", True).csv(out_dir)
     assert back.count() == 1000  # union-of-parts == original (U1)
     assert back.columns == ["id", "name"]
+
+
+def test_expectations_report_semantics(spark):
+    """Every rule kind, planted violations, and the one-pass shape."""
+    from image_matadata_batchprocessing_aws_spark.operators.audit import (
+        expectations_report,
+    )
+    from image_matadata_batchprocessing_aws_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "ok-1"),
+            (2, "a", 99.0, "ok-2"),
+            (3, None, -5.0, "bad!"),
+            (3, "c", 50.0, None),
+        ],
+        "id int, grp string, x double, tag string",
+    )
+    rules = [
+        ("not_null", "grp"),
+        ("unique", "id"),
+        ("in_range", "x", 0.0, 100.0),
+        ("in_set", "grp", ["a", "c"]),
+        ("matches", "tag", "^ok-[0-9]$"),
+        ("min_rows", 10),
+    ]
+    out = expectations_report(df, rules)
+    got = {(r.rule, r.column): (r.violations, r.passed) for r in out.collect()}
+    assert got[("not_null", "grp")] == (1, False)
+    assert got[("unique", "id")] == (1, False)  # id 3 twice
+    assert got[("in_range", "x")] == (1, False)  # -5.0
+    assert got[("in_set", "grp")] == (1, False)  # the null
+    assert got[("matches", "tag")] == (1, False)  # 'bad!'
+    assert got[("min_rows", "*")] == (6, False)  # shortfall 10 - 4
+    # one aggregate pass: a single scan node in the plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan", formatted_plan(out), re.M)) == 1
