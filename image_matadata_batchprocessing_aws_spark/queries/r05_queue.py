@@ -3361,3 +3361,114 @@ ORACLES["etl_expectations"] = """
              ('matches', 'o_orderpriority', v5),
              ('min_rows', '*', v6)) AS t(rule, col, v)
 """
+
+
+EXIF_N_DOCS = 40
+
+
+def multimodal_exif(spark: SparkSession, sf: str) -> DataFrame:
+    """EXIF metadata extraction, oracle-checked — the reference's
+    namesake capability taken in-band: the reference joins a side CSV
+    of per-image metadata (SURVEY section 3.1); real camera files carry
+    that metadata as an APP1/TIFF IFD tree inside the JPEG, and this
+    query reads it there.  Fixtures are genuine JPEGs (the pure-python
+    baseline encoder) with conforming APP1 segments built from
+    parametric tags — both byte orders rotate (doc_id % 4 == 0 -> MM),
+    every 10th file carries no EXIF at all (nulls are data, not
+    errors).  The distributed stage is the Arrow ``mapInPandas`` IFD
+    walker; the oracle recomputes every tag from the fixture closed
+    forms, with textually identical rational->double arithmetic so
+    doubles match bit-for-bit."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_jpeg
+    from image_matadata_batchprocessing_aws_spark.multimodal.exif import (
+        build_exif_app1,
+        extract_exif,
+        inject_app1,
+    )
+
+    carrier = encode_jpeg(np.full((16, 16, 3), 128, np.uint8))
+    rows = []
+    for d in range(EXIF_N_DOCS):
+        if d % 10 == 9:
+            content = carrier
+        else:
+            app1 = build_exif_app1(
+                make=f"Maker-{d % 5}",
+                model=f"Model-{d % 7}",
+                orientation=1 + d % 8,
+                datetime_original=f"2023:01:{d % 28 + 1:02d} 10:00:00",
+                pixel_x=640 + 2 * d,
+                pixel_y=480 + d,
+                iso=100 * (1 + d % 16),
+                f_number=(14 + d % 40, 10),
+                exposure_time=(1, 30 + d),
+                focal_length=(180 + 5 * d, 10),
+                gps_lat=("N" if d % 2 == 0 else "S", d % 90, (d * 3) % 60, ((d * 7) % 600, 10)),
+                gps_lon=("W" if d % 3 == 0 else "E", (d * 2) % 180, (d * 5) % 60, ((d * 11) % 600, 10)),
+                big_endian=d % 4 == 0,
+            )
+            content = inject_app1(carrier, app1)
+        rows.append((d, f"{d}.jpg", bytearray(content)))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    meta = extract_exif(entries)
+    out = meta.join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    return out.select(
+        "doc_id",
+        "make",
+        "model",
+        F.col("orientation").cast("long").alias("orientation"),
+        "datetime_original",
+        F.col("exif_width").alias("exif_w"),
+        F.col("exif_height").alias("exif_h"),
+        F.col("iso").cast("long").alias("iso"),
+        "f_number",
+        "exposure_time",
+        "focal_length",
+        "gps_lat",
+        "gps_lon",
+    )
+
+
+QUERIES["multimodal_exif"] = multimodal_exif
+
+ORACLES["multimodal_exif"] = """
+    WITH d AS (SELECT range AS doc_id FROM range(0, 40)),
+    v AS (
+      SELECT doc_id, doc_id % 10 = 9 AS noexif,
+        (doc_id % 90) / 1.0
+          + ((doc_id * 3) % 60) / 1.0 / 60.0
+          + ((doc_id * 7) % 600) / 10.0 / 3600.0 AS latv,
+        ((doc_id * 2) % 180) / 1.0
+          + ((doc_id * 5) % 60) / 1.0 / 60.0
+          + ((doc_id * 11) % 600) / 10.0 / 3600.0 AS lonv
+      FROM d)
+    SELECT doc_id,
+      CASE WHEN noexif THEN NULL
+           ELSE 'Maker-' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+      CASE WHEN noexif THEN NULL
+           ELSE 'Model-' || CAST(doc_id % 7 AS VARCHAR) END AS model,
+      CASE WHEN noexif THEN NULL ELSE 1 + doc_id % 8 END AS orientation,
+      CASE WHEN noexif THEN NULL
+           ELSE '2023:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                || ' 10:00:00' END AS datetime_original,
+      CASE WHEN noexif THEN NULL ELSE 640 + 2 * doc_id END AS exif_w,
+      CASE WHEN noexif THEN NULL ELSE 480 + doc_id END AS exif_h,
+      CASE WHEN noexif THEN NULL ELSE 100 * (1 + doc_id % 16) END AS iso,
+      CASE WHEN noexif THEN NULL
+           ELSE (14 + doc_id % 40) / 10.0 END AS f_number,
+      CASE WHEN noexif THEN NULL
+           ELSE 1.0 / (30 + doc_id) END AS exposure_time,
+      CASE WHEN noexif THEN NULL
+           ELSE (180 + 5 * doc_id) / 10.0 END AS focal_length,
+      CASE WHEN noexif THEN NULL
+           WHEN doc_id % 2 = 0 THEN latv ELSE -latv END AS gps_lat,
+      CASE WHEN noexif THEN NULL
+           WHEN doc_id % 3 = 0 THEN -lonv ELSE lonv END AS gps_lon
+    FROM v
+"""
