@@ -3472,3 +3472,104 @@ ORACLES["multimodal_exif"] = """
            WHEN doc_id % 3 = 0 THEN -lonv ELSE lonv END AS gps_lon
     FROM v
 """
+
+
+PHASH_N_DOCS = 48
+
+
+def _phash_fixture_bits(d: int):
+    """Target dHash bit pattern for fixture doc ``d``: a family base
+    pattern (f = d // 4) with member m >= 1 flipping exactly two
+    positions, so families are Hamming cliques at threshold 4 (base vs
+    member: 2 bits; member vs member: 4 bits)."""
+    import numpy as np
+
+    f, m = d // 4, d % 4
+    bits = np.zeros((8, 8), dtype=bool)
+    for r in range(8):
+        for c in range(8):
+            bit = ((f * (r + 3) + c * (c + 1) + r) % 3) == 0
+            if m >= 1 and ((r == 2 * m - 1 and c == 3) or (r == 2 * m and c == 6)):
+                bit = not bit
+            bits[r, c] = bit
+    return bits
+
+
+def multimodal_phash_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image near-dup grouping, oracle-checked end to
+    end: fixture PNGs are 8x18 block images built so the decoded
+    pixels' dHash equals a closed-form bit pattern (each 8x9 area block
+    is two identical pixels; successive blocks step +/-11 so every
+    comparison is strict).  The distributed stages are the real PNG
+    decode + dHash ``mapInPandas`` and the 6-band Hamming-LSH join
+    (recall pigeonhole-complete at threshold 4); the oracle recomputes
+    the hashes from the bit definition and applies the plain
+    Hamming<=4 pair predicate — equivalent BY CONSTRUCTION to the
+    banded join, so a banding bug shows up as a hash-set mismatch."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.phash import dhash_groups, image_dhash
+
+    rows = []
+    for d in range(PHASH_N_DOCS):
+        bits = _phash_fixture_bits(d)
+        g = np.zeros((8, 9), dtype=np.int64)
+        g[:, 0] = 160
+        for c in range(8):
+            g[:, c + 1] = g[:, c] + np.where(bits[:, c], 11, -11)
+        img = np.repeat(g, 2, axis=1).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+        rows.append((d, f"{d}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    hashed = image_dhash(entries).join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+    )
+    groups = dhash_groups(hashed, max_hamming=4)
+    return (
+        hashed.select("doc_id", "hash_hi", "hash_lo")
+        .join(groups, "doc_id")
+        .select("doc_id", "hash_hi", "hash_lo", "group_id", "group_size")
+    )
+
+
+QUERIES["multimodal_phash_groups"] = multimodal_phash_groups
+
+ORACLES["multimodal_phash_groups"] = """
+    WITH d AS (SELECT range AS doc_id FROM range(0, 48)),
+    cells AS (
+      SELECT d.doc_id, r.rr AS r, c.cc AS c,
+        (((doc_id // 4) * (r.rr + 3) + c.cc * (c.cc + 1) + r.rr) % 3) = 0
+          AS base_bit
+      FROM d, range(0, 8) r(rr), range(0, 8) c(cc)),
+    tbits AS (
+      SELECT doc_id, r, c,
+        CASE WHEN doc_id % 4 >= 1
+              AND ((r = 2 * (doc_id % 4) - 1 AND c = 3)
+                   OR (r = 2 * (doc_id % 4) AND c = 6))
+             THEN NOT base_bit ELSE base_bit END AS bit
+      FROM cells),
+    hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN bit AND r < 4
+                      THEN 1::BIGINT << (31 - (r * 8 + c)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(SUM(CASE WHEN bit AND r >= 4
+                      THEN 1::BIGINT << (31 - ((r - 4) * 8 + c)) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM tbits GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.hash_hi, b.hash_hi))
+           + bit_count(xor(a.hash_lo, b.hash_lo)) <= 4),
+    nbrs AS (
+      SELECT doc_id, doc_id AS nbr FROM hashes
+      UNION ALL SELECT id_a, id_b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    grouped AS (SELECT doc_id, MIN(nbr) AS group_id FROM nbrs GROUP BY doc_id),
+    sizes AS (SELECT group_id, COUNT(*) AS group_size FROM grouped GROUP BY group_id)
+    SELECT h.doc_id, h.hash_hi, h.hash_lo, g.group_id, s.group_size
+    FROM hashes h JOIN grouped g USING (doc_id) JOIN sizes s USING (group_id)
+"""
