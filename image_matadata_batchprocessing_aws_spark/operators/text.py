@@ -576,3 +576,90 @@ def hash_embed(
         .where(F.col("weight") != 0)
         .select(id_col, "dim_idx", F.col("weight").cast("long").alias("weight"))
     )
+
+
+#: The Gopher quality-filter stop-word set (Rae et al. 2021, A1.1) —
+#: distinct from the scoring STOPWORDS above: a doc must contain at
+#: least ``min_stop_hits`` of these to pass the rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def add_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher corpus-quality rules (Rae et al. 2021, appendix A1.1)
+    as one map-side expression set — the published heuristics LLM
+    pretraining pipelines apply before dedup:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_word_len, max_word_len];
+    - symbol-to-word ratio (``#`` or ``...``) <= max_symbol_ratio;
+    - <= max_bullet_ratio of lines starting with a bullet;
+    - <= max_ellipsis_ratio of lines ending with an ellipsis;
+    - >= min_alpha_ratio of words containing an alphabetic char;
+    - >= min_stop_hits distinct stop words from GOPHER_STOPWORDS.
+
+    Adds the measured statistics, one boolean per rule, and
+    ``gopher_pass`` (AND of all rules).  Zero Python, zero shuffle.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    mean_len = F.length(F.regexp_replace(c, r"\s", "")) / n
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
+    n_ellipsis = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / n
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("- ")
+                | x.startswith("* ")
+                | x.startswith("•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_ratio = F.size(F.filter(lines, lambda x: x.endswith("..."))) / n_lines
+    alpha_ratio = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))) / n
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_word_len": (mean_len >= min_word_len) & (mean_len <= max_word_len),
+        "r_symbol": symbol_ratio <= max_symbol_ratio,
+        "r_bullet": bullet_ratio <= max_bullet_ratio,
+        "r_ellipsis": ellipsis_ratio <= max_ellipsis_ratio,
+        "r_alpha": alpha_ratio >= min_alpha_ratio,
+        "r_stop": stop_hits >= min_stop_hits,
+    }
+    passed = None
+    for r in rules.values():
+        passed = r if passed is None else passed & r
+    return df.withColumns(
+        {
+            "n_words": n.cast("long"),
+            "mean_word_len": F.round(mean_len, 4),
+            "symbol_ratio": F.round(symbol_ratio, 4),
+            "bullet_ratio": F.round(bullet_ratio, 4),
+            "ellipsis_ratio": F.round(ellipsis_ratio, 4),
+            "alpha_ratio": F.round(alpha_ratio, 4),
+            "stop_hits": stop_hits.cast("long"),
+            **rules,
+            "gopher_pass": passed,
+        }
+    )

@@ -3573,3 +3573,75 @@ ORACLES["multimodal_phash_groups"] = """
     SELECT h.doc_id, h.hash_hi, h.hash_lo, g.group_id, s.group_size
     FROM hashes h JOIN grouped g USING (doc_id) JOIN sizes s USING (group_id)
 """
+
+
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, A1.1) over
+    the documents table — the published heuristics a pretraining
+    pipeline applies before dedup, as pure map-side expressions; the
+    oracle recomputes every statistic and boolean with the same textual
+    arithmetic (rule comparisons run on UNROUNDED doubles in both
+    engines).  ``min_stop_hits`` pins to 1 here (published default 2):
+    the synthetic vocabulary carries only 'the' from the Gopher stop
+    set, and 1 keeps the rule discriminative on this corpus instead of
+    constant-false."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import add_gopher_rules
+
+    d = add_gopher_rules(t(spark, sf, "documents"), min_stop_hits=1)
+    return d.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_ratio", "stop_hits",
+        "r_word_count", "r_word_len", "r_symbol", "r_bullet", "r_ellipsis",
+        "r_alpha", "r_stop", "gopher_pass",
+    )
+
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+
+ORACLES["text_gopher_rules"] = r"""
+    WITH w AS (
+      SELECT doc_id, text,
+        string_split_regex(trim(text), '\s+') AS toks,
+        string_split(text, chr(10)) AS lines
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(toks) AS n,
+        length(regexp_replace(text, '\s', '', 'g')) / len(toks) AS mean_len,
+        (length(text) - length(replace(text, '#', ''))
+         + (length(text) - length(replace(text, '...', ''))) / 3)
+          / len(toks) AS symbol_ratio,
+        len(list_filter(lines, l -> starts_with(l, '- ')
+            OR starts_with(l, '* ') OR starts_with(l, '•')))
+          / len(lines) AS bullet_ratio,
+        len(list_filter(lines, l -> ends_with(l, '...')))
+          / len(lines) AS ellipsis_ratio,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+          / len(toks) AS alpha_ratio,
+        (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+        ) AS stop_hits
+      FROM w)
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_words,
+      round(mean_len, 4) AS mean_word_len,
+      round(alpha_ratio, 4) AS alpha_ratio,
+      CAST(stop_hits AS BIGINT) AS stop_hits,
+      (n >= 50 AND n <= 100000) AS r_word_count,
+      (mean_len >= 3.0 AND mean_len <= 10.0) AS r_word_len,
+      (symbol_ratio <= 0.1) AS r_symbol,
+      (bullet_ratio <= 0.9) AS r_bullet,
+      (ellipsis_ratio <= 0.3) AS r_ellipsis,
+      (alpha_ratio >= 0.8) AS r_alpha,
+      (stop_hits >= 1) AS r_stop,
+      ((n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+       AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+       AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+       AND (stop_hits >= 1)) AS gopher_pass
+    FROM s
+"""
