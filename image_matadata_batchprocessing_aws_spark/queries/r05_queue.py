@@ -3645,3 +3645,91 @@ ORACLES["text_gopher_rules"] = r"""
        AND (stop_hits >= 1)) AS gopher_pass
     FROM s
 """
+
+
+def etl_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL normalization + dedup (the first pass of every
+    web-corpus pipeline): each document synthesizes a deterministic
+    messy crawl URL — odd docs re-crawl their even sibling's page under
+    case variants, an explicit default port, a tracking parameter,
+    shuffled query order, and a fragment — and the normalizer must
+    canonicalize each pair to one URL.  The oracle re-implements the
+    FULL normalization (same RE2-safe regexes, same sort/filter) in
+    SQL, not just the expected output."""
+    from image_matadata_batchprocessing_aws_spark.operators.urls import add_url_canonical
+
+    d = t(spark, sf, "documents").select("doc_id")
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("long")
+    sid = (base % 50).cast("string")
+    bid = base.cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://www.site"), sid, F.lit(".example.com:443/docs/"),
+            bid, F.lit("?id="), bid, F.lit("&a=1&b=2#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW.SITE"), sid, F.lit(".Example.COM/docs/"),
+            bid, F.lit("?b=2&utm_source=feed&a=1&id="), bid,
+        )
+    )
+    out = add_url_canonical(d.withColumn("url", url))
+    return out.select(
+        "doc_id", "url", "url_norm", "host", "domain", "url_rank", "n_url_dups"
+    )
+
+
+QUERIES["etl_url_normalize"] = etl_url_normalize
+
+ORACLES["etl_url_normalize"] = r"""
+    WITH d AS (
+      SELECT doc_id, doc_id - doc_id % 2 AS base FROM documents),
+    u AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+          THEN 'https://www.site' || CAST(base % 50 AS VARCHAR)
+               || '.example.com:443/docs/' || CAST(base AS VARCHAR)
+               || '?id=' || CAST(base AS VARCHAR) || '&a=1&b=2#top'
+          ELSE 'HTTPS://WWW.SITE' || CAST(base % 50 AS VARCHAR)
+               || '.Example.COM/docs/' || CAST(base AS VARCHAR)
+               || '?b=2&utm_source=feed&a=1&id=' || CAST(base AS VARCHAR)
+        END AS url
+      FROM d),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+          AS path0,
+        regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM u),
+    norm AS (
+      SELECT doc_id, url,
+        scheme,
+        lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        list_sort(list_filter(string_split(query, '&'),
+          x -> NOT (x = '' OR starts_with(x, 'utm_')
+                    OR starts_with(x, 'fbclid=') OR x = 'fbclid'
+                    OR starts_with(x, 'gclid=') OR x = 'gclid'))) AS params
+      FROM parts),
+    built AS (
+      SELECT doc_id, url, host,
+        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        scheme || '://' || host
+          || CASE WHEN port <> ''
+                   AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END
+          || path
+          || CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS url_norm
+      FROM norm)
+    SELECT doc_id, url, url_norm, host, domain,
+      CAST(row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
+           AS BIGINT) AS url_rank,
+      CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS n_url_dups
+    FROM built
+"""
