@@ -78,6 +78,12 @@ def test_parity_doc_tally_matches_registry():
     assert m2, "README.md registry-tally sentence missing"
     assert int(m2.group(1)) == len(entrymod.queries())
     assert int(m2.group(2)) == len(entrymod.oracle_sql())
+    # the r05 queue tally is quoted in PARITY.md too — lock it as well
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    m3 = re.search(r"registration queue itself: (\d+)\s+\(query, oracle\) pairs", doc)
+    assert m3, "PARITY.md queue-tally sentence missing"
+    assert int(m3.group(1)) == len(r05_queue.QUERIES)
 
 
 def test_track_persist_release(spark):
