@@ -163,6 +163,37 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
     return _pil_decode(name, content)
 
 
+#: EXIF orientation tag -> (rot90 k, flip-horizontal) per TIFF 6.0 /
+#: EXIF 2.3: the transform that maps STORED pixels back to display
+#: orientation.  1 = upright.
+_EXIF_ORIENT = {
+    1: (0, False),
+    2: (0, True),   # mirrored
+    3: (2, False),  # rotated 180
+    4: (2, True),
+    5: (1, True),   # transposed
+    6: (3, False),  # rotated 90 CW -> undo with 90 CCW*3
+    7: (3, True),   # transversed
+    8: (1, False),  # rotated 90 CCW
+}
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Normalize stored pixels to display orientation per the EXIF
+    orientation tag (the step every image ETL applies between decode
+    and resize; pairs with ``exif.extract_exif``).  Unknown/absent tags
+    pass through unchanged — absence is data, not an error."""
+    spec = _EXIF_ORIENT.get(orientation or 1)
+    if spec is None:
+        return img
+    k, flip = spec
+    if flip:
+        img = img[:, ::-1]
+    if k:
+        img = np.rot90(img, k)
+    return np.ascontiguousarray(img)
+
+
 def resize_with_padding(img: np.ndarray, target: int = TARGET_SIZE) -> np.ndarray:
     """F7 — aspect-preserving resize onto a black square canvas
     (``ResizeWithPadding``, process_test_train_Images.py:13-22), as pure

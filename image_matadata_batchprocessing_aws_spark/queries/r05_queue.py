@@ -3733,3 +3733,264 @@ ORACLES["etl_url_normalize"] = r"""
       CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS n_url_dups
     FROM built
 """
+
+
+def pipeline_image_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """FOURTH flagship — image-corpus curation end to end: genuine
+    JPEGs carrying EXIF -> in-band metadata extraction
+    (``extract_exif``) + perceptual hashing over the REAL lossy decode
+    (``image_dhash``) -> 6-band Hamming-LSH near-dup groups ->
+    keep-best survivorship (highest EXIF resolution, doc_id
+    tiebreak).  The fixture geometry makes the lossy path exact: every
+    dHash cell is one constant 8x8 JPEG block (DC-only, so
+    quantization shifts a block's value by <=~2 while comparisons step
+    +/-11), hence the decoded dHash still equals the closed-form bit
+    pattern and the oracle recomputes the whole pipeline — hashes,
+    groups, resolutions, and the survivorship rank — from first
+    principles."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_jpeg
+    from image_matadata_batchprocessing_aws_spark.multimodal.exif import (
+        build_exif_app1,
+        extract_exif,
+        inject_app1,
+    )
+    from image_matadata_batchprocessing_aws_spark.multimodal.phash import dhash_groups, image_dhash
+    from pyspark.sql import Window
+
+    rows = []
+    for d in range(PHASH_N_DOCS):
+        bits = _phash_fixture_bits(d)
+        g = np.zeros((8, 9), dtype=np.int64)
+        g[:, 0] = 160
+        for c in range(8):
+            g[:, c + 1] = g[:, c] + np.where(bits[:, c], 11, -11)
+        img = (
+            np.repeat(np.repeat(g, 8, axis=0), 8, axis=1)
+            .astype(np.uint8)[:, :, None]
+            .repeat(3, axis=2)
+        )  # 64x72: one constant JPEG block per dHash cell
+        jp = encode_jpeg(img, quality=90)
+        app1 = build_exif_app1(
+            make=f"Maker-{d % 5}",
+            model=f"Model-{d % 7}",
+            orientation=1,
+            datetime_original="2023:01:01 00:00:00",
+            pixel_x=800 + 100 * ((d * 5) % 9),
+            pixel_y=600,
+            iso=100,
+            f_number=(28, 10),
+            exposure_time=(1, 125),
+            focal_length=(350, 10),
+            gps_lat=("N", 0, 0, (0, 1)),
+            gps_lon=("E", 0, 0, (0, 1)),
+            big_endian=d % 2 == 0,
+        )
+        rows.append((d, f"{d}.jpg", bytearray(inject_app1(jp, app1))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+    ids = entries.select("doc_id", F.col("entry_name").alias("file_name"))
+    hashed = image_dhash(entries).join(ids, "file_name")
+    groups = dhash_groups(hashed, max_hamming=4)
+    meta = (
+        extract_exif(entries)
+        .join(ids, "file_name")
+        .select(
+            "doc_id",
+            (F.col("exif_width") * F.col("exif_height")).alias("resolution"),
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("resolution").desc(), F.col("doc_id")
+    )
+    return (
+        groups.join(meta, "doc_id")
+        .withColumn("pick", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            "resolution",
+            (F.col("pick") == 1).alias("keep"),
+        )
+    )
+
+
+QUERIES["pipeline_image_curation"] = pipeline_image_curation
+
+ORACLES["pipeline_image_curation"] = """
+    WITH d AS (SELECT range AS doc_id FROM range(0, 48)),
+    cells AS (
+      SELECT d.doc_id, r.rr AS r, c.cc AS c,
+        (((doc_id // 4) * (r.rr + 3) + c.cc * (c.cc + 1) + r.rr) % 3) = 0
+          AS base_bit
+      FROM d, range(0, 8) r(rr), range(0, 8) c(cc)),
+    tbits AS (
+      SELECT doc_id, r, c,
+        CASE WHEN doc_id % 4 >= 1
+              AND ((r = 2 * (doc_id % 4) - 1 AND c = 3)
+                   OR (r = 2 * (doc_id % 4) AND c = 6))
+             THEN NOT base_bit ELSE base_bit END AS bit
+      FROM cells),
+    hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN bit AND r < 4
+                      THEN 1::BIGINT << (31 - (r * 8 + c)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(SUM(CASE WHEN bit AND r >= 4
+                      THEN 1::BIGINT << (31 - ((r - 4) * 8 + c)) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM tbits GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.hash_hi, b.hash_hi))
+           + bit_count(xor(a.hash_lo, b.hash_lo)) <= 4),
+    nbrs AS (
+      SELECT doc_id, doc_id AS nbr FROM hashes
+      UNION ALL SELECT id_a, id_b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    grouped AS (SELECT doc_id, MIN(nbr) AS group_id FROM nbrs GROUP BY doc_id),
+    sizes AS (SELECT group_id, COUNT(*) AS group_size FROM grouped GROUP BY group_id),
+    res AS (
+      SELECT doc_id, (800 + 100 * ((doc_id * 5) % 9)) * 600 AS resolution
+      FROM d)
+    SELECT g.doc_id, g.group_id, s.group_size, r.resolution,
+      row_number() OVER (PARTITION BY g.group_id
+                         ORDER BY r.resolution DESC, g.doc_id) = 1 AS keep
+    FROM grouped g JOIN sizes s USING (group_id) JOIN res r USING (doc_id)
+"""
+
+
+WEB_DOMAIN_QUOTA = 5
+
+
+def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus curation funnel (the C4/RefinedWeb front half) as one
+    lazy plan: synthesized crawl URLs (odd docs re-crawl their even
+    sibling under case/port/tracking variants) -> canonical-URL dedup
+    (keep rank 1) -> Gopher quality rules -> per-domain quota (cap 5,
+    picked by the house md5 hash so the cut is deterministic and
+    rerun-stable) -> per-domain funnel report.  The oracle recomputes
+    every stage from the fixture construction; it relies on two facts
+    the SIBLING queries prove exactly — ``etl_url_normalize`` (the full
+    normalization in SQL: the even sibling is the canonical keeper)
+    and ``text_gopher_rules`` (symbol/bullet/ellipsis rules are
+    constant-true on this corpus, so the funnel applies the four
+    discriminative rules).  If the driver corpus ever grows symbols or
+    newlines this oracle fails loudly rather than silently."""
+    from pyspark.sql import Window
+
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+    from image_matadata_batchprocessing_aws_spark.operators.text import add_gopher_rules
+    from image_matadata_batchprocessing_aws_spark.operators.urls import add_url_canonical
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    base = (F.col("doc_id") - F.col("doc_id") % 2).cast("long")
+    sid = (base % 50).cast("string")
+    bid = base.cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://www.site"), sid, F.lit(".example.com:443/docs/"),
+            bid, F.lit("?id="), bid, F.lit("&a=1&b=2#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW.SITE"), sid, F.lit(".Example.COM/docs/"),
+            bid, F.lit("?b=2&utm_source=feed&a=1&id="), bid,
+        )
+    )
+    crawled = add_url_canonical(d.withColumn("url", url))
+    canonical = crawled.where(F.col("url_rank") == 1)
+    quality = add_gopher_rules(canonical, min_stop_hits=1)
+    passed = quality.where(F.col("gopher_pass"))
+    w = Window.partitionBy("host").orderBy(
+        md5_int64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = passed.withColumn("qrank", F.row_number().over(w)).where(
+        F.col("qrank") <= WEB_DOMAIN_QUOTA
+    )
+    report = (
+        crawled.groupBy("host")
+        .agg(F.count("*").alias("n_crawled"))
+        .join(
+            canonical.groupBy("host").agg(F.count("*").alias("n_canonical")),
+            "host",
+        )
+        .join(
+            passed.groupBy("host").agg(F.count("*").alias("n_quality")),
+            "host",
+            "left",
+        )
+        .join(kept.groupBy("host").agg(F.count("*").alias("n_kept")), "host", "left")
+    )
+    return report.select(
+        "host",
+        "n_crawled",
+        "n_canonical",
+        F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+QUERIES["pipeline_web_corpus"] = pipeline_web_corpus
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql as _md5_64
+
+ORACLES["pipeline_web_corpus"] = rf"""
+    WITH d AS (
+      SELECT doc_id, text, doc_id - doc_id % 2 AS base FROM documents),
+    u AS (
+      SELECT doc_id, text,
+        'www.site' || CAST(base % 50 AS VARCHAR) || '.example.com' AS host,
+        doc_id % 2 = 0 AS is_canonical
+      FROM d),
+    quality AS (
+      SELECT doc_id, host,
+        len(string_split_regex(trim(text), '\s+')) AS n,
+        length(regexp_replace(text, '\s', '', 'g'))
+          / len(string_split_regex(trim(text), '\s+')) AS mean_len,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> regexp_matches(x, '[a-zA-Z]')))
+          / len(string_split_regex(trim(text), '\s+')) AS alpha_ratio,
+        CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'the')
+             THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'be')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'to')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'of')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'and')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'that')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'have')
+               THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(string_split_regex(trim(text), '\s+'), 'with')
+               THEN 1 ELSE 0 END AS stop_hits
+      FROM u WHERE is_canonical),
+    passed AS (
+      SELECT doc_id, host FROM quality
+      WHERE n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND alpha_ratio >= 0.8 AND stop_hits >= 1),
+    kept AS (
+      SELECT doc_id, host FROM (
+        SELECT doc_id, host,
+          row_number() OVER (PARTITION BY host
+            ORDER BY {_md5_64("CAST(doc_id AS VARCHAR)")}, doc_id) AS qrank
+        FROM passed)
+      WHERE qrank <= {WEB_DOMAIN_QUOTA})
+    SELECT u.host,
+      CAST(count(*) AS BIGINT) AS n_crawled,
+      CAST(count(*) FILTER (WHERE u.is_canonical) AS BIGINT) AS n_canonical,
+      CAST(count(p.doc_id) AS BIGINT) AS n_quality,
+      CAST(count(k.doc_id) AS BIGINT) AS n_kept
+    FROM u
+    LEFT JOIN passed p ON u.doc_id = p.doc_id
+    LEFT JOIN kept k ON u.doc_id = k.doc_id
+    GROUP BY u.host
+"""
