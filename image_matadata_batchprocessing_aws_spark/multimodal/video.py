@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
     ImageFormatError,
@@ -205,3 +205,77 @@ def encode_avi_mjpeg(
     )
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+SIGNATURE_SCHEMA = (
+    "file_name string, frame_idx int, sig array<double>, sig_error string"
+)
+
+
+def video_frame_signatures(
+    videos: DataFrame, every_n: int = 1, max_frames: int = 64, grid: int = 8
+) -> DataFrame:
+    """Per-frame compact signatures for temporal analysis: each sampled
+    frame decodes (pure JPEG) and reduces to a ``grid x grid`` exact
+    area-mean luminance sketch (the dHash grid, see
+    ``multimodal/phash.area_resize``) — ``grid**2`` doubles per frame
+    instead of W*H, so downstream shuffles move signatures, never
+    pixels.  Per-row error isolation as everywhere."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.phash import area_resize
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["file_name"], pdf["content"]):
+                try:
+                    _meta, frames = parse_avi_mjpeg(bytes(content))
+                    picked = range(0, len(frames), every_n)
+                    for k, idx in enumerate(picked):
+                        if k >= max_frames:
+                            break
+                        payload = frames[idx]
+                        if payload[:2] != b"\xff\xd8":
+                            raise ImageFormatError(
+                                "non-JPEG frame payload (not MJPEG; needs ffmpeg)"
+                            )
+                        img = decode_jpeg(payload)
+                        gray = img.astype(np.float64).mean(axis=2)
+                        sig = area_resize(gray, grid, grid).reshape(-1)
+                        rows.append((name, idx, sig.tolist(), None))
+                except Exception as exc:  # noqa: BLE001 — per-file isolation
+                    rows.append((name, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=["file_name", "frame_idx", "sig", "sig_error"]
+            )
+
+    return videos.mapInPandas(sigs, SIGNATURE_SCHEMA)
+
+
+def detect_scene_cuts(
+    sigs: DataFrame, threshold: float = 30.0, key_col: str = "file_name"
+) -> DataFrame:
+    """Scene-change detection over frame signatures, all JVM-side: a
+    frame starts a new scene when the mean absolute signature
+    difference vs the previous frame exceeds ``threshold``.  One keyed
+    window (lag + running sum share the same sort) — the temporal logic
+    lives in Spark expressions, only the decode was Python.
+
+    Returns ``key, frame_idx, is_cut, scene_id`` (scene_id counts cuts,
+    0-based; the first frame of each video is scene 0, not a cut)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("frame_idx")
+    prev = F.lag("sig").over(w)
+    diff = F.aggregate(
+        F.zip_with(F.col("sig"), prev, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(F.col("sig"))
+    cut = F.when(prev.isNull(), F.lit(False)).otherwise(diff > threshold)
+    out = sigs.where(F.col("sig").isNotNull()).withColumn("is_cut", cut)
+    return out.withColumn(
+        "scene_id",
+        F.sum(F.col("is_cut").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(key_col, "frame_idx", "is_cut", "scene_id")

@@ -3994,3 +3994,119 @@ ORACLES["pipeline_web_corpus"] = rf"""
     LEFT JOIN kept k ON u.doc_id = k.doc_id
     GROUP BY u.host
 """
+
+
+def text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML-to-text extraction, oracle-checked byte for byte: each
+    document wraps into a synthetic page (title, style + script blocks
+    with angle brackets and quotes planted inside, headings, block
+    tags, a list with ``&amp;``/``&lt;`` entities, ``<br/>``), the
+    RE2-safe rule chain reduces it to visible text, and the DuckDB twin
+    runs the IDENTICAL chain generated from the same ``HTML_RULES``
+    table — a regex-dialect divergence shows up as a value mismatch."""
+    from image_matadata_batchprocessing_aws_spark.operators.html import html_to_text
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>D"), did,
+        F.lit("</title><style>p { color: #333; }</style>"),
+        F.lit('<script type="text/javascript">if (a < b && c > d) { alert("x&y"); }</script>'),
+        F.lit("</head><body><h1>Doc "), did,
+        F.lit('</h1><div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><ul><li>alpha &amp; beta</li><li>a &lt; b</li></ul>"),
+        F.lit("<br/>footer</body></html>"),
+    )
+    out = d.withColumn("extracted", html_to_text(html))
+    return out.select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").alias("n_chars"),
+        (F.size(F.split(F.col("extracted"), "\n")) ).cast("long").alias("n_lines"),
+    )
+
+
+QUERIES["text_html_extract"] = text_html_extract
+
+
+def _html_extract_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.html import html_to_text_sql
+
+    html = (
+        "'<html><head><title>D' || CAST(doc_id AS VARCHAR)"
+        " || '</title><style>p { color: #333; }</style>'"
+        " || '<script type=\"text/javascript\">"
+        "if (a < b && c > d) { alert(\"x&y\"); }</script>'"
+        " || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)"
+        " || '</h1><div class=\"main\"><p>' || text"
+        " || '</p></div><ul><li>alpha &amp; beta</li>"
+        "<li>a &lt; b</li></ul>'"
+        " || '<br/>footer</body></html>'"
+    )
+    extracted = html_to_text_sql(html)
+    return f"""
+    WITH e AS (SELECT doc_id, {extracted} AS extracted FROM documents)
+    SELECT doc_id, extracted,
+      CAST(length(extracted) AS BIGINT) AS n_chars,
+      CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines
+    FROM e
+    """
+
+
+ORACLES["text_html_extract"] = _html_extract_oracle()
+
+
+SCENE_N_VIDEOS = 3
+SCENE_N_FRAMES = 24
+SCENE_LEN = 8
+
+
+def multimodal_video_scenes(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-change detection over REAL video decode, oracle-checked:
+    MJPEG AVIs of solid frames whose luminance drifts <=2/frame within
+    a scene and jumps 60 at every ``SCENE_LEN``-th frame.  Each frame
+    is DC-only JPEG blocks, so decode error stays within a couple of
+    gray levels and the cut/no-cut margins (60 vs 30 vs <=~8) are
+    structural — the oracle recomputes the scene layout from the
+    fixture formula.  Decode+signature is the Arrow stage; the
+    temporal lag/threshold/running-scene-count logic is one keyed
+    Spark window."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.video import (
+        detect_scene_cuts,
+        encode_avi_mjpeg,
+        video_frame_signatures,
+    )
+
+    rows = []
+    for v in range(SCENE_N_VIDEOS):
+        frames = []
+        for tt in range(SCENE_N_FRAMES):
+            val = 40 + 10 * v + 60 * (tt // SCENE_LEN) + (tt % SCENE_LEN) % 3
+            frames.append(np.full((16, 16, 3), val, np.uint8))
+        rows.append((v, f"{v}.avi", bytearray(encode_avi_mjpeg(frames, quality=90))))
+    videos = spark.createDataFrame(
+        rows, "video_id long, file_name string, content binary"
+    )
+    sigs = video_frame_signatures(videos, every_n=1, max_frames=SCENE_N_FRAMES)
+    cuts = detect_scene_cuts(sigs, threshold=30.0)
+    return cuts.join(
+        videos.select("video_id", "file_name"), "file_name"
+    ).select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "is_cut",
+        F.col("scene_id").cast("long").alias("scene_id"),
+    )
+
+
+QUERIES["multimodal_video_scenes"] = multimodal_video_scenes
+
+ORACLES["multimodal_video_scenes"] = f"""
+    SELECT v.range AS video_id,
+      t.range AS frame_idx,
+      (t.range > 0 AND t.range % {SCENE_LEN} = 0) AS is_cut,
+      t.range // {SCENE_LEN} AS scene_id
+    FROM range(0, {SCENE_N_VIDEOS}) v, range(0, {SCENE_N_FRAMES}) t
+"""
