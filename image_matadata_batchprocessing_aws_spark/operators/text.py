@@ -155,6 +155,45 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def line_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """The Gopher repetition filters at line grain (Rae et al. 2021,
+    appendix A1.2): ``dup_line_frac`` — the fraction of lines that are
+    repeats of an earlier-seen line — and ``dup_line_char_frac`` — the
+    fraction of characters living in lines that occur more than once.
+    Pass ``delim="\\n\\n"`` for the paragraph-grain variants of the same
+    two rules.  These catch boilerplate (nav bars, cookie banners,
+    lyrics choruses) that token-grain ``repetition_stats`` misses.
+
+    Scale: explode + two hash aggregations keyed by document — partial
+    aggregation combines map-side, the shuffle carries (doc, line-hash
+    grain) rows bounded by total line count, never full documents
+    side-by-side.  Zero Python.
+    """
+    lines = F.split(F.col(text_col), delim)
+    base = df.select(
+        F.col(id_col),
+        F.explode(lines).alias("__line"),
+    )
+    per_line = base.groupBy(id_col, "__line").agg(F.count("*").alias("__cnt"))
+    chars = F.length("__line") * F.col("__cnt")
+    return per_line.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_lines"),
+        F.round(
+            (F.sum("__cnt") - F.count("*")) / F.sum("__cnt"), 4
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("__cnt") > 1, chars).otherwise(F.lit(0)))
+            / F.sum(chars),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+
 #: Redaction patterns, applied IN ORDER (emails before phones before bare
 #: number runs, so an address's digits are consumed by the email rule and
 #: never double-counted).  Plain character-class regexes only — identical

@@ -4110,3 +4110,69 @@ ORACLES["multimodal_video_scenes"] = f"""
       t.range // {SCENE_LEN} AS scene_id
     FROM range(0, {SCENE_N_VIDEOS}) v, range(0, {SCENE_N_FRAMES}) t
 """
+
+
+LINE_TOKENS = 3
+
+
+def text_line_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher line-grain repetition filters (Rae et al. 2021 A1.2) over
+    a multi-line corpus built deterministically from ``documents``: each
+    text reshapes into ``LINE_TOKENS``-token lines and the first line is
+    re-appended ``doc_id % 3`` times, so duplicate-line and
+    duplicate-char fractions vary structurally per doc and the oracle
+    recomputes the identical construction."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import line_repetition_stats
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_ln = F.ceil(F.size(toks) / F.lit(float(LINE_TOKENS))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_ln - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS)
+        ),
+    )
+    planted = F.concat(
+        lines,
+        F.array_repeat(
+            F.element_at(lines, 1), (F.col("doc_id") % 3).cast("int")
+        ),
+    )
+    multi = d.select("doc_id", F.concat_ws("\n", planted).alias("text"))
+    return line_repetition_stats(multi).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"
+    )
+
+
+QUERIES["text_line_repetition"] = text_line_repetition
+
+ORACLES["text_line_repetition"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), built AS (
+      SELECT doc_id,
+        list_transform(
+          range(CAST(ceil(len(tk) / {float(LINE_TOKENS)}) AS INT)),
+          i -> array_to_string(
+                 list_slice(tk, i*{LINE_TOKENS}+1, i*{LINE_TOKENS}+{LINE_TOKENS}), ' ')
+        ) AS ls
+      FROM toks
+    ), planted AS (
+      SELECT doc_id,
+        ls || list_transform(range(CAST(doc_id % 3 AS INT)), i -> ls[1]) AS ls
+      FROM built
+    ), ex AS (
+      SELECT doc_id, unnest(ls) AS line FROM planted
+    ), per_line AS (
+      SELECT doc_id, line, count(*) AS cnt FROM ex GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+      CAST(sum(cnt) AS BIGINT) AS n_lines,
+      round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 4)
+        AS dup_line_frac,
+      round(sum(CASE WHEN cnt > 1 THEN length(line)*cnt ELSE 0 END)
+            / CAST(sum(length(line)*cnt) AS DOUBLE), 4)
+        AS dup_line_char_frac
+    FROM per_line GROUP BY doc_id
+"""

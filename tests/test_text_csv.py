@@ -89,6 +89,35 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[2].dup_token_frac == 0.0
 
 
+def test_line_repetition_stats_line_and_paragraph_grain(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import line_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "menu" twice: dup_line_frac = (4-3)/4;
+            # chars in duplicated lines = 2*4 of 4+4+9+11 = 8/28
+            (1, "menu\nmenu\nabout us!\ncontact us!"),
+            (2, "one\ntwo\nthree"),
+            # paragraph-grain doc: blank-line separated, chorus repeats
+            (3, "chorus line\n\nverse one\n\nchorus line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_repetition_stats(df).collect()}
+    assert out[1].n_lines == 4
+    assert out[1].dup_line_frac == 0.25
+    assert out[1].dup_line_char_frac == round(8 / 28, 4)
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_line_char_frac == 0.0
+    # paragraph grain: 3 paragraphs, "chorus line" twice
+    para = {
+        r.doc_id: r
+        for r in line_repetition_stats(df, delim="\n\n").collect()
+    }
+    assert para[3].n_lines == 3
+    assert para[3].dup_line_frac == round(1 / 3, 4)
+    assert para[3].dup_line_char_frac == round(22 / 31, 4)
+
+
 def test_redact_scrubs_email_phone_numbers(spark):
     from image_matadata_batchprocessing_aws_spark.operators.text import redact
 
