@@ -278,3 +278,47 @@ def audio_feature_vector(content: bytes) -> tuple[float, list[float]]:
     ]
     feats = [rms, zcr, peak, centroid, rolloff, flatness, *bands, duration, rate / 1e3]
     return duration, [float(v) for v in feats]
+
+
+def detect_silence_segments(
+    frames: DataFrame,
+    threshold: float = 0.01,
+    key_col: str = "file_name",
+    frame_col: str = "frame_idx",
+    rms_col: str = "rms",
+) -> DataFrame:
+    """VAD-lite energy segmentation over ``wav_frame_features`` output,
+    all JVM-side: a frame is silent when ``rms < threshold``; maximal
+    runs of equal silent/voiced state become segments (the speech-corpus
+    curation primitive — strip leading/trailing silence, split long
+    recordings at pauses, measure speech density).  Same temporal
+    pattern as ``video.detect_scene_cuts``: one keyed window carries the
+    lag comparison AND the running segment counter, so the whole
+    operator is a single sort per recording, state bounded by frames
+    per file, never corpus size.
+
+    Returns ``key, segment_id, is_silent, start_frame, end_frame,
+    n_frames`` (segment_id 0-based per recording).
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(frame_col)
+    silent = F.col(rms_col) < F.lit(threshold)
+    prev = F.lag(silent).over(w)
+    boundary = prev.isNull() | (prev != silent)
+    seg = (
+        frames.where(F.col(rms_col).isNotNull())
+        .withColumn("is_silent", silent)
+        .withColumn(
+            "segment_id",
+            F.sum(boundary.cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.lit(1),
+        )
+    )
+    return seg.groupBy(key_col, "segment_id", "is_silent").agg(
+        F.min(frame_col).cast("long").alias("start_frame"),
+        F.max(frame_col).cast("long").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+    )

@@ -4176,3 +4176,63 @@ ORACLES["text_line_repetition"] = f"""
         AS dup_line_char_frac
     FROM per_line GROUP BY doc_id
 """
+
+
+SIL_N_FILES = 3
+SIL_BLOCKS = 6
+SIL_BLOCK_FRAMES = 5
+
+
+def multimodal_audio_silence(spark: SparkSession, sf: str) -> DataFrame:
+    """VAD-lite silence segmentation over REAL WAV decode,
+    oracle-checked: PCM16 fixtures of 1000-sample blocks alternating
+    exact silence (zeros) and a constant 8192 amplitude (RMS exactly
+    0.25 after the power-of-two mono scaling), framed 25 ms/25 ms at
+    8 kHz so frames tile blocks exactly — silent/voiced state per frame
+    is structural, and the oracle recomputes the whole segment layout
+    from the fixture formula.  Decode+framing is the Arrow stage; the
+    temporal run-length logic is one keyed Spark window
+    (``audio.detect_silence_segments``)."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        detect_silence_segments,
+        encode_wav_pcm16,
+        wav_frame_features,
+    )
+
+    rows = []
+    for v in range(SIL_N_FILES):
+        blocks = [
+            np.full(1000, 0 if (b + v) % 2 == 0 else 8192, np.int16)
+            for b in range(SIL_BLOCKS)
+        ]
+        rows.append(
+            (v, f"{v}.wav", bytearray(encode_wav_pcm16(np.concatenate(blocks), 8000)))
+        )
+    audio = spark.createDataFrame(
+        rows, "audio_id long, file_name string, content binary"
+    )
+    frames = wav_frame_features(audio, frame_ms=25, hop_ms=25)
+    segs = detect_silence_segments(frames, threshold=0.1)
+    return segs.join(audio.select("audio_id", "file_name"), "file_name").select(
+        "audio_id",
+        F.col("segment_id").cast("long").alias("segment_id"),
+        "is_silent",
+        "start_frame",
+        "end_frame",
+        "n_frames",
+    )
+
+
+QUERIES["multimodal_audio_silence"] = multimodal_audio_silence
+
+ORACLES["multimodal_audio_silence"] = f"""
+    SELECT v.range AS audio_id,
+      b.range AS segment_id,
+      (b.range + v.range) % 2 = 0 AS is_silent,
+      b.range * {SIL_BLOCK_FRAMES} AS start_frame,
+      b.range * {SIL_BLOCK_FRAMES} + {SIL_BLOCK_FRAMES - 1} AS end_frame,
+      CAST({SIL_BLOCK_FRAMES} AS BIGINT) AS n_frames
+    FROM range(0, {SIL_N_FILES}) v, range(0, {SIL_BLOCKS}) b
+"""

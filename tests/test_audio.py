@@ -158,3 +158,29 @@ def test_wav_roundtrip_property(n, channels, rate, seed):
     samples = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int64)
     got, got_rate = decode_wav(encode_wav_pcm16(samples, rate))
     assert got_rate == rate and np.array_equal(got, samples)
+
+
+def test_detect_silence_segments_runs_and_error_rows(spark):
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import detect_silence_segments
+
+    frames = spark.createDataFrame(
+        [
+            # a: voiced(2) -> silent(1) -> voiced(1); b: all silent
+            ("a", 0, 0.5), ("a", 1, 0.3), ("a", 2, 0.001), ("a", 3, 0.9),
+            ("b", 0, 0.0), ("b", 1, 0.005),
+            # decode-error row must be ignored
+            ("c", None, None),
+        ],
+        "file_name string, frame_idx int, rms double",
+    )
+    out = detect_silence_segments(frames, threshold=0.01)
+    rows = {(r.file_name, r.segment_id): r for r in out.collect()}
+    assert len(rows) == 4  # 3 for a, 1 for b, none for c
+    a0 = rows[("a", 0)]
+    assert (a0.is_silent, a0.start_frame, a0.end_frame, a0.n_frames) == (False, 0, 1, 2)
+    a1 = rows[("a", 1)]
+    assert (a1.is_silent, a1.start_frame, a1.end_frame, a1.n_frames) == (True, 2, 2, 1)
+    a2 = rows[("a", 2)]
+    assert (a2.is_silent, a2.start_frame, a2.end_frame, a2.n_frames) == (False, 3, 3, 1)
+    b0 = rows[("b", 0)]
+    assert (b0.is_silent, b0.n_frames) == (True, 2)
