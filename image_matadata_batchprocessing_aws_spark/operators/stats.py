@@ -658,3 +658,120 @@ def dp_noisy_counts(
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_by: list[str],
+    treat: Column,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group two-sample MANN-WHITNEY U (Wilcoxon rank-sum) with the
+    standard tie-corrected normal approximation — the nonparametric A/B
+    gate to reach for when values are skewed and a t-test's mean is the
+    wrong summary.  ``treat`` is a boolean Column splitting each group
+    into treatment (True) vs control.
+
+    Exactness: the rank sum is carried as DOUBLED integers (the
+    :func:`grouped_spearman` trick — 2*avg_rank = 2*min_rank + ties - 1
+    is always integral) and the tie-correction term sum(t^3 - t) is an
+    integer aggregate, so everything before the final double
+    reconstruction is bit-exact on any engine/partitioning; the closing
+    float arithmetic is textually identical in the SQL twin.
+
+    Shape: one keyed rank window + a (group, value)-grain aggregate +
+    the per-group aggregate, all partial-agg-combining.  z is NULL when
+    sigma is 0 (every value tied) or a side is empty.
+
+    Returns ``group_by..., n_treat, n_ctrl, u_treat, z``.
+    """
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(*group_by).orderBy(value_col)
+    w_ties = Window.partitionBy(*group_by, value_col)
+    r2 = (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_ties) - 1).cast(
+        "long"
+    )
+    ranked = df.select(
+        *group_by,
+        F.col(value_col).alias("__v"),
+        treat.cast("int").alias("__is_t"),
+        r2.alias("__r2"),
+    )
+    per_value = ranked.groupBy(*group_by, "__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__is_t").alias("__ta"),
+        F.min("__r2").alias("__r2v"),
+    )
+    t = F.col("__t")
+    agg = per_value.groupBy(*group_by).agg(
+        F.sum(t).alias("__n"),
+        F.sum("__ta").alias("__n1"),
+        F.sum(F.col("__ta") * F.col("__r2v")).alias("__sum2_r1"),
+        F.sum(t * t * t - t).alias("__tie3"),
+    )
+    n = F.col("__n").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n2 = (F.col("__n") - F.col("__n1")).cast("double")
+    u1 = (F.col("__sum2_r1") - F.col("__n1") * (F.col("__n1") + 1)).cast(
+        "double"
+    ) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("__tie3").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = F.when(sigma != 0, (u1 - mu) / sigma)
+    return agg.select(
+        *group_by,
+        F.col("__n1").cast("long").alias("n_treat"),
+        (F.col("__n") - F.col("__n1")).cast("long").alias("n_ctrl"),
+        F.round(u1, round_digits).alias("u_treat"),
+        F.round(z, round_digits).alias("z"),
+    )
+
+
+def mann_whitney_u_sql(
+    table: str,
+    group_by: str,
+    treat_pred: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u` — identical doubled-rank
+    construction, integer tie term, and textual closing arithmetic."""
+    return f"""
+        WITH r AS (
+          SELECT {group_by}, {value_col} AS v,
+                 CAST({treat_pred} AS INT) AS is_t,
+                 CAST(2 * rank() OVER (PARTITION BY {group_by} ORDER BY {value_col})
+                      + count(*) OVER (PARTITION BY {group_by}, {value_col}) - 1
+                      AS BIGINT) AS r2
+          FROM {table}),
+        pv AS (
+          SELECT {group_by}, v, count(*) AS t, sum(is_t) AS ta, min(r2) AS r2v
+          FROM r GROUP BY {group_by}, v),
+        a AS (
+          SELECT {group_by}, sum(t) AS n, sum(ta) AS n1,
+                 sum(ta * r2v) AS sum2_r1, sum(t*t*t - t) AS tie3
+          FROM pv GROUP BY {group_by}),
+        d AS (
+          SELECT {group_by}, n, n1,
+                 CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d,
+                 CAST(n - n1 AS DOUBLE) AS n2d,
+                 CAST(sum2_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+                 CAST(tie3 AS DOUBLE) AS tied
+          FROM a)
+        SELECT {group_by},
+               CAST(n1 AS BIGINT) AS n_treat,
+               CAST(n - n1 AS BIGINT) AS n_ctrl,
+               round(u1, {round_digits}) AS u_treat,
+               round(CASE WHEN sqrt(n1d * n2d / 12.0
+                          * ((nd + 1.0) - tied / (nd * (nd - 1.0)))) <> 0
+                     THEN (u1 - n1d * n2d / 2.0)
+                          / sqrt(n1d * n2d / 12.0
+                                 * ((nd + 1.0) - tied / (nd * (nd - 1.0))))
+                     END, {round_digits}) AS z
+        FROM d
+    """

@@ -4236,3 +4236,38 @@ ORACLES["multimodal_audio_silence"] = f"""
       CAST({SIL_BLOCK_FRAMES} AS BIGINT) AS n_frames
     FROM range(0, {SIL_N_FILES}) v, range(0, {SIL_BLOCKS}) b
 """
+
+
+def agg_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cohort Mann-Whitney U comparing click-event values against
+    all other event values — the nonparametric A/B answer to 'did the
+    click distribution shift?'.  Doubled-integer ranks and the integer
+    tie term make the statistic bit-exact across engines; the events
+    table's planted duplicate values exercise the tie correction for
+    real."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import mann_whitney_u
+
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("cohort", (F.col("user_id") % 3).cast("long"))
+    )
+    return mann_whitney_u(
+        e, ["cohort"], F.col("event_type") == "click", "value"
+    ).orderBy("cohort")
+
+
+QUERIES["agg_mann_whitney"] = agg_mann_whitney
+
+
+def _mann_whitney_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.stats import mann_whitney_u_sql
+
+    src = (
+        "(SELECT CAST(user_id % 3 AS BIGINT) AS cohort, event_type, value"
+        " FROM events WHERE value IS NOT NULL) AS src"
+    )
+    return mann_whitney_u_sql(src, "cohort", "event_type = 'click'", "value")
+
+
+ORACLES["agg_mann_whitney"] = _mann_whitney_oracle()

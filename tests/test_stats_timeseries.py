@@ -416,3 +416,32 @@ def test_dp_noisy_counts_properties(spark):
     # a different salt moves the noise
     c = dp_noisy_counts(df, ["g"], epsilon=1.0, salt="other").collect()
     assert sorted(r.noise for r in c) != sorted(noises)
+
+
+def test_mann_whitney_u_ties_and_empty_side(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from image_matadata_batchprocessing_aws_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [
+            # cell x: A=[1,2,3] B=[2,3,4] -> U_A=2, tie term 12
+            ("x", "A", 1.0), ("x", "A", 2.0), ("x", "A", 3.0),
+            ("x", "B", 2.0), ("x", "B", 3.0), ("x", "B", 4.0),
+            # cell y: every row is treatment -> sigma 0 -> z NULL
+            ("y", "A", 1.0), ("y", "A", 2.0),
+        ],
+        "cell string, side string, value double",
+    )
+    out = {
+        r.cell: r
+        for r in mann_whitney_u(df, ["cell"], F.col("side") == "A", "value").collect()
+    }
+    x = out["x"]
+    assert (x.n_treat, x.n_ctrl, x.u_treat) == (3, 3, 2.0)
+    # sigma^2 = (9/12) * (7 - 12/(6*5)) = 4.95
+    assert x.z == round((2.0 - 4.5) / math.sqrt(4.95), 6)
+    y = out["y"]
+    assert (y.n_treat, y.n_ctrl, y.z) == (2, 0, None)
