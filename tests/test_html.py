@@ -4,6 +4,8 @@ entity decode order, and the generated SQL twin's dialect parity."""
 from __future__ import annotations
 
 import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from image_matadata_batchprocessing_aws_spark.operators.html import html_to_text, html_to_text_sql
 
@@ -72,3 +74,51 @@ def test_stays_jvm_side(spark):
 
     df = spark.createDataFrame([(0, PAGE)], "i long, html string")
     assert_no_python_udf(df.select(html_to_text("html")))
+
+
+FRAGMENTS = [
+    "<script>", "</script>", "<style>", "</style>", "<br/>", "<br>",
+    "<p>", "</p>", "<div class=\"x\">", "</div>", "<li>", "</li>",
+    "<h2>", "</h2>", "<span>", "</span>", "<", ">", "&", "&amp;",
+    "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+    "if (a < b) alert(\"x\");", "p { color: red; }", "text", "Zürich",
+    " ", "  ", "\t", "\n", "\n\n", "...", "- bullet", "'", "\"",
+]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(FRAGMENTS), min_size=0, max_size=25).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_html_rules_cross_engine_fuzz(spark, docs):
+    """The HTML_RULES chain must produce byte-identical output in Spark
+    (Java regex) and DuckDB (RE2) on adversarial tag/entity soup — this
+    is the guarantee that lets the oracle twin be GENERATED from the
+    same rule table."""
+    import duckdb
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.operators.html import (
+        html_to_text,
+        html_to_text_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "i long, s string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", html_to_text("s").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_pd", pd.DataFrame({"i": range(len(docs)), "s": docs}))
+    expected = dict(
+        con.execute(
+            f"SELECT i, {html_to_text_sql('s')} FROM docs_pd"
+        ).fetchall()
+    )
+    assert got == expected
