@@ -4271,3 +4271,68 @@ def _mann_whitney_oracle() -> str:
 
 
 ORACLES["agg_mann_whitney"] = _mann_whitney_oracle()
+
+
+def eval_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measure-don't-guess for the flagship near-dup path: recall of
+    MinHash-LSH candidate generation against the exact all-pairs
+    n-gram-Jaccard ground truth at the same threshold, one summary row.
+    (Precision is structurally 1.0 — LSH candidates are exact-Jaccard
+    VERIFIED before emission — so the banding stage's only quality axis
+    is recall, and this query pins it.)"""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = t(spark, sf, "documents")
+    ex = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    ls = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("in_lsh")
+    )
+    both = ex.join(ls, ["id_a", "id_b"], "full_outer")
+    matched = F.when(
+        F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1
+    ).otherwise(0)
+    return both.agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        F.sum(matched).cast("long").alias("n_matched"),
+        F.round(
+            F.sum(matched) / F.sum("in_exact").cast("double"), 4
+        ).alias("recall"),
+    )
+
+
+QUERIES["eval_lsh_recall"] = eval_lsh_recall
+
+
+def _lsh_recall_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import (
+        _MINHASH_ORACLE,
+        _SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""
+    WITH ex AS (
+      WITH {_SHINGLES_CTE}
+      SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    mp AS ({_MINHASH_ORACLE}),
+    b AS (SELECT e.id_a FROM ex e JOIN mp m
+          ON e.id_a = m.id_a AND e.id_b = m.id_b)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_lsh AS BIGINT) AS n_lsh,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched / CAST(n_exact AS DOUBLE), 4) AS recall
+    FROM (SELECT (SELECT count(*) FROM ex) AS n_exact,
+                 (SELECT count(*) FROM mp) AS n_lsh,
+                 (SELECT count(*) FROM b) AS n_matched)
+    """
+
+
+ORACLES["eval_lsh_recall"] = _lsh_recall_oracle()
