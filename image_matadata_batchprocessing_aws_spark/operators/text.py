@@ -702,3 +702,86 @@ def add_gopher_rules(
             "gopher_pass": passed,
         }
     )
+
+
+#: Checksum-free PII patterns for :func:`redact_pii` — RE2-safe (no
+#: lookarounds; \b is supported by both Java regex and RE2), mirrored
+#: textually in the SQL twin.
+PII_PATTERNS = [
+    ("IP", r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+           r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+]
+
+#: Card CANDIDATE shape: 13-19 digits with optional single space/dash
+#: separators.  Candidates are only redacted when the Luhn checksum
+#: validates — a 16-digit order id with a failing checksum stays.
+CARD_CANDIDATE = r"\b[0-9](?:[ -]?[0-9]){11,17}[0-9]\b"
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum over a digit string with optional space/dash
+    separators — pure JVM expression (ascii math over a reversed
+    position sequence), identical construction in :func:`luhn_sql`."""
+    s = F.regexp_replace(col, r"[ -]", "")
+    n = F.length(s)
+    digit = lambda i: F.ascii(F.substring(s, (n - i + F.lit(1)).cast("int"), 1)) - 48  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 1, digit(i)
+    ).otherwise(
+        F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2)
+    )
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return total % 10 == 0
+
+
+def luhn_sql(expr: str) -> str:
+    """DuckDB twin of :func:`luhn_valid` (same reversed-position sum).
+    A pure inline expression — no subquery — so it can sit inside a
+    ``list_filter`` lambda; the digit-string expression is inlined at
+    each use site instead of aliased."""
+    s = f"replace(replace({expr}, ' ', ''), '-', '')"
+    d = f"(ascii(substr({s}, len({s}) - i + 1, 1)) - 48)"
+    return (
+        f"(list_sum(list_transform(range(1, len({s}) + 1), i -> "
+        f"CASE WHEN i % 2 = 1 THEN {d} "
+        f"WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)) % 10 = 0)"
+    )
+
+
+def redact_pii_sql(expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`redact_pii`, generated from the SAME
+    ``CARD_CANDIDATE`` / ``PII_PATTERNS`` tables (the html.py move).
+    Returns a STRUCT-free two-expression tuple ``(redacted, n_cards)``
+    as a SQL snippet pair — callers select both."""
+    cands = f"list_distinct(regexp_extract_all({expr}, '{CARD_CANDIDATE}'))"
+    valid = f"list_filter({cands}, x -> {luhn_sql('x')})"
+    cur = f"list_reduce(list_prepend({expr}, {valid}), (acc, x) -> replace(acc, x, '[CARD]'))"
+    for label, pat in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        cur = f"regexp_replace({cur}, '{sql_pat}', '[{label}]', 'g')"
+    n_cards = f"CAST(len({valid}) AS BIGINT)"
+    return cur, n_cards
+
+
+def redact_pii(df: DataFrame, text_col: str, out: str = "redacted") -> DataFrame:
+    """Deeper PII scrub than :func:`redact`: Luhn-VALIDATED card numbers
+    (checksum-failing digit runs are left alone — they are ids, not
+    cards), IPv4 addresses (octet-range checked in the pattern), and
+    SSN-shaped ids.  Card validation can't live in a regex, so the
+    shape is extract-candidates -> filter by checksum -> fold
+    ``replace`` over the validated list; still pure JVM expressions,
+    map-side, no Python.  Adds ``n_cards`` (validated count) alongside
+    the redacted text."""
+    cands = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(CARD_CANDIDATE), 0)
+    )
+    valid = F.filter(cands, luhn_valid)
+    cur = F.aggregate(
+        valid, F.col(text_col), lambda acc, x: F.replace(acc, x, F.lit("[CARD]"))
+    )
+    for label, pat in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, f"[{label}]")
+    return df.withColumns({out: cur, "n_cards": F.size(valid).cast("long")})

@@ -4336,3 +4336,66 @@ def _lsh_recall_oracle() -> str:
 
 
 ORACLES["eval_lsh_recall"] = _lsh_recall_oracle()
+
+
+#: 3 Luhn-valid cards, 2 checksum-failing digit runs (stay unredacted).
+PII_CARDS = [
+    "4539 1488 0343 6467",
+    "4716-4615-8332-2103",
+    "5425233430109903",
+    "4539148803436468",
+    "1234 5678 9012 3456",
+]
+
+
+def text_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """Checksum-gated PII scrub, oracle-checked byte for byte: each doc
+    gets a planted card number (rotating through Luhn-valid and
+    checksum-failing ones), an IPv4 whose second octet walks past 255
+    (invalid octets must survive), and an SSN every 4th doc; the DuckDB
+    twin is GENERATED from the same pattern tables + Luhn construction
+    (``redact_pii_sql``), so a dialect or checksum divergence is a
+    value mismatch."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import redact_pii
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    card = F.element_at(
+        F.array(*[F.lit(c) for c in PII_CARDS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" card "),
+        card,
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 300).cast("string"),
+        F.lit(".0.7"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = redact_pii(d.select("doc_id", planted.alias("ptext")), "ptext")
+    return out.select("doc_id", "redacted", "n_cards")
+
+
+QUERIES["text_redact_pii"] = text_redact_pii
+
+
+def _redact_pii_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.text import redact_pii_sql
+
+    cards = "[" + ", ".join(f"'{c}'" for c in PII_CARDS) + "]"
+    red, n_cards = redact_pii_sql("ptext")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        text || ' card ' || ({cards})[CAST(doc_id % 5 AS INT) + 1]
+             || ' ip 10.' || CAST(doc_id % 300 AS VARCHAR) || '.0.7'
+             || CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+          AS ptext
+      FROM documents)
+    SELECT doc_id, {red} AS redacted, {n_cards} AS n_cards FROM p
+    """
+
+
+ORACLES["text_redact_pii"] = _redact_pii_oracle()

@@ -313,3 +313,50 @@ def test_orc_sink_and_scan_roundtrip(spark, tmp_path):
     )
     plan = back.where(F.col("c_custkey") == 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan  # scan-level pushdown on ORC too
+
+
+def test_redact_pii_luhn_gated_cross_engine(spark):
+    import duckdb
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.operators.text import redact_pii, redact_pii_sql
+
+    def luhn_py(s):
+        ds = [int(c) for c in s.replace(" ", "").replace("-", "")][::-1]
+        return sum(d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+                   for i, d in enumerate(ds)) % 10 == 0
+
+    valid_card = "4539 1488 0343 6467"
+    invalid_card = "4539 1488 0343 6468"
+    assert luhn_py(valid_card) and not luhn_py(invalid_card)
+    docs = [
+        f"pay with {valid_card} now",
+        f"order id {invalid_card} stays",
+        "host 10.0.0.1 and bad 300.1.2.3",
+        "ssn 123-45-6789 leaked",
+        "clean text with no pii at all",
+        f"two cards {valid_card} and 4716-4615-8332-2103",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "i long, text string"
+    )
+    got = {
+        (r.i): (r.redacted, r.n_cards) for r in redact_pii(df, "text").collect()
+    }
+    assert got[0] == ("pay with [CARD] now", 1)
+    assert got[1] == (f"order id {invalid_card} stays", 0)
+    assert got[2] == ("host [IP] and bad 300.1.2.3", 0)
+    assert got[3] == ("ssn [SSN] leaked", 0)
+    assert got[4] == ("clean text with no pii at all", 0)
+    assert got[5][1] == 2 and "[CARD] and [CARD]" in got[5][0]
+    # dialect parity: the generated twin must agree byte for byte
+    red_sql, n_sql = redact_pii_sql("text")
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"i": range(len(docs)), "text": docs}))
+    expected = {
+        i: (r, n)
+        for i, r, n in con.execute(
+            f"SELECT i, {red_sql}, {n_sql} FROM d"
+        ).fetchall()
+    }
+    assert got == expected
