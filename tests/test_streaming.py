@@ -491,3 +491,86 @@ def test_ivm_join_stream_matches_batch_join(spark, events_dir, tmp_path):
         (r.user_id, r.a_id, r.b_id) for r in clicks.join(purchases, "user_id").collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_streaming_near_dedup_matches_sequential_batch(spark, tmp_path):
+    """streaming/dedup.py: a 3-micro-batch document stream with planted
+    exact and near dups ACROSS batches produces exactly the report a
+    sequential batch application of incremental_dedup_report yields,
+    and the accumulated corpus state is dup-free."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        incremental_dedup_report,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming.dedup import start_near_dedup_sink
+
+    chunks = [
+        [(0, "alpha beta gamma delta epsilon"), (1, "one two three four five six")],
+        [
+            (2, "alpha beta gamma delta epsilon"),      # exact dup of 0
+            (3, "one two three four five seven"),        # near dup of 1 (J=0.6)
+            (4, "red orange yellow green blue"),
+        ],
+        [
+            (5, "red orange yellow green violet"),       # near dup of 4
+            (6, "red orange yellow green blue"),          # exact dup of 4
+            (7, "totally fresh text about owls here"),
+        ],
+    ]
+    d = str(tmp_path / "docs_stream")
+    os.makedirs(d)
+    for i, rows in enumerate(chunks):
+        tmp = str(tmp_path / f"tmp{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            _glob.glob(f"{tmp}/part-*.parquet")[0],
+            os.path.join(d, f"chunk_{i}.parquet"),
+        )
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = start_near_dedup_sink(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # sequential batch expectation
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    exp = {}
+    for rows in chunks:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = incremental_dedup_report(df, corpus)
+        for r in rep.collect():
+            exp[r.doc_id] = (r.status, r.match_id)
+        corpus = corpus.unionByName(
+            df.join(
+                rep.where(F.col("status") == "unique").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        ).localCheckpoint(eager=True)
+    assert got == exp
+    assert got[2] == ("exact_dup", 0)
+    assert got[3] == ("near_dup", 1)
+    assert got[6] == ("exact_dup", 4)
+    assert got[5] == ("near_dup", 4)
+    assert got[7][0] == "unique"
+    settled = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    )
+    assert settled == [0, 1, 4, 7]
