@@ -279,3 +279,38 @@ def detect_scene_cuts(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).select(key_col, "frame_idx", "is_cut", "scene_id")
+
+
+def select_scene_keyframes(
+    cuts: DataFrame, key_col: str = "file_name"
+) -> DataFrame:
+    """Representative-frame selection over :func:`detect_scene_cuts`
+    output — the frame-sampling step VLM training pipelines run after
+    scene segmentation (one frame per scene instead of every-n-th
+    blind sampling).  Picks the MEDIAN frame of each scene by frame
+    order (deterministic; for even lengths the earlier of the two
+    middles), all JVM-side: one keyed window shared by the rank and
+    the scene length.
+
+    Returns ``key, scene_id, keyframe_idx, n_frames``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col, "scene_id").orderBy("frame_idx")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cuts.select(
+        key_col,
+        "scene_id",
+        "frame_idx",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wfull).alias("__n"),
+    )
+    return ranked.where(
+        F.col("__rn") == F.floor((F.col("__n") + 1) / 2)
+    ).select(
+        key_col,
+        "scene_id",
+        F.col("frame_idx").alias("keyframe_idx"),
+        F.col("__n").cast("long").alias("n_frames"),
+    )

@@ -4399,3 +4399,32 @@ def _redact_pii_oracle() -> str:
 
 
 ORACLES["text_redact_pii"] = _redact_pii_oracle()
+
+
+def multimodal_scene_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyframe-per-scene selection composed over the scene-cut fixture:
+    median frame of each structural 8-frame scene, oracle closed-form
+    (frame 8b+3 of scene b)."""
+    from image_matadata_batchprocessing_aws_spark.multimodal.video import (
+        select_scene_keyframes,
+    )
+
+    cuts = multimodal_video_scenes(spark, sf)
+    return select_scene_keyframes(cuts, key_col="video_id").select(
+        "video_id",
+        "scene_id",
+        F.col("keyframe_idx").cast("long").alias("keyframe_idx"),
+        "n_frames",
+    )
+
+
+QUERIES["multimodal_scene_keyframes"] = multimodal_scene_keyframes
+
+ORACLES["multimodal_scene_keyframes"] = f"""
+    SELECT v.range AS video_id,
+      b.range AS scene_id,
+      b.range * {SCENE_LEN} + {(SCENE_LEN + 1) // 2 - 1} AS keyframe_idx,
+      CAST({SCENE_LEN} AS BIGINT) AS n_frames
+    FROM range(0, {SCENE_N_VIDEOS}) v,
+         range(0, {SCENE_N_FRAMES // SCENE_LEN}) b
+"""

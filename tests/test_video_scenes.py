@@ -65,3 +65,25 @@ def test_threshold_is_a_knob(spark):
     loose = detect_scene_cuts(sigs, threshold=30.0).where("is_cut").count()
     tight = detect_scene_cuts(sigs, threshold=10.0).where("is_cut").count()
     assert (loose, tight) == (0, 1)
+
+
+def test_select_scene_keyframes_median_and_odd_even(spark):
+    from image_matadata_batchprocessing_aws_spark.multimodal.video import select_scene_keyframes
+
+    cuts = spark.createDataFrame(
+        [
+            # scene 0: 3 frames (odd -> middle), scene 1: 4 frames
+            # (even -> earlier middle), scene 2: 1 frame
+            ("a", 0, 0), ("a", 1, 0), ("a", 2, 0),
+            ("a", 3, 1), ("a", 4, 1), ("a", 5, 1), ("a", 6, 1),
+            ("a", 7, 2),
+        ],
+        "file_name string, frame_idx int, scene_id int",
+    )
+    out = {
+        (r.file_name, r.scene_id): (r.keyframe_idx, r.n_frames)
+        for r in select_scene_keyframes(cuts).collect()
+    }
+    assert out[("a", 0)] == (1, 3)
+    assert out[("a", 1)] == (4, 4)   # frames 3,4,5,6 -> earlier middle = 4
+    assert out[("a", 2)] == (7, 1)
