@@ -4428,3 +4428,111 @@ ORACLES["multimodal_scene_keyframes"] = f"""
     FROM range(0, {SCENE_N_VIDEOS}) v,
          range(0, {SCENE_N_FRAMES // SCENE_LEN}) b
 """
+
+
+AUD_N_FILES = 12
+AUD_BLOCKS = 6
+
+
+def pipeline_audio_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Speech-corpus curation flagship over REAL WAV decode, end to end:
+    integer-exact stats gates (min duration, clipping, digital silence)
+    -> framing + voiced/silent structure -> per-file acoustic
+    fingerprint (ordered quantized frame-RMS sequence) -> exact
+    fingerprint dedup with keep-min survivorship -> per-file status +
+    speech fraction.  The fixture plants every class: a short file, a
+    clipped file, an all-zero file, three content groups with planted
+    duplicates (same silence pattern + amplitude), and a same-pattern
+    different-amplitude file that must NOT collapse into its group.
+    All margins are structural (constant blocks, power-of-two
+    amplitudes, frames tiling blocks), so the oracle is the closed-form
+    status/fraction table."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        encode_wav_pcm16,
+        wav_frame_features,
+        wav_pcm_stats,
+    )
+    from pyspark.sql import Window
+
+    rows = []
+    for v in range(AUD_N_FILES):
+        nb = 2 if v == 8 else AUD_BLOCKS
+        amp = 32767 if v == 9 else 0 if v == 10 else 4096 if v == 11 else 8192
+        p = 0 if v >= 8 else v % 3
+        blocks = [
+            np.full(1000, amp if (b + p) % 3 == 0 else 0, np.int16)
+            for b in range(nb)
+        ]
+        rows.append(
+            (v, f"{v}.wav", bytearray(encode_wav_pcm16(np.concatenate(blocks), 8000)))
+        )
+    audio = spark.createDataFrame(
+        rows, "audio_id long, file_name string, content binary"
+    )
+    ids = audio.select("file_name", "audio_id")
+    stats = wav_pcm_stats(audio)
+    gate = (
+        F.when(F.col("n_samples") < 4000, "too_short")
+        .when(F.col("peak") >= 32767, "clipped")
+        .when(F.col("sum_abs") == 0, "silent")
+    )
+    gated = stats.withColumn("gate", gate)
+    bad = (
+        gated.where(F.col("gate").isNotNull())
+        .join(ids, "file_name")
+        .select(
+            "audio_id",
+            F.col("gate").alias("status"),
+            F.lit(None).cast("double").alias("speech_frac"),
+        )
+    )
+    good = gated.where(F.col("gate").isNull()).select("file_name")
+    frames = wav_frame_features(audio.join(good, "file_name"), frame_ms=25, hop_ms=25)
+    q = (F.col("rms") * 32768).cast("long")
+    per = frames.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum((q > 0).cast("long")).alias("n_voiced"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("frame_idx"), q.alias("q")))
+                    ),
+                    lambda x: x["q"].cast("string"),
+                ),
+            )
+        ).alias("sig"),
+    )
+    wmin = Window.partitionBy("sig")
+    dedup = (
+        per.join(ids, "file_name")
+        .withColumn("keep_id", F.min("audio_id").over(wmin))
+        .select(
+            "audio_id",
+            F.when(F.col("audio_id") == F.col("keep_id"), "kept")
+            .otherwise("dup")
+            .alias("status"),
+            F.round(
+                F.col("n_voiced") / F.col("n_frames").cast("double"), 4
+            ).alias("speech_frac"),
+        )
+    )
+    return bad.unionByName(dedup)
+
+
+QUERIES["pipeline_audio_corpus"] = pipeline_audio_corpus
+
+ORACLES["pipeline_audio_corpus"] = f"""
+    SELECT range AS audio_id,
+      CASE WHEN range = 8 THEN 'too_short'
+           WHEN range = 9 THEN 'clipped'
+           WHEN range = 10 THEN 'silent'
+           WHEN range IN (0, 1, 2, 11) THEN 'kept'
+           ELSE 'dup' END AS status,
+      CASE WHEN range IN (8, 9, 10) THEN NULL
+           ELSE round(10 / CAST(30 AS DOUBLE), 4) END AS speech_frac
+    FROM range(0, {AUD_N_FILES})
+"""
