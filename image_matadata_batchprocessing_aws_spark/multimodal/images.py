@@ -512,3 +512,58 @@ def sniff_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             "image_bytes": F.octet_length(full).cast("long"),
         }
     )
+
+
+PIXEL_STATS_SCHEMA = (
+    "file_name string, n_pixels long, sum_px long, min_px long, max_px long, "
+    "hist array<long>, stats_error string"
+)
+
+
+def image_pixel_stats(
+    entries: DataFrame,
+    bins: int = 16,
+    use_real_codec: bool = True,
+    decode_fn=None,
+) -> DataFrame:
+    """Integer-exact per-image pixel statistics at NATIVE resolution —
+    the surfaces image-curation gates derive from (brightness = mean,
+    contrast = max-min, flatness = histogram entropy): total pixel-value
+    sum, min/max, and a ``bins``-bin histogram over all channel values,
+    every field an exact integer so the float gates can be computed
+    identically JVM-side and in the SQL twin.  Same Arrow decode seam
+    and per-row error isolation as :func:`decode_images`."""
+    if decode_fn is None:
+        decode_fn = _real_decode if use_real_codec else _fake_decode
+    width = 256 // bins
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                try:
+                    img = decode_fn(name, bytes(content))
+                    flat = img.reshape(-1).astype(np.int64)
+                    hist = np.bincount(flat // width, minlength=bins)[:bins]
+                    rows.append(
+                        (
+                            name,
+                            int(img.shape[0] * img.shape[1]),
+                            int(flat.sum()),
+                            int(flat.min()),
+                            int(flat.max()),
+                            hist.tolist(),
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-file isolation
+                    rows.append((name, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name", "n_pixels", "sum_px", "min_px", "max_px",
+                    "hist", "stats_error",
+                ],
+            )
+
+    return entries.mapInPandas(stats, PIXEL_STATS_SCHEMA)

@@ -4536,3 +4536,75 @@ ORACLES["pipeline_audio_corpus"] = f"""
            ELSE round(10 / CAST(30 AS DOUBLE), 4) END AS speech_frac
     FROM range(0, {AUD_N_FILES})
 """
+
+
+IMST_N_FILES = 12
+
+
+def multimodal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Brightness/contrast/entropy curation gates over REAL PNG decode,
+    oracle-checked: solid images (entropy exactly 0 bits), half/half
+    two-value images (exactly 1 bit), and four-quadrant images (exactly
+    2 bits) make every float gate closed-form; the integer histogram is
+    the only thing the Arrow stage emits, and the entropy fold
+    accumulates by SUBTRACTION (acc - p*log2 p) so the zero-entropy
+    case yields +0.0, not -0.0, in both engines."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import image_pixel_stats
+
+    rows = []
+    for v in range(IMST_N_FILES):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        cls = v % 3
+        if cls == 0:
+            img[:, :, :] = 16 * (v % 8) + 3
+        elif cls == 1:
+            img[:, :8, :] = 32
+            img[:, 8:, :] = 224
+        else:
+            img[:8, :8, :] = 16
+            img[:8, 8:, :] = 80
+            img[8:, :8, :] = 144
+            img[8:, 8:, :] = 208
+        rows.append((v, f"{v}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "image_id long, entry_name string, content binary"
+    )
+    st = image_pixel_stats(entries)
+    total = (F.col("n_pixels") * 3).cast("double")
+    p = lambda cnt: cnt.cast("double") / total  # noqa: E731
+    entropy = F.aggregate(
+        F.col("hist"),
+        F.lit(0.0),
+        lambda acc, cnt: acc
+        - F.when(cnt > 0, p(cnt) * F.log2(p(cnt))).otherwise(F.lit(0.0)),
+    )
+    out = st.join(
+        entries.select("image_id", F.col("entry_name").alias("file_name")),
+        "file_name",
+    )
+    return out.select(
+        "image_id",
+        "n_pixels",
+        F.round(F.col("sum_px") / total, 4).alias("mean_px"),
+        (F.col("max_px") - F.col("min_px")).cast("long").alias("contrast"),
+        F.round(entropy, 4).alias("entropy_bits"),
+    )
+
+
+QUERIES["multimodal_image_stats"] = multimodal_image_stats
+
+ORACLES["multimodal_image_stats"] = f"""
+    SELECT range AS image_id,
+      CAST(256 AS BIGINT) AS n_pixels,
+      CASE range % 3
+        WHEN 0 THEN CAST(16 * (range % 8) + 3 AS DOUBLE)
+        WHEN 1 THEN 128.0
+        ELSE 112.0 END AS mean_px,
+      CASE range % 3 WHEN 0 THEN 0 ELSE 192 END AS contrast,
+      CAST(CASE range % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 ELSE 2.0 END
+           AS DOUBLE) AS entropy_bits
+    FROM range(0, {IMST_N_FILES})
+"""
