@@ -9,8 +9,10 @@ progressive (canonical Huffman + matrix IDCT + full T.81 Annex G
 successive approximation, see the JPEG section) — and GIF decodes for
 real (LZW, see the GIF section), as does lossless WEBP (VP8L — see
 ``multimodal/webp.py``).  Only LOSSY WebP (VP8 boolean arithmetic
-coder) and the exotic JPEG modes (arithmetic, 12-bit, hierarchical)
-stay behind the PIL seam (``images._pil_decode``).
+coder) and the exotic JPEG modes (arithmetic, hierarchical) stay
+behind the PIL seam (``images._pil_decode``); 12-bit extended
+sequential and progressive JPEG decode for real (SOF1/SOF2, Pq=1
+16-bit quant tables, extended Huffman alphabet, uint16 output).
 
 Formats:
 
@@ -27,9 +29,10 @@ Formats:
   whitespace/comment-tolerant header.
 - **JPEG** (``decode_jpeg``): baseline sequential DCT (SOF0/SOF1) AND
   progressive (SOF2 — spectral selection, successive approximation,
-  EOB runs, refinement ZRL), 8-bit, grayscale or YCbCr with any
-  sampling factors, restart markers, 0xFF00 unstuffing;
-  arithmetic/12-bit/hierarchical raise.  ``encode_jpeg`` (Annex K
+  EOB runs, refinement ZRL), 8-bit AND 12-bit precision (12-bit:
+  SOF1/SOF2 only per T.81, Pq=1 16-bit quant tables, uint16 output),
+  grayscale or YCbCr with any sampling factors, restart markers,
+  0xFF00 unstuffing; arithmetic/hierarchical raise.  ``encode_jpeg`` (Annex K
   tables; ``progressive=True`` emits a libjpeg-shaped scan script)
   generates fixtures; ``jpeg_reference_pipeline`` is the
   bitstream-free oracle.
@@ -389,8 +392,8 @@ def decode_image_auto(name: str, content: bytes) -> np.ndarray:
 # Closes the last S9 gap: entropy-coded decode with nothing but numpy +
 # stdlib.  Scope: baseline sequential (SOF0), 8-bit, 1 or 3 components,
 # any sampling factors (4:4:4 and 4:2:0 exercised by tests), restart
-# markers honored; progressive (SOF2) / arithmetic coding / 12-bit raise
-# a typed error.  ``encode_jpeg`` is the fixture generator (Annex K
+# markers honored (progressive SOF2 and 12-bit SOF1/SOF2 are covered
+# in later sections); arithmetic coding raises a typed error.  ``encode_jpeg`` is the fixture generator (Annex K
 # standard quant + Huffman tables), same role ``encode_png`` plays for
 # the PNG oracle.  Reference behavior being matched: PIL decode at
 # ``process_test_train_Images.py:45``.
@@ -428,6 +431,22 @@ _JPEG_QT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99,
     99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int64)
+
+#: Extended-precision Huffman specs for 12-bit frames: Annex K stops at
+#: DC category 11 / AC size 10, but 12-bit samples reach DC category 15
+#: and AC size 14.  Flat canonical tables (15x4-bit + 1x5-bit DC; 242
+#: 8-bit AC symbols = EOB + ZRL + (run 0-15) x (size 1-14)) keep the
+#: Kraft sum < 1, avoid the all-ones max-length code, and cover the
+#: whole alphabet — compression is not the fixture encoder's job.
+_JPEG12_HUFF_DC = (
+    [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+#: 226 AC symbols: EOB + ZRL + (run 0-15) x (size 1-14).
+_JPEG12_HUFF_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
 
 #: Annex K Huffman specs: (bits[1..16] counts, symbol values)
 _JPEG_HUFF_DC_LUMA = (
@@ -601,14 +620,17 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline sequential (SOF0/1) AND progressive (SOF2) JPEG ->
-    HxWx3 uint8 RGB (grayscale replicated).  Pure numpy + stdlib:
-    marker parse, canonical Huffman, zigzag/dequantize, matrix IDCT,
-    box chroma upsampling, BT.601 YCbCr->RGB.  Progressive support is
-    full T.81 Annex G entropy coding: spectral selection, successive
-    approximation (DC+AC first and refinement passes), EOB runs, ZRL
-    in refinement, restart markers.  Arithmetic/12-bit/hierarchical
-    raise :class:`ImageFormatError`."""
+    """Baseline/extended sequential (SOF0/1) AND progressive (SOF2)
+    JPEG -> HxWx3 uint8 RGB — or uint16 in [0, 4095] for 12-bit frames
+    (SOF1/SOF2 with precision 12 and Pq=1 16-bit quant tables; T.81
+    forbids 12-bit baseline and so does this decoder).  Pure numpy +
+    stdlib: marker parse, canonical Huffman, zigzag/dequantize, matrix
+    IDCT, box chroma upsampling, BT.601 YCbCr->RGB centered at
+    2^(prec-1).  Progressive support is full T.81 Annex G entropy
+    coding: spectral selection, successive approximation (DC+AC first
+    and refinement passes), EOB runs, ZRL in refinement, restart
+    markers.  Arithmetic/hierarchical/lossless raise
+    :class:`ImageFormatError`."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         raise ImageFormatError("not a JPEG (bad SOI)")
     pos = 2
@@ -639,15 +661,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise ImageFormatError("16-bit JPEG quant tables not supported")
-                tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ImageFormatError("bad JPEG DQT precision")
+                if pq:  # 16-bit big-endian entries (12-bit frames)
+                    tbl = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                else:
+                    tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
                 if tbl.size != 64:
                     raise ImageFormatError("JPEG DQT truncated")
                 nat = np.zeros(64, dtype=np.int64)
                 nat[_JPEG_ZIGZAG] = tbl
                 qt[tq] = nat
-                p += 65
+                p += 129 if pq else 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -661,15 +688,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (progressive)
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ImageFormatError(f"{prec}-bit JPEG not supported")
+            if prec == 12 and marker == 0xC0:
+                # T.81: baseline is 8-bit only; 12-bit needs SOF1/SOF2
+                raise ImageFormatError("12-bit JPEG must be SOF1/SOF2")
             if h == 0 or w == 0:
                 raise ImageFormatError("invalid JPEG dimensions")
             comps = []
             for i in range(ncomp):
                 cid, hv, tqi = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tqi))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             if marker == 0xC2:
                 progressive = True
                 hmax = max(hs for _, hs, _, _ in comps)
@@ -711,7 +741,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 
 def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
-    h, w, comps = frame
+    h, w, comps, prec = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -764,24 +794,29 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                     y0 = (my * vs + by) * 8
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w)
+    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w, prec)
 
 
-def _jpeg_finish_planes(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+def _jpeg_finish_planes(planes, comps, hmax, vmax, h, w, prec=8) -> np.ndarray:
     """Upsample to full resolution, crop to (h, w), level-shift and
-    color-convert — shared by the sequential and progressive paths."""
+    color-convert — shared by the sequential and progressive paths.
+    8-bit frames return uint8; 12-bit frames return uint16 with values
+    in [0, 4095] (callers scale down when they need display range)."""
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     out_planes = []
     for cid, hs, vs, tq in comps:
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        out_planes.append(p[:h, :w] + 128.0)
+        out_planes.append(p[:h, :w] + half)
     if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(out_planes[0]), 0, maxv).astype(dtype)
         return np.repeat(g[:, :, None], 3, axis=2)
     if len(out_planes) != 3:
         raise ImageFormatError(f"{len(out_planes)}-component JPEG not supported")
     y, cb, cr = out_planes
-    return _jpeg_ycc_to_rgb(y, cb, cr)
+    return _jpeg_ycc_to_rgb(y, cb, cr, prec)
 
 
 # --- progressive JPEG (SOF2), T.81 Annex G entropy coding ------------------
@@ -797,7 +832,7 @@ def _jpeg_decode_scan_progressive(
     (single-component, own-dimension block raster), with EOB runs and
     restart markers."""
     Ss, Se, Ah, Al = band
-    h, w, comps = frame
+    h, w, comps, _prec = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -969,7 +1004,7 @@ def _jpeg_ac_refine(reader, ac_tbl, blk, Ss, Se, Al, eobrun):
 def _jpeg_progressive_reconstruct(frame, qt, store) -> np.ndarray:
     """Dequantize + batched IDCT of the accumulated coefficient store,
     then the shared upsample/crop/color tail."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     planes = {}
@@ -983,25 +1018,31 @@ def _jpeg_progressive_reconstruct(frame, qt, store) -> np.ndarray:
         )
         rec = np.einsum("ij,rcjk,kl->rcil", _JPEG_T.T, deq, _JPEG_T)
         planes[cid] = rec.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
-    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w)
+    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w, prec)
 
 
-def _jpeg_ycc_to_rgb(y, cb, cr) -> np.ndarray:
-    """BT.601 full-range YCbCr -> uint8 RGB (T.871 constants)."""
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+def _jpeg_ycc_to_rgb(y, cb, cr, prec=8) -> np.ndarray:
+    """BT.601 full-range YCbCr -> uint8 (or uint16 for 12-bit) RGB
+    (T.871 constants, chroma centered at 2^(prec-1))."""
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(dtype)
 
 
-def _jpeg_rgb_to_ycc(img: np.ndarray):
-    """BT.601 full-range RGB -> float YCbCr planes (not yet rounded)."""
+def _jpeg_rgb_to_ycc(img: np.ndarray, prec=8):
+    """BT.601 full-range RGB -> float YCbCr planes (not yet rounded),
+    chroma centered at 2^(prec-1)."""
+    half = float(1 << (prec - 1))
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
     b = img[:, :, 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    cb = half - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = half + 0.5 * r - 0.418687589 * g - 0.081312411 * b
     return y, cb, cr
 
 
@@ -1083,6 +1124,7 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "4:4:4",
     progressive: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
     """Baseline sequential — or, with ``progressive=True``, progressive
     (SOF2) — JPEG writer (fixture generator): Annex K standard Huffman
@@ -1093,6 +1135,11 @@ def encode_jpeg(
     bands, AC refinement per component); EOB runs are capped at 1 so
     the Annex K alphabet suffices (no EOBn symbols)."""
     h, w, _ = img.shape
+    if bit_depth not in (8, 12):
+        raise ValueError("bit_depth must be 8 or 12")
+    half = float(1 << (bit_depth - 1))
+    if bit_depth == 12 and int(img.max()) >= 4096:
+        raise ValueError("12-bit JPEG input must be < 4096")
     if subsampling == "4:4:4":
         samp = [(1, 1), (1, 1), (1, 1)]
     elif subsampling == "4:2:0":
@@ -1101,7 +1148,7 @@ def encode_jpeg(
         raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
     qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
     qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
-    y, cb, cr = _jpeg_rgb_to_ycc(img)
+    y, cb, cr = _jpeg_rgb_to_ycc(img, bit_depth)
     planes = [y, cb, cr]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -1121,12 +1168,18 @@ def encode_jpeg(
         p = np.pad(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
-        blocks.append(p - 128.0)
+        blocks.append(p - half)
     qts = [qly, qlc, qlc]
-    dec_dc_l, enc_dc_l = _jpeg_canonical_codes(*_JPEG_HUFF_DC_LUMA)
-    dec_ac_l, enc_ac_l = _jpeg_canonical_codes(*_JPEG_HUFF_AC_LUMA)
-    dec_dc_c, enc_dc_c = _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHROMA)
-    dec_ac_c, enc_ac_c = _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHROMA)
+    if bit_depth == 12:
+        spec_dc_l = spec_dc_c = _JPEG12_HUFF_DC
+        spec_ac_l = spec_ac_c = _JPEG12_HUFF_AC
+    else:
+        spec_dc_l, spec_ac_l = _JPEG_HUFF_DC_LUMA, _JPEG_HUFF_AC_LUMA
+        spec_dc_c, spec_ac_c = _JPEG_HUFF_DC_CHROMA, _JPEG_HUFF_AC_CHROMA
+    dec_dc_l, enc_dc_l = _jpeg_canonical_codes(*spec_dc_l)
+    dec_ac_l, enc_ac_l = _jpeg_canonical_codes(*spec_ac_l)
+    dec_dc_c, enc_dc_c = _jpeg_canonical_codes(*spec_dc_c)
+    dec_ac_c, enc_ac_c = _jpeg_canonical_codes(*spec_ac_c)
     enc_dc = [enc_dc_l, enc_dc_c, enc_dc_c]
     enc_ac = [enc_ac_l, enc_ac_c, enc_ac_c]
     if progressive:
@@ -1157,6 +1210,12 @@ def encode_jpeg(
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     def dqt(tid: int, nat: np.ndarray) -> bytes:
+        if bit_depth == 12:  # Pq=1: 16-bit big-endian entries
+            return seg(
+                0xDB,
+                bytes([0x10 | tid])
+                + b"".join(struct.pack(">H", int(nat[z])) for z in _JPEG_ZIGZAG),
+            )
         return seg(0xDB, bytes([tid]) + bytes(int(nat[z]) for z in _JPEG_ZIGZAG))
 
     def dht(tc: int, th: int, spec) -> bytes:
@@ -1164,8 +1223,8 @@ def encode_jpeg(
         return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
 
     sof = seg(
-        0xC2 if progressive else 0xC0,
-        struct.pack(">BHHB", 8, h, w, 3)
+        0xC2 if progressive else (0xC1 if bit_depth == 12 else 0xC0),
+        struct.pack(">BHHB", bit_depth, h, w, 3)
         + b"".join(
             struct.pack(
                 ">BBB", cid, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1
@@ -1178,10 +1237,10 @@ def encode_jpeg(
         + dqt(0, qly)
         + dqt(1, qlc)
         + sof
-        + dht(0, 0, _JPEG_HUFF_DC_LUMA)
-        + dht(1, 0, _JPEG_HUFF_AC_LUMA)
-        + dht(0, 1, _JPEG_HUFF_DC_CHROMA)
-        + dht(1, 1, _JPEG_HUFF_AC_CHROMA)
+        + dht(0, 0, spec_dc_l)
+        + dht(1, 0, spec_ac_l)
+        + dht(0, 1, spec_dc_c)
+        + dht(1, 1, spec_ac_c)
     )
     if progressive:
         scans = b""
@@ -1209,23 +1268,27 @@ def encode_jpeg(
     return head + sos + payload + b"\xff\xd9"
 
 
-def jpeg_reference_pipeline(img: np.ndarray, quality: int = 75) -> np.ndarray:
+def jpeg_reference_pipeline(
+    img: np.ndarray, quality: int = 75, bit_depth: int = 8
+) -> np.ndarray:
     """Bitstream-free reference for what baseline 4:4:4 JPEG at
     ``quality`` reconstructs: per 8x8 block, the same DCT -> quantize ->
     dequantize -> IDCT -> color-convert float ops the codec pair uses,
     with NO marker parsing, NO Huffman coding, NO bit I/O.  Oracle for
     the round-trip tests and the driver query: agreement proves the
     entire entropy-coding layer is transparent (coefficients survive
-    encode->decode bit-exactly)."""
+    encode->decode bit-exactly).  ``bit_depth=12`` mirrors the
+    extended-sequential (SOF1, Pq=1) path with 2048-centered planes."""
     h, w, _ = img.shape
+    half = float(1 << (bit_depth - 1))
     qly = _jpeg_scaled_qt(_JPEG_QT_LUMA, quality)
     qlc = _jpeg_scaled_qt(_JPEG_QT_CHROMA, quality)
-    y, cb, cr = _jpeg_rgb_to_ycc(img)
+    y, cb, cr = _jpeg_rgb_to_ycc(img, bit_depth)
     outs = []
     for p, qt in ((y, qly), (cb, qlc), (cr, qlc)):
         ph = -(-h // 8) * 8
         pw = -(-w // 8) * 8
-        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - half
         rec = np.zeros_like(p)
         q = qt.reshape(8, 8)
         for y0 in range(0, ph, 8):
@@ -1236,8 +1299,8 @@ def jpeg_reference_pipeline(img: np.ndarray, quality: int = 75) -> np.ndarray:
                 rec[y0 : y0 + 8, x0 : x0 + 8] = _jpeg_idct_block(
                     (cq * q.reshape(8, 8).astype(np.int64))
                 )
-        outs.append(rec[:h, :w] + 128.0)
-    return _jpeg_ycc_to_rgb(*outs)
+        outs.append(rec[:h, :w] + half)
+    return _jpeg_ycc_to_rgb(*outs, prec=bit_depth)
 
 
 # --- GIF (87a/89a, LZW) ----------------------------------------------------

@@ -4608,3 +4608,111 @@ ORACLES["multimodal_image_stats"] = f"""
            AS DOUBLE) AS entropy_bits
     FROM range(0, {IMST_N_FILES})
 """
+
+
+JPEG12_N_DOCS = 20
+
+
+def _jpeg12_colors(doc_id: int) -> tuple[int, int, int]:
+    return ((doc_id * 97) % 4001, (doc_id * 211) % 4001, (doc_id * 331) % 4001)
+
+
+def multimodal_jpeg12_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL 12-bit (extended sequential SOF1, Pq=1 16-bit quant tables)
+    JPEG decoding through the Arrow pipeline: solid 12-bit colors
+    encode with the extended-precision Huffman tables, decode to
+    uint16, scale to display range, and the per-channel pixel sums
+    after integral resize are compared against the bitstream-free
+    reference pipeline's reconstruction (computed driver-side per
+    fixture color, fixture-sized work) — agreement proves the 16-bit
+    DQT parse, the 2048-centered level shift/color convert, and the
+    extended Huffman alphabet carry every coefficient bit-exactly."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    rows = []
+    for doc_id in range(JPEG12_N_DOCS):
+        h, w = PNG_DIMS[doc_id % len(PNG_DIMS)]
+        r, g, b = _jpeg12_colors(doc_id)
+        img = np.zeros((h, w, 3), dtype=np.uint16)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = r, g, b
+        q = 75 if doc_id % 2 == 0 else 90
+        ss = "4:4:4" if doc_id % 4 < 2 else "4:2:0"
+        rows.append(
+            (
+                doc_id,
+                f"{doc_id}.jpg",
+                bytearray(
+                    encode_jpeg(img, quality=q, subsampling=ss, bit_depth=12)
+                ),
+            )
+        )
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def df12(name: str, content: bytes) -> np.ndarray:
+        return (decode_jpeg(content) >> 4).astype(np.uint8)
+
+    decoded = decode_images(entries, normalize=False, decode_fn=df12)
+
+    def chan_sum(c: int):
+        return F.aggregate(
+            F.slice(F.col("image"), c * 224 * 224 + 1, 224 * 224),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
+    out = decoded.join(
+        entries.select("doc_id", F.col("entry_name").alias("file_name")),
+        "file_name",
+    )
+    return out.select(
+        "doc_id",
+        chan_sum(0).alias("r_sum"),
+        chan_sum(1).alias("g_sum"),
+        chan_sum(2).alias("b_sum"),
+    )
+
+
+QUERIES["multimodal_jpeg12_decode"] = multimodal_jpeg12_decode
+
+
+def _jpeg12_oracle() -> str:
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        jpeg_reference_pipeline,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import (
+        _PNG_PIX_CASE,
+        PNG_DIMS,
+    )
+
+    cases = {c: [] for c in "rgb"}
+    for doc_id in range(JPEG12_N_DOCS):
+        r, g, b = _jpeg12_colors(doc_id)
+        img = np.zeros((8, 8, 3), dtype=np.uint16)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = r, g, b
+        q = 75 if doc_id % 2 == 0 else 90
+        ref = jpeg_reference_pipeline(img, quality=q, bit_depth=12)[0, 0]
+        for c, val in zip("rgb", ref):
+            cases[c].append(f"WHEN {doc_id} THEN {int(val) >> 4}")
+    rc, gc, bc = (" ".join(cases[c]) for c in "rgb")
+    return f"""
+    SELECT doc_id,
+           CAST((CASE doc_id {rc} END) * px AS BIGINT) AS r_sum,
+           CAST((CASE doc_id {gc} END) * px AS BIGINT) AS g_sum,
+           CAST((CASE doc_id {bc} END) * px AS BIGINT) AS b_sum
+    FROM (SELECT unnest(range({JPEG12_N_DOCS})) AS doc_id),
+         LATERAL (SELECT CASE doc_id % {len(PNG_DIMS)} {_PNG_PIX_CASE} END AS px)
+    """
+
+
+ORACLES["multimodal_jpeg12_decode"] = _jpeg12_oracle()

@@ -557,3 +557,58 @@ def test_png_adam7_interlaced_roundtrip():
         full = encode_png(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), interlace=True)
         # corrupt: drop the IEND and truncate the IDAT payload
         decode_png(full[:60])
+
+
+def test_jpeg_12bit_roundtrip_matches_reference():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_reference_pipeline,
+    )
+
+    img = np.zeros((24, 17, 3), np.uint16)
+    for r in range(24):
+        img[r, :, 0] = 1800 + 20 * r
+        img[r, :, 1] = 900 + 10 * r
+        img[r, :, 2] = 3000 - 15 * r
+    for q in (75, 90):
+        for prog in (False, True):
+            out = decode_jpeg(encode_jpeg(img, quality=q, bit_depth=12, progressive=prog))
+            assert out.dtype == np.uint16
+            ref = jpeg_reference_pipeline(img, quality=q, bit_depth=12)
+            assert np.array_equal(out, ref), (q, prog)
+    # values actually use the extended range
+    assert int(out.max()) > 255
+
+
+def test_jpeg_12bit_baseline_marker_rejected():
+    import struct
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        ImageFormatError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 3), 1000, np.uint16)
+    data = bytearray(encode_jpeg(img, bit_depth=12))
+    # rewrite SOF1 (0xC1) to SOF0 (0xC0): T.81 forbids 12-bit baseline
+    i = data.find(b"\xff\xc1")
+    assert i > 0
+    data[i + 1] = 0xC0
+    with pytest.raises(ImageFormatError, match="SOF1/SOF2"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_16bit_dqt_parses():
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # bit_depth=12 emits Pq=1 (16-bit) quant tables; decode must read them
+    img = np.full((8, 8, 3), 2048, np.uint16)
+    data = encode_jpeg(img, bit_depth=12)
+    assert b"\xff\xdb" in data
+    out = decode_jpeg(data)
+    assert out.shape == (8, 8, 3)
