@@ -389,3 +389,75 @@ def kmv_jaccard_pair(
         F.round(F.col("union_est"), 4).alias("union_est"),
         F.round(rho * F.col("union_est"), 4).alias("inter_est"),
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col_expr: Column,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """(group..., pos, h, v): a MERGEABLE uniform-without-replacement
+    sample per group — the k rows whose md5 hash of a unique row id is
+    smallest.  Because the hash order is a fixed random permutation of
+    the rows, the bottom-k of a union is computable from per-part
+    bottom-ks (same algebra as KMV), which makes this the quantile
+    entry in the mergeable-sketch family: keep k rows per group per
+    partition/day, merge register tables, and read any quantile off the
+    merged sample — the regime where ``approx_percentile`` can't merge
+    across pre-aggregated stores.
+
+    Scale shape mirrors :func:`kmv_sketch`: one keyed window bounded by
+    group row-count; the sketch is k rows per group regardless of data
+    volume.  Determinism: md5 order, so the DuckDB twin reproduces the
+    exact sample."""
+    from pyspark.sql.window import Window
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        md5_int64(id_col_expr).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        base.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*group_cols, "pos", "h", "v")
+    )
+
+
+def bottomk_merge(
+    samples: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge sample rows down to a coarser grouping: re-rank by hash,
+    keep k — bottom-k of a union from per-set bottom-ks."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        samples.select(*group_cols, "h", "v")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*group_cols, "pos", "h", "v")
+    )
+
+
+def bottomk_quantiles(
+    sample: DataFrame, group_cols: list[str], qs: tuple = (0.5, 0.9)
+) -> DataFrame:
+    """Empirical quantiles of the sample: the value at rank
+    ``ceil(q * n)`` of the sample ordered by value (n <= k rows per
+    group, so the collect_list is sketch-bounded, never data-bounded).
+    Identical construction in the SQL twin — same values, same ties."""
+    agg = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.array_sort(F.collect_list("v")).alias("__vs"),
+    )
+    cols = [*group_cols, F.col("n_sketch").cast("long").alias("n_sketch")]
+    for q in qs:
+        idx = F.ceil(F.lit(q) * F.col("n_sketch")).cast("int")
+        cols.append(
+            F.element_at("__vs", idx).alias(f"p{int(q * 100)}")
+        )
+    return agg.select(*cols)

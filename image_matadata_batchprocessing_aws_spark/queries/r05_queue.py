@@ -4716,3 +4716,49 @@ def _jpeg12_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg12_decode"] = _jpeg12_oracle()
+
+
+BOTTOMK_K = 64
+
+
+def sketch_bottomk_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-quantile sketch over lineitem: per returnflag, the
+    bottom-64-by-md5 uniform sample of l_quantity read out at p50/p90.
+    Deterministic md5 order means the oracle reproduces the EXACT
+    sample, so this checks the full sketch construction, not a
+    tolerance band."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    li = t(spark, sf, "lineitem")
+    rid = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    s = bottomk_sample(li, rid, "l_quantity", ["l_returnflag"], k=BOTTOMK_K)
+    return bottomk_quantiles(s, ["l_returnflag"]).orderBy("l_returnflag")
+
+
+QUERIES["sketch_bottomk_quantiles"] = sketch_bottomk_quantiles
+
+
+def _bottomk_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    rid = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag, {md5_int64_sql(rid)} AS h, l_quantity AS v
+      FROM lineitem WHERE l_quantity IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY h)
+                 AS pos FROM base),
+    s AS (SELECT * FROM r WHERE pos <= {BOTTOMK_K}),
+    a AS (SELECT l_returnflag, count(*) AS n, list_sort(list(v)) AS vs
+          FROM s GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_sketch,
+      vs[CAST(ceil(0.5 * n) AS INT)] AS p50,
+      vs[CAST(ceil(0.9 * n) AS INT)] AS p90
+    FROM a ORDER BY l_returnflag
+    """
+
+
+ORACLES["sketch_bottomk_quantiles"] = _bottomk_oracle()

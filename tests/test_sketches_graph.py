@@ -426,3 +426,45 @@ def test_bfs_levels_min_distance_and_early_exit(spark):
     # tiny component exhausts before max_depth; result is stable
     got2 = {r.node: r.dist for r in bfs_levels(edges, src, max_depth=10).collect()}
     assert got2 == got
+
+
+def test_bottomk_sample_mergeable_and_quantile_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample,
+    )
+
+    # skewed values: v = (i % 100)^2 over 10k rows, one group
+    df = spark.range(10_000).select(
+        F.lit("g").alias("grp"),
+        F.col("id"),
+        ((F.col("id") % 100) * (F.col("id") % 100)).cast("double").alias("v"),
+    )
+    k = 256
+    full = bottomk_sample(df, F.col("id").cast("string"), "v", ["grp"], k=k)
+    # mergeability: sketch(all) == merge(sketch(chunk0), sketch(chunk1))
+    c0 = bottomk_sample(
+        df.where(F.col("id") % 2 == 0), F.col("id").cast("string"), "v", ["grp"], k=k
+    )
+    c1 = bottomk_sample(
+        df.where(F.col("id") % 2 == 1), F.col("id").cast("string"), "v", ["grp"], k=k
+    )
+    merged = bottomk_merge(c0.unionByName(c1), ["grp"], k=k)
+    a = sorted((r.pos, r.h) for r in full.collect())
+    b = sorted((r.pos, r.h) for r in merged.collect())
+    assert a == b and len(a) == k
+    # accuracy: sample p50 near true p50 (true: (50)^2 = 2500 at q=0.5)
+    qrow = bottomk_quantiles(full, ["grp"]).collect()[0]
+    assert qrow.n_sketch == k
+    true_p50 = 2500.0
+    assert abs(qrow.p50 - true_p50) / true_p50 < 0.35  # k=256 sampling error
+    # degenerate group smaller than k: sample IS the data, quantile exact
+    tiny = spark.range(5).select(
+        F.lit("t").alias("grp"), F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    ts = bottomk_sample(tiny, F.col("id").cast("string"), "v", ["grp"], k=k)
+    trow = bottomk_quantiles(ts, ["grp"]).collect()[0]
+    assert trow.n_sketch == 5 and trow.p50 == 2.0 and trow.p90 == 4.0
