@@ -785,3 +785,45 @@ def redact_pii(df: DataFrame, text_col: str, out: str = "redacted") -> DataFrame
     for label, pat in PII_PATTERNS:
         cur = F.regexp_replace(cur, pat, f"[{label}]")
     return df.withColumns({out: cur, "n_cards": F.size(valid).cast("long")})
+
+
+#: Literal alternation of the classic UTF-8-decoded-as-cp1252 artifacts
+#: (ftfy's most common cases): accented latin as "\u00c3"-pairs, smart
+#: punctuation as "\u00e2\u20ac"-triples, NBSP/degree as "\u00c2"-pairs.
+#: A literal alternation -- no classes, no escapes -- so the Java and
+#: RE2 dialects cannot diverge; mirrored verbatim in the oracle.
+MOJIBAKE_PATTERN = (
+    "\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00a1|\u00c3\u00b3|\u00c3\u00ba|"
+    "\u00c3\u00bc|\u00c3\u00b6|\u00c3\u00a4|\u00c3\u00b1|\u00c3\u00a7|"
+    "\u00e2\u20ac\u2122|\u00e2\u20ac\u0153|\u00e2\u20ac\u009d|"
+    "\u00e2\u20ac\u201c|\u00e2\u20ac\u201d|\u00e2\u20ac\u00a6|"
+    "\u00c2\u00b0|\u00c2\u00b7|\u00c2 "
+)
+
+#: C0 control chars that should never appear in clean text (tab/LF/CR
+#: excluded).  Hex escapes work identically in Java regex and RE2.
+CONTROL_PATTERN = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def add_encoding_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality screen for crawled corpora (the ftfy-lite gate
+    run before quality filtering): counts mojibake digraphs (UTF-8
+    bytes mis-decoded as cp1252 and re-encoded), U+FFFD replacement
+    characters (lossy prior transcode), and stray C0 controls, plus the
+    ASCII character ratio.  ``enc_suspect`` ORs the three counters.
+    One map-side projection -- regexp_count over the scan, zero Python,
+    zero shuffle."""
+    c = F.col(text_col)
+    n_moji = F.regexp_count(c, F.lit(MOJIBAKE_PATTERN))
+    n_repl = F.regexp_count(c, F.lit("\ufffd"))
+    n_ctrl = F.regexp_count(c, F.lit(CONTROL_PATTERN))
+    ascii_ratio = F.length(F.regexp_replace(c, "[^\\x00-\\x7F]", "")) / F.length(c)
+    return df.withColumns(
+        {
+            "n_mojibake": n_moji.cast("long"),
+            "n_replacement": n_repl.cast("long"),
+            "n_control": n_ctrl.cast("long"),
+            "ascii_ratio": F.round(ascii_ratio, 4),
+            "enc_suspect": (n_moji > 0) | (n_repl > 0) | (n_ctrl > 0),
+        }
+    )

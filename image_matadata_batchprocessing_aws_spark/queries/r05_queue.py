@@ -4762,3 +4762,69 @@ def _bottomk_oracle() -> str:
 
 
 ORACLES["sketch_bottomk_quantiles"] = _bottomk_oracle()
+
+
+def text_encoding_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-quality screen (ftfy-lite), oracle-checked: documents get
+    planted artifacts by doc_id class -- a mojibake digraph, a U+FFFD
+    replacement char, a C0 control byte, clean non-ASCII (must NOT
+    flag), and clean ASCII -- and both engines run the identical
+    literal-alternation patterns over the identical construction."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import add_encoding_flags
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    cls = F.col("doc_id") % 5
+    suffix = (
+        F.when(cls == 0, F.lit(" caf\u00c3\u00a9"))
+        .when(cls == 1, F.lit(" bad\ufffdchar"))
+        .when(cls == 2, F.lit(" ctl\x01end"))
+        .when(cls == 3, F.lit(" na\u00efve ok"))
+        .otherwise(F.lit(" clean"))
+    )
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = add_encoding_flags(planted)
+    return out.select(
+        "doc_id", "n_mojibake", "n_replacement", "n_control",
+        "ascii_ratio", "enc_suspect",
+    )
+
+
+QUERIES["text_encoding_flags"] = text_encoding_flags
+
+
+def _encoding_flags_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.text import (
+        CONTROL_PATTERN,
+        MOJIBAKE_PATTERN,
+    )
+
+    suffix = (
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN ' caf\u00c3\u00a9' "
+        "WHEN 1 THEN ' bad\ufffdchar' "
+        "WHEN 2 THEN ' ctl' || chr(1) || 'end' "
+        "WHEN 3 THEN ' na\u00efve ok' "
+        "ELSE ' clean' END"
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, text || ({suffix}) AS ptext FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(ptext, '{MOJIBAKE_PATTERN}')) AS BIGINT)
+        AS n_mojibake,
+      CAST(len(regexp_extract_all(ptext, '\ufffd')) AS BIGINT)
+        AS n_replacement,
+      CAST(len(regexp_extract_all(ptext, '{CONTROL_PATTERN}')) AS BIGINT)
+        AS n_control,
+      round(length(regexp_replace(ptext, '[^\\x00-\\x7F]', '', 'g'))
+            / CAST(length(ptext) AS DOUBLE), 4) AS ascii_ratio,
+      (len(regexp_extract_all(ptext, '{MOJIBAKE_PATTERN}')) > 0
+       OR len(regexp_extract_all(ptext, '\ufffd')) > 0
+       OR len(regexp_extract_all(ptext, '{CONTROL_PATTERN}')) > 0)
+        AS enc_suspect
+    FROM p
+    """
+
+
+ORACLES["text_encoding_flags"] = _encoding_flags_oracle()
