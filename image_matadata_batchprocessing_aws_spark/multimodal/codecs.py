@@ -8,11 +8,15 @@ these formats, JPEG decodes for real too — baseline sequential AND
 progressive (canonical Huffman + matrix IDCT + full T.81 Annex G
 successive approximation, see the JPEG section) — and GIF decodes for
 real (LZW, see the GIF section), as does lossless WEBP (VP8L — see
-``multimodal/webp.py``).  Only LOSSY WebP (VP8 boolean arithmetic
-coder) and the exotic JPEG modes (arithmetic, hierarchical) stay
-behind the PIL seam (``images._pil_decode``); 12-bit extended
-sequential and progressive JPEG decode for real (SOF1/SOF2, Pq=1
-16-bit quant tables, extended Huffman alphabet, uint16 output).
+``multimodal/webp.py``).  12-bit extended sequential and progressive
+JPEG decode for real (SOF1/SOF2, Pq=1 16-bit quant tables, extended
+Huffman alphabet, uint16 output), and so does sequential
+ARITHMETIC-coded JPEG (SOF9 — the T.81 Annex D QM coder, see the
+arithmetic section; validated bit-exact against system-libjpeg
+bitstreams).  Only LOSSY WebP (VP8) stays behind the PIL seam
+(``images._pil_decode``); the remaining JPEG exotica
+(progressive-arithmetic SOF10, hierarchical, lossless) raise typed
+errors.
 
 Formats:
 
@@ -636,9 +640,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    frame = None  # (h, w, [(cid, hs, vs, tq)], precision)
     restart_interval = 0
     progressive = False
+    arithmetic = False
+    arith_cond: dict = {}
     store: dict[int, np.ndarray] | None = None  # cid -> (rows, cols, 64) natural
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
@@ -686,7 +692,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     raise ImageFormatError("JPEG DHT truncated")
                 huff[(tc, th)], _ = _jpeg_canonical_codes(bits, values)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (progressive)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith seq)
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec not in (8, 12):
                 raise ImageFormatError(f"{prec}-bit JPEG not supported")
@@ -700,6 +706,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tqi = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tqi))
             frame = (h, w, comps, prec)
+            if marker == 0xC9:
+                arithmetic = True
             if marker == 0xC2:
                 progressive = True
                 hmax = max(hs for _, hs, _, _ in comps)
@@ -710,10 +718,20 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
                     for cid, hs, vs, _ in comps
                 }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageFormatError(
-                "hierarchical/arithmetic/lossless JPEG not supported"
+                "hierarchical/progressive-arithmetic/lossless JPEG not supported"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc_tb, val = seg[p], seg[p + 1]
+                tc, tb = tc_tb >> 4, tc_tb & 0x0F
+                if tc == 0:
+                    arith_cond[(0, tb)] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    arith_cond[(1, tb)] = val  # Kx
+                p += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -724,6 +742,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if arithmetic:
+                return _jpeg_decode_scan_arith(
+                    content, pos + seglen, frame, scan, qt,
+                    restart_interval, arith_cond,
+                )
             if not progressive:
                 return _jpeg_decode_scan(
                     content, pos + seglen, frame, scan, qt, huff, restart_interval
@@ -1723,3 +1746,280 @@ def _jpeg_encode_progressive_scans(
                     _jpeg_enc_ac_refine_block(wtr, zz, Ss, Se, Al, enc_ac[ci])
         out.append((scan_comps, Ss, Se, Ah, Al, wtr.flush()))
     return out
+
+
+# --- arithmetic-coded JPEG (SOF9), T.81 Annex D QM-coder ------------------
+#
+# The LAST JPEG entropy mode: sequential DCT with the adaptive binary
+# QM arithmetic coder (T.81 Annex D) and the DC/AC statistical models of
+# Annex F.  Validated externally: tests encode reference bitstreams with
+# the SYSTEM libjpeg-turbo (tools/libjpeg_ref.py, ctypes, nothing
+# installed) and require bit-identical coefficients -- an encoder/decoder
+# pair written together would be self-consistent even with a wrong
+# probability model, so the independent bitstream is the ground truth.
+# Progressive arithmetic (SOF10) stays out of scope (typed error).
+
+#: T.81 Table D.3 -- Qe values and probability-estimation state machine:
+#: (Qe, next-MPS state, next-LPS state, MPS-switch).  State 113 is the
+#: non-adapting 0.5-probability bin used for AC sign decisions.
+#: (Cross-checked against the system libjpeg's jpeg_aritab in tests.)
+_QM_TABLE = [
+    (0x5a1d, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080b, 4, 18, 0), (0x03d8, 5, 20, 0), (0x01da, 6, 23, 0),
+    (0x00e5, 7, 25, 0), (0x006f, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001a, 10, 33, 0), (0x000d, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5a7f, 15, 15, 1),
+    (0x3f25, 16, 36, 0), (0x2cf2, 17, 38, 0), (0x207c, 18, 39, 0),
+    (0x17b9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0cef, 21, 43, 0),
+    (0x09a1, 22, 45, 0), (0x072f, 23, 46, 0), (0x055c, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01b1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00f5, 30, 57, 0),
+    (0x00b7, 31, 59, 0), (0x008a, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004e, 34, 63, 0), (0x003b, 35, 32, 0), (0x002c, 9, 33, 0),
+    (0x5ae1, 37, 37, 1), (0x484c, 38, 64, 0), (0x3a0d, 39, 65, 0),
+    (0x2ef1, 40, 67, 0), (0x261f, 41, 68, 0), (0x1f33, 42, 69, 0),
+    (0x19a8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0e74, 46, 74, 0), (0x0bfb, 47, 75, 0), (0x09f8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05cd, 51, 48, 0),
+    (0x04de, 52, 50, 0), (0x040f, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02d4, 55, 52, 0), (0x025c, 56, 53, 0), (0x01f8, 57, 54, 0),
+    (0x01a4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00f6, 61, 58, 0), (0x00cb, 62, 59, 0), (0x00ab, 63, 61, 0),
+    (0x008f, 32, 61, 0), (0x5b12, 65, 65, 1), (0x4d04, 66, 80, 0),
+    (0x412c, 67, 81, 0), (0x37d8, 68, 82, 0), (0x2fe8, 69, 83, 0),
+    (0x293c, 70, 84, 0), (0x2379, 71, 86, 0), (0x1edf, 72, 87, 0),
+    (0x1aa9, 73, 87, 0), (0x174e, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119c, 76, 74, 0), (0x0f6b, 77, 74, 0), (0x0d51, 78, 75, 0),
+    (0x0bb6, 79, 77, 0), (0x0a40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4d1c, 82, 88, 0), (0x438e, 83, 89, 0), (0x3bdd, 84, 90, 0),
+    (0x34ee, 85, 91, 0), (0x2eae, 86, 92, 0), (0x299a, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4ca9, 90, 95, 0),
+    (0x44d9, 91, 96, 0), (0x3e22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32b4, 94, 99, 0), (0x2e17, 86, 93, 0), (0x56a8, 96, 95, 1),
+    (0x4f46, 97, 101, 0), (0x47e5, 98, 102, 0), (0x41cf, 99, 103, 0),
+    (0x3c3d, 100, 104, 0), (0x375e, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4c0f, 103, 106, 0), (0x4639, 104, 107, 0), (0x415e, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50e7, 107, 108, 0), (0x4b85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504f, 107, 111, 0), (0x5a10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59eb, 111, 112, 1), (0x5a1d, 113, 113, 0),
+]
+
+
+class _ArithDecoder:
+    """T.81 Annex D QM decoder in the renorm-first register convention
+    (reconstructed from the behavior of conformant decoders): ``c``
+    accumulates RAW entropy bytes (0xFF00 byte-stuffing removed), ``ct``
+    counts pending bits, and each decision compares ``c`` against
+    ``(a - qe) << ct``.  Renormalization runs lazily at the START of the
+    next decision; hitting any marker (or end of data) switches to
+    zero-byte feeding, per the arithmetic-coding convention."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.end = len(data)
+        self.pos = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # force reading 2 initial bytes
+        self.marker = 0  # unread marker code (0 = none)
+
+    def _fetch(self) -> int:
+        if self.marker:
+            return 0
+        d, e = self.data, self.end
+        p = self.pos
+        if p >= e:
+            self.marker = 0xD9
+            return 0
+        b = d[p]
+        p += 1
+        if b == 0xFF:
+            while p < e and d[p] == 0xFF:
+                p += 1
+            if p >= e:
+                self.marker = 0xD9
+                self.pos = p
+                return 0
+            b2 = d[p]
+            p += 1
+            self.pos = p
+            if b2 == 0:
+                return 0xFF  # stuffed zero byte: data byte 0xFF
+            self.marker = b2
+            return 0
+        self.pos = p
+        return b
+
+    def decode(self, area: bytearray, i: int) -> int:
+        a = self.a
+        ct = self.ct
+        if a < 0x8000:
+            while True:
+                ct -= 1
+                if ct >= 0:
+                    a <<= 1
+                    if a >= 0x8000:
+                        break
+                    continue
+                self.c = (self.c << 8) | self._fetch()
+                ct += 8
+                if ct >= 0:
+                    a <<= 1
+                    if a >= 0x8000:
+                        break
+                    continue
+                ct += 1
+                if ct != 0:
+                    a <<= 1
+                    if a >= 0x8000:
+                        break
+                    continue
+                a = 0x10000  # got both initial bytes
+                break
+        sv = area[i]
+        qe, nmps, nlps, sw = _QM_TABLE[sv & 0x7F]
+        nl_x = nlps | (sw << 7)
+        a -= qe
+        temp = a << ct
+        self.ct = ct
+        if self.c >= temp:
+            # code point in the upper subinterval
+            self.c -= temp
+            self.a = qe
+            if qe <= a:  # normal LPS
+                area[i] = (sv & 0x80) ^ nl_x
+                return 1 - (sv >> 7)
+            area[i] = (sv & 0x80) ^ nmps  # conditional exchange: MPS
+            return sv >> 7
+        self.a = a
+        if a >= 0x8000:
+            return sv >> 7  # plain MPS, no estimation update
+        if qe <= a:
+            area[i] = (sv & 0x80) ^ nmps
+            return sv >> 7
+        area[i] = (sv & 0x80) ^ nl_x  # conditional exchange: LPS
+        return 1 - (sv >> 7)
+
+
+def _arith_magnitude(dec, area, m: int, st: int) -> int:
+    """Shared Sz reconstruction (Figures F.23/F.24): exponent chain from
+    ``st`` doubles ``m``; the mantissa bits live 14 states later."""
+    while dec.decode(area, st):
+        m <<= 1
+        if m > 0x8000:
+            raise ImageFormatError("arithmetic JPEG magnitude overflow")
+        st += 1
+    v = m
+    st += 14
+    m >>= 1
+    while m:
+        if dec.decode(area, st):
+            v |= m
+        m >>= 1
+    return v
+
+
+def _jpeg_decode_scan_arith(data, pos, frame, scan, qt, restart_interval, cond):
+    """Sequential arithmetic scan (T.81 F.2.4): same MCU walk as the
+    Huffman path, QM-decoded coefficients.  ``cond``: DAC conditioning
+    {(0, tbl): (L, U), (1, tbl): Kx}."""
+    h, w, comps, prec = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ImageFormatError(f"JPEG missing quant table {tq}")
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+
+    def fresh_state():
+        return (
+            {td: bytearray(64) for _, td, _ in scan},
+            {ta: bytearray(256) for _, _, ta in scan},
+            bytearray([113]),
+            {cid: {"pred": 0, "ctx": 0} for cid, _, _ in scan},
+        )
+
+    dc_stats, ac_stats, fixed_bin, dcs = fresh_state()
+    dec = _ArithDecoder(data, pos)
+    n_rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            # align to the RSTn marker, then full re-init (F.2.4.3).
+            # The decoder may already have consumed the marker bytes
+            # (lazy feeding), so search from just before its position.
+            p = max(pos, dec.pos - 2)
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= len(data) or data[p + 1] != 0xD0 + (n_rst & 7):
+                raise ImageFormatError("JPEG restart marker mismatch")
+            n_rst += 1
+            dc_stats, ac_stats, fixed_bin, dcs = fresh_state()
+            dec = _ArithDecoder(data, p + 2)
+        my, mx = divmod(m, mcus_x)
+        for cid, td, ta in scan:
+            hs, vs, tq = by_id[cid]
+            dc_area = dc_stats[td]
+            ac_area = ac_stats[ta]
+            dc_l, dc_u = cond.get((0, td), (0, 1))
+            ac_kx = cond.get((1, ta), 5)
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.int64)
+                    st8 = dcs[cid]
+                    s0 = st8["ctx"]
+                    if dec.decode(dc_area, s0) == 0:
+                        st8["ctx"] = 0
+                    else:
+                        sign = dec.decode(dc_area, s0 + 1)
+                        m_ = dec.decode(dc_area, s0 + 2 + sign)
+                        if m_:
+                            v = _arith_magnitude(dec, dc_area, 1, 20)
+                            mbase = 1
+                            while mbase <= v and mbase << 1 <= v:
+                                mbase <<= 1
+                        else:
+                            v = 0
+                            mbase = 0
+                        if mbase < (1 << dc_l) >> 1:
+                            st8["ctx"] = 0
+                        elif mbase > (1 << dc_u) >> 1:
+                            st8["ctx"] = 12 + (sign << 2)
+                        else:
+                            st8["ctx"] = 4 + (sign << 2)
+                        v += 1
+                        st8["pred"] += -v if sign else v
+                    coef[0] = st8["pred"]
+                    k = 1
+                    while k <= 63:
+                        st = 3 * (k - 1)
+                        if dec.decode(ac_area, st):
+                            break  # EOB
+                        while dec.decode(ac_area, st + 1) == 0:
+                            st += 3
+                            k += 1
+                            if k > 63:
+                                raise ImageFormatError("arith AC run overflow")
+                        sign = dec.decode(fixed_bin, 0)
+                        st += 2
+                        if dec.decode(ac_area, st):
+                            if dec.decode(ac_area, st):
+                                base = 189 if k <= ac_kx else 217
+                                v = _arith_magnitude(dec, ac_area, 2, base)
+                            else:
+                                v = 1
+                        else:
+                            v = 0
+                        v += 1
+                        coef[_JPEG_ZIGZAG[k]] = -v if sign else v
+                        k += 1
+                    block = _jpeg_idct_block((coef * qt[tq]).reshape(8, 8))
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w, prec)

@@ -29,8 +29,9 @@ oracles (``queries.multimodal.multimodal_png_decode`` /
 ``multimodal_jpeg_decode`` — baseline AND progressive JPEG decode
 for real too, and GIF via the pure-stdlib LZW decoder).
 Lossless WEBP decodes for real too (``multimodal/webp.py``), and so
-does 12-bit JPEG (SOF1/SOF2); only LOSSY WebP and arithmetic JPEG
-remain behind the PIL seam
+does 12-bit JPEG (SOF1/SOF2) and arithmetic-coded JPEG (SOF9, QM
+coder, validated against system-libjpeg bitstreams); LOSSY WebP (VP8)
+is the ONE format left behind the PIL seam
 (``ImageDecodeUnavailable`` per row when PIL is absent).  The default
 decode_fn stays the clearly-marked deterministic fake (md5-seeded
 pixels) for format-independent golden tests; everything Spark-side —
@@ -124,9 +125,9 @@ def _pil_decode(name: str, content: bytes) -> np.ndarray:
 
 def _real_decode(name: str, content: bytes) -> np.ndarray:
     """Real-codec dispatch: pure numpy+stdlib decoders first (PNG, BMP,
-    PPM, baseline/progressive/12-bit JPEG, GIF —
-    ``multimodal/codecs.py``), PIL only for the formats a pure decoder
-    can't reach (lossy WEBP, arithmetic JPEG).
+    PPM, baseline/progressive/12-bit/arithmetic JPEG, GIF —
+    ``multimodal/codecs.py``), PIL only for the one format a pure
+    decoder here doesn't reach (lossy WEBP).
     Raises per image (the mapInPandas stage isolates it into
     ``decode_error``)."""
     from image_matadata_batchprocessing_aws_spark.multimodal import codecs
@@ -226,7 +227,7 @@ def decode_images(
     (``multimodal/codecs.py`` — no third-party codec needed), baseline
     AND progressive JPEG via the pure Huffman+IDCT decoder, lossless
     WEBP via the pure VP8L decoder (``multimodal/webp.py``), and only
-    lossy WEBP and arithmetic JPEG route to the PIL seam
+    lossy WEBP routes to the PIL seam
     (``_pil_decode``); where PIL is absent those rows land in the
     ``decode_error`` column (per-row isolation) instead of failing the
     job.  Default remains the deterministic fake — stable golden-test

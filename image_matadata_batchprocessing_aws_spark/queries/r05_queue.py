@@ -4828,3 +4828,79 @@ def _encoding_flags_oracle() -> str:
 
 
 ORACLES["text_encoding_flags"] = _encoding_flags_oracle()
+
+
+ARITH_FIXDIR = "/root/repo/tests/fixtures/arith"
+
+
+def multimodal_jpeg_arith_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL arithmetic-coded JPEG (SOF9, T.81 Annex D QM coder) through
+    the Arrow decode pipeline: the committed fixtures were produced by
+    the SYSTEM libjpeg-turbo (tools/libjpeg_ref.py — an INDEPENDENT
+    encoder, so the probability model cannot be self-consistently
+    wrong), cover gray/RGB, 4:4:4 and 4:2:0, and restart markers, and
+    each decodes bit-identically to its Huffman twin (entropy coding is
+    lossless).  The oracle pins the per-channel pixel sums recorded in
+    the fixture manifest at generation time."""
+    import json
+    import os
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import decode_jpeg
+
+    manifest = json.load(open(os.path.join(ARITH_FIXDIR, "manifest.json")))
+    rows = [
+        (name, bytearray(open(os.path.join(ARITH_FIXDIR, name), "rb").read()))
+        for name, *_ in manifest
+    ]
+    entries = spark.createDataFrame(rows, "entry_name string, content binary")
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = decode_jpeg(bytes(content)).astype(np.int64)
+                out.append(
+                    (
+                        name,
+                        img.shape[1],
+                        img.shape[0],
+                        int(img[:, :, 0].sum()),
+                        int(img[:, :, 1].sum()),
+                        int(img[:, :, 2].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            out, columns=["entry_name", "w", "h", "r_sum", "g_sum", "b_sum"]
+        )
+
+    return entries.mapInPandas(
+        sums,
+        "entry_name string, w long, h long, r_sum long, g_sum long, b_sum long",
+    )
+
+
+QUERIES["multimodal_jpeg_arith_decode"] = multimodal_jpeg_arith_decode
+
+
+def _jpeg_arith_oracle() -> str:
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(ARITH_FIXDIR, "manifest.json")))
+    rows = ",\n        ".join(
+        f"('{name}', CAST({w} AS BIGINT), CAST({h} AS BIGINT), "
+        f"CAST({r} AS BIGINT), CAST({g} AS BIGINT), CAST({b} AS BIGINT))"
+        for name, w, h, r, g, b in manifest
+    )
+    return f"""
+    SELECT * FROM (VALUES
+        {rows}
+    ) AS t(entry_name, w, h, r_sum, g_sum, b_sum)
+    """
+
+
+ORACLES["multimodal_jpeg_arith_decode"] = _jpeg_arith_oracle()

@@ -322,9 +322,13 @@ def test_jpeg_error_contract():
     mut[i + 1] = 0xC2
     with pytest.raises(ImageFormatError, match="DC scan"):
         decode_jpeg(bytes(mut))
-    # arithmetic coding (SOF9) still rejected with a typed error
-    mut[i + 1] = 0xC9
-    with pytest.raises(ImageFormatError, match="arithmetic"):
+    # sequential arithmetic (SOF9) is now SUPPORTED (test_arith_jpeg.py);
+    # progressive-arithmetic (SOF10) and lossless (SOF11) stay typed errors
+    mut[i + 1] = 0xCA
+    with pytest.raises(ImageFormatError, match="progressive-arithmetic"):
+        decode_jpeg(bytes(mut))
+    mut[i + 1] = 0xCB
+    with pytest.raises(ImageFormatError, match="lossless"):
         decode_jpeg(bytes(mut))
 
 
