@@ -10,13 +10,12 @@ successive approximation, see the JPEG section) — and GIF decodes for
 real (LZW, see the GIF section), as does lossless WEBP (VP8L — see
 ``multimodal/webp.py``).  12-bit extended sequential and progressive
 JPEG decode for real (SOF1/SOF2, Pq=1 16-bit quant tables, extended
-Huffman alphabet, uint16 output), and so does sequential
-ARITHMETIC-coded JPEG (SOF9 — the T.81 Annex D QM coder, see the
-arithmetic section; validated bit-exact against system-libjpeg
-bitstreams).  Only LOSSY WebP (VP8) stays behind the PIL seam
-(``images._pil_decode``); the remaining JPEG exotica
-(progressive-arithmetic SOF10, hierarchical, lossless) raise typed
-errors.
+Huffman alphabet, uint16 output), and so does ARITHMETIC-coded JPEG
+— both sequential (SOF9) and progressive (SOF10): the T.81 Annex D QM
+coder plus the Annex F/G conditioning models, validated bit-exact
+against system-libjpeg bitstreams (see the arithmetic section).  Only
+LOSSY WebP (VP8) stays behind the PIL seam (``images._pil_decode``);
+hierarchical/lossless JPEG raise typed errors.
 
 Formats:
 
@@ -692,7 +691,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     raise ImageFormatError("JPEG DHT truncated")
                 huff[(tc, th)], _ = _jpeg_canonical_codes(bits, values)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith seq)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2, SOF9/10 (arith)
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec not in (8, 12):
                 raise ImageFormatError(f"{prec}-bit JPEG not supported")
@@ -706,9 +705,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tqi = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tqi))
             frame = (h, w, comps, prec)
-            if marker == 0xC9:
+            if marker in (0xC9, 0xCA):
                 arithmetic = True
-            if marker == 0xC2:
+            if marker in (0xC2, 0xCA):
                 progressive = True
                 hmax = max(hs for _, hs, _, _ in comps)
                 vmax = max(vs for _, _, vs, _ in comps)
@@ -718,9 +717,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
                     for cid, hs, vs, _ in comps
                 }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageFormatError(
-                "hierarchical/progressive-arithmetic/lossless JPEG not supported"
+                "hierarchical/lossless JPEG not supported"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             p = 0
@@ -742,6 +741,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if arithmetic and progressive:
+                band = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                        seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F)
+                pos = _jpeg_decode_scan_arith_progressive(
+                    content, pos + seglen, frame, scan, band,
+                    restart_interval, arith_cond, store,
+                )
+                continue
             if arithmetic:
                 return _jpeg_decode_scan_arith(
                     content, pos + seglen, frame, scan, qt,
@@ -1750,14 +1757,14 @@ def _jpeg_encode_progressive_scans(
 
 # --- arithmetic-coded JPEG (SOF9), T.81 Annex D QM-coder ------------------
 #
-# The LAST JPEG entropy mode: sequential DCT with the adaptive binary
-# QM arithmetic coder (T.81 Annex D) and the DC/AC statistical models of
-# Annex F.  Validated externally: tests encode reference bitstreams with
+# The LAST JPEG entropy modes: sequential (SOF9) AND progressive
+# (SOF10) DCT with the adaptive binary QM arithmetic coder (T.81 Annex
+# D) and the DC/AC statistical models of Annexes F and G.  Validated externally: tests encode reference bitstreams with
 # the SYSTEM libjpeg-turbo (tools/libjpeg_ref.py, ctypes, nothing
 # installed) and require bit-identical coefficients -- an encoder/decoder
 # pair written together would be self-consistent even with a wrong
 # probability model, so the independent bitstream is the ground truth.
-# Progressive arithmetic (SOF10) stays out of scope (typed error).
+# Every JPEG entropy mode now decodes; hierarchical/lossless remain out.
 
 #: T.81 Table D.3 -- Qe values and probability-estimation state machine:
 #: (Qe, next-MPS state, next-LPS state, MPS-switch).  State 113 is the
@@ -2023,3 +2030,182 @@ def _jpeg_decode_scan_arith(data, pos, frame, scan, qt, restart_interval, cond):
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
     return _jpeg_finish_planes(planes, comps, hmax, vmax, h, w, prec)
+
+
+def _jpeg_decode_scan_arith_progressive(
+    data, pos, frame, scan, band, restart_interval, cond, store
+):
+    """Progressive arithmetic scan (T.81 Annex G + Annex D): DC
+    first/refine and AC first/refine with the Annex F conditioning
+    model.  Statistics start fresh per scan; returns the position of
+    the next marker."""
+    Ss, Se, Ah, Al = band
+    h, w, comps, _prec = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def fresh():
+        return (
+            {td: bytearray(64) for _, td, _ in scan},
+            {ta: bytearray(256) for _, _, ta in scan},
+            bytearray([113]),
+            {cid: {"pred": 0, "ctx": 0} for cid, _, _ in scan},
+        )
+
+    dc_stats, ac_stats, fixed_bin, dcs = fresh()
+    dec = _ArithDecoder(data, pos)
+    rst = {"n": 0, "units": 0}
+
+    def maybe_restart():
+        nonlocal dc_stats, ac_stats, fixed_bin, dcs, dec
+        if restart_interval and rst["units"] and rst["units"] % restart_interval == 0:
+            p = max(pos, dec.pos - 2)
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= len(data) or data[p + 1] != 0xD0 + (rst["n"] & 7):
+                raise ImageFormatError("JPEG restart marker mismatch")
+            rst["n"] += 1
+            dc_stats, ac_stats, fixed_bin, dcs = fresh()
+            dec = _ArithDecoder(data, p + 2)
+        rst["units"] += 1
+
+    def dc_first(cid, td, blk):
+        dc_area = dc_stats[td]
+        dc_l, dc_u = cond.get((0, td), (0, 1))
+        st8 = dcs[cid]
+        s0 = st8["ctx"]
+        if dec.decode(dc_area, s0) == 0:
+            st8["ctx"] = 0
+        else:
+            sign = dec.decode(dc_area, s0 + 1)
+            m_ = dec.decode(dc_area, s0 + 2 + sign)
+            if m_:
+                v = _arith_magnitude(dec, dc_area, 1, 20)
+                mbase = 1
+                while mbase << 1 <= v:
+                    mbase <<= 1
+            else:
+                v = 0
+                mbase = 0
+            if mbase < (1 << dc_l) >> 1:
+                st8["ctx"] = 0
+            elif mbase > (1 << dc_u) >> 1:
+                st8["ctx"] = 12 + (sign << 2)
+            else:
+                st8["ctx"] = 4 + (sign << 2)
+            v += 1
+            st8["pred"] += -v if sign else v
+        blk[0] = st8["pred"] << Al
+
+    def ac_first(ta, blk):
+        ac_area = ac_stats[ta]
+        ac_kx = cond.get((1, ta), 5)
+        k = Ss
+        while k <= Se:
+            st = 3 * (k - 1)
+            if dec.decode(ac_area, st):
+                return  # EOB
+            while dec.decode(ac_area, st + 1) == 0:
+                st += 3
+                k += 1
+                if k > Se:
+                    raise ImageFormatError("arith AC run overflow")
+            sign = dec.decode(fixed_bin, 0)
+            st += 2
+            if dec.decode(ac_area, st):
+                if dec.decode(ac_area, st):
+                    base = 189 if k <= ac_kx else 217
+                    v = _arith_magnitude(dec, ac_area, 2, base)
+                else:
+                    v = 1
+            else:
+                v = 0
+            v += 1
+            v <<= Al
+            blk[_JPEG_ZIGZAG[k]] = -v if sign else v
+            k += 1
+
+    def ac_refine(ta, blk):
+        ac_area = ac_stats[ta]
+        p1 = 1 << Al
+        m1 = -p1
+        kex = Se
+        while kex >= Ss and blk[_JPEG_ZIGZAG[kex]] == 0:
+            kex -= 1
+        k = Ss
+        while k <= Se:
+            st = 3 * (k - 1)
+            if k > kex:
+                if dec.decode(ac_area, st):
+                    return  # EOB
+            while True:
+                ci = _JPEG_ZIGZAG[k]
+                if blk[ci] != 0:
+                    if dec.decode(ac_area, st + 2):
+                        blk[ci] += m1 if blk[ci] < 0 else p1
+                    break
+                if dec.decode(ac_area, st + 1):
+                    blk[ci] = m1 if dec.decode(fixed_bin, 0) else p1
+                    break
+                st += 3
+                k += 1
+                if k > Se:
+                    raise ImageFormatError("arith AC refine overflow")
+            k += 1
+
+    if Ss == 0:  # DC scan
+        if Se != 0:
+            raise ImageFormatError("JPEG DC scan with nonzero Se")
+        if len(scan) > 1:
+            for m in range(mcus_x * mcus_y):
+                maybe_restart()
+                my, mx = divmod(m, mcus_x)
+                for cid, td, _ta in scan:
+                    hs, vs, _tq = by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = store[cid][my * vs + by, mx * hs + bx]
+                            if Ah == 0:
+                                dc_first(cid, td, blk)
+                            elif dec.decode(fixed_bin, 0):
+                                blk[0] |= 1 << Al
+        else:
+            cid, td, _ta = scan[0]
+            hs, vs, _tq = by_id[cid]
+            bw = -(-(-(-(w * hs) // hmax)) // 8)
+            bh = -(-(-(-(h * vs) // vmax)) // 8)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    maybe_restart()
+                    blk = store[cid][byy, bxx]
+                    if Ah == 0:
+                        dc_first(cid, td, blk)
+                    elif dec.decode(fixed_bin, 0):
+                        blk[0] |= 1 << Al
+    else:  # AC scan: single component
+        if len(scan) != 1:
+            raise ImageFormatError("JPEG AC progressive scan must be single-component")
+        cid, _td, ta = scan[0]
+        hs, vs, _tq = by_id[cid]
+        bw = -(-(-(-(w * hs) // hmax)) // 8)
+        bh = -(-(-(-(h * vs) // vmax)) // 8)
+        for byy in range(bh):
+            for bxx in range(bw):
+                maybe_restart()
+                blk = store[cid][byy, bxx]
+                if Ah == 0:
+                    ac_first(ta, blk)
+                else:
+                    ac_refine(ta, blk)
+    # advance to the next marker
+    p = max(pos, dec.pos - 2)
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF)
+    ):
+        p += 1
+    return p

@@ -29,9 +29,10 @@ oracles (``queries.multimodal.multimodal_png_decode`` /
 ``multimodal_jpeg_decode`` — baseline AND progressive JPEG decode
 for real too, and GIF via the pure-stdlib LZW decoder).
 Lossless WEBP decodes for real too (``multimodal/webp.py``), and so
-does 12-bit JPEG (SOF1/SOF2) and arithmetic-coded JPEG (SOF9, QM
-coder, validated against system-libjpeg bitstreams); LOSSY WebP (VP8)
-is the ONE format left behind the PIL seam
+does 12-bit JPEG (SOF1/SOF2) and arithmetic-coded JPEG — sequential
+SOF9 AND progressive SOF10 (QM coder, validated against
+system-libjpeg bitstreams); LOSSY WebP (VP8) is the ONE format left
+behind the PIL seam
 (``ImageDecodeUnavailable`` per row when PIL is absent).  The default
 decode_fn stays the clearly-marked deterministic fake (md5-seeded
 pixels) for format-independent golden tests; everything Spark-side —

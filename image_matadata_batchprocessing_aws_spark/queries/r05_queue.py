@@ -4835,7 +4835,8 @@ ARITH_FIXDIR = "/root/repo/tests/fixtures/arith"
 
 def multimodal_jpeg_arith_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL arithmetic-coded JPEG (SOF9, T.81 Annex D QM coder) through
-    the Arrow decode pipeline: the committed fixtures were produced by
+    the Arrow decode pipeline (sequential SOF9 and progressive SOF10):
+    the committed fixtures were produced by
     the SYSTEM libjpeg-turbo (tools/libjpeg_ref.py — an INDEPENDENT
     encoder, so the probability model cannot be self-consistently
     wrong), cover gray/RGB, 4:4:4 and 4:2:0, and restart markers, and

@@ -29,13 +29,14 @@ _HAS_LIBJPEG = ctypes.util.find_library("jpeg") is not None or os.path.exists(
 needs_libjpeg = pytest.mark.skipif(not _HAS_LIBJPEG, reason="no system libjpeg")
 
 
-def _ref_encode(img, q, mode, arith, rst=0, subsamp="444"):
+def _ref_encode(img, q, mode, arith, rst=0, subsamp="444", prog=False):
     code = f"""
 import sys; sys.path.insert(0,'/root/repo/tools')
 import libjpeg_ref as L
 raw = sys.stdin.buffer.read()
 data = L.encode({img.shape[1]}, {img.shape[0]}, {q}, '{mode}', raw,
-                arith={arith}, restart_rows={rst}, subsamp='{subsamp}')
+                arith={arith}, restart_rows={rst}, subsamp='{subsamp}',
+                progressive={prog})
 sys.stdout.buffer.write(data)
 """
     p = subprocess.run(
@@ -47,10 +48,11 @@ sys.stdout.buffer.write(data)
 
 def test_committed_arith_fixtures_decode_to_pinned_sums():
     manifest = json.load(open(os.path.join(FIXDIR, "manifest.json")))
-    assert len(manifest) == 5
+    assert len(manifest) == 6
     for name, w, h, rs, gs, bs in manifest:
         data = open(os.path.join(FIXDIR, name), "rb").read()
-        assert data[:2] == b"\xff\xd8" and b"\xff\xc9" in data  # SOF9
+        sof = b"\xff\xca" if name == "a_rgb_prog.jpg" else b"\xff\xc9"
+        assert data[:2] == b"\xff\xd8" and sof in data
         img = decode_jpeg(data)
         assert img.shape == (h, w, 3)
         got = [int(img[:, :, c].astype(np.int64).sum()) for c in range(3)]
@@ -86,13 +88,16 @@ def test_arith_equals_huffman_across_shapes(quality):
         ph = decode_jpeg(_ref_encode(img, quality, mode, False, rst, ss))
         pa = decode_jpeg(_ref_encode(img, quality, mode, True, rst, ss))
         assert np.array_equal(ph, pa), (img.shape, mode, rst, ss)
+        # progressive arithmetic (SOF10): same coefficients again
+        pp = decode_jpeg(_ref_encode(img, quality, mode, True, rst, ss, prog=True))
+        assert np.array_equal(ph, pp), ("prog", img.shape, mode, rst, ss)
 
 
-def test_progressive_arithmetic_still_rejected():
+def test_lossless_jpeg_still_rejected():
     data = bytearray(
         open(os.path.join(FIXDIR, "a_gray_noise.jpg"), "rb").read()
     )
     i = data.find(b"\xff\xc9")
-    data[i + 1] = 0xCA  # SOF10: progressive arithmetic
-    with pytest.raises(ImageFormatError, match="progressive-arithmetic"):
+    data[i + 1] = 0xCB  # SOF11: lossless
+    with pytest.raises(ImageFormatError, match="lossless"):
         decode_jpeg(bytes(data))

@@ -322,11 +322,8 @@ def test_jpeg_error_contract():
     mut[i + 1] = 0xC2
     with pytest.raises(ImageFormatError, match="DC scan"):
         decode_jpeg(bytes(mut))
-    # sequential arithmetic (SOF9) is now SUPPORTED (test_arith_jpeg.py);
-    # progressive-arithmetic (SOF10) and lossless (SOF11) stay typed errors
-    mut[i + 1] = 0xCA
-    with pytest.raises(ImageFormatError, match="progressive-arithmetic"):
-        decode_jpeg(bytes(mut))
+    # arithmetic (SOF9/SOF10) is now SUPPORTED (test_arith_jpeg.py);
+    # lossless (SOF11) stays a typed error
     mut[i + 1] = 0xCB
     with pytest.raises(ImageFormatError, match="lossless"):
         decode_jpeg(bytes(mut))

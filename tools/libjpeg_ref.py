@@ -126,6 +126,7 @@ def encode(
     arith: bool = True,
     restart_rows: int = 0,
     subsamp: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     lib = _lib()
     jerr = jpeg_error_mgr()
@@ -172,6 +173,8 @@ def encode(
         assert stride_ints, "comp_info stride not found"
         ints[2] = 1  # h_samp
         ints[3] = 1  # v_samp
+    if progressive:
+        lib.jpeg_simple_progression(C.byref(cinfo))
     lib.jpeg_start_compress(C.byref(cinfo), 1)
     rowptr = (C.c_void_p * 1)()
     buf = C.create_string_buffer(raw, len(raw))
