@@ -155,7 +155,13 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
         except codecs.ImageFormatError as exc:
             if "PIL path" not in str(exc):
                 raise
-            return _pil_decode(name, content)  # lossy VP8 / animation
+            # lossy VP8 / animation: system libwebp via ctypes when
+            # present (multimodal/webp_sys.py), else the PIL seam
+            from image_matadata_batchprocessing_aws_spark.multimodal import webp_sys  # noqa: PLC0415
+
+            if webp_sys.available():
+                return webp_sys.decode_webp_sys(content)
+            return _pil_decode(name, content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         from image_matadata_batchprocessing_aws_spark.multimodal.tiff import (  # noqa: PLC0415
             decode_tiff,

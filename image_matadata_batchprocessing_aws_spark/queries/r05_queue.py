@@ -4905,3 +4905,71 @@ def _jpeg_arith_oracle() -> str:
 
 
 ORACLES["multimodal_jpeg_arith_decode"] = _jpeg_arith_oracle()
+
+
+WEBP_LOSSY_FIXDIR = "/root/repo/tests/fixtures/webp_lossy"
+
+
+def multimodal_webp_lossy_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossy WebP (VP8) through the Arrow pipeline via the system-codec
+    seam (`webp_sys.py` — a ctypes libwebp binding, stated honestly:
+    this validates the sniff/dispatch/decode/isolation PLUMBING, the
+    codec is the system library).  Committed fixtures pin libwebp's own
+    per-channel decode sums in the manifest."""
+    import json
+    import os
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    manifest = json.load(open(os.path.join(WEBP_LOSSY_FIXDIR, "manifest.json")))
+    rows = [
+        (name, bytearray(open(os.path.join(WEBP_LOSSY_FIXDIR, name), "rb").read()))
+        for name, *_ in manifest
+    ]
+    entries = spark.createDataFrame(rows, "entry_name string, content binary")
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                out.append(
+                    (name, img.shape[1], img.shape[0],
+                     int(img[:, :, 0].sum()), int(img[:, :, 1].sum()),
+                     int(img[:, :, 2].sum()))
+                )
+        yield pd.DataFrame(
+            out, columns=["entry_name", "w", "h", "r_sum", "g_sum", "b_sum"]
+        )
+
+    return entries.mapInPandas(
+        sums,
+        "entry_name string, w long, h long, r_sum long, g_sum long, b_sum long",
+    )
+
+
+QUERIES["multimodal_webp_lossy_decode"] = multimodal_webp_lossy_decode
+
+
+def _webp_lossy_oracle() -> str:
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(WEBP_LOSSY_FIXDIR, "manifest.json")))
+    rows = ",\n        ".join(
+        f"('{name}', CAST({w} AS BIGINT), CAST({h} AS BIGINT), "
+        f"CAST({r} AS BIGINT), CAST({g} AS BIGINT), CAST({b} AS BIGINT))"
+        for name, w, h, r, g, b in manifest
+    )
+    return f"""
+    SELECT * FROM (VALUES
+        {rows}
+    ) AS t(entry_name, w, h, r_sum, g_sum, b_sum)
+    """
+
+
+ORACLES["multimodal_webp_lossy_decode"] = _webp_lossy_oracle()
