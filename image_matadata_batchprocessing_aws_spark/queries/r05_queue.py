@@ -4973,3 +4973,53 @@ def _webp_lossy_oracle() -> str:
 
 
 ORACLES["multimodal_webp_lossy_decode"] = _webp_lossy_oracle()
+
+
+GEO_RADIUS = 50  # integer milli-units
+
+
+def join_geo_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed spatial radius join, oracle-checked for BOTH recall
+    and precision: customers and suppliers get deterministic integer
+    milli-unit coordinates, the Spark side runs the 3x3-neighborhood
+    cell join (never a cross join), and the DuckDB oracle brute-forces
+    the full cross product with the same integer predicate — a missed
+    candidate (bucketing bug) or an extra pair (predicate bug) both
+    surface as row mismatches.  d2 is an exact integer."""
+    from image_matadata_batchprocessing_aws_spark.operators.geo import radius_join_grid
+
+    cust = t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 2000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 91) % 2000).cast("double").alias("y"),
+    )
+    supp = t(spark, sf, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53) % 2000).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 17) % 2000).cast("double").alias("y"),
+    )
+    out = radius_join_grid(
+        cust, supp, radius=GEO_RADIUS,
+        left_cols=["c_custkey"], right_cols=["s_suppkey"],
+    )
+    return out.select(
+        "c_custkey", "s_suppkey", F.col("d2").cast("long").alias("d2")
+    )
+
+
+QUERIES["join_geo_radius"] = join_geo_radius
+
+ORACLES["join_geo_radius"] = f"""
+    SELECT c.c_custkey, s.s_suppkey,
+      CAST(((c.c_custkey * 37) % 2000 - (s.s_suppkey * 53) % 2000)
+           * ((c.c_custkey * 37) % 2000 - (s.s_suppkey * 53) % 2000)
+           + ((c.c_custkey * 91) % 2000 - (s.s_suppkey * 17) % 2000)
+           * ((c.c_custkey * 91) % 2000 - (s.s_suppkey * 17) % 2000)
+           AS BIGINT) AS d2
+    FROM customer c CROSS JOIN supplier s
+    WHERE ((c.c_custkey * 37) % 2000 - (s.s_suppkey * 53) % 2000)
+          * ((c.c_custkey * 37) % 2000 - (s.s_suppkey * 53) % 2000)
+          + ((c.c_custkey * 91) % 2000 - (s.s_suppkey * 17) % 2000)
+          * ((c.c_custkey * 91) % 2000 - (s.s_suppkey * 17) % 2000)
+          <= {GEO_RADIUS * GEO_RADIUS}
+"""
