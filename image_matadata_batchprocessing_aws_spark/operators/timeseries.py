@@ -389,3 +389,70 @@ def rolling_quantile(
     qv = F.percentile(F.col(value_col), F.lit(float(q))).over(w)
     n = F.count(F.col(value_col)).over(w)
     return df.withColumn(out, F.when(n >= min_periods, F.round(qv, 6)))
+
+
+def holt_trailing(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    lookback: int = 50,
+    out_level: str = "holt_level",
+    out_forecast: str = "holt_forecast",
+    value_digits: int = 4,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) over the
+    trailing ``lookback`` observations — :func:`ewma_trailing`'s sibling
+    for trending series, with a one-step-ahead forecast:
+
+        l_0 = x_0, t_0 = 0
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+        forecast = l_n + t_n
+
+    Same scale/determinism contract as the EWMA: bounded ROWS frame
+    (one shuffle on ``key``, frames never exceed ``lookback``), inputs
+    quantized to scaled BIGINTs, and the fold carries a (level, trend)
+    STRUCT accumulator through the identical left-to-right IEEE
+    sequence in both engines — DuckDB's ``list_reduce`` is same-typed,
+    so each element maps to a struct first and the reduce consumes the
+    next element's level field; the new-level expression appears twice
+    textually in the trend update (no let-binding in either lambda
+    dialect), which is deterministic, just not elegant."""
+    scale = float(10**value_digits)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    hist = F.collect_list(xs).over(w)
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+
+    def step(acc, x):
+        l0 = acc["l"]
+        t0 = acc["t"]
+        xd = x.cast("double")
+        new_l = a * xd + (F.lit(1.0) - a) * (l0 + t0)
+        new_l2 = a * xd + (F.lit(1.0) - a) * (l0 + t0)
+        new_t = b * (new_l2 - l0) + (F.lit(1.0) - b) * t0
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    folded = F.aggregate(
+        F.slice(hist, 2, lookback),
+        F.struct(
+            F.element_at(hist, 1).cast("double").alias("l"),
+            F.lit(0.0).alias("t"),
+        ),
+        step,
+    )
+    return df.withColumns(
+        {
+            out_level: F.round(folded["l"] / F.lit(scale), 6),
+            out_forecast: F.round((folded["l"] + folded["t"]) / F.lit(scale), 6),
+        }
+    )

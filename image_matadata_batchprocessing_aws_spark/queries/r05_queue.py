@@ -5023,3 +5023,66 @@ ORACLES["join_geo_radius"] = f"""
           * ((c.c_custkey * 91) % 2000 - (s.s_suppkey * 17) % 2000)
           <= {GEO_RADIUS * GEO_RADIUS}
 """
+
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+HOLT_LOOKBACK = 20
+
+
+def ts_holt(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt level+trend smoothing with one-step forecast per user —
+    ``ts_ewma``'s trending sibling; the struct-accumulator fold runs
+    the identical IEEE sequence in both engines (the same-typed
+    ``list_reduce`` trick: elements map to (level, trend=0) structs and
+    the reduce consumes the next element's level field)."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import holt_trailing
+
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    out = holt_trailing(
+        e, "user_id", "ts", "value", "event_id",
+        alpha=HOLT_ALPHA, beta=HOLT_BETA, lookback=HOLT_LOOKBACK,
+    )
+    return out.select("user_id", "event_id", "holt_level", "holt_forecast")
+
+
+QUERIES["ts_holt"] = ts_holt
+
+#: DuckDB 1.0's list_reduce mutates the struct accumulator IN PLACE
+#: field by field (the 't' expression would see the freshly-written
+#: 'l'), so the twin runs the recurrence as a recursive CTE over the
+#: frame index instead -- plain column arithmetic, no aliasing, same
+#: IEEE sequence as the Spark fold.
+_HOLT_STEP_L = (
+    f"{HOLT_ALPHA} * CAST(hist[k + 1] AS DOUBLE) "
+    f"+ (1.0 - {HOLT_ALPHA}) * (l + t)"
+)
+
+ORACLES["ts_holt"] = f"""
+    WITH RECURSIVE b AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(round(value * 10000.0) AS BIGINT) AS xs
+      FROM events WHERE value IS NOT NULL),
+    frames AS (
+      SELECT user_id, event_id,
+             list(xs) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN {HOLT_LOOKBACK - 1} PRECEDING
+                            AND CURRENT ROW) AS hist
+      FROM b),
+    rec AS (
+      SELECT user_id, event_id, hist, 1 AS k,
+             CAST(hist[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS t
+      FROM frames
+      UNION ALL
+      SELECT user_id, event_id, hist, k + 1,
+             {_HOLT_STEP_L} AS l,
+             {HOLT_BETA} * (({_HOLT_STEP_L}) - l) + (1.0 - {HOLT_BETA}) * t
+               AS t
+      FROM rec WHERE k < len(hist)),
+    f AS (SELECT user_id, event_id, l, t FROM rec WHERE k = len(hist))
+    SELECT user_id, event_id,
+           round(l / 10000.0, 6) AS holt_level,
+           round((l + t) / 10000.0, 6) AS holt_forecast
+    FROM f
+"""
+

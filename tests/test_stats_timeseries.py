@@ -445,3 +445,30 @@ def test_mann_whitney_u_ties_and_empty_side(spark):
     assert x.z == round((2.0 - 4.5) / math.sqrt(4.95), 6)
     y = out["y"]
     assert (y.n_treat, y.n_ctrl, y.z) == (2, 0, None)
+
+
+def test_holt_trailing_matches_python_recurrence(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import holt_trailing
+
+    vals = [10.0, 20.0, 30.0, 40.0, 35.0]
+    df = spark.createDataFrame(
+        [("u", i, i, v) for i, v in enumerate(vals)],
+        "k string, ts long, eid long, value double",
+    )
+    out = {
+        r.eid: (r.holt_level, r.holt_forecast)
+        for r in holt_trailing(
+            df, "k", "ts", "value", "eid", alpha=0.3, beta=0.1, lookback=50
+        ).collect()
+    }
+
+    def ref(xs):
+        l, t = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.3 * x + 0.7 * (l + t)
+            nt = 0.1 * (nl - l) + 0.9 * t
+            l, t = nl, nt
+        return round(l, 6), round(l + t, 6)
+
+    for i in range(len(vals)):
+        assert out[i] == ref(vals[: i + 1]), i
