@@ -16,7 +16,10 @@ the test runner alive):
     python tools/libjpeg_ref.py aritab          # dump jpeg_aritab rows
 
 raw_pixels on stdin: w*h bytes (gray) or w*h*3 bytes (RGB, interleaved).
-The emitted JPEG is SEQUENTIAL ARITHMETIC (SOF9), 4:4:4 for RGB.
+The emitted JPEG defaults to SEQUENTIAL ARITHMETIC (SOF9), 4:4:4 for
+RGB; ``encode(..., progressive=True)`` emits progressive arithmetic
+(SOF10) via jpeg_simple_progression, and ``arith=False`` the Huffman
+twins used as decode ground truth.
 """
 
 from __future__ import annotations
