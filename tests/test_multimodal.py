@@ -105,7 +105,7 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
             ("5.jpg", encode_jpeg(red, quality=90)),
             ("6.png", encode_gif(red)),  # GIF magic: real LZW decode now
             ("7.png", encode_webp_lossless(red)),  # VP8L: real decode now
-            # lossy VP8: the one image format still on the PIL seam
+            # malformed lossy VP8 payload: must error per-row, not throw
             ("8.png", b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"),
         ],
     )
@@ -133,8 +133,17 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     webp = rows["7.png"]  # lossless WEBP routes to the real VP8L decoder
     assert webp.decode_error is None
     assert (webp.channels, webp.height, webp.width) == (3, TARGET_SIZE, TARGET_SIZE)
-    lossy = rows["8.png"]  # lossy VP8 is the one image format left on PIL
-    assert lossy.image is None and "PIL" in lossy.decode_error
+    # malformed lossy VP8: per-row error isolation.  With system
+    # libwebp present the ctypes decoder rejects the garbage payload;
+    # without it, the row lands on the PIL seam.
+    from image_matadata_batchprocessing_aws_spark.multimodal import webp_sys
+
+    lossy = rows["8.png"]
+    assert lossy.image is None
+    if webp_sys.available():
+        assert "WebP" in lossy.decode_error
+    else:
+        assert "PIL" in lossy.decode_error
 
 
 def test_resize_with_padding_golden():
