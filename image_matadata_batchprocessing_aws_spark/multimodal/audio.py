@@ -322,3 +322,76 @@ def detect_silence_segments(
         F.max(frame_col).cast("long").alias("end_frame"),
         F.count("*").alias("n_frames"),
     )
+
+
+PITCH_SCHEMA = (
+    "file_name string, sample_rate long, n_samples long, best_lag long, "
+    "best_ac long, pitch_hz double, decode_error string"
+)
+
+
+def wav_pitch_autocorr(
+    audio: DataFrame,
+    lag_min: int = 20,
+    lag_max: int = 80,
+    max_samples: int = 8000,
+) -> DataFrame:
+    """Pitch (fundamental-period) detection by INTEGER autocorrelation
+    over channel 0 of each PCM16 blob: ``ac(L) = sum_i s[i]*s[i+L]``
+    for L in [lag_min, lag_max]; the best lag is the argmax with
+    smallest-lag tie-break, and ``pitch_hz = rate / best_lag``.
+
+    Every accumulation is int64-exact (|s| <= 32767, so n * s^2 fits
+    up to n ~ 8.5e9 samples), which is what makes this operator
+    oracle-checkable bit-for-bit: an engine-independent SQL twin can
+    recompute ``ac`` from a closed-form fixture via a lag self-join.
+    The analysis window caps at ``max_samples`` per blob so work per
+    row is bounded regardless of blob size; per-row errors land in
+    ``decode_error`` (the ``wav_pcm_stats`` contract).
+    """
+
+    def pitch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["file_name"], pdf["content"]):
+                try:
+                    samples, rate = decode_wav(bytes(content))
+                    ch0 = samples[:, 0] if samples.ndim == 2 else samples
+                    s = ch0[:max_samples].astype(np.int64)
+                    n = len(s)
+                    if n <= lag_max:
+                        raise AudioFormatError(
+                            f"need > {lag_max} samples, got {n}"
+                        )
+                    best_l, best_a = None, None
+                    for lag in range(lag_min, lag_max + 1):
+                        a = int(np.dot(s[: n - lag], s[lag:]))
+                        if best_a is None or a > best_a:
+                            best_l, best_a = lag, a
+                    rows.append(
+                        (
+                            name,
+                            rate,
+                            n,
+                            best_l,
+                            best_a,
+                            round(rate / best_l, 6),
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((name, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "sample_rate",
+                    "n_samples",
+                    "best_lag",
+                    "best_ac",
+                    "pitch_hz",
+                    "decode_error",
+                ],
+            )
+
+    return audio.mapInPandas(pitch, PITCH_SCHEMA)

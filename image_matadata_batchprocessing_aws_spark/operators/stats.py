@@ -775,3 +775,237 @@ def mann_whitney_u_sql(
                      END, {round_digits}) AS z
         FROM d
     """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    class_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-class two-sample KOLMOGOROV-SMIRNOV statistic: for every
+    class ``c``, D = sup_x |F_c(x) - F_rest(x)| against the complement
+    of that class — the distribution-drift gate for "did source c's
+    quality scores shift vs everyone else" that a corpus pipeline runs
+    per source/shard.
+
+    With ties, the sup over the union of jump points is attained at
+    some distinct value evaluated AFTER its step, so the exact D needs
+    only cumulative counts on the distinct-value grid of the WHOLE
+    sample (both ECDFs are flat between union points).  Everything
+    stays integer: D's numerator is max |ca*nB - cb*nA| over grid
+    points; the single closing division descales it.  Products are
+    bounded by N^2, exact in BIGINT up to N ~ 3e9 rows per comparison;
+    past that, promote the two products to decimal(38,0) — same plan.
+
+    Shape: a (class, value) count aggregate, a value-grain count
+    aggregate, a broadcast k-row class-totals join, one keyed
+    cumulative window over the k x V grid, and a k-row final aggregate
+    — no all-pairs, no global sort; the grid is value-distinct-sized
+    per class, never row-sized.
+
+    Returns ``class_col, n_a, n_b, ks_d`` (one row per class).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(class_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    by_value = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__ct"))
+    classes = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__na"))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    grid = by_value.crossJoin(F.broadcast(classes)).crossJoin(
+        F.broadcast(total)
+    )
+    j = grid.join(counts, [class_col, value_col], "left").withColumn(
+        "__c", F.coalesce(F.col("__c"), F.lit(0))
+    )
+    w = (
+        Window.partitionBy(class_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = j.withColumns(
+        {
+            "__ca": F.sum("__c").over(w).cast("long"),
+            "__cu": F.sum("__ct").over(w).cast("long"),
+        }
+    ).withColumn("__cb", F.col("__cu") - F.col("__ca"))
+    gap = F.abs(
+        F.col("__ca") * (F.col("__n") - F.col("__na"))
+        - F.col("__cb") * F.col("__na")
+    )
+    return (
+        cum.withColumn("__gap", gap)
+        .groupBy(class_col, "__na", "__n")
+        .agg(F.max("__gap").alias("__dnum"))
+        .select(
+            class_col,
+            F.col("__na").cast("long").alias("n_a"),
+            (F.col("__n") - F.col("__na")).cast("long").alias("n_b"),
+            F.round(
+                F.col("__dnum").cast("double")
+                / (
+                    F.col("__na").cast("double")
+                    * (F.col("__n") - F.col("__na")).cast("double")
+                ),
+                round_digits,
+            ).alias("ks_d"),
+        )
+    )
+
+
+def ks_two_sample_sql(
+    table: str,
+    class_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample` — same distinct-value grid,
+    integer cumulative gap, single closing division."""
+    return f"""
+        WITH counts AS (
+          SELECT {class_col} AS g, {value_col} AS v, count(*) AS c
+          FROM {table} GROUP BY 1, 2),
+        by_value AS (
+          SELECT {value_col} AS v, count(*) AS ct FROM {table} GROUP BY 1),
+        classes AS (
+          SELECT {class_col} AS g, count(*) AS na FROM {table} GROUP BY 1),
+        total AS (SELECT count(*) AS n FROM {table}),
+        grid AS (
+          SELECT cl.g, bv.v, bv.ct, cl.na, t.n,
+                 coalesce(co.c, 0) AS c
+          FROM by_value bv CROSS JOIN classes cl CROSS JOIN total t
+          LEFT JOIN counts co ON co.g = cl.g AND co.v = bv.v),
+        cum AS (
+          SELECT g, na, n,
+                 CAST(sum(c) OVER w AS BIGINT) AS ca,
+                 CAST(sum(ct) OVER w AS BIGINT) AS cu
+          FROM grid
+          WINDOW w AS (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT g AS {class_col},
+               CAST(na AS BIGINT) AS n_a,
+               CAST(n - na AS BIGINT) AS n_b,
+               round(CAST(max(abs(ca * (n - na) - (cu - ca) * na)) AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)),
+                     {round_digits}) AS ks_d
+        FROM cum GROUP BY g, na, n
+    """
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson CHI-SQUARE test of independence between two categorical
+    columns, with the per-cell decomposition a drift dashboard wants:
+    observed, expected, and each cell's contribution, plus the total
+    statistic and degrees of freedom on every row.
+
+    Exactness: with integer marginals R, C and total N, the textbook
+    (O - E)^2 / E rewrites as (O*N - R*C)^2 / (N*R*C) — the numerator
+    root is an INTEGER (exact in BIGINT while N^2 fits, i.e. N to
+    ~3e9; promote to decimal(38,0) past that), so both engines square
+    and divide the same doubles.  Cell contributions quantize to
+    scaled BIGINTs before the total sum, making the k-cell reduction
+    associative-exact regardless of partitioning.
+
+    Shape: one (row, col) count aggregate; marginals and N are
+    broadcast k-row/1-row joins; the closing total runs over an
+    unpartitioned window that is BOUNDED by |rows| x |cols| distinct
+    cells — category-product-sized, never data-sized.
+
+    Returns ``row_col, col_col, observed, expected, contrib, chi2,
+    dof`` (one row per observed cell).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("__o"))
+    rmarg = df.groupBy(row_col).agg(F.count(F.lit(1)).alias("__r"))
+    cmarg = df.groupBy(col_col).agg(F.count(F.lit(1)).alias("__cc"))
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    j = (
+        cells.join(F.broadcast(rmarg), row_col)
+        .join(F.broadcast(cmarg), col_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = (F.col("__o") * F.col("__n") - F.col("__r") * F.col("__cc")).cast(
+        "double"
+    )
+    denom = (
+        F.col("__n").cast("double")
+        * F.col("__r").cast("double")
+        * F.col("__cc").cast("double")
+    )
+    expected = F.col("__r").cast("double") * F.col("__cc").cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    scale = float(10**round_digits)
+    withc = j.withColumns(
+        {
+            "__exp": expected,
+            "__contrib_s": F.round(diff * diff / denom * F.lit(scale)).cast(
+                "long"
+            ),
+        }
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nr = F.size(F.collect_set(row_col).over(w_all))
+    nc = F.size(F.collect_set(col_col).over(w_all))
+    return withc.select(
+        row_col,
+        col_col,
+        F.col("__o").cast("long").alias("observed"),
+        F.round(F.col("__exp"), round_digits).alias("expected"),
+        F.round(F.col("__contrib_s") / F.lit(scale), round_digits).alias(
+            "contrib"
+        ),
+        F.round(
+            (F.sum("__contrib_s").over(w_all) / F.lit(scale)), round_digits
+        ).alias("chi2"),
+        ((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+    )
+
+
+def chi2_independence_sql(
+    table: str,
+    row_col: str,
+    col_col: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`chi2_independence` — identical integer
+    numerator root, double epilogue, and scaled-BIGINT total."""
+    scale = float(10**round_digits)
+    return f"""
+        WITH cells AS (
+          SELECT {row_col} AS r, {col_col} AS c, count(*) AS o
+          FROM {table} GROUP BY 1, 2),
+        rmarg AS (SELECT {row_col} AS r, count(*) AS rr FROM {table} GROUP BY 1),
+        cmarg AS (SELECT {col_col} AS c, count(*) AS cc FROM {table} GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM {table}),
+        j AS (
+          SELECT cells.r, cells.c, o, rr, cc, n,
+                 CAST(rr AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS exp,
+                 CAST(round(CAST(o * n - rr * cc AS DOUBLE)
+                            * CAST(o * n - rr * cc AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(rr AS DOUBLE)
+                               * CAST(cc AS DOUBLE)) * {scale}) AS BIGINT)
+                   AS contrib_s
+          FROM cells JOIN rmarg USING (r) JOIN cmarg USING (c) CROSS JOIN tot),
+        dims AS (
+          SELECT (SELECT count(*) FROM rmarg) AS nr,
+                 (SELECT count(*) FROM cmarg) AS nc)
+        SELECT r AS {row_col}, c AS {col_col},
+               CAST(o AS BIGINT) AS observed,
+               round(exp, {round_digits}) AS expected,
+               round(contrib_s / {scale}, {round_digits}) AS contrib,
+               round(sum(contrib_s) OVER () / {scale}, {round_digits}) AS chi2,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+        FROM j CROSS JOIN dims
+    """

@@ -5086,3 +5086,206 @@ ORACLES["ts_holt"] = f"""
     FROM f
 """
 
+
+
+CUSUM_K = 5.0
+CUSUM_H = 60.0
+
+
+def ts_cusum_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided tabular CUSUM mean-shift detection per user (Page
+    1954) against the global mean — the changepoint sibling of
+    ``ts_ewma``/``ts_holt``.  The clamp-at-zero recurrence runs as the
+    prefix identity ``S_t = P_t - min(0, running_min(P))`` — two
+    stacked keyed windows on one exchange, integer-exact throughout
+    (see ``operators/timeseries.cusum_two_sided``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        cusum_two_sided,
+    )
+
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    return cusum_two_sided(
+        e, "user_id", "ts", "value", "event_id",
+        slack_k=CUSUM_K, threshold_h=CUSUM_H,
+    )
+
+
+QUERIES["ts_cusum_shift"] = ts_cusum_shift
+
+#: The clamp recurrence S_t = max(0, S_{t-1} + d_t) is NOT run
+#: recursively: both twins use the exact prefix identity
+#: S_t = P_t - min(0, min_{j<=t} P_j), all-integer until the final
+#: descale, so parity is bit-exact by construction.
+ORACLES["ts_cusum_shift"] = f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(round(value * 10000.0) AS BIGINT) AS xs
+      FROM events WHERE value IS NOT NULL),
+    tgt AS (SELECT sum(xs) // count(xs) AS target_s FROM b),
+    d AS (
+      SELECT user_id, event_id, ts_ms,
+             xs - (target_s + {int(CUSUM_K * 10000)}) AS d_hi,
+             (target_s - {int(CUSUM_K * 10000)}) - xs AS d_lo
+      FROM b, tgt),
+    p AS (
+      SELECT user_id, event_id, ts_ms,
+             sum(d_hi) OVER w AS p_hi, sum(d_lo) OVER w AS p_lo
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT user_id, event_id,
+             p_hi - least(min(p_hi) OVER w2, 0) AS s_hi,
+             p_lo - least(min(p_lo) OVER w2, 0) AS s_lo
+      FROM p
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           round(s_hi / 10000.0, 6) AS cusum_hi,
+           round(s_lo / 10000.0, 6) AS cusum_lo,
+           CAST(CASE WHEN s_hi > {int(CUSUM_H * 10000)}
+                       OR s_lo > {int(CUSUM_H * 10000)}
+                     THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM s
+"""
+
+
+def agg_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS statistic per order priority vs the
+    complement — the distribution-drift screen (`did this source's
+    totals shift vs the rest of the corpus?`) as pure keyed windows
+    over the distinct-value grid; integer numerator throughout (see
+    ``operators/stats.ks_two_sample``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import ks_two_sample
+
+    return ks_two_sample(
+        t(spark, sf, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+QUERIES["agg_ks_drift"] = agg_ks_drift
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: E402
+    ks_two_sample_sql as _ks_sql,
+)
+
+ORACLES["agg_ks_drift"] = _ks_sql("orders", "o_orderpriority", "o_totalprice")
+
+
+def agg_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence screen on return flag x line status —
+    per-cell observed/expected/contribution plus the total statistic
+    and dof; integer numerator roots, scaled-BIGINT associative total
+    (see ``operators/stats.chi2_independence``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    return chi2_independence(
+        t(spark, sf, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+
+
+QUERIES["agg_chi2_independence"] = agg_chi2_independence
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: E402
+    chi2_independence_sql as _chi2_sql,
+)
+
+ORACLES["agg_chi2_independence"] = _chi2_sql(
+    "lineitem", "l_returnflag", "l_linestatus"
+)
+
+
+PITCH_N_DOCS = 6
+PITCH_N = 1600
+PITCH_A = 997
+PITCH_M = 1999
+PITCH_LAG_MIN = 20
+PITCH_LAG_MAX = 80
+
+
+def _pitch_period(d: int) -> int:
+    return 25 + 7 * d  # 25..60, all inside the lag search range
+
+
+def multimodal_audio_pitch(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL pitch detection by integer autocorrelation over decoded
+    PCM16 WAVs: fixtures are exactly periodic integer waveforms
+    ``s[i] = ((i %% P) * A %% M) - M//2`` with per-doc period P, so the
+    autocorrelation argmax lands on P (more aligned terms than any
+    multiple) and ``pitch_hz = rate / P`` — and DuckDB recomputes the
+    SAME int64 ``ac`` table from the closed form via a lag self-join.
+    Odd docs are stereo with a decoy period in channel 1, proving the
+    de-interleave picks channel 0."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        encode_wav_pcm16,
+        wav_pitch_autocorr,
+    )
+
+    rows = []
+    for d in range(PITCH_N_DOCS):
+        rate = 4000 + 500 * (d % 3)
+        p = _pitch_period(d)
+        i = np.arange(PITCH_N, dtype=np.int64)
+        ch0 = ((i % p) * PITCH_A % PITCH_M) - PITCH_M // 2
+        if d % 2 == 1:  # stereo decoy: a different period in channel 1
+            ch1 = ((i % (p + 11)) * 601 % PITCH_M) - PITCH_M // 2
+            samples = np.stack([ch0, ch1], axis=1)
+        else:
+            samples = ch0
+        rows.append((d, f"{d}.wav", bytearray(encode_wav_pcm16(samples, rate))))
+    audio = spark.createDataFrame(rows, "doc_id long, file_name string, content binary")
+    out = wav_pitch_autocorr(
+        audio.select("file_name", "content"),
+        lag_min=PITCH_LAG_MIN, lag_max=PITCH_LAG_MAX, max_samples=PITCH_N,
+    )
+    return (
+        out.join(audio.select("doc_id", "file_name"), "file_name")
+        .select(
+            "doc_id",
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.col("best_lag").cast("long").alias("best_lag"),
+            F.col("best_ac").cast("long").alias("best_ac"),
+            "pitch_hz",
+        )
+    )
+
+
+QUERIES["multimodal_audio_pitch"] = multimodal_audio_pitch
+
+#: DuckDB regenerates channel 0 from the closed form and recomputes
+#: the integer autocorrelation via a lag self-join; argmax with
+#: smallest-lag tie-break via (ac DESC, lag ASC) row_number.
+ORACLES["multimodal_audio_pitch"] = f"""
+    WITH params AS (
+      SELECT doc_id, 4000 + 500 * (doc_id % 3) AS rate,
+             25 + 7 * doc_id AS p
+      FROM (SELECT unnest(range({PITCH_N_DOCS})) AS doc_id)),
+    samples AS (
+      SELECT pr.doc_id, t.i,
+             ((t.i % pr.p) * {PITCH_A} % {PITCH_M}) - {PITCH_M // 2} AS s
+      FROM params pr,
+           LATERAL (SELECT unnest(range({PITCH_N})) AS i) t),
+    ac AS (
+      SELECT a.doc_id, l.lag, sum(a.s * b.s) AS ac
+      FROM (SELECT unnest(range({PITCH_LAG_MIN}, {PITCH_LAG_MAX + 1})) AS lag) l
+      CROSS JOIN samples a
+      JOIN samples b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+      GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, lag, ac,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ac DESC, lag ASC) AS rn
+      FROM ac)
+    SELECT pr.doc_id,
+           CAST(pr.rate AS BIGINT) AS sample_rate,
+           CAST({PITCH_N} AS BIGINT) AS n_samples,
+           CAST(b.lag AS BIGINT) AS best_lag,
+           CAST(b.ac AS BIGINT) AS best_ac,
+           round(pr.rate / b.lag, 6) AS pitch_hz
+    FROM params pr JOIN best b ON b.doc_id = pr.doc_id AND b.rn = 1
+"""

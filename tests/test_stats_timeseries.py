@@ -472,3 +472,68 @@ def test_holt_trailing_matches_python_recurrence(spark):
 
     for i in range(len(vals)):
         assert out[i] == ref(vals[: i + 1]), i
+
+
+def test_cusum_prefix_identity_matches_naive_recurrence(spark):
+    """The windowed prefix form S_t = P_t - min(0, running_min(P)) must
+    equal the textbook clamp recurrence S_t = max(0, S_{t-1} + d_t),
+    alarms included — checked per point against driver-Python."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        cusum_two_sided,
+    )
+
+    vals = [5.0, 5.0, 9.0, 9.5, 9.0, 1.0, 1.5, 5.0, 0.5, 0.5]
+    df = spark.createDataFrame(
+        [("u", i, i, v) for i, v in enumerate(vals)]
+        + [("w", i, 100 + i, 10.0 - v) for i, v in enumerate(vals)],
+        "k string, ts long, eid long, value double",
+    )
+    out = {
+        r.eid: (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in cusum_two_sided(
+            df, "k", "ts", "value", "eid", slack_k=0.5, threshold_h=3.0
+        ).collect()
+    }
+
+    xs = [round(v * 10000) for v in vals] + [round((10.0 - v) * 10000) for v in vals]
+    target = sum(xs) // len(xs)
+    k_s, h_s = 5000, 30000
+    for series, base in ((vals, 0), ([10.0 - v for v in vals], 100)):
+        s_hi = s_lo = 0
+        for i, v in enumerate(series):
+            x = round(v * 10000)
+            s_hi = max(0, s_hi + (x - (target + k_s)))
+            s_lo = max(0, s_lo + ((target - k_s) - x))
+            want = (
+                round(s_hi / 10000.0, 6),
+                round(s_lo / 10000.0, 6),
+                1 if (s_hi > h_s or s_lo > h_s) else 0,
+            )
+            assert out[base + i] == want, (base + i, out[base + i], want)
+
+
+def test_ks_two_sample_matches_naive_ecdf_sup(spark):
+    """D must equal the brute-force sup over the union grid of
+    |F_a - F_b|, ties included (driver-Python reference)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import ks_two_sample
+
+    a = [1.0, 2.0, 2.0, 3.0, 7.0]
+    b = [2.0, 4.0, 4.0, 5.0]
+    c = [0.5, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", v) for v in c]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: (r.n_a, r.n_b, r.ks_d) for r in ks_two_sample(df, "g", "v").collect()}
+
+    samples = {"a": a, "b": b, "c": c}
+    everything = a + b + c
+    for g, xs in samples.items():
+        rest = [v for k, vs in samples.items() if k != g for v in vs]
+        grid = sorted(set(everything))
+        d = max(
+            abs(
+                sum(1 for x in xs if x <= t) / len(xs)
+                - sum(1 for x in rest if x <= t) / len(rest)
+            )
+            for t in grid
+        )
+        assert got[g] == (len(xs), len(rest), round(d, 6)), g
