@@ -1009,3 +1009,160 @@ def chi2_independence_sql(
                CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
         FROM j CROSS JOIN dims
     """
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_by: list[str],
+    treat: Column,
+    value_col: str,
+    value_digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group WELCH's unequal-variance t-test — the parametric
+    sibling of :func:`mann_whitney_u` for the same A/B split, with the
+    Welch-Satterthwaite degrees of freedom so unequal group sizes and
+    spreads are handled honestly.
+
+    Sufficient statistics per (group, side) are exact integers: n,
+    sum(xs), and sum(xs^2) split into 30-bit halves (the
+    :func:`grouped_regression` overflow discipline), all map-side
+    combining in ONE keyed aggregate.  The closing mean/variance/t/dof
+    arithmetic is a double epilogue textually mirrored in the SQL
+    twin.  t and dof are NULL when either side has n < 2 or the
+    pooled standard error is 0.
+
+    Returns ``group_by..., n_treat, n_ctrl, mean_treat, mean_ctrl, t,
+    dof``.
+    """
+    side = treat.cast("int")
+    xs = _scaled(value_col, value_digits)
+    scale = float(10**value_digits)
+    agg = (
+        df.select(*group_by, side.alias("__is_t"), xs.alias("__xs"))
+        .groupBy(*group_by)
+        .agg(
+            F.sum("__is_t").alias("n1"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__is_t") * F.col("__xs")).alias("s1r"),
+            F.sum(F.col("__xs")).alias("sr"),
+            F.sum(
+                F.col("__is_t")
+                * F.shiftright(F.col("__xs") * F.col("__xs"), 30)
+            ).alias("q1_hi"),
+            F.sum(
+                F.col("__is_t")
+                * (F.col("__xs") * F.col("__xs")).bitwiseAND(F.lit(TWO30 - 1))
+            ).alias("q1_lo"),
+            F.sum(F.shiftright(F.col("__xs") * F.col("__xs"), 30)).alias(
+                "q_hi"
+            ),
+            F.sum(
+                (F.col("__xs") * F.col("__xs")).bitwiseAND(F.lit(TWO30 - 1))
+            ).alias("q_lo"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    s1 = F.col("s1r").cast("double") / F.lit(scale)
+    s2 = (F.col("sr") - F.col("s1r")).cast("double") / F.lit(scale)
+    q1 = (
+        F.col("q1_hi").cast("double") * F.lit(float(TWO30))
+        + F.col("q1_lo").cast("double")
+    ) / F.lit(scale * scale)
+    q2 = (
+        (F.col("q_hi") - F.col("q1_hi")).cast("double") * F.lit(float(TWO30))
+        + (F.col("q_lo") - F.col("q1_lo")).cast("double")
+    ) / F.lit(scale * scale)
+    # CASE-guarded divisions: ANSI mode raises DIVIDE_BY_ZERO on a
+    # degenerate (empty/singleton) side, and CaseWhen evaluates
+    # branches lazily per row — the documented ANSI-safe pattern.
+    ok = (F.col("n1") >= 2) & ((F.col("n") - F.col("n1")) >= 2)
+    m1 = F.when(F.col("n1") > 0, s1 / n1d)
+    m2 = F.when(F.col("n") - F.col("n1") > 0, s2 / n2d)
+    v1 = F.when(ok, (q1 - s1 * s1 / n1d) / (n1d - F.lit(1.0)))
+    v2 = F.when(ok, (q2 - s2 * s2 / n2d) / (n2d - F.lit(1.0)))
+    se2 = F.when(ok, v1 / n1d + v2 / n2d)
+    # NULL se2 (degenerate side) compares to NULL -> filtered by when
+    tstat = F.when(se2 > 0, (m1 - m2) / F.sqrt(se2))
+    dof = F.when(
+        (se2 > 0) & (v1 > 0) & (v2 > 0),
+        se2
+        * se2
+        / (
+            (v1 / n1d) * (v1 / n1d) / (n1d - F.lit(1.0))
+            + (v2 / n2d) * (v2 / n2d) / (n2d - F.lit(1.0))
+        ),
+    )
+    return agg.select(
+        *group_by,
+        F.col("n1").cast("long").alias("n_treat"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n_ctrl"),
+        F.round(m1, round_digits).alias("mean_treat"),
+        F.round(m2, round_digits).alias("mean_ctrl"),
+        F.round(tstat, round_digits).alias("t"),
+        F.round(dof, round_digits).alias("dof"),
+    )
+
+
+def welch_t_test_sql(
+    table: str,
+    group_by: str,
+    treat_pred: str,
+    value_col: str,
+    value_digits: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`welch_t_test` — identical integer
+    sufficient statistics (30-bit-split squares) and double epilogue."""
+    scale = float(10**value_digits)
+    return f"""
+        WITH s AS (
+          SELECT {group_by},
+                 CAST({treat_pred} AS INT) AS is_t,
+                 CAST(round({value_col} * {scale}) AS BIGINT) AS xs
+          FROM {table}),
+        a AS (
+          SELECT {group_by},
+                 sum(is_t) AS n1, count(*) AS n,
+                 sum(is_t * xs) AS s1r, sum(xs) AS sr,
+                 sum(is_t * (xs * xs // 1073741824)) AS q1_hi,
+                 sum(is_t * (xs * xs % 1073741824)) AS q1_lo,
+                 sum(xs * xs // 1073741824) AS q_hi,
+                 sum(xs * xs % 1073741824) AS q_lo
+          FROM s GROUP BY {group_by}),
+        e AS (
+          SELECT {group_by}, n1, n,
+                 CAST(n1 AS DOUBLE) AS n1d,
+                 CAST(n - n1 AS DOUBLE) AS n2d,
+                 CAST(s1r AS DOUBLE) / {scale} AS s1,
+                 CAST(sr - s1r AS DOUBLE) / {scale} AS s2,
+                 (CAST(q1_hi AS DOUBLE) * 1073741824.0
+                  + CAST(q1_lo AS DOUBLE)) / {scale * scale} AS q1,
+                 (CAST(q_hi - q1_hi AS DOUBLE) * 1073741824.0
+                  + CAST(q_lo - q1_lo AS DOUBLE)) / {scale * scale} AS q2
+          FROM a),
+        v AS (
+          SELECT {group_by}, n1, n, n1d, n2d,
+                 s1 / n1d AS m1, s2 / n2d AS m2,
+                 (q1 - s1 * s1 / n1d) / (n1d - 1.0) AS v1,
+                 (q2 - s2 * s2 / n2d) / (n2d - 1.0) AS v2
+          FROM e)
+        SELECT {group_by},
+               CAST(n1 AS BIGINT) AS n_treat,
+               CAST(n - n1 AS BIGINT) AS n_ctrl,
+               round(CASE WHEN n1 > 0 THEN m1 END, {round_digits}) AS mean_treat,
+               round(CASE WHEN n - n1 > 0 THEN m2 END, {round_digits}) AS mean_ctrl,
+               round(CASE WHEN n1 >= 2 AND n - n1 >= 2
+                          AND v1 / n1d + v2 / n2d > 0
+                     THEN (m1 - m2) / sqrt(v1 / n1d + v2 / n2d) END,
+                     {round_digits}) AS t,
+               round(CASE WHEN n1 >= 2 AND n - n1 >= 2
+                          AND v1 / n1d + v2 / n2d > 0
+                          AND v1 > 0 AND v2 > 0
+                     THEN (v1 / n1d + v2 / n2d) * (v1 / n1d + v2 / n2d)
+                          / ((v1 / n1d) * (v1 / n1d) / (n1d - 1.0)
+                             + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)) END,
+                     {round_digits}) AS dof
+        FROM v
+    """

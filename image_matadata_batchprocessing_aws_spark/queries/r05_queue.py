@@ -5289,3 +5289,27 @@ ORACLES["multimodal_audio_pitch"] = f"""
            round(pr.rate / b.lag, 6) AS pitch_hz
     FROM params pr JOIN best b ON b.doc_id = pr.doc_id AND b.rn = 1
 """
+
+
+def agg_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test per order priority (finished vs
+    unfinished orders) — the parametric sibling of ``agg_mann_whitney``
+    on integer-exact sufficient statistics with Welch-Satterthwaite
+    dof (see ``operators/stats.welch_t_test``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import welch_t_test
+
+    o = t(spark, sf, "orders")
+    return welch_t_test(
+        o, ["o_orderpriority"], F.col("o_orderstatus") == "F", "o_totalprice"
+    )
+
+
+QUERIES["agg_welch_ttest"] = agg_welch_ttest
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: E402
+    welch_t_test_sql as _welch_sql,
+)
+
+ORACLES["agg_welch_ttest"] = _welch_sql(
+    "orders", "o_orderpriority", "o_orderstatus = 'F'", "o_totalprice"
+)

@@ -537,3 +537,44 @@ def test_ks_two_sample_matches_naive_ecdf_sup(spark):
             for t in grid
         )
         assert got[g] == (len(xs), len(rest), round(d, 6)), g
+
+
+def test_welch_t_test_matches_hand_computation(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import welch_t_test
+    from pyspark.sql import functions as F
+
+    a = [10.0, 12.0, 11.0, 13.0]     # treat
+    b = [20.0, 25.0, 30.0]           # ctrl
+    rows = [("g", 1, v) for v in a] + [("g", 0, v) for v in b]
+    # plus a degenerate group: one-sided only -> t/dof NULL
+    rows += [("h", 1, 5.0), ("h", 1, 6.0)]
+    df = spark.createDataFrame(rows, "g string, is_t int, v double")
+    out = {
+        r.g: r
+        for r in welch_t_test(
+            df, ["g"], F.col("is_t") == 1, "v"
+        ).collect()
+    }
+
+    def ref(xs, ys):
+        import math
+
+        n1, n2 = len(xs), len(ys)
+        m1, m2 = sum(xs) / n1, sum(ys) / n2
+        v1 = (sum(x * x for x in xs) - sum(xs) ** 2 / n1) / (n1 - 1)
+        v2 = (sum(y * y for y in ys) - sum(ys) ** 2 / n2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / math.sqrt(se2)
+        dof = se2 * se2 / (
+            (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+        )
+        return round(t, 6), round(dof, 6)
+
+    tt, dd = ref(a, b)
+    g = out["g"]
+    assert (g.n_treat, g.n_ctrl) == (4, 3)
+    assert (g.mean_treat, g.mean_ctrl) == (11.5, 25.0)
+    assert abs(g.t - tt) < 1e-9 and abs(g.dof - dd) < 1e-9
+    h = out["h"]
+    assert (h.n_treat, h.n_ctrl) == (2, 0)
+    assert h.t is None and h.dof is None and h.mean_ctrl is None
