@@ -575,3 +575,78 @@ def image_pixel_stats(
             )
 
     return entries.mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+EQUALIZE_SCHEMA = (
+    "file_name string, n_pixels long, n_levels long, eq_sum long, "
+    "eq_min long, eq_max long, eq_error string"
+)
+
+
+def equalize_image_stats(
+    entries: DataFrame,
+    use_real_codec: bool = True,
+    decode_fn=None,
+) -> DataFrame:
+    """HISTOGRAM EQUALIZATION over the real decode seam, reported as
+    integer-exact post-equalization statistics: each image's values
+    remap through the classic CDF stretch
+
+        eq(v) = round((cdf(v) - cdf_min) * 255 / (n - cdf_min))
+
+    computed ENTIRELY in int64 with round-half-up via
+    ``(x*2 + d) // (2*d)`` — numpy's ``round`` is half-to-even and SQL
+    ``round`` is half-away, so the integer form is the only one both
+    engines (and the oracle) reproduce bit-for-bit.  A flat (solid)
+    image has ``n == cdf_min``; the remap is undefined there and maps
+    to 0, reported with ``n_levels = 1`` so curation gates can route
+    degenerate images explicitly.
+
+    Shape: per-file map-side work bounded by pixels + 256-entry LUT;
+    no shuffle; per-row errors isolate in ``eq_error`` (the
+    :func:`decode_images` contract).
+    """
+    if decode_fn is None:
+        decode_fn = _real_decode if use_real_codec else _fake_decode
+
+    def equalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                try:
+                    img = decode_fn(name, bytes(content))
+                    flat = img.reshape(-1).astype(np.int64)
+                    vals, counts = np.unique(flat, return_counts=True)
+                    cdf = counts.cumsum()
+                    n = int(flat.size)
+                    cmin = int(cdf[0])
+                    denom = n - cmin
+                    if denom > 0:
+                        eq = ((cdf - cmin) * 255 * 2 + denom) // (2 * denom)
+                    else:
+                        eq = np.zeros_like(cdf)
+                    lut = np.zeros(256, dtype=np.int64)
+                    lut[vals] = eq
+                    eqf = lut[flat]
+                    rows.append(
+                        (
+                            name,
+                            int(img.shape[0] * img.shape[1]),
+                            int(len(vals)),
+                            int(eqf.sum()),
+                            int(eqf.min()),
+                            int(eqf.max()),
+                            None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-file isolation
+                    rows.append((name, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name", "n_pixels", "n_levels", "eq_sum",
+                    "eq_min", "eq_max", "eq_error",
+                ],
+            )
+
+    return entries.mapInPandas(equalize, EQUALIZE_SCHEMA)

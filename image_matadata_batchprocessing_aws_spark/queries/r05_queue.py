@@ -5313,3 +5313,107 @@ from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: 
 ORACLES["agg_welch_ttest"] = _welch_sql(
     "orders", "o_orderpriority", "o_orderstatus = 'F'", "o_totalprice"
 )
+
+
+EQ_N_FILES = 8
+
+
+def multimodal_image_equalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram equalization over REAL PNG decode, oracle-checked: the
+    integer round-half-up CDF remap is recomputed by DuckDB from the
+    closed-form per-class level tables (solid = degenerate all-zero,
+    half/half -> {0,255}, quadrants -> {0,85,170,255}, and a 128-level
+    ramp whose uniform histogram must survive equalization nearly
+    unchanged) — see ``images.equalize_image_stats``."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
+        equalize_image_stats,
+    )
+
+    rows = []
+    for v in range(EQ_N_FILES):
+        cls = v % 4
+        if cls == 0:  # solid: degenerate, equalization undefined -> 0
+            img = np.full((16, 16, 3), 16 * (v % 8) + 3, dtype=np.uint8)
+        elif cls == 1:  # two levels, half/half
+            img = np.zeros((16, 16, 3), dtype=np.uint8)
+            img[:, :8, :] = 32
+            img[:, 8:, :] = 224
+        elif cls == 2:  # four quadrants
+            img = np.zeros((16, 16, 3), dtype=np.uint8)
+            img[:8, :8, :] = 16
+            img[:8, 8:, :] = 80
+            img[8:, :8, :] = 144
+            img[8:, 8:, :] = 208
+        else:  # 128-level ramp: uniform histogram
+            img = ((np.arange(768) % 128) * 2).astype(np.uint8).reshape(16, 16, 3)
+        rows.append((v, f"{v}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "image_id long, entry_name string, content binary"
+    )
+    out = equalize_image_stats(entries.select("entry_name", "content"))
+    return (
+        out.join(
+            entries.select("image_id", F.col("entry_name").alias("file_name")),
+            "file_name",
+        )
+        .select(
+            "image_id",
+            F.col("n_pixels").cast("long").alias("n_pixels"),
+            F.col("n_levels").cast("long").alias("n_levels"),
+            F.col("eq_sum").cast("long").alias("eq_sum"),
+            F.col("eq_min").cast("long").alias("eq_min"),
+            F.col("eq_max").cast("long").alias("eq_max"),
+        )
+    )
+
+
+QUERIES["multimodal_image_equalize"] = multimodal_image_equalize
+
+#: DuckDB rebuilds each image's (value, count) level table from the
+#: fixture construction, cumsums it, and applies the IDENTICAL integer
+#: round-half-up remap ((cdf-cmin)*255*2 + d) // (2*d).
+ORACLES["multimodal_image_equalize"] = f"""
+    WITH imgs AS (SELECT unnest(range({EQ_N_FILES})) AS image_id),
+    levels AS (
+      SELECT image_id, 16 * (image_id % 8) + 3 AS val, 768 AS cnt
+      FROM imgs WHERE image_id % 4 = 0
+      UNION ALL
+      SELECT image_id, v.val, 384 AS cnt
+      FROM imgs, (VALUES (32), (224)) v(val) WHERE image_id % 4 = 1
+      UNION ALL
+      SELECT image_id, v.val, 192 AS cnt
+      FROM imgs, (VALUES (16), (80), (144), (208)) v(val)
+      WHERE image_id % 4 = 2
+      UNION ALL
+      SELECT image_id, 2 * k.k AS val, 6 AS cnt
+      FROM imgs, (SELECT unnest(range(128)) AS k) k
+      WHERE image_id % 4 = 3),
+    c AS (
+      SELECT image_id, val, cnt,
+             sum(cnt) OVER (PARTITION BY image_id ORDER BY val
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cdf
+      FROM levels),
+    b AS (
+      SELECT image_id, val, cnt, cdf,
+             min(cdf) OVER (PARTITION BY image_id) AS cmin,
+             max(cdf) OVER (PARTITION BY image_id) AS n
+      FROM c),
+    e AS (
+      SELECT image_id, cnt,
+             CASE WHEN n - cmin > 0
+                  THEN ((cdf - cmin) * 255 * 2 + (n - cmin))
+                       // (2 * (n - cmin))
+                  ELSE 0 END AS eq
+      FROM b)
+    SELECT image_id,
+           CAST(256 AS BIGINT) AS n_pixels,
+           CAST(count(*) AS BIGINT) AS n_levels,
+           CAST(sum(cnt * eq) AS BIGINT) AS eq_sum,
+           CAST(min(eq) AS BIGINT) AS eq_min,
+           CAST(max(eq) AS BIGINT) AS eq_max
+    FROM e GROUP BY image_id
+"""
