@@ -1166,3 +1166,136 @@ def welch_t_test_sql(
                      {round_digits}) AS dof
         FROM v
     """
+
+
+def anova_oneway(
+    df: DataFrame,
+    class_col: str,
+    value_col: str,
+    value_digits: int = 2,
+    term_digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL classes of ``class_col`` —
+    the k-group generalization of :func:`welch_t_test` (classic
+    equal-variance form): F = (SSB/(k-1)) / (SSW/(N-k)), with eta² =
+    SSB/SST as the effect size.
+
+    Two keyed aggregates: per-class integer sufficient statistics
+    (n_i, sum, 30-bit-split sum of squares), then a k-row reduction.
+    The one non-associative piece — Σ_i S_i²/n_i, a sum of doubles —
+    quantizes each class term to a BIGINT scaled by ``10**term_digits``
+    first, so the k-row sum is partitioning-independent; the SQL twin
+    rounds identically.  Pick term_digits so N * mean^2 * 10^d stays
+    under 2^63 (each term is ~n_i * mean_i^2); 2 digits holds to
+    ~1e16 in squared value units.  NULL F when k < 2, N <= k, or
+    SSW = 0.
+
+    Returns one row: ``k, n, ss_between, ss_within, f_stat, eta_sq``.
+    """
+    xs = _scaled(value_col, value_digits)
+    scale = float(10**value_digits)
+    qscale = float(10**term_digits)
+    per = df.groupBy(class_col).agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(xs).alias("si"),
+        _hi(xs * xs).alias("qi_hi"),
+        _lo(xs * xs).alias("qi_lo"),
+    )
+    term = (
+        (F.col("si").cast("double") / F.lit(scale))
+        * (F.col("si").cast("double") / F.lit(scale))
+        / F.col("ni").cast("double")
+    )
+    one = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi_hi").alias("q_hi"),
+        F.sum("qi_lo").alias("q_lo"),
+        F.sum(F.round(term * F.lit(qscale)).cast("long")).alias("bpart_s"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    s = F.col("s").cast("double") / F.lit(scale)
+    q = (
+        F.col("q_hi").cast("double") * F.lit(float(TWO30))
+        + F.col("q_lo").cast("double")
+    ) / F.lit(scale * scale)
+    grand = s * s / nd
+    sst = q - grand
+    ssb = F.col("bpart_s").cast("double") / F.lit(qscale) - grand
+    ssw = sst - ssb
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    fstat = F.when(
+        ok, (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    )
+    eta = F.when(ok & (sst > 0), ssb / sst)
+    # ss_* are NOT rounded: at their magnitude (~N * value^2) a
+    # double's ulp exceeds 1e-6, so round(x, 6) is not ulp-stable
+    # across engines — but the values are bit-deterministic anyway
+    # (integer sums -> identical double epilogue).  f/eta are O(1).
+    return one.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.round(fstat, round_digits).alias("f_stat"),
+        F.round(eta, round_digits).alias("eta_sq"),
+    )
+
+
+def anova_oneway_sql(
+    table: str,
+    class_col: str,
+    value_col: str,
+    value_digits: int = 2,
+    term_digits: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`anova_oneway` — identical integer
+    sufficient statistics and quantized between-group terms."""
+    scale = float(10**value_digits)
+    qscale = float(10**term_digits)
+    return f"""
+        WITH s AS (
+          SELECT {class_col} AS g,
+                 CAST(round({value_col} * {scale}) AS BIGINT) AS xs
+          FROM {table}),
+        per AS (
+          SELECT g, count(*) AS ni, sum(xs) AS si,
+                 sum(xs * xs // 1073741824) AS qi_hi,
+                 sum(xs * xs % 1073741824) AS qi_lo
+          FROM s GROUP BY g),
+        one AS (
+          SELECT count(*) AS k, sum(ni) AS n, sum(si) AS sv,
+                 sum(qi_hi) AS q_hi, sum(qi_lo) AS q_lo,
+                 sum(CAST(round((CAST(si AS DOUBLE) / {scale})
+                                * (CAST(si AS DOUBLE) / {scale})
+                                / CAST(ni AS DOUBLE) * {qscale}) AS BIGINT))
+                   AS bpart_s
+          FROM per),
+        e AS (
+          SELECT k, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                 CAST(sv AS DOUBLE) / {scale} AS sg,
+                 (CAST(q_hi AS DOUBLE) * 1073741824.0
+                  + CAST(q_lo AS DOUBLE)) / {scale * scale} AS q,
+                 CAST(bpart_s AS DOUBLE) / {qscale} AS bpart
+          FROM one),
+        f AS (
+          SELECT k, n, nd, kd,
+                 q - sg * sg / nd AS sst,
+                 bpart - sg * sg / nd AS ssb,
+                 (q - sg * sg / nd) - (bpart - sg * sg / nd) AS ssw
+          FROM e)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+               ssb AS ss_between,
+               ssw AS ss_within,
+               round(CASE WHEN k >= 2 AND n > k AND ssw > 0
+                     THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END,
+                     {round_digits}) AS f_stat,
+               round(CASE WHEN k >= 2 AND n > k AND ssw > 0 AND sst > 0
+                     THEN ssb / sst END, {round_digits}) AS eta_sq
+        FROM f
+    """

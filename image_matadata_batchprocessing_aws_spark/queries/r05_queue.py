@@ -5417,3 +5417,24 @@ ORACLES["multimodal_image_equalize"] = f"""
            CAST(max(eq) AS BIGINT) AS eq_max
     FROM e GROUP BY image_id
 """
+
+
+def agg_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA of order totals across the five priority classes
+    — the k-group completion of the Welch/Mann-Whitney pair; integer
+    sufficient statistics, quantized between-group terms (see
+    ``operators/stats.anova_oneway``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import anova_oneway
+
+    return anova_oneway(t(spark, sf, "orders"), "o_orderpriority", "o_totalprice")
+
+
+QUERIES["agg_anova_oneway"] = agg_anova_oneway
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: E402
+    anova_oneway_sql as _anova_sql,
+)
+
+ORACLES["agg_anova_oneway"] = _anova_sql(
+    "orders", "o_orderpriority", "o_totalprice"
+)

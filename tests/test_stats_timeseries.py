@@ -578,3 +578,26 @@ def test_welch_t_test_matches_hand_computation(spark):
     h = out["h"]
     assert (h.n_treat, h.n_ctrl) == (2, 0)
     assert h.t is None and h.dof is None and h.mean_ctrl is None
+
+
+def test_anova_oneway_matches_hand_computation(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import anova_oneway
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0, 8.0], "c": [10.0, 12.0]}
+    df = spark.createDataFrame(
+        [(g, v) for g, vs in groups.items() for v in vs], "g string, v double"
+    )
+    row = anova_oneway(df, "g", "v").collect()[0]
+
+    xs = [v for vs in groups.values() for v in vs]
+    n, k = len(xs), len(groups)
+    grand = sum(xs) ** 2 / n
+    sst = sum(x * x for x in xs) - grand
+    ssb = sum(sum(vs) ** 2 / len(vs) for vs in groups.values()) - grand
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (row.k, row.n) == (k, n)
+    assert abs(row.ss_between - ssb) < 1e-6
+    assert abs(row.ss_within - ssw) < 1e-6
+    assert abs(row.f_stat - f) < 1e-5
+    assert abs(row.eta_sq - ssb / sst) < 1e-5
