@@ -532,3 +532,131 @@ def cusum_two_sided(
             (F.col("s_hi") > F.lit(h_s)) | (F.col("s_lo") > F.lit(h_s))
         ).cast("int").cast("long").alias("alarm"),
     )
+
+
+def serial_autocorr(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    lag: int = 1,
+    value_digits: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key SERIAL autocorrelation at ``lag`` — the ACF point a
+    forecasting pipeline checks before reaching for ``ewma_trailing``
+    vs ``holt_trailing`` (is there memory in the series at all?).
+
+    Sample Pearson r over the (x_t, x_{t+lag}) pairs:
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Pairs come from ONE keyed lead() window (no self-join); sufficient
+    statistics are exact scaled-BIGINT sums with the 30-bit square
+    split (the ``operators/stats`` discipline), so partitioning cannot
+    move a bit; the closing double arithmetic is textually mirrored in
+    the SQL twin.  NULL when fewer than 2 pairs or either variance is
+    0.  One shuffle on ``key``; output is key-sized.
+    """
+    from image_matadata_batchprocessing_aws_spark.operators.stats import TWO30
+
+    scale = float(10**value_digits)
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    base = (
+        df.select(F.col(key), F.col(ts_col), F.col(order_tiebreak), xs.alias("__x"))
+        .withColumn("__y", F.lead("__x", lag).over(w))
+        .where(F.col("__y").isNotNull())
+    )
+    agg = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.shiftright(F.col("__x") * F.col("__x"), 30)).alias("sxx_hi"),
+        F.sum((F.col("__x") * F.col("__x")).bitwiseAND(F.lit(TWO30 - 1))).alias(
+            "sxx_lo"
+        ),
+        F.sum(F.shiftright(F.col("__y") * F.col("__y"), 30)).alias("syy_hi"),
+        F.sum((F.col("__y") * F.col("__y")).bitwiseAND(F.lit(TWO30 - 1))).alias(
+            "syy_lo"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(scale)
+    sy = F.col("sy").cast("double") / F.lit(scale)
+    sxy = F.col("sxy").cast("double") / F.lit(scale * scale)
+    sxx = (
+        F.col("sxx_hi").cast("double") * F.lit(float(TWO30))
+        + F.col("sxx_lo").cast("double")
+    ) / F.lit(scale * scale)
+    syy = (
+        F.col("syy_hi").cast("double") * F.lit(float(TWO30))
+        + F.col("syy_lo").cast("double")
+    ) / F.lit(scale * scale)
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    r = F.when(
+        (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+        (nd * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        key,
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(r, round_digits).alias("acf"),
+    )
+
+
+def serial_autocorr_sql(
+    table: str,
+    key: str,
+    ts_expr: str,
+    value_col: str,
+    order_tiebreak: str,
+    lag: int = 1,
+    value_digits: int = 4,
+    round_digits: int = 6,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`serial_autocorr` — same lead() pairing,
+    integer sums, and closing arithmetic (NOT the built-in corr())."""
+    scale = float(10**value_digits)
+    return f"""
+        WITH b AS (
+          SELECT {key} AS k,
+                 CAST(round({value_col} * {scale}) AS BIGINT) AS x,
+                 lead(CAST(round({value_col} * {scale}) AS BIGINT), {lag})
+                   OVER (PARTITION BY {key}
+                         ORDER BY {ts_expr}, {order_tiebreak}) AS y
+          FROM {table} WHERE {where}),
+        p AS (SELECT * FROM b WHERE y IS NOT NULL),
+        a AS (
+          SELECT k, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x // 1073741824) AS sxx_hi,
+                 sum(x * x % 1073741824) AS sxx_lo,
+                 sum(y * y // 1073741824) AS syy_hi,
+                 sum(y * y % 1073741824) AS syy_lo
+          FROM p GROUP BY k),
+        e AS (
+          SELECT k, n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) / {scale} AS sxd,
+                 CAST(sy AS DOUBLE) / {scale} AS syd,
+                 CAST(sxy AS DOUBLE) / {scale * scale} AS sxyd,
+                 (CAST(sxx_hi AS DOUBLE) * 1073741824.0
+                  + CAST(sxx_lo AS DOUBLE)) / {scale * scale} AS sxxd,
+                 (CAST(syy_hi AS DOUBLE) * 1073741824.0
+                  + CAST(syy_lo AS DOUBLE)) / {scale * scale} AS syyd
+          FROM a)
+        SELECT k AS {key},
+               CAST(n AS BIGINT) AS n_pairs,
+               round(CASE WHEN n >= 2
+                          AND nd * sxxd - sxd * sxd > 0
+                          AND nd * syyd - syd * syd > 0
+                     THEN (nd * sxyd - sxd * syd)
+                          / sqrt((nd * sxxd - sxd * sxd)
+                                 * (nd * syyd - syd * syd)) END,
+                     {round_digits}) AS acf
+        FROM e
+    """

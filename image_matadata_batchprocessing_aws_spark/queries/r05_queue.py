@@ -5438,3 +5438,31 @@ from image_matadata_batchprocessing_aws_spark.operators.stats import (  # noqa: 
 ORACLES["agg_anova_oneway"] = _anova_sql(
     "orders", "o_orderpriority", "o_totalprice"
 )
+
+
+ACF_LAG = 1
+
+
+def ts_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user lag-1 serial autocorrelation of event values — the
+    is-there-memory-at-all ACF screen ahead of ``ts_ewma``/``ts_holt``;
+    one keyed lead() window, integer sufficient statistics (see
+    ``operators/timeseries.serial_autocorr``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        serial_autocorr,
+    )
+
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    return serial_autocorr(e, "user_id", "ts", "value", "event_id", lag=ACF_LAG)
+
+
+QUERIES["ts_autocorr"] = ts_autocorr
+
+from image_matadata_batchprocessing_aws_spark.operators.timeseries import (  # noqa: E402
+    serial_autocorr_sql as _acf_sql,
+)
+
+ORACLES["ts_autocorr"] = _acf_sql(
+    "events", "user_id", "epoch_ms(ts)", "value", "event_id",
+    lag=ACF_LAG, where="value IS NOT NULL",
+)
