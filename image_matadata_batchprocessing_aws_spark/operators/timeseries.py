@@ -467,9 +467,12 @@ def cusum_two_sided(
     slack_k: float,
     threshold_h: float,
     value_digits: int = 4,
+    target: float | None = None,
 ) -> DataFrame:
     """Tabular two-sided CUSUM mean-shift detector (Page 1954) per key,
-    against a GLOBAL integer-quantized mean target:
+    against a GLOBAL integer-quantized mean target (or an explicit
+    pre-fit ``target`` — the streaming twin passes one, since a stream
+    cannot see the global mean):
 
         S+_t = max(0, S+_{t-1} + (x_t - target - k))
         S-_t = max(0, S-_{t-1} + (target - k - x_t))
@@ -498,9 +501,14 @@ def cusum_two_sided(
     base = df.select(
         F.col(key), F.col(ts_col), F.col(order_tiebreak), xs.alias("xs")
     )
-    target = base.agg(
-        F.expr("sum(xs) div count(xs)").cast("long").alias("target_s")
-    )
+    if target is None:
+        tgt = base.agg(
+            F.expr("sum(xs) div count(xs)").cast("long").alias("target_s")
+        )
+    else:
+        tgt = base.sparkSession.range(1).select(
+            F.lit(int(round(target * scale))).cast("long").alias("target_s")
+        )
     k_s = int(round(slack_k * scale))
     h_s = int(round(threshold_h * scale))
     w = (
@@ -508,7 +516,7 @@ def cusum_two_sided(
         .orderBy(ts_col, order_tiebreak)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = base.crossJoin(F.broadcast(target)).withColumns(
+    d = base.crossJoin(F.broadcast(tgt)).withColumns(
         {
             "d_hi": F.col("xs") - (F.col("target_s") + F.lit(k_s)),
             "d_lo": (F.col("target_s") - F.lit(k_s)) - F.col("xs"),

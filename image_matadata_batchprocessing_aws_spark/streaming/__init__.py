@@ -11,9 +11,10 @@ from image_matadata_batchprocessing_aws_spark.streaming.events import (
     start_numbered_batch_sink,
 )
 from image_matadata_batchprocessing_aws_spark.streaming.ivm import start_ivm_join_sink
-from image_matadata_batchprocessing_aws_spark.streaming.stateful import running_user_totals
+from image_matadata_batchprocessing_aws_spark.streaming.stateful import cusum_stream, running_user_totals
 
 __all__ = [
+    "cusum_stream",
     "running_user_totals",
     "attribution_join",
     "read_events_stream",

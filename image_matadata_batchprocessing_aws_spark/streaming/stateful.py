@@ -49,3 +49,78 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUT_SCHEMA = (
+    "user_id long, event_id long, cusum_hi double, cusum_lo double, alarm long"
+)
+_CUSUM_STATE_SCHEMA = "p_hi long, m_hi long, p_lo long, m_lo long"
+
+
+def cusum_stream(
+    events: DataFrame,
+    target: float,
+    slack_k: float,
+    threshold_h: float,
+    value_digits: int = 4,
+) -> DataFrame:
+    """STREAMING two-sided CUSUM drift monitor — the live twin of
+    ``operators/timeseries.cusum_two_sided`` with a pre-fit ``target``
+    (a stream cannot see the global mean; fit it offline and redeploy,
+    the standard control-chart practice).
+
+    Per-key state is four BIGINTs: the prefix sums P± and their
+    running minima M± (clamped at 0), carried exactly — the same
+    integer prefix identity as the batch operator, so a stream fed the
+    same rows in order emits BIT-IDENTICAL cusum/alarm values
+    (stream == batch equivalence is tested).  Rows within a
+    micro-batch sort by (ts, event_id) per key before folding; state
+    survives retries in the state store.  State is O(1) per key and
+    the shuffle is the same keyed exchange as any groupBy.
+    """
+    scale = 10**value_digits
+    t_s = int(round(target * scale))
+    k_s = int(round(slack_k * scale))
+    h_s = int(round(threshold_h * scale))
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        p_hi, m_hi, p_lo, m_lo = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        eids, chs, cls, als = [], [], [], []
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            if pd.isna(v):
+                continue
+            xs = int(round(float(v) * scale))
+            p_hi += xs - (t_s + k_s)
+            m_hi = min(m_hi, p_hi)
+            p_lo += (t_s - k_s) - xs
+            m_lo = min(m_lo, p_lo)
+            s_hi = p_hi - min(m_hi, 0)
+            s_lo = p_lo - min(m_lo, 0)
+            eids.append(int(eid))
+            chs.append(round(s_hi / scale, 6))
+            cls.append(round(s_lo / scale, 6))
+            als.append(1 if (s_hi > h_s or s_lo > h_s) else 0)
+        state.update((p_hi, m_hi, p_lo, m_lo))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(eids),
+                "event_id": eids,
+                "cusum_hi": chs,
+                "cusum_lo": cls,
+                "alarm": als,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -574,3 +574,67 @@ def test_streaming_near_dedup_matches_sequential_batch(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "state")).collect()
     )
     assert settled == [0, 1, 4, 7]
+
+
+def test_stream_cusum_equals_batch(spark, tmp_path):
+    """The streaming CUSUM must emit BIT-IDENTICAL cusum/alarm values
+    to the batch prefix-identity operator when fed the same rows in
+    order — the stream==batch contract, across 3 micro-batches with
+    state carried between them."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        cusum_two_sided,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming import cusum_stream
+
+    rows = []
+    for u in (1, 2):
+        for i in range(30):
+            # user 1 drifts upward midway; user 2 stays flat
+            v = 10.0 + (6.0 if (u == 1 and i >= 15) else 0.0) + (i % 3)
+            rows.append((u, i, 1000 + i, v))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+
+    batch = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in cusum_two_sided(
+            df, "user_id", "ts", "value", "event_id",
+            slack_k=1.0, threshold_h=8.0, target=11.0,
+        ).collect()
+    }
+
+    import glob as _glob
+    import shutil
+
+    d = tmp_path / "cusum_stream"
+    d.mkdir()
+    for part in range(3):  # 3 ts-ordered micro-batch files
+        tmp = str(tmp_path / f"tmp{part}")
+        df.where(
+            (F.col("ts") >= part * 10) & (F.col("ts") < (part + 1) * 10)
+        ).coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            _glob.glob(f"{tmp}/part-*.parquet")[0], str(d / f"chunk_{part}.parquet")
+        )
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema("user_id long, ts long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        cusum_stream(stream, target=11.0, slack_k=1.0, threshold_h=8.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+    assert got == batch
+    # and the planted drift actually alarms for user 1 only
+    assert any(a for (u, _), (_, _, a) in got.items() if u == 1)
+    assert not any(a for (u, _), (_, _, a) in got.items() if u == 2)
