@@ -718,3 +718,67 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed CONTAINMENT near-dup pairs: C(A in B) = |A∩B| / |A| —
+    the asymmetric cousin of :func:`ngram_jaccard_pairs` that Jaccard
+    systematically misses: a short document quoted whole inside a long
+    one has tiny Jaccard (the union is big) but containment ~1.  This
+    is the quote/subset/boilerplate-embedding detector (Broder's
+    original resemblance-vs-containment distinction).
+
+    Same shuffle profile as the Jaccard operator: posting-list
+    self-join on shingle (skew-guarded by ``max_df``), one pair-key
+    aggregate, broadcastable size joins.  Each undirected pair is
+    computed ONCE (id_a < id_b) and emits BOTH directions' containment;
+    rows keep whichever direction(s) clear ``threshold`` via the max.
+
+    Returns ``id_a, id_b, inter, cont_ab, cont_ba`` where ``cont_ab``
+    is A's containment in B (|A∩B|/|A|).
+    """
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    else:
+        sizes = _shingle_sizes(df, text_col, id_col, n)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumns(
+            {
+                "cont_ab": F.round(F.col("inter") / F.col("size_a"), 4),
+                "cont_ba": F.round(F.col("inter") / F.col("size_b"), 4),
+            }
+        )
+    )
+    return out.where(
+        F.greatest(F.col("cont_ab"), F.col("cont_ba")) >= threshold
+    ).select("id_a", "id_b", F.col("inter").cast("long").alias("inter"), "cont_ab", "cont_ba")

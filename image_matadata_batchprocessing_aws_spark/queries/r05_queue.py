@@ -5466,3 +5466,47 @@ ORACLES["ts_autocorr"] = _acf_sql(
     "events", "user_id", "epoch_ms(ts)", "value", "event_id",
     lag=ACF_LAG, where="value IS NOT NULL",
 )
+
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed shingle CONTAINMENT pairs |A∩B|/|A| — the
+    quote/subset detector Jaccard misses (Broder's resemblance vs
+    containment); same posting-list shuffle profile as
+    ``dedup_ngram_jaccard`` (see ``operators/dedup.containment_pairs``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        t(spark, sf, "documents"), threshold=CONTAIN_THRESHOLD
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+
+ORACLES["dedup_containment"] = rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS s
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    c AS (SELECT p.id_a, p.id_b, p.inter,
+                 round(p.inter / CAST(sa.sz AS DOUBLE), 4) AS cont_ab,
+                 round(p.inter / CAST(sb.sz AS DOUBLE), 4) AS cont_ba
+          FROM pairs p
+          JOIN sizes sa ON p.id_a = sa.doc_id
+          JOIN sizes sb ON p.id_b = sb.doc_id)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, cont_ab, cont_ba
+    FROM c WHERE greatest(cont_ab, cont_ba) >= {CONTAIN_THRESHOLD}
+"""

@@ -511,3 +511,27 @@ def test_item_cooccurrence_topk(spark):
     assert got[("x", "z")] == (2, round(2 / (3 * 2) ** 0.5, 6), 2)  # tie -> z second (y < z)
     assert got[("y", "x")][2] == 1 and got[("z", "x")][2] == 1
     assert not any(r.item.startswith("junk") for r in out)
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment ~1 for
+    the short side while Jaccard stays small — the asymmetric signal
+    is the operator's reason to exist."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = containment_pairs(df, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_ab == 1.0          # every shingle of 1 is inside 2
+    assert r.cont_ba < 0.1           # but 2 is mostly NOT in 1
+    # and symmetric Jaccard misses the pair entirely at the same bar
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
