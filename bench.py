@@ -128,6 +128,17 @@ HEADLINE = [
     "graph_jaccard_neighbors",
     "sample_bootstrap",
     "text_readability",
+    # r04 continuation (append only): changepoint/drift/agreement stats,
+    # serial ACF, containment dedup.  Queue-resident (not yet registered
+    # — names resolve through the r05_queue merge below); fixture-driven
+    # multimodal queries stay out per the fixed-cost convention.
+    "ts_cusum_shift",
+    "agg_ks_drift",
+    "agg_chi2_independence",
+    "agg_welch_ttest",
+    "agg_anova_oneway",
+    "ts_autocorr",
+    "dedup_containment",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round
@@ -143,7 +154,9 @@ def main() -> None:
         app_name="engine-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    qs = all_queries()
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    qs = {**all_queries(), **r05_queue.QUERIES}
     # One untimed pass over the whole set warms JVM-wide JIT (scheduler,
     # shuffle, parquet reader paths shared by every query)...
     for name in HEADLINE:

@@ -650,3 +650,98 @@ def equalize_image_stats(
             )
 
     return entries.mapInPandas(equalize, EQUALIZE_SCHEMA)
+
+
+TILE_STATS_SCHEMA = (
+    "file_name string, tile_row long, tile_col long, tile_sum long, "
+    "tile_error string"
+)
+
+
+def image_tile_stats(
+    entries: DataFrame,
+    grid: int = 4,
+    use_real_codec: bool = True,
+    decode_fn=None,
+) -> DataFrame:
+    """Tile-level integer signatures for PARTIAL-image near-dup: the
+    decoded image splits into a ``grid x grid`` tile lattice and each
+    tile emits its exact pixel-value sum — a content signature a crop,
+    shift, or watermark variant preserves for the tiles it keeps,
+    which whole-image signatures (dHash & friends) lose entirely.
+
+    Only decode + tile summation run in the Arrow stage; candidate
+    generation (:func:`tile_overlap_pairs`) is a JVM-side posting-list
+    join on the signature.  Per-file errors isolate per row.
+    """
+    if decode_fn is None:
+        decode_fn = _real_decode if use_real_codec else _fake_decode
+
+    from image_matadata_batchprocessing_aws_spark.multimodal import codecs
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                try:
+                    img = decode_fn(name, bytes(content)).astype(np.int64)
+                    h, w = img.shape[0], img.shape[1]
+                    th, tw = h // grid, w // grid
+                    if th == 0 or tw == 0:
+                        raise codecs.ImageFormatError(
+                            f"image {h}x{w} smaller than {grid}x{grid} grid"
+                        )
+                    for r in range(grid):
+                        for c in range(grid):
+                            tile = img[r * th : (r + 1) * th, c * tw : (c + 1) * tw]
+                            rows.append((name, r, c, int(tile.sum()), None))
+                except Exception as exc:  # noqa: BLE001 — per-file isolation
+                    rows.append((name, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=["file_name", "tile_row", "tile_col", "tile_sum", "tile_error"],
+            )
+
+    return entries.mapInPandas(tiles, TILE_STATS_SCHEMA)
+
+
+def tile_overlap_pairs(
+    tiles: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Image pairs sharing >= ``min_shared`` tile signatures, position-
+    independent (a crop moves tiles; their content sums survive).
+
+    Signatures deduplicate per image first, and ``max_df`` drops
+    signatures appearing in more than that many images — solid
+    background tiles are the boilerplate shingles of images and would
+    otherwise pay k^2 join rows for zero signal (the
+    :func:`ngram_jaccard_pairs` skew guard, same reasoning).
+    One shuffle on the signature, one on the pair key.
+    """
+    sig = (
+        tiles.where(F.col("tile_sum").isNotNull())
+        .select("file_name", "tile_sum")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            sig.groupBy("tile_sum")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("tile_sum")
+        )
+        sig = sig.join(F.broadcast(hot), "tile_sum", "left_anti")
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.tile_sum") == F.col("b.tile_sum"))
+        .where(F.col("a.file_name") < F.col("b.file_name"))
+        .groupBy(
+            F.col("a.file_name").alias("file_a"),
+            F.col("b.file_name").alias("file_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("file_a", "file_b", F.col("n_shared").cast("long").alias("n_shared"))
+    )

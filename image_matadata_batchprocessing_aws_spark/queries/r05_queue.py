@@ -5510,3 +5510,75 @@ ORACLES["dedup_containment"] = rf"""
     SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, cont_ab, cont_ba
     FROM c WHERE greatest(cont_ab, cont_ba) >= {CONTAIN_THRESHOLD}
 """
+
+
+TILE_N_IMAGES = 6
+TILE_GRID = 4
+
+
+def _tile_value(i: int, r: int, c: int) -> int:
+    """Closed-form tile fill value: images 0 and 1 share their c<2
+    tiles (the planted 8-tile 'crop' overlap); everything else is
+    image-unique."""
+    if i == 0:
+        return 4 * r + c
+    if i == 1:
+        return 4 * r + c if c < 2 else 100 + 4 * r + c
+    return 60 + 30 * i + 4 * r + c
+
+
+def multimodal_tile_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Tile-level partial-image overlap over REAL PNG decode: images
+    split into a 4x4 tile lattice of exact pixel-sum signatures; a
+    position-independent signature join finds the planted 8-tile
+    shared region between images 0 and 1 that a whole-image hash
+    cannot see (see ``images.image_tile_stats`` /
+    ``tile_overlap_pairs``).  DuckDB rebuilds every tile signature
+    from the fill formula and runs the same join."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
+        image_tile_stats,
+        tile_overlap_pairs,
+    )
+
+    rows = []
+    for i in range(TILE_N_IMAGES):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for r in range(TILE_GRID):
+            for c in range(TILE_GRID):
+                img[4 * r : 4 * r + 4, 4 * c : 4 * c + 4, :] = _tile_value(i, r, c)
+        rows.append((i, f"{i}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "image_id long, entry_name string, content binary"
+    )
+    tiles = image_tile_stats(
+        entries.select("entry_name", "content"), grid=TILE_GRID
+    )
+    return tile_overlap_pairs(tiles, min_shared=2).orderBy("file_a", "file_b")
+
+
+QUERIES["multimodal_tile_overlap"] = multimodal_tile_overlap
+
+ORACLES["multimodal_tile_overlap"] = f"""
+    WITH imgs AS (SELECT unnest(range({TILE_N_IMAGES})) AS i),
+    cells AS (
+      SELECT i, r.r, c.c
+      FROM imgs,
+           (SELECT unnest(range({TILE_GRID})) AS r) r,
+           (SELECT unnest(range({TILE_GRID})) AS c) c),
+    sig AS (
+      SELECT DISTINCT CAST(i AS VARCHAR) || '.png' AS file_name,
+             48 * (CASE WHEN i = 0 THEN 4 * r + c
+                        WHEN i = 1 THEN CASE WHEN c < 2 THEN 4 * r + c
+                                             ELSE 100 + 4 * r + c END
+                        ELSE 60 + 30 * i + 4 * r + c END) AS tile_sum
+      FROM cells)
+    SELECT a.file_name AS file_a, b.file_name AS file_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sig a JOIN sig b
+      ON a.tile_sum = b.tile_sum AND a.file_name < b.file_name
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY file_a, file_b
+"""

@@ -123,3 +123,35 @@ def test_max_hamming_cap_enforced(spark):
     hashed = image_dhash(entries).withColumn("doc_id", F_col_doc())
     with pytest.raises(ValueError, match="Hamming distance 5"):
         dhash_near_pairs(hashed, max_hamming=6)
+
+
+def test_tile_overlap_finds_shared_region_and_isolates_errors(spark):
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import (
+        image_tile_stats,
+        tile_overlap_pairs,
+    )
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    for r in range(4):
+        for c in range(4):
+            base[4 * r : 4 * r + 4, 4 * c : 4 * c + 4, :] = 10 * (4 * r + c)
+    shifted = np.roll(base, 8, axis=1)  # crop/shift: same tiles, moved
+    other = np.full((16, 16, 3), 201, dtype=np.uint8)
+    rows = [
+        ("a.png", bytearray(encode_png(base))),
+        ("b.png", bytearray(encode_png(shifted))),
+        ("c.png", bytearray(encode_png(other))),
+        ("bad.png", bytearray(b"not a png")),
+        ("tiny.png", bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))),
+    ]
+    entries = spark.createDataFrame(rows, "entry_name string, content binary")
+    tiles = image_tile_stats(entries, grid=4)
+    errs = {r.file_name: r.tile_error for r in tiles.where("tile_error IS NOT NULL").collect()}
+    assert set(errs) == {"bad.png", "tiny.png"}
+    assert "grid" in errs["tiny.png"]
+    pairs = {(r.file_a, r.file_b): r.n_shared for r in tile_overlap_pairs(tiles).collect()}
+    # the shifted image shares ALL 16 tile signatures position-independently
+    assert pairs == {("a.png", "b.png"): 16}
