@@ -5582,3 +5582,51 @@ ORACLES["multimodal_tile_overlap"] = f"""
     GROUP BY 1, 2 HAVING count(*) >= 2
     ORDER BY file_a, file_b
 """
+
+
+def etl_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL sink -> source ROUND-TRIP FIDELITY, oracle-checked: the
+    documents table writes as sharded newline-JSON, reads back through
+    the schema'd PERMISSIVE scan, and the per-(lang, source) report —
+    counts, char sums, and an order-independent md5 text fingerprint
+    sum — must match DuckDB computing the same directly on the parquet
+    (any encoding/escaping loss in either direction breaks the
+    fingerprints).  The corpus-interchange format (one doc per line)
+    exercised end to end (``sources/jsonl_source.py``)."""
+    import tempfile
+
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+    from image_matadata_batchprocessing_aws_spark.sources.jsonl_source import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark, out,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        keep_corrupt=False,
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        # 32-bit fingerprints: 60-bit ones overflow the int64 sum
+        F.sum(md5_int32(F.col("text"))).cast("long").alias("text_fp_sum"),
+    )
+
+
+QUERIES["etl_jsonl_roundtrip"] = etl_jsonl_roundtrip
+
+from image_matadata_batchprocessing_aws_spark.functions import (  # noqa: E402
+    md5_int32_sql as _md5_32_sql,
+)
+
+ORACLES["etl_jsonl_roundtrip"] = f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({_md5_32_sql("text")}) AS BIGINT) AS text_fp_sum
+    FROM documents GROUP BY 1, 2
+"""
