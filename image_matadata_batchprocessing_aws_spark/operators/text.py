@@ -827,3 +827,56 @@ def add_encoding_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             "enc_suspect": (n_moji > 0) | (n_repl > 0) | (n_ctrl > 0),
         }
     )
+
+
+COMPRESSION_SCHEMA = (
+    "doc_id long, n_bytes long, n_compressed long, compression_ratio double"
+)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """DEFLATE compression ratio per document — the classic
+    repetition/quality proxy (CCNet-style corpus filtering uses
+    exactly this): boilerplate, template spam, and keyword stuffing
+    compress far below natural prose, so a low ratio is a cheap
+    high-recall junk signal that needs no model.
+
+    zlib is stdlib, so this is a real codec, not a seam — but DEFLATE
+    output bytes are library-version-dependent, so the operator is
+    verified by unit-tested INVARIANTS (monotonicity on planted
+    repetition, bounds, determinism) rather than a SQL twin.  Runs as
+    one Arrow ``mapInPandas`` stage (the multimodal-decode posture:
+    bytes-in, scalars-out, no shuffle); everything downstream of the
+    ratio is plain JVM filtering.
+    """
+    import zlib
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    def ratios(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, nc, rr = [], [], [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                raw = (s or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(int(i))
+                nb.append(len(raw))
+                nc.append(len(comp))
+                rr.append(round(len(comp) / len(raw), 4) if raw else None)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": rr,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(ratios, COMPRESSION_SCHEMA)

@@ -5630,3 +5630,46 @@ ORACLES["etl_jsonl_roundtrip"] = f"""
            CAST(sum({_md5_32_sql("text")}) AS BIGINT) AS text_fp_sum
     FROM documents GROUP BY 1, 2
 """
+
+
+def etl_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION read, oracle-checked: an old snapshot
+    (3 columns) and a new snapshot (5 columns — ``source`` and
+    ``n_chars`` added later) land in one dataset dir; the
+    ``mergeSchema`` scan must surface the union schema with NULLs for
+    the old files' missing columns — the exact shape a long-lived
+    corpus hits every time a field is added.  DuckDB recomputes the
+    same per-lang report from the original table with the even/odd
+    snapshot split as a CASE."""
+    import tempfile
+
+    docs = t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/v1")
+    docs.where(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(f"{root}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/v1", f"{root}/v2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("source").isNull(), 1)).cast("long").alias("n_old_schema"),
+        F.count("source").cast("long").alias("n_new_schema"),
+        F.sum("n_chars").cast("long").alias("sum_chars_new"),
+    )
+
+
+QUERIES["etl_schema_evolution"] = etl_schema_evolution
+
+ORACLES["etl_schema_evolution"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_old_schema,
+           CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_new_schema,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS sum_chars_new
+    FROM documents GROUP BY 1
+"""

@@ -67,3 +67,30 @@ def test_stays_jvm_side(spark):
 
     df = spark.createDataFrame([(0, GOOD)], "doc_id long, text string")
     assert_no_python_udf(add_gopher_rules(df))
+
+
+def test_compression_ratio_invariants(spark):
+    """DEFLATE output is library-versioned, so the operator is pinned
+    by invariants: repetition compresses below prose, ratios are in
+    (0, ~1.1], empty text yields NULL, and the op is deterministic."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import (
+        compression_ratio,
+    )
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seven wizards "
+        "briskly vexed a gymnast with quartz jugs of foam in dim light."
+    )
+    spam = "buy now " * 40
+    rows = [(1, prose), (2, spam), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[2].compression_ratio < out[1].compression_ratio  # spam compresses
+    assert 0.0 < out[2].compression_ratio < 0.2
+    assert 0.3 < out[1].compression_ratio <= 1.1
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
+    assert out[4].compression_ratio is None
+    assert out[1].n_bytes == len(prose.encode())
+    # deterministic across runs
+    again = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert again == {k: v.compression_ratio for k, v in out.items()}
