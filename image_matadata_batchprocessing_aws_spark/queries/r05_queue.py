@@ -5673,3 +5673,106 @@ ORACLES["etl_schema_evolution"] = """
              AS sum_chars_new
     FROM documents GROUP BY 1
 """
+
+
+def etl_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured path extraction, oracle-checked
+    end to end: events re-serialize as nested JSON (object-in-object
+    plus an array), parse to VariantType, and typed ``variant_get``
+    paths — $.u.user as long, $.vals[1] as double, a missing path's
+    NULL — must reproduce the relational aggregate DuckDB computes
+    straight from the columns.  The open-format answer to schemaless
+    props columns: parse once, extract with types, stay columnar."""
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    j = e.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.struct(
+                    F.col("user_id").alias("user"),
+                    F.col("event_type").alias("typ"),
+                ).alias("u"),
+                F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            )
+        ).alias("js")
+    )
+    v = j.select(F.parse_json("js").alias("v"))
+    ex = v.select(
+        F.variant_get("v", "$.u.user", "long").alias("user_id"),
+        F.variant_get("v", "$.u.typ", "string").alias("event_type"),
+        F.variant_get("v", "$.vals[1]", "double").alias("dbl"),
+        F.variant_get("v", "$.missing.path", "long").alias("absent"),
+    )
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.round(F.sum(F.round(F.col("dbl") * 10000).cast("long")) / 10000.0, 4).alias(
+            "sum_doubled"
+        ),
+        F.count("absent").cast("long").alias("n_absent"),
+    )
+
+
+QUERIES["etl_variant_extract"] = etl_variant_extract
+
+ORACLES["etl_variant_extract"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(CAST(round(value * 2 * 10000) AS BIGINT)) / 10000.0, 4)
+             AS sum_doubled,
+           CAST(0 AS BIGINT) AS n_absent
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
+PYSOURCE_N_DOCS = 500
+PYSOURCE_PARTS = 8
+
+
+def source_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """The Spark 4 PYTHON DATA SOURCE plugin end to end, oracle-checked:
+    the deterministic synthetic-corpus generator registers as a real
+    ``format("synthetic_docs")`` scan (partition planning + per-task
+    iterators + Arrow), and DuckDB regenerates the identical corpus
+    from the closed form — per-lang counts, char sums, and md5 text
+    fingerprints all match bit-for-bit, proving row placement across
+    ``PYSOURCE_PARTS`` partitions changes nothing
+    (``sources/pysource.py``)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+    from image_matadata_batchprocessing_aws_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", str(PYSOURCE_N_DOCS))
+        .option("n_partitions", str(PYSOURCE_PARTS))
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(md5_int32(F.col("text"))).cast("long").alias("text_fp_sum"),
+    )
+
+
+QUERIES["source_python_datasource"] = source_python_datasource
+
+from image_matadata_batchprocessing_aws_spark.sources.pysource import (  # noqa: E402
+    LANGS as _PS_LANGS,
+    doc_text_sql as _ps_text_sql,
+)
+
+ORACLES["source_python_datasource"] = f"""
+    WITH d AS (SELECT unnest(range({PYSOURCE_N_DOCS})) AS doc_id),
+    langs AS (SELECT * FROM (VALUES {", ".join(f"({i}, '{l}')" for i, l in enumerate(_PS_LANGS))})
+              t(idx, lang)),
+    docs AS (
+      SELECT d.doc_id, l.lang, {_ps_text_sql("d.doc_id")} AS text
+      FROM d JOIN langs l ON d.doc_id % {len(_PS_LANGS)} = l.idx)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+           CAST(sum({_md5_32_sql("text")}) AS BIGINT) AS text_fp_sum
+    FROM docs GROUP BY 1
+"""

@@ -1,0 +1,52 @@
+"""Custom Python Data Source plugin: registration, partition planning,
+determinism, option handling."""
+
+from __future__ import annotations
+
+from image_matadata_batchprocessing_aws_spark.sources import pysource
+
+
+def _read(spark, n_docs, n_parts):
+    pysource.register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", str(n_docs))
+        .option("n_partitions", str(n_parts))
+        .load()
+    )
+
+
+def test_pysource_generates_full_deterministic_corpus(spark):
+    df = _read(spark, 37, 5)
+    rows = {r.doc_id: (r.text, r.lang, r.n_chars) for r in df.collect()}
+    assert set(rows) == set(range(37))  # every doc exactly once
+    for d in (0, 7, 36):
+        text = pysource.doc_text(d)
+        assert rows[d] == (text, pysource.LANGS[d % 4], len(text))
+    # re-read is identical (a generator SOURCE, not a random fixture)
+    again = {r.doc_id: (r.text, r.lang, r.n_chars) for r in _read(spark, 37, 5).collect()}
+    assert again == rows
+
+
+def test_pysource_partition_count_and_placement(spark):
+    df = _read(spark, 40, 4)
+    import pyspark.sql.functions as F
+
+    parts = (
+        df.select(F.spark_partition_id().alias("p"), "doc_id")
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert len(parts) == 4 and all(r["count"] == 10 for r in parts)
+
+
+def test_pysource_partitions_dont_change_results(spark):
+    import pyspark.sql.functions as F
+
+    def fp(n_parts):
+        return _read(spark, 64, n_parts).agg(
+            F.sum("doc_id"), F.sum("n_chars"), F.count("*")
+        ).collect()[0]
+
+    assert tuple(fp(1)) == tuple(fp(7)) == tuple(fp(64))
