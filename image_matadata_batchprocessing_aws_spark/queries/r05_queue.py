@@ -5776,3 +5776,54 @@ ORACLES["source_python_datasource"] = f"""
            CAST(sum({_md5_32_sql("text")}) AS BIGINT) AS text_fp_sum
     FROM docs GROUP BY 1
 """
+
+
+def agg_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V (and Tschuprow's T) association effect sizes from
+    the chi-square decomposition — the bounded-[0,1] number a drift
+    dashboard actually thresholds on, where raw chi-square grows with
+    N.  Composes ``stats.chi2_independence``'s per-cell frame down to
+    one row; the same quantized-total determinism carries through."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    cells = chi2_independence(
+        t(spark, sf, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+    one = cells.agg(
+        F.first("chi2").alias("chi2"),
+        F.first("dof").alias("dof"),
+        F.sum("observed").alias("n"),
+        F.count_distinct("l_returnflag").alias("r"),
+        F.count_distinct("l_linestatus").alias("c"),
+    )
+    nd = F.col("n").cast("double")
+    rm = (F.col("r") - 1).cast("double")
+    cm = (F.col("c") - 1).cast("double")
+    return one.select(
+        F.col("chi2"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(F.col("chi2") / (nd * F.least(rm, cm))), 6).alias("cramers_v"),
+        F.round(F.sqrt(F.col("chi2") / (nd * F.sqrt(rm * cm))), 6).alias("tschuprow_t"),
+    )
+
+
+QUERIES["agg_cramers_v"] = agg_cramers_v
+
+ORACLES["agg_cramers_v"] = f"""
+    WITH base AS ({_chi2_sql("lineitem", "l_returnflag", "l_linestatus")}),
+    one AS (
+      SELECT max(chi2) AS chi2, max(dof) AS dof, sum(observed) AS n,
+             count(DISTINCT l_returnflag) AS r,
+             count(DISTINCT l_linestatus) AS c
+      FROM base)
+    SELECT chi2, CAST(n AS BIGINT) AS n,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * least(CAST(r - 1 AS DOUBLE), CAST(c - 1 AS DOUBLE)))), 6)
+             AS cramers_v,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * sqrt(CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE)))), 6)
+             AS tschuprow_t
+    FROM one
+"""

@@ -23,7 +23,12 @@ driver materialization; at 100 TB-scale soak tests you raise
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: text formula constants (mirrored by the SQL twin)
 TOKEN_MULT = 37
@@ -69,6 +74,9 @@ class SyntheticDocsSource(DataSource):
     def reader(self, schema):  # noqa: D102 — API contract
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: D102, N802 — API contract
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent plugin registration for the current session."""
@@ -81,3 +89,35 @@ def doc_text_sql(d_expr: str) -> str:
         f"array_to_string(list_transform(range({LEN_BASE} + ({d_expr}) % {LEN_SPREAD}), "
         f"j -> 't' || (({d_expr}) * {TOKEN_MULT} + j) % {TOKEN_MOD}), ' ')"
     )
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch STREAM reader for the same closed-form corpus: each
+    trigger advances the offset by ``batch_size`` docs until ``n_docs``
+    is exhausted, so the stream replays the EXACT batch-mode corpus —
+    offsets are plain dicts checkpointed by the engine, and a restart
+    resumes from the committed offset (exactly-once at the source).
+    """
+
+    def __init__(self, options: dict):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self):  # noqa: D102, N802 — API contract
+        return {"next": 0}
+
+    def read(self, start):  # noqa: D102 — API contract
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.n_docs)
+        rows = []
+        for d in range(lo, hi):
+            text = doc_text(d)
+            rows.append((d, text, LANGS[d % len(LANGS)], len(text)))
+        return (iter(rows), {"next": hi})
+
+    def readBetweenOffsets(self, start, end):  # noqa: D102, N802 — API contract
+        rows = []
+        for d in range(start["next"], end["next"]):
+            text = doc_text(d)
+            rows.append((d, text, LANGS[d % len(LANGS)], len(text)))
+        return iter(rows)

@@ -50,3 +50,31 @@ def test_pysource_partitions_dont_change_results(spark):
         ).collect()[0]
 
     assert tuple(fp(1)) == tuple(fp(7)) == tuple(fp(64))
+
+
+def test_pysource_stream_replays_batch_corpus_exactly(spark, tmp_path):
+    """The stream reader must replay the batch corpus exactly across
+    micro-batches (offsets advance by batch_size until exhausted) —
+    stream == batch at the source level."""
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", "50")
+        .option("batch_size", "20")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pysource_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.text, r.lang, r.n_chars)
+        for r in spark.sql("SELECT * FROM pysource_stream").collect()
+    }
+    want = {r.doc_id: (r.text, r.lang, r.n_chars) for r in _read(spark, 50, 4).collect()}
+    assert got == want
