@@ -343,3 +343,42 @@ def test_cdc_ivm_dp_reco_plan_shapes(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert len(re.findall(r"\bWindow\b", plan)) == 1
     assert_no_python_udf(reco)
+
+
+def test_r04_continuation_plan_shapes(spark):
+    """The r04-continuation batch keeps its promised shapes:
+
+    - CUSUM and ACF stack their windows on ONE keyed exchange (the
+      prefix identity / lead pairing are same-spec windows);
+    - the KS grid joins broadcast the class-totals and 1-row total;
+    - Welch/ANOVA/chi2 are pure aggregates: partial aggregation
+      present, no window, no join beyond broadcasts;
+    - containment and tile overlap never plan a cartesian product.
+    """
+    import re
+
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    for name in ("ts_cusum_shift", "ts_autocorr"):
+        df = r05_queue.QUERIES[name](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == 1, (name, n_exchanges)
+        assert_no_python_udf(df)
+
+    ks = r05_queue.QUERIES["agg_ks_drift"](spark, SF_CORRECT)
+    ks_plan = ks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ks_plan or "BroadcastNestedLoopJoin" in ks_plan
+    assert "CartesianProduct" not in ks_plan
+
+    for name in ("agg_welch_ttest", "agg_anova_oneway"):
+        df = r05_queue.QUERIES[name](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan, name
+        assert "Window" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+    for name in ("dedup_containment", "multimodal_tile_overlap"):
+        df = r05_queue.QUERIES[name](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
