@@ -318,3 +318,61 @@ def scd2_from_feed(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(op_col)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot RECONCILIATION: full-outer join two table versions on
+    the key and classify every row as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``, with a per-column change flag for the
+    changed ones — the audit a pipeline runs after a backfill or
+    migration ("what exactly did this rewrite touch?").
+
+    Comparison is null-safe (``<=>``): NULL -> value and value -> NULL
+    both count as changes, NULL == NULL does not.  One shuffle on the
+    key from the full-outer join; the per-column flags are map-side
+    expressions, so output cost is key-sized, not column-count-shuffled.
+    For very wide tables compare a content hash first and only expand
+    the per-column flags on the changed subset (same plan, one extra
+    filter) — noted here rather than automated so audits stay explicit.
+
+    Returns ``key..., diff_status, changed_cols (array<string>)``.
+    """
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    # presence tests assume non-null keys (the PK contract); a NULL
+    # business key has no identity to diff on
+    in_old = F.col(f"o.{key_cols[0]}").isNotNull()
+    in_new = F.col(f"n.{key_cols[0]}").isNotNull()
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key_cols
+    ]
+    return j.select(
+        *keys,
+        status.alias("diff_status"),
+        F.when(
+            (in_old & in_new), changed
+        ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
+    )

@@ -880,3 +880,47 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(ratios, COMPRESSION_SCHEMA)
+
+
+NFC_SCHEMA = "doc_id long, text_nfc string, changed boolean"
+
+
+def unicode_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization (UAX #15 canonical composition) — the
+    first transform of any serious text pipeline: combining sequences
+    compose (e + U+0301 -> é), Hangul jamo syllables form, singleton
+    compatibility points map (U+2126 OHM -> U+03A9 Ω), and already-
+    composed text passes through unchanged, so exact-hash dedup stops
+    treating byte-different renderings of identical text as distinct.
+
+    Spark has no NFC builtin, so this is an Arrow ``mapInPandas``
+    stage over stdlib ``unicodedata`` — and because DuckDB ships
+    ``nfc_normalize``, the oracle is a rare CROSS-LIBRARY conformance
+    check: two independent UAX #15 implementations must agree
+    character-for-character.  Map-side, no shuffle.
+    """
+    import unicodedata
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    def norm(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            ids, out, chg = [], [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                ids.append(int(i))
+                if s is None:
+                    out.append(None)
+                    chg.append(None)
+                else:
+                    n = unicodedata.normalize("NFC", s)
+                    out.append(n)
+                    chg.append(n != s)
+            yield _pd.DataFrame({"doc_id": ids, "text_nfc": out, "changed": chg})
+
+    return df.select(id_col, text_col).mapInPandas(norm, NFC_SCHEMA)

@@ -5827,3 +5827,127 @@ ORACLES["agg_cramers_v"] = f"""
              AS tschuprow_t
     FROM one
 """
+
+
+def etl_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation report: 'old' = orders minus every 7th
+    row with pre-bump prices, 'new' = orders minus every 5th row —
+    so the diff must classify adds, removes, price changes, and
+    untouched rows, with per-column attribution (see
+    ``operators/maintenance.table_diff``).  Aggregated to status
+    grain; the oracle replays the same simulation relationally."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        table_diff,
+    )
+
+    o = t(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 0.9, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0)
+    d = table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(
+            F.when(F.array_contains("changed_cols", "o_totalprice"), 1)
+        ).cast("long").alias("n_price_changes"),
+        F.count(
+            F.when(F.array_contains("changed_cols", "o_orderstatus"), 1)
+        ).cast("long").alias("n_status_changes"),
+    )
+
+
+QUERIES["etl_table_diff"] = etl_table_diff
+
+ORACLES["etl_table_diff"] = """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 0.9, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    d AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status,
+             CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 1 ELSE 0 END AS price_chg,
+             CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 1 ELSE 0 END AS status_chg
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT diff_status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price_chg) AS BIGINT) AS n_price_changes,
+           CAST(sum(status_chg) AS BIGINT) AS n_status_changes
+    FROM d GROUP BY 1
+"""
+
+
+#: (doc_id, [codepoints]) NFC fixtures: combining-sequence composition,
+#: precomposed identity, ligature stability, Hangul jamo composition,
+#: the OHM->OMEGA singleton, ASCII identity, and a mixed sentence.
+NFC_FIXTURES = [
+    (0, [0x65, 0x301]),                      # e + combining acute -> é
+    (1, [0xE9]),                             # precomposed é (unchanged)
+    (2, [0xFB01]),                           # ﬁ ligature (NFC keeps it)
+    (3, [0x1100, 0x1161]),                   # Hangul jamo -> 가
+    (4, [0x41, 0x42, 0x43]),                 # plain ASCII
+    (5, [0x2126]),                           # OHM SIGN -> GREEK OMEGA
+    (6, [0x61, 0x75, 0x308, 0x66, 0x2126]),  # mixed: aü(decomposed)fΩ
+]
+
+
+def text_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization as a CROSS-LIBRARY conformance check:
+    Python's ``unicodedata`` (the Spark-side Arrow stage) and DuckDB's
+    ``nfc_normalize`` must produce character-identical output on
+    composition, Hangul, singleton, and identity fixtures — both sides
+    build the inputs from raw codepoints, so no literal-escaping
+    ambiguity exists anywhere (see ``operators/text.unicode_nfc``)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+    from image_matadata_batchprocessing_aws_spark.operators.text import unicode_nfc
+
+    rows = [(i, "".join(chr(c) for c in cps)) for i, cps in NFC_FIXTURES]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = unicode_nfc(df)
+    return out.select(
+        "doc_id",
+        F.length("text_nfc").cast("long").alias("n_chars_nfc"),
+        F.col("changed").cast("int").cast("long").alias("changed"),
+        md5_int32(F.col("text_nfc")).alias("nfc_fp"),
+    )
+
+
+QUERIES["text_unicode_nfc"] = text_unicode_nfc
+
+
+def _nfc_fixture_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {' || '.join(f'chr({c})' for c in cps)})" for i, cps in NFC_FIXTURES
+    )
+    return f"(VALUES {vals}) t(doc_id, text)"
+
+
+ORACLES["text_unicode_nfc"] = f"""
+    WITH f AS (SELECT * FROM {_nfc_fixture_sql()}),
+    n AS (SELECT doc_id, text, nfc_normalize(text) AS text_nfc FROM f)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(text_nfc) AS BIGINT) AS n_chars_nfc,
+           CAST(CASE WHEN text_nfc <> text THEN 1 ELSE 0 END AS BIGINT)
+             AS changed,
+           CAST({_md5_32_sql("text_nfc")} AS BIGINT) AS nfc_fp
+    FROM n
+"""
