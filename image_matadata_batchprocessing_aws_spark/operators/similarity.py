@@ -198,3 +198,93 @@ def knn(
     cb = add_lsh_bucket(corpus.withColumn("__nc", l2_norm(F.col(vec_c))), vec_c, "__bucket")
     pairs = cb.join(F.broadcast(qb), "__bucket")
     return _topk_per_query(pairs, k, metric, query_id, corpus_id, vec_q, vec_c)
+
+
+def jl_projections(k: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian projection rows for Johnson-Lindenstrauss
+    dimension reduction, scaled 1/sqrt(k) so squared norms are
+    preserved in expectation (shared with SQL oracles as full-precision
+    literals, the :func:`lsh_projections` convention)."""
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((k, dim)) / np.sqrt(k)
+    return [[float(v) for v in row] for row in m]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+    k: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS random projection to ``k`` dims — the
+    embedding-side scale lever: pairwise distances survive within
+    (1±eps) whp (the JL lemma, property-tested), so brute-force kNN,
+    clustering, and dedup candidate generation can run on a k-dim
+    sketch at dim/k of the cost BEFORE any trained reducer (PCA/PQ)
+    exists.  Pure JVM fold expressions (zip_with + left-fold sum per
+    output dim, same IEEE sequence the DuckDB twin runs via
+    list_reduce); map-side, no shuffle.
+
+    Returns exploded ``(id, dim_idx, proj_val)`` rows — the layout the
+    IVF/PQ operators consume.
+    """
+    rows = jl_projections(k, dim)
+    v = F.col(vec_col)
+    dims = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_digits,
+        ).alias(f"__p{j}")
+        for j, row in enumerate(rows)
+    ]
+    wide = df.select(F.col(id_col), *dims)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).cast("long").alias("dim_idx"), F.col(f"__p{j}").alias("proj_val"))
+            for j in range(k)
+        ]
+    )
+    ex = wide.select(id_col, F.explode(pairs).alias("p"))
+    return ex.select(
+        id_col,
+        F.col("p.dim_idx").alias("dim_idx"),
+        F.col("p.proj_val").alias("proj_val"),
+    )
+
+
+def jl_project_sql(
+    table: str,
+    vec_expr: str,
+    id_col: str,
+    k: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`jl_project` — identical left-fold IEEE
+    sequence per output dim via ``list_reduce`` (NOT list_dot_product,
+    whose accumulation order is unspecified)."""
+    rows = jl_projections(k, dim)
+
+    def fold(row: list[float]) -> str:
+        lits = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        return (
+            f"round(list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(({vec_expr})[i] AS DOUBLE) * ({lits})[i]), "
+            f"(a, b) -> a + b), {round_digits})"
+        )
+
+    selects = " UNION ALL ".join(
+        f"SELECT {id_col}, CAST({j} AS BIGINT) AS dim_idx, {fold(row)} AS proj_val FROM {table}"
+        for j, row in enumerate(rows)
+    )
+    return selects

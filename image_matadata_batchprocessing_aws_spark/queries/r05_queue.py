@@ -5951,3 +5951,25 @@ ORACLES["text_unicode_nfc"] = f"""
            CAST({_md5_32_sql("text_nfc")} AS BIGINT) AS nfc_fp
     FROM n
 """
+
+
+def embedding_jl_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection of the 64-d embeddings to 8
+    dims — the untrained scale lever ahead of PCA/PQ; exploded
+    (vec_id, dim, value) grain, identical left-fold IEEE sequence in
+    both engines (see ``operators/similarity.jl_project``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        jl_project,
+    )
+
+    e = t(spark, sf, "embeddings").select("vec_id", F.col("embedding").alias("e"))
+    return jl_project(e, "e", "vec_id")
+
+
+QUERIES["embedding_jl_project"] = embedding_jl_project
+
+from image_matadata_batchprocessing_aws_spark.operators.similarity import (  # noqa: E402
+    jl_project_sql as _jl_sql,
+)
+
+ORACLES["embedding_jl_project"] = _jl_sql("embeddings", "embedding", "vec_id")

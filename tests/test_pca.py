@@ -104,3 +104,28 @@ def test_remove_top_strips_planted_common_direction(spark):
     total_a = sum(r["norm2_after_scaled"] for r in out)
     # the shared direction holds nearly all centered variance here
     assert total_a < total_b * 0.15
+
+
+def test_jl_projection_preserves_distances_within_tolerance(spark):
+    """The JL lemma in practice: with k=16 of 64 dims, squared
+    pairwise distances on a random sample stay within a loose (1±0.6)
+    band and the MEAN ratio is near 1 (unbiasedness) — the property
+    that makes the sketch usable for candidate generation."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        jl_projections,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.standard_normal((40, 64))
+    M = np.array(jl_projections(k=16, dim=64))
+    P = X @ M.T
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            d0 = float(((X[i] - X[j]) ** 2).sum())
+            d1 = float(((P[i] - P[j]) ** 2).sum())
+            ratios.append(d1 / d0)
+    assert 0.15 < min(ratios) and max(ratios) < 2.2  # chi2_16/16 tails
+    assert abs(sum(ratios) / len(ratios) - 1.0) < 0.15
