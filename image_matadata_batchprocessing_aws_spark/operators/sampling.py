@@ -358,3 +358,90 @@ def negative_sample(
         .where(F.col(id_col) != F.col("anchor_id"))
         .select("anchor_id", "neg_rank", F.col(id_col).alias("neg_id"))
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+    salt: str = "",
+    value_digits: int = 4,
+) -> DataFrame:
+    """NEYMAN-ALLOCATION stratified sampling: a total ``budget`` of
+    rows splits across strata proportionally to ``N_h * sd_h`` — the
+    variance-minimizing allocation for estimating the population mean
+    (Neyman 1934), i.e. volatile strata get oversampled relative to
+    their size.  The fixed-fraction :func:`hash_sample_stratified`
+    is what you use when fractions are policy; this is what you use
+    when they should be OPTIMAL for a measurement budget.
+
+    Everything is engine-portable integer arithmetic: per-stratum
+    (N, sum, sum-of-squares) integer sufficient statistics -> sd
+    quantized to a scaled BIGINT -> allocation by integer floor
+    division -> per-row md5 keep-predicate at ``alloc/N`` (ppm).  The
+    allocation table is stratum-sized and broadcasts; the keep test is
+    map-side.  Degenerate strata (N < 2 or zero spread) get
+    proportional-to-size allocation via a 1-unit weight floor so they
+    are never silently dropped.
+
+    Returns the sampled rows with ``__alloc`` (the stratum's target)
+    attached for audit.
+    """
+    from image_matadata_batchprocessing_aws_spark.operators.stats import TWO30
+
+    scale = float(10**value_digits)
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    per = (
+        df.select(F.col(stratum_col).alias("__s"), xs.alias("__x"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum(F.shiftright(F.col("__x") * F.col("__x"), 30)).alias("__q_hi"),
+            F.sum((F.col("__x") * F.col("__x")).bitwiseAND(F.lit(TWO30 - 1))).alias(
+                "__q_lo"
+            ),
+        )
+    )
+    nd = F.col("__n").cast("double")
+    s = F.col("__sx").cast("double") / F.lit(scale)
+    q = (
+        F.col("__q_hi").cast("double") * F.lit(float(TWO30))
+        + F.col("__q_lo").cast("double")
+    ) / F.lit(scale * scale)
+    sd = F.when(
+        (F.col("__n") >= 2), F.sqrt(F.greatest((q - s * s / nd) / (nd - F.lit(1.0)), F.lit(0.0)))
+    ).otherwise(F.lit(0.0))
+    # integer weight: N_h * round(sd * 1e4), floored at 1 so degenerate
+    # strata keep proportional presence
+    w = F.greatest(
+        F.col("__n") * F.round(sd * F.lit(10000.0)).cast("long"), F.col("__n")
+    )
+    weights = per.select("__s", "__n", w.alias("__w"))
+    tot = weights.agg(F.sum("__w").alias("__wsum"))
+    alloc = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            # int64-safe while budget * max(N_h * sd_scaled) < 2^63
+            # (comfortably true at any realistic budget; promote to
+            # decimal(38,0) past that)
+            "__alloc",
+            F.least(
+                F.expr(f"({budget}L * __w) div __wsum"), F.col("__n")
+            ),
+        )
+        .select("__s", "__n", "__alloc")
+    )
+    h = (
+        md5_int64(
+            F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+        )
+        % SAMPLE_DENOM
+    )
+    joined = df.join(
+        F.broadcast(alloc), df[stratum_col] == alloc["__s"]
+    ).drop("__s")
+    keep = h < F.expr(f"(__alloc * {SAMPLE_DENOM}L) div __n")
+    return joined.where(keep).drop("__n")

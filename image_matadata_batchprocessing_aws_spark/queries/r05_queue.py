@@ -5973,3 +5973,77 @@ from image_matadata_batchprocessing_aws_spark.operators.similarity import (  # n
 )
 
 ORACLES["embedding_jl_project"] = _jl_sql("embeddings", "embedding", "vec_id")
+
+
+NEYMAN_BUDGET = 2000
+
+
+def sample_neyman(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-allocation stratified sample of orders by priority on
+    totals: the variance-minimizing budget split N_h*sd_h, all-integer
+    allocation chain, md5 keep-predicate — reported per stratum as
+    (allocation, rows actually kept); see
+    ``operators/sampling.neyman_stratified_sample``."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        neyman_stratified_sample,
+    )
+
+    s = neyman_stratified_sample(
+        t(spark, sf, "orders"), "o_orderkey", "o_orderpriority",
+        "o_totalprice", budget=NEYMAN_BUDGET,
+        value_digits=2,  # |scaled|^2 must fit int64 (price ~5e5 -> 5e7 scaled)
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.first("__alloc").cast("long").alias("alloc"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+    )
+
+
+QUERIES["sample_neyman"] = sample_neyman
+
+from image_matadata_batchprocessing_aws_spark.functions import (  # noqa: E402
+    md5_int64_sql as _md5_64_sql,
+)
+from image_matadata_batchprocessing_aws_spark.operators.sampling import (  # noqa: E402
+    SAMPLE_DENOM as _SDENOM,
+)
+
+ORACLES["sample_neyman"] = f"""
+    WITH b AS (
+      SELECT o_orderkey, o_orderpriority AS s,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS x
+      FROM orders),
+    per AS (
+      SELECT s, count(*) AS n, sum(x) AS sx,
+             sum(x * x // 1073741824) AS qhi,
+             sum(x * x % 1073741824) AS qlo
+      FROM b GROUP BY s),
+    e AS (
+      SELECT s, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) / 100.0 AS sv,
+             (CAST(qhi AS DOUBLE) * 1073741824.0 + CAST(qlo AS DOUBLE))
+               / 10000.0 AS q
+      FROM per),
+    sd AS (
+      SELECT s, n,
+             CASE WHEN n >= 2
+                  THEN sqrt(greatest((q - sv * sv / nd) / (nd - 1.0), 0.0))
+                  ELSE 0.0 END AS sd
+      FROM e),
+    w AS (SELECT s, n,
+                 greatest(n * CAST(round(sd * 10000.0) AS BIGINT), n) AS w
+          FROM sd),
+    tot AS (SELECT sum(w) AS wsum FROM w),
+    alloc AS (
+      SELECT s, n, least(({NEYMAN_BUDGET} * w) // wsum, n) AS alloc
+      FROM w, tot),
+    kept AS (
+      SELECT b.s, a.alloc
+      FROM b JOIN alloc a ON b.s = a.s
+      WHERE ({_md5_64_sql("CAST(o_orderkey AS VARCHAR) || chr(31) || ''")} % {_SDENOM})
+            < (a.alloc * {_SDENOM}) // a.n)
+    SELECT s AS o_orderpriority,
+           CAST(max(alloc) AS BIGINT) AS alloc,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM kept GROUP BY s
+"""
