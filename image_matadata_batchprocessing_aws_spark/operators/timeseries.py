@@ -668,3 +668,73 @@ def serial_autocorr_sql(
                      {round_digits}) AS acf
         FROM e
     """
+
+
+def hampel_filter(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    lookback: int = 15,
+    min_periods: int = 5,
+    k: float = 3.0,
+    value_digits: int = 4,
+) -> DataFrame:
+    """HAMPEL outlier filter: flag points deviating more than
+    ``k * 1.4826 * MAD`` from the trailing-window MEDIAN — the robust
+    replacement for :func:`rolling_anomaly_zscore` when the baseline
+    itself is spike-contaminated (a spike inflates mean AND std, so
+    z-scores under-flag; median/MAD shrug it off).
+
+    The window's median-of-deviations needs that window's OWN median
+    applied to every member, which no stacked window can express — so
+    the frame materializes as a bounded ``collect_list`` and the
+    median/MAD come from SORTED-ARRAY element access in DOUBLED scaled
+    integers (odd n -> 2*mid, even n -> lo+hi), keeping every
+    comparison exact: the flag test ``2*dev2 > k*1.4826*mad4`` is a
+    single double comparison of integer-derived values, identical in
+    the DuckDB twin's list arithmetic.  Frames are lookback-bounded,
+    one shuffle on the key.
+    """
+    scale = float(10**value_digits)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    base = df.withColumn("__x", xs)
+    hist = F.sort_array(F.collect_list("__x").over(w))
+    n = F.size(hist)
+
+    def med2(arr, nn):
+        odd = 2 * F.element_at(arr, ((nn + 1) / 2).cast("int"))
+        even = F.element_at(arr, (nn / 2).cast("int")) + F.element_at(
+            arr, (nn / 2 + 1).cast("int")
+        )
+        return F.when(nn % 2 == 1, odd).otherwise(even)
+
+    withm = base.withColumns({"__hist": hist, "__n": n}).withColumn(
+        "__med2", med2(F.col("__hist"), F.col("__n"))
+    )
+    devs = F.sort_array(
+        F.transform(
+            F.col("__hist"), lambda v: F.abs(2 * v - F.col("__med2"))
+        )
+    )
+    withd = withm.withColumn("__mad4", med2(devs, F.col("__n")))
+    dev2 = F.abs(2 * F.col("__x") - F.col("__med2"))
+    flag = (
+        (F.lit(2.0) * dev2.cast("double"))
+        > (F.lit(float(k) * 1.4826) * F.col("__mad4").cast("double"))
+    )
+    return withd.select(
+        key,
+        order_tiebreak,
+        F.round(F.col("__med2") / F.lit(2.0 * scale), 6).alias("rolling_med"),
+        F.round(F.col("__mad4") / F.lit(4.0 * scale), 6).alias("rolling_mad"),
+        F.when(F.col("__n") >= min_periods, flag.cast("int").cast("long")).alias(
+            "is_outlier"
+        ),
+    )

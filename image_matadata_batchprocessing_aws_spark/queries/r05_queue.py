@@ -6047,3 +6047,68 @@ ORACLES["sample_neyman"] = f"""
            CAST(count(*) AS BIGINT) AS n_sampled
     FROM kept GROUP BY s
 """
+
+
+HAMPEL_LOOKBACK = 15
+HAMPEL_MIN = 5
+HAMPEL_K = 3.0
+
+
+def ts_hampel(spark: SparkSession, sf: str) -> DataFrame:
+    """Hampel median/MAD outlier flags per user — the
+    spike-robust sibling of ``ts_anomaly_events``; doubled-integer
+    sorted-array medians keep both engines bit-identical (see
+    ``operators/timeseries.hampel_filter``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        hampel_filter,
+    )
+
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    return hampel_filter(
+        e, "user_id", "ts", "value", "event_id",
+        lookback=HAMPEL_LOOKBACK, min_periods=HAMPEL_MIN, k=HAMPEL_K,
+    )
+
+
+QUERIES["ts_hampel"] = ts_hampel
+
+ORACLES["ts_hampel"] = f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(round(value * 10000.0) AS BIGINT) AS xs
+      FROM events WHERE value IS NOT NULL),
+    l AS (
+      SELECT user_id, event_id, xs,
+             list_sort(list(xs) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id
+                                      ROWS BETWEEN {HAMPEL_LOOKBACK - 1}
+                                      PRECEDING AND CURRENT ROW)) AS hist
+      FROM b),
+    m AS (
+      SELECT user_id, event_id, xs, hist, len(hist) AS n,
+             CASE WHEN len(hist) % 2 = 1
+                  THEN 2 * hist[(len(hist) + 1) // 2]
+                  ELSE hist[len(hist) // 2] + hist[len(hist) // 2 + 1]
+             END AS med2
+      FROM l),
+    d AS (
+      SELECT user_id, event_id, xs, n, med2,
+             list_sort(list_transform(hist, v -> abs(2 * v - med2))) AS devs
+      FROM m),
+    e AS (
+      SELECT user_id, event_id, xs, n, med2,
+             CASE WHEN n % 2 = 1
+                  THEN 2 * devs[(n + 1) // 2]
+                  ELSE devs[n // 2] + devs[n // 2 + 1]
+             END AS mad4
+      FROM d)
+    SELECT user_id, event_id,
+           round(med2 / 20000.0, 6) AS rolling_med,
+           round(mad4 / 40000.0, 6) AS rolling_mad,
+           CASE WHEN n >= {HAMPEL_MIN}
+                THEN CAST(CASE WHEN 2.0 * CAST(abs(2 * xs - med2) AS DOUBLE)
+                               > {HAMPEL_K * 1.4826} * CAST(mad4 AS DOUBLE)
+                          THEN 1 ELSE 0 END AS BIGINT)
+           END AS is_outlier
+    FROM e
+"""

@@ -601,3 +601,26 @@ def test_anova_oneway_matches_hand_computation(spark):
     assert abs(row.ss_within - ssw) < 1e-6
     assert abs(row.f_stat - f) < 1e-5
     assert abs(row.eta_sq - ssb / sst) < 1e-5
+
+
+def test_hampel_flags_spike_but_not_step(spark):
+    """A lone spike flags; a genuine level step does NOT keep flagging
+    once the window's median catches up — the behavior that separates
+    Hampel from plain threshold rules."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        hampel_filter,
+    )
+
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 100.0, 10.1, 9.9, 10.0,
+            20.0, 20.1, 19.9, 20.0, 20.2, 20.1, 19.8, 20.0]
+    df = spark.createDataFrame(
+        [("u", i, i, v) for i, v in enumerate(vals)],
+        "k string, ts long, eid long, value double",
+    )
+    out = {r.eid: r.is_outlier for r in hampel_filter(
+        df, "k", "ts", "value", "eid", lookback=7, min_periods=4
+    ).collect()}
+    assert out[6] == 1              # the spike
+    assert out[4] == 0 and out[8] == 0
+    # the step's tail is calm again once the window re-centers
+    assert out[16] == 0 and out[17] == 0
