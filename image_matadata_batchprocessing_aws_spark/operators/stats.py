@@ -1299,3 +1299,78 @@ def anova_oneway_sql(
                      THEN ssb / sst END, {round_digits}) AS eta_sq
         FROM f
     """
+
+
+def theil_sen_bounded(
+    df: DataFrame,
+    group_by: str,
+    x_ms_col: str,
+    y_col: str,
+    key_col: str,
+    sample_m: int = 40,
+    y_digits: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """THEIL-SEN robust trend slope per group — median of pairwise
+    slopes, the estimator that tolerates ~29% contamination where OLS
+    (:func:`grouped_regression`) breaks on one bad batch of points.
+
+    The full estimator is O(n²) pairs; this is the BOUNDED form every
+    distributed implementation actually ships: a deterministic md5
+    rank picks ``sample_m`` rows per group (stable under reruns and
+    partitioning — the :mod:`operators.sampling` discipline), pairs
+    are generated within the sample only (≤ m(m-1)/2 per group), and
+    the slope median is the exact interpolated percentile DuckDB's
+    ``quantile_cont`` reproduces bit-for-bit.  Slopes divide
+    scaled-BIGINT deltas, so both engines divide identical integers;
+    the per-day rescale and rounding close it out.  Vertical pairs
+    (equal x) are excluded, groups with < 2 sampled points emit NULL.
+
+    Shape: one keyed rank window, one m-bounded keyed self-join, one
+    keyed aggregate — all partition-parallel; nothing is corpus-sized.
+    """
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+    from pyspark.sql import Window
+
+    scale = float(10**y_digits)
+    h = md5_int64(F.concat(F.col(key_col).cast("string"), F.lit("\x1fts")))
+    w = Window.partitionBy(group_by).orderBy(h, key_col)
+    sampled = (
+        df.select(
+            group_by,
+            F.col(key_col),
+            F.col(x_ms_col).cast("long").alias("__x"),
+            F.round(F.col(y_col) * F.lit(scale)).cast("long").alias("__y"),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= sample_m)
+    )
+    a = sampled.alias("a")
+    b = sampled.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{group_by}") == F.col(f"b.{group_by}"))
+        & (F.col("a.__rk") < F.col("b.__rk"))
+        & (F.col("a.__x") != F.col("b.__x")),
+    ).select(
+        F.col(f"a.{group_by}").alias(group_by),
+        (
+            (F.col("b.__y") - F.col("a.__y")).cast("double")
+            / (F.col("b.__x") - F.col("a.__x")).cast("double")
+        ).alias("__slope_ms"),
+    )
+    day = 86400000.0
+    return (
+        pairs.groupBy(group_by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.percentile(F.col("__slope_ms"), F.lit(0.5)).alias("__med"),
+        )
+        .select(
+            group_by,
+            "n_pairs",
+            F.round(F.col("__med") * F.lit(day) / F.lit(scale), round_digits).alias(
+                "slope_per_day"
+            ),
+        )
+    )

@@ -6112,3 +6112,53 @@ ORACLES["ts_hampel"] = f"""
            END AS is_outlier
     FROM e
 """
+
+
+TS_SAMPLE_M = 40
+
+
+def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded Theil-Sen robust trend per user (median of pairwise
+    slopes over a deterministic md5-ranked sample) — the
+    contamination-tolerant answer to ``agg_regression``'s OLS slope
+    (see ``operators/stats.theil_sen_bounded``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        theil_sen_bounded,
+    )
+
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn("ts_ms", F.unix_millis("ts"))
+    )
+    return theil_sen_bounded(
+        e, "user_id", "ts_ms", "value", "event_id", sample_m=TS_SAMPLE_M
+    )
+
+
+QUERIES["ts_theil_sen"] = ts_theil_sen
+
+ORACLES["ts_theil_sen"] = f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS x,
+             CAST(round(value * 10000.0) AS BIGINT) AS y,
+             {_md5_64_sql("CAST(event_id AS VARCHAR) || chr(31) || 'ts'")} AS h
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, x, y,
+             row_number() OVER (PARTITION BY user_id ORDER BY h, event_id)
+               AS rk
+      FROM b),
+    s AS (SELECT * FROM r WHERE rk <= {TS_SAMPLE_M}),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(bb.y - a.y AS DOUBLE) / CAST(bb.x - a.x AS DOUBLE)
+               AS slope_ms
+      FROM s a JOIN s bb
+        ON a.user_id = bb.user_id AND a.rk < bb.rk AND a.x <> bb.x)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope_ms, 0.5) * 86400000.0 / 10000.0, 6)
+             AS slope_per_day
+    FROM pairs GROUP BY user_id
+"""

@@ -624,3 +624,30 @@ def test_hampel_flags_spike_but_not_step(spark):
     assert out[4] == 0 and out[8] == 0
     # the step's tail is calm again once the window re-centers
     assert out[16] == 0 and out[17] == 0
+
+
+def test_theil_sen_shrugs_off_contamination_where_ols_breaks(spark):
+    """30% wild outliers: OLS slope is dragged far from truth, the
+    Theil-Sen median stays on the clean trend — the estimator's whole
+    reason to exist."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        grouped_regression,
+        theil_sen_bounded,
+    )
+
+    rows = []
+    for i in range(20):
+        y = 2.0 * i + 5.0  # clean slope 2/x-unit
+        if i % 7 == 3:     # wild contamination
+            y += 500.0
+        rows.append(("g", i, i * 3600000, y))  # x in ms, 1h apart
+    df = spark.createDataFrame(rows, "g string, eid long, ts_ms long, v double")
+
+    ts = theil_sen_bounded(df, "g", "ts_ms", "v", "eid", sample_m=20).collect()[0]
+    # slope 2 per hour = 48 per day
+    assert abs(ts.slope_per_day - 48.0) < 1.0
+
+    ols = grouped_regression(
+        df.withColumn("x_h", (df.ts_ms / 3600000).cast("double")), ["g"], "x_h", "v"
+    ).collect()[0]
+    assert abs(ols.slope - 2.0) > 1.0  # OLS got dragged
