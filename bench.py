@@ -139,6 +139,17 @@ HEADLINE = [
     "agg_anova_oneway",
     "ts_autocorr",
     "dedup_containment",
+    # r04 continuation batch 2 (append only): robust ts, optimal
+    # sampling, JL sketch, reconciliation, effect sizes, variant paths.
+    # File-writing queries (jsonl/schema-evolution/pysource) and
+    # fixture-driven multimodal stay out per the fixed-cost convention.
+    "ts_hampel",
+    "ts_theil_sen",
+    "sample_neyman",
+    "embedding_jl_project",
+    "etl_table_diff",
+    "agg_cramers_v",
+    "etl_variant_extract",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

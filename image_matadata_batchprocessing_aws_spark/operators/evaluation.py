@@ -434,3 +434,50 @@ def rouge_pair_scores(
         F.round(rec, 6).alias("rouge_r"),
         F.round(f1, 6).alias("rouge_f"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    gold: Column,
+    pred_a: Column,
+    pred_b: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """McNEMAR's paired test — THE statistic for "is classifier A
+    actually better than B" when both scored the SAME examples:
+    accuracy deltas ignore pairing, McNemar looks only at the
+    discordant cells (b = A right & B wrong, c = A wrong & B right)
+    with the continuity-corrected statistic (|b-c|-1)²/(b+c), ~χ²₁
+    under exchangeability.
+
+    One aggregate of integer cell counts; the closing arithmetic is
+    one double division (NULL when b+c = 0 — no disagreements, no
+    evidence).  Returns ``n, acc_a, acc_b, b_discordant,
+    c_discordant, mcnemar_chi2``.
+    """
+    a_ok = (pred_a == gold).cast("int")
+    b_ok = (pred_b == gold).cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok).alias("na"),
+        F.sum(b_ok).alias("nb"),
+        F.sum(((a_ok == 1) & (b_ok == 0)).cast("int")).alias("b"),
+        F.sum(((a_ok == 0) & (b_ok == 1)).cast("int")).alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    stat = F.when(
+        bc > 0,
+        (
+            (F.abs(F.col("b") - F.col("c")) - F.lit(1)).cast("double")
+            * (F.abs(F.col("b") - F.col("c")) - F.lit(1)).cast("double")
+        )
+        / bc.cast("double"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("na").cast("double") / F.col("n").cast("double"), round_digits).alias("acc_a"),
+        F.round(F.col("nb").cast("double") / F.col("n").cast("double"), round_digits).alias("acc_b"),
+        F.col("b").cast("long").alias("b_discordant"),
+        F.col("c").cast("long").alias("c_discordant"),
+        F.round(stat, round_digits).alias("mcnemar_chi2"),
+    )

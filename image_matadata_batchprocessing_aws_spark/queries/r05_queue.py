@@ -6162,3 +6162,100 @@ ORACLES["ts_theil_sen"] = f"""
              AS slope_per_day
     FROM pairs GROUP BY user_id
 """
+
+
+def eval_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's paired test comparing two cheap is-the-order-big
+    heuristics on the SAME orders (priority-based vs status-based,
+    gold = totalprice > 150k) — the discordant-cell statistic that
+    accuracy deltas can't give you (see
+    ``operators/evaluation.mcnemar_test``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        mcnemar_test,
+    )
+
+    o = t(spark, sf, "orders")
+    return mcnemar_test(
+        o,
+        gold=F.col("o_totalprice") > 150000.0,
+        pred_a=F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        pred_b=F.col("o_orderstatus") == "F",
+    )
+
+
+QUERIES["eval_mcnemar"] = eval_mcnemar
+
+ORACLES["eval_mcnemar"] = """
+    WITH p AS (
+      SELECT CASE WHEN (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                       = (o_totalprice > 150000.0) THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN (o_orderstatus = 'F')
+                       = (o_totalprice > 150000.0) THEN 1 ELSE 0 END AS b_ok
+      FROM orders),
+    agg AS (
+      SELECT count(*) AS n, sum(a_ok) AS na, sum(b_ok) AS nb,
+             sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS c
+      FROM p)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(na AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_a,
+           round(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_b,
+           CAST(b AS BIGINT) AS b_discordant,
+           CAST(c AS BIGINT) AS c_discordant,
+           round(CASE WHEN b + c > 0
+                 THEN CAST(abs(b - c) - 1 AS DOUBLE)
+                      * CAST(abs(b - c) - 1 AS DOUBLE)
+                      / CAST(b + c AS DOUBLE) END, 6) AS mcnemar_chi2
+    FROM agg
+"""
+
+
+def etl_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense CALENDAR SPINE between the order-date bounds with date
+    attributes and gap-filled daily counts — the dimension every BI
+    layer joins against, generated as sequence+explode off ONE bounds
+    row (span-bounded, never a global hardcoded calendar).  ISO
+    weekday (Mon=1) keeps both engines aligned where their default
+    dow conventions differ."""
+    o = t(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = o.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = spine.join(daily, "day", "left")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.weekday("day") + 1).cast("long").alias("iso_dow"),
+        F.month("day").cast("long").alias("month"),
+        F.quarter("day").cast("long").alias("quarter"),
+        (F.last_day("day") == F.col("day")).cast("int").cast("long").alias(
+            "is_month_end"
+        ),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+QUERIES["etl_date_spine"] = etl_date_spine
+
+ORACLES["etl_date_spine"] = """
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds),
+    daily AS (SELECT d AS day, count(*) AS n_orders FROM o GROUP BY 1)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(isodow(s.day) AS BIGINT) AS iso_dow,
+           CAST(month(s.day) AS BIGINT) AS month,
+           CAST(quarter(s.day) AS BIGINT) AS quarter,
+           CAST(CASE WHEN last_day(s.day) = s.day THEN 1 ELSE 0 END AS BIGINT)
+             AS is_month_end,
+           CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
