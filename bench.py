@@ -165,6 +165,9 @@ def main() -> None:
         app_name="engine-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        release_persisted,
+    )
     from image_matadata_batchprocessing_aws_spark.queries import r05_queue
 
     qs = {**all_queries(), **r05_queue.QUERIES}
@@ -172,6 +175,7 @@ def main() -> None:
     # shuffle, parquet reader paths shared by every query)...
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_persisted()
     # ...then each query is timed as the MIN of three back-to-back runs.
     # The global pass alone is not enough: the JVM's generated-class
     # cache holds ~100 entries, so a 27-query warm-up evicts the early
@@ -191,6 +195,10 @@ def main() -> None:
             # force full execution without driver-side materialization cost
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        # drop operator-persisted intermediates so an N-query session
+        # doesn't accumulate cached blocks that tax later queries
+        # (the ADVICE-r3 fix check_oracle already carries)
+        release_persisted()
         timings[name] = best
     # Hypervisor steal bursts last long enough to cover all 3 back-to-back
     # runs of one query (observed: a 4x spike surviving min-of-3).  One
@@ -201,6 +209,7 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = min(timings[name], time.time() - t0)
+        release_persisted()
     timings = {k: round(v, 3) for k, v in timings.items()}
     full_total = round(sum(timings.values()), 3)
     prefix_total = round(sum(timings[k] for k in FROZEN_PREFIX), 3)

@@ -94,3 +94,75 @@ def item_cooccurrence_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 3,
+    max_basket_items: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ASSOCIATION RULES (Agrawal & Srikant 1994) over the same basket
+    grain :func:`item_cooccurrence_topk` mines, but with the rules
+    semantics that recommender cosine does not give you: per directed
+    rule A -> B, ``support`` (joint basket fraction), ``confidence``
+    (P(B|A)), and ``lift`` (confidence over B's base rate — the
+    signal vs popularity-confound discriminator).
+
+    Same scale posture as the CF operator: the quadratic term is
+    per-basket (``max_basket_items`` guard), supports are
+    item-cardinality aggregates, and ``min_pair_support`` prunes the
+    rule table before the broadcast support joins.  All ratios divide
+    exact integers; N (total baskets) rides a broadcast 1-row count.
+
+    Returns ``antecedent, consequent, pair_n, support, confidence,
+    lift`` — both directions of every surviving pair.
+    """
+    pairs_base = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = pairs_base.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    ok = pairs_base.join(
+        F.broadcast(sizes.where(F.col("__sz") <= max_basket_items)), "__b"
+    ).drop("__sz")
+    support = ok.groupBy("__i").agg(F.count(F.lit(1)).alias("__n_i"))
+    # lazy 1-row total (no eager action; broadcasts like the other fits)
+    tot = ok.agg(F.count_distinct("__b").alias("__nb_total"))
+    a, b = ok.alias("a"), ok.alias("b")
+    co = (
+        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
+        .groupBy(F.col("a.__i").alias("ia"), F.col("b.__i").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("__co"))
+        .where(F.col("__co") >= min_pair_support)
+    )
+    both = co.unionByName(
+        co.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), F.col("__co")
+        )
+    )
+    sa = support.select(F.col("__i").alias("ia"), F.col("__n_i").alias("__na"))
+    sb = support.select(F.col("__i").alias("ib"), F.col("__n_i").alias("__nb"))
+    nd = F.col("__nb_total").cast("double")
+    return (
+        both.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ia").alias("antecedent"),
+            F.col("ib").alias("consequent"),
+            F.col("__co").cast("long").alias("pair_n"),
+            F.round(F.col("__co") / nd, round_digits).alias("support"),
+            F.round(
+                F.col("__co").cast("double") / F.col("__na").cast("double"),
+                round_digits,
+            ).alias("confidence"),
+            F.round(
+                F.col("__co").cast("double")
+                * nd
+                / (F.col("__na").cast("double") * F.col("__nb").cast("double")),
+                round_digits,
+            ).alias("lift"),
+        )
+    )

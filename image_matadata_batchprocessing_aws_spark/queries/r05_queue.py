@@ -6259,3 +6259,51 @@ ORACLES["etl_date_spine"] = """
            CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders
     FROM spine s LEFT JOIN daily d ON s.day = d.day
 """
+
+
+RULES_MIN_SUPPORT = 3
+
+
+def reco_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal & Srikant 1994):
+    directed support/confidence/lift for every part pair passing the
+    support floor — the rules semantics the cosine CF operator does
+    not give (see ``operators/reco.association_rules``)."""
+    from image_matadata_batchprocessing_aws_spark.operators.reco import (
+        association_rules,
+    )
+
+    li = t(spark, sf, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_support=RULES_MIN_SUPPORT
+    )
+
+
+QUERIES["reco_association_rules"] = reco_association_rules
+
+ORACLES["reco_association_rules"] = f"""
+    WITH pb AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    sizes AS (SELECT b, count(*) AS sz FROM pb GROUP BY b),
+    ok AS (SELECT pb.b, pb.i FROM pb JOIN sizes USING (b) WHERE sz <= 50),
+    sup AS (SELECT i, count(*) AS n_i FROM ok GROUP BY i),
+    tot AS (SELECT count(DISTINCT b) AS nb_total FROM ok),
+    co AS (
+      SELECT a.i AS ia, bb.i AS ib, count(*) AS con
+      FROM ok a JOIN ok bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING count(*) >= {RULES_MIN_SUPPORT}),
+    bidir AS (
+      SELECT ia, ib, con FROM co
+      UNION ALL SELECT ib AS ia, ia AS ib, con FROM co)
+    SELECT bidir.ia AS antecedent, bidir.ib AS consequent,
+           CAST(con AS BIGINT) AS pair_n,
+           round(con / CAST(nb_total AS DOUBLE), 6) AS support,
+           round(CAST(con AS DOUBLE) / CAST(sa.n_i AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(con AS DOUBLE) * CAST(nb_total AS DOUBLE)
+                 / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE)), 6)
+             AS lift
+    FROM bidir
+    JOIN sup sa ON bidir.ia = sa.i
+    JOIN sup sb ON bidir.ib = sb.i
+    CROSS JOIN tot
+"""

@@ -535,3 +535,31 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     assert r.cont_ba < 0.1           # but 2 is mostly NOT in 1
     # and symmetric Jaccard misses the pair entirely at the same bar
     assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_association_rules_lift_separates_signal_from_popularity(spark):
+    """A genuinely co-occurring pair gets lift > 1; a popular item
+    paired with everything by chance sits near lift ~1 — the
+    confound cosine/confidence alone can't separate."""
+    from image_matadata_batchprocessing_aws_spark.operators.reco import (
+        association_rules,
+    )
+
+    rows = []
+    for b in range(20):
+        rows.append((b, 100))           # item 100 in EVERY basket
+        if b % 2 == 0:
+            rows.append((b, 1))         # 1 and 2 always together
+            rows.append((b, 2))
+        else:
+            rows.append((b, 3))
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(df, "basket", "item", min_pair_support=3).collect()
+    }
+    strong = out[(1, 2)]
+    assert strong.confidence == 1.0 and strong.lift == 2.0  # 1.0 / (10/20)
+    chance = out[(1, 100)]
+    assert chance.lift == 1.0  # 100's base rate is 1.0
+    assert (2, 1) in out  # both directions emitted
