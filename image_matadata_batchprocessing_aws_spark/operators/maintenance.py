@@ -376,3 +376,90 @@ def table_diff(
             (in_old & in_new), changed
         ).otherwise(F.array().cast("array<string>")).alias("changed_cols"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    size_col: str,
+    file_id_col: str,
+    target_bytes: int,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The PLANNING half of :func:`compact_parquet`, as a pure
+    DataFrame over a file LISTING (path, bytes, partition): assign each
+    file to a compaction bin by next-fit-decreasing — files sorted
+    size-desc within their table partition, running byte total, bin =
+    (cumsum - size) div target — then report per-bin file count, byte
+    total and fill ratio.  Unlike first-fit, next-fit off a cumulative
+    sum is ONE window expression, fully deterministic, and within 2x of
+    optimal bin count (each bin except the last is > half full); a file
+    larger than ``target_bytes`` lands alone in its own bin with
+    fill > 1 (split hint, not an error).
+
+    Scale shape: this runs over listing METADATA (one row per file —
+    millions of rows for a 100 TB table, not the table), and the only
+    window partitions by ``part_col``, the same key the physical
+    rewrite would parallelize over.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(file_id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = files.select(
+        F.col(part_col).alias("part"),
+        F.col(size_col).alias("__bytes"),
+        F.floor(
+            (F.sum(size_col).over(w) - F.col(size_col)).cast("double")
+            / F.lit(float(target_bytes))
+        ).alias("bin_id"),
+    )
+    return (
+        planned.groupBy("part", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("__bytes").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "part",
+            F.col("bin_id").cast("long").alias("bin_id"),
+            "n_files",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes").cast("double") / F.lit(float(target_bytes)),
+                round_digits,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+def compaction_plan_sql(
+    table: str,
+    part_col: str,
+    size_col: str,
+    file_id_col: str,
+    target_bytes: int,
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan` (same ordering, same
+    floor-of-double bin arithmetic)."""
+    return f"""
+        WITH planned AS (
+          SELECT {part_col} AS part, {size_col} AS bytes,
+                 CAST(floor(CAST(sum({size_col}) OVER (
+                     PARTITION BY {part_col}
+                     ORDER BY {size_col} DESC, {file_id_col} ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - {size_col} AS DOUBLE) / {float(target_bytes)}) AS BIGINT)
+                   AS bin_id
+          FROM {table})
+        SELECT part, bin_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes,
+               round(CAST(sum(bytes) AS DOUBLE) / {float(target_bytes)},
+                     {round_digits}) AS fill_ratio
+        FROM planned GROUP BY part, bin_id
+    """

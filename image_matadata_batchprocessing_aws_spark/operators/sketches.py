@@ -461,3 +461,130 @@ def bottomk_quantiles(
             F.element_at("__vs", idx).alias(f"p{int(q * 100)}")
         )
     return agg.select(*cols)
+
+
+# --- AMS F2 (tug-of-war) second frequency moment ---------------------------
+# Alon, Matias & Szegedy 1996: F2 = sum_v f_v^2 — the self-join /
+# shuffle-output size of a key column, estimable in ONE pass with R
+# counters instead of a full groupBy.  Each estimator r keeps
+# Z_r = sum_v f_v * sign_r(v) with 4-wise-independent signs; E[Z^2] = F2.
+# Median-of-means over the R counters gives the concentration bound.
+# Determinism: signs come from md5 parity (functions.md5_int64), so a
+# DuckDB twin replays every counter bit-for-bit; the means (/group_size)
+# and the even-count median ((m1+m2)/2) are dyadic divisions of
+# integers, hence exact doubles on both engines.
+
+AMS_ROWS = 16
+AMS_GROUP = 4
+
+
+def ams_sign(r: int, key: Column) -> Column:
+    """±1 sign of ``key`` for estimator row ``r``: md5("<r>:" + key) parity."""
+    h = md5_int64(F.concat(F.lit(f"{r}:"), key.cast("string")))
+    return F.lit(1) - F.lit(2) * (h % F.lit(2))
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    rows: int = AMS_ROWS,
+    group_size: int = AMS_GROUP,
+    round_digits: int = 6,
+) -> DataFrame:
+    """F2 estimate + exact F2 + relative error for ``key_col`` (nulls
+    excluded on both paths).  The estimator is ONE full-table aggregate
+    with ``rows`` sum columns — map-side partials, no shuffle wider
+    than one row — which is the point: at 100 TB this prices a
+    self-join / heavy-hitter skew BEFORE paying the groupBy that the
+    exact path (here, the verification arm) requires.
+    """
+    if rows % group_size != 0 or (rows // group_size) % 2 != 0:
+        raise ValueError("rows must split into an even number of groups")
+    key = F.col(key_col)
+    base = df.where(key.isNotNull())
+    sums = base.agg(
+        *[F.sum(ams_sign(r, key)).alias(f"__z{r}") for r in range(rows)]
+    )
+    n_groups = rows // group_size
+    means = [
+        sum(
+            [
+                (F.col(f"__z{g * group_size + i}") * F.col(f"__z{g * group_size + i}")).cast("double")
+                for i in range(group_size)
+            ],
+            F.lit(0.0),
+        )
+        / F.lit(float(group_size))
+        for g in range(n_groups)
+    ]
+    sorted_means = F.array_sort(F.array(*means))
+    est = (
+        F.element_at(sorted_means, n_groups // 2)
+        + F.element_at(sorted_means, n_groups // 2 + 1)
+    ) / F.lit(2.0)
+    exact = (
+        base.groupBy(key.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .agg(F.sum(F.col("__f") * F.col("__f")).alias("f2_exact"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            est.alias("f2_estimate"),
+            F.col("f2_exact").cast("long").alias("f2_exact"),
+            F.round(
+                F.abs(est - F.col("f2_exact").cast("double"))
+                / F.col("f2_exact").cast("double"),
+                round_digits,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def ams_f2_sql(
+    table: str,
+    key_col: str,
+    rows: int = AMS_ROWS,
+    group_size: int = AMS_GROUP,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ams_f2`: same md5-parity signs, same
+    mean/median dyadic arithmetic."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    def sign(r: int) -> str:
+        h = md5_int64_sql(f"'{r}:' || CAST({key_col} AS VARCHAR)")
+        return f"(1 - 2 * (({h}) % 2))"
+
+    zsums = ",\n                 ".join(
+        f"sum({sign(r)}) AS z{r}" for r in range(rows)
+    )
+    n_groups = rows // group_size
+    mean_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"CAST(z{g * group_size + i} * z{g * group_size + i} AS DOUBLE)"
+            for i in range(group_size)
+        )
+        + f") / {float(group_size)}"
+        for g in range(n_groups)
+    )
+    mid = n_groups // 2
+    return f"""
+        WITH sums AS (
+          SELECT {zsums}
+          FROM {table} WHERE {key_col} IS NOT NULL),
+        m AS (
+          SELECT list_sort([{mean_exprs}]) AS ms FROM sums),
+        est AS (
+          SELECT (ms[{mid}] + ms[{mid + 1}]) / 2.0 AS f2_estimate FROM m),
+        ex AS (
+          SELECT sum(f * f) AS f2_exact FROM (
+            SELECT count(*) AS f FROM {table}
+            WHERE {key_col} IS NOT NULL GROUP BY {key_col}))
+        SELECT f2_estimate,
+               CAST(f2_exact AS BIGINT) AS f2_exact,
+               round(abs(f2_estimate - CAST(f2_exact AS DOUBLE))
+                     / CAST(f2_exact AS DOUBLE), {round_digits}) AS rel_error
+        FROM est CROSS JOIN ex
+    """

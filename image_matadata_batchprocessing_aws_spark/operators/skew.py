@@ -62,3 +62,77 @@ def salted_join(
     )
     joined = salted_big.join(salted_small, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key: str,
+    top_k: int = 20,
+    heavy_multiple: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The diagnosis step that decides whether :func:`salted_join` / AQE
+    skew handling is even needed: per top-``top_k`` hottest join-key
+    value, its row count, share of the table, and ratio to the mean
+    key's count, with ``is_heavy`` flagging keys ``heavy_multiple``x
+    over the mean (the same heuristic AQE's skewedPartitionFactor
+    applies to partitions, applied to KEYS before the shuffle exists).
+
+    One keyed count aggregate (map-side partials, skew-free by the
+    algebraic-aggregate argument in the module docstring), a 1-row
+    totals broadcast, and a top-k sort bounded by ``top_k`` — nothing
+    data-sized moves after the first shuffle.  Ties at the cut break
+    deterministically by key.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(
+            F.col("n_rows").cast("double") / F.col("__total").cast("double"),
+            round_digits,
+        ).alias("share"),
+        F.round(
+            (F.col("n_rows") * F.col("__n_keys")).cast("double")
+            / F.col("__total").cast("double"),
+            round_digits,
+        ).alias("ratio_to_mean"),
+        (
+            (F.col("n_rows") * F.col("__n_keys")).cast("double")
+            >= F.lit(heavy_multiple) * F.col("__total").cast("double")
+        ).alias("is_heavy"),
+    )
+
+
+def key_skew_profile_sql(
+    table: str,
+    key: str,
+    top_k: int = 20,
+    heavy_multiple: float = 4.0,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`key_skew_profile` (same tie-break at the
+    top-k cut, same integer-product heavy test)."""
+    return f"""
+        WITH counts AS (
+          SELECT {key} AS key, count(*) AS n_rows FROM {table} GROUP BY {key}),
+        totals AS (
+          SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts),
+        top AS (
+          SELECT key, n_rows FROM counts
+          ORDER BY n_rows DESC, key ASC LIMIT {top_k})
+        SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+               round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE),
+                     {round_digits}) AS share,
+               round(CAST(n_rows * n_keys AS DOUBLE) / CAST(total AS DOUBLE),
+                     {round_digits}) AS ratio_to_mean,
+               CAST(n_rows * n_keys AS DOUBLE)
+                 >= {heavy_multiple} * CAST(total AS DOUBLE) AS is_heavy
+        FROM top CROSS JOIN totals
+    """

@@ -1374,3 +1374,143 @@ def theil_sen_bounded(
             ),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    class_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis rank-based one-way test (Kruskal & Wallis 1952) —
+    the distribution-free sibling of :func:`anova_oneway` for when the
+    normal-residual assumption is off the table: H compares mean ranks
+    across the k classes of ``class_col``, with the standard tie
+    correction (1 - sum(t^3 - t)/(N^3 - N)).
+
+    Rank arithmetic stays in EXACT integers via DOUBLED midranks
+    (2*midrank is always an integer, ties or not): per distinct value,
+    mid2 = 2*(rows before it) + (its tie count) + 1 off one cumulative
+    window over the DISTINCT-VALUE table.  That table is the only
+    single-partition structure, so cardinality of distinct values must
+    be bounded (quantize continuous inputs first — same contract as
+    ``bottomk_quantiles``); the data-sized work is two keyed hash
+    aggregates.  The k-row reduction quantizes each class's
+    R_j^2/n_j term to a BIGINT (magnitude ~N^2*n_j ulp > 1 anyway), so
+    the final sum is partitioning-independent; H's closing arithmetic
+    is the identical scalar sequence on both engines.
+
+    Returns one row: ``k, n, h_stat, h_tie_corrected`` (H NULL when
+    k < 2 or every value ties into one group).
+    """
+    base = df.select(
+        F.col(class_col).alias("__g"), F.col(value_col).alias("__v")
+    ).where(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    gv = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__n_gv"))
+    vtab = gv.groupBy("__v").agg(F.sum("__n_gv").alias("__n_v"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    vtab = vtab.select(
+        "__v",
+        "__n_v",
+        (
+            F.lit(2) * (F.sum("__n_v").over(w) - F.col("__n_v"))
+            + F.col("__n_v")
+            + F.lit(1)
+        ).alias("__mid2"),
+    )
+    per = (
+        gv.join(F.broadcast(vtab.select("__v", "__mid2")), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__n_gv").alias("__n_j"),
+            F.sum(F.col("__n_gv") * F.col("__mid2")).alias("__r2_j"),
+        )
+    )
+    # term_j = R_j^2 / n_j with R_j = r2_j / 2; at term magnitude the
+    # double's ulp exceeds 1, so the BIGINT quantization is lossless in
+    # practice and makes the k-row sum order-free
+    rj = F.col("__r2_j").cast("double") / F.lit(2.0)
+    term = rj * rj / F.col("__n_j").cast("double")
+    kstats = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n_j").alias("n"),
+        F.sum(F.round(term).cast("long")).alias("__term_s"),
+    )
+    ties = vtab.agg(
+        F.sum(
+            F.col("__n_v") * F.col("__n_v") * F.col("__n_v") - F.col("__n_v")
+        ).alias("__tie_term"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("__term_s").cast("double") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tie_term").cast("double") / (nd * nd * nd - nd)
+    ok = (F.col("k") >= 2) & (F.col("__n_distinct") >= 2)
+    return (
+        kstats.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.when(ok, h), round_digits).alias("h_stat"),
+            F.round(F.when(ok & (corr > 0), h / corr), round_digits).alias(
+                "h_tie_corrected"
+            ),
+        )
+    )
+
+
+def kruskal_wallis_sql(
+    table: str,
+    class_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kruskal_wallis` — identical doubled-midrank
+    integers, identical quantized k-row terms, identical epilogue."""
+    return f"""
+        WITH base AS (
+          SELECT {class_col} AS g, {value_col} AS v FROM {table}
+          WHERE {value_col} IS NOT NULL AND {class_col} IS NOT NULL),
+        gv AS (SELECT g, v, count(*) AS n_gv FROM base GROUP BY g, v),
+        vtab AS (
+          SELECT v, sum(n_gv) AS n_v,
+                 2 * (sum(sum(n_gv)) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - sum(n_gv)) + sum(n_gv) + 1 AS mid2
+          FROM gv GROUP BY v),
+        per AS (
+          SELECT gv.g, sum(gv.n_gv) AS n_j,
+                 sum(gv.n_gv * vtab.mid2) AS r2_j
+          FROM gv JOIN vtab USING (v) GROUP BY gv.g),
+        kstats AS (
+          SELECT count(*) AS k, sum(n_j) AS n,
+                 sum(CAST(round((CAST(r2_j AS DOUBLE) / 2.0)
+                                * (CAST(r2_j AS DOUBLE) / 2.0)
+                                / CAST(n_j AS DOUBLE)) AS BIGINT)) AS term_s
+          FROM per),
+        ties AS (
+          SELECT sum(n_v * n_v * n_v - n_v) AS tie_term,
+                 count(*) AS n_distinct
+          FROM vtab)
+        SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN k >= 2 AND n_distinct >= 2 THEN
+                 12.0 * CAST(term_s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0) END, {round_digits})
+                 AS h_stat,
+               round(CASE WHEN k >= 2 AND n_distinct >= 2
+                          AND 1.0 - CAST(tie_term AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+                 THEN (12.0 * CAST(term_s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie_term AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) END,
+                 {round_digits}) AS h_tie_corrected
+        FROM kstats CROSS JOIN ties
+    """

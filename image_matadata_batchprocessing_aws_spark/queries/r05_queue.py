@@ -6307,3 +6307,98 @@ ORACLES["reco_association_rules"] = f"""
     JOIN sup sb ON bidir.ib = sb.i
     CROSS JOIN tot
 """
+
+
+def agg_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis rank test: does l_quantity's distribution differ
+    across return flags?  The distribution-free sibling of
+    ``agg_anova_oneway`` (`operators/stats.kruskal_wallis`) — heavy
+    ties (50 distinct integer quantities) exercise the doubled-midrank
+    + tie-correction path."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kruskal_wallis
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return kruskal_wallis(li, "l_returnflag", "qty")
+
+
+QUERIES["agg_kruskal_wallis"] = agg_kruskal_wallis
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import kruskal_wallis_sql  # noqa: E402
+
+ORACLES["agg_kruskal_wallis"] = kruskal_wallis_sql(
+    "(SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)",
+    "l_returnflag",
+    "qty",
+)
+
+
+def agg_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnosis over events.user_id: the top-20 hottest
+    keys with share / ratio-to-mean / heavy flag — the profile that
+    decides between a plain shuffle join, AQE skew splitting, and
+    `operators/skew.salted_join`."""
+    from image_matadata_batchprocessing_aws_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(t(spark, sf, "events"), "user_id")
+
+
+QUERIES["agg_key_skew"] = agg_key_skew
+
+from image_matadata_batchprocessing_aws_spark.operators.skew import key_skew_profile_sql  # noqa: E402
+
+ORACLES["agg_key_skew"] = key_skew_profile_sql("events", "user_id")
+
+
+def sketch_ams_f2(spark: SparkSession, sf: str) -> DataFrame:
+    """AMS tug-of-war F2 estimate of events.user_id (self-join size /
+    skew price in ONE pass, no groupBy) next to the exact F2 and the
+    relative error — `operators/sketches.ams_f2`, md5-parity signs so
+    every counter is engine-portable."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import ams_f2
+
+    return ams_f2(t(spark, sf, "events"), "user_id")
+
+
+QUERIES["sketch_ams_f2"] = sketch_ams_f2
+
+from image_matadata_batchprocessing_aws_spark.operators.sketches import ams_f2_sql  # noqa: E402
+
+ORACLES["sketch_ams_f2"] = ams_f2_sql("events", "user_id")
+
+
+COMPACT_TARGET_CHARS = 4096
+
+
+def etl_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning over the documents corpus treated
+    as a file listing (doc = file, n_chars = bytes, lang = table
+    partition): next-fit-decreasing bins at a 4 KiB-character target —
+    `operators/maintenance.compaction_plan`, the pure-metadata half of
+    `compact_parquet`."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    d = t(spark, sf, "documents").where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return compaction_plan(
+        d, "lang", "n_chars", "doc_id", target_bytes=COMPACT_TARGET_CHARS
+    )
+
+
+QUERIES["etl_compaction_plan"] = etl_compaction_plan
+
+from image_matadata_batchprocessing_aws_spark.operators.maintenance import (  # noqa: E402
+    compaction_plan_sql,
+)
+
+ORACLES["etl_compaction_plan"] = compaction_plan_sql(
+    "(SELECT * FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL)",
+    "lang",
+    "n_chars",
+    "doc_id",
+    target_bytes=COMPACT_TARGET_CHARS,
+)

@@ -311,3 +311,38 @@ def test_scd2_from_feed_semantics(spark):
     assert rows[(2, 1)].valid_to == 3 and not rows[(2, 1)].is_current
     assert rows[(3, 2)].valid_to == 2 and not rows[(3, 2)].is_current  # U before D
     assert len(rows) == 4  # D rows never open versions
+
+
+def test_compaction_plan_next_fit_decreasing_bins(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("p", i, s) for i, s in enumerate([5, 4, 3, 2, 1])],
+        "part string, fid long, bytes long",
+    )
+    out = {
+        r.bin_id: r
+        for r in compaction_plan(df, "part", "bytes", "fid", target_bytes=6).collect()
+    }
+    assert out[0].n_files == 2 and out[0].total_bytes == 9  # 5 + 4
+    assert out[1].total_bytes == 3
+    assert out[2].n_files == 2 and out[2].total_bytes == 3  # 2 + 1
+    assert out[0].fill_ratio == 1.5
+
+
+def test_compaction_plan_oversized_file_gets_own_bin(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        compaction_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("p", 1, 10), ("p", 2, 2)], "part string, fid long, bytes long"
+    )
+    out = sorted(
+        compaction_plan(df, "part", "bytes", "fid", target_bytes=6).collect(),
+        key=lambda r: r.bin_id,
+    )
+    assert out[0].n_files == 1 and out[0].fill_ratio > 1  # split hint
+    assert out[1].bin_id == 1 and out[1].total_bytes == 2

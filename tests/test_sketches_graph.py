@@ -468,3 +468,17 @@ def test_bottomk_sample_mergeable_and_quantile_accuracy(spark):
     ts = bottomk_sample(tiny, F.col("id").cast("string"), "v", ["grp"], k=k)
     trow = bottomk_quantiles(ts, ["grp"]).collect()[0]
     assert trow.n_sketch == 5 and trow.p50 == 2.0 and trow.p90 == 4.0
+
+
+def test_ams_f2_exact_arm_and_error_bound(spark):
+    """f2_exact is sum of squared frequencies; the 16-counter
+    median-of-means estimate is deterministic (md5 signs) and lands
+    within the coarse concentration bound."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import ams_f2
+
+    rows = [(v,) for v in [1] * 10 + [2] * 5 + [3] * 3 + list(range(4, 20))]
+    df = spark.createDataFrame(rows, "k long")
+    r = ams_f2(df, "k").collect()[0]
+    assert r.f2_exact == 100 + 25 + 9 + 16
+    assert r.rel_error == round(abs(r.f2_estimate - r.f2_exact) / r.f2_exact, 6)
+    assert r.rel_error < 1.0

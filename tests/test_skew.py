@@ -89,3 +89,16 @@ def test_knn_auto_plan_construction_launches_no_job(spark):
     knn(queries, corpus, k=1, strategy="auto")  # plan only, no action
     after = set(tracker.getJobIdsForGroup())
     assert after == before
+
+
+def test_key_skew_profile_flags_planted_hot_key(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.skew import key_skew_profile
+
+    rows = [(1,)] * 80 + [(k,) for k in range(2, 22)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, "k", top_k=3).collect()
+    assert [r.key for r in out] == [1, 2, 3]  # count desc, key asc tie-break
+    hot = out[0]
+    assert hot.n_rows == 80 and hot.share == 0.8
+    assert hot.ratio_to_mean == round(80 * 21 / 100, 6) and hot.is_heavy
+    assert not out[1].is_heavy

@@ -651,3 +651,26 @@ def test_theil_sen_shrugs_off_contamination_where_ols_breaks(spark):
         df.withColumn("x_h", (df.ts_ms / 3600000).cast("double")), ["g"], "x_h", "v"
     ).collect()[0]
     assert abs(ols.slope - 2.0) > 1.0  # OLS got dragged
+
+
+def test_kruskal_wallis_matches_hand_computation(spark):
+    """Two groups, no ties: A={1,2,3} B={4,5,6} -> R_A=6, R_B=15,
+    H = 12/(6*7) * (36/3 + 225/3) - 3*7 = 27/7."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)],
+        "g string, v long",
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.k == 2 and r.n == 6
+    assert r.h_stat == round(27 / 7, 6)
+    assert r.h_tie_corrected == r.h_stat  # no ties -> correction is 1
+
+
+def test_kruskal_wallis_all_tied_is_null(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame([("a", 7), ("b", 7), ("a", 7)], "g string, v long")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.h_stat is None and r.h_tie_corrected is None
