@@ -463,3 +463,61 @@ def compaction_plan_sql(
                      {round_digits}) AS fill_ratio
         FROM planned GROUP BY part, bin_id
     """
+
+
+def zonemap_stats(
+    df: DataFrame,
+    file_col,
+    value_col: str,
+) -> DataFrame:
+    """Per-file zone-map statistics for ``value_col`` — the min/max/
+    count/null-count a parquet footer keeps per row group, computed
+    here from data so a layout's SKIPPING POWER can be audited before
+    committing to it (compare a clustered vs unclustered ``file_col``
+    assignment: same data, wildly different prunable fraction).
+    ``file_col`` may be a column name or a Column expression (e.g. the
+    bin assignment from :func:`compaction_plan` or a zorder_key range).
+    """
+    fc = F.col(file_col) if isinstance(file_col, str) else file_col
+    return df.groupBy(fc.alias("file_id")).agg(
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col(value_col).isNull(), 1).otherwise(0)
+        ).alias("n_nulls"),
+    )
+
+
+def zonemap_prune_report(
+    stats: DataFrame,
+    lo,
+    hi,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Given :func:`zonemap_stats` output and a range predicate
+    ``value BETWEEN lo AND hi``, report what a min/max zone map would
+    skip: a file scans only if its [v_min, v_max] overlaps [lo, hi]
+    (all-null files never scan).  One row: file/row counts scanned vs
+    skipped and the scan fraction — the number that decides whether a
+    re-clustering (z-order / sort) pays for itself.
+    """
+    overlaps = (
+        F.col("v_min").isNotNull()
+        & (F.col("v_min") <= F.lit(hi))
+        & (F.col("v_max") >= F.lit(lo))
+    )
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(overlaps, 1).otherwise(0)).cast("long").alias("files_scanned"),
+        F.sum(F.when(~overlaps, 1).otherwise(0)).cast("long").alias("files_skipped"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.round(
+            F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.sum("n_rows").cast("double"),
+            round_digits,
+        ).alias("scan_fraction"),
+    )

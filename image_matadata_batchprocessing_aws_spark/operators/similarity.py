@@ -288,3 +288,80 @@ def jl_project_sql(
         for j, row in enumerate(rows)
     )
     return selects
+
+
+def mutual_topk(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    vec_l: str = "le",
+    vec_r: str = "re",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining with MARGIN scoring — the
+    bitext/alignment-mining primitive (Artetxe & Schwenk 2019): a pair
+    (l, r) survives only if r is in l's cosine top-k AND l is in r's
+    top-k, and the ratio margin
+    ``2*cos(l,r) / (mean_topk(l) + mean_topk(r))`` separates genuinely
+    aligned pairs from hubs that sit near everything (a hub's own
+    top-k mean is high, deflating its margins).
+
+    Built as two :func:`knn_bruteforce` passes (so each side must be
+    broadcast-sized here) joined on the pair; at corpus scale swap the
+    candidate generator for the IVF/LSH path — the mutual join and the
+    margin arithmetic are unchanged, which is the point of composing it
+    from the top-k table rather than scoring inside a custom kernel.
+    Cosine is symmetric (elementwise products commute, same fold
+    order), so the two directions carry the SAME rounded score and the
+    join keeps one.
+
+    Returns ``left_id, right_id, score, rn_lr, rn_rl, margin``.
+    """
+    lq = left.select(F.col(left_id), F.col(vec_l).alias("qe"))
+    rc = right.select(F.col(right_id), F.col(vec_r).alias("ce"))
+    lr = knn_bruteforce(
+        lq, rc, k=k, metric="cosine", query_id=left_id, corpus_id=right_id
+    )
+    rq = right.select(F.col(right_id), F.col(vec_r).alias("qe"))
+    lc = left.select(F.col(left_id), F.col(vec_l).alias("ce"))
+    rl = knn_bruteforce(
+        rq, lc, k=k, metric="cosine", query_id=right_id, corpus_id=left_id
+    )
+    # scores are round(x, 6): re-scale to exact BIGINTs so the k-row
+    # mean is an integer sum (order-free), THEN divide once
+    score_int = F.round(F.col("score") * F.lit(1e6)).cast("long")
+    lr_mean = lr.groupBy(left_id).agg(
+        (
+            F.sum(score_int).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
+        ).alias("__mean_l")
+    )
+    rl_mean = rl.groupBy(right_id).agg(
+        (
+            F.sum(score_int).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e6))
+        ).alias("__mean_r")
+    )
+    return (
+        lr.select(left_id, right_id, "score", F.col("rn").alias("rn_lr"))
+        .join(
+            rl.select(right_id, left_id, F.col("rn").alias("rn_rl")),
+            [left_id, right_id],
+        )
+        .join(F.broadcast(lr_mean), left_id)
+        .join(F.broadcast(rl_mean), right_id)
+        .select(
+            left_id,
+            right_id,
+            "score",
+            "rn_lr",
+            "rn_rl",
+            F.round(
+                F.lit(2.0) * F.col("score")
+                / (F.col("__mean_l") + F.col("__mean_r")),
+                round_digits,
+            ).alias("margin"),
+        )
+    )

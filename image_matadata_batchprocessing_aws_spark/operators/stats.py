@@ -1514,3 +1514,110 @@ def kruskal_wallis_sql(
                  {round_digits}) AS h_tie_corrected
         FROM kstats CROSS JOIN ties
     """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+    value_digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the floor(n*trim_frac) lowest and
+    highest values, average the rest — the robust location estimate
+    between the mean (breaks on one outlier) and the median (throws
+    away 98% of the data).  Exact cross-engine: values quantize to
+    scaled BIGINTs, the kept-range sum is an integer, and rank
+    boundaries come from one per-group window (ties rank arbitrarily
+    but equal values are interchangeable, so the kept SUM is
+    rank-order-independent).
+
+    Returns ``group, n, n_trim_each, trimmed_mean, mean`` (trimmed
+    NULL when trimming would drop everything).
+    """
+    xs = _scaled(value_col, value_digits)
+    scale = float(10**value_digits)
+    base = df.where(F.col(f"`{value_col}`").isNotNull()).select(
+        F.col(group_col).alias("group"), xs.alias(f"__xs_{value_col}")
+    )
+    w = Window.partitionBy("group").orderBy(F.col(f"__xs_{value_col}").asc())
+    ranked = base.select(
+        "group",
+        f"__xs_{value_col}",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("group")).alias("__n"),
+    )
+    t_lo = F.floor(F.col("__n").cast("double") * F.lit(trim_frac))
+    kept = (F.col("__rn") > t_lo) & (F.col("__rn") <= F.col("__n") - t_lo)
+    return (
+        ranked.groupBy("group")
+        .agg(
+            F.max("__n").alias("n"),
+            F.max(t_lo).alias("__t"),
+            F.sum(F.when(kept, F.col(f"__xs_{value_col}"))).alias("__kept_s"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("__kept_n"),
+            F.sum(f"__xs_{value_col}").alias("__all_s"),
+        )
+        .select(
+            "group",
+            F.col("n").cast("long").alias("n"),
+            F.col("__t").cast("long").alias("n_trim_each"),
+            F.round(
+                F.when(
+                    F.col("__kept_n") > 0,
+                    F.col("__kept_s").cast("double")
+                    / (F.col("__kept_n").cast("double") * F.lit(scale)),
+                ),
+                round_digits,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.col("__all_s").cast("double")
+                / (F.col("n").cast("double") * F.lit(scale)),
+                round_digits,
+            ).alias("mean"),
+        )
+    )
+
+
+def trimmed_mean_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+    value_digits: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean`."""
+    scale = float(10**value_digits)
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp,
+                 CAST(round({value_col} * {scale}) AS BIGINT) AS xs
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        ranked AS (
+          SELECT grp, xs,
+                 row_number() OVER (PARTITION BY grp ORDER BY xs ASC) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM base),
+        agg AS (
+          SELECT grp, max(n) AS n,
+                 max(CAST(floor(CAST(n AS DOUBLE) * {trim_frac}) AS BIGINT))
+                   AS t,
+                 sum(CASE WHEN rn > floor(CAST(n AS DOUBLE) * {trim_frac})
+                           AND rn <= n - floor(CAST(n AS DOUBLE) * {trim_frac})
+                          THEN xs END) AS kept_s,
+                 sum(CASE WHEN rn > floor(CAST(n AS DOUBLE) * {trim_frac})
+                           AND rn <= n - floor(CAST(n AS DOUBLE) * {trim_frac})
+                          THEN 1 ELSE 0 END) AS kept_n,
+                 sum(xs) AS all_s
+          FROM ranked GROUP BY grp)
+        SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+               CAST(t AS BIGINT) AS n_trim_each,
+               round(CASE WHEN kept_n > 0 THEN
+                 CAST(kept_s AS DOUBLE) / (CAST(kept_n AS DOUBLE) * {scale})
+                 END, {round_digits}) AS trimmed_mean,
+               round(CAST(all_s AS DOUBLE) / (CAST(n AS DOUBLE) * {scale}),
+                     {round_digits}) AS mean
+        FROM agg
+    """

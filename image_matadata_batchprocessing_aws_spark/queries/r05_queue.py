@@ -6402,3 +6402,189 @@ ORACLES["etl_compaction_plan"] = compaction_plan_sql(
     "doc_id",
     target_bytes=COMPACT_TARGET_CHARS,
 )
+
+
+MUTUAL_K = 5
+MUTUAL_N_LEFT = 10  # same query/corpus split as knn_brute_cosine
+
+
+def ann_mutual_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-nearest-neighbor pair mining with ratio-margin scoring
+    (Artetxe & Schwenk 2019) between the query slice and the corpus —
+    `operators/similarity.mutual_topk`: pairs in each other's cosine
+    top-5, margin = 2*cos / (mean of each side's top-5)."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+        mutual_topk,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    left = e.where(F.col("vec_id") < MUTUAL_N_LEFT).select(
+        F.col("vec_id").alias("left_id"), F.col("e").alias("le")
+    )
+    right = e.where(F.col("vec_id") >= MUTUAL_N_LEFT).select(
+        F.col("vec_id").alias("right_id"), F.col("e").alias("re")
+    )
+    return mutual_topk(left, right, k=MUTUAL_K)
+
+
+QUERIES["ann_mutual_margin"] = ann_mutual_margin
+
+ORACLES["ann_mutual_margin"] = f"""
+    WITH q AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {MUTUAL_N_LEFT}),
+    c AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings WHERE vec_id >= {MUTUAL_N_LEFT}),
+    lr AS (SELECT left_id, right_id,
+                  round(list_cosine_similarity(qe, ce), 6) AS score,
+                  row_number() OVER (PARTITION BY left_id
+                    ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+                             right_id) AS rn
+           FROM q CROSS JOIN c),
+    lrk AS (SELECT * FROM lr WHERE rn <= {MUTUAL_K}),
+    rl AS (SELECT right_id, left_id,
+                  round(list_cosine_similarity(ce, qe), 6) AS score,
+                  row_number() OVER (PARTITION BY right_id
+                    ORDER BY round(list_cosine_similarity(ce, qe), 6) DESC,
+                             left_id) AS rn
+           FROM c CROSS JOIN q),
+    rlk AS (SELECT * FROM rl WHERE rn <= {MUTUAL_K}),
+    lm AS (SELECT left_id,
+                  CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1e6) AS mean_l
+           FROM lrk GROUP BY left_id),
+    rm AS (SELECT right_id,
+                  CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1e6) AS mean_r
+           FROM rlk GROUP BY right_id)
+    SELECT lrk.left_id, lrk.right_id, lrk.score,
+           CAST(lrk.rn AS BIGINT) AS rn_lr,
+           CAST(rlk.rn AS BIGINT) AS rn_rl,
+           round(2.0 * lrk.score / (mean_l + mean_r), 6) AS margin
+    FROM lrk
+    JOIN rlk ON lrk.left_id = rlk.left_id AND lrk.right_id = rlk.right_id
+    JOIN lm ON lrk.left_id = lm.left_id
+    JOIN rm ON lrk.right_id = rm.right_id
+"""
+
+
+def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """10%-trimmed mean of extended price per return flag next to the
+    plain mean — `operators/stats.trimmed_mean`, the robust location
+    estimate between mean and median."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import trimmed_mean
+
+    return trimmed_mean(
+        t(spark, sf, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+QUERIES["agg_trimmed_mean"] = agg_trimmed_mean
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import trimmed_mean_sql  # noqa: E402
+
+ORACLES["agg_trimmed_mean"] = trimmed_mean_sql(
+    "lineitem", "l_returnflag", "l_extendedprice"
+)
+
+
+ZONEMAP_BIN = 4096
+ZONEMAP_LO = "1998-01-01"
+ZONEMAP_HI = "1998-03-31"
+
+
+def etl_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map pruning audit (`operators/maintenance.zonemap_stats` +
+    `zonemap_prune_report`): the same Q1-1998 ship-date predicate
+    priced against TWO physical layouts of lineitem — orderkey-binned
+    files (unclustered: min/max spans everything, nothing skips) vs
+    month-partitioned files (time-clustered: all but ~3 files skip).
+    The scan-fraction delta is the business case for re-clustering."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        zonemap_prune_report,
+        zonemap_stats,
+    )
+
+    # l_shipdate reads as TIMESTAMP_NTZ: derive a tz-FREE day number
+    # (wall-clock date diffed against the epoch date) so the query is
+    # correct under any session timezone
+    epoch0 = F.lit("1970-01-01").cast("date")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate").cast("date"), epoch0).alias("ship_day"),
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ship_month"),
+    )
+    lo = F.datediff(F.lit(ZONEMAP_LO).cast("date"), epoch0)
+    hi = F.datediff(F.lit(ZONEMAP_HI).cast("date"), epoch0)
+    by_key = zonemap_stats(
+        li, F.floor(F.col("l_orderkey") / F.lit(ZONEMAP_BIN)), "ship_day"
+    )
+    by_month = zonemap_stats(li, "ship_month", "ship_day")
+    return zonemap_prune_report(by_key, lo, hi).withColumn(
+        "layout", F.lit("orderkey_bins")
+    ).unionByName(
+        zonemap_prune_report(by_month, lo, hi).withColumn(
+            "layout", F.lit("month_files")
+        )
+    )
+
+
+QUERIES["etl_zonemap_prune"] = etl_zonemap_prune
+
+ORACLES["etl_zonemap_prune"] = f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS ship_day,
+             year(l_shipdate) * 100 + month(l_shipdate) AS ship_month
+      FROM lineitem),
+    bounds AS (
+      SELECT DATE '{ZONEMAP_LO}' - DATE '1970-01-01' AS lo,
+             DATE '{ZONEMAP_HI}' - DATE '1970-01-01' AS hi),
+    by_key AS (
+      SELECT CAST(floor(l_orderkey / {ZONEMAP_BIN}) AS BIGINT) AS file_id,
+             min(ship_day) AS v_min, max(ship_day) AS v_max,
+             count(*) AS n_rows
+      FROM li GROUP BY 1),
+    by_month AS (
+      SELECT ship_month AS file_id,
+             min(ship_day) AS v_min, max(ship_day) AS v_max,
+             count(*) AS n_rows
+      FROM li GROUP BY 1),
+    rep_key AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(sum(CASE WHEN NOT (v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo) THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_skipped,
+             CAST(sum(CASE WHEN v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(sum(n_rows) AS BIGINT) AS rows_total,
+             round(CAST(sum(CASE WHEN v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo THEN n_rows ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(n_rows) AS DOUBLE), 6) AS scan_fraction,
+             'orderkey_bins' AS layout
+      FROM by_key CROSS JOIN bounds),
+    rep_month AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+             CAST(sum(CASE WHEN NOT (v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo) THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_skipped,
+             CAST(sum(CASE WHEN v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(sum(n_rows) AS BIGINT) AS rows_total,
+             round(CAST(sum(CASE WHEN v_min IS NOT NULL AND v_min <= hi
+                            AND v_max >= lo THEN n_rows ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(n_rows) AS DOUBLE), 6) AS scan_fraction,
+             'month_files' AS layout
+      FROM by_month CROSS JOIN bounds)
+    SELECT * FROM rep_key UNION ALL SELECT * FROM rep_month
+"""

@@ -563,3 +563,41 @@ def test_association_rules_lift_separates_signal_from_popularity(spark):
     chance = out[(1, 100)]
     assert chance.lift == 1.0  # 100's base rate is 1.0
     assert (2, 1) in out  # both directions emitted
+
+
+def test_mutual_topk_keeps_only_reciprocal_pairs(spark):
+    """L1 and R1 point the same way (mutual at k=1); R2 sits between
+    both left vectors, so it picks L1 — but L1's top-1 is R1, so
+    (L1, R2) is one-directional and must not survive."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import mutual_topk
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "left_id long, le array<double>"
+    )
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (20, [5.0, 5.0]), (30, [0.1, 1.0])],
+        "right_id long, re array<double>",
+    )
+    out = {(r.left_id, r.right_id): r for r in mutual_topk(left, right, k=1).collect()}
+    assert set(out) == {(1, 10), (2, 30)}
+    assert out[(1, 10)].rn_lr == 1 and out[(1, 10)].rn_rl == 1
+    # k=1 means each side's top-k mean IS the pair score -> margin 1
+    assert out[(1, 10)].margin == 1.0
+
+
+def test_mutual_topk_margin_deflates_hubs(spark):
+    """A hub close to everything gets a high top-k mean, so its mutual
+    pair's margin sits below a pair that is uniquely aligned."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import mutual_topk
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.7, 0.7, 0.2])],
+        "left_id long, le array<double>",
+    )
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.05, 0.0]), (20, [0.7, 0.71, 0.2]), (30, [0.6, 0.75, 0.2])],
+        "right_id long, re array<double>",
+    )
+    out = {(r.left_id, r.right_id): r for r in mutual_topk(left, right, k=2).collect()}
+    # the uniquely-aligned pair carries a higher margin than the hub's
+    assert out[(1, 10)].margin > out[(2, 20)].margin

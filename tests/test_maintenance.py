@@ -346,3 +346,23 @@ def test_compaction_plan_oversized_file_gets_own_bin(spark):
     )
     assert out[0].n_files == 1 and out[0].fill_ratio > 1  # split hint
     assert out[1].bin_id == 1 and out[1].total_bytes == 2
+
+
+def test_zonemap_prune_clustered_vs_unclustered(spark):
+    """The same predicate skips everything-but-one-file under a
+    clustered layout and nothing under an anti-clustered one."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        zonemap_prune_report,
+        zonemap_stats,
+    )
+    from pyspark.sql import functions as F
+
+    # 40 rows, v = 0..39; clustered: file = v div 10; anti: file = v mod 4
+    df = spark.range(40).select(F.col("id").alias("v"))
+    clustered = zonemap_stats(df, (F.col("v") / 10).cast("long"), "v")
+    anti = zonemap_stats(df, F.col("v") % 4, "v")
+    rc = zonemap_prune_report(clustered, 10, 19).collect()[0]
+    ra = zonemap_prune_report(anti, 10, 19).collect()[0]
+    assert rc.files_scanned == 1 and rc.rows_scanned == 10
+    assert rc.scan_fraction == 0.25
+    assert ra.files_scanned == 4 and ra.scan_fraction == 1.0

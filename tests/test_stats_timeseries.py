@@ -674,3 +674,16 @@ def test_kruskal_wallis_all_tied_is_null(spark):
     df = spark.createDataFrame([("a", 7), ("b", 7), ("a", 7)], "g string, v long")
     r = kruskal_wallis(df, "g", "v").collect()[0]
     assert r.h_stat is None and r.h_tie_corrected is None
+
+
+def test_trimmed_mean_drops_tails(spark):
+    """Values 1..10 with trim 0.1 drop rank 1 and rank 10: trimmed
+    mean = mean(2..9) = 5.5, untrimmed pulled up by a planted 1000."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import trimmed_mean
+
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = trimmed_mean(df, "grp", "v", trim_frac=0.1).collect()[0]
+    assert r.n == 10 and r.n_trim_each == 1
+    assert r.trimmed_mean == 5.5  # mean of 2..9
+    assert r.mean == 104.5
