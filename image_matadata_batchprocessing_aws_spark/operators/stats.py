@@ -1621,3 +1621,220 @@ def trimmed_mean_sql(
                      {round_digits}) AS mean
         FROM agg
     """
+
+
+def kendall_tau_bounded(
+    df: DataFrame,
+    group_by: str,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    sample_m: int = 60,
+    x_digits: int = 2,
+    y_digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """KENDALL's tau-b rank correlation per group — the third member of
+    the correlation family (Pearson `agg_corr` measures linearity,
+    Spearman `agg_spearman` monotonicity via ranks, tau-b the
+    PROBABILITY of concordance, the most outlier-robust and the one
+    with a direct betting interpretation), with the tau-b tie
+    correction in both margins.
+
+    Same bounded discipline as :func:`theil_sen_bounded`: the full
+    statistic is O(n²) pairs, so a deterministic md5 rank picks
+    ``sample_m`` rows per group (rerun/partitioning-stable) and pairs
+    generate within the sample only.  Concordance tests compare
+    scaled-BIGINT signs — pure integer counting — and the closing
+    sqrt runs on exact integer operands, so both engines compute the
+    identical double.
+
+    Returns ``group, n_pairs, n_concordant, n_discordant, tau_b``
+    (NULL tau when either margin is all-ties).
+    """
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    xq = F.round(F.col(x_col) * F.lit(float(10**x_digits))).cast("long")
+    yq = F.round(F.col(y_col) * F.lit(float(10**y_digits))).cast("long")
+    h = md5_int64(F.concat(F.col(key_col).cast("string"), F.lit("\x1fkt")))
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        group_by, F.col(key_col), xq.alias("__x"), yq.alias("__y"), h.alias("__h")
+    )
+    # rank tie-break extends through the VALUES: a non-unique key_col
+    # (duplicate business keys happen) must still sample identically on
+    # both engines
+    w = Window.partitionBy(group_by).orderBy(
+        "__h", key_col, F.col("__x"), F.col("__y")
+    )
+    sampled = base.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= sample_m
+    )
+    a, b = sampled.alias("a"), sampled.alias("b")
+    dx = F.signum((F.col("b.__x") - F.col("a.__x")).cast("double"))
+    dy = F.signum((F.col("b.__y") - F.col("a.__y")).cast("double"))
+    pairs = a.join(
+        b,
+        (F.col(f"a.{group_by}") == F.col(f"b.{group_by}"))
+        & (F.col("a.__rk") < F.col("b.__rk")),
+    ).select(
+        F.col(f"a.{group_by}").alias("group"),
+        (dx * dy).cast("long").alias("__s"),
+        (dx == 0).cast("long").alias("__tx"),
+        (dy == 0).cast("long").alias("__ty"),
+    )
+    agg = pairs.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("__s") > 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("__s") < 0, 1).otherwise(0)).alias("nd"),
+        F.sum("__tx").alias("ntx"),
+        F.sum("__ty").alias("nty"),
+    )
+    denom_x = (F.col("n_pairs") - F.col("ntx")).cast("double")
+    denom_y = (F.col("n_pairs") - F.col("nty")).cast("double")
+    ok = (denom_x > 0) & (denom_y > 0)
+    tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(denom_x * denom_y)
+    return agg.select(
+        "group",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("n_concordant"),
+        F.col("nd").cast("long").alias("n_discordant"),
+        F.round(F.when(ok, tau), round_digits).alias("tau_b"),
+    )
+
+
+def kendall_tau_bounded_sql(
+    table: str,
+    group_by: str,
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    sample_m: int = 60,
+    x_digits: int = 2,
+    y_digits: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kendall_tau_bounded` — identical md5
+    sample, integer sign counting, and sqrt operands."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    hx = md5_int64_sql(f"CAST({key_col} AS VARCHAR) || chr(31) || 'kt'")
+    return f"""
+        WITH base AS (
+          SELECT {group_by} AS grp, {key_col} AS k,
+                 CAST(round({x_col} * {float(10**x_digits)}) AS BIGINT) AS x,
+                 CAST(round({y_col} * {float(10**y_digits)}) AS BIGINT) AS y,
+                 {hx} AS h
+          FROM {table}
+          WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+        sampled AS (
+          SELECT grp, x, y,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY h, k, x, y) AS rk
+          FROM base QUALIFY rk <= {sample_m}),
+        pairs AS (
+          SELECT a.grp,
+                 CAST(sign(CAST(b.x - a.x AS DOUBLE))
+                      * sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT) AS s,
+                 CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+                 CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+          FROM sampled a JOIN sampled b
+            ON a.grp = b.grp AND a.rk < b.rk),
+        agg AS (
+          SELECT grp, count(*) AS n_pairs,
+                 sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS nc,
+                 sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS nd,
+                 sum(tx) AS ntx, sum(ty) AS nty
+          FROM pairs GROUP BY grp)
+        SELECT grp AS "group",
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(nc AS BIGINT) AS n_concordant,
+               CAST(nd AS BIGINT) AS n_discordant,
+               round(CASE WHEN n_pairs - ntx > 0 AND n_pairs - nty > 0 THEN
+                 CAST(nc - nd AS DOUBLE)
+                 / sqrt(CAST(n_pairs - ntx AS DOUBLE)
+                        * CAST(n_pairs - nty AS DOUBLE)) END,
+                 {round_digits}) AS tau_b
+        FROM agg
+    """
+
+
+def shannon_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    term_digits: int = 9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) and evenness of a categorical
+    mix — the log-scale companion of the Gini-impurity diversity
+    (`agg_source_diversity`): H = -sum p_i*log2(p_i),
+    evenness = H / log2(k).  Entropy separates a 99/1 split from 90/10
+    where Gini compresses; evenness normalizes cross-group with
+    different category counts.
+
+    Cross-engine: p_i divides exact integers (one correctly-rounded
+    double both engines agree on); each p*log2(p) term is quantized to
+    a BIGINT at ``term_digits`` before the k-row sum (the PMI-query
+    precedent for libm log parity — terms are O(1) so the quantization
+    dominates any last-ulp log2 divergence), and the final rounding is
+    two digits coarser.
+    """
+    qscale = float(10**term_digits)
+    counts = df.where(F.col(cat_col).isNotNull()).groupBy(
+        F.col(group_col).alias("group"), F.col(cat_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__n_c"))
+    per = counts.select(
+        "group",
+        "__n_c",
+        F.sum("__n_c").over(Window.partitionBy("group")).alias("__n"),
+    )
+    p = F.col("__n_c").cast("double") / F.col("__n").cast("double")
+    term_q = F.round(p * F.log2(p) * F.lit(qscale)).cast("long")
+    agg = per.groupBy("group").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(term_q).alias("__h_q"),
+    )
+    h = -F.col("__h_q").cast("double") / F.lit(qscale)
+    return agg.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(h, round_digits).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("k") > 1, h / F.log2(F.col("k").cast("double"))),
+            round_digits,
+        ).alias("evenness"),
+    )
+
+
+def shannon_entropy_sql(
+    table: str,
+    group_col: str,
+    cat_col: str,
+    term_digits: int = 9,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`shannon_entropy`."""
+    qscale = float(10**term_digits)
+    return f"""
+        WITH counts AS (
+          SELECT {group_col} AS grp, {cat_col} AS c, count(*) AS n_c
+          FROM {table} WHERE {cat_col} IS NOT NULL GROUP BY 1, 2),
+        per AS (
+          SELECT grp, n_c, sum(n_c) OVER (PARTITION BY grp) AS n
+          FROM counts),
+        agg AS (
+          SELECT grp, max(n) AS n, count(*) AS k,
+                 sum(CAST(round((CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * log2(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * {qscale}) AS BIGINT)) AS h_q
+          FROM per GROUP BY grp)
+        SELECT grp AS "group", CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               round(-CAST(h_q AS DOUBLE) / {qscale}, {round_digits})
+                 AS entropy_bits,
+               round(CASE WHEN k > 1 THEN
+                 (-CAST(h_q AS DOUBLE) / {qscale}) / log2(CAST(k AS DOUBLE))
+                 END, {round_digits}) AS evenness
+        FROM agg
+    """

@@ -6588,3 +6588,57 @@ ORACLES["etl_zonemap_prune"] = f"""
       FROM by_month CROSS JOIN bounds)
     SELECT * FROM rep_key UNION ALL SELECT * FROM rep_month
 """
+
+
+KT_SAMPLE_M = 60
+
+
+def agg_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's tau-b of quantity vs extended price per return flag
+    (`operators/stats.kendall_tau_bounded`) — the concordance member of
+    the correlation family next to `agg_corr` (Pearson) and
+    `agg_spearman`, on the same bounded deterministic m-sample
+    discipline as `ts_theil_sen`."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kendall_tau_bounded
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+    return kendall_tau_bounded(
+        li, "l_returnflag", "l_quantity", "l_extendedprice", "rid",
+        sample_m=KT_SAMPLE_M,
+    )
+
+
+QUERIES["agg_kendall_tau"] = agg_kendall_tau
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import kendall_tau_bounded_sql  # noqa: E402
+
+ORACLES["agg_kendall_tau"] = kendall_tau_bounded_sql(
+    "(SELECT l_returnflag, l_quantity, l_extendedprice, "
+    "l_orderkey * 10 + l_linenumber AS rid FROM lineitem)",
+    "l_returnflag",
+    "l_quantity",
+    "l_extendedprice",
+    "rid",
+    sample_m=KT_SAMPLE_M,
+)
+
+
+def agg_shannon_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy + evenness of each language's source mix
+    (`operators/stats.shannon_entropy`) — the log-scale companion of
+    the Gini-impurity `agg_source_diversity`, on the same grain."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import shannon_entropy
+
+    return shannon_entropy(t(spark, sf, "documents"), "lang", "source")
+
+
+QUERIES["agg_shannon_entropy"] = agg_shannon_entropy
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import shannon_entropy_sql  # noqa: E402
+
+ORACLES["agg_shannon_entropy"] = shannon_entropy_sql("documents", "lang", "source")

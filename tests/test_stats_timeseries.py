@@ -687,3 +687,36 @@ def test_trimmed_mean_drops_tails(spark):
     assert r.n == 10 and r.n_trim_each == 1
     assert r.trimmed_mean == 5.5  # mean of 2..9
     assert r.mean == 104.5
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kendall_tau_bounded
+
+    rows = [("m", i, float(i), float(i * i)) for i in range(1, 6)]
+    rows += [("r", i, float(i), float(-i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, k long, x double, y double")
+    out = {r.group: r for r in kendall_tau_bounded(df, "g", "x", "y", "k").collect()}
+    assert out["m"].n_pairs == 10 and out["m"].n_concordant == 10
+    assert out["m"].tau_b == 1.0
+    assert out["r"].tau_b == -1.0
+
+
+def test_kendall_tau_all_tied_margin_is_null(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import kendall_tau_bounded
+
+    df = spark.createDataFrame(
+        [("g", i, float(i), 7.0) for i in range(5)],
+        "g string, k long, x double, y double",
+    )
+    assert kendall_tau_bounded(df, "g", "x", "y", "k").collect()[0].tau_b is None
+
+
+def test_shannon_entropy_uniform_and_degenerate(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import shannon_entropy
+
+    rows = [("u", c) for c in "abcd" * 3] + [("one", "z")] * 5
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r.group: r for r in shannon_entropy(df, "g", "c").collect()}
+    assert out["u"].k == 4 and out["u"].entropy_bits == 2.0
+    assert out["u"].evenness == 1.0
+    assert out["one"].entropy_bits == 0.0 and out["one"].evenness is None
