@@ -150,6 +150,22 @@ HEADLINE = [
     "etl_table_diff",
     "agg_cramers_v",
     "etl_variant_extract",
+    # r04 continuation batch 3+4 (append only): operational diagnostics
+    # (skew profile, AMS F2, compaction plan, zone-map audit), rank
+    # stats, alignment mining, reco rules.
+    "agg_key_skew",
+    "sketch_ams_f2",
+    "etl_compaction_plan",
+    "etl_zonemap_prune",
+    "agg_kruskal_wallis",
+    "agg_trimmed_mean",
+    "agg_kendall_tau",
+    "agg_shannon_entropy",
+    "ann_mutual_margin",
+    "reco_association_rules",
+    "graph_ppr",
+    "sample_group_kfold",
+    "eval_pr_curve",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -481,3 +481,101 @@ def mcnemar_test(
         F.col("c").cast("long").alias("c_discordant"),
         F.round(stat, round_digits).alias("mcnemar_chi2"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_points: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Precision-recall curve at ``n_points`` score-rank cutoffs — the
+    threshold-sweep view ROC AUC (:func:`roc_auc`) compresses to one
+    number: rows rank score-desc, split into ``n_points`` ntile
+    buckets, and each bucket boundary reports CUMULATIVE precision /
+    recall / F1 as if everything ranked above it were predicted
+    positive.  On imbalanced labels this is the curve that actually
+    moves (ROC saturates when negatives dominate).
+
+    All counts are exact integers off one rank window (unique
+    ``id_col`` tiebreak so both engines bucket identically); the curve
+    table is ``n_points`` rows, cumulated with a second tiny window.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    bucketed = df.select(
+        F.ntile(n_points).over(w).alias("bucket"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__tp"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("__tp").alias("__p"))
+    cum = per.select(
+        "bucket",
+        F.sum("__n").over(wc).alias("__cn"),
+        F.sum("__tp").over(wc).alias("__ctp"),
+    ).crossJoin(F.broadcast(tot))
+    prec = F.col("__ctp").cast("double") / F.col("__cn").cast("double")
+    rec = F.col("__ctp").cast("double") / F.col("__p").cast("double")
+    return cum.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("__cn").cast("long").alias("n_predicted"),
+        F.col("__ctp").cast("long").alias("n_true_pos"),
+        F.round(prec, round_digits).alias("precision"),
+        F.round(F.when(F.col("__p") > 0, rec), round_digits).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("__p") + F.col("__cn")) > 0,
+                F.lit(2.0)
+                * F.col("__ctp").cast("double")
+                / (F.col("__p") + F.col("__cn")).cast("double"),
+            ),
+            round_digits,
+        ).alias("f1"),
+    )
+
+
+def pr_curve_sql(
+    table: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_points: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pr_curve` (same ntile bucketing, same
+    integer cumulation)."""
+    return f"""
+        WITH bucketed AS (
+          SELECT ntile({n_points}) OVER (ORDER BY {score_col} DESC,
+                                         {id_col} ASC) AS bucket,
+                 CAST({label_col} AS BIGINT) AS y
+          FROM {table}),
+        per AS (
+          SELECT bucket, count(*) AS n, sum(y) AS tp
+          FROM bucketed GROUP BY bucket),
+        tot AS (SELECT sum(tp) AS p FROM per),
+        cum AS (
+          SELECT bucket,
+                 sum(n) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                 sum(tp) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp
+          FROM per)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(cn AS BIGINT) AS n_predicted,
+               CAST(ctp AS BIGINT) AS n_true_pos,
+               round(CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE), {round_digits})
+                 AS precision,
+               round(CASE WHEN p > 0 THEN
+                 CAST(ctp AS DOUBLE) / CAST(p AS DOUBLE) END, {round_digits})
+                 AS recall,
+               round(CASE WHEN p + cn > 0 THEN
+                 2.0 * CAST(ctp AS DOUBLE) / CAST(p + cn AS DOUBLE) END,
+                 {round_digits}) AS f1
+        FROM cum CROSS JOIN tot
+    """

@@ -480,3 +480,76 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int) -> DataFram
         if frontier.isEmpty():
             break
     return visited
+
+
+def personalized_pagerank_scaled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    fixed-point rounds to :func:`pagerank_scaled`, but the teleport
+    mass returns to the SEED set instead of spreading uniformly — rank
+    becomes proximity-to-seeds, the recommendation / related-entity
+    primitive (e.g. "suppliers close to THIS customer cohort").
+
+    ``seeds`` is a 1-column (node) frame, broadcast-joined into the
+    restart term; the start vector is uniform over seeds.  Same
+    determinism contract as the global form: truncating integer
+    division everywhere, so an unrolled-CTE oracle matches
+    bit-for-bit.  Non-seed nodes unreachable from a seed keep rank 0 —
+    they are reported, not dropped, so mass accounting stays visible.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    seed_marked = nodes.join(
+        F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()),
+        "node",
+        "left_semi",
+    ).select("node", F.lit(1).alias("__is_seed"))
+    ns1 = seed_marked.agg(F.count("*").alias("__ns"))
+    base = nodes.join(F.broadcast(seed_marked), "node", "left").crossJoin(
+        F.broadcast(ns1)
+    )
+    restart = F.when(
+        F.col("__is_seed").isNotNull(),
+        F.expr(
+            f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __ns) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0))
+    ranks = base.select(
+        "node",
+        F.when(
+            F.col("__is_seed").isNotNull(),
+            F.expr(f"CAST({scale} div __ns AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rank_scaled"),
+    )
+    for _ in range(iterations):
+        shares = ranks.join(deg, ranks["node"] == deg[src]).select(
+            F.col("node").alias("__src"),
+            F.expr(
+                f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
+            ).alias("__share"),
+        )
+        incoming = (
+            shares.join(edges, shares["__src"] == edges[src])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("__share").alias("__inc"))
+        )
+        ranks = base.join(incoming, "node", "left").select(
+            "node",
+            (restart + F.coalesce(F.col("__inc"), F.lit(0))).alias("rank_scaled"),
+        )
+    return ranks.select(
+        "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
+    )

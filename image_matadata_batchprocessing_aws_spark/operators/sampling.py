@@ -445,3 +445,29 @@ def neyman_stratified_sample(
     ).drop("__s")
     keep = h < F.expr(f"(__alloc * {SAMPLE_DENOM}L) div __n")
     return joined.where(keep).drop("__n")
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "gkf",
+) -> DataFrame:
+    """GROUP k-fold assignment: every row of one ``group_col`` value
+    lands in the SAME fold (fold = md5(group, salt) % k), the leakage
+    guard plain random folds lack — near-duplicate documents from one
+    source/site must never straddle train and eval.  Deterministic,
+    rerun- and partitioning-stable, and growth-stable (new rows of a
+    known group join its existing fold) — the same md5 discipline as
+    :func:`hash_sample`.  Adds a ``fold`` column; map-side only.
+    """
+    h = md5_int64(
+        F.concat(F.col(group_col).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+    )
+    return df.withColumn("fold", (h % F.lit(k)).cast("long"))
+
+
+def group_kfold_sql_expr(group_col: str, k: int = 5, salt: str = "gkf") -> str:
+    """DuckDB twin of the :func:`group_kfold` fold expression."""
+    h = md5_int64_sql(f"CAST({group_col} AS VARCHAR) || chr(31) || '{salt}'")
+    return f"CAST(({h}) % {k} AS BIGINT)"

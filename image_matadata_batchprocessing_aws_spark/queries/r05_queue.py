@@ -6642,3 +6642,175 @@ QUERIES["agg_shannon_entropy"] = agg_shannon_entropy
 from image_matadata_batchprocessing_aws_spark.operators.stats import shannon_entropy_sql  # noqa: E402
 
 ORACLES["agg_shannon_entropy"] = shannon_entropy_sql("documents", "lang", "source")
+
+
+PPR_SEED_MOD = 50  # seed cohort: customers with custkey % 50 == 0
+PPR_ITERS = 3
+PPR_TOPK = 30
+
+
+def graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from a customer seed cohort over the
+    bidirectional customer-supplier graph
+    (`operators/graph.personalized_pagerank_scaled`): rank becomes
+    proximity-to-cohort — the related-entity recommendation primitive —
+    with the same bit-exact fixed-point rounds as `graph_pagerank`."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        personalized_pagerank_scaled,
+    )
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        o.where(F.col("o_custkey") % PPR_SEED_MOD == 0)
+        .select((F.col("o_custkey") * 2).alias("node"))
+        .distinct()
+    )
+    pr = personalized_pagerank_scaled(edges, seeds, iterations=PPR_ITERS)
+    return (
+        pr.select(
+            F.expr("node % 2").cast("long").alias("node_kind"),
+            F.expr("node div 2").cast("long").alias("entity_id"),
+            "rank_scaled",
+        )
+        .orderBy(F.col("rank_scaled").desc(), "node_kind", "entity_id")
+        .limit(PPR_TOPK)
+    )
+
+
+QUERIES["graph_ppr"] = graph_ppr
+
+
+def _ppr_oracle(iters: int = PPR_ITERS) -> str:
+    """Unrolled personalized-PageRank CTE chain: the `_pagerank_oracle`
+    structure with the restart mass gated to the seed set."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    scale = PR_SCALE
+    restart = (
+        f"CASE WHEN sm.is_seed IS NOT NULL THEN "
+        f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) // ({PR_DAMP_DEN} * ns.ns) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+    ctes = [
+        """pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (SELECT c AS src, s AS dst FROM pairs
+                     UNION ALL SELECT s AS src, c AS dst FROM pairs)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (SELECT DISTINCT node FROM
+                     (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))""",
+        f"""seeds AS (SELECT node FROM nodes
+                      WHERE node % 2 = 0 AND (node // 2) % {PPR_SEED_MOD} = 0)""",
+        "ns AS (SELECT count(*) AS ns FROM seeds)",
+        """sm AS (SELECT nodes.node,
+                         CASE WHEN s.node IS NOT NULL THEN 1 END AS is_seed
+                  FROM nodes LEFT JOIN seeds s ON nodes.node = s.node)""",
+        f"""r0 AS (SELECT sm.node,
+                          CASE WHEN sm.is_seed IS NOT NULL
+                               THEN CAST({scale} // ns.ns AS BIGINT)
+                               ELSE 0 END AS rank_scaled
+                   FROM sm CROSS JOIN ns)""",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""i{it} AS (SELECT e.dst AS node,
+                       sum((r.rank_scaled * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * d.deg)) AS inc
+                FROM {prev} r JOIN deg d ON r.node = d.src
+                JOIN edges e ON r.node = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS (SELECT sm.node,
+                       CAST({restart} + coalesce(i.inc, 0) AS BIGINT) AS rank_scaled
+                FROM sm CROSS JOIN ns LEFT JOIN i{it} i ON sm.node = i.node)"""
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT CAST(node % 2 AS BIGINT) AS node_kind,
+               CAST(node // 2 AS BIGINT) AS entity_id,
+               rank_scaled
+        FROM {prev}
+        ORDER BY rank_scaled DESC, node_kind, entity_id
+        LIMIT {PPR_TOPK}"""
+    )
+
+
+ORACLES["graph_ppr"] = _ppr_oracle()
+
+
+KFOLD_K = 5
+
+
+def sample_group_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Group k-fold audit over documents (`operators/sampling.group_kfold`):
+    every source's docs land in ONE fold (the near-dup leakage guard);
+    the report shows per-fold doc/group counts — the balance check a
+    fold assignment ships with."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import group_kfold
+
+    d = group_kfold(t(spark, sf, "documents"), "source", k=KFOLD_K)
+    return d.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_groups"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+QUERIES["sample_group_kfold"] = sample_group_kfold
+
+from image_matadata_batchprocessing_aws_spark.operators.sampling import group_kfold_sql_expr  # noqa: E402
+
+ORACLES["sample_group_kfold"] = f"""
+    SELECT {group_kfold_sql_expr("source", 5)} AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY 1
+"""
+
+
+def eval_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision-recall curve (`operators/evaluation.pr_curve`): price
+    ranking urgent orders, 10 cumulative rank cutoffs — the
+    threshold-sweep view of `eval_roc_auc`'s single number, on the
+    same scored table."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import pr_curve
+
+    o = t(spark, sf, "orders").withColumn(
+        "__y",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0),
+    )
+    return pr_curve(o, "o_totalprice", "__y", "o_orderkey", n_points=10)
+
+
+QUERIES["eval_pr_curve"] = eval_pr_curve
+
+from image_matadata_batchprocessing_aws_spark.operators.evaluation import pr_curve_sql  # noqa: E402
+
+ORACLES["eval_pr_curve"] = pr_curve_sql(
+    "(SELECT o_totalprice, o_orderkey, CASE WHEN o_orderpriority IN "
+    "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y FROM orders)",
+    "o_totalprice",
+    "y",
+    "o_orderkey",
+    n_points=10,
+)

@@ -317,3 +317,30 @@ def test_rouge_zero_overlap_is_zero_not_null(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     r = rouge_pair_scores(docs, pairs).collect()[0]
     assert r["overlap"] == 0 and r["rouge_f"] == 0.0
+
+
+def test_pr_curve_monotone_recall_and_known_point(spark):
+    """Scores rank labels perfectly: at the bucket holding exactly the
+    positives, precision is 1.0 and recall hits 1.0; recall is
+    non-decreasing along buckets."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import pr_curve
+
+    rows = [(i, float(100 - i), 1 if i < 4 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, score double, y long")
+    out = sorted(pr_curve(df, "score", "y", "id", n_points=5).collect(),
+                 key=lambda r: r.bucket)
+    assert out[0].n_predicted == 4 and out[0].precision == 1.0
+    assert out[0].recall == 1.0  # all 4 positives in the top bucket
+    assert out[-1].recall == 1.0 and out[-1].precision == 0.2
+    recs = [r.recall for r in out]
+    assert recs == sorted(recs)
+
+
+def test_pr_curve_f1_known_value(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import pr_curve
+
+    # 2 positives, top-2 has 1 of them: prec 0.5, recall 0.5, f1 0.5
+    rows = [(1, 9.0, 1), (2, 8.0, 0), (3, 7.0, 1), (4, 6.0, 0)]
+    df = spark.createDataFrame(rows, "id long, score double, y long")
+    out = {r.bucket: r for r in pr_curve(df, "score", "y", "id", n_points=2).collect()}
+    assert out[1].precision == 0.5 and out[1].recall == 0.5 and out[1].f1 == 0.5

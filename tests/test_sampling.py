@@ -192,3 +192,24 @@ def test_negative_sample_deterministic_and_matches_hash(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_group_kfold_never_splits_a_group(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import group_kfold
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"src{i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    out = group_kfold(df, "source", k=4)
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("fold").alias("nf")
+    ).collect()
+    assert all(r.nf == 1 for r in per_group)
+    assert out.select("fold").distinct().count() > 1  # actually spreads
+    # growth-stable: a new row of a known group joins its fold
+    extra = group_kfold(
+        spark.createDataFrame([(999, "src3")], "id long, source string"),
+        "source", k=4,
+    ).collect()[0].fold
+    base = {r.source: r.fold for r in out.select("source", "fold").distinct().collect()}
+    assert extra == base["src3"]

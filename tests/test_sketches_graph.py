@@ -482,3 +482,26 @@ def test_ams_f2_exact_arm_and_error_bound(spark):
     assert r.f2_exact == 100 + 25 + 9 + 16
     assert r.rel_error == round(abs(r.f2_estimate - r.f2_exact) / r.f2_exact, 6)
     assert r.rel_error < 1.0
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    """Two disconnected 2-cycles; seeding one of them leaves the other
+    at rank 0 while global PageRank ranks both equally."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        pagerank_scaled,
+        personalized_pagerank_scaled,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ppr = {r.node: r.rank_scaled
+           for r in personalized_pagerank_scaled(edges, seeds, iterations=3).collect()}
+    assert ppr[10] == 0 and ppr[11] == 0
+    # all mass stays in the seeded cycle (a 2-cycle oscillates between
+    # the nodes round to round, so compare the SUM, not the split)
+    assert ppr[1] > 0 and ppr[2] > 0
+    assert abs((ppr[1] + ppr[2]) - 10**12) < 10  # truncation leak only
+    gpr = {r.node: r.rank_scaled for r in pagerank_scaled(edges, iterations=3).collect()}
+    assert gpr[1] == gpr[10]  # the global walk can't tell the cycles apart
