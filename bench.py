@@ -166,6 +166,9 @@ HEADLINE = [
     "graph_ppr",
     "sample_group_kfold",
     "eval_pr_curve",
+    "text_llr_collocations",
+    "agg_gini_wealth",
+    "stream_lateness_audit",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -1838,3 +1838,78 @@ def shannon_entropy_sql(
                  END, {round_digits}) AS evenness
         FROM agg
     """
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    value_digits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group GINI COEFFICIENT of a non-negative quantity — the
+    full Lorenz-curve inequality number (0 = equal, ->1 = one unit
+    holds everything), where `agg_pareto_concentration` reports only
+    the top-share point and `agg_source_diversity` the categorical
+    impurity.  G = (2*sum(i*x_(i)) / (n*sum(x))) - (n+1)/n over values
+    sorted ascending.
+
+    Exact cross-engine: values quantize to scaled BIGINTs, the
+    rank-weighted sum is one integer aggregate off one per-group rank
+    window (ties rank arbitrarily but any permutation of equal values
+    across a rank run leaves sum(i*x_i) unchanged), and the closing
+    arithmetic is the identical double sequence.  NULL when the group
+    sum is 0.
+    """
+    xs = _scaled(value_col, value_digits)
+    base = df.where(F.col(f"`{value_col}`").isNotNull()).select(
+        F.col(group_col).alias("group"), xs.alias("__x")
+    )
+    w = Window.partitionBy("group").orderBy(F.col("__x").asc())
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__ws"),
+    )
+    nd = F.col("n").cast("double")
+    g = (
+        F.lit(2.0) * F.col("__ws").cast("double") / (nd * F.col("__s").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return agg.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(F.col("__s") > 0, g), round_digits).alias("gini"),
+    )
+
+
+def gini_coefficient_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    value_digits: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`gini_coefficient`."""
+    scale = float(10**value_digits)
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp,
+                 CAST(round({value_col} * {scale}) AS BIGINT) AS x
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        ranked AS (
+          SELECT grp, x,
+                 row_number() OVER (PARTITION BY grp ORDER BY x ASC) AS i
+          FROM base),
+        agg AS (
+          SELECT grp, count(*) AS n, sum(x) AS s, sum(i * x) AS ws
+          FROM ranked GROUP BY grp)
+        SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+               round(CASE WHEN s > 0 THEN
+                 2.0 * CAST(ws AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+                 END, {round_digits}) AS gini
+        FROM agg
+    """

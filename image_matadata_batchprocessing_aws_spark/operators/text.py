@@ -11,7 +11,7 @@ count, and aggregations combine map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Tiny stopword list used by quality scoring (shared with oracles).
 STOPWORDS = ["the", "a", "of", "and", "to"]
@@ -924,3 +924,80 @@ def unicode_nfc(
             yield _pd.DataFrame({"doc_id": ids, "text_nfc": out, "changed": chg})
 
     return df.select(id_col, text_col).mapInPandas(norm, NFC_SCHEMA)
+
+
+def llr_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by Dunning's log-likelihood
+    ratio (Dunning 1993) — the significance-grounded companion of
+    :func:`pmi_bigrams`: PMI over-rewards rare pairs (two hapaxes
+    co-occurring once get huge PMI), LLR weights the evidence, so it
+    is the one production collocation extractors rank on.
+
+    2x2 contingency per bigram over the BIGRAM stream: k11 = c(w1,w2),
+    row total c(w1, *), column total c(*, w2), N = all bigrams.  LLR =
+    2 * sum O*ln(O*N/(R*C)) over the four cells (zero cells contribute
+    zero).  All eight inputs are exact integers; the four ln terms
+    evaluate in one fixed textual sequence on both engines and the
+    score rounds to ``round_digits`` before the (score, pair) rank.
+
+    Same scale shape as PMI: one data-sized token explode, partial-agg
+    groupBys, candidate-sized joins after ``min_count``.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(KEYWORD_PATTERN), F.lit(0)
+    )
+    base = df.select(toks.alias("__t"))
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                " slice(__t, 2, greatest(size(__t) - 1, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("__bg")
+    ).select("__bg.w1", "__bg.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("__k11"))
+    r1 = bg.groupBy("w1").agg(F.count("*").alias("__r"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("__c"))
+    nb = bgc.agg(F.sum("__k11").alias("__n"))
+    cand = (
+        bgc.where(F.col("__k11") >= min_count)
+        .join(r1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nb))
+    )
+    k11 = F.col("__k11").cast("double")
+    r = F.col("__r").cast("double")
+    c = F.col("__c").cast("double")
+    n = F.col("__n").cast("double")
+    k12 = r - k11
+    k21 = c - k11
+    k22 = n - r - c + k11
+
+    def term(o, row, col):
+        return F.when(o > 0, o * F.log(o * n / (row * col))).otherwise(F.lit(0.0))
+
+    llr = F.lit(2.0) * (
+        term(k11, r, c)
+        + term(k12, r, n - c)
+        + term(k21, n - r, c)
+        + term(k22, n - r, n - c)
+    )
+    scored = cand.select(
+        "w1",
+        "w2",
+        F.col("__k11").cast("long").alias("pair_count"),
+        F.round(llr, round_digits).alias("llr"),
+    )
+    w = Window.orderBy(F.col("llr").desc(), "w1", "w2")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_k)
+        .select("w1", "w2", "pair_count", "llr")
+    )

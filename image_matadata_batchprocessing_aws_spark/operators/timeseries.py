@@ -738,3 +738,52 @@ def hampel_filter(
             "is_outlier"
         ),
     )
+
+
+def lateness_audit(
+    df: DataFrame,
+    key_col: str,
+    ts_ms_col: str,
+    arrival_col: str,
+    group_col: str,
+    late_threshold_ms: int,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Watermark-sizing audit for a stream replayed as a batch: per
+    ``group_col``, how out-of-order do events actually arrive?  Lateness
+    of an event = (max event-time seen EARLIER in arrival order, within
+    its ``key_col`` partition) - its own event time, when positive.
+    The report (event count, late count at the given threshold, max and
+    mean lateness) is exactly the evidence that picks a
+    ``withWatermark`` delay — too small drops data, too large bloats
+    state.
+
+    The running max is one keyed window in arrival order (the
+    keyed-window discipline — no global ordering structure); everything
+    after is a keyed aggregate on exact integer milliseconds.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.max(ts_ms_col).over(w) - F.col(ts_ms_col), F.lit(0)
+    )
+    marked = df.select(
+        F.col(group_col).alias("group"),
+        F.coalesce(late, F.lit(0)).alias("__late_ms"),
+    )
+    return marked.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("__late_ms") > late_threshold_ms, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_late"),
+        F.max("__late_ms").cast("long").alias("max_late_ms"),
+        F.round(
+            F.sum("__late_ms").cast("double") / F.count(F.lit(1)).cast("double"),
+            round_digits,
+        ).alias("mean_late_ms"),
+    )

@@ -6814,3 +6814,142 @@ ORACLES["eval_pr_curve"] = pr_curve_sql(
     "o_orderkey",
     n_points=10,
 )
+
+
+def text_llr_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Dunning log-likelihood bigram collocations over the corpus
+    (`operators/text.llr_bigrams`) — the significance-weighted
+    companion of `text_pmi_bigrams` (PMI over-rewards rare pairs; LLR
+    is what production collocation extractors rank on)."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import llr_bigrams
+
+    return llr_bigrams(t(spark, sf, "documents"), "text", min_count=5, top_k=50)
+
+
+QUERIES["text_llr_collocations"] = text_llr_collocations
+
+ORACLES["text_llr_collocations"] = r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]{2,}') AS t
+      FROM documents),
+    idx AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+    bgc AS (SELECT w1, w2, count(*) AS k11 FROM bg GROUP BY w1, w2),
+    r1 AS (SELECT w1, count(*) AS r FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, count(*) AS c FROM bg GROUP BY w2),
+    nb AS (SELECT sum(k11) AS n FROM bgc),
+    cand AS (
+      SELECT bgc.w1, bgc.w2, k11, r, c, n
+      FROM bgc JOIN r1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb
+      WHERE k11 >= 5),
+    scored AS (
+      SELECT w1, w2, CAST(k11 AS BIGINT) AS pair_count,
+             round(2.0 * (
+               (CASE WHEN CAST(k11 AS DOUBLE) > 0 THEN CAST(k11 AS DOUBLE)
+                 * ln(CAST(k11 AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN CAST(r AS DOUBLE) - CAST(k11 AS DOUBLE) > 0
+                 THEN (CAST(r AS DOUBLE) - CAST(k11 AS DOUBLE))
+                 * ln((CAST(r AS DOUBLE) - CAST(k11 AS DOUBLE))
+                      * CAST(n AS DOUBLE)
+                      / (CAST(r AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - CAST(c AS DOUBLE))))
+                 ELSE 0.0 END)
+             + (CASE WHEN CAST(c AS DOUBLE) - CAST(k11 AS DOUBLE) > 0
+                 THEN (CAST(c AS DOUBLE) - CAST(k11 AS DOUBLE))
+                 * ln((CAST(c AS DOUBLE) - CAST(k11 AS DOUBLE))
+                      * CAST(n AS DOUBLE)
+                      / ((CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+                         * CAST(c AS DOUBLE)))
+                 ELSE 0.0 END)
+             + (CASE WHEN CAST(n AS DOUBLE) - CAST(r AS DOUBLE)
+                          - CAST(c AS DOUBLE) + CAST(k11 AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE) - CAST(r AS DOUBLE)
+                       - CAST(c AS DOUBLE) + CAST(k11 AS DOUBLE))
+                 * ln((CAST(n AS DOUBLE) - CAST(r AS DOUBLE)
+                       - CAST(c AS DOUBLE) + CAST(k11 AS DOUBLE))
+                      * CAST(n AS DOUBLE)
+                      / ((CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+                         * (CAST(n AS DOUBLE) - CAST(c AS DOUBLE))))
+                 ELSE 0.0 END)
+             ), 6) AS llr
+      FROM cand),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY llr DESC, w1, w2) AS rn
+      FROM scored)
+    SELECT w1, w2, pair_count, llr FROM rk WHERE rn <= 50
+"""
+
+
+def agg_gini_wealth(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment
+    (`operators/stats.gini_coefficient`) — the full Lorenz inequality
+    number next to `agg_pareto_concentration`'s top-share point."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import gini_coefficient
+
+    o = t(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return gini_coefficient(j, "c_mktsegment", "spend")
+
+
+QUERIES["agg_gini_wealth"] = agg_gini_wealth
+
+from image_matadata_batchprocessing_aws_spark.operators.stats import gini_coefficient_sql  # noqa: E402
+
+ORACLES["agg_gini_wealth"] = gini_coefficient_sql(
+    "(SELECT c_mktsegment, spend FROM "
+    " (SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1) s"
+    " JOIN customer ON o_custkey = c_custkey)",
+    "c_mktsegment",
+    "spend",
+)
+
+
+LATE_THRESHOLD_MS = 10 * 60 * 1000
+
+
+def stream_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-sizing evidence (`operators/timeseries.lateness_audit`):
+    per event type, how out-of-order events arrive (event_id as arrival
+    order, per-user running max of event time) — the measurement that
+    picks a `withWatermark` delay before the streaming jobs commit to
+    one."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        lateness_audit,
+    )
+
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    return lateness_audit(
+        e, "user_id", "ts_ms", "event_id", "event_type", LATE_THRESHOLD_MS
+    )
+
+
+QUERIES["stream_lateness_audit"] = stream_lateness_audit
+
+ORACLES["stream_lateness_audit"] = f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      FROM events),
+    marked AS (
+      SELECT event_type AS grp,
+             coalesce(greatest(
+               max(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_ms,
+               0), 0) AS late_ms
+      FROM e)
+    SELECT grp AS "group",
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_ms > {LATE_THRESHOLD_MS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+           round(CAST(sum(late_ms) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)
+             AS mean_late_ms
+    FROM marked GROUP BY grp
+"""

@@ -720,3 +720,38 @@ def test_shannon_entropy_uniform_and_degenerate(spark):
     assert out["u"].k == 4 and out["u"].entropy_bits == 2.0
     assert out["u"].evenness == 1.0
     assert out["one"].entropy_bits == 0.0 and out["one"].evenness is None
+
+
+def test_gini_known_values(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import gini_coefficient
+
+    rows = [("eq", 5.0)] * 4 + [("uneq", 0.0), ("uneq", 0.0), ("uneq", 0.0), ("uneq", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.group: r for r in gini_coefficient(df, "g", "v").collect()}
+    assert out["eq"].gini == 0.0
+    # one holder of everything among n=4: G = (2*4*x/(4x)) - 5/4 = 0.75
+    assert out["uneq"].gini == 0.75
+
+
+def test_gini_null_when_sum_zero(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import gini_coefficient
+
+    df = spark.createDataFrame([("g", 0.0), ("g", 0.0)], "g string, v double")
+    assert gini_coefficient(df, "g", "v").collect()[0].gini is None
+
+
+def test_lateness_audit_flags_out_of_order_arrival(spark):
+    """Arrival order 1,2,3 with event times 100, 40, 90 (minutes): the
+    2nd event is 60 min late, the 3rd 10 min — at a 30-min threshold
+    only one is late."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        lateness_audit,
+    )
+
+    m = 60_000
+    rows = [(1, 1, "x", 100 * m), (1, 2, "x", 40 * m), (1, 3, "x", 90 * m)]
+    df = spark.createDataFrame(rows, "u long, arr long, g string, ts_ms long")
+    r = lateness_audit(df, "u", "ts_ms", "arr", "g", 30 * m).collect()[0]
+    assert r.n_events == 3 and r.n_late == 1
+    assert r.max_late_ms == 60 * m
+    assert r.mean_late_ms == round((0 + 60 * m + 10 * m) / 3, 2)

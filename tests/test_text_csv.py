@@ -360,3 +360,20 @@ def test_redact_pii_luhn_gated_cross_engine(spark):
         ).fetchall()
     }
     assert got == expected
+
+
+def test_llr_ranks_frequent_collocation_over_rare_coincidence(spark):
+    """PMI's failure mode: a once-co-occurring hapax pair outranks a
+    20x-attested collocation.  LLR weights evidence, so the frequent
+    pair wins."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import llr_bigrams
+
+    docs = ["strong coffee every day"] * 20 + ["zyzzyva qwerty"] + [
+        "coffee day strong night" for _ in range(5)
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = llr_bigrams(df, "text", min_count=1, top_k=10).collect()
+    ranks = {(r.w1, r.w2): i for i, r in enumerate(out)}
+    assert ranks[("strong", "coffee")] < ranks[("zyzzyva", "qwerty")]
+    by_pair = {(r.w1, r.w2): r for r in out}
+    assert by_pair[("strong", "coffee")].pair_count == 20
