@@ -169,6 +169,8 @@ HEADLINE = [
     "text_llr_collocations",
     "agg_gini_wealth",
     "stream_lateness_audit",
+    "ts_changepoint",
+    "etl_table_fingerprint",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

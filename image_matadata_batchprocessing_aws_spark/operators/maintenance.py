@@ -521,3 +521,66 @@ def zonemap_prune_report(
             round_digits,
         ).alias("scan_fraction"),
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Order-independent table checksum in ``n_buckets`` rows: every
+    row hashes (all columns, name-tagged, null-tagged) to one 60-bit
+    md5 integer; rows bucket by md5(key) % n_buckets; each bucket XORs
+    its hashes.  Two environments produce identical fingerprints iff
+    the tables match row-for-row — the O(1)-output audit to run BEFORE
+    the row-level :func:`table_diff` (scan-only, one tiny shuffle, vs
+    diff's full co-partitioned join), and bucketing means a mismatch
+    localizes to 1/n_buckets of the keyspace for the targeted diff.
+
+    Column order is pinned by sorting names, so logically-identical
+    tables with different physical column order still match.
+    """
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    cols = sorted(df.columns)
+    row_repr = F.concat_ws(
+        "\x1f",
+        *[
+            F.concat(F.lit(c + "="), F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+            for c in cols
+        ],
+    )
+    bucket = md5_int64(F.col(key_col).cast("string")) % F.lit(n_buckets)
+    return (
+        df.select(
+            bucket.alias("bucket"), md5_int64(row_repr).alias("__h")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("__h").cast("long").alias("hash_xor"),
+        )
+    )
+
+
+def table_fingerprint_sql(
+    table: str,
+    key_col: str,
+    cols: list,
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB twin of :func:`table_fingerprint` (pass the column list —
+    SQL can't introspect it portably)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    parts = " || chr(31) || ".join(
+        f"('{c}=' || coalesce(CAST({c} AS VARCHAR), chr(0)))" for c in sorted(cols)
+    )
+    h = md5_int64_sql(parts)
+    b = md5_int64_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+        SELECT CAST(({b}) % {n_buckets} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor({h}) AS BIGINT) AS hash_xor
+        FROM {table} GROUP BY 1
+    """

@@ -787,3 +787,151 @@ def lateness_audit(
             round_digits,
         ).alias("mean_late_ms"),
     )
+
+
+def changepoint_binseg(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    value_digits: int = 4,
+    min_seg: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Single-changepoint detection per series by binary segmentation
+    (the first split of Scott & Knott / binseg): choose the split t
+    minimizing SSE_left + SSE_right — the LOCATION of a mean shift,
+    where `ts_cusum_shift` tests whether drift exists against the
+    global mean.  One keyed cumulative window builds integer prefix
+    sums of the quantized values and their squares; every candidate
+    split's cost is then a closed-form double off those integers, and
+    the argmin ranks (cost, t) — identical operand sequences both
+    engines, deterministic tie-break on t.
+
+    Scale shape: two keyed windows (prefix sums, then the argmin rank)
+    and a final 1-row-per-series filter — no self-joins, no global
+    structure; cost is O(n log-free) per series.
+
+    Returns per series: ``n, split_pos, mean_left, mean_right,
+    mean_shift, cost_drop_frac`` (series shorter than 2*min_seg are
+    absent).
+    """
+    scale = float(10**value_digits)
+    xs = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("__o").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("key")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(order_col).alias("__o"), xs.alias("__x"))
+        .select(
+            "key",
+            F.row_number()
+            .over(Window.partitionBy("key").orderBy(F.col("__o").asc()))
+            .alias("__t"),
+            F.sum("__x").over(w).alias("__cs"),
+            F.sum(F.col("__x") * F.col("__x")).over(w).alias("__cq"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+            F.sum("__x").over(wn).alias("__S"),
+            F.sum(F.col("__x") * F.col("__x")).over(wn).alias("__Q"),
+        )
+    )
+    td = F.col("__t").cast("double")
+    nd = F.col("__n").cast("double")
+    cs = F.col("__cs").cast("double")
+    cq = F.col("__cq").cast("double")
+    S = F.col("__S").cast("double")
+    Q = F.col("__Q").cast("double")
+    cost = (cq - cs * cs / td) + ((Q - cq) - (S - cs) * (S - cs) / (nd - td))
+    cand = base.where(
+        (F.col("__t") >= min_seg) & (F.col("__t") <= F.col("__n") - min_seg)
+    ).select("key", "__t", "__n", "__cs", "__S", "__Q", cost.alias("__cost"))
+    wr = Window.partitionBy("key").orderBy(F.col("__cost").asc(), F.col("__t").asc())
+    best = cand.withColumn("__rn", F.row_number().over(wr)).where(F.col("__rn") == 1)
+    sst = Q - S * S / nd
+    mean_l = cs / (td * F.lit(scale))
+    mean_r = (S - cs) / ((nd - td) * F.lit(scale))
+    return best.select(
+        "key",
+        F.col("__n").cast("long").alias("n"),
+        F.col("__t").cast("long").alias("split_pos"),
+        F.round(mean_l, round_digits).alias("mean_left"),
+        F.round(mean_r, round_digits).alias("mean_right"),
+        F.round(mean_r - mean_l, round_digits).alias("mean_shift"),
+        F.round(
+            F.when(sst > 0, (sst - F.col("__cost")) / sst),
+            round_digits,
+        ).alias("cost_drop_frac"),
+    )
+
+
+def changepoint_binseg_sql(
+    table: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    value_digits: int = 4,
+    min_seg: int = 3,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`changepoint_binseg`."""
+    scale = float(10**value_digits)
+    return f"""
+        WITH base AS (
+          SELECT {key_col} AS key,
+                 row_number() OVER (PARTITION BY {key_col}
+                                    ORDER BY {order_col} ASC) AS t,
+                 sum(CAST(round({value_col} * {scale}) AS BIGINT))
+                   OVER (PARTITION BY {key_col} ORDER BY {order_col} ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cs,
+                 sum(CAST(round({value_col} * {scale}) AS BIGINT)
+                     * CAST(round({value_col} * {scale}) AS BIGINT))
+                   OVER (PARTITION BY {key_col} ORDER BY {order_col} ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cq,
+                 count(*) OVER (PARTITION BY {key_col}) AS n,
+                 sum(CAST(round({value_col} * {scale}) AS BIGINT))
+                   OVER (PARTITION BY {key_col}) AS s,
+                 sum(CAST(round({value_col} * {scale}) AS BIGINT)
+                     * CAST(round({value_col} * {scale}) AS BIGINT))
+                   OVER (PARTITION BY {key_col}) AS q
+          FROM {table} WHERE {value_col} IS NOT NULL),
+        cand AS (
+          SELECT key, t, n, cs, s, q,
+                 (CAST(cq AS DOUBLE)
+                    - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                      / CAST(t AS DOUBLE))
+                 + ((CAST(q AS DOUBLE) - CAST(cq AS DOUBLE))
+                    - (CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
+                      * (CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))) AS cost
+          FROM base
+          WHERE t >= {min_seg} AND t <= n - {min_seg}),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY key
+                                       ORDER BY cost ASC, t ASC) AS rn
+          FROM cand)
+        SELECT key, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_pos,
+               round(CAST(cs AS DOUBLE) / (CAST(t AS DOUBLE) * {scale}),
+                     {round_digits}) AS mean_left,
+               round((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * {scale}),
+                     {round_digits}) AS mean_right,
+               round((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * {scale})
+                     - CAST(cs AS DOUBLE) / (CAST(t AS DOUBLE) * {scale}),
+                     {round_digits}) AS mean_shift,
+               round(CASE WHEN CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) > 0 THEN
+                 ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) - cost)
+                 / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) END, {round_digits})
+                 AS cost_drop_frac
+        FROM best WHERE rn = 1
+    """

@@ -6953,3 +6953,65 @@ ORACLES["stream_lateness_audit"] = f"""
              AS mean_late_ms
     FROM marked GROUP BY grp
 """
+
+
+def ts_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-segmentation changepoint per user series
+    (`operators/timeseries.changepoint_binseg`): WHERE the mean shifts
+    (SSE-argmin split) next to `ts_cusum_shift`'s WHETHER-it-drifts
+    test; integer prefix sums, deterministic (cost, t) argmin."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        changepoint_binseg,
+    )
+
+    e = t(spark, sf, "events").where(F.col("user_id") % 10 == 0)
+    return changepoint_binseg(e, "user_id", "event_id", "value")
+
+
+QUERIES["ts_changepoint"] = ts_changepoint
+
+from image_matadata_batchprocessing_aws_spark.operators.timeseries import changepoint_binseg_sql  # noqa: E402
+
+ORACLES["ts_changepoint"] = changepoint_binseg_sql(
+    "(SELECT * FROM events WHERE user_id % 10 = 0)",
+    "user_id",
+    "event_id",
+    "value",
+)
+
+
+FP_BUCKETS = 64
+
+
+def etl_table_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent 64-bucket checksum of the events table
+    (`operators/maintenance.table_fingerprint`) — the O(1)-output
+    pre-audit for `etl_table_diff`: identical fingerprints iff tables
+    match, and a mismatch localizes to 1/64 of the keyspace.  Columns
+    pre-projected to engine-portable strings (epoch-ms for the
+    timestamp, cents-quantized BIGINT for the double)."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        table_fingerprint,
+    )
+
+    e = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return table_fingerprint(e, "event_id", n_buckets=FP_BUCKETS)
+
+
+QUERIES["etl_table_fingerprint"] = etl_table_fingerprint
+
+from image_matadata_batchprocessing_aws_spark.operators.maintenance import table_fingerprint_sql  # noqa: E402
+
+ORACLES["etl_table_fingerprint"] = table_fingerprint_sql(
+    "(SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,"
+    " CAST(round(value * 100) AS BIGINT) AS value_c FROM events)",
+    "event_id",
+    ["event_id", "user_id", "event_type", "ts_ms", "value_c"],
+    n_buckets=FP_BUCKETS,
+)

@@ -366,3 +366,33 @@ def test_zonemap_prune_clustered_vs_unclustered(spark):
     assert rc.files_scanned == 1 and rc.rows_scanned == 10
     assert rc.scan_fraction == 0.25
     assert ra.files_scanned == 4 and ra.scan_fraction == 1.0
+
+
+def test_table_fingerprint_detects_one_changed_value(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        table_fingerprint,
+    )
+
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+    b = spark.createDataFrame(
+        [(i, f"v{i}" if i != 37 else "CHANGED") for i in range(100)],
+        "id long, v string",
+    )
+    fa = {r.bucket: r for r in table_fingerprint(a, "id").collect()}
+    fb = {r.bucket: r for r in table_fingerprint(b, "id").collect()}
+    diff = [k for k in fa if fa[k].hash_xor != fb[k].hash_xor]
+    assert len(diff) == 1  # mismatch localizes to row 37's bucket
+    assert all(fa[k].n_rows == fb[k].n_rows for k in fa)
+
+
+def test_table_fingerprint_column_order_invariant(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        table_fingerprint,
+    )
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = a.select("v", "id")  # physically reordered
+    assert (
+        table_fingerprint(a, "id").collect()
+        == table_fingerprint(b, "id").collect()
+    )

@@ -755,3 +755,31 @@ def test_lateness_audit_flags_out_of_order_arrival(spark):
     assert r.n_events == 3 and r.n_late == 1
     assert r.max_late_ms == 60 * m
     assert r.mean_late_ms == round((0 + 60 * m + 10 * m) / 3, 2)
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """Series 10x0.0 then 10x5.0: the SSE-argmin split lands exactly at
+    position 10 with full cost reduction."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        changepoint_binseg,
+    )
+
+    rows = [("s", i, 0.0 if i <= 10 else 5.0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    r = changepoint_binseg(df, "k", "o", "v").collect()[0]
+    assert r.split_pos == 10
+    assert r.mean_left == 0.0 and r.mean_right == 5.0 and r.mean_shift == 5.0
+    assert r.cost_drop_frac == 1.0  # both segments are constant
+
+
+def test_changepoint_min_seg_excludes_edges(spark):
+    """An outlier first point must not become a 1-point segment when
+    min_seg forbids it."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        changepoint_binseg,
+    )
+
+    rows = [("s", 1, 100.0)] + [("s", i, 1.0) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    r = changepoint_binseg(df, "k", "o", "v", min_seg=3).collect()[0]
+    assert 3 <= r.split_pos <= r.n - 3
