@@ -171,6 +171,8 @@ HEADLINE = [
     "stream_lateness_audit",
     "ts_changepoint",
     "etl_table_fingerprint",
+    "sample_temperature",
+    "pipeline_curation_funnel",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

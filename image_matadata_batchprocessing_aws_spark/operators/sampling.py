@@ -471,3 +471,74 @@ def group_kfold_sql_expr(group_col: str, k: int = 5, salt: str = "gkf") -> str:
     """DuckDB twin of the :func:`group_kfold` fold expression."""
     h = md5_int64_sql(f"CAST({group_col} AS VARCHAR) || chr(31) || '{salt}'")
     return f"CAST(({h}) % {k} AS BIGINT)"
+
+
+TEMP_RATE_DENOM = 1_000_000  # per-stratum keep rates quantize to ppm
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    pow_digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual-LLM staple:
+    mC4 / XLM-R sample language l with share n_l^alpha / sum n_m^alpha,
+    alpha<1 upweights low-resource strata): per stratum, its size, its
+    target share, and the ppm keep-rate min(1, target_total*share/n_l).
+    A stratum whose rate clamps at 1 yields fewer rows than its target;
+    the report keeps that visible rather than re-normalizing silently
+    (waterfilling is a policy choice, not a default).
+
+    Determinism: n^alpha quantizes to a BIGINT at ``pow_digits`` before
+    the stratum-count-row sum (libm pow may differ a last ulp across
+    engines; the quantization dominates it — the PMI/log precedent),
+    and the final rate is an exact integer ppm.
+    """
+    pscale = float(10**pow_digits)
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    powq = F.round(
+        F.pow(F.col("n_rows").cast("double"), F.lit(alpha)) * F.lit(pscale)
+    ).cast("long")
+    with_p = counts.select("stratum", "n_rows", powq.alias("__pq"))
+    tot = with_p.agg(F.sum("__pq").alias("__tot"))
+    share = F.col("__pq").cast("double") / F.col("__tot").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total)) * share / F.col("n_rows").cast("double"),
+    )
+    return with_p.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(share, 6).alias("target_share"),
+        F.round(rate * F.lit(float(TEMP_RATE_DENOM))).cast("long").alias("rate_ppm"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Apply :func:`temperature_rates` with the house deterministic
+    md5 predicate — map-side after one broadcast of the stratum-sized
+    rate table; rerun/partitioning/growth-stable like every sampler
+    here."""
+    rates = temperature_rates(df, stratum_col, alpha, target_total)
+    h = md5_int64(
+        F.concat(F.col(key).cast("string"), F.lit(SAMPLE_DELIM), F.lit(salt))
+    )
+    return (
+        df.join(
+            F.broadcast(rates.select(F.col("stratum").alias(stratum_col), "rate_ppm")),
+            stratum_col,
+        )
+        .where((h % F.lit(TEMP_RATE_DENOM)) < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )

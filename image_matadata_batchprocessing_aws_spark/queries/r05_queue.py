@@ -7015,3 +7015,153 @@ ORACLES["etl_table_fingerprint"] = table_fingerprint_sql(
     ["event_id", "user_id", "event_type", "ts_ms", "value_c"],
     n_buckets=FP_BUCKETS,
 )
+
+
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 300
+
+
+def sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled multilingual mixture (mC4/XLM-R style,
+    `operators/sampling.temperature_rates` + `temperature_sample`):
+    per-language n^0.5 target shares, ppm keep rates, and the realized
+    deterministic-hash sample counts, in one report."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    d = t(spark, sf, "documents")
+    rates = temperature_rates(d, "lang", alpha=TEMP_ALPHA, target_total=TEMP_TARGET)
+    kept = temperature_sample(
+        d, "doc_id", "lang", alpha=TEMP_ALPHA, target_total=TEMP_TARGET
+    )
+    kc = kept.groupBy(F.col("lang").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return rates.join(kc, "stratum", "left").select(
+        "stratum",
+        "n_rows",
+        "target_share",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+QUERIES["sample_temperature"] = sample_temperature
+
+from image_matadata_batchprocessing_aws_spark.operators.sampling import (  # noqa: E402
+    SAMPLE_DELIM as _SD,
+    TEMP_RATE_DENOM as _TRD,
+)
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql as _md5sql  # noqa: E402
+
+_TEMP_H = _md5sql("CAST(doc_id AS VARCHAR) || chr(31) || 'temp-v1'")
+
+ORACLES["sample_temperature"] = f"""
+    WITH counts AS (
+      SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY 1),
+    withp AS (
+      SELECT stratum, n_rows,
+             CAST(round(pow(CAST(n_rows AS DOUBLE), {TEMP_ALPHA}) * 1000000.0)
+                  AS BIGINT) AS pq
+      FROM counts),
+    tot AS (SELECT sum(pq) AS tpq FROM withp),
+    rates AS (
+      SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows,
+             round(CAST(pq AS DOUBLE) / CAST(tpq AS DOUBLE), 6) AS target_share,
+             CAST(round(least(1.0,
+               {float(TEMP_TARGET)} * (CAST(pq AS DOUBLE) / CAST(tpq AS DOUBLE))
+                 / CAST(n_rows AS DOUBLE)) * {float(_TRD)}) AS BIGINT)
+               AS rate_ppm
+      FROM withp CROSS JOIN tot),
+    kept AS (
+      SELECT d.lang AS stratum, count(*) AS n_kept
+      FROM documents d JOIN rates r ON d.lang = r.stratum
+      WHERE ({_TEMP_H}) % {_TRD} < r.rate_ppm
+      GROUP BY 1)
+    SELECT rates.stratum, rates.n_rows, rates.target_share, rates.rate_ppm,
+           CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates LEFT JOIN kept ON rates.stratum = kept.stratum
+"""
+
+
+def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stage counts of the flagship curation pipeline
+    (`pipeline_pretraining_corpus`'s exact stages — quality/lang gate,
+    exact dedup, decontamination, hash sample) — the FUNNEL view a
+    data-curation run reports, where the flagship returns the rows."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        decontamination_report,
+        exact_dedup_keep_first,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import hash_sample
+    from image_matadata_batchprocessing_aws_spark.operators.text import add_quality_score
+    from image_matadata_batchprocessing_aws_spark.queries.pipeline import (
+        DECONTAM_N,
+        LANGS,
+        QUALITY_MIN,
+        SAMPLE_FRACTION,
+        SAMPLE_SALT,
+    )
+
+    docs = t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    kept = add_quality_score(train).where(
+        (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*LANGS)
+    )
+    deduped = exact_dedup_keep_first(kept)
+    contaminated = decontamination_report(
+        deduped, bench, n=DECONTAM_N, min_hits=1
+    ).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    sampled = hash_sample(clean, "doc_id", SAMPLE_FRACTION, salt=SAMPLE_SALT)
+
+    def stage(df, sid, name):
+        return df.agg(
+            F.lit(sid).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(train, 0, "input")
+        .unionByName(stage(kept, 1, "quality_lang"))
+        .unionByName(stage(deduped, 2, "exact_dedup"))
+        .unionByName(stage(clean, 3, "decontaminated"))
+        .unionByName(stage(sampled, 4, "sampled"))
+    )
+
+
+QUERIES["pipeline_curation_funnel"] = pipeline_curation_funnel
+
+
+def _funnel_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        sample_predicate_sql,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.pipeline import (
+        _PIPELINE_ORACLE,
+        SAMPLE_FRACTION,
+        SAMPLE_SALT,
+    )
+
+    marker = "SELECT doc_id, lang, n_tokens"
+    ctes = _PIPELINE_ORACLE[: _PIPELINE_ORACLE.rindex(marker)].rstrip()
+    pred = sample_predicate_sql("doc_id", SAMPLE_FRACTION, SAMPLE_SALT)
+    return f"""{ctes}
+    , clean AS (
+      SELECT doc_id FROM dd
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    sampled AS (SELECT doc_id FROM clean WHERE {pred})
+    SELECT CAST(0 AS BIGINT) AS stage_id, 'input' AS stage,
+           CAST((SELECT count(*) FROM train) AS BIGINT) AS n_docs
+    UNION ALL SELECT 1, 'quality_lang', (SELECT count(*) FROM kept)
+    UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM dd)
+    UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM clean)
+    UNION ALL SELECT 4, 'sampled', (SELECT count(*) FROM sampled)
+"""
+
+
+ORACLES["pipeline_curation_funnel"] = _funnel_oracle()

@@ -213,3 +213,41 @@ def test_group_kfold_never_splits_a_group(spark):
     ).collect()[0].fold
     base = {r.source: r.fold for r in out.select("source", "fold").distinct().collect()}
     assert extra == base["src3"]
+
+
+def test_temperature_sampling_upweights_low_resource_strata(spark):
+    """alpha=0.5: the rare stratum's target share exceeds its natural
+    share, the dominant stratum's shrinks; a clamped stratum (rate 1.0)
+    keeps everything and stays visible in the report."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        TEMP_RATE_DENOM,
+        temperature_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    rates = {r.stratum: r for r in
+             temperature_rates(df, "lang", alpha=0.5, target_total=200).collect()}
+    assert rates["small"].target_share > 0.1      # natural share was 0.1
+    assert rates["big"].target_share < 0.9
+    # shares sum to ~1
+    assert abs(rates["small"].target_share + rates["big"].target_share - 1.0) < 1e-5
+    kept = temperature_sample(df, "id", "lang", alpha=0.5, target_total=200)
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # realized counts track rate * n within hash noise
+    exp_small = rates["small"].rate_ppm / TEMP_RATE_DENOM * 100
+    assert abs(by.get("small", 0) - exp_small) < 30
+
+
+def test_temperature_sampling_rerun_stable(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    a = sorted(r.id for r in temperature_sample(df, "id", "lang").collect())
+    b = sorted(r.id for r in temperature_sample(df.repartition(7), "id", "lang").collect())
+    assert a == b
