@@ -173,6 +173,7 @@ HEADLINE = [
     "etl_table_fingerprint",
     "sample_temperature",
     "pipeline_curation_funnel",
+    "ts_pacf",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

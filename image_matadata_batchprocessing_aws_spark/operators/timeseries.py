@@ -935,3 +935,127 @@ def changepoint_binseg_sql(
                  AS cost_drop_frac
         FROM best WHERE rn = 1
     """
+
+
+def pacf_table(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    value_digits: int = 4,
+    rho_digits: int = 9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ACF lags 1..4 plus PACF via the unrolled Durbin-Levinson
+    recursion — the AR-order diagnostic (PACF cutting off at lag p is
+    the textbook "fit AR(p)" signal) that :func:`serial_autocorr`'s
+    single lag point can't give.
+
+    Each rho_k comes from one :func:`serial_autocorr` pass (integer
+    sufficient statistics) quantized at ``rho_digits`` so the DL
+    arithmetic starts from identical doubles on both engines; the
+    recursion itself is four fixed algebraic steps with zero-division
+    guards (NULL propagates).  Four keyed windows + four key-sized
+    joins; nothing data-sized beyond the lead() passes.
+    """
+    parts = []
+    for lag in range(1, 5):
+        a = serial_autocorr(
+            df, key, ts_col, value_col, order_tiebreak,
+            lag=lag, value_digits=value_digits, round_digits=rho_digits,
+        ).select(
+            F.col(key),
+            F.col("n_pairs").alias(f"__n{lag}"),
+            F.col("acf").alias(f"__r{lag}"),
+        )
+        parts.append(a)
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.join(p, key)
+    r1, r2, r3, r4 = (F.col(f"__r{i}") for i in range(1, 5))
+    p11 = r1
+    d2 = F.lit(1.0) - p11 * r1
+    p22 = F.when(d2 != 0, (r2 - p11 * r1) / d2)
+    p21 = p11 - p22 * p11
+    d3 = F.lit(1.0) - (p21 * r1 + p22 * r2)
+    p33 = F.when(d3 != 0, (r3 - (p21 * r2 + p22 * r1)) / d3)
+    p31 = p21 - p33 * p22
+    p32 = p22 - p33 * p21
+    d4 = F.lit(1.0) - (p31 * r1 + p32 * r2 + p33 * r3)
+    p44 = F.when(d4 != 0, (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / d4)
+    return j.select(
+        key,
+        F.col("__n1").cast("long").alias("n_pairs_lag1"),
+        F.round(r1, round_digits).alias("acf1"),
+        F.round(r2, round_digits).alias("acf2"),
+        F.round(r3, round_digits).alias("acf3"),
+        F.round(r4, round_digits).alias("acf4"),
+        F.round(p11, round_digits).alias("pacf1"),
+        F.round(p22, round_digits).alias("pacf2"),
+        F.round(p33, round_digits).alias("pacf3"),
+        F.round(p44, round_digits).alias("pacf4"),
+    )
+
+
+def pacf_table_sql(
+    table: str,
+    key: str,
+    ts_expr: str,
+    value_col: str,
+    order_tiebreak: str,
+    value_digits: int = 4,
+    rho_digits: int = 9,
+    round_digits: int = 6,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`pacf_table` — the per-lag twins nest as
+    subqueries, the DL epilogue mirrors the Column algebra textually."""
+    lag_sqls = {
+        lag: serial_autocorr_sql(
+            table, key, ts_expr, value_col, order_tiebreak,
+            lag=lag, value_digits=value_digits, round_digits=rho_digits,
+            where=where,
+        )
+        for lag in range(1, 5)
+    }
+    ctes = ",\n".join(
+        f"a{lag} AS (SELECT {key} AS k, n_pairs AS n{lag}, acf AS r{lag}"
+        f" FROM ({sql}))"
+        for lag, sql in lag_sqls.items()
+    )
+    # textual DL: CASE guards mirror the F.when() nulls
+    p11 = "r1"
+    d2 = f"(1.0 - {p11} * r1)"
+    p22 = f"(CASE WHEN {d2} <> 0 THEN (r2 - {p11} * r1) / {d2} END)"
+    return f"""
+        WITH {ctes},
+        j AS (SELECT a1.k, n1, r1, r2, r3, r4
+              FROM a1 JOIN a2 USING (k) JOIN a3 USING (k) JOIN a4 USING (k)),
+        s1 AS (SELECT *, {p11} AS p11, {p22} AS p22 FROM j),
+        s2 AS (SELECT *, p11 - p22 * p11 AS p21 FROM s1),
+        s3 AS (SELECT *,
+                 CASE WHEN 1.0 - (p21 * r1 + p22 * r2) <> 0
+                      THEN (r3 - (p21 * r2 + p22 * r1))
+                           / (1.0 - (p21 * r1 + p22 * r2)) END AS p33
+               FROM s2),
+        s4 AS (SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32
+               FROM s3),
+        s5 AS (SELECT *,
+                 CASE WHEN 1.0 - (p31 * r1 + p32 * r2 + p33 * r3) <> 0
+                      THEN (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                           / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) END
+                   AS p44
+               FROM s4)
+        SELECT k AS {key},
+               CAST(n1 AS BIGINT) AS n_pairs_lag1,
+               round(r1, {round_digits}) AS acf1,
+               round(r2, {round_digits}) AS acf2,
+               round(r3, {round_digits}) AS acf3,
+               round(r4, {round_digits}) AS acf4,
+               round(p11, {round_digits}) AS pacf1,
+               round(p22, {round_digits}) AS pacf2,
+               round(p33, {round_digits}) AS pacf3,
+               round(p44, {round_digits}) AS pacf4
+        FROM s5
+    """

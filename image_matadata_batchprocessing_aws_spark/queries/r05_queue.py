@@ -7165,3 +7165,32 @@ def _funnel_oracle() -> str:
 
 
 ORACLES["pipeline_curation_funnel"] = _funnel_oracle()
+
+
+def ts_pacf(spark: SparkSession, sf: str) -> DataFrame:
+    """ACF lags 1-4 + Durbin-Levinson PACF per user series
+    (`operators/timeseries.pacf_table`) — the AR-order diagnostic
+    (PACF cutoff at lag p says fit AR(p)) extending `ts_autocorr`'s
+    single lag point."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import pacf_table
+
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .withColumn("ts_ms", F.unix_millis("ts"))
+    )
+    return pacf_table(e, "user_id", "ts_ms", "value", "event_id")
+
+
+QUERIES["ts_pacf"] = ts_pacf
+
+from image_matadata_batchprocessing_aws_spark.operators.timeseries import pacf_table_sql  # noqa: E402
+
+ORACLES["ts_pacf"] = pacf_table_sql(
+    "(SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms"
+    " FROM events WHERE user_id % 10 = 0)",
+    "user_id",
+    "ts_ms",
+    "value",
+    "event_id",
+)

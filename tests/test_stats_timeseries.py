@@ -783,3 +783,23 @@ def test_changepoint_min_seg_excludes_edges(spark):
     df = spark.createDataFrame(rows, "k string, o long, v double")
     r = changepoint_binseg(df, "k", "o", "v", min_seg=3).collect()[0]
     assert 3 <= r.split_pos <= r.n - 3
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    """A deterministic AR(1)-like geometric series: PACF(1) is large,
+    PACF(2..4) collapse toward 0 — the textbook AR-order signature —
+    and ACF decays geometrically instead."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import pacf_table
+
+    # x_t = 0.8*x_{t-1} + deterministic tiny perturbation
+    xs, x = [], 10.0
+    for i in range(60):
+        x = 0.8 * x + ((i * 37) % 11 - 5) * 0.3
+        xs.append(x)
+    rows = [("s", i, i, v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, ts long, tb long, v double")
+    r = pacf_table(df, "k", "ts", "v", "tb").collect()[0]
+    assert r.pacf1 == r.acf1  # DL base case
+    assert abs(r.pacf1) > 0.5
+    assert abs(r.pacf2) < abs(r.pacf1) / 2  # cutoff after lag 1
+    assert abs(r.acf2 - r.acf1 * r.acf1) < 0.25  # geometric-ish decay
