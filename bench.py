@@ -174,6 +174,8 @@ HEADLINE = [
     "sample_temperature",
     "pipeline_curation_funnel",
     "ts_pacf",
+    "sketch_cms_joinsize",
+    "embedding_knn_outliers",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -365,3 +365,42 @@ def mutual_topk(
             ).alias("margin"),
         )
     )
+
+
+def knn_distance_outliers(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Embedding outlier scores by k-NN DISTANCE (Ramaswamy et al.
+    2000): a point's distance to its k-th nearest neighbor — large
+    k-dist = isolated = mislabeled / off-distribution / garbage
+    embedding, the standard pre-training-corpus vector sanity screen.
+    Returns the ``top_n`` most isolated points with their k-dist.
+
+    Demo form scores the set against itself with the broadcast
+    all-pairs kernel (self-pairs excluded); at corpus scale the
+    candidate set comes from the IVF/LSH path instead — k-dist only
+    needs the k nearest, which cell probing preserves — and the final
+    top-n is the same bounded sort.
+    """
+    q = vectors.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+    c = vectors.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("__qid") != F.col("__cid"))
+    dist = F.round(l2_dist(F.col("__qv"), F.col("__cv")), 6)
+    w = Window.partitionBy("__qid").orderBy(F.col("score").asc(), F.col("__cid"))
+    kth = (
+        pairs.select("__qid", "__cid", dist.alias("score"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == k)
+    )
+    return (
+        kth.select(
+            F.col("__qid").alias(id_col),
+            F.col("score").alias("kdist"),
+        )
+        .orderBy(F.col("kdist").desc(), F.col(id_col))
+        .limit(top_n)
+    )

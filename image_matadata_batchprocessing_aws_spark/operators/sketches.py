@@ -588,3 +588,100 @@ def ams_f2_sql(
                      / CAST(f2_exact AS DOUBLE), {round_digits}) AS rel_error
         FROM est CROSS JOIN ex
     """
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    d: int = 4,
+    w: int = 512,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Inner-join OUTPUT-SIZE estimate from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005, the inner-product query): |A ⋈ B| =
+    sum_k f_A(k)*f_B(k), estimated as the MIN over the d rows of the
+    sketch dot product sum_c row_A[c]*row_B[c] — an upper bound that
+    tightens with w.  Two scan-bound sketch builds (d*w counter rows
+    each) price a join before paying its shuffle: the companion of
+    `ams_f2` (self-join size) for the two-table case.
+
+    The verification arm computes the exact size from the two key
+    histograms.  All arithmetic is exact integers; the estimate-vs-
+    exact ratio is the one double.
+    """
+    sa = cms_build(left, left_key, d, w)
+    sb = cms_build(right, right_key, d, w)
+    per_row = (
+        sa.alias("a")
+        .join(sb.alias("b"), (F.col("a.r") == F.col("b.r")) & (F.col("a.c") == F.col("b.c")))
+        .groupBy(F.col("a.r").alias("r"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("__dot"))
+    )
+    est = per_row.agg(F.min("__dot").alias("join_size_est"))
+    fa = left.where(F.col(left_key).isNotNull()).groupBy(
+        F.col(left_key).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__fa"))
+    fb = right.where(F.col(right_key).isNotNull()).groupBy(
+        F.col(right_key).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__fb"))
+    exact = fa.join(fb, "__k").agg(
+        F.sum(F.col("__fa") * F.col("__fb")).alias("join_size_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("join_size_est").cast("long").alias("join_size_est"),
+        F.col("join_size_exact").cast("long").alias("join_size_exact"),
+        F.round(
+            F.col("join_size_est").cast("double")
+            / F.col("join_size_exact").cast("double"),
+            round_digits,
+        ).alias("overestimate_ratio"),
+    )
+
+
+def cms_join_size_sql(
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    d: int = 4,
+    w: int = 512,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cms_join_size` — same md5 cells, same
+    min-of-row dot products."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    def cells(table, key, name):
+        parts = []
+        for r in range(d):
+            h = md5_int64_sql(f"'{r}:' || CAST({key} AS VARCHAR)")
+            parts.append(
+                f"SELECT {r} AS r, ({h}) % {w} AS c"
+                f" FROM {table} WHERE {key} IS NOT NULL"
+            )
+        rows = " UNION ALL ".join(parts)
+        return f"{name} AS (SELECT r, c, count(*) AS cnt FROM ({rows}) GROUP BY r, c)"
+
+    return f"""
+        WITH {cells(left_table, left_key, "sa")},
+        {cells(right_table, right_key, "sb")},
+        per_row AS (
+          SELECT sa.r, sum(sa.cnt * sb.cnt) AS dot
+          FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c
+          GROUP BY sa.r),
+        est AS (SELECT min(dot) AS join_size_est FROM per_row),
+        fa AS (SELECT {left_key} AS k, count(*) AS f FROM {left_table}
+               WHERE {left_key} IS NOT NULL GROUP BY 1),
+        fb AS (SELECT {right_key} AS k, count(*) AS f FROM {right_table}
+               WHERE {right_key} IS NOT NULL GROUP BY 1),
+        ex AS (SELECT sum(fa.f * fb.f) AS join_size_exact
+               FROM fa JOIN fb USING (k))
+        SELECT CAST(join_size_est AS BIGINT) AS join_size_est,
+               CAST(join_size_exact AS BIGINT) AS join_size_exact,
+               round(CAST(join_size_est AS DOUBLE)
+                     / CAST(join_size_exact AS DOUBLE), {round_digits})
+                 AS overestimate_ratio
+        FROM est CROSS JOIN ex
+    """

@@ -7194,3 +7194,74 @@ ORACLES["ts_pacf"] = pacf_table_sql(
     "value",
     "event_id",
 )
+
+
+CMS_JS_D = 4
+CMS_JS_W = 512
+
+
+def sketch_cms_joinsize(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches (the CM
+    inner-product query, `operators/sketches.cms_join_size`): price
+    orders ⋈ lineitem on orderkey from two scan-bound d*w counter
+    tables before paying the shuffle — the two-table companion of
+    `sketch_ams_f2`, with the exact histogram product as the
+    verification arm."""
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import cms_join_size
+
+    return cms_join_size(
+        t(spark, sf, "orders"),
+        t(spark, sf, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        d=CMS_JS_D,
+        w=CMS_JS_W,
+    )
+
+
+QUERIES["sketch_cms_joinsize"] = sketch_cms_joinsize
+
+from image_matadata_batchprocessing_aws_spark.operators.sketches import cms_join_size_sql  # noqa: E402
+
+ORACLES["sketch_cms_joinsize"] = cms_join_size_sql(
+    "orders", "lineitem", "o_orderkey", "l_orderkey", d=CMS_JS_D, w=CMS_JS_W
+)
+
+
+KD_K = 5
+KD_TOPN = 20
+
+
+def embedding_knn_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN-distance outlier screen over the embedding corpus
+    (`operators/similarity.knn_distance_outliers`): the 20 most
+    isolated vectors by distance to their 5th neighbor — the standard
+    off-distribution/garbage-vector sanity check before training."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+        knn_distance_outliers,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    return knn_distance_outliers(e, "vec_id", "e", k=KD_K, top_n=KD_TOPN)
+
+
+QUERIES["embedding_knn_outliers"] = embedding_knn_outliers
+
+ORACLES["embedding_knn_outliers"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             round(list_distance(q.e, c.e), 6) AS score
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT qid, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score ASC, cid) AS rn
+      FROM pairs)
+    SELECT qid AS vec_id, score AS kdist
+    FROM ranked WHERE rn = {KD_K}
+    ORDER BY kdist DESC, vec_id LIMIT {KD_TOPN}
+"""

@@ -505,3 +505,26 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
     assert abs((ppr[1] + ppr[2]) - 10**12) < 10  # truncation leak only
     gpr = {r.node: r.rank_scaled for r in pagerank_scaled(edges, iterations=3).collect()}
     assert gpr[1] == gpr[10]  # the global walk can't tell the cycles apart
+
+
+def test_cms_join_size_upper_bounds_and_tightens(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.sketches import cms_join_size
+
+    left = spark.createDataFrame([(i % 20,) for i in range(200)], "k long")
+    right = spark.createDataFrame([(i % 20,) for i in range(100)], "k long")
+    r = cms_join_size(left, right, "k", "k", d=4, w=256).collect()[0]
+    assert r.join_size_exact == 20 * 10 * 5  # 20 keys x (10 left * 5 right)
+    assert r.join_size_est >= r.join_size_exact  # CM inner product never undershoots
+    assert r.overestimate_ratio < 2.0  # w >> distinct keys -> tight
+
+
+def test_knn_distance_outlier_finds_planted_point(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        knn_distance_outliers,
+    )
+
+    rows = [(i, [float(i % 7) * 0.01, 1.0]) for i in range(30)]
+    rows.append((99, [50.0, -50.0]))  # far from the cluster
+    df = spark.createDataFrame(rows, "id long, e array<double>")
+    out = knn_distance_outliers(df, "id", "e", k=3, top_n=1).collect()
+    assert out[0].id == 99 and out[0].kdist > 10
