@@ -176,6 +176,9 @@ HEADLINE = [
     "ts_pacf",
     "sketch_cms_joinsize",
     "embedding_knn_outliers",
+    "agg_psi_drift",
+    "etl_pseudonymize",
+    "agg_markov_steady",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

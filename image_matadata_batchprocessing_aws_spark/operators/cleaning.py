@@ -61,3 +61,31 @@ def add_date_parts(df: DataFrame, ts_col: str, default=(1970, 1, 1)) -> DataFram
             "day": F.coalesce(F.dayofmonth(_q(ts_col)), F.lit(d)),
         }
     )
+
+
+def pseudonymize_keys(df: DataFrame, cols: list[str], salt: str) -> DataFrame:
+    """Deterministic PSEUDONYMIZATION of identifier columns: each value
+    becomes a 16-hex-char md5 surrogate of (salt, value) — referential
+    integrity survives (equal inputs map to equal tokens under one
+    salt, so joins across pseudonymized tables still work), raw ids do
+    not.  Salt rotation re-keys the whole estate.  NULLs stay NULL; the
+    map-side expression never shuffles.  This is tokenization for
+    analytics handoff (GDPR pseudonymization), NOT encryption: with
+    the salt, tokens are recomputable from known ids — treat the salt
+    as a secret.
+    """
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.md5(F.concat(F.lit(salt + "\x1f"), F.col(c).cast("string"))), 1, 16
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), token))
+    return out
+
+
+def pseudonymize_sql_expr(col: str, salt: str) -> str:
+    """DuckDB twin of one :func:`pseudonymize_keys` column expression."""
+    return (
+        f"CASE WHEN {col} IS NOT NULL THEN "
+        f"substr(md5('{salt}' || chr(31) || CAST({col} AS VARCHAR)), 1, 16) END"
+    )

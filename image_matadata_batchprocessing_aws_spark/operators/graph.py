@@ -553,3 +553,70 @@ def personalized_pagerank_scaled(
     return ranks.select(
         "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
     )
+
+
+def markov_steady_scaled(
+    transitions: DataFrame,
+    iterations: int = 3,
+    src: str = "src_state",
+    dst: str = "dst_state",
+    cnt: str = "cnt",
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Power-iteration toward the stationary distribution of an
+    empirical Markov chain — ``transitions`` is the observed
+    (src, dst, count) table (the `agg_event_transitions` grain) and
+    the answer is "where does a long random session end up spending
+    its time", which raw transition counts don't say.
+
+    Same fixed-point discipline as :func:`pagerank_scaled`: uniform
+    scaled-long start, each round routes pi(i) * c_ij div tot_i
+    (truncating integer division — identically leaky in every engine),
+    unrolled-CTE-oracle-able.  States with no outgoing transitions get
+    a self-loop (the standard absorbing-state fix, flagged in the
+    output as ``is_absorbing``).
+    """
+    states = (
+        transitions.select(F.col(src).alias("state"))
+        .union(transitions.select(F.col(dst).alias("state")))
+        .distinct()
+    )
+    outs = transitions.groupBy(F.col(src).alias("state")).agg(
+        F.sum(cnt).alias("__tot")
+    )
+    marked = states.join(outs, "state", "left").select(
+        "state",
+        F.col("__tot").isNull().alias("is_absorbing"),
+    )
+    loops = marked.where(F.col("is_absorbing")).select(
+        F.col("state").alias(src),
+        F.col("state").alias(dst),
+        F.lit(1).cast("long").alias(cnt),
+    )
+    edges = transitions.select(src, dst, cnt).unionByName(loops)
+    edges = edges.localCheckpoint(eager=False)
+    tot = edges.groupBy(src).agg(F.sum(cnt).alias("__tot"))
+    n1 = states.agg(F.count("*").alias("__n"))
+    pi = states.crossJoin(F.broadcast(n1)).select(
+        "state", F.expr(f"CAST({scale} div __n AS BIGINT)").alias("pi_scaled")
+    )
+    for _ in range(iterations):
+        shares = pi.join(tot, pi["state"] == tot[src]).select(
+            F.col("state").alias("__s"), "pi_scaled", "__tot"
+        )
+        pi = (
+            shares.join(edges, F.col("__s") == edges[src])
+            .select(
+                F.col(dst).alias("state"),
+                F.expr(f"CAST((pi_scaled * {cnt}) div __tot AS BIGINT)").alias("__m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("__m").alias("pi_scaled"))
+        )
+    # re-anchor on the full state set: a state that received no mass
+    # this round (pi = 0) must still appear in the output
+    return marked.join(pi, "state", "left").select(
+        "state",
+        F.coalesce(F.col("pi_scaled"), F.lit(0)).cast("long").alias("pi_scaled"),
+        "is_absorbing",
+    )

@@ -1913,3 +1913,89 @@ def gini_coefficient_sql(
                  END, {round_digits}) AS gini
         FROM agg
     """
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    term_digits: int = 9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """POPULATION STABILITY INDEX between a reference and a current
+    sample of ``value_col`` — the credit-risk-standard drift number
+    (rule of thumb: <0.1 stable, 0.1-0.25 shifting, >0.25 act)
+    alongside the KS/TV/chi2 tests: PSI = sum (p_cur - p_ref) *
+    ln(p_cur / p_ref) over bins cut at the REFERENCE deciles (exact
+    percentiles), so the reference is uniform by construction and the
+    score reads as pure current-side distortion.
+
+    Empty-bin guard: counts are Laplace-smoothed (+1 per bin) — the
+    standard way to keep ln finite that is also exactly reproducible
+    (no epsilon literals to disagree on).  Each bin's term quantizes
+    to a BIGINT at ``term_digits`` before the n_bins-row sum.
+
+    Returns one row: ``n_ref, n_cur, psi`` plus the max single-bin
+    contribution and its bin id (where the shift concentrates).
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = ref.agg(
+        *[
+            F.percentile(F.col(value_col), F.lit(q)).alias(f"__c{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def binned(df, name):
+        b = F.lit(0)
+        for i in range(len(qs)):
+            b = b + F.when(F.col(value_col) > F.col(f"__c{i}"), 1).otherwise(0)
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(cuts))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = binned(ref, "__nr")
+    c = binned(cur, "__nc")
+    bins = r.join(c, "bin", "full").select(
+        "bin",
+        F.coalesce(F.col("__nr"), F.lit(0)).alias("__nr"),
+        F.coalesce(F.col("__nc"), F.lit(0)).alias("__nc"),
+    )
+    tot = bins.agg(
+        F.sum("__nr").alias("__tr"), F.sum("__nc").alias("__tc")
+    )
+    qscale = float(10**term_digits)
+    pr = (F.col("__nr") + F.lit(1)).cast("double") / (
+        F.col("__tr") + F.lit(n_bins)
+    ).cast("double")
+    pc = (F.col("__nc") + F.lit(1)).cast("double") / (
+        F.col("__tc") + F.lit(n_bins)
+    ).cast("double")
+    term = (pc - pr) * F.log(pc / pr)
+    per = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "__tr",
+        "__tc",
+        F.round(term * F.lit(qscale)).cast("long").alias("__tq"),
+    )
+    agg = per.groupBy().agg(
+        F.max("__tr").alias("n_ref"),
+        F.max("__tc").alias("n_cur"),
+        F.sum("__tq").alias("__psi_q"),
+        F.max(F.struct(F.col("__tq"), F.col("bin"))).alias("__worst"),
+    )
+    return agg.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(F.col("__psi_q").cast("double") / F.lit(qscale), round_digits).alias(
+            "psi"
+        ),
+        F.round(
+            F.col("__worst.__tq").cast("double") / F.lit(qscale), round_digits
+        ).alias("worst_bin_term"),
+        F.col("__worst.bin").cast("long").alias("worst_bin"),
+    )

@@ -7265,3 +7265,243 @@ ORACLES["embedding_knn_outliers"] = f"""
     FROM ranked WHERE rn = {KD_K}
     ORDER BY kdist DESC, vec_id LIMIT {KD_TOPN}
 """
+
+
+PSI_SPLIT_YEAR = 1998
+PSI_BINS = 10
+
+
+def agg_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of order value, pre-vs-post 1998
+    (`operators/stats.psi_drift`) — the credit-risk drift standard
+    next to `agg_ks_drift`/`etl_drift_report`: bins cut at the
+    reference deciles, Laplace-smoothed, quantized bin terms."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import psi_drift
+
+    o = t(spark, sf, "orders")
+    ref = o.where(F.year("o_orderdate") < PSI_SPLIT_YEAR)
+    cur = o.where(F.year("o_orderdate") >= PSI_SPLIT_YEAR)
+    return psi_drift(ref, cur, "o_totalprice", n_bins=PSI_BINS)
+
+
+QUERIES["agg_psi_drift"] = agg_psi_drift
+
+
+def _psi_oracle() -> str:
+    n_bins = PSI_BINS
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cut_cols = ",\n             ".join(
+        f"quantile_cont(o_totalprice, {q}) AS c{i}" for i, q in enumerate(qs)
+    )
+    bin_expr = " + ".join(
+        f"CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END" for i in range(len(qs))
+    )
+    return f"""
+    WITH ref AS (SELECT o_totalprice FROM orders
+                 WHERE year(o_orderdate) < {PSI_SPLIT_YEAR}
+                   AND o_totalprice IS NOT NULL),
+    cur AS (SELECT o_totalprice FROM orders
+            WHERE year(o_orderdate) >= {PSI_SPLIT_YEAR}
+              AND o_totalprice IS NOT NULL),
+    cuts AS (SELECT {cut_cols} FROM ref),
+    rb AS (SELECT ({bin_expr}) AS bin, count(*) AS nr
+           FROM ref CROSS JOIN cuts GROUP BY 1),
+    cb AS (SELECT ({bin_expr}) AS bin, count(*) AS nc
+           FROM cur CROSS JOIN cuts GROUP BY 1),
+    bins AS (
+      SELECT coalesce(rb.bin, cb.bin) AS bin,
+             coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+      FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+    tot AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM bins),
+    per AS (
+      SELECT bin, tr, tc,
+             CAST(round(((CAST(nc + 1 AS DOUBLE) / CAST(tc + {n_bins} AS DOUBLE))
+                   - (CAST(nr + 1 AS DOUBLE) / CAST(tr + {n_bins} AS DOUBLE)))
+               * ln((CAST(nc + 1 AS DOUBLE) / CAST(tc + {n_bins} AS DOUBLE))
+                    / (CAST(nr + 1 AS DOUBLE) / CAST(tr + {n_bins} AS DOUBLE)))
+               * 1e9) AS BIGINT) AS tq
+      FROM bins CROSS JOIN tot),
+    agg AS (
+      SELECT max(tr) AS n_ref, max(tc) AS n_cur, sum(tq) AS psi_q,
+             max(struct_pack(tq := tq, bin := bin)) AS worst
+      FROM per)
+    SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           round(CAST(psi_q AS DOUBLE) / 1e9, 6) AS psi,
+           round(CAST(worst.tq AS DOUBLE) / 1e9, 6) AS worst_bin_term,
+           CAST(worst.bin AS BIGINT) AS worst_bin
+    FROM agg
+"""
+
+
+ORACLES["agg_psi_drift"] = _psi_oracle()
+
+
+PSEUDO_SALT = "pseud-v1"
+
+
+def etl_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """GDPR-style pseudonymization audit
+    (`operators/cleaning.pseudonymize_keys`): custkey tokenized with
+    one salt across orders AND customer, then the report proves what
+    matters — token cardinality equals raw cardinality per table
+    (bijection on the data) and the cross-table join count is
+    unchanged (referential integrity survives re-keying)."""
+    from image_matadata_batchprocessing_aws_spark.operators.cleaning import (
+        pseudonymize_keys,
+    )
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf, "customer").select("c_custkey")
+    po = pseudonymize_keys(o, ["o_custkey"], PSEUDO_SALT)
+    pc = pseudonymize_keys(c, ["c_custkey"], PSEUDO_SALT)
+    raw_join = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("joined_raw")
+    )
+    tok_join = po.join(pc, po["o_custkey"] == pc["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("joined_token")
+    )
+    stats = po.agg(
+        F.count(F.lit(1)).alias("orders_rows"),
+        F.countDistinct("o_custkey").alias("order_tokens"),
+    ).crossJoin(
+        pc.agg(
+            F.count(F.lit(1)).alias("customer_rows"),
+            F.countDistinct("c_custkey").alias("customer_tokens"),
+        )
+    ).crossJoin(
+        o.agg(F.countDistinct("o_custkey").alias("order_raw_keys"))
+    ).crossJoin(
+        c.agg(F.countDistinct("c_custkey").alias("customer_raw_keys"))
+    )
+    return (
+        stats.crossJoin(raw_join)
+        .crossJoin(tok_join)
+        .select(
+            F.col("orders_rows").cast("long").alias("orders_rows"),
+            F.col("customer_rows").cast("long").alias("customer_rows"),
+            (F.col("order_tokens") == F.col("order_raw_keys")).alias(
+                "orders_bijective"
+            ),
+            (F.col("customer_tokens") == F.col("customer_raw_keys")).alias(
+                "customer_bijective"
+            ),
+            F.col("joined_raw").cast("long").alias("joined_raw"),
+            F.col("joined_token").cast("long").alias("joined_token"),
+            (F.col("joined_raw") == F.col("joined_token")).alias("join_preserved"),
+        )
+    )
+
+
+QUERIES["etl_pseudonymize"] = etl_pseudonymize
+
+from image_matadata_batchprocessing_aws_spark.operators.cleaning import pseudonymize_sql_expr  # noqa: E402
+
+_PT_O = pseudonymize_sql_expr("o_custkey", PSEUDO_SALT)
+_PT_C = pseudonymize_sql_expr("c_custkey", PSEUDO_SALT)
+
+ORACLES["etl_pseudonymize"] = f"""
+    WITH po AS (SELECT o_orderkey, {_PT_O} AS tok FROM orders),
+    pc AS (SELECT {_PT_C} AS tok FROM customer),
+    s AS (
+      SELECT (SELECT count(*) FROM po) AS orders_rows,
+             (SELECT count(*) FROM pc) AS customer_rows,
+             (SELECT count(DISTINCT tok) FROM po) AS order_tokens,
+             (SELECT count(DISTINCT tok) FROM pc) AS customer_tokens,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS order_raw,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS customer_raw,
+             (SELECT count(*) FROM orders JOIN customer
+                ON o_custkey = c_custkey) AS joined_raw,
+             (SELECT count(*) FROM po JOIN pc USING (tok)) AS joined_token)
+    SELECT CAST(orders_rows AS BIGINT) AS orders_rows,
+           CAST(customer_rows AS BIGINT) AS customer_rows,
+           order_tokens = order_raw AS orders_bijective,
+           customer_tokens = customer_raw AS customer_bijective,
+           CAST(joined_raw AS BIGINT) AS joined_raw,
+           CAST(joined_token AS BIGINT) AS joined_token,
+           joined_raw = joined_token AS join_preserved
+    FROM s
+"""
+
+
+MARKOV_ITERS = 3
+
+
+def agg_markov_steady(spark: SparkSession, sf: str) -> DataFrame:
+    """Stationary distribution of the empirical event-type Markov
+    chain (`operators/graph.markov_steady_scaled`): where a long
+    session spends its time — the limit view of
+    `agg_event_transitions`' one-step counts, in the same bit-exact
+    fixed-point arithmetic as `graph_pagerank`."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        markov_steady_scaled,
+    )
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("src_state"),
+        F.col("event_type").alias("dst_state"),
+    ).where(F.col("src_state").isNotNull())
+    tr = pairs.groupBy("src_state", "dst_state").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return markov_steady_scaled(tr, iterations=MARKOV_ITERS)
+
+
+QUERIES["agg_markov_steady"] = agg_markov_steady
+
+
+def _markov_oracle(iters: int = MARKOV_ITERS) -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.graph import PR_SCALE
+
+    scale = PR_SCALE
+    ctes = [
+        """seq AS (
+          SELECT event_type AS dst_state,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS src_state
+          FROM events WHERE user_id IS NOT NULL)""",
+        """tr0 AS (SELECT src_state, dst_state, count(*) AS cnt FROM seq
+                   WHERE src_state IS NOT NULL GROUP BY 1, 2)""",
+        """states AS (SELECT DISTINCT s FROM (
+            SELECT src_state AS s FROM tr0
+            UNION ALL SELECT dst_state FROM tr0))""",
+        """marked AS (SELECT states.s AS state,
+                             o.src_state IS NULL AS is_absorbing
+                      FROM states LEFT JOIN
+                        (SELECT DISTINCT src_state FROM tr0) o
+                        ON states.s = o.src_state)""",
+        """tr AS (SELECT src_state, dst_state, cnt FROM tr0
+                  UNION ALL
+                  SELECT state, state, CAST(1 AS BIGINT)
+                  FROM marked WHERE is_absorbing)""",
+        "tot AS (SELECT src_state, sum(cnt) AS tot FROM tr GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM states)",
+        f"""p0 AS (SELECT s AS state, CAST({scale} // nn.n AS BIGINT)
+                     AS pi FROM states CROSS JOIN nn)""",
+    ]
+    prev = "p0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""p{it} AS (
+              SELECT tr.dst_state AS state,
+                     CAST(sum((p.pi * tr.cnt) // t.tot) AS BIGINT) AS pi
+              FROM {prev} p
+              JOIN tot t ON p.state = t.src_state
+              JOIN tr ON p.state = tr.src_state
+              GROUP BY tr.dst_state)"""
+        )
+        prev = f"p{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT m.state, CAST(coalesce(p.pi, 0) AS BIGINT) AS pi_scaled,
+           m.is_absorbing
+    FROM marked m LEFT JOIN {prev} p ON p.state = m.state
+"""
+    )
+
+
+ORACLES["agg_markov_steady"] = _markov_oracle()

@@ -65,3 +65,18 @@ def test_fill_constants(spark):
     rows = {r.id: (r.city, r.v) for r in out.collect()}
     assert rows[1] == ("Unknown", 0.0)
     assert rows[2] == ("x", 5.0)
+
+
+def test_pseudonymize_is_consistent_and_salt_sensitive(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.cleaning import (
+        pseudonymize_keys,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,), (1,), (None,)], "k long")
+    a = [r.k for r in pseudonymize_keys(df, ["k"], "s1").collect()]
+    assert a[0] == a[2] and a[0] != a[1]          # same in -> same token
+    assert a[3] is None                            # NULL stays NULL
+    assert all(len(t) == 16 for t in a if t)
+    b = [r.k for r in pseudonymize_keys(df, ["k"], "s2").collect()]
+    assert b[0] != a[0]                            # salt rotation re-keys

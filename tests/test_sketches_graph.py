@@ -528,3 +528,29 @@ def test_knn_distance_outlier_finds_planted_point(spark):
     df = spark.createDataFrame(rows, "id long, e array<double>")
     out = knn_distance_outliers(df, "id", "e", k=3, top_n=1).collect()
     assert out[0].id == 99 and out[0].kdist > 10
+
+
+def test_markov_steady_concentrates_on_sticky_state(spark):
+    """A chain where state b mostly self-loops: the stationary mass
+    lands on b; a pure sink state gets the absorbing flag + self-loop
+    and soaks mass instead of destroying it."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        PR_SCALE,
+        markov_steady_scaled,
+    )
+
+    tr = spark.createDataFrame(
+        [("a", "b", 9), ("a", "a", 1), ("b", "b", 9), ("b", "a", 1)],
+        "src_state string, dst_state string, cnt long",
+    )
+    pi = {r.state: r for r in markov_steady_scaled(tr, iterations=6).collect()}
+    assert pi["b"].pi_scaled > pi["a"].pi_scaled
+    assert not pi["a"].is_absorbing
+    total = sum(r.pi_scaled for r in pi.values())
+    assert PR_SCALE * 0.999 < total <= PR_SCALE  # mass conserved mod truncation
+    sink = spark.createDataFrame(
+        [("a", "z", 1)], "src_state string, dst_state string, cnt long"
+    )
+    pz = {r.state: r for r in markov_steady_scaled(sink, iterations=4).collect()}
+    assert pz["z"].is_absorbing and pz["a"].pi_scaled == 0
+    assert pz["z"].pi_scaled > 0  # the self-loop holds the mass

@@ -803,3 +803,15 @@ def test_pacf_ar1_cuts_off_after_lag1(spark):
     assert abs(r.pacf1) > 0.5
     assert abs(r.pacf2) < abs(r.pacf1) / 2  # cutoff after lag 1
     assert abs(r.acf2 - r.acf1 * r.acf1) < 0.25  # geometric-ish decay
+
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.stats import psi_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    same = psi_drift(ref, ref, "v").collect()[0]
+    assert same.psi < 0.01  # identical populations: only smoothing noise
+    shifted = spark.createDataFrame([(float(i + 800),) for i in range(1000)], "v double")
+    drift = psi_drift(ref, shifted, "v").collect()[0]
+    assert drift.psi > 0.25  # the "act" threshold
+    assert drift.worst_bin == 9  # mass piled into the top reference bin
