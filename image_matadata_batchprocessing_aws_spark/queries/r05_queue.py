@@ -7505,3 +7505,24 @@ def _markov_oracle(iters: int = MARKOV_ITERS) -> str:
 
 
 ORACLES["agg_markov_steady"] = _markov_oracle()
+
+
+from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (  # noqa: E402
+    stream_join_attribution_outer,
+)
+
+QUERIES["stream_join_attribution_outer"] = stream_join_attribution_outer
+
+ORACLES["stream_join_attribution_outer"] = """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           CAST(epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts) AS BIGINT) AS lag_ms,
+           round(p.value, 2) AS value,
+           c.click_id IS NOT NULL AS attributed
+    FROM p LEFT JOIN c ON p.user_id = c.user_id
+                 AND c.click_ts BETWEEN p.purchase_ts - INTERVAL '1 hour'
+                                    AND p.purchase_ts
+"""

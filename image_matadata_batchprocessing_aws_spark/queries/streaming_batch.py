@@ -85,6 +85,19 @@ def stream_join_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return attribution_join(clicks, purchases, max_delay="1 hour")
 
 
+def stream_join_attribution_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER watermarked stream-stream join
+    (``streaming.attribution_join_outer``): every purchase, attributed
+    or organic — the conversion-report denominator the inner join
+    drops.  Watermarks no-op in batch."""
+    from image_matadata_batchprocessing_aws_spark.streaming import attribution_join_outer
+
+    e = t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase")
+    return attribution_join_outer(clicks, purchases, max_delay="1 hour")
+
+
 def stream_json_schema(spark: SparkSession, sf: str) -> DataFrame:
     """Schema'd ``from_json`` parse of the props column into a typed
     struct (vs the path-extraction twin stream_json_props): one map-side

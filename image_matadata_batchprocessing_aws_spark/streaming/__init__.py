@@ -1,5 +1,6 @@
 from image_matadata_batchprocessing_aws_spark.streaming.events import (
     attribution_join,
+    attribution_join_outer,
     read_events_stream,
     tumbling_counts,
     sliding_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "cusum_stream",
     "running_user_totals",
     "attribution_join",
+    "attribution_join_outer",
     "read_events_stream",
     "tumbling_counts",
     "sliding_counts",

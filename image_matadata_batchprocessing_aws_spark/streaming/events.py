@@ -128,6 +128,53 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution: every purchase emits —
+    attributed ones paired with their in-window clicks, ORGANIC ones
+    (no click within ``max_delay``) null-extended.  The outer side is
+    the semantics the inner join can't give: conversion reports need
+    the unattributed denominator.
+
+    The streaming subtlety the inner form doesn't have: an unmatched
+    purchase can only emit once the joint watermark proves no matching
+    click can still arrive, so organic rows trail the data by the
+    watermark delay — and a FINITE replay must push the watermark past
+    its last purchase (a far-future flush event on BOTH inputs) or the
+    tail's organic rows never surface (the stream==batch test
+    demonstrates exactly this with a sentinel flush chunk).  Both
+    sides stay watermarked and the join condition bounds both event
+    times, so state eviction matches the inner form.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        f"click_user = user_id AND "
+        f"click_ts BETWEEN purchase_ts - INTERVAL {max_delay} AND purchase_ts"
+    )
+    return p.join(c, cond, "leftOuter").select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("lag_ms"),
+        F.round("value", 2).alias("value"),
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming dedup on event_id with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

@@ -638,3 +638,78 @@ def test_stream_cusum_equals_batch(spark, tmp_path):
     # and the planted drift actually alarms for user 1 only
     assert any(a for (u, _), (_, _, a) in got.items() if u == 1)
     assert not any(a for (u, _), (_, _, a) in got.items() if u == 2)
+
+
+def test_stream_stream_outer_attribution_with_watermark_flush(
+    spark, events_dir, tmp_path_factory
+):
+    """LEFT OUTER stream-stream join: organic (unmatched) purchases can
+    only emit once the joint watermark proves no click can still match,
+    so a finite replay needs a far-future flush event on BOTH sides —
+    with it, stream == batch exactly, including the organic rows the
+    inner join drops."""
+    import glob as _glob
+    import shutil
+    import datetime as _dt
+
+    from image_matadata_batchprocessing_aws_spark.queries.streaming_batch import (
+        stream_join_attribution_outer,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming import (
+        attribution_join_outer,
+    )
+
+    import os as _os
+    import time as _time
+
+    d = str(tmp_path_factory.mktemp("events_outer"))
+    # pin strictly increasing mtimes: the file source orders batches by
+    # modification time, and same-second copies would tie — letting the
+    # far-future flush chunk replay EARLY, which marks every real event
+    # late and silently drops it (exactly the failure this guards)
+    now = _time.time()
+    for i, f in enumerate(sorted(_glob.glob(f"{events_dir}/chunk_*.parquet"))):
+        dst = shutil.copy(f, d)
+        _os.utime(dst, (now - 100 + i, now - 100 + i))
+    max_ts = load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + _dt.timedelta(days=10)
+    flush = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "click", 0.0, None),
+            (-2, flush_ts, -1, "purchase", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tmp = d + "_flush"
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fdst = f"{d}/chunk_zz_flush.parquet"
+    shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], fdst)
+    _os.utime(fdst, (now, now))  # strictly newest -> replays LAST
+
+    stream = read_events_stream(spark, d)
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    joined = attribution_join_outer(clicks, purchases, max_delay="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attribution_outer_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.purchase_id, r.click_id): (r.lag_ms, r.attributed)
+        for r in spark.sql(
+            "SELECT * FROM attribution_outer_out WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = {
+        (r.purchase_id, r.click_id): (r.lag_ms, r.attributed)
+        for r in stream_join_attribution_outer(spark, SF_SMOKE).collect()
+    }
+    assert got == batch and len(batch) > 0
+    organic = [k for k, v in batch.items() if not v[1]]
+    attributed = [k for k, v in batch.items() if v[1]]
+    assert organic and attributed  # both sides of the outer semantics exercised
