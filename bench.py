@@ -179,6 +179,8 @@ HEADLINE = [
     "agg_psi_drift",
     "etl_pseudonymize",
     "agg_markov_steady",
+    "stream_join_attribution_outer",
+    "ts_holt_backtest",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -1059,3 +1059,65 @@ def pacf_table_sql(
                round(p44, {round_digits}) AS pacf4
         FROM s5
     """
+
+
+def holt_backtest(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    lookback: int = 50,
+    value_digits: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rolling-origin BACKTEST of :func:`holt_trailing`: at every
+    observation, the model's one-step forecast is scored against the
+    NEXT actual and against the naive carry-forward forecast (x_t), per
+    key — MAE for both plus ``skill`` = 1 - mae_model/mae_naive, the
+    number that decides whether the smoother earns its keep (skill <= 0
+    means persistence wins; common on near-random-walk series).
+
+    Determinism: actuals quantize to the same scaled grid the fold
+    consumes; each |error| quantizes to a BIGINT at 1e-6 before the
+    per-key sum, so MAE is partitioning-independent.  One extra lead()
+    window over the forecast frame; everything stays keyed.
+    """
+    scale = float(10**value_digits)
+    fc = holt_trailing(
+        df.where(F.col(value_col).isNotNull()),
+        key, ts_col, value_col, order_tiebreak,
+        alpha=alpha, beta=beta, lookback=lookback,
+    )
+    xq = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    scored = fc.select(
+        F.col(key),
+        (xq.cast("double") / F.lit(scale)).alias("__x"),
+        F.col("holt_forecast").alias("__f"),
+        (F.lead(xq).over(w).cast("double") / F.lit(scale)).alias("__nx"),
+    ).where(F.col("__nx").isNotNull())
+    eq = F.round(F.abs(F.col("__f") - F.col("__nx")) * F.lit(1e6)).cast("long")
+    nq = F.round(F.abs(F.col("__x") - F.col("__nx")) * F.lit(1e6)).cast("long")
+    agg = scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        F.sum(eq).alias("__se"),
+        F.sum(nq).alias("__sn"),
+    )
+    nd = F.col("n_forecasts").cast("double") * F.lit(1e6)
+    return agg.select(
+        key,
+        F.col("n_forecasts").cast("long").alias("n_forecasts"),
+        F.round(F.col("__se").cast("double") / nd, round_digits).alias("mae_holt"),
+        F.round(F.col("__sn").cast("double") / nd, round_digits).alias("mae_naive"),
+        F.round(
+            F.when(
+                F.col("__sn") > 0,
+                F.lit(1.0)
+                - F.col("__se").cast("double") / F.col("__sn").cast("double"),
+            ),
+            round_digits,
+        ).alias("skill"),
+    )

@@ -7526,3 +7526,71 @@ ORACLES["stream_join_attribution_outer"] = """
                  AND c.click_ts BETWEEN p.purchase_ts - INTERVAL '1 hour'
                                     AND p.purchase_ts
 """
+
+
+def ts_holt_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt smoother per user
+    (`operators/timeseries.holt_backtest`): model MAE vs the naive
+    carry-forward MAE and the skill score — does `ts_holt` earn its
+    keep on this data?"""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    e = t(spark, sf, "events").where(F.col("user_id") % 10 == 0)
+    return holt_backtest(
+        e, "user_id", "ts", "value", "event_id",
+        alpha=HOLT_ALPHA, beta=HOLT_BETA, lookback=HOLT_LOOKBACK,
+    )
+
+
+QUERIES["ts_holt_backtest"] = ts_holt_backtest
+
+ORACLES["ts_holt_backtest"] = f"""
+    WITH RECURSIVE b AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CAST(round(value * 10000.0) AS BIGINT) AS xs
+      FROM events WHERE value IS NOT NULL AND user_id % 10 = 0),
+    frames AS (
+      SELECT user_id, event_id, ts_ms, xs,
+             list(xs) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                            ROWS BETWEEN {HOLT_LOOKBACK - 1} PRECEDING
+                            AND CURRENT ROW) AS hist
+      FROM b),
+    rec AS (
+      SELECT user_id, event_id, ts_ms, xs, hist, 1 AS k,
+             CAST(hist[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS t
+      FROM frames
+      UNION ALL
+      SELECT user_id, event_id, ts_ms, xs, hist, k + 1,
+             {_HOLT_STEP_L} AS l,
+             {HOLT_BETA} * (({_HOLT_STEP_L}) - l) + (1.0 - {HOLT_BETA}) * t
+               AS t
+      FROM rec WHERE k < len(hist)),
+    f AS (SELECT user_id, event_id, ts_ms, xs,
+                 round((l + t) / 10000.0, 6) AS fc
+          FROM rec WHERE k = len(hist)),
+    scored AS (
+      SELECT user_id,
+             CAST(xs AS DOUBLE) / 10000.0 AS x, fc,
+             CAST(lead(xs) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, event_id) AS DOUBLE)
+               / 10000.0 AS nx
+      FROM f),
+    errs AS (
+      SELECT user_id,
+             CAST(round(abs(fc - nx) * 1e6) AS BIGINT) AS eq,
+             CAST(round(abs(x - nx) * 1e6) AS BIGINT) AS nq
+      FROM scored WHERE nx IS NOT NULL),
+    agg AS (
+      SELECT user_id, count(*) AS n, sum(eq) AS se, sum(nq) AS sn
+      FROM errs GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_forecasts,
+           round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+             AS mae_holt,
+           round(CAST(sn AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+             AS mae_naive,
+           round(CASE WHEN sn > 0 THEN
+             1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE) END, 6) AS skill
+    FROM agg
+"""

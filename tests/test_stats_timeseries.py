@@ -815,3 +815,23 @@ def test_psi_zero_on_identical_and_large_on_shift(spark):
     drift = psi_drift(ref, shifted, "v").collect()[0]
     assert drift.psi > 0.25  # the "act" threshold
     assert drift.worst_bin == 9  # mass piled into the top reference bin
+
+
+def test_holt_backtest_beats_naive_on_trend_loses_on_noise(spark):
+    """On a clean linear trend the trend-aware smoother beats the naive
+    carry-forward (positive skill); on an alternating series the naive
+    forecast is beaten by neither (skill can go negative) — the
+    backtest is what tells these apart."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    trend = [("t", i, i, 10.0 + 2.0 * i) for i in range(40)]
+    zig = [("z", i, i, 5.0 if i % 2 else -5.0) for i in range(40)]
+    df = spark.createDataFrame(trend + zig, "k string, ts long, tb long, v double")
+    out = {r.k: r for r in holt_backtest(df, "k", "ts", "v", "tb").collect()}
+    # trend: Holt beats persistence (beta=0.1 adapts slowly, so the
+    # 40-point ramp's early transient keeps skill modest but positive)
+    assert out["t"].skill > 0.1
+    assert out["t"].mae_holt < out["t"].mae_naive
+    assert out["z"].n_forecasts == 39
