@@ -181,6 +181,8 @@ HEADLINE = [
     "agg_markov_steady",
     "stream_join_attribution_outer",
     "ts_holt_backtest",
+    "chunk_sentence_budget",
+    "etl_fixed_width_roundtrip",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -1001,3 +1001,63 @@ def llr_bigrams(
         .where(F.col("__rn") <= top_k)
         .select("w1", "w2", "pair_count", "llr")
     )
+
+
+def sentence_budget_chunks(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_chars: int = 256,
+) -> DataFrame:
+    """Sentence-boundary-respecting chunker: sentences (the
+    ``[.!?]+`` segmentation shared with the sentence/readability
+    queries) pack into chunks of ~``budget_chars`` by next-fit over a
+    per-document cumulative sum — chunk = (cumsum - len) div budget —
+    so no sentence is ever split mid-thought, unlike the fixed
+    character windows of ``chunk_documents``.  A sentence longer than
+    the budget becomes its own over-full chunk (split hint, same
+    contract as ``compaction_plan``).
+
+    One map-side explode + one keyed window; chunk ids are stable
+    under rerun/partitioning because the order key is the split
+    position.  Returns one row per chunk with sentence count, char
+    total, and fill ratio.
+    """
+    parts = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("part_idx", "__s"),
+    )
+    s = F.trim(F.col("__s"))
+    sized = parts.where(s != "").select(
+        "doc_id", "part_idx", F.length(s).alias("__len")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("part_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = sized.select(
+        "doc_id",
+        "part_idx",
+        "__len",
+        F.floor(
+            (F.sum("__len").over(w) - F.col("__len")).cast("double")
+            / F.lit(float(budget_chars))
+        ).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("__len").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_sentences",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.lit(float(budget_chars)), 4
+            ).alias("fill_ratio"),
+        )
+    )

@@ -7594,3 +7594,110 @@ ORACLES["ts_holt_backtest"] = f"""
              1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE) END, 6) AS skill
     FROM agg
 """
+
+
+CHUNK_BUDGET_CHARS = 256
+
+
+def chunk_sentence_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-boundary chunking at a ~256-char budget
+    (`operators/text.sentence_budget_chunks`) — the RAG-ingest chunker
+    that never splits mid-sentence, vs `chunk_docs_overlap`'s fixed
+    character windows; next-fit over one keyed cumulative sum."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import (
+        sentence_budget_chunks,
+    )
+
+    return sentence_budget_chunks(
+        t(spark, sf, "documents"), budget_chars=CHUNK_BUDGET_CHARS
+    )
+
+
+QUERIES["chunk_sentence_budget"] = chunk_sentence_budget
+
+ORACLES["chunk_sentence_budget"] = rf"""
+    WITH parts AS (
+      SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr
+      FROM documents),
+    pos AS (
+      SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM parts),
+    sized AS (
+      SELECT doc_id, i AS part_idx, length(trim(arr[i + 1])) AS len
+      FROM pos WHERE trim(arr[i + 1]) <> ''),
+    chunked AS (
+      SELECT doc_id,
+             CAST(floor(CAST(sum(len) OVER (PARTITION BY doc_id
+                     ORDER BY part_idx ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - len AS DOUBLE) / {float(CHUNK_BUDGET_CHARS)}) AS BIGINT)
+               AS chunk_id,
+             len
+      FROM sized)
+    SELECT doc_id, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(len) AS BIGINT) AS n_chars,
+           round(CAST(sum(len) AS DOUBLE) / {float(CHUNK_BUDGET_CHARS)}, 4)
+             AS fill_ratio
+    FROM chunked GROUP BY doc_id, chunk_id
+"""
+
+
+def etl_fixed_width_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width record format round-trip
+    (`sources/csv_source.parse_fixed_width`): orders serialize to
+    24-char fixed-width lines (10-digit key, 2-char status, 12-digit
+    price cents), parse back through the map-side parser, and
+    re-aggregate per status — counts and exact cent totals must
+    survive the text round trip."""
+    from image_matadata_batchprocessing_aws_spark.sources.csv_source import (
+        parse_fixed_width,
+    )
+
+    o = t(spark, sf, "orders")
+    lines = o.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+            F.rpad(F.col("o_orderstatus"), 2, " "),
+            F.lpad(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                12,
+                "0",
+            ),
+        ).alias("line")
+    )
+    parsed = parse_fixed_width(
+        lines,
+        "line",
+        [
+            ("orderkey", 1, 10, "long"),
+            ("status", 11, 2, "string"),
+            ("price_c", 13, 12, "long"),
+        ],
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("orderkey").cast("long").alias("n_keys"),
+        F.sum("price_c").cast("long").alias("total_cents"),
+    )
+
+
+QUERIES["etl_fixed_width_roundtrip"] = etl_fixed_width_roundtrip
+
+ORACLES["etl_fixed_width_roundtrip"] = """
+    WITH lines AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+             || rpad(o_orderstatus, 2, ' ')
+             || lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                     12, '0') AS line
+      FROM orders),
+    parsed AS (
+      SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS orderkey,
+             trim(substr(line, 11, 2)) AS status,
+             CAST(trim(substr(line, 13, 12)) AS BIGINT) AS price_c
+      FROM lines)
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(price_c) AS BIGINT) AS total_cents
+    FROM parsed GROUP BY status
+"""

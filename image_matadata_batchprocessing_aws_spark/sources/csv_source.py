@@ -54,3 +54,23 @@ def read_csv(
 def read_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
     """The reference's metadata CSV scan with its exact 32-column schema."""
     return read_csv(spark, path, METADATA_SCHEMA)
+
+
+def parse_fixed_width(
+    df: DataFrame,
+    line_col: str,
+    fields: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width record parser — the mainframe/legacy-feed format
+    that predates delimiters: ``fields`` is (name, start_1_based,
+    width, spark_type); each field is a substring, trimmed, cast.
+    Pure map-side expressions (one projection, no UDF); empty-after-
+    trim fields become NULL rather than failing the ANSI cast, so a
+    blank-padded numeric column behaves like a CSV null.
+    """
+    cols = []
+    for name, start, width, typ in fields:
+        raw = F.trim(F.substring(F.col(line_col), start, width))
+        val = F.when(raw != "", raw).cast(typ)
+        cols.append(val.alias(name))
+    return df.select(*cols)

@@ -377,3 +377,40 @@ def test_llr_ranks_frequent_collocation_over_rare_coincidence(spark):
     assert ranks[("strong", "coffee")] < ranks[("zyzzyva", "qwerty")]
     by_pair = {(r.w1, r.w2): r for r in out}
     assert by_pair[("strong", "coffee")].pair_count == 20
+
+
+def test_sentence_budget_chunks_respect_boundaries(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.text import (
+        sentence_budget_chunks,
+    )
+
+    text = "aaaa. bbbb. cccc. " + "d" * 50 + ". eeee."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        sentence_budget_chunks(df, budget_chars=10).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # sentences are 4,4,4,50,4 chars; next-fit assigns by START offset
+    # (a chunk may overflow by its last sentence, same contract as
+    # compaction_plan): starts 0,4,8 -> chunk 0; start 12 -> chunk 1
+    # (the oversized sentence alone); start 62 -> chunk 6
+    assert out[0].n_sentences == 3 and out[0].n_chars == 12
+    assert any(r.n_sentences == 1 and r.n_chars == 50 for r in out)  # oversized alone
+    assert sum(r.n_chars for r in out) == 4 + 4 + 4 + 50 + 4  # nothing split or lost
+
+
+def test_parse_fixed_width_nulls_blank_fields(spark):
+    from image_matadata_batchprocessing_aws_spark.sources.csv_source import (
+        parse_fixed_width,
+    )
+
+    df = spark.createDataFrame(
+        [("0000000042AB000000000100",), ("          CD            ",)],
+        "line string",
+    )
+    out = parse_fixed_width(
+        df, "line",
+        [("k", 1, 10, "long"), ("s", 11, 2, "string"), ("v", 13, 12, "long")],
+    ).collect()
+    assert (out[0].k, out[0].s, out[0].v) == (42, "AB", 100)
+    assert out[1].k is None and out[1].s == "CD" and out[1].v is None
