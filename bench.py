@@ -183,6 +183,8 @@ HEADLINE = [
     "ts_holt_backtest",
     "chunk_sentence_budget",
     "etl_fixed_width_roundtrip",
+    "eval_average_precision",
+    "embedding_drift",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

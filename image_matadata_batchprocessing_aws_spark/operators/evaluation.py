@@ -579,3 +579,99 @@ def pr_curve_sql(
                  {round_digits}) AS f1
         FROM cum CROSS JOIN tot
     """
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact AVERAGE PRECISION (area under the PR curve at full
+    resolution — the ranking metric, not :func:`pr_curve`'s 10-point
+    summary): AP = (1/P) * sum over positives of precision@their rank.
+    Also reports the best achievable F1 over ALL thresholds and the
+    rank cutoff achieving it (the operating point a deployment would
+    pick).
+
+    Everything is exact integer counting off one unique-key rank
+    window: precision@k = cumsum(label)/k, F1@k = 2*TP/(P + k); the
+    per-positive precision terms quantize to BIGINT at 1e-9 before the
+    sum so AP is partitioning-independent.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(label_col).cast("long").alias("__y"),
+        F.row_number().over(w).alias("__k"),
+    )
+    wc = Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "__k", "__y", F.sum("__y").over(wc).alias("__tp")
+    )
+    tot = cum.agg(F.max("__tp").alias("__p"), F.max("__k").alias("__n"))
+    prec_q = F.round(
+        F.col("__tp").cast("double") / F.col("__k").cast("double") * F.lit(1e9)
+    ).cast("long")
+    f1 = (
+        F.lit(2.0)
+        * F.col("__tp").cast("double")
+        / (F.col("__p") + F.col("__k")).cast("double")
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("__p").alias("p"),
+        F.max("__n").alias("n"),
+        F.sum(F.when(F.col("__y") == 1, prec_q)).alias("__ap_q"),
+        F.max(F.struct(F.round(f1, 9).alias("f1"), (-F.col("__k")).alias("negk"))).alias(
+            "__best"
+        ),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("p").cast("long").alias("n_pos"),
+        F.round(
+            F.col("__ap_q").cast("double") / (F.col("p").cast("double") * F.lit(1e9)),
+            round_digits,
+        ).alias("average_precision"),
+        F.round(F.col("__best.f1"), round_digits).alias("best_f1"),
+        (-F.col("__best.negk")).cast("long").alias("best_f1_rank"),
+    )
+
+
+def average_precision_sql(
+    table: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`average_precision`."""
+    return f"""
+        WITH ranked AS (
+          SELECT CAST({label_col} AS BIGINT) AS y,
+                 row_number() OVER (ORDER BY {score_col} DESC,
+                                    {id_col} ASC) AS k
+          FROM {table}),
+        cum AS (
+          SELECT k, y,
+                 sum(y) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+          FROM ranked),
+        tot AS (SELECT max(tp) AS p, max(k) AS n FROM cum),
+        agg AS (
+          SELECT max(p) AS p, max(n) AS n,
+                 sum(CASE WHEN y = 1 THEN
+                   CAST(round(CAST(tp AS DOUBLE) / CAST(k AS DOUBLE) * 1e9)
+                        AS BIGINT) END) AS ap_q,
+                 max(struct_pack(
+                   f1 := round(2.0 * CAST(tp AS DOUBLE)
+                               / CAST(p + k AS DOUBLE), 9),
+                   negk := -k)) AS best
+          FROM cum CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+               round(CAST(ap_q AS DOUBLE) / (CAST(p AS DOUBLE) * 1e9),
+                     {round_digits}) AS average_precision,
+               round(best.f1, {round_digits}) AS best_f1,
+               CAST(-best.negk AS BIGINT) AS best_f1_rank
+        FROM agg
+    """

@@ -404,3 +404,81 @@ def knn_distance_outliers(
         .orderBy(F.col("kdist").desc(), F.col(id_col))
         .limit(top_n)
     )
+
+
+def embedding_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str,
+    dim: int,
+    value_digits: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vector-space drift between two embedding snapshots (model
+    retrain, new encoder version, corpus shift): centroid L2 shift,
+    mean-norm delta, and the single worst-drifting DIMENSION — the
+    embedding-space member of the drift family (value-space TV/KS/PSI
+    can't see a rotation that preserves marginals).
+
+    Per-dimension sums quantize to scaled BIGINTs (exact, associative);
+    centroids divide by counts once; the dim-wise shift argmax ranks a
+    dim-sized array.  Two scan aggregates, one 1-row join — scan-bound
+    at any scale.
+    """
+    scale = float(10**value_digits)
+
+    def moments(df, tag):
+        qsum = F.array(
+            *[
+                F.sum(
+                    F.round(F.element_at(F.col(vec_col), i + 1) * F.lit(scale)).cast(
+                        "long"
+                    )
+                )
+                for i in range(dim)
+            ]
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias(f"__n_{tag}"),
+            qsum.alias(f"__s_{tag}"),
+            F.sum(
+                F.round(l2_norm(F.col(vec_col)) * F.lit(scale)).cast("long")
+            ).alias(f"__norm_{tag}"),
+        )
+
+    j = moments(old, "o").crossJoin(F.broadcast(moments(new, "n")))
+    cent_o = F.transform(
+        F.col("__s_o"),
+        lambda x: x.cast("double") / (F.col("__n_o").cast("double") * F.lit(scale)),
+    )
+    cent_n = F.transform(
+        F.col("__s_n"),
+        lambda x: x.cast("double") / (F.col("__n_n").cast("double") * F.lit(scale)),
+    )
+    diff = F.zip_with(cent_n, cent_o, lambda a, b: a - b)
+    shift = F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # worst dim: max over (|diff|, -index) so ties pick the lowest dim
+    absdiff = F.transform(diff, lambda x: F.abs(x))
+    worst = F.array_max(
+        F.zip_with(
+            absdiff,
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d, i: F.struct(d.alias("d"), (-i).alias("negi")),
+        )
+    )
+    norm_mean_o = F.col("__norm_o").cast("double") / (
+        F.col("__n_o").cast("double") * F.lit(scale)
+    )
+    norm_mean_n = F.col("__norm_n").cast("double") / (
+        F.col("__n_n").cast("double") * F.lit(scale)
+    )
+    return j.select(
+        F.col("__n_o").cast("long").alias("n_old"),
+        F.col("__n_n").cast("long").alias("n_new"),
+        F.round(shift, round_digits).alias("centroid_shift"),
+        F.round(norm_mean_n - norm_mean_o, round_digits).alias("mean_norm_delta"),
+        F.round(worst["d"], round_digits).alias("worst_dim_shift"),
+        (-worst["negi"]).cast("long").alias("worst_dim"),
+    )

@@ -7701,3 +7701,117 @@ ORACLES["etl_fixed_width_roundtrip"] = """
            CAST(sum(price_c) AS BIGINT) AS total_cents
     FROM parsed GROUP BY status
 """
+
+
+def eval_average_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact average precision + best-achievable F1 and its rank cutoff
+    (`operators/evaluation.average_precision`) for price ranking urgent
+    orders — the full-resolution area under `eval_pr_curve`'s 10-point
+    summary, on the same scored table as `eval_roc_auc`."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    o = t(spark, sf, "orders").withColumn(
+        "__y",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0),
+    )
+    return average_precision(o, "o_totalprice", "__y", "o_orderkey")
+
+
+QUERIES["eval_average_precision"] = eval_average_precision
+
+from image_matadata_batchprocessing_aws_spark.operators.evaluation import average_precision_sql  # noqa: E402
+
+ORACLES["eval_average_precision"] = average_precision_sql(
+    "(SELECT o_totalprice, o_orderkey, CASE WHEN o_orderpriority IN "
+    "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y FROM orders)",
+    "o_totalprice",
+    "y",
+    "o_orderkey",
+)
+
+
+EMB_DIM = 64
+EMB_DRIFT_DIGITS = 6
+
+
+def embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space drift between two snapshot halves of the corpus
+    (`operators/similarity.embedding_drift_report`): centroid L2
+    shift, mean-norm delta, worst-drifting dimension — the drift
+    metric family extended into vector space."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+        embedding_drift_report,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    old = e.where(F.col("vec_id") % 2 == 0)
+    new = e.where(F.col("vec_id") % 2 == 1)
+    return embedding_drift_report(old, new, "e", dim=EMB_DIM)
+
+
+QUERIES["embedding_drift"] = embedding_drift
+
+
+def _emb_drift_oracle() -> str:
+    scale = float(10**EMB_DRIFT_DIGITS)
+    dim = EMB_DIM
+
+    def side(tag, parity):
+        sums = ",\n             ".join(
+            f"sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * {scale})"
+            f" AS BIGINT)) AS s{tag}_{i}"
+            for i in range(dim)
+        )
+        return f"""m{tag} AS (
+          SELECT count(*) AS n{tag},
+             {sums},
+             sum(CAST(round(sqrt(list_reduce(list_transform(
+                   CAST(embedding AS DOUBLE[]), x -> x * x),
+                   (a, b) -> a + b)) * {scale}) AS BIGINT)) AS norm{tag}
+          FROM embeddings WHERE vec_id % 2 = {parity})"""
+
+    so = ", ".join(f"so_{i}" for i in range(dim))
+    sn = ", ".join(f"sn_{i}" for i in range(dim))
+    renames_o = ", ".join(f"so_{i} := s_o_{i}" for i in range(dim))
+    return f"""
+    WITH {side('_o', 0)},
+    {side('_n', 1)},
+    j AS (SELECT * FROM m_o CROSS JOIN m_n),
+    lists AS (
+      SELECT n_o, n_n, norm_o, norm_n,
+             list_value({", ".join(f"s_o_{i}" for i in range(dim))}) AS lo,
+             list_value({", ".join(f"s_n_{i}" for i in range(dim))}) AS ln
+      FROM j),
+    cents AS (
+      SELECT n_o, n_n, norm_o, norm_n,
+             list_transform(lo, x -> CAST(x AS DOUBLE)
+               / (CAST(n_o AS DOUBLE) * {scale})) AS co,
+             list_transform(ln, x -> CAST(x AS DOUBLE)
+               / (CAST(n_n AS DOUBLE) * {scale})) AS cn
+      FROM lists),
+    diffs AS (
+      SELECT *, list_transform(range(1, {dim + 1}),
+                               i -> cn[i] - co[i]) AS diff
+      FROM cents),
+    worst AS (
+      SELECT max(struct_pack(d := abs(d.diff[d.i]), negi := -d.i)) AS w
+      FROM (SELECT diff, unnest(range(1, {dim + 1})) AS i
+            FROM diffs) d)
+    SELECT CAST(n_o AS BIGINT) AS n_old, CAST(n_n AS BIGINT) AS n_new,
+           round(sqrt(list_reduce(list_transform(diff, x -> x * x),
+                                  (a, b) -> a + b)), 6) AS centroid_shift,
+           round(CAST(norm_n AS DOUBLE) / (CAST(n_n AS DOUBLE) * {scale})
+                 - CAST(norm_o AS DOUBLE) / (CAST(n_o AS DOUBLE) * {scale}),
+                 6) AS mean_norm_delta,
+           round(w.d, 6) AS worst_dim_shift,
+           CAST(-w.negi AS BIGINT) AS worst_dim
+    FROM diffs CROSS JOIN worst
+"""
+
+
+ORACLES["embedding_drift"] = _emb_drift_oracle()

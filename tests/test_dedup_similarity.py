@@ -601,3 +601,21 @@ def test_mutual_topk_margin_deflates_hubs(spark):
     out = {(r.left_id, r.right_id): r for r in mutual_topk(left, right, k=2).collect()}
     # the uniquely-aligned pair carries a higher margin than the hub's
     assert out[(1, 10)].margin > out[(2, 20)].margin
+
+
+def test_embedding_drift_isolates_shifted_dimension(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        embedding_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)], "id long, e array<double>"
+    )
+    new = spark.createDataFrame(
+        [(i, [1.0, 2.5, 3.0]) for i in range(20)], "id long, e array<double>"
+    )
+    r = embedding_drift_report(old, new, "e", dim=3).collect()[0]
+    assert r.n_old == 10 and r.n_new == 20
+    assert r.centroid_shift == 0.5      # all drift in one dimension
+    assert r.worst_dim == 2 and r.worst_dim_shift == 0.5
+    assert r.mean_norm_delta > 0        # the new snapshot is longer

@@ -344,3 +344,18 @@ def test_pr_curve_f1_known_value(spark):
     df = spark.createDataFrame(rows, "id long, score double, y long")
     out = {r.bucket: r for r in pr_curve(df, "score", "y", "id", n_points=2).collect()}
     assert out[1].precision == 0.5 and out[1].recall == 0.5 and out[1].f1 == 0.5
+
+
+def test_average_precision_hand_case(spark):
+    """Ranked labels [1,0,1,0]: AP = (1/1 + 2/3)/2; best F1 = 0.8 at
+    rank 3 (both positives in, one false positive)."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    rows = [(1, 4.0, 1), (2, 3.0, 0), (3, 2.0, 1), (4, 1.0, 0)]
+    df = spark.createDataFrame(rows, "id long, score double, y long")
+    r = average_precision(df, "score", "y", "id").collect()[0]
+    assert r.n == 4 and r.n_pos == 2
+    assert r.average_precision == round((1 + 2 / 3) / 2, 6)
+    assert r.best_f1 == 0.8 and r.best_f1_rank == 3
