@@ -185,6 +185,9 @@ HEADLINE = [
     "etl_fixed_width_roundtrip",
     "eval_average_precision",
     "embedding_drift",
+    "funnel_step_latency",
+    "ts_gap_stats",
+    "graph_reciprocity",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -7815,3 +7815,208 @@ def _emb_drift_oracle() -> str:
 
 
 ORACLES["embedding_drift"] = _emb_drift_oracle()
+
+
+def funnel_step_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-step latency percentiles for the signup->click->purchase
+    funnel — the time-to-convert numbers next to `funnel_conversion`'s
+    survival counts (p50/p90/max per step over exact integer ms,
+    quantile_cont-matched percentiles)."""
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).alias(
+            "t_signup"
+        )
+    ).where(F.col("t_signup").isNotNull())
+    c = (
+        ev.join(s, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts_ms") > F.col("t_signup")))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts_ms") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    lat1 = s.join(c, "user_id").select(
+        F.lit(1).cast("long").alias("step"),
+        F.lit("signup_to_click").alias("transition"),
+        (F.col("t_click") - F.col("t_signup")).alias("__lat"),
+    )
+    lat2 = c.join(p, "user_id").select(
+        F.lit(2).cast("long").alias("step"),
+        F.lit("click_to_purchase").alias("transition"),
+        (F.col("t_purchase") - F.col("t_click")).alias("__lat"),
+    )
+
+    def report(lat):
+        return lat.groupBy("step", "transition").agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.percentile(F.col("__lat"), F.lit(0.5)), 2).alias("p50_ms"),
+            F.round(F.percentile(F.col("__lat"), F.lit(0.9)), 2).alias("p90_ms"),
+            F.max("__lat").cast("long").alias("max_ms"),
+        )
+
+    return report(lat1).unionByName(report(lat2))
+
+
+QUERIES["funnel_step_latency"] = funnel_step_latency
+
+ORACLES["funnel_step_latency"] = """
+    WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+    s AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts_ms END) AS t_signup
+          FROM ev GROUP BY user_id HAVING t_signup IS NOT NULL),
+    c AS (SELECT ev.user_id, min(ts_ms) AS t_click
+          FROM ev JOIN s ON ev.user_id = s.user_id
+          WHERE event_type = 'click' AND ts_ms > t_signup
+          GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, min(ts_ms) AS t_purchase
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE event_type = 'purchase' AND ts_ms > t_click
+          GROUP BY ev.user_id),
+    l1 AS (SELECT t_click - t_signup AS lat
+           FROM s JOIN c ON s.user_id = c.user_id),
+    l2 AS (SELECT t_purchase - t_click AS lat
+           FROM c JOIN p ON c.user_id = p.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'signup_to_click' AS transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(lat, 0.5), 2) AS p50_ms,
+           round(quantile_cont(lat, 0.9), 2) AS p90_ms,
+           CAST(max(lat) AS BIGINT) AS max_ms
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click_to_purchase',
+           CAST(count(*) AS BIGINT),
+           round(quantile_cont(lat, 0.5), 2),
+           round(quantile_cont(lat, 0.9), 2),
+           CAST(max(lat) AS BIGINT)
+    FROM l2
+"""
+
+
+def ts_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event gap distribution per user (sampled cohort) — the
+    evidence that sizes `etl_resample_gapfill`'s grid and
+    `etl_interpolate`'s trust window: per series, gap count, p50/p95
+    gap, longest gap."""
+    from pyspark.sql import Window
+
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .select("user_id", F.unix_millis("ts").alias("ts_ms"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("__gap")
+    ).where(F.col("__gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile(F.col("__gap"), F.lit(0.5)), 2).alias("p50_gap_ms"),
+        F.round(F.percentile(F.col("__gap"), F.lit(0.95)), 2).alias("p95_gap_ms"),
+        F.max("__gap").cast("long").alias("max_gap_ms"),
+    )
+
+
+QUERIES["ts_gap_stats"] = ts_gap_stats
+
+ORACLES["ts_gap_stats"] = """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+      FROM events WHERE user_id % 10 = 0),
+    gaps AS (
+      SELECT user_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS gap
+      FROM e)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 2) AS p50_gap_ms,
+           round(quantile_cont(gap, 0.95), 2) AS p95_gap_ms,
+           CAST(max(gap) AS BIGINT) AS max_gap_ms
+    FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocity of the event-type transition digraph: what fraction
+    of distinct directed edges have their reverse — plus self-loop
+    count and density — the one-row shape diagnostic before walking it
+    (`agg_markov_steady`)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nonloop = edges.where(F.col("src") != F.col("dst"))
+    recip = nonloop.intersect(rev)
+    nodes = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst").alias("v"))
+    ).distinct()
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            edges.where(F.col("src") == F.col("dst")).agg(
+                F.count(F.lit(1)).alias("n_self_loops")
+            )
+        )
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("__n_recip")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("__n_nodes")))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_self_loops").cast("long").alias("n_self_loops"),
+            F.round(
+                F.col("__n_recip").cast("double")
+                / (F.col("n_edges") - F.col("n_self_loops")).cast("double"),
+                6,
+            ).alias("reciprocity"),
+            F.round(
+                F.col("n_edges").cast("double")
+                / (F.col("__n_nodes") * F.col("__n_nodes")).cast("double"),
+                6,
+            ).alias("density"),
+        )
+    )
+
+
+QUERIES["graph_reciprocity"] = graph_reciprocity
+
+ORACLES["graph_reciprocity"] = """
+    WITH seq AS (
+      SELECT event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM events WHERE user_id IS NOT NULL),
+    edges AS (SELECT DISTINCT src, dst FROM seq WHERE src IS NOT NULL),
+    nonloop AS (SELECT src, dst FROM edges WHERE src <> dst),
+    recip AS (
+      SELECT count(*) AS n FROM nonloop a
+      WHERE EXISTS (SELECT 1 FROM edges b
+                    WHERE b.src = a.dst AND b.dst = a.src)),
+    nodes AS (SELECT count(DISTINCT v) AS n FROM (
+      SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM edges WHERE src = dst) AS BIGINT)
+             AS n_self_loops,
+           round(CAST((SELECT n FROM recip) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM edges)
+                        - (SELECT count(*) FROM edges WHERE src = dst)
+                        AS DOUBLE), 6) AS reciprocity,
+           round(CAST((SELECT count(*) FROM edges) AS DOUBLE)
+                 / CAST((SELECT n FROM nodes)
+                        * (SELECT n FROM nodes) AS DOUBLE), 6) AS density
+"""
