@@ -482,3 +482,47 @@ def embedding_drift_report(
         F.round(worst["d"], round_digits).alias("worst_dim_shift"),
         (-worst["negi"]).cast("long").alias("worst_dim"),
     )
+
+
+def knn_distance_outliers_bucketed(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """The corpus-scale form of :func:`knn_distance_outliers`:
+    candidate pairs come only from the same coarse cell (IVF
+    assignment, LSH bucket — any equi-joinable locality key), so the
+    pair count is sum of cell-size^2 instead of N^2.  k-dist is then
+    an UPPER bound (true neighbors outside the cell are unseen), which
+    for outlier SCREENING is the right direction — isolated points
+    only look more isolated.  Vectors in cells with <= k members emit
+    kdist = NULL (not silently dropped): a cell too small to certify k
+    neighbors is itself an isolation signal, reported as such.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), F.col(cell_col).alias("__cell")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__cell") == F.col("b.__cell")) & (F.col("a.__id") != F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("__qid"),
+        F.col("b.__id").alias("__cid"),
+        F.round(l2_dist(F.col("a.__v"), F.col("b.__v")), 6).alias("score"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").asc(), F.col("__cid"))
+    kth = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == k)
+        .select(F.col("__qid").alias("__id"), F.col("score").alias("kdist"))
+    )
+    scored = v.select("__id").join(kth, "__id", "left")
+    return (
+        scored.select(F.col("__id").alias(id_col), "kdist")
+        .orderBy(F.col("kdist").desc_nulls_first(), F.col(id_col))
+        .limit(top_n)
+    )

@@ -7232,38 +7232,64 @@ KD_K = 5
 KD_TOPN = 20
 
 
+KD_CENT_MOD = 37  # coarse cells: corpus vectors with vec_id % 37 == 0
+
+
 def embedding_knn_outliers(spark: SparkSession, sf: str) -> DataFrame:
-    """k-NN-distance outlier screen over the embedding corpus
-    (`operators/similarity.knn_distance_outliers`): the 20 most
-    isolated vectors by distance to their 5th neighbor — the standard
-    off-distribution/garbage-vector sanity check before training."""
+    """k-NN-distance outlier screen over the embedding corpus at its
+    SCALE shape (`operators/similarity.knn_distance_outliers_bucketed`):
+    candidates come only from each vector's IVF cell (deterministic
+    mod-sampled centroids, cosine assignment), so pairs are
+    sum-of-cell-size^2, never N^2 — k-dist is an upper bound, which for
+    outlier screening errs in the safe direction; vectors in cells too
+    small to certify k neighbors surface with NULL kdist at the top.
+    The brute all-pairs form stays as the unit-tested exactness
+    baseline in the operator module."""
     from image_matadata_batchprocessing_aws_spark.operators.similarity import (
         as_double_array,
-        knn_distance_outliers,
+        ivf_assign,
+        knn_distance_outliers_bucketed,
     )
 
     e = t(spark, sf, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("e")
     )
-    return knn_distance_outliers(e, "vec_id", "e", k=KD_K, top_n=KD_TOPN)
+    cents = e.where(F.col("vec_id") % KD_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("cv")
+    )
+    assigned = ivf_assign(e, cents, "vec_id", "e", nprobe=1)
+    return knn_distance_outliers_bucketed(
+        assigned, "vec_id", "e", "cent_id", k=KD_K, top_n=KD_TOPN
+    )
 
 
 QUERIES["embedding_knn_outliers"] = embedding_knn_outliers
 
 ORACLES["embedding_knn_outliers"] = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS cv FROM v
+              WHERE vec_id % {KD_CENT_MOD} = 0),
+    ca AS (SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(list_cosine_similarity(e, cv), 6) DESC,
+                             cent_id) AS rn
+           FROM v CROSS JOIN cents),
+    cells AS (SELECT v.vec_id, v.e, ca.cent_id
+              FROM v JOIN ca ON v.vec_id = ca.vec_id AND ca.rn = 1),
     pairs AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
              round(list_distance(q.e, c.e), 6) AS score
-      FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+      FROM cells q JOIN cells c
+        ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id),
     ranked AS (
       SELECT qid, score,
              row_number() OVER (PARTITION BY qid
                                 ORDER BY score ASC, cid) AS rn
-      FROM pairs)
-    SELECT qid AS vec_id, score AS kdist
-    FROM ranked WHERE rn = {KD_K}
-    ORDER BY kdist DESC, vec_id LIMIT {KD_TOPN}
+      FROM pairs),
+    kth AS (SELECT qid, score AS kdist FROM ranked WHERE rn = {KD_K})
+    SELECT v.vec_id, kth.kdist
+    FROM v LEFT JOIN kth ON v.vec_id = kth.qid
+    ORDER BY kth.kdist DESC NULLS FIRST, v.vec_id LIMIT {KD_TOPN}
 """
 
 

@@ -619,3 +619,21 @@ def test_embedding_drift_isolates_shifted_dimension(spark):
     assert r.centroid_shift == 0.5      # all drift in one dimension
     assert r.worst_dim == 2 and r.worst_dim_shift == 0.5
     assert r.mean_norm_delta > 0        # the new snapshot is longer
+
+
+def test_bucketed_knn_outliers_flags_small_cells_and_far_points(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        knn_distance_outliers_bucketed,
+    )
+
+    # cell A: 8 clustered points + 1 far point; cell B: 2 points (< k+1)
+    rows = [(i, [float(i % 3) * 0.01, 0.0], "A") for i in range(8)]
+    rows.append((50, [30.0, 0.0], "A"))
+    rows += [(60, [0.0, 1.0], "B"), (61, [0.0, 1.1], "B")]
+    df = spark.createDataFrame(rows, "id long, e array<double>, cell string")
+    out = knn_distance_outliers_bucketed(df, "id", "e", "cell", k=3, top_n=3).collect()
+    # NULL-kdist (uncertifiable) small-cell members rank first,
+    # then the genuinely far point
+    assert {out[0].id, out[1].id} == {60, 61}
+    assert out[0].kdist is None and out[1].kdist is None
+    assert out[2].id == 50 and out[2].kdist > 10
