@@ -188,6 +188,8 @@ HEADLINE = [
     "funnel_step_latency",
     "ts_gap_stats",
     "graph_reciprocity",
+    "agg_engagement_daily",
+    "reco_seq_patterns",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -166,3 +166,97 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def sequential_patterns(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    item_col: str,
+    max_seq_len: int = 20,
+    min_support: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Bounded sequential-pattern mining (the PrefixSpan idea, depth
+    <= 3): which ordered item subsequences (not necessarily contiguous
+    — `agg_event_transitions` only sees adjacency) recur across many
+    sequences.  Support = number of KEYS containing the pattern at
+    least once.
+
+    The two bounds that make it distributable: (1) each sequence is
+    capped at its first ``max_seq_len`` items (one keyed rank window),
+    so per-key candidate pairs are <= C(M,2); (2) length-3 candidates
+    generate ONLY through length-2 patterns that already passed
+    ``min_support`` (the PrefixSpan projection, as a semi-join) — the
+    a-priori pruning that keeps the triple join candidate-sized.
+    Per-key DISTINCT runs before every support count, so a key
+    contributes once per pattern.
+
+    Returns ``pattern, length, support`` — top_k by (support desc,
+    pattern).
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    seq = (
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.col(item_col).alias("__it"),
+            F.row_number().over(w).alias("__pos"),
+        )
+        .where(F.col("__pos") <= max_seq_len)
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k")) & (F.col("a.__pos") < F.col("b.__pos")),
+        )
+        .select(
+            F.col("a.__k").alias("__k"),
+            F.col("a.__it").alias("__i1"),
+            F.col("b.__it").alias("__i2"),
+            F.col("a.__pos").alias("__p1"),
+            F.col("b.__pos").alias("__p2"),
+        )
+    )
+    l2 = (
+        pairs.select("__k", "__i1", "__i2")
+        .distinct()
+        .groupBy("__i1", "__i2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    freq_pairs = pairs.join(F.broadcast(l2.select("__i1", "__i2")), ["__i1", "__i2"])
+    c = seq.alias("c")
+    l3 = (
+        freq_pairs.alias("fp")
+        .join(
+            c,
+            (F.col("fp.__k") == F.col("c.__k"))
+            & (F.col("c.__pos") > F.col("fp.__p2")),
+        )
+        .select(
+            F.col("fp.__k").alias("__k"),
+            F.col("fp.__i1").alias("__i1"),
+            F.col("fp.__i2").alias("__i2"),
+            F.col("c.__it").alias("__i3"),
+        )
+        .distinct()
+        .groupBy("__i1", "__i2", "__i3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    out2 = l2.select(
+        F.concat_ws(">", "__i1", "__i2").alias("pattern"),
+        F.lit(2).cast("long").alias("length"),
+        F.col("support").cast("long").alias("support"),
+    )
+    out3 = l3.select(
+        F.concat_ws(">", "__i1", "__i2", "__i3").alias("pattern"),
+        F.lit(3).cast("long").alias("length"),
+        F.col("support").cast("long").alias("support"),
+    )
+    return (
+        out2.unionByName(out3)
+        .orderBy(F.col("support").desc(), "pattern")
+        .limit(top_k)
+    )

@@ -8046,3 +8046,144 @@ ORACLES["graph_reciprocity"] = """
                  / CAST((SELECT n FROM nodes)
                         * (SELECT n FROM nodes) AS DOUBLE), 6) AS density
 """
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def agg_engagement_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """The product-engagement panel: per day, DAU, rolling 7-day WAU,
+    stickiness (DAU/WAU), and the new-vs-returning split (first-seen
+    day per user).  WAU uses the scalable EXPLODE pattern — each
+    (user, day) activity row contributes to the 7 window days it
+    belongs to, so rolling DISTINCT becomes a keyed groupBy
+    (count-distinct per window day), never a window function over an
+    unbounded user set; the fan-out is exactly the window length."""
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400 * 1_000_000)).alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(WAU_WINDOW_DAYS - 1))
+        ).alias("wday"),
+    )
+    wau = fan.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    splits = (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )
+    return (
+        dau.join(wau, "day")
+        .join(splits, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_returning").cast("long").alias("n_returning"),
+        )
+    )
+
+
+QUERIES["agg_engagement_daily"] = agg_engagement_daily
+
+ORACLES["agg_engagement_daily"] = f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    fan AS (
+      SELECT user_id, day + d AS wday
+      FROM ud, unnest(range({WAU_WINDOW_DAYS})) AS t(d)),
+    wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+            FROM fan GROUP BY wday),
+    fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+    splits AS (
+      SELECT ud.day,
+             sum(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN ud.day <> fs.first_day THEN 1 ELSE 0 END)
+               AS n_returning
+      FROM ud JOIN fs ON ud.user_id = fs.user_id GROUP BY ud.day)
+    SELECT CAST(dau.day AS BIGINT) AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_returning AS BIGINT) AS n_returning
+    FROM dau JOIN wau ON dau.day = wau.day
+    JOIN splits ON dau.day = splits.day
+"""
+
+
+SEQ_MAX_LEN = 20
+SEQ_MIN_SUPPORT = 5
+SEQ_TOPK = 30
+
+
+def reco_seq_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded PrefixSpan sequential patterns over user event journeys
+    (`operators/reco.sequential_patterns`): ordered non-contiguous
+    event-type subsequences of length 2-3 by user support — the
+    temporal sibling of `reco_association_rules` (which ignores order)
+    and `agg_event_transitions` (which only sees adjacency)."""
+    from image_matadata_batchprocessing_aws_spark.operators.reco import sequential_patterns
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    return sequential_patterns(
+        e, "user_id", ["ts", "event_id"], "event_type",
+        max_seq_len=SEQ_MAX_LEN, min_support=SEQ_MIN_SUPPORT, top_k=SEQ_TOPK,
+    )
+
+
+QUERIES["reco_seq_patterns"] = reco_seq_patterns
+
+ORACLES["reco_seq_patterns"] = f"""
+    WITH seq AS (
+      SELECT user_id AS k, event_type AS it,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events WHERE user_id IS NOT NULL
+      QUALIFY pos <= {SEQ_MAX_LEN}),
+    pairs AS (
+      SELECT a.k, a.it AS i1, b.it AS i2, a.pos AS p1, b.pos AS p2
+      FROM seq a JOIN seq b ON a.k = b.k AND a.pos < b.pos),
+    l2 AS (
+      SELECT i1, i2, count(*) AS support
+      FROM (SELECT DISTINCT k, i1, i2 FROM pairs)
+      GROUP BY i1, i2 HAVING count(*) >= {SEQ_MIN_SUPPORT}),
+    fp AS (
+      SELECT pairs.* FROM pairs JOIN l2 USING (i1, i2)),
+    l3 AS (
+      SELECT i1, i2, i3, count(*) AS support
+      FROM (SELECT DISTINCT fp.k, fp.i1, fp.i2, c.it AS i3
+            FROM fp JOIN seq c ON fp.k = c.k AND c.pos > fp.p2)
+      GROUP BY i1, i2, i3 HAVING count(*) >= {SEQ_MIN_SUPPORT}),
+    allp AS (
+      SELECT i1 || '>' || i2 AS pattern, CAST(2 AS BIGINT) AS length,
+             CAST(support AS BIGINT) AS support
+      FROM l2
+      UNION ALL
+      SELECT i1 || '>' || i2 || '>' || i3, CAST(3 AS BIGINT),
+             CAST(support AS BIGINT)
+      FROM l3)
+    SELECT pattern, length, support FROM allp
+    ORDER BY support DESC, pattern LIMIT {SEQ_TOPK}
+"""

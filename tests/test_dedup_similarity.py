@@ -637,3 +637,29 @@ def test_bucketed_knn_outliers_flags_small_cells_and_far_points(spark):
     assert {out[0].id, out[1].id} == {60, 61}
     assert out[0].kdist is None and out[1].kdist is None
     assert out[2].id == 50 and out[2].kdist > 10
+
+
+def test_sequential_patterns_order_and_pruning(spark):
+    """Subsequence (not adjacency) semantics: a>c is found even though
+    b always sits between; support counts KEYS not occurrences; an
+    infrequent length-2 prefix can never spawn a length-3 pattern."""
+    from image_matadata_batchprocessing_aws_spark.operators.reco import (
+        sequential_patterns,
+    )
+
+    rows = []
+    for u in range(6):
+        for pos, it in enumerate(["a", "b", "c", "a"]):  # a>c non-contiguous
+            rows.append((u, pos, pos, it))
+    rows += [(99, 0, 0, "x"), (99, 1, 1, "y")]  # one-user pattern: pruned
+    df = spark.createDataFrame(rows, "u long, ts long, tb long, it string")
+    out = {
+        r.pattern: r.support
+        for r in sequential_patterns(
+            df, "u", ["ts", "tb"], "it", min_support=3, top_k=50
+        ).collect()
+    }
+    assert out["a>c"] == 6          # non-contiguous pair found
+    assert out["a>b>c"] == 6        # depth-3 through the frequent prefix
+    assert "x>y" not in out         # support 1 < 3: pruned
+    assert out["a>a"] == 6          # repeats allowed, counted once per key
