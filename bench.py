@@ -190,6 +190,8 @@ HEADLINE = [
     "graph_reciprocity",
     "agg_engagement_daily",
     "reco_seq_patterns",
+    "text_rake_keyphrases",
+    "graph_clustering_coeff",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -1061,3 +1061,93 @@ def sentence_budget_chunks(
             ).alias("fill_ratio"),
         )
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    min_phrase_count: int = 2,
+    top_k: int = 40,
+    round_digits: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — PHRASE-level
+    keywords where tf-idf/PMI/LLR work on words and bigrams: candidate
+    phrases are maximal stopword-free token runs (split at stopwords
+    AND punctuation), scored by sum over member words of
+    degree(word)/freq(word) — words that co-occur in long phrases
+    outrank frequent-but-isolated ones.
+
+    All set math is exact integers: phrase segmentation is the islands
+    trick (phrase id = running count of boundary tokens, one keyed
+    window over positions); degree/freq ratios quantize to BIGINT
+    before the per-phrase sum so scores are partitioning-independent.
+    Map-side explodes + keyed groupBys throughout.
+    """
+    stopwords = stopwords if stopwords is not None else STOPWORDS
+    frags = df.select(
+        F.col(id_col).alias("__row"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z ]+")
+        ).alias("frag_idx", "__frag"),
+    )
+    toks = frags.select(
+        "__row",
+        "frag_idx",
+        F.posexplode(F.split(F.trim(F.col("__frag")), r" +")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    is_stop = F.col("w").isin(stopwords).cast("long")
+    w_ord = Window.partitionBy("__row", "frag_idx").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = toks.select(
+        "__row", "frag_idx", "pos", "w",
+        F.sum(is_stop).over(w_ord).alias("__pid"),
+        is_stop.alias("__is_stop"),
+    ).where(F.col("__is_stop") == 0)
+    phrases = (
+        marked.groupBy("__row", "frag_idx", "__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase")
+        )
+    )
+    members = phrases.select(
+        "phrase", F.posexplode(F.split(F.col("phrase"), " ")).alias("__i", "w")
+    )
+    word_stats = members.groupBy("w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum(F.size(F.split(F.col("phrase"), " "))).alias("__deg"),
+    )
+    wscore_q = F.round(
+        F.col("__deg").cast("double") / F.col("__freq").cast("double") * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        members.join(word_stats.select("w", wscore_q.alias("__ws_q")), "w")
+        .groupBy("phrase", "__i")
+        .agg(F.first("__ws_q").alias("__ws_q"))  # one row per member slot
+        .groupBy("phrase")
+        .agg(F.sum("__ws_q").alias("__score_q"))
+    )
+    counts = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        scored.join(counts, "phrase")
+        .where(F.col("n_occurrences") >= min_phrase_count)
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.round(F.col("__score_q").cast("double") / F.lit(1e6), round_digits).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(top_k)
+    )

@@ -8187,3 +8187,164 @@ ORACLES["reco_seq_patterns"] = f"""
     SELECT pattern, length, support FROM allp
     ORDER BY support DESC, pattern LIMIT {SEQ_TOPK}
 """
+
+
+RAKE_TOPK = 40
+RAKE_MIN_COUNT = 2
+
+
+def text_rake_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus
+    (`operators/text.rake_keyphrases`): phrase-level keywords (maximal
+    stopword-free token runs scored by summed word degree/frequency) —
+    the multi-word granularity `text_tfidf_keywords`/`text_pmi_bigrams`
+    /`text_llr_collocations` don't cover."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(
+        t(spark, sf, "documents"),
+        min_phrase_count=RAKE_MIN_COUNT,
+        top_k=RAKE_TOPK,
+    )
+
+
+QUERIES["text_rake_keyphrases"] = text_rake_keyphrases
+
+from image_matadata_batchprocessing_aws_spark.operators.text import STOPWORDS as _RAKE_STOPS  # noqa: E402
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+ORACLES["text_rake_keyphrases"] = f"""
+    WITH frags AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z ]+') AS arr
+      FROM documents),
+    fpos AS (
+      SELECT doc_id, unnest(range(len(arr))) AS fi, arr FROM frags),
+    ftok AS (
+      SELECT doc_id, fi,
+             string_split_regex(trim(arr[fi + 1]), ' +') AS tarr
+      FROM fpos),
+    tpos AS (
+      SELECT doc_id, fi, unnest(range(len(tarr))) AS pos, tarr FROM ftok),
+    toks AS (
+      SELECT doc_id, fi, pos, tarr[pos + 1] AS w FROM tpos
+      WHERE tarr[pos + 1] <> ''),
+    marked AS (
+      SELECT doc_id, fi, pos, w,
+             CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop,
+             sum(CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id, fi ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM toks),
+    phrases AS (
+      SELECT doc_id, fi, pid,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM marked WHERE is_stop = 0 GROUP BY doc_id, fi, pid),
+    members AS (
+      SELECT phrase, unnest(range(len(string_split(phrase, ' ')))) AS i,
+             string_split(phrase, ' ') AS parr
+      FROM phrases),
+    mrows AS (SELECT phrase, i, parr[i + 1] AS w,
+                     len(parr) AS plen FROM members),
+    word_stats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg
+      FROM mrows GROUP BY w),
+    slot AS (
+      SELECT DISTINCT mrows.phrase, mrows.i,
+             CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) * 1e6)
+                  AS BIGINT) AS ws_q
+      FROM mrows JOIN word_stats USING (w)),
+    scored AS (
+      SELECT phrase, sum(ws_q) AS score_q FROM slot GROUP BY phrase),
+    counts AS (
+      SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY phrase)
+    SELECT scored.phrase,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           round(CAST(score_q AS DOUBLE) / 1e6, 4) AS rake_score
+    FROM scored JOIN counts USING (phrase)
+    WHERE n_occurrences >= {RAKE_MIN_COUNT}
+    ORDER BY rake_score DESC, phrase LIMIT {RAKE_TOPK}
+"""
+
+
+CC_MIN_DEG = 3
+CC_TOPK = 20
+
+
+def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node local clustering coefficient on the part co-purchase
+    graph: 2*tri(v) / (deg(v)*(deg(v)-1)) — how clique-like each
+    node's neighborhood is, the local view of `graph_triangles`'
+    global count.  Same canonical a<b<c enumeration; each triangle
+    credits its three corners via one explode; top-20 by coefficient
+    among nodes with degree >= 3."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.where(F.col("l_orderkey") % 4 == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = a.join(b, "o").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tris = (
+        edges.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.join(per_node, "v", "left")
+        .where(F.col("deg") >= CC_MIN_DEG)
+        .select(
+            F.col("v").cast("long").alias("part"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("clustering_coeff").desc(), "part")
+        .limit(CC_TOPK)
+    )
+
+
+QUERIES["graph_clustering_coeff"] = graph_clustering_coeff
+
+ORACLES["graph_clustering_coeff"] = f"""
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    edges AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+    tris AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    corners AS (
+      SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris),
+    per_node AS (SELECT v, count(*) AS n_tri FROM corners GROUP BY v),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY v)
+    SELECT CAST(deg.v AS BIGINT) AS part,
+           CAST(deg AS BIGINT) AS degree,
+           CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+                 / CAST(deg * (deg - 1) AS DOUBLE), 6) AS clustering_coeff
+    FROM deg LEFT JOIN per_node ON deg.v = per_node.v
+    WHERE deg >= {CC_MIN_DEG}
+    ORDER BY clustering_coeff DESC, part LIMIT {CC_TOPK}
+"""

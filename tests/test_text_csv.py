@@ -414,3 +414,19 @@ def test_parse_fixed_width_nulls_blank_fields(spark):
     ).collect()
     assert (out[0].k, out[0].s, out[0].v) == (42, "AB", 100)
     assert out[1].k is None and out[1].s == "CD" and out[1].v is None
+
+
+def test_rake_prefers_cohesive_phrases(spark):
+    """'deep learning' (words that only appear together in a long run)
+    outscores the isolated frequent word; phrase boundaries respect
+    both stopwords and punctuation."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import rake_keyphrases
+
+    docs = [(i, "deep learning systems beat the baseline. baseline") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.phrase: r for r in rake_keyphrases(
+        df, min_phrase_count=1, top_k=20).collect()}
+    assert "deep learning systems beat" in out     # stopword 'the' splits here
+    assert "baseline" in out                       # punctuation isolates it too
+    assert out["deep learning systems beat"].rake_score > out["baseline"].rake_score
+    assert not any("the" in p.split() for p in out)  # stopwords never in phrases
