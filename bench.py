@@ -192,6 +192,7 @@ HEADLINE = [
     "reco_seq_patterns",
     "text_rake_keyphrases",
     "graph_clustering_coeff",
+    "embedding_hard_negatives",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -8348,3 +8348,78 @@ ORACLES["graph_clustering_coeff"] = f"""
     WHERE deg >= {CC_MIN_DEG}
     ORDER BY clustering_coeff DESC, part LIMIT {CC_TOPK}
 """
+
+
+HN_K = 5
+HN_N_QUERIES = 10
+
+
+def embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """HARD-negative mining for contrastive/retrieval training: per
+    query vector, the top-k most similar corpus vectors with a
+    DIFFERENT label — the negatives that actually move a loss, vs
+    `embedding_negative_sample`'s random ones (Karpukhin et al. 2020,
+    DPR).  Same broadcast top-k kernel as `knn_brute_cosine` with a
+    label anti-filter in the pair predicate; at corpus scale the
+    candidates come from the IVF path unchanged."""
+    from image_matadata_batchprocessing_aws_spark.functions import dot, l2_norm
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e"), "label"
+    )
+    q = e.where(F.col("vec_id") < HN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"),
+        l2_norm(F.col("e")).alias("__nq"),
+    )
+    c = e.where(F.col("vec_id") >= HN_N_QUERIES).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("e").alias("ce"),
+        F.col("label").alias("clabel"),
+        l2_norm(F.col("e")).alias("__nc"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("clabel") != F.col("qlabel"))
+    score = F.round(
+        dot(F.col("qe"), F.col("ce")) / (F.col("__nq") * F.col("__nc")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neg_id"))
+    return (
+        pairs.select("query_id", "qlabel", "neg_id", "clabel", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HN_K)
+        .select(
+            "query_id",
+            F.col("qlabel").cast("long").alias("query_label"),
+            "neg_id",
+            F.col("clabel").cast("long").alias("neg_label"),
+            "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+QUERIES["embedding_hard_negatives"] = embedding_hard_negatives
+
+ORACLES["embedding_hard_negatives"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < {HN_N_QUERIES}),
+    c AS (SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS ce,
+                 label AS clabel
+          FROM embeddings WHERE vec_id >= {HN_N_QUERIES}),
+    s AS (SELECT query_id, qlabel, neg_id, clabel,
+                 round(list_cosine_similarity(qe, ce), 6) AS score
+          FROM q CROSS JOIN c WHERE clabel <> qlabel),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neg_id) AS rn
+          FROM s)
+    SELECT query_id, CAST(qlabel AS BIGINT) AS query_label,
+           neg_id, CAST(clabel AS BIGINT) AS neg_label,
+           score, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {HN_K}
+"""
