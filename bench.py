@@ -193,6 +193,7 @@ HEADLINE = [
     "text_rake_keyphrases",
     "graph_clustering_coeff",
     "embedding_hard_negatives",
+    "etl_scd2_audit",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -584,3 +584,58 @@ def table_fingerprint_sql(
                CAST(bit_xor({h}) AS BIGINT) AS hash_xor
         FROM {table} GROUP BY 1
     """
+
+
+def scd2_validity_audit(
+    hist: DataFrame,
+    key: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Invariant audit over a type-2 history — the post-build QA a
+    dimension pipeline ships with: per-key ordered by ``from_col``,
+    count (1) OVERLAPS (a version starts before its predecessor ends),
+    (2) GAPS (a version starts after its predecessor ends — broken
+    contiguity), (3) keys with not-exactly-one current row, (4) NULL
+    valid_from rows, plus basic volume stats.  A healthy build reports
+    all zeros; the numbers localize which invariant a bad merge broke.
+
+    One keyed window + keyed aggregates; the audit costs one pass over
+    the history, not a self-join.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(from_col).asc())
+    marked = hist.select(
+        F.col(key).alias("__k"),
+        F.col(from_col).alias("__f"),
+        F.col(to_col).alias("__t"),
+        F.col(current_col).cast("long").alias("__cur"),
+        F.lag(F.col(to_col)).over(w).alias("__prev_to"),
+    )
+    per_key = marked.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__cur").alias("__n_cur"),
+        F.sum(
+            F.when(
+                F.col("__prev_to").isNotNull() & (F.col("__f") < F.col("__prev_to")), 1
+            ).otherwise(0)
+        ).alias("__n_overlap"),
+        F.sum(
+            F.when(
+                F.col("__prev_to").isNotNull() & (F.col("__f") > F.col("__prev_to")), 1
+            ).otherwise(0)
+        ).alias("__n_gap"),
+        F.sum(F.when(F.col("__f").isNull(), 1).otherwise(0)).alias("__n_null_from"),
+    )
+    return per_key.agg(
+        F.sum("__n").cast("long").alias("n_versions"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__n_overlap").cast("long").alias("n_overlaps"),
+        F.sum("__n_gap").cast("long").alias("n_gaps"),
+        F.sum(F.when(F.col("__n_cur") != 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_bad_current"),
+        F.sum("__n_null_from").cast("long").alias("n_null_from"),
+    )

@@ -70,12 +70,12 @@ _MODULES = [
 #: takes the union to 188 if all 50 land green.
 #:
 #: r05 PLAN: register ``queries/r05_queue.py`` (one `_MODULES` append —
-#: 140 new oracled queries, every pair already exact at both sf dirs
+#: 141 new oracled queries, every pair already exact at both sf dirs
 #: via ``tests/test_r05_queue.py`` and ``tools/check_queue.py``).
-#: 17 backlog names above + 140 queue queries = 157 never-driver-
+#: 17 backlog names above + 141 queue queries = 158 never-driver-
 #: checked, i.e. ~2.5 windows: the r05 window takes the 17 backlog +
 #: the first 33 queue entries (registration order), r06 the next 50,
-#: r07 the final 57 + frozen re-verifications.
+#: r07 the final 58 + frozen re-verifications.
 _WINDOW = [
     "etl_star_flatten",
     "etl_scd2_asof",

@@ -8423,3 +8423,61 @@ ORACLES["embedding_hard_negatives"] = f"""
            score, CAST(rn AS BIGINT) AS rn
     FROM r WHERE rn <= {HN_K}
 """
+
+
+def etl_scd2_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 invariant audit (`operators/maintenance.scd2_validity_audit`)
+    over the `etl_scd2_history` build: overlaps, contiguity gaps,
+    bad-current keys, NULL valid_from — all zero on a healthy build,
+    and the ORACLE proves both engines agree the build is healthy (the
+    unit test plants corruption to prove the detectors fire)."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        scd2_validity_audit,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.etl import etl_scd2_history
+
+    hist = etl_scd2_history(spark, sf)
+    return scd2_validity_audit(
+        hist, "user_id", "valid_from_ms", "valid_to_ms", "is_current"
+    )
+
+
+QUERIES["etl_scd2_audit"] = etl_scd2_audit
+
+ORACLES["etl_scd2_audit"] = """
+    WITH ev AS (SELECT * FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    ch AS (SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM ev),
+    vers AS (SELECT user_id, ts, event_id
+             FROM ch WHERE prev_type IS NULL OR prev_type <> event_type),
+    hist AS (
+      SELECT user_id,
+             epoch_ms(ts) AS f,
+             lead(epoch_ms(ts)) OVER w AS t,
+             CASE WHEN lead(epoch_ms(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS cur
+      FROM vers WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    marked AS (
+      SELECT user_id, f, t, cur,
+             lag(t) OVER (PARTITION BY user_id ORDER BY f ASC) AS prev_to
+      FROM hist),
+    per_key AS (
+      SELECT user_id, count(*) AS n, sum(cur) AS n_cur,
+             sum(CASE WHEN prev_to IS NOT NULL AND f < prev_to
+                      THEN 1 ELSE 0 END) AS n_overlap,
+             sum(CASE WHEN prev_to IS NOT NULL AND f > prev_to
+                      THEN 1 ELSE 0 END) AS n_gap,
+             sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS n_null_from
+      FROM marked GROUP BY user_id)
+    SELECT CAST(sum(n) AS BIGINT) AS n_versions,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_overlap) AS BIGINT) AS n_overlaps,
+           CAST(sum(n_gap) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN n_cur <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_bad_current,
+           CAST(sum(n_null_from) AS BIGINT) AS n_null_from
+    FROM per_key
+"""

@@ -396,3 +396,29 @@ def test_table_fingerprint_column_order_invariant(spark):
         table_fingerprint(a, "id").collect()
         == table_fingerprint(b, "id").collect()
     )
+
+
+def test_scd2_audit_detects_planted_corruption(spark):
+    """Healthy history audits to zeros; an overlap, a gap, and a
+    double-current key each fire their own counter."""
+    from image_matadata_batchprocessing_aws_spark.operators.maintenance import (
+        scd2_validity_audit,
+    )
+
+    healthy = spark.createDataFrame(
+        [(1, 0, 10, False), (1, 10, None, True), (2, 5, None, True)],
+        "k long, valid_from long, valid_to long, is_current boolean",
+    )
+    r = scd2_validity_audit(healthy, "k").collect()[0]
+    assert (r.n_overlaps, r.n_gaps, r.n_keys_bad_current) == (0, 0, 0)
+    assert r.n_versions == 3 and r.n_keys == 2
+
+    corrupt = spark.createDataFrame(
+        [
+            (1, 0, 10, False), (1, 8, 20, False), (1, 25, None, True),  # overlap+gap
+            (2, 0, None, True), (2, 5, None, True),                     # two currents
+        ],
+        "k long, valid_from long, valid_to long, is_current boolean",
+    )
+    r = scd2_validity_audit(corrupt, "k").collect()[0]
+    assert r.n_overlaps == 1 and r.n_gaps == 1 and r.n_keys_bad_current == 1
