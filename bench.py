@@ -194,6 +194,15 @@ HEADLINE = [
     "graph_clustering_coeff",
     "embedding_hard_negatives",
     "etl_scd2_audit",
+    # r05 batch 1 (append only): the six flagship compositions that had
+    # no recorded timing (VERDICT r4 item 5) — every flagship is now
+    # priced in BENCH_FULL.
+    "pipeline_multimodal_curation",
+    "pipeline_audio_corpus",
+    "pipeline_web_corpus",
+    "pipeline_image_curation",
+    "pipeline_entity_resolution",
+    "pipeline_contrastive_triplets",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round
@@ -203,6 +212,13 @@ FROZEN_PREFIX = HEADLINE[:30]
 
 
 def main() -> None:
+    # --frozen-only: time just the 30-query frozen prefix (~2 min at
+    # sf0.1) — the like-for-like round-over-round set.  Built for the
+    # r05 drift bisect (VERDICT r4 item 2): fast enough to run per
+    # bisect step, and it skips BENCH_FULL.json so a bisect never
+    # clobbers the round artifact.
+    frozen_only = "--frozen-only" in sys.argv[1:]
+    headline = FROZEN_PREFIX if frozen_only else HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(
@@ -212,12 +228,12 @@ def main() -> None:
     from image_matadata_batchprocessing_aws_spark.operators.caching import (
         release_persisted,
     )
-    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
 
-    qs = {**all_queries(), **r05_queue.QUERIES}
+    # r05: the queue is registered, so all_queries() IS the full surface
+    qs = all_queries()
     # One untimed pass over the whole set warms JVM-wide JIT (scheduler,
     # shuffle, parquet reader paths shared by every query)...
-    for name in HEADLINE:
+    for name in headline:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_persisted()
     # ...then each query is timed as the MIN of three back-to-back runs.
@@ -231,7 +247,7 @@ def main() -> None:
     # didn't interfere with, i.e. the execution component that scales
     # with data volume.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         best = float("inf")
         for _ in range(3):
@@ -249,7 +265,7 @@ def main() -> None:
     # more full pass minutes later decorrelates from sustained bursts and
     # min-merges — a recompile-inflated second run can never worsen a
     # query's floor, only rescue a stolen one.
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = min(timings[name], time.time() - t0)
@@ -259,19 +275,24 @@ def main() -> None:
     prefix_total = round(sum(timings[k] for k in FROZEN_PREFIX), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": full_total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            },
-            fh,
-            indent=1,
-        )
-        fh.write("\n")
+    if not frozen_only:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": full_total,
+                    "unit": "sec",
+                    # the like-for-like round-over-round number, stored
+                    # here so it survives without driver-tail parsing
+                    # (VERDICT r4 item 2)
+                    "frozen30": prefix_total,
+                    "queries": timings,
+                    "sf": sf_val,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     # Driver line: frozen-prefix dict only (~1.1 KiB, fits the driver's
     # ~2 KiB tail capture), value LAST so truncation can't eat it.
     line = json.dumps(
@@ -280,7 +301,7 @@ def main() -> None:
             "metric": "headline_frozen30_total",
             "unit": "sec",
             "sf": sf_val,
-            "full_n": len(HEADLINE),
+            "full_n": len(headline),
             "full_total": full_total,
             "full_file": "BENCH_FULL.json",
             "value": prefix_total,

