@@ -535,23 +535,105 @@ def personalized_pagerank_scaled(
         .alias("rank_scaled"),
     )
     for _ in range(iterations):
-        shares = ranks.join(deg, ranks["node"] == deg[src]).select(
-            F.col("node").alias("__src"),
-            F.expr(
-                f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
-            ).alias("__share"),
-        )
-        incoming = (
-            shares.join(edges, shares["__src"] == edges[src])
-            .groupBy(F.col(dst).alias("node"))
-            .agg(F.sum("__share").alias("__inc"))
-        )
-        ranks = base.join(incoming, "node", "left").select(
-            "node",
-            (restart + F.coalesce(F.col("__inc"), F.lit(0))).alias("rank_scaled"),
-        )
+        ranks = _ppr_round(ranks, deg, edges, base, restart, scale, src, dst)
     return ranks.select(
         "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
+    )
+
+
+def _ppr_round(ranks, deg, edges, base, restart, scale, src, dst) -> DataFrame:
+    """One personalized-PageRank round: the ``_pr_round`` fixed-point
+    step with the teleport mass gated to the seed set via ``restart``."""
+    shares = ranks.join(deg, ranks["node"] == deg[src]).select(
+        F.col("node").alias("__src"),
+        F.expr(
+            f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
+        ).alias("__share"),
+    )
+    incoming = (
+        shares.join(edges, shares["__src"] == edges[src])
+        .groupBy(F.col(dst).alias("node"))
+        .agg(F.sum("__share").alias("__inc"))
+    )
+    return base.join(incoming, "node", "left").select(
+        "node",
+        (restart + F.coalesce(F.col("__inc"), F.lit(0))).alias("rank_scaled"),
+    )
+
+
+def personalized_pagerank_converged(
+    edges: DataFrame,
+    seeds: DataFrame,
+    tol_scaled: int = 10**6,
+    max_iterations: int = 60,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PR_SCALE,
+) -> tuple[DataFrame, int]:
+    """Production personalized PageRank (VERDICT r4 item 4): the same
+    seed-gated restart rounds as :func:`personalized_pagerank_scaled`
+    (which stays the unrolled-CTE oracle form), iterated until the max
+    per-node rank change drops to ``tol_scaled`` — the
+    :func:`pagerank_converged` termination pattern: each round lazily
+    checkpoints the new rank vector (lineage truncation for an
+    open-ended loop) and collects ONE long (max |Δrank| over the
+    node-keyed self-join), so the driver pulls back a single value per
+    round, never data.  Returns (ranks, iterations_run); RAISES on
+    non-convergence so a bounded-iterations claim is proved, not hoped.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    seed_marked = nodes.join(
+        F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()),
+        "node",
+        "left_semi",
+    ).select("node", F.lit(1).alias("__is_seed"))
+    ns1 = seed_marked.agg(F.count("*").alias("__ns"))
+    base = nodes.join(F.broadcast(seed_marked), "node", "left").crossJoin(
+        F.broadcast(ns1)
+    )
+    restart = F.when(
+        F.col("__is_seed").isNotNull(),
+        F.expr(
+            f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __ns) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0))
+    ranks = base.select(
+        "node",
+        F.when(
+            F.col("__is_seed").isNotNull(),
+            F.expr(f"CAST({scale} div __ns AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rank_scaled"),
+    ).localCheckpoint(eager=False)
+    for it in range(1, max_iterations + 1):
+        nxt = _ppr_round(
+            ranks, deg, edges, base, restart, scale, src, dst
+        ).localCheckpoint(eager=False)
+        delta = (
+            nxt.select("node", F.col("rank_scaled").alias("__new"))
+            .join(ranks.select("node", F.col("rank_scaled").alias("__old")), "node")
+            .agg(F.max(F.abs(F.col("__new") - F.col("__old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = nxt
+        if delta is not None and delta <= tol_scaled:
+            return (
+                ranks.select(
+                    "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
+                ),
+                it,
+            )
+    raise RuntimeError(
+        f"personalized pagerank did not reach tol={tol_scaled} in "
+        f"{max_iterations} rounds (damping 0.85 contracts the delta "
+        "~15%/round; raise max_iterations or loosen tol)"
     )
 
 

@@ -1,12 +1,12 @@
-"""Oracle-ready queries for the r04 operator additions, QUEUED for r05
-registration (registry growth frozen in r04 while the driver-evidence
-backlog drains — VERDICT r3 item 1).
+"""Oracle-ready queries for the r04 operator additions — staged through
+r04 (registry growth frozen while the driver-evidence backlog drained,
+VERDICT r3 item 1) and REGISTERED in r05 (``queries.__init__._MODULES``
+append; VERDICT r4 item 1).
 
-This module is deliberately NOT in ``queries.__init__._MODULES``;
 ``tests/test_r05_queue.py`` runs every pair through the same
-normalize-and-compare harness ``tools/check_oracle.py`` uses, so the
-queries carry full oracle-level confidence today and r05 registration
-is a one-line module append.
+normalize-and-compare harness ``tools/check_oracle.py`` uses, so each
+query carried full oracle-level confidence before it ever reached the
+driver.  New r05 work stages in ``queries/r06_queue.py`` the same way.
 
 Float-parity notes (the house rules, same as ``queries/etl.py``):
 values quantize to scaled BIGINTs before any accumulation, and both

@@ -1,0 +1,108 @@
+"""The r06 registration queue carries full oracle confidence NOW —
+same discipline test_r05_queue.py applied before the r05 registration —
+plus unit tests for the operators the queue exercises."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+from image_matadata_batchprocessing_aws_spark.schemas import DRIVER_TABLES
+from tests.conftest import SF_SMOKE
+
+
+def test_queue_keys_paired():
+    assert set(r06_queue.QUERIES) == set(r06_queue.ORACLES)
+    # staged: no collision with the live registry
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+
+    assert not set(r06_queue.QUERIES) & set(all_queries())
+
+
+@pytest.mark.parametrize("name", sorted(r06_queue.QUERIES))
+def test_queue_query_matches_oracle(spark, name):
+    from tools.check_oracle import normalize
+
+    con = duckdb.connect()
+    for tbl in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_SMOKE}/{tbl}.parquet'"
+        )
+    sdf = r06_queue.QUERIES[name](spark, SF_SMOKE)
+    scols, srows = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(r06_queue.ORACLES[name])
+    ocols, orows = normalize(res.fetchall(), [d[0] for d in res.description])
+    assert scols == ocols, (scols, ocols)
+    assert len(srows) == len(orows)
+    assert srows == orows
+
+
+def test_ppr_converged_reaches_fixpoint(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        PR_SCALE,
+        personalized_pagerank_converged,
+        personalized_pagerank_scaled,
+    )
+
+    # star + tail, seeded at the tail tip: convergence takes >1 round
+    edges = (
+        [(0, i) for i in range(1, 6)]
+        + [(i, 0) for i in range(1, 6)]
+        + [(5, 6), (6, 5)]
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(6,)], "node long")
+    ranks_df, iters = personalized_pagerank_converged(
+        e, seeds, tol_scaled=5 * 10**7, max_iterations=80
+    )
+    ranks = {r.node: r.rank_scaled for r in ranks_df.collect()}
+    assert 1 < iters <= 80
+    total = sum(ranks.values())
+    assert PR_SCALE * 0.99 < total <= PR_SCALE
+    assert min(ranks.values()) >= 0
+    # seed keeps at least its teleport floor (1 seed -> 0.15 * scale)
+    assert ranks[6] >= PR_SCALE * 15 // 100
+    # and out-ranks the symmetric far leaves (the hub node 0 may
+    # legitimately out-rank the seed — degree buys rank)
+    assert all(ranks[6] > ranks[i] for i in range(1, 5))
+    # agrees with the unrolled oracle form run long enough
+    deep = {
+        r.node: r.rank_scaled
+        for r in personalized_pagerank_scaled(e, seeds, iterations=60).collect()
+    }
+    assert all(abs(deep[n] - ranks[n]) <= 10**8 for n in ranks)
+
+
+def test_ppr_converged_seed_gating(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        personalized_pagerank_converged,
+    )
+
+    # two disconnected 2-cycles; seed only in the first: the second
+    # component must hold rank 0 at the fixpoint
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks_df, _ = personalized_pagerank_converged(
+        e, seeds, tol_scaled=5 * 10**7, max_iterations=80
+    )
+    ranks = {r.node: r.rank_scaled for r in ranks_df.collect()}
+    assert ranks[10] == 0 and ranks[11] == 0
+    assert ranks[0] > 0 and ranks[1] > 0
+
+
+def test_ppr_converged_raises_on_impossible_tol(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        personalized_pagerank_converged,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 0), (0, 2), (2, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError, match="did not reach"):
+        personalized_pagerank_converged(e, seeds, tol_scaled=0, max_iterations=2)

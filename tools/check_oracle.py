@@ -7,7 +7,12 @@ including the -0.0/+0.0 distinction) because the driver's value hash is
 exact — round-1's etl_zscore failed the driver while passing a tolerant
 local check, so tolerance here is a footgun, not a feature.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--staged] [sf_dir] [query ...]
+
+``--staged`` checks the r06 staging queue (queries/r06_queue.py)
+instead of the registered inventory — the single gate covers both
+surfaces (tools/check_queue.py was retired when the r05 queue
+registered).
 """
 
 from __future__ import annotations
@@ -46,8 +51,10 @@ def normalize(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     con = duckdb.connect()
     for t in DRIVER_TABLES:
         con.execute(
@@ -58,8 +65,13 @@ def main():
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     from image_matadata_batchprocessing_aws_spark.operators.caching import release_persisted
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if staged:
+        from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+
+        qs, oracles = r06_queue.QUERIES, r06_queue.ORACLES
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
