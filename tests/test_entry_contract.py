@@ -17,6 +17,62 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) >= 4
 
 
+def test_entry_chain_oracle_exact_at_sf001(spark, monkeypatch):
+    # VERDICT r4 item 8: the flagship ETL chain only ever ran at
+    # sf0.001 (driver smoke).  Exercise it at sf0.01 and check the full
+    # result against a DuckDB recomputation of the chain (an oracle,
+    # not a pinned literal — the driver regenerates the parquet between
+    # rounds), so plan-shape regressions in the one query the driver
+    # always runs get caught at a scale where window/ffill partitioning
+    # actually matters.
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.01"
+    monkeypatch.setattr(entrymod, "SF_SMOKE", sf_dir)
+    df = entrymod.entry(spark)
+    from tools.check_oracle import normalize
+
+    scols, srows = normalize([tuple(r) for r in df.collect()], df.columns)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    res = con.execute(
+        """
+        WITH base AS (
+            SELECT *, epoch_ms(ts) AS ts_ms,
+                   CASE WHEN event_type <> 'error' THEN value END AS v0
+            FROM events),
+        filled AS (
+            SELECT *, coalesce(
+                v0,
+                last_value(v0 IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                first_value(v0 IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                0.0) AS v,
+                make_timestamp(ts_ms * 1000) AS ts2
+            FROM base)
+        SELECT event_type,
+               CAST(year(ts2) AS INT) AS year,
+               CAST(month(ts2) AS INT) AS month,
+               CAST(day(ts2) AS INT) AS day,
+               count(*) AS n_events,
+               round(sum(v), 2) AS sum_value,
+               round(avg(v), 4) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM filled
+        GROUP BY 1, 2, 3, 4
+        """
+    )
+    ocols, orows = normalize(res.fetchall(), [d[0] for d in res.description])
+    assert len(srows) == len(orows) and len(srows) > 0
+    assert [c.lower() for c in scols] == [c.lower() for c in ocols]
+    assert srows == orows
+
+
 def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
