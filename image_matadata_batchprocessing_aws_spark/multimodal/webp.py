@@ -553,12 +553,12 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def decode_webp(content: bytes) -> np.ndarray:
-    """RIFF walk + VP8L decode.  Lossy VP8 and animated files raise
-    ``ImageFormatError`` (they stay behind the PIL seam)."""
+    """RIFF walk + VP8L (lossless) or VP8 (lossy, ``multimodal/vp8.py``)
+    decode — both pure numpy+stdlib.  Animated files still raise
+    ``ImageFormatError`` (they stay behind the system/PIL seam)."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ImageFormatError("not a WEBP RIFF container")
     pos = 12
-    saw_lossy = False
     while pos + 8 <= len(content):
         tag = content[pos : pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
@@ -566,13 +566,15 @@ def decode_webp(content: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return _decode_vp8l(body)
         if tag == b"VP8 ":
-            saw_lossy = True
+            from image_matadata_batchprocessing_aws_spark.multimodal.vp8 import (  # noqa: PLC0415
+                decode_vp8_rgb,
+            )
+
+            return decode_vp8_rgb(body)
         if tag == b"ANMF" or tag == b"ANIM":
             raise ImageFormatError("animated WEBP needs the PIL path")
         pos += 8 + size + (size & 1)  # chunks are even-padded
-    if saw_lossy:
-        raise ImageFormatError("lossy WEBP (VP8 arithmetic coder) needs the PIL path")
-    raise ImageFormatError("WEBP container with no VP8L image chunk")
+    raise ImageFormatError("WEBP container with no VP8L/VP8 image chunk")
 
 
 # --- minimal conforming encoder --------------------------------------------

@@ -1,21 +1,20 @@
-"""Lossy-WebP (VP8) decode via the SYSTEM libwebp — the last image
-format on the external-codec seam, made functional.
+"""System-libwebp ctypes binding — RETIRED as the lossy-VP8 decode path
+in r05 and kept for two jobs:
 
-Honesty note (docs mirror this): unlike PNG/BMP/PPM/GIF/TIFF/VP8L and
-every JPEG entropy mode — which this repo decodes in pure
-numpy+stdlib — lossy VP8 here is a thin ctypes binding over
-``libwebp.so`` (plain C ABI: ``WebPGetInfo`` / ``WebPDecodeRGB`` /
-``WebPFree``; no structs, decode errors return NULL rather than
-aborting, so in-process use is safe).  This is the same posture a
-production Spark pipeline takes for codecs: system library behind a
-per-row-isolated Arrow seam.  A pure-python VP8 decoder needs the RFC
-6386 default probability tables (1056 constants) which are not
-reproducible from memory — the boolean-decoder/predictor/IDCT
-scaffolding is the easy half, so the seam stays documented rather than
-half-faked.
+- **test-time ground truth**: the pure decoder (``multimodal/vp8.py``,
+  RFC 6386 from scratch) is validated bit-exact against
+  ``WebPDecodeYUV`` / ``WebPDecodeRGB`` here, the same
+  independent-implementation standard the arithmetic-JPEG work used
+  libjpeg-turbo for (``tools/libjpeg_ref.py``); the default probability
+  tables the r04 notes called irreproducible-from-memory are now
+  extracted from this binary by ``tools/extract_vp8_tables.py``;
+- **animation fallback**: ANMF/ANIM containers stay behind this seam
+  (still-image decode never reaches it).
 
-Gated: :func:`available` is False when no libwebp is found, and
-callers fall back to the historical PIL-seam error row.
+Plain C ABI (``WebPGetInfo`` / ``WebPDecodeRGB`` / ``WebPDecodeYUV`` /
+``WebPFree``): no structs on the decode side, errors return NULL
+rather than aborting, so in-process use is safe.  Gated:
+:func:`available` is False when no libwebp is found.
 """
 
 from __future__ import annotations
@@ -114,3 +113,45 @@ def encode_webp_lossy_sys(img: np.ndarray, quality: float = 80.0) -> bytes:
     finally:
         lib.WebPFree(out)
     return data
+
+
+def decode_webp_yuv_sys(content: bytes):
+    """Ground-truth (y, u, v) planes via ``WebPDecodeYUV`` — used by the
+    pure-VP8 tests to validate each reconstruction stage bit-exactly
+    before the RGB conversion enters the picture."""
+    lib = _load()
+    if lib is None:
+        raise WebPSysError("no system libwebp")
+    lib.WebPDecodeYUV.restype = C.c_void_p
+    lib.WebPDecodeYUV.argtypes = [
+        C.c_char_p, C.c_size_t,
+        C.POINTER(C.c_int), C.POINTER(C.c_int),
+        C.POINTER(C.c_void_p), C.POINTER(C.c_void_p),
+        C.POINTER(C.c_int), C.POINTER(C.c_int),
+    ]
+    w = C.c_int(0)
+    h = C.c_int(0)
+    up = C.c_void_p(None)
+    vp = C.c_void_p(None)
+    stride = C.c_int(0)
+    uv_stride = C.c_int(0)
+    yp = lib.WebPDecodeYUV(
+        content, len(content), C.byref(w), C.byref(h),
+        C.byref(up), C.byref(vp), C.byref(stride), C.byref(uv_stride),
+    )
+    if not yp:
+        raise WebPSysError("libwebp YUV decode failed")
+    try:
+        cw, ch = (w.value + 1) // 2, (h.value + 1) // 2
+
+        def plane(ptr, rows, cols, srd):
+            buf = C.cast(ptr, C.POINTER(C.c_ubyte * (rows * srd))).contents
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(rows, srd)
+            return arr[:, :cols].copy()
+
+        y = plane(yp, h.value, w.value, stride.value)
+        u = plane(up.value, ch, cw, uv_stride.value)
+        v = plane(vp.value, ch, cw, uv_stride.value)
+    finally:
+        lib.WebPFree(C.c_void_p(yp))
+    return y, u, v

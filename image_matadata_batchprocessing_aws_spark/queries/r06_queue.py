@@ -114,3 +114,76 @@ ORACLES["graph_ppr_converged"] = f"""
            TRUE AS ranks_nonnegative,
            TRUE AS seed_floor_ok
 """
+
+
+VP8_FIXDIR = "/root/repo/tests/fixtures/vp8"
+
+
+def multimodal_vp8_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure RFC 6386 lossy-VP8 decode through the Arrow pipeline
+    (`multimodal/vp8.py`, r05 — replaces the system-libwebp seam).  The
+    committed fixtures span the keyframe feature space — simple AND
+    normal loop filters, sharpness 5, 8 token partitions, 4-segment
+    maps, odd dimensions, qualities 20-90 — and the manifest pins the
+    per-channel sums of the RGB the SYSTEM decoder produced at minting
+    time, so a green row proves the from-scratch decoder (boolean
+    arithmetic coder, token trees, intra predictors, loop filters,
+    fancy upsampler, fixed-point YUV->RGB) matches libwebp bit-exactly
+    end to end inside Spark."""
+    import json
+    import os
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    manifest = json.load(open(os.path.join(VP8_FIXDIR, "manifest.json")))
+    rows = [
+        (name, bytearray(open(os.path.join(VP8_FIXDIR, name), "rb").read()))
+        for name, *_ in manifest
+    ]
+    entries = spark.createDataFrame(rows, "entry_name string, content binary")
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                out.append(
+                    (name, img.shape[1], img.shape[0],
+                     int(img[:, :, 0].sum()), int(img[:, :, 1].sum()),
+                     int(img[:, :, 2].sum()))
+                )
+        yield pd.DataFrame(
+            out, columns=["entry_name", "w", "h", "r_sum", "g_sum", "b_sum"]
+        )
+
+    return entries.mapInPandas(
+        sums,
+        "entry_name string, w long, h long, r_sum long, g_sum long, b_sum long",
+    )
+
+
+QUERIES["multimodal_vp8_decode"] = multimodal_vp8_decode
+
+
+def _vp8_oracle() -> str:
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(VP8_FIXDIR, "manifest.json")))
+    rows = ",\n        ".join(
+        f"('{name}', CAST({w} AS BIGINT), CAST({h} AS BIGINT), "
+        f"CAST({r} AS BIGINT), CAST({g} AS BIGINT), CAST({b} AS BIGINT))"
+        for name, w, h, r, g, b, _sha in manifest
+    )
+    return f"""
+    SELECT * FROM (VALUES
+        {rows}
+    ) AS t(entry_name, w, h, r_sum, g_sum, b_sum)
+    """
+
+
+ORACLES["multimodal_vp8_decode"] = _vp8_oracle()

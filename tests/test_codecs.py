@@ -243,11 +243,12 @@ def test_auto_dispatch():
     # reports its parse error instead of "needs PIL"
     with pytest.raises(ImageFormatError, match="truncated"):
         decode_image_auto("a.gif", b"GIF89a\x01\x00")
-    # WEBP magic now routes to the real VP8L decoder: an empty
-    # container reports its parse error; only LOSSY VP8 needs PIL
+    # WEBP magic routes to the real decoders (VP8L and, from r05, pure
+    # VP8): an empty container and an empty lossy chunk both report
+    # their own parse errors — nothing still routes to PIL
     with pytest.raises(ImageFormatError, match="no VP8L"):
         decode_image_auto("a.webp", b"RIFF\x00\x00\x00\x00WEBP")
-    with pytest.raises(ImageFormatError, match="PIL"):
+    with pytest.raises(ImageFormatError, match="VP8"):
         decode_image_auto(
             "a.webp", b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00"
         )

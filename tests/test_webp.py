@@ -458,9 +458,10 @@ def test_error_contract():
     good = encode_webp_lossless(img)
     with pytest.raises(ImageFormatError, match="truncated"):
         decode_webp(good[:-3])
-    # a fake lossy container routes to the PIL-seam error
+    # a fake (empty) lossy container reaches the pure VP8 decoder and
+    # reports ITS parse error (r05: no more PIL routing for stills)
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(ImageFormatError, match="lossy"):
+    with pytest.raises(ImageFormatError, match="VP8"):
         decode_webp(lossy)
 
 
