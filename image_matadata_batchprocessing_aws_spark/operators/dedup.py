@@ -782,3 +782,66 @@ def containment_pairs(
     return out.where(
         F.greatest(F.col("cont_ab"), F.col("cont_ba")) >= threshold
     ).select("id_a", "id_b", F.col("inter").cast("long").alias("inter"), "cont_ab", "cont_ba")
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    configs: tuple = ((8, 1), (4, 2), (2, 4)),
+) -> DataFrame:
+    """LSH parameter planner — the operational query a 100 TB dedup runs
+    BEFORE the expensive band join: for each candidate (bands,
+    rows-per-band) split of one shared signature table, report the
+    S-curve threshold the config implies ((1/b)^(1/r), driver-computed
+    into a literal so both engines compare constants) alongside the
+    OBSERVED bucket statistics on this corpus — exact candidate-pair
+    count the band join would produce (sum over buckets of c*(c-1)/2),
+    bucket counts, colliding buckets, and the largest bucket (the skew
+    hazard).  More bands -> lower threshold -> more candidates; this
+    query prices that trade on real data instead of folklore.
+
+    One signature pass (persisted), ``len(configs)`` tiny aggregates —
+    band keys are md5 over signature slices exactly as
+    :func:`minhash_lsh_pairs` builds them, so the counts here are the
+    counts the real join pays."""
+    from functools import reduce
+
+    sh = shingle_df(df, text_col, id_col, n)
+    sigs = _signatures_from_shingles(sh, id_col, num_hashes, "md5").persist()
+    outs = []
+    for bands, rpb in configs:
+        if bands * rpb != num_hashes:
+            raise ValueError(f"config ({bands},{rpb}) != {num_hashes} hashes")
+        be = _band_entries(sigs, id_col, bands, rpb)
+        buckets = be.groupBy("band", "band_key").agg(F.count("*").alias("c"))
+        outs.append(
+            buckets.agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                .cast("long")
+                .alias("candidate_pairs"),
+                F.count("*").cast("long").alias("buckets"),
+                F.sum((F.col("c") > 1).cast("long")).alias("colliding_buckets"),
+                F.max("c").cast("long").alias("max_bucket"),
+            ).select(
+                F.lit(f"b{bands}r{rpb}").alias("config"),
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rpb).cast("long").alias("rows_per_band"),
+                F.lit(int(round(1000 * (1.0 / bands) ** (1.0 / rpb))))
+                .cast("long")
+                .alias("threshold_milli"),
+                "candidate_pairs",
+                "buckets",
+                "colliding_buckets",
+                "max_bucket",
+            )
+        )
+    result = reduce(lambda a, b: a.unionByName(b), outs)
+    # tiny (len(configs) rows): materialize eagerly, release the shared
+    # signature cache before returning — same lifecycle as
+    # minhash_lsh_pairs(materialize=True)
+    result = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return result

@@ -1121,3 +1121,71 @@ def holt_backtest(
             round_digits,
         ).alias("skill"),
     )
+
+
+def stl_decompose_scaled(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_micro: str,
+    phase_col: str,
+    window: int = 25,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition (the moving-average STL
+    core) in ALL-INTEGER arithmetic: trend = centered ``window``-row
+    moving average (floor division; NULL until the window is full),
+    seasonal = per-(key, phase) floor-mean of the detrended values,
+    residual = detrended - seasonal.  Values arrive micro-scaled BIGINT
+    (``value_micro``) and every intermediate stays BIGINT, so the
+    decomposition is bit-reproducible across engines and partitionings —
+    the same quantize-then-integer-fold contract as the scalers.
+
+    ``window`` must be odd (a centered row window needs a middle row).
+    Windows are ROW-based over observed points: gaps in ``order_col``
+    are the caller's business (compose with ``resample_daily`` /
+    gap-fill first when calendar alignment matters).  One keyed window
+    + one phase aggregate join — no keyless ordering anywhere."""
+    if window % 2 == 0:
+        raise ValueError("window must be odd")
+    half = window // 2
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rowsBetween(-half, half)
+    )
+    trended = df.select(
+        key,
+        order_col,
+        phase_col,
+        F.col(value_micro).alias("__v"),
+        F.when(
+            F.count(F.lit(1)).over(w) == window,
+            F.floor(F.sum(value_micro).over(w) / window).cast("long"),
+        ).alias("__trend"),
+    ).withColumn("__detr", F.col("__v") - F.col("__trend"))
+    seasonal = (
+        trended.where(F.col("__trend").isNotNull())
+        .groupBy(key, phase_col)
+        .agg(
+            F.floor(F.sum("__detr") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("__seasonal")
+        )
+    )
+    return (
+        trended.join(seasonal, [key, phase_col], "left")
+        .select(
+            key,
+            order_col,
+            phase_col,
+            F.col("__v").alias("value_micro"),
+            F.col("__trend").alias("trend_micro"),
+            F.when(F.col("__trend").isNotNull(), F.col("__seasonal")).alias(
+                "seasonal_micro"
+            ),
+            F.when(
+                F.col("__trend").isNotNull(),
+                F.col("__detr") - F.col("__seasonal"),
+            ).alias("residual_micro"),
+        )
+    )

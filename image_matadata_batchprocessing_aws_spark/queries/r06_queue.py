@@ -187,3 +187,255 @@ def _vp8_oracle() -> str:
 
 
 ORACLES["multimodal_vp8_decode"] = _vp8_oracle()
+
+
+def dedup_lsh_tuning(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH parameter planner over the documents corpus
+    (`operators/dedup.lsh_tuning_report`): the pre-job query that prices
+    each (bands, rows-per-band) split of the 8-hash signature — implied
+    S-curve threshold vs observed candidate pairs / bucket skew — so a
+    100 TB dedup picks its banding from data, not folklore.  The DuckDB
+    twin rebuilds the identical md5-derived signatures and band keys
+    (the `dedup_minhash_lsh` oracle machinery) and recomputes every
+    bucket statistic exactly."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        lsh_tuning_report,
+    )
+
+    return lsh_tuning_report(t(spark, sf, "documents"))
+
+
+QUERIES["dedup_lsh_tuning"] = dedup_lsh_tuning
+
+
+def _lsh_tuning_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import (
+        _SHINGLES_CTE,
+        _minhash_hash_sql,
+    )
+
+    per_config = []
+    for bands, rpb in ((8, 1), (4, 2), (2, 4)):
+        thr = int(round(1000 * (1.0 / bands) ** (1.0 / rpb)))
+        # r=1 has no '|' separator to coerce the BIGINT slot, so cast
+        key = " || '|' || ".join(
+            f"CAST(sig[{rpb} * bi + {j + 1}] AS VARCHAR)" for j in range(rpb)
+        )
+        per_config.append(f"""
+        SELECT 'b{bands}r{rpb}' AS config,
+               CAST({bands} AS BIGINT) AS bands,
+               CAST({rpb} AS BIGINT) AS rows_per_band,
+               CAST({thr} AS BIGINT) AS threshold_milli,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+               CAST(count(*) AS BIGINT) AS buckets,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS colliding_buckets,
+               CAST(max(c) AS BIGINT) AS max_bucket
+        FROM (SELECT bi, band_key, count(*) AS c
+              FROM (SELECT doc_id, bi, md5({key}) AS band_key
+                    FROM sig CROSS JOIN
+                         (SELECT unnest(range({bands})) AS bi))
+              GROUP BY bi, band_key)""")
+    union = "\n        UNION ALL\n".join(per_config)
+    return f"""
+        WITH {_SHINGLES_CTE},
+        seeds AS (SELECT unnest(range(8)) AS seed),
+        mh AS (SELECT doc_id, seed, min({_minhash_hash_sql()}) AS h
+               FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig
+                FROM mh GROUP BY doc_id)
+        {union}
+    """
+
+
+ORACLES["dedup_lsh_tuning"] = _lsh_tuning_oracle()
+
+
+BOOT_REPS = 32
+BOOT_LO_RANK = 4   # ~10th percentile of 32 replicate means
+BOOT_HI_RANK = 29  # ~90th
+
+
+def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Bootstrap confidence intervals for per-flag mean revenue: 32
+    deterministic hash-weighted replicates (md5(id:b) % 4 copies — the
+    `sample_bootstrap` Poisson proxy, now as a FAMILY of draws), each
+    replicate's mean computed from exact integer sufficient statistics
+    (cents BIGINT / weight BIGINT -> one double division), CI bounds
+    picked as order statistics of the 32 rounded means (rank 4 / 29 ~
+    the 10th/90th percentile) — element SELECTION, not float
+    interpolation, so both engines choose the identical double.  The
+    inference layer the drift dashboards were missing: is a mean shift
+    bigger than resampling noise?"""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+    from pyspark.sql import Window
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__cents"),
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("__id"),
+    )
+    reps = li.withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1)))
+    ).withColumn(
+        "__w",
+        md5_int64(F.concat_ws(":", "__id", "__b")) % 4,
+    )
+    per_rep = (
+        reps.groupBy("l_returnflag", "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__cents")).alias("__s"),
+            F.sum("__w").alias("__n"),
+        )
+        .select(
+            "l_returnflag",
+            "__b",
+            F.round(
+                F.col("__s").cast("double") / 100.0 / F.col("__n"), 6
+            ).alias("__mean"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("__mean", "__b")
+    ranked = per_rep.withColumn("__r", F.row_number().over(w))
+    full = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum("__cents").cast("double") / 100.0 / F.count(F.lit(1)), 6
+        ).alias("mean_full")
+    )
+    lo = ranked.where(F.col("__r") == BOOT_LO_RANK).select(
+        "l_returnflag", F.col("__mean").alias("ci_lo")
+    )
+    hi = ranked.where(F.col("__r") == BOOT_HI_RANK).select(
+        "l_returnflag", F.col("__mean").alias("ci_hi")
+    )
+    return (
+        full.join(lo, "l_returnflag")
+        .join(hi, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOT_REPS).cast("long").alias("n_reps"),
+        )
+    )
+
+
+QUERIES["agg_bootstrap_ci"] = agg_bootstrap_ci
+
+from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql as _mi64  # noqa: E402
+
+ORACLES["agg_bootstrap_ci"] = f"""
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey || ':' || l_linenumber AS id
+      FROM lineitem),
+    reps AS (
+      SELECT l_returnflag, cents, b,
+             ({_mi64("id || ':' || b")}) % 4 AS w
+      FROM li CROSS JOIN (SELECT unnest(range({BOOT_REPS})) AS b)),
+    per_rep AS (
+      SELECT l_returnflag, b,
+             round(CAST(sum(w * cents) AS DOUBLE) / 100.0 / sum(w), 6)
+                 AS mean_b
+      FROM reps GROUP BY l_returnflag, b),
+    ranked AS (
+      SELECT l_returnflag, mean_b,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY mean_b, b) AS r
+      FROM per_rep),
+    fullstats AS (
+      SELECT l_returnflag,
+             round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 6)
+                 AS mean_full
+      FROM li GROUP BY l_returnflag)
+    SELECT f.l_returnflag, f.mean_full, lo.mean_b AS ci_lo,
+           hi.mean_b AS ci_hi, CAST({BOOT_REPS} AS BIGINT) AS n_reps
+    FROM fullstats f
+    JOIN ranked lo ON lo.l_returnflag = f.l_returnflag
+                   AND lo.r = {BOOT_LO_RANK}
+    JOIN ranked hi ON hi.l_returnflag = f.l_returnflag
+                   AND hi.r = {BOOT_HI_RANK}
+"""
+
+
+STL_WINDOW = 25  # centered moving-average width (odd), ~one day of hours
+
+
+def ts_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of the per-type hourly
+    event-value series (`operators/timeseries.stl_decompose_scaled`):
+    trend = centered 25-row moving average, seasonal = hour-of-day mean
+    of the detrended series, residual = the anomaly signal a monitor
+    thresholds.  ALL-INTEGER (micro-scaled BIGINT, floor divisions), so
+    the DuckDB twin reproduces every cell bit-for-bit — no float
+    accumulation order anywhere.  Row-based windows over observed
+    buckets; compose with the gap-fill resampler when calendar
+    alignment matters."""
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        stl_decompose_scaled,
+    )
+
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    series = (
+        e.withColumn("__hb", F.floor(F.unix_millis("ts") / 3600000).cast("long"))
+        .groupBy("event_type", "__hb")
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+                "__vmicro"
+            )
+        )
+        .withColumn("__phase", F.pmod(F.col("__hb"), F.lit(24)).cast("long"))
+    )
+    out = stl_decompose_scaled(
+        series, "event_type", "__hb", "__vmicro", "__phase", window=STL_WINDOW
+    )
+    return out.select(
+        "event_type",
+        F.col("__hb").alias("hour_bucket"),
+        F.col("__phase").alias("hour_of_day"),
+        "value_micro",
+        "trend_micro",
+        "seasonal_micro",
+        "residual_micro",
+    )
+
+
+QUERIES["ts_stl_decompose"] = ts_stl_decompose
+
+ORACLES["ts_stl_decompose"] = f"""
+    WITH series AS (
+      SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS hb,
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS vmicro
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, hb),
+    trended AS (
+      SELECT event_type, hb, hb % 24 AS phase, vmicro,
+             CASE WHEN count(*) OVER w = {STL_WINDOW}
+                  THEN CAST(floor(CAST(sum(vmicro) OVER w AS DOUBLE)
+                                  / {STL_WINDOW}) AS BIGINT)
+             END AS trend
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    seasonal AS (
+      SELECT event_type, phase,
+             CAST(floor(CAST(sum(vmicro - trend) AS DOUBLE) / count(*))
+                  AS BIGINT) AS seas
+      FROM trended WHERE trend IS NOT NULL
+      GROUP BY event_type, phase)
+    SELECT t.event_type,
+           t.hb AS hour_bucket,
+           t.phase AS hour_of_day,
+           t.vmicro AS value_micro,
+           t.trend AS trend_micro,
+           CASE WHEN t.trend IS NOT NULL THEN s.seas END AS seasonal_micro,
+           CASE WHEN t.trend IS NOT NULL THEN t.vmicro - t.trend - s.seas END
+               AS residual_micro
+    FROM trended t
+    LEFT JOIN seasonal s ON s.event_type = t.event_type
+                         AND s.phase = t.phase
+"""

@@ -133,17 +133,12 @@ def test_real_codec_decodes_png_without_pil(spark, tmp_path):
     webp = rows["7.png"]  # lossless WEBP routes to the real VP8L decoder
     assert webp.decode_error is None
     assert (webp.channels, webp.height, webp.width) == (3, TARGET_SIZE, TARGET_SIZE)
-    # malformed lossy VP8: per-row error isolation.  With system
-    # libwebp present the ctypes decoder rejects the garbage payload;
-    # without it, the row lands on the PIL seam.
-    from image_matadata_batchprocessing_aws_spark.multimodal import webp_sys
-
+    # malformed lossy VP8: per-row error isolation — the pure VP8
+    # decoder (r05) rejects the garbage payload with its own typed
+    # parse error, no system library involved
     lossy = rows["8.png"]
     assert lossy.image is None
-    if webp_sys.available():
-        assert "WebP" in lossy.decode_error
-    else:
-        assert "PIL" in lossy.decode_error
+    assert "VP8" in lossy.decode_error
 
 
 def test_resize_with_padding_golden():
