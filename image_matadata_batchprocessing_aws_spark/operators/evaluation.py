@@ -675,3 +675,106 @@ def average_precision_sql(
                CAST(-best.negk AS BIGINT) AS best_f1_rank
         FROM agg
     """
+
+
+def bleu_pair_stats(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """BLEU-4 between the texts of given ``(id_a, id_b)`` pairs —
+    ``id_a`` the reference, ``id_b`` the candidate — as EXACT sufficient
+    statistics plus a float-parity-safe composite.
+
+    Per order n=1..4: clipped n-gram matches (the multiset min) and the
+    candidate's n-gram total, all BIGINT.  ``ref_len``/``cand_len`` are
+    the unigram totals the brevity penalty reads.  The composite
+    ``bleu_geo`` is the geometric mean of the four precisions computed
+    as ``sqrt(sqrt(p1*p2*p3*p4))`` — products, divisions and sqrt are
+    all correctly-rounded IEEE ops, so both engines produce the SAME
+    double (exp/log would not be); the brevity penalty's exponent
+    ``1 - r/c`` ships as its own column and the caller applies
+    ``exp`` client-side when one scalar is wanted.
+
+    Scale shape per order: one n-gram explode + partial-agg
+    ``groupBy(doc, gram)``, then joins keyed on (id, gram) whose volume
+    is bounded by candidate-pair gram counts — never corpus^2."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+
+    out = pairs.select("id_a", "id_b")
+
+    def grams_col(n: int):
+        if n == 1:
+            return tokens(text_col)
+        parts = [
+            F.expr(
+                f"slice(split(trim({text_col}), '\\\\s+'), {k + 1},"
+                f" greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0))"
+            )
+            for k in range(n)
+        ]
+        g = parts[0]
+        for nxt in parts[1:]:
+            g = F.zip_with(g, nxt, lambda a, b: F.concat_ws(" ", a, b))
+        return g
+
+    for n in range(1, max_n + 1):
+        cnt = (
+            docs.select(F.col(id_col).alias("__id"), F.explode(grams_col(n)).alias("__g"))
+            .groupBy("__id", "__g")
+            .agg(F.count("*").alias("__c"))
+        )
+        ca = cnt.select(
+            F.col("__id").alias("id_a"), "__g", F.col("__c").alias("__ca")
+        )
+        cb = cnt.select(
+            F.col("__id").alias("id_b"), "__g", F.col("__c").alias("__cb")
+        )
+        ov = (
+            pairs.select("id_a", "id_b")
+            .join(ca, "id_a")
+            .join(cb, ["id_b", "__g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("__ca", "__cb")).alias(f"ov{n}"))
+        )
+        tot = cnt.groupBy("__id").agg(F.sum("__c").alias(f"tot{n}"))
+        out = out.join(ov, ["id_a", "id_b"], "left").join(
+            tot.select(F.col("__id").alias("id_b"), f"tot{n}"), "id_b", "left"
+        )
+        out = out.withColumns(
+            {
+                f"ov{n}": F.coalesce(f"ov{n}", F.lit(0)).cast("long"),
+                f"tot{n}": F.coalesce(f"tot{n}", F.lit(0)).cast("long"),
+            }
+        )
+        if n == 1:
+            ref_tot = tot.select(
+                F.col("__id").alias("id_a"), F.col("tot1").alias("ref_len")
+            )
+            out = out.join(ref_tot, "id_a", "left").withColumn(
+                "ref_len", F.coalesce("ref_len", F.lit(0)).cast("long")
+            )
+    prec = [
+        F.when(F.col(f"tot{n}") > 0, F.col(f"ov{n}").cast("double") / F.col(f"tot{n}"))
+        for n in range(1, max_n + 1)
+    ]
+    prod = prec[0]
+    for p in prec[1:]:
+        prod = prod * p
+    geo = F.sqrt(F.sqrt(prod))
+    bp_exp = F.when(
+        (F.col("tot1") > 0) & (F.col("tot1") < F.col("ref_len")),
+        F.round(F.lit(1.0) - F.col("ref_len").cast("double") / F.col("tot1"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id_a",
+        "id_b",
+        "ref_len",
+        F.col("tot1").alias("cand_len"),
+        *[F.col(f"ov{n}") for n in range(1, max_n + 1)],
+        *[F.col(f"tot{n}") for n in range(2, max_n + 1)],
+        F.round(geo, 6).alias("bleu_geo"),
+        bp_exp.alias("bp_exponent"),
+    )

@@ -439,3 +439,102 @@ ORACLES["ts_stl_decompose"] = f"""
     LEFT JOIN seasonal s ON s.event_type = t.event_type
                          AND s.phase = t.phase
 """
+
+
+def eval_bleu_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """BLEU-4 sufficient statistics over the near-dup candidate pairs
+    (`operators/evaluation.bleu_pair_stats`): clipped n-gram matches and
+    candidate totals for n=1..4 (exact BIGINTs), the brevity-penalty
+    exponent, and a float-parity-safe composite (geometric mean via
+    sqrt(sqrt(p1*p2*p3*p4)) — every op correctly-rounded IEEE, so the
+    DuckDB twin reproduces the double bit-for-bit where exp/log-based
+    BLEU could not).  The generation-eval counterpart of
+    `eval_rouge_pairs`."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        bleu_pair_stats,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    docs = t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return bleu_pair_stats(docs, pairs).orderBy("id_a", "id_b")
+
+
+QUERIES["eval_bleu_pairs"] = eval_bleu_pairs
+
+
+def _bleu_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import (
+        _SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    gram_ctes, stat_ctes = [], []
+    for n in range(1, 5):
+        if n == 1:
+            expr = "t"
+        else:
+            joined = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+            expr = (
+                f"CASE WHEN len(t) >= {n} THEN "
+                f"list_transform(range(1, len(t) - {n} + 2), i -> {joined}) "
+                f"ELSE CAST([] AS VARCHAR[]) END"
+            )
+        gram_ctes.append(
+            f"g{n} AS (SELECT doc_id, unnest({expr}) AS g FROM toks)"
+        )
+        stat_ctes.append(
+            f"""c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),
+        tt{n} AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c{n} GROUP BY 1),
+        o{n} AS (SELECT p.id_a, p.id_b,
+                        CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+                 FROM cand p
+                 JOIN c{n} a ON a.doc_id = p.id_a
+                 JOIN c{n} b ON b.doc_id = p.id_b AND b.g = a.g
+                 GROUP BY 1, 2)"""
+        )
+    precs = " * ".join(
+        f"(CASE WHEN coalesce(tt{n}.tot, 0) > 0 THEN "
+        f"CAST(coalesce(o{n}.ov, 0) AS DOUBLE) / tt{n}.tot END)"
+        for n in range(1, 5)
+    )
+    ov_cols = ", ".join(
+        f"CAST(coalesce(o{n}.ov, 0) AS BIGINT) AS ov{n}" for n in range(1, 5)
+    )
+    tot_cols = ", ".join(
+        f"CAST(coalesce(tt{n}.tot, 0) AS BIGINT) AS tot{n}" for n in range(2, 5)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN o{n} ON o{n}.id_a = cand.id_a AND o{n}.id_b = cand.id_b\n"
+        f"    LEFT JOIN tt{n} ON tt{n}.doc_id = cand.id_b"
+        for n in range(1, 5)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    {', '.join(gram_ctes)},
+    {', '.join(stat_ctes)},
+    ref AS (SELECT doc_id, tot FROM tt1)
+    SELECT cand.id_a, cand.id_b,
+           CAST(coalesce(ref.tot, 0) AS BIGINT) AS ref_len,
+           CAST(coalesce(tt1.tot, 0) AS BIGINT) AS cand_len,
+           {ov_cols},
+           {tot_cols},
+           round(sqrt(sqrt({precs})), 6) AS bleu_geo,
+           CASE WHEN coalesce(tt1.tot, 0) > 0
+                     AND tt1.tot < coalesce(ref.tot, 0)
+                THEN round(1.0 - CAST(ref.tot AS DOUBLE) / tt1.tot, 6)
+                ELSE 0.0 END AS bp_exponent
+    FROM cand
+    {joins}
+    LEFT JOIN ref ON ref.doc_id = cand.id_a
+    ORDER BY cand.id_a, cand.id_b
+"""
+
+
+ORACLES["eval_bleu_pairs"] = _bleu_oracle()
