@@ -178,6 +178,19 @@ def dhash_groups(
     neighbors (incl. self).  Exact when near-dup sets are cliques (the
     common case for threshold-t perceptual hashing); for chained
     near-dups run ``connected_components`` on ``dhash_near_pairs``."""
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        track_persist,
+    )
+
+    # The hash frame is (id, two longs) — tiny — but its lineage holds
+    # the DECODE MapInPandas stage, and it is referenced by the band
+    # self-join (twice), the self-neighbor base, and the size join:
+    # without a persist Catalyst re-expands the decode per branch
+    # (observed: 118 MapInPandas nodes in the composed curation plan —
+    # at 100 TB that is decoding the corpus 100+ times).  Persist the
+    # slim frame once; release is the session's query boundary
+    # (release_persisted), same lifecycle as the MinHash shingle table.
+    hashed = track_persist(hashed.select(id_col, "hash_hi", "hash_lo"))
     pairs = dhash_near_pairs(hashed, id_col, max_hamming)
     sym = pairs.select(
         F.col("id_a").alias(id_col), F.col("id_b").alias("nbr")
@@ -185,7 +198,7 @@ def dhash_groups(
     base = hashed.where(F.col("hash_hi").isNotNull()).select(
         id_col, F.col(id_col).alias("nbr")
     )
-    grouped = (
+    grouped = track_persist(
         base.unionByName(sym)
         .groupBy(id_col)
         .agg(F.min("nbr").alias("group_id"))

@@ -45,6 +45,14 @@ SHOWCASE = [
     ("etl_drift_report", "ref-anchored decile bounds broadcast; one conditional-count groupBy per feature; TV folds on n_bins rows"),
     ("pipeline_embedding_corpus", "norm gate broadcast; cluster-bounded pair join; CC on contamination; int8 quantize map-side — one lazy composition"),
     ("graph_label_prop", "two synchronous LPA rounds: neighbor-label join + argmax struct per round, no windows over data"),
+    # r05: the six flagship compositions newly priced in BENCH_FULL
+    ("pipeline_entity_resolution", "blocked fuzzy join (quadratic verify per block only); alternating-star CC; survivorship = entity-keyed agg joins"),
+    ("pipeline_multimodal_curation", "map-side Arrow decode with per-row isolation; pixel-hash dedup shuffles hashes, never images"),
+    ("pipeline_audio_corpus", "decode/stats/framing map-side; cheap gates drop silent/clipped files BEFORE framing; per-file-bounded fingerprint agg"),
+    ("pipeline_web_corpus", "URL canonicalize + HTML extract + quality rules map-side; dedup joins keyed on hashes only"),
+    ("pipeline_image_curation", "decode once, gate early; pHash bands shuffle 6 tiny rows per image, never pixels"),
+    ("pipeline_curation_funnel", "five count branches over shared subtrees in one lazy plan; nothing data-sized collects"),
+    ("pipeline_contrastive_triplets", "anchor/positive/negative assembly by keyed joins over the kNN kernel; vectors shuffle once"),
 ]
 
 
