@@ -7105,17 +7105,27 @@ def pipeline_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         SAMPLE_SALT,
     )
 
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        track_persist,
+    )
+
     docs = t(spark, sf, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
-    kept = add_quality_score(train).where(
-        (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*LANGS)
+    # each funnel stage is BOTH counted and fed to the next stage, so
+    # the reused frames persist (the SCALE.md-documented trade: without
+    # this the five count branches rescan/retokenize the corpus per
+    # stage); release is the session's query boundary
+    kept = track_persist(
+        add_quality_score(train).where(
+            (F.col("quality") >= QUALITY_MIN) & F.col("lang").isin(*LANGS)
+        )
     )
-    deduped = exact_dedup_keep_first(kept)
+    deduped = track_persist(exact_dedup_keep_first(kept))
     contaminated = decontamination_report(
         deduped, bench, n=DECONTAM_N, min_hits=1
     ).select("doc_id")
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = track_persist(deduped.join(contaminated, "doc_id", "left_anti"))
     sampled = hash_sample(clean, "doc_id", SAMPLE_FRACTION, salt=SAMPLE_SALT)
 
     def stage(df, sid, name):
