@@ -378,11 +378,10 @@ def _idct4x4(ip):
 # rows above the frame read 127 (including the top-left and top-right
 # extensions); columns left of the frame read 129; the top-left sample
 # for left-column macroblocks below the first row is 129.  The
-# above-right samples of the rightmost macroblock column replicate the
-# 127 border on the first row; below that they come from the
-# still-unwritten scratch border, which libwebp leaves at the row-above
-# pixels — resolved empirically against libwebp in the bit-exact tests
-# (see _top_right).
+# above-right samples of the rightmost macroblock column read 127 on
+# the first row and the row-above's LAST reconstructed pixel
+# (replicated 4x) below it — both conventions resolved empirically
+# against libwebp and pinned by the bit-exact tests (_top_right_y).
 
 
 def _above(plane, mby, mbx, bs, n):

@@ -140,6 +140,14 @@ def test_parity_doc_tally_matches_registry():
     m3 = re.search(r"registration queue itself: (\d+)\s+\(query, oracle\) pairs", doc)
     assert m3, "PARITY.md queue-tally sentence missing"
     assert int(m3.group(1)) == len(r05_queue.QUERIES)
+    # and the r06 staging-queue tally (added r05)
+    from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+
+    m4 = re.search(
+        r"r06 staging queue holds (\d+)\s+\(query, oracle\) pairs", doc
+    )
+    assert m4, "PARITY.md r06-queue tally sentence missing"
+    assert int(m4.group(1)) == len(r06_queue.QUERIES)
 
 
 def test_window_plan_comment_matches_code():
