@@ -137,3 +137,26 @@ def test_tables_regenerate_bit_identical(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert open(os.path.join("/root/repo", src)).read() == before
+
+
+def test_corrupted_streams_never_hang_or_crash():
+    # per-row isolation upstream catches ANY exception; what a decoder
+    # must never do with corrupt input is loop forever or return
+    # garbage SHAPES.  Flip bytes across the stream (header, partition
+    # table, token data) and require: decode completes promptly and
+    # either raises or returns planes of the advertised geometry.
+    content = open(os.path.join(FIXDIR, MANIFEST[0][0]), "rb").read()
+    chunk = bytearray(_vp8_chunk(content))
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        bad = bytearray(chunk)
+        for _ in range(int(rng.integers(1, 4))):
+            bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+        try:
+            y, u, v = vp8.decode_vp8_frame(bytes(bad))
+        except Exception:
+            continue  # any typed failure is fine — isolation catches it
+        # a corrupt dim byte may change the geometry; it must stay
+        # internally consistent (chroma = ceil-half of luma)
+        assert u.shape == v.shape
+        assert u.shape == ((y.shape[0] + 1) // 2, (y.shape[1] + 1) // 2)
