@@ -538,3 +538,46 @@ def _bleu_oracle() -> str:
 
 
 ORACLES["eval_bleu_pairs"] = _bleu_oracle()
+
+
+def etl_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink -> source round-trip fidelity: the documents table
+    writes as ORC (Spark's second built-in columnar format — the
+    interchange surface for Hive-era estates), reads back, and the
+    per-(lang, source) report — counts, char sums, an order-independent
+    md5 text fingerprint sum, and a doc_id XOR fold — must match DuckDB
+    computing the same directly from the parquet.  Any type or encoding
+    loss in either direction breaks the fingerprints.  Predicate
+    pushdown and column pruning work on the ORC scan exactly as on
+    parquet (both are Spark-native vectorized readers)."""
+    import tempfile
+
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+
+    docs = t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(md5_int32(F.col("text"))).cast("long").alias("text_fp_sum"),
+        # bitwise id fold: catches row duplication/loss that sums hide
+        F.bit_xor("doc_id").cast("long").alias("id_xor"),
+    )
+
+
+QUERIES["etl_orc_roundtrip"] = etl_orc_roundtrip
+
+from image_matadata_batchprocessing_aws_spark.functions import (  # noqa: E402
+    md5_int32_sql as _md5_32,
+)
+
+ORACLES["etl_orc_roundtrip"] = f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({_md5_32("text")}) AS BIGINT) AS text_fp_sum,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+    FROM documents GROUP BY 1, 2
+"""
