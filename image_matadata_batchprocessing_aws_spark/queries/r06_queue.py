@@ -581,3 +581,93 @@ ORACLES["etl_orc_roundtrip"] = f"""
            CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
     FROM documents GROUP BY 1, 2
 """
+
+
+CLOSENESS_SEEDS = (1, 2, 3)  # supplier keys -> nodes 2k+1
+CLOSENESS_DEPTH = 4
+
+
+def graph_closeness_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled closeness/harmonic centrality: bounded-depth BFS
+    (`operators/graph.bfs_levels`) from each probe seed over the
+    bidirectional customer-supplier graph, reporting nodes reached,
+    total hop distance, and harmonic centrality (sum of 1000//dist —
+    integer division, engine-exact).  Exact closeness is O(V*E); the
+    sampled-probe form is the scalable estimator (Eppstein-Wang style:
+    k probes, each O(E) frontier expansion).  The DuckDB twin unrolls
+    the same level sets (distinct frontier minus visited per depth), so
+    no recursive walk enumeration ever happens."""
+    from functools import reduce
+
+    from image_matadata_batchprocessing_aws_spark.operators.graph import bfs_levels
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=False)
+    outs = []
+    for k in CLOSENESS_SEEDS:
+        seed = spark.createDataFrame([(2 * k + 1,)], "node long")
+        levels = bfs_levels(edges, seed, CLOSENESS_DEPTH)
+        outs.append(
+            levels.where(F.col("dist") > 0).agg(
+                F.lit(k).cast("long").alias("seed_suppkey"),
+                F.count(F.lit(1)).cast("long").alias("n_reached"),
+                F.sum("dist").cast("long").alias("sum_dist"),
+                F.sum(F.expr("1000 div dist")).cast("long").alias("harmonic_milli"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+QUERIES["graph_closeness_sampled"] = graph_closeness_sampled
+
+
+def _closeness_oracle() -> str:
+    per_seed = []
+    for k in CLOSENESS_SEEDS:
+        lvl_ctes = [f"l0_{k} AS (SELECT {2 * k + 1}::BIGINT AS node)"]
+        vis = f"SELECT node FROM l0_{k}"
+        for d in range(1, CLOSENESS_DEPTH + 1):
+            lvl_ctes.append(
+                f"""l{d}_{k} AS (
+              SELECT DISTINCT e.dst AS node
+              FROM l{d - 1}_{k} f JOIN edges e ON e.src = f.node
+              WHERE e.dst NOT IN ({vis}))"""
+            )
+            vis += f" UNION SELECT node FROM l{d}_{k}"
+        rows = " UNION ALL ".join(
+            f"SELECT node, {d} AS dist FROM l{d}_{k}"
+            for d in range(1, CLOSENESS_DEPTH + 1)
+        )
+        per_seed.append((k, lvl_ctes, rows))
+    all_ctes = ",\n        ".join(c for _, ctes, _ in per_seed for c in ctes)
+    selects = "\n        UNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS seed_suppkey,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(dist) AS BIGINT) AS sum_dist,
+               CAST(sum(1000 // dist) AS BIGINT) AS harmonic_milli
+        FROM ({rows})"""
+        for k, _, rows in per_seed
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, c FROM pairs),
+        {all_ctes}
+        {selects}
+    """
+
+
+ORACLES["graph_closeness_sampled"] = _closeness_oracle()
