@@ -778,3 +778,77 @@ def bleu_pair_stats(
         F.round(geo, 6).alias("bleu_geo"),
         bp_exp.alias("bp_exponent"),
     )
+
+
+def confident_joint_scaled(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Confident-learning label-error statistics (Northcutt et al.'s
+    confident joint, with class-centroid affinity standing in for model
+    probabilities): count examples whose given label i would
+    confidently be label j — the off-diagonal cells are the suspected
+    label errors a curation pass reviews.
+
+    All-integer construction so both engines agree bit-for-bit:
+    components quantize to micro-scaled BIGINT, class centroids are
+    floor-divided integer means, affinity S(example, class) is an
+    integer dot product, the per-class confidence threshold t_j (mean
+    self-affinity of class j) compares via cross-multiplication
+    ``S * n_j >= T_j`` (no division), and the suggested label is the
+    argmax over confident classes with label-ascending tie-break.
+    Examples confident in no class are excluded (the standard CL rule).
+
+    Scale shape: one posexplode + (label, pos) partial agg for
+    centroids (64*L rows, broadcast), one pos-keyed join to score every
+    example against every class (rows = n*L*d before the partial agg,
+    map-side combined), one L-row threshold table, one window over
+    L-row partitions per example."""
+    from pyspark.sql import Window
+
+    q = emb.select(
+        F.col(id_col).alias("__vid"),
+        F.col(label_col).alias("__given"),
+        F.posexplode(vec_col).alias("__pos", "__x"),
+    ).withColumn("__q", F.round(F.col("__x") * scale).cast("long")).drop("__x")
+    cent = (
+        q.groupBy("__given", "__pos")
+        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col("__given").alias("__cls"),
+            "__pos",
+            F.floor(F.col("__s").cast("double") / F.col("__n"))
+            .cast("long")
+            .alias("__cmean"),
+        )
+    )
+    scores = (
+        q.join(F.broadcast(cent), "__pos")
+        .groupBy("__vid", "__given", "__cls")
+        .agg(F.sum(F.col("__q") * F.col("__cmean")).alias("__S"))
+    )
+    thresholds = (
+        scores.where(F.col("__given") == F.col("__cls"))
+        .groupBy("__cls")
+        .agg(F.sum("__S").alias("__T"), F.count(F.lit(1)).alias("__cnt"))
+    )
+    confident = scores.join(F.broadcast(thresholds), "__cls").where(
+        F.col("__S") * F.col("__cnt") >= F.col("__T")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__S").desc(), F.col("__cls"))
+    best = confident.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") == 1
+    )
+    return (
+        best.groupBy("__given", "__cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__given").cast("long").alias("given_label"),
+            F.col("__cls").cast("long").alias("suggested_label"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("__given") != F.col("__cls")).alias("is_suspect"),
+        )
+    )

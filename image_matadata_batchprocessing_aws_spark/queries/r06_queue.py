@@ -671,3 +671,60 @@ def _closeness_oracle() -> str:
 
 
 ORACLES["graph_closeness_sampled"] = _closeness_oracle()
+
+
+def eval_label_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-error detection over the labeled embedding corpus
+    (`operators/evaluation.confident_joint_scaled`): the confident
+    joint of Northcutt et al.'s confident learning, with class-centroid
+    affinity as the deterministic stand-in for model probabilities —
+    off-diagonal cells are the label errors a curation pass reviews
+    before training.  All-integer (quantized components, floor-mean
+    centroids, integer dot products, cross-multiplied thresholds), so
+    the DuckDB twin rebuilds every cell exactly."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        confident_joint_scaled,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("e"), "label"
+    )
+    return confident_joint_scaled(e, vec_col="e")
+
+
+QUERIES["eval_label_errors"] = eval_label_errors
+
+ORACLES["eval_label_errors"] = """
+    WITH q AS (
+      SELECT vec_id AS vid, label AS given,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    cent AS (
+      SELECT given AS cls, pos,
+             CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS cmean
+      FROM q GROUP BY given, pos),
+    scores AS (
+      SELECT q.vid, q.given, c.cls, CAST(sum(q.q * c.cmean) AS BIGINT) AS s
+      FROM q JOIN cent c USING (pos)
+      GROUP BY q.vid, q.given, c.cls),
+    thresholds AS (
+      SELECT cls, CAST(sum(s) AS BIGINT) AS t, count(*) AS cnt
+      FROM scores WHERE given = cls GROUP BY cls),
+    confident AS (
+      SELECT sc.*, row_number() OVER (
+                 PARTITION BY sc.vid ORDER BY sc.s DESC, sc.cls) AS r
+      FROM scores sc JOIN thresholds th ON th.cls = sc.cls
+      WHERE sc.s * th.cnt >= th.t)
+    SELECT CAST(given AS BIGINT) AS given_label,
+           CAST(cls AS BIGINT) AS suggested_label,
+           CAST(count(*) AS BIGINT) AS n,
+           given <> cls AS is_suspect
+    FROM confident WHERE r = 1
+    GROUP BY given, cls
+"""
