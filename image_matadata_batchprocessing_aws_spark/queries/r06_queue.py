@@ -728,3 +728,60 @@ ORACLES["eval_label_errors"] = """
     FROM confident WHERE r = 1
     GROUP BY given, cls
 """
+
+
+def text_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: distinct-token count as the
+    corpus grows decile by decile (doc_id order) — the measurement
+    behind tokenizer vocab budgeting and "how much more data until the
+    vocab saturates" planning.  One explode + one token-keyed min
+    (first-occurrence doc), one 10-row cumulative window — all integer.
+    At 100 TB: the groupBy(token) partial-aggregates map-side and the
+    curve itself is 10 rows — the one unkeyed window here runs over
+    that 10-row aggregate, bounded by construction, never over data."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    n1 = docs.agg(F.count(F.lit(1)).alias("__n"))
+    first = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.min("doc_id").alias("__first"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            (F.col("__first") * 10 / F.col("__n"))
+            .cast("long")
+            .alias("decile")
+        )
+    )
+    per = first.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+QUERIES["text_vocab_growth"] = text_vocab_growth
+
+ORACLES["text_vocab_growth"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    first AS (
+      SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    per AS (
+      SELECT CAST(first_doc * 10 // n.n AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS new_tokens
+      FROM first, n GROUP BY 1)
+    SELECT decile, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM per
+"""
