@@ -785,3 +785,84 @@ ORACLES["text_vocab_growth"] = r"""
                 AS BIGINT) AS cum_vocab
     FROM per
 """
+
+
+def sample_pack_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency audit of the 512-token context-window stream
+    (`pack_context_windows`'s exact packing, summarized per language):
+    window count vs the LP lower bound ceil(total/budget), tokens
+    packed, boundary-CROSSING docs (attention-mask / document-boundary
+    hygiene cares), and integer fill efficiency (permille).  The report
+    a training-data packer checks before shipping shards — all integer,
+    one pass over the same keyed window the packer itself uses."""
+    from image_matadata_batchprocessing_aws_spark.operators.sampling import (
+        pack_documents,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.text import token_count
+    from image_matadata_batchprocessing_aws_spark.queries.sampling import PACK_BUDGET
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_documents(
+        d, token_col="n_tokens", order_by="doc_id",
+        budget=PACK_BUDGET, partition_by="lang",
+    )
+    crossing = (
+        (F.col("pack_offset") + F.col("n_tokens") - 1) / PACK_BUDGET
+    ).cast("long") != F.col("pack_id")
+    return packed.groupBy("lang").agg(
+        F.countDistinct("pack_id").cast("long").alias("n_windows"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"(sum(n_tokens) + {PACK_BUDGET} - 1) div {PACK_BUDGET}")
+        .cast("long")
+        .alias("lp_lower_bound"),
+        F.sum(crossing.cast("long")).cast("long").alias("crossing_docs"),
+        # exact integer division (`div`), not a double quotient cast:
+        # a near-integer double could round across the floor boundary
+        # differently from DuckDB's `//`
+        (F.sum("n_tokens") * 1000).cast("long").alias("__num"),
+        (F.countDistinct("pack_id") * PACK_BUDGET).cast("long").alias("__den"),
+    ).select(
+        "lang", "n_windows", "total_tokens", "lp_lower_bound",
+        "crossing_docs",
+        F.expr("__num div __den").cast("long").alias("fill_permille"),
+    )
+
+
+QUERIES["sample_pack_audit"] = sample_pack_audit
+
+from image_matadata_batchprocessing_aws_spark.queries.sampling import (  # noqa: E402
+    PACK_BUDGET as _PB,
+)
+
+ORACLES["sample_pack_audit"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pack_offset
+      FROM toks),
+    packed AS (
+      SELECT lang, n_tokens, pack_offset,
+             CAST(floor(pack_offset / {_PB}) AS BIGINT) AS pack_id,
+             CAST(floor((pack_offset + n_tokens - 1) / {_PB}) AS BIGINT)
+                 AS end_pack
+      FROM offs)
+    SELECT lang,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_windows,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tokens) + {_PB} - 1) // {_PB} AS BIGINT)
+               AS lp_lower_bound,
+           CAST(sum(CASE WHEN end_pack <> pack_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS crossing_docs,
+           CAST(sum(n_tokens) * 1000 // (count(DISTINCT pack_id) * {_PB})
+                AS BIGINT) AS fill_permille
+    FROM packed GROUP BY lang
+"""
