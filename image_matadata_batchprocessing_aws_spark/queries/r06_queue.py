@@ -866,3 +866,71 @@ ORACLES["sample_pack_audit"] = rf"""
                 AS BIGINT) AS fill_permille
     FROM packed GROUP BY lang
 """
+
+
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the customer->supplier purchase graph:
+    the Pearson correlation between the endpoint degrees across edges —
+    do high-activity customers concentrate on popular suppliers
+    (r > 0) or spread across the tail (r < 0)?  The one-number mixing
+    diagnostic next to `graph_degree_stats`.  Integer sufficient
+    statistics (degree sums/squares/cross-products as BIGINTs), closing
+    Pearson arithmetic in identical textual doubles on both engines
+    (mult/div/sqrt only — all correctly-rounded IEEE)."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cdeg = edges.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__dc"))
+    sdeg = edges.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("__ds"))
+    ed = edges.join(cdeg, "o_custkey").join(sdeg, "l_suppkey")
+    stats = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("__dc").cast("long").alias("sx"),
+        F.sum("__ds").cast("long").alias("sy"),
+        F.sum(F.col("__dc") * F.col("__dc")).cast("long").alias("sxx"),
+        F.sum(F.col("__ds") * F.col("__ds")).cast("long").alias("syy"),
+        F.sum(F.col("__dc") * F.col("__ds")).cast("long").alias("sxy"),
+    )
+    r = (
+        (F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(
+            (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+    )
+    return stats.select(
+        "n_edges", "sx", "sy", "sxx", "syy", "sxy",
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+QUERIES["graph_assortativity"] = graph_assortativity
+
+ORACLES["graph_assortativity"] = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cdeg AS (SELECT o_custkey, count(*) AS dc FROM edges GROUP BY 1),
+    sdeg AS (SELECT l_suppkey, count(*) AS ds FROM edges GROUP BY 1),
+    ed AS (SELECT e.*, c.dc, s.ds
+           FROM edges e JOIN cdeg c USING (o_custkey)
+                        JOIN sdeg s USING (l_suppkey)),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(dc) AS BIGINT) AS sx,
+             CAST(sum(ds) AS BIGINT) AS sy,
+             CAST(sum(dc * dc) AS BIGINT) AS sxx,
+             CAST(sum(ds * ds) AS BIGINT) AS syy,
+             CAST(sum(dc * ds) AS BIGINT) AS sxy
+      FROM ed)
+    SELECT n_edges, sx, sy, sxx, syy, sxy,
+           round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+    FROM stats
+"""
