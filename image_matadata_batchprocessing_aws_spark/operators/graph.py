@@ -702,3 +702,106 @@ def markov_steady_scaled(
         F.coalesce(F.col("pi_scaled"), F.lit(0)).cast("long").alias("pi_scaled"),
         "is_absorbing",
     )
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Minimum spanning FOREST via Boruvka rounds (Boruvka 1926; the
+    textbook parallel MST algorithm — each round every component hooks
+    its cheapest incident edge, components merge, and the component
+    count at least halves, so rounds are O(log V) whatever the data).
+
+    Edges are totally ordered by the lexicographic key ``(w, a, b)``
+    (after canonicalizing ``a < b``), so the forest is UNIQUE even under
+    weight ties — the same determinism move the dedup family makes with
+    md5 tie-breaks, and what lets a SQL oracle (Kruskal's cycle
+    property: an edge is in the MSF iff its endpoints are NOT connected
+    by strictly earlier edges) reproduce the result bit-for-bit.
+
+    Scale shape: per round one equi-join of the edge list against the
+    component map (both keyed on vertex ids), one groupBy-min per
+    component (map-side partial: min of a struct), and one
+    component-graph contraction via :func:`connected_components` over
+    the PICKED edges only (at most one per component — the contraction
+    input shrinks geometrically).  No collects; the accumulated forest
+    is a lazy union of at most O(log V) per-round picks.
+
+    Returns the forest's edge rows ``(a, b, w)``.
+    """
+    e0 = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"),
+            F.greatest(src, dst).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e0.select(F.col("a").alias("id"))
+        .unionByName(e0.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("id").alias("a"), F.col("component").alias("__ca"))
+        cb = comp.select(F.col("id").alias("b"), F.col("component").alias("__cb"))
+        ce = e0.join(ca, "a").join(cb, "b").where(F.col("__ca") != F.col("__cb"))
+        # cheapest incident edge per component, (w, a, b)-tie-broken;
+        # struct min partial-aggregates map-side
+        cand = ce.select(
+            F.col("__ca").alias("c"),
+            F.struct("w", "a", "b", F.col("__cb").alias("o")).alias("e"),
+        ).unionByName(
+            ce.select(
+                F.col("__cb").alias("c"),
+                F.struct("w", "a", "b", F.col("__ca").alias("o")).alias("e"),
+            )
+        )
+        picks = cand.groupBy("c").agg(F.min("e").alias("e")).localCheckpoint(
+            eager=True
+        )
+        if picks.count() == 0:
+            break
+        # the same undirected edge is picked by BOTH merging components —
+        # per-round distinct collapses it
+        parts.append(
+            picks.select(
+                F.col("e.a").alias("a"), F.col("e.b").alias("b"), F.col("e.w").alias("w")
+            ).distinct()
+        )
+        mapping = connected_components(
+            picks.select(F.col("c").alias("id_a"), F.col("e.o").alias("id_b")),
+            "id_a",
+            "id_b",
+            out_id="__cid",
+            out_component="__newc",
+        )
+        comp = (
+            comp.join(mapping, comp["component"] == mapping["__cid"], "left")
+            .select(
+                "id", F.coalesce("__newc", "component").alias("component")
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_msf did not converge in {max_rounds} rounds — components "
+            "at least halve per round, so this graph exceeds 2^max_rounds "
+            "vertices or the edge ids are unstable"
+        )
+    if not parts:
+        return e0.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -934,3 +934,777 @@ ORACLES["graph_assortativity"] = """
                AS assortativity
     FROM stats
 """
+
+
+# --- Boruvka minimum spanning forest --------------------------------------
+
+
+def graph_mst_boruvka(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum spanning forest of the nation-level trade graph (edge
+    weight = total inter-nation revenue cents), computed by the real
+    distributed algorithm — :func:`operators.graph.boruvka_msf`, O(log V)
+    hook-and-contract rounds — while the oracle derives the SAME unique
+    forest from Kruskal's cycle property in one recursive CTE (an edge
+    is in the MSF iff its endpoints are not connected by strictly
+    earlier edges under the (w, a, b) total order).  Two independent
+    algorithms, one bit-exact answer: the strongest oracle form a
+    graph operator can carry.  Integer weights (cent sums) keep the
+    edge order engine-independent."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import boruvka_msf
+
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("b"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    edges = pairs.groupBy("a", "b").agg(F.sum("cents").cast("long").alias("w"))
+    msf = boruvka_msf(edges, "a", "b", "w")
+    return msf.select(
+        F.col("a").alias("nation_a"),
+        F.col("b").alias("nation_b"),
+        F.col("w").alias("weight_cents"),
+    )
+
+
+QUERIES["graph_mst_boruvka"] = graph_mst_boruvka
+
+ORACLES["graph_mst_boruvka"] = """
+    WITH RECURSIVE pairs AS (
+      SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+             greatest(c.c_nationkey, s.s_nationkey) AS b,
+             CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey),
+    edges AS (
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+             CAST(sum(cents) AS BIGINT) AS w
+      FROM pairs GROUP BY a, b),
+    ranked AS (
+      SELECT a, b, w, row_number() OVER (ORDER BY w, a, b) AS rnk
+      FROM edges),
+    -- nodes reachable from edge rnk's endpoint a using STRICTLY earlier
+    -- edges; Kruskal cycle property: the edge joins the forest iff its
+    -- other endpoint b is never reached
+    reach(er, node) AS (
+      SELECT rnk AS er, a AS node FROM ranked
+      UNION
+      SELECT r.er, CASE WHEN f.a = r.node THEN f.b ELSE f.a END AS node
+      FROM reach r
+      JOIN ranked e ON e.rnk = r.er
+      JOIN ranked f ON f.rnk < e.rnk AND (f.a = r.node OR f.b = r.node))
+    SELECT e.a AS nation_a, e.b AS nation_b, e.w AS weight_cents
+    FROM ranked e
+    WHERE NOT EXISTS (SELECT 1 FROM reach r
+                      WHERE r.er = e.rnk AND r.node = e.b)
+"""
+
+
+# --- winnowing fingerprints (MOSS) ----------------------------------------
+
+WINNOW_K = 3  # token k-grams hashed
+WINNOW_W = 4  # hashes per window -> guarantee threshold t = K + W - 1
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS selector): over the positional token-3-gram hash
+    stream, every window of 4 consecutive hashes selects its RIGHTMOST
+    MINIMUM, and the distinct selected (position, hash) pairs are the
+    document's fingerprints — any shared substring of >= K+W-1 tokens
+    between two documents is GUARANTEED to share a fingerprint, at an
+    expected density of only 2/(W+1) of positions.
+
+    Spark shape: one narrow (id, pos, fp) stream (the exact
+    :func:`operators.substrings.positional_kgrams` table the Lee-et-al
+    dedup rides — text never shuffles), ONE doc-keyed window pass where
+    ``min(struct(fp, -pos))`` is the rightmost-min selector (struct min
+    partial-aggregates inside the window frame), then a per-doc count
+    rollup.  The oracle encodes the same (fp, -pos) order as a
+    zero-padded varchar so DuckDB's window min agrees bitwise.  Docs
+    with fewer than W k-grams have no full window and drop on both
+    sides (the paper's guarantee only speaks from window W up)."""
+    from pyspark.sql import Window
+
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        positional_kgrams,
+    )
+
+    docs = t(spark, sf, "documents")
+    g = positional_kgrams(docs, "text", "doc_id", WINNOW_K)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np")))
+            .over(w)
+            .alias("m"),
+        )
+        .where(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.col("m.fp").alias("fp"), (-F.col("m.np")).alias("sel_pos"))
+        .distinct()
+    )
+    n_grams = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    summary = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+        F.min("sel_pos").cast("long").alias("first_pos"),
+        F.max("sel_pos").cast("long").alias("last_pos"),
+    )
+    return n_grams.join(summary, "doc_id").select(
+        "doc_id", "n_grams", "n_fingerprints", "n_distinct_fp",
+        "first_pos", "last_pos",
+    )
+
+
+QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
+
+
+def _winnow_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    fp = md5_int64_sql(
+        f"array_to_string(list_slice(t, pos + 1, pos + {WINNOW_K}), ' ')"
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''),
+    pos AS (
+      SELECT doc_id, t, unnest(range(len(t) - {WINNOW_K - 1})) AS pos
+      FROM toks WHERE len(t) >= {WINNOW_K}),
+    grams AS (SELECT doc_id, pos, {fp} AS fp FROM pos),
+    -- (fp asc, pos desc) lexicographic min as a zero-padded varchar:
+    -- the rightmost-minimum selector of the winnowing paper
+    winmin AS (
+      SELECT doc_id, pos,
+             min(lpad(CAST(fp AS VARCHAR), 19, '0')
+                 || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS m
+      FROM grams),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             CAST(substr(m, 1, 19) AS BIGINT) AS fp,
+             99999999 - CAST(substr(m, 20, 8) AS BIGINT) AS sel_pos
+      FROM winmin WHERE pos >= {WINNOW_W - 1}),
+    ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM grams GROUP BY doc_id),
+    summary AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_fingerprints,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+             CAST(min(sel_pos) AS BIGINT) AS first_pos,
+             CAST(max(sel_pos) AS BIGINT) AS last_pos
+      FROM sel GROUP BY doc_id)
+    SELECT ng.doc_id, n_grams, n_fingerprints, n_distinct_fp,
+           first_pos, last_pos
+    FROM ng JOIN summary USING (doc_id)
+"""
+
+
+ORACLES["text_winnow_fingerprints"] = _winnow_oracle()
+
+
+# --- clustering evaluation: purity + adjusted Rand ------------------------
+
+
+def eval_cluster_rand(spark: SparkSession, sf: str) -> DataFrame:
+    """External clustering evaluation of the fixed-centroid assignment
+    against the ground-truth ``label`` column: PURITY (share of points
+    whose cluster's majority label is their own) and the ADJUSTED RAND
+    INDEX (Hubert & Arabie 1985) — the two standard "did the clustering
+    find the classes" numbers a curation pipeline checks before trusting
+    cluster-level decisions (SemDeDup budgets, cluster-balanced
+    sampling).
+
+    Everything reduces over the k x c contingency table (tiny), built
+    with one (cid, label) groupBy after the map-side literal-centroid
+    assignment — no shuffle carries a vector.  All pair counts are exact
+    BIGINT binomials; ARI closes in one identically-written double
+    expression on both engines (mult/div/sub only, all correctly-rounded
+    IEEE), purity closes in integer permille."""
+    from image_matadata_batchprocessing_aws_spark.operators.clustering import (
+        assign_clusters,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        _emb,
+        _fixed_centroids,
+    )
+
+    e = _emb(spark, sf)
+    cents = _fixed_centroids(e)
+    assigned = assign_clusters(e, cents, vec_col="e", out="cid").select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+    lab = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    ct = (
+        assigned.join(lab, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=False)  # three reductions read it
+    )
+
+    def comb2(c):
+        return F.expr(f"{c} * ({c} - 1) div 2")
+
+    cells = ct.agg(
+        F.sum(comb2("nij")).cast("long").alias("sum_pair_cells"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    rows_ = (
+        ct.groupBy("cid")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(comb2("ai")).cast("long").alias("sum_pair_rows"))
+    )
+    cols_ = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(comb2("bj")).cast("long").alias("sum_pair_cols"))
+    )
+    pur = (
+        ct.groupBy("cid")
+        .agg(F.max("nij").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("purity_num"))
+    )
+    one = (
+        cells.crossJoin(F.broadcast(rows_))
+        .crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(pur))
+    )
+    tot = F.expr("n * (n - 1) div 2").cast("double")
+    sc = F.col("sum_pair_cells").cast("double")
+    sa = F.col("sum_pair_rows").cast("double")
+    sb = F.col("sum_pair_cols").cast("double")
+    ari = (sc - sa * sb / tot) / ((sa + sb) / F.lit(2.0) - sa * sb / tot)
+    return one.select(
+        "n",
+        "sum_pair_cells",
+        "sum_pair_rows",
+        "sum_pair_cols",
+        "purity_num",
+        F.expr("purity_num * 1000 div n").cast("long").alias("purity_permille"),
+        F.round(ari, 6).alias("ari"),
+    )
+
+
+QUERIES["eval_cluster_rand"] = eval_cluster_rand
+
+
+def _cluster_rand_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        _ASSIGN_CTES,
+    )
+
+    return f"""
+    WITH {_ASSIGN_CTES},
+    ct AS (
+      SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS nij
+      FROM assigned a JOIN embeddings e USING (vec_id)
+      GROUP BY a.cid, e.label),
+    cells AS (
+      SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_pair_cells,
+             CAST(sum(nij) AS BIGINT) AS n
+      FROM ct),
+    rows_ AS (
+      SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_pair_rows
+      FROM (SELECT sum(nij) AS ai FROM ct GROUP BY cid)),
+    cols_ AS (
+      SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_pair_cols
+      FROM (SELECT sum(nij) AS bj FROM ct GROUP BY label)),
+    pur AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS purity_num
+      FROM (SELECT max(nij) AS mx FROM ct GROUP BY cid))
+    SELECT n, sum_pair_cells, sum_pair_rows, sum_pair_cols, purity_num,
+           CAST(purity_num * 1000 // n AS BIGINT) AS purity_permille,
+           round((CAST(sum_pair_cells AS DOUBLE)
+                  - CAST(sum_pair_rows AS DOUBLE) * CAST(sum_pair_cols AS DOUBLE)
+                    / CAST(n * (n - 1) // 2 AS DOUBLE))
+                 / ((CAST(sum_pair_rows AS DOUBLE) + CAST(sum_pair_cols AS DOUBLE))
+                      / 2.0
+                    - CAST(sum_pair_rows AS DOUBLE) * CAST(sum_pair_cols AS DOUBLE)
+                      / CAST(n * (n - 1) // 2 AS DOUBLE)), 6) AS ari
+    FROM cells, rows_, cols_, pur
+"""
+
+
+ORACLES["eval_cluster_rand"] = _cluster_rand_oracle()
+
+
+# --- length-bucketed batching pad-waste audit ------------------------------
+
+LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+LEN_OVERSIZE = 1 << 20  # docs beyond the last boundary: own overflow bucket
+
+
+def sample_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Pad-waste audit for length-bucketed batching (the seq2seq /
+    encoder trick: group sequences into power-of-two-ish length buckets
+    so each batch pads to its bucket cap, not the global max).  Per
+    bucket: doc count, real tokens, padded slots, integer fill
+    permille — and the naive global-max-pad slot count alongside, so
+    the report quantifies exactly what bucketing saves.  One map-side
+    CASE + one tiny groupBy; the global max is a 1-row broadcast."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import token_count
+
+    d = t(spark, sf, "documents").select(
+        token_count("text").cast("long").alias("n_tokens")
+    )
+    cap = F.lit(LEN_OVERSIZE)
+    for b in reversed(LEN_BUCKETS):
+        cap = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(cap)
+    gmax = d.agg(F.max("n_tokens").alias("__gmax"))
+    per = (
+        d.select(cap.cast("long").alias("bucket_cap"), "n_tokens")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(gmax))
+    )
+    return per.select(
+        "bucket_cap",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs") * F.col("bucket_cap") - F.col("total_tokens"))
+        .cast("long")
+        .alias("padded_slots"),
+        F.expr("total_tokens * 1000 div (n_docs * bucket_cap)")
+        .cast("long")
+        .alias("fill_permille"),
+        (F.col("n_docs") * F.col("__gmax") - F.col("total_tokens"))
+        .cast("long")
+        .alias("naive_padded_slots"),
+    )
+
+
+QUERIES["sample_length_buckets"] = sample_length_buckets
+
+
+def _len_bucket_oracle() -> str:
+    case = "CASE "
+    for b in LEN_BUCKETS:
+        case += f"WHEN n_tokens <= {b} THEN {b} "
+    case += f"ELSE {LEN_OVERSIZE} END"
+    return rf"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             AS BIGINT) AS n_tokens
+      FROM documents),
+    gmax AS (SELECT max(n_tokens) AS gm FROM d),
+    per AS (
+      SELECT CAST({case} AS BIGINT) AS bucket_cap,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM d GROUP BY 1)
+    SELECT bucket_cap, n_docs, total_tokens,
+           CAST(n_docs * bucket_cap - total_tokens AS BIGINT) AS padded_slots,
+           CAST(total_tokens * 1000 // (n_docs * bucket_cap) AS BIGINT)
+               AS fill_permille,
+           CAST(n_docs * gm - total_tokens AS BIGINT) AS naive_padded_slots
+    FROM per, gmax
+"""
+
+
+ORACLES["sample_length_buckets"] = _len_bucket_oracle()
+
+
+# --- l-diversity privacy audit ---------------------------------------------
+
+L_DIV_L = 3  # equivalence classes need >= 3 distinct sensitive values
+
+
+def etl_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) on the same
+    (nation, market-segment) quasi-identifier as ``etl_k_anonymity``:
+    k-anonymity alone still leaks when an equivalence class is sensitive-
+    homogeneous, so this reports each class's count of DISTINCT
+    sensitive values (account-balance kilobucket) and flags classes
+    below l=3.  One groupBy with a distinct-count — the release gate
+    runs it next to the k-audit."""
+    c = t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("__band"),
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct("__band").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") < L_DIV_L).alias("at_risk"),
+        )
+    )
+
+
+QUERIES["etl_l_diversity"] = etl_l_diversity
+
+ORACLES["etl_l_diversity"] = f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_distinct,
+           count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+               < {L_DIV_L} AS at_risk
+    FROM customer GROUP BY 1, 2
+"""
+
+
+# --- DeLong AUC variance + CI ----------------------------------------------
+
+
+def eval_auc_delong(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC AUC with DeLong variance and 95% CI per order status
+    (:func:`operators.evaluation.roc_auc_delong`) — the "is this AUC
+    actually better" significance machinery next to the point estimate
+    ``eval_roc_auc`` already reports.  Placements stay integral per
+    DISTINCT score (never a row-level rank window); both engines close
+    the variance from the same four BIGINT sufficient statistics in one
+    identically-structured double expression."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        roc_auc_delong,
+    )
+
+    o = t(spark, sf, "orders").withColumn(
+        "__y",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0),
+    )
+    return roc_auc_delong(o, "o_totalprice", "__y", group_by=["o_orderstatus"])
+
+
+QUERIES["eval_auc_delong"] = eval_auc_delong
+
+ORACLES["eval_auc_delong"] = """
+    WITH per AS (
+      SELECT o_orderstatus, o_totalprice AS s,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                 THEN 1 ELSE 0 END) AS p,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                 THEN 0 ELSE 1 END) AS n
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT o_orderstatus, p, n,
+             coalesce(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY s ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg,
+             coalesce(sum(p) OVER (PARTITION BY o_orderstatus ORDER BY s ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumpos,
+             sum(p) OVER (PARTITION BY o_orderstatus) AS ptot
+      FROM per),
+    agg AS (
+      SELECT o_orderstatus,
+             CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(p * (2 * cumneg + n)) AS BIGINT) AS svp,
+             CAST(sum(p * (2 * cumneg + n) * (2 * cumneg + n)) AS BIGINT)
+               AS svp2,
+             CAST(sum(n * (2 * (ptot - cumpos - p) + p)) AS BIGINT) AS svn,
+             CAST(sum(n * (2 * (ptot - cumpos - p) + p)
+                        * (2 * (ptot - cumpos - p) + p)) AS BIGINT) AS svn2
+      FROM cum GROUP BY 1),
+    closed AS (
+      SELECT o_orderstatus, np AS n_pos, nn AS n_neg,
+             CAST(svp AS DOUBLE)
+               / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc,
+             sqrt((CAST(np AS DOUBLE) * CAST(svp2 AS DOUBLE)
+                     - CAST(svp AS DOUBLE) * CAST(svp AS DOUBLE))
+                   / (CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) - 1.0))
+                   / ((2.0 * CAST(nn AS DOUBLE)) * (2.0 * CAST(nn AS DOUBLE)))
+                   / CAST(np AS DOUBLE)
+                 + (CAST(nn AS DOUBLE) * CAST(svn2 AS DOUBLE)
+                     - CAST(svn AS DOUBLE) * CAST(svn AS DOUBLE))
+                   / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+                   / ((2.0 * CAST(np AS DOUBLE)) * (2.0 * CAST(np AS DOUBLE)))
+                   / CAST(nn AS DOUBLE)) AS se,
+             np > 1 AND nn > 1 AS ok
+      FROM agg)
+    SELECT o_orderstatus, n_pos, n_neg,
+           round(CASE WHEN ok THEN auc END, 6) AS auc,
+           round(CASE WHEN ok THEN se END, 6) AS se,
+           round(CASE WHEN ok THEN auc - 1.96 * se END, 6) AS ci_lo,
+           round(CASE WHEN ok THEN auc + 1.96 * se END, 6) AS ci_hi
+    FROM closed
+"""
+
+
+# --- referentially-consistent pseudonymization ------------------------------
+
+
+def etl_pseudonym_referential(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity-preserving pseudonymization: mask the
+    customer key with the SAME keyed 60-bit md5 on both sides of the
+    customer<->orders foreign key, then PROVE the masked join still
+    carries the workload — per nation, orders joined through the masked
+    key must equal orders joined through the natural key, and the
+    masked key space must stay collision-free.  The audit a privacy
+    pass ships with its masking job (masking each table independently
+    is the classic way to silently break every downstream join)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    def mask(col):
+        return md5_int64(F.concat(F.lit("cust\x1f"), F.col(col).cast("string")))
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", mask("c_custkey").alias("c_masked")
+    )
+    o = t(spark, sf, "orders").select(
+        "o_custkey", mask("o_custkey").alias("o_masked")
+    )
+    natural = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_natural"))
+    )
+    masked = (
+        o.join(c, o["o_masked"] == c["c_masked"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_masked"))
+    )
+    keys = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.countDistinct("c_masked").cast("long").alias("n_masked_distinct"),
+    )
+    return (
+        keys.join(natural, "c_nationkey")
+        .join(masked, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "n_masked_distinct",
+            "orders_natural",
+            "orders_masked",
+            (
+                (F.col("n_customers") == F.col("n_masked_distinct"))
+                & (F.col("orders_natural") == F.col("orders_masked"))
+            ).alias("referential_ok"),
+        )
+    )
+
+
+QUERIES["etl_pseudonym_referential"] = etl_pseudonym_referential
+
+
+def _pseudonym_ref_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    cm = md5_int64_sql("'cust' || chr(31) || CAST(c_custkey AS VARCHAR)")
+    om = md5_int64_sql("'cust' || chr(31) || CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH c AS (SELECT c_custkey, c_nationkey, {cm} AS c_masked FROM customer),
+    o AS (SELECT o_custkey, {om} AS o_masked FROM orders),
+    natural_j AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS orders_natural
+      FROM o JOIN c ON o.o_custkey = c.c_custkey GROUP BY 1),
+    masked_j AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS orders_masked
+      FROM o JOIN c ON o.o_masked = c.c_masked GROUP BY 1),
+    keys AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(count(DISTINCT c_masked) AS BIGINT) AS n_masked_distinct
+      FROM c GROUP BY 1)
+    SELECT k.c_nationkey, n_customers, n_masked_distinct,
+           orders_natural, orders_masked,
+           n_customers = n_masked_distinct
+             AND orders_natural = orders_masked AS referential_ok
+    FROM keys k
+    JOIN natural_j USING (c_nationkey)
+    JOIN masked_j USING (c_nationkey)
+"""
+
+
+ORACLES["etl_pseudonym_referential"] = _pseudonym_ref_oracle()
+
+
+# --- Herfindahl concentration ----------------------------------------------
+
+
+def agg_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation, on the standard 0-10000 basis-point scale (HHI =
+    sum of squared integer share-bp) — the antitrust-style "is this
+    market one supplier in a trenchcoat" number, and for data work the
+    skew diagnostic for any key's value concentration.  Exact integer
+    cent sums -> integer share basis points (div) -> integer HHI; no
+    floats anywhere."""
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_suppkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("cents").alias("__rev"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("__rev").alias("__tot"))
+    shares = rev.join(tot, "s_nationkey").select(
+        "s_nationkey", F.expr("__rev * 10000 div __tot").alias("__bp")
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("__bp").cast("long").alias("top_share_bp"),
+        F.sum(F.col("__bp") * F.col("__bp")).cast("long").alias("hhi"),
+    )
+
+
+QUERIES["agg_hhi"] = agg_hhi
+
+ORACLES["agg_hhi"] = """
+    WITH rev AS (
+      SELECT s_nationkey, s_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT s_nationkey, CAST(sum(r) AS BIGINT) AS t
+            FROM rev GROUP BY 1),
+    shares AS (
+      SELECT rev.s_nationkey, CAST(rev.r * 10000 // tot.t AS BIGINT) AS bp
+      FROM rev JOIN tot USING (s_nationkey))
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(max(bp) AS BIGINT) AS top_share_bp,
+           CAST(sum(bp * bp) AS BIGINT) AS hhi
+    FROM shares GROUP BY 1
+"""
+
+
+# --- k-anonymity generalization ladder --------------------------------------
+
+
+def etl_k_generalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Generalization ladder to REACH k-anonymity (the fix the
+    ``etl_k_anonymity`` audit demands): equivalence classes under k=8 on
+    (nation, segment) escalate to (region, segment); still-small classes
+    escalate to (segment); whatever remains is suppressed outright.
+    Deterministic global recoding — three grouped passes over a
+    shrinking escalation set, broadcast-joined against the small-key
+    lists, publishing one row per released class with its
+    generalization level."""
+    from image_matadata_batchprocessing_aws_spark.queries.r05_queue import K_ANON_K
+
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf, "region").select("r_regionkey", "r_name")
+    rows = (
+        t(spark, sf, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_name").alias("g_nation"),
+            F.col("r_name").alias("g_region"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    g0 = rows.groupBy("g_nation", "seg").agg(F.count(F.lit(1)).alias("c"))
+    pub0 = g0.where(F.col("c") >= K_ANON_K).select(
+        F.lit(0).cast("long").alias("level"),
+        F.col("g_nation").alias("g1"),
+        F.col("seg").alias("g2"),
+        F.col("c").cast("long").alias("n"),
+    )
+    esc1 = rows.join(
+        F.broadcast(g0.where(F.col("c") < K_ANON_K).select("g_nation", "seg")),
+        ["g_nation", "seg"],
+    )
+    g1 = esc1.groupBy("g_region", "seg").agg(F.count(F.lit(1)).alias("c"))
+    pub1 = g1.where(F.col("c") >= K_ANON_K).select(
+        F.lit(1).cast("long").alias("level"),
+        F.col("g_region").alias("g1"),
+        F.col("seg").alias("g2"),
+        F.col("c").cast("long").alias("n"),
+    )
+    esc2 = esc1.join(
+        F.broadcast(g1.where(F.col("c") < K_ANON_K).select("g_region", "seg")),
+        ["g_region", "seg"],
+    )
+    g2 = esc2.groupBy("seg").agg(F.count(F.lit(1)).alias("c"))
+    pub2 = g2.where(F.col("c") >= K_ANON_K).select(
+        F.lit(2).cast("long").alias("level"),
+        F.lit("*").alias("g1"),
+        F.col("seg").alias("g2"),
+        F.col("c").cast("long").alias("n"),
+    )
+    pub3 = (
+        g2.where(F.col("c") < K_ANON_K)
+        .agg(F.sum("c").alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(
+            F.lit(3).cast("long").alias("level"),
+            F.lit("*").alias("g1"),
+            F.lit("*").alias("g2"),
+            F.col("c").cast("long").alias("n"),
+        )
+    )
+    return pub0.unionByName(pub1).unionByName(pub2).unionByName(pub3)
+
+
+QUERIES["etl_k_generalize"] = etl_k_generalize
+
+
+def _k_generalize_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.r05_queue import K_ANON_K
+
+    return f"""
+    WITH rows_ AS (
+      SELECT n_name AS g_nation, r_name AS g_region, c_mktsegment AS seg
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    g0 AS (SELECT g_nation, seg, count(*) AS c FROM rows_ GROUP BY 1, 2),
+    esc1 AS (SELECT r.* FROM rows_ r
+             JOIN g0 ON r.g_nation = g0.g_nation AND r.seg = g0.seg
+             WHERE g0.c < {K_ANON_K}),
+    g1 AS (SELECT g_region, seg, count(*) AS c FROM esc1 GROUP BY 1, 2),
+    esc2 AS (SELECT e.* FROM esc1 e
+             JOIN g1 ON e.g_region = g1.g_region AND e.seg = g1.seg
+             WHERE g1.c < {K_ANON_K}),
+    g2 AS (SELECT seg, count(*) AS c FROM esc2 GROUP BY 1)
+    SELECT CAST(0 AS BIGINT) AS level, g_nation AS g1, seg AS g2,
+           CAST(c AS BIGINT) AS n
+    FROM g0 WHERE c >= {K_ANON_K}
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), g_region, seg, CAST(c AS BIGINT)
+    FROM g1 WHERE c >= {K_ANON_K}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), '*', seg, CAST(c AS BIGINT)
+    FROM g2 WHERE c >= {K_ANON_K}
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), '*', '*', CAST(sum(c) AS BIGINT)
+    FROM g2 WHERE c < {K_ANON_K} HAVING sum(c) IS NOT NULL
+"""
+
+
+ORACLES["etl_k_generalize"] = _k_generalize_oracle()

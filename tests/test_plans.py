@@ -59,6 +59,15 @@ def test_whole_inventory_stays_jvm_side(spark):
         assert_no_python_udf(fn(spark, SF_CORRECT)), name
 
 
+def test_staged_queue_stays_jvm_side(spark):
+    """The r06 staging queue is held to the inventory plan bar BEFORE it
+    registers — no row-at-a-time Python sneaks in via the queue."""
+    from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+
+    for name, fn in r06_queue.QUERIES.items():
+        assert_no_python_udf(fn(spark, SF_CORRECT)), name
+
+
 def test_q14_broadcasts_part_and_pushes_dates(spark):
     from image_matadata_batchprocessing_aws_spark.queries.relational import q14_promo_share
 

@@ -106,3 +106,77 @@ def test_ppr_converged_raises_on_impossible_tol(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(RuntimeError, match="did not reach"):
         personalized_pagerank_converged(e, seeds, tol_scaled=0, max_iterations=2)
+
+
+def test_boruvka_msf_hand_graph(spark):
+    """Two components + a weight tie: the forest is the unique
+    (w, a, b)-lexicographic MSF, cycle edges drop, forests stay forests."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import boruvka_msf
+
+    edges = [
+        # component {0,1,2,3}: square with one diagonal; MST = the 3
+        # cheapest non-cycle edges
+        (0, 1, 10),
+        (1, 2, 20),
+        (2, 3, 30),
+        (0, 3, 40),   # closes the square: max on its cycle -> OUT
+        (0, 2, 50),   # diagonal, heaviest -> OUT
+        # component {7,8,9}: tie between (7,8) and (8,9) at w=5 — both
+        # are in the MSF (no cycle); (7,9,5) ties too and closes the
+        # cycle: lexicographic order keeps (7,8,5) and (7,9,5), drops
+        # the lexicographically-last tie (8,9,5)
+        (8, 7, 5),
+        (8, 9, 5),
+        (7, 9, 5),
+    ]
+    e = spark.createDataFrame(edges, "a long, b long, w long")
+    got = sorted(
+        tuple(r) for r in boruvka_msf(e, "a", "b", "w").collect()
+    )
+    assert got == [(0, 1, 10), (1, 2, 20), (2, 3, 30), (7, 8, 5), (7, 9, 5)]
+
+
+def test_boruvka_msf_single_edge_and_empty(spark):
+    from image_matadata_batchprocessing_aws_spark.operators.graph import boruvka_msf
+
+    one = spark.createDataFrame([(4, 2, 7)], "a long, b long, w long")
+    assert [tuple(r) for r in boruvka_msf(one).collect()] == [(2, 4, 7)]
+    empty = one.where("a < 0")
+    assert boruvka_msf(empty).count() == 0
+
+
+def test_winnowing_guarantee(spark):
+    """The paper's guarantee: two docs sharing a substring of
+    >= K + W - 1 tokens share at least one selected fingerprint."""
+    from image_matadata_batchprocessing_aws_spark.queries.r06_queue import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        positional_kgrams,
+    )
+    from pyspark.sql import functions as F, Window
+
+    shared = "alpha beta gamma delta epsilon zeta"  # K+W-1 = 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + shared + " tail one two"),
+            (2, "completely different head " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    g = positional_kgrams(docs, "text", "doc_id", WINNOW_K)
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np"))).over(w).alias("m"),
+        )
+        .where(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.col("m.fp").alias("fp"))
+        .distinct()
+    )
+    a = {r["fp"] for r in sel.where("doc_id = 1").collect()}
+    b = {r["fp"] for r in sel.where("doc_id = 2").collect()}
+    assert a & b, "docs sharing a t-token substring must share a fingerprint"
