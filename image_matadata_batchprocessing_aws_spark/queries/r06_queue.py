@@ -1708,3 +1708,43 @@ def _k_generalize_oracle() -> str:
 
 
 ORACLES["etl_k_generalize"] = _k_generalize_oracle()
+
+
+# --- streaming bottom-k sample (batch twin) ---------------------------------
+
+BOTTOMK_SAMPLE_K = 64
+
+
+def stream_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING deterministic bottom-k sample
+    (`streaming/sampling.py`): a uniform sample of an unbounded stream
+    kept exactly, as the k smallest keyed-md5 ranks.  Bottom-k is
+    mergeable (min-k of a union = min-k of carried min-k's), so the
+    foreachBatch sink's state after any stream prefix equals THIS query
+    over the same rows bit-for-bit (tests/test_streaming.py asserts
+    stream == batch across micro-batches).  Spark plans the batch form
+    as TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    never a global sort."""
+    from image_matadata_batchprocessing_aws_spark.streaming.sampling import (
+        bottomk_sample,
+    )
+
+    e = t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    return bottomk_sample(e, BOTTOMK_SAMPLE_K)
+
+
+QUERIES["stream_bottomk_sample"] = stream_bottomk_sample
+
+
+def _bottomk_sample_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = md5_int64_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+    SELECT event_id, user_id, event_type, {h} AS h
+    FROM events WHERE event_id IS NOT NULL
+    ORDER BY h, event_id LIMIT {BOTTOMK_SAMPLE_K}
+"""
+
+
+ORACLES["stream_bottomk_sample"] = _bottomk_sample_oracle()

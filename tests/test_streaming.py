@@ -713,3 +713,43 @@ def test_stream_stream_outer_attribution_with_watermark_flush(
     organic = [k for k, v in batch.items() if not v[1]]
     attributed = [k for k, v in batch.items() if v[1]]
     assert organic and attributed  # both sides of the outer semantics exercised
+
+
+def test_bottomk_sample_stream_matches_batch(spark, events_dir, tmp_path):
+    """streaming/sampling.py: the foreachBatch-maintained bottom-k state
+    after consuming all micro-batches equals the batch
+    ``ORDER BY md5 LIMIT k`` over the full input bit-for-bit, and every
+    intermediate epoch's state is the exact sample of its prefix
+    (mergeability is what makes micro-batching invisible)."""
+    from image_matadata_batchprocessing_aws_spark.streaming.sampling import (
+        bottomk_sample,
+        start_bottomk_sample_sink,
+    )
+
+    k = 16
+    stream = read_events_stream(spark, events_dir)
+    q = start_bottomk_sample_sink(
+        stream, k, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(str(tmp_path / "state"))
+    last = state.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type, r.h)
+        for r in state.where(F.col("batch_id") == last)
+        .select("event_id", "user_id", "event_type", "h")
+        .collect()
+    )
+    ev = spark.read.parquet(events_dir).select("event_id", "user_id", "event_type")
+    exp = sorted(
+        (r.event_id, r.user_id, r.event_type, r.h)
+        for r in bottomk_sample(ev, k).collect()
+    )
+    assert got == exp and len(got) == k
+    # state size is k rows per epoch, never more
+    per_epoch = {
+        r.batch_id: r["count"]
+        for r in state.groupBy("batch_id").count().collect()
+    }
+    assert all(c <= k for c in per_epoch.values())
