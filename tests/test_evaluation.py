@@ -359,3 +359,46 @@ def test_average_precision_hand_case(spark):
     assert r.n == 4 and r.n_pos == 2
     assert r.average_precision == round((1 + 2 / 3) / 2, 6)
     assert r.best_f1 == 0.8 and r.best_f1_rank == 3
+
+
+def test_delong_matches_rowlevel_numpy_reference(spark):
+    """roc_auc_delong's sufficient-statistics form vs an independent
+    row-level numpy implementation of the DeLong placement variances —
+    ties included (the per-distinct-score placement sharing must equal
+    per-row placements computed directly)."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import roc_auc_delong
+
+    rng_rows = [
+        (0.1, 0), (0.2, 0), (0.2, 1), (0.3, 0), (0.35, 1), (0.4, 1),
+        (0.4, 0), (0.5, 1), (0.5, 1), (0.6, 0), (0.7, 1), (0.8, 1),
+        (0.8, 0), (0.9, 1),
+    ]
+    df = spark.createDataFrame(rng_rows, "s double, y int")
+    got = roc_auc_delong(df, "s", "y").collect()[0]
+
+    scores = np.array([r[0] for r in rng_rows])
+    labels = np.array([r[1] for r in rng_rows])
+    pos, neg = scores[labels == 1], scores[labels == 0]
+    m, n = len(pos), len(neg)
+    v10 = np.array([((s > neg).sum() + 0.5 * (s == neg).sum()) / n for s in pos])
+    v01 = np.array([((pos > s).sum() + 0.5 * (pos == s).sum()) / m for s in neg])
+    auc = v10.mean()
+    se = math.sqrt(v10.var(ddof=1) / m + v01.var(ddof=1) / n)
+    assert got["n_pos"] == m and got["n_neg"] == n
+    assert abs(got["auc"] - round(auc, 6)) < 1e-12
+    assert abs(got["se"] - round(se, 6)) < 1e-12
+    assert abs(got["ci_lo"] - round(auc - 1.96 * se, 6)) < 1e-12
+    assert abs(got["ci_hi"] - round(auc + 1.96 * se, 6)) < 1e-12
+
+
+def test_delong_degenerate_groups_null(spark):
+    """<2 positives or <2 negatives: NULL variance columns, not a crash."""
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import roc_auc_delong
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.3, 1)], "s double, y int"
+    )
+    r = roc_auc_delong(df, "s", "y").collect()[0]
+    assert r["auc"] is None and r["se"] is None
