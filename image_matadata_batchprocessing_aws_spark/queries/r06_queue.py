@@ -1748,3 +1748,164 @@ def _bottomk_sample_oracle() -> str:
 
 
 ORACLES["stream_bottomk_sample"] = _bottomk_sample_oracle()
+
+
+# --- rank-biased overlap of the ANN ranking ---------------------------------
+
+RBO_P = 0.9
+RBO_SCALE = 1 << 40
+#: Per-depth weights (1-p)*p^(d-1)/d on the 2^40 integer scale, computed
+#: ONCE in Python and embedded as literals in both engines (the
+#: eval_ann_ndcg discount recipe) — a matched pair at truth-rank t and
+#: approx-rank a is inside every prefix of depth >= max(t, a), so its
+#: total weight is the suffix sum CUMW[max(t, a)] and the per-query RBO
+#: fold is pure integer arithmetic.
+_RBO_W = [
+    round(RBO_SCALE * (1 - RBO_P) * RBO_P ** (d - 1) / d) for d in range(1, 6)
+]
+RBO_CUMW = [sum(_RBO_W[m:]) for m in range(5)]  # CUMW[m-1] = sum_{d=m..K}
+
+
+def eval_rank_rbo(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010, truncated-@K
+    lower-bound form) between the exact L2 top-5 ranking and the IVFPQ
+    ranking, per query — the ranking-similarity companion to
+    `eval_ann_recall` (set overlap) and `eval_ann_ndcg` (graded order):
+    RBO weights agreement at the TOP of the lists, which is what an ANN
+    serving path actually returns to users.  One equi-join of the two
+    rankings + an integer suffix-weight lookup; the only float op is the
+    final descale."""
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import (
+        ann_ivfpq,
+        knn_brute_l2,
+    )
+
+    truth = knn_brute_l2(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rn").alias("rn_t")
+    )
+    approx = ann_ivfpq(spark, sf).select(
+        "query_id", "neighbor_id", F.col("rn").alias("rn_a")
+    )
+    cumw = F.array(*[F.lit(w) for w in RBO_CUMW])
+    matched = truth.join(approx, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        F.element_at(
+            cumw, F.greatest("rn_t", "rn_a").cast("int")
+        ).alias("__w"),
+    )
+    per_q = (
+        approx.select("query_id")
+        .distinct()
+        .join(
+            matched.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__s")
+            ),
+            "query_id",
+            "left",
+        )
+    )
+    s = F.coalesce("__s", F.lit(0))
+    return per_q.select(
+        "query_id",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_matched"),
+        s.cast("long").alias("rbo_scaled"),
+        F.round(s.cast("double") / F.lit(float(RBO_SCALE)), 6).alias("rbo"),
+    )
+
+
+QUERIES["eval_rank_rbo"] = eval_rank_rbo
+
+
+def _rbo_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.similarity import ORACLES as SIM
+
+    case = " ".join(
+        f"WHEN {m + 1} THEN CAST({w} AS BIGINT)" for m, w in enumerate(RBO_CUMW)
+    )
+    return f"""
+    WITH truth AS ({SIM["knn_brute_l2"]}),
+    approx AS ({SIM["ann_ivfpq"]}),
+    matched AS (
+      SELECT t.query_id,
+             CASE greatest(t.rn, a.rn) {case} END AS w
+      FROM truth t JOIN approx a
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+    folded AS (
+      SELECT query_id, count(*) AS n_matched, sum(w) AS s
+      FROM matched GROUP BY query_id)
+    SELECT q.query_id,
+           CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(coalesce(s, 0) AS BIGINT) AS rbo_scaled,
+           round(CAST(coalesce(s, 0) AS DOUBLE) / {float(RBO_SCALE)!r}, 6) AS rbo
+    FROM (SELECT DISTINCT query_id FROM approx) q
+    LEFT JOIN folded USING (query_id)
+"""
+
+
+ORACLES["eval_rank_rbo"] = _rbo_oracle()
+
+
+# --- DAU/MAU stickiness ------------------------------------------------------
+
+
+def agg_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """Engagement stickiness per calendar month: monthly active users,
+    the average daily-active count across the month's observed days,
+    and the DAU/MAU ratio in integer permille — the product-analytics
+    staple next to `agg_engagement_daily` and the retention cohorts.
+    Two distinct-count aggregates on calendar keys; the ratio closes in
+    exact integer `div` arithmetic."""
+    e = (
+        t(spark, sf, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_millis(F.date_trunc("month", "ts")).alias("month_ms"),
+            F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+        )
+    )
+    dau = e.groupBy("month_ms", "day_ms").agg(
+        F.countDistinct("user_id").alias("__dau")
+    )
+    daily = dau.groupBy("month_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__dau").cast("long").alias("__dau_sum"),
+    )
+    mau = e.groupBy("month_ms").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return daily.join(mau, "month_ms").select(
+        "month_ms",
+        "mau",
+        "n_days",
+        F.expr("__dau_sum div n_days").cast("long").alias("avg_dau"),
+        F.expr("__dau_sum * 1000 div (n_days * mau)")
+        .cast("long")
+        .alias("stickiness_permille"),
+    )
+
+
+QUERIES["agg_dau_mau"] = agg_dau_mau
+
+ORACLES["agg_dau_mau"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_ms(date_trunc('month', ts)) AS BIGINT) AS month_ms,
+             CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms
+      FROM events WHERE user_id IS NOT NULL),
+    dau AS (
+      SELECT month_ms, day_ms, count(DISTINCT user_id) AS d
+      FROM e GROUP BY 1, 2),
+    daily AS (
+      SELECT month_ms, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(d) AS BIGINT) AS dau_sum
+      FROM dau GROUP BY 1),
+    mau AS (
+      SELECT month_ms, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM e GROUP BY 1)
+    SELECT month_ms, mau, n_days,
+           CAST(dau_sum // n_days AS BIGINT) AS avg_dau,
+           CAST(dau_sum * 1000 // (n_days * mau) AS BIGINT)
+               AS stickiness_permille
+    FROM daily JOIN mau USING (month_ms)
+"""
