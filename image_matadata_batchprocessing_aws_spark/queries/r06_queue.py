@@ -1909,3 +1909,101 @@ ORACLES["agg_dau_mau"] = """
                AS stickiness_permille
     FROM daily JOIN mau USING (month_ms)
 """
+
+
+# --- MOSS-style near-dup pairs over winnowed fingerprints --------------------
+
+WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The MOSS similarity report built on `text_winnow_fingerprints`:
+    candidate document pairs sharing >= 3 winnowed fingerprints, with
+    the shared count — what a plagiarism/near-dup screen reviews.  The
+    posting-list self-join runs over the SELECTED fingerprints only
+    (~2/(W+1) of positions, winnowing's whole point: the index is
+    2.5x smaller than the full k-gram posting list for the same
+    t-token-match guarantee), and a frequency cap drops stop-gram
+    posting lists before the join — the same hot-key guard the MinHash
+    banding uses."""
+    from pyspark.sql import Window
+
+    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
+        positional_kgrams,
+    )
+
+    docs = t(spark, sf, "documents")
+    g = positional_kgrams(docs, "text", "doc_id", WINNOW_K)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np")))
+            .over(w)
+            .alias("m"),
+        )
+        .where(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.col("m.fp").alias("fp"))
+        .distinct()
+    )
+    # stop-gram guard: fingerprints in >32 docs join quadratically and
+    # carry no discrimination — cap before the self-join
+    hot = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).where(
+        F.col("__df") <= 32
+    )
+    posting = sel.join(hot.select("fp"), "fp")
+    a = posting.select("fp", F.col("doc_id").alias("id_a"))
+    b = posting.select("fp", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_PAIR_MIN)
+    )
+
+
+QUERIES["dedup_winnow_pairs"] = dedup_winnow_pairs
+
+
+def _winnow_pairs_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    fp = md5_int64_sql(
+        f"array_to_string(list_slice(t, pos + 1, pos + {WINNOW_K}), ' ')"
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''),
+    pos AS (
+      SELECT doc_id, t, unnest(range(len(t) - {WINNOW_K - 1})) AS pos
+      FROM toks WHERE len(t) >= {WINNOW_K}),
+    grams AS (SELECT doc_id, pos, {fp} AS fp FROM pos),
+    winmin AS (
+      SELECT doc_id, pos,
+             min(lpad(CAST(fp AS VARCHAR), 19, '0')
+                 || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS m
+      FROM grams),
+    sel AS (
+      SELECT DISTINCT doc_id, CAST(substr(m, 1, 19) AS BIGINT) AS fp
+      FROM winmin WHERE pos >= {WINNOW_W - 1}),
+    hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 32),
+    posting AS (SELECT s.doc_id, s.fp FROM sel s JOIN hot USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM posting a JOIN posting b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_PAIR_MIN}
+"""
+
+
+ORACLES["dedup_winnow_pairs"] = _winnow_pairs_oracle()

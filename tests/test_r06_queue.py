@@ -180,3 +180,50 @@ def test_winnowing_guarantee(spark):
     a = {r["fp"] for r in sel.where("doc_id = 1").collect()}
     b = {r["fp"] for r in sel.where("doc_id = 2").collect()}
     assert a & b, "docs sharing a t-token substring must share a fingerprint"
+
+
+def test_boruvka_matches_kruskal_on_random_graphs(spark):
+    """boruvka_msf vs an in-test Kruskal (union-find) under the same
+    (w, a, b) total order, on pseudo-random graphs with planted weight
+    ties and multiple components — two algorithms, identical forest."""
+    import hashlib
+
+    from image_matadata_batchprocessing_aws_spark.operators.graph import boruvka_msf
+
+    def kruskal(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for w, a, b in sorted((w, a, b) for a, b, w in edges):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                out.append((a, b, w))
+        return sorted(out)
+
+    for seed in ("g1", "g2", "g3"):
+        h = lambda s: int.from_bytes(  # noqa: E731
+            hashlib.md5(f"{seed}:{s}".encode()).digest()[:4], "big"
+        )
+        n = 10 + h("n") % 6
+        edges = []
+        for i in range(n * 2):
+            a, b = h(f"a{i}") % n, h(f"b{i}") % n
+            if a == b:
+                continue
+            a, b = min(a, b), max(a, b)
+            # coarse weights so ties happen; two disjoint node blocks
+            # (0..n-1 and 100..100+n-1) so the forest has >1 tree
+            w = h(f"w{i}") % 5
+            off = 100 if h(f"o{i}") % 2 else 0
+            edges.append((a + off, b + off, w))
+        edges = sorted(set(edges))
+        df = spark.createDataFrame(edges, "a long, b long, w long")
+        got = sorted(tuple(r) for r in boruvka_msf(df).collect())
+        assert got == kruskal(edges), seed
