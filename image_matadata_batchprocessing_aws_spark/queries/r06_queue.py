@@ -2007,3 +2007,120 @@ def _winnow_pairs_oracle() -> str:
 
 
 ORACLES["dedup_winnow_pairs"] = _winnow_pairs_oracle()
+
+
+# --- multi-touch attribution credit split ------------------------------------
+
+
+def join_multitouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution over the
+    click->purchase pairs of the watermarked attribution join: per
+    purchase, the first and last in-window clicks take 40% credit each
+    and the middles share 20% — in exact integer PERMILLE, with the
+    integer-division remainder pinned to the first touch so every
+    purchase's credits sum to exactly 1000 (single click = 1000,
+    two clicks = 500/500).  Credit in cents of the purchase value
+    follows the same `div` arithmetic.  One purchase-keyed window pair
+    (row_number + count) over the join output — the credit ledger a
+    marketing warehouse materializes next to the raw attribution
+    pairs."""
+    from image_matadata_batchprocessing_aws_spark.streaming import attribution_join
+    from pyspark.sql import Window
+
+    e = t(spark, sf, "events")
+    pairs = attribution_join(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        max_delay="1 hour",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("lag_ms").desc(), "click_id"
+    )
+    ranked = pairs.select(
+        "purchase_id",
+        "click_id",
+        "value",
+        F.row_number().over(w).alias("position"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("purchase_id"))
+        .alias("n_clicks"),
+    )
+    n = F.col("n_clicks")
+    credit = (
+        F.when(n == 1, F.lit(1000))
+        .when(
+            F.col("position") == 1,
+            F.when(n == 2, F.lit(500)).otherwise(400 + F.lit(200) % (n - 2)),
+        )
+        .when(
+            F.col("position") == n,
+            F.when(n == 2, F.lit(500)).otherwise(F.lit(400)),
+        )
+        .otherwise(F.expr("200 div (n_clicks - 2)"))
+    )
+    return ranked.select(
+        "purchase_id",
+        "click_id",
+        F.col("position").cast("long").alias("position"),
+        n.cast("long").alias("n_clicks"),
+        credit.cast("long").alias("credit_permille"),
+        F.expr(
+            "CAST(round(value * 100.0) AS BIGINT)"
+        ).alias("__cents"),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "position",
+        "n_clicks",
+        "credit_permille",
+        (F.col("__cents") * F.col("credit_permille"))
+        .cast("long")
+        .alias("__num"),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "position",
+        "n_clicks",
+        "credit_permille",
+        F.expr("__num div 1000").cast("long").alias("credit_cents"),
+    )
+
+
+QUERIES["join_multitouch_attribution"] = join_multitouch_attribution
+
+ORACLES["join_multitouch_attribution"] = """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT purchase_id, click_id,
+             CAST(epoch_ms(pts) - epoch_ms(cts) AS BIGINT) AS lag_ms,
+             round(value, 2) AS value
+      FROM purch p JOIN clicks c ON c.user_id = p.user_id
+       AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts),
+    ranked AS (
+      SELECT purchase_id, click_id, value,
+             CAST(row_number() OVER (PARTITION BY purchase_id
+                  ORDER BY lag_ms DESC, click_id) AS BIGINT) AS position,
+             CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_clicks
+      FROM pairs),
+    credited AS (
+      SELECT *,
+             CAST(CASE WHEN n_clicks = 1 THEN 1000
+                  WHEN position = 1 THEN
+                    CASE WHEN n_clicks = 2 THEN 500
+                         ELSE 400 + 200 % (n_clicks - 2) END
+                  WHEN position = n_clicks THEN
+                    CASE WHEN n_clicks = 2 THEN 500 ELSE 400 END
+                  ELSE 200 // (n_clicks - 2) END AS BIGINT)
+               AS credit_permille
+      FROM ranked)
+    SELECT purchase_id, click_id, position, n_clicks, credit_permille,
+           CAST(CAST(round(value * 100.0) AS BIGINT) * credit_permille
+                // 1000 AS BIGINT) AS credit_cents
+    FROM credited
+"""

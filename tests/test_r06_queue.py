@@ -227,3 +227,62 @@ def test_boruvka_matches_kruskal_on_random_graphs(spark):
         df = spark.createDataFrame(edges, "a long, b long, w long")
         got = sorted(tuple(r) for r in boruvka_msf(df).collect())
         assert got == kruskal(edges), seed
+
+
+def test_multitouch_credit_sums_to_1000(spark):
+    """U-shaped credit on crafted 1/2/3/5-click purchases: per-purchase
+    permille sums are exactly 1000 and the first touch absorbs the
+    integer-division remainder."""
+    import datetime as dt
+
+    from image_matadata_batchprocessing_aws_spark.queries.r06_queue import (
+        join_multitouch_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid, n_clicks in [(1, 1), (2, 2), (3, 3), (4, 5)]:
+        for i in range(n_clicks):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i), uid, "click", 0.0, None)
+            )
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(minutes=30), uid, "purchase", 10.0, None)
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sf = os.path.join(d, "sf")
+        os.makedirs(sf)
+        df.write.parquet(os.path.join(sf, "events.parquet"))
+        out = join_multitouch_attribution(spark, sf).collect()
+    by_user_purchase = {}
+    for r in out:
+        by_user_purchase.setdefault(r.purchase_id, []).append(r)
+    assert len(by_user_purchase) == 4
+    for pid, credits in by_user_purchase.items():
+        assert sum(c.credit_permille for c in credits) == 1000, pid
+        n = credits[0].n_clicks
+        by_pos = {c.position: c.credit_permille for c in credits}
+        if n == 1:
+            assert by_pos == {1: 1000}
+        elif n == 2:
+            assert by_pos == {1: 500, 2: 500}
+        elif n == 3:
+            assert by_pos == {1: 400, 2: 200, 3: 400}
+        elif n == 5:
+            # 200 div 3 = 66 per middle; remainder 2 pins to first touch
+            assert by_pos == {1: 402, 2: 66, 3: 66, 4: 66, 5: 400}
+        # credit_cents follows the same div arithmetic on the 1000-cent value
+        assert sum(c.credit_cents for c in credits) <= 1000
+        for c in credits:
+            assert c.credit_cents == 1000 * c.credit_permille // 1000
