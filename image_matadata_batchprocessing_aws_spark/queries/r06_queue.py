@@ -2124,3 +2124,96 @@ ORACLES["join_multitouch_attribution"] = """
                 // 1000 AS BIGINT) AS credit_cents
     FROM credited
 """
+
+
+# --- growth accounting (new / retained / resurrected / churned) --------------
+
+DAY_MS = 86400000
+
+
+def agg_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily growth accounting of the event stream's user base: every
+    active day decomposes into NEW (first-ever day), RETAINED (also
+    active the previous calendar day) and RESURRECTED (returning after
+    a gap), with CHURNED (active yesterday, silent today) alongside —
+    the canonical DAU decomposition (active = new + retained +
+    resurrected holds by construction and both engines must agree on
+    every count).  Shapes: one distinct (user, day) projection feeds a
+    per-user min (first day), a self-join shifted by one day, and one
+    day-keyed rollup — all partial-agg-friendly, nothing keyless.
+    Churn on a day with zero activity has no output row to land on and
+    is dropped identically on both sides (gap days are rare at any
+    realistic event volume)."""
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    ud = e.select(
+        "user_id", F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
+    ).distinct()
+    fd = ud.groupBy("user_id").agg(F.min("day_ms").alias("__fd"))
+    prev = ud.select(
+        "user_id", (F.col("day_ms") + DAY_MS).alias("day_ms"),
+        F.lit(1).alias("__was_active"),
+    )
+    flagged = (
+        ud.join(fd, "user_id")
+        .join(prev, ["user_id", "day_ms"], "left")
+        .select(
+            "day_ms",
+            (F.col("__fd") == F.col("day_ms")).cast("long").alias("__new"),
+            F.coalesce("__was_active", F.lit(0)).cast("long").alias("__ret"),
+        )
+    )
+    per_day = flagged.groupBy("day_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("active"),
+        F.sum("__new").cast("long").alias("new_users"),
+        F.sum("__ret").cast("long").alias("retained"),
+        F.sum(
+            (1 - F.col("__new")) * (1 - F.col("__ret"))
+        ).cast("long").alias("resurrected"),
+    )
+    churned = (
+        prev.join(ud, ["user_id", "day_ms"], "left_anti")
+        .groupBy("day_ms")
+        .agg(F.count(F.lit(1)).cast("long").alias("__churned"))
+    )
+    return per_day.join(churned, "day_ms", "left").select(
+        "day_ms",
+        "active",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("__churned", F.lit(0)).cast("long").alias("churned"),
+    )
+
+
+QUERIES["agg_growth_accounting"] = agg_growth_accounting
+
+ORACLES["agg_growth_accounting"] = f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms
+      FROM events WHERE user_id IS NOT NULL),
+    fd AS (SELECT user_id, min(day_ms) AS f FROM ud GROUP BY 1),
+    prev AS (SELECT user_id, day_ms + {DAY_MS} AS day_ms FROM ud),
+    flagged AS (
+      SELECT u.day_ms,
+             CASE WHEN fd.f = u.day_ms THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS is_ret
+      FROM ud u
+      JOIN fd ON fd.user_id = u.user_id
+      LEFT JOIN prev p ON p.user_id = u.user_id AND p.day_ms = u.day_ms),
+    per_day AS (
+      SELECT day_ms,
+             CAST(count(*) AS BIGINT) AS active,
+             CAST(sum(is_new) AS BIGINT) AS new_users,
+             CAST(sum(is_ret) AS BIGINT) AS retained,
+             CAST(sum((1 - is_new) * (1 - is_ret)) AS BIGINT) AS resurrected
+      FROM flagged GROUP BY 1),
+    churned AS (
+      SELECT p.day_ms, CAST(count(*) AS BIGINT) AS c
+      FROM prev p LEFT JOIN ud u
+        ON u.user_id = p.user_id AND u.day_ms = p.day_ms
+      WHERE u.user_id IS NULL GROUP BY 1)
+    SELECT d.day_ms, active, new_users, retained, resurrected,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS churned
+    FROM per_day d LEFT JOIN churned c ON c.day_ms = d.day_ms
+"""
