@@ -2217,3 +2217,236 @@ ORACLES["agg_growth_accounting"] = f"""
            CAST(coalesce(c.c, 0) AS BIGINT) AS churned
     FROM per_day d LEFT JOIN churned c ON c.day_ms = d.day_ms
 """
+
+
+# --- deterministic random-walk corpus (DeepWalk) -----------------------------
+
+WALK_SEED_MOD = 50  # the PPR seed cohort: custkey % 50 == 0
+WALK_STEPS = 4
+
+
+def _walk_step_spark(cur: DataFrame, edges: DataFrame, step: int) -> DataFrame:
+    """One walk step: among the current node's neighbors pick the one
+    with the smallest md5(walk, step, neighbor) — a deterministic,
+    replayable stand-in for the uniform step of DeepWalk (the hash is
+    uniform over neighbors, and reruns/partitionings can't change it)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    h = md5_int64(
+        F.concat_ws(
+            ":",
+            F.col("walk_id").cast("string"),
+            F.lit(str(step)),
+            F.col("dst").cast("string"),
+        )
+    )
+    nxt = (
+        cur.join(edges, cur["node"] == edges["src"])
+        .select("walk_id", h.alias("__h"), "dst")
+        .groupBy("walk_id")
+        .agg(F.min(F.struct(F.col("__h"), F.col("dst"))).alias("__m"))
+        .select("walk_id", F.col("__m.dst").alias("node"))
+    )
+    return nxt
+
+
+def graph_walk_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the bipartite purchase
+    graph (Perozzi et al. 2014): fixed-length walks from the seed
+    cohort, each step choosing the neighbor with the minimum keyed md5 —
+    deterministic "randomness", so the corpus is reproducible across
+    reruns, partitionings and engines, and the oracle can replay every
+    step.  This is the sentence generator graph-embedding training
+    feeds; each step is one equi-join + one per-walk struct-min groupBy
+    (map-side partials), WALK_STEPS exchanges total, no windows."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        o.where(F.col("o_custkey") % WALK_SEED_MOD == 0)
+        .select((F.col("o_custkey") * 2).alias("node"))
+        .distinct()
+        # seeds with no edges walk nowhere: keep graph members only
+        .join(edges.select(F.col("src").alias("node")).distinct(), "node")
+        .select(F.col("node").alias("walk_id"), F.col("node"))
+    )
+    out = seeds.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), F.col("node")
+    )
+    cur = seeds
+    for step in range(1, WALK_STEPS + 1):
+        cur = _walk_step_spark(cur, edges, step)
+        out = out.unionByName(
+            cur.select(
+                "walk_id", F.lit(step).cast("long").alias("step"), "node"
+            )
+        )
+    return out
+
+
+QUERIES["graph_walk_corpus"] = graph_walk_corpus
+
+
+def _walk_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = lambda step: md5_int64_sql(  # noqa: E731
+        f"CAST(walk_id AS VARCHAR) || ':' || '{step}' || ':' || CAST(dst AS VARCHAR)"
+    )
+    steps_sql = []
+    prev = "s0"
+    for step in range(1, WALK_STEPS + 1):
+        steps_sql.append(f"""
+    s{step} AS (
+      SELECT walk_id, node FROM (
+        SELECT {prev}.walk_id, e.dst AS node,
+               row_number() OVER (PARTITION BY {prev}.walk_id
+                   ORDER BY {h(step)}, e.dst) AS rn
+        FROM {prev} JOIN edges e ON e.src = {prev}.node)
+      WHERE rn = 1)""")
+        prev = f"s{step}"
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT walk_id, CAST({i} AS BIGINT) AS step, node FROM s{i}"
+        for i in range(WALK_STEPS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    s0 AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS walk_id,
+             CAST(o_custkey * 2 AS BIGINT) AS node
+      FROM orders
+      WHERE o_custkey % {WALK_SEED_MOD} = 0
+        AND o_custkey * 2 IN (SELECT src FROM edges)),{",".join(steps_sql)}
+{selects}
+"""
+
+
+ORACLES["graph_walk_corpus"] = _walk_oracle()
+
+
+# --- two-proportion z-test (A/B conversion) ----------------------------------
+
+
+def agg_ab_proportions(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on a hash-split A/B assignment: users split
+    into arms by md5 parity (deterministic, rerun-stable — the
+    experiment-assignment primitive `sample_predicate` rides), the
+    conversion metric is "user's biggest purchase tops 130" (every user
+    on this stream purchases eventually, so bare did-purchase saturates
+    at 100% and the test degenerates — the value threshold keeps the
+    rates interior), and the pooled z-stat decides the arm difference —
+    THE A/B significance primitive next to the Welch/means family.
+    Exact integer counts all the way; the z closes in one
+    identically-written double expression (mult/div/sqrt), the p<0.05
+    verdict compares |z| against the literal 1.96, and an all-converted
+    or none-converted pool returns NULL z rather than dividing by
+    zero."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 130.0)
+                ).cast("long")
+            ).alias("__conv")
+        )
+        .select(
+            (md5_int64(F.concat(F.lit("ab\x1f"), F.col("user_id").cast("string"))) % 2
+             ).alias("arm"),
+            "__conv",
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__conv").alias("__k")
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("__n").alias("n_a"), F.col("__k").alias("k_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("__n").alias("n_b"), F.col("__k").alias("k_b")
+    )
+    one = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ka, kb = F.col("k_a").cast("double"), F.col("k_b").cast("double")
+    p_pool = (ka + kb) / (na + nb)
+    ok = (F.col("k_a") + F.col("k_b") > 0) & (
+        F.col("k_a") + F.col("k_b") < F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(
+        ok,
+        (ka / na - kb / nb)
+        / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / na + 1.0 / nb)),
+    )
+    return one.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("k_b").cast("long").alias("k_b"),
+        F.round(ka / na, 6).alias("rate_a"),
+        F.round(kb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    )
+
+
+QUERIES["agg_ab_proportions"] = agg_ab_proportions
+
+
+def _ab_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = md5_int64_sql("'ab' || chr(31) || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH users AS (
+      SELECT ({h}) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 130.0
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    arms AS (
+      SELECT arm, count(*) AS n, sum(conv) AS k FROM users GROUP BY arm),
+    one AS (
+      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+      FROM (SELECT n, k FROM arms WHERE arm = 0) a
+      CROSS JOIN (SELECT n, k FROM arms WHERE arm = 1) b),
+    closed AS (
+      SELECT n_a, k_a, n_b, k_b,
+             CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+             CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+             (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+      FROM one)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS k_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS k_b,
+           round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+           round(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+                 (ra - rb) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                 END, 6) AS z,
+           abs(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+               (ra - rb) / sqrt(pp * (1.0 - pp)
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               END) > 1.96 AS significant_05
+    FROM closed
+"""
+
+
+ORACLES["agg_ab_proportions"] = _ab_oracle()
