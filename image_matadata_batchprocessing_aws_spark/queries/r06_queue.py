@@ -2450,3 +2450,130 @@ def _ab_oracle() -> str:
 
 
 ORACLES["agg_ab_proportions"] = _ab_oracle()
+
+
+# --- OHLC bars ---------------------------------------------------------------
+
+
+def ts_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC candles of the event value stream per event type —
+    open/close as argmin/argmax over a zero-padded (ts, event_id)
+    varchar key (deterministic under same-timestamp ties; a string
+    because DuckDB's arg_min won't order by a struct), high/low as
+    plain min/max.  No arithmetic touches the values at all (raw
+    parquet doubles pass through), so the candles are bit-exact by
+    construction; one calendar-keyed partial agg, no windows."""
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    hour = F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms")
+    key = F.concat(
+        F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(hour, "event_type", key.alias("__k"), "value")
+        .groupBy("hour_ms", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min_by("value", F.col("__k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("__k")).alias("close"),
+        )
+    )
+
+
+QUERIES["ts_ohlc_bars"] = ts_ohlc_bars
+
+ORACLES["ts_ohlc_bars"] = """
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           arg_min(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+# --- resource-allocation link prediction --------------------------------------
+
+RA_SCALE = 10**6
+RA_TOPK = 30
+
+
+def graph_resource_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lu & Zhang
+    2009) on the co-purchase graph: RA(x,y) = sum over shared neighbors
+    w of 1/deg(w) — the stronger cousin of Jaccard/common-neighbors
+    that discounts promiscuous hubs.  Same bounded candidate shape as
+    `graph_jaccard_neighbors` (pairs only from the shared-neighbor
+    equi-join), and the score stays an exact integer: each shared
+    neighbor contributes RA_SCALE div deg(w), so both engines fold the
+    same BIGINTs — top-30 with an id tiebreak."""
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        JACC_ORDER_MOD,
+    )
+
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % JACC_ORDER_MOD == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "o").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    p1 = adj.select(F.col("n").alias("w"), F.col("v").alias("x"))
+    p2 = adj.select(F.col("n").alias("w"), F.col("v").alias("y"))
+    dw = deg.select(F.col("v").alias("w"), F.col("deg").alias("__dw"))
+    scored = (
+        p1.join(p2, "w")
+        .where(F.col("x") < F.col("y"))
+        .join(dw, "w")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr(f"{RA_SCALE} div __dw")).cast("long").alias("ra_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ra_scaled").desc(), "x", "y"
+    ).limit(RA_TOPK)
+
+
+QUERIES["graph_resource_allocation"] = graph_resource_allocation
+
+
+def _ra_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        JACC_ORDER_MOD,
+    )
+
+    return f"""
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % {JACC_ORDER_MOD} = 0),
+    edges AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    adj AS (SELECT a AS v, b AS n FROM edges
+            UNION ALL SELECT b AS v, a AS n FROM edges),
+    deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+    scored AS (
+      SELECT p1.v AS x, p2.v AS y,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum({RA_SCALE} // d.deg) AS BIGINT) AS ra_scaled
+      FROM adj p1
+      JOIN adj p2 ON p1.n = p2.n AND p1.v < p2.v
+      JOIN deg d ON d.v = p1.n
+      GROUP BY 1, 2)
+    SELECT x, y, n_common, ra_scaled FROM scored
+    ORDER BY ra_scaled DESC, x, y LIMIT {RA_TOPK}
+"""
+
+
+ORACLES["graph_resource_allocation"] = _ra_oracle()
