@@ -2577,3 +2577,214 @@ def _ra_oracle() -> str:
 
 
 ORACLES["graph_resource_allocation"] = _ra_oracle()
+
+
+# --- TextRank keyphrases ------------------------------------------------------
+
+TEXTRANK_WINDOW = 2  # co-occurrence within +/-2 token positions
+TEXTRANK_ITERS = 3
+TEXTRANK_TOPK = 30
+
+
+def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word co-occurrence graph (an undirected edge when
+    two >=4-letter lowercase words appear within 2 positions in a
+    document), top-30 words by rank — the graph-centrality counterpart
+    to RAKE's degree heuristic and tf-idf's frequency ratio, and a
+    composition proof: the SAME `pagerank_scaled` fixed-point kernel
+    the purchase-graph queries run, re-pointed at a text-derived edge
+    list with string nodes.  Exact: scaled-long power iteration, oracle
+    unrolled as integer CTEs."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        pagerank_scaled,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    ).where(F.col("w").rlike("^[a-z]{4,}$"))
+    pair_parts = []
+    for k in range(1, TEXTRANK_WINDOW + 1):
+        a = toks.select("doc_id", F.col("pos").alias("p"), F.col("w").alias("w1"))
+        b = toks.select(
+            "doc_id", (F.col("pos") - k).alias("p"), F.col("w").alias("w2")
+        )
+        pair_parts.append(
+            a.join(b, ["doc_id", "p"]).where(F.col("w1") != F.col("w2"))
+        )
+    pairs = pair_parts[0].unionByName(pair_parts[1])
+    und = pairs.select(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    ).distinct()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank_scaled(edges, iterations=TEXTRANK_ITERS)
+    return (
+        pr.select(F.col("node").alias("word"), "rank_scaled")
+        .orderBy(F.col("rank_scaled").desc(), "word")
+        .limit(TEXTRANK_TOPK)
+    )
+
+
+QUERIES["text_textrank_keywords"] = text_textrank_keywords
+
+
+def _textrank_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    base = f"({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) // ({PR_DAMP_DEN} * nn.n)"
+    shifts = " UNION ALL ".join(
+        f"""SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + {k}"""
+        for k in range(1, TEXTRANK_WINDOW + 1)
+    )
+    ctes = [
+        r"""td AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                   FROM documents WHERE trim(text) <> '')""",
+        f"""toks AS (SELECT doc_id, pos, t[pos + 1] AS w
+                     FROM (SELECT doc_id, t, unnest(range(len(t))) AS pos FROM td)
+                     WHERE regexp_matches(t[pos + 1], '^[a-z]{{4,}}$'))""",
+        f"shifted AS ({shifts})",
+        """und AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+                   FROM shifted WHERE w1 <> w2)""",
+        """edges AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b AS src, a AS dst FROM und)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (SELECT DISTINCT node FROM
+                     (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""r0 AS (SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS rank_scaled
+                   FROM nodes CROSS JOIN nn)""",
+    ]
+    prev = "r0"
+    for it in range(1, TEXTRANK_ITERS + 1):
+        ctes.append(
+            f"""i{it} AS (SELECT e.dst AS node,
+                       sum((r.rank_scaled * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * d.deg)) AS inc
+                FROM {prev} r JOIN deg d ON r.node = d.src
+                JOIN edges e ON r.node = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS (SELECT nodes.node,
+                       CAST({base} + coalesce(i.inc, 0) AS BIGINT) AS rank_scaled
+                FROM nodes CROSS JOIN nn LEFT JOIN i{it} i ON nodes.node = i.node)"""
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS word, rank_scaled
+    FROM {prev}
+    ORDER BY rank_scaled DESC, word LIMIT {TEXTRANK_TOPK}"""
+    )
+
+
+ORACLES["text_textrank_keywords"] = _textrank_oracle()
+
+
+# --- decile lift & gains table -------------------------------------------------
+
+
+def eval_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift/gains chart for a score column (order price scoring
+    urgency, the `eval_roc_auc` setup): equal-frequency deciles via the
+    broadcast exact-percentile binner (`operators/scale.quantile_bin` —
+    never a global ntile window over the data), then per decile the
+    positive count, cumulative GAINS permille (share of all positives
+    captured walking down from the best decile) and LIFT permille
+    (decile positive rate over base rate) — the model-targeting chart
+    next to ROC/PR.  The one unkeyed cumulative window runs over the
+    10-row decile table, bounded by construction; all ratios close in
+    integer `div`."""
+    from pyspark.sql import Window
+
+    from image_matadata_batchprocessing_aws_spark.operators.scale import quantile_bin
+
+    o = t(spark, sf, "orders").select(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("__y"),
+    )
+    binned = quantile_bin(o, ["o_totalprice"], n_bins=10)
+    per = binned.groupBy(
+        F.col("o_totalprice_bin").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__nn"), F.sum("pos").alias("__pp")
+    )
+    w = (
+        Window.orderBy(F.col("decile").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.sum("pos").over(w).cast("long").alias("cum_pos"),
+            F.col("__nn"),
+            F.col("__pp"),
+        )
+        .select(
+            "decile",
+            "n",
+            "pos",
+            "cum_pos",
+            F.expr("cum_pos * 1000 div __pp").cast("long").alias("gains_permille"),
+            F.expr("pos * __nn * 1000 div (n * __pp)")
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+
+
+QUERIES["eval_lift_gains"] = eval_lift_gains
+
+
+def _lift_gains_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(s, {i / 10}) AS q{i}" for i in range(1, 10)
+    )
+    bins = " + ".join(f"CAST(s > q{i} AS INT)" for i in range(1, 10))
+    return f"""
+    WITH o AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders),
+    q AS (SELECT {qs} FROM o),
+    b AS (SELECT CAST({bins} AS BIGINT) AS decile, y FROM o, q),
+    per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM b GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(pos) AS BIGINT) AS pp FROM per),
+    cum AS (
+      SELECT decile, n, pos,
+             CAST(sum(pos) OVER (ORDER BY decile DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+      FROM per)
+    SELECT decile, n, pos, cum_pos,
+           CAST(cum_pos * 1000 // pp AS BIGINT) AS gains_permille,
+           CAST(pos * nn * 1000 // (n * pp) AS BIGINT) AS lift_permille
+    FROM cum, tot
+"""
+
+
+ORACLES["eval_lift_gains"] = _lift_gains_oracle()
