@@ -2788,3 +2788,168 @@ def _lift_gains_oracle() -> str:
 
 
 ORACLES["eval_lift_gains"] = _lift_gains_oracle()
+
+
+# --- SSIM verify stage over decoded image pairs --------------------------------
+
+SSIM_N_PAIRS = 20
+SSIM_C1 = 6.5025   # (0.01 * 255)^2 — the standard SSIM stabilizers
+SSIM_C2 = 58.5225  # (0.03 * 255)^2
+SSIM_N_PIX = 3 * 224 * 224
+
+
+def _ssim_colors(pair_id: int) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+    va = (pair_id % 251, (pair_id * 7) % 251, (pair_id * 13) % 251)
+    if pair_id % 2 == 0:
+        return va, va  # planted duplicate
+    vb = ((pair_id * 3 + 1) % 251, (pair_id * 11 + 2) % 251, (pair_id * 17 + 3) % 251)
+    return va, vb
+
+
+def multimodal_image_ssim(spark: SparkSession, sf: str) -> DataFrame:
+    """Global SSIM (Wang et al. 2004) between decoded image pairs — the
+    VERIFY stage of an image-dedup funnel (pHash bands generate
+    candidates; SSIM confirms before a merge).  Solid-color PNG pairs
+    (even pair ids planted as exact duplicates) decode through the real
+    pure-numpy codec + Arrow pipeline, and the five SSIM sufficient
+    statistics (sum, two sums of squares, cross sum over the padded
+    224x224 CHW tensors) fold ENTIRELY in JVM expressions
+    (transform/zip_with/aggregate) — integer-valued doubles, exact —
+    so the oracle derives the same sums in closed form (value x
+    content-pixel count) and the SSIM formula closes in one
+    identically-written double expression.  Identical pairs hit
+    ssim = 1.0 bitwise."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import decode_images
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import PNG_DIMS
+
+    rows = []
+    for pair_id in range(SSIM_N_PAIRS):
+        h, w = PNG_DIMS[pair_id % len(PNG_DIMS)]
+        va, vb = _ssim_colors(pair_id)
+        for side, v in (("a", va), ("b", vb)):
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :, 0], img[:, :, 1], img[:, :, 2] = v
+            rows.append(
+                (pair_id, side, f"{pair_id}_{side}.png", bytearray(encode_png(img)))
+            )
+    entries = spark.createDataFrame(
+        rows, "pair_id long, side string, entry_name string, content binary"
+    )
+    decoded = decode_images(
+        entries.select("entry_name", "content"),
+        use_real_codec=True,
+        normalize=False,
+    ).join(
+        entries.select(
+            "pair_id", "side", F.col("entry_name").alias("file_name")
+        ),
+        "file_name",
+    )
+    dbl = F.transform("image", lambda v: v.cast("double"))
+    summed = decoded.select(
+        "pair_id",
+        "side",
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x).alias("s"),
+        F.aggregate(
+            F.zip_with(dbl, dbl, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ss"),
+        dbl.alias("__img"),
+    )
+    a = summed.where(F.col("side") == "a").select(
+        "pair_id", F.col("s").alias("sx"), F.col("ss").alias("sxx"),
+        F.col("__img").alias("__xa"),
+    )
+    b = summed.where(F.col("side") == "b").select(
+        "pair_id", F.col("s").alias("sy"), F.col("ss").alias("syy"),
+        F.col("__img").alias("__xb"),
+    )
+    j = a.join(b, "pair_id").select(
+        "pair_id", "sx", "sxx", "sy", "syy",
+        F.aggregate(
+            F.zip_with("__xa", "__xb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sxy"),
+    )
+    n = F.lit(float(SSIM_N_PIX))
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cov = F.col("sxy") / n - mx * my
+    ssim = ((2.0 * mx * my + SSIM_C1) * (2.0 * cov + SSIM_C2)) / (
+        (mx * mx + my * my + SSIM_C1) * (vx + vy + SSIM_C2)
+    )
+    return j.select(
+        "pair_id",
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.round(ssim, 6).alias("ssim"),
+        (F.round(ssim, 6) >= 0.999999).alias("is_dup"),
+    )
+
+
+QUERIES["multimodal_image_ssim"] = multimodal_image_ssim
+
+
+def _ssim_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.multimodal import (
+        PNG_DIMS,
+        _png_content_pixels,
+    )
+
+    px_case = " ".join(
+        f"WHEN {i} THEN {px}" for i, px in enumerate(_png_content_pixels())
+    )
+    n = float(SSIM_N_PIX)
+    return f"""
+    WITH p AS (SELECT unnest(range({SSIM_N_PAIRS})) AS pair_id),
+    c AS (
+      SELECT pair_id,
+             CASE pair_id % {len(PNG_DIMS)} {px_case} END AS px,
+             pair_id % 251 AS ra, (pair_id * 7) % 251 AS ga,
+             (pair_id * 13) % 251 AS ba,
+             CASE WHEN pair_id % 2 = 0 THEN pair_id % 251
+                  ELSE (pair_id * 3 + 1) % 251 END AS rb,
+             CASE WHEN pair_id % 2 = 0 THEN (pair_id * 7) % 251
+                  ELSE (pair_id * 11 + 2) % 251 END AS gb,
+             CASE WHEN pair_id % 2 = 0 THEN (pair_id * 13) % 251
+                  ELSE (pair_id * 17 + 3) % 251 END AS bb
+      FROM p),
+    sums AS (
+      SELECT pair_id,
+             CAST((ra + ga + ba) * px AS BIGINT) AS sx,
+             CAST((rb + gb + bb) * px AS BIGINT) AS sy,
+             CAST((ra*ra + ga*ga + ba*ba) * px AS BIGINT) AS sxx,
+             CAST((rb*rb + gb*gb + bb*bb) * px AS BIGINT) AS syy,
+             CAST((ra*rb + ga*gb + ba*bb) * px AS BIGINT) AS sxy
+      FROM c),
+    closed AS (
+      SELECT pair_id, sx, sy, sxx, syy, sxy,
+             CAST(sx AS DOUBLE) / {n!r} AS mx,
+             CAST(sy AS DOUBLE) / {n!r} AS my,
+             CAST(sxx AS DOUBLE) / {n!r} AS exx,
+             CAST(syy AS DOUBLE) / {n!r} AS eyy,
+             CAST(sxy AS DOUBLE) / {n!r} AS exy
+      FROM sums)
+    SELECT pair_id, sx, sy, sxx, syy, sxy,
+           round(((2.0 * mx * my + {SSIM_C1}) * (2.0 * (exy - mx * my) + {SSIM_C2}))
+                 / ((mx * mx + my * my + {SSIM_C1})
+                    * ((exx - mx * mx) + (eyy - my * my) + {SSIM_C2})), 6)
+               AS ssim,
+           round(((2.0 * mx * my + {SSIM_C1}) * (2.0 * (exy - mx * my) + {SSIM_C2}))
+                 / ((mx * mx + my * my + {SSIM_C1})
+                    * ((exx - mx * mx) + (eyy - my * my) + {SSIM_C2})), 6)
+               >= 0.999999 AS is_dup
+    FROM closed
+"""
+
+
+ORACLES["multimodal_image_ssim"] = _ssim_oracle()
