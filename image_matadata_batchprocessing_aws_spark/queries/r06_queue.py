@@ -2953,3 +2953,76 @@ def _ssim_oracle() -> str:
 
 
 ORACLES["multimodal_image_ssim"] = _ssim_oracle()
+
+
+# --- expected calibration error (one-number rollup) ---------------------------
+
+
+def eval_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected + maximum calibration error over the `eval_calibration`
+    reliability bins, as ONE row — the number a model gate thresholds.
+    The whole fold is exact integers: per bin |sum(p6) - 10^6 * sum(y)|
+    is n_b * |confidence - accuracy| on the 1e-6 scale, so ECE = the
+    BIGINT sum of those divided ONCE by 10^6 * N (and MCE is the max of
+    per-bin doubles computed identically on both engines)."""
+    o = t(spark, sf, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("__mn"), F.max("o_totalprice").alias("__mx")
+    )
+    p = (F.col("o_totalprice") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+    base = o.crossJoin(F.broadcast(mm)).select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("long").alias("bin"),
+        F.round(p * 1000000.0).cast("long").alias("__p6"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("__y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__p6").alias("__sp6"),
+        F.sum("__y").alias("__sy"),
+    )
+    dev = F.abs(F.col("__sp6") - 1000000 * F.col("__sy"))
+    folded = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__n").cast("long").alias("n_total"),
+        F.sum(dev).cast("long").alias("ece_num"),
+        F.max(
+            dev.cast("double") / (1000000.0 * F.col("__n").cast("double"))
+        ).alias("__mce"),
+    )
+    return folded.select(
+        "n_bins",
+        "n_total",
+        "ece_num",
+        F.round(
+            F.col("ece_num").cast("double")
+            / (1000000.0 * F.col("n_total").cast("double")),
+            6,
+        ).alias("ece"),
+        F.round("__mce", 6).alias("mce"),
+    )
+
+
+QUERIES["eval_ece"] = eval_ece
+
+ORACLES["eval_ece"] = """
+    WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    b AS (
+      SELECT least(CAST(floor((o_totalprice - mn) / (mx - mn) * 10) AS BIGINT), 9) AS bin,
+             CAST(round((o_totalprice - mn) / (mx - mn) * 1000000.0) AS BIGINT) AS p6,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders CROSS JOIN mm),
+    a AS (SELECT bin, count(*) AS n, sum(p6) AS sp6, sum(y) AS sy
+          FROM b GROUP BY bin),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(abs(sp6 - 1000000 * sy)) AS BIGINT) AS ece_num,
+             max(CAST(abs(sp6 - 1000000 * sy) AS DOUBLE)
+                 / (1000000.0 * CAST(n AS DOUBLE))) AS mce
+      FROM a)
+    SELECT n_bins, n_total, ece_num,
+           round(CAST(ece_num AS DOUBLE)
+                 / (1000000.0 * CAST(n_total AS DOUBLE)), 6) AS ece,
+           round(mce, 6) AS mce
+    FROM folded
+"""

@@ -753,3 +753,35 @@ def test_bottomk_sample_stream_matches_batch(spark, events_dir, tmp_path):
         for r in state.groupBy("batch_id").count().collect()
     }
     assert all(c <= k for c in per_epoch.values())
+
+
+def test_ohlc_candles_stream_matches_batch(spark, events_dir):
+    """OHLC candles are min/max/arg-min/arg-max — all associative and
+    commutative — so the identical windowed aggregation runs under
+    readStream and micro-batch partials converge to the batch candles
+    exactly (the ts_ohlc_bars operator shape, windowed)."""
+    def candles(df):
+        key = F.concat(
+            F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+        return (
+            df.where(F.col("value").isNotNull())
+            .select(F.window("ts", "1 hour").alias("w"), key.alias("k"), "value")
+            .groupBy("w")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min_by("value", F.col("k")).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", F.col("k")).alias("close"),
+            )
+            .select(F.unix_millis("w.start").alias("ws"), "n", "open", "high", "low", "close")
+        )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_to_memory(spark, candles(stream), "ohlc_stream")
+    batch = candles(spark.read.parquet(events_dir))
+    g = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert g == b and len(g) > 0
