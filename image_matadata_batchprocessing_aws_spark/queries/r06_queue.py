@@ -3026,3 +3026,206 @@ ORACLES["eval_ece"] = """
            round(mce, 6) AS mce
     FROM folded
 """
+
+
+# --- Mann-Kendall trend test ----------------------------------------------------
+
+
+def ts_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type over the DAILY
+    value sums (Mann 1945; Kendall's S with the tie-corrected variance)
+    — the nonparametric "is this metric drifting" screen that needs no
+    distributional assumptions, the trend cousin of the CUSUM/changepoint
+    family.  The pairwise i<j sign sum runs over the per-key DAILY
+    aggregate (calendar-bounded — ~30 rows per key whatever the data
+    volume), so the quadratic join is bounded by construction, exactly
+    like the bounded SemDeDup cells.  Daily sums are exact scaled-cent
+    BIGINTs, S and the tie term are integers, and z closes in one
+    identically-written double expression."""
+    e = t(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type",
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("__x")
+    )
+    a = daily.select(
+        "event_type", F.col("day_ms").alias("di"), F.col("__x").alias("xi")
+    )
+    b = daily.select(
+        "event_type", F.col("day_ms").alias("dj"), F.col("__x").alias("xj")
+    )
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("di") < F.col("dj"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.signum((F.col("xj") - F.col("xi")).cast("double")).cast("long")
+            ).alias("s")
+        )
+    )
+    nrow = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .where(F.col("__t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = (
+        nrow.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("long").alias("s"),
+            F.coalesce("tie_term", F.lit(0)).cast("long").alias("tie_term"),
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(var18)).when(
+        F.col("s") < 0, (sd + 1.0) / F.sqrt(var18)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        "n",
+        "s",
+        "tie_term",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 1.96).alias("trend_05"),
+    )
+
+
+QUERIES["ts_mann_kendall"] = ts_mann_kendall
+
+ORACLES["ts_mann_kendall"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+             CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day_ms < b.day_ms
+      GROUP BY 1),
+    nrow AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, count(*) AS t FROM daily
+            GROUP BY 1, 2 HAVING count(*) > 1)
+      GROUP BY 1),
+    j AS (
+      SELECT nrow.event_type, n, s,
+             CAST(coalesce(tie_term, 0) AS BIGINT) AS tie_term
+      FROM nrow JOIN s USING (event_type)
+      LEFT JOIN ties USING (event_type)),
+    closed AS (
+      SELECT event_type, n, s, tie_term,
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                           / 18.0)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                    / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                           / 18.0)
+                  ELSE 0.0 END AS z
+      FROM j)
+    SELECT event_type, n, s, tie_term, round(z, 6) AS z,
+           abs(round(z, 6)) > 1.96 AS trend_05
+    FROM closed
+"""
+
+
+# --- Cohen's d effect size --------------------------------------------------------
+
+
+def eval_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d effect size between urgent/high and normal/low order
+    values — the magnitude companion to the Welch significance test
+    (significance says "real", d says "big enough to care").  Exact
+    scaled-cent integer sufficient statistics (sum, sum of squares) per
+    arm; the pooled SD and d close in one identically-written double
+    expression."""
+    o = t(spark, sf, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    arms = o.groupBy("g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("c").alias("__s"),
+        F.sum(F.col("c") * F.col("c")).alias("__ss"),
+    )
+    a = arms.where(F.col("g") == 1).select(
+        F.col("__n").alias("n1"), F.col("__s").alias("s1"), F.col("__ss").alias("ss1")
+    )
+    b = arms.where(F.col("g") == 0).select(
+        F.col("__n").alias("n2"), F.col("__s").alias("s2"), F.col("__ss").alias("ss2")
+    )
+    one = a.crossJoin(F.broadcast(b))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1 / 100.0
+    m2 = F.col("s2").cast("double") / n2 / 100.0
+    v1 = (F.col("ss1").cast("double") / 10000.0 - m1 * m1 * n1) / (n1 - 1.0)
+    v2 = (F.col("ss2").cast("double") / 10000.0 - m2 * m2 * n2) / (n2 - 1.0)
+    sp = F.sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+    return one.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(m1, 6).alias("mean1"),
+        F.round(m2, 6).alias("mean2"),
+        F.round((m1 - m2) / sp, 6).alias("cohens_d"),
+    )
+
+
+QUERIES["eval_cohens_d"] = eval_cohens_d
+
+ORACLES["eval_cohens_d"] = """
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS g,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+      FROM orders),
+    arms AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM o GROUP BY g),
+    one AS (
+      SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
+             b.n AS n2, b.s AS s2, b.ss AS ss2
+      FROM (SELECT * FROM arms WHERE g = 1) a
+      CROSS JOIN (SELECT * FROM arms WHERE g = 0) b),
+    closed AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
+             (CAST(ss1 AS DOUBLE) / 10000.0
+                - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+                  * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0)
+                  * CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(ss2 AS DOUBLE) / 10000.0
+                - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+                  * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0)
+                  * CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+      FROM one)
+    SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+           round((m1 - m2)
+                 / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+                         + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)
+               AS cohens_d
+    FROM closed
+"""
