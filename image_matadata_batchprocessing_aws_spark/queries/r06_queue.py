@@ -3229,3 +3229,62 @@ ORACLES["eval_cohens_d"] = """
                AS cohens_d
     FROM closed
 """
+
+
+# --- full MOSS dedup pipeline: winnow -> pairs -> components -> keep ------------
+
+
+def pipeline_winnow_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The winnowing-based near-dup pipeline end to end — the MOSS
+    alternative to the MinHash funnel: winnowed fingerprints ->
+    posting-list candidate pairs (>= 3 shared) -> large-star/small-star
+    connected components -> the keep/drop ledger (component minimum is
+    canonical, with group sizes).  Same one-lazy-plan composition
+    discipline as `pipeline_pretraining_corpus`; the oracle replays the
+    pair generation and resolves components with a recursive
+    reachability CTE."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = dedup_winnow_pairs(spark, sf).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, "id_a", "id_b", out_id="doc_id", out_component="component"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "group_size",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+QUERIES["pipeline_winnow_dedup"] = pipeline_winnow_dedup
+
+
+def _winnow_dedup_oracle() -> str:
+    # the dedup_winnow_pairs chain, then recursive-CTE component resolve
+    pair_sql = _winnow_pairs_oracle()
+    # strip the trailing SELECT into a CTE: reuse by wrapping
+    return f"""
+    WITH RECURSIVE pairs_out AS ({pair_sql}),
+    edges AS (SELECT id_a AS ea, id_b AS eb FROM pairs_out
+              UNION ALL SELECT id_b AS ea, id_a AS eb FROM pairs_out),
+    reach(src, node) AS (
+      SELECT ea AS src, ea AS node FROM edges
+      UNION
+      SELECT r.src, g.eb FROM reach r JOIN edges g ON r.node = g.ea),
+    comp AS (SELECT src AS doc_id, min(node) AS component
+             FROM reach GROUP BY src),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+              FROM comp GROUP BY component)
+    SELECT c.doc_id, CAST(c.component AS BIGINT) AS component,
+           s.group_size, c.doc_id = c.component AS keep
+    FROM comp c JOIN sizes s USING (component)
+"""
+
+
+ORACLES["pipeline_winnow_dedup"] = _winnow_dedup_oracle()
