@@ -395,3 +395,54 @@ def wav_pitch_autocorr(
             )
 
     return audio.mapInPandas(pitch, PITCH_SCHEMA)
+
+
+RESAMPLE_SCHEMA = (
+    "file_name string, src_rate long, dst_rate long, n_in long, n_out long, "
+    "sum2 long, decode_error string"
+)
+
+
+def resample_linear(audio: DataFrame, dst_rate: int) -> DataFrame:
+    """Linear-interpolation resampler over the Arrow pipeline — the
+    sample-rate normalization stage an audio-corpus build runs before
+    feature extraction (real deployments swap in a windowed-sinc kernel;
+    the engine surface — binary in, per-row error isolation, exact
+    audit column out — is identical).
+
+    Output grid: ``m = (n-1) * dst // src + 1`` positions at
+    ``j * src / dst`` source coordinates (endpoints preserved), values
+    by ``np.interp``.  The audit column ``sum2`` is the DOUBLED sample
+    sum cast to int64: for integer-ratio upsampling the interpolated
+    values are exact halves, so doubling makes the audit integral and
+    engine-exact (a ramp input stays a ramp, giving the oracle a closed
+    form).
+    """
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["file_name"], pdf["content"]):
+                try:
+                    samples, rate = decode_wav(bytes(content))
+                    ch0 = samples[:, 0].astype(np.float64)
+                    n = len(ch0)
+                    if n < 2:
+                        raise AudioFormatError("resample needs >= 2 samples")
+                    m = (n - 1) * dst_rate // rate + 1
+                    pos = np.arange(m, dtype=np.float64) * (rate / dst_rate)
+                    out = np.interp(pos, np.arange(n, dtype=np.float64), ch0)
+                    rows.append(
+                        (name, rate, dst_rate, n, m, int(round((2.0 * out).sum())), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-file isolation
+                    rows.append((name, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name", "src_rate", "dst_rate", "n_in", "n_out",
+                    "sum2", "decode_error",
+                ],
+            )
+
+    return audio.mapInPandas(rs, RESAMPLE_SCHEMA)

@@ -3288,3 +3288,58 @@ def _winnow_dedup_oracle() -> str:
 
 
 ORACLES["pipeline_winnow_dedup"] = _winnow_dedup_oracle()
+
+
+# --- audio resample (linear), closed-form ramp oracle --------------------------
+
+RS_N_DOCS = 12
+RS_SRC, RS_DST = 8000, 16000
+
+
+def multimodal_audio_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-rate normalization for an audio corpus: 8 kHz -> 16 kHz
+    linear resampling (`multimodal/audio.resample_linear`) through the
+    Arrow pipeline over genuine PCM16 WAV fixtures.  The fixtures are
+    integer RAMPS, and linear interpolation of a linear signal is the
+    signal — so the doubled output sum has the closed form
+    (2n-1) * (2a + b(n-1)) and the oracle pins the whole decode ->
+    interpolate -> audit path bit-exactly.  Per-row error isolation,
+    real header parsing, real interpolation; only the audit statistic
+    is fixture-simplified."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        encode_wav_pcm16,
+        resample_linear,
+    )
+
+    rows = []
+    for d in range(RS_N_DOCS):
+        n = 100 + 37 * d
+        a, b = 5 * d - 20, d % 7 + 1
+        samples = a + b * np.arange(n, dtype=np.int64)
+        rows.append(
+            (d, f"{d}.wav", bytearray(encode_wav_pcm16(samples, RS_SRC)))
+        )
+    audio = spark.createDataFrame(
+        rows, "doc_id long, file_name string, content binary"
+    )
+    out = resample_linear(audio.select("file_name", "content"), RS_DST)
+    return out.join(
+        audio.select("doc_id", "file_name"), "file_name"
+    ).select("doc_id", "src_rate", "dst_rate", "n_in", "n_out", "sum2")
+
+
+QUERIES["multimodal_audio_resample"] = multimodal_audio_resample
+
+ORACLES["multimodal_audio_resample"] = f"""
+    SELECT d AS doc_id,
+           CAST({RS_SRC} AS BIGINT) AS src_rate,
+           CAST({RS_DST} AS BIGINT) AS dst_rate,
+           CAST(100 + 37 * d AS BIGINT) AS n_in,
+           CAST(2 * (100 + 37 * d) - 1 AS BIGINT) AS n_out,
+           CAST((2 * (100 + 37 * d) - 1)
+                * (2 * (5 * d - 20) + (d % 7 + 1) * (100 + 37 * d - 1))
+                AS BIGINT) AS sum2
+    FROM (SELECT unnest(range({RS_N_DOCS})) AS d)
+"""

@@ -184,3 +184,34 @@ def test_detect_silence_segments_runs_and_error_rows(spark):
     assert (a2.is_silent, a2.start_frame, a2.end_frame, a2.n_frames) == (False, 3, 3, 1)
     b0 = rows[("b", 0)]
     assert (b0.is_silent, b0.n_frames) == (True, 2)
+
+
+def test_resample_linear_nonramp_reference(spark):
+    """resample_linear vs a direct numpy reference on a NON-ramp signal
+    (the closed-form oracle only exercises ramps; this pins the
+    interpolation itself) plus the error-isolation path."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        encode_wav_pcm16,
+        resample_linear,
+    )
+
+    rng = np.array([0, 100, -50, 32767, -32768, 7, 7, -7], dtype=np.int64)
+    df = spark.createDataFrame(
+        [
+            ("a.wav", bytearray(encode_wav_pcm16(rng, 8000))),
+            ("bad.wav", bytearray(b"not a wav")),
+        ],
+        "file_name string, content binary",
+    )
+    out = {r.file_name: r for r in resample_linear(df, 16000).collect()}
+    n = len(rng)
+    m = (n - 1) * 2 + 1
+    pos = np.arange(m) * 0.5
+    ref = np.interp(pos, np.arange(n), rng.astype(np.float64))
+    a = out["a.wav"]
+    assert a.n_in == n and a.n_out == m and a.decode_error is None
+    assert a.sum2 == int(round((2.0 * ref).sum()))
+    assert out["bad.wav"].decode_error is not None
+    assert out["bad.wav"].sum2 is None
