@@ -3343,3 +3343,55 @@ ORACLES["multimodal_audio_resample"] = f"""
                 AS BIGINT) AS sum2
     FROM (SELECT unnest(range({RS_N_DOCS})) AS d)
 """
+
+
+# --- SQL-defined scalar function (SQL UDF surface) -----------------------------
+
+
+def sql_api_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """API-parity proof for the SQL-UDF surface: a scalar function
+    DEFINED IN SQL (``CREATE TEMPORARY FUNCTION ... RETURN expr`` — a
+    pure Catalyst expression, inlined at plan time, so zero Python and
+    no serialization cost anywhere) used by a plain ``spark.sql`` query
+    over the registered views.  The oracle runs the macro-expanded SQL
+    on DuckDB — one definition, two engines, same cents.  This is the
+    house way to ship reusable business logic to SQL users without
+    leaving whole-stage codegen."""
+    from image_matadata_batchprocessing_aws_spark.sources.tables import register_views
+
+    register_views(spark, sf)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discounted_cents"
+        "(price DOUBLE, disc DOUBLE) RETURNS BIGINT "
+        "RETURN cents(price) - CAST(round(cents(price) * disc) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(cents(l_extendedprice)) AS BIGINT) AS gross_cents,
+               CAST(sum(discounted_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS net_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+QUERIES["sql_api_udf"] = sql_api_udf
+
+#: The macro-expanded form of the SQL UDFs above — what Catalyst inlines.
+ORACLES["sql_api_udf"] = """
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    - CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * l_discount) AS BIGINT))
+                AS BIGINT) AS net_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
