@@ -78,3 +78,36 @@ def test_pysource_stream_replays_batch_corpus_exactly(spark, tmp_path):
     }
     want = {r.doc_id: (r.text, r.lang, r.n_chars) for r in _read(spark, 50, 4).collect()}
     assert got == want
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """sources/pysink.py: the custom Python DataSource WRITER — write
+    documents through the plugin (temp-then-rename two-phase commit),
+    read the JSONL back, and require exact row equality plus the
+    _SUCCESS manifest naming exactly the visible part files."""
+    import os
+
+    from image_matadata_batchprocessing_aws_spark.sources.pysink import register_sink
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    src = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src.repartition(4).write.format("pyjsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    manifest = open(os.path.join(out, "_SUCCESS")).read().split()
+    assert manifest == files and len(files) == 4
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        f"{out}/*.jsonl"
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    exp = sorted(tuple(r) for r in src.collect())
+    assert got == exp and len(got) > 0
