@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -78,6 +79,57 @@ class JsonlSinkWriter(DataSourceWriter):
                 pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming side of the sink: same temp-then-rename recipe, but
+    commit is PER EPOCH and the epoch's files rename to
+    ``batch-<epoch>-<name>`` with a ``_SUCCESS-<epoch>`` manifest —
+    re-running an epoch after a crash overwrites its own manifest and
+    leaves every other epoch untouched (the replay-idempotency
+    contract the numbered-batch parquet sink documents)."""
+
+    def __init__(self, options: dict, schema):
+        self.path = options["path"]
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator):  # noqa: D102 — API contract
+        os.makedirs(self.path, exist_ok=True)
+        name = f"{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self.path, name + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {c: row[i] for i, c in enumerate(self.columns)},
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    )
+                )
+                fh.write("\n")
+        return JsonlCommit(name)
+
+    def commit(self, messages, batchId):  # noqa: D102, N803 — API contract
+        names = []
+        for m in messages:
+            final = f"batch-{batchId}-{m.file_name}"
+            os.rename(
+                os.path.join(self.path, m.file_name + ".tmp"),
+                os.path.join(self.path, final),
+            )
+            names.append(final)
+        manifest = os.path.join(self.path, f"_SUCCESS-{batchId}")
+        with open(manifest, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(sorted(names)) + "\n")
+
+    def abort(self, messages, batchId):  # noqa: D102, N803 — API contract
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.file_name + ".tmp"))
+            except OSError:
+                pass
+
+
 class JsonlSinkSource(DataSource):
     """``df.write.format("pyjsonl_sink").option("path", dir).save()``."""
 
@@ -87,6 +139,9 @@ class JsonlSinkSource(DataSource):
 
     def writer(self, schema, overwrite: bool):  # noqa: D102 — API contract
         return JsonlSinkWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: D102, N802 — API contract
+        return JsonlStreamWriter(self.options, schema)
 
 
 def register_sink(spark) -> None:

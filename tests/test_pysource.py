@@ -111,3 +111,49 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     got = sorted(tuple(r) for r in back.collect())
     exp = sorted(tuple(r) for r in src.collect())
     assert got == exp and len(got) > 0
+
+
+def test_python_datasource_stream_writer(spark, tmp_path):
+    """The STREAMING side of the plugin sink: events stream through
+    writeStream.format('pyjsonl_sink') across micro-batches; every
+    input row lands exactly once, per-epoch manifests name exactly the
+    visible files, and no temp files survive."""
+    import glob as _glob
+    import os
+
+    from image_matadata_batchprocessing_aws_spark.sources.pysink import register_sink
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    register_sink(spark)
+    src_dir = str(tmp_path / "in")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.format("pyjsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert not _glob.glob(f"{out}/*.tmp")
+    manifests = sorted(_glob.glob(f"{out}/_SUCCESS-*"))
+    assert len(manifests) >= 2  # multiple epochs actually ran
+    named = sorted(
+        n for m in manifests for n in open(m).read().split()
+    )
+    on_disk = sorted(
+        os.path.basename(p) for p in _glob.glob(f"{out}/batch-*.jsonl")
+    )
+    assert named == on_disk
+    back = spark.read.schema("event_id long, event_type string").json(
+        f"{out}/batch-*.jsonl"
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    exp = sorted(tuple(r) for r in ev.collect())
+    assert got == exp and len(got) > 0
