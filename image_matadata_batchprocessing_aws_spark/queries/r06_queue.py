@@ -3395,3 +3395,189 @@ ORACLES["sql_api_udf"] = """
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --- A/B sample-size planning (power analysis) -----------------------------------
+
+POWER_Z_ALPHA = 1.959963984540054  # two-sided 0.05
+POWER_Z_BETA = 0.8416212335729143  # 80% power
+
+
+def agg_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Required per-arm sample size to detect the OBSERVED arm
+    difference of the `agg_ab_proportions` experiment at alpha=0.05 /
+    80% power — the "how long must this test run" planning number,
+    computed from the same md5-parity split and conversion metric.
+    n = (z_a + z_b)^2 (p1(1-p1) + p2(1-p2)) / (p1-p2)^2, ceil'd; the z
+    constants are shared literals, the close is one identical double
+    expression, and the observed rates are exact count ratios."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    users = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 130.0)
+            ).cast("long")
+        ).alias("__conv"),
+        (
+            md5_int64(
+                F.concat(F.lit("ab\x1f"), F.col("user_id").cast("string"))
+            ) % 2
+        ).alias("arm"),
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__conv").alias("__k")
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("__n").alias("n_a"), F.col("__k").alias("k_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("__n").alias("n_b"), F.col("__k").alias("k_b")
+    )
+    one = a.crossJoin(F.broadcast(b))
+    p1 = F.col("k_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("k_b").cast("double") / F.col("n_b").cast("double")
+    z = F.lit(POWER_Z_ALPHA) + F.lit(POWER_Z_BETA)
+    n_req = F.ceil(
+        z * z * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / ((p1 - p2) * (p1 - p2))
+    )
+    ok = (F.col("k_a") * F.col("n_b")) != (F.col("k_b") * F.col("n_a"))
+    return one.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.when(ok, n_req).cast("long").alias("n_required_per_arm"),
+    )
+
+
+QUERIES["agg_power_analysis"] = agg_power_analysis
+
+
+def _power_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = md5_int64_sql("'ab' || chr(31) || CAST(user_id AS VARCHAR)")
+    z = POWER_Z_ALPHA + POWER_Z_BETA
+    return f"""
+    WITH users AS (
+      SELECT ({h}) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 130.0
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    arms AS (SELECT arm, count(*) AS n, sum(conv) AS k FROM users GROUP BY arm),
+    one AS (
+      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+      FROM (SELECT n, k FROM arms WHERE arm = 0) a
+      CROSS JOIN (SELECT n, k FROM arms WHERE arm = 1) b),
+    closed AS (
+      SELECT n_a, n_b, k_a, k_b,
+             CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+             CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2
+      FROM one)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(p1, 6) AS rate_a, round(p2, 6) AS rate_b,
+           CAST(CASE WHEN k_a * n_b <> k_b * n_a THEN
+                ceil({z!r} * {z!r} * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                     / ((p1 - p2) * (p1 - p2))) END AS BIGINT)
+               AS n_required_per_arm
+    FROM closed
+"""
+
+
+ORACLES["agg_power_analysis"] = _power_oracle()
+
+
+# --- deterministic SMOTE oversampling ----------------------------------------------
+
+SMOTE_SCALE = 10**6
+
+
+def embedding_smote_synth(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic SMOTE (Chawla et al. 2002, lambda pinned at 1/2):
+    for every vector of the MINORITY class, synthesize the midpoint
+    with its nearest same-class neighbor — the class-rebalancing
+    oversampler, made replayable by quantizing dimensions to exact
+    1e-6 BIGINTs BEFORE the distance ranking, so the nearest-neighbor
+    choice and the synthetic-vector audit are pure integer arithmetic
+    on both engines (no float-ordering roulette anywhere).  Minority
+    sets are small by definition, so the pair ranking is
+    minority-bounded, never corpus-quadratic."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x: F.round(x * SMOTE_SCALE).cast("long"),
+        ).alias("q"),
+    )
+    minority = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy("__n", "label")
+        .first()["label"]
+    )
+    m = e.where(F.col("label") == minority)
+    a = m.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    b = m.select(F.col("vec_id").alias("nn"), F.col("q").alias("qb"))
+    pairs = a.join(F.broadcast(b), F.col("src") != F.col("nn")).select(
+        "src",
+        "nn",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist_q"),
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x + y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("synth_sum2q"),
+    )
+    best = pairs.groupBy("src").agg(
+        F.min(F.struct("dist_q", "nn", "synth_sum2q")).alias("m")
+    )
+    return best.select(
+        F.col("src").alias("vec_id"),
+        F.col("m.nn").alias("nn_id"),
+        F.col("m.dist_q").alias("dist_q"),
+        F.lit(minority).cast("long").alias("label"),
+        F.col("m.synth_sum2q").alias("synth_sum2q"),
+    )
+
+
+QUERIES["embedding_smote_synth"] = embedding_smote_synth
+
+ORACLES["embedding_smote_synth"] = f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {SMOTE_SCALE}) AS BIGINT)) AS q
+      FROM embeddings),
+    mlabel AS (SELECT label FROM q GROUP BY label
+               ORDER BY count(*), label LIMIT 1),
+    m AS (SELECT q.* FROM q JOIN mlabel USING (label)),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS nn,
+             CAST(list_sum(list_transform(range(len(a.q)),
+                  i -> (a.q[i + 1] - b.q[i + 1]) * (a.q[i + 1] - b.q[i + 1])))
+               AS BIGINT) AS dist_q,
+             CAST(list_sum(list_transform(range(len(a.q)),
+                  i -> a.q[i + 1] + b.q[i + 1]))
+               AS BIGINT) AS synth_sum2q
+      FROM m a JOIN m b ON a.vec_id <> b.vec_id),
+    best AS (
+      SELECT src, nn, dist_q, synth_sum2q,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist_q, nn) AS rn
+      FROM pairs)
+    SELECT src AS vec_id, nn AS nn_id, dist_q,
+           CAST((SELECT label FROM mlabel) AS BIGINT) AS label,
+           synth_sum2q
+    FROM best WHERE rn = 1
+"""
