@@ -3581,3 +3581,167 @@ ORACLES["embedding_smote_synth"] = f"""
            synth_sum2q
     FROM best WHERE rn = 1
 """
+
+
+# --- Good-Turing unseen-mass estimate ------------------------------------------
+
+
+def text_good_turing(spark: SparkSession, sf: str) -> DataFrame:
+    """Good-Turing coverage estimate per language: hapax/dis legomena
+    counts and the Turing estimate of UNSEEN vocabulary mass
+    (p0 = N1/N) — the "how much more vocabulary is out there" number a
+    corpus planner reads next to the Heaps curve
+    (`text_vocab_growth`).  Two keyed partial aggs (token counts, then
+    frequency-of-frequencies); the estimate closes in integer
+    permille."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import tokens
+
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "lang", F.explode(tokens("text")).alias("__tok")
+    )
+    counts = tok.groupBy("lang", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy("lang").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long").alias("dis"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis",
+        F.expr("hapax * 1000 div n_tokens").cast("long").alias("p0_permille"),
+    )
+
+
+QUERIES["text_good_turing"] = text_good_turing
+
+ORACLES["text_good_turing"] = r"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''),
+    counts AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // sum(c)
+                AS BIGINT) AS p0_permille
+    FROM counts GROUP BY lang
+"""
+
+
+# --- Katz centrality --------------------------------------------------------------
+
+KATZ_BETA_NUM, KATZ_BETA_DEN = 1, 10  # attenuation 0.1
+KATZ_ITERS = 3
+KATZ_SCALE = 10**12
+KATZ_TOPK = 30
+
+
+def graph_katz(spark: SparkSession, sf: str) -> DataFrame:
+    """Katz centrality (Katz 1953) on the bipartite purchase graph:
+    rank = sum over path lengths k of beta^k (A^k 1) — unlike degree it
+    credits long-range reachability, unlike PageRank it does not
+    normalize by out-degree (hubs radiate full weight).  Same
+    scaled-long fixed-point kernel family as `pagerank_scaled`: 3
+    unrolled rounds of one edge join + one integer groupBy, oracle as
+    unrolled CTEs, top-30 with the (kind, entity) tiebreak."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # x0 = scale * 1 per node; each round: x_{k} = beta * A x_{k-1}
+    # (scaled integer div); katz = sum of rounds 1..K
+    x = nodes.select("node", F.lit(KATZ_SCALE).cast("long").alias("v"))
+    total = nodes.select("node", F.lit(0).cast("long").alias("katz_scaled"))
+    for _ in range(KATZ_ITERS):
+        x = (
+            edges.join(x, edges["src"] == x["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"v * {KATZ_BETA_NUM} div {KATZ_BETA_DEN}").alias("__m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__m").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        total = (
+            total.join(x, "node", "left")
+            .select(
+                "node",
+                (F.col("katz_scaled") + F.coalesce("v", F.lit(0))).alias(
+                    "katz_scaled"
+                ),
+            )
+        )
+    return (
+        total.select(
+            (F.col("node") % 2).cast("long").alias("node_kind"),
+            F.expr("node div 2").cast("long").alias("entity_id"),
+            F.col("katz_scaled").cast("long").alias("katz_scaled"),
+        )
+        .orderBy(F.col("katz_scaled").desc(), "node_kind", "entity_id")
+        .limit(KATZ_TOPK)
+    )
+
+
+QUERIES["graph_katz"] = graph_katz
+
+
+def _katz_oracle() -> str:
+    ctes = [
+        """pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (SELECT c AS src, s AS dst FROM pairs
+                     UNION ALL SELECT s AS src, c AS dst FROM pairs)""",
+        """nodes AS (SELECT DISTINCT node FROM
+                     (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))""",
+        f"x0 AS (SELECT node, CAST({KATZ_SCALE} AS BIGINT) AS v FROM nodes)",
+    ]
+    prev = "x0"
+    sums = []
+    for it in range(1, KATZ_ITERS + 1):
+        ctes.append(
+            f"""x{it} AS (SELECT e.dst AS node,
+                   CAST(sum((x.v * {KATZ_BETA_NUM}) // {KATZ_BETA_DEN}) AS BIGINT) AS v
+                   FROM {prev} x JOIN edges e ON x.node = e.src GROUP BY e.dst)"""
+        )
+        sums.append(f"SELECT node, v FROM x{it}")
+        prev = f"x{it}"
+    ctes.append(f"allx AS ({' UNION ALL '.join(sums)})")
+    ctes.append(
+        """katz AS (SELECT n.node, CAST(coalesce(sum(a.v), 0) AS BIGINT)
+                       AS katz_scaled
+                    FROM nodes n LEFT JOIN allx a ON a.node = n.node
+                    GROUP BY n.node)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node % 2 AS BIGINT) AS node_kind,
+           CAST(node // 2 AS BIGINT) AS entity_id, katz_scaled
+    FROM katz
+    ORDER BY katz_scaled DESC, node_kind, entity_id LIMIT {KATZ_TOPK}"""
+    )
+
+
+ORACLES["graph_katz"] = _katz_oracle()
