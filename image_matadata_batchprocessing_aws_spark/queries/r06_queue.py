@@ -3745,3 +3745,88 @@ def _katz_oracle() -> str:
 
 
 ORACLES["graph_katz"] = _katz_oracle()
+
+
+# --- Fleiss' kappa over rule raters ---------------------------------------------
+
+
+def eval_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Fleiss' kappa (1971) across three deterministic quality "raters"
+    (char-length, token-count, and mean-word-length rules) labeling
+    every document keep/drop — the inter-annotator agreement number a
+    labeling pipeline reads before trusting majority votes, here
+    measuring how much the cheap quality heuristics actually agree
+    beyond chance.  Per-item agreement reduces to the integer
+    pos^2 + (3-pos)^2 - 3 fold, chance agreement to one integer ratio
+    pair, and kappa closes in one identical double expression."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import token_count
+
+    d = t(spark, sf, "documents").select(
+        F.col("n_chars"),
+        F.length("text").alias("__len"),
+        token_count("text").alias("__tok"),
+    )
+    pos = (
+        (F.col("n_chars") > 150).cast("long")
+        + (F.col("__tok") > 30).cast("long")
+        + (F.col("__len") < F.col("__tok") * 7).cast("long")
+    )
+    per = d.select(pos.alias("__pos"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__pos").cast("long").alias("sum_pos"),
+        F.sum(
+            F.col("__pos") * F.col("__pos")
+            + (3 - F.col("__pos")) * (3 - F.col("__pos"))
+            - 3
+        ).cast("long").alias("sum_pi_num"),
+    )
+    nd = F.col("n_docs").cast("double")
+    pbar = F.col("sum_pi_num").cast("double") / (6.0 * nd)
+    ppos = F.col("sum_pos").cast("double") / (3.0 * nd)
+    pe = ppos * ppos + (1.0 - ppos) * (1.0 - ppos)
+    kappa = (pbar - pe) / (1.0 - pe)
+    return agg.select(
+        "n_docs",
+        "sum_pos",
+        "sum_pi_num",
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(kappa, 6).alias("fleiss_kappa"),
+    )
+
+
+QUERIES["eval_fleiss_kappa"] = eval_fleiss_kappa
+
+ORACLES["eval_fleiss_kappa"] = r"""
+    WITH d AS (
+      SELECT n_chars, length(text) AS len,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS BIGINT) AS tok
+      FROM documents),
+    per AS (
+      SELECT (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+              + CASE WHEN tok > 30 THEN 1 ELSE 0 END
+              + CASE WHEN len < tok * 7 THEN 1 ELSE 0 END) AS pos
+      FROM d),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS sum_pos,
+             CAST(sum(pos * pos + (3 - pos) * (3 - pos) - 3) AS BIGINT)
+               AS sum_pi_num
+      FROM per),
+    closed AS (
+      SELECT n_docs, sum_pos, sum_pi_num,
+             CAST(sum_pi_num AS DOUBLE) / (6.0 * CAST(n_docs AS DOUBLE))
+               AS pbar,
+             CAST(sum_pos AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)) AS ppos
+      FROM agg)
+    SELECT n_docs, sum_pos, sum_pi_num,
+           round(pbar, 6) AS p_bar,
+           round(ppos * ppos + (1.0 - ppos) * (1.0 - ppos), 6) AS p_e,
+           round((pbar - (ppos * ppos + (1.0 - ppos) * (1.0 - ppos)))
+                 / (1.0 - (ppos * ppos + (1.0 - ppos) * (1.0 - ppos))), 6)
+               AS fleiss_kappa
+    FROM closed
+"""
