@@ -196,6 +196,11 @@ def test_window_plan_comment_matches_code():
     assert len(in_window_from_queue) == 30
     m = re.search(r"(\d+) queue entries remain never-driver-checked", src)
     assert m and int(m.group(1)) == len(r05_queue.QUERIES) - 30
+    # the drain-plan comment's r06-queue tally tracks the actual queue
+    from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+
+    m = re.search(r"(\d+) pairs staged by end of r05", src)
+    assert m and int(m.group(1)) == len(r06_queue.QUERIES)
 
 
 def test_track_persist_release(spark):
