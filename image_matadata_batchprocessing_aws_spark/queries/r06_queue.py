@@ -3830,3 +3830,177 @@ ORACLES["eval_fleiss_kappa"] = r"""
                AS fleiss_kappa
     FROM closed
 """
+
+
+# --- energy distance (two-sample embedding test) ---------------------------------
+
+ENERGY_MOD = 3  # mod-sample both classes so the pair grid stays bounded
+
+
+def embedding_energy_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy distance (Szekely & Rizzo 2004) between the label-0 and
+    label-1 embedding samples: E = 2*mean d(X,Y) - mean d(X,X') -
+    mean d(Y,Y') — the metric two-sample homogeneity test for "did the
+    embedding distribution move", stronger than per-dimension KS
+    because it sees the joint geometry.  Determinism recipe: dimensions
+    quantize to 1e-6 BIGINTs, each pair's euclidean distance is
+    sqrt(integer) (one correctly-rounded IEEE op on an identical
+    integer, so both engines get the same double) re-rounded to a
+    1e-6-scaled BIGINT, and all means are integer sums divided once —
+    no float accumulation order anywhere.  Both classes mod-sample to
+    keep the pair grids bounded (the estimator is valid on subsamples;
+    the knob trades variance for cost)."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+
+    e = t(spark, sf, "embeddings").where(
+        (F.col("label").isin(0, 1)) & (F.col("vec_id") % ENERGY_MOD == 0)
+    ).select(
+        "vec_id",
+        "label",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x: F.round(x * 1000000).cast("long"),
+        ).alias("q"),
+    )
+
+    def pair_sum(left, right, cond):
+        j = left.join(right, cond)
+        d_int = F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dq = F.round(F.sqrt(d_int.cast("double"))).cast("long")
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dq).cast("long").alias("s"),
+        )
+
+    x = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa")
+    )
+    y = e.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb")
+    )
+    xy = pair_sum(x, y.withColumnRenamed("ib", "ib2"), F.lit(True)).select(
+        F.col("n").alias("n_xy"), F.col("s").alias("s_xy")
+    )
+    xx = pair_sum(
+        x,
+        x.select(F.col("ia").alias("ia2"), F.col("qa").alias("qb")),
+        F.col("ia") < F.col("ia2"),
+    ).select(F.col("n").alias("n_xx"), F.col("s").alias("s_xx"))
+    yy = pair_sum(
+        y.select("ib", F.col("qb").alias("qa")),
+        y.select(F.col("ib").alias("ib2"), "qb"),
+        F.col("ib") < F.col("ib2"),
+    ).select(F.col("n").alias("n_yy"), F.col("s").alias("s_yy"))
+    one = xy.crossJoin(F.broadcast(xx)).crossJoin(F.broadcast(yy))
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    energy = (
+        2.0 * mean("s_xy", "n_xy") - mean("s_xx", "n_xx") - mean("s_yy", "n_yy")
+    ) / 1000000.0
+    return one.select(
+        "n_xy", "s_xy", "n_xx", "s_xx", "n_yy", "s_yy",
+        F.round(energy, 6).alias("energy_distance"),
+    )
+
+
+QUERIES["embedding_energy_distance"] = embedding_energy_distance
+
+ORACLES["embedding_energy_distance"] = f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE label IN (0, 1) AND vec_id % {ENERGY_MOD} = 0),
+    x AS (SELECT vec_id, q FROM q WHERE label = 0),
+    y AS (SELECT vec_id, q FROM q WHERE label = 1),
+    dxy AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_xy,
+             CAST(sum(CAST(round(sqrt(CAST(list_sum(
+                  list_transform(range(len(a.q)),
+                    i -> (a.q[i + 1] - b.q[i + 1]) * (a.q[i + 1] - b.q[i + 1])))
+                  AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_xy
+      FROM x a CROSS JOIN y b),
+    dxx AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_xx,
+             CAST(sum(CAST(round(sqrt(CAST(list_sum(
+                  list_transform(range(len(a.q)),
+                    i -> (a.q[i + 1] - b.q[i + 1]) * (a.q[i + 1] - b.q[i + 1])))
+                  AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_xx
+      FROM x a JOIN x b ON a.vec_id < b.vec_id),
+    dyy AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_yy,
+             CAST(sum(CAST(round(sqrt(CAST(list_sum(
+                  list_transform(range(len(a.q)),
+                    i -> (a.q[i + 1] - b.q[i + 1]) * (a.q[i + 1] - b.q[i + 1])))
+                  AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_yy
+      FROM y a JOIN y b ON a.vec_id < b.vec_id)
+    SELECT n_xy, s_xy, n_xx, s_xx, n_yy, s_yy,
+           round((2.0 * (CAST(s_xy AS DOUBLE) / CAST(n_xy AS DOUBLE))
+                  - CAST(s_xx AS DOUBLE) / CAST(n_xx AS DOUBLE)
+                  - CAST(s_yy AS DOUBLE) / CAST(n_yy AS DOUBLE))
+                 / 1000000.0, 6) AS energy_distance
+    FROM dxy, dxx, dyy
+"""
+
+
+# --- new vs repeat revenue split ---------------------------------------------------
+
+
+def agg_new_repeat_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily purchase revenue split into NEW-customer vs REPEAT
+    revenue (a purchase is "new" iff it lands on the user's first-ever
+    purchase DAY) — the commerce twin of `agg_growth_accounting`'s user
+    decomposition, in exact cents with an integer new-share permille."""
+    p = (
+        t(spark, sf, "events")
+        .where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    first = p.groupBy("user_id").agg(F.min("day_ms").alias("__fd"))
+    flagged = p.join(first, "user_id").select(
+        "day_ms",
+        "cents",
+        (F.col("day_ms") == F.col("__fd")).cast("long").alias("__new"),
+    )
+    return flagged.groupBy("day_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents") * F.col("__new")).cast("long").alias("new_cents"),
+        F.expr("sum(cents * __new) * 1000 div sum(cents)")
+        .cast("long")
+        .alias("new_share_permille"),
+    )
+
+
+QUERIES["agg_new_repeat_revenue"] = agg_new_repeat_revenue
+
+ORACLES["agg_new_repeat_revenue"] = """
+    WITH p AS (
+      SELECT user_id,
+             CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+             CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    first AS (SELECT user_id, min(day_ms) AS fd FROM p GROUP BY 1),
+    flagged AS (
+      SELECT p.day_ms, p.cents,
+             CASE WHEN p.day_ms = f.fd THEN 1 ELSE 0 END AS is_new
+      FROM p JOIN first f ON f.user_id = p.user_id)
+    SELECT day_ms,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(cents * is_new) AS BIGINT) AS new_cents,
+           CAST(sum(cents * is_new) * 1000 // sum(cents) AS BIGINT)
+               AS new_share_permille
+    FROM flagged GROUP BY day_ms
+"""
