@@ -4004,3 +4004,182 @@ ORACLES["agg_new_repeat_revenue"] = """
                AS new_share_permille
     FROM flagged GROUP BY day_ms
 """
+
+
+# --- modularity of the LPA communities --------------------------------------------
+
+
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities on the
+    purchase graph — the "did the community detector find real
+    structure" number (Q > 0 means denser-than-chance inside the
+    labels).  Q = (1/M2^2) * sum_c (in_c * M2 - D_c^2) over the DOUBLED
+    directed edge list (M2 = |directed edges|, in_c = intra-community
+    directed edges, D_c = community degree sum) — the numerator folds
+    as exact BIGINTs per community, one division closes.  Reuses the
+    identical deterministic 2-round LPA the driver already checks
+    (`graph_label_prop`), so a red row here isolates the MODULARITY
+    arithmetic, not the labels."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        label_propagation,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        LPA_ROUNDS,
+        _cust_supp_edges,
+    )
+
+    edges = _cust_supp_edges(spark, sf).localCheckpoint(eager=False)
+    lab = label_propagation(edges, rounds=LPA_ROUNDS)
+    m2df = edges.agg(F.count(F.lit(1)).alias("__m2"))
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("cs"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
+    tagged = edges.join(ls, "src").join(ld, "dst")
+    per_c = (
+        tagged.groupBy("cs")
+        .agg(
+            F.count(F.lit(1)).alias("__deg"),
+            F.sum((F.col("cs") == F.col("cd")).cast("long")).alias("__in"),
+        )
+        .crossJoin(F.broadcast(m2df))
+    )
+    folded = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("__m2").cast("long").alias("m2"),
+        F.sum(
+            F.col("__in") * F.col("__m2") - F.col("__deg") * F.col("__deg")
+        ).cast("long").alias("q_num"),
+    )
+    q = F.col("q_num").cast("double") / (
+        F.col("m2").cast("double") * F.col("m2").cast("double")
+    )
+    return folded.select(
+        "n_communities", "m2", "q_num", F.round(q, 6).alias("modularity")
+    )
+
+
+QUERIES["graph_modularity"] = graph_modularity
+
+
+def _modularity_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import _LPA_ROUND
+
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LPA_ROUND.format(r=1, p=0)},
+    {_LPA_ROUND.format(r=2, p=1)},
+    m2t AS (SELECT count(*) AS m2 FROM edges),
+    tagged AS (
+      SELECT ls.label AS cs, ld.label AS cd
+      FROM edges e
+      JOIN l2 ls ON ls.node = e.src
+      JOIN l2 ld ON ld.node = e.dst),
+    per_c AS (
+      SELECT cs, count(*) AS deg,
+             sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS ic
+      FROM tagged GROUP BY cs),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(max(m2) AS BIGINT) AS m2,
+             CAST(sum(ic * m2 - deg * deg) AS BIGINT) AS q_num
+      FROM per_c CROSS JOIN m2t)
+    SELECT n_communities, m2, q_num,
+           round(CAST(q_num AS DOUBLE)
+                 / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) AS modularity
+    FROM folded
+"""
+
+
+ORACLES["graph_modularity"] = _modularity_oracle()
+
+
+# --- Lorenz-curve deciles ------------------------------------------------------------
+
+
+def agg_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """The Lorenz curve behind `agg_gini_wealth`: customers binned into
+    account-balance deciles by the broadcast exact-percentile binner,
+    each row reporting the cumulative population and balance-cent share
+    in integer permille — the plottable inequality curve, where Gini is
+    one number.  Balances can be negative (the curve may dip below
+    zero); shares stay exact integer `div` ratios.  The cumulative
+    window rides the 10-row decile table."""
+    from pyspark.sql import Window
+
+    from image_matadata_batchprocessing_aws_spark.operators.scale import quantile_bin
+
+    c = t(spark, sf, "customer").select(
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("__cents"),
+    )
+    binned = quantile_bin(c, ["c_acctbal"], n_bins=10)
+    per = binned.groupBy(
+        F.col("c_acctbal_bin").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__cents").cast("long").alias("cents"),
+    )
+    tot = per.agg(F.sum("n").alias("__nn"), F.sum("cents").alias("__cc"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "cents",
+            F.sum("n").over(w).cast("long").alias("cum_n"),
+            F.sum("cents").over(w).cast("long").alias("cum_cents"),
+            F.col("__nn"),
+            F.col("__cc"),
+        )
+        .select(
+            "decile",
+            "n",
+            "cents",
+            F.expr("cum_n * 1000 div __nn").cast("long").alias("cum_pop_permille"),
+            F.expr("cum_cents * 1000 div __cc")
+            .cast("long")
+            .alias("cum_wealth_permille"),
+        )
+    )
+
+
+QUERIES["agg_lorenz_deciles"] = agg_lorenz_deciles
+
+
+def _lorenz_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(c_acctbal, {i / 10}) AS q{i}" for i in range(1, 10)
+    )
+    bins = " + ".join(f"CAST(c_acctbal > q{i} AS INT)" for i in range(1, 10))
+    return f"""
+    WITH q AS (SELECT {qs} FROM customer),
+    b AS (SELECT CAST({bins} AS BIGINT) AS decile,
+                 CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents
+          FROM customer, q),
+    per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM b GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(cents) AS BIGINT) AS cc FROM per),
+    cum AS (
+      SELECT decile, n, cents,
+             CAST(sum(n) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents
+      FROM per)
+    SELECT decile, n, cents,
+           CAST(cum_n * 1000 // nn AS BIGINT) AS cum_pop_permille,
+           CAST(cum_cents * 1000 // cc AS BIGINT) AS cum_wealth_permille
+    FROM cum, tot
+"""
+
+
+ORACLES["agg_lorenz_deciles"] = _lorenz_oracle()
