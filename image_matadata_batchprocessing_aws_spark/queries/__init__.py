@@ -78,7 +78,7 @@ _MODULES = [
 #: r06 takes the next 50 in registration order, r07 the next 50, r08
 #: the final 11 + frozen re-verification spot-checks.  New r05 work
 #: stages in ``queries/r06_queue.py`` (oracled + two-scale-verified via
-#: ``tools/check_oracle.py --staged``; 49 pairs staged by end of r05,
+#: ``tools/check_oracle.py --staged``; 50 pairs staged by end of r05,
 #: sf0.1-priced in SCALE.md); registering it appends to the registry
 #: END, so it drains after the r05 queue without displacing window
 #: slots — r08/r09 absorb it at the same 50/round rate.  The window

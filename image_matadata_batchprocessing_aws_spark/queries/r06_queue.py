@@ -4183,3 +4183,87 @@ def _lorenz_oracle() -> str:
 
 
 ORACLES["agg_lorenz_deciles"] = _lorenz_oracle()
+
+
+# --- community conductance -----------------------------------------------------------
+
+
+def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-community conductance of the LPA partition — phi(c) =
+    cut(c) / min(vol(c), vol(rest)), the "how leaky is this community"
+    companion to `graph_modularity`'s global Q (low phi = a real
+    cluster; phi near 1 = a label artifact).  Same tagged-edge table as
+    the modularity query: cut = degree volume minus internal edges, all
+    BIGINT, conductance in integer permille."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        label_propagation,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        LPA_ROUNDS,
+        _cust_supp_edges,
+    )
+
+    edges = _cust_supp_edges(spark, sf).localCheckpoint(eager=False)
+    lab = label_propagation(edges, rounds=LPA_ROUNDS)
+    m2df = edges.agg(F.count(F.lit(1)).alias("__m2"))
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("cs"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("cd"))
+    tagged = edges.join(ls, "src").join(ld, "dst")
+    per_c = (
+        tagged.groupBy("cs")
+        .agg(
+            F.count(F.lit(1)).alias("__vol"),
+            F.sum((F.col("cs") != F.col("cd")).cast("long")).alias("__cut"),
+        )
+        .crossJoin(F.broadcast(m2df))
+    )
+    denom = F.least(F.col("__vol"), F.col("__m2") - F.col("__vol"))
+    return per_c.select(
+        F.col("cs").cast("long").alias("community"),
+        F.col("__vol").cast("long").alias("volume"),
+        F.col("__cut").cast("long").alias("cut_edges"),
+        F.when(
+            denom > 0,
+            F.expr("__cut * 1000 div least(__vol, __m2 - __vol)"),
+        )
+        .cast("long")
+        .alias("conductance_permille"),
+    )
+
+
+QUERIES["graph_conductance"] = graph_conductance
+
+
+def _conductance_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import _LPA_ROUND
+
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_LPA_ROUND.format(r=1, p=0)},
+    {_LPA_ROUND.format(r=2, p=1)},
+    m2t AS (SELECT count(*) AS m2 FROM edges),
+    tagged AS (
+      SELECT ls.label AS cs, ld.label AS cd
+      FROM edges e
+      JOIN l2 ls ON ls.node = e.src
+      JOIN l2 ld ON ld.node = e.dst),
+    per_c AS (
+      SELECT cs, count(*) AS vol,
+             sum(CASE WHEN cs <> cd THEN 1 ELSE 0 END) AS cut
+      FROM tagged GROUP BY cs)
+    SELECT CAST(cs AS BIGINT) AS community,
+           CAST(vol AS BIGINT) AS volume,
+           CAST(cut AS BIGINT) AS cut_edges,
+           CAST(CASE WHEN least(vol, m2 - vol) > 0
+                THEN cut * 1000 // least(vol, m2 - vol) END AS BIGINT)
+               AS conductance_permille
+    FROM per_c CROSS JOIN m2t
+"""
+
+
+ORACLES["graph_conductance"] = _conductance_oracle()
