@@ -3164,10 +3164,14 @@ def eval_cohens_d(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(0).alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
+    # sum of squared cents tops int64 around 10^5 orders (ANSI mode
+    # throws rather than wraps — measured at sf0.1): DECIMAL(38,0)
+    # keeps the sufficient statistic exact, and its one conversion to
+    # double at the close is correctly rounded on both engines
     arms = o.groupBy("g").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("c").alias("__s"),
-        F.sum(F.col("c") * F.col("c")).alias("__ss"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("__ss"),
     )
     a = arms.where(F.col("g") == 1).select(
         F.col("__n").alias("n1"), F.col("__s").alias("s1"), F.col("__ss").alias("ss1")
@@ -3200,8 +3204,11 @@ ORACLES["eval_cohens_d"] = """
              CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
       FROM orders),
     arms AS (
+      -- ss stays HUGEINT (sum of squared cents tops int64 at scale);
+      -- the close converts the exact integer to DOUBLE once, matching
+      -- the Spark side's DECIMAL(38,0) -> double conversion bitwise
       SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
-             CAST(sum(c * c) AS BIGINT) AS ss
+             sum(c * c) AS ss
       FROM o GROUP BY g),
     one AS (
       SELECT a.n AS n1, a.s AS s1, a.ss AS ss1,
