@@ -97,9 +97,11 @@ def roc_auc_delong(
     window.  The closing arithmetic is one identically-structured
     double expression (mult/div/sub/sqrt — all correctly-rounded IEEE),
     so a DuckDB twin matches bitwise.  Sums of squared placements grow
-    as P*N^2 — fine in int64 through ~10^9 rows per group; past that,
-    swap the two sum-of-squares columns to DECIMAL(38,0) (ANSI mode
-    throws on overflow rather than wrapping, so the limit is loud).
+    as P*N^2 ~ n^3/2, which tops int64 near n ~ 2.6M rows per group —
+    so the two sum-of-squares columns accumulate as DECIMAL(38,0)
+    (HUGEINT on the DuckDB side), good to n ~ 10^12, and convert to
+    double exactly once at the close (correctly rounded from the same
+    exact integer on both engines).
 
     Groups with fewer than 2 positives or 2 negatives return NULL
     variance columns (the estimator needs both sample variances).
@@ -129,9 +131,9 @@ def roc_auc_delong(
         F.sum("__p").alias("n_pos"),
         F.sum("__n").alias("n_neg"),
         F.sum(F.col("__p") * vp).alias("__svp"),
-        F.sum(F.col("__p") * vp * vp).alias("__svp2"),
+        F.sum((F.col("__p") * vp).cast("decimal(38,0)") * vp).alias("__svp2"),
         F.sum(F.col("__n") * vn).alias("__svn"),
-        F.sum(F.col("__n") * vn * vn).alias("__svn2"),
+        F.sum((F.col("__n") * vn).cast("decimal(38,0)") * vn).alias("__svn2"),
     )
     pd_, nd = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
     svp, svp2 = F.col("__svp").cast("double"), F.col("__svp2").cast("double")

@@ -1426,14 +1426,16 @@ ORACLES["eval_auc_delong"] = """
              sum(p) OVER (PARTITION BY o_orderstatus) AS ptot
       FROM per),
     agg AS (
+      -- svp2/svn2 stay HUGEINT (sum of squared placements ~ n^3/2 tops
+      -- int64 near 2.6M rows/group); the close converts the exact
+      -- integer to DOUBLE once, matching Spark's DECIMAL(38,0) path
       SELECT o_orderstatus,
              CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nn,
              CAST(sum(p * (2 * cumneg + n)) AS BIGINT) AS svp,
-             CAST(sum(p * (2 * cumneg + n) * (2 * cumneg + n)) AS BIGINT)
-               AS svp2,
+             sum(p * (2 * cumneg + n) * (2 * cumneg + n)) AS svp2,
              CAST(sum(n * (2 * (ptot - cumpos - p) + p)) AS BIGINT) AS svn,
-             CAST(sum(n * (2 * (ptot - cumpos - p) + p)
-                        * (2 * (ptot - cumpos - p) + p)) AS BIGINT) AS svn2
+             sum(n * (2 * (ptot - cumpos - p) + p)
+                   * (2 * (ptot - cumpos - p) + p)) AS svn2
       FROM cum GROUP BY 1),
     closed AS (
       SELECT o_orderstatus, np AS n_pos, nn AS n_neg,
