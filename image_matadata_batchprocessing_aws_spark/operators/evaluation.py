@@ -96,12 +96,15 @@ def roc_auc_delong(
     (sum, sum-of-squares) over the per-score table — never a row-level
     window.  The closing arithmetic is one identically-structured
     double expression (mult/div/sub/sqrt — all correctly-rounded IEEE),
-    so a DuckDB twin matches bitwise.  Sums of squared placements grow
-    as P*N^2 ~ n^3/2, which tops int64 near n ~ 2.6M rows per group —
-    so the two sum-of-squares columns accumulate as DECIMAL(38,0)
-    (HUGEINT on the DuckDB side), good to n ~ 10^12, and convert to
-    double exactly once at the close (correctly rounded from the same
-    exact integer on both engines).
+    so a DuckDB twin matches bitwise.  Overflow posture: placement sums
+    grow as ~n^2/2 (tops int64 near n ~ 6e9 per group) and squared sums
+    as ~n^3/2 (near n ~ 2.6M), so all four sufficient statistics
+    accumulate as DECIMAL(38,0) with the per-row products taken on the
+    decimal side (HUGEINT end to end in the DuckDB twin) — exact
+    through n ~ 10^12 per group, past which DECIMAL(38) itself
+    saturates and ANSI mode throws loudly.  Each converts to double
+    exactly once at the close (correctly rounded from the same exact
+    integer on both engines).
 
     Groups with fewer than 2 positives or 2 negatives return NULL
     variance columns (the estimator needs both sample variances).
@@ -130,10 +133,10 @@ def roc_auc_delong(
     agg = cum.groupBy(*keys).agg(
         F.sum("__p").alias("n_pos"),
         F.sum("__n").alias("n_neg"),
-        F.sum(F.col("__p") * vp).alias("__svp"),
-        F.sum((F.col("__p") * vp).cast("decimal(38,0)") * vp).alias("__svp2"),
-        F.sum(F.col("__n") * vn).alias("__svn"),
-        F.sum((F.col("__n") * vn).cast("decimal(38,0)") * vn).alias("__svn2"),
+        F.sum(F.col("__p").cast("decimal(38,0)") * vp).alias("__svp"),
+        F.sum(F.col("__p").cast("decimal(38,0)") * vp * vp).alias("__svp2"),
+        F.sum(F.col("__n").cast("decimal(38,0)") * vn).alias("__svn"),
+        F.sum(F.col("__n").cast("decimal(38,0)") * vn * vn).alias("__svn2"),
     )
     pd_, nd = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
     svp, svp2 = F.col("__svp").cast("double"), F.col("__svp2").cast("double")

@@ -752,7 +752,10 @@ def boruvka_msf(
         .localCheckpoint(eager=True)
     )
     parts: list[DataFrame] = []
-    for _ in range(max_rounds):
+    # +1: the final iteration only OBSERVES convergence (its picks come
+    # up empty) — a graph whose last merge lands exactly on round
+    # max_rounds still needs one more pass to break cleanly
+    for _ in range(max_rounds + 1):
         ca = comp.select(F.col("id").alias("a"), F.col("component").alias("__ca"))
         cb = comp.select(F.col("id").alias("b"), F.col("component").alias("__cb"))
         ce = e0.join(ca, "a").join(cb, "b").where(F.col("__ca") != F.col("__cb"))
@@ -795,9 +798,9 @@ def boruvka_msf(
         )
     else:
         raise RuntimeError(
-            f"boruvka_msf did not converge in {max_rounds} rounds — components "
-            "at least halve per round, so this graph exceeds 2^max_rounds "
-            "vertices or the edge ids are unstable"
+            f"boruvka_msf did not converge in {max_rounds} merge rounds — "
+            f"components at least halve per round, so this graph exceeds "
+            f"~2^{max_rounds - 1} components or the edge ids are unstable"
         )
     if not parts:
         return e0.limit(0)

@@ -1020,25 +1020,14 @@ WINNOW_K = 3  # token k-grams hashed
 WINNOW_W = 4  # hashes per window -> guarantee threshold t = K + W - 1
 
 
-def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
-    2003 — the MOSS selector): over the positional token-3-gram hash
-    stream, every window of 4 consecutive hashes selects its RIGHTMOST
-    MINIMUM, and the distinct selected (position, hash) pairs are the
-    document's fingerprints — any shared substring of >= K+W-1 tokens
-    between two documents is GUARANTEED to share a fingerprint, at an
-    expected density of only 2/(W+1) of positions.
-
-    Spark shape: one narrow (id, pos, fp) stream (the exact
-    :func:`operators.substrings.positional_kgrams` table the Lee-et-al
-    dedup rides — text never shuffles), ONE doc-keyed window pass where
-    ``min(struct(fp, -pos))`` is the rightmost-min selector (struct min
-    partial-aggregates inside the window frame), then a per-doc count
-    rollup.  The oracle encodes the same (fp, -pos) order as a
-    zero-padded varchar so DuckDB's window min agrees bitwise.  Docs
-    with fewer than W k-grams have no full window and drop on both
-    sides (the paper's guarantee only speaks from window W up)."""
+def _winnow_selected(spark: SparkSession, sf: str):
+    """Shared winnowing selector: the distinct (doc_id, fp, sel_pos)
+    fingerprints every winnowing query builds on — ONE definition so
+    the fingerprint summary, the pair generator, and the dedup pipeline
+    can never desynchronize on K/W or the tie-break.  Returns
+    (selected, grams): the grams frame is the positional k-gram table
+    the selection rode (callers that need per-doc gram counts reuse it
+    instead of re-shingling)."""
     from pyspark.sql import Window
 
     from image_matadata_batchprocessing_aws_spark.operators.substrings import (
@@ -1061,35 +1050,23 @@ def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
             .alias("m"),
         )
         .where(F.col("pos") >= WINNOW_W - 1)
-        .select("doc_id", F.col("m.fp").alias("fp"), (-F.col("m.np")).alias("sel_pos"))
+        .select(
+            "doc_id", F.col("m.fp").alias("fp"), (-F.col("m.np")).alias("sel_pos")
+        )
         .distinct()
     )
-    n_grams = g.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
-    )
-    summary = sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
-        F.min("sel_pos").cast("long").alias("first_pos"),
-        F.max("sel_pos").cast("long").alias("last_pos"),
-    )
-    return n_grams.join(summary, "doc_id").select(
-        "doc_id", "n_grams", "n_fingerprints", "n_distinct_fp",
-        "first_pos", "last_pos",
-    )
+    return sel, g
 
 
-QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
-
-
-def _winnow_oracle() -> str:
+def _winnow_sel_ctes() -> str:
+    """The DuckDB twin of :func:`_winnow_selected`: toks/pos/grams/
+    winmin/sel CTE chain ending in sel(doc_id, fp, sel_pos)."""
     from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
 
     fp = md5_int64_sql(
         f"array_to_string(list_slice(t, pos + 1, pos + {WINNOW_K}), ' ')"
     )
-    return rf"""
-    WITH toks AS (
+    return rf"""toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       FROM documents WHERE trim(text) <> ''),
     pos AS (
@@ -1110,7 +1087,50 @@ def _winnow_oracle() -> str:
       SELECT DISTINCT doc_id,
              CAST(substr(m, 1, 19) AS BIGINT) AS fp,
              99999999 - CAST(substr(m, 20, 8) AS BIGINT) AS sel_pos
-      FROM winmin WHERE pos >= {WINNOW_W - 1}),
+      FROM winmin WHERE pos >= {WINNOW_W - 1})"""
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS selector): over the positional token-3-gram hash
+    stream, every window of 4 consecutive hashes selects its RIGHTMOST
+    MINIMUM, and the distinct selected (position, hash) pairs are the
+    document's fingerprints — any shared substring of >= K+W-1 tokens
+    between two documents is GUARANTEED to share a fingerprint, at an
+    expected density of only 2/(W+1) of positions.
+
+    Spark shape: one narrow (id, pos, fp) stream (the exact
+    :func:`operators.substrings.positional_kgrams` table the Lee-et-al
+    dedup rides — text never shuffles), ONE doc-keyed window pass where
+    ``min(struct(fp, -pos))`` is the rightmost-min selector (struct min
+    partial-aggregates inside the window frame), then a per-doc count
+    rollup.  The oracle encodes the same (fp, -pos) order as a
+    zero-padded varchar so DuckDB's window min agrees bitwise.  Docs
+    with fewer than W k-grams have no full window and drop on both
+    sides (the paper's guarantee only speaks from window W up)."""
+    sel, g = _winnow_selected(spark, sf)
+    n_grams = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    summary = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+        F.min("sel_pos").cast("long").alias("first_pos"),
+        F.max("sel_pos").cast("long").alias("last_pos"),
+    )
+    return n_grams.join(summary, "doc_id").select(
+        "doc_id", "n_grams", "n_fingerprints", "n_distinct_fp",
+        "first_pos", "last_pos",
+    )
+
+
+QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
+
+
+def _winnow_oracle() -> str:
+    return rf"""
+    WITH {_winnow_sel_ctes()},
     ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
            FROM grams GROUP BY doc_id),
     summary AS (
@@ -1426,14 +1446,15 @@ ORACLES["eval_auc_delong"] = """
              sum(p) OVER (PARTITION BY o_orderstatus) AS ptot
       FROM per),
     agg AS (
-      -- svp2/svn2 stay HUGEINT (sum of squared placements ~ n^3/2 tops
-      -- int64 near 2.6M rows/group); the close converts the exact
-      -- integer to DOUBLE once, matching Spark's DECIMAL(38,0) path
+      -- all four placement statistics stay HUGEINT (sums grow ~n^2/2
+      -- and ~n^3/2, topping int64 at ~6e9 / ~2.6M rows per group); the
+      -- close converts each exact integer to DOUBLE once, matching
+      -- Spark's DECIMAL(38,0) accumulation path
       SELECT o_orderstatus,
              CAST(sum(p) AS BIGINT) AS np, CAST(sum(n) AS BIGINT) AS nn,
-             CAST(sum(p * (2 * cumneg + n)) AS BIGINT) AS svp,
+             sum(p * (2 * cumneg + n)) AS svp,
              sum(p * (2 * cumneg + n) * (2 * cumneg + n)) AS svp2,
-             CAST(sum(n * (2 * (ptot - cumpos - p) + p)) AS BIGINT) AS svn,
+             sum(n * (2 * (ptot - cumpos - p) + p)) AS svn,
              sum(n * (2 * (ptot - cumpos - p) + p)
                    * (2 * (ptot - cumpos - p) + p)) AS svn2
       FROM cum GROUP BY 1),
@@ -1928,31 +1949,8 @@ def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     t-token-match guarantee), and a frequency cap drops stop-gram
     posting lists before the join — the same hot-key guard the MinHash
     banding uses."""
-    from pyspark.sql import Window
-
-    from image_matadata_batchprocessing_aws_spark.operators.substrings import (
-        positional_kgrams,
-    )
-
-    docs = t(spark, sf, "documents")
-    g = positional_kgrams(docs, "text", "doc_id", WINNOW_K)
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), 0)
-    )
-    sel = (
-        g.select(
-            "doc_id",
-            "pos",
-            F.min(F.struct(F.col("fp"), (-F.col("pos")).alias("np")))
-            .over(w)
-            .alias("m"),
-        )
-        .where(F.col("pos") >= WINNOW_W - 1)
-        .select("doc_id", F.col("m.fp").alias("fp"))
-        .distinct()
-    )
+    selected, _ = _winnow_selected(spark, sf)
+    sel = selected.select("doc_id", "fp").distinct()
     # stop-gram guard: fingerprints in >32 docs join quadratically and
     # carry no discrimination — cap before the self-join
     hot = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).where(
@@ -1974,32 +1972,11 @@ QUERIES["dedup_winnow_pairs"] = dedup_winnow_pairs
 
 
 def _winnow_pairs_oracle() -> str:
-    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
-
-    fp = md5_int64_sql(
-        f"array_to_string(list_slice(t, pos + 1, pos + {WINNOW_K}), ' ')"
-    )
     return rf"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-      FROM documents WHERE trim(text) <> ''),
-    pos AS (
-      SELECT doc_id, t, unnest(range(len(t) - {WINNOW_K - 1})) AS pos
-      FROM toks WHERE len(t) >= {WINNOW_K}),
-    grams AS (SELECT doc_id, pos, {fp} AS fp FROM pos),
-    winmin AS (
-      SELECT doc_id, pos,
-             min(lpad(CAST(fp AS VARCHAR), 19, '0')
-                 || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
-               OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
-               AS m
-      FROM grams),
-    sel AS (
-      SELECT DISTINCT doc_id, CAST(substr(m, 1, 19) AS BIGINT) AS fp
-      FROM winmin WHERE pos >= {WINNOW_W - 1}),
-    hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 32),
-    posting AS (SELECT s.doc_id, s.fp FROM sel s JOIN hot USING (fp))
+    WITH {_winnow_sel_ctes()},
+    sd AS (SELECT DISTINCT doc_id, fp FROM sel),
+    hot AS (SELECT fp FROM sd GROUP BY fp HAVING count(*) <= 32),
+    posting AS (SELECT s.doc_id, s.fp FROM sd s JOIN hot USING (fp))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_shared
     FROM posting a JOIN posting b
@@ -2261,19 +2238,12 @@ def graph_walk_corpus(spark: SparkSession, sf: str) -> DataFrame:
     step.  This is the sentence generator graph-embedding training
     feeds; each step is one equi-join + one per-walk struct-min groupBy
     (map-side partials), WALK_STEPS exchanges total, no windows."""
-    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        _cust_supp_edges,
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).localCheckpoint(eager=False)
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = _cust_supp_edges(spark, sf).localCheckpoint(eager=False)
     seeds = (
         o.where(F.col("o_custkey") % WALK_SEED_MOD == 0)
         .select((F.col("o_custkey") * 2).alias("node"))
@@ -2344,20 +2314,14 @@ ORACLES["graph_walk_corpus"] = _walk_oracle()
 # --- two-proportion z-test (A/B conversion) ----------------------------------
 
 
-def agg_ab_proportions(spark: SparkSession, sf: str) -> DataFrame:
-    """Two-proportion z-test on a hash-split A/B assignment: users split
-    into arms by md5 parity (deterministic, rerun-stable — the
-    experiment-assignment primitive `sample_predicate` rides), the
-    conversion metric is "user's biggest purchase tops 130" (every user
-    on this stream purchases eventually, so bare did-purchase saturates
-    at 100% and the test degenerates — the value threshold keeps the
-    rates interior), and the pooled z-stat decides the arm difference —
-    THE A/B significance primitive next to the Welch/means family.
-    Exact integer counts all the way; the z closes in one
-    identically-written double expression (mult/div/sqrt), the p<0.05
-    verdict compares |z| against the literal 1.96, and an all-converted
-    or none-converted pool returns NULL z rather than dividing by
-    zero."""
+AB_CONV_VALUE = 130.0  # conversion = user's biggest purchase tops this
+
+
+def _ab_arms(spark: SparkSession, sf: str) -> DataFrame:
+    """The ONE experiment definition both A/B queries share (the z-test
+    and the power analysis must price the same split and metric or the
+    pairing silently breaks): md5-parity arm assignment, per-user
+    conversion, and the (n_a, k_a, n_b, k_b) one-row pivot."""
     from image_matadata_batchprocessing_aws_spark.functions import md5_int64
 
     e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
@@ -2367,13 +2331,16 @@ def agg_ab_proportions(spark: SparkSession, sf: str) -> DataFrame:
             F.max(
                 (
                     (F.col("event_type") == "purchase")
-                    & (F.col("value") > 130.0)
+                    & (F.col("value") > AB_CONV_VALUE)
                 ).cast("long")
             ).alias("__conv")
         )
         .select(
-            (md5_int64(F.concat(F.lit("ab\x1f"), F.col("user_id").cast("string"))) % 2
-             ).alias("arm"),
+            (
+                md5_int64(
+                    F.concat(F.lit("ab\x1f"), F.col("user_id").cast("string"))
+                ) % 2
+            ).alias("arm"),
             "__conv",
         )
     )
@@ -2386,7 +2353,45 @@ def agg_ab_proportions(spark: SparkSession, sf: str) -> DataFrame:
     b = arms.where(F.col("arm") == 1).select(
         F.col("__n").alias("n_b"), F.col("__k").alias("k_b")
     )
-    one = a.crossJoin(F.broadcast(b))
+    return a.crossJoin(F.broadcast(b))
+
+
+def _ab_arms_ctes() -> str:
+    """DuckDB twin of :func:`_ab_arms`, ending in
+    one(n_a, k_a, n_b, k_b)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    h = md5_int64_sql("'ab' || chr(31) || CAST(user_id AS VARCHAR)")
+    return f"""users AS (
+      SELECT ({h}) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    arms AS (
+      SELECT arm, count(*) AS n, sum(conv) AS k FROM users GROUP BY arm),
+    one AS (
+      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+      FROM (SELECT n, k FROM arms WHERE arm = 0) a
+      CROSS JOIN (SELECT n, k FROM arms WHERE arm = 1) b)"""
+
+
+def agg_ab_proportions(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on a hash-split A/B assignment: users split
+    into arms by md5 parity (deterministic, rerun-stable — the
+    experiment-assignment primitive `sample_predicate` rides), the
+    conversion metric is "user's biggest purchase tops 130" (every user
+    on this stream purchases eventually, so bare did-purchase saturates
+    at 100% and the test degenerates — the value threshold keeps the
+    rates interior), and the pooled z-stat decides the arm difference —
+    THE A/B significance primitive next to the Welch/means family.
+    The experiment definition itself (split, metric, pivot) is the
+    shared :func:`_ab_arms`, so this and `agg_power_analysis` can never
+    price different experiments.  Exact integer counts all the way; the
+    z closes in one identically-written double expression
+    (mult/div/sqrt), the p<0.05 verdict compares |z| against the
+    literal 1.96, and an all-converted or none-converted pool returns
+    NULL z rather than dividing by zero."""
+    one = _ab_arms(spark, sf)
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ka, kb = F.col("k_a").cast("double"), F.col("k_b").cast("double")
     p_pool = (ka + kb) / (na + nb)
@@ -2414,21 +2419,8 @@ QUERIES["agg_ab_proportions"] = agg_ab_proportions
 
 
 def _ab_oracle() -> str:
-    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
-
-    h = md5_int64_sql("'ab' || chr(31) || CAST(user_id AS VARCHAR)")
     return f"""
-    WITH users AS (
-      SELECT ({h}) % 2 AS arm,
-             max(CASE WHEN event_type = 'purchase' AND value > 130.0
-                 THEN 1 ELSE 0 END) AS conv
-      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
-    arms AS (
-      SELECT arm, count(*) AS n, sum(conv) AS k FROM users GROUP BY arm),
-    one AS (
-      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
-      FROM (SELECT n, k FROM arms WHERE arm = 0) a
-      CROSS JOIN (SELECT n, k FROM arms WHERE arm = 1) b),
+    WITH {_ab_arms_ctes()},
     closed AS (
       SELECT n_a, k_a, n_b, k_b,
              CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
@@ -3416,35 +3408,14 @@ def agg_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """Required per-arm sample size to detect the OBSERVED arm
     difference of the `agg_ab_proportions` experiment at alpha=0.05 /
     80% power — the "how long must this test run" planning number,
-    computed from the same md5-parity split and conversion metric.
-    n = (z_a + z_b)^2 (p1(1-p1) + p2(1-p2)) / (p1-p2)^2, ceil'd; the z
-    constants are shared literals, the close is one identical double
-    expression, and the observed rates are exact count ratios."""
-    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
-
-    e = t(spark, sf, "events").where(F.col("user_id").isNotNull())
-    users = e.groupBy("user_id").agg(
-        F.max(
-            (
-                (F.col("event_type") == "purchase") & (F.col("value") > 130.0)
-            ).cast("long")
-        ).alias("__conv"),
-        (
-            md5_int64(
-                F.concat(F.lit("ab\x1f"), F.col("user_id").cast("string"))
-            ) % 2
-        ).alias("arm"),
-    )
-    arms = users.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__conv").alias("__k")
-    )
-    a = arms.where(F.col("arm") == 0).select(
-        F.col("__n").alias("n_a"), F.col("__k").alias("k_a")
-    )
-    b = arms.where(F.col("arm") == 1).select(
-        F.col("__n").alias("n_b"), F.col("__k").alias("k_b")
-    )
-    one = a.crossJoin(F.broadcast(b))
+    computed from literally the same experiment definition (the shared
+    :func:`_ab_arms` split/metric/pivot).  n = (z_a + z_b)^2
+    (p1(1-p1) + p2(1-p2)) / (p1-p2)^2, ceil'd; the z constants are
+    shared literals, the close is one identical double expression, the
+    observed rates are exact count ratios, and exactly-tied arms
+    (cross-multiplied integer equality) return NULL rather than
+    dividing by zero."""
+    one = _ab_arms(spark, sf)
     p1 = F.col("k_a").cast("double") / F.col("n_a").cast("double")
     p2 = F.col("k_b").cast("double") / F.col("n_b").cast("double")
     z = F.lit(POWER_Z_ALPHA) + F.lit(POWER_Z_BETA)
@@ -3465,21 +3436,9 @@ QUERIES["agg_power_analysis"] = agg_power_analysis
 
 
 def _power_oracle() -> str:
-    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
-
-    h = md5_int64_sql("'ab' || chr(31) || CAST(user_id AS VARCHAR)")
     z = POWER_Z_ALPHA + POWER_Z_BETA
     return f"""
-    WITH users AS (
-      SELECT ({h}) % 2 AS arm,
-             max(CASE WHEN event_type = 'purchase' AND value > 130.0
-                 THEN 1 ELSE 0 END) AS conv
-      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
-    arms AS (SELECT arm, count(*) AS n, sum(conv) AS k FROM users GROUP BY arm),
-    one AS (
-      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
-      FROM (SELECT n, k FROM arms WHERE arm = 0) a
-      CROSS JOIN (SELECT n, k FROM arms WHERE arm = 1) b),
+    WITH {_ab_arms_ctes()},
     closed AS (
       SELECT n_a, n_b, k_a, k_b,
              CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
@@ -3659,19 +3618,11 @@ def graph_katz(spark: SparkSession, sf: str) -> DataFrame:
     scaled-long fixed-point kernel family as `pagerank_scaled`: 3
     unrolled rounds of one edge join + one integer groupBy, oracle as
     unrolled CTEs, top-30 with the (kind, entity) tiebreak."""
-    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        _cust_supp_edges,
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).localCheckpoint(eager=False)
+
+    edges = _cust_supp_edges(spark, sf).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -72,7 +72,11 @@ class JsonlSinkWriter(DataSourceWriter):
             fh.write("\n".join(names) + "\n")
 
     def abort(self, messages):  # noqa: D102 — API contract
+        # failed tasks appear as None in `messages` (API contract) — and
+        # abort only runs BECAUSE a task failed, so the guard is load-bearing
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.file_name + ".tmp"))
             except OSError:
@@ -108,6 +112,13 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         return JsonlCommit(name)
 
     def commit(self, messages, batchId):  # noqa: D102, N803 — API contract
+        # epoch REPLAY (crash between commit and checkpoint write) re-runs
+        # write() with fresh uuids — clear the previous attempt's files for
+        # this epoch first, or replay leaves both attempts visible and a
+        # batch-*.jsonl reader double-counts the epoch
+        for stale in os.listdir(self.path):
+            if stale.startswith(f"batch-{batchId}-"):
+                os.remove(os.path.join(self.path, stale))
         names = []
         for m in messages:
             final = f"batch-{batchId}-{m.file_name}"

@@ -44,10 +44,19 @@ def _read_latest_state(
     spark: SparkSession, path: str, before_epoch: int, like: DataFrame
 ) -> DataFrame:
     """The newest state partition strictly before ``before_epoch``
-    (replay safety); an empty typed frame when none exists yet."""
+    (replay safety); an empty typed frame when none exists yet.
+
+    Only the missing-directory case maps to "no state" — corrupt
+    footers, permissions, or schema drift must PROPAGATE, or the sink
+    would silently reset the carried sample to the current micro-batch
+    and break the stream==batch guarantee without an error."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first epoch: no state directory yet
+    except AnalysisException as exc:  # first epoch: no state directory yet
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         return spark.createDataFrame([], like.schema)
     prev = df.where(F.col("batch_id") < before_epoch)
     mx = prev.agg(F.max("batch_id").alias("m")).collect()[0]["m"]

@@ -157,3 +157,48 @@ def test_python_datasource_stream_writer(spark, tmp_path):
     got = sorted(tuple(r) for r in back.collect())
     exp = sorted(tuple(r) for r in ev.collect())
     assert got == exp and len(got) > 0
+
+
+def test_stream_writer_epoch_replay_is_idempotent(tmp_path):
+    """Replaying commit(epoch) after a crash must not leave the first
+    attempt's batch files visible (write() uses fresh uuids per
+    attempt, so commit clears its own epoch's files first)."""
+    import os
+
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    from image_matadata_batchprocessing_aws_spark.sources.pysink import (
+        JsonlCommit,
+        JsonlStreamWriter,
+    )
+
+    schema = StructType([StructField("a", StringType())])
+    w = JsonlStreamWriter({"path": str(tmp_path)}, schema)
+    for attempt in ("first", "second"):
+        for i in range(2):
+            name = f"{attempt}{i}.jsonl"
+            open(os.path.join(tmp_path, name + ".tmp"), "w").write("{}\n")
+        w.commit([JsonlCommit(f"{attempt}0.jsonl"), JsonlCommit(f"{attempt}1.jsonl")], 7)
+    visible = sorted(f for f in os.listdir(tmp_path) if f.startswith("batch-"))
+    assert visible == ["batch-7-second0.jsonl", "batch-7-second1.jsonl"]
+    manifest = open(os.path.join(tmp_path, "_SUCCESS-7")).read().split()
+    assert manifest == visible
+
+
+def test_batch_writer_abort_tolerates_failed_tasks(tmp_path):
+    """abort receives None for failed tasks (API contract) and must
+    still clean the successful tasks' temp files."""
+    import os
+
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    from image_matadata_batchprocessing_aws_spark.sources.pysink import (
+        JsonlCommit,
+        JsonlSinkWriter,
+    )
+
+    schema = StructType([StructField("a", StringType())])
+    w = JsonlSinkWriter({"path": str(tmp_path)}, schema)
+    open(os.path.join(tmp_path, "ok.jsonl.tmp"), "w").write("{}\n")
+    w.abort([None, JsonlCommit("ok.jsonl"), None])
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
