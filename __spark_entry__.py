@@ -29,16 +29,42 @@ def entry(spark: SparkSession) -> DataFrame:
     e = e.withColumn("ts_ms", F.unix_millis("ts"))
     e = epoch_ms_to_timestamp(e, "ts_ms", out="ts2")
     e = add_date_parts(e, "ts2")
-    e = e.withColumn("v", F.when(F.col("event_type") != "error", F.col("value")))
+    # sentinel-null the error rows and carry the value as exact CENTS
+    # (the corpus is cent-precision everywhere): the ffill and the group
+    # sums are then integer — partition/merge order cannot move a bit —
+    # and the output reconstructs sum/avg with one correctly-rounded
+    # division each.  (The earlier double-summed form was genuinely
+    # order-dependent: a group whose float sum landed within ulp noise
+    # of a .005 rounding boundary flipped between runs.)
+    e = e.withColumn(
+        "v",
+        F.when(
+            F.col("event_type") != "error",
+            F.round(F.col("value") * 100).cast("long"),
+        ),
+    )
     e = ffill_bfill(e, ["v"], order_by="event_id", partition_by=["user_id"])
-    e = e.na.fill({"v": 0.0})
+    e = e.na.fill({"v": 0})
     return (
         e.groupBy("event_type", "year", "month", "day")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("v"), 2).alias("sum_value"),
-            F.round(F.avg("v"), 4).alias("avg_value"),
+            F.sum("v").alias("__cents"),
             F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "year",
+            "month",
+            "day",
+            "n_events",
+            F.round(F.col("__cents").cast("double") / 100.0, 2).alias("sum_value"),
+            F.round(
+                F.col("__cents").cast("double")
+                / (100.0 * F.col("n_events").cast("double")),
+                4,
+            ).alias("avg_value"),
+            "n_users",
         )
     )
 

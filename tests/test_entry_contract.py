@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
@@ -17,17 +19,19 @@ def test_entry_returns_rows(spark):
     assert len(df.schema.fields) >= 4
 
 
-def test_entry_chain_oracle_exact_at_sf001(spark, monkeypatch):
-    # VERDICT r4 item 8: the flagship ETL chain only ever ran at
-    # sf0.001 (driver smoke).  Exercise it at sf0.01 and check the full
-    # result against a DuckDB recomputation of the chain (an oracle,
-    # not a pinned literal — the driver regenerates the parquet between
-    # rounds), so plan-shape regressions in the one query the driver
-    # always runs get caught at a scale where window/ffill partitioning
-    # actually matters.
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_entry_chain_oracle_exact_at_sf001(spark, monkeypatch, sf_dir):
+    # VERDICT r4 item 8 (+ the r05 sf0.1 stretch): the flagship ETL
+    # chain only ever ran at sf0.001 (driver smoke).  Exercise it at
+    # sf0.01 AND sf0.1 and check the full result against a DuckDB
+    # recomputation of the chain (an oracle, not a pinned literal — the
+    # driver regenerates the parquet between rounds), so plan-shape
+    # regressions in the one query the driver always runs get caught at
+    # scales where window/ffill partitioning actually matters.
     import duckdb
 
-    sf_dir = "/root/testdata/sf0.01"
     monkeypatch.setattr(entrymod, "SF_SMOKE", sf_dir)
     df = entrymod.entry(spark)
     from tools.check_oracle import normalize
@@ -41,7 +45,8 @@ def test_entry_chain_oracle_exact_at_sf001(spark, monkeypatch):
         """
         WITH base AS (
             SELECT *, epoch_ms(ts) AS ts_ms,
-                   CASE WHEN event_type <> 'error' THEN value END AS v0
+                   CASE WHEN event_type <> 'error'
+                        THEN CAST(round(value * 100.0) AS BIGINT) END AS v0
             FROM events),
         filled AS (
             SELECT *, coalesce(
@@ -52,7 +57,7 @@ def test_entry_chain_oracle_exact_at_sf001(spark, monkeypatch):
                 first_value(v0 IGNORE NULLS) OVER (
                     PARTITION BY user_id ORDER BY event_id
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
-                0.0) AS v,
+                0) AS v,
                 make_timestamp(ts_ms * 1000) AS ts2
             FROM base)
         SELECT event_type,
@@ -60,8 +65,9 @@ def test_entry_chain_oracle_exact_at_sf001(spark, monkeypatch):
                CAST(month(ts2) AS INT) AS month,
                CAST(day(ts2) AS INT) AS day,
                count(*) AS n_events,
-               round(sum(v), 2) AS sum_value,
-               round(avg(v), 4) AS avg_value,
+               round(CAST(sum(v) AS DOUBLE) / 100.0, 2) AS sum_value,
+               round(CAST(sum(v) AS DOUBLE)
+                     / (100.0 * CAST(count(*) AS DOUBLE)), 4) AS avg_value,
                count(DISTINCT user_id) AS n_users
         FROM filled
         GROUP BY 1, 2, 3, 4
