@@ -245,6 +245,7 @@ def pagerank_converged(
     src: str = "src",
     dst: str = "dst",
     scale: int = PR_SCALE,
+    probe_every: int = 4,
 ) -> tuple[DataFrame, int]:
     """Production PageRank: iterate until the max per-node rank change
     drops to ``tol_scaled`` (units of 1/scale; the default 1e6/1e12 =
@@ -252,26 +253,39 @@ def pagerank_converged(
     :func:`pagerank_scaled` (which stays the 3-iteration oracle form —
     VERDICT r3 item 5).
 
-    Same O(1)-per-round driver pattern as ``connected_components``: each
-    round lazily checkpoints the new rank vector (lineage truncation for
-    an open-ended loop) and ONE tiny aggregate — max |rank - prev| over
-    the node-keyed self-join — both materializes it and probes
-    convergence, so the driver pulls back a single long per round, never
-    data.  Returns (ranks, iterations_run)."""
-    edges = edges.localCheckpoint(eager=False)
+    Driver pattern (batched probes, VERDICT r5 item 5): rounds chain
+    lazily (per-round ``localCheckpoint(eager=False)`` truncates
+    lineage) and every ``probe_every``-th round runs ONE tiny aggregate
+    — max |rank - prev| over the node-keyed self-join of the LAST
+    transition — which both materializes the pending rounds and probes
+    convergence.  The per-job fixed cost (scheduling + the probe join)
+    that dominates at small scale is paid once per ``probe_every``
+    rounds; the tolerance still judges a single adjacent transition, so
+    the termination criterion is unchanged and the loop merely
+    overshoots by at most ``probe_every - 1`` cheap extra rounds.
+    Returns (ranks, iterations_run)."""
+    # src-partitioned edges + once-checkpointed loop invariants: each
+    # round's joins then reuse the existing hash partitioning and the
+    # only per-round exchange is the groupBy(dst) share move (see
+    # personalized_pagerank_converged; VERDICT r5 item 5)
+    edges = edges.repartition(F.col(src)).localCheckpoint(eager=False)
     deg, base, ranks = _pr_setup(edges, src, dst, scale)
+    deg = deg.localCheckpoint(eager=False)
+    base = base.localCheckpoint(eager=False)
     ranks = ranks.localCheckpoint(eager=False)
     for it in range(1, max_iterations + 1):
         nxt = _pr_round(ranks, deg, edges, base, scale, src, dst).localCheckpoint(
             eager=False
         )
+        prev, ranks = ranks, nxt
+        if it % probe_every and it != max_iterations:
+            continue
         delta = (
             nxt.select("node", F.col("rank_scaled").alias("__new"))
-            .join(ranks.select("node", F.col("rank_scaled").alias("__old")), "node")
+            .join(prev.select("node", F.col("rank_scaled").alias("__old")), "node")
             .agg(F.max(F.abs(F.col("__new") - F.col("__old"))).alias("d"))
             .collect()[0]["d"]
         )
-        ranks = nxt
         if delta is not None and delta <= tol_scaled:
             return (
                 ranks.select(
@@ -569,20 +583,36 @@ def personalized_pagerank_converged(
     src: str = "src",
     dst: str = "dst",
     scale: int = PR_SCALE,
+    probe_every: int = 4,
 ) -> tuple[DataFrame, int]:
     """Production personalized PageRank (VERDICT r4 item 4): the same
     seed-gated restart rounds as :func:`personalized_pagerank_scaled`
     (which stays the unrolled-CTE oracle form), iterated until the max
     per-node rank change drops to ``tol_scaled`` — the
-    :func:`pagerank_converged` termination pattern: each round lazily
-    checkpoints the new rank vector (lineage truncation for an
-    open-ended loop) and collects ONE long (max |Δrank| over the
-    node-keyed self-join), so the driver pulls back a single value per
-    round, never data.  Returns (ranks, iterations_run); RAISES on
+    :func:`pagerank_converged` termination pattern: rounds chain lazily
+    (per-round ``localCheckpoint(eager=False)`` truncates lineage) and
+    every ``probe_every``-th round collects ONE long (max |Δrank| over
+    the node-keyed self-join of the LAST transition), so the driver
+    pulls back a single value per probe, never data — and the per-job
+    fixed cost that dominated at small scale (VERDICT r5 item 5) is
+    paid once per ``probe_every`` rounds instead of every round, at the
+    price of at most ``probe_every - 1`` overshoot rounds past
+    convergence.  Returns (ranks, iterations_run); RAISES on
     non-convergence so a bounded-iterations claim is proved, not hoped.
     """
-    edges = edges.localCheckpoint(eager=False)
-    deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    # Partition-align the whole loop (VERDICT r5 item 5): edges live
+    # hash-partitioned by src, every derived frame (deg, base, ranks)
+    # by the same key, so each round's three joins reuse the existing
+    # partitioning and the ONLY exchange per round is the groupBy(dst)
+    # that moves the share mass — the irreducible data movement.  The
+    # loop-invariant frames are checkpointed once; without that every
+    # probe job recomputes their groupBy/distinct/semi-join lineage per
+    # pending round, which at small scale costs more than the rounds
+    # themselves.
+    edges = edges.repartition(F.col(src)).localCheckpoint(eager=False)
+    deg = edges.groupBy(src).agg(F.count("*").alias("__deg")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -594,8 +624,10 @@ def personalized_pagerank_converged(
         "left_semi",
     ).select("node", F.lit(1).alias("__is_seed"))
     ns1 = seed_marked.agg(F.count("*").alias("__ns"))
-    base = nodes.join(F.broadcast(seed_marked), "node", "left").crossJoin(
-        F.broadcast(ns1)
+    base = (
+        nodes.join(F.broadcast(seed_marked), "node", "left")
+        .crossJoin(F.broadcast(ns1))
+        .localCheckpoint(eager=False)
     )
     restart = F.when(
         F.col("__is_seed").isNotNull(),
@@ -616,13 +648,15 @@ def personalized_pagerank_converged(
         nxt = _ppr_round(
             ranks, deg, edges, base, restart, scale, src, dst
         ).localCheckpoint(eager=False)
+        prev, ranks = ranks, nxt
+        if it % probe_every and it != max_iterations:
+            continue
         delta = (
             nxt.select("node", F.col("rank_scaled").alias("__new"))
-            .join(ranks.select("node", F.col("rank_scaled").alias("__old")), "node")
+            .join(prev.select("node", F.col("rank_scaled").alias("__old")), "node")
             .agg(F.max(F.abs(F.col("__new") - F.col("__old"))).alias("d"))
             .collect()[0]["d"]
         )
-        ranks = nxt
         if delta is not None and delta <= tol_scaled:
             return (
                 ranks.select(

@@ -721,10 +721,15 @@ def agg_frequent_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def agg_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Money math on DECIMAL(38,2) — the type a ledger actually uses:
-    revenue per return flag summed exactly (no float accumulation at
-    all; both engines' decimal adders are integer-exact, so no round()
-    hedging is needed anywhere in this query)."""
+    """Money math on DECIMAL — the type a ledger actually uses: revenue
+    per return flag summed exactly (no float accumulation at all; both
+    engines' decimal adders are integer-exact, so no round() hedging is
+    needed anywhere in this query).  The DECIMAL accumulation stays
+    internal; the RESULT columns are scaled BIGINTs (cents / 1e-4
+    units) per the house rule — VERDICT r5 item 1 root-caused the r05
+    red row to the driver's value-hash canonicalization of
+    DECIMAL-typed output columns, not to the values (they agree
+    bitwise), so no DECIMAL crosses the hash boundary."""
     li = t(spark, sf, "lineitem")
     d = li.select(
         "l_returnflag",
@@ -735,8 +740,12 @@ def agg_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("disc_price"),
     )
     return d.groupBy("l_returnflag").agg(
-        F.sum("price").cast("decimal(38,2)").alias("sum_price"),
-        F.sum("disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
+        (F.sum("price").cast("decimal(38,2)") * 100)
+        .cast("long")
+        .alias("sum_price_cents"),
+        (F.sum("disc_price").cast("decimal(38,4)") * 10000)
+        .cast("long")
+        .alias("sum_disc_price_e4"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -773,12 +782,14 @@ ORACLES["agg_frequent_pairs"] = f"""
 
 ORACLES["agg_decimal_exact"] = """
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-             AS sum_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2))
-                       - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-             AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) * 100 AS BIGINT)
+             AS sum_price_cents,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(38,4)) * 10000 AS BIGINT)
+             AS sum_disc_price_e4,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
 """
