@@ -25,6 +25,7 @@ from image_matadata_batchprocessing_aws_spark.queries import graphq as _graphq
 from image_matadata_batchprocessing_aws_spark.queries import multimodal as _multimodal
 from image_matadata_batchprocessing_aws_spark.queries import pipeline as _pipeline
 from image_matadata_batchprocessing_aws_spark.queries import r05_queue as _r05_queue
+from image_matadata_batchprocessing_aws_spark.queries import r06_queue as _r06_queue
 from image_matadata_batchprocessing_aws_spark.queries import relational as _relational
 from image_matadata_batchprocessing_aws_spark.queries import sampling as _sampling
 from image_matadata_batchprocessing_aws_spark.queries import search as _search
@@ -54,90 +55,90 @@ _MODULES = [
     # exact-verified throughout r04 — VERDICT r4 item 1).  Registry
     # 210 -> 351.
     _r05_queue,
+    # r06: the r05-staged queue lands (50 oracled pairs, sf0.1-priced
+    # in SCALE.md — VERDICT r5 item 2).  Registry 351 -> 401.  It
+    # appends at the END so it drains AFTER the r05 queue without
+    # displacing window slots.
+    _r06_queue,
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-5 composition (VERDICT r4
-#: item 1): the registry grew 210 -> 351 by registering the r05 queue;
-#: the window takes (a) ALL 20 oracled registered queries that have
-#: never earned a driver row — the 15-query ``agg_*``/``ts_*``/
-#: ``etl_drift_report``/``embedding_centroid_label`` backlog plus
-#: ``multimodal_jpeg_decode``, ``pagerank_converged``, and the three
-#: r04 oracle upgrades ``multimodal_image_pipeline`` /
-#: ``multimodal_image_sniff`` / ``embedding_kmeans`` (the first two
-#: carry stale ``err: no_oracle`` rows from r01/r02 that a green row
-#: here converts) — then (b) 30 queue entries: the seven flagship
-#: compositions and four real-decode queries first, the rest in
-#: registration order from the queue head.  Every window entry is
+#: entries get oracle rows each round.  Round-6 composition (VERDICT r5
+#: items 1-3): the registry grew 351 -> 401 by registering the r06
+#: queue; the window takes (a) ``agg_decimal_exact`` — the one
+#: ever-checked-never-green oracled query (its r05 red row was the
+#: driver's DECIMAL value-hash canonicalization, not the values, which
+#: agree bitwise; it now emits scaled BIGINTs per the house cents
+#: idiom) — then (b) the next 49 r05-queue entries in registration
+#: order (``eval_kappa`` .. ``ts_cusum_shift``).  Every window entry is
 #: locally oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py,
-#: 0 failures).  Driver-green union after r04 = 188/210; this window
-#: takes the union to 238/351 if all 50 land green.
+#: 0 failures).  Driver-green union after r05 = 237/401; this window
+#: takes the union to 287/401 if all 50 land green.
 #:
 #: DRAIN PLAN (keep registry growth <= window drain rate — the r03
-#: lesson): after r05, 111 queue entries remain never-driver-checked;
-#: r06 takes the next 50 in registration order, r07 the next 50, r08
-#: the final 11 + frozen re-verification spot-checks.  New r05 work
-#: stages in ``queries/r06_queue.py`` (oracled + two-scale-verified via
-#: ``tools/check_oracle.py --staged``; 50 pairs staged by end of r05,
-#: sf0.1-priced in SCALE.md); registering it appends to the registry
-#: END, so it drains after the r05 queue without displacing window
-#: slots — r08/r09 absorb it at the same 50/round rate.  The window
-#: arithmetic here is LOCKED by
+#: lesson): after r06, 62 r05-queue entries plus the 50 r06-queue
+#: entries remain never-driver-checked; r07 takes the next 50 in
+#: registration order, r08 the next 50, r09 the final 12 + frozen
+#: re-verification spot-checks.  New r06 work stages in
+#: ``queries/r07_queue.py`` (oracled + two-scale-verified via
+#: ``tools/check_oracle.py --staged``), capped at <= 50 pairs so
+#: growth stays at the drain rate.  The window arithmetic here is
+#: LOCKED by
 #: ``tests/test_entry_contract.py::test_window_plan_comment_matches_code``.
 _WINDOW = [
-    # (a) the 20 oracled never-driver-checked registered queries
-    "embedding_kmeans",
-    "multimodal_image_sniff",
-    "multimodal_image_pipeline",
-    "multimodal_jpeg_decode",
-    "pagerank_converged",
-    "embedding_centroid_label",
-    "ts_anomaly_events",
-    "etl_drift_report",
-    "agg_corr_matrix",
-    "agg_source_diversity",
-    "etl_incremental_agg",
-    "ts_time_weighted",
-    "agg_retention_cohorts",
-    "agg_event_transitions",
-    "agg_frequent_pairs",
+    # (a) the one ever-checked-never-green oracled query, re-landed
+    # with scaled-BIGINT output columns (VERDICT r5 item 1)
     "agg_decimal_exact",
-    "agg_pareto_concentration",
-    "agg_seasonality",
-    "agg_spearman",
-    "agg_rfm_segments",
-    # (b) 30 queue entries — flagship compositions and real decodes
-    # first, then registration order from the queue head
-    "pipeline_multimodal_curation",
-    "pipeline_audio_corpus",
-    "pipeline_web_corpus",
-    "pipeline_image_curation",
-    "pipeline_entity_resolution",
-    "pipeline_curation_funnel",
-    "pipeline_contrastive_triplets",
-    "multimodal_gif_decode",
-    "multimodal_tiff_decode",
-    "multimodal_webp_decode",
-    "multimodal_jpeg_progressive",
-    "ts_ewma",
-    "etl_interpolate",
-    "ts_rolling_median",
-    "etl_zorder_auto",
-    "semdedup_bounded_checks",
-    "text_bpe_first_merge",
-    "embedding_negative_sample",
-    "sample_dsir",
-    "sample_split_dedup_aware",
-    "join_fuzzy_linkage",
-    "graph_hits",
-    "agg_survival_churn",
-    "etl_target_encode",
-    "eval_roc_auc",
-    "eval_calibration",
-    "text_pmi_bigrams",
-    "text_chi2_tokens",
-    "agg_js_mixture",
-    "eval_confusion",
+    # (b) the next 49 r05-queue entries in registration order
+    "eval_kappa",
+    "graph_kcore",
+    "embedding_pca_top",
+    "embedding_whiten_top",
+    "search_mmr_diverse",
+    "eval_mrr",
+    "eval_rouge_pairs",
+    "etl_corpus_card",
+    "decontaminate_semantic",
+    "etl_k_anonymity",
+    "agg_benford",
+    "text_hash_embed",
+    "search_hash_embed_knn",
+    "stream_confusion_windows",
+    "dedup_jaccard_prefix",
+    "sketch_kmv_distinct",
+    "sketch_kmv_intersect",
+    "multimodal_wav_stats",
+    "multimodal_video_frames",
+    "etl_apply_cdc",
+    "etl_incremental_join",
+    "agg_dp_noisy",
+    "reco_item_cooccurrence",
+    "etl_scd2_build",
+    "graph_bfs_levels",
+    "agg_attribution",
+    "agg_top_paths",
+    "etl_expectations",
+    "multimodal_exif",
+    "multimodal_phash_groups",
+    "text_gopher_rules",
+    "etl_url_normalize",
+    "text_html_extract",
+    "multimodal_video_scenes",
+    "text_line_repetition",
+    "multimodal_audio_silence",
+    "agg_mann_whitney",
+    "eval_lsh_recall",
+    "text_redact_pii",
+    "multimodal_scene_keyframes",
+    "multimodal_image_stats",
+    "multimodal_jpeg12_decode",
+    "sketch_bottomk_quantiles",
+    "text_encoding_flags",
+    "multimodal_jpeg_arith_decode",
+    "multimodal_webp_lossy_decode",
+    "join_geo_radius",
+    "ts_holt",
+    "ts_cusum_shift",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -159,27 +159,27 @@ def test_parity_doc_tally_matches_registry():
 def test_window_plan_comment_matches_code():
     # VERDICT r4 item 6: the in-code window-plan comment drifted in r04
     # ("frozen at 208 / 17 backlog" vs actual 210 / 20+2).  Lock the
-    # r05 comment's arithmetic to the code and the recorded driver
+    # r06 comment's arithmetic to the code and the recorded driver
     # artifacts so it can't drift silently again.
     import json
     import re
 
     from image_matadata_batchprocessing_aws_spark import queries as qpkg
-    from image_matadata_batchprocessing_aws_spark.queries import r05_queue
+    from image_matadata_batchprocessing_aws_spark.queries import r05_queue, r06_queue
 
     reg = qpkg.all_queries()
     oracles = qpkg.all_oracles()
     window = qpkg._WINDOW
     src = open(qpkg.__file__).read()
 
-    # comment claims "210 -> 351" and "238/351"
+    # comment claims "351 -> 401" and "287/401"
     m = re.search(r"registry grew (\d+) -> (\d+)", src)
     assert m and int(m.group(2)) == len(reg)
     m = re.search(r"union to (\d+)/(\d+) if all 50 land green", src)
     assert m and int(m.group(2)) == len(reg)
-    # 188 green union recorded over r01-r04 + 50 window slots = 238
+    # 237 green union recorded over r01-r05 + 50 window slots = 287
     union_green = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         rows = json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json"))
         for k, v in rows.items():
             if (
@@ -193,20 +193,34 @@ def test_window_plan_comment_matches_code():
     # every window entry is oracled, and none already has a green row
     assert set(window) <= set(oracles)
     assert not set(window) & union_green
-    # part (a): ALL registered oracled never-green queries are in the
-    # window (nothing oracled is left behind)
-    never_green_oracled = set(oracles) - union_green
-    assert never_green_oracled - set(r05_queue.QUERIES) <= set(window)
-    # part (b) arithmetic: 30 queue slots => 111 remain for r06+
-    in_window_from_queue = set(window) & set(r05_queue.QUERIES)
-    assert len(in_window_from_queue) == 30
-    m = re.search(r"(\d+) queue entries remain never-driver-checked", src)
-    assert m and int(m.group(1)) == len(r05_queue.QUERIES) - 30
-    # the drain-plan comment's r06-queue tally tracks the actual queue
-    from image_matadata_batchprocessing_aws_spark.queries import r06_queue
-
-    m = re.search(r"(\d+) pairs staged by end of r05", src)
-    assert m and int(m.group(1)) == len(r06_queue.QUERIES)
+    # part (a): the window leads with every ever-checked-never-green
+    # oracled query outside the queues (r06: just agg_decimal_exact)
+    checked = set()
+    for r in (1, 2, 3, 4, 5):
+        checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
+    never_green_checked = (checked & set(oracles)) - union_green
+    assert never_green_checked <= set(window)
+    # part (b): the other 49 slots drain the r05 queue in registration
+    # order — the never-checked queue head, exactly
+    never_checked_q5 = [
+        n for n in r05_queue.QUERIES if n not in checked
+    ]
+    n_head = len(window) - len(never_green_checked & set(window))
+    assert [n for n in window if n in set(r05_queue.QUERIES)] == never_checked_q5[
+        :n_head
+    ]
+    # drain arithmetic: "62 r05-queue entries plus the 50 r06-queue
+    # entries remain never-driver-checked" after this window lands
+    m = re.search(
+        r"(\d+) r05-queue entries plus the (\d+) r06-queue\n#: entries remain",
+        src,
+    )
+    assert m, "drain-plan sentence missing"
+    assert int(m.group(1)) == len(never_checked_q5) - n_head
+    assert int(m.group(2)) == len(r06_queue.QUERIES)
+    # r06 queue is REGISTERED (appended at the registry end)
+    assert set(r06_queue.QUERIES) <= set(reg)
+    assert not set(window) & set(r06_queue.QUERIES)
 
 
 def test_track_persist_release(spark):

@@ -9,7 +9,7 @@ local check, so tolerance here is a footgun, not a feature.
 
 Usage: python tools/check_oracle.py [--staged] [sf_dir] [query ...]
 
-``--staged`` checks the r06 staging queue (queries/r06_queue.py)
+``--staged`` checks the r07 staging queue (queries/r07_queue.py)
 instead of the registered inventory — the single gate covers both
 surfaces (tools/check_queue.py was retired when the r05 queue
 registered).
@@ -66,9 +66,9 @@ def main():
     from image_matadata_batchprocessing_aws_spark.operators.caching import release_persisted
 
     if staged:
-        from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+        from image_matadata_batchprocessing_aws_spark.queries import r07_queue
 
-        qs, oracles = r06_queue.QUERIES, r06_queue.ORACLES
+        qs, oracles = r07_queue.QUERIES, r07_queue.ORACLES
     else:
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
