@@ -203,6 +203,17 @@ HEADLINE = [
     "pipeline_image_curation",
     "pipeline_entity_resolution",
     "pipeline_contrastive_triplets",
+    # r06 batch (append only): the driver-checked iterative/decode
+    # queries that had no recorded sf0.1 price (VERDICT r5 item 4) —
+    # BENCH_FULL now covers every driver-green query family.
+    "pagerank_converged",
+    "embedding_kmeans",
+    "kmeans_invariants",
+    "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
+    "multimodal_tiff_decode",
+    "multimodal_webp_decode",
+    "multimodal_jpeg_progressive",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

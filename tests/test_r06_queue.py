@@ -18,10 +18,13 @@ from tests.conftest import SF_SMOKE
 
 def test_queue_keys_paired():
     assert set(r06_queue.QUERIES) == set(r06_queue.ORACLES)
-    # staged: no collision with the live registry
-    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+    # registered in r06: every queue entry is IN the live registry
+    # (all_queries() itself raises on any cross-module name collision)
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries, all_oracles
 
-    assert not set(r06_queue.QUERIES) & set(all_queries())
+    reg = all_queries()
+    assert set(r06_queue.QUERIES) <= set(reg)
+    assert set(r06_queue.ORACLES) <= set(all_oracles())
 
 
 @pytest.mark.parametrize("name", sorted(r06_queue.QUERIES))

@@ -785,3 +785,56 @@ def test_ohlc_candles_stream_matches_batch(spark, events_dir):
     g = sorted(tuple(r) for r in got.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert g == b and len(g) > 0
+
+
+def test_engagement_panel_stream_matches_batch(spark, events_dir, tmp_path):
+    """streaming/engagement.py: the foreachBatch-maintained (month, user)
+    day-bitmap state after consuming all micro-batches yields the exact
+    engagement panel of the full input — and every intermediate epoch's
+    panel equals the batch query over its prefix (bit_or mergeability is
+    what makes the micro-batching invisible).  Twin of the staged
+    ``stream_engagement_panel`` oracle pair (VERDICT r5 item 6)."""
+    from image_matadata_batchprocessing_aws_spark.streaming.engagement import (
+        engagement_panel,
+        start_engagement_panel_sink,
+        user_day_bits,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = start_engagement_panel_sink(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(str(tmp_path / "state"))
+    last = state.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    got = sorted(
+        tuple(r)
+        for r in engagement_panel(
+            state.where(F.col("batch_id") == last).drop("batch_id")
+        ).collect()
+    )
+    ev = spark.read.parquet(events_dir).select("user_id", "ts")
+    exp = sorted(tuple(r) for r in engagement_panel(user_day_bits(ev)).collect())
+    assert got == exp and len(got) > 0
+    # prefix property: epoch e's state is exactly the panel of files
+    # 0..e (maxFilesPerTrigger=1 => one file per micro-batch; the
+    # fixture's chunk_{i} files are created in name order, so the file
+    # source replays them in that order)
+    files = sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))
+    epochs = sorted(
+        r.batch_id for r in state.select("batch_id").distinct().collect()
+    )
+    assert len(epochs) == len(files)
+    for e, upto in zip(epochs, range(1, len(files) + 1)):
+        prefix = spark.read.parquet(*files[:upto]).select("user_id", "ts")
+        p_exp = sorted(
+            tuple(r) for r in engagement_panel(user_day_bits(prefix)).collect()
+        )
+        p_got = sorted(
+            tuple(r)
+            for r in engagement_panel(
+                state.where(F.col("batch_id") == e).drop("batch_id")
+            ).collect()
+        )
+        assert p_got == p_exp
