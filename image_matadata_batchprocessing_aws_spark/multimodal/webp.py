@@ -93,7 +93,13 @@ class _BitWriter:
 # --- canonical prefix codes ------------------------------------------------
 
 #: code-length symbols are transmitted in this fixed order (RFC 9649)
-_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+#: kCodeLengthCodeOrder (RFC 9649 §5.2.2): symbol 16 sits at position 8,
+#: between 5 and 6 — NOT at the end.  r06 fix: both the reader and the
+#: writer had 16 last, a symmetric error invisible to round-trip tests
+#: and to libwebp-produced fixtures with num_code_lengths <= 8 (the
+#: first eight positions agree); independent libwebp decode of our own
+#: normal-code streams with >= 33 distinct symbols exposed it.
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _canonical_codes(lengths: list[int]) -> dict[int, int]:
@@ -496,7 +502,11 @@ def _inv_color_index(pixels: list[int], orig_w: int, h: int, width_bits: int, pa
 # --- VP8L stream + RIFF container ------------------------------------------
 
 
-def _decode_vp8l(data: bytes) -> np.ndarray:
+def _decode_vp8l(data: bytes, return_alpha: bool = False):
+    """VP8L stream -> HxWx3 uint8 RGB; with ``return_alpha`` a
+    (rgb, alpha HxW uint8) pair — the animation compositor needs the
+    alpha plane the still contract (PIL convert('RGB') semantics)
+    drops."""
     if not data or data[0] != 0x2F:
         raise ImageFormatError("VP8L: bad signature byte")
     br = _BitReader(data, 1)
@@ -549,6 +559,8 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
     rgb[:, :, 0] = (arr >> 16) & 0xFF
     rgb[:, :, 1] = (arr >> 8) & 0xFF
     rgb[:, :, 2] = arr & 0xFF
+    if return_alpha:
+        return rgb, ((arr >> 24) & 0xFF).astype(np.uint8)
     return rgb
 
 

@@ -377,7 +377,9 @@ def test_repeat_previous_len16():
     bw.write_bits(0, 1)
     bw.write_bits(0, 1)  # green: not simple
     order_vals = {18: 1, 3: 2, 16: 2}
-    slots = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    # kCodeLengthCodeOrder (RFC 9649): 16 sits between 5 and 6 — the r06
+    # _CL_ORDER fix corrected the same symmetric mistake here
+    slots = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     bw.write_bits(len(slots) - 4, 4)
     for s in slots:
         bw.write_bits(order_vals.get(s, 0), 3)
