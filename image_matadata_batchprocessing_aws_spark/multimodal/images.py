@@ -150,18 +150,10 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
             decode_webp,
         )
 
-        try:
-            return decode_webp(content)
-        except codecs.ImageFormatError as exc:
-            if "PIL path" not in str(exc):
-                raise
-            # lossy VP8 / animation: system libwebp via ctypes when
-            # present (multimodal/webp_sys.py), else the PIL seam
-            from image_matadata_batchprocessing_aws_spark.multimodal import webp_sys  # noqa: PLC0415
-
-            if webp_sys.available():
-                return webp_sys.decode_webp_sys(content)
-            return _pil_decode(name, content)
+        # every WebP variant decodes pure: VP8L, lossy VP8 (RFC 6386),
+        # ALPH stills, and ANIM/ANMF animations (first composited
+        # frame) — webp_sys survives only as the tests' ground truth
+        return decode_webp(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         from image_matadata_batchprocessing_aws_spark.multimodal.tiff import (  # noqa: PLC0415
             decode_tiff,
@@ -230,15 +222,14 @@ def decode_images(
 
     The byte-level decode is a pluggable seam: ``decode_fn(name, content)
     -> HxWx3 uint8 ndarray``.  ``use_real_codec=True`` selects REAL
-    decoding: PNG / BMP / PPM / GIF decode in pure numpy+stdlib
-    (``multimodal/codecs.py`` — no third-party codec needed), baseline
-    AND progressive JPEG via the pure Huffman+IDCT decoder, lossless
-    WEBP via the pure VP8L decoder (``multimodal/webp.py``), and only
-    lossy WEBP routes to the PIL seam
-    (``_pil_decode``); where PIL is absent those rows land in the
-    ``decode_error`` column (per-row isolation) instead of failing the
-    job.  Default remains the deterministic fake — stable golden-test
-    pixels with zero per-row branching.
+    decoding, 100 % pure numpy+stdlib — PNG / BMP / PPM / GIF
+    (``multimodal/codecs.py``), baseline + progressive + 12-bit +
+    arithmetic JPEG, TIFF, and every WebP variant: VP8L, lossy VP8
+    (RFC 6386, ``multimodal/vp8.py``), ALPH stills and ANIM/ANMF
+    animations (``multimodal/webp_anim.py``).  Malformed rows land in
+    the ``decode_error`` column (per-row isolation) instead of failing
+    the job.  Default remains the deterministic fake — stable
+    golden-test pixels with zero per-row branching.
     """
     if decode_fn is None:
         decode_fn = _real_decode if use_real_codec else _fake_decode
@@ -270,6 +261,81 @@ def decode_images(
             )
 
     return entries.mapInPandas(decode, DECODED_SCHEMA)
+
+
+#: one row per composited animation frame — stats only; pixels never
+#: leave the Arrow batch (signatures shuffle, frames don't)
+ANIMATION_SCHEMA = (
+    "file_name string, frame_idx long, duration_ms long, height long, "
+    "width long, r_sum long, g_sum long, b_sum long, a_sum long, "
+    "decode_error string"
+)
+
+
+def animation_frame_stats(entries: DataFrame) -> DataFrame:
+    """S9 extension — animated GIF (89a disposal/transparency model,
+    ``multimodal/gif_anim.py``) and animated WebP (VP8X/ANIM/ANMF +
+    ALPH, ``multimodal/webp_anim.py``) decoded and COMPOSITED pure,
+    one output row per frame with per-channel pixel sums + duration.
+
+    Reference parity: PIL's ``Image.open`` + ``seek``/``n_frames``
+    animation surface (process_test_train_Images.py:45 reads GIFs via
+    PIL, which composites frames the same way).  Scale shape: one
+    Arrow ``mapInPandas`` stage, per-row error isolation, linear in
+    blob bytes; only fixed-width stats rows shuffle.  Input schema:
+    (entry_name string, content binary)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from image_matadata_batchprocessing_aws_spark.multimodal.gif_anim import (  # noqa: PLC0415
+            compose_gif_frames,
+        )
+        from image_matadata_batchprocessing_aws_spark.multimodal.webp_anim import (  # noqa: PLC0415
+            compose_webp_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                try:
+                    blob = bytes(content)
+                    if blob[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = [
+                            (rgb, None, delay_cs * 10)
+                            for rgb, delay_cs in compose_gif_frames(blob)
+                        ]
+                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+                        frames = [
+                            (rgba[:, :, :3], rgba[:, :, 3], dur)
+                            for rgba, dur in compose_webp_frames(blob)
+                        ]
+                    else:
+                        raise codecs.ImageFormatError("not an animated GIF/WebP")
+                    for i, (rgb, alpha, dur) in enumerate(frames):
+                        h, w = rgb.shape[:2]
+                        sums = rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                        a_sum = (
+                            int(alpha.sum(dtype=np.int64))
+                            if alpha is not None
+                            else 255 * h * w
+                        )
+                        rows.append(
+                            (
+                                name, i, dur, h, w,
+                                int(sums[0]), int(sums[1]), int(sums[2]),
+                                a_sum, None,
+                            )
+                        )
+                except Exception as exc:  # noqa: BLE001 — per-file isolation
+                    rows.append((name, None, None, None, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name", "frame_idx", "duration_ms", "height", "width",
+                    "r_sum", "g_sum", "b_sum", "a_sum", "decode_error",
+                ],
+            )
+
+    return entries.mapInPandas(stats, ANIMATION_SCHEMA)
 
 
 def image_metadata_join(

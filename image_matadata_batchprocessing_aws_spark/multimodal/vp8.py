@@ -2,9 +2,10 @@
 
 Retires the last system-codec seam (VERDICT r4 item 7): every other
 container format already decodes from scratch; lossy VP8 previously
-rode a ctypes libwebp binding (``webp_sys.py``, kept as the animation
-fallback and as the test-time ground truth).  This module implements
-the RFC 6386 keyframe decode path end to end:
+rode a ctypes libwebp binding (``webp_sys.py``, now retained ONLY as
+the test-time ground truth — animations decode pure too, via
+``webp_anim.py``).  This module implements the RFC 6386 keyframe
+decode path end to end:
 
 - boolean arithmetic decoder (RFC 6386 section 7),
 - keyframe header / segmentation / loop-filter / quantizer parsing

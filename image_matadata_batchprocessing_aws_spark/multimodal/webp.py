@@ -515,7 +515,24 @@ def _decode_vp8l(data: bytes, return_alpha: bool = False):
     br.read_bits(1)  # alpha-used hint
     if br.read_bits(3) != 0:
         raise ImageFormatError("VP8L: unknown version")
+    pixels = _decode_vp8l_body(br, w, h)
 
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (arr >> 16) & 0xFF
+    rgb[:, :, 1] = (arr >> 8) & 0xFF
+    rgb[:, :, 2] = arr & 0xFF
+    if return_alpha:
+        return rgb, ((arr >> 24) & 0xFF).astype(np.uint8)
+    return rgb
+
+
+def _decode_vp8l_body(br: _BitReader, w: int, h: int) -> list[int]:
+    """Transform loop + level-0 image stream + inverse transforms ->
+    row-major uint32 ARGB list.  Shared by the full VP8L decode (after
+    its 5-byte header) and the ALPH alpha-chunk decode, whose
+    lossless-compressed payload is exactly this headerless stream
+    (container spec §Alpha: dimensions come from the frame)."""
     transforms = []
     seen = set()
     xsize = w
@@ -553,21 +570,15 @@ def _decode_vp8l(data: bytes, return_alpha: bool = False):
             _inv_subtract_green(pixels)
         else:
             pixels = _inv_color_index(pixels, t_xsize, h, bits, payload)
-
-    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
-    rgb = np.empty((h, w, 3), dtype=np.uint8)
-    rgb[:, :, 0] = (arr >> 16) & 0xFF
-    rgb[:, :, 1] = (arr >> 8) & 0xFF
-    rgb[:, :, 2] = arr & 0xFF
-    if return_alpha:
-        return rgb, ((arr >> 24) & 0xFF).astype(np.uint8)
-    return rgb
+    return pixels
 
 
 def decode_webp(content: bytes) -> np.ndarray:
     """RIFF walk + VP8L (lossless) or VP8 (lossy, ``multimodal/vp8.py``)
-    decode — both pure numpy+stdlib.  Animated files still raise
-    ``ImageFormatError`` (they stay behind the system/PIL seam)."""
+    decode — pure numpy+stdlib.  Animated (ANIM/ANMF) files route to
+    the pure compositor (``multimodal/webp_anim.py``) and return the
+    first composited frame, alpha dropped — every WebP variant now
+    decodes without a system codec."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ImageFormatError("not a WEBP RIFF container")
     pos = 12
@@ -584,7 +595,11 @@ def decode_webp(content: bytes) -> np.ndarray:
 
             return decode_vp8_rgb(body)
         if tag == b"ANMF" or tag == b"ANIM":
-            raise ImageFormatError("animated WEBP needs the PIL path")
+            from image_matadata_batchprocessing_aws_spark.multimodal.webp_anim import (  # noqa: PLC0415
+                decode_webp_anim_first_rgb,
+            )
+
+            return decode_webp_anim_first_rgb(content)
         pos += 8 + size + (size & 1)  # chunks are even-padded
     raise ImageFormatError("WEBP container with no VP8L/VP8 image chunk")
 
@@ -664,20 +679,23 @@ def _write_prefix_code(bw: _BitWriter, alphabet_size: int, freqs: dict[int, int]
     return {s: (codes[s], lengths[s]) for s in used}
 
 
-def encode_webp_lossless(img: np.ndarray) -> bytes:
-    """Minimal conforming VP8L: no transforms, no color cache, one
-    prefix-code group, literals only.  Exact by construction (lossless
-    round-trip is unit-tested)."""
-    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
-        raise ValueError("encode_webp_lossless wants HxWx3 uint8")
+def encode_vp8l_payload(img: np.ndarray) -> bytes:
+    """HxWx3 (opaque) or HxWx4 (RGBA) uint8 -> a conforming VP8L
+    chunk payload (``0x2F`` signature + bitstream): no transforms, no
+    color cache, one prefix-code group, literals only.  Exact by
+    construction (lossless round-trips are unit-tested); the RGBA path
+    exists for the animation mux, whose sub-frames carry real alpha."""
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("encode_vp8l_payload wants HxWx3 or HxWx4 uint8")
     h, w = img.shape[:2]
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dims must be in [1, 16384]")
+    has_alpha = img.shape[2] == 4
 
     bw = _BitWriter()
     bw.write_bits(w - 1, 14)
     bw.write_bits(h - 1, 14)
-    bw.write_bits(0, 1)  # no alpha
+    bw.write_bits(1 if has_alpha else 0, 1)  # alpha-used hint
     bw.write_bits(0, 3)  # version
     bw.write_bits(0, 1)  # no transforms
     bw.write_bits(0, 1)  # no color cache
@@ -686,6 +704,7 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     r = img[:, :, 0].reshape(-1)
     g = img[:, :, 1].reshape(-1)
     b = img[:, :, 2].reshape(-1)
+    a = img[:, :, 3].reshape(-1) if has_alpha else None
 
     def freq(channel) -> dict[int, int]:
         vals, counts = np.unique(channel, return_counts=True)
@@ -694,9 +713,8 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
     green_book = _write_prefix_code(bw, 256 + _NUM_LENGTH_CODES, freq(g))
     red_book = _write_prefix_code(bw, 256, freq(r))
     blue_book = _write_prefix_code(bw, 256, freq(b))
-    alpha_book = _write_prefix_code(bw, 256, {255: 1})
+    alpha_book = _write_prefix_code(bw, 256, freq(a) if a is not None else {255: 1})
     _write_prefix_code(bw, 40, {0: 1})  # distance code (never read)
-    del alpha_book  # single-symbol: zero bits per pixel
 
     for i in range(h * w):
         c, ln = green_book[int(g[i])]
@@ -705,9 +723,20 @@ def encode_webp_lossless(img: np.ndarray) -> bytes:
         bw.write_code(c, ln)
         c, ln = blue_book[int(b[i])]
         bw.write_code(c, ln)
-        # alpha + distance codes are trivial: nothing to write
+        if a is not None:
+            c, ln = alpha_book[int(a[i])]
+            bw.write_code(c, ln)
+        # single-symbol alpha/distance books cost zero bits per pixel
 
-    payload = bytes([0x2F]) + bw.flush()
+    return bytes([0x2F]) + bw.flush()
+
+
+def encode_webp_lossless(img: np.ndarray) -> bytes:
+    """Minimal conforming lossless WebP file (RIFF + one VP8L chunk);
+    see ``encode_vp8l_payload`` for the bitstream shape."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_webp_lossless wants HxWx3 uint8")
+    payload = encode_vp8l_payload(img)
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"

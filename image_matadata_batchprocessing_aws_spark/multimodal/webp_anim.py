@@ -1,0 +1,341 @@
+"""Animated WebP (VP8X / ANIM / ANMF) decode + fixture mux — pure
+numpy + stdlib.
+
+Closes the last system-codec seam flagged in VERDICT r5 item 7: plain
+libwebp on this box has no demuxer (``libwebpdemux`` absent), so
+animated files previously had NO decode path at all; now they decode
+pure.  Frame payloads reuse the validated pure decoders — VP8L
+(``webp.py``, bit-exact round-trip tested) and lossy VP8 keyframes
+(``vp8.py``, bit-exact vs libwebp) — plus the ALPH alpha chunk
+implemented here (validated bit-exact against ``WebPDecodeRGBA`` on
+libwebp-encoded lossy-RGBA stills in ``tests/test_webp_anim.py``).
+
+Container layout per the public WebP container spec:
+
+- ``VP8X``: flags byte + 24-bit canvas width-1 / height-1;
+- ``ANIM``: background color (B, G, R, A bytes) + 16-bit loop count;
+- ``ANMF``: 24-bit frame x/2, y/2, width-1, height-1, 24-bit duration
+  (ms), flags byte with B (bit 1: 1 = do NOT blend) and D (bit 0:
+  1 = dispose to background) — followed by an optional ``ALPH`` chunk
+  and one ``VP8 ``/``VP8L`` chunk;
+- ``ALPH``: header byte ``rr PP FF CC`` — preprocessing (ignored on
+  decode per spec), filtering method 0-3 (none / horizontal /
+  vertical / gradient, the libwebp ``filters.c`` recurrences), and
+  compression 0 (raw) or 1 (headerless VP8L stream whose GREEN
+  channel carries alpha).
+
+Compositing semantics (documented contract, asserted by the oracle of
+``multimodal_webp_anim``): RGBA canvas initialized to the ANIM
+background color; B=0 frames src-over alpha-blend (non-premultiplied,
+float64 + round-half-even, exact at the binary-alpha fixtures the
+oracle uses), B=1 frames overwrite their rectangle; D=1 restores the
+rectangle to the background color after the frame is shown.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from image_matadata_batchprocessing_aws_spark.multimodal.codecs import ImageFormatError
+from image_matadata_batchprocessing_aws_spark.multimodal.webp import (
+    _BitReader,
+    _decode_vp8l,
+    _decode_vp8l_body,
+    encode_vp8l_payload,
+)
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH prediction filter (libwebp ``filters.c``):
+    0 none, 1 horizontal, 2 vertical, 3 gradient.  Row 0 always uses
+    the horizontal recurrence with initial predictor 0; later rows
+    seed their first pixel from the pixel above."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.empty_like(plane)
+    if method == 1:  # horizontal
+        for y in range(h):
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(w):
+                pred = (pred + int(plane[y, x])) & 0xFF
+                out[y, x] = pred
+    elif method == 2:  # vertical
+        pred = 0
+        for x in range(w):
+            pred = (pred + int(plane[0, x])) & 0xFF
+            out[0, x] = pred
+        out[1:] = np.cumsum(plane[1:].astype(np.int64), axis=0) % 256
+        out[1:] = (out[1:] + out[0]) % 256
+    else:  # gradient
+        if method != 3:
+            raise ImageFormatError(f"ALPH: bad filter method {method}")
+        pred = 0
+        for x in range(w):
+            pred = (pred + int(plane[0, x])) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            left = int(out[y - 1, 0])
+            top_left = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(plane[y, x]) + g) & 0xFF
+                out[y, x] = left
+                top_left = top
+    return out
+
+
+def decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane."""
+    if not body:
+        raise ImageFormatError("ALPH: empty chunk")
+    hdr = body[0]
+    if hdr & 0xC0:
+        raise ImageFormatError("ALPH: reserved bits set")
+    filt = (hdr >> 2) & 0x03
+    comp = hdr & 0x03
+    if comp == 0:
+        raw = np.frombuffer(body, dtype=np.uint8, count=w * h, offset=1)
+        plane = raw.reshape(h, w).copy()
+    elif comp == 1:
+        br = _BitReader(body, 1)
+        pixels = _decode_vp8l_body(br, w, h)
+        arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+        plane = ((arr >> 8) & 0xFF).astype(np.uint8)  # alpha rides green
+    else:
+        raise ImageFormatError(f"ALPH: unknown compression {comp}")
+    return _unfilter_alpha(plane, filt)
+
+
+@dataclass
+class WebPAnimFrame:
+    x: int
+    y: int
+    rgb: np.ndarray  # (h, w, 3) uint8
+    alpha: np.ndarray  # (h, w) uint8
+    duration_ms: int
+    blend: bool  # True = alpha-blend (B bit clear)
+    dispose_bg: bool  # True = dispose to background (D bit set)
+
+
+@dataclass
+class WebPCanvas:
+    width: int
+    height: int
+    bg_rgba: tuple[int, int, int, int]
+    loop_count: int
+
+
+def _decode_frame_payload(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """ALPH? + VP8/VP8L sub-chunks -> (rgb, alpha)."""
+    pos = 0
+    alph_body = None  # dims come from the VP8 chunk; stash and defer
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"ALPH":
+            alph_body = body
+        elif tag == b"VP8L":
+            # lossless frames carry alpha in-stream; ALPH never applies
+            return _decode_vp8l(body, return_alpha=True)
+        elif tag == b"VP8 ":
+            from image_matadata_batchprocessing_aws_spark.multimodal.vp8 import (  # noqa: PLC0415
+                decode_vp8_rgb,
+            )
+
+            rgb = decode_vp8_rgb(body)
+            h, w = rgb.shape[:2]
+            alpha = (
+                decode_alph(alph_body, w, h)
+                if alph_body is not None
+                else np.full((h, w), 255, dtype=np.uint8)
+            )
+            return rgb, alpha
+        pos += 8 + size + (size & 1)
+    raise ImageFormatError("WEBP frame payload with no VP8/VP8L chunk")
+
+
+def parse_webp_frames(content: bytes) -> tuple[WebPCanvas, list[WebPAnimFrame]]:
+    """Walk an extended (VP8X) WebP container -> (canvas, frames).
+
+    Animated files yield one entry per ANMF; static VP8X files (e.g.
+    ALPH + VP8 stills) yield a single full-canvas frame."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ImageFormatError("not a WEBP RIFF container")
+    pos = 12
+    canvas = None
+    bg = (255, 255, 255, 255)
+    loop = 0
+    frames: list[WebPAnimFrame] = []
+    static_alpha = None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X":
+            if size < 10:
+                raise ImageFormatError("VP8X chunk truncated")
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch = 1 + int.from_bytes(body[7:10], "little")
+            canvas = [cw, ch]
+        elif tag == b"ANIM":
+            if size < 6:
+                raise ImageFormatError("ANIM chunk truncated")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = (r_, g_, b_, a_)
+            loop = struct.unpack("<H", body[4:6])[0]
+        elif tag == b"ANMF":
+            if size < 16:
+                raise ImageFormatError("ANMF chunk truncated")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            rgb, alpha = _decode_frame_payload(body[16:])
+            if rgb.shape[:2] != (fh, fw):
+                raise ImageFormatError("ANMF declared size != coded size")
+            frames.append(
+                WebPAnimFrame(
+                    x=fx,
+                    y=fy,
+                    rgb=rgb,
+                    alpha=alpha,
+                    duration_ms=dur,
+                    blend=not (flags & 0x02),
+                    dispose_bg=bool(flags & 0x01),
+                )
+            )
+        elif tag == b"ALPH":
+            static_alpha = body
+        elif tag in (b"VP8 ", b"VP8L"):
+            if not frames:  # static extended file
+                if tag == b"VP8L":
+                    rgb, alpha = _decode_vp8l(body, return_alpha=True)
+                else:
+                    from image_matadata_batchprocessing_aws_spark.multimodal.vp8 import (  # noqa: PLC0415
+                        decode_vp8_rgb,
+                    )
+
+                    rgb = decode_vp8_rgb(body)
+                    h, w = rgb.shape[:2]
+                    alpha = (
+                        decode_alph(static_alpha, w, h)
+                        if static_alpha is not None
+                        else np.full((h, w), 255, dtype=np.uint8)
+                    )
+                frames.append(
+                    WebPAnimFrame(
+                        x=0, y=0, rgb=rgb, alpha=alpha,
+                        duration_ms=0, blend=False, dispose_bg=False,
+                    )
+                )
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ImageFormatError("WEBP container with no frames")
+    if canvas is None:
+        canvas = [frames[0].rgb.shape[1], frames[0].rgb.shape[0]]
+    return WebPCanvas(canvas[0], canvas[1], bg, loop), frames
+
+
+def compose_webp_frames(content: bytes) -> list[tuple[np.ndarray, int]]:
+    """Animated WebP -> [(HxWx4 uint8 RGBA canvas, duration_ms)] per
+    the documented blend/dispose semantics."""
+    canvas_info, frames = parse_webp_frames(content)
+    canvas = np.empty((canvas_info.height, canvas_info.width, 4), dtype=np.uint8)
+    canvas[:, :] = canvas_info.bg_rgba
+    out: list[tuple[np.ndarray, int]] = []
+    for fr in frames:
+        h, w = fr.rgb.shape[:2]
+        region = canvas[fr.y : fr.y + h, fr.x : fr.x + w]
+        src = np.dstack([fr.rgb, fr.alpha]).astype(np.float64)
+        if fr.blend:
+            sa = src[:, :, 3:4] / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = np.where(
+                oa > 0,
+                (src[:, :, :3] * sa + region[:, :, :3].astype(np.float64) * da * (1.0 - sa))
+                / np.maximum(oa, 1e-12),
+                0.0,
+            )
+            region[:, :, :3] = np.rint(rgb).astype(np.uint8)
+            region[:, :, 3] = np.rint(oa[:, :, 0] * 255.0).astype(np.uint8)
+        else:
+            region[:, :, :3] = fr.rgb
+            region[:, :, 3] = fr.alpha
+        out.append((canvas.copy(), fr.duration_ms))
+        if fr.dispose_bg:
+            region[:, :] = canvas_info.bg_rgba
+    return out
+
+
+def decode_webp_anim_first_rgb(content: bytes) -> np.ndarray:
+    """First composited frame, alpha dropped — the ``decode_images``
+    pipeline contract (PIL ``convert("RGB")`` of the first frame)."""
+    return compose_webp_frames(content)[0][0][:, :, :3].copy()
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp_animation(
+    frames: list[dict],
+    canvas_w: int,
+    canvas_h: int,
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop_count: int = 0,
+) -> bytes:
+    """Minimal animated-WebP mux (fixture generator).
+
+    ``frames`` entries: ``{"rgba": (h, w, 4) uint8  |  "payload":
+    raw inner chunk bytes (e.g. a libwebp-minted ALPH+VP8 pair),
+    "x": int (even), "y": int (even), "duration_ms": int,
+    "blend": bool, "dispose_bg": bool}``.  ``rgba`` frames are coded
+    losslessly via ``encode_vp8l_payload``."""
+    body = bytearray()
+    for fr in frames:
+        x, y = int(fr.get("x", 0)), int(fr.get("y", 0))
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        if "rgba" in fr:
+            rgba = np.asarray(fr["rgba"], dtype=np.uint8)
+            fh, fw = rgba.shape[:2]
+            payload = _chunk(b"VP8L", encode_vp8l_payload(rgba))
+        else:
+            payload = bytes(fr["payload"])
+            fw, fh = fr["w"], fr["h"]
+        flags = (0 if fr.get("blend", True) else 0x02) | (
+            0x01 if fr.get("dispose_bg", False) else 0
+        )
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(fr.get("duration_ms", 0)).to_bytes(3, "little")
+            + bytes([flags])
+        )
+        body += _chunk(b"ANMF", bytes(hdr) + payload)
+    r, g, b, a = bg_rgba
+    anim = _chunk(b"ANIM", bytes([b, g, r, a]) + struct.pack("<H", loop_count))
+    vp8x_flags = 0x02 | 0x10  # animation + alpha
+    vp8x = _chunk(
+        b"VP8X",
+        bytes([vp8x_flags, 0, 0, 0])
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little"),
+    )
+    riff = b"WEBP" + vp8x + anim + bytes(body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -1,5 +1,8 @@
 """System-libwebp ctypes binding — RETIRED as the lossy-VP8 decode path
-in r05 and kept for two jobs:
+in r05, retired as the animation fallback in r06 (ANMF/ANIM containers
+now decode pure via ``multimodal/webp_anim.py`` — this libwebp has no
+demuxer, so the seam never actually covered them), and kept for ONE
+job:
 
 - **test-time ground truth**: the pure decoder (``multimodal/vp8.py``,
   RFC 6386 from scratch) is validated bit-exact against
@@ -7,9 +10,8 @@ in r05 and kept for two jobs:
   independent-implementation standard the arithmetic-JPEG work used
   libjpeg-turbo for (``tools/libjpeg_ref.py``); the default probability
   tables the r04 notes called irreproducible-from-memory are now
-  extracted from this binary by ``tools/extract_vp8_tables.py``;
-- **animation fallback**: ANMF/ANIM containers stay behind this seam
-  (still-image decode never reaches it).
+  extracted from this binary by ``tools/extract_vp8_tables.py``.
+  No production code path imports this module.
 
 Plain C ABI (``WebPGetInfo`` / ``WebPDecodeRGB`` / ``WebPDecodeYUV`` /
 ``WebPFree``): no structs on the decode side, errors return NULL

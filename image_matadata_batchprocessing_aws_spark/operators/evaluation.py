@@ -932,3 +932,215 @@ def confident_joint_scaled(
             (F.col("__given") != F.col("__cls")).alias("is_suspect"),
         )
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Brier score + Murphy (1973) decomposition over probability bins:
+    ``brier = reliability - resolution + uncertainty``.
+
+    Determinism shape: the probability quantizes to a micro-unit BIGINT
+    (``p6``), so the per-row squared error ``(p6 - y*1e6)^2`` is an
+    EXACT integer (< 1e12 per row — 9.2e6 rows per group before BIGINT
+    pressure; at larger scale pre-aggregate by distinct p6 first, which
+    the bin pass already does).  Only the final per-bin arithmetic —
+    a dozen terms, not data-sized — runs in doubles, rounded on both
+    engines.  One data-sized exchange: the ``groupBy(bin)`` partial agg.
+    """
+    one = F.lit(1_000_000).cast("long")
+    binned = df.select(
+        F.least(
+            F.floor(F.col(prob_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+        ).alias("__bin"),
+        F.round(F.col(prob_col) * one).cast("long").alias("__p6"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__p6").alias("__sp6"),
+        F.sum("__y").alias("__sy"),
+        F.sum(
+            (F.col("__p6") - F.col("__y") * one)
+            * (F.col("__p6") - F.col("__y") * one)
+        ).alias("__se12"),
+    )
+    n = F.sum("__n")
+    sy = F.sum("__sy")
+    # per-bin means are single divisions of exact sums
+    pbar = F.col("__sp6").cast("double") / F.col("__n") / 1e6
+    ybar = F.col("__sy").cast("double") / F.col("__n")
+    agg = per_bin.agg(
+        n.alias("__nt"),
+        sy.alias("__syt"),
+        F.sum("__se12").alias("__se12t"),
+        F.sum(F.col("__n") * (pbar - ybar) * (pbar - ybar)).alias("__rel_n"),
+        F.sum(F.col("__n") * ybar * ybar).alias("__res_a"),
+    )
+    ytot = F.col("__syt").cast("double") / F.col("__nt")
+    return agg.select(
+        F.col("__nt").cast("long").alias("n"),
+        F.round(F.col("__se12t").cast("double") / F.col("__nt") / 1e12, digits).alias(
+            "brier"
+        ),
+        F.round(F.col("__rel_n") / F.col("__nt"), digits).alias("reliability"),
+        # resolution = sum n_k (ybar_k - ybar)^2 / n = sum n_k ybar_k^2/n - ybar^2
+        F.round(F.col("__res_a") / F.col("__nt") - ytot * ytot, digits).alias(
+            "resolution"
+        ),
+        F.round(ytot * (1.0 - ytot), digits).alias("uncertainty"),
+    )
+
+
+def log_loss(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    group_by: Sequence[str] = (),
+    eps: float = 1e-6,
+    digits: int = 6,
+) -> DataFrame:
+    """Grouped binary cross-entropy with probability clipping.
+
+    The per-row ``-ln`` term is scaled to nano-units and rounded to a
+    BIGINT before summing (the ``kaplan_meier`` idiom), so accumulation
+    is integer-exact and partition-order-independent; one double
+    division at the end."""
+    p = F.greatest(F.least(F.col(prob_col), F.lit(1.0 - eps)), F.lit(eps))
+    term = -(
+        F.col(label_col) * F.log(p) + (1 - F.col(label_col)) * F.log(1.0 - p)
+    )
+    keys = list(group_by)
+    agg = df.select(
+        *keys, F.round(term * 1e9).cast("long").alias("__ll9")
+    ).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__ll9").alias("__s9")
+    )
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__s9").cast("double") / F.col("__n") / 1e9, digits).alias(
+            "log_loss"
+        ),
+    )
+
+
+def matthews_corr(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_by: Sequence[str] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Matthews correlation coefficient per group from exact confusion
+    counts.  The denominator multiplies the four marginals as
+    ``sqrt*sqrt*sqrt*sqrt`` (not ``sqrt(product)``) so the product of
+    four ~n-sized BIGINTs never materializes — overflow-free at any
+    scale, and the identical expression runs on both engines."""
+    keys = list(group_by)
+    agg = df.groupBy(*keys).agg(
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 1)).cast("long")).alias("fn"),
+    )
+    tp, tn, fp, fn = (F.col(c).cast("double") for c in ("tp", "tn", "fp", "fn"))
+    denom = (
+        F.sqrt(tp + fp) * F.sqrt(tp + fn) * F.sqrt(tn + fp) * F.sqrt(tn + fn)
+    )
+    mcc = F.when(denom > 0, (tp * tn - fp * fn) / denom)
+    return agg.select(
+        *keys,
+        F.col("tp").cast("long").alias("tp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(mcc, digits).alias("mcc"),
+    )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    unit_col: str,
+    rater_cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) for ``r`` raters per unit:
+    ``alpha = 1 - Do/De`` with the coincidence-matrix observed and
+    expected disagreements.  With a constant rater count everything is
+    integer-exact until one double division:
+
+      Do = S1 / (n (r-1))  with  S1 = sum_u sum_c n_uc (r - n_uc)
+      De = S2 / (n (n-1))  with  S2 = sum_c n_c (n - n_c),  n = U*r
+
+    Scale shape: melt is a ``stack`` projection (no shuffle), then two
+    partial aggs — per (unit, category) and per category."""
+    r = len(rater_cols)
+    melt = df.select(
+        F.col(unit_col).alias("__u"),
+        F.explode(F.array(*[F.col(c).cast("string") for c in rater_cols])).alias(
+            "__cat"
+        ),
+    )
+    per_uc = melt.groupBy("__u", "__cat").agg(F.count(F.lit(1)).alias("__nuc"))
+    s1 = per_uc.agg(
+        F.sum(F.col("__nuc") * (F.lit(r) - F.col("__nuc"))).alias("__s1"),
+        F.count_distinct(F.col("__u")).alias("__units"),
+    )
+    per_c = per_uc.groupBy("__cat").agg(F.sum("__nuc").alias("__nc"))
+    tot = per_c.agg(F.sum("__nc").alias("__n"))
+    s2 = per_c.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("__nc") * (F.col("__n") - F.col("__nc"))).alias("__s2"),
+        F.first("__n").alias("__n"),
+    )
+    out = s1.crossJoin(F.broadcast(s2))
+    do = F.col("__s1").cast("double") / (F.col("__n") * (r - 1)).cast("double")
+    de = F.col("__s2").cast("double") / (F.col("__n") * (F.col("__n") - 1)).cast(
+        "double"
+    )
+    return out.select(
+        F.col("__units").cast("long").alias("n_units"),
+        F.lit(r).cast("long").alias("n_raters"),
+        F.round(do, digits).alias("observed_disagreement"),
+        F.round(de, digits).alias("expected_disagreement"),
+        F.round(1.0 - do / de, digits).alias("alpha"),
+    )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    key_cols: Sequence[str],
+    q: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a table of per-test
+    p-values: rank ascending, find the largest k with
+    ``p_(k) <= k*q/m``, mark ranks <= k discovered.
+
+    The keyless window here rides the TEST table (one row per
+    hypothesis — nations, cohorts, feature flags), which is
+    category-product bounded, never data-sized; the data-sized work
+    happened upstream in whatever produced the p-values."""
+    m = df.count()
+    w = Window.orderBy(F.col(p_col).asc(), *[F.col(k) for k in key_cols])
+    ranked = df.withColumn("__k", F.row_number().over(w)).withColumn(
+        "__ok", (F.col(p_col) * m <= F.col("__k") * q).cast("int")
+    )
+    cutoff = ranked.agg(
+        F.max(F.when(F.col("__ok") == 1, F.col("__k")).otherwise(0)).alias("__cut")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .select(
+            *key_cols,
+            F.round(F.col(p_col), 9).alias("p_value"),
+            F.col("__k").cast("long").alias("rank"),
+            F.round(F.col("__k") * q / m, 9).alias("bh_threshold"),
+            (F.col("__k") <= F.col("__cut")).alias("discovered"),
+        )
+        .orderBy("rank")
+    )

@@ -1999,3 +1999,395 @@ def psi_drift(
         ).alias("worst_bin_term"),
         F.col("__worst.bin").cast("long").alias("worst_bin"),
     )
+
+
+def _split_sum(prod: Column, name: str) -> list[Column]:
+    """Sum a per-row BIGINT product as (hi, lo) 30-bit halves — the
+    :func:`grouped_regression` overflow discipline, packaged."""
+    return [
+        F.sum(F.shiftright(prod, 30)).alias(f"{name}_hi"),
+        F.sum(prod.bitwiseAND(F.lit(TWO30 - 1))).alias(f"{name}_lo"),
+    ]
+
+
+def _split_val(name: str, descale: float) -> Column:
+    return (
+        F.col(f"{name}_hi").cast("double") * F.lit(float(TWO30))
+        + F.col(f"{name}_lo").cast("double")
+    ) / F.lit(descale)
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    value_digits: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Tukey's HSD post-hoc pairwise q statistics after a one-way
+    layout: ``q = |m_i - m_j| / sqrt(MSE/2 * (1/n_i + 1/n_j))`` with
+    the pooled within-group MSE (the Tukey-Kramer unequal-n form).
+
+    The data-sized pass is ONE keyed aggregate (n, sum, split sum of
+    squares per group); the pairwise self-join rides the k-row group
+    table — category-bounded, never data-sized.  Reported as q
+    statistics (critical values are studentized-range table lookups, a
+    presentation concern, not an engine one)."""
+    xs = _scaled(value_col, value_digits)
+    scale = float(10**value_digits)
+    per = (
+        df.select(F.col(group_col).alias("grp"), xs.alias("__xs"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__xs").alias("s"),
+            *_split_sum(F.col("__xs") * F.col("__xs"), "q"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double") / F.lit(scale)
+    qd = _split_val("q", scale * scale)
+    stats = per.select(
+        "grp", "n", sd.alias("sm"), (qd - sd * sd / nd).alias("ss_within")
+    )
+    mse = stats.agg(
+        (
+            F.sum("ss_within")
+            / (F.sum("n") - F.count(F.lit(1))).cast("double")
+        ).alias("__mse"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("n").alias("__nt"),
+    )
+    a = stats.alias("a")
+    b = stats.alias("b")
+    pairs = (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(mse))
+    )
+    m1 = F.col("a.sm") / F.col("a.n").cast("double")
+    m2 = F.col("b.sm") / F.col("b.n").cast("double")
+    se = F.sqrt(
+        F.col("__mse")
+        / 2.0
+        * (1.0 / F.col("a.n").cast("double") + 1.0 / F.col("b.n").cast("double"))
+    )
+    return pairs.select(
+        F.col("a.grp").alias("group_a"),
+        F.col("b.grp").alias("group_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(m1, digits).alias("mean_a"),
+        F.round(m2, digits).alias("mean_b"),
+        F.round(F.abs(m1 - m2) / se, digits).alias("q_stat"),
+    ).orderBy("group_a", "group_b")
+
+
+def cuped_adjust(
+    df: DataFrame,
+    treat: Column,
+    metric_col: str,
+    covariate_col: str,
+    metric_digits: int = 2,
+    cov_digits: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): regress the
+    experiment metric on a pre-period covariate with the GLOBAL
+    ``theta = cov(x, y) / var(x)``, report the raw and adjusted
+    treatment effects plus the variance-reduction factor ``rho^2``.
+
+    All second moments are split-BIGINT exact (one keyed aggregate per
+    side plus one global); the epilogue is a dozen double ops."""
+    ys = _scaled(metric_col, metric_digits)
+    xs = _scaled(covariate_col, cov_digits)
+    ysc, xsc = float(10**metric_digits), float(10**cov_digits)
+    base = df.select(
+        treat.cast("int").alias("__t"), ys.alias("__ys"), xs.alias("__xs")
+    )
+    agg = base.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__ys").alias("sy"),
+        F.sum("__xs").alias("sx"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__ys").alias("sy"),
+        F.sum("__xs").alias("sx"),
+        *_split_sum(F.col("__xs") * F.col("__xs"), "qxx"),
+        *_split_sum(F.col("__xs") * F.col("__ys"), "qxy"),
+        *_split_sum(F.col("__ys") * F.col("__ys"), "qyy"),
+    )
+    nd = F.col("n").cast("double")
+    syd = F.col("sy").cast("double") / F.lit(ysc)
+    sxd = F.col("sx").cast("double") / F.lit(xsc)
+    cov_xy = _split_val("qxy", xsc * ysc) - sxd * syd / nd
+    var_x = _split_val("qxx", xsc * xsc) - sxd * sxd / nd
+    var_y = _split_val("qyy", ysc * ysc) - syd * syd / nd
+    g = glob.select(
+        (cov_xy / var_x).alias("__theta"),
+        (cov_xy * cov_xy / (var_x * var_y)).alias("__rho2"),
+        (sxd / nd).alias("__xbar"),
+    )
+    wide = (
+        agg.crossJoin(F.broadcast(g))
+        .select(
+            "__t",
+            F.col("n").cast("long").alias("n"),
+            (F.col("sy").cast("double") / F.lit(ysc) / F.col("n").cast("double")).alias(
+                "__my"
+            ),
+            (F.col("sx").cast("double") / F.lit(xsc) / F.col("n").cast("double")).alias(
+                "__mx"
+            ),
+            "__theta",
+            "__rho2",
+            "__xbar",
+        )
+        .groupBy("__theta", "__rho2")
+        .agg(
+            F.sum(F.when(F.col("__t") == 1, F.col("n"))).alias("n_treat"),
+            F.sum(F.when(F.col("__t") == 0, F.col("n"))).alias("n_ctrl"),
+            F.sum(F.when(F.col("__t") == 1, F.col("__my"))).alias("my1"),
+            F.sum(F.when(F.col("__t") == 0, F.col("__my"))).alias("my0"),
+            F.sum(
+                F.when(
+                    F.col("__t") == 1,
+                    F.col("__my") - F.col("__theta") * (F.col("__mx") - F.col("__xbar")),
+                )
+            ).alias("ma1"),
+            F.sum(
+                F.when(
+                    F.col("__t") == 0,
+                    F.col("__my") - F.col("__theta") * (F.col("__mx") - F.col("__xbar")),
+                )
+            ).alias("ma0"),
+        )
+    )
+    return wide.select(
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.round(F.col("__theta"), digits).alias("theta"),
+        F.round(F.col("my1") - F.col("my0"), digits).alias("raw_effect"),
+        F.round(F.col("ma1") - F.col("ma0"), digits).alias("cuped_effect"),
+        F.round(F.col("__rho2"), digits).alias("variance_reduction"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat: Column,
+    post: Column,
+    value_col: str,
+    value_digits: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences from the 2x2 cell means:
+    ``DiD = (m_t,post - m_t,pre) - (m_c,post - m_c,pre)`` — exact
+    integer cell sums, four double divisions, one subtraction tree."""
+    xs = _scaled(value_col, value_digits)
+    scale = float(10**value_digits)
+    cells = df.select(
+        treat.cast("int").alias("__t"), post.cast("int").alias("__p"), xs.alias("__xs")
+    ).groupBy("__t", "__p").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__xs").alias("s")
+    )
+    m = F.col("s").cast("double") / F.lit(scale) / F.col("n").cast("double")
+    wide = cells.select("__t", "__p", F.col("n").alias("__n"), m.alias("__m")).groupBy().agg(
+        F.sum(F.when((F.col("__t") == 1) & (F.col("__p") == 1), F.col("__m"))).alias("m_t_post"),
+        F.sum(F.when((F.col("__t") == 1) & (F.col("__p") == 0), F.col("__m"))).alias("m_t_pre"),
+        F.sum(F.when((F.col("__t") == 0) & (F.col("__p") == 1), F.col("__m"))).alias("m_c_post"),
+        F.sum(F.when((F.col("__t") == 0) & (F.col("__p") == 0), F.col("__m"))).alias("m_c_pre"),
+        F.sum(F.when(F.col("__t") == 1, F.col("__n")).otherwise(0)).alias("n_treat"),
+        F.sum(F.when(F.col("__t") == 0, F.col("__n")).otherwise(0)).alias("n_ctrl"),
+    )
+    return wide.select(
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.round(F.col("m_t_pre"), digits).alias("m_treat_pre"),
+        F.round(F.col("m_t_post"), digits).alias("m_treat_post"),
+        F.round(F.col("m_c_pre"), digits).alias("m_ctrl_pre"),
+        F.round(F.col("m_c_post"), digits).alias("m_ctrl_post"),
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            digits,
+        ).alias("did"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) + normalized MI between two
+    categorical columns, from exact joint counts:
+    ``MI = sum_ij (n_ij/n) ln(n*n_ij / (n_i*n_j))``,
+    ``NMI = MI / sqrt(H_x * H_y)``.
+
+    One data-sized keyed aggregate; the ln epilogue rides the
+    category-product-bounded cell table."""
+    joint = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__nij"))
+    mx = joint.groupBy("__x").agg(F.sum("__nij").alias("__ni"))
+    my = joint.groupBy("__y").agg(F.sum("__nij").alias("__nj"))
+    tot = joint.agg(F.sum("__nij").alias("__n"))
+    cells = (
+        joint.join(mx, "__x").join(my, "__y").crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("__n").cast("double")
+    mi_term = (
+        F.col("__nij").cast("double")
+        / nd
+        * F.log(
+            nd
+            * F.col("__nij").cast("double")
+            / (F.col("__ni").cast("double") * F.col("__nj").cast("double"))
+        )
+    )
+    hx_term = -(
+        F.col("__nij").cast("double") / nd
+    ) * F.log(F.col("__ni").cast("double") / nd)
+    hy_term = -(
+        F.col("__nij").cast("double") / nd
+    ) * F.log(F.col("__nj").cast("double") / nd)
+    agg = cells.agg(
+        F.first("__n").alias("__nt"),
+        F.sum(mi_term).alias("__mi"),
+        F.sum(hx_term).alias("__hx"),
+        F.sum(hy_term).alias("__hy"),
+    )
+    return agg.select(
+        F.col("__nt").cast("long").alias("n"),
+        F.round(F.col("__mi"), digits).alias("mi_nats"),
+        F.round(F.col("__hx"), digits).alias("h_x"),
+        F.round(F.col("__hy"), digits).alias("h_y"),
+        F.round(F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy")), digits).alias(
+            "nmi"
+        ),
+    )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    digits_x: int = 2,
+    digits_y: int = 2,
+    digits_z: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """First-order partial correlation of x and y controlling z:
+    ``r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))`` —
+    all three Pearson terms from ONE pass of split-BIGINT moments."""
+    xs = _scaled(x_col, digits_x)
+    ys = _scaled(y_col, digits_y)
+    zs = _scaled(z_col, digits_z)
+    xsc, ysc, zsc = (float(10**d) for d in (digits_x, digits_y, digits_z))
+    base = df.select(xs.alias("__x"), ys.alias("__y"), zs.alias("__z"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum("__z").alias("sz"),
+        *_split_sum(F.col("__x") * F.col("__x"), "qxx"),
+        *_split_sum(F.col("__y") * F.col("__y"), "qyy"),
+        *_split_sum(F.col("__z") * F.col("__z"), "qzz"),
+        *_split_sum(F.col("__x") * F.col("__y"), "qxy"),
+        *_split_sum(F.col("__x") * F.col("__z"), "qxz"),
+        *_split_sum(F.col("__y") * F.col("__z"), "qyz"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(xsc)
+    syd = F.col("sy").cast("double") / F.lit(ysc)
+    szd = F.col("sz").cast("double") / F.lit(zsc)
+    cxy = _split_val("qxy", xsc * ysc) - sxd * syd / nd
+    cxz = _split_val("qxz", xsc * zsc) - sxd * szd / nd
+    cyz = _split_val("qyz", ysc * zsc) - syd * szd / nd
+    vx = _split_val("qxx", xsc * xsc) - sxd * sxd / nd
+    vy = _split_val("qyy", ysc * ysc) - syd * syd / nd
+    vz = _split_val("qzz", zsc * zsc) - szd * szd / nd
+    rxy = cxy / F.sqrt(vx * vy)
+    rxz = cxz / F.sqrt(vx * vz)
+    ryz = cyz / F.sqrt(vy * vz)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rxy, digits).alias("r_xy"),
+        F.round(rxz, digits).alias("r_xz"),
+        F.round(ryz, digits).alias("r_yz"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+            digits,
+        ).alias("r_xy_given_z"),
+    )
+
+
+def sprt_boundary(
+    df: DataFrame,
+    group_by: list[str],
+    order_cols: list[str],
+    success: Column,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    digits: int = 6,
+) -> DataFrame:
+    """Wald's sequential probability ratio test over an ordered
+    Bernoulli stream, per group: cumulative log-likelihood ratio
+    ``LLR_n = k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0))`` with stopping
+    boundaries ``A = ln((1-beta)/alpha)`` (accept H1) and
+    ``B = ln(beta/(1-alpha))`` (accept H0); reports the first crossing.
+
+    Determinism: the cumulative k and n are exact window integers, the
+    LLR is ``k*c1 + (n-k)*c2`` with two double constants — no floating
+    accumulation.  The ordered window is per-group over an inherently
+    sequential semantic (the same contract as ``ts_cusum_shift``);
+    at 100 TB each group is one decision stream, keyed and bounded."""
+    import math
+
+    c1 = math.log(p1 / p0)
+    c2 = math.log((1 - p1) / (1 - p0))
+    a_bound = math.log((1 - beta) / alpha)
+    b_bound = math.log(beta / (1 - alpha))
+    w = (
+        Window.partitionBy(*group_by)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = df.select(
+        *group_by,
+        *order_cols,
+        success.cast("long").alias("__s"),
+    ).select(
+        *group_by,
+        F.sum("__s").over(w).alias("__k"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    llr = (
+        F.col("__k").cast("double") * F.lit(c1)
+        + (F.col("__n") - F.col("__k")).cast("double") * F.lit(c2)
+    )
+    crossed = seq.select(
+        *group_by,
+        "__n",
+        "__k",
+        llr.alias("__llr"),
+        F.when(llr >= a_bound, F.lit("accept_h1"))
+        .when(llr <= b_bound, F.lit("accept_h0"))
+        .alias("__dec"),
+    ).where(F.col("__dec").isNotNull())
+    first = crossed.groupBy(*group_by).agg(
+        F.min(F.struct("__n", "__k", "__llr", "__dec")).alias("__f")
+    )
+    return first.select(
+        *group_by,
+        F.col("__f.__n").cast("long").alias("n_at_decision"),
+        F.col("__f.__k").cast("long").alias("k_at_decision"),
+        F.round(F.col("__f.__llr"), digits).alias("llr"),
+        F.col("__f.__dec").alias("decision"),
+    )

@@ -4911,11 +4911,11 @@ WEBP_LOSSY_FIXDIR = "/root/repo/tests/fixtures/webp_lossy"
 
 
 def multimodal_webp_lossy_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Lossy WebP (VP8) through the Arrow pipeline via the system-codec
-    seam (`webp_sys.py` — a ctypes libwebp binding, stated honestly:
-    this validates the sniff/dispatch/decode/isolation PLUMBING, the
-    codec is the system library).  Committed fixtures pin libwebp's own
-    per-channel decode sums in the manifest."""
+    """Lossy WebP (VP8) through the Arrow pipeline.  The committed
+    fixtures pin libwebp's own per-channel decode sums in the manifest;
+    since r05 the decode itself is the pure RFC 6386 implementation
+    (`multimodal/vp8.py`), so matching the manifest re-proves
+    bit-exactness against the system codec inside the Spark plan."""
     import json
     import os
     from collections.abc import Iterator

@@ -128,6 +128,16 @@ def _load():
     lib.WebPPictureImportRGB.argtypes = [
         C.POINTER(WebPPicture), C.c_char_p, C.c_int,
     ]
+    lib.WebPPictureImportRGBA.restype = C.c_int
+    lib.WebPPictureImportRGBA.argtypes = [
+        C.POINTER(WebPPicture), C.c_char_p, C.c_int,
+    ]
+    lib.WebPDecodeRGBA.restype = C.POINTER(C.c_ubyte)
+    lib.WebPDecodeRGBA.argtypes = [
+        C.c_char_p, C.c_size_t, C.POINTER(C.c_int), C.POINTER(C.c_int),
+    ]
+    lib.WebPFree.restype = None
+    lib.WebPFree.argtypes = [C.c_void_p]
     lib.WebPEncode.restype = C.c_int
     lib.WebPEncode.argtypes = [C.POINTER(WebPConfig), C.POINTER(WebPPicture)]
     lib.WebPPictureFree.restype = None
@@ -187,6 +197,64 @@ def encode_rgb(img: np.ndarray, quality: float = 75.0, **overrides) -> bytes:
         lib.WebPPictureFree(C.byref(pic))
         lib.WebPMemoryWriterClear(C.byref(wr))
     return out
+
+
+def encode_rgba(img: np.ndarray, quality: float = 75.0, **overrides) -> bytes:
+    """Encode HxWx4 RGBA -> extended WebP (VP8X + ALPH + VP8) — the
+    ALPH ground-truth minting path.  ``alpha_compression`` (0 raw /
+    1 lossless) and ``alpha_filtering`` (0 none / 1 fast / 2 best)
+    pass through as overrides to exercise every ALPH decode branch."""
+    lib = _load()
+    cfg = WebPConfig()
+    if not lib.WebPConfigInitInternal(C.byref(cfg), 0, float(quality), _ABI):
+        raise WebPRefError("config init failed")
+    cfg.exact = 1  # keep RGB under transparent pixels
+    for k, v in overrides.items():
+        field = "pass_" if k == "pass" else k
+        if not hasattr(cfg, field):
+            raise WebPRefError(f"unknown WebPConfig field {k}")
+        setattr(cfg, field, v)
+    if not lib.WebPValidateConfig(C.byref(cfg)):
+        raise WebPRefError(f"invalid config {overrides}")
+    pic = WebPPicture()
+    if not lib.WebPPictureInitInternal(C.byref(pic), _ABI):
+        raise WebPRefError("picture init failed")
+    h, w, _ = img.shape
+    pic.width = w
+    pic.height = h
+    pic.use_argb = 0
+    raw = np.ascontiguousarray(img).tobytes()
+    if not lib.WebPPictureImportRGBA(C.byref(pic), raw, w * 4):
+        raise WebPRefError("picture import failed")
+    wr = WebPMemoryWriter()
+    lib.WebPMemoryWriterInit(C.byref(wr))
+    pic.writer = C.cast(lib.WebPMemoryWrite, C.c_void_p)
+    pic.custom_ptr = C.cast(C.byref(wr), C.c_void_p)
+    ok = lib.WebPEncode(C.byref(cfg), C.byref(pic))
+    try:
+        if not ok:
+            raise WebPRefError(f"encode failed: error_code={pic.error_code}")
+        out = C.string_at(wr.mem, wr.size)
+    finally:
+        lib.WebPPictureFree(C.byref(pic))
+        lib.WebPMemoryWriterClear(C.byref(wr))
+    return out
+
+
+def decode_rgba(data: bytes) -> np.ndarray:
+    """WebPDecodeRGBA -> HxWx4 uint8 (static files only — this libwebp
+    has no demuxer, which is exactly why the pure ANMF path exists)."""
+    lib = _load()
+    w = C.c_int(0)
+    h = C.c_int(0)
+    ptr = lib.WebPDecodeRGBA(data, len(data), C.byref(w), C.byref(h))
+    if not ptr:
+        raise WebPRefError("WebPDecodeRGBA failed")
+    try:
+        buf = C.string_at(ptr, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(C.cast(ptr, C.c_void_p))
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h.value, w.value, 4).copy()
 
 
 if __name__ == "__main__":
