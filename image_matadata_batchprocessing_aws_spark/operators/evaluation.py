@@ -1144,3 +1144,89 @@ def fdr_bh(
         )
         .orderBy("rank")
     )
+
+
+def chrf_pair_stats(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_n: int = 3,
+    beta: float = 2.0,
+) -> DataFrame:
+    """chrF (character n-gram F-beta, Popović 2015) between the texts
+    of given ``(id_a, id_b)`` pairs — id_a the reference, id_b the
+    candidate.  Whitespace is stripped and text lowercased (the
+    sacrebleu default shape); per order n the clipped multiset overlap
+    and both totals ship as exact BIGINTs, and the composite averages
+    the per-order F-scores (orders where either side has no grams or
+    P + R = 0 contribute 0, a documented simplification of effective
+    ordering).  ``chrf = mean_n (1+b^2) P R / (b^2 P + R)``.
+
+    Scale shape: per order one character-gram explode + partial-agg
+    ``groupBy(doc, gram)`` and pair-keyed joins — volume bounded by
+    candidate-pair gram counts, never corpus^2."""
+    out = pairs.select("id_a", "id_b")
+    s_expr = f"regexp_replace(lower({text_col}), '\\\\s+', '')"
+    b2 = beta * beta
+    f_cols = []
+    for n in range(1, max_n + 1):
+        gram = (
+            f"CASE WHEN length({s_expr}) >= {n} THEN "
+            f"transform(sequence(1, length({s_expr}) - {n} + 1),"
+            f" i -> substring({s_expr}, i, {n})) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+        cnt = (
+            docs.select(F.col(id_col).alias("__id"), F.explode(F.expr(gram)).alias("__g"))
+            .groupBy("__id", "__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        tot = cnt.groupBy("__id").agg(F.sum("__c").alias("__tot"))
+        ov = (
+            pairs.join(
+                cnt.select(
+                    F.col("__id").alias("id_a"), F.col("__g"), F.col("__c").alias("__ca")
+                ),
+                "id_a",
+            )
+            .join(
+                cnt.select(
+                    F.col("__id").alias("id_b"),
+                    F.col("__g"),
+                    F.col("__c").alias("__cb"),
+                ),
+                ["id_b", "__g"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("__ca", "__cb")).alias(f"ov{n}"))
+        )
+        out = (
+            out.join(ov, ["id_a", "id_b"], "left")
+            .join(
+                tot.select(F.col("__id").alias("id_a"), F.col("__tot").alias(f"tota{n}")),
+                "id_a",
+                "left",
+            )
+            .join(
+                tot.select(F.col("__id").alias("id_b"), F.col("__tot").alias(f"totb{n}")),
+                "id_b",
+                "left",
+            )
+            .fillna(0, subset=[f"ov{n}", f"tota{n}", f"totb{n}"])
+        )
+        p = F.col(f"ov{n}").cast("double") / F.col(f"totb{n}").cast("double")
+        r = F.col(f"ov{n}").cast("double") / F.col(f"tota{n}").cast("double")
+        f_cols.append(
+            F.when(
+                (F.col(f"totb{n}") > 0) & (F.col(f"tota{n}") > 0) & (F.col(f"ov{n}") > 0),
+                (1.0 + b2) * p * r / (b2 * p + r),
+            ).otherwise(F.lit(0.0))
+        )
+    chrf = sum(f_cols[1:], f_cols[0]) / float(max_n)
+    int_cols = [
+        F.col(c).cast("long").alias(c)
+        for n in range(1, max_n + 1)
+        for c in (f"ov{n}", f"tota{n}", f"totb{n}")
+    ]
+    return out.select("id_a", "id_b", *int_cols, F.round(chrf, 6).alias("chrf"))

@@ -856,3 +856,1034 @@ ORACLES["agg_sprt"] = """
     FROM crossed c JOIN first_x f ON c.event_type = f.event_type AND c.n = f.n_at
     ORDER BY c.event_type
 """
+
+
+# --- link prediction / embedding geometry / coreset family ------------------
+
+AA_CUST_MOD = 20  # customer sample: bounds the per-supplier pair fan-out
+
+
+def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer one-mode
+    projection of the customer-supplier bipartite graph: for customer
+    pairs sharing suppliers, ``AA = sum_z 1/ln(deg(z))`` over common
+    suppliers z (deg >= 2 so ln is never 0).  Top 50.
+
+    Scale shape: the pair generator is the classic two-hop self-join
+    on the supplier key — fan-out is sum_z deg(z)^2, bounded here by
+    the deterministic customer sample (mod 20); at 100 TB the same cap
+    is a degree-threshold stop-list (drop hub suppliers), the
+    prefix-filter lesson applied to graphs."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.where(F.col("o_custkey") % AA_CUST_MOD == 0)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("s").alias("ds"), "deg"
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    pairs = (
+        e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.c") < F.col("e2.c")))
+        .join(deg, F.col("e1.s") == F.col("ds"))
+        .where(F.col("deg") >= 2)
+        .groupBy(F.col("e1.c").alias("cust_a"), F.col("e2.c").alias("cust_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common_suppliers"),
+            F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias("aa_score"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("aa_score").desc(), "cust_a", "cust_b"
+    ).limit(50)
+
+
+QUERIES["graph_adamic_adar"] = graph_adamic_adar
+
+ORACLES["graph_adamic_adar"] = f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % {AA_CUST_MOD} = 0),
+    deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY 1),
+    pairs AS (
+      SELECT e1.c AS cust_a, e2.c AS cust_b,
+             count(*) AS common_suppliers,
+             round(sum(1.0 / ln(CAST(deg AS DOUBLE))), 6) AS aa_score
+      FROM edges e1
+      JOIN edges e2 ON e1.s = e2.s AND e1.c < e2.c
+      JOIN deg d ON e1.s = d.s
+      WHERE deg >= 2
+      GROUP BY 1, 2)
+    SELECT CAST(cust_a AS BIGINT) AS cust_a, CAST(cust_b AS BIGINT) AS cust_b,
+           CAST(common_suppliers AS BIGINT) AS common_suppliers, aa_score
+    FROM pairs
+    ORDER BY aa_score DESC, cust_a, cust_b LIMIT 50
+"""
+
+
+def embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space isotropy diagnostics WITHOUT a pair loop: with
+    unit-normalized vectors, ``mean pairwise cosine =
+    (||sum u||^2 - n) / (n(n-1))`` — the anisotropy measure driving
+    all-but-the-top style postprocessing — plus the centroid-norm
+    ratio ``||mean x|| / mean ||x||``.  One posexplode + per-dim
+    aggregate; everything downstream is 64-dim-sized."""
+    from image_matadata_batchprocessing_aws_spark.functions import dot, l2_norm
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+
+    e = t(spark, sf, "embeddings").select(as_double_array("embedding").alias("e"))
+    e = e.withColumn("__norm", l2_norm(F.col("e")))
+    exploded = e.select(
+        F.lit(1).alias("__one"),
+        F.posexplode(F.col("e")).alias("dim", "v"),
+        F.col("__norm"),
+    )
+    per_dim = exploded.groupBy("dim").agg(
+        F.sum(F.col("v") / F.col("__norm")).alias("su"),
+        F.sum("v").alias("sx"),
+    )
+    norms = e.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__norm").alias("snorm")
+    )
+    agg = per_dim.agg(
+        F.sum(F.col("su") * F.col("su")).alias("ssu2"),
+        F.sum(F.col("sx") * F.col("sx")).alias("ssx2"),
+    ).crossJoin(F.broadcast(norms))
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("ssu2") - nd) / (nd * (nd - 1)), 6).alias("mean_pairwise_cosine"),
+        F.round(
+            F.sqrt(F.col("ssx2")) / nd / (F.col("snorm") / nd), 6
+        ).alias("centroid_norm_ratio"),
+    )
+
+
+QUERIES["embedding_isotropy"] = embedding_isotropy
+
+ORACLES["embedding_isotropy"] = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings),
+    ex AS (
+      SELECT u.dim - 1 AS dim, e[u.dim] AS x, nrm
+      FROM v, LATERAL (SELECT unnest(generate_series(1, len(e))) AS dim) u),
+    per_dim AS (
+      SELECT dim, sum(x / nrm) AS su, sum(x) AS sx FROM ex GROUP BY 1),
+    norms AS (SELECT count(*) AS n, sum(nrm) AS snorm FROM v),
+    agg AS (
+      SELECT sum(su * su) AS ssu2, sum(sx * sx) AS ssx2 FROM per_dim)
+    SELECT CAST(n AS BIGINT) AS n,
+           round((ssu2 - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS mean_pairwise_cosine,
+           round(sqrt(ssx2) / n / (snorm / n), 6) AS centroid_norm_ratio
+    FROM agg CROSS JOIN norms
+"""
+
+HUB_K = 10
+
+
+def embedding_hubness(spark: SparkSession, sf: str) -> DataFrame:
+    """Hubness diagnostic: how often each vector lands in other
+    vectors' cosine top-10 (k-occurrence) — the high-dimensional
+    pathology that silently skews kNN-based dedup and retrieval.
+    Output: the k-occurrence histogram (antihubs = bucket 0).  The
+    all-pairs pass is the ``knn_brute_cosine`` kernel (broadcast-sized
+    query side here; IVF/LSH candidates at scale)."""
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+        knn_bruteforce,
+    )
+
+    e = t(spark, sf, "embeddings")
+    q = e.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("ce"))
+    knn = knn_bruteforce(
+        q, c.where(F.lit(True)), k=HUB_K + 1, metric="cosine"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("rn").asc())
+    topk = knn.withColumn("__r2", F.row_number().over(w)).where(F.col("__r2") <= HUB_K)
+    kocc = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("k_occ"))
+    all_ids = e.select(F.col("vec_id").alias("neighbor_id"))
+    full = all_ids.join(kocc, "neighbor_id", "left").fillna(0, subset=["k_occ"])
+    return (
+        full.groupBy("k_occ")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(F.col("k_occ").cast("long"), F.col("n_points").cast("long"))
+        .orderBy("k_occ")
+    )
+
+
+QUERIES["embedding_hubness"] = embedding_hubness
+
+ORACLES["embedding_hubness"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.e, b.e), 6) AS score
+      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+    r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM s),
+    kocc AS (
+      SELECT neighbor_id, count(*) AS k_occ FROM r WHERE rn <= {HUB_K} GROUP BY 1),
+    full_t AS (
+      SELECT v.vec_id, coalesce(k.k_occ, 0) AS k_occ
+      FROM v LEFT JOIN kocc k ON v.vec_id = k.neighbor_id)
+    SELECT CAST(k_occ AS BIGINT) AS k_occ, CAST(count(*) AS BIGINT) AS n_points
+    FROM full_t GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    retail price, larger size).  O(n log n), no pairwise join: sort by
+    price, a part is on the frontier iff its size strictly exceeds the
+    running max size of every strictly-cheaper part.  Equal-price ties
+    are handled by comparing against the running max of the PRECEDING
+    price group (range frame), so co-priced parts can both survive."""
+    p = t(spark, sf, "part")
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scaled = p.select(
+        "p_partkey", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    w2 = (
+        Window.orderBy(F.col("price_cents").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = scaled.withColumn("__maxprev", F.max("p_size").over(w2))
+    return (
+        flagged.where(
+            F.col("__maxprev").isNull() | (F.col("p_size") > F.col("__maxprev"))
+        )
+        .select(
+            F.col("p_partkey").cast("long"),
+            F.col("price_cents"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+QUERIES["agg_pareto_frontier"] = agg_pareto_frontier
+
+ORACLES["agg_pareto_frontier"] = """
+    WITH s AS (
+      SELECT p_partkey, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part),
+    f AS (
+      SELECT p_partkey, price_cents, p_size,
+             max(p_size) OVER (ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS maxprev
+      FROM s)
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, price_cents,
+           CAST(p_size AS BIGINT) AS size
+    FROM f WHERE maxprev IS NULL OR p_size > maxprev
+    ORDER BY price_cents, p_partkey
+"""
+
+
+def agg_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active customer
+    population from two yearly 'captures' (customers ordering in 1996
+    and 1997): ``N_hat = (n1+1)(n2+1)/(m+1) - 1`` — the ecology
+    estimator data teams reuse to size dedup universes from overlapping
+    crawls.  Exact integer captures, one double epilogue."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    caps = o.where(F.col("yr").isin(1996, 1997)).select("o_custkey", "yr").distinct()
+    agg = caps.groupBy().agg(
+        F.sum((F.col("yr") == 1996).cast("long")).alias("n1"),
+        F.sum((F.col("yr") == 1997).cast("long")).alias("n2"),
+    )
+    both = (
+        caps.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") == 2)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    out = agg.crossJoin(F.broadcast(both))
+    n1d, n2d, md = (F.col(c).cast("double") for c in ("n1", "n2", "m"))
+    return out.select(
+        F.col("n1").cast("long").alias("n_1996"),
+        F.col("n2").cast("long").alias("n_1997"),
+        F.col("m").cast("long").alias("n_both"),
+        F.round((n1d + 1) * (n2d + 1) / (md + 1) - 1, 2).alias("chapman_estimate"),
+    )
+
+
+QUERIES["agg_capture_recapture"] = agg_capture_recapture
+
+ORACLES["agg_capture_recapture"] = """
+    WITH caps AS (
+      SELECT DISTINCT o_custkey, year(o_orderdate) AS yr
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+    a AS (
+      SELECT sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS n2
+      FROM caps),
+    b AS (
+      SELECT count(*) AS m
+      FROM (SELECT o_custkey FROM caps GROUP BY 1 HAVING count(*) = 2))
+    SELECT CAST(n1 AS BIGINT) AS n_1996, CAST(n2 AS BIGINT) AS n_1997,
+           CAST(m AS BIGINT) AS n_both,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2) AS chapman_estimate
+    FROM a CROSS JOIN b
+"""
+
+
+def agg_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue per customer by cohort
+    year (first-order year) and age-in-years since the cohort — the
+    companion to ``agg_retention_cohorts`` on the money axis.  Exact
+    cents accumulate through the cumulative window; one division per
+    output cell."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    j = o.join(first, "o_custkey").select(
+        "cohort", (F.col("yr") - F.col("cohort")).alias("age"), "cents", "o_custkey"
+    )
+    cohort_sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    per = j.groupBy("cohort", "age").agg(F.sum("cents").alias("rev_cents"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.withColumn("cum_cents", F.sum("rev_cents").over(w)).join(
+        F.broadcast(cohort_sizes), "cohort"
+    )
+    return cum.select(
+        F.col("cohort").cast("long"),
+        F.col("age").cast("long"),
+        F.col("cohort_n").cast("long"),
+        F.col("rev_cents").cast("long"),
+        F.col("cum_cents").cast("long"),
+        F.round(
+            F.col("cum_cents").cast("double") / 100.0 / F.col("cohort_n").cast("double"),
+            6,
+        ).alias("ltv_per_customer"),
+    ).orderBy("cohort", "age")
+
+
+QUERIES["agg_cohort_ltv"] = agg_cohort_ltv
+
+ORACLES["agg_cohort_ltv"] = """
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    first_o AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY 1),
+    sizes AS (SELECT cohort, count(*) AS cohort_n FROM first_o GROUP BY 1),
+    j AS (
+      SELECT f.cohort, o.yr - f.cohort AS age, o.cents
+      FROM o JOIN first_o f ON o.o_custkey = f.o_custkey),
+    per AS (SELECT cohort, age, sum(cents) AS rev_cents FROM j GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age, rev_cents,
+             sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM per)
+    SELECT CAST(c.cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+           CAST(cohort_n AS BIGINT) AS cohort_n,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           round(CAST(cum_cents AS DOUBLE) / 100.0 / cohort_n, 6) AS ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    ORDER BY cohort, age
+"""
+
+
+# --- time-series mining family (Bollinger / SAX / MASE / Ljung-Box) ---------
+
+
+def _daily_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (event_type, epoch-day): exact cents sum — the shared
+    integer-first daily grid for the ts_* additions."""
+    e = t(spark, sf, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400 * 1_000_000)).cast("long")
+    return (
+        e.select("event_type", day.alias("day"),
+                 F.round(F.col("value") * 100).cast("long").alias("__c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("__c").alias("cents"))
+    )
+
+
+def ts_bollinger(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger-band breakouts on daily revenue per event type: a day
+    is flagged when its total leaves mean ± 2·sd of the PRECEDING
+     7 observed days (window excludes the current row, so the band
+    never contains the point it judges).  Window sums are exact cents
+    and squared cents; sd is one double epilogue per row."""
+    d = _daily_cents(spark, sf)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = d.select(
+        "event_type", "day", "cents",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum("cents").over(w).alias("__s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("__q"),
+    ).where(F.col("__n") == 7)
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("__q").cast("double") - F.col("__s").cast("double") * F.col("__s") / nd)
+        / (nd - 1.0)
+    )
+    flagged = stats.where(
+        (F.col("cents").cast("double") > mean + 2.0 * sd)
+        | (F.col("cents").cast("double") < mean - 2.0 * sd)
+    )
+    return flagged.select(
+        "event_type",
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        F.round(mean / 100.0, 6).alias("band_mean"),
+        F.round(sd / 100.0, 6).alias("band_sd"),
+        F.when(F.col("cents").cast("double") > mean, F.lit("above")).otherwise(
+            F.lit("below")
+        ).alias("side"),
+    ).orderBy("event_type", "day")
+
+
+QUERIES["ts_bollinger"] = ts_bollinger
+
+_DAILY_SQL = """
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2"""
+
+ORACLES["ts_bollinger"] = f"""
+    WITH d AS ({_DAILY_SQL}),
+    w AS (
+      SELECT event_type, day, cents,
+             count(*) OVER pw AS n, sum(cents) OVER pw AS s,
+             sum(cents * cents) OVER pw AS q
+      FROM d
+      WINDOW pw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    f AS (
+      SELECT event_type, day, cents,
+             CAST(s AS DOUBLE) / n AS mean_c,
+             sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0)) AS sd_c
+      FROM w WHERE n = 7)
+    SELECT event_type, day, cents,
+           round(mean_c / 100.0, 6) AS band_mean,
+           round(sd_c / 100.0, 6) AS band_sd,
+           CASE WHEN cents > mean_c THEN 'above' ELSE 'below' END AS side
+    FROM f
+    WHERE cents > mean_c + 2.0 * sd_c OR cents < mean_c - 2.0 * sd_c
+    ORDER BY event_type, day
+"""
+
+SAX_SEG_DAYS = 4
+
+
+def ts_sax_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX symbolization of the daily series per event type: z-score
+    against the type's own mean/sd (exact integer moments), PAA over
+    4-observation segments, then the 4-letter Gaussian-breakpoint
+    alphabet (a < -0.6745 < b < 0 < c < 0.6745 < d) — the classic
+    motif/novelty preprocessing for time-series mining."""
+    d = _daily_cents(spark, sf)
+    from pyspark.sql import Window
+
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cents").alias("__s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("__q"),
+    )
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("__q").cast("double") - F.col("__s").cast("double") * F.col("__s") / nd)
+        / (nd - 1.0)
+    )
+    stats = g.select("event_type", mu.alias("__mu"), sd.alias("__sd"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = d.withColumn("__i", F.row_number().over(w) - 1).join(
+        F.broadcast(stats), "event_type"
+    )
+    seg = idx.groupBy(
+        "event_type", (F.col("__i") / SAX_SEG_DAYS).cast("long").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum((F.col("cents").cast("double") - F.col("__mu")) / F.col("__sd")).alias(
+            "__zsum"
+        ),
+    )
+    paa = F.col("__zsum") / F.col("__cnt").cast("double")
+    sym = (
+        F.when(paa < -0.6745, "a")
+        .when(paa < 0.0, "b")
+        .when(paa < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        seg.where(F.col("__cnt") == SAX_SEG_DAYS)
+        .select(
+            "event_type",
+            F.col("segment").cast("long"),
+            F.round(paa, 6).alias("paa_z"),
+            sym.alias("symbol"),
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
+QUERIES["ts_sax_symbols"] = ts_sax_symbols
+
+ORACLES["ts_sax_symbols"] = f"""
+    WITH d AS ({_DAILY_SQL}),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(cents) AS s,
+             sum(cents * cents) AS q
+      FROM d GROUP BY 1),
+    stats AS (
+      SELECT event_type, CAST(s AS DOUBLE) / n AS mu,
+             sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0)) AS sd
+      FROM g),
+    idx AS (
+      SELECT d.event_type, d.cents, mu, sd,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY day) - 1 AS i
+      FROM d JOIN stats USING (event_type)),
+    seg AS (
+      SELECT event_type, i // {SAX_SEG_DAYS} AS segment, count(*) AS cnt,
+             sum((CAST(cents AS DOUBLE) - mu) / sd) AS zsum
+      FROM idx GROUP BY 1, 2)
+    SELECT event_type, CAST(segment AS BIGINT) AS segment,
+           round(zsum / cnt, 6) AS paa_z,
+           CASE WHEN zsum / cnt < -0.6745 THEN 'a'
+                WHEN zsum / cnt < 0.0 THEN 'b'
+                WHEN zsum / cnt < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM seg WHERE cnt = {SAX_SEG_DAYS}
+    ORDER BY event_type, segment
+"""
+
+
+def ts_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """MASE of the seasonal-naive (lag-7) forecast per event type,
+    scaled by the one-step-naive in-sample MAE — the scale-free
+    forecast-accuracy measure; both MAEs are exact integer sums of
+    |cents| differences, one division at the end."""
+    d = _daily_cents(spark, sf)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("__l1"),
+        F.lag("cents", 7).over(w).alias("__l7"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.when(F.col("__l1").isNotNull(), 1)).alias("n1"),
+        F.sum(F.abs(F.col("cents") - F.col("__l1"))).alias("mae1_c"),
+        F.count(F.when(F.col("__l7").isNotNull(), 1)).alias("n7"),
+        F.sum(F.abs(F.col("cents") - F.col("__l7"))).alias("mae7_c"),
+    )
+    mae1 = F.col("mae1_c").cast("double") / F.col("n1").cast("double") / 100.0
+    mae7 = F.col("mae7_c").cast("double") / F.col("n7").cast("double") / 100.0
+    return agg.select(
+        "event_type",
+        F.col("n7").cast("long").alias("n_forecasts"),
+        F.round(mae1, 6).alias("mae_naive1"),
+        F.round(mae7, 6).alias("mae_seasonal7"),
+        F.round(mae7 / mae1, 6).alias("mase"),
+    ).orderBy("event_type")
+
+
+QUERIES["ts_mase"] = ts_mase
+
+ORACLES["ts_mase"] = f"""
+    WITH d AS ({_DAILY_SQL}),
+    lagged AS (
+      SELECT event_type, cents,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+      FROM d),
+    agg AS (
+      SELECT event_type,
+             count(l1) AS n1, sum(abs(cents - l1)) AS mae1_c,
+             count(l7) AS n7, sum(abs(cents - l7)) AS mae7_c
+      FROM lagged GROUP BY 1)
+    SELECT event_type, CAST(n7 AS BIGINT) AS n_forecasts,
+           round(CAST(mae1_c AS DOUBLE) / n1 / 100.0, 6) AS mae_naive1,
+           round(CAST(mae7_c AS DOUBLE) / n7 / 100.0, 6) AS mae_seasonal7,
+           round((CAST(mae7_c AS DOUBLE) / n7) / (CAST(mae1_c AS DOUBLE) / n1), 6)
+             AS mase
+    FROM agg ORDER BY event_type
+"""
+
+LB_MAX_LAG = 10
+
+
+def ts_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic on the all-types daily total:
+    ``Q = n(n+2) sum_k r_k^2/(n-k)``, k = 1..10 — is the series white
+    noise?  The r_k come from one lag self-join per k expressed as a
+    single unpivoted window pass; centered products are doubles over
+    exact integer cents (sums bounded by the day count, not data)."""
+    d = (
+        _daily_cents(spark, sf)
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    g = d.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("cents").alias("__s")
+    )
+    w = Window.orderBy("day")
+    lags = d.crossJoin(F.broadcast(g)).select(
+        "day",
+        "cents",
+        "__n",
+        (F.col("cents").cast("double") - F.col("__s").cast("double") / F.col("__n"))
+        .alias("__c0"),
+        *[
+            (
+                F.lag("cents", k).over(w).cast("double")
+                - F.col("__s").cast("double") / F.col("__n")
+            ).alias(f"__c{k}")
+            for k in range(1, LB_MAX_LAG + 1)
+        ],
+    )
+    agg = lags.groupBy("__n").agg(
+        F.sum(F.col("__c0") * F.col("__c0")).alias("__den"),
+        *[
+            F.sum(F.col("__c0") * F.col(f"__c{k}")).alias(f"__num{k}")
+            for k in range(1, LB_MAX_LAG + 1)
+        ],
+    )
+    nd = F.col("__n").cast("double")
+    q = sum(
+        (
+            (F.col(f"__num{k}") / F.col("__den"))
+            * (F.col(f"__num{k}") / F.col("__den"))
+            / (nd - k)
+            for k in range(1, LB_MAX_LAG + 1)
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_days"),
+        *[
+            F.round(F.col(f"__num{k}") / F.col("__den"), 6).alias(f"r{k}")
+            for k in (1, 2, 3, 7)
+        ],
+        F.round(nd * (nd + 2.0) * q, 4).alias("ljung_box_q"),
+    )
+
+
+QUERIES["ts_ljung_box"] = ts_ljung_box
+
+
+def _lb_oracle() -> str:
+    nums = ",\n             ".join(
+        f"sum(c0 * c{k}) AS num{k}" for k in range(1, LB_MAX_LAG + 1)
+    )
+    lag_cols = ",\n             ".join(
+        f"lag(cents, {k}) OVER (ORDER BY day) AS l{k}"
+        for k in range(1, LB_MAX_LAG + 1)
+    )
+    centered = ",\n             ".join(
+        f"CAST(l{k} AS DOUBLE) - CAST(s AS DOUBLE) / n AS c{k}"
+        for k in range(1, LB_MAX_LAG + 1)
+    )
+    qterms = " + ".join(
+        f"(num{k} / den) * (num{k} / den) / (n - {k})"
+        for k in range(1, LB_MAX_LAG + 1)
+    )
+    rcols = ", ".join(f"round(num{k} / den, 6) AS r{k}" for k in (1, 2, 3, 7))
+    return f"""
+    WITH d0 AS ({_DAILY_SQL}),
+    d AS (SELECT day, sum(cents) AS cents FROM d0 GROUP BY 1),
+    g AS (SELECT count(*) AS n, sum(cents) AS s FROM d),
+    lagd AS (
+      SELECT day, cents,
+             {lag_cols}
+      FROM d),
+    cent AS (
+      SELECT n, CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n AS c0,
+             {centered}
+      FROM lagd CROSS JOIN g),
+    agg AS (
+      SELECT n, sum(c0 * c0) AS den,
+             {nums}
+      FROM cent GROUP BY n)
+    SELECT CAST(n AS BIGINT) AS n_days, {rcols},
+           round(n * (n + 2.0) * ({qterms}), 4) AS ljung_box_q
+    FROM agg
+"""
+
+
+ORACLES["ts_ljung_box"] = _lb_oracle()
+
+
+# --- text + embedding curation family (chrF / burstiness / coreset / MMD) ---
+
+
+def eval_chrf_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """chrF (character n-gram F2) over the near-dup candidate pairs —
+    the tokenization-free generation-eval metric next to
+    ``eval_bleu_pairs``/``eval_rouge_pairs``; exact per-order overlap
+    and total BIGINTs plus the averaged composite."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.evaluation import (
+        chrf_pair_stats,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return chrf_pair_stats(docs, pairs).orderBy("id_a", "id_b")
+
+
+QUERIES["eval_chrf_pairs"] = eval_chrf_pairs
+
+
+def _chrf_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.dedup import (
+        _SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    s_expr = "regexp_replace(lower(text), '\\s+', '', 'g')"
+    gram_ctes, stat_ctes, joins = [], [], []
+    f_terms, int_cols = [], []
+    for n in range(1, 4):
+        gram_ctes.append(
+            f"""g{n} AS (
+          SELECT doc_id, unnest(
+            CASE WHEN length({s_expr}) >= {n}
+                 THEN list_transform(range(1, length({s_expr}) - {n} + 2),
+                                     i -> substr({s_expr}, i, {n}))
+                 ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM documents)"""
+        )
+        stat_ctes.append(
+            f"""c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),
+        tt{n} AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM c{n} GROUP BY 1),
+        o{n} AS (SELECT p.id_a, p.id_b,
+                        CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+                 FROM cand p
+                 JOIN c{n} a ON a.doc_id = p.id_a
+                 JOIN c{n} b ON b.doc_id = p.id_b AND b.g = a.g
+                 GROUP BY 1, 2)"""
+        )
+        joins.append(
+            f"LEFT JOIN o{n} ON o{n}.id_a = cand.id_a AND o{n}.id_b = cand.id_b\n"
+            f"    LEFT JOIN tt{n} ta{n} ON ta{n}.doc_id = cand.id_a\n"
+            f"    LEFT JOIN tt{n} tb{n} ON tb{n}.doc_id = cand.id_b"
+        )
+        int_cols.append(
+            f"CAST(coalesce(o{n}.ov, 0) AS BIGINT) AS ov{n}, "
+            f"CAST(coalesce(ta{n}.tot, 0) AS BIGINT) AS tota{n}, "
+            f"CAST(coalesce(tb{n}.tot, 0) AS BIGINT) AS totb{n}"
+        )
+        p = f"(CAST(coalesce(o{n}.ov, 0) AS DOUBLE) / tb{n}.tot)"
+        r = f"(CAST(coalesce(o{n}.ov, 0) AS DOUBLE) / ta{n}.tot)"
+        f_terms.append(
+            f"(CASE WHEN coalesce(tb{n}.tot, 0) > 0 AND coalesce(ta{n}.tot, 0) > 0"
+            f" AND coalesce(o{n}.ov, 0) > 0"
+            f" THEN 5.0 * {p} * {r} / (4.0 * {p} + {r}) ELSE 0.0 END)"
+        )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    {', '.join(gram_ctes)},
+    {', '.join(stat_ctes)}
+    SELECT cand.id_a, cand.id_b,
+           {', '.join(int_cols)},
+           round(({' + '.join(f_terms)}) / 3.0, 6) AS chrf
+    FROM cand
+    {chr(10).join('    ' + j for j in joins)}
+    ORDER BY cand.id_a, cand.id_b
+"""
+
+
+ORACLES["eval_chrf_pairs"] = _chrf_oracle()
+
+BURST_MIN_DF = 10
+BURST_TOP = 40
+
+
+def text_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document
+    counts, zeros included via the moment identity): bursty tokens
+    cluster in few documents — the Church/Gale signal behind
+    stop-list and topicality heuristics.  Exact integer moments."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]{2,}', 0)")).alias(
+            "token"
+        ),
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("__c"))
+    n_docs = d.count()
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("__c").alias("__tot"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sq"),
+    )
+    nd = F.lit(float(n_docs))
+    mean = F.col("__tot").cast("double") / nd
+    var = (
+        F.col("__sq").cast("double")
+        - F.col("__tot").cast("double") * F.col("__tot") / nd
+    ) / (nd - 1.0)
+    vmr = F.round(var / mean, 6)
+    return (
+        per_tok.where(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "token",
+            F.col("df").cast("long").alias("df"),
+            F.col("__tot").cast("long").alias("total_count"),
+            vmr.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "token")
+        .limit(BURST_TOP)
+    )
+
+
+QUERIES["text_burstiness"] = text_burstiness
+
+ORACLES["text_burstiness"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{{2,}}')) AS token
+      FROM documents),
+    per_doc AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+    nd AS (SELECT count(*) AS n FROM documents),
+    per_tok AS (
+      SELECT token, count(*) AS df, sum(c) AS tot, sum(c * c) AS sq
+      FROM per_doc GROUP BY 1)
+    SELECT token, CAST(df AS BIGINT) AS df, CAST(tot AS BIGINT) AS total_count,
+           round(((CAST(sq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / n) / (n - 1.0))
+                 / (CAST(tot AS DOUBLE) / n), 6) AS burstiness
+    FROM per_tok CROSS JOIN nd
+    WHERE df >= {BURST_MIN_DF}
+    ORDER BY burstiness DESC, token LIMIT {BURST_TOP}
+"""
+
+KCENTER_K = 8
+
+
+def sample_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez) over embeddings:
+    start from the lowest vec_id, then 7 times pick the point farthest
+    (L2) from its nearest selected center — the classic diversity
+    coreset for data pruning.  Each round is one distance map + one
+    1-row argmax; only the center VECTOR (64 doubles) ever reaches the
+    driver, never data.  Ties break on rounded distance then vec_id,
+    so both engines pick identical centers."""
+    from image_matadata_batchprocessing_aws_spark.functions import l2_dist
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+
+    e = (
+        t(spark, sf, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("e"))
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(first["vec_id"]), None)]
+    cur = e.select(
+        "vec_id",
+        "e",
+        F.round(l2_dist(F.col("e"), F.array([F.lit(float(v)) for v in first["e"]])), 6)
+        .alias("d"),
+    ).persist()
+    for rnd in range(1, KCENTER_K):
+        far = cur.orderBy(F.col("d").desc(), F.col("vec_id").asc()).limit(1).collect()[0]
+        centers.append((rnd, int(far["vec_id"]), float(far["d"])))
+        nxt = cur.select(
+            "vec_id",
+            "e",
+            F.least(
+                F.col("d"),
+                F.round(
+                    l2_dist(F.col("e"), F.array([F.lit(float(v)) for v in far["e"]])), 6
+                ),
+            ).alias("d"),
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return t(spark, sf, "embeddings").sparkSession.createDataFrame(
+        [(r, c, d) for r, c, d in centers],
+        "round long, center_vec_id long, dist_at_selection double",
+    )
+
+
+QUERIES["sample_kcenter_coreset"] = sample_kcenter_coreset
+
+
+def _kcenter_oracle() -> str:
+    dist = (
+        "round(sqrt(list_sum(list_transform(range(1, 65),"
+        " i -> (v.e[i] - c.e[i]) * (v.e[i] - c.e[i])))), 6)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT v.vec_id, v.e, {dist.replace('c.e', 'c0.e')} AS d"
+        "  FROM v CROSS JOIN c0)",
+    ]
+    selects = ["SELECT 0 AS round, vec_id AS center_vec_id, NULL AS dist_at_selection FROM c0"]
+    for r in range(1, KCENTER_K):
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, e, d FROM d{r - 1}"
+            f" ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if r < KCENTER_K - 1:
+            ctes.append(
+                f"d{r} AS (SELECT v2.vec_id, v2.e, least(v2.d, {dist.replace('v.e', 'v2.e').replace('c.e', f'c{r}.e')}) AS d"
+                f"  FROM d{r - 1} v2 CROSS JOIN c{r})"
+            )
+        selects.append(
+            f"SELECT {r} AS round, vec_id AS center_vec_id, d AS dist_at_selection"
+            f" FROM c{r}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY round"
+    )
+
+
+ORACLES["sample_kcenter_coreset"] = _kcenter_oracle()
+
+MMD_MOD = 3  # deterministic sample: bounds the pair grid
+MMD_GAMMA = 1.0 / 64.0
+
+
+def agg_mmd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Unbiased squared Maximum Mean Discrepancy (RBF kernel,
+    gamma = 1/dim) between the low-label (0-4) and high-label (5-9)
+    embedding populations — the kernel two-sample drift test next to
+    ``embedding_energy_distance``.  Pairs come from a deterministic
+    mod-sample (the energy-distance precedent): quadratic in the
+    SAMPLE, never the corpus."""
+    from image_matadata_batchprocessing_aws_spark.functions import l2_dist
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+
+    e = (
+        t(spark, sf, "embeddings")
+        .where(F.col("vec_id") % MMD_MOD == 0)
+        .select("vec_id", "label", as_double_array("embedding").alias("e"))
+    )
+    a = e.where(F.col("label") < 5).select(
+        F.col("vec_id").alias("ida"), F.col("e").alias("ea")
+    )
+    b = e.where(F.col("label") >= 5).select(
+        F.col("vec_id").alias("idb"), F.col("e").alias("eb")
+    )
+
+    def k(u, v):
+        d = l2_dist(u, v)
+        return F.exp(-F.lit(MMD_GAMMA) * d * d)
+
+    kaa = (
+        a.alias("x")
+        .join(F.broadcast(a.alias("y")), F.col("x.ida") != F.col("y.ida"))
+        .agg(F.sum(k(F.col("x.ea"), F.col("y.ea"))).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    kbb = (
+        b.alias("x")
+        .join(F.broadcast(b.alias("y")), F.col("x.idb") != F.col("y.idb"))
+        .agg(F.sum(k(F.col("x.eb"), F.col("y.eb"))).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    kab = (
+        a.crossJoin(F.broadcast(b))
+        .agg(F.sum(k(F.col("ea"), F.col("eb"))).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    na = a.count()
+    nb = b.count()
+    row = (
+        kaa.select(F.col("s").alias("saa"), F.col("n").alias("naa"))
+        .crossJoin(kbb.select(F.col("s").alias("sbb"), F.col("n").alias("nbb")))
+        .crossJoin(kab.select(F.col("s").alias("sab"), F.col("n").alias("nab")))
+    )
+    mmd2 = (
+        F.col("saa") / F.col("naa").cast("double")
+        + F.col("sbb") / F.col("nbb").cast("double")
+        - 2.0 * F.col("sab") / F.col("nab").cast("double")
+    )
+    return row.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(mmd2, 6).alias("mmd2_unbiased"),
+    )
+
+
+QUERIES["agg_mmd_drift"] = agg_mmd_drift
+
+ORACLES["agg_mmd_drift"] = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % {MMD_MOD} = 0),
+    a AS (SELECT vec_id, e FROM e WHERE label < 5),
+    b AS (SELECT vec_id, e FROM e WHERE label >= 5),
+    kaa AS (
+      SELECT sum(exp(-{MMD_GAMMA} * list_distance(x.e, y.e) * list_distance(x.e, y.e))) AS s,
+             count(*) AS n
+      FROM a x JOIN a y ON x.vec_id <> y.vec_id),
+    kbb AS (
+      SELECT sum(exp(-{MMD_GAMMA} * list_distance(x.e, y.e) * list_distance(x.e, y.e))) AS s,
+             count(*) AS n
+      FROM b x JOIN b y ON x.vec_id <> y.vec_id),
+    kab AS (
+      SELECT sum(exp(-{MMD_GAMMA} * list_distance(x.e, y.e) * list_distance(x.e, y.e))) AS s,
+             count(*) AS n
+      FROM a x CROSS JOIN b y),
+    sizes AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(kaa.s / kaa.n + kbb.s / kbb.n - 2.0 * kab.s / kab.n, 6)
+             AS mmd2_unbiased
+    FROM kaa CROSS JOIN kbb CROSS JOIN kab CROSS JOIN sizes
+"""
