@@ -1887,3 +1887,932 @@ ORACLES["agg_mmd_drift"] = f"""
              AS mmd2_unbiased
     FROM kaa CROSS JOIN kbb CROSS JOIN kab CROSS JOIN sizes
 """
+
+
+# --- curation quality / spectral / lexical / network batch ------------------
+
+BLUR_N_DOCS = 24
+
+
+def multimodal_blur_laplacian(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance-of-Laplacian sharpness scoring — THE standard blur
+    filter in image-curation pipelines — with a closed-form oracle:
+    even docs are amplitude-A checkerboards (interior 4-neighbour
+    Laplacian is exactly ±4A -> variance 16A^2), odd docs are solid
+    (Laplacian 0 everywhere).  Real PNG encode -> real decode -> numpy
+    'valid' convolution inside one Arrow mapInPandas stage; the R
+    channel is scored (the fixtures are gray, so channel choice is
+    exact, not a luma approximation)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(BLUR_N_DOCS):
+        h, w = ANIM_DIMS[d % len(ANIM_DIMS)]
+        amp = 100 + d % 100
+        if d % 2 == 0:
+            yy, xx = np.mgrid[0:h, 0:w]
+            gray = np.where((yy + xx) % 2 == 0, amp, 0).astype(np.uint8)
+        else:
+            gray = np.full((h, w), amp, np.uint8)
+        img = np.dstack([gray, gray, gray])
+        rows.append((d, f"{d}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(rows, "doc_id long, entry_name string, content binary")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = _real_decode(name, bytes(content))[:, :, 0].astype(np.int64)
+                lap = (
+                    img[:-2, 1:-1] + img[2:, 1:-1] + img[1:-1, :-2] + img[1:-1, 2:]
+                    - 4 * img[1:-1, 1:-1]
+                )
+                n = lap.size
+                s, sq = int(lap.sum()), int((lap * lap).sum())
+                var = sq / n - (s / n) * (s / n)
+                out.append((name, n, int(round(var))))
+            yield pd.DataFrame(out, columns=["file_name", "n_interior", "lap_var"])
+            out = []
+
+    stats = entries.select("entry_name", "content").mapInPandas(
+        score, "file_name string, n_interior long, lap_var long"
+    )
+    return (
+        stats.join(
+            entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+        )
+        .select(
+            "doc_id", "n_interior", "lap_var", (F.col("lap_var") > 0).alias("is_sharp")
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_blur_laplacian"] = multimodal_blur_laplacian
+
+ORACLES["multimodal_blur_laplacian"] = f"""
+    WITH d AS (SELECT unnest(range({BLUR_N_DOCS})) AS doc_id),
+    dims AS (
+      SELECT doc_id,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_H} END AS h,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_W} END AS w,
+             100 + doc_id % 100 AS amp
+      FROM d)
+    SELECT doc_id,
+           CAST((h - 2) * (w - 2) AS BIGINT) AS n_interior,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 * amp * amp ELSE 0 END AS BIGINT)
+             AS lap_var,
+           doc_id % 2 = 0 AS is_sharp
+    FROM dims ORDER BY doc_id
+"""
+
+
+def ts_periodogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete periodogram of the daily total at candidate periods
+    2..14 days: normalized spectral power
+    ``P(p) = (S_cos^2 + S_sin^2) / (n * sum x~^2)`` over the centered
+    series — the is-there-weekly-seasonality scan feeding
+    ``agg_seasonality``.  The day grid is data-sized; the period grid
+    is 13 literal rows."""
+    d = (
+        _daily_cents(spark, sf)
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    from pyspark.sql import Window
+    import math
+
+    w = Window.orderBy("day")
+    g = d.groupBy().agg(F.count(F.lit(1)).alias("__n"), F.sum("cents").alias("__s"))
+    idx = d.withColumn("__t", F.row_number().over(w) - 1).crossJoin(F.broadcast(g))
+    centered = idx.select(
+        "__t",
+        "__n",
+        (F.col("cents").cast("double") / 100.0
+         - F.col("__s").cast("double") / 100.0 / F.col("__n")).alias("__x"),
+    )
+    periods = centered.sparkSession.range(2, 15).select(
+        F.col("id").cast("long").alias("period")
+    )
+    two_pi = F.lit(2.0 * math.pi)
+    terms = centered.crossJoin(F.broadcast(periods)).select(
+        "period",
+        "__n",
+        (F.col("__x") * F.cos(two_pi * F.col("__t") / F.col("period"))).alias("__c"),
+        (F.col("__x") * F.sin(two_pi * F.col("__t") / F.col("period"))).alias("__sn"),
+        (F.col("__x") * F.col("__x")).alias("__x2"),
+    )
+    agg = terms.groupBy("period").agg(
+        F.first("__n").alias("__n"),
+        F.sum("__c").alias("__sc"),
+        F.sum("__sn").alias("__ss"),
+        F.sum("__x2").alias("__sx2"),
+    )
+    power = (
+        (F.col("__sc") * F.col("__sc") + F.col("__ss") * F.col("__ss"))
+        / (F.col("__n").cast("double") * F.col("__sx2"))
+    )
+    return agg.select(
+        "period", F.round(power, 6).alias("norm_power")
+    ).orderBy("period")
+
+
+QUERIES["ts_periodogram"] = ts_periodogram
+
+ORACLES["ts_periodogram"] = f"""
+    WITH d0 AS ({_DAILY_SQL}),
+    d AS (SELECT day, sum(cents) AS cents FROM d0 GROUP BY 1),
+    g AS (SELECT count(*) AS n, sum(cents) AS s FROM d),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t,
+             CAST(cents AS DOUBLE) / 100.0 - CAST(s AS DOUBLE) / 100.0 / n AS x,
+             n
+      FROM d CROSS JOIN g),
+    periods AS (SELECT unnest(range(2, 15)) AS period),
+    terms AS (
+      SELECT period, n,
+             x * cos(2 * pi() * t / period) AS c,
+             x * sin(2 * pi() * t / period) AS sn,
+             x * x AS x2
+      FROM idx CROSS JOIN periods),
+    agg AS (
+      SELECT period, any_value(n) AS n, sum(c) AS sc, sum(sn) AS ss,
+             sum(x2) AS sx2
+      FROM terms GROUP BY 1)
+    SELECT CAST(period AS BIGINT) AS period,
+           round((sc * sc + ss * ss) / (n * sx2), 6) AS norm_power
+    FROM agg ORDER BY period
+"""
+
+
+def ts_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user — ``day - row_number()`` groups each run of consecutive
+    distinct days into one island; exact integers end to end."""
+    e = t(spark, sf, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400 * 1_000_000)).cast("long")
+    days = e.select("user_id", day.alias("day")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("__grp", F.col("day") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "__grp").agg(F.count(F.lit(1)).alias("__len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("__len").alias("n_active_days"),
+            F.max("__len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .select(
+            "user_id",
+            F.col("n_active_days").cast("long"),
+            F.col("longest_streak").cast("long"),
+            F.col("n_streaks").cast("long"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ts_streaks"] = ts_streaks
+
+ORACLES["ts_streaks"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY 1 ORDER BY user_id
+"""
+
+ZIPF_TOP = 100
+
+
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-100 tokens — the frequency-distribution companion to the
+    Heaps'-law ``text_vocab_growth``.  Token counts are exact; the
+    regression runs over 100 (ln rank, ln freq) pairs."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]{2,}', 0)")).alias(
+            "token"
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= ZIPF_TOP
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("__x"),
+        F.log(F.col("cnt").cast("double")).alias("__y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    )
+    intercept = F.col("sy") / nd - slope * F.col("sx") / nd
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+
+ORACLES["text_zipf_fit"] = f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]{{2,}}')) AS token
+      FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM counts QUALIFY rank <= {ZIPF_TOP}),
+    xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+           FROM ranked),
+    agg AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 6)
+             AS zipf_intercept
+    FROM agg
+"""
+
+
+def text_hapax_legomena(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-richness profile: hapax/dis legomena counts, type-token
+    ratio, Sichel's S and Honoré's R — exact vocabulary integers with
+    one ln epilogue."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]{2,}', 0)")).alias(
+            "token"
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt").alias("n"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("v1"),
+        F.sum((F.col("cnt") == 2).cast("long")).alias("v2"),
+    )
+    vd = F.col("v").cast("double")
+    nd = F.col("n").cast("double")
+    v1d = F.col("v1").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab_size"),
+        F.col("v1").cast("long").alias("hapax"),
+        F.col("v2").cast("long").alias("dis_legomena"),
+        F.round(vd / nd, 6).alias("type_token_ratio"),
+        F.round(F.col("v2").cast("double") / vd, 6).alias("sichel_s"),
+        F.round(100.0 * F.log(nd) / (1.0 - v1d / vd), 6).alias("honore_r"),
+    )
+
+
+QUERIES["text_hapax_legomena"] = text_hapax_legomena
+
+ORACLES["text_hapax_legomena"] = """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS token
+      FROM documents),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    agg AS (
+      SELECT count(*) AS v, sum(cnt) AS n,
+             sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS v2
+      FROM counts)
+    SELECT CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab_size,
+           CAST(v1 AS BIGINT) AS hapax, CAST(v2 AS BIGINT) AS dis_legomena,
+           round(CAST(v AS DOUBLE) / n, 6) AS type_token_ratio,
+           round(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s,
+           round(100.0 * ln(CAST(n AS DOUBLE)) / (1.0 - CAST(v1 AS DOUBLE) / v), 6)
+             AS honore_r
+    FROM agg
+"""
+
+RC_CUST_MOD = 5
+
+
+def graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich-club coefficient over the supplier co-purchase projection:
+    for degree thresholds k, the edge density among suppliers whose
+    projected degree exceeds k — do high-degree suppliers
+    preferentially interconnect?  ``phi(k) = 2 E_k / (N_k (N_k-1))``.
+    The projection join is bounded by the deterministic customer
+    sample (the Adamic-Adar discipline)."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.where(F.col("o_custkey") % RC_CUST_MOD == 0)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    proj = (
+        e1.join(e2, (F.col("e1.c") == F.col("e2.c")) & (F.col("e1.s") < F.col("e2.s")))
+        .select(F.col("e1.s").alias("sa"), F.col("e2.s").alias("sb"))
+        .distinct()
+    )
+    deg = (
+        proj.select(F.col("sa").alias("node"))
+        .union(proj.select(F.col("sb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ks = proj.sparkSession.createDataFrame(
+        [(k,) for k in (1, 2, 4, 8, 16)], "k long"
+    )
+    nk = ks.join(deg, deg.deg > ks.k).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_k")
+    )
+    ek = (
+        ks.join(
+            proj.join(deg.select(F.col("node").alias("sa"), F.col("deg").alias("__da")), "sa")
+            .join(deg.select(F.col("node").alias("sb"), F.col("deg").alias("__db")), "sb"),
+            (F.col("__da") > F.col("k")) & (F.col("__db") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    out = nk.join(ek, "k", "left").fillna(0, subset=["e_k"])
+    phi = F.when(
+        F.col("n_k") >= 2,
+        2.0 * F.col("e_k").cast("double")
+        / (F.col("n_k").cast("double") * (F.col("n_k").cast("double") - 1.0)),
+    )
+    return out.select(
+        "k",
+        F.col("n_k").cast("long").alias("n_nodes"),
+        F.col("e_k").cast("long").alias("n_edges"),
+        F.round(phi, 6).alias("phi"),
+    ).orderBy("k")
+
+
+QUERIES["graph_rich_club"] = graph_rich_club
+
+ORACLES["graph_rich_club"] = f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % {RC_CUST_MOD} = 0),
+    proj AS (
+      SELECT DISTINCT e1.s AS sa, e2.s AS sb
+      FROM edges e1 JOIN edges e2 ON e1.c = e2.c AND e1.s < e2.s),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT sa AS node FROM proj UNION ALL SELECT sb FROM proj)
+      GROUP BY 1),
+    ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+    nk AS (
+      SELECT k, count(*) AS n_k FROM ks JOIN deg ON deg > k GROUP BY 1),
+    ek AS (
+      SELECT k, count(*) AS e_k
+      FROM ks JOIN (
+        SELECT p.sa, p.sb, da.deg AS dega, db.deg AS degb
+        FROM proj p JOIN deg da ON p.sa = da.node JOIN deg db ON p.sb = db.node
+      ) ON dega > k AND degb > k
+      GROUP BY 1)
+    SELECT CAST(nk.k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_nodes,
+           CAST(coalesce(e_k, 0) AS BIGINT) AS n_edges,
+           round(CASE WHEN n_k >= 2
+                 THEN 2.0 * coalesce(e_k, 0) / (CAST(n_k AS DOUBLE) * (n_k - 1.0)) END,
+                 6) AS phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    ORDER BY k
+"""
+
+
+def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag via the
+    cumulative-weight scan over the per-price partial aggregate (the
+    ``roc_auc`` no-row-level-window discipline): integer weights, the
+    median is the first price whose doubled cumulative weight reaches
+    the total."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    per = li.groupBy("l_returnflag", "price_cents").agg(F.sum("wt").alias("__w"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.groupBy("l_returnflag").agg(F.sum("__w").alias("__tw"))
+    cum = per.withColumn("__cw", F.sum("__w").over(w)).join(tot, "l_returnflag")
+    first = (
+        cum.where(2 * F.col("__cw") >= F.col("__tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.first("__tw").alias("total_weight"),
+        )
+    )
+    return first.select(
+        "l_returnflag",
+        F.col("weighted_median_cents").cast("long"),
+        F.col("total_weight").cast("long"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["agg_weighted_median"] = agg_weighted_median
+
+ORACLES["agg_weighted_median"] = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS wt
+      FROM lineitem),
+    per AS (
+      SELECT l_returnflag, price_cents, sum(wt) AS w
+      FROM li GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, price_cents, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM per)
+    SELECT l_returnflag,
+           CAST(min(price_cents) AS BIGINT) AS weighted_median_cents,
+           CAST(any_value(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def agg_ipw_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE with exact segment-level
+    propensities: treatment = odd custkey, propensity e_s = treated
+    share within each market segment (the stratified-IPW identity) —
+    the causal sibling of ``agg_cuped``/``agg_diff_in_diff``.  All
+    cell sums are exact cents; the weighting is a per-segment double
+    epilogue over five cells."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        (F.col("o_custkey") % 2 == 1).cast("int").alias("tr"),
+        "cents",
+    )
+    cells = j.groupBy("c_mktsegment", "tr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    seg = cells.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n_seg"),
+        F.sum(F.when(F.col("tr") == 1, F.col("n")).otherwise(0)).alias("n_treat"),
+        F.sum(F.when(F.col("tr") == 1, F.col("s")).otherwise(0)).alias("s_treat"),
+        F.sum(F.when(F.col("tr") == 0, F.col("s")).otherwise(0)).alias("s_ctrl"),
+    )
+    tot = seg.agg(F.sum("n_seg").alias("__nt")).collect()[0]["__nt"]
+    es = F.col("n_treat").cast("double") / F.col("n_seg").cast("double")
+    term = (
+        F.col("s_treat").cast("double") / 100.0 / es
+        - F.col("s_ctrl").cast("double") / 100.0 / (1.0 - es)
+    )
+    agg = seg.agg(
+        F.sum(term).alias("__num"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return agg.select(
+        F.lit(int(tot)).cast("long").alias("n"),
+        F.col("n_segments").cast("long"),
+        F.round(F.col("__num") / F.lit(float(tot)), 6).alias("ate_ipw"),
+    )
+
+
+QUERIES["agg_ipw_estimate"] = agg_ipw_estimate
+
+ORACLES["agg_ipw_estimate"] = """
+    WITH j AS (
+      SELECT c_mktsegment,
+             CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END AS tr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    cells AS (
+      SELECT c_mktsegment, tr, count(*) AS n, sum(cents) AS s
+      FROM j GROUP BY 1, 2),
+    seg AS (
+      SELECT c_mktsegment, sum(n) AS n_seg,
+             sum(CASE WHEN tr = 1 THEN n ELSE 0 END) AS n_treat,
+             sum(CASE WHEN tr = 1 THEN s ELSE 0 END) AS s_treat,
+             sum(CASE WHEN tr = 0 THEN s ELSE 0 END) AS s_ctrl
+      FROM cells GROUP BY 1),
+    tot AS (SELECT sum(n_seg) AS nt FROM seg),
+    terms AS (
+      SELECT CAST(s_treat AS DOUBLE) / 100.0
+               / (CAST(n_treat AS DOUBLE) / n_seg)
+             - CAST(s_ctrl AS DOUBLE) / 100.0
+               / (1.0 - CAST(n_treat AS DOUBLE) / n_seg) AS term
+      FROM seg)
+    SELECT CAST(nt AS BIGINT) AS n,
+           CAST((SELECT count(*) FROM seg) AS BIGINT) AS n_segments,
+           round(sum(term) / nt, 6) AS ate_ipw
+    FROM terms CROSS JOIN tot GROUP BY nt
+"""
+
+
+# --- Otsu / consistent hashing / entropy rate / recsys coverage -------------
+
+OTSU_N_DOCS = 18
+
+
+def multimodal_otsu(spark: SparkSession, sf: str) -> DataFrame:
+    """Otsu global threshold per image — the classic binarization step
+    of document-scan pipelines — with decode REAL and the argmax IN
+    the engine: the Arrow stage only decodes PNGs and emits exact
+    256-bin histograms; the between-class-variance maximization
+    ``argmax_t (sum0*W - S*w0)^2 / (w0*(W-w0))`` runs as identical
+    relational algebra on exact integers in Spark and DuckDB (the
+    numerator is integer-exact; ties break on the smaller t)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(OTSU_N_DOCS):
+        h, w = ANIM_DIMS[d % len(ANIM_DIMS)]
+        hw = h * w
+        l1, l2, l3 = 40 + d % 20, 120 + d % 30, 200 + d % 40
+        n1, n2 = hw // 2, hw // 3
+        flat = np.empty(hw, np.uint8)
+        flat[:n1] = l1
+        flat[n1 : n1 + n2] = l2
+        flat[n1 + n2 :] = l3
+        gray = flat.reshape(h, w)
+        rows.append((d, f"{d}.png", bytearray(encode_png(np.dstack([gray] * 3)))))
+    entries = spark.createDataFrame(rows, "doc_id long, entry_name string, content binary")
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = _real_decode(name, bytes(content))[:, :, 0]
+                counts = np.bincount(img.reshape(-1), minlength=256)
+                for level in np.nonzero(counts)[0]:
+                    out.append((name, int(level), int(counts[level])))
+            yield pd.DataFrame(out, columns=["file_name", "level", "cnt"])
+
+    h_df = entries.select("entry_name", "content").mapInPandas(
+        hist, "file_name string, level long, cnt long"
+    ).join(entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name")
+    tot = h_df.groupBy("doc_id").agg(
+        F.sum("cnt").alias("W"), F.sum(F.col("level") * F.col("cnt")).alias("S")
+    )
+    ts = h_df.sparkSession.range(0, 256).select(F.col("id").alias("tt"))
+    cum = (
+        h_df.join(F.broadcast(ts), F.col("level") <= F.col("tt"))
+        .groupBy("doc_id", "tt")
+        .agg(F.sum("cnt").alias("w0"), F.sum(F.col("level") * F.col("cnt")).alias("sum0"))
+        .join(tot, "doc_id")
+        .where((F.col("w0") > 0) & (F.col("w0") < F.col("W")))
+    )
+    num = (F.col("sum0") * F.col("W") - F.col("S") * F.col("w0"))
+    score = (num * num).cast("double") / (
+        F.col("w0") * (F.col("W") - F.col("w0"))
+    ).cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("__score").desc(), F.col("tt").asc())
+    best = (
+        cum.withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return best.select(
+        "doc_id",
+        F.col("tt").cast("long").alias("otsu_threshold"),
+        (num * num).cast("long").alias("score_numerator"),
+        F.col("w0").cast("long").alias("n_below"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_otsu"] = multimodal_otsu
+
+ORACLES["multimodal_otsu"] = f"""
+    WITH d AS (SELECT unnest(range({OTSU_N_DOCS})) AS doc_id),
+    dims AS (
+      SELECT doc_id,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_H} END AS h,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_W} END AS w,
+             40 + doc_id % 20 AS l1, 120 + doc_id % 30 AS l2,
+             200 + doc_id % 40 AS l3
+      FROM d),
+    hist AS (
+      SELECT doc_id, l1 AS level, (h * w) // 2 AS cnt FROM dims
+      UNION ALL
+      SELECT doc_id, l2, (h * w) // 3 FROM dims
+      UNION ALL
+      SELECT doc_id, l3, h * w - (h * w) // 2 - (h * w) // 3 FROM dims),
+    tot AS (
+      SELECT doc_id, sum(cnt) AS W, sum(level * cnt) AS S FROM hist GROUP BY 1),
+    ts AS (SELECT unnest(range(0, 256)) AS tt),
+    cum AS (
+      SELECT h.doc_id, tt, sum(cnt) AS w0, sum(level * cnt) AS sum0
+      FROM hist h JOIN ts ON h.level <= ts.tt
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT c.doc_id, tt, w0,
+             (sum0 * W - S * w0) * (sum0 * W - S * w0) AS num,
+             CAST((sum0 * W - S * w0) * (sum0 * W - S * w0) AS DOUBLE)
+               / (w0 * (W - w0)) AS score
+      FROM cum c JOIN tot USING (doc_id)
+      WHERE w0 > 0 AND w0 < W),
+    best AS (
+      SELECT doc_id, tt, num, w0,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tt ASC) AS rn
+      FROM scored)
+    SELECT doc_id, CAST(tt AS BIGINT) AS otsu_threshold,
+           CAST(num AS BIGINT) AS score_numerator,
+           CAST(w0 AS BIGINT) AS n_below
+    FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+CH_SHARDS = 8
+CH_VNODES = 16
+CH_RING_MASK = (1 << 62) - 1
+
+
+def etl_consistent_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistent-hash ring assignment (Karger) with virtual nodes:
+    documents map to the first of 8x16 shard vnodes clockwise from
+    their md5 ring position, and the rebalance story is quantified by
+    also assigning against a 9-shard ring — classic result: only
+    ~1/(N+1) of keys move, all TO the new shard.  Ring metric:
+    62-bit masked md5, wrap handled by modular distance (exact
+    BIGINTs; the vnode table is 144 literal rows, broadcast)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            md5_int64(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+            .bitwiseAND(F.lit(CH_RING_MASK))
+        ).alias("h"),
+    )
+    spark_ = docs.sparkSession
+    ring = spark_.createDataFrame(
+        [(s, v) for s in range(CH_SHARDS + 1) for v in range(CH_VNODES)],
+        "shard long, vnode long",
+    ).select(
+        "shard",
+        (
+            md5_int64(
+                F.concat(
+                    F.lit("shard:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("vnode").cast("string"),
+                )
+            ).bitwiseAND(F.lit(CH_RING_MASK))
+        ).alias("pos"),
+    )
+
+    def assign(n_shards: int, out: str) -> DataFrame:
+        r = ring.where(F.col("shard") < n_shards)
+        dist = F.when(
+            F.col("pos") >= F.col("h"), F.col("pos") - F.col("h")
+        ).otherwise(F.col("pos") - F.col("h") + F.lit(CH_RING_MASK + 1))
+        pairs = docs.crossJoin(F.broadcast(r)).select(
+            "doc_id", "shard", dist.alias("__d")
+        )
+        best = pairs.groupBy("doc_id").agg(
+            F.min(F.struct("__d", "shard")).alias("__b")
+        )
+        return best.select("doc_id", F.col("__b.shard").alias(out))
+
+    a8 = assign(CH_SHARDS, "shard8")
+    a9 = assign(CH_SHARDS + 1, "shard9")
+    j = a8.join(a9, "doc_id")
+    return (
+        j.groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("shard8") != F.col("shard9")).cast("long")).alias("n_moved"),
+        )
+        .select(
+            F.col("shard8").cast("long").alias("shard"),
+            F.col("n_docs").cast("long"),
+            F.col("n_moved").cast("long"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["etl_consistent_hashing"] = etl_consistent_hashing
+
+
+def _ch_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int64_sql
+
+    doc_h = md5_int64_sql("'doc:' || CAST(doc_id AS VARCHAR)")
+    pos = md5_int64_sql(
+        "'shard:' || CAST(shard AS VARCHAR) || ':' || CAST(vnode AS VARCHAR)"
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {doc_h} & {CH_RING_MASK} AS h FROM documents),
+    ring AS (
+      SELECT s.shard, v.vnode, {pos} & {CH_RING_MASK} AS pos
+      FROM (SELECT unnest(range({CH_SHARDS + 1})) AS shard) s
+      CROSS JOIN (SELECT unnest(range({CH_VNODES})) AS vnode) v),
+    a8 AS (
+      SELECT doc_id, arg_min(shard,
+               CASE WHEN pos >= h THEN pos - h
+                    ELSE pos - h + {CH_RING_MASK + 1} END) AS shard8
+      FROM docs CROSS JOIN ring WHERE shard < {CH_SHARDS}
+      GROUP BY doc_id),
+    a9 AS (
+      SELECT doc_id, arg_min(shard,
+               CASE WHEN pos >= h THEN pos - h
+                    ELSE pos - h + {CH_RING_MASK + 1} END) AS shard9
+      FROM docs CROSS JOIN ring
+      GROUP BY doc_id)
+    SELECT CAST(shard8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["etl_consistent_hashing"] = _ch_oracle()
+
+
+def agg_markov_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order entropy rate of the per-user event-type process:
+    ``H(X_t | X_t-1) = -sum_ij p_ij ln(n_ij/n_i)`` over observed
+    transitions, next to the marginal entropy ``H(X_t)`` — how much
+    the event stream's history compresses the next step.  Exact
+    transition integers; the ln epilogue rides the 25-cell table."""
+    e = t(spark, sf, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__nxt", F.lead("event_type").over(w))
+        .where(F.col("__nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("__nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    ni = trans.groupBy("a").agg(F.sum("nij").alias("ni"))
+    tot = trans.agg(F.sum("nij").alias("n"))
+    cells = trans.join(ni, "a").crossJoin(F.broadcast(tot))
+    cond = -(
+        F.col("nij").cast("double") / F.col("n").cast("double")
+    ) * F.log(F.col("nij").cast("double") / F.col("ni").cast("double"))
+    marg_cells = ni.crossJoin(F.broadcast(tot))
+    marg = -(
+        F.col("ni").cast("double") / F.col("n").cast("double")
+    ) * F.log(F.col("ni").cast("double") / F.col("n").cast("double"))
+    h_rate = cells.agg(
+        F.first("n").alias("n_transitions"), F.sum(cond).alias("__h")
+    )
+    h_marg = marg_cells.agg(F.sum(marg).alias("__hm"))
+    out = h_rate.crossJoin(h_marg)
+    return out.select(
+        F.col("n_transitions").cast("long"),
+        F.round(F.col("__h"), 6).alias("entropy_rate_nats"),
+        F.round(F.col("__hm"), 6).alias("marginal_entropy_nats"),
+        F.round(1.0 - F.col("__h") / F.col("__hm"), 6).alias("predictability_gain"),
+    )
+
+
+QUERIES["agg_markov_entropy_rate"] = agg_markov_entropy_rate
+
+ORACLES["agg_markov_entropy_rate"] = """
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events),
+    trans AS (SELECT a, b, count(*) AS nij FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+    ni AS (SELECT a, sum(nij) AS ni FROM trans GROUP BY 1),
+    tot AS (SELECT sum(nij) AS n FROM trans),
+    hr AS (
+      SELECT any_value(n) AS n,
+             sum(-(CAST(nij AS DOUBLE) / n) * ln(CAST(nij AS DOUBLE) / ni)) AS h
+      FROM trans JOIN ni USING (a) CROSS JOIN tot),
+    hm AS (
+      SELECT sum(-(CAST(ni AS DOUBLE) / n) * ln(CAST(ni AS DOUBLE) / n)) AS hmarg
+      FROM ni CROSS JOIN tot)
+    SELECT CAST(n AS BIGINT) AS n_transitions,
+           round(h, 6) AS entropy_rate_nats,
+           round(hmarg, 6) AS marginal_entropy_nats,
+           round(1.0 - h / hmarg, 6) AS predictability_gain
+    FROM hr CROSS JOIN hm
+"""
+
+
+def reco_coverage_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-accuracy recsys evaluation over the item-to-item
+    recommendations of ``reco_item_cooccurrence``: catalog coverage
+    (share of catalog ever recommended) and mean novelty
+    ``-log2(popularity)`` of recommended items (Vargas & Castells) —
+    exact support integers, ln epilogue on the rec list."""
+    import math
+
+    from image_matadata_batchprocessing_aws_spark.operators.reco import (
+        item_cooccurrence_topk,
+    )
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    recs = item_cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=3, min_pair_count=2
+    ).where(F.col("pair_count") >= 2)
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    support = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__n"))
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    n_catalog = support.count()
+    nov = recs.join(
+        support.select(F.col("l_partkey").alias("neighbor"), "__n"), "neighbor"
+    ).agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.count_distinct("neighbor").alias("n_recommended_items"),
+        F.sum(
+            -F.log(F.col("__n").cast("double") / F.lit(float(n_baskets))) / F.lit(math.log(2.0))
+        ).alias("__novsum"),
+    )
+    return nov.select(
+        F.col("n_recs").cast("long"),
+        F.col("n_recommended_items").cast("long"),
+        F.lit(int(n_catalog)).cast("long").alias("n_catalog"),
+        F.round(
+            F.col("n_recommended_items").cast("double") / F.lit(float(n_catalog)), 6
+        ).alias("coverage"),
+        F.round(F.col("__novsum") / F.col("n_recs").cast("double"), 6).alias(
+            "mean_novelty_bits"
+        ),
+    )
+
+
+QUERIES["reco_coverage_novelty"] = reco_coverage_novelty
+
+
+def _reco_cov_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.r05_queue import (
+        ORACLES as _R05,
+    )
+
+    base = _R05["reco_item_cooccurrence"].strip().rstrip()
+    return f"""
+    WITH rec AS ({base}),
+    baskets AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    support AS (SELECT i, count(*) AS n FROM baskets GROUP BY 1),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM baskets),
+    cat AS (SELECT count(*) AS n_catalog FROM support),
+    nov AS (
+      SELECT count(*) AS n_recs,
+             count(DISTINCT neighbor) AS n_rec_items,
+             sum(-ln(CAST(s.n AS DOUBLE) / n_baskets) / ln(2.0)) AS novsum
+      FROM rec JOIN support s ON rec.neighbor = s.i CROSS JOIN nb)
+    SELECT CAST(n_recs AS BIGINT) AS n_recs,
+           CAST(n_rec_items AS BIGINT) AS n_recommended_items,
+           CAST(n_catalog AS BIGINT) AS n_catalog,
+           round(CAST(n_rec_items AS DOUBLE) / n_catalog, 6) AS coverage,
+           round(novsum / n_recs, 6) AS mean_novelty_bits
+    FROM nov CROSS JOIN cat
+"""
+
+
+ORACLES["reco_coverage_novelty"] = _reco_cov_oracle()
