@@ -165,14 +165,20 @@ def decode_png(content: bytes) -> np.ndarray:
     if ihdr is None:
         raise ImageFormatError("PNG missing IHDR")
     w, h, depth, ctype_code, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ImageFormatError(f"unsupported PNG bit depth {depth} (only 8)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ImageFormatError(f"unsupported PNG bit depth {depth}")
     if ctype_code not in _PNG_CHANNELS:
         raise ImageFormatError(f"unsupported PNG color type {ctype_code}")
+    if depth < 8 and ctype_code not in (0, 3):
+        raise ImageFormatError(f"sub-byte PNG depth {depth} needs gray/palette")
+    if depth == 16 and ctype_code == 3:
+        raise ImageFormatError("16-bit palette PNG is not a legal combination")
     if comp != 0 or filt != 0:
         raise ImageFormatError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
         raise ImageFormatError(f"bad PNG interlace method {interlace}")
+    if interlace == 1 and depth != 8:
+        raise ImageFormatError("interlaced PNG supported at depth 8 only")
     if w == 0 or h == 0:
         raise ImageFormatError("zero-dimension PNG")
     ch = _PNG_CHANNELS[ctype_code]
@@ -182,8 +188,26 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ImageFormatError(f"PNG IDAT stream corrupt/truncated: {exc}") from exc
     if interlace == 1:
         px = _deinterlace_adam7(raw, h, w, ch)
-    else:
+    elif depth == 8:
         px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    elif depth == 16:
+        # filters act on bytes with bpp = 2*ch; samples are big-endian,
+        # reduced to 8 bits via the high byte (PIL's I;16 -> L rule)
+        rows = _unfilter(raw, h, w, 2 * ch).reshape(h, w, ch, 2)
+        px = rows[:, :, :, 0].copy()
+    else:
+        # 1/2/4-bit gray or palette: filters act on the packed bytes
+        # (bpp = 1 per spec); unpack MSB-first, then scale gray samples
+        # to 8 bits by bit replication (255 / (2^depth - 1))
+        stride = (w * depth + 7) // 8
+        packed = _unfilter(raw, h, stride, 1)
+        bits = np.unpackbits(packed, axis=1)
+        samples = bits.reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (samples * weights).sum(axis=2)[:, :w].astype(np.uint16)
+        if ctype_code == 0:
+            vals = vals * (255 // ((1 << depth) - 1))
+        px = vals.astype(np.uint8).reshape(h, w, 1)
     if ctype_code == 2:
         return px
     if ctype_code == 6:
@@ -199,6 +223,53 @@ def decode_png(content: bytes) -> np.ndarray:
     if int(idx.max(initial=0)) >= len(plte):
         raise ImageFormatError("palette index out of range")
     return plte[idx]
+
+
+def encode_png_raw(
+    samples: np.ndarray,
+    depth: int,
+    ctype_code: int,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Minimal any-depth PNG writer (fixture generator): filter 0 on
+    every scanline, one IDAT.  ``samples`` is (h, w) ints for gray (0)
+    / palette (3), or (h, w, ch) for RGB-family color types; values
+    must fit ``depth`` bits (16-bit samples are written big-endian,
+    sub-byte samples packed MSB-first per spec)."""
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, ch = samples.shape
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)  # filter type 0
+        flat = samples[y].reshape(-1).astype(np.uint32)
+        if depth == 16:
+            be = np.empty(flat.size * 2, np.uint8)
+            be[0::2] = flat >> 8
+            be[1::2] = flat & 0xFF
+            rows.extend(be.tobytes())
+        elif depth == 8:
+            rows.extend(flat.astype(np.uint8).tobytes())
+        else:
+            bits = ((flat[:, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+            rows.extend(np.packbits(bits.astype(np.uint8)).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_code, 0, 0, 0)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    out = bytearray(_PNG_MAGIC)
+    out += chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(rows)))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def encode_png(img: np.ndarray, color_type: int = 2, interlace: bool = False) -> bytes:

@@ -2816,3 +2816,400 @@ def _reco_cov_oracle() -> str:
 
 
 ORACLES["reco_coverage_novelty"] = _reco_cov_oracle()
+
+
+# --- sub-byte / 16-bit PNG decode through the pipeline -----------------------
+
+PNGD_N_DOCS = 18
+
+
+def multimodal_png_depths(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL decode of the PNG depths beyond 8-bit (S9 completion;
+    ImageIO-parity tested in tests/test_png_depths.py): 16-bit
+    grayscale (high-byte reduction, the PIL I;16 rule), 4-bit palette,
+    and 1-bit grayscale — per-doc channel sums recomputed per pixel by
+    the DuckDB twin from the same doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        encode_png_raw,
+    )
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(PNGD_N_DOCS):
+        h, w = ANIM_DIMS[d % len(ANIM_DIMS)]
+        yy, xx = np.mgrid[0:h, 0:w]
+        if d % 3 == 0:  # 16-bit gray
+            vals = ((xx * 13 + yy * 577) * 97 + d * 251) % 65536
+            blob = encode_png_raw(vals.astype(np.uint32), 16, 0)
+            depth, ctype = 16, 0
+        elif d % 3 == 1:  # 4-bit palette
+            pal = np.stack(
+                [
+                    (np.arange(16) * 16 + d) % 256,
+                    (np.arange(16) * 13 + 2 * d) % 256,
+                    (np.arange(16) * 29 + 3 * d) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            idx = (xx + yy + d) % 16
+            blob = encode_png_raw(idx.astype(np.uint32), 4, 3, palette=pal)
+            depth, ctype = 4, 3
+        else:  # 1-bit gray
+            vals = (xx + yy + d) % 2
+            blob = encode_png_raw(vals.astype(np.uint32), 1, 0)
+            depth, ctype = 1, 0
+        rows.append((d, f"{d}.png", depth, ctype, bytearray(blob)))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, depth long, ctype long, content binary"
+    )
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                h_, w_ = img.shape[:2]
+                s = img.reshape(-1, 3).sum(axis=0)
+                out.append((name, h_, w_, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                out,
+                columns=["file_name", "height", "width", "r_sum", "g_sum", "b_sum"],
+            )
+
+    stats = entries.select("entry_name", "content").mapInPandas(
+        sums, "file_name string, height long, width long, r_sum long, g_sum long, b_sum long"
+    )
+    return (
+        stats.join(
+            entries.select(
+                "doc_id", "depth", "ctype", F.col("entry_name").alias("file_name")
+            ),
+            "file_name",
+        )
+        .select("doc_id", "depth", "ctype", "height", "width", "r_sum", "g_sum", "b_sum")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_png_depths"] = multimodal_png_depths
+
+ORACLES["multimodal_png_depths"] = f"""
+    WITH d AS (SELECT unnest(range({PNGD_N_DOCS})) AS doc_id),
+    dims AS (
+      SELECT doc_id,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_H} END AS h,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_W} END AS w
+      FROM d),
+    px AS (
+      SELECT doc_id, h, w, x.x AS x, y.y AS y
+      FROM dims,
+           LATERAL (SELECT unnest(range(w)) AS x) x,
+           LATERAL (SELECT unnest(range(h)) AS y) y),
+    vals AS (
+      SELECT doc_id, h, w,
+             CASE doc_id % 3
+               WHEN 0 THEN (((x * 13 + y * 577) * 97 + doc_id * 251) % 65536) // 256
+               WHEN 1 THEN (((x + y + doc_id) % 16) * 16 + doc_id) % 256
+               ELSE ((x + y + doc_id) % 2) * 255 END AS r,
+             CASE doc_id % 3
+               WHEN 0 THEN (((x * 13 + y * 577) * 97 + doc_id * 251) % 65536) // 256
+               WHEN 1 THEN (((x + y + doc_id) % 16) * 13 + 2 * doc_id) % 256
+               ELSE ((x + y + doc_id) % 2) * 255 END AS g,
+             CASE doc_id % 3
+               WHEN 0 THEN (((x * 13 + y * 577) * 97 + doc_id * 251) % 65536) // 256
+               WHEN 1 THEN (((x + y + doc_id) % 16) * 29 + 3 * doc_id) % 256
+               ELSE ((x + y + doc_id) % 2) * 255 END AS b
+      FROM px)
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 4 ELSE 1 END AS BIGINT)
+             AS depth,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 3 ELSE 0 END AS BIGINT)
+             AS ctype,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum
+    FROM vals GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# --- lead-lag, extreme-value and long-memory diagnostics ---------------------
+
+
+def ts_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    revenue series at lags -7..7 (negative lag = clicks lead):
+    exact-cents day sums, centered products over the overlap window,
+    one normalized double per lag."""
+    d = _daily_cents(spark, sf).where(F.col("event_type").isin("click", "purchase"))
+    x = d.where(F.col("event_type") == "click").select(
+        "day", F.col("cents").alias("xc")
+    )
+    y = d.where(F.col("event_type") == "purchase").select(
+        "day", F.col("cents").alias("yc")
+    )
+    lags = d.sparkSession.range(-7, 8).select(F.col("id").cast("long").alias("lag"))
+    # overlap rows: y at day + lag
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(
+            y.select(F.col("day").alias("yday"), "yc"),
+            F.col("yday") == F.col("day") + F.col("lag"),
+        )
+        .select("lag", "xc", "yc")
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    return stats.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+QUERIES["ts_cross_correlation"] = ts_cross_correlation
+
+ORACLES["ts_cross_correlation"] = f"""
+    WITH d AS ({_DAILY_SQL}),
+    x AS (SELECT day, cents AS xc FROM d WHERE event_type = 'click'),
+    y AS (SELECT day AS yday, cents AS yc FROM d WHERE event_type = 'purchase'),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    pairs AS (
+      SELECT lag, xc, yc
+      FROM x CROSS JOIN lags JOIN y ON yday = day + lag),
+    stats AS (
+      SELECT lag, count(*) AS n, sum(xc) AS sx, sum(yc) AS sy,
+             sum(xc * yc) AS sxy, sum(xc * xc) AS sxx, sum(yc * yc) AS syy
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)), 6)
+             AS xcorr
+    FROM stats ORDER BY lag
+"""
+
+EULER_GAMMA = 0.5772156649015329
+
+
+def agg_gumbel_daily_max(spark: SparkSession, sf: str) -> DataFrame:
+    """Gumbel extreme-value fit (method of moments) on daily maxima of
+    event values per type: ``beta = s sqrt(6)/pi``,
+    ``mu = m - gamma beta``, plus the implied 99th-percentile level
+    ``mu - beta ln(-ln 0.99))`` — capacity-planning statistics over
+    exact integer daily maxima."""
+    import math
+
+    e = t(spark, sf, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400 * 1_000_000)).cast("long")
+    dmax = (
+        e.select("event_type", day.alias("day"),
+                 F.round(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.max("c").alias("mx"))
+    )
+    g = dmax.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd / 100.0
+    var = (
+        F.col("q").cast("double") / 10000.0
+        - (F.col("s").cast("double") / 100.0) * (F.col("s").cast("double") / 100.0) / nd
+    ) / (nd - 1.0)
+    beta = F.sqrt(var * 6.0) / F.lit(math.pi)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    p99 = mu - beta * F.log(-F.log(F.lit(0.99)))
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(p99, 6).alias("p99_level"),
+    ).orderBy("event_type")
+
+
+QUERIES["agg_gumbel_daily_max"] = agg_gumbel_daily_max
+
+ORACLES["agg_gumbel_daily_max"] = f"""
+    WITH dmax AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+             max(CAST(round(value * 100) AS BIGINT)) AS mx
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, count(*) AS n, sum(mx) AS s, sum(mx * mx) AS q
+      FROM dmax GROUP BY 1),
+    fit AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n / 100.0 AS mean,
+             sqrt(((CAST(q AS DOUBLE) / 10000.0
+                    - (CAST(s AS DOUBLE) / 100.0) * (CAST(s AS DOUBLE) / 100.0) / n)
+                   / (n - 1.0)) * 6.0) / pi() AS beta
+      FROM g)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(mean, 6) AS mean_daily_max,
+           round(beta, 6) AS gumbel_beta,
+           round(mean - {EULER_GAMMA} * beta, 6) AS gumbel_mu,
+           round(mean - {EULER_GAMMA} * beta - beta * ln(-ln(0.99)), 6) AS p99_level
+    FROM fit ORDER BY event_type
+"""
+
+HURST_BLOCKS = (8, 16, 32)
+
+
+def ts_hurst(spark: SparkSession, sf: str) -> DataFrame:
+    """Rescaled-range (R/S) long-memory analysis of the daily total:
+    for block sizes 8/16/32 days, average ``R/S`` over complete blocks
+    (R = range of mean-adjusted cumulative sums, S = population sd),
+    then the Hurst exponent as the OLS slope of ln(R/S) on ln(size).
+    0.5 = memoryless; the trend/persistence screen for metrics series.
+    Integer cents through the block sums; the per-block epilogue is a
+    handful of doubles."""
+    d = (
+        _daily_cents(spark, sf)
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    idx = d.withColumn("__t", F.row_number().over(w) - 1)
+    sizes = d.sparkSession.createDataFrame(
+        [(s,) for s in HURST_BLOCKS], "size long"
+    )
+    blk = idx.crossJoin(F.broadcast(sizes)).select(
+        "size", (F.col("__t") / F.col("size")).cast("long").alias("blk"),
+        (F.col("__t") % F.col("size")).alias("__i"), "cents",
+    )
+    per_blk = blk.groupBy("size", "blk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cents").alias("__s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("__q"),
+    )
+    full = per_blk.where(F.col("__n") == F.col("size"))
+    wcum = (
+        Window.partitionBy("size", "blk")
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = blk.join(full.select("size", "blk", "__s"), ["size", "blk"])
+    cum = joined.select(
+        "size",
+        "blk",
+        "__i",
+        (
+            F.sum(F.col("cents")).over(wcum).cast("double")
+            - (F.col("__i") + 1).cast("double")
+            * F.col("__s").cast("double")
+            / F.col("size").cast("double")
+        ).alias("__cd"),
+    )
+    rng_ = cum.groupBy("size", "blk").agg(
+        (F.max("__cd") - F.min("__cd")).alias("__r")
+    )
+    nd = F.col("size").cast("double")
+    sd = F.sqrt(
+        F.col("__q").cast("double") / nd
+        - (F.col("__s").cast("double") / nd) * (F.col("__s").cast("double") / nd)
+    )
+    rs = (
+        full.select("size", "blk", sd.alias("__sd"))
+        .join(rng_, ["size", "blk"])
+        .where(F.col("__sd") > 0)
+        .groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.avg(F.col("__r") / F.col("__sd")).alias("__rs"),
+        )
+    )
+    pts = rs.select(
+        "size",
+        "n_blocks",
+        F.log(F.col("size").cast("double")).alias("__x"),
+        F.log("__rs").alias("__y"),
+        F.col("__rs").alias("__rsv"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / kd) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / kd
+    )
+    out = pts.crossJoin(F.broadcast(fit.select(slope.alias("__h"))))
+    return out.select(
+        F.col("size").cast("long").alias("block_size"),
+        F.col("n_blocks").cast("long"),
+        F.round(F.col("__rsv"), 6).alias("mean_rs"),
+        F.round(F.col("__h"), 6).alias("hurst_exponent"),
+    ).orderBy("block_size")
+
+
+QUERIES["ts_hurst"] = ts_hurst
+
+ORACLES["ts_hurst"] = f"""
+    WITH d0 AS ({_DAILY_SQL}),
+    d AS (SELECT day, sum(cents) AS cents FROM d0 GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) - 1 AS t, cents FROM d),
+    sizes AS (SELECT unnest([{', '.join(str(s) for s in HURST_BLOCKS)}]) AS size),
+    blk AS (
+      SELECT size, t // size AS blk, t % size AS i, cents
+      FROM idx CROSS JOIN sizes),
+    per_blk AS (
+      SELECT size, blk, count(*) AS n, sum(cents) AS s, sum(cents * cents) AS q
+      FROM blk GROUP BY 1, 2),
+    full_b AS (SELECT * FROM per_blk WHERE n = size),
+    cum AS (
+      SELECT b.size, b.blk, b.i,
+             sum(b.cents) OVER (PARTITION BY b.size, b.blk ORDER BY b.i
+                                ROWS UNBOUNDED PRECEDING)
+             - (b.i + 1) * (CAST(f.s AS DOUBLE) / f.size) AS cd
+      FROM blk b JOIN full_b f ON b.size = f.size AND b.blk = f.blk),
+    rng AS (SELECT size, blk, max(cd) - min(cd) AS r FROM cum GROUP BY 1, 2),
+    rs AS (
+      SELECT f.size, count(*) AS n_blocks,
+             avg(r / sqrt(CAST(f.q AS DOUBLE) / f.size
+                          - (CAST(f.s AS DOUBLE) / f.size)
+                            * (CAST(f.s AS DOUBLE) / f.size))) AS mean_rs
+      FROM full_b f JOIN rng ON f.size = rng.size AND f.blk = rng.blk
+      WHERE CAST(f.q AS DOUBLE) / f.size
+            - (CAST(f.s AS DOUBLE) / f.size) * (CAST(f.s AS DOUBLE) / f.size) > 0
+      GROUP BY 1),
+    pts AS (SELECT size, n_blocks, mean_rs,
+                   ln(CAST(size AS DOUBLE)) AS x, ln(mean_rs) AS y
+            FROM rs),
+    fit AS (
+      SELECT (sum(x * y) - sum(x) * sum(y) / count(*))
+             / (sum(x * x) - sum(x) * sum(x) / count(*)) AS h
+      FROM pts)
+    SELECT CAST(size AS BIGINT) AS block_size,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           round(mean_rs, 6) AS mean_rs,
+           round(h, 6) AS hurst_exponent
+    FROM pts CROSS JOIN fit ORDER BY block_size
+"""
