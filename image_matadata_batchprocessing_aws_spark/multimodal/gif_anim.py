@@ -157,9 +157,9 @@ def parse_gif_frames(content: bytes) -> tuple[GifScreen, list[GifFrame]]:
             pos += 1
             if ln == 0:
                 break
-            chunks.extend(content[pos : pos + ln])
-            if len(chunks) < ln:
+            if len(content) - pos < ln:
                 raise ImageFormatError("GIF data sub-blocks truncated")
+            chunks.extend(content[pos : pos + ln])
             pos += ln
         idx = _gif_lzw_decode(bytes(chunks), min_code_size, fw * fh)
         if int(idx.max(initial=0)) >= len(pal):

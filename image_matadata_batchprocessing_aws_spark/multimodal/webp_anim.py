@@ -139,6 +139,8 @@ def _decode_frame_payload(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ImageFormatError(f"WEBP {tag!r} sub-chunk truncated")
         if tag == b"ALPH":
             alph_body = body
         elif tag == b"VP8L":
@@ -178,6 +180,8 @@ def parse_webp_frames(content: bytes) -> tuple[WebPCanvas, list[WebPAnimFrame]]:
         tag = content[pos : pos + 4]
         (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
         body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size and tag in (b"VP8X", b"ANIM", b"ANMF", b"ALPH", b"VP8 ", b"VP8L"):
+            raise ImageFormatError(f"WEBP {tag!r} chunk truncated")
         if tag == b"VP8X":
             if size < 10:
                 raise ImageFormatError("VP8X chunk truncated")
@@ -242,6 +246,12 @@ def parse_webp_frames(content: bytes) -> tuple[WebPCanvas, list[WebPAnimFrame]]:
         raise ImageFormatError("WEBP container with no frames")
     if canvas is None:
         canvas = [frames[0].rgb.shape[1], frames[0].rgb.shape[0]]
+    for fr in frames:
+        fh, fw = fr.rgb.shape[:2]
+        if fr.x + fw > canvas[0] or fr.y + fh > canvas[1]:
+            raise ImageFormatError(
+                "ANMF frame rectangle exceeds the VP8X canvas"
+            )
     return WebPCanvas(canvas[0], canvas[1], bg, loop), frames
 
 

@@ -1124,11 +1124,17 @@ def fdr_bh(
     The keyless window here rides the TEST table (one row per
     hypothesis — nations, cohorts, feature flags), which is
     category-product bounded, never data-sized; the data-sized work
-    happened upstream in whatever produced the p-values."""
-    m = df.count()
+    happened upstream in whatever produced the p-values.  The test
+    count m stays IN-PLAN (1-row broadcast) so the upstream pipeline
+    never executes twice."""
+    m_df = df.agg(F.count(F.lit(1)).alias("__m"))
     w = Window.orderBy(F.col(p_col).asc(), *[F.col(k) for k in key_cols])
-    ranked = df.withColumn("__k", F.row_number().over(w)).withColumn(
-        "__ok", (F.col(p_col) * m <= F.col("__k") * q).cast("int")
+    ranked = (
+        df.crossJoin(F.broadcast(m_df))
+        .withColumn("__k", F.row_number().over(w))
+        .withColumn(
+            "__ok", (F.col(p_col) * F.col("__m") <= F.col("__k") * q).cast("int")
+        )
     )
     cutoff = ranked.agg(
         F.max(F.when(F.col("__ok") == 1, F.col("__k")).otherwise(0)).alias("__cut")
@@ -1139,7 +1145,7 @@ def fdr_bh(
             *key_cols,
             F.round(F.col(p_col), 9).alias("p_value"),
             F.col("__k").cast("long").alias("rank"),
-            F.round(F.col("__k") * q / m, 9).alias("bh_threshold"),
+            F.round(F.col("__k") * q / F.col("__m"), 9).alias("bh_threshold"),
             (F.col("__k") <= F.col("__cut")).alias("discovered"),
         )
         .orderBy("rank")

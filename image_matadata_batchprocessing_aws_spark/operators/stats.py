@@ -2003,18 +2003,17 @@ def psi_drift(
 
 def _split_sum(prod: Column, name: str) -> list[Column]:
     """Sum a per-row BIGINT product as (hi, lo) 30-bit halves — the
-    :func:`grouped_regression` overflow discipline, packaged."""
+    :func:`grouped_regression` overflow discipline (:func:`_hi` /
+    :func:`_lo`), packaged with the naming convention
+    :func:`_split_val` reads back."""
     return [
-        F.sum(F.shiftright(prod, 30)).alias(f"{name}_hi"),
-        F.sum(prod.bitwiseAND(F.lit(TWO30 - 1))).alias(f"{name}_lo"),
+        _hi(prod).alias(f"{name}_hi"),
+        _lo(prod).alias(f"{name}_lo"),
     ]
 
 
 def _split_val(name: str, descale: float) -> Column:
-    return (
-        F.col(f"{name}_hi").cast("double") * F.lit(float(TWO30))
-        + F.col(f"{name}_lo").cast("double")
-    ) / F.lit(descale)
+    return _recombine(f"{name}_hi", f"{name}_lo", descale)
 
 
 def tukey_hsd(

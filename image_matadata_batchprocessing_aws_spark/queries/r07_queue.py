@@ -941,9 +941,7 @@ def embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(as_double_array("embedding").alias("e"))
     e = e.withColumn("__norm", l2_norm(F.col("e")))
     exploded = e.select(
-        F.lit(1).alias("__one"),
-        F.posexplode(F.col("e")).alias("dim", "v"),
-        F.col("__norm"),
+        F.posexplode(F.col("e")).alias("dim", "v"), F.col("__norm")
     )
     per_dim = exploded.groupBy("dim").agg(
         F.sum(F.col("v") / F.col("__norm")).alias("su"),
@@ -1007,9 +1005,9 @@ def embedding_hubness(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
     q = e.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qe"))
     c = e.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("ce"))
-    knn = knn_bruteforce(
-        q, c.where(F.lit(True)), k=HUB_K + 1, metric="cosine"
-    ).where(F.col("neighbor_id") != F.col("query_id"))
+    knn = knn_bruteforce(q, c, k=HUB_K + 1, metric="cosine").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("rn").asc())
@@ -2399,20 +2397,20 @@ def agg_ipw_estimate(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("tr") == 1, F.col("s")).otherwise(0)).alias("s_treat"),
         F.sum(F.when(F.col("tr") == 0, F.col("s")).otherwise(0)).alias("s_ctrl"),
     )
-    tot = seg.agg(F.sum("n_seg").alias("__nt")).collect()[0]["__nt"]
     es = F.col("n_treat").cast("double") / F.col("n_seg").cast("double")
     term = (
         F.col("s_treat").cast("double") / 100.0 / es
         - F.col("s_ctrl").cast("double") / 100.0 / (1.0 - es)
     )
     agg = seg.agg(
+        F.sum("n_seg").alias("__nt"),
         F.sum(term).alias("__num"),
         F.count(F.lit(1)).alias("n_segments"),
     )
     return agg.select(
-        F.lit(int(tot)).cast("long").alias("n"),
+        F.col("__nt").cast("long").alias("n"),
         F.col("n_segments").cast("long"),
-        F.round(F.col("__num") / F.lit(float(tot)), 6).alias("ate_ipw"),
+        F.round(F.col("__num") / F.col("__nt").cast("double"), 6).alias("ate_ipw"),
     )
 
 
@@ -2762,23 +2760,35 @@ def reco_coverage_novelty(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("pair_count") >= 2)
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     support = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__n"))
-    n_baskets = baskets.select("l_orderkey").distinct().count()
-    n_catalog = support.count()
-    nov = recs.join(
-        support.select(F.col("l_partkey").alias("neighbor"), "__n"), "neighbor"
-    ).agg(
-        F.count(F.lit(1)).alias("n_recs"),
-        F.count_distinct("neighbor").alias("n_recommended_items"),
-        F.sum(
-            -F.log(F.col("__n").cast("double") / F.lit(float(n_baskets))) / F.lit(math.log(2.0))
-        ).alias("__novsum"),
+    scalars = support.agg(
+        F.count(F.lit(1)).alias("__ncat")
+    ).crossJoin(
+        F.broadcast(
+            baskets.agg(F.count_distinct("l_orderkey").alias("__nb"))
+        )
+    )
+    nov = (
+        recs.join(
+            support.select(F.col("l_partkey").alias("neighbor"), "__n"), "neighbor"
+        )
+        .crossJoin(F.broadcast(scalars))
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            F.count_distinct("neighbor").alias("n_recommended_items"),
+            F.sum(
+                -F.log(F.col("__n").cast("double") / F.col("__nb").cast("double"))
+                / F.lit(math.log(2.0))
+            ).alias("__novsum"),
+            F.first("__ncat").alias("__ncat"),
+        )
     )
     return nov.select(
         F.col("n_recs").cast("long"),
         F.col("n_recommended_items").cast("long"),
-        F.lit(int(n_catalog)).cast("long").alias("n_catalog"),
+        F.col("__ncat").cast("long").alias("n_catalog"),
         F.round(
-            F.col("n_recommended_items").cast("double") / F.lit(float(n_catalog)), 6
+            F.col("n_recommended_items").cast("double") / F.col("__ncat").cast("double"),
+            6,
         ).alias("coverage"),
         F.round(F.col("__novsum") / F.col("n_recs").cast("double"), 6).alias(
             "mean_novelty_bits"

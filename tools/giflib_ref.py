@@ -4,9 +4,11 @@ truth for the pure animated-GIF parser (`multimodal/gif_anim.py`).
 Same posture as ``tools/libwebp_ref.py`` / ``tools/libjpeg_ref.py``:
 the system library is test-only tooling bound per the public
 ``gif_lib.h`` (giflib 5.x) layout; the decoder itself never touches
-it.  ``DGifSlurp`` exposes per-frame index rasters (in storage order —
-giflib does NOT de-interlace), image descriptors, color tables, and
-``DGifSavedExtensionToGCB`` the per-frame graphic-control blocks;
+it.  ``DGifSlurp`` exposes per-frame index rasters (already in DISPLAY
+order — giflib 5.x de-interlaces inside DGifSlurp, so interlaced
+frames compare directly against ``parse_gif_frames``), image
+descriptors, color tables, and ``DGifSavedExtensionToGCB`` the
+per-frame graphic-control blocks;
 there is no compositor in giflib, so compositing semantics are
 validated against the documented spec contract instead.
 """
@@ -127,10 +129,12 @@ def available() -> bool:
 def decode_gif_ref(content: bytes) -> dict:
     """DGifSlurp a GIF byte string -> screen + per-frame dicts.
 
-    Raster arrays are in STORAGE order (caller de-interlaces when the
-    ``interlaced`` flag is set); palettes are the effective (local
-    else global) table; GCB fields use giflib's conventions
-    (``disposal`` 0..3, ``transparent`` -1 -> None).
+    Raster arrays are in DISPLAY order — DGifSlurp de-interlaces
+    internally (4-pass loop over InterlacedOffset/InterlacedJumps), so
+    interlaced frames compare directly against the pure parser's
+    de-interlaced output.  Palettes are the effective (local else
+    global) table; GCB fields use giflib's conventions (``disposal``
+    0..3, ``transparent`` -1 -> None).
     """
     lib = _load()
     data = {"buf": content, "pos": 0}
