@@ -53,13 +53,24 @@ SHOWCASE = [
     ("pipeline_image_curation", "decode once, gate early; pHash bands shuffle 6 tiny rows per image, never pixels"),
     ("pipeline_curation_funnel", "five count branches over shared subtrees in one lazy plan; nothing data-sized collects"),
     ("pipeline_contrastive_triplets", "anchor/positive/negative assembly by keyed joins over the kNN kernel; vectors shuffle once"),
+    # r06: staged r07-queue scale paths (resolved from the staging
+    # queue until registration)
+    ("embedding_hubness", "broadcast-query brute-kNN kernel; per-query top-k window bounded by corpus id; k-occurrence = one keyed count"),
+    ("agg_tukey_hsd", "ONE data-sized keyed aggregate (split-BIGINT squares); MSE + pairwise q ride the k-row group table"),
+    ("etl_consistent_hashing", "144-vnode ring broadcast twice; assignment = map-side min-struct per doc; only (doc, shard) pairs shuffle"),
+    ("eval_chrf_pairs", "per-order char-gram explode partial-aggregates map-side; overlap joins keyed on (pair, gram) — bounded by candidate grams"),
+    ("multimodal_otsu", "Arrow stage emits 256-bin histograms only; the argmax is relational over doc x threshold rows, integer-exact"),
 ]
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-dump", cpus=8)
-    qs = all_queries()
+    qs = dict(all_queries())
+    from image_matadata_batchprocessing_aws_spark.queries import r07_queue
+
+    for name, fn in r07_queue.QUERIES.items():  # staged: plans auditable pre-registration
+        qs.setdefault(name, fn)
     out = [
         "# PLANS — formatted physical plans of the flagship scale paths",
         "",
