@@ -124,3 +124,79 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPRT_OUT_SCHEMA = (
+    "event_type string, n_at_decision long, k_at_decision long, "
+    "llr double, decision string"
+)
+_SPRT_STATE_SCHEMA = "k long, n long, decided long"
+
+
+def sprt_stream(
+    events: DataFrame,
+    p0: float,
+    p1: float,
+    value_threshold: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """STREAMING Wald SPRT — the live twin of
+    ``operators/stats.sprt_boundary`` (a sequential test is the
+    canonical streaming decision procedure: it exists to stop a
+    monitor the moment the evidence suffices).
+
+    Per-key state is three BIGINTs: cumulative successes k, trials n,
+    and the decided flag.  Rows within a micro-batch sort by
+    (ts, event_id) per key before folding, so a stream fed the same
+    rows in order emits the IDENTICAL first-crossing row as the batch
+    operator (stream == batch is tested); once a key decides, later
+    batches fold nothing and emit nothing.  The LLR is recomputed from
+    the exact integers as ``k*c1 + (n-k)*c2`` — no floating state is
+    carried, the same determinism contract as the batch side."""
+    import math
+
+    c1 = math.log(p1 / p0)
+    c2 = math.log((1 - p1) / (1 - p0))
+    a_bound = math.log((1 - beta) / alpha)
+    b_bound = math.log(beta / (1 - alpha))
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k, n, decided = state.get if state.exists else (0, 0, 0)
+        out = None
+        if not decided:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            for v in batch["value"]:
+                if pd.isna(v):
+                    continue
+                n += 1
+                k += int(float(v) > value_threshold)
+                llr = k * c1 + (n - k) * c2
+                if llr >= a_bound or llr <= b_bound:
+                    decided = 1
+                    out = pd.DataFrame(
+                        {
+                            "event_type": [key[0]],
+                            "n_at_decision": [n],
+                            "k_at_decision": [k],
+                            "llr": [round(llr, 6)],
+                            "decision": [
+                                "accept_h1" if llr >= a_bound else "accept_h0"
+                            ],
+                        }
+                    )
+                    break
+        state.update((k, n, decided))
+        if out is not None:
+            yield out
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=SPRT_OUT_SCHEMA,
+        stateStructType=_SPRT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

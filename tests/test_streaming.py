@@ -838,3 +838,68 @@ def test_engagement_panel_stream_matches_batch(spark, events_dir, tmp_path):
             ).collect()
         )
         assert p_got == p_exp
+
+
+def test_sprt_stream_matches_batch(spark, tmp_path):
+    """The streaming SPRT must emit the IDENTICAL first-crossing row per
+    key as the batch operator when fed the same rows in order, across 3
+    micro-batches with integer (k, n) state carried between them — and
+    keys that decide mid-stream stay silent afterwards."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import sprt_boundary
+    from image_matadata_batchprocessing_aws_spark.streaming.stateful import sprt_stream
+
+    rows = []
+    for gi, (etype, hi_rate) in enumerate([("a", 4), ("b", 1)]):
+        # type 'a': ~4/5 above threshold -> accept_h1 fast;
+        # type 'b': ~1/5 -> accept_h0 fast
+        for i in range(60):
+            v = 50.0 if (i % 5) < hi_rate else 10.0
+            rows.append((etype, i, 1000 * gi + i, v))
+    df = spark.createDataFrame(rows, "event_type string, ts long, event_id long, value double")
+
+    batch = {
+        r.event_type: (r.n_at_decision, r.k_at_decision, r.llr, r.decision)
+        for r in sprt_boundary(
+            df, ["event_type"], ["ts", "event_id"], F.col("value") > 30,
+            p0=0.45, p1=0.55,
+        ).collect()
+    }
+    assert set(batch) == {"a", "b"}
+
+    import glob as _glob
+    import shutil
+
+    d = tmp_path / "sprt_stream"
+    d.mkdir()
+    for part in range(3):
+        tmp = str(tmp_path / f"sprt_tmp{part}")
+        df.where(
+            (F.col("ts") >= part * 20) & (F.col("ts") < (part + 1) * 20)
+        ).coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            _glob.glob(f"{tmp}/part-*.parquet")[0], str(d / f"chunk_{part}.parquet")
+        )
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema("event_type string, ts long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sprt_stream(stream, p0=0.45, p1=0.55, value_threshold=30.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sprt_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_rows = spark.sql("SELECT * FROM sprt_out").collect()
+    # exactly one decision row per key, ever
+    assert len(got_rows) == 2
+    got = {
+        r.event_type: (r.n_at_decision, r.k_at_decision, r.llr, r.decision)
+        for r in got_rows
+    }
+    assert got == batch
+    assert got["a"][3] == "accept_h1" and got["b"][3] == "accept_h0"
