@@ -437,6 +437,8 @@ def decode_image_auto(name: str, content: bytes) -> np.ndarray:
         return decode_png(content)
     if content.startswith(b"BM"):
         return decode_bmp(content)
+    if content[:4] == _ICO_MAGIC:
+        return decode_ico(content)
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
     if content[:2] == b"\xff\xd8":
@@ -2280,3 +2282,110 @@ def _jpeg_decode_scan_arith_progressive(
     ):
         p += 1
     return p
+
+
+# --- ICO container -----------------------------------------------------------
+
+_ICO_MAGIC = b"\x00\x00\x01\x00"
+
+
+def decode_ico(content: bytes) -> np.ndarray:
+    """Decode a Windows ICO container -> RGB of the LARGEST entry (by
+    pixel count, first on ties — PIL's size selection).  Entries are
+    either embedded PNGs (decoded by :func:`decode_png`) or DIB
+    payloads: a BITMAPINFOHEADER whose height covers XOR+AND masks
+    (biHeight = 2h), bottom-up rows, 32/24-bit BGR(A) or paletted
+    1/4/8-bit with BGRA palette entries; the AND transparency mask is
+    ignored (the pipeline contract drops alpha)."""
+    if len(content) < 6 or content[:4] != _ICO_MAGIC:
+        raise ImageFormatError("not an ICO (bad magic)")
+    (count,) = struct.unpack("<H", content[4:6])
+    if count == 0:
+        raise ImageFormatError("ICO with no entries")
+    entries = []
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(content):
+            raise ImageFormatError("ICO directory truncated")
+        wb, hb = content[off], content[off + 1]
+        size, data_off = struct.unpack("<II", content[off + 8 : off + 16])
+        w = wb or 256
+        h = hb or 256
+        entries.append((w * h, i, w, h, data_off, size))
+    _, _, w, h, data_off, size = max(entries, key=lambda e: (e[0], -e[1]))
+    payload = content[data_off : data_off + size]
+    if len(payload) < size:
+        raise ImageFormatError("ICO payload truncated")
+    if payload.startswith(_PNG_MAGIC):
+        return decode_png(payload)
+    if len(payload) < 40:
+        raise ImageFormatError("ICO DIB header truncated")
+    (bisize, bw, bh2, planes, bpp, comp) = struct.unpack("<IiiHHI", payload[:20])
+    if bisize != 40 or comp != 0:
+        raise ImageFormatError("unsupported ICO DIB (need BITMAPINFOHEADER, BI_RGB)")
+    if bw != w or bh2 != 2 * h:
+        raise ImageFormatError("ICO DIB dims disagree with the directory entry")
+    pos = bisize
+    if bpp in (1, 4, 8):
+        n_pal = 1 << bpp
+        pal = np.frombuffer(payload, np.uint8, count=4 * n_pal, offset=pos)
+        pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        pos += 4 * n_pal
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        rows = []
+        for y in range(h):
+            raw = np.frombuffer(payload, np.uint8, count=row_bytes, offset=pos + y * row_bytes)
+            bits = np.unpackbits(raw)
+            idx = (
+                bits.reshape(-1, bpp) * (1 << np.arange(bpp - 1, -1, -1))
+            ).sum(axis=1)[:w]
+            rows.append(pal[idx])
+        img = np.stack(rows)
+    elif bpp in (24, 32):
+        ch = bpp // 8
+        row_bytes = ((w * ch + 3) // 4) * 4
+        rows = []
+        for y in range(h):
+            px = np.frombuffer(
+                payload, np.uint8, count=w * ch, offset=pos + y * row_bytes
+            ).reshape(w, ch)
+            rows.append(px[:, :3][:, ::-1])  # BGR(A) -> RGB
+        img = np.stack(rows)
+    else:
+        raise ImageFormatError(f"unsupported ICO bit depth {bpp}")
+    return img[::-1].copy()  # bottom-up -> top-down (AND mask ignored)
+
+
+def encode_ico(images: list[tuple[np.ndarray, str]]) -> bytes:
+    """Minimal ICO writer (fixture generator): each entry is
+    (HxWx3 uint8, kind) with kind 'png' (embedded PNG) or 'bmp'
+    (BITMAPINFOHEADER DIB, 24-bit rows + zeroed AND mask)."""
+    payloads = []
+    for img, kind in images:
+        h, w, _ = img.shape
+        if w > 256 or h > 256:
+            raise ImageFormatError("ICO entries are at most 256x256")
+        if kind == "png":
+            payloads.append(encode_png(img))
+        else:
+            row_bytes = (w * 3 + 3) & ~3
+            body = b"".join(
+                img[y, :, ::-1].tobytes() + b"\x00" * (row_bytes - w * 3)
+                for y in range(h - 1, -1, -1)
+            )
+            mask_row = ((w + 31) // 32) * 4
+            body += b"\x00" * (mask_row * h)  # AND mask: all visible
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, len(body), 0, 0, 0, 0
+            )
+            payloads.append(hdr + body)
+    out = bytearray(_ICO_MAGIC + struct.pack("<H", len(images)))
+    data_off = 6 + 16 * len(images)
+    for (img, _), payload in zip(images, payloads):
+        h, w, _ = img.shape
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HHII", 1, 24, len(payload), data_off)
+        data_off += len(payload)
+    for payload in payloads:
+        out += payload
+    return bytes(out)

@@ -21,24 +21,19 @@ Engine shape:
 - sink = Parquet with ``maxRecordsPerFile`` (the "200 images per file"
   knob as writer config, not a mutable global counter).
 
-Byte-level decode is REAL for PNG / BMP / PPM — pure numpy+stdlib
-decoders in ``multimodal/codecs.py`` (zlib inflate + scanline
-un-filtering for PNG; no third-party codec), selected by
-``use_real_codec=True`` and proven against a closed-form pixel-sum
-oracles (``queries.multimodal.multimodal_png_decode`` /
-``multimodal_jpeg_decode`` — baseline AND progressive JPEG decode
-for real too, and GIF via the pure-stdlib LZW decoder).
-Lossless WEBP decodes for real too (``multimodal/webp.py``), and so
-does 12-bit JPEG (SOF1/SOF2) and arithmetic-coded JPEG — sequential
-SOF9 AND progressive SOF10 (QM coder, validated against
-system-libjpeg bitstreams); LOSSY WebP (VP8) is the ONE format left
-behind the PIL seam
-(``ImageDecodeUnavailable`` per row when PIL is absent).  The default
-decode_fn stays the clearly-marked deterministic fake (md5-seeded
-pixels) for format-independent golden tests; everything Spark-side —
-schemas, ZIP expansion, Arrow batch shapes, resize/pad math (pure NumPy
-nearest-neighbor), normalization, partitioning, the join, the sink — is
-shared by both paths and tested.
+Byte-level decode is REAL and 100 % pure numpy+stdlib for EVERY
+supported format — PNG (all color types; 1/2/4/8/16-bit), BMP, PPM,
+ICO, GIF (incl. animations with disposal/transparency compositing),
+baseline / progressive / 12-bit / arithmetic JPEG (QM coder, validated
+against system-libjpeg bitstreams), TIFF, and every WebP variant:
+VP8L, lossy VP8 per RFC 6386 (bit-exact vs libwebp), ALPH stills and
+ANIM/ANMF animations (``multimodal/webp_anim.py``).  No system codec
+sits on any decode path; ``webp_sys.py`` survives only as the tests'
+ground truth.  The default decode_fn stays the clearly-marked
+deterministic fake (md5-seeded pixels) for format-independent golden
+tests; everything Spark-side — schemas, ZIP expansion, Arrow batch
+shapes, resize/pad math (pure NumPy nearest-neighbor), normalization,
+partitioning, the join, the sink — is shared by both paths and tested.
 
 Scale notes: ZIP archives are unsplittable, so one task per archive
 (``repartition`` by path before the UDTF) and size-capped archives
@@ -125,10 +120,10 @@ def _pil_decode(name: str, content: bytes) -> np.ndarray:
 
 
 def _real_decode(name: str, content: bytes) -> np.ndarray:
-    """Real-codec dispatch: pure numpy+stdlib decoders first (PNG, BMP,
-    PPM, baseline/progressive/12-bit/arithmetic JPEG, GIF —
-    ``multimodal/codecs.py``), PIL only for the one format a pure
-    decoder here doesn't reach (lossy WEBP).
+    """Real-codec dispatch: pure numpy+stdlib decoders for every
+    supported format (PNG incl. sub-byte/16-bit, BMP, PPM, ICO,
+    baseline/progressive/12-bit/arithmetic JPEG, GIF, TIFF, every WebP
+    variant — ``multimodal/codecs.py`` and siblings).
     Raises per image (the mapInPandas stage isolates it into
     ``decode_error``)."""
     from image_matadata_batchprocessing_aws_spark.multimodal import codecs
@@ -139,6 +134,8 @@ def _real_decode(name: str, content: bytes) -> np.ndarray:
         return codecs.decode_png(content)
     if content[:2] == b"BM":
         return codecs.decode_bmp(content)
+    if content[:4] == b"\x00\x00\x01\x00":
+        return codecs.decode_ico(content)
     if content[:2] in (b"P6", b"P5"):
         return codecs.decode_ppm(content)
     if content[:2] == b"\xff\xd8":

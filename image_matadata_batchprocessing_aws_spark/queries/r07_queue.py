@@ -3223,3 +3223,81 @@ ORACLES["ts_hurst"] = f"""
            round(h, 6) AS hurst_exponent
     FROM pts CROSS JOIN fit ORDER BY block_size
 """
+
+
+# --- ICO container decode through the pipeline -------------------------------
+
+ICO_N_DOCS = 18
+
+
+def multimodal_ico_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL Windows-ICO container decode (S9 container completion;
+    the reference's PIL seam reads ICO natively): each doc packs a
+    small decoy entry and a larger winner entry — alternating embedded
+    PNG and DIB/BMP payloads — and the pipeline must decode the
+    LARGEST entry (PIL's selection rule).  Solid colors give exact
+    closed-form channel sums the DuckDB twin recomputes from doc_id
+    arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_ico
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(ICO_N_DOCS):
+        h, w = ANIM_DIMS[d % len(ANIM_DIMS)]
+        h, w = min(h, 256), min(w, 256)
+        cw = ((d * 11) % 251, (d * 17) % 251, (d * 23) % 251)  # winner
+        cd = ((d * 29) % 251, (d * 31) % 251, (d * 37) % 251)  # decoy
+        win = np.empty((h, w, 3), np.uint8)
+        win[:, :, 0], win[:, :, 1], win[:, :, 2] = cw
+        dec = np.empty((8, 8, 3), np.uint8)
+        dec[:, :, 0], dec[:, :, 1], dec[:, :, 2] = cd
+        kinds = ("png", "bmp") if d % 2 == 0 else ("bmp", "png")
+        entries_ = [(dec, kinds[0]), (win, kinds[1])]
+        if d % 3 == 0:
+            entries_ = entries_[::-1]  # winner first sometimes
+        rows.append((d, f"{d}.ico", bytearray(encode_ico(entries_))))
+    entries = spark.createDataFrame(rows, "doc_id long, entry_name string, content binary")
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for name, content in zip(pdf["entry_name"], pdf["content"]):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                h_, w_ = img.shape[:2]
+                s = img.reshape(-1, 3).sum(axis=0)
+                out.append((name, h_, w_, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                out, columns=["file_name", "height", "width", "r_sum", "g_sum", "b_sum"]
+            )
+
+    stats = entries.select("entry_name", "content").mapInPandas(
+        sums, "file_name string, height long, width long, r_sum long, g_sum long, b_sum long"
+    )
+    return (
+        stats.join(
+            entries.select("doc_id", F.col("entry_name").alias("file_name")), "file_name"
+        )
+        .select("doc_id", "height", "width", "r_sum", "g_sum", "b_sum")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_ico_decode"] = multimodal_ico_decode
+
+ORACLES["multimodal_ico_decode"] = f"""
+    WITH d AS (SELECT unnest(range({ICO_N_DOCS})) AS doc_id),
+    dims AS (
+      SELECT doc_id,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_H} END AS h,
+             CASE doc_id % {len(ANIM_DIMS)} {_ANIM_DIMS_W} END AS w
+      FROM d)
+    SELECT doc_id, CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+           CAST((doc_id * 11 % 251) * h * w AS BIGINT) AS r_sum,
+           CAST((doc_id * 17 % 251) * h * w AS BIGINT) AS g_sum,
+           CAST((doc_id * 23 % 251) * h * w AS BIGINT) AS b_sum
+    FROM dims ORDER BY doc_id
+"""

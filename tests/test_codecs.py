@@ -614,3 +614,40 @@ def test_jpeg_16bit_dqt_parses():
     assert b"\xff\xdb" in data
     out = decode_jpeg(data)
     assert out.shape == (8, 8, 3)
+
+
+def test_ico_round_trip_largest_entry_wins():
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        decode_ico,
+        encode_ico,
+    )
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    big = rng.integers(0, 256, (48, 32, 3)).astype(np.uint8)
+    for kinds in (("png", "bmp"), ("bmp", "png")):
+        data = encode_ico([(small, kinds[0]), (big, kinds[1])])
+        out = decode_ico(data)
+        assert out.shape == (48, 32, 3)
+        assert np.array_equal(out, big), kinds
+    # single-entry BMP payload, odd width exercises row padding
+    odd = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    assert np.array_equal(decode_ico(encode_ico([(odd, "bmp")])), odd)
+
+
+def test_ico_malformed_inputs():
+    import pytest as _pytest
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        ImageFormatError,
+        decode_ico,
+    )
+
+    with _pytest.raises(ImageFormatError, match="bad magic"):
+        decode_ico(b"\x00\x00\x02\x00xx")
+    with _pytest.raises(ImageFormatError, match="no entries"):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")
+    with _pytest.raises(ImageFormatError, match="directory truncated"):
+        decode_ico(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 4)
