@@ -3301,3 +3301,130 @@ ORACLES["multimodal_ico_decode"] = f"""
            CAST((doc_id * 23 % 251) * h * w AS BIGINT) AS b_sum
     FROM dims ORDER BY doc_id
 """
+
+
+# --- median CI and dedup-aware reweighting ------------------------------------
+
+
+def agg_median_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median via
+    order statistics (the binomial/normal-approximation ranks
+    ``n/2 -/+ 0.98 sqrt(n)``) per return flag — the uncertainty the
+    plain percentile queries don't report.  Rank selection rides the
+    per-value partial aggregate (the ``agg_weighted_median``
+    discipline), never a row-level rank window."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    per = li.groupBy("l_returnflag", "price_cents").agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.groupBy("l_returnflag").agg(F.sum("__w").alias("__n"))
+    cum = per.withColumn("__cw", F.sum("__w").over(w)).join(tot, "l_returnflag")
+    nd = F.col("__n").cast("double")
+    lo_rank = F.floor(nd / 2.0 - 0.98 * F.sqrt(nd)).cast("long")
+    hi_rank = F.ceil(nd / 2.0 + 0.98 * F.sqrt(nd)).cast("long")
+    med_rank = (F.col("__n") + 1) / 2.0
+    marked = cum.select(
+        "l_returnflag", "price_cents", "__cw", "__n",
+        lo_rank.alias("__lo"), hi_rank.alias("__hi"), med_rank.alias("__md"),
+    )
+    agg = marked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("__cw") >= F.col("__lo"), F.col("price_cents"))).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.when(F.col("__cw") >= F.col("__md"), F.col("price_cents"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("__cw") >= F.col("__hi"), F.col("price_cents"))).alias(
+            "ci_hi_cents"
+        ),
+        F.first("__n").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long"),
+        F.col("ci_lo_cents").cast("long"),
+        F.col("median_cents").cast("long"),
+        F.col("ci_hi_cents").cast("long"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["agg_median_ci"] = agg_median_ci
+
+ORACLES["agg_median_ci"] = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem),
+    per AS (
+      SELECT l_returnflag, price_cents, count(*) AS w
+      FROM li GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, price_cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS n
+      FROM per),
+    marked AS (
+      SELECT l_returnflag, price_cents, cw, n,
+             CAST(floor(n / 2.0 - 0.98 * sqrt(n)) AS BIGINT) AS lo,
+             CAST(ceil(n / 2.0 + 0.98 * sqrt(n)) AS BIGINT) AS hi,
+             (n + 1) / 2.0 AS md
+      FROM cum)
+    SELECT l_returnflag, CAST(any_value(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cw >= lo THEN price_cents END) AS BIGINT) AS ci_lo_cents,
+           CAST(min(CASE WHEN cw >= md THEN price_cents END) AS BIGINT) AS median_cents,
+           CAST(min(CASE WHEN cw >= hi THEN price_cents END) AS BIGINT) AS ci_hi_cents
+    FROM marked GROUP BY 1 ORDER BY 1
+"""
+
+
+def dedup_cluster_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aware example reweighting (the soft-dedup alternative to
+    dropping duplicates): every doc in an exact-content cluster gets
+    weight 1/cluster_size, so each distinct content contributes unit
+    mass; per source, the effective (weighted) corpus size vs the raw
+    count quantifies duplication inflation.  Exact md5 grouping; the
+    weight sums are per-source doubles of bounded cluster counts."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "source", F.md5(F.col("text")).alias("__h")
+    )
+    sizes = d.groupBy("__h").agg(F.count(F.lit(1)).alias("__sz"))
+    j = d.join(sizes, "__h")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("__h").alias("n_distinct_in_source"),
+        F.sum(1.0 / F.col("__sz").cast("double")).alias("__eff"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long"),
+        F.col("n_distinct_in_source").cast("long"),
+        F.round(F.col("__eff"), 6).alias("effective_docs"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("__eff"), 6
+        ).alias("inflation_factor"),
+    ).orderBy("source")
+
+
+QUERIES["dedup_cluster_weights"] = dedup_cluster_weights
+
+ORACLES["dedup_cluster_weights"] = """
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    sizes AS (SELECT h, count(*) AS sz FROM d GROUP BY 1),
+    j AS (SELECT source, d.h, sz FROM d JOIN sizes USING (h))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_in_source,
+           round(sum(1.0 / sz), 6) AS effective_docs,
+           round(count(*) / sum(1.0 / sz), 6) AS inflation_factor
+    FROM j GROUP BY 1 ORDER BY 1
+"""
