@@ -82,8 +82,9 @@ _MODULES = [
 #: re-verification spot-checks.  New r06 work stages in
 #: ``queries/r07_queue.py`` (oracled + two-scale-verified via
 #: ``tools/check_oracle.py --staged``), capped at <= 50 pairs so
-#: growth stays at the drain rate; the r06 session staged 47 pairs,
-#: every one oracle-exact at sf0.001, sf0.01 AND sf0.1.  The window arithmetic here is
+#: growth stays at the drain rate; the r06 session filled the cap
+#: exactly (50 pairs), every one oracle-exact at sf0.001, sf0.01
+#: AND sf0.1.  The window arithmetic here is
 #: LOCKED by
 #: ``tests/test_entry_contract.py::test_window_plan_comment_matches_code``.
 _WINDOW = [

@@ -3428,3 +3428,229 @@ ORACLES["dedup_cluster_weights"] = """
            round(count(*) / sum(1.0 / sz), 6) AS inflation_factor
     FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+# --- inequality decomposition and off-policy estimation ----------------------
+
+
+def agg_theil_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-T inequality of customer balances with the exact
+    between/within-nation decomposition (``T = T_between + sum_g
+    share_g * T_g`` — the additive-decomposability property that makes
+    Theil the inequality measure warehouses actually report).  Balances
+    shift to positive cents; per-row ln terms quantize to nano-units
+    (the ``kaplan_meier`` idiom) so sums are order-independent."""
+    c = t(spark, sf, "customer").select(
+        (F.round(F.col("c_acctbal") * 100).cast("long") + 100_000).alias("cents"),
+        "c_nationkey",
+    )
+    # per-row x*ln(x) in MICRO-units: the per-row magnitude is
+    # cents * ln(cents) ~ 1.5e7, so micro keeps the sum under 2^63
+    # through sf 1.0 while the quantization error stays ~5e-7/row —
+    # invisible at round(6) of the n-normalized index
+    xlnx6 = F.round(
+        F.col("cents").cast("double") * F.log(F.col("cents").cast("double")) * 1e6
+    ).cast("long")
+    per_g = c.select("c_nationkey", "cents", xlnx6.alias("__x6")).groupBy(
+        "c_nationkey"
+    ).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents").alias("s_g"),
+        F.sum("__x6").alias("x6_g"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").alias("n"), F.sum("s_g").alias("s"), F.sum("x6_g").alias("x6")
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    mu = sd / nd
+    # total Theil: (1/n) sum (x/mu) ln(x/mu) = [sum x ln x]/(n mu) - ln mu
+    t_total = F.col("x6").cast("double") / 1e6 / (nd * mu) - F.log(mu)
+    ngd, sgd = F.col("n_g").cast("double"), F.col("s_g").cast("double")
+    mug = sgd / ngd
+    t_g = F.col("x6_g").cast("double") / 1e6 / (ngd * mug) - F.log(mug)
+    between_term = (sgd / sd) * F.log(mug / mu)
+    within_term = (sgd / sd) * t_g
+    agg = j.groupBy("n", "s", "x6").agg(
+        F.sum(between_term).alias("__between"),
+        F.sum(within_term).alias("__within"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_groups").cast("long"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(F.col("__between"), 6).alias("theil_between"),
+        F.round(F.col("__within"), 6).alias("theil_within"),
+    )
+
+
+QUERIES["agg_theil_index"] = agg_theil_index
+
+ORACLES["agg_theil_index"] = """
+    WITH c AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents,
+             c_nationkey
+      FROM customer),
+    rows_ AS (
+      SELECT c_nationkey, cents,
+             CAST(round(CAST(cents AS DOUBLE) * ln(CAST(cents AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS x6
+      FROM c),
+    per_g AS (
+      SELECT c_nationkey, count(*) AS n_g, sum(cents) AS s_g, sum(x6) AS x6_g
+      FROM rows_ GROUP BY 1),
+    tot AS (SELECT sum(n_g) AS n, sum(s_g) AS s, sum(x6_g) AS x6 FROM per_g),
+    j AS (SELECT * FROM per_g CROSS JOIN tot),
+    terms AS (
+      SELECT n, s, x6,
+             (CAST(s_g AS DOUBLE) / s)
+               * ln((CAST(s_g AS DOUBLE) / n_g) / (CAST(s AS DOUBLE) / n))
+               AS between_term,
+             (CAST(s_g AS DOUBLE) / s)
+               * (CAST(x6_g AS DOUBLE) / 1000000.0
+                  / (n_g * (CAST(s_g AS DOUBLE) / n_g))
+                  - ln(CAST(s_g AS DOUBLE) / n_g)) AS within_term
+      FROM j)
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           round(any_value(CAST(x6 AS DOUBLE) / 1000000.0
+                           / (n * (CAST(s AS DOUBLE) / n))
+                           - ln(CAST(s AS DOUBLE) / n)), 6) AS theil_total,
+           round(sum(between_term), 6) AS theil_between,
+           round(sum(within_term), 6) AS theil_within
+    FROM terms GROUP BY n, s, x6
+"""
+
+
+def agg_atkinson_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Atkinson inequality index at epsilon = 1
+    (``A = 1 - geomean/mean``) per market segment — the
+    welfare-grounded companion to ``agg_gini_wealth``; the geometric
+    mean accumulates exact nano-unit ln terms."""
+    c = t(spark, sf, "customer").select(
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal") * 100).cast("long") + 100_000).alias("cents"),
+    )
+    ln9 = F.round(F.log(F.col("cents").cast("double")) * 1e9).cast("long")
+    agg = c.select("c_mktsegment", "cents", ln9.alias("__l9")).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum("__l9").alias("l9"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    geo = F.exp(F.col("l9").cast("double") / 1e9 / nd)
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean / 100.0, 6).alias("mean_balance"),
+        F.round(geo / 100.0, 6).alias("geomean_balance"),
+        F.round(1.0 - geo / mean, 6).alias("atkinson_eps1"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["agg_atkinson_index"] = agg_atkinson_index
+
+ORACLES["agg_atkinson_index"] = """
+    WITH c AS (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+      FROM customer),
+    rows_ AS (
+      SELECT c_mktsegment, cents,
+             CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000000.0) AS BIGINT) AS l9
+      FROM c),
+    agg AS (
+      SELECT c_mktsegment, count(*) AS n, sum(cents) AS s, sum(l9) AS l9
+      FROM rows_ GROUP BY 1)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_balance,
+           round(exp(CAST(l9 AS DOUBLE) / 1000000000.0 / n) / 100.0, 6)
+             AS geomean_balance,
+           round(1.0 - exp(CAST(l9 AS DOUBLE) / 1000000000.0 / n)
+                       / (CAST(s AS DOUBLE) / n), 6) AS atkinson_eps1
+    FROM agg ORDER BY c_mktsegment
+"""
+
+SNIS_CLIP = 5.0
+
+
+def eval_snips(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-normalized importance sampling (SNIPS): estimate the mean
+    document quality under a LENGTH-BALANCED target distribution from
+    the length-skewed corpus — the off-policy-evaluation estimator
+    behind counterfactual data-mix readouts.  Weights are the exact
+    density ratio ``(1/n_buckets) / (n_b/n)`` clipped at 5 (the
+    standard variance-bias knob, reported alongside the clipped-mass
+    diagnostic); quality is the n_chars-per-token proxy in exact
+    integers; the epilogue is bucket-count-sized."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.least((F.col("n_chars") / 100).cast("long"), F.lit(5)).alias("bucket"),
+        F.length(F.expr(r"regexp_replace(text, '\\s+', '')")).alias("nospace_chars"),
+    )
+    per_b = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("nospace_chars").alias("q_b"),
+    )
+    tot = per_b.agg(
+        F.sum("n_b").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    j = per_b.crossJoin(F.broadcast(tot))
+    raw_w = (
+        F.col("n").cast("double")
+        / (F.col("k").cast("double") * F.col("n_b").cast("double"))
+    )
+    w = F.least(raw_w, F.lit(SNIS_CLIP))
+    agg = j.agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("n_buckets"),
+        F.sum(w * F.col("q_b").cast("double")).alias("__wq"),
+        F.sum(w * F.col("n_b").cast("double")).alias("__wn"),
+        F.sum(F.col("q_b")).alias("__q"),
+        F.sum((raw_w > SNIS_CLIP).cast("long")).alias("n_clipped_buckets"),
+    )
+    return agg.select(
+        F.col("n").cast("long"),
+        F.col("n_buckets").cast("long"),
+        F.col("n_clipped_buckets").cast("long"),
+        F.round(F.col("__q").cast("double") / F.col("n").cast("double"), 6).alias(
+            "naive_mean_quality"
+        ),
+        F.round(F.col("__wq") / F.col("__wn"), 6).alias("snips_mean_quality"),
+    )
+
+
+QUERIES["eval_snips"] = eval_snips
+
+ORACLES["eval_snips"] = f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             least(n_chars // 100, 5) AS bucket,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nospace_chars
+      FROM documents),
+    per_b AS (
+      SELECT bucket, count(*) AS n_b, sum(nospace_chars) AS q_b
+      FROM d GROUP BY 1),
+    tot AS (SELECT sum(n_b) AS n, count(*) AS k FROM per_b),
+    j AS (
+      SELECT n_b, q_b, n, k,
+             CAST(n AS DOUBLE) / (k * CAST(n_b AS DOUBLE)) AS raw_w
+      FROM per_b CROSS JOIN tot),
+    agg AS (
+      SELECT any_value(n) AS n, any_value(k) AS k,
+             sum(least(raw_w, {SNIS_CLIP}) * CAST(q_b AS DOUBLE)) AS wq,
+             sum(least(raw_w, {SNIS_CLIP}) * CAST(n_b AS DOUBLE)) AS wn,
+             sum(q_b) AS q,
+             sum(CASE WHEN raw_w > {SNIS_CLIP} THEN 1 ELSE 0 END) AS n_clipped
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_buckets,
+           CAST(n_clipped AS BIGINT) AS n_clipped_buckets,
+           round(CAST(q AS DOUBLE) / n, 6) AS naive_mean_quality,
+           round(wq / wn, 6) AS snips_mean_quality
+    FROM agg
+"""
