@@ -63,84 +63,80 @@ _MODULES = [
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-6 composition (VERDICT r5
-#: items 1-3): the registry grew 351 -> 401 by registering the r06
-#: queue; the window takes (a) ``agg_decimal_exact`` — the one
-#: ever-checked-never-green oracled query (its r05 red row was the
-#: driver's DECIMAL value-hash canonicalization, not the values, which
-#: agree bitwise; it now emits scaled BIGINTs per the house cents
-#: idiom) — then (b) the next 49 r05-queue entries in registration
-#: order (``eval_kappa`` .. ``ts_cusum_shift``).  Every window entry is
-#: locally oracle-exact at sf0.001 AND sf0.01 (tools/check_oracle.py,
-#: 0 failures).  Driver-green union after r05 = 237/401; this window
-#: takes the union to 287/401 if all 50 land green.
+#: entries get oracle rows each round.  Round-7 composition (VERDICT r6
+#: item 1): the registry stays at 401 this round (``r07_queue.py`` is
+#: held back per the drain plan — backlog 112 > drain rate); the window
+#: is exactly the next 50 never-driver-checked r05-queue entries in
+#: registration order (``agg_ks_drift`` .. ``chunk_sentence_budget``).
+#: Every window entry is locally oracle-exact at sf0.001 AND sf0.01
+#: (tools/check_oracle.py, 0 failures).  Strict driver-green union
+#: after r06 = 287/401 (the judge's 288 additionally counts the
+#: rows-only ``agg_approx_distinct`` r01 row); this window takes the
+#: union to 337/401 if all 50 land green.
 #:
 #: DRAIN PLAN (keep registry growth <= window drain rate — the r03
-#: lesson): after r06, 62 r05-queue entries plus the 50 r06-queue
-#: entries remain never-driver-checked; r07 takes the next 50 in
-#: registration order, r08 the next 50, r09 the final 12 + frozen
-#: re-verification spot-checks.  New r06 work stages in
-#: ``queries/r07_queue.py`` (oracled + two-scale-verified via
-#: ``tools/check_oracle.py --staged``), capped at <= 50 pairs so
-#: growth stays at the drain rate; the r06 session filled the cap
-#: exactly (50 pairs), every one oracle-exact at sf0.001, sf0.01
-#: AND sf0.1.  The window arithmetic here is
-#: LOCKED by
+#: lesson): after r07, 12 r05-queue entries plus the 50 r06-queue
+#: entries remain never-driver-checked; r08 takes those 12 + the first
+#: 38 r06-queue entries; r09 registers ``r07_queue.py`` (401 -> 451)
+#: and takes the final 12 r06-queue + the first 38 r07-queue entries;
+#: r10 takes the final 12 r07-queue entries + 38 re-confirmation
+#: spot-checks (oldest driver row first, per tools/compose_window.py).
+#: New r07 work stages in ``queries/r08_queue.py`` (oracled +
+#: three-scale-verified via ``tools/check_oracle.py --staged``),
+#: capped at <= 50 pairs so growth stays at the drain rate.  The
+#: window arithmetic here is LOCKED by
 #: ``tests/test_entry_contract.py::test_window_plan_comment_matches_code``.
 _WINDOW = [
-    # (a) the one ever-checked-never-green oracled query, re-landed
-    # with scaled-BIGINT output columns (VERDICT r5 item 1)
-    "agg_decimal_exact",
-    # (b) the next 49 r05-queue entries in registration order
-    "eval_kappa",
-    "graph_kcore",
-    "embedding_pca_top",
-    "embedding_whiten_top",
-    "search_mmr_diverse",
-    "eval_mrr",
-    "eval_rouge_pairs",
-    "etl_corpus_card",
-    "decontaminate_semantic",
-    "etl_k_anonymity",
-    "agg_benford",
-    "text_hash_embed",
-    "search_hash_embed_knn",
-    "stream_confusion_windows",
-    "dedup_jaccard_prefix",
-    "sketch_kmv_distinct",
-    "sketch_kmv_intersect",
-    "multimodal_wav_stats",
-    "multimodal_video_frames",
-    "etl_apply_cdc",
-    "etl_incremental_join",
-    "agg_dp_noisy",
-    "reco_item_cooccurrence",
-    "etl_scd2_build",
-    "graph_bfs_levels",
-    "agg_attribution",
-    "agg_top_paths",
-    "etl_expectations",
-    "multimodal_exif",
-    "multimodal_phash_groups",
-    "text_gopher_rules",
-    "etl_url_normalize",
-    "text_html_extract",
-    "multimodal_video_scenes",
-    "text_line_repetition",
-    "multimodal_audio_silence",
-    "agg_mann_whitney",
-    "eval_lsh_recall",
-    "text_redact_pii",
-    "multimodal_scene_keyframes",
-    "multimodal_image_stats",
-    "multimodal_jpeg12_decode",
-    "sketch_bottomk_quantiles",
-    "text_encoding_flags",
-    "multimodal_jpeg_arith_decode",
-    "multimodal_webp_lossy_decode",
-    "join_geo_radius",
-    "ts_holt",
-    "ts_cusum_shift",
+    "agg_ks_drift",
+    "agg_chi2_independence",
+    "multimodal_audio_pitch",
+    "agg_welch_ttest",
+    "multimodal_image_equalize",
+    "agg_anova_oneway",
+    "ts_autocorr",
+    "dedup_containment",
+    "multimodal_tile_overlap",
+    "etl_jsonl_roundtrip",
+    "etl_schema_evolution",
+    "etl_variant_extract",
+    "source_python_datasource",
+    "agg_cramers_v",
+    "etl_table_diff",
+    "text_unicode_nfc",
+    "embedding_jl_project",
+    "sample_neyman",
+    "ts_hampel",
+    "ts_theil_sen",
+    "eval_mcnemar",
+    "etl_date_spine",
+    "reco_association_rules",
+    "agg_kruskal_wallis",
+    "agg_key_skew",
+    "sketch_ams_f2",
+    "etl_compaction_plan",
+    "ann_mutual_margin",
+    "agg_trimmed_mean",
+    "etl_zonemap_prune",
+    "agg_kendall_tau",
+    "agg_shannon_entropy",
+    "graph_ppr",
+    "sample_group_kfold",
+    "eval_pr_curve",
+    "text_llr_collocations",
+    "agg_gini_wealth",
+    "stream_lateness_audit",
+    "ts_changepoint",
+    "etl_table_fingerprint",
+    "sample_temperature",
+    "ts_pacf",
+    "sketch_cms_joinsize",
+    "embedding_knn_outliers",
+    "agg_psi_drift",
+    "etl_pseudonymize",
+    "agg_markov_steady",
+    "stream_join_attribution_outer",
+    "ts_holt_backtest",
+    "chunk_sentence_budget",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -159,7 +159,7 @@ def test_parity_doc_tally_matches_registry():
 def test_window_plan_comment_matches_code():
     # VERDICT r4 item 6: the in-code window-plan comment drifted in r04
     # ("frozen at 208 / 17 backlog" vs actual 210 / 20+2).  Lock the
-    # r06 comment's arithmetic to the code and the recorded driver
+    # r07 comment's arithmetic to the code and the recorded driver
     # artifacts so it can't drift silently again.
     import json
     import re
@@ -172,15 +172,17 @@ def test_window_plan_comment_matches_code():
     window = qpkg._WINDOW
     src = open(qpkg.__file__).read()
 
-    # comment claims "351 -> 401" and "287/401"
-    m = re.search(r"registry grew (\d+) -> (\d+)", src)
-    assert m and int(m.group(2)) == len(reg)
+    # comment claims "stays at 401" and "337/401"
+    m = re.search(r"registry stays at (\d+) this round", src)
+    assert m and int(m.group(1)) == len(reg)
     m = re.search(r"union to (\d+)/(\d+) if all 50 land green", src)
     assert m and int(m.group(2)) == len(reg)
-    # 237 green union recorded over r01-r05 + 50 window slots = 287
+    # 287 strict green union recorded over r01-r06 + 50 window slots = 337
     union_green = set()
-    for r in (1, 2, 3, 4, 5):
+    checked = set()
+    for r in (1, 2, 3, 4, 5, 6):
         rows = json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json"))
+        checked |= set(rows)
         for k, v in rows.items():
             if (
                 v.get("rows_match")
@@ -190,26 +192,25 @@ def test_window_plan_comment_matches_code():
                 union_green.add(k)
     union_green &= set(reg)
     assert int(m.group(1)) == len(union_green | set(window))
+    m = re.search(r"union\n#: after r06 = (\d+)/(\d+)", src)
+    assert m and int(m.group(1)) == len(union_green)
+    assert int(m.group(2)) == len(reg)
     # every window entry is oracled, and none already has a green row
     assert set(window) <= set(oracles)
     assert not set(window) & union_green
-    # part (a): the window leads with every ever-checked-never-green
-    # oracled query outside the queues (r06: just agg_decimal_exact)
-    checked = set()
-    for r in (1, 2, 3, 4, 5):
-        checked |= set(json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json")))
+    # the window leads with every ever-checked-never-green oracled
+    # query (r07: none — agg_decimal_exact landed green in r06)
     never_green_checked = (checked & set(oracles)) - union_green
     assert never_green_checked <= set(window)
-    # part (b): the other 49 slots drain the r05 queue in registration
-    # order — the never-checked queue head, exactly
-    never_checked_q5 = [
-        n for n in r05_queue.QUERIES if n not in checked
-    ]
+    # the 50 slots drain the r05 queue in registration order — the
+    # never-checked queue head, exactly
+    never_checked_q5 = [n for n in r05_queue.QUERIES if n not in checked]
     n_head = len(window) - len(never_green_checked & set(window))
     assert [n for n in window if n in set(r05_queue.QUERIES)] == never_checked_q5[
         :n_head
     ]
-    # drain arithmetic: "62 r05-queue entries plus the 50 r06-queue
+    assert list(window) == never_checked_q5[:50]
+    # drain arithmetic: "12 r05-queue entries plus the 50 r06-queue
     # entries remain never-driver-checked" after this window lands
     m = re.search(
         r"(\d+) r05-queue entries plus the (\d+) r06-queue\n#: entries remain",
@@ -217,10 +218,16 @@ def test_window_plan_comment_matches_code():
     )
     assert m, "drain-plan sentence missing"
     assert int(m.group(1)) == len(never_checked_q5) - n_head
-    assert int(m.group(2)) == len(r06_queue.QUERIES)
+    never_checked_q6 = [n for n in r06_queue.QUERIES if n not in checked]
+    assert int(m.group(2)) == len(never_checked_q6)
     # r06 queue is REGISTERED (appended at the registry end)
     assert set(r06_queue.QUERIES) <= set(reg)
     assert not set(window) & set(r06_queue.QUERIES)
+    # endgame arithmetic: r08 = 12 r05 + 38 r06; r09 = final 12 r06 +
+    # first 38 r07-queue (registered then); r10 = final 12 r07-queue +
+    # 38 re-confirmations.  The comment's leftover counts must tile.
+    leftover = len(never_checked_q5) - n_head + len(never_checked_q6)
+    assert leftover == 62  # 12 + 50 — two more 50-windows of drain
 
 
 def test_track_persist_release(spark):
