@@ -214,6 +214,63 @@ HEADLINE = [
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
     "multimodal_jpeg_progressive",
+    # r07 batch (append only): graph_ppr_converged — the most expensive
+    # registered query (~21.5 s sf0.1 per SCALE.md), previously priced
+    # only in prose — plus the 49 newly driver-green r06-window
+    # families (CORRECTNESS_r06, 50/50; ts_cusum_shift was already
+    # headline), so BENCH_FULL keeps covering every driver-checked
+    # family (VERDICT r6 item 3).  None of these write files; the
+    # multimodal entries follow the r06 decode-pricing precedent.
+    "graph_ppr_converged",
+    "agg_decimal_exact",
+    "eval_kappa",
+    "graph_kcore",
+    "embedding_pca_top",
+    "embedding_whiten_top",
+    "search_mmr_diverse",
+    "eval_mrr",
+    "eval_rouge_pairs",
+    "etl_corpus_card",
+    "decontaminate_semantic",
+    "etl_k_anonymity",
+    "agg_benford",
+    "text_hash_embed",
+    "search_hash_embed_knn",
+    "stream_confusion_windows",
+    "dedup_jaccard_prefix",
+    "sketch_kmv_distinct",
+    "sketch_kmv_intersect",
+    "multimodal_wav_stats",
+    "multimodal_video_frames",
+    "etl_apply_cdc",
+    "etl_incremental_join",
+    "agg_dp_noisy",
+    "reco_item_cooccurrence",
+    "etl_scd2_build",
+    "graph_bfs_levels",
+    "agg_attribution",
+    "agg_top_paths",
+    "etl_expectations",
+    "multimodal_exif",
+    "multimodal_phash_groups",
+    "text_gopher_rules",
+    "etl_url_normalize",
+    "text_html_extract",
+    "multimodal_video_scenes",
+    "text_line_repetition",
+    "multimodal_audio_silence",
+    "agg_mann_whitney",
+    "eval_lsh_recall",
+    "text_redact_pii",
+    "multimodal_scene_keyframes",
+    "multimodal_image_stats",
+    "multimodal_jpeg12_decode",
+    "sketch_bottomk_quantiles",
+    "text_encoding_flags",
+    "multimodal_jpeg_arith_decode",
+    "multimodal_webp_lossy_decode",
+    "join_geo_radius",
+    "ts_holt",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round
