@@ -126,6 +126,75 @@ def cusum_stream(
     )
 
 
+CUPED_OUT_SCHEMA = (
+    "variant long, n long, y_mean double, cuped_mean double"
+)
+_CUPED_STATE_SCHEMA = "n long, sy long, sx long"
+
+
+def cuped_stream(
+    assignments: DataFrame,
+    theta: float,
+    xbar: float,
+    value_digits: int = 2,
+) -> DataFrame:
+    """STREAMING CUPED readout — the live twin of the staged
+    ``stream_cuped_readout`` batch query (``operators/stats.cuped_adjust``
+    family).  CUPED's fit is a PRE-PERIOD statistic: ``theta`` and the
+    pre-period covariate mean ``xbar`` are fit offline and deployed as
+    constants (exactly ``cusum_stream``'s pre-fit-target discipline —
+    a stream cannot see the global covariate moments), so the live side
+    is a map-side adjustment plus one keyed running aggregate.
+
+    Per-key state is three BIGINTs: trials ``n`` and the EXACT scaled
+    sums of metric and covariate (cents at ``value_digits=2``).  The
+    emitted row recomputes ``mean(y) - theta * (mean(x) - xbar)`` from
+    those integers, so a stream fed the same rows in any micro-batch
+    split emits a final row BIT-IDENTICAL to the batch aggregate over
+    the same input (sums are associative/commutative; the float math
+    runs once per emission over exact integers — stream == batch is
+    tested).  State is O(1) per variant and the shuffle is the same
+    keyed exchange as any groupBy.
+
+    Expects columns ``variant`` (long), ``y`` (metric), ``x``
+    (pre-period covariate).
+    """
+    scale = 10**value_digits
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sy, sx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            ok = pdf[pdf["y"].notna() & pdf["x"].notna()]
+            n += len(ok)
+            if len(ok):
+                # per-ROW scaling to exact ints, then exact integer sums
+                # (the house cents idiom) — never round a float sum
+                sy += int(ok["y"].astype(float).mul(scale).round().astype("int64").sum())
+                sx += int(ok["x"].astype(float).mul(scale).round().astype("int64").sum())
+        state.update((n, sy, sx))
+        if n:
+            y_mean = sy / scale / n
+            x_mean = sx / scale / n
+            yield pd.DataFrame(
+                {
+                    "variant": [key[0]],
+                    "n": [n],
+                    "y_mean": [round(y_mean, 6)],
+                    "cuped_mean": [round(y_mean - theta * (x_mean - xbar), 6)],
+                }
+            )
+
+    return assignments.groupBy("variant").applyInPandasWithState(
+        update,
+        outputStructType=CUPED_OUT_SCHEMA,
+        stateStructType=_CUPED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SPRT_OUT_SCHEMA = (
     "event_type string, n_at_decision long, k_at_decision long, "
     "llr double, decision string"

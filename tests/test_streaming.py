@@ -903,3 +903,231 @@ def test_sprt_stream_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert got["a"][3] == "accept_h1" and got["b"][3] == "accept_h0"
+
+
+def _write_chunks(tmp_path, df, splits, name):
+    """Write df as ordered single-file chunks (file-source replay order)."""
+    import glob as _glob
+    import shutil
+
+    d = tmp_path / name
+    d.mkdir()
+    for i, cond in enumerate(splits):
+        tmp = str(tmp_path / f"{name}_tmp{i}")
+        df.where(cond).coalesce(1).sortWithinPartitions(
+            "ts"
+        ).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            _glob.glob(f"{tmp}/part-*.parquet")[0], str(d / f"chunk_{i}.parquet")
+        )
+        shutil.rmtree(tmp)
+    return str(d)
+
+
+def test_stream_cuped_equals_batch(spark, tmp_path):
+    """streaming/stateful.cuped_stream: with a PRE-FIT (theta, xbar) the
+    live CUPED readout's final per-variant row is bit-identical to the
+    batch aggregate over the same rows, across 3 micro-batches with
+    exact integer (n, sum_y_cents, sum_x_cents) state carried between
+    them — VERDICT r6 item 5 (the cusum_stream pre-fit-target shape)."""
+    from image_matadata_batchprocessing_aws_spark.streaming.stateful import cuped_stream
+
+    theta, xbar = 0.5, 10.0
+    rows = []
+    for i in range(90):
+        v = i % 2  # variant
+        y = round(20.0 + (i % 7) * 1.25 + v * 2.5, 2)
+        x = round(8.0 + (i % 5) * 1.5, 2)
+        rows.append((v, i, y, x))
+    df = spark.createDataFrame(rows, "variant long, ts long, y double, x double")
+
+    src = _write_chunks(
+        tmp_path,
+        df,
+        [F.col("ts") < 30, (F.col("ts") >= 30) & (F.col("ts") < 60), F.col("ts") >= 60],
+        "cuped_src",
+    )
+    stream = (
+        spark.readStream.schema("variant long, ts long, y double, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cuped_stream(stream, theta=theta, xbar=xbar)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cuped_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_all = spark.sql("SELECT * FROM cuped_out").collect()
+    # one emission per variant per micro-batch that touched it
+    assert len(got_all) == 6
+    final = {}
+    for r in got_all:  # the max-n row per variant is the final state
+        if r.variant not in final or r.n > final[r.variant].n:
+            final[r.variant] = r
+    # exact comparator from the same integer sums (the house cents idiom)
+    for v in (0, 1):
+        sub = [(y, x) for (vv, _, y, x) in rows if vv == v]
+        n = len(sub)
+        sy = sum(int(round(y * 100)) for y, _ in sub)
+        sx = sum(int(round(x * 100)) for _, x in sub)
+        y_mean, x_mean = sy / 100 / n, sx / 100 / n
+        assert final[v].n == n
+        assert final[v].y_mean == round(y_mean, 6)
+        assert final[v].cuped_mean == round(y_mean - theta * (x_mean - xbar), 6)
+    # variance actually reduced: adjusted means pull toward each other
+    # relative to the raw gap when variants share the covariate design
+    assert abs(final[1].cuped_mean - final[0].cuped_mean) <= abs(
+        final[1].y_mean - final[0].y_mean
+    ) + 1e-9
+
+
+def test_sprt_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the stateful SPRT (VERDICT r6 item 6): kill
+    the query after a key has decided, add data for both keys, restart
+    from the SAME checkpoint — the decided key emits NO duplicate
+    decision row (its decided flag survived in the state store) and the
+    undecided key's carried (k, n) crosses exactly where the batch
+    operator says it must."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.operators.stats import sprt_boundary
+    from image_matadata_batchprocessing_aws_spark.streaming.stateful import sprt_stream
+
+    rows = []
+    # key 'a': 20 high rows in chunk 0 -> accept_h1 at n=14; 5 MORE high
+    # rows in chunk 2 must be ignored after the restart.
+    for i in range(20):
+        rows.append(("a", i, 100 + i, 50.0))
+    for i in range(20, 25):
+        rows.append(("a", 40 + i, 100 + i, 50.0))
+    # key 'b': 20 alternating rows across chunks 0-1 (never crosses),
+    # then 10 low rows in chunk 2 -> accept_h0 at n=28.
+    for i in range(20):
+        rows.append(("b", i, 200 + i, 50.0 if i % 2 == 0 else 10.0))
+    for i in range(20, 30):
+        rows.append(("b", 40 + i, 200 + i, 10.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts long, event_id long, value double"
+    )
+
+    src = _write_chunks(
+        tmp_path,
+        df,
+        [
+            (F.col("ts") < 10),
+            (F.col("ts") >= 10) & (F.col("ts") < 40),
+            (F.col("ts") >= 40),
+        ],
+        "sprt_src",
+    )
+    # phase 1: only chunks 0+1 visible
+    live = str(tmp_path / "sprt_live")
+    os.makedirs(live)
+    shutil.copy(f"{src}/chunk_0.parquet", live)
+    shutil.copy(f"{src}/chunk_1.parquet", live)
+    out, ckpt = str(tmp_path / "sprt_out"), str(tmp_path / "sprt_ckpt")
+    schema = "event_type string, ts long, event_id long, value double"
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return (
+            sprt_stream(stream, p0=0.45, p1=0.55, value_threshold=30.0)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.parquet(out).collect()
+    assert [r.event_type for r in first] == ["a"]  # 'a' decided, 'b' not
+
+    # new data for BOTH keys arrives while the query is down
+    shutil.copy(f"{src}/chunk_2.parquet", live)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    back = spark.read.parquet(out).collect()
+    assert len(back) == 2  # no duplicate decision for 'a', one for 'b'
+    got = {
+        r.event_type: (r.n_at_decision, r.k_at_decision, r.llr, r.decision)
+        for r in back
+    }
+    batch = {
+        r.event_type: (r.n_at_decision, r.k_at_decision, r.llr, r.decision)
+        for r in sprt_boundary(
+            df, ["event_type"], ["ts", "event_id"], F.col("value") > 30,
+            p0=0.45, p1=0.55,
+        ).collect()
+    }
+    assert got == batch
+    assert got["a"][3] == "accept_h1" and got["b"][3] == "accept_h0"
+    # 'a' decided strictly before the restart-era rows: at n=14 of its
+    # first 20 rows, so the 5 post-restart rows never folded
+    assert got["a"][0] == 14
+
+
+def test_engagement_panel_resumes_from_checkpoint(spark, events_dir, tmp_path):
+    """Restart recovery for the engagement-panel sink (VERDICT r6 item
+    6): kill the sink mid-stream, add a file, restart from the SAME
+    checkpoint — epochs strictly advance (no epoch-id reuse), and the
+    post-restart state equals the batch panel of the full prefix, bit
+    for bit (bit_or mergeability + the latest-before-epoch state read
+    make the crash invisible)."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.streaming.engagement import (
+        engagement_panel,
+        start_engagement_panel_sink,
+        user_day_bits,
+    )
+
+    files = sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))
+    live = str(tmp_path / "eng_live")
+    os.makedirs(live)
+    for f in files[:2]:
+        shutil.copy(f, live)
+    state_dir, ckpt = str(tmp_path / "eng_state"), str(tmp_path / "eng_ckpt")
+
+    stream = read_events_stream(spark, live)
+    q = start_engagement_panel_sink(stream, state_dir, ckpt, query_name="eng_a")
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(state_dir)
+    first_epochs = {r.batch_id for r in state.select("batch_id").distinct().collect()}
+
+    shutil.copy(files[2], live)
+    q2 = start_engagement_panel_sink(
+        read_events_stream(spark, live), state_dir, ckpt, query_name="eng_b"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    state = spark.read.parquet(state_dir)
+    epochs = {r.batch_id for r in state.select("batch_id").distinct().collect()}
+    new = epochs - first_epochs
+    assert new and min(new) > max(first_epochs)  # strictly advancing
+    last = max(epochs)
+    got = sorted(
+        tuple(r)
+        for r in engagement_panel(
+            state.where(F.col("batch_id") == last).drop("batch_id")
+        ).collect()
+    )
+    prefix = spark.read.parquet(*files[:3]).select("user_id", "ts")
+    exp = sorted(tuple(r) for r in engagement_panel(user_day_bits(prefix)).collect())
+    assert got == exp and len(got) > 0
