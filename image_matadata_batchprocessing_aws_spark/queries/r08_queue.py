@@ -1,0 +1,1344 @@
+"""Oracle-ready queries staged during r07 for later registration.
+
+Same discipline as ``queries/r07_queue.py`` was under in r06: the
+registry drains 50 driver slots per round, so new queries stage here —
+fully oracled and exact-verified (``tests/test_r08_queue.py`` at
+sf0.001, ``tools/check_oracle.py --staged`` at any sf dir) — and
+register only when the never-driver-checked backlog allows (the r03
+lesson: keep registry growth <= window drain rate).  Capped at <= 50
+pairs per the drain plan in ``queries/__init__.py``.
+
+Float-parity rules are the house ones (see ``queries/etl.py``):
+computed integers cast to BIGINT both sides; row-level measures move
+as scaled BIGINTs (the cents idiom, hi/lo-split when products can
+overflow — ``operators/stats._split_sum``); float arithmetic over
+small FIXED grids (pivoted cells, <= a few dozen terms) may sum
+directly and round, the ``eval_fdr_bh`` precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- experimentation / guardrails ------------------------------------------
+
+
+def stream_cuped_readout(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the STREAMING CUPED monitor
+    (``streaming/stateful.cuped_stream``, VERDICT r6 item 5): theta and
+    the covariate mean are PRE-PERIOD statistics (orders before
+    1997-01-01), deployed to the live side as constants — the
+    ``cusum_stream`` pre-fit-target discipline — so the live readout is
+    a map-side adjustment plus one keyed running aggregate whose final
+    emission equals THIS query bit-for-bit (stream == batch asserted in
+    tests/test_streaming.py).  Fit moments ride the hi/lo-split BIGINT
+    sums; the post-period readout is per-variant exact cents sums."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        (F.col("o_custkey") % 2).alias("variant"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ys"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("xs"),
+        (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).alias("pre"),
+    )
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    x, y = F.col("xs"), F.col("ys")
+    fit = (
+        j.where("pre")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xs").alias("sx"),
+            F.sum("ys").alias("sy"),
+            *_split_sum(x * x, "qxx"),
+            *_split_sum(x * y, "qxy"),
+        )
+        .select(
+            (
+                (_split_val("qxy", 10000.0) - F.col("sx") / 100.0 * F.col("sy") / 100.0 / F.col("n"))
+                / (_split_val("qxx", 10000.0) - F.col("sx") / 100.0 * F.col("sx") / 100.0 / F.col("n"))
+            ).alias("theta"),
+            (F.col("sx") / 100.0 / F.col("n")).alias("xbar"),
+        )
+    )
+    post = (
+        j.where(~F.col("pre"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ys").alias("sy"), F.sum("xs").alias("sx"))
+    )
+    return (
+        post.crossJoin(F.broadcast(fit))
+        .select(
+            "variant",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sy") / 100.0 / F.col("n"), 6).alias("y_mean"),
+            F.round(
+                F.col("sy") / 100.0 / F.col("n")
+                - F.col("theta") * (F.col("sx") / 100.0 / F.col("n") - F.col("xbar")),
+                6,
+            ).alias("cuped_mean"),
+            F.round(F.col("theta"), 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )
+
+
+QUERIES["stream_cuped_readout"] = stream_cuped_readout
+
+ORACLES["stream_cuped_readout"] = """
+    WITH b AS (
+      SELECT o_custkey % 2 AS variant,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS ys,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS xs,
+             o_orderdate < TIMESTAMP '1997-01-01' AS pre
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    fitagg AS (
+      SELECT count(*) AS n, sum(xs) AS sx, sum(ys) AS sy,
+             sum(xs * xs // 1073741824) AS qxx_hi,
+             sum(xs * xs % 1073741824) AS qxx_lo,
+             sum(xs * ys // 1073741824) AS qxy_hi,
+             sum(xs * ys % 1073741824) AS qxy_lo
+      FROM b WHERE pre),
+    fit AS (
+      SELECT
+        ((CAST(qxy_hi AS DOUBLE) * 1073741824.0 + CAST(qxy_lo AS DOUBLE)) / 10000.0
+          - sx / 100.0 * (sy / 100.0) / n)
+        / ((CAST(qxx_hi AS DOUBLE) * 1073741824.0 + CAST(qxx_lo AS DOUBLE)) / 10000.0
+          - sx / 100.0 * (sx / 100.0) / n) AS theta,
+        sx / 100.0 / n AS xbar
+      FROM fitagg),
+    post AS (
+      SELECT variant, count(*) AS n, sum(ys) AS sy, sum(xs) AS sx
+      FROM b WHERE NOT pre GROUP BY 1)
+    SELECT variant, CAST(n AS BIGINT) AS n,
+           round(sy / 100.0 / n, 6) AS y_mean,
+           round(sy / 100.0 / n - theta * (sx / 100.0 / n - xbar), 6) AS cuped_mean,
+           round(theta, 6) AS theta
+    FROM post CROSS JOIN fit
+    ORDER BY variant
+"""
+
+
+def agg_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing a trustworthy
+    experimentation platform checks before reading any metric: a
+    chi-squared goodness-of-fit of the 10 hash-variant counts against
+    the designed equal split.  The statistic folds to the exact
+    integer identity ``chi2 = 10*S2/n - n`` (S2 = sum of squared
+    counts), so ONE float expression over two BIGINTs closes it —
+    no order-dependent float sum anywhere."""
+    v = t(spark, sf, "orders").select((F.col("o_custkey") % 10).alias("variant"))
+    cells = v.groupBy("variant").agg(F.count(F.lit(1)).alias("obs"))
+    return cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.sum(F.col("obs") * F.col("obs")).alias("__s2"),
+        F.count(F.lit(1)).cast("long").alias("k_variants"),
+    ).select(
+        "n",
+        "k_variants",
+        F.round(10.0 * F.col("__s2") / F.col("n") - F.col("n"), 6).alias("chi2"),
+        # df=9 critical value at p=0.01
+        (10.0 * F.col("__s2") / F.col("n") - F.col("n") > 21.666).cast("long").alias(
+            "srm_flag"
+        ),
+    )
+
+
+QUERIES["agg_srm_check"] = agg_srm_check
+
+ORACLES["agg_srm_check"] = """
+    WITH cells AS (
+      SELECT o_custkey % 10 AS variant, count(*) AS obs
+      FROM orders GROUP BY 1),
+    s AS (SELECT sum(obs) AS n, sum(obs * obs) AS s2, count(*) AS k FROM cells)
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_variants,
+           round(10.0 * s2 / n - n, 6) AS chi2,
+           CAST(10.0 * s2 / n - n > 21.666 AS BIGINT) AS srm_flag
+    FROM s
+"""
+
+
+def stream_srm_guardrail(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of a LIVE per-day SRM monitor: daily variant counts
+    (odd/even custkey) and the day's chi-squared against the 50/50
+    design, ``chi2 = 2*S2/n - n`` from exact integers.  Counts are
+    mergeable (sum across micro-batches), so a foreachBatch sink
+    keeping (day, variant) counts reproduces this query exactly over
+    any stream prefix — the ``stream_lateness_audit`` shape."""
+    o = t(spark, sf, "orders").select(
+        F.unix_millis(F.date_trunc("day", "o_orderdate")).alias("day_ms"),
+        (F.col("o_custkey") % 2).alias("variant"),
+    )
+    cells = o.groupBy("day_ms", "variant").agg(F.count(F.lit(1)).alias("obs"))
+    day = cells.groupBy("day_ms").agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.sum(F.col("obs") * F.col("obs")).alias("__s2"),
+    )
+    out = day.select(
+        "day_ms",
+        "n",
+        F.round(2.0 * F.col("__s2") / F.col("n") - F.col("n"), 6).alias("chi2"),
+        # df=1 critical value at p=0.001
+        (2.0 * F.col("__s2") / F.col("n") - F.col("n") > 10.828).cast("long").alias(
+            "srm_flag"
+        ),
+    )
+    return out.orderBy("day_ms")
+
+
+QUERIES["stream_srm_guardrail"] = stream_srm_guardrail
+
+ORACLES["stream_srm_guardrail"] = """
+    WITH cells AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) AS day_ms,
+             o_custkey % 2 AS variant, count(*) AS obs
+      FROM orders GROUP BY 1, 2),
+    day AS (
+      SELECT day_ms, sum(obs) AS n, sum(obs * obs) AS s2
+      FROM cells GROUP BY 1)
+    SELECT day_ms, CAST(n AS BIGINT) AS n,
+           round(2.0 * s2 / n - n, 6) AS chi2,
+           CAST(2.0 * s2 / n - n > 10.828 AS BIGINT) AS srm_flag
+    FROM day ORDER BY day_ms
+"""
+
+
+def eval_holm_bonferroni(spark: SparkSession, sf: str) -> DataFrame:
+    """Holm step-down multiple-testing control over the same per-nation
+    independence-test family as the registered ``eval_fdr_bh`` — the
+    FWER-controlling counterpart to BH's FDR.  Adjusted p is the
+    running max of ``(m-k+1)*p_(k)`` capped at 1 (a cumulative window
+    over the m=25-row test table); rejection is the step-down prefix
+    rule, all windowed on a table whose size is the number of TESTS,
+    never the number of rows."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("urgent"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    cells = j.groupBy("c_nationkey", "big", "urgent").agg(F.count(F.lit(1)).alias("n"))
+    rows = cells.groupBy("c_nationkey", "big").agg(F.sum("n").alias("rn"))
+    cols = cells.groupBy("c_nationkey", "urgent").agg(F.sum("n").alias("cn"))
+    tot = cells.groupBy("c_nationkey").agg(F.sum("n").alias("nt"))
+    grid = (
+        rows.join(cols, "c_nationkey")
+        .join(tot, "c_nationkey")
+        .join(cells, ["c_nationkey", "big", "urgent"], "left")
+        .fillna(0, subset=["n"])
+    )
+    e = F.col("rn") * F.col("cn") / F.col("nt")
+    chi2 = grid.groupBy("c_nationkey").agg(
+        F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2")
+    )
+    tests = chi2.select("c_nationkey", F.exp(-F.col("chi2") / 2).alias("p"))
+    m = tests.count()  # number of TESTS (25) — a driver-safe k-row stat
+    wk = Window.orderBy(F.col("p").asc(), F.col("c_nationkey").asc())
+    ranked = tests.withColumn("k", F.row_number().over(wk))
+    stepped = ranked.withColumn(
+        "holm_p",
+        F.least(
+            F.lit(1.0),
+            F.max((F.lit(m) - F.col("k") + 1) * F.col("p")).over(
+                wk.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    )
+    return stepped.select(
+        "c_nationkey",
+        F.round("p", 9).alias("p_value"),
+        F.col("k").cast("long").alias("rank"),
+        F.round("holm_p", 9).alias("holm_p"),
+        (F.col("holm_p") <= 0.05).alias("rejected"),
+    ).orderBy("rank")
+
+
+QUERIES["eval_holm_bonferroni"] = eval_holm_bonferroni
+
+ORACLES["eval_holm_bonferroni"] = """
+    WITH j AS (
+      SELECT c_nationkey,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS big,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END
+               AS urgent
+      FROM customer JOIN orders ON c_custkey = o_custkey),
+    cells AS (SELECT c_nationkey, big, urgent, count(*) AS n
+              FROM j GROUP BY 1, 2, 3),
+    rows_ AS (SELECT c_nationkey, big, sum(n) AS rn FROM cells GROUP BY 1, 2),
+    cols_ AS (SELECT c_nationkey, urgent, sum(n) AS cn FROM cells GROUP BY 1, 2),
+    tot AS (SELECT c_nationkey, sum(n) AS nt FROM cells GROUP BY 1),
+    grid AS (
+      SELECT r.c_nationkey, r.big, c.urgent, r.rn, c.cn, t.nt,
+             coalesce(x.n, 0) AS n
+      FROM rows_ r
+      JOIN cols_ c ON r.c_nationkey = c.c_nationkey
+      JOIN tot t ON r.c_nationkey = t.c_nationkey
+      LEFT JOIN cells x ON x.c_nationkey = r.c_nationkey
+                        AND x.big = r.big AND x.urgent = c.urgent),
+    chi AS (
+      SELECT c_nationkey,
+             sum((n - rn * cn / CAST(nt AS DOUBLE))
+                 * (n - rn * cn / CAST(nt AS DOUBLE))
+                 / (rn * cn / CAST(nt AS DOUBLE))) AS chi2
+      FROM grid GROUP BY 1),
+    tests AS (SELECT c_nationkey, exp(-chi2 / 2) AS p FROM chi),
+    m AS (SELECT count(*) AS m FROM tests),
+    ranked AS (
+      SELECT c_nationkey, p,
+             row_number() OVER (ORDER BY p ASC, c_nationkey) AS k
+      FROM tests),
+    stepped AS (
+      SELECT c_nationkey, p, k,
+             least(1.0, max((m - k + 1) * p)
+               OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)) AS holm_p
+      FROM ranked CROSS JOIN m)
+    SELECT c_nationkey, round(p, 9) AS p_value, CAST(k AS BIGINT) AS rank,
+           round(holm_p, 9) AS holm_p, holm_p <= 0.05 AS rejected
+    FROM stepped ORDER BY rank
+"""
+
+
+def agg_levene_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test across the 3 return flags — the assumption check the
+    registered ANOVA/Welch queries rely on.  Group medians are exact
+    low-medians on cents; absolute deviations stay integer cents whose
+    squares ride the hi/lo-split sums; the F statistic closes over the
+    3 PIVOTED group cells as one fixed expression tree (no
+    order-dependent float sum — the ``agg_cuped`` pivot discipline)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")  # Spark returns DOUBLE; the disc median IS a data value
+        .alias("med")
+    )
+    z = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        *_split_sum(F.col("z") * F.col("z"), "qzz"),
+    )
+    per = g.select(
+        "l_returnflag",
+        "n",
+        (F.col("sz") / 100.0).alias("szd"),
+        _split_val("qzz", 10000.0).alias("qzz"),
+    )
+
+    def cell(flag, col):
+        return F.max(F.when(F.col("l_returnflag") == flag, F.col(col)))
+
+    piv = per.agg(
+        *[cell(f, "n").alias(f"n_{f}") for f in "ANR"],
+        *[cell(f, "szd").alias(f"s_{f}") for f in "ANR"],
+        *[cell(f, "qzz").alias(f"q_{f}") for f in "ANR"],
+    )
+    n_tot = F.col("n_A") + F.col("n_N") + F.col("n_R")
+    s_tot = F.col("s_A") + F.col("s_N") + F.col("s_R")
+    ssb = (
+        (F.col("s_A") * F.col("s_A") / F.col("n_A"))
+        + (F.col("s_N") * F.col("s_N") / F.col("n_N"))
+        + (F.col("s_R") * F.col("s_R") / F.col("n_R"))
+        - s_tot * s_tot / n_tot
+    )
+    ssw = (
+        (F.col("q_A") - F.col("s_A") * F.col("s_A") / F.col("n_A"))
+        + (F.col("q_N") - F.col("s_N") * F.col("s_N") / F.col("n_N"))
+        + (F.col("q_R") - F.col("s_R") * F.col("s_R") / F.col("n_R"))
+    )
+    fstat = (ssb / 2.0) / (ssw / (n_tot - 3))
+    return piv.select(
+        n_tot.cast("long").alias("n"),
+        F.lit(3).cast("long").alias("k_groups"),
+        F.round(fstat, 6).alias("bf_f"),
+        (fstat > 4.61).cast("long").alias("heteroscedastic"),  # F(2,inf) @ .01
+    )
+
+
+QUERIES["agg_levene_test"] = agg_levene_test
+
+ORACLES["agg_levene_test"] = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    med AS (
+      SELECT l_returnflag,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+      FROM li GROUP BY 1),
+    z AS (
+      SELECT li.l_returnflag, abs(cents - med) AS z
+      FROM li JOIN med ON li.l_returnflag = med.l_returnflag),
+    g AS (
+      SELECT l_returnflag, count(*) AS n, sum(z) AS sz,
+             sum(z * z // 1073741824) AS qzz_hi,
+             sum(z * z % 1073741824) AS qzz_lo
+      FROM z GROUP BY 1),
+    per AS (
+      SELECT l_returnflag, n, sz / 100.0 AS szd,
+             (CAST(qzz_hi AS DOUBLE) * 1073741824.0 + CAST(qzz_lo AS DOUBLE))
+               / 10000.0 AS qzz
+      FROM g),
+    piv AS (
+      SELECT
+        max(CASE WHEN l_returnflag = 'A' THEN n END) AS n_a,
+        max(CASE WHEN l_returnflag = 'N' THEN n END) AS n_n,
+        max(CASE WHEN l_returnflag = 'R' THEN n END) AS n_r,
+        max(CASE WHEN l_returnflag = 'A' THEN szd END) AS s_a,
+        max(CASE WHEN l_returnflag = 'N' THEN szd END) AS s_n,
+        max(CASE WHEN l_returnflag = 'R' THEN szd END) AS s_r,
+        max(CASE WHEN l_returnflag = 'A' THEN qzz END) AS q_a,
+        max(CASE WHEN l_returnflag = 'N' THEN qzz END) AS q_n,
+        max(CASE WHEN l_returnflag = 'R' THEN qzz END) AS q_r
+      FROM per),
+    f AS (
+      SELECT n_a + n_n + n_r AS n,
+             ((s_a * s_a / n_a) + (s_n * s_n / n_n) + (s_r * s_r / n_r)
+              - (s_a + s_n + s_r) * (s_a + s_n + s_r) / (n_a + n_n + n_r)) / 2.0
+             / (((q_a - s_a * s_a / n_a) + (q_n - s_n * s_n / n_n)
+                 + (q_r - s_r * s_r / n_r)) / (n_a + n_n + n_r - 3)) AS bf_f
+      FROM piv)
+    SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_groups,
+           round(bf_f, 6) AS bf_f,
+           CAST(bf_f > 4.61 AS BIGINT) AS heteroscedastic
+    FROM f
+"""
+
+
+def agg_mantel_haenszel(spark: SparkSession, sf: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across the 5 region strata —
+    the stratified-confounding readout (exposure = odd custkey,
+    outcome = order over 150k).  Each stratum's 2x2 cells are exact
+    BIGINTs pivoted into columns, so the MH numerator/denominator and
+    the CMH chi-squared close as one fixed float expression tree over
+    5 cells — nothing order-dependent, nothing iterative."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_custkey") % 2).alias("exposed"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("hit"),
+    )
+    strata = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 1), 1).otherwise(0)).alias("a"),
+            F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 0), 1).otherwise(0)).alias("b"),
+            F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 1), 1).otherwise(0)).alias("c"),
+            F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 0), 1).otherwise(0)).alias("d"),
+        )
+    )
+    nt = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    per = strata.select(
+        "n_regionkey",
+        (F.col("a") * F.col("d") / nt).alias("num"),
+        (F.col("b") * F.col("c") / nt).alias("den"),
+        (F.col("a")).cast("double").alias("obs_a"),
+        ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) / nt).alias("exp_a"),
+        (
+            (F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nt * nt * (nt - 1))
+        ).alias("var_a"),
+    )
+
+    def cell(r, col):
+        return F.max(F.when(F.col("n_regionkey") == r, F.col(col)))
+
+    piv = per.agg(
+        *[cell(r, "num").alias(f"num_{r}") for r in range(5)],
+        *[cell(r, "den").alias(f"den_{r}") for r in range(5)],
+        *[cell(r, "obs_a").alias(f"oa_{r}") for r in range(5)],
+        *[cell(r, "exp_a").alias(f"ea_{r}") for r in range(5)],
+        *[cell(r, "var_a").alias(f"va_{r}") for r in range(5)],
+    )
+    num = sum(F.col(f"num_{r}") for r in range(5))
+    den = sum(F.col(f"den_{r}") for r in range(5))
+    dev = sum(F.col(f"oa_{r}") for r in range(5)) - sum(
+        F.col(f"ea_{r}") for r in range(5)
+    )
+    var = sum(F.col(f"va_{r}") for r in range(5))
+    return piv.select(
+        F.round(num / den, 6).alias("mh_odds_ratio"),
+        F.round(dev * dev / var, 6).alias("cmh_chi2"),
+        (dev * dev / var > 6.635).cast("long").alias("significant"),  # df=1 @ .01
+    )
+
+
+QUERIES["agg_mantel_haenszel"] = agg_mantel_haenszel
+
+ORACLES["agg_mantel_haenszel"] = """
+    WITH j AS (
+      SELECT n_regionkey,
+             o_custkey % 2 AS exposed,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS hit
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    strata AS (
+      SELECT n_regionkey,
+             sum(CASE WHEN exposed = 1 AND hit = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN exposed = 1 AND hit = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN exposed = 0 AND hit = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN exposed = 0 AND hit = 0 THEN 1 ELSE 0 END) AS d
+      FROM j GROUP BY 1),
+    per AS (
+      SELECT n_regionkey,
+             a * d / CAST(a + b + c + d AS DOUBLE) AS num,
+             b * c / CAST(a + b + c + d AS DOUBLE) AS den,
+             CAST(a AS DOUBLE) AS oa,
+             (a + b) * (a + c) / CAST(a + b + c + d AS DOUBLE) AS ea,
+             (a + b) * (c + d) * (a + c) * (b + d)
+               / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+                  * (a + b + c + d - 1)) AS va
+      FROM strata),
+    piv AS (
+      SELECT
+        max(CASE WHEN n_regionkey = 0 THEN num END) AS num_0,
+        max(CASE WHEN n_regionkey = 1 THEN num END) AS num_1,
+        max(CASE WHEN n_regionkey = 2 THEN num END) AS num_2,
+        max(CASE WHEN n_regionkey = 3 THEN num END) AS num_3,
+        max(CASE WHEN n_regionkey = 4 THEN num END) AS num_4,
+        max(CASE WHEN n_regionkey = 0 THEN den END) AS den_0,
+        max(CASE WHEN n_regionkey = 1 THEN den END) AS den_1,
+        max(CASE WHEN n_regionkey = 2 THEN den END) AS den_2,
+        max(CASE WHEN n_regionkey = 3 THEN den END) AS den_3,
+        max(CASE WHEN n_regionkey = 4 THEN den END) AS den_4,
+        max(CASE WHEN n_regionkey = 0 THEN oa END) AS oa_0,
+        max(CASE WHEN n_regionkey = 1 THEN oa END) AS oa_1,
+        max(CASE WHEN n_regionkey = 2 THEN oa END) AS oa_2,
+        max(CASE WHEN n_regionkey = 3 THEN oa END) AS oa_3,
+        max(CASE WHEN n_regionkey = 4 THEN oa END) AS oa_4,
+        max(CASE WHEN n_regionkey = 0 THEN ea END) AS ea_0,
+        max(CASE WHEN n_regionkey = 1 THEN ea END) AS ea_1,
+        max(CASE WHEN n_regionkey = 2 THEN ea END) AS ea_2,
+        max(CASE WHEN n_regionkey = 3 THEN ea END) AS ea_3,
+        max(CASE WHEN n_regionkey = 4 THEN ea END) AS ea_4,
+        max(CASE WHEN n_regionkey = 0 THEN va END) AS va_0,
+        max(CASE WHEN n_regionkey = 1 THEN va END) AS va_1,
+        max(CASE WHEN n_regionkey = 2 THEN va END) AS va_2,
+        max(CASE WHEN n_regionkey = 3 THEN va END) AS va_3,
+        max(CASE WHEN n_regionkey = 4 THEN va END) AS va_4
+      FROM per),
+    f AS (
+      SELECT
+        (num_0 + num_1 + num_2 + num_3 + num_4)
+          / (den_0 + den_1 + den_2 + den_3 + den_4) AS mh_or,
+        ((oa_0 + oa_1 + oa_2 + oa_3 + oa_4)
+         - (ea_0 + ea_1 + ea_2 + ea_3 + ea_4)) AS dev,
+        (va_0 + va_1 + va_2 + va_3 + va_4) AS var
+      FROM piv)
+    SELECT round(mh_or, 6) AS mh_odds_ratio,
+           round(dev * dev / var, 6) AS cmh_chi2,
+           CAST(dev * dev / var > 6.635 AS BIGINT) AS significant
+    FROM f
+"""
+
+
+def agg_ratio_jackknife(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-one-group jackknife for a RATIO metric (revenue per unit,
+    grouped by supplier nation) — the standard variance device for
+    metrics that are not row-level means (where the CLT-on-rows CI is
+    wrong).  The scale story: the data-sized pass is ONE keyed
+    aggregate of exact integer sums; every leave-one-out replicate is
+    then CLOSED FORM from the group table (total minus group), so no
+    resampling pass ever touches the rows — the reason jackknife beats
+    bootstrap at 100 TB.  LOO ratios are DEFINED on the 1e-4 grid
+    (``round(r*10000)`` BIGINT) so both engines fold identical
+    integers; variance closes from (sum, sum-of-squares)."""
+    li = t(spark, sf, "lineitem").select("l_suppkey", "l_extendedprice", "l_quantity")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    g = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sy"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sx"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sy").alias("ty"),
+        F.sum("sx").alias("tx"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "ty",
+        "tx",
+        F.round(
+            (F.col("ty") - F.col("sy")) / 100.0 / (F.col("tx") - F.col("sx")) * 10000
+        )
+        .cast("long")
+        .alias("rj"),
+    )
+    agg = loo.groupBy("k", "ty", "tx").agg(
+        F.sum("rj").alias("srj"), F.sum(F.col("rj") * F.col("rj")).alias("qrj")
+    )
+    kd = F.col("k").cast("double")
+    theta = F.col("ty") / 100.0 / F.col("tx")
+    mean_loo = F.col("srj") / 10000.0 / kd
+    var_loo = (
+        (F.col("qrj") - F.col("srj") * F.col("srj") / kd) / 100000000.0
+    ) * (kd - 1) / kd
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(theta, 6).alias("theta"),
+        F.round(kd * theta - (kd - 1) * mean_loo, 6).alias("theta_jack"),
+        F.round(F.sqrt(var_loo), 6).alias("se_jack"),
+    )
+
+
+QUERIES["agg_ratio_jackknife"] = agg_ratio_jackknife
+
+ORACLES["agg_ratio_jackknife"] = """
+    WITH g AS (
+      SELECT s_nationkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sx
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1),
+    tot AS (SELECT count(*) AS k, sum(sy) AS ty, sum(sx) AS tx FROM g),
+    loo AS (
+      SELECT k, ty, tx,
+             CAST(round((ty - sy) / 100.0 / (tx - sx) * 10000) AS BIGINT) AS rj
+      FROM g CROSS JOIN tot),
+    a AS (
+      SELECT k, ty, tx, sum(rj) AS srj, sum(rj * rj) AS qrj
+      FROM loo GROUP BY 1, 2, 3)
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           round(ty / 100.0 / tx, 6) AS theta,
+           round(k * (ty / 100.0 / tx) - (k - 1) * (srj / 10000.0 / k), 6)
+             AS theta_jack,
+           round(sqrt((qrj - srj * srj / CAST(k AS DOUBLE)) / 100000000.0
+                      * (k - 1) / k), 6) AS se_jack
+    FROM a
+"""
+
+
+def agg_eb_shrinkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial method-of-moments) shrinkage of
+    per-brand return rates toward the pooled rate — the standard fix
+    for small-sample rate league tables (CTR, defect rates).  Brand
+    rates are DEFINED on the 1e-6 grid so the MoM prior fits from
+    identical integers in both engines; the data-sized pass is one
+    keyed count aggregate, the fit is a 25-row fold, the shrink is a
+    broadcast map-side expression."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("k"),
+        )
+        .withColumn(
+            "rg", F.round(F.col("k") / F.col("n") * 1000000).cast("long")
+        )
+    )
+    fit = g.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("k").alias("tk"),
+        F.sum("n").alias("tn"),
+        F.sum("rg").alias("srg"),
+        F.sum(F.col("rg") * F.col("rg")).alias("qrg"),
+    ).select(
+        (F.col("tk") / F.col("tn")).alias("m"),
+        (
+            (F.col("qrg") - F.col("srg") * F.col("srg") / F.col("b"))
+            / (F.col("b") - 1)
+            / 1e12
+        ).alias("v"),
+    ).select(
+        "m",
+        # prior strength; guard v <= 0 (no between-brand variance)
+        F.when(
+            F.col("v") > 0, F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+        )
+        .otherwise(F.lit(1000000.0))
+        .alias("s"),
+    )
+    return (
+        g.crossJoin(F.broadcast(fit))
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k_returned"),
+            F.round(F.col("k") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("m") * F.col("s")) / (F.col("n") + F.col("s")), 6
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["agg_eb_shrinkage"] = agg_eb_shrinkage
+
+ORACLES["agg_eb_shrinkage"] = """
+    WITH g AS (
+      SELECT p_brand, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k,
+             CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        / CAST(count(*) AS DOUBLE) * 1000000) AS BIGINT) AS rg
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+    fit0 AS (
+      SELECT count(*) AS b, sum(k) AS tk, sum(n) AS tn,
+             sum(rg) AS srg, sum(rg * rg) AS qrg
+      FROM g),
+    fit1 AS (
+      SELECT tk / CAST(tn AS DOUBLE) AS m,
+             (qrg - srg * srg / CAST(b AS DOUBLE)) / (b - 1) / 1e12 AS v
+      FROM fit0),
+    fit AS (
+      SELECT m,
+             CASE WHEN v > 0 THEN m * (1 - m) / v - 1 ELSE 1000000.0 END AS s
+      FROM fit1)
+    SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_returned,
+           round(k / CAST(n AS DOUBLE), 6) AS raw_rate,
+           round((k + m * s) / (n + s), 6) AS shrunk_rate
+    FROM g CROSS JOIN fit
+    ORDER BY p_brand
+"""
+
+
+def agg_deming_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Deming (errors-in-variables) regression of extended price on
+    quantity — the orthogonal fit for when BOTH variables carry noise,
+    closed form from the same five split-BIGINT moments as the
+    registered OLS (``operators/stats.grouped_regression`` overflow
+    discipline): slope = (syy - sxx + sqrt((syy-sxx)^2 + 4 sxy^2)) /
+    (2 sxy) at delta=1."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    li = t(spark, sf, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xs"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ys"),
+    )
+    x, y = F.col("xs"), F.col("ys")
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum("ys").alias("sy"),
+        *_split_sum(x * x, "qxx"),
+        *_split_sum(x * y, "qxy"),
+        *_split_sum(y * y, "qyy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx") / 100.0, F.col("sy") / 100.0
+    sxx = _split_val("qxx", 10000.0) - sxd * sxd / nd
+    sxy = _split_val("qxy", 10000.0) - sxd * syd / nd
+    syy = _split_val("qyy", 10000.0) - syd * syd / nd
+    slope = (syy - sxx + F.sqrt((syy - sxx) * (syy - sxx) + 4 * sxy * sxy)) / (
+        2 * sxy
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("deming_slope"),
+        F.round(syd / nd - slope * (sxd / nd), 6).alias("deming_intercept"),
+        F.round(sxy / F.sqrt(sxx * syy), 6).alias("pearson_r"),
+    )
+
+
+QUERIES["agg_deming_regression"] = agg_deming_regression
+
+ORACLES["agg_deming_regression"] = """
+    WITH b AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS xs,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ys
+      FROM lineitem),
+    a AS (
+      SELECT count(*) AS n, sum(xs) AS sx, sum(ys) AS sy,
+             sum(xs * xs // 1073741824) AS qxx_hi, sum(xs * xs % 1073741824) AS qxx_lo,
+             sum(xs * ys // 1073741824) AS qxy_hi, sum(xs * ys % 1073741824) AS qxy_lo,
+             sum(ys * ys // 1073741824) AS qyy_hi, sum(ys * ys % 1073741824) AS qyy_lo
+      FROM b),
+    m AS (
+      SELECT n, sx / 100.0 AS sxd, sy / 100.0 AS syd,
+             (CAST(qxx_hi AS DOUBLE) * 1073741824.0 + qxx_lo) / 10000.0
+               - (sx / 100.0) * (sx / 100.0) / n AS sxx,
+             (CAST(qxy_hi AS DOUBLE) * 1073741824.0 + qxy_lo) / 10000.0
+               - (sx / 100.0) * (sy / 100.0) / n AS sxy,
+             (CAST(qyy_hi AS DOUBLE) * 1073741824.0 + qyy_lo) / 10000.0
+               - (sy / 100.0) * (sy / 100.0) / n AS syy
+      FROM a),
+    s AS (
+      SELECT n, sxd, syd, sxx, sxy, syy,
+             (syy - sxx + sqrt((syy - sxx) * (syy - sxx) + 4 * sxy * sxy))
+               / (2 * sxy) AS slope
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(slope, 6) AS deming_slope,
+           round(syd / n - slope * (sxd / n), 6) AS deming_intercept,
+           round(sxy / sqrt(sxx * syy), 6) AS pearson_r
+    FROM s
+"""
+
+
+def agg_grubbs_outlier(spark: SparkSession, sf: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test on customer balances.
+    The deviation argmax is EXACT-integer: ``|n*x - sum|`` multiplies
+    the mean through by n so the extremum and its tiebreak (larger
+    custkey) compare BIGINTs, never floats; the statistic then closes
+    from split-BIGINT moments.  One aggregate + one top-1 — nothing
+    data-sized moves."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("xs")
+    )
+    mom = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("sx"),
+        *_split_sum(F.col("xs") * F.col("xs"), "qxx"),
+    )
+    dev = (
+        c.crossJoin(F.broadcast(mom))
+        .select(
+            "c_custkey",
+            "n",
+            "sx",
+            "qxx_hi",
+            "qxx_lo",
+            F.abs(F.col("n") * F.col("xs") - F.col("sx")).alias("devn"),
+        )
+        .orderBy(F.col("devn").desc(), F.col("c_custkey").desc())
+        .limit(1)
+    )
+    nd = F.col("n").cast("double")
+    var = (_split_val("qxx", 10000.0) - (F.col("sx") / 100.0) * (F.col("sx") / 100.0) / nd) / (
+        nd - 1
+    )
+    g = (F.col("devn") / nd / 100.0) / F.sqrt(var)
+    return dev.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c_custkey").alias("outlier_custkey"),
+        F.round(g, 6).alias("g_stat"),
+        (g > 4.0).cast("long").alias("outlier_flag"),
+    )
+
+
+QUERIES["agg_grubbs_outlier"] = agg_grubbs_outlier
+
+ORACLES["agg_grubbs_outlier"] = """
+    WITH c AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS xs
+      FROM customer),
+    mom AS (
+      SELECT count(*) AS n, sum(xs) AS sx,
+             sum(xs * xs // 1073741824) AS qxx_hi,
+             sum(xs * xs % 1073741824) AS qxx_lo
+      FROM c),
+    dev AS (
+      SELECT c_custkey, n, sx, qxx_hi, qxx_lo,
+             abs(n * xs - sx) AS devn
+      FROM c CROSS JOIN mom
+      ORDER BY devn DESC, c_custkey DESC LIMIT 1),
+    s AS (
+      SELECT n, c_custkey, devn,
+             ((CAST(qxx_hi AS DOUBLE) * 1073741824.0 + qxx_lo) / 10000.0
+              - (sx / 100.0) * (sx / 100.0) / n) / (n - 1) AS var
+      FROM dev)
+    SELECT CAST(n AS BIGINT) AS n, c_custkey AS outlier_custkey,
+           round((devn / CAST(n AS DOUBLE) / 100.0) / sqrt(var), 6) AS g_stat,
+           CAST((devn / CAST(n AS DOUBLE) / 100.0) / sqrt(var) > 4.0 AS BIGINT)
+             AS outlier_flag
+    FROM s
+"""
+
+
+def agg_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    direction sequence — the classic check that a KPI's up/down moves
+    are not streaky.  Day totals are exact cents; signs, the lag
+    comparison, and the run count are integers over the DAY table
+    (bounded by the calendar, not the row count); z closes as one
+    float expression."""
+    day = (
+        t(spark, sf, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    sgn = (
+        day.withColumn("prev", F.lag("rev").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("rev") != F.col("prev")))
+        .select((F.col("rev") > F.col("prev")).cast("int").alias("up"))
+    )
+    w2 = Window.orderBy(F.monotonically_increasing_id())
+    # runs = 1 + number of sign changes, computed order-safely by
+    # re-deriving the ordered sequence
+    seq = (
+        day.withColumn("prev", F.lag("rev").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("rev") != F.col("prev")))
+        .select(
+            F.col("day"), (F.col("rev") > F.col("prev")).cast("int").alias("up")
+        )
+        .withColumn("chg", (F.col("up") != F.lag("up").over(Window.orderBy("day"))).cast("int"))
+    )
+    a = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("up").alias("npos"),
+        (F.sum(F.coalesce(F.col("chg"), F.lit(0))) + 1).alias("runs"),
+    )
+    nd = F.col("n").cast("double")
+    np_, nn = F.col("npos").cast("double"), (F.col("n") - F.col("npos")).cast("double")
+    mu = 2 * np_ * nn / nd + 1
+    sig2 = 2 * np_ * nn * (2 * np_ * nn - nd) / (nd * nd * (nd - 1))
+    z = (F.col("runs") - mu) / F.sqrt(sig2)
+    return a.select(
+        F.col("npos").cast("long").alias("n_up"),
+        (F.col("n") - F.col("npos")).cast("long").alias("n_down"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.576).cast("long").alias("nonrandom_flag"),
+    )
+
+
+QUERIES["agg_runs_test"] = agg_runs_test
+
+ORACLES["agg_runs_test"] = """
+    WITH day AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1),
+    seq0 AS (
+      SELECT day, rev, lag(rev) OVER (ORDER BY day) AS prev
+      FROM day),
+    seq1 AS (
+      SELECT day, CASE WHEN rev > prev THEN 1 ELSE 0 END AS up
+      FROM seq0 WHERE prev IS NOT NULL AND rev <> prev),
+    seq AS (
+      SELECT up,
+             CASE WHEN up <> lag(up) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg
+      FROM seq1),
+    a AS (
+      SELECT count(*) AS n, sum(up) AS npos,
+             sum(coalesce(chg, 0)) + 1 AS runs
+      FROM seq),
+    s AS (
+      SELECT n, npos, runs,
+             CAST(npos AS DOUBLE) AS np, CAST(n - npos AS DOUBLE) AS nn,
+             CAST(n AS DOUBLE) AS nd
+      FROM a)
+    SELECT CAST(npos AS BIGINT) AS n_up, CAST(n - npos AS BIGINT) AS n_down,
+           CAST(runs AS BIGINT) AS runs,
+           round((runs - (2 * np * nn / nd + 1))
+                 / sqrt(2 * np * nn * (2 * np * nn - nd) / (nd * nd * (nd - 1))),
+                 6) AS z,
+           CAST(abs((runs - (2 * np * nn / nd + 1))
+                 / sqrt(2 * np * nn * (2 * np * nn - nd)
+                        / (nd * nd * (nd - 1)))) > 2.576 AS BIGINT)
+             AS nonrandom_flag
+    FROM s
+"""
+
+
+def agg_tail_dependence(spark: SparkSession, sf: str) -> DataFrame:
+    """Upper-tail dependence of order value on customer balance — the
+    copula diagnostic Pearson/Kendall miss (does the dependence
+    concentrate in the extremes?).  Empirical lambda_U at three
+    quantile levels: thresholds are exact disc-percentiles on cents
+    (one 1-row fit, broadcast), exceedance counters are one aggregate
+    of exact integers, the ratios close per level."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("xs"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ys"),
+    )
+    qs = j.agg(
+        *[
+            F.expr(f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY xs)")
+            .cast("long")
+            .alias(f"qx{q}")
+            for q in (90, 95, 99)
+        ],
+        *[
+            F.expr(f"percentile_disc(0.{q}) WITHIN GROUP (ORDER BY ys)")
+            .cast("long")
+            .alias(f"qy{q}")
+            for q in (90, 95, 99)
+        ],
+    )
+    cnt = j.crossJoin(F.broadcast(qs)).agg(
+        *[
+            F.sum((F.col("xs") > F.col(f"qx{q}")).cast("long")).alias(f"nx{q}")
+            for q in (90, 95, 99)
+        ],
+        *[
+            F.sum(
+                ((F.col("xs") > F.col(f"qx{q}")) & (F.col("ys") > F.col(f"qy{q}"))).cast(
+                    "long"
+                )
+            ).alias(f"nj{q}")
+            for q in (90, 95, 99)
+        ],
+    )
+    return cnt.select(
+        *[F.col(f"nx{q}").cast("long").alias(f"n_exceed_{q}") for q in (90, 95, 99)],
+        *[
+            F.round(F.col(f"nj{q}") / F.col(f"nx{q}"), 6).alias(f"lambda_u_{q}")
+            for q in (90, 95, 99)
+        ],
+    )
+
+
+QUERIES["agg_tail_dependence"] = agg_tail_dependence
+
+ORACLES["agg_tail_dependence"] = """
+    WITH j AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS xs,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS ys
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    q AS (
+      SELECT
+        percentile_disc(0.90) WITHIN GROUP (ORDER BY xs) AS qx90,
+        percentile_disc(0.95) WITHIN GROUP (ORDER BY xs) AS qx95,
+        percentile_disc(0.99) WITHIN GROUP (ORDER BY xs) AS qx99,
+        percentile_disc(0.90) WITHIN GROUP (ORDER BY ys) AS qy90,
+        percentile_disc(0.95) WITHIN GROUP (ORDER BY ys) AS qy95,
+        percentile_disc(0.99) WITHIN GROUP (ORDER BY ys) AS qy99
+      FROM j),
+    c AS (
+      SELECT
+        sum(CASE WHEN xs > qx90 THEN 1 ELSE 0 END) AS nx90,
+        sum(CASE WHEN xs > qx95 THEN 1 ELSE 0 END) AS nx95,
+        sum(CASE WHEN xs > qx99 THEN 1 ELSE 0 END) AS nx99,
+        sum(CASE WHEN xs > qx90 AND ys > qy90 THEN 1 ELSE 0 END) AS nj90,
+        sum(CASE WHEN xs > qx95 AND ys > qy95 THEN 1 ELSE 0 END) AS nj95,
+        sum(CASE WHEN xs > qx99 AND ys > qy99 THEN 1 ELSE 0 END) AS nj99
+      FROM j CROSS JOIN q)
+    SELECT CAST(nx90 AS BIGINT) AS n_exceed_90,
+           CAST(nx95 AS BIGINT) AS n_exceed_95,
+           CAST(nx99 AS BIGINT) AS n_exceed_99,
+           round(nj90 / CAST(nx90 AS DOUBLE), 6) AS lambda_u_90,
+           round(nj95 / CAST(nx95 AS DOUBLE), 6) AS lambda_u_95,
+           round(nj99 / CAST(nx99 AS DOUBLE), 6) AS lambda_u_99
+    FROM c
+"""
+
+
+def agg_overdispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Overdispersion diagnosis of per-customer order counts against
+    the Poisson null (variance == mean) with the method-of-moments
+    negative-binomial ``r`` and the zero-inflation readout — the
+    pre-modeling sanity check for any count metric.  Zeros are REAL
+    (customers left-joined to orders); all moments are exact BIGINTs
+    from one keyed count + one fold."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    a = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        F.sum((F.col("cnt") == 0).cast("long")).alias("zeros"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1") / nd
+    v = (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - 1)
+    return a.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(m, 6).alias("mean_orders"),
+        F.round(v, 6).alias("var_orders"),
+        F.round(v / m, 6).alias("dispersion"),
+        F.round(F.when(v > m, m * m / (v - m)), 6).alias("negbin_r"),
+        F.round(F.col("zeros") / nd, 6).alias("zero_frac"),
+        F.round(F.exp(-m), 6).alias("poisson_zero_frac"),
+    )
+
+
+QUERIES["agg_overdispersion"] = agg_overdispersion
+
+ORACLES["agg_overdispersion"] = """
+    WITH o AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+    per AS (
+      SELECT coalesce(cnt, 0) AS cnt
+      FROM customer LEFT JOIN o ON c_custkey = o_custkey),
+    a AS (
+      SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2,
+             sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM per),
+    s AS (
+      SELECT n, zeros,
+             s1 / CAST(n AS DOUBLE) AS m,
+             (s2 - s1 * CAST(s1 AS DOUBLE) / n) / (n - 1) AS v
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(m, 6) AS mean_orders,
+           round(v, 6) AS var_orders,
+           round(v / m, 6) AS dispersion,
+           round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS negbin_r,
+           round(zeros / CAST(n AS DOUBLE), 6) AS zero_frac,
+           round(exp(-m), 6) AS poisson_zero_frac
+    FROM s
+"""
+
+
+def agg_best_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimal decision-stump split of order value against the urgent
+    label — weighted-Gini minimization over the $10k-bucket candidate
+    grid.  Cumulative class counts ride ONE window over the BUCKET
+    table (bounded by the value range, never the row count — the
+    ``agg_median_ci`` discipline); the argmin orders by the ROUNDED
+    impurity plus the bucket id so ties break identically in both
+    engines."""
+    o = t(spark, sf, "orders").select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 1000000)
+        .cast("long")
+        .alias("bucket"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").alias("pos"),
+    )
+    b = o.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = b.agg(F.sum("n").alias("tn"), F.sum("p").alias("tp"))
+    cum = (
+        b.withColumn("nl", F.sum("n").over(w))
+        .withColumn("pl", F.sum("p").over(w))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("tn"))  # a split must leave a right side
+    )
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nr = (F.col("tn") - F.col("nl")).cast("double")
+    pr = (F.col("tp") - F.col("pl")).cast("double")
+    wg = 2.0 * (pl * (nl - pl) / nl + pr * (nr - pr) / nr) / F.col("tn").cast("double")
+    base = (
+        2.0
+        * F.col("tp").cast("double")
+        * (F.col("tn") - F.col("tp")).cast("double")
+        / F.col("tn").cast("double")
+        / F.col("tn").cast("double")
+    )
+    ranked = cum.select(
+        "bucket",
+        F.col("nl").cast("long").alias("left_n"),
+        (F.col("tn") - F.col("nl")).cast("long").alias("right_n"),
+        F.round(wg, 9).alias("__wg9"),
+        F.round(wg, 6).alias("split_gini"),
+        F.round(base - wg, 6).alias("info_gain"),
+    ).orderBy(F.col("__wg9").asc(), F.col("bucket").asc())
+    return ranked.limit(1).select(
+        (F.col("bucket") * 1000000).alias("split_at_cents"),
+        "left_n",
+        "right_n",
+        "split_gini",
+        "info_gain",
+    )
+
+
+QUERIES["agg_best_split"] = agg_best_split
+
+ORACLES["agg_best_split"] = """
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bucket,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    b AS (SELECT bucket, count(*) AS n, sum(pos) AS p FROM o GROUP BY 1),
+    tot AS (SELECT sum(n) AS tn, sum(p) AS tp FROM b),
+    cum AS (
+      SELECT bucket,
+             sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS nl,
+             sum(p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pl,
+             tn, tp
+      FROM b CROSS JOIN tot),
+    c AS (SELECT * FROM cum WHERE nl < tn),
+    g AS (
+      SELECT bucket, nl, tn - nl AS nr,
+             2.0 * (pl * CAST(nl - pl AS DOUBLE) / nl
+                    + (tp - pl) * CAST((tn - nl) - (tp - pl) AS DOUBLE)
+                      / (tn - nl)) / tn AS wg,
+             2.0 * tp * CAST(tn - tp AS DOUBLE) / tn / tn AS base
+      FROM c)
+    SELECT CAST(bucket * 1000000 AS BIGINT) AS split_at_cents,
+           CAST(nl AS BIGINT) AS left_n,
+           CAST(nr AS BIGINT) AS right_n,
+           round(wg, 6) AS split_gini,
+           round(base - wg, 6) AS info_gain
+    FROM g
+    ORDER BY round(wg, 9) ASC, bucket ASC
+    LIMIT 1
+"""
+
+
+def agg_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-Evidence and Information Value of market segment
+    against the big-order outcome — the credit-scoring feature screen.
+    Cell counts are exact; WoE is one log per BIN (5 bins); the IV
+    total sums the 1e-9-rounded per-bin terms AS INTEGERS so the
+    5-term reduction is order-free in both engines."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf, "orders").select(
+        "o_custkey", (F.col("o_totalprice") > 150000).cast("long").alias("pos")
+    )
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("pos").alias("good"), F.sum(1 - F.col("pos")).alias("bad"))
+    )
+    tot = g.agg(F.sum("good").alias("tg"), F.sum("bad").alias("tb"))
+    per = g.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        (F.col("good") + F.col("bad")).cast("long").alias("n"),
+        F.col("good").cast("long").alias("n_big"),
+        F.log(
+            (F.col("good") / F.col("tg")) / (F.col("bad") / F.col("tb"))
+        ).alias("__woe"),
+        (
+            (F.col("good") / F.col("tg") - F.col("bad") / F.col("tb"))
+            * F.log((F.col("good") / F.col("tg")) / (F.col("bad") / F.col("tb")))
+        ).alias("__iv"),
+    )
+    ivtot = per.agg(
+        (F.sum(F.round(F.col("__iv") * 1e9).cast("long")) / 1e9).alias("iv_total")
+    )
+    return (
+        per.crossJoin(F.broadcast(ivtot))
+        .select(
+            "c_mktsegment",
+            "n",
+            "n_big",
+            F.round("__woe", 6).alias("woe"),
+            F.round("__iv", 6).alias("iv_term"),
+            F.round("iv_total", 6).alias("iv_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["agg_woe_iv"] = agg_woe_iv
+
+ORACLES["agg_woe_iv"] = """
+    WITH g AS (
+      SELECT c_mktsegment,
+             sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS good,
+             sum(CASE WHEN o_totalprice > 150000 THEN 0 ELSE 1 END) AS bad
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    tot AS (SELECT sum(good) AS tg, sum(bad) AS tb FROM g),
+    per AS (
+      SELECT c_mktsegment, good + bad AS n, good AS n_big,
+             ln((good / CAST(tg AS DOUBLE)) / (bad / CAST(tb AS DOUBLE))) AS woe,
+             (good / CAST(tg AS DOUBLE) - bad / CAST(tb AS DOUBLE))
+               * ln((good / CAST(tg AS DOUBLE)) / (bad / CAST(tb AS DOUBLE)))
+               AS iv
+      FROM g CROSS JOIN tot),
+    ivt AS (
+      SELECT sum(CAST(round(iv * 1e9) AS BIGINT)) / 1e9 AS iv_total FROM per)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n, CAST(n_big AS BIGINT) AS n_big,
+           round(woe, 6) AS woe, round(iv, 6) AS iv_term,
+           round(iv_total, 6) AS iv_total
+    FROM per CROSS JOIN ivt
+    ORDER BY c_mktsegment
+"""
+
+
+def agg_concurrency_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak open-order concurrency (orders placed but not yet fully
+    shipped) — Little's-law-style operational load, computed WITHOUT
+    an interval sweep over rows: the interval is o_orderdate -> the
+    order's LAST shipment day; daily open/close counts fold map-side,
+    the cumulative difference runs over the DAY table (bounded by the
+    calendar, not the data — the ``agg_median_ci`` window discipline),
+    and the answer is the top-10 peak days with exact integer counts."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    done = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    iv = o.join(done, o.o_orderkey == done.l_orderkey).select(
+        F.unix_millis(F.date_trunc("day", "o_orderdate")).alias("open_ms"),
+        F.unix_millis(F.date_trunc("day", "last_ship")).alias("close_ms"),
+    )
+    ships = iv.groupBy(F.col("open_ms").alias("day_ms")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    recvs = iv.groupBy(F.col("close_ms").alias("day_ms")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    days = (
+        ships.join(recvs, "day_ms", "full")
+        .select(
+            "day_ms",
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("r", F.lit(0)).alias("r"),
+        )
+    )
+    w = Window.orderBy("day_ms").rowsBetween(Window.unboundedPreceding, 0)
+    transit = days.select(
+        "day_ms",
+        (F.sum("s").over(w) - F.sum("r").over(w)).cast("long").alias("in_transit"),
+    )
+    return transit.orderBy(
+        F.col("in_transit").desc(), F.col("day_ms").asc()
+    ).limit(10)
+
+
+QUERIES["agg_concurrency_profile"] = agg_concurrency_profile
+
+ORACLES["agg_concurrency_profile"] = """
+    WITH iv AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) AS open_ms,
+             CAST(epoch_ms(date_trunc('day', last_ship)) AS BIGINT) AS close_ms
+      FROM orders
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY 1) d
+        ON o_orderkey = l_orderkey),
+    s AS (
+      SELECT open_ms AS day_ms, count(*) AS s FROM iv GROUP BY 1),
+    r AS (
+      SELECT close_ms AS day_ms, count(*) AS r FROM iv GROUP BY 1),
+    d AS (
+      SELECT coalesce(s.day_ms, r.day_ms) AS day_ms,
+             coalesce(s.s, 0) AS s, coalesce(r.r, 0) AS r
+      FROM s FULL JOIN r ON s.day_ms = r.day_ms),
+    tr AS (
+      SELECT day_ms,
+             CAST(sum(s) OVER (ORDER BY day_ms ROWS UNBOUNDED PRECEDING)
+                  - sum(r) OVER (ORDER BY day_ms ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS in_transit
+      FROM d)
+    SELECT day_ms, in_transit
+    FROM tr ORDER BY in_transit DESC, day_ms ASC LIMIT 10
+"""

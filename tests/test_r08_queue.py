@@ -1,0 +1,47 @@
+"""The r08 staging queue carries full oracle confidence NOW — the same
+discipline test_r07_queue.py applies: every staged (query, oracle) pair
+runs through the exact normalize-and-compare check
+``tools/check_oracle.py`` applies to the registered inventory, plus the
+drain-plan cap (growth <= drain rate, the r03 lesson)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
+from image_matadata_batchprocessing_aws_spark.schemas import DRIVER_TABLES
+from tests.conftest import SF_SMOKE
+
+
+def test_queue_keys_paired_and_capped():
+    assert set(r08_queue.QUERIES) == set(r08_queue.ORACLES)
+    # staged: no collision with the live registry OR the r07 queue
+    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+
+    assert not set(r08_queue.QUERIES) & set(all_queries())
+    assert not set(r08_queue.QUERIES) & set(r07_queue.QUERIES)
+    # drain-plan cap: stage at most 50 pairs per round (growth <= drain)
+    assert len(r08_queue.QUERIES) <= 50
+
+
+@pytest.mark.parametrize("name", sorted(r08_queue.QUERIES))
+def test_queue_query_matches_oracle(spark, name):
+    from tools.check_oracle import normalize
+
+    con = duckdb.connect()
+    for tbl in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_SMOKE}/{tbl}.parquet'"
+        )
+    sdf = r08_queue.QUERIES[name](spark, SF_SMOKE)
+    scols, srows = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(r08_queue.ORACLES[name])
+    ocols, orows = normalize(res.fetchall(), [d[0] for d in res.description])
+    assert scols == ocols, (scols, ocols)
+    assert len(srows) == len(orows)
+    assert srows == orows

@@ -66,9 +66,16 @@ def main():
     from image_matadata_batchprocessing_aws_spark.operators.caching import release_persisted
 
     if staged:
-        from image_matadata_batchprocessing_aws_spark.queries import r07_queue
+        # --staged covers EVERY unregistered queue module (one gate for
+        # the whole staging surface; r07 registers ~r09 per the drain
+        # plan, r08 behind it)
+        from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
 
-        qs, oracles = r07_queue.QUERIES, r07_queue.ORACLES
+        overlap = set(r07_queue.QUERIES) & set(r08_queue.QUERIES)
+        if overlap:
+            raise SystemExit(f"staged-queue name collision: {overlap}")
+        qs = {**r07_queue.QUERIES, **r08_queue.QUERIES}
+        oracles = {**r07_queue.ORACLES, **r08_queue.ORACLES}
     else:
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
