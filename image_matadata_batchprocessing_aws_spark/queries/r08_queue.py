@@ -1342,3 +1342,916 @@ ORACLES["agg_concurrency_profile"] = """
     SELECT day_ms, in_transit
     FROM tr ORDER BY in_transit DESC, day_ms ASC LIMIT 10
 """
+
+
+# --- eval / IR --------------------------------------------------------------
+
+
+def eval_weighted_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-weighted Cohen's kappa between two ordinal raters (the
+    priority scale vs fixed value bands) — the agreement metric for
+    ORDERED labels the registered unweighted ``eval_kappa`` can't
+    grade.  With integer weights |i-j| both the observed disagreement
+    and the expected disagreement are EXACT BIGINTs (O_w = sum w*O_ij;
+    E_w = sum w*r_i*c_j), so kappa = 1 - n*O_w/E_w closes as one
+    division — no per-cell float sum at all."""
+    o = t(spark, sf, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 2)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 3)
+        .otherwise(4)
+        .alias("ra"),
+        F.when(F.col("o_totalprice") < 50000, 0)
+        .when(F.col("o_totalprice") < 100000, 1)
+        .when(F.col("o_totalprice") < 150000, 2)
+        .when(F.col("o_totalprice") < 250000, 3)
+        .otherwise(4)
+        .alias("rb"),
+    )
+    cells = o.groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c"))
+    ow = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.abs(F.col("ra") - F.col("rb")) * F.col("c")).alias("ow"),
+    )
+    rows = cells.groupBy("ra").agg(F.sum("c").alias("ri"))
+    cols = cells.groupBy("rb").agg(F.sum("c").alias("cj"))
+    ew = rows.crossJoin(cols).agg(
+        F.sum(F.abs(F.col("ra") - F.col("rb")) * F.col("ri") * F.col("cj")).alias("ew")
+    )
+    return ow.crossJoin(ew).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ow").cast("long").alias("obs_disagree_w"),
+        F.col("ew").cast("long").alias("exp_disagree_w"),
+        F.round(1.0 - F.col("n") * F.col("ow") / F.col("ew"), 6).alias("kappa_w"),
+    )
+
+
+QUERIES["eval_weighted_kappa"] = eval_weighted_kappa
+
+ORACLES["eval_weighted_kappa"] = """
+    WITH o AS (
+      SELECT CASE o_orderpriority
+               WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+               WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+               ELSE 4 END AS ra,
+             CASE WHEN o_totalprice < 50000 THEN 0
+                  WHEN o_totalprice < 100000 THEN 1
+                  WHEN o_totalprice < 150000 THEN 2
+                  WHEN o_totalprice < 250000 THEN 3
+                  ELSE 4 END AS rb
+      FROM orders),
+    cells AS (SELECT ra, rb, count(*) AS c FROM o GROUP BY 1, 2),
+    ow AS (SELECT sum(c) AS n, sum(abs(ra - rb) * c) AS ow FROM cells),
+    r AS (SELECT ra, sum(c) AS ri FROM cells GROUP BY 1),
+    cc AS (SELECT rb, sum(c) AS cj FROM cells GROUP BY 1),
+    ew AS (SELECT sum(abs(ra - rb) * ri * cj) AS ew FROM r CROSS JOIN cc)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ow AS BIGINT) AS obs_disagree_w,
+           CAST(ew AS BIGINT) AS exp_disagree_w,
+           round(1.0 - n * ow / CAST(ew AS DOUBLE), 6) AS kappa_w
+    FROM ow CROSS JOIN ew
+"""
+
+
+def eval_kendalls_w(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's W concordance across three deterministic nation
+    rankings (revenue, order count, peak order) — do independent
+    league tables agree?  Ranks are integer row_numbers with the
+    nationkey tiebreak; W closes from the exact integer rank-sum
+    squares: W = (12*S - 3*m^2*n*(n+1)^2) / (m^2*n*(n^2-1))."""
+    j = (
+        t(spark, sf, "orders")
+        .join(
+            F.broadcast(t(spark, sf, "customer").select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mx"),
+        )
+    )
+    parts = []
+    for metric in ("rev", "cnt", "mx"):
+        w = Window.orderBy(F.col(metric).desc(), F.col("c_nationkey").asc())
+        parts.append(j.select("c_nationkey", F.row_number().over(w).alias("rk")))
+    ranks = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    rsum = ranks.groupBy("c_nationkey").agg(F.sum("rk").alias("r"))
+    a = rsum.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("r") * F.col("r")).alias("s")
+    )
+    n, s = F.col("n"), F.col("s")
+    m = F.lit(3)
+    wstat = (12.0 * s - 3 * m * m * n * (n + 1) * (n + 1)) / (
+        (m * m * n * (n * n - 1)).cast("double")
+    )
+    return a.select(
+        n.cast("long").alias("n_items"),
+        F.lit(3).cast("long").alias("m_rankers"),
+        s.cast("long").alias("s_rank_sq"),
+        F.round(wstat, 6).alias("kendalls_w"),
+    )
+
+
+QUERIES["eval_kendalls_w"] = eval_kendalls_w
+
+ORACLES["eval_kendalls_w"] = """
+    WITH g AS (
+      SELECT c_nationkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev,
+             count(*) AS cnt,
+             max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    ranks AS (
+      SELECT c_nationkey,
+             row_number() OVER (ORDER BY rev DESC, c_nationkey) AS rk FROM g
+      UNION ALL
+      SELECT c_nationkey,
+             row_number() OVER (ORDER BY cnt DESC, c_nationkey) FROM g
+      UNION ALL
+      SELECT c_nationkey,
+             row_number() OVER (ORDER BY mx DESC, c_nationkey) FROM g),
+    rsum AS (SELECT c_nationkey, sum(rk) AS r FROM ranks GROUP BY 1),
+    a AS (SELECT count(*) AS n, sum(r * r) AS s FROM rsum)
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(3 AS BIGINT) AS m_rankers,
+           CAST(s AS BIGINT) AS s_rank_sq,
+           round((12.0 * s - 3 * 9 * n * (n + 1) * (n + 1))
+                 / CAST(9 * n * (n * n - 1) AS DOUBLE), 6) AS kendalls_w
+    FROM a
+"""
+
+
+def eval_extraction_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """Extraction-system F1 via per-document MULTISET matching: the
+    gold extractor ({join, merge, sort} tokens) vs the predicted one
+    ({join, merge, scan}); a prediction counts iff the same token was
+    extracted from the same doc no more times than gold did (the
+    span-eval counting rule, token-granular).  Tokens are filtered to
+    the two term sets BEFORE any shuffle (posting-list shape), so the
+    matched/precision/recall counters are exact integers."""
+    toks = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .where(F.col("w").isin("join", "merge", "sort", "scan"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gold = F.col("w").isin("join", "merge", "sort")
+    pred = F.col("w").isin("join", "merge", "scan")
+    a = toks.agg(
+        F.sum(F.when(gold, F.col("c")).otherwise(0)).alias("n_gold"),
+        F.sum(F.when(pred, F.col("c")).otherwise(0)).alias("n_pred"),
+        F.sum(F.when(gold & pred, F.col("c")).otherwise(0)).alias("matched"),
+    )
+    p = F.col("matched") / F.col("n_pred")
+    r = F.col("matched") / F.col("n_gold")
+    return a.select(
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("matched").cast("long").alias("matched"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )
+
+
+QUERIES["eval_extraction_f1"] = eval_extraction_f1
+
+ORACLES["eval_extraction_f1"] = r"""
+    WITH toks AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE w IN ('join', 'merge', 'sort', 'scan')
+      GROUP BY 1, 2),
+    a AS (
+      SELECT
+        sum(CASE WHEN w IN ('join','merge','sort') THEN c ELSE 0 END) AS n_gold,
+        sum(CASE WHEN w IN ('join','merge','scan') THEN c ELSE 0 END) AS n_pred,
+        sum(CASE WHEN w IN ('join','merge') THEN c ELSE 0 END) AS matched
+      FROM toks)
+    SELECT CAST(n_gold AS BIGINT) AS n_gold,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(matched AS BIGINT) AS matched,
+           round(matched / CAST(n_pred AS DOUBLE), 6) AS precision,
+           round(matched / CAST(n_gold AS DOUBLE), 6) AS recall,
+           round(2 * (matched / CAST(n_pred AS DOUBLE))
+                   * (matched / CAST(n_gold AS DOUBLE))
+                 / (matched / CAST(n_pred AS DOUBLE)
+                    + matched / CAST(n_gold AS DOUBLE)), 6) AS f1
+    FROM a
+"""
+
+
+def search_dirichlet_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (mu=2000) for
+    the house query {join, spark, vector} — the OTHER classic lexical
+    ranker next to the registered BM25 (Zhai & Lafferty 2004).  Unlike
+    BM25 a zero-tf document still scores (collection smoothing), so
+    the doc x term grid builds from a 3-literal explode LEFT-joined to
+    the postings — |q| rows per doc, never vocab-sized; collection
+    term stats are a 3-row broadcast."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("__t"),
+    )
+    base = docs.select("doc_id", F.size("__t").alias("dl"), F.col("__t"))
+    ex = base.select(
+        "doc_id", "dl", F.explode_outer("__t").alias("term")
+    ).where(F.col("term").isin("join", "spark", "vector"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    coll = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    ctot = base.agg(F.sum("dl").alias("ct"))
+    grid = base.select(
+        "doc_id",
+        "dl",
+        F.explode(F.array(F.lit("join"), F.lit("spark"), F.lit("vector"))).alias(
+            "term"
+        ),
+    )
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .fillna(0, subset=["tf"])
+        .join(F.broadcast(coll), "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("tf") + 2000.0 * F.col("cf") / F.col("ct"))
+                / (F.col("dl") + 2000.0)
+            ).alias("__term_ll"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.round(F.col("__term_ll") * 1e9).cast("long")) / 1e9, 4).alias(
+            "ql_score"
+        )
+    )
+    return out.orderBy(F.col("ql_score").desc(), "doc_id").limit(20)
+
+
+QUERIES["search_dirichlet_lm"] = search_dirichlet_lm
+
+ORACLES["search_dirichlet_lm"] = r"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS dl,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM base),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM ex WHERE term IN ('join', 'spark', 'vector')
+      GROUP BY 1, 2),
+    coll AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+    ctot AS (SELECT sum(dl) AS ct FROM base),
+    grid AS (
+      SELECT b.doc_id, b.dl, q.term
+      FROM base b CROSS JOIN (VALUES ('join'), ('spark'), ('vector')) q(term)),
+    scored AS (
+      SELECT g.doc_id,
+             ln((coalesce(tf.tf, 0) + 2000.0 * coll.cf / ctot.ct)
+                / (g.dl + 2000.0)) AS term_ll
+      FROM grid g
+      LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.term = tf.term
+      JOIN coll ON g.term = coll.term
+      CROSS JOIN ctot)
+    SELECT doc_id,
+           round(sum(CAST(round(term_ll * 1e9) AS BIGINT)) / 1e9, 4) AS ql_score
+    FROM scored GROUP BY 1
+    ORDER BY ql_score DESC, doc_id LIMIT 20
+"""
+
+
+def search_postings_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Static index-pruning audit: keep only the top-50 postings per
+    query term (by tf, doc tiebreak), score the house query with
+    tf-idf on BOTH the full and the pruned index, and report recall@10
+    of the pruned top list — the measurement that justifies (or
+    vetoes) shipping a smaller index.  Postings are query-term-
+    filtered before any shuffle; the per-term top-50 window runs over
+    posting lists, not the corpus."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__t")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("nd"))
+    ex = docs.select("doc_id", F.explode_outer("__t").alias("term")).where(
+        F.col("term").isin("join", "spark", "vector")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def score(postings):
+        sc = (
+            postings.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(n_docs))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("tf")
+                            * F.log(F.col("nd") / F.col("df"))
+                            * 1e9
+                        ).cast("long")
+                    )
+                    / 1e9,
+                    4,
+                ).alias("s")
+            )
+        )
+        return sc.orderBy(F.col("s").desc(), "doc_id").limit(10)
+
+    wp = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    pruned = tf.withColumn("rk", F.row_number().over(wp)).where(F.col("rk") <= 50)
+    full10 = score(tf).select(F.col("doc_id").alias("fd"))
+    prun10 = score(pruned.drop("rk")).select(F.col("doc_id").alias("pd"))
+    hit = full10.join(prun10, full10.fd == prun10.pd).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    sizes = tf.agg(F.count(F.lit(1)).alias("full_postings")).crossJoin(
+        pruned.agg(F.count(F.lit(1)).alias("pruned_postings"))
+    )
+    return hit.crossJoin(sizes).select(
+        F.col("full_postings").cast("long").alias("full_postings"),
+        F.col("pruned_postings").cast("long").alias("pruned_postings"),
+        F.col("hits").cast("long").alias("overlap_at_10"),
+        F.round(F.col("hits") / 10.0, 6).alias("recall_at_10"),
+    )
+
+
+QUERIES["search_postings_prune"] = search_postings_prune
+
+ORACLES["search_postings_prune"] = r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    nd AS (SELECT count(*) AS nd FROM docs),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM docs),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM ex WHERE term IN ('join', 'spark', 'vector')
+      GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    pruned AS (
+      SELECT doc_id, term, tf FROM (
+        SELECT doc_id, term, tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id ASC) AS rk
+        FROM tf) WHERE rk <= 50),
+    fsc AS (
+      SELECT tf.doc_id,
+             round(sum(CAST(round(tf.tf * ln(nd.nd / CAST(d.df AS DOUBLE)) * 1e9)
+                            AS BIGINT)) / 1e9, 4) AS s
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN nd
+      GROUP BY 1),
+    psc AS (
+      SELECT p.doc_id,
+             round(sum(CAST(round(p.tf * ln(nd.nd / CAST(d.df AS DOUBLE)) * 1e9)
+                            AS BIGINT)) / 1e9, 4) AS s
+      FROM pruned p JOIN dfreq d USING (term) CROSS JOIN nd
+      GROUP BY 1),
+    f10 AS (SELECT doc_id FROM fsc ORDER BY s DESC, doc_id LIMIT 10),
+    p10 AS (SELECT doc_id FROM psc ORDER BY s DESC, doc_id LIMIT 10),
+    hits AS (SELECT count(*) AS hits FROM f10 JOIN p10 USING (doc_id)),
+    sizes AS (
+      SELECT (SELECT count(*) FROM tf) AS full_postings,
+             (SELECT count(*) FROM pruned) AS pruned_postings)
+    SELECT CAST(full_postings AS BIGINT) AS full_postings,
+           CAST(pruned_postings AS BIGINT) AS pruned_postings,
+           CAST(hits AS BIGINT) AS overlap_at_10,
+           round(hits / 10.0, 6) AS recall_at_10
+    FROM hits CROSS JOIN sizes
+"""
+
+
+# --- text / LM-data ---------------------------------------------------------
+
+
+def text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 5-gram novelty: the fraction of a doc's distinct
+    token 5-grams whose FIRST corpus occurrence (min doc_id) is the doc
+    itself — the freshness curve a dedup-aware curation pipeline reads
+    before admitting a new source.  Grams build from lead() windows
+    bounded per doc; first-occurrence is one keyed min over the gram
+    table (grams shuffle, text never does)."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "w",
+                F.lead("w", 1).over(wd),
+                F.lead("w", 2).over(wd),
+                F.lead("w", 3).over(wd),
+                F.lead("w", 4).over(wd),
+            ).alias("g"),
+            F.lead("w", 4).over(wd).alias("__tail"),
+        )
+        .where(F.col("__tail").isNotNull())
+        .select("doc_id", "g")
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+
+ORACLES["text_ngram_novelty"] = r"""
+    WITH toks AS (
+      SELECT doc_id, pos, t[pos + 1] AS w,
+             CASE WHEN pos + 5 <= len(t)
+                  THEN concat_ws(' ', t[pos + 1], t[pos + 2], t[pos + 3],
+                                 t[pos + 4], t[pos + 5]) END AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents),
+           unnest(range(len(t))) u(pos)),
+    grams AS (SELECT DISTINCT doc_id, g FROM toks WHERE g IS NOT NULL),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+    per AS (
+      SELECT grams.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN first_doc = grams.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM grams JOIN first USING (g) GROUP BY 1)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
+    FROM per ORDER BY doc_id
+"""
+
+
+def text_msttr(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean segmental type-token ratio per language — lexical diversity
+    on FIXED 50-token segments so document length can't confound the
+    ratio (the reason raw TTR is useless across mixed-length corpora).
+    Ragged tails drop (the standard MSTTR rule); the per-language
+    reduction is pure integer sums (sum distinct-counts / 50*segments),
+    so one division closes it."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    seg = toks.select(
+        "doc_id", "lang", (F.col("pos") / 50).cast("long").alias("seg"), "w"
+    )
+    per_seg = seg.groupBy("doc_id", "lang", "seg").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("w").alias("d")
+    ).where(F.col("n") == 50)
+    out = per_seg.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("d").alias("__sd"),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_segments",
+        F.round(F.col("__sd") / (50.0 * F.col("n_segments")), 6).alias("msttr"),
+    ).orderBy("lang")
+
+
+QUERIES["text_msttr"] = text_msttr
+
+ORACLES["text_msttr"] = r"""
+    WITH toks AS (
+      SELECT doc_id, lang, pos // 50 AS seg, t[pos + 1] AS w
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+            FROM documents),
+           unnest(range(len(t))) u(pos)),
+    per_seg AS (
+      SELECT doc_id, lang, seg, count(*) AS n, count(DISTINCT w) AS d
+      FROM toks GROUP BY 1, 2, 3
+      HAVING count(*) = 50),
+    o AS (
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments,
+             sum(d) AS sd
+      FROM per_seg GROUP BY 1)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           round(sd / (50.0 * n_segments), 6) AS msttr
+    FROM o ORDER BY lang
+"""
+
+
+def text_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities for the context
+    'join' (absolute discount D=0.75) — the LM-data statistic whose
+    continuation counts (distinct LEFT contexts per word) are exactly
+    the shuffle-heavy part of n-gram LM estimation at corpus scale.
+    Every input is an integer count over the bigram table; the
+    interpolation closes as one float expression, top-10 by rounded
+    probability with the word tiebreak."""
+    toks = t(spark, sf, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("w", F.lead("w", 1).over(wd).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("w", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = bg.where(F.col("w") == "join").select("nxt", F.col("c").alias("c_vw"))
+    c_v = bg.where(F.col("w") == "join").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
+    )
+    cont = bg.groupBy("nxt").agg(F.count(F.lit(1)).alias("n1w"))
+    total_types = bg.agg(F.count(F.lit(1)).alias("nbt"))
+    out = (
+        ctx.join(cont, "nxt")
+        .crossJoin(F.broadcast(c_v))
+        .crossJoin(F.broadcast(total_types))
+        .select(
+            F.col("nxt").alias("word"),
+            F.col("c_vw").cast("long").alias("c_bigram"),
+            F.col("n1w").cast("long").alias("n_left_contexts"),
+            F.round(
+                F.greatest(F.col("c_vw") - 0.75, F.lit(0.0)) / F.col("cv")
+                + 0.75
+                * F.col("n1v")
+                / F.col("cv")
+                * (F.col("n1w") / F.col("nbt")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    return out.orderBy(F.col("p_kn").desc(), F.col("word").asc()).limit(10)
+
+
+QUERIES["text_kneser_ney"] = text_kneser_ney
+
+ORACLES["text_kneser_ney"] = r"""
+    WITH toks AS (
+      SELECT doc_id, pos, t[pos + 1] AS w,
+             CASE WHEN pos + 2 <= len(t) THEN t[pos + 2] END AS nxt
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents),
+           unnest(range(len(t))) u(pos)),
+    bg AS (
+      SELECT w, nxt, count(*) AS c
+      FROM toks WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    ctx AS (SELECT nxt, c AS c_vw FROM bg WHERE w = 'join'),
+    cv AS (SELECT sum(c) AS cv, count(*) AS n1v FROM bg WHERE w = 'join'),
+    cont AS (SELECT nxt, count(*) AS n1w FROM bg GROUP BY 1),
+    nbt AS (SELECT count(*) AS nbt FROM bg)
+    SELECT ctx.nxt AS word, CAST(c_vw AS BIGINT) AS c_bigram,
+           CAST(n1w AS BIGINT) AS n_left_contexts,
+           round(greatest(c_vw - 0.75, 0.0) / cv
+                 + 0.75 * n1v / CAST(cv AS DOUBLE) * (n1w / CAST(nbt AS DOUBLE)),
+                 6) AS p_kn
+    FROM ctx JOIN cont ON ctx.nxt = cont.nxt
+    CROSS JOIN cv CROSS JOIN nbt
+    ORDER BY p_kn DESC, word ASC LIMIT 10
+"""
+
+
+def text_lang_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language sub-corpora — the
+    cross-lingual contamination screen (shared-vocab mass says whether
+    a lang-ID split actually separated the corpora).  Distinct
+    (lang, token) first (one shuffle on tokens), then the pair join
+    runs on the VOCAB grain; the 10 language pairs close from exact
+    set sizes."""
+    v = (
+        t(spark, sf, "documents")
+        .select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .distinct()
+    )
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).alias("sz"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("sz_a").cast("long").alias("vocab_a"),
+            F.col("sz_b").cast("long").alias("vocab_b"),
+            F.col("inter").cast("long").alias("shared"),
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+QUERIES["text_lang_vocab_overlap"] = text_lang_vocab_overlap
+
+ORACLES["text_lang_vocab_overlap"] = r"""
+    WITH v AS (
+      SELECT DISTINCT lang, w
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)),
+    sizes AS (SELECT lang, count(*) AS sz FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter
+      FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT lang_a, lang_b,
+           CAST(sa.sz AS BIGINT) AS vocab_a,
+           CAST(sb.sz AS BIGINT) AS vocab_b,
+           CAST(inter AS BIGINT) AS shared,
+           round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    ORDER BY lang_a, lang_b
+"""
+
+
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary (k = 10/50/100/500)
+    — the tokenizer-budget readout: how much of the corpus does a
+    k-word vocab already explain?  One token count, one cumulative
+    window over the RANKED VOCAB (bounded by vocab size, never corpus
+    size), exact integer mass everywhere."""
+    cnt = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = cnt.withColumn("rk", F.row_number().over(wv)).withColumn(
+        "cum", F.sum("c").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = cnt.agg(F.sum("c").alias("tot"), F.count(F.lit(1)).alias("vocab"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(50), F.lit(100), F.lit(500))).alias("k")
+    )
+    at = ks.join(
+        ranked, ranked.rk == ks.k, "left"
+    ).crossJoin(F.broadcast(tot))
+    return at.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.coalesce(F.col("cum"), F.col("tot")).cast("long").alias("covered"),
+        F.col("tot").cast("long").alias("total_tokens"),
+        F.round(
+            F.coalesce(F.col("cum"), F.col("tot")) / F.col("tot"), 6
+        ).alias("coverage"),
+    ).orderBy("k")
+
+
+QUERIES["text_vocab_coverage"] = text_vocab_coverage
+
+ORACLES["text_vocab_coverage"] = r"""
+    WITH cnt AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      GROUP BY 1),
+    ranked AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w ASC) AS rk,
+             sum(c) OVER (ORDER BY c DESC, w ASC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cnt),
+    tot AS (SELECT sum(c) AS tot, count(*) AS vocab FROM cnt),
+    ks AS (SELECT unnest([10, 50, 100, 500]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(coalesce(cum, tot) AS BIGINT) AS covered,
+           CAST(tot AS BIGINT) AS total_tokens,
+           round(coalesce(cum, tot) / CAST(tot AS DOUBLE), 6) AS coverage
+    FROM ks LEFT JOIN ranked ON rk = k CROSS JOIN tot
+    ORDER BY k
+"""
+
+
+def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the registered n-gram language-ID heuristic
+    (``operators/text.add_lang_id``) against the gold ``lang`` column,
+    with overall accuracy — the eval loop closed over an already-
+    shipped operator.  The oracle regenerates the predictor from the
+    SAME profile dict (the ``text_lang_id`` discipline), so the two
+    engines cannot drift."""
+    from image_matadata_batchprocessing_aws_spark.operators.text import add_lang_id
+
+    d = add_lang_id(t(spark, sf, "documents")).select("lang", "lang_pred")
+    cells = d.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    acc = d.agg(
+        (
+            F.sum((F.col("lang") == F.col("lang_pred")).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("accuracy")
+    )
+    return (
+        cells.crossJoin(F.broadcast(acc))
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.round("accuracy", 6).alias("accuracy"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+QUERIES["text_lang_confusion"] = text_lang_confusion
+
+
+def _lang_confusion_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.operators.text import _LANG_PROFILES
+
+    arms = []
+    for lang, profile in sorted(_LANG_PROFILES.items()):
+        score = " + ".join(
+            f"(CASE WHEN contains(lt, '{bg}') THEN 1 ELSE 0 END)" for bg in profile
+        )
+        arms.append(f"SELECT doc_id, '{lang}' AS plang, {score} AS score FROM t")
+    union = "\n          UNION ALL ".join(arms)
+    return f"""
+        WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        s AS ({union}),
+        r AS (SELECT doc_id, plang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, plang DESC) AS rn
+              FROM s),
+        pred AS (
+          SELECT d.doc_id, d.lang, r.plang AS lang_pred
+          FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1),
+        cells AS (
+          SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+        acc AS (
+          SELECT sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS accuracy
+          FROM pred)
+        SELECT lang, lang_pred, CAST(n AS BIGINT) AS n,
+               round(accuracy, 6) AS accuracy
+        FROM cells CROSS JOIN acc
+        ORDER BY lang, lang_pred
+    """
+
+
+ORACLES["text_lang_confusion"] = _lang_confusion_oracle()
+
+
+def chunk_semantic_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic chunk-boundary detection with no model in the loop:
+    50-token segments get signed hashing-trick vectors (the registered
+    ``text_hash_embed`` kernel, dim 16), adjacent segments compare by
+    cosine, and a boundary fires where the ROUNDED similarity drops
+    below 0.3 — the split rule a RAG chunker applies before packing.
+    Everything data-sized is one token explode + keyed aggregates; the
+    adjacency join runs on the SEGMENT grain (rows/50) with a
+    dim-keyed sparse dot (never densify)."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+
+    toks = t(spark, sf, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    h = md5_int32("w")
+    sparse = (
+        toks.select(
+            "doc_id",
+            (F.col("pos") / 50).cast("long").alias("seg"),
+            (h % 16).cast("long").alias("dim"),
+            F.when((h / 16).cast("long") % 2 == 0, 1).otherwise(-1).alias("s"),
+        )
+        .groupBy("doc_id", "seg", "dim")
+        .agg(F.sum("s").alias("wt"))
+        .where(F.col("wt") != 0)
+    )
+    norms = sparse.groupBy("doc_id", "seg").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("nrm")
+    )
+    a, b = sparse.alias("a"), sparse.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.seg") == F.col("a.seg") + 1)
+            & (F.col("a.dim") == F.col("b.dim")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.seg").alias("seg"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    pairs = (
+        na.join(
+            nb,
+            (F.col("na.doc_id") == F.col("nb.doc_id"))
+            & (F.col("nb.seg") == F.col("na.seg") + 1),
+        )
+        .select(
+            F.col("na.doc_id").alias("doc_id"),
+            F.col("na.seg").alias("seg"),
+            F.col("na.nrm").alias("nrm_a"),
+            F.col("nb.nrm").alias("nrm_b"),
+        )
+        .join(dots, ["doc_id", "seg"], "left")
+        .select(
+            "doc_id",
+            "seg",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0))
+                / F.sqrt(F.col("nrm_a").cast("double") * F.col("nrm_b")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    segs = norms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    per = pairs.groupBy("doc_id").agg(
+        F.sum((F.col("sim") < 0.3).cast("long")).alias("n_boundaries"),
+        F.min("sim").alias("min_adj_sim"),
+    )
+    return (
+        segs.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.coalesce("n_boundaries", F.lit(0)).cast("long").alias("n_boundaries"),
+            F.col("min_adj_sim"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["chunk_semantic_split"] = chunk_semantic_split
+
+
+def _semantic_split_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+
+    h = md5_int32_sql("w")
+    return rf"""
+    WITH tok0 AS (
+      SELECT doc_id, pos // 50 AS seg, t[pos + 1] AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents),
+           unnest(range(len(t))) u(pos)),
+    toks AS (SELECT doc_id, seg, {h} AS h FROM tok0),
+    sparse AS (
+      SELECT doc_id, seg, h % 16 AS dim,
+             sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS wt
+      FROM toks GROUP BY 1, 2, 3
+      HAVING sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) != 0),
+    norms AS (
+      SELECT doc_id, seg, sum(wt * wt) AS nrm FROM sparse GROUP BY 1, 2),
+    dots AS (
+      SELECT a.doc_id, a.seg, sum(a.wt * b.wt) AS dot
+      FROM sparse a JOIN sparse b
+        ON a.doc_id = b.doc_id AND b.seg = a.seg + 1 AND a.dim = b.dim
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT na.doc_id, na.seg,
+             round(coalesce(d.dot, 0)
+                   / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm), 6) AS sim
+      FROM norms na
+      JOIN norms nb ON na.doc_id = nb.doc_id AND nb.seg = na.seg + 1
+      LEFT JOIN dots d ON d.doc_id = na.doc_id AND d.seg = na.seg),
+    segs AS (SELECT doc_id, count(*) AS n_segments FROM norms GROUP BY 1),
+    per AS (
+      SELECT doc_id,
+             sum(CASE WHEN sim < 0.3 THEN 1 ELSE 0 END) AS n_boundaries,
+             min(sim) AS min_adj_sim
+      FROM pairs GROUP BY 1)
+    SELECT s.doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(coalesce(n_boundaries, 0) AS BIGINT) AS n_boundaries,
+           min_adj_sim
+    FROM segs s LEFT JOIN per USING (doc_id)
+    ORDER BY s.doc_id
+    """
+
+
+ORACLES["chunk_semantic_split"] = _semantic_split_oracle()
