@@ -2255,3 +2255,733 @@ def _semantic_split_oracle() -> str:
 
 
 ORACLES["chunk_semantic_split"] = _semantic_split_oracle()
+
+
+# --- dedup / embedding / reco / graph ---------------------------------------
+
+
+def dedup_bbit_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """b-bit minhash audit (Li & Konig 2010): keep only the low 2 bits
+    of each of 16 minhash slots and compare the corrected estimator
+    (E - 1/4)/(3/4) against the full-width slot-match estimator on a
+    mod-sampled pair grid — the measurement that justifies shipping a
+    32-bit signature instead of 512 bits.  Signatures are the
+    registered map-side kernel; the pair grid is arithmetic-bounded
+    (never all-pairs); the histogram closes on the exact k/16 grid
+    with integer sums only."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(
+        t(spark, sf, "documents"), n=3, num_hashes=16
+    ).select("doc_id", "signature")
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ((F.col("a.doc_id") + F.col("b.doc_id")) % 97 == 0),
+    ).select(
+        F.size(
+            F.filter(
+                F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).alias("k_full"),
+        F.size(
+            F.filter(
+                F.zip_with("a.signature", "b.signature", lambda x, y: (x % 4) == (y % 4)),
+                lambda v: v,
+            )
+        ).alias("k_bbit"),
+    )
+    hist = pairs.groupBy("k_full").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("k_bbit").alias("__skb")
+    )
+    return hist.select(
+        F.col("k_full").cast("long").alias("k_full"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("k_full") / 16.0, 6).alias("est_full"),
+        F.round(
+            (F.col("__skb") / F.col("n_pairs") / 16.0 - 0.25) / 0.75, 6
+        ).alias("mean_est_bbit"),
+    ).orderBy("k_full")
+
+
+QUERIES["dedup_bbit_minhash"] = dedup_bbit_minhash
+
+
+def _bbit_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    a, b = minhash_params(16)
+    a_list = "[" + ", ".join(str(v) for v in a) + "]"
+    b_list = "[" + ", ".join(str(v) for v in b) + "]"
+    hash_sql = (
+        f"({a_list}[seed + 1] * ({md5_int32_sql('shingle')} % {MINHASH_PRIME}) "
+        f"+ {b_list}[seed + 1]) % {MINHASH_PRIME}"
+    )
+    return rf"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE CAST([] AS VARCHAR[]) END) AS s
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+        seeds AS (SELECT unnest(range(16)) AS seed),
+        mh AS (SELECT doc_id, seed, min({hash_sql}) AS h
+               FROM ex CROSS JOIN seeds GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+        pairs AS (
+          SELECT
+            len(list_filter(range(16),
+                            i -> a.sig[i + 1] = b.sig[i + 1])) AS k_full,
+            len(list_filter(range(16),
+                            i -> (a.sig[i + 1] % 4) = (b.sig[i + 1] % 4)))
+              AS k_bbit
+          FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id AND (a.doc_id + b.doc_id) % 97 = 0),
+        hist AS (
+          SELECT k_full, count(*) AS n_pairs, sum(k_bbit) AS skb
+          FROM pairs GROUP BY 1)
+        SELECT CAST(k_full AS BIGINT) AS k_full,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(k_full / 16.0, 6) AS est_full,
+               round((skb / CAST(n_pairs AS DOUBLE) / 16.0 - 0.25) / 0.75, 6)
+                 AS mean_est_bbit
+        FROM hist ORDER BY k_full
+    """
+
+
+ORACLES["dedup_bbit_minhash"] = _bbit_oracle()
+
+
+def embedding_pair_cosine_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise-cosine distribution of the embedding corpus on a
+    mod-sampled pair grid — the isotropy/collapse diagnostic read
+    BEFORE trusting any cosine threshold (a collapsed embedder pushes
+    the whole histogram toward 1).  The grid is arithmetic-bounded;
+    binning happens on the ROUNDED cosine so both engines bin
+    identically."""
+    from image_matadata_batchprocessing_aws_spark.functions import cosine_sim
+    from image_matadata_batchprocessing_aws_spark.operators.similarity import (
+        as_double_array,
+    )
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = a.join(
+        b,
+        (F.col("a.vec_id") < F.col("b.vec_id"))
+        & ((F.col("a.vec_id") + F.col("b.vec_id")) % 23 == 0),
+    ).select(
+        F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("c")
+    )
+    binned = cos.select(
+        F.least(F.lit(9), F.floor(F.col("c") * 10)).cast("long").alias("bin")
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("n_pairs") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["embedding_pair_cosine_hist"] = embedding_pair_cosine_hist
+
+ORACLES["embedding_pair_cosine_hist"] = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cos AS (
+      SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c
+      FROM e a JOIN e b
+        ON a.vec_id < b.vec_id AND (a.vec_id + b.vec_id) % 23 = 0),
+    binned AS (
+      SELECT least(9, CAST(floor(c * 10) AS BIGINT)) AS bin FROM cos),
+    tot AS (SELECT count(*) AS n FROM binned)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) / CAST(n AS DOUBLE), 6) AS share
+    FROM binned CROSS JOIN tot
+    GROUP BY bin, n ORDER BY bin
+"""
+
+
+def reco_slope_one(spark: SparkSession, sf: str) -> DataFrame:
+    """Slope One item-item deviations (Lemire & Maclachlan 2005) over
+    per-customer part-consumption intensities, item universe bounded
+    to one brand so the co-rater pair table stays quadratic in a SMALL
+    item set (the standard blocking move; cross-brand deviations ride
+    the same kernel per block).  Ratings are integer quantity totals,
+    so every deviation is an exact integer sum over co-raters divided
+    once."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    p = t(spark, sf, "part").where(F.col("p_brand") == "Brand#11").select("p_partkey")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("rating"))
+    )
+    a, b = r.alias("a"), r.alias("b")
+    dev = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.sum(F.col("a.rating") - F.col("b.rating")).alias("__sdev"),
+        )
+    )
+    return (
+        dev.select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("__sdev") / F.col("support"), 6).alias("deviation"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+QUERIES["reco_slope_one"] = reco_slope_one
+
+ORACLES["reco_slope_one"] = """
+    WITH r AS (
+      SELECT o_custkey, l_partkey,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS rating
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#11'
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    dev AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support, sum(a.rating - b.rating) AS sdev
+      FROM r a JOIN r b
+        ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(sdev / CAST(support AS DOUBLE), 6) AS deviation
+    FROM dev ORDER BY support DESC, part_a, part_b LIMIT 15
+"""
+
+
+def graph_powerlaw_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete power-law exponent MLE (Clauset-Shalizi-Newman
+    continuous approximation, xmin=1) for the customer-side degree
+    distribution of the customer-supplier graph: alpha = 1 + n /
+    sum(ln d).  The log-sum folds over the DEGREE-VALUE table (bounded
+    by max degree), each term as a 1e-9-grid BIGINT so the reduction
+    is order-free in both engines."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dv = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    a = dv.agg(
+        F.sum("c").alias("n"),
+        F.max("d").alias("dmax"),
+        F.sum(
+            F.col("c") * F.round(F.log(F.col("d").cast("double")) * 1e9).cast("long")
+        ).alias("__slog"),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.lit(1).cast("long").alias("d_min"),
+        F.col("dmax").cast("long").alias("d_max"),
+        F.round(1.0 + F.col("n") / (F.col("__slog") / 1e9), 6).alias("alpha_mle"),
+    )
+
+
+QUERIES["graph_powerlaw_alpha"] = graph_powerlaw_alpha
+
+ORACLES["graph_powerlaw_alpha"] = """
+    WITH deg AS (
+      SELECT o_custkey, count(*) AS d FROM (
+        SELECT DISTINCT o_custkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY 1),
+    dv AS (SELECT d, count(*) AS c FROM deg GROUP BY 1),
+    a AS (
+      SELECT sum(c) AS n, max(d) AS dmax,
+             sum(c * CAST(round(ln(CAST(d AS DOUBLE)) * 1e9) AS BIGINT)) AS slog
+      FROM dv)
+    SELECT CAST(n AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS d_min,
+           CAST(dmax AS BIGINT) AS d_max,
+           round(1.0 + n / (slog / 1e9), 6) AS alpha_mle
+    FROM a
+"""
+
+
+# --- multimodal curation filters --------------------------------------------
+
+PXD_N_DOCS = 21
+PXD_GROUPS = 7
+PXD_H, PXD_W = 24, 32
+
+
+def multimodal_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTENT-level exact image dedup: the same pixels encoded through
+    DIFFERENT containers (PNG for even doc ids, binary PPM for odd)
+    hash identically after REAL decode, so cross-format duplicates
+    collapse where byte-level hashing cannot see them.  The Arrow
+    stage emits one md5 per decoded RGB buffer (pixels never shuffle);
+    the group fold is the registered exact-dedup shape; the oracle is
+    closed-form from the doc->group arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    def pixels(g: int) -> "np.ndarray":
+        yy, xx = np.mgrid[0:PXD_H, 0:PXD_W]
+        v = ((xx * 7 + yy * 13) * (g + 3) + g * 37) % 256
+        return np.dstack([v, (v * 2 + g) % 256, (v * 5 + 2 * g) % 256]).astype(
+            np.uint8
+        )
+
+    rows = []
+    for d in range(PXD_N_DOCS):
+        img = pixels(d % PXD_GROUPS)
+        if d % 2 == 0:
+            rows.append((d, f"{d}.png", bytearray(encode_png(img))))
+        else:
+            header = f"P6\n{PXD_W} {PXD_H}\n255\n".encode()
+            rows.append((d, f"{d}.ppm", bytearray(header + img.tobytes())))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content))
+                out.append(
+                    (
+                        int(did),
+                        hashlib.md5(np.ascontiguousarray(img).tobytes()).hexdigest(),
+                        name.rsplit(".", 1)[1],
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "pixel_md5", "fmt"])
+
+    hashed = entries.mapInPandas(
+        phash, "doc_id long, pixel_md5 string, fmt string"
+    )
+    return (
+        hashed.groupBy("pixel_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.count_distinct("fmt").cast("long").alias("n_formats"),
+        )
+        .select("canonical_id", "n_dups", "n_formats")
+        .orderBy("canonical_id")
+    )
+
+
+QUERIES["multimodal_pixel_dedup"] = multimodal_pixel_dedup
+
+ORACLES["multimodal_pixel_dedup"] = f"""
+    WITH d AS (SELECT unnest(range({PXD_N_DOCS})) AS doc_id),
+    g AS (SELECT doc_id, doc_id % {PXD_GROUPS} AS grp, doc_id % 2 AS parity
+          FROM d)
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(count(DISTINCT parity) AS BIGINT) AS n_formats
+    FROM g GROUP BY grp ORDER BY canonical_id
+"""
+
+
+ENT_N_DOCS = 18
+#: even-dimension screens shared with the r07 animation fixtures
+ENT_DIMS = [(32, 48), (24, 40), (40, 32), (28, 36), (36, 28), (48, 24)]
+_ENT_DIMS_H = " ".join(f"WHEN {i} THEN {h}" for i, (h, _) in enumerate(ENT_DIMS))
+_ENT_DIMS_W = " ".join(f"WHEN {i} THEN {w}" for i, (_, w) in enumerate(ENT_DIMS))
+
+
+def multimodal_image_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram (Shannon) entropy per image — the flat-image screen an
+    image-curation funnel applies before spending decode-downstream
+    budget (near-zero entropy = synthetic flats/borders).  Decode is
+    REAL; the Arrow stage emits exact 256-bin histograms (the
+    ``multimodal_otsu`` sufficient-form discipline) and the entropy
+    folds per doc from 1e-9-grid integer terms, so the <=256-term
+    reduction is order-free in both engines."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(ENT_N_DOCS):
+        h, w = ENT_DIMS[d % len(ENT_DIMS)]
+        hw = h * w
+        l1, l2, l3 = 40 + d % 20, 120 + d % 30, 200 + d % 40
+        n1, n2 = hw // 2, hw // 3
+        flat = np.empty(hw, np.uint8)
+        flat[:n1] = l1
+        flat[n1 : n1 + n2] = l2
+        flat[n1 + n2 :] = l3
+        gray = flat.reshape(h, w)
+        rows.append((d, f"{d}.png", bytearray(encode_png(np.dstack([gray] * 3)))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content))[:, :, 0]
+                counts = np.bincount(img.reshape(-1), minlength=256)
+                for level in np.nonzero(counts)[0]:
+                    out.append((int(did), int(level), int(counts[level])))
+            yield pd.DataFrame(out, columns=["doc_id", "level", "cnt"])
+
+    h_df = entries.mapInPandas(hist, "doc_id long, level long, cnt long")
+    tot = h_df.groupBy("doc_id").agg(F.sum("cnt").alias("W"))
+    term = (
+        h_df.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                -(F.col("cnt") / F.col("W"))
+                * F.log(F.col("cnt") / F.col("W"))
+                * 1e9
+            )
+            .cast("long")
+            .alias("__t"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_levels"),
+            F.round(F.sum("__t") / 1e9, 6).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_image_entropy"] = multimodal_image_entropy
+
+ORACLES["multimodal_image_entropy"] = f"""
+    WITH d AS (SELECT unnest(range({ENT_N_DOCS})) AS doc_id),
+    dims AS (
+      SELECT doc_id,
+             CASE doc_id % {len(ENT_DIMS)} {_ENT_DIMS_H} END AS h,
+             CASE doc_id % {len(ENT_DIMS)} {_ENT_DIMS_W} END AS w
+      FROM d),
+    hist AS (
+      SELECT doc_id, (h * w) // 2 AS cnt, h * w AS hw FROM dims
+      UNION ALL
+      SELECT doc_id, (h * w) // 3, h * w FROM dims
+      UNION ALL
+      SELECT doc_id, h * w - (h * w) // 2 - (h * w) // 3, h * w FROM dims),
+    term AS (
+      SELECT doc_id,
+             CAST(round(-(cnt / CAST(hw AS DOUBLE))
+                        * ln(cnt / CAST(hw AS DOUBLE)) * 1e9) AS BIGINT) AS t
+      FROM hist)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_levels,
+           round(sum(t) / 1e9, 6) AS entropy_nats
+    FROM term GROUP BY 1 ORDER BY doc_id
+"""
+
+
+GRAY_N_DOCS = 20
+
+
+def multimodal_grayscale_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Grayscale / near-grayscale detection from REAL decoded pixels —
+    the color-space screen (grayscale scans routed to OCR, color
+    photos to the vision encoder).  The Arrow stage emits per-image
+    integer sufficient statistics (max inter-channel deviation, summed
+    per-pixel channel range); the flag is relational; the oracle is
+    closed-form from the tint arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    H, W = 20, 28
+    rows = []
+    for d in range(GRAY_N_DOCS):
+        yy, xx = np.mgrid[0:H, 0:W]
+        v = ((xx * 3 + yy * 5) + d * 11) % 200
+        img = np.dstack([v, v, v]).astype(np.uint8)
+        if d % 2 == 1:
+            img[:, :, 0] = (v + 1 + d % 49).astype(np.uint8)  # red tint
+        rows.append((d, f"{d}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+                rng = img.max(axis=2) - img.min(axis=2)
+                out.append(
+                    (
+                        int(did),
+                        int(np.abs(r - g).max()),
+                        int(np.abs(r - b).max()),
+                        int(rng.sum()),
+                        int(img.shape[0] * img.shape[1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "max_rg", "max_rb", "sum_range", "n_px"],
+            )
+
+    s = entries.mapInPandas(
+        stats, "doc_id long, max_rg long, max_rb long, sum_range long, n_px long"
+    )
+    return s.select(
+        "doc_id",
+        "max_rg",
+        "max_rb",
+        ((F.col("max_rg") == 0) & (F.col("max_rb") == 0)).cast("long").alias(
+            "is_grayscale"
+        ),
+        F.round(F.col("sum_range") / F.col("n_px"), 6).alias("mean_chan_range"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_grayscale_detect"] = multimodal_grayscale_detect
+
+ORACLES["multimodal_grayscale_detect"] = f"""
+    WITH d AS (SELECT unnest(range({GRAY_N_DOCS})) AS doc_id),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 49 ELSE 0 END AS tint
+      FROM d)
+    SELECT doc_id,
+           CAST(tint AS BIGINT) AS max_rg,
+           CAST(tint AS BIGINT) AS max_rb,
+           CAST(CASE WHEN tint = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_grayscale,
+           round(CAST(tint AS DOUBLE), 6) AS mean_chan_range
+    FROM s ORDER BY doc_id
+"""
+
+
+LB_N_DOCS = 20
+
+
+def multimodal_letterbox_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Letterbox-bar detection from REAL decoded pixels: count leading
+    and trailing all-constant rows (the black bars a video-still crop
+    pass removes before feature extraction).  The Arrow stage emits
+    the two integers per image; bars are doc_id % 5 rows by
+    construction, so the oracle closes from that arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    H, W = 22, 30
+    rows = []
+    for d in range(LB_N_DOCS):
+        k = d % 5
+        yy, xx = np.mgrid[0:H, 0:W]
+        v = ((xx * 3 + yy * 5) + d * 7) % 199 + 1  # 1..199, varies with x
+        img = np.dstack([v, v, v]).astype(np.uint8)
+        img[:k, :, :] = 0
+        img[H - k or H :, :, :] = 0
+        if k:
+            img[H - k :, :, :] = 0
+        rows.append((d, f"{d}.png", bytearray(encode_png(img))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def bars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content))
+                const = (img.max(axis=(1, 2)) == img.min(axis=(1, 2)))
+                top = 0
+                while top < len(const) and const[top]:
+                    top += 1
+                bot = 0
+                while bot < len(const) - top and const[len(const) - 1 - bot]:
+                    bot += 1
+                out.append((int(did), int(len(const)), int(top), int(bot)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_rows", "top_bars", "bottom_bars"]
+            )
+
+    s = entries.mapInPandas(
+        bars, "doc_id long, n_rows long, top_bars long, bottom_bars long"
+    )
+    return s.select(
+        "doc_id",
+        "n_rows",
+        "top_bars",
+        "bottom_bars",
+        (F.col("n_rows") - F.col("top_bars") - F.col("bottom_bars")).alias(
+            "content_rows"
+        ),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_letterbox_detect"] = multimodal_letterbox_detect
+
+ORACLES["multimodal_letterbox_detect"] = f"""
+    WITH d AS (SELECT unnest(range({LB_N_DOCS})) AS doc_id),
+    s AS (SELECT doc_id, doc_id % 5 AS k FROM d)
+    SELECT doc_id, CAST(22 AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS top_bars, CAST(k AS BIGINT) AS bottom_bars,
+           CAST(22 - 2 * k AS BIGINT) AS content_rows
+    FROM s ORDER BY doc_id
+"""
+
+
+CLIP_N_DOCS = 16
+CLIP_THRESH = 32000
+
+
+def multimodal_audio_clipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Clipping detection on REAL-decoded PCM16 WAVs: exceedance count
+    over |s| >= 32000 and the LONGEST clipped run — the audio-quality
+    gate before a speech corpus admits a recording.  The Arrow stage
+    decodes with the pure RIFF parser and emits three integers per
+    blob; the oracle REGENERATES the same deterministic sample stream
+    in SQL (unnest(range(n)) + the affine-mod formula) and runs the
+    identical islands computation."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rows = []
+    for d in range(CLIP_N_DOCS):
+        n = 2000 + 500 * (d % 3)
+        s = ((np.arange(n, dtype=np.int64) * (7919 + 2 * d) + d * 104729) % 65536) - 32768
+        rows.append((d, f"{d}.wav", bytearray(encode_wav_pcm16(s, 8000))))
+    audio = spark.createDataFrame(
+        rows, "doc_id long, file_name string, content binary"
+    )
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                samples, rate = decode_wav(bytes(content))
+                s = np.asarray(samples, dtype=np.int64).reshape(-1)
+                clipped = np.abs(s) >= CLIP_THRESH
+                n_clip = int(clipped.sum())
+                max_run = 0
+                run = 0
+                for c in clipped:
+                    run = run + 1 if c else 0
+                    if run > max_run:
+                        max_run = run
+                out.append((int(did), int(s.size), n_clip, max_run))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "n_clipped", "max_run"]
+            )
+
+    s = audio.mapInPandas(
+        clip, "doc_id long, n_samples long, n_clipped long, max_run long"
+    )
+    return s.select(
+        "doc_id",
+        "n_samples",
+        "n_clipped",
+        F.round(F.col("n_clipped") / F.col("n_samples"), 6).alias("clip_frac"),
+        "max_run",
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_audio_clipping"] = multimodal_audio_clipping
+
+ORACLES["multimodal_audio_clipping"] = f"""
+    WITH d AS (SELECT unnest(range({CLIP_N_DOCS})) AS doc_id),
+    meta AS (SELECT doc_id, 2000 + 500 * (doc_id % 3) AS n FROM d),
+    samp AS (
+      SELECT doc_id, i,
+             ((i * (7919 + 2 * doc_id) + doc_id * 104729) % 65536) - 32768 AS s
+      FROM meta, unnest(range(n)) u(i)),
+    c AS (
+      SELECT doc_id, i,
+             CASE WHEN abs(s) >= {CLIP_THRESH} THEN 1 ELSE 0 END AS clip
+      FROM samp),
+    isl AS (
+      SELECT doc_id, i, clip,
+             i - row_number() OVER (PARTITION BY doc_id, clip ORDER BY i) AS grp
+      FROM c),
+    runs AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM isl WHERE clip = 1 GROUP BY doc_id, grp),
+    agg AS (
+      SELECT c.doc_id,
+             count(*) AS n_samples,
+             sum(clip) AS n_clipped
+      FROM c GROUP BY 1),
+    mr AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY 1)
+    SELECT a.doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           round(n_clipped / CAST(n_samples AS DOUBLE), 6) AS clip_frac,
+           CAST(coalesce(max_run, 0) AS BIGINT) AS max_run
+    FROM agg a LEFT JOIN mr ON a.doc_id = mr.doc_id
+    ORDER BY a.doc_id
+"""
