@@ -2985,3 +2985,1038 @@ ORACLES["multimodal_audio_clipping"] = f"""
     FROM agg a LEFT JOIN mr ON a.doc_id = mr.doc_id
     ORDER BY a.doc_id
 """
+
+
+# --- time-series / ops ------------------------------------------------------
+
+
+def _order_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Per epoch-day exact revenue (whole dollars, BIGINT) from orders —
+    the shared integer-first day grid for the r08 ts_* additions.
+    Dollars (not cents) keep squared day-over-day changes inside int64
+    with ~9x headroom at sf0.1; the split-BIGINT discipline still
+    guards the one squared sum below."""
+    o = t(spark, sf, "orders")
+    return (
+        o.select(
+            F.unix_millis(F.date_trunc("day", "o_orderdate")).alias("day_ms"),
+            F.round("o_totalprice").cast("long").alias("usd"),
+        )
+        .groupBy("day_ms")
+        .agg(F.sum("usd").alias("rev"))
+    )
+
+
+_ORDER_DAILY_SQL = """
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) AS day_ms,
+             sum(CAST(round(o_totalprice) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+"""
+
+
+def ts_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized spectral entropy of the daily-revenue periodogram
+    (periods 2..14) — one number for 'is there ANY periodic structure'
+    (low entropy = concentrated spectrum = strong seasonality), the
+    summary the registered per-period ``ts_periodogram`` feeds.
+    Powers snap to the 1e-9 grid before normalization, so the 13-term
+    entropy fold is order-free integer arithmetic in both engines."""
+    import math
+
+    d = _order_daily(spark, sf)
+    w = Window.orderBy("day_ms")
+    g = d.groupBy().agg(F.count(F.lit(1)).alias("__n"), F.sum("rev").alias("__s"))
+    idx = d.withColumn("__t", F.row_number().over(w) - 1).crossJoin(F.broadcast(g))
+    centered = idx.select(
+        "__t",
+        (
+            F.col("rev").cast("double")
+            - F.col("__s").cast("double") / F.col("__n")
+        ).alias("__x"),
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("long").alias("period"))
+    two_pi = F.lit(2.0 * math.pi)
+    terms = centered.crossJoin(F.broadcast(periods)).select(
+        "period",
+        (F.col("__x") * F.cos(two_pi * F.col("__t") / F.col("period"))).alias("__c"),
+        (F.col("__x") * F.sin(two_pi * F.col("__t") / F.col("period"))).alias("__sn"),
+    )
+    pw = terms.groupBy("period").agg(
+        F.round(
+            (F.sum("__c") * F.sum("__c") + F.sum("__sn") * F.sum("__sn")) / 1e6
+        )
+        .cast("long")
+        .alias("pw")  # 1e-6-grid of the raw (unnormalized) power
+    )
+    tot = pw.agg(F.sum("pw").alias("tp"))
+    term = pw.crossJoin(F.broadcast(tot)).select(
+        "period",
+        "pw",
+        "tp",
+        F.round(
+            -(F.col("pw") / F.col("tp")) * F.log(F.col("pw") / F.col("tp")) * 1e9
+        )
+        .cast("long")
+        .alias("__h"),
+    )
+    best = term.orderBy(F.col("pw").desc(), F.col("period").asc()).limit(1)
+    h = term.agg(F.sum("__h").alias("sh"), F.count(F.lit(1)).alias("k"))
+    return (
+        h.crossJoin(best.select(F.col("period").alias("peak_period")))
+        .select(
+            F.col("k").cast("long").alias("n_periods"),
+            F.round(F.col("sh") / 1e9, 6).alias("spectral_entropy"),
+            F.round(F.col("sh") / 1e9 / F.log(F.col("k").cast("double")), 6).alias(
+                "normalized_entropy"
+            ),
+            "peak_period",
+        )
+    )
+
+
+QUERIES["ts_spectral_entropy"] = ts_spectral_entropy
+
+ORACLES["ts_spectral_entropy"] = f"""
+    WITH d AS ({_ORDER_DAILY_SQL}),
+    g AS (SELECT count(*) AS n, sum(rev) AS s FROM d),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day_ms) - 1 AS t,
+             rev - s / CAST(n AS DOUBLE) AS x
+      FROM d CROSS JOIN g),
+    periods AS (SELECT unnest(range(2, 15)) AS period),
+    terms AS (
+      SELECT period,
+             x * cos(2 * pi() * t / period) AS c,
+             x * sin(2 * pi() * t / period) AS sn
+      FROM idx CROSS JOIN periods),
+    pw AS (
+      SELECT period,
+             CAST(round((sum(c) * sum(c) + sum(sn) * sum(sn)) / 1e6) AS BIGINT)
+               AS pw
+      FROM terms GROUP BY 1),
+    tot AS (SELECT sum(pw) AS tp FROM pw),
+    term AS (
+      SELECT period, pw, tp,
+             CAST(round(-(pw / CAST(tp AS DOUBLE))
+                        * ln(pw / CAST(tp AS DOUBLE)) * 1e9) AS BIGINT) AS h
+      FROM pw CROSS JOIN tot),
+    best AS (SELECT period AS peak_period FROM term
+             ORDER BY pw DESC, period ASC LIMIT 1),
+    agg AS (SELECT sum(h) AS sh, count(*) AS k FROM term)
+    SELECT CAST(k AS BIGINT) AS n_periods,
+           round(sh / 1e9, 6) AS spectral_entropy,
+           round(sh / 1e9 / ln(CAST(k AS DOUBLE)), 6) AS normalized_entropy,
+           peak_period
+    FROM agg CROSS JOIN best
+"""
+
+
+def ts_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue level (running max minus
+    current, in whole dollars) with the peak/trough days — the
+    worst-regression readout finance and SLO dashboards share.  One
+    cumulative window over the DAY table; every compare is BIGINT;
+    ties break on the earlier trough day."""
+    d = _order_daily(spark, sf)
+    w = Window.orderBy("day_ms").rowsBetween(Window.unboundedPreceding, 0)
+    dd = d.select(
+        "day_ms",
+        "rev",
+        F.max("rev").over(w).alias("runmax"),
+        (F.max("rev").over(w) - F.col("rev")).alias("dd"),
+    )
+    worst = dd.orderBy(F.col("dd").desc(), F.col("day_ms").asc()).limit(1)
+    return worst.select(
+        F.col("day_ms").alias("trough_day_ms"),
+        F.col("runmax").cast("long").alias("peak_rev_usd"),
+        F.col("rev").cast("long").alias("trough_rev_usd"),
+        F.col("dd").cast("long").alias("max_drawdown_usd"),
+        F.round(F.col("dd") / F.col("runmax"), 6).alias("drawdown_frac"),
+    )
+
+
+QUERIES["ts_max_drawdown"] = ts_max_drawdown
+
+ORACLES["ts_max_drawdown"] = f"""
+    WITH d AS ({_ORDER_DAILY_SQL}),
+    dd AS (
+      SELECT day_ms, rev,
+             max(rev) OVER (ORDER BY day_ms ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM d)
+    SELECT day_ms AS trough_day_ms,
+           CAST(runmax AS BIGINT) AS peak_rev_usd,
+           CAST(rev AS BIGINT) AS trough_rev_usd,
+           CAST(runmax - rev AS BIGINT) AS max_drawdown_usd,
+           round((runmax - rev) / CAST(runmax AS DOUBLE), 6) AS drawdown_frac
+    FROM dd ORDER BY runmax - rev DESC, day_ms ASC LIMIT 1
+"""
+
+
+def ts_risk_ratios(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharpe- and Sortino-style ratios of day-over-day revenue changes
+    — volatility-adjusted trend readouts from exact integer moments
+    (split-BIGINT squared sums; downside moments condition on the sign
+    of the exact integer change)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    d = _order_daily(spark, sf)
+    w = Window.orderBy("day_ms")
+    chg = (
+        d.withColumn("prev", F.lag("rev").over(w))
+        .where(F.col("prev").isNotNull())
+        .select((F.col("rev") - F.col("prev")).alias("c"))
+    )
+    a = chg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        *_split_sum(F.col("c") * F.col("c"), "qcc"),
+        F.sum(F.when(F.col("c") < 0, F.col("c")).otherwise(0)).alias("sneg"),
+        *_split_sum(
+            F.when(F.col("c") < 0, F.col("c") * F.col("c")).otherwise(F.lit(0)),
+            "qneg",
+        ),
+        F.sum((F.col("c") < 0).cast("long")).alias("nneg"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sc") / nd
+    var = (_split_val("qcc", 1.0) - F.col("sc") * mean) / (nd - 1)
+    dvar = _split_val("qneg", 1.0) / nd  # downside second moment about 0
+    return a.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_chg_usd"),
+        F.round(mean / F.sqrt(var), 6).alias("sharpe"),
+        F.round(mean / F.sqrt(dvar), 6).alias("sortino"),
+        F.col("nneg").cast("long").alias("n_down_days"),
+    )
+
+
+QUERIES["ts_risk_ratios"] = ts_risk_ratios
+
+ORACLES["ts_risk_ratios"] = f"""
+    WITH d AS ({_ORDER_DAILY_SQL}),
+    chg AS (
+      SELECT rev - lag(rev) OVER (ORDER BY day_ms) AS c FROM d
+      QUALIFY lag(rev) OVER (ORDER BY day_ms) IS NOT NULL),
+    a AS (
+      SELECT count(*) AS n, sum(c) AS sc,
+             sum(c * c // 1073741824) AS qcc_hi, sum(c * c % 1073741824) AS qcc_lo,
+             sum(CASE WHEN c < 0 THEN c ELSE 0 END) AS sneg,
+             sum(CASE WHEN c < 0 THEN c * c ELSE 0 END // 1073741824) AS qneg_hi,
+             sum(CASE WHEN c < 0 THEN c * c ELSE 0 END % 1073741824) AS qneg_lo,
+             sum(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS nneg
+      FROM chg),
+    s AS (
+      SELECT n, sc, nneg,
+             sc / CAST(n AS DOUBLE) AS mean,
+             ((CAST(qcc_hi AS DOUBLE) * 1073741824.0 + qcc_lo)
+              - sc * (sc / CAST(n AS DOUBLE))) / (n - 1) AS var,
+             (CAST(qneg_hi AS DOUBLE) * 1073741824.0 + qneg_lo)
+               / CAST(n AS DOUBLE) AS dvar
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(mean, 6) AS mean_chg_usd,
+           round(mean / sqrt(var), 6) AS sharpe,
+           round(mean / sqrt(dvar), 6) AS sortino,
+           CAST(nneg AS BIGINT) AS n_down_days
+    FROM s
+"""
+
+
+def ts_peaks_prominence(spark: SparkSession, sf: str) -> DataFrame:
+    """Local revenue peaks with bounded-frame prominence: a day beats
+    its 3 neighbors each side strictly, and prominence is the drop to
+    the higher of the two 7-day-side minima — integer-exact peak
+    picking (the alert-worthy-spike detector).  Frames are fixed-width
+    windows over the day table; edges without full frames drop."""
+    d = _order_daily(spark, sf)
+    w = Window.orderBy("day_ms")
+    lead_lag = d
+    for i in range(1, 4):
+        lead_lag = lead_lag.withColumn(f"lb{i}", F.lag("rev", i).over(w)).withColumn(
+            f"la{i}", F.lead("rev", i).over(w)
+        )
+    wl = Window.orderBy("day_ms").rowsBetween(-7, -1)
+    wr = Window.orderBy("day_ms").rowsBetween(1, 7)
+    cand = (
+        lead_lag.withColumn("minl", F.min("rev").over(wl))
+        .withColumn("minr", F.min("rev").over(wr))
+        .withColumn("nl", F.count("rev").over(wl))
+        .withColumn("nr", F.count("rev").over(wr))
+    )
+    is_peak = (
+        (F.col("rev") > F.col("lb1")) & (F.col("rev") > F.col("lb2"))
+        & (F.col("rev") > F.col("lb3")) & (F.col("rev") > F.col("la1"))
+        & (F.col("rev") > F.col("la2")) & (F.col("rev") > F.col("la3"))
+    )
+    peaks = cand.where(
+        is_peak & (F.col("nl") == 7) & (F.col("nr") == 7)
+    ).select(
+        "day_ms",
+        F.col("rev").cast("long").alias("rev_usd"),
+        (F.col("rev") - F.greatest("minl", "minr")).cast("long").alias("prominence"),
+    )
+    return peaks.orderBy(F.col("prominence").desc(), F.col("day_ms").asc()).limit(10)
+
+
+QUERIES["ts_peaks_prominence"] = ts_peaks_prominence
+
+ORACLES["ts_peaks_prominence"] = f"""
+    WITH d AS ({_ORDER_DAILY_SQL}),
+    x AS (
+      SELECT day_ms, rev,
+             lag(rev, 1) OVER w AS lb1, lag(rev, 2) OVER w AS lb2,
+             lag(rev, 3) OVER w AS lb3,
+             lead(rev, 1) OVER w AS la1, lead(rev, 2) OVER w AS la2,
+             lead(rev, 3) OVER w AS la3,
+             min(rev) OVER (ORDER BY day_ms
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS minl,
+             min(rev) OVER (ORDER BY day_ms
+                            ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS minr,
+             count(rev) OVER (ORDER BY day_ms
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nl,
+             count(rev) OVER (ORDER BY day_ms
+                              ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS nr
+      FROM d WINDOW w AS (ORDER BY day_ms))
+    SELECT day_ms, CAST(rev AS BIGINT) AS rev_usd,
+           CAST(rev - greatest(minl, minr) AS BIGINT) AS prominence
+    FROM x
+    WHERE rev > lb1 AND rev > lb2 AND rev > lb3
+      AND rev > la1 AND rev > la2 AND rev > la3
+      AND nl = 7 AND nr = 7
+    ORDER BY prominence DESC, day_ms ASC LIMIT 10
+"""
+
+
+def ts_alert_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """Alert-burst coalescing: revenue days above the exact p90
+    threshold are alarms; alarms closer than 7 days merge into one
+    burst (gap-and-island on the alarm-day table) and each burst fires
+    ONCE with its span and peak — the dedup every paging pipeline
+    applies before waking a human.  Threshold is a 1-row broadcast;
+    islands are integer day arithmetic."""
+    d = _order_daily(spark, sf).withColumn(
+        "day_num", (F.col("day_ms") / 86400000).cast("long")
+    )
+    thr = d.agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY rev)")
+        .cast("long")
+        .alias("thr")
+    )
+    al = d.crossJoin(F.broadcast(thr)).where(F.col("rev") > F.col("thr"))
+    w = Window.orderBy("day_num")
+    grp = al.withColumn(
+        "new_burst",
+        (
+            F.coalesce(
+                F.col("day_num") - F.lag("day_num").over(w), F.lit(999)
+            )
+            > 7
+        ).cast("long"),
+    ).withColumn(
+        "burst",
+        F.sum("new_burst").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grp.groupBy("burst")
+        .agg(
+            F.min("day_ms").alias("first_day_ms"),
+            F.max("day_ms").alias("last_day_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_alarms"),
+            F.max("rev").cast("long").alias("peak_rev_usd"),
+        )
+        .select("first_day_ms", "last_day_ms", "n_alarms", "peak_rev_usd")
+        .orderBy("first_day_ms")
+    )
+
+
+QUERIES["ts_alert_coalesce"] = ts_alert_coalesce
+
+ORACLES["ts_alert_coalesce"] = f"""
+    WITH d0 AS ({_ORDER_DAILY_SQL}),
+    d AS (SELECT day_ms, day_ms // 86400000 AS day_num, rev FROM d0),
+    thr AS (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY rev) AS thr FROM d),
+    al AS (SELECT day_ms, day_num, rev FROM d CROSS JOIN thr WHERE rev > thr),
+    g AS (
+      SELECT day_ms, day_num, rev,
+             CASE WHEN coalesce(day_num - lag(day_num) OVER (ORDER BY day_num),
+                                999) > 7
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM al),
+    b AS (
+      SELECT day_ms, rev,
+             sum(new_burst) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING)
+               AS burst
+      FROM g)
+    SELECT min(day_ms) AS first_day_ms, max(day_ms) AS last_day_ms,
+           CAST(count(*) AS BIGINT) AS n_alarms,
+           CAST(max(rev) AS BIGINT) AS peak_rev_usd
+    FROM b GROUP BY burst ORDER BY first_day_ms
+"""
+
+
+def etl_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness privacy audit (the step past the registered
+    k-anonymity / l-diversity): per market-segment quasi-group, the
+    ordered-attribute Earth Mover's Distance between the group's
+    account-balance band distribution and the global one — EMD over an
+    ordered domain is the mean |cumulative difference|, so 10 fixed
+    bands x 5 groups close from exact counts with a 1e-9-grid fold."""
+    c = t(spark, sf, "customer").select(
+        "c_mktsegment",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.round(F.col("c_acctbal") * 100) + 100000) / 120000
+                ).cast("long"),
+            ),
+        ).alias("band"),
+    )
+    bands = spark.range(10).select(F.col("id").cast("long").alias("band"))
+    segs = c.select("c_mktsegment").distinct()
+    grid = segs.crossJoin(F.broadcast(bands))
+    gcnt = c.groupBy("c_mktsegment", "band").agg(F.count(F.lit(1)).alias("gn"))
+    gtot = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("gt"))
+    acnt = c.groupBy("band").agg(F.count(F.lit(1)).alias("an"))
+    atot = c.agg(F.count(F.lit(1)).alias("at"))
+    full = (
+        grid.join(gcnt, ["c_mktsegment", "band"], "left")
+        .fillna(0, subset=["gn"])
+        .join(F.broadcast(acnt), "band", "left")
+        .fillna(0, subset=["an"])
+        .join(F.broadcast(gtot), "c_mktsegment")
+        .crossJoin(F.broadcast(atot))
+    )
+    wb = Window.partitionBy("c_mktsegment").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = full.select(
+        "c_mktsegment",
+        "band",
+        (F.sum("gn").over(wb) / F.col("gt")).alias("cg"),
+        (F.sum("an").over(wb) / F.col("at")).alias("ca"),
+    )
+    term = cum.select(
+        "c_mktsegment",
+        F.round(F.abs(F.col("cg") - F.col("ca")) * 1e9).cast("long").alias("__t"),
+    )
+    out = term.groupBy("c_mktsegment").agg(
+        F.round(F.sum("__t") / 1e9 / 9.0, 6).alias("t_value")
+    )
+    return out.select(
+        "c_mktsegment", "t_value", (F.col("t_value") > 0.2).alias("violates_t02")
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["etl_t_closeness"] = etl_t_closeness
+
+ORACLES["etl_t_closeness"] = """
+    WITH c AS (
+      SELECT c_mktsegment,
+             least(9, greatest(0,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 120000))
+               AS band
+      FROM customer),
+    bands AS (SELECT unnest(range(10)) AS band),
+    segs AS (SELECT DISTINCT c_mktsegment FROM c),
+    grid AS (SELECT c_mktsegment, band FROM segs CROSS JOIN bands),
+    gcnt AS (SELECT c_mktsegment, band, count(*) AS gn FROM c GROUP BY 1, 2),
+    gtot AS (SELECT c_mktsegment, count(*) AS gt FROM c GROUP BY 1),
+    acnt AS (SELECT band, count(*) AS an FROM c GROUP BY 1),
+    atot AS (SELECT count(*) AS at FROM c),
+    fgrid AS (
+      SELECT g.c_mktsegment, g.band,
+             coalesce(gc.gn, 0) AS gn, coalesce(ac.an, 0) AS an, gt.gt, at.at
+      FROM grid g
+      LEFT JOIN gcnt gc ON g.c_mktsegment = gc.c_mktsegment AND g.band = gc.band
+      LEFT JOIN acnt ac ON g.band = ac.band
+      JOIN gtot gt ON g.c_mktsegment = gt.c_mktsegment
+      CROSS JOIN atot at),
+    cum AS (
+      SELECT c_mktsegment, band,
+             sum(gn) OVER (PARTITION BY c_mktsegment ORDER BY band
+                           ROWS UNBOUNDED PRECEDING) / CAST(gt AS DOUBLE) AS cg,
+             sum(an) OVER (PARTITION BY c_mktsegment ORDER BY band
+                           ROWS UNBOUNDED PRECEDING) / CAST(at AS DOUBLE) AS ca
+      FROM fgrid),
+    term AS (
+      SELECT c_mktsegment,
+             CAST(round(abs(cg - ca) * 1e9) AS BIGINT) AS t
+      FROM cum),
+    o AS (
+      SELECT c_mktsegment, round(sum(t) / 1e9 / 9.0, 6) AS t_value
+      FROM term GROUP BY 1)
+    SELECT c_mktsegment, t_value, t_value > 0.2 AS violates_t02
+    FROM o ORDER BY c_mktsegment
+"""
+
+
+def etl_freshness_slo(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation data-freshness SLO audit: days since each nation's
+    last order, measured against the corpus's global max day (the
+    as-of point), breach at 30 days — the staleness table every
+    ingestion dashboard leads with.  Day arithmetic is exact integer
+    epoch-day; the global frontier is a 1-row broadcast."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / 86400000)
+        .cast("long")
+        .alias("day_num"),
+    )
+    frontier = j.agg(F.max("day_num").alias("asof"))
+    per = j.groupBy("c_nationkey").agg(
+        F.max("day_num").alias("last_day"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per.crossJoin(F.broadcast(frontier))
+        .select(
+            "c_nationkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (F.col("last_day") * 86400000).alias("last_day_ms"),
+            (F.col("asof") - F.col("last_day")).cast("long").alias("staleness_days"),
+            ((F.col("asof") - F.col("last_day")) > 30).alias("slo_breach"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES["etl_freshness_slo"] = etl_freshness_slo
+
+ORACLES["etl_freshness_slo"] = """
+    WITH j AS (
+      SELECT c_nationkey,
+             CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) // 86400000
+               AS day_num
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    f AS (SELECT max(day_num) AS fr_day FROM j),
+    per AS (
+      SELECT c_nationkey, max(day_num) AS last_day, count(*) AS n_orders
+      FROM j GROUP BY 1)
+    SELECT c_nationkey, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(last_day * 86400000 AS BIGINT) AS last_day_ms,
+           CAST(fr_day - last_day AS BIGINT) AS staleness_days,
+           fr_day - last_day > 30 AS slo_breach
+    FROM per CROSS JOIN f ORDER BY c_nationkey
+"""
+
+
+def etl_backfill_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Backfill planning: per region, the calendar gaps (missing order
+    days) between that region's first and last active day, as ranges —
+    the work list an ingestion-recovery job consumes.  Present days
+    fold to one row per (region, day); gaps come from one lag window
+    over that bounded table; the top-20 longest ranges return."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    days = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_regionkey",
+            (F.unix_millis(F.date_trunc("day", "o_orderdate")) / 86400000)
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("n_regionkey").orderBy("day_num")
+    gaps = (
+        days.withColumn("prev", F.lag("day_num").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("day_num") - F.col("prev") > 1))
+        .select(
+            "n_regionkey",
+            ((F.col("prev") + 1) * 86400000).alias("gap_start_ms"),
+            ((F.col("day_num") - 1) * 86400000).alias("gap_end_ms"),
+            (F.col("day_num") - F.col("prev") - 1).cast("long").alias("n_missing_days"),
+        )
+    )
+    return gaps.orderBy(
+        F.col("n_missing_days").desc(), "n_regionkey", "gap_start_ms"
+    ).limit(20)
+
+
+QUERIES["etl_backfill_plan"] = etl_backfill_plan
+
+ORACLES["etl_backfill_plan"] = """
+    WITH days AS (
+      SELECT DISTINCT n_regionkey,
+             CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) // 86400000
+               AS day_num
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    g AS (
+      SELECT n_regionkey, day_num,
+             lag(day_num) OVER (PARTITION BY n_regionkey ORDER BY day_num)
+               AS prev
+      FROM days)
+    SELECT n_regionkey,
+           CAST((prev + 1) * 86400000 AS BIGINT) AS gap_start_ms,
+           CAST((day_num - 1) * 86400000 AS BIGINT) AS gap_end_ms,
+           CAST(day_num - prev - 1 AS BIGINT) AS n_missing_days
+    FROM g WHERE prev IS NOT NULL AND day_num - prev > 1
+    ORDER BY n_missing_days DESC, n_regionkey, gap_start_ms LIMIT 20
+"""
+
+
+# --- final r08 batch: video dup frames, Little's law, Simpson, Gini, color --
+
+VDF_N_DOCS = 10
+
+
+def _vdf_color(d: int, j: int) -> tuple[int, int, int]:
+    # constant across each adjacent pair (j // 2) -> exact duplicates
+    g = j // 2
+    return ((30 + 17 * d + 40 * g) % 200, (60 + 23 * d + 30 * g) % 200,
+            (90 + 31 * d + 20 * g) % 200)
+
+
+def multimodal_video_dup_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-duplicate-frame rate from REAL MJPEG decode — the
+    static-video screen (talking-head/slideshow content dedups to a
+    fraction of its frames before the vision encoder sees it).  Frames
+    are built in duplicate pairs by construction; equality compares
+    decoded pixel sums of CONSECUTIVE sampled frames (identical
+    encoder input => identical JPEG => identical decode); the oracle
+    recomputes every frame sum through the bitstream-free JPEG
+    reference pipeline and runs the same lag compare."""
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.video import (
+        decode_video_frames,
+        encode_avi_mjpeg,
+    )
+
+    rows = []
+    for d in range(VDF_N_DOCS):
+        frames = []
+        for j in range(6 + d % 4):
+            img = np.zeros((8, 8, 3), dtype=np.uint8)
+            img[:, :] = _vdf_color(d, j)
+            frames.append(img)
+        rows.append((d, f"{d}.avi", bytearray(encode_avi_mjpeg(frames, fps=10, quality=80))))
+    videos = spark.createDataFrame(
+        rows, "doc_id long, file_name string, content binary"
+    )
+    out = decode_video_frames(
+        videos.select("file_name", "content"), every_n=1, max_frames=16,
+        normalize=False,
+    ).join(videos.select("doc_id", "file_name"), "file_name")
+    fsum = F.aggregate(F.col("frame"), F.lit(0.0), lambda a, x: a + x).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    per_frame = out.where(F.col("decode_error").isNull()).select(
+        "doc_id", "frame_idx", fsum.alias("s")
+    )
+    lagged = per_frame.withColumn("prev", F.lag("s").over(w))
+    return (
+        lagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum(
+                (F.col("prev").isNotNull() & (F.col("s") == F.col("prev"))).cast(
+                    "long"
+                )
+            ).alias("n_dup_adjacent"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.col("n_dup_adjacent").cast("long").alias("n_dup_adjacent"),
+            F.round(F.col("n_dup_adjacent") / (F.col("n_frames") - 1), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["multimodal_video_dup_frames"] = multimodal_video_dup_frames
+
+
+def _vdf_oracle() -> str:
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import (
+        jpeg_reference_pipeline,
+    )
+
+    values = []
+    for d in range(VDF_N_DOCS):
+        for j in range(6 + d % 4):
+            img = np.zeros((8, 8, 3), dtype=np.uint8)
+            img[:, :] = _vdf_color(d, j)
+            rec = jpeg_reference_pipeline(img, quality=80)
+            values.append(f"({d}, {j}, {int(rec.astype(np.int64).sum())})")
+    return f"""
+        WITH f AS (
+          SELECT * FROM (VALUES {", ".join(values)}) t(doc_id, frame_idx, s)),
+        l AS (
+          SELECT doc_id, s,
+                 lag(s) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+          FROM f)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND s = prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_adjacent,
+               round(sum(CASE WHEN prev IS NOT NULL AND s = prev
+                              THEN 1 ELSE 0 END)
+                     / CAST(count(*) - 1 AS DOUBLE), 6) AS dup_rate
+        FROM l GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+ORACLES["multimodal_video_dup_frames"] = _vdf_oracle()
+
+
+def agg_littles_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Little's-law operational readout over the open-order intervals
+    (placed -> last shipment): arrival rate lambda, mean time-in-system
+    W, average load L = lambda*W, and the PEAK concurrency against
+    that average (burstiness = how much headroom the pipeline needs
+    over steady state).  Every moment is an exact integer day sum; the
+    peak rides the same calendar-bounded cumulative sweep as
+    ``agg_concurrency_profile``."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    done = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    iv = o.join(done, o.o_orderkey == done.l_orderkey).select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / 86400000)
+        .cast("long")
+        .alias("o_day"),
+        (F.unix_millis(F.date_trunc("day", "last_ship")) / 86400000)
+        .cast("long")
+        .alias("c_day"),
+    )
+    mom = iv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_day") - F.col("o_day")).alias("sdur"),
+        F.min("o_day").alias("d0"),
+        F.max("c_day").alias("d1"),
+    )
+    ships = iv.groupBy(F.col("o_day").alias("day")).agg(F.count(F.lit(1)).alias("s"))
+    recvs = iv.groupBy(F.col("c_day").alias("day")).agg(F.count(F.lit(1)).alias("r"))
+    days = ships.join(recvs, "day", "full").select(
+        "day",
+        F.coalesce("s", F.lit(0)).alias("s"),
+        F.coalesce("r", F.lit(0)).alias("r"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    peak = days.select(
+        (F.sum("s").over(w) - F.sum("r").over(w)).alias("tr")
+    ).agg(F.max("tr").alias("peak"))
+    nd = F.col("n").cast("double")
+    span = (F.col("d1") - F.col("d0") + 1).cast("double")
+    lam = nd / span
+    wd = F.col("sdur") / nd
+    return mom.crossJoin(F.broadcast(peak)).select(
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("d1") - F.col("d0") + 1).cast("long").alias("span_days"),
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(wd, 6).alias("w_days"),
+        F.round(lam * wd, 6).alias("l_avg"),
+        F.col("peak").cast("long").alias("peak_concurrency"),
+        F.round(F.col("peak") / (lam * wd), 6).alias("peak_to_avg"),
+    )
+
+
+QUERIES["agg_littles_law"] = agg_littles_law
+
+ORACLES["agg_littles_law"] = """
+    WITH iv AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT) // 86400000
+               AS o_day,
+             CAST(epoch_ms(date_trunc('day', last_ship)) AS BIGINT) // 86400000
+               AS c_day
+      FROM orders
+      JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY 1) d ON o_orderkey = l_orderkey),
+    mom AS (
+      SELECT count(*) AS n, sum(c_day - o_day) AS sdur,
+             min(o_day) AS d0, max(c_day) AS d1
+      FROM iv),
+    s AS (SELECT o_day AS day, count(*) AS s FROM iv GROUP BY 1),
+    r AS (SELECT c_day AS day, count(*) AS r FROM iv GROUP BY 1),
+    days AS (
+      SELECT coalesce(s.day, r.day) AS day, coalesce(s.s, 0) AS s,
+             coalesce(r.r, 0) AS r
+      FROM s FULL JOIN r ON s.day = r.day),
+    tr AS (
+      SELECT sum(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             - sum(r) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS tr
+      FROM days),
+    pk AS (SELECT max(tr) AS peak FROM tr)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(d1 - d0 + 1 AS BIGINT) AS span_days,
+           round(n / CAST(d1 - d0 + 1 AS DOUBLE), 6) AS lambda_per_day,
+           round(sdur / CAST(n AS DOUBLE), 6) AS w_days,
+           round((n / CAST(d1 - d0 + 1 AS DOUBLE))
+                 * (sdur / CAST(n AS DOUBLE)), 6) AS l_avg,
+           CAST(peak AS BIGINT) AS peak_concurrency,
+           round(peak / ((n / CAST(d1 - d0 + 1 AS DOUBLE))
+                         * (sdur / CAST(n AS DOUBLE))), 6) AS peak_to_avg
+    FROM mom CROSS JOIN pk
+"""
+
+
+def agg_simpson_reversal(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox screen over the region strata: does the
+    pooled exposed-vs-control rate difference (odd custkey, big-order
+    outcome) REVERSE sign inside any stratum?  The per-stratum and
+    pooled diffs are exact-count ratios; signs compare on the 1e-9
+    grid so both engines agree at the boundary."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_custkey") % 2).alias("exposed"),
+        (F.col("o_totalprice") > 150000).cast("long").alias("hit"),
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    strata = j.groupBy("n_regionkey").agg(
+        F.sum(F.when(F.col("exposed") == 1, F.col("hit"))).alias("h1"),
+        F.sum(F.when(F.col("exposed") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("exposed") == 0, F.col("hit"))).alias("h0"),
+        F.sum(F.when(F.col("exposed") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    pooled = strata.agg(
+        F.sum("h1").alias("H1"), F.sum("n1").alias("N1"),
+        F.sum("h0").alias("H0"), F.sum("n0").alias("N0"),
+    ).select(
+        F.round(
+            (F.col("H1") / F.col("N1") - F.col("H0") / F.col("N0")) * 1e9
+        )
+        .cast("long")
+        .alias("pdiff9")
+    )
+    per = strata.select(
+        "n_regionkey",
+        F.round((F.col("h1") / F.col("n1") - F.col("h0") / F.col("n0")) * 1e9)
+        .cast("long")
+        .alias("sdiff9"),
+    )
+    flags = per.crossJoin(F.broadcast(pooled)).select(
+        "n_regionkey",
+        "sdiff9",
+        "pdiff9",
+        (F.signum(F.col("sdiff9")) != F.signum(F.col("pdiff9")))
+        .cast("long")
+        .alias("rev"),
+    )
+    return flags.agg(
+        F.round(F.max("pdiff9") / 1e9, 6).alias("pooled_diff"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("rev").cast("long").alias("n_reversed"),
+        (F.sum("rev") > 0).alias("simpson_flag"),
+    )
+
+
+QUERIES["agg_simpson_reversal"] = agg_simpson_reversal
+
+ORACLES["agg_simpson_reversal"] = """
+    WITH j AS (
+      SELECT n_regionkey, o_custkey % 2 AS exposed,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS hit
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    strata AS (
+      SELECT n_regionkey,
+             sum(CASE WHEN exposed = 1 THEN hit ELSE 0 END) AS h1,
+             sum(CASE WHEN exposed = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN exposed = 0 THEN hit ELSE 0 END) AS h0,
+             sum(CASE WHEN exposed = 0 THEN 1 ELSE 0 END) AS n0
+      FROM j GROUP BY 1),
+    pooled AS (
+      SELECT CAST(round((sum(h1) / CAST(sum(n1) AS DOUBLE)
+                         - sum(h0) / CAST(sum(n0) AS DOUBLE)) * 1e9) AS BIGINT)
+               AS pdiff9
+      FROM strata),
+    per AS (
+      SELECT n_regionkey,
+             CAST(round((h1 / CAST(n1 AS DOUBLE)
+                         - h0 / CAST(n0 AS DOUBLE)) * 1e9) AS BIGINT) AS sdiff9
+      FROM strata),
+    flags AS (
+      SELECT n_regionkey, sdiff9, pdiff9,
+             CASE WHEN sign(sdiff9) <> sign(pdiff9) THEN 1 ELSE 0 END AS rev
+      FROM per CROSS JOIN pooled)
+    SELECT round(max(pdiff9) / 1e9, 6) AS pooled_diff,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(rev) AS BIGINT) AS n_reversed,
+           sum(rev) > 0 AS simpson_flag
+    FROM flags
+"""
+
+
+def graph_degree_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of the customer-supplier degree distribution —
+    the hub-concentration number next to ``graph_powerlaw_alpha``
+    (a load-balancing readout: high Gini = a few customers touch most
+    suppliers).  Grouped-data Gini: units inside one degree-value
+    group occupy a contiguous rank block, so the rank-weighted sum is
+    CLOSED FORM per group (x * (c*r0 + c*(c+1)/2)) and the whole
+    statistic folds from the degree-VALUE table with exact BIGINTs."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dv = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = dv.withColumn("r0", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    a = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("d") * F.col("c")).alias("tot"),
+        F.sum(
+            F.col("d")
+            * (F.col("c") * F.col("r0") + F.col("c") * (F.col("c") + 1) / 2)
+        )
+        .cast("long")
+        .alias("a"),
+    )
+    nd, td = F.col("n").cast("double"), F.col("tot").cast("double")
+    gini = (2.0 * F.col("a") - (F.col("n") + 1) * td) / (nd * td)
+    return a.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.col("tot").cast("long").alias("total_degree"),
+        F.round(gini, 6).alias("degree_gini"),
+    )
+
+
+QUERIES["graph_degree_gini"] = graph_degree_gini
+
+ORACLES["graph_degree_gini"] = """
+    WITH deg AS (
+      SELECT o_custkey, count(*) AS d FROM (
+        SELECT DISTINCT o_custkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY 1),
+    dv AS (SELECT d, count(*) AS c FROM deg GROUP BY 1),
+    ranked AS (
+      SELECT d, c,
+             coalesce(sum(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+      FROM dv),
+    a AS (
+      SELECT sum(c) AS n, sum(d * c) AS tot,
+             CAST(sum(d * (c * r0 + c * (c + 1) / 2)) AS BIGINT) AS a
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_nodes, CAST(tot AS BIGINT) AS total_degree,
+           round((2.0 * a - (n + 1) * tot) / (CAST(n AS DOUBLE) * tot), 6)
+             AS degree_gini
+    FROM a
+"""
+
+
+DOM_N_DOCS = 18
+
+
+def multimodal_image_dominant_color(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant gray level and its pixel share from REAL decode — the
+    poster-color / background-detection primitive (a one-color-heavy
+    image is a logo or a flat, not a photo).  The Arrow stage emits
+    exact histograms; the argmax is relational with the smaller-level
+    tiebreak; level masses vary per doc so dominance actually moves."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(DOM_N_DOCS):
+        h, w = ENT_DIMS[d % len(ENT_DIMS)]
+        hw = h * w
+        l1, l2, l3 = 30 + d % 25, 110 + d % 35, 190 + d % 45
+        n1 = hw * (30 + d % 40) // 100
+        n2 = hw * (25 + d % 30) // 100
+        flat = np.empty(hw, np.uint8)
+        flat[:n1] = l1
+        flat[n1 : n1 + n2] = l2
+        flat[n1 + n2 :] = l3
+        rows.append(
+            (d, f"{d}.png", bytearray(encode_png(np.dstack([flat.reshape(h, w)] * 3))))
+        )
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content))[:, :, 0]
+                counts = np.bincount(img.reshape(-1), minlength=256)
+                for level in np.nonzero(counts)[0]:
+                    out.append((int(did), int(level), int(counts[level])))
+            yield pd.DataFrame(out, columns=["doc_id", "level", "cnt"])
+
+    h_df = entries.mapInPandas(hist, "doc_id long, level long, cnt long")
+    tot = h_df.groupBy("doc_id").agg(F.sum("cnt").alias("W"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("level").asc()
+    )
+    best = (
+        h_df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(tot, "doc_id")
+    )
+    return best.select(
+        "doc_id",
+        F.col("level").cast("long").alias("dominant_level"),
+        F.col("cnt").cast("long").alias("n_px"),
+        F.round(F.col("cnt") / F.col("W"), 6).alias("share"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_image_dominant_color"] = multimodal_image_dominant_color
+
+ORACLES["multimodal_image_dominant_color"] = f"""
+    WITH d AS (SELECT unnest(range({DOM_N_DOCS})) AS doc_id),
+    dims AS (
+      SELECT doc_id,
+             CASE doc_id % {len(ENT_DIMS)} {_ENT_DIMS_H} END AS h,
+             CASE doc_id % {len(ENT_DIMS)} {_ENT_DIMS_W} END AS w,
+             30 + doc_id % 25 AS l1, 110 + doc_id % 35 AS l2,
+             190 + doc_id % 45 AS l3
+      FROM d),
+    hist AS (
+      SELECT doc_id, l1 AS level, (h * w) * (30 + doc_id % 40) // 100 AS cnt,
+             h * w AS hw
+      FROM dims
+      UNION ALL
+      SELECT doc_id, l2, (h * w) * (25 + doc_id % 30) // 100, h * w FROM dims
+      UNION ALL
+      SELECT doc_id, l3,
+             h * w - (h * w) * (30 + doc_id % 40) // 100
+                   - (h * w) * (25 + doc_id % 30) // 100,
+             h * w
+      FROM dims),
+    best AS (
+      SELECT doc_id, level, cnt, hw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, level ASC) AS rn
+      FROM hist)
+    SELECT doc_id, CAST(level AS BIGINT) AS dominant_level,
+           CAST(cnt AS BIGINT) AS n_px,
+           round(cnt / CAST(hw AS DOUBLE), 6) AS share
+    FROM best WHERE rn = 1 ORDER BY doc_id
+"""
