@@ -154,6 +154,14 @@ def test_parity_doc_tally_matches_registry():
     )
     assert m4, "PARITY.md r06-queue tally sentence missing"
     assert int(m4.group(1)) == len(r06_queue.QUERIES)
+    # and the r08 staging-queue tally (added r07)
+    from image_matadata_batchprocessing_aws_spark.queries import r08_queue
+
+    m5 = re.search(
+        r"r08 staging queue holds (\d+)\s+\(query, oracle\) pairs", doc
+    )
+    assert m5, "PARITY.md r08-queue tally sentence missing"
+    assert int(m5.group(1)) == len(r08_queue.QUERIES)
 
 
 def test_window_plan_comment_matches_code():

@@ -44,3 +44,27 @@ def test_queue_query_matches_oracle(spark, name):
     assert scols == ocols, (scols, ocols)
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+@pytest.mark.parametrize(
+    "name", ["multimodal_gif_animation", "multimodal_webp_anim"]
+)
+def test_animation_compositing_oracle_exact_at_sf01(spark, name):
+    """VERDICT r6 item 7: the animation-compositing contract is pinned
+    at sf0.1 PERMANENTLY (not only when a staged sweep happens to run)
+    so disposal/blend regressions surface at scale, not just on
+    sf0.001 fixtures.  Same normalize-and-compare gate as the
+    registered inventory."""
+    from tools.check_oracle import normalize
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for tbl in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    sdf = r07_queue.QUERIES[name](spark, sf_dir)
+    scols, srows = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(r07_queue.ORACLES[name])
+    ocols, orows = normalize(res.fetchall(), [d[0] for d in res.description])
+    assert scols == ocols and len(srows) == len(orows) and srows == orows
