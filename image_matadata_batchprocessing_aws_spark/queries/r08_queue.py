@@ -2001,17 +2001,21 @@ ORACLES["text_lang_vocab_overlap"] = r"""
 def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Token-mass coverage of the top-k vocabulary (k = 10/50/100/500)
     — the tokenizer-budget readout: how much of the corpus does a
-    k-word vocab already explain?  One token count, one cumulative
-    window over the RANKED VOCAB (bounded by vocab size, never corpus
-    size), exact integer mass everywhere."""
+    k-word vocab already explain?  One token count, a distributed
+    top-(max k) CUT (orderBy + limit — Spark's TakeOrdered, never a
+    single-partition sort), THEN the cumulative window over at most
+    max(k) rows — so the keyless window is bounded by the ASKED
+    budget, not the vocabulary (a 100 TB corpus has a billion-type
+    vocab; the question only ever needs its top 500)."""
     cnt = (
         t(spark, sf, "documents")
         .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    top = cnt.orderBy(F.col("c").desc(), F.col("w").asc()).limit(500)
     wv = Window.orderBy(F.col("c").desc(), F.col("w").asc())
-    ranked = cnt.withColumn("rk", F.row_number().over(wv)).withColumn(
+    ranked = top.withColumn("rk", F.row_number().over(wv)).withColumn(
         "cum", F.sum("c").over(wv.rowsBetween(Window.unboundedPreceding, 0))
     )
     tot = cnt.agg(F.sum("c").alias("tot"), F.count(F.lit(1)).alias("vocab"))

@@ -1131,3 +1131,43 @@ def test_engagement_panel_resumes_from_checkpoint(spark, events_dir, tmp_path):
     prefix = spark.read.parquet(*files[:3]).select("user_id", "ts")
     exp = sorted(tuple(r) for r in engagement_panel(user_day_bits(prefix)).collect())
     assert got == exp and len(got) > 0
+
+
+def test_stream_srm_counts_equal_batch(spark, events_dir):
+    """The SRM guardrail's live form (staged batch twin:
+    ``stream_srm_guardrail``): per-(day, variant) counts are mergeable,
+    so a streaming complete-mode aggregation over micro-batches yields
+    the exact batch count table, and the chi-squared closed form
+    ``2*S2/n - n`` computed from those counts is bit-identical."""
+    def day_variant(df):
+        return df.where(F.col("user_id").isNotNull()).select(
+            F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+            (F.col("user_id") % 2).alias("variant"),
+        )
+
+    def chi2_table(counts):
+        day = counts.groupBy("day_ms").agg(
+            F.sum("obs").cast("long").alias("n"),
+            F.sum(F.col("obs") * F.col("obs")).alias("s2"),
+        )
+        return day.select(
+            "day_ms",
+            "n",
+            F.round(2.0 * F.col("s2") / F.col("n") - F.col("n"), 6).alias("chi2"),
+        )
+
+    stream = read_events_stream(spark, events_dir)
+    got_counts = _run_to_memory(
+        spark,
+        day_variant(stream).groupBy("day_ms", "variant").count()
+        .withColumnRenamed("count", "obs"),
+        "srm_counts_stream",
+    )
+    batch_counts = (
+        day_variant(spark.read.parquet(events_dir))
+        .groupBy("day_ms", "variant")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    g = sorted(tuple(r) for r in chi2_table(got_counts).collect())
+    b = sorted(tuple(r) for r in chi2_table(batch_counts).collect())
+    assert g == b and len(g) > 0
