@@ -2281,10 +2281,14 @@ def dedup_bbit_minhash(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "documents"), n=3, num_hashes=16
     ).select("doc_id", "signature")
     a, b = sig.alias("a"), sig.alias("b")
+    # (a + b) % 97 == 0  <=>  b % 97 == (97 - a % 97) % 97 — expressed
+    # as an EQUI key so Catalyst plans a shuffled hash join on the
+    # 97-class residue (partitionable, no BroadcastNestedLoopJoin
+    # evaluating the predicate over the full cross space)
     pairs = a.join(
         b,
-        (F.col("a.doc_id") < F.col("b.doc_id"))
-        & ((F.col("a.doc_id") + F.col("b.doc_id")) % 97 == 0),
+        ((97 - F.col("a.doc_id") % 97) % 97 == F.col("b.doc_id") % 97)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.size(
             F.filter(
@@ -2383,10 +2387,12 @@ def embedding_pair_cosine_hist(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", as_double_array("embedding").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")
+    # equi-key form of (a + b) % 23 == 0 (see dedup_bbit_minhash):
+    # hash join on the residue class, residual a < b filter
     cos = a.join(
         b,
-        (F.col("a.vec_id") < F.col("b.vec_id"))
-        & ((F.col("a.vec_id") + F.col("b.vec_id")) % 23 == 0),
+        ((23 - F.col("a.vec_id") % 23) % 23 == F.col("b.vec_id") % 23)
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("c")
     )
