@@ -1171,3 +1171,76 @@ def test_stream_srm_counts_equal_batch(spark, events_dir):
     g = sorted(tuple(r) for r in chi2_table(got_counts).collect())
     b = sorted(tuple(r) for r in chi2_table(batch_counts).collect())
     assert g == b and len(g) > 0
+
+
+def test_cuped_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the CUPED monitor: kill after one
+    micro-batch, add data, restart from the SAME checkpoint — the
+    carried integer (n, sum_y, sum_x) state folds the new rows onto
+    the recovered values, so the final emission still equals the batch
+    aggregate over ALL rows (no loss, no double count)."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.streaming.stateful import cuped_stream
+
+    theta, xbar = 0.4, 12.0
+    rows = [
+        (i % 2, i, round(30.0 + (i % 5) * 1.5, 2), round(10.0 + (i % 3) * 2.0, 2))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "variant long, ts long, y double, x double")
+    src = _write_chunks(
+        tmp_path, df, [F.col("ts") < 30, F.col("ts") >= 30], "cuped_resume_src"
+    )
+    live = str(tmp_path / "cuped_live")
+    os.makedirs(live)
+    shutil.copy(f"{src}/chunk_0.parquet", live)
+    out, ckpt = str(tmp_path / "cuped_out"), str(tmp_path / "cuped_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("variant long, ts long, y double, x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+
+        # update-mode stateful emissions need foreachBatch to land in
+        # parquet (the file sink is append-only); the checkpoint still
+        # carries the state store across the restart
+        def sink(df, epoch_id):
+            df.write.mode("append").parquet(out)
+
+        return (
+            cuped_stream(stream, theta=theta, xbar=xbar)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # NOTE: applyInPandasWithState in append mode emits per batch; the
+    # parquet sink keeps every emission, so the LAST (max n) row per
+    # variant is the final state readout.
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    shutil.copy(f"{src}/chunk_1.parquet", live)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    back = spark.read.parquet(out).collect()
+    final = {}
+    for r in back:
+        if r.variant not in final or r.n > final[r.variant].n:
+            final[r.variant] = r
+    for v in (0, 1):
+        sub = [(y, x) for (vv, _, y, x) in rows if vv == v]
+        n = len(sub)
+        sy = sum(int(round(y * 100)) for y, _ in sub)
+        sx = sum(int(round(x * 100)) for _, x in sub)
+        y_mean, x_mean = sy / 100 / n, sx / 100 / n
+        assert final[v].n == n
+        assert final[v].y_mean == round(y_mean, 6)
+        assert final[v].cuped_mean == round(y_mean - theta * (x_mean - xbar), 6)
