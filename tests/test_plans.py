@@ -60,12 +60,15 @@ def test_whole_inventory_stays_jvm_side(spark):
 
 
 def test_staged_queue_stays_jvm_side(spark):
-    """The r06 staging queue is held to the inventory plan bar BEFORE it
-    registers — no row-at-a-time Python sneaks in via the queue."""
-    from image_matadata_batchprocessing_aws_spark.queries import r06_queue
+    """Every staging queue is held to the inventory plan bar BEFORE it
+    registers — no row-at-a-time Python sneaks in via a queue.  (The
+    r06 queue registered in r06 but stays covered by the registry-wide
+    sweep above; the live staging surface is r07 + r08.)"""
+    from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
 
-    for name, fn in r06_queue.QUERIES.items():
-        assert_no_python_udf(fn(spark, SF_CORRECT)), name
+    for mod in (r07_queue, r08_queue):
+        for name, fn in mod.QUERIES.items():
+            assert_no_python_udf(fn(spark, SF_CORRECT)), name
 
 
 def test_q14_broadcasts_part_and_pushes_dates(spark):
@@ -391,3 +394,25 @@ def test_r04_continuation_plan_shapes(spark):
         df = r05_queue.QUERIES[name](spark, SF_CORRECT)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_r08_pair_grids_plan_as_hash_joins(spark):
+    """The r08 mod-sampled pair grids express (a + b) % m == 0 as an
+    EQUI key (b % m == (m - a % m) % m), so Catalyst plans a hash join
+    on the residue class — a NestedLoopJoin over the full cross space
+    would be the 100 TB killer this test pins out."""
+    import re
+
+    from image_matadata_batchprocessing_aws_spark.queries import r08_queue
+    from tests.conftest import SF_CORRECT
+
+    for name in ("dedup_bbit_minhash", "embedding_pair_cosine_hist"):
+        df = r08_queue.QUERIES[name](spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the pair join itself must be a hash join on the residue class
+        assert re.search(r"HashJoin.*% 97|HashJoin.*% 23", plan), name
+        assert "CartesianProduct" not in plan, name
+        # the only permitted NestedLoop is the 1-row stats crossJoin
+        for line in plan.splitlines():
+            if "NestedLoopJoin" in line:
+                assert "Cross" in line, (name, line.strip())

@@ -60,6 +60,14 @@ SHOWCASE = [
     ("etl_consistent_hashing", "144-vnode ring broadcast twice; assignment = map-side min-struct per doc; only (doc, shard) pairs shuffle"),
     ("eval_chrf_pairs", "per-order char-gram explode partial-aggregates map-side; overlap joins keyed on (pair, gram) — bounded by candidate grams"),
     ("multimodal_otsu", "Arrow stage emits 256-bin histograms only; the argmax is relational over doc x threshold rows, integer-exact"),
+    # r07: staged r08-queue scale paths (resolved from the staging
+    # queue until registration)
+    ("dedup_bbit_minhash", "mod pair grid as an EQUI-key hash join on the residue class — no NestedLoop over the cross space; signatures map-side"),
+    ("chunk_semantic_split", "token explode -> <=16-rows-per-segment partial agg; adjacency join on the SEGMENT grain; sparse dim-keyed dot, never densified"),
+    ("agg_best_split", "cumulative class counts over the $10k BUCKET table (bounded by value range); argmin on the rounded impurity"),
+    ("text_ngram_novelty", "5-gram lead() windows partitioned per doc; ONE shuffle of distinct (gram, doc); first-occurrence = keyed min"),
+    ("agg_ratio_jackknife", "one keyed integer aggregate; every LOO replicate closed-form from the group table — no resampling pass"),
+    ("stream_cuped_readout", "pre-period fit = one hi/lo-split aggregate, broadcast; readout = one 2-group aggregate over the same join"),
 ]
 
 
@@ -67,10 +75,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-dump", cpus=8)
     qs = dict(all_queries())
-    from image_matadata_batchprocessing_aws_spark.queries import r07_queue
+    from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
 
-    for name, fn in r07_queue.QUERIES.items():  # staged: plans auditable pre-registration
-        qs.setdefault(name, fn)
+    for mod in (r07_queue, r08_queue):  # staged: plans auditable pre-registration
+        for name, fn in mod.QUERIES.items():
+            qs.setdefault(name, fn)
     out = [
         "# PLANS — formatted physical plans of the flagship scale paths",
         "",
