@@ -1244,3 +1244,98 @@ def test_cuped_stream_resumes_from_checkpoint(spark, tmp_path):
         assert final[v].n == n
         assert final[v].y_mean == round(y_mean, 6)
         assert final[v].cuped_mean == round(y_mean - theta * (x_mean - xbar), 6)
+
+
+def test_cuped_stream_matches_staged_batch_twin(spark, tmp_path):
+    """End-to-end CUPED contract: fit (theta, xbar) on the PRE-period
+    exactly as the staged ``stream_cuped_readout`` batch twin does,
+    deploy them to ``cuped_stream`` over the POST-period rows replayed
+    as a 3-micro-batch file stream — the final live emission per
+    variant must equal the batch twin's row bit-for-bit."""
+    import glob as _glob
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.queries.r08_queue import (
+        stream_cuped_readout,
+    )
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+    from image_matadata_batchprocessing_aws_spark.streaming.stateful import cuped_stream
+    from tests.conftest import SF_SMOKE
+
+    batch = {r.variant: r for r in stream_cuped_readout(spark, SF_SMOKE).collect()}
+    theta = batch[0].theta  # rounded readout of the fit — recompute raw below
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    pre = j.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    # raw (unrounded) fit, same integer moments as the batch twin
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    fitrow = (
+        pre.select(
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("xs"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("ys"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xs").alias("sx"),
+            F.sum("ys").alias("sy"),
+            *_split_sum(F.col("xs") * F.col("xs"), "qxx"),
+            *_split_sum(F.col("xs") * F.col("ys"), "qxy"),
+        )
+        .select(
+            (
+                (_split_val("qxy", 10000.0)
+                 - F.col("sx") / 100.0 * F.col("sy") / 100.0 / F.col("n"))
+                / (_split_val("qxx", 10000.0)
+                   - F.col("sx") / 100.0 * F.col("sx") / 100.0 / F.col("n"))
+            ).alias("theta"),
+            (F.col("sx") / 100.0 / F.col("n")).alias("xbar"),
+        )
+        .collect()[0]
+    )
+    assert round(fitrow.theta, 6) == theta  # the twin reports the same fit
+
+    post = j.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select(
+        (F.col("o_custkey") % 2).alias("variant"),
+        F.col("o_orderkey").alias("ts"),
+        F.col("o_totalprice").alias("y"),
+        F.col("c_acctbal").alias("x"),
+    )
+    src = _write_chunks(
+        tmp_path,
+        post,
+        [
+            F.col("ts") % 3 == 0,
+            F.col("ts") % 3 == 1,
+            F.col("ts") % 3 == 2,
+        ],
+        "cuped_twin_src",
+    )
+    stream = (
+        spark.readStream.schema("variant long, ts long, y double, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cuped_stream(stream, theta=fitrow.theta, xbar=fitrow.xbar)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cuped_twin_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM cuped_twin_out").collect():
+        if r.variant not in final or r.n > final[r.variant].n:
+            final[r.variant] = r
+    for v in (0, 1):
+        assert final[v].n == batch[v].n
+        assert final[v].y_mean == batch[v].y_mean
+        assert final[v].cuped_mean == batch[v].cuped_mean
