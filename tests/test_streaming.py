@@ -1339,3 +1339,68 @@ def test_cuped_stream_matches_staged_batch_twin(spark, tmp_path):
         assert final[v].n == batch[v].n
         assert final[v].y_mean == batch[v].y_mean
         assert final[v].cuped_mean == batch[v].cuped_mean
+
+
+def test_srm_guardrail_sink_matches_batch_and_resumes(spark, events_dir, tmp_path):
+    """streaming/srm.py: the foreachBatch-maintained (day, variant)
+    count state yields the exact batch guardrail after consuming all
+    micro-batches, AND after a kill-and-restart-from-checkpoint with
+    new data the post-restart readout equals the batch query over the
+    full prefix (count mergeability + the latest-before-epoch state
+    read make the crash invisible — the engagement-panel recipe)."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.streaming.srm import (
+        day_variant_counts,
+        srm_readout,
+        start_srm_guardrail_sink,
+    )
+
+    files = sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))
+    live = str(tmp_path / "srm_live")
+    os.makedirs(live)
+    for f in files[:2]:
+        shutil.copy(f, live)
+    state_dir, ckpt = str(tmp_path / "srm_state"), str(tmp_path / "srm_ckpt")
+
+    def readout_of_latest():
+        state = spark.read.parquet(state_dir)
+        last = state.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        return sorted(
+            tuple(r)
+            for r in srm_readout(
+                state.where(F.col("batch_id") == last).drop("batch_id")
+            ).collect()
+        ), {r.batch_id for r in state.select("batch_id").distinct().collect()}
+
+    q = start_srm_guardrail_sink(
+        read_events_stream(spark, live), state_dir, ckpt, query_name="srm_a"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got1, epochs1 = readout_of_latest()
+    exp1 = sorted(
+        tuple(r)
+        for r in srm_readout(
+            day_variant_counts(spark.read.parquet(*files[:2]))
+        ).collect()
+    )
+    assert got1 == exp1 and len(got1) > 0
+
+    # crash window: a new file arrives while the sink is down
+    shutil.copy(files[2], live)
+    q2 = start_srm_guardrail_sink(
+        read_events_stream(spark, live), state_dir, ckpt, query_name="srm_b"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2, epochs2 = readout_of_latest()
+    assert min(epochs2 - epochs1) > max(epochs1)  # strictly advancing epochs
+    exp2 = sorted(
+        tuple(r)
+        for r in srm_readout(
+            day_variant_counts(spark.read.parquet(*files[:3]))
+        ).collect()
+    )
+    assert got2 == exp2
