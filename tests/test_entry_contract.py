@@ -283,3 +283,29 @@ def test_flagship_compositions_oracle_exact_at_sf01(spark, name):
     assert scols == ocols, (scols, ocols)
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+def test_bench_headline_integrity():
+    """bench.py's HEADLINE must stay duplicate-free, resolvable in the
+    registry, and append-only over the frozen r02 prefix — the
+    round-over-round comparability contract (drift here would silently
+    break the like-for-like frozen-30 totals)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    reg = set(entrymod.queries())
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, missing
+    assert bench.FROZEN_PREFIX == bench.HEADLINE[:30]
+    # the frozen r02 prefix itself (never reorder, never remove)
+    assert bench.FROZEN_PREFIX[:4] == [
+        "etl_sentinel_ffill",
+        "etl_label_encode",
+        "etl_zscore",
+        "etl_batch_id",
+    ]
+    assert len(bench.FROZEN_PREFIX) == 30
