@@ -1404,3 +1404,128 @@ def test_srm_guardrail_sink_matches_batch_and_resumes(spark, events_dir, tmp_pat
         ).collect()
     )
     assert got2 == exp2
+
+
+def test_ivm_join_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
+    """Restart recovery for the IVM join sink: kill after 2 files, add
+    the remaining 2 while the query is down, restart from the SAME
+    checkpoint — the recovered side-tables join the late arrivals
+    against EVERYTHING seen before the crash, so the accumulated output
+    still equals the batch join of the full inputs (cross-restart
+    matches included — the case a lost state store would drop)."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.streaming.ivm import (
+        start_ivm_join_sink,
+    )
+
+    files = sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))
+    live = str(tmp_path / "ivm_live")
+    os.makedirs(live)
+    for f in files[:2]:
+        shutil.copy(f, live)
+
+    def start():
+        stream = read_events_stream(spark, live)
+        is_click = F.col("event_type") == "click"
+        tagged = (
+            stream.where(F.col("event_type").isin("click", "purchase"))
+            .where(F.col("user_id").isNotNull())
+            .select(
+                F.when(is_click, "a").otherwise("b").alias("side"),
+                "user_id",
+                F.when(is_click, F.col("event_id")).alias("a_id"),
+                F.when(~is_click, F.col("event_id")).alias("b_id"),
+            )
+        )
+        return start_ivm_join_sink(
+            tagged,
+            "side",
+            ["user_id", "a_id"],
+            ["user_id", "b_id"],
+            ["user_id"],
+            str(tmp_path / "ivm_state"),
+            str(tmp_path / "ivm_out"),
+            str(tmp_path / "ivm_ckpt"),
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    for f in files[2:]:
+        shutil.copy(f, live)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.read.parquet(str(tmp_path / "ivm_out"))
+        .select("user_id", "a_id", "b_id")
+        .collect()
+    )
+    ev = spark.read.parquet(events_dir).where(F.col("user_id").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("b_id")
+    )
+    exp = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in clicks.join(purchases, "user_id").collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_bottomk_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
+    """Restart recovery for the bottom-k sample sink: the recovered
+    carried sample merges with post-restart rows to the exact bottom-k
+    of the FULL input (min-k mergeability survives the crash), with
+    strictly advancing epoch ids."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.streaming.sampling import (
+        bottomk_sample,
+        start_bottomk_sample_sink,
+    )
+
+    k = 16
+    files = sorted(glob.glob(f"{events_dir}/chunk_*.parquet"))
+    live = str(tmp_path / "bk_live")
+    os.makedirs(live)
+    for f in files[:2]:
+        shutil.copy(f, live)
+    state_dir, ckpt = str(tmp_path / "bk_state"), str(tmp_path / "bk_ckpt")
+
+    q = start_bottomk_sample_sink(read_events_stream(spark, live), k, state_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    first_epochs = {
+        r.batch_id
+        for r in spark.read.parquet(state_dir).select("batch_id").distinct().collect()
+    }
+    for f in files[2:]:
+        shutil.copy(f, live)
+    q2 = start_bottomk_sample_sink(read_events_stream(spark, live), k, state_dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    state = spark.read.parquet(state_dir)
+    epochs = {r.batch_id for r in state.select("batch_id").distinct().collect()}
+    assert min(epochs - first_epochs) > max(first_epochs)
+    last = max(epochs)
+    got = sorted(
+        (r.event_id, r.user_id, r.event_type, r.h)
+        for r in state.where(F.col("batch_id") == last)
+        .select("event_id", "user_id", "event_type", "h")
+        .collect()
+    )
+    ev = spark.read.parquet(events_dir).select("event_id", "user_id", "event_type")
+    exp = sorted(
+        (r.event_id, r.user_id, r.event_type, r.h)
+        for r in bottomk_sample(ev, k).collect()
+    )
+    assert got == exp and len(got) == k
