@@ -1529,3 +1529,74 @@ def test_bottomk_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
         for r in bottomk_sample(ev, k).collect()
     )
     assert got == exp and len(got) == k
+
+
+def test_near_dedup_sink_resumes_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the streaming near-dup sink: kill after the
+    first batch, add docs that duplicate PRE-crash corpus entries,
+    restart from the same checkpoint — the recovered corpus state still
+    catches them (a lost state store would re-admit every dup), and the
+    settled corpus stays dup-free."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.streaming.dedup import (
+        start_near_dedup_sink,
+    )
+
+    chunk_a = [(0, "alpha beta gamma delta epsilon"), (1, "one two three four five six")]
+    chunk_b = [
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of PRE-crash 0
+        (3, "one two three four five seven"),   # near dup of PRE-crash 1
+        (4, "totally fresh text about owls here"),
+    ]
+    d = str(tmp_path / "nd_docs")
+    os.makedirs(d)
+
+    def add_chunk(i, rows):
+        tmp = str(tmp_path / f"nd_tmp{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            _glob.glob(f"{tmp}/part-*.parquet")[0],
+            os.path.join(d, f"chunk_{i}.parquet"),
+        )
+        shutil.rmtree(tmp)
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return start_near_dedup_sink(
+            stream,
+            str(tmp_path / "nd_state"),
+            str(tmp_path / "nd_out"),
+            str(tmp_path / "nd_ckpt"),
+        )
+
+    add_chunk(0, chunk_a)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    add_chunk(1, chunk_b)  # arrives while the sink is down
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in spark.read.parquet(str(tmp_path / "nd_out")).collect()
+    }
+    assert got[2] == ("exact_dup", 0)  # caught against the PRE-crash corpus
+    assert got[3] == ("near_dup", 1)
+    assert got[4][0] == "unique"
+    settled = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "nd_state")).collect()
+    )
+    assert settled == [0, 1, 4]
