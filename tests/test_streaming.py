@@ -1600,3 +1600,86 @@ def test_near_dedup_sink_resumes_from_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "nd_state")).collect()
     )
     assert settled == [0, 1, 4]
+
+
+def test_cusum_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the CUSUM monitor: kill mid-stream, let the
+    drifting rows arrive while the query is down, restart from the same
+    checkpoint — the carried integer prefix state (P+/-, M+/-) resumes
+    exactly, so the full emission set is bit-identical to the batch
+    operator and the drift that begins AFTER the crash still alarms."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.operators.timeseries import (
+        cusum_two_sided,
+    )
+    from image_matadata_batchprocessing_aws_spark.streaming import cusum_stream
+
+    rows = []
+    for u in (1, 2):
+        for i in range(30):
+            # drift starts at i=20 — strictly after the restart point
+            v = 10.0 + (6.0 if (u == 1 and i >= 20) else 0.0) + (i % 3)
+            rows.append((u, i, 1000 + i, v))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    )
+    batch = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in cusum_two_sided(
+            df, "user_id", "ts", "value", "event_id",
+            slack_k=1.0, threshold_h=8.0, target=11.0,
+        ).collect()
+    }
+
+    src = _write_chunks(
+        tmp_path,
+        df,
+        [F.col("ts") < 10, (F.col("ts") >= 10) & (F.col("ts") < 20), F.col("ts") >= 20],
+        "cusum_resume_src",
+    )
+    live = str(tmp_path / "cusum_live")
+    os.makedirs(live)
+    for f in sorted(_glob.glob(f"{src}/chunk_*.parquet"))[:2]:
+        shutil.copy(f, live)
+    out, ckpt = str(tmp_path / "cusum_res_out"), str(tmp_path / "cusum_res_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts long, event_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        return (
+            cusum_stream(stream, target=11.0, slack_k=1.0, threshold_h=8.0)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    pre = spark.read.parquet(out).count()
+    assert pre == 40  # 2 users x 20 pre-crash rows, exactly once
+
+    shutil.copy(f"{src}/chunk_2.parquet", live)  # the drift arrives
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 60  # no duplicates across the restart
+    assert got == batch
+    # the post-restart drift alarms for user 1 only — state continuity
+    assert any(a for (u, _), (_, _, a) in got.items() if u == 1)
+    assert not any(a for (u, _), (_, _, a) in got.items() if u == 2)
