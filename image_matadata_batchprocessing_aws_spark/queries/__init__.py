@@ -63,80 +63,89 @@ _MODULES = [
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-7 composition (VERDICT r6
-#: item 1): the registry stays at 401 this round (``r07_queue.py`` is
-#: held back per the drain plan — backlog 112 > drain rate); the window
-#: is exactly the next 50 never-driver-checked r05-queue entries in
-#: registration order (``agg_ks_drift`` .. ``chunk_sentence_budget``).
-#: Every window entry is locally oracle-exact at sf0.001 AND sf0.01
+#: entries get oracle rows each round.  Round-8 composition (VERDICT r7
+#: item 1): the registry stays at 401 this round (``r07_queue.py`` and
+#: ``r08_queue.py`` stay staged per the drain plan); the window is
+#: exactly what ``tools/compose_window.py`` emits — the 12 remaining
+#: never-driver-checked r05-queue entries
+#: (``etl_fixed_width_roundtrip`` .. ``etl_scd2_audit``) followed by
+#: the first 38 never-checked r06-queue entries in registration order
+#: (``graph_ppr_converged`` .. ``pipeline_winnow_dedup``).  Every
+#: window entry is locally oracle-exact at sf0.001 AND sf0.01
 #: (tools/check_oracle.py, 0 failures).  Strict driver-green union
-#: after r06 = 287/401 (the judge's 288 additionally counts the
-#: rows-only ``agg_approx_distinct`` r01 row); this window takes the
-#: union to 337/401 if all 50 land green.
+#: after r07 = 337/401; this window takes the union to 387/401 if all
+#: 50 land green.
 #:
 #: DRAIN PLAN (keep registry growth <= window drain rate — the r03
-#: lesson): after r07, 12 r05-queue entries plus the 50 r06-queue
-#: entries remain never-driver-checked; r08 takes those 12 + the first
-#: 38 r06-queue entries; r09 registers ``r07_queue.py`` (401 -> 451)
-#: and takes the final 12 r06-queue + the first 38 r07-queue entries;
-#: r10 takes the final 12 r07-queue entries + 38 re-confirmation
+#: lesson): after r08, 0 r05-queue entries plus the 12 r06-queue
+#: entries remain never-driver-checked; r09 registers ``r07_queue.py``
+#: (401 -> 451) and takes those final 12 r06-queue + the first 38
+#: r07-queue entries; r10 registers ``r08_queue.py`` (451 -> 501) and
+#: takes the final 12 r07-queue + the first 38 r08-queue entries
+#: (VERDICT r7 item 2: the previously-unscheduled r08_queue
+#: registration slot); r11 registers ``r09_queue.py`` (501 -> 551) and
+#: takes the final 12 r08-queue + the first 38 r09-queue entries.
+#: STEADY STATE from here: each round N stages <= 50 new oracled pairs
+#: in ``queries/r{N+1}_queue.py`` (three-scale-verified via
+#: ``tools/check_oracle.py --staged``), and round N+2 registers that
+#: queue and starts draining it — so every staged queue has a
+#: scheduled registration round and the never-checked backlog is
+#: pinned at 12 + 50 = 62 entering each round.  Rounds with no new
+#: staging instead pad their window with 38 re-confirmation
 #: spot-checks (oldest driver row first, per tools/compose_window.py).
-#: New r07 work stages in ``queries/r08_queue.py`` (oracled +
-#: three-scale-verified via ``tools/check_oracle.py --staged``),
-#: capped at <= 50 pairs so growth stays at the drain rate.  The
-#: window arithmetic here is LOCKED by
+#: The window arithmetic here is LOCKED by
 #: ``tests/test_entry_contract.py::test_window_plan_comment_matches_code``.
 _WINDOW = [
-    "agg_ks_drift",
-    "agg_chi2_independence",
-    "multimodal_audio_pitch",
-    "agg_welch_ttest",
-    "multimodal_image_equalize",
-    "agg_anova_oneway",
-    "ts_autocorr",
-    "dedup_containment",
-    "multimodal_tile_overlap",
-    "etl_jsonl_roundtrip",
-    "etl_schema_evolution",
-    "etl_variant_extract",
-    "source_python_datasource",
-    "agg_cramers_v",
-    "etl_table_diff",
-    "text_unicode_nfc",
-    "embedding_jl_project",
-    "sample_neyman",
-    "ts_hampel",
-    "ts_theil_sen",
-    "eval_mcnemar",
-    "etl_date_spine",
-    "reco_association_rules",
-    "agg_kruskal_wallis",
-    "agg_key_skew",
-    "sketch_ams_f2",
-    "etl_compaction_plan",
-    "ann_mutual_margin",
-    "agg_trimmed_mean",
-    "etl_zonemap_prune",
-    "agg_kendall_tau",
-    "agg_shannon_entropy",
-    "graph_ppr",
-    "sample_group_kfold",
-    "eval_pr_curve",
-    "text_llr_collocations",
-    "agg_gini_wealth",
-    "stream_lateness_audit",
-    "ts_changepoint",
-    "etl_table_fingerprint",
-    "sample_temperature",
-    "ts_pacf",
-    "sketch_cms_joinsize",
-    "embedding_knn_outliers",
-    "agg_psi_drift",
-    "etl_pseudonymize",
-    "agg_markov_steady",
-    "stream_join_attribution_outer",
-    "ts_holt_backtest",
-    "chunk_sentence_budget",
+    "etl_fixed_width_roundtrip",
+    "eval_average_precision",
+    "embedding_drift",
+    "funnel_step_latency",
+    "ts_gap_stats",
+    "graph_reciprocity",
+    "agg_engagement_daily",
+    "reco_seq_patterns",
+    "text_rake_keyphrases",
+    "graph_clustering_coeff",
+    "embedding_hard_negatives",
+    "etl_scd2_audit",
+    "graph_ppr_converged",
+    "multimodal_vp8_decode",
+    "dedup_lsh_tuning",
+    "agg_bootstrap_ci",
+    "ts_stl_decompose",
+    "eval_bleu_pairs",
+    "etl_orc_roundtrip",
+    "graph_closeness_sampled",
+    "eval_label_errors",
+    "text_vocab_growth",
+    "sample_pack_audit",
+    "graph_assortativity",
+    "graph_mst_boruvka",
+    "text_winnow_fingerprints",
+    "eval_cluster_rand",
+    "sample_length_buckets",
+    "etl_l_diversity",
+    "eval_auc_delong",
+    "etl_pseudonym_referential",
+    "agg_hhi",
+    "etl_k_generalize",
+    "stream_bottomk_sample",
+    "eval_rank_rbo",
+    "agg_dau_mau",
+    "dedup_winnow_pairs",
+    "join_multitouch_attribution",
+    "agg_growth_accounting",
+    "graph_walk_corpus",
+    "agg_ab_proportions",
+    "ts_ohlc_bars",
+    "graph_resource_allocation",
+    "text_textrank_keywords",
+    "eval_lift_gains",
+    "multimodal_image_ssim",
+    "eval_ece",
+    "ts_mann_kendall",
+    "eval_cohens_d",
+    "pipeline_winnow_dedup",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -180,15 +180,15 @@ def test_window_plan_comment_matches_code():
     window = qpkg._WINDOW
     src = open(qpkg.__file__).read()
 
-    # comment claims "stays at 401" and "337/401"
+    # comment claims "stays at 401" and "387/401"
     m = re.search(r"registry stays at (\d+) this round", src)
     assert m and int(m.group(1)) == len(reg)
-    m = re.search(r"union to (\d+)/(\d+) if all 50 land green", src)
+    m = re.search(r"union to (\d+)/(\d+) if all\n?#?:? ?50 land green", src)
     assert m and int(m.group(2)) == len(reg)
-    # 287 strict green union recorded over r01-r06 + 50 window slots = 337
+    # 337 strict green union recorded over r01-r07 + 50 window slots = 387
     union_green = set()
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         rows = json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json"))
         checked |= set(rows)
         for k, v in rows.items():
@@ -200,42 +200,58 @@ def test_window_plan_comment_matches_code():
                 union_green.add(k)
     union_green &= set(reg)
     assert int(m.group(1)) == len(union_green | set(window))
-    m = re.search(r"union\n#: after r06 = (\d+)/(\d+)", src)
+    m = re.search(r"union\n#: after r07 = (\d+)/(\d+)", src)
     assert m and int(m.group(1)) == len(union_green)
     assert int(m.group(2)) == len(reg)
     # every window entry is oracled, and none already has a green row
     assert set(window) <= set(oracles)
     assert not set(window) & union_green
     # the window leads with every ever-checked-never-green oracled
-    # query (r07: none — agg_decimal_exact landed green in r06)
+    # query (r08: none — zero ever-checked-never-green after r07)
     never_green_checked = (checked & set(oracles)) - union_green
     assert never_green_checked <= set(window)
-    # the 50 slots drain the r05 queue in registration order — the
-    # never-checked queue head, exactly
+    # the 50 slots = ALL 12 remaining never-checked r05-queue entries
+    # (registration order) + the first 38 never-checked r06-queue
+    # entries — exactly what tools/compose_window.py emits
     never_checked_q5 = [n for n in r05_queue.QUERIES if n not in checked]
-    n_head = len(window) - len(never_green_checked & set(window))
-    assert [n for n in window if n in set(r05_queue.QUERIES)] == never_checked_q5[
-        :n_head
-    ]
-    assert list(window) == never_checked_q5[:50]
-    # drain arithmetic: "12 r05-queue entries plus the 50 r06-queue
+    never_checked_q6 = [n for n in r06_queue.QUERIES if n not in checked]
+    assert list(window) == never_checked_q5 + never_checked_q6[: 50 - len(
+        never_checked_q5
+    )]
+    assert len(never_checked_q5) == 12
+    # drain arithmetic: "0 r05-queue entries plus the 12 r06-queue
     # entries remain never-driver-checked" after this window lands
     m = re.search(
         r"(\d+) r05-queue entries plus the (\d+) r06-queue\n#: entries remain",
         src,
     )
     assert m, "drain-plan sentence missing"
-    assert int(m.group(1)) == len(never_checked_q5) - n_head
-    never_checked_q6 = [n for n in r06_queue.QUERIES if n not in checked]
-    assert int(m.group(2)) == len(never_checked_q6)
-    # r06 queue is REGISTERED (appended at the registry end)
+    assert int(m.group(1)) == 0
+    assert int(m.group(2)) == len(never_checked_q6) - (50 - len(never_checked_q5))
+    # r06 queue is REGISTERED (appended at the registry end); r07/r08
+    # queues are NOT yet (they register r09/r10 per the comment)
     assert set(r06_queue.QUERIES) <= set(reg)
-    assert not set(window) & set(r06_queue.QUERIES)
-    # endgame arithmetic: r08 = 12 r05 + 38 r06; r09 = final 12 r06 +
-    # first 38 r07-queue (registered then); r10 = final 12 r07-queue +
-    # 38 re-confirmations.  The comment's leftover counts must tile.
-    leftover = len(never_checked_q5) - n_head + len(never_checked_q6)
-    assert leftover == 62  # 12 + 50 — two more 50-windows of drain
+    from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
+
+    assert not set(r07_queue.QUERIES) & set(reg)
+    assert not set(r08_queue.QUERIES) & set(reg)
+    # endgame arithmetic (VERDICT r7 item 2): every staged queue has a
+    # scheduled registration round — r09 registers r07_queue, r10
+    # registers r08_queue, r11 registers r09_queue.  The comment's
+    # registry sizes must tile from the actual queue lengths.
+    m = re.search(r"r09 registers ``r07_queue\.py``\n#: \((\d+) -> (\d+)\)", src)
+    assert m and int(m.group(1)) == len(reg)
+    assert int(m.group(2)) == len(reg) + len(r07_queue.QUERIES)
+    m = re.search(r"r10 registers ``r08_queue\.py`` \((\d+) -> (\d+)\)", src)
+    assert m and int(m.group(1)) == len(reg) + len(r07_queue.QUERIES)
+    assert int(m.group(2)) == len(reg) + len(r07_queue.QUERIES) + len(
+        r08_queue.QUERIES
+    )
+    assert "r11 registers ``r09_queue.py``" in src
+    # leftover after this window = 12 r06 + 50 r07-staged + 50
+    # r08-staged = exactly two-and-a-half more 50-windows of drain
+    leftover = len(never_checked_q6) - (50 - len(never_checked_q5))
+    assert leftover == 12
 
 
 def test_track_persist_release(spark):
