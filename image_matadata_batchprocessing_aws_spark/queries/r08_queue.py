@@ -243,14 +243,19 @@ def eval_holm_bonferroni(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2")
     )
     tests = chi2.select("c_nationkey", F.exp(-F.col("chi2") / 2).alias("p"))
-    m = tests.count()  # number of TESTS (25) — a driver-safe k-row stat
+    # m = number of TESTS (25), computed relationally (broadcast 1-row
+    # aggregate) so building the DataFrame stays lazy — ADVICE r7: a
+    # construction-time .count() made plan dumps execute a Spark job.
+    m_df = tests.agg(F.count(F.lit(1)).alias("__m"))
     wk = Window.orderBy(F.col("p").asc(), F.col("c_nationkey").asc())
-    ranked = tests.withColumn("k", F.row_number().over(wk))
+    ranked = tests.crossJoin(F.broadcast(m_df)).withColumn(
+        "k", F.row_number().over(wk)
+    )
     stepped = ranked.withColumn(
         "holm_p",
         F.least(
             F.lit(1.0),
-            F.max((F.lit(m) - F.col("k") + 1) * F.col("p")).over(
+            F.max((F.col("__m") - F.col("k") + 1) * F.col("p")).over(
                 wk.rowsBetween(Window.unboundedPreceding, 0)
             ),
         ),

@@ -48,11 +48,38 @@ def day_variant_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def srm_readout(counts: DataFrame, k: int = 2, crit: float = 10.828) -> DataFrame:
+#: Chi-squared critical values at p=0.001 by df=k-1 — so the default
+#: breach threshold tracks the variant count instead of silently
+#: testing k>2 experiments against the df=1 value (ADVICE r7).
+_CHI2_CRIT_P001 = {
+    1: 10.828,
+    2: 13.816,
+    3: 16.266,
+    4: 18.467,
+    5: 20.515,
+    6: 22.458,
+    7: 24.322,
+    8: 26.124,
+    9: 27.877,
+}
+
+
+def srm_readout(
+    counts: DataFrame, k: int = 2, crit: float | None = None
+) -> DataFrame:
     """Close the guardrail from the state: per-day n, the exact
-    ``k*S2/n - n`` chi-squared, and the breach flag (default critical
-    value = df=1 at p=0.001).  Pure integer sums until one float
-    expression — the ``stream_srm_guardrail`` arithmetic exactly."""
+    ``k*S2/n - n`` chi-squared, and the breach flag.  ``crit`` defaults
+    to the df=k-1 critical value at p=0.001 (table above); a k outside
+    the table requires an explicit ``crit``.  Pure integer sums until
+    one float expression — the ``stream_srm_guardrail`` arithmetic
+    exactly."""
+    if crit is None:
+        if k - 1 not in _CHI2_CRIT_P001:
+            raise ValueError(
+                f"no built-in p=0.001 critical value for k={k} variants "
+                f"(df={k - 1}); pass crit= explicitly"
+            )
+        crit = _CHI2_CRIT_P001[k - 1]
     day = counts.groupBy("day_ms").agg(
         F.sum("obs").cast("long").alias("n"),
         F.sum(F.col("obs") * F.col("obs")).alias("__s2"),

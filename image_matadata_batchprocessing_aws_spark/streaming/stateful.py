@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -170,9 +171,22 @@ def cuped_stream(
             n += len(ok)
             if len(ok):
                 # per-ROW scaling to exact ints, then exact integer sums
-                # (the house cents idiom) — never round a float sum
-                sy += int(ok["y"].astype(float).mul(scale).round().astype("int64").sum())
-                sx += int(ok["x"].astype(float).mul(scale).round().astype("int64").sum())
+                # (the house cents idiom) — never round a float sum.
+                # Sign-aware HALF_UP (away from zero), matching Spark
+                # F.round on the batch twin: pandas .round() is
+                # half-EVEN, which silently breaks the bit-identical
+                # stream==batch contract for inputs whose scaled value
+                # lands exactly on .5 (ADVICE r7).
+                def _half_up(s: pd.Series) -> int:
+                    v = s.astype(float).to_numpy()
+                    return int(
+                        (np.sign(v) * np.floor(np.abs(v) * scale + 0.5))
+                        .astype("int64")
+                        .sum()
+                    )
+
+                sy += _half_up(ok["y"])
+                sx += _half_up(ok["x"])
         state.update((n, sy, sx))
         if n:
             y_mean = sy / scale / n

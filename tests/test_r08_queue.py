@@ -45,3 +45,25 @@ def test_queue_query_matches_oracle(spark, name):
     assert scols == ocols, (scols, ocols)
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+def test_staged_queries_construct_lazily(spark):
+    """ADVICE r7: ``eval_holm_bonferroni`` ran ``tests.count()`` during
+    construction, so merely BUILDING the DataFrame (plan dumps, plan
+    tests) executed a full Spark job — unlike every other staged query.
+    Lock laziness for the whole queue: constructing every staged
+    DataFrame must launch zero Spark jobs."""
+    sc = spark.sparkContext
+    # warm pass: first-touch parquet loads may run one-off
+    # schema/footer jobs, which are per-session, not per-construction
+    for fn in r08_queue.QUERIES.values():
+        fn(spark, SF_SMOKE)
+    group = "r08_lazy_probe"
+    sc.setJobGroup(group, "construction must not run jobs")
+    try:
+        for name, fn in r08_queue.QUERIES.items():
+            fn(spark, SF_SMOKE)
+            ids = sc.statusTracker().getJobIdsForGroup(group)
+            assert ids == [], f"{name} ran Spark job(s) during construction: {ids}"
+    finally:
+        sc.setJobGroup("default", "")
