@@ -985,6 +985,91 @@ def test_stream_cuped_equals_batch(spark, tmp_path):
     ) + 1e-9
 
 
+def test_cuped_stream_rounds_half_up_like_batch(spark, tmp_path):
+    """ADVICE r7: pandas ``.round()`` is half-EVEN while the batch twin
+    scales with Spark ``F.round`` (HALF_UP, away from zero), so inputs
+    whose scaled value lands exactly on .5 (more decimals than
+    value_digits) broke the bit-identical stream==batch contract.
+    0.125*100 = 12.5 is exactly representable, so the two modes
+    provably diverge on it (12 vs 13); feed such values and assert the
+    stream's integer state matches the HALF_UP batch scaling."""
+    from image_matadata_batchprocessing_aws_spark.streaming.stateful import cuped_stream
+
+    theta, xbar = 0.25, 0.5
+    # every y*100 / x*100 is an exact .5 in binary floating point
+    ys = [0.125, 0.375, 0.625, 0.875, -0.125, 0.125]
+    xs = [0.375, 0.125, 0.875, 0.625, 0.625, -0.375]
+    rows = [(0, i, ys[i], xs[i]) for i in range(len(ys))]
+    df = spark.createDataFrame(rows, "variant long, ts long, y double, x double")
+    src = _write_chunks(
+        tmp_path, df, [F.col("ts") < 3, F.col("ts") >= 3], "cuped_halfup_src"
+    )
+    stream = (
+        spark.readStream.schema("variant long, ts long, y double, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cuped_stream(stream, theta=theta, xbar=xbar)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cuped_halfup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = max(
+        spark.sql("SELECT * FROM cuped_halfup_out").collect(), key=lambda r: r.n
+    )
+    # HALF_UP comparator — what F.round(v*100) produces on the batch side
+    import math
+
+    def half_up(v):
+        return int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+
+    n = len(ys)
+    sy = sum(half_up(v) for v in ys)  # 13+38+63+88-13+13 = 202, not 200
+    sx = sum(half_up(v) for v in xs)
+    assert sy != sum(round(v * 100) for v in ys)  # the modes genuinely differ
+    y_mean, x_mean = sy / 100 / n, sx / 100 / n
+    assert final.n == n
+    assert final.y_mean == round(y_mean, 6)
+    assert final.cuped_mean == round(y_mean - theta * (x_mean - xbar), 6)
+
+
+def test_srm_readout_crit_tracks_variant_count(spark):
+    """ADVICE r7: the default crit was the df=1 value regardless of k.
+    Now the default derives from k (df=k-1 at p=0.001) and an
+    off-table k demands an explicit crit."""
+    from image_matadata_batchprocessing_aws_spark.streaming.srm import (
+        _CHI2_CRIT_P001,
+        srm_readout,
+    )
+
+    # 3 variants, one day: perfectly balanced -> chi2 = 0, no flag
+    counts = spark.createDataFrame(
+        [(86400000, v, 100) for v in range(3)], "day_ms long, variant long, obs long"
+    )
+    row = srm_readout(counts, k=3).collect()[0]
+    assert row.chi2 == 0.0 and row.srm_flag == 0
+    # imbalanced enough to clear df=1's 10.828 but NOT df=2's 13.816:
+    # obs (50, 100, 150) -> chi2 = 3*35000/300 - 300 = 50  (flags)
+    # obs (79, 100, 121) -> chi2 = 3*30882/300 - 300 = 8.82 (no flag
+    # at df=2, but WOULD have flagged under the old df=1 default crit
+    # after ~10.9)
+    counts2 = spark.createDataFrame(
+        [(0, 0, 76), (0, 1, 100), (0, 2, 124)], "day_ms long, variant long, obs long"
+    )
+    row2 = srm_readout(counts2, k=3).collect()[0]
+    # chi2 = 3*(76^2+100^2+124^2)/300 - 300 = 3*31152/300-300 = 11.52
+    assert 10.828 < row2.chi2 < _CHI2_CRIT_P001[2]
+    assert row2.srm_flag == 0  # df=2 threshold holds; df=1 would misfire
+    with pytest.raises(ValueError, match="pass crit"):
+        srm_readout(counts, k=11)
+    # explicit crit still respected
+    assert srm_readout(counts2, k=3, crit=11.0).collect()[0].srm_flag == 1
+
+
 def test_sprt_stream_resumes_from_checkpoint(spark, tmp_path):
     """Restart recovery for the stateful SPRT (VERDICT r6 item 6): kill
     the query after a key has decided, add data for both keys, restart
@@ -1404,6 +1489,93 @@ def test_srm_guardrail_sink_matches_batch_and_resumes(spark, events_dir, tmp_pat
         ).collect()
     )
     assert got2 == exp2
+
+
+def test_cmh_guardrail_sink_matches_batch_and_resumes(spark, tmp_path):
+    """streaming/cmh.py (VERDICT r7 item 5): the live Mantel-Haenszel/
+    CMH guardrail's readout over foreachBatch-merged per-stratum 2x2
+    integer state is BIT-IDENTICAL to the staged ``agg_mantel_haenszel``
+    batch query over the same rows, across micro-batch splits AND
+    across a kill-and-restart-from-checkpoint with data arriving while
+    the sink is down (the srm/engagement recipe)."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.queries.r08_queue import (
+        agg_mantel_haenszel,
+    )
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+    from image_matadata_batchprocessing_aws_spark.streaming.cmh import (
+        cmh_readout,
+        start_cmh_guardrail_sink,
+        stratum_cells,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # the batch twin's assignment rows, exactly
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_regionkey")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") % 2).alias("exposed"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("hit"),
+    )
+    rows = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_regionkey").cast("long").alias("stratum"),
+            "exposed",
+            "hit",
+            F.col("o_orderkey").alias("ts"),
+        )
+    )
+    src = _write_chunks(
+        tmp_path,
+        rows,
+        [F.col("ts") % 3 == 0, F.col("ts") % 3 == 1, F.col("ts") % 3 == 2],
+        "cmh_src",
+    )
+    files = sorted(glob.glob(f"{src}/chunk_*.parquet"))
+    live = str(tmp_path / "cmh_live")
+    os.makedirs(live)
+    for f in files[:2]:
+        shutil.copy(f, live)
+    state_dir, ckpt = str(tmp_path / "cmh_state"), str(tmp_path / "cmh_ckpt")
+    schema = "stratum long, exposed long, hit int, ts long"
+
+    def stream_src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+
+    def readout_of_latest():
+        state = spark.read.parquet(state_dir)
+        last = state.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        return cmh_readout(
+            state.where(F.col("batch_id") == last).drop("batch_id")
+        ).collect()
+
+    q = start_cmh_guardrail_sink(stream_src(), state_dir, ckpt, query_name="cmh_a")
+    q.processAllAvailable()
+    q.stop()
+    got1 = readout_of_latest()
+    exp1 = cmh_readout(stratum_cells(spark.read.parquet(*files[:2]))).collect()
+    assert [tuple(r) for r in got1] == [tuple(r) for r in exp1]
+
+    # crash window: the final chunk arrives while the sink is down
+    shutil.copy(files[2], live)
+    q2 = start_cmh_guardrail_sink(stream_src(), state_dir, ckpt, query_name="cmh_b")
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = readout_of_latest()
+    # the full-prefix readout is bit-identical to the STAGED batch query
+    exp2 = agg_mantel_haenszel(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in exp2]
+    assert got2[0].mh_odds_ratio is not None and got2[0].cmh_chi2 is not None
 
 
 def test_ivm_join_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
