@@ -325,3 +325,47 @@ def test_bench_headline_integrity():
         "etl_batch_id",
     ]
     assert len(bench.FROZEN_PREFIX) == 30
+
+
+def test_compose_window_pad_ordering():
+    """VERDICT r7 item 6: the r10+ windows are mostly re-confirmation
+    padding, a compose_window.py path that has never produced a real
+    window.  Lock its ordering on synthetic history: never-checked
+    first (registration order), then driver-green padding oldest
+    last-checked first, registration order breaking ties; red rows do
+    NOT count as checked; truncation at the window size."""
+    from tools.compose_window import compose, last_checked_from_history
+
+    names = [f"q{i:02d}" for i in range(10)]
+    oracled = set(names) - {"q07"}  # q07 is rows-only: never in windows
+    history = {
+        1: {
+            "q03": {"hash_match": True},
+            "q05": {"hash_match": True},
+            "q08": {"hash_match": False},  # red: still "never checked"
+        },
+        2: {
+            "q03": {"hash_match": True},  # re-green: last_checked -> 2
+            "q00": {"hash_match": True},
+            "q09": {"hash_match": True},
+        },
+        3: {
+            "q09": {"hash_match": True},  # last_checked -> 3
+        },
+    }
+    last = last_checked_from_history(history)
+    assert last == {"q03": 2, "q05": 1, "q00": 2, "q09": 3}
+
+    window, never = compose(names, oracled, last, window_size=8)
+    # never-checked in registration order (q07 excluded: not oracled;
+    # q08's red row keeps it here)
+    assert never == ["q01", "q02", "q04", "q06", "q08"]
+    # pad: q05 (r1) first, then r2 ties (q00 before q03 by REGISTRATION
+    # order, not alphabetical-by-round), then q09 (r3) — truncated at 8
+    assert window == never + ["q05", "q00", "q03"]
+
+    # exact fit and overflow both work; underflow raises
+    full, _ = compose(names, oracled, last, window_size=9)
+    assert full == never + ["q05", "q00", "q03", "q09"]
+    with pytest.raises(ValueError, match="only 9"):
+        compose(names, oracled, last, window_size=10)
