@@ -845,3 +845,88 @@ def lsh_tuning_report(
     result = result.localCheckpoint(eager=True)
     sigs.unpersist()
     return result
+
+
+def modulus_for_target_pairs(n_docs: int, target_pairs: int) -> int:
+    """The 100 TB "constant sample size" discipline for
+    :func:`bbit_minhash_audit`, executable instead of prose (VERDICT r7
+    item 8): the residue grid samples ~``C(n,2)/m ~= n^2/(2m)`` pairs,
+    so holding the audit's pair budget constant requires the modulus to
+    grow with corpus^2.  Returns the modulus whose expected sample is
+    closest to ``target_pairs`` for uniformly-distributed ids."""
+    if n_docs < 2 or target_pairs < 1:
+        return 1
+    return max(1, round(n_docs * (n_docs - 1) / (2.0 * target_pairs)))
+
+
+def bbit_minhash_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    b_bits: int = 2,
+    pair_modulus: int = 97,
+) -> DataFrame:
+    """b-bit minhash estimator audit (Li & Konig 2010), parameterized.
+
+    Keeps only the low ``b_bits`` of each of ``num_hashes`` minhash
+    slots and compares the bias-corrected b-bit estimator
+    ``(E - 1/2^b) / (1 - 1/2^b)`` against the full-width slot-match
+    estimator ``k/num_hashes`` on a residue-sampled pair grid — the
+    measurement that justifies shipping ``num_hashes * b_bits`` bits
+    instead of ``num_hashes * 32``.
+
+    The pair sample is every (a, b) with ``(a + b) % pair_modulus == 0``
+    and ``a < b``, expressed as an EQUI key
+    (``b % m == (m - a % m) % m``) so Catalyst plans a partitionable
+    hash join on the residue class, never a NestedLoop over the cross
+    space (the r07 lesson).  Sample size is ~``n^2/(2m)``: at scale,
+    grow the modulus with corpus^2 via :func:`modulus_for_target_pairs`
+    to hold the audit's cost constant.
+
+    Returns one row per full-estimator level ``k_full`` with the pair
+    count and the mean corrected b-bit estimate — unbiasedness shows as
+    ``mean_est_bbit`` tracking ``est_full`` at every level, across any
+    modulus (property-tested in tests/test_dedup_similarity.py)."""
+    m = int(pair_modulus)
+    mask = 1 << int(b_bits)
+    collide = 1.0 / mask  # P(low-b match | full slots differ), random slots
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+    ).select(id_col, "signature")
+    a, b = sig.alias("a"), sig.alias("b")
+    aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    pairs = a.join(
+        b, ((m - aid % m) % m == bid % m) & (aid < bid)
+    ).select(
+        F.size(
+            F.filter(
+                F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).alias("k_full"),
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "a.signature",
+                    "b.signature",
+                    lambda x, y: (x % mask) == (y % mask),
+                ),
+                lambda v: v,
+            )
+        ).alias("k_bbit"),
+    )
+    hist = pairs.groupBy("k_full").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("k_bbit").alias("__skb")
+    )
+    return hist.select(
+        F.col("k_full").cast("long").alias("k_full"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("k_full") / float(num_hashes), 6).alias("est_full"),
+        F.round(
+            (F.col("__skb") / F.col("n_pairs") / float(num_hashes) - collide)
+            / (1.0 - collide),
+            6,
+        ).alias("mean_est_bbit"),
+    ).orderBy("k_full")

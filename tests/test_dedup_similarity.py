@@ -663,3 +663,44 @@ def test_sequential_patterns_order_and_pruning(spark):
     assert out["a>b>c"] == 6        # depth-3 through the frequent prefix
     assert "x>y" not in out         # support 1 < 3: pruned
     assert out["a>a"] == 6          # repeats allowed, counted once per key
+
+
+def test_bbit_minhash_audit_unbiased_across_moduli(spark):
+    """VERDICT r7 item 8: the b-bit estimator audit is a parameterized
+    kernel whose pair-sampling modulus is an API knob.  Property: the
+    bias-corrected b-bit estimator tracks the full-width estimator (its
+    pairs-weighted mean bias is ~0) at EVERY modulus and b-width — the
+    modulus only changes WHICH pairs are sampled, never the estimator's
+    center — and the sample size scales ~1/m so the corpus^2 scaling
+    rule (modulus_for_target_pairs) holds the audit's cost constant."""
+    from image_matadata_batchprocessing_aws_spark.operators.dedup import (
+        bbit_minhash_audit,
+        modulus_for_target_pairs,
+    )
+    from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    stats = {}
+    for m, b in ((53, 2), (97, 2), (53, 1)):
+        rows = bbit_minhash_audit(
+            docs, n=3, num_hashes=16, b_bits=b, pair_modulus=m
+        ).collect()
+        n_pairs = sum(r.n_pairs for r in rows)
+        bias = (
+            sum(r.n_pairs * (r.mean_est_bbit - r.est_full) for r in rows) / n_pairs
+        )
+        stats[(m, b)] = (n_pairs, bias)
+        # unbiased: with ~16 slots the per-pair corrected estimate has
+        # sd <= ~0.14 (b=2) / ~0.25 (b=1); thousands of pairs pull the
+        # weighted mean bias well under 0.02
+        assert abs(bias) < 0.02, (m, b, bias)
+    # sample size scales inversely with the modulus (uniform ids)
+    ratio = stats[(53, 2)][0] / stats[(97, 2)][0]
+    assert 1.3 < ratio < 2.6, ratio  # 97/53 = 1.83 up to residue noise
+    # the scaling rule is the closest-expected-sample inverse
+    n_docs = docs.count()
+    for target in (100, 1000):
+        m = modulus_for_target_pairs(n_docs, target)
+        assert abs(n_docs * (n_docs - 1) / (2.0 * m) - target) <= max(
+            1.0, target * 0.02
+        )
