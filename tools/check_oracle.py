@@ -67,15 +67,22 @@ def main():
 
     if staged:
         # --staged covers EVERY unregistered queue module (one gate for
-        # the whole staging surface; r07 registers ~r09 per the drain
-        # plan, r08 behind it)
-        from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
+        # the whole staging surface; r07_queue registers r09, r08_queue
+        # r10, r09_queue r11 per the drain plan)
+        from image_matadata_batchprocessing_aws_spark.queries import (
+            r07_queue,
+            r08_queue,
+            r09_queue,
+        )
 
-        overlap = set(r07_queue.QUERIES) & set(r08_queue.QUERIES)
-        if overlap:
-            raise SystemExit(f"staged-queue name collision: {overlap}")
-        qs = {**r07_queue.QUERIES, **r08_queue.QUERIES}
-        oracles = {**r07_queue.ORACLES, **r08_queue.ORACLES}
+        qs: dict = {}
+        oracles: dict = {}
+        for mod in (r07_queue, r08_queue, r09_queue):
+            overlap = set(qs) & set(mod.QUERIES)
+            if overlap:
+                raise SystemExit(f"staged-queue name collision: {overlap}")
+            qs.update(mod.QUERIES)
+            oracles.update(mod.ORACLES)
     else:
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
