@@ -888,3 +888,781 @@ def _perm_oracle() -> str:
 
 
 ORACLES["agg_permutation_test"] = _perm_oracle()
+
+
+# --- ETL / ops ---------------------------------------------------------------
+
+
+def etl_salt_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salting PLANNER: from the supplier-key histogram of
+    lineitem, compute each hot key's salt factor ``ceil(rows / target)``
+    for a fixed rows-per-task budget — the executable version of the
+    join_salted_skew operator's tuning step (the registered
+    agg_key_skew MEASURES skew; this emits the plan a 1000-executor
+    job would apply).  Output is the top-20 hottest keys plus their
+    factors; the histogram itself is one partial-agg groupBy."""
+    target = 200  # rows per salted task (literal budget)
+    li = t(spark, sf, "lineitem").select("l_suppkey")
+    hist = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("rows"))
+    plan = hist.select(
+        "l_suppkey",
+        "rows",
+        F.greatest(F.ceil(F.col("rows") / float(target)), F.lit(1))
+        .cast("long")
+        .alias("salt_factor"),
+        (F.col("rows") > target).cast("long").alias("needs_salt"),
+    )
+    return (
+        plan.orderBy(F.col("rows").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+        .select(
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            F.col("rows").cast("long").alias("rows"),
+            "salt_factor",
+            "needs_salt",
+        )
+    )
+
+
+QUERIES["etl_salt_plan"] = etl_salt_plan
+
+ORACLES["etl_salt_plan"] = """
+    WITH hist AS (
+      SELECT l_suppkey, count(*) AS rows_ FROM lineitem GROUP BY 1)
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(rows_ AS BIGINT) AS rows,
+           CAST(greatest(ceil(rows_ / 200.0), 1) AS BIGINT) AS salt_factor,
+           CAST(rows_ > 200 AS BIGINT) AS needs_salt
+    FROM hist ORDER BY rows_ DESC, l_suppkey ASC LIMIT 20
+"""
+
+
+def etl_sentinel_missingness(spark: SparkSession, sf: str) -> DataFrame:
+    """Missingness-PATTERN audit: the joint distribution of per-field
+    missing indicators (here sentinel-defined: error events carry no
+    usable value, high props-k marks a degraded payload, a modular
+    user slice is withheld) with each pattern's count and share, plus
+    the lift of the pairwise co-missingness over independence — the
+    registered etl_null_audit is per-column; real pipelines break on
+    CORRELATED missingness.  One groupBy over 8 patterns."""
+    e = t(spark, sf, "events").select(
+        (F.col("event_type") == "error").cast("long").alias("m_value"),
+        (
+            F.get_json_object("props", "$.k").cast("long") >= 90
+        ).cast("long").alias("m_props"),
+        (F.col("user_id") % 17 == 0).cast("long").alias("m_user"),
+    )
+    pat = e.groupBy("m_value", "m_props", "m_user").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pat.agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.col("m_value") * F.col("n")).alias("nv"),
+        F.sum(F.col("m_props") * F.col("n")).alias("np"),
+        F.sum(F.col("m_value") * F.col("m_props") * F.col("n")).alias("nvp"),
+    )
+    return (
+        pat.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m_value").cast("long").alias("m_value"),
+            F.col("m_props").cast("long").alias("m_props"),
+            F.col("m_user").cast("long").alias("m_user"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("nt"), 6).alias("share"),
+            F.round(
+                (F.col("nvp") * F.col("nt")).cast("double")
+                / (F.col("nv") * F.col("np")),
+                6,
+            ).alias("value_props_lift"),
+        )
+        .orderBy("m_value", "m_props", "m_user")
+    )
+
+
+QUERIES["etl_sentinel_missingness"] = etl_sentinel_missingness
+
+ORACLES["etl_sentinel_missingness"] = """
+    WITH e AS (
+      SELECT CAST(event_type = 'error' AS BIGINT) AS m_value,
+             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+                  AS BIGINT) AS m_props,
+             CAST(user_id % 17 = 0 AS BIGINT) AS m_user
+      FROM events),
+    pat AS (
+      SELECT m_value, m_props, m_user, count(*) AS n
+      FROM e GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT sum(n) AS nt, sum(m_value * n) AS nv, sum(m_props * n) AS np,
+             sum(m_value * m_props * n) AS nvp
+      FROM pat)
+    SELECT CAST(m_value AS BIGINT) AS m_value,
+           CAST(m_props AS BIGINT) AS m_props,
+           CAST(m_user AS BIGINT) AS m_user,
+           CAST(n AS BIGINT) AS n,
+           round(n / CAST(nt AS DOUBLE), 6) AS share,
+           round(CAST(nvp * nt AS DOUBLE) / (nv * np), 6) AS value_props_lift
+    FROM pat CROSS JOIN tot
+    ORDER BY m_value, m_props, m_user
+"""
+
+
+def etl_type_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic type-inference AUDIT over stringly-typed columns — the
+    reference's F9 inference pass re-expressed as a declarative report
+    (SURVEY.md keeps runtime schemas explicit by design; this query is
+    the profiling step that JUSTIFIES a schema).  Three stringified
+    order columns are profiled by REGEX (never try_cast — engines
+    disagree on '1.5'::BIGINT coercion): parseable-as-int/double/date
+    rates and the inferred type by priority.  Map-side expressions
+    into a 3-row aggregate."""
+    o = t(spark, sf, "orders")
+    cols = [
+        ("o_orderkey_str", F.col("o_orderkey").cast("string")),
+        ("o_totalprice_str", F.format_string("%.2f", F.col("o_totalprice"))),
+        ("o_orderdate_str", F.date_format("o_orderdate", "yyyy-MM-dd")),
+    ]
+    stacked = None
+    for name, expr in cols:
+        part = o.select(F.lit(name).alias("column"), expr.alias("v"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    flags = stacked.select(
+        "column",
+        F.col("v").rlike("^-?[0-9]+$").cast("long").alias("is_int"),
+        F.col("v").rlike("^-?[0-9]+(\\.[0-9]+)?$").cast("long").alias("is_num"),
+        F.col("v")
+        .rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+        .cast("long")
+        .alias("is_date"),
+    )
+    g = flags.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_int").alias("ci"),
+        F.sum("is_num").alias("cn"),
+        F.sum("is_date").alias("cd"),
+    )
+    return g.select(
+        "column",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("ci") / F.col("n"), 6).alias("int_rate"),
+        F.round(F.col("cn") / F.col("n"), 6).alias("numeric_rate"),
+        F.round(F.col("cd") / F.col("n"), 6).alias("date_rate"),
+        F.when(F.col("ci") == F.col("n"), "BIGINT")
+        .when(F.col("cn") == F.col("n"), "DOUBLE")
+        .when(F.col("cd") == F.col("n"), "DATE")
+        .otherwise("VARCHAR")
+        .alias("inferred_type"),
+    ).orderBy("column")
+
+
+QUERIES["etl_type_inference"] = etl_type_inference
+
+ORACLES["etl_type_inference"] = """
+    WITH stacked AS (
+      SELECT 'o_orderkey_str' AS col_, CAST(o_orderkey AS VARCHAR) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_str', printf('%.2f', o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate_str', strftime(o_orderdate, '%Y-%m-%d') FROM orders),
+    flags AS (
+      SELECT col_,
+             CAST(regexp_matches(v, '^-?[0-9]+$') AS BIGINT) AS is_int,
+             CAST(regexp_matches(v, '^-?[0-9]+(\\.[0-9]+)?$') AS BIGINT) AS is_num,
+             CAST(regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') AS BIGINT)
+               AS is_date
+      FROM stacked),
+    g AS (
+      SELECT col_, count(*) AS n, sum(is_int) AS ci, sum(is_num) AS cn,
+             sum(is_date) AS cd
+      FROM flags GROUP BY 1)
+    SELECT col_ AS "column", CAST(n AS BIGINT) AS n,
+           round(ci / CAST(n AS DOUBLE), 6) AS int_rate,
+           round(cn / CAST(n AS DOUBLE), 6) AS numeric_rate,
+           round(cd / CAST(n AS DOUBLE), 6) AS date_rate,
+           CASE WHEN ci = n THEN 'BIGINT'
+                WHEN cn = n THEN 'DOUBLE'
+                WHEN cd = n THEN 'DATE'
+                ELSE 'VARCHAR' END AS inferred_type
+    FROM g ORDER BY col_
+"""
+
+
+def etl_id_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands audit over the event_id sequence: islands of
+    consecutive ids via the ``id - row_number()`` grouping trick, gap
+    histogram between islands, and the largest islands — the standard
+    "did ingestion drop a range" check (the registered ts_gap_stats
+    audits TIME gaps; this audits the SEQUENCE).  One window over the
+    sorted ids, then a bounded groupBy on island anchors."""
+    e = t(spark, sf, "events").select(F.col("event_id").cast("long").alias("id"))
+    w = Window.orderBy("id")
+    isl = e.withColumn("grp", F.col("id") - F.row_number().over(w))
+    islands = isl.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+    tot = islands.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("size").alias("n_ids"),
+        F.max("size").alias("largest_island"),
+        F.min("lo").alias("min_id"),
+        F.max("hi").alias("max_id"),
+    )
+    return tot.select(
+        F.col("n_islands").cast("long").alias("n_islands"),
+        F.col("n_ids").cast("long").alias("n_ids"),
+        F.col("largest_island").cast("long").alias("largest_island"),
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids"))
+        .cast("long")
+        .alias("missing_ids"),
+        F.round(
+            F.col("n_ids") / (F.col("max_id") - F.col("min_id") + 1.0), 6
+        ).alias("density"),
+    )
+
+
+QUERIES["etl_id_islands"] = etl_id_islands
+
+ORACLES["etl_id_islands"] = """
+    WITH e AS (SELECT CAST(event_id AS BIGINT) AS id FROM events),
+    isl AS (
+      SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM e),
+    islands AS (
+      SELECT grp, count(*) AS size_, min(id) AS lo, max(id) AS hi
+      FROM isl GROUP BY 1),
+    tot AS (
+      SELECT count(*) AS n_islands, sum(size_) AS n_ids,
+             max(size_) AS largest_island, min(lo) AS min_id, max(hi) AS max_id
+      FROM islands)
+    SELECT CAST(n_islands AS BIGINT) AS n_islands,
+           CAST(n_ids AS BIGINT) AS n_ids,
+           CAST(largest_island AS BIGINT) AS largest_island,
+           CAST(max_id - min_id + 1 - n_ids AS BIGINT) AS missing_ids,
+           round(n_ids / (max_id - min_id + 1.0), 6) AS density
+    FROM tot
+"""
+
+
+def etl_erasure_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure IMPACT analysis: for a deterministic 5%
+    deletion cohort (md5(custkey) % 20 == 0), count the rows each
+    table must tombstone when the delete cascades customer -> orders
+    -> lineitem — the planning query a GDPR pipeline runs before the
+    actual anti-join rewrite (the registered etl_pseudonymize handles
+    the keep-side; this prices the delete-side).  Broadcast the cohort
+    keys; each count is one semi-joined aggregate."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+
+    c = t(spark, sf, "customer").select("c_custkey")
+    cohort = c.where(md5_int32(F.col("c_custkey").cast("string")) % 20 == 0)
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    oc = o.join(F.broadcast(cohort), o.o_custkey == cohort.c_custkey)
+    li = t(spark, sf, "lineitem").select("l_orderkey")
+    lc = li.join(
+        oc.select("o_orderkey").distinct(),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    counts = (
+        cohort.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("customer").alias("table"), F.col("n").cast("long").alias("rows_to_erase")
+        )
+        .unionByName(
+            oc.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("orders").alias("table"),
+                F.col("n").cast("long").alias("rows_to_erase"),
+            )
+        )
+        .unionByName(
+            lc.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("lineitem").alias("table"),
+                F.col("n").cast("long").alias("rows_to_erase"),
+            )
+        )
+    )
+    return counts.orderBy("table")
+
+
+QUERIES["etl_erasure_cascade"] = etl_erasure_cascade
+
+
+def _erasure_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+
+    h = md5_int32_sql("CAST(c_custkey AS VARCHAR)")
+    return f"""
+    WITH cohort AS (
+      SELECT c_custkey FROM customer WHERE {h} % 20 = 0),
+    oc AS (
+      SELECT o_orderkey FROM orders JOIN cohort ON o_custkey = c_custkey),
+    lc AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM oc))
+    SELECT 'customer' AS "table",
+           (SELECT CAST(count(*) AS BIGINT) FROM cohort) AS rows_to_erase
+    UNION ALL
+    SELECT 'lineitem', (SELECT CAST(count(*) AS BIGINT) FROM lc)
+    UNION ALL
+    SELECT 'orders', (SELECT CAST(count(*) AS BIGINT) FROM oc)
+    ORDER BY "table"
+"""
+
+
+ORACLES["etl_erasure_cascade"] = _erasure_oracle()
+
+
+# --- time series -------------------------------------------------------------
+
+
+def ts_variance_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on daily revenue: VR(q) =
+    Var(y_t - y_{t-q}) / (q * Var(y_t - y_{t-1})) for q in {2, 4, 8} —
+    the standard random-walk diagnostic.  Differences are exact cents
+    BIGINTs via day-ordered lags; all second moments are hi/lo-split
+    integer sums, so each VR closes as one float expression.  Scale:
+    per-DAY table after the first groupBy; three fixed lags."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    o = t(spark, sf, "orders").select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    w = Window.orderBy("d")
+    rows = []
+    for q in (2, 4, 8):
+        dq = day.select((F.col("y") - F.lag("y", q).over(w)).alias("z")).where(
+            F.col("z").isNotNull()
+        )
+        d1 = day.select((F.col("y") - F.lag("y", 1).over(w)).alias("z")).where(
+            F.col("z").isNotNull()
+        )
+
+        def moments(df, tag):
+            return df.agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("z").alias(f"s_{tag}"),
+                *_split_sum(F.col("z") * F.col("z"), f"q_{tag}"),
+            )
+
+        mq = moments(dq, "q")
+        m1 = moments(d1, "o")
+        vq = (
+            _split_val("q_q", 1.0)
+            - F.col("s_q").cast("double") * F.col("s_q") / F.col("n_q")
+        ) / (F.col("n_q") - 1)
+        v1 = (
+            _split_val("q_o", 1.0)
+            - F.col("s_o").cast("double") * F.col("s_o") / F.col("n_o")
+        ) / (F.col("n_o") - 1)
+        rows.append(
+            mq.crossJoin(F.broadcast(m1)).select(
+                F.lit(q).cast("long").alias("q"),
+                F.col("n_q").cast("long").alias("n_diffs"),
+                F.round(vq / (q * v1), 6).alias("variance_ratio"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("q")
+
+
+QUERIES["ts_variance_ratio"] = ts_variance_ratio
+
+
+def _vr_oracle() -> str:
+    parts = []
+    for q in (2, 4, 8):
+        parts.append(f"""
+    SELECT CAST({q} AS BIGINT) AS q,
+           (SELECT CAST(count(*) AS BIGINT) FROM dq{q}) AS n_diffs,
+           round(
+             ((SELECT (CAST(sum(z * z // 1073741824) AS DOUBLE) * 1073741824.0
+                       + CAST(sum(z * z % 1073741824) AS DOUBLE)
+                       - CAST(sum(z) AS DOUBLE) * sum(z) / count(*))
+                      / (count(*) - 1) FROM dq{q})
+              / ({q} * (SELECT (CAST(sum(z * z // 1073741824) AS DOUBLE) * 1073741824.0
+                        + CAST(sum(z * z % 1073741824) AS DOUBLE)
+                        - CAST(sum(z) AS DOUBLE) * sum(z) / count(*))
+                       / (count(*) - 1) FROM d1))), 6) AS variance_ratio""")
+    sel = "\n    UNION ALL\n".join(parts)
+    lags = "\n".join(
+        f"    dq{q} AS (SELECT z FROM (SELECT y - lag(y, {q}) OVER (ORDER BY d) AS z"
+        f" FROM day) WHERE z IS NOT NULL),"
+        for q in (2, 4, 8)
+    )
+    return f"""
+    WITH day AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000 AS BIGINT) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+{lags}
+    d1 AS (SELECT z FROM (SELECT y - lag(y, 1) OVER (ORDER BY d) AS z
+           FROM day) WHERE z IS NOT NULL)
+{sel}
+    ORDER BY q
+"""
+
+
+ORACLES["ts_variance_ratio"] = _vr_oracle()
+
+
+def ts_adf_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Dickey-Fuller unit-root score on daily revenue: the lag-1
+    regression dy_t = a + b*y_{t-1} + e closed entirely from exact
+    integer sums (cents lags/diffs; hi/lo-split cross moments), with
+    the t-statistic of b derived from the same sufficient statistics —
+    no float accumulation anywhere, one fixed expression tree.
+    b near 0 = unit root (random walk); strongly negative t rejects.
+    Scale: per-DAY table; five scalar sums."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    o = t(spark, sf, "orders").select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    w = Window.orderBy("d")
+    pair = day.select(
+        F.lag("y", 1).over(w).alias("x"), F.col("y").alias("ycur")
+    ).where(F.col("x").isNotNull()).select(
+        "x", (F.col("ycur") - F.col("x")).alias("z")
+    )
+    mom = pair.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("z").alias("sz"),
+        *_split_sum(F.col("x") * F.col("x"), "qxx"),
+        *_split_sum(F.col("x") * F.col("z"), "qxz"),
+        *_split_sum(F.col("z") * F.col("z"), "qzz"),
+    )
+    n = F.col("n").cast("double")
+    sxx = _split_val("qxx", 1.0) - F.col("sx").cast("double") * F.col("sx") / n
+    sxz = _split_val("qxz", 1.0) - F.col("sx").cast("double") * F.col("sz") / n
+    szz = _split_val("qzz", 1.0) - F.col("sz").cast("double") * F.col("sz") / n
+    b = sxz / sxx
+    sse = szz - b * sxz
+    tstat = b / F.sqrt((sse / (n - 2)) / sxx)
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(b, 6).alias("beta"),
+        F.round(tstat, 6).alias("adf_t"),
+        (tstat < -3.43).cast("long").alias("stationary"),  # DF 1% critical
+    )
+
+
+QUERIES["ts_adf_score"] = ts_adf_score
+
+ORACLES["ts_adf_score"] = """
+    WITH day AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000 AS BIGINT) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    pair AS (
+      SELECT x, ycur - x AS z FROM (
+        SELECT lag(y, 1) OVER (ORDER BY d) AS x, y AS ycur FROM day)
+      WHERE x IS NOT NULL),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(z) AS sz,
+             sum(x * x // 1073741824) AS qxx_hi, sum(x * x % 1073741824) AS qxx_lo,
+             sum(x * z // 1073741824) AS qxz_hi, sum(x * z % 1073741824) AS qxz_lo,
+             sum(z * z // 1073741824) AS qzz_hi, sum(z * z % 1073741824) AS qzz_lo
+      FROM pair),
+    f AS (
+      SELECT n,
+        (CAST(qxx_hi AS DOUBLE) * 1073741824.0 + qxx_lo)
+          - CAST(sx AS DOUBLE) * sx / n AS sxx,
+        (CAST(qxz_hi AS DOUBLE) * 1073741824.0 + qxz_lo)
+          - CAST(sx AS DOUBLE) * sz / n AS sxz,
+        (CAST(qzz_hi AS DOUBLE) * 1073741824.0 + qzz_lo)
+          - CAST(sz AS DOUBLE) * sz / n AS szz
+      FROM mom),
+    g AS (
+      SELECT n, sxz / sxx AS b,
+             (szz - (sxz / sxx) * sxz) AS sse, sxx
+      FROM f)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(b, 6) AS beta,
+           round(b / sqrt((sse / (n - 2)) / sxx), 6) AS adf_t,
+           CAST(b / sqrt((sse / (n - 2)) / sxx) < -3.43 AS BIGINT) AS stationary
+    FROM g
+"""
+
+
+def ts_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 downsampling of the daily-revenue series into 32 equal-width
+    pixel buckets: per bucket the FIRST, LAST, MIN and MAX points
+    (value + day, ties to the earliest day) — the error-free
+    aggregation for line-chart rendering at any zoom (Jugel et al.,
+    VLDB'14).  One window pass ranks the four roles per bucket; output
+    is 32 rows regardless of input size — the definition of a
+    scale-bounded visualization query."""
+    o = t(spark, sf, "orders").select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    ext = day.crossJoin(
+        F.broadcast(day.agg(F.min("d").alias("lo"), F.max("d").alias("hi")))
+    ).select(
+        "d",
+        "y",
+        F.least(
+            (
+                (F.col("d") - F.col("lo"))
+                * 32
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+            F.lit(31),
+        ).alias("bucket"),
+    )
+    wfirst = Window.partitionBy("bucket").orderBy(F.col("d").asc())
+    wlast = Window.partitionBy("bucket").orderBy(F.col("d").desc())
+    wmin = Window.partitionBy("bucket").orderBy(F.col("y").asc(), F.col("d").asc())
+    wmax = Window.partitionBy("bucket").orderBy(F.col("y").desc(), F.col("d").asc())
+    ranked = ext.select(
+        "bucket",
+        "d",
+        "y",
+        F.row_number().over(wfirst).alias("rf"),
+        F.row_number().over(wlast).alias("rl"),
+        F.row_number().over(wmin).alias("rn"),
+        F.row_number().over(wmax).alias("rx"),
+    )
+    g = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(F.when(F.col("rf") == 1, F.col("d"))).alias("t_first"),
+        F.max(F.when(F.col("rf") == 1, F.col("y"))).alias("v_first"),
+        F.max(F.when(F.col("rl") == 1, F.col("d"))).alias("t_last"),
+        F.max(F.when(F.col("rl") == 1, F.col("y"))).alias("v_last"),
+        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("t_min"),
+        F.max(F.when(F.col("rn") == 1, F.col("y"))).alias("v_min"),
+        F.max(F.when(F.col("rx") == 1, F.col("d"))).alias("t_max"),
+        F.max(F.when(F.col("rx") == 1, F.col("y"))).alias("v_max"),
+    )
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_days").cast("long").alias("n_days"),
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "t_first",
+                "v_first",
+                "t_last",
+                "v_last",
+                "t_min",
+                "v_min",
+                "t_max",
+                "v_max",
+            )
+        ],
+    ).orderBy("bucket")
+
+
+QUERIES["ts_m4_downsample"] = ts_m4_downsample
+
+ORACLES["ts_m4_downsample"] = """
+    WITH day AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000 AS BIGINT) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    ext AS (
+      SELECT d, y,
+             least(CAST(floor((d - (SELECT min(d) FROM day)) * 32.0
+                        / ((SELECT max(d) FROM day) - (SELECT min(d) FROM day) + 1))
+                        AS BIGINT), 31) AS bucket
+      FROM day),
+    ranked AS (
+      SELECT bucket, d, y,
+             row_number() OVER (PARTITION BY bucket ORDER BY d ASC) AS rf,
+             row_number() OVER (PARTITION BY bucket ORDER BY d DESC) AS rl,
+             row_number() OVER (PARTITION BY bucket ORDER BY y ASC, d ASC) AS rn,
+             row_number() OVER (PARTITION BY bucket ORDER BY y DESC, d ASC) AS rx
+      FROM ext)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN rf = 1 THEN d END) AS BIGINT) AS t_first,
+           CAST(max(CASE WHEN rf = 1 THEN y END) AS BIGINT) AS v_first,
+           CAST(max(CASE WHEN rl = 1 THEN d END) AS BIGINT) AS t_last,
+           CAST(max(CASE WHEN rl = 1 THEN y END) AS BIGINT) AS v_last,
+           CAST(max(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS t_min,
+           CAST(max(CASE WHEN rn = 1 THEN y END) AS BIGINT) AS v_min,
+           CAST(max(CASE WHEN rx = 1 THEN d END) AS BIGINT) AS t_max,
+           CAST(max(CASE WHEN rx = 1 THEN y END) AS BIGINT) AS v_max
+    FROM ranked GROUP BY bucket ORDER BY bucket
+"""
+
+
+def ts_record_highs(spark: SparkSession, sf: str) -> DataFrame:
+    """Running-record audit of daily revenue: the count of record-high
+    days against the i.i.d. expectation (~ln n + gamma) — a
+    distribution-free trend detector (far more records than H_n means
+    genuine growth, the registered Mann-Kendall's cheap cousin).  One
+    cumulative-max window; integer comparisons only, float only in the
+    closing expectation."""
+    o = t(spark, sf, "orders").select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    rec = day.select(
+        "d",
+        "y",
+        (F.col("y") > F.coalesce(F.max("y").over(w), F.lit(-1)))
+        .cast("long")
+        .alias("is_record"),
+    )
+    tot = rec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_record").alias("records"),
+        F.max(F.when(F.col("is_record") == 1, F.col("d"))).alias("last_record_day"),
+    )
+    expected = F.log(F.col("n").cast("double")) + 0.5772156649
+    return tot.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("records").cast("long").alias("n_records"),
+        F.col("last_record_day").cast("long").alias("last_record_day"),
+        F.round(expected, 6).alias("expected_iid"),
+        F.round(F.col("records") / expected, 6).alias("record_ratio"),
+    )
+
+
+QUERIES["ts_record_highs"] = ts_record_highs
+
+ORACLES["ts_record_highs"] = """
+    WITH day AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000 AS BIGINT) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    rec AS (
+      SELECT d, y,
+             CAST(y > coalesce(max(y) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  AS BIGINT) AS is_record
+      FROM day),
+    tot AS (
+      SELECT count(*) AS n, sum(is_record) AS records,
+             max(CASE WHEN is_record = 1 THEN d END) AS last_record_day
+      FROM rec)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(records AS BIGINT) AS n_records,
+           CAST(last_record_day AS BIGINT) AS last_record_day,
+           round(ln(n) + 0.5772156649, 6) AS expected_iid,
+           round(records / (ln(n) + 0.5772156649), 6) AS record_ratio
+    FROM tot
+"""
+
+
+def ts_var_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Kupiec proportion-of-failures backtest of a 5% empirical VaR:
+    the threshold is the exact k-th smallest daily revenue of the
+    FIRST-HALF training window (integer rank on exact cents — no
+    percentile interpolation ambiguity), violations are counted over
+    the held-out second half, and the POF likelihood ratio closes in
+    one ln expression.  The risk-ops twin of the registered
+    ts_risk_ratios.  Scale: per-DAY table; two window ranks."""
+    o = t(spark, sf, "orders").select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    w = Window.orderBy("d")
+    idx = day.select(
+        "d", "y", F.row_number().over(w).alias("i")
+    ).crossJoin(F.broadcast(day.agg(F.count(F.lit(1)).alias("n"))))
+    train = idx.where(F.col("i") * 2 <= F.col("n"))
+    k_rank = train.crossJoin(
+        F.broadcast(train.agg(F.count(F.lit(1)).alias("m")))
+    ).select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.col("y").asc(), F.col("d").asc()))
+        .alias("r"),
+        F.ceil(F.col("m") * 0.05).alias("k"),
+    )
+    thresh = k_rank.where(F.col("r") == F.col("k")).select(
+        F.col("y").alias("var_cents")
+    )
+    test = idx.where(F.col("i") * 2 > F.col("n"))
+    res = test.crossJoin(F.broadcast(thresh)).agg(
+        F.count(F.lit(1)).alias("tt"),
+        F.sum((F.col("y") < F.col("var_cents")).cast("long")).alias("x"),
+        F.max("var_cents").alias("vc"),
+    )
+    p = F.lit(0.05)
+    tt = F.col("tt").cast("double")
+    x = F.col("x").cast("double")
+    ll_null = (tt - x) * F.log(1.0 - p) + x * F.log(p)
+    ll_alt = F.when(x > 0, x * F.log(x / tt)).otherwise(F.lit(0.0)) + F.when(
+        x < tt, (tt - x) * F.log(1.0 - x / tt)
+    ).otherwise(F.lit(0.0))
+    lr = -2.0 * (ll_null - ll_alt)
+    return res.select(
+        F.col("tt").cast("long").alias("test_days"),
+        F.col("x").cast("long").alias("violations"),
+        F.round(F.col("vc") / 100.0, 2).alias("var_threshold"),
+        F.round(x / tt, 6).alias("violation_rate"),
+        F.round(lr, 6).alias("kupiec_lr"),
+        (lr > 6.635).cast("long").alias("reject_var"),  # df=1 @ .01
+    )
+
+
+QUERIES["ts_var_backtest"] = ts_var_backtest
+
+ORACLES["ts_var_backtest"] = """
+    WITH day AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000 AS BIGINT) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT d, y, row_number() OVER (ORDER BY d) AS i,
+             (SELECT count(*) FROM day) AS n
+      FROM day),
+    train AS (SELECT d, y FROM idx WHERE i * 2 <= n),
+    kr AS (
+      SELECT y, row_number() OVER (ORDER BY y ASC, d ASC) AS r,
+             CAST(ceil((SELECT count(*) FROM train) * 0.05) AS BIGINT) AS k
+      FROM train),
+    thresh AS (SELECT y AS var_cents FROM kr WHERE r = k),
+    test AS (SELECT y FROM idx WHERE i * 2 > n),
+    res AS (
+      SELECT count(*) AS tt,
+             sum(CASE WHEN y < (SELECT var_cents FROM thresh)
+                      THEN 1 ELSE 0 END) AS x,
+             (SELECT var_cents FROM thresh) AS vc
+      FROM test),
+    f AS (
+      SELECT tt, x, vc,
+             -2.0 * (((tt - x) * ln(0.95) + x * ln(0.05))
+                     - (CASE WHEN x > 0 THEN x * ln(x / CAST(tt AS DOUBLE))
+                             ELSE 0.0 END
+                        + CASE WHEN x < tt
+                               THEN (tt - x) * ln(1.0 - x / CAST(tt AS DOUBLE))
+                               ELSE 0.0 END)) AS lr
+      FROM res)
+    SELECT CAST(tt AS BIGINT) AS test_days, CAST(x AS BIGINT) AS violations,
+           round(vc / 100.0, 2) AS var_threshold,
+           round(x / CAST(tt AS DOUBLE), 6) AS violation_rate,
+           round(lr, 6) AS kupiec_lr,
+           CAST(lr > 6.635 AS BIGINT) AS reject_var
+    FROM f
+"""
