@@ -1666,3 +1666,693 @@ ORACLES["ts_var_backtest"] = """
            CAST(lr > 6.635 AS BIGINT) AS reject_var
     FROM f
 """
+
+
+# --- text / LM-data ----------------------------------------------------------
+
+
+def text_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out perplexity of an add-k bigram LM: train on even docs,
+    score odd docs — the LM-data quality readout behind "did this
+    corpus slice get easier or harder" (the registered text_kneser_ney
+    fits probabilities; this closes the evaluation loop).  All counts
+    are exact integers per bigram TYPE; the log-likelihood folds over
+    the ~V^2 type grid, never the raw token stream.  Scale: token
+    explode is map-side; everything after is vocabulary-bounded."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.split(F.trim("text"), "\\s+").alias("toks")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w")
+    )
+    big = tok.alias("a").join(
+        tok.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.w").alias("w1"),
+        F.col("b.w").alias("w2"),
+    )
+    train_b = (
+        big.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    train_u = (
+        big.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = train_u.agg(F.count(F.lit(1)).alias("v"))
+    test = (
+        big.where(F.col("doc_id") % 2 == 1)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        test.join(train_b, ["w1", "w2"], "left")
+        .join(train_u, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n",
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + 0.5)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + 0.5 * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    out = scored.agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.log("p")).alias("__ll"),
+    )
+    return out.select(
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(-F.col("__ll") / F.col("n_bigrams"), 6).alias("avg_nll"),
+        F.round(F.exp(-F.col("__ll") / F.col("n_bigrams")), 4).alias("perplexity"),
+    )
+
+
+QUERIES["text_bigram_perplexity"] = text_bigram_perplexity
+
+ORACLES["text_bigram_perplexity"] = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, pos, toks[pos + 1] AS w
+      FROM d, unnest(range(len(toks))) u(pos)),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    train_b AS (
+      SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 2 = 0
+      GROUP BY 1, 2),
+    train_u AS (
+      SELECT w1, count(*) AS c1 FROM big WHERE doc_id % 2 = 0 GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM train_u),
+    test AS (
+      SELECT w1, w2, count(*) AS n FROM big WHERE doc_id % 2 = 1
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT t.n,
+             (coalesce(tb.c12, 0) + 0.5)
+               / (coalesce(tu.c1, 0) + 0.5 * v.v) AS p
+      FROM test t
+      LEFT JOIN train_b tb ON t.w1 = tb.w1 AND t.w2 = tb.w2
+      LEFT JOIN train_u tu ON t.w1 = tu.w1
+      CROSS JOIN vocab v),
+    out AS (
+      SELECT sum(n) AS n_bigrams, sum(n * ln(p)) AS ll FROM scored)
+    SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-ll / n_bigrams, 6) AS avg_nll,
+           round(exp(-ll / n_bigrams), 4) AS perplexity
+    FROM out
+"""
+
+
+def text_topk_mass(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k token-frequency mass curve: the share of the corpus
+    covered by the k most frequent tokens at k in {1,2,5,10,20,50} —
+    the vocabulary-sizing readout behind tokenizer budget decisions
+    (the registered text_vocab_growth tracks NEW types; this tracks
+    how much mass the head already owns).  Counts and the cumulative
+    sum are exact integers; one window over the vocabulary table."""
+    d = t(spark, sf, "documents").select(
+        F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
+    )
+    counts = d.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("k"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).crossJoin(F.broadcast(counts.agg(F.sum("c").alias("total"))))
+    ks = [1, 2, 5, 10, 20, 50]
+    out = ranked.where(F.col("k").isin(ks)).select(
+        F.col("k").cast("long").alias("k"),
+        F.col("cum").cast("long").alias("cum_count"),
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+    )
+    return out.orderBy("k")
+
+
+QUERIES["text_topk_mass"] = text_topk_mass
+
+ORACLES["text_topk_mass"] = r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+    counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS k,
+             sum(c) OVER (ORDER BY c DESC, w ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts)
+    SELECT CAST(k AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_count,
+           round(cum / CAST((SELECT sum(c) FROM counts) AS DOUBLE), 6) AS cum_share
+    FROM ranked WHERE k IN (1, 2, 5, 10, 20, 50)
+    ORDER BY k
+"""
+
+
+def text_position_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional-bias profile of the 10 most frequent tokens: mean
+    relative position (0 = doc start, 1 = doc end) and occurrence
+    count — boilerplate and template tokens pin to the ends, content
+    tokens float near 0.5 (the within-doc companion of the registered
+    text_burstiness).  The relative position is a map-side expression;
+    one groupBy over the vocabulary."""
+    d = t(spark, sf, "documents").select(
+        F.split(F.trim("text"), "\\s+").alias("toks")
+    ).where(F.size("toks") > 1)
+    tok = d.select(
+        F.posexplode("toks").alias("pos", "w"),
+        (F.size("toks") - 1).alias("last"),
+    ).select("w", (F.col("pos") / F.col("last")).alias("relpos"))
+    g = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("relpos").alias("__sr")
+    )
+    top = g.orderBy(F.col("n").desc(), F.col("w").asc()).limit(10)
+    return top.select(
+        "w",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__sr") / F.col("n"), 6).alias("mean_relpos"),
+    ).orderBy(F.col("n").desc(), F.col("w").asc())
+
+
+QUERIES["text_position_bias"] = text_position_bias
+
+ORACLES["text_position_bias"] = r"""
+    WITH d AS (
+      SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    f AS (SELECT toks FROM d WHERE len(toks) > 1),
+    tok AS (
+      SELECT toks[pos + 1] AS w, pos / CAST(len(toks) - 1 AS DOUBLE) AS relpos
+      FROM f, unnest(range(len(toks))) u(pos)),
+    g AS (SELECT w, count(*) AS n, sum(relpos) AS sr FROM tok GROUP BY 1)
+    SELECT w, CAST(n AS BIGINT) AS n, round(sr / n, 6) AS mean_relpos
+    FROM g ORDER BY n DESC, w ASC LIMIT 10
+"""
+
+
+def text_skipgram_cooccur(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram co-occurrence table (window = 2, i.e. distance 1 OR 2,
+    direction-collapsed): the context statistics word embeddings train
+    on, with observed count vs the independence expectation — the
+    window-2 generalization of the registered adjacent-only
+    text_pmi_bigrams.  Position pairs come from two bounded equi-joins
+    on (doc, pos+d); output is the top-20 most over-represented pairs
+    among those with >= 50 occurrences."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.split(F.trim("text"), "\\s+").alias("toks")
+    )
+    tok = d.select("doc_id", F.posexplode("toks").alias("pos", "w"))
+    pairs = None
+    for dist in (1, 2):
+        p = tok.alias("a").join(
+            tok.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + dist),
+        ).select(
+            F.least(F.col("a.w"), F.col("b.w")).alias("w1"),
+            F.greatest(F.col("a.w"), F.col("b.w")).alias("w2"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = pg.agg(F.sum("n").alias("tp"))
+    marg = (
+        pg.select(F.col("w1").alias("w"), F.col("n"))
+        .unionByName(pg.select(F.col("w2").alias("w"), F.col("n")))
+        .groupBy("w")
+        .agg(F.sum("n").alias("m"))
+    )
+    m1 = marg.select(F.col("w").alias("w1"), F.col("m").alias("m1"))
+    m2 = marg.select(F.col("w").alias("w2"), F.col("m").alias("m2"))
+    scored = (
+        pg.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n") >= 50)
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("n").cast("double") * F.col("tp"))
+                / (F.col("m1").cast("double") * F.col("m2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(20)
+
+
+QUERIES["text_skipgram_cooccur"] = text_skipgram_cooccur
+
+ORACLES["text_skipgram_cooccur"] = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, pos, toks[pos + 1] AS w
+      FROM d, unnest(range(len(toks))) u(pos)),
+    pairs AS (
+      SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      UNION ALL
+      SELECT least(a.w, b.w), greatest(a.w, b.w)
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 2),
+    pg AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS tp FROM pg),
+    marg AS (
+      SELECT w, sum(n) AS m FROM (
+        SELECT w1 AS w, n FROM pg UNION ALL SELECT w2, n FROM pg)
+      GROUP BY 1)
+    SELECT pg.w1, pg.w2, CAST(pg.n AS BIGINT) AS n,
+           round((CAST(pg.n AS DOUBLE) * tot.tp)
+                 / (CAST(m1.m AS DOUBLE) * m2.m), 6) AS lift
+    FROM pg
+    JOIN marg m1 ON pg.w1 = m1.w
+    JOIN marg m2 ON pg.w2 = m2.w
+    CROSS JOIN tot
+    WHERE pg.n >= 50
+    ORDER BY lift DESC, pg.w1, pg.w2 LIMIT 20
+"""
+
+
+# --- evaluation / experimentation --------------------------------------------
+
+
+def eval_tost_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """TOST equivalence test (two one-sided Welch t's) for the mean
+    order value of the two customer cohorts within a +-3000 dollar
+    margin — the test that can actually CONCLUDE "no meaningful
+    difference", which the registered agg_welch_ttest cannot.  Welch
+    pieces close from exact cents moments (hi/lo-split squares); the
+    verdict needs BOTH one-sided z's above 1.645."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    margin = 3000.0
+    o = t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 2).alias("variant"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = o.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        *_split_sum(F.col("cents") * F.col("cents"), "q"),
+    )
+    var = (
+        (
+            _split_val("q", 10000.0)
+            - F.col("s") / 100.0 * (F.col("s") / 100.0) / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    per = g.select(
+        "variant",
+        "n",
+        (F.col("s") / 100.0 / F.col("n")).alias("m"),
+        var.alias("v"),
+    )
+    c = F.col
+    piv = per.agg(
+        F.max(F.when(c("variant") == 0, c("m"))).alias("m0"),
+        F.max(F.when(c("variant") == 0, c("v"))).alias("v0"),
+        F.max(F.when(c("variant") == 0, c("n"))).alias("n0"),
+        F.max(F.when(c("variant") == 1, c("m"))).alias("m1"),
+        F.max(F.when(c("variant") == 1, c("v"))).alias("v1"),
+        F.max(F.when(c("variant") == 1, c("n"))).alias("n1"),
+    )
+    diff = c("m1") - c("m0")
+    se = F.sqrt(c("v1") / c("n1") + c("v0") / c("n0"))
+    t_lo = (diff + margin) / se
+    t_hi = (margin - diff) / se
+    return piv.select(
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(se, 4).alias("se"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        ((t_lo > 1.645) & (t_hi > 1.645)).cast("long").alias("equivalent"),
+    )
+
+
+QUERIES["eval_tost_equivalence"] = eval_tost_equivalence
+
+ORACLES["eval_tost_equivalence"] = """
+    WITH o AS (
+      SELECT o_custkey % 2 AS variant,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    g AS (
+      SELECT variant, count(*) AS n, sum(cents) AS s,
+             sum(cents * cents // 1073741824) AS q_hi,
+             sum(cents * cents % 1073741824) AS q_lo
+      FROM o GROUP BY 1),
+    per AS (
+      SELECT variant, n, s / 100.0 / n AS m,
+             ((CAST(q_hi AS DOUBLE) * 1073741824.0 + CAST(q_lo AS DOUBLE))
+               / 10000.0 - s / 100.0 * (s / 100.0) / n) / (n - 1) AS v
+      FROM g),
+    piv AS (
+      SELECT max(CASE WHEN variant = 0 THEN m END) AS m0,
+             max(CASE WHEN variant = 0 THEN v END) AS v0,
+             max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 1 THEN m END) AS m1,
+             max(CASE WHEN variant = 1 THEN v END) AS v1,
+             max(CASE WHEN variant = 1 THEN n END) AS n1
+      FROM per),
+    f AS (
+      SELECT m1 - m0 AS diff, sqrt(v1 / n1 + v0 / n0) AS se FROM piv)
+    SELECT round(diff, 4) AS mean_diff, round(se, 4) AS se,
+           round((diff + 3000.0) / se, 6) AS t_lower,
+           round((3000.0 - diff) / se, 6) AS t_upper,
+           CAST((diff + 3000.0) / se > 1.645
+                AND (3000.0 - diff) / se > 1.645 AS BIGINT) AS equivalent
+    FROM f
+"""
+
+
+def eval_bradley_terry(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry strength scores for the 5 order priorities from
+    pairwise monthly revenue duels (priority i beats j in a
+    nation-month when its mean order value is higher) — the preference
+    aggregation behind RLHF reward data and leaderboard ratings.  Two
+    UNROLLED minorization-maximization iterations from the uniform
+    init (each closed-form over the 5x5 integer win matrix) — no
+    convergence loop, documented approximation.  Scale: duels live on
+    the nation x month x priority grid, never the raw rows."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "mon", "o_orderpriority")
+        .agg((F.sum("cents") / F.count(F.lit(1))).alias("m"))
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.mon") == F.col("b.mon"))
+            & (F.col("a.o_orderpriority") < F.col("b.o_orderpriority")),
+        )
+        .where(F.col("a.m") != F.col("b.m"))
+        .select(
+            F.col("a.o_orderpriority").alias("pi"),
+            F.col("b.o_orderpriority").alias("pj"),
+            (F.col("a.m") > F.col("b.m")).cast("long").alias("i_wins"),
+        )
+    )
+    pair = duels.groupBy("pi", "pj").agg(
+        F.sum("i_wins").alias("wij"),
+        F.count(F.lit(1)).alias("nij"),
+    )
+    # symmetric edge list: (model, opponent, wins_of_model, games)
+    sym = pair.select(
+        F.col("pi").alias("i"), F.col("pj").alias("j"), F.col("wij").alias("w"),
+        F.col("nij").alias("g"),
+    ).unionByName(
+        pair.select(
+            F.col("pj").alias("i"),
+            F.col("pi").alias("j"),
+            (F.col("nij") - F.col("wij")).alias("w"),
+            F.col("nij").alias("g"),
+        )
+    )
+    # MM iteration 1 from w=1: w1_i = wins_i / sum_j (g_ij / 2)
+    it1 = sym.groupBy("i").agg(
+        F.sum("w").alias("wins"),
+        F.sum("g").alias("games"),
+    ).select(
+        "i", "wins", "games", (2.0 * F.col("wins") / F.col("games")).alias("w1")
+    )
+    # MM iteration 2: w2_i = wins_i / sum_j (g_ij / (w1_i + w1_j))
+    e1 = it1.select(F.col("i"), F.col("w1").alias("w1i"), "wins", "games")
+    e2 = it1.select(F.col("i").alias("j"), F.col("w1").alias("w1j"))
+    it2 = (
+        sym.join(e1, "i")
+        .join(e2, "j")
+        .groupBy("i", "wins", "games")
+        .agg(F.sum(F.col("g") / (F.col("w1i") + F.col("w1j"))).alias("__den"))
+        .select("i", "wins", "games", (F.col("wins") / F.col("__den")).alias("w2"))
+    )
+    norm = it2.crossJoin(F.broadcast(it2.agg(F.sum("w2").alias("z"))))
+    return norm.select(
+        F.col("i").alias("priority"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("games").cast("long").alias("games"),
+        F.round(F.col("w2") / F.col("z"), 6).alias("bt_score"),
+    ).orderBy("priority")
+
+
+QUERIES["eval_bradley_terry"] = eval_bradley_terry
+
+ORACLES["eval_bradley_terry"] = """
+    WITH cell AS (
+      SELECT c_nationkey, date_trunc('month', o_orderdate) AS mon,
+             o_orderpriority,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*) AS m
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3),
+    duels AS (
+      SELECT a.o_orderpriority AS pi, b.o_orderpriority AS pj,
+             CAST(a.m > b.m AS BIGINT) AS i_wins
+      FROM cell a JOIN cell b
+        ON a.c_nationkey = b.c_nationkey AND a.mon = b.mon
+       AND a.o_orderpriority < b.o_orderpriority
+      WHERE a.m <> b.m),
+    pair AS (
+      SELECT pi, pj, sum(i_wins) AS wij, count(*) AS nij
+      FROM duels GROUP BY 1, 2),
+    sym AS (
+      SELECT pi AS i, pj AS j, wij AS w, nij AS g FROM pair
+      UNION ALL
+      SELECT pj, pi, nij - wij, nij FROM pair),
+    it1 AS (
+      SELECT i, sum(w) AS wins, sum(g) AS games,
+             2.0 * sum(w) / sum(g) AS w1
+      FROM sym GROUP BY 1),
+    it2 AS (
+      SELECT s.i, e1.wins, e1.games,
+             e1.wins / sum(s.g / (e1.w1 + e2.w1)) AS w2
+      FROM sym s
+      JOIN it1 e1 ON s.i = e1.i
+      JOIN it1 e2 ON s.j = e2.i
+      GROUP BY s.i, e1.wins, e1.games, e1.w1)
+    SELECT i AS priority, CAST(wins AS BIGINT) AS wins,
+           CAST(games AS BIGINT) AS games,
+           round(w2 / (SELECT sum(w2) FROM it2), 6) AS bt_score
+    FROM it2 ORDER BY priority
+"""
+
+
+def eval_pass_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """pass@k estimator (Chen et al. 2021): the unbiased
+    1 - C(n-c, k)/C(n, k) per problem, averaged — THE code-model eval
+    metric, computed here over synthetic problems (nations) and
+    samples (a deterministic orderkey slice; success = totalprice over
+    150k).  The k-term product folds over an explicit sequence array
+    in index order, so the float product is order-identical across
+    engines (no ln round-trip).  k in {1, 5, 10}."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").where(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey", (F.col("o_totalprice") > 150000).cast("long").alias("ok")
+    )
+    prob = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ok").alias("cc"))
+    )
+    outs = []
+    for k in (1, 5, 10):
+        scored = prob.where(F.col("n") >= k).select(
+            "n",
+            "cc",
+            F.when(
+                F.col("n") - F.col("cc") < k, F.lit(1.0)
+            ).otherwise(
+                1.0
+                - F.aggregate(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    F.lit(1.0),
+                    lambda acc, i: acc
+                    * (F.col("n") - F.col("cc") - i)
+                    / (F.col("n") - i),
+                )
+            ).alias("p"),
+        )
+        outs.append(
+            scored.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).alias("problems"),
+                F.round(F.sum("p") / F.count(F.lit(1)), 6).alias("pass_at_k"),
+            ).select(
+                F.col("k"),
+                F.col("problems").cast("long").alias("problems"),
+                "pass_at_k",
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out.orderBy("k")
+
+
+QUERIES["eval_pass_at_k"] = eval_pass_at_k
+
+
+def _pass_at_k_oracle() -> str:
+    parts = []
+    for k in (1, 5, 10):
+        parts.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS problems,
+           round(sum(CASE WHEN n - cc < {k} THEN 1.0
+                     ELSE 1.0 - list_reduce(
+                       list_prepend(1.0, list_transform(range({k}),
+                         i -> (n - cc - i) / CAST(n - i AS DOUBLE))),
+                       (a, b) -> a * b) END) / count(*), 6) AS pass_at_k
+    FROM prob WHERE n >= {k}""")
+    sel = "\n    UNION ALL\n".join(parts)
+    return f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS ok
+      FROM orders WHERE o_orderkey % 7 = 0),
+    prob AS (
+      SELECT c_nationkey, count(*) AS n, sum(ok) AS cc
+      FROM o JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+{sel}
+    ORDER BY k
+"""
+
+
+ORACLES["eval_pass_at_k"] = _pass_at_k_oracle()
+
+
+def eval_fdr_by(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR over the same per-nation 2x2
+    independence family as the staged Holm query — the
+    arbitrary-dependence-robust variant of the registered eval_fdr_bh:
+    the BH threshold divides by the harmonic factor c(m) = sum 1/i,
+    folded over an explicit ascending sequence so the constant is
+    bit-identical across engines.  Window arithmetic rides the 25-row
+    test table only."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("urgent"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    cells = j.groupBy("c_nationkey", "big", "urgent").agg(F.count(F.lit(1)).alias("n"))
+    rows = cells.groupBy("c_nationkey", "big").agg(F.sum("n").alias("rn"))
+    cols = cells.groupBy("c_nationkey", "urgent").agg(F.sum("n").alias("cn"))
+    tot = cells.groupBy("c_nationkey").agg(F.sum("n").alias("nt"))
+    grid = (
+        rows.join(cols, "c_nationkey")
+        .join(tot, "c_nationkey")
+        .join(cells, ["c_nationkey", "big", "urgent"], "left")
+        .fillna(0, subset=["n"])
+    )
+    e = F.col("rn") * F.col("cn") / F.col("nt")
+    chi2 = grid.groupBy("c_nationkey").agg(
+        F.sum((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2")
+    )
+    tests = chi2.select("c_nationkey", F.exp(-F.col("chi2") / 2).alias("p"))
+    m_df = tests.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(25)),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / i,
+        ).alias("__cm"),
+    )
+    wk = Window.orderBy(F.col("p").asc(), F.col("c_nationkey").asc())
+    ranked = tests.crossJoin(F.broadcast(m_df)).withColumn(
+        "k", F.row_number().over(wk)
+    )
+    # BY adjusted p: running min from the tail of m*c(m)*p/k, capped at 1
+    stepped = ranked.withColumn(
+        "by_p",
+        F.least(
+            F.lit(1.0),
+            F.min(
+                F.col("__m") * F.col("__cm") * F.col("p") / F.col("k")
+            ).over(wk.rowsBetween(0, Window.unboundedFollowing)),
+        ),
+    )
+    return stepped.select(
+        "c_nationkey",
+        F.round("p", 9).alias("p_value"),
+        F.col("k").cast("long").alias("rank"),
+        F.round("by_p", 9).alias("by_p"),
+        (F.col("by_p") <= 0.05).alias("rejected"),
+    ).orderBy("rank")
+
+
+QUERIES["eval_fdr_by"] = eval_fdr_by
+
+ORACLES["eval_fdr_by"] = """
+    WITH j AS (
+      SELECT c_nationkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS urgent,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS big
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    cells AS (
+      SELECT c_nationkey, big, urgent, count(*) AS n
+      FROM j GROUP BY 1, 2, 3),
+    rows_ AS (SELECT c_nationkey, big, sum(n) AS rn FROM cells GROUP BY 1, 2),
+    cols_ AS (SELECT c_nationkey, urgent, sum(n) AS cn FROM cells GROUP BY 1, 2),
+    tot AS (SELECT c_nationkey, sum(n) AS nt FROM cells GROUP BY 1),
+    grid AS (
+      SELECT r.c_nationkey, r.big, c.urgent, r.rn, c.cn, t.nt,
+             coalesce(x.n, 0) AS n
+      FROM rows_ r
+      JOIN cols_ c USING (c_nationkey)
+      JOIN tot t ON r.c_nationkey = t.c_nationkey
+      LEFT JOIN cells x ON x.c_nationkey = r.c_nationkey
+                       AND x.big = r.big AND x.urgent = c.urgent),
+    chi AS (
+      SELECT c_nationkey,
+             sum((n - rn * cn / CAST(nt AS DOUBLE))
+                 * (n - rn * cn / CAST(nt AS DOUBLE))
+                 / (rn * cn / CAST(nt AS DOUBLE))) AS chi2
+      FROM grid GROUP BY 1),
+    tests AS (
+      SELECT c_nationkey, exp(-chi2 / 2) AS p FROM chi),
+    consts AS (
+      SELECT count(*) AS m,
+             list_reduce(
+               list_prepend(0.0, list_transform(range(1, 26),
+                                                i -> 1.0 / i)),
+               (a, b) -> a + b) AS cm
+      FROM tests),
+    ranked AS (
+      SELECT c_nationkey, p,
+             row_number() OVER (ORDER BY p ASC, c_nationkey ASC) AS k,
+             m, cm
+      FROM tests CROSS JOIN consts),
+    stepped AS (
+      SELECT c_nationkey, p, k,
+             least(1.0, min(m * cm * p / k) OVER (
+               ORDER BY p ASC, c_nationkey ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS by_p
+      FROM ranked)
+    SELECT c_nationkey, round(p, 9) AS p_value, CAST(k AS BIGINT) AS rank,
+           round(by_p, 9) AS by_p, by_p <= 0.05 AS rejected
+    FROM stepped ORDER BY rank
+"""
