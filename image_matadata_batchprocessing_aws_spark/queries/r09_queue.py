@@ -2356,3 +2356,1076 @@ ORACLES["eval_fdr_by"] = """
            round(by_p, 9) AS by_p, by_p <= 0.05 AS rejected
     FROM stepped ORDER BY rank
 """
+
+
+# --- dedup / search / join utilities -----------------------------------------
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) for entity
+    resolution: sort the corpus by a cheap key (lang, n_chars, doc_id),
+    compare each doc only to its next 3 neighbors via window LEADs (no
+    self-join at all — the window IS the block), and verify candidates
+    with exact token-set Jaccard.  The classic linear-scan alternative
+    to LSH blocking; candidates per row are CONSTANT (w-1), so the
+    pass is one sort + one map at any scale.  Output: per-lang
+    candidate/match/precision stats at Jaccard >= 0.5."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("ts"),
+    )
+    w = Window.orderBy("lang", "n_chars", "doc_id")
+    led = d.select(
+        "lang",
+        "ts",
+        *[F.lead("ts", i).over(w).alias(f"t{i}") for i in (1, 2, 3)],
+    )
+    cand = None
+    for i in (1, 2, 3):
+        p = led.where(F.col(f"t{i}").isNotNull()).select(
+            "lang",
+            (
+                F.size(F.array_intersect("ts", f"t{i}")).cast("double")
+                / F.size(F.array_union("ts", f"t{i}"))
+            ).alias("jac"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    g = cand.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("candidates"),
+        F.sum((F.col("jac") >= 0.5).cast("long")).alias("matches"),
+    )
+    return g.select(
+        "lang",
+        F.col("candidates").cast("long").alias("candidates"),
+        F.col("matches").cast("long").alias("matches"),
+        F.round(F.col("matches") / F.col("candidates"), 6).alias("precision"),
+    ).orderBy("lang")
+
+
+QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+
+ORACLES["dedup_sorted_neighborhood"] = r"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+      FROM documents),
+    led AS (
+      SELECT lang, ts,
+             lead(ts, 1) OVER (ORDER BY lang, n_chars, doc_id) AS t1,
+             lead(ts, 2) OVER (ORDER BY lang, n_chars, doc_id) AS t2,
+             lead(ts, 3) OVER (ORDER BY lang, n_chars, doc_id) AS t3
+      FROM d),
+    cand AS (
+      SELECT lang, len(list_intersect(ts, t1))
+               / CAST(len(ts) + len(t1) - len(list_intersect(ts, t1)) AS DOUBLE)
+               AS jac
+      FROM led WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT lang, len(list_intersect(ts, t2))
+               / CAST(len(ts) + len(t2) - len(list_intersect(ts, t2)) AS DOUBLE)
+      FROM led WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT lang, len(list_intersect(ts, t3))
+               / CAST(len(ts) + len(t3) - len(list_intersect(ts, t3)) AS DOUBLE)
+      FROM led WHERE t3 IS NOT NULL)
+    SELECT lang, CAST(count(*) AS BIGINT) AS candidates,
+           CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS matches,
+           round(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS precision
+    FROM cand GROUP BY lang ORDER BY lang
+"""
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup threshold sweep: exact token-set Jaccard over a
+    residue-sampled pair grid, histogrammed at operating thresholds
+    {0.3, 0.5, 0.7, 0.9} — the measurement that picks a dedup
+    threshold BEFORE committing a full LSH run (the registered
+    dedup_lsh_tuning tunes bands for a GIVEN threshold; this prices
+    the thresholds themselves).  The grid is the equi-key residue
+    join (the r07 lesson), pairs ~ n^2/53 — grow the modulus with
+    corpus^2 for a constant sample."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("ts")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    m = 53
+    pairs = a.join(
+        b,
+        ((m - F.col("a.doc_id") % m) % m == F.col("b.doc_id") % m)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        (
+            F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+            / F.size(F.array_union("a.ts", "b.ts"))
+        ).alias("jac")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        *[
+            F.sum((F.col("jac") >= th).cast("long")).alias(f"ge_{int(th*10)}")
+            for th in (0.3, 0.5, 0.7, 0.9)
+        ],
+    )
+    rows = []
+    for th in (0.3, 0.5, 0.7, 0.9):
+        rows.append(
+            agg.select(
+                F.lit(th).alias("threshold"),
+                F.col("pairs").cast("long").alias("sampled_pairs"),
+                F.col(f"ge_{int(th*10)}").cast("long").alias("pairs_at_or_above"),
+                F.round(F.col(f"ge_{int(th*10)}") / F.col("pairs"), 6).alias(
+                    "dup_rate"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+ORACLES["dedup_threshold_sweep"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+      FROM documents),
+    pairs AS (
+      SELECT len(list_intersect(a.ts, b.ts))
+               / CAST(len(a.ts) + len(b.ts)
+                      - len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS jac
+      FROM d a JOIN d b
+        ON (53 - a.doc_id % 53) % 53 = b.doc_id % 53
+       AND a.doc_id < b.doc_id),
+    agg AS (
+      SELECT count(*) AS pairs,
+             sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS ge_3,
+             sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS ge_5,
+             sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS ge_7,
+             sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS ge_9
+      FROM pairs)
+    SELECT CAST(0.3 AS DOUBLE) AS threshold, CAST(pairs AS BIGINT) AS sampled_pairs,
+           CAST(ge_3 AS BIGINT) AS pairs_at_or_above,
+           round(ge_3 / CAST(pairs AS DOUBLE), 6) AS dup_rate FROM agg
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), CAST(pairs AS BIGINT), CAST(ge_5 AS BIGINT),
+           round(ge_5 / CAST(pairs AS DOUBLE), 6) FROM agg
+    UNION ALL
+    SELECT CAST(0.7 AS DOUBLE), CAST(pairs AS BIGINT), CAST(ge_7 AS BIGINT),
+           round(ge_7 / CAST(pairs AS DOUBLE), 6) FROM agg
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), CAST(pairs AS BIGINT), CAST(ge_9 AS BIGINT),
+           round(ge_9 / CAST(pairs AS DOUBLE), 6) FROM agg
+    ORDER BY threshold
+"""
+
+
+def sketch_linear_counting(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear (bitmap) counting of distinct tokens: hash each token
+    into an m=1024-bit map and estimate distincts as -m*ln(empty/m) —
+    the small-cardinality regime where the registered HLL is biased
+    (Whang et al. 1990).  The bitmap is a 1024-row groupBy (mergeable
+    state, map-side partials); the audit joins the exact distinct
+    count for the relative error."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+
+    m = 1024
+    tok = t(spark, sf, "documents").select(
+        F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
+    )
+    bits = tok.select((md5_int32(F.col("w")) % m).alias("bit")).distinct()
+    truth = tok.agg(F.countDistinct("w").alias("exact"))
+    est = bits.agg(F.count(F.lit(1)).alias("bits_set")).crossJoin(
+        F.broadcast(truth)
+    )
+    lc = -float(m) * F.log((F.lit(m) - F.col("bits_set")) / float(m))
+    return est.select(
+        F.lit(m).cast("long").alias("m_bits"),
+        F.col("bits_set").cast("long").alias("bits_set"),
+        F.round(lc, 4).alias("lc_estimate"),
+        F.col("exact").cast("long").alias("exact_distinct"),
+        F.round((lc - F.col("exact")) / F.col("exact"), 6).alias("rel_error"),
+    )
+
+
+QUERIES["sketch_linear_counting"] = sketch_linear_counting
+
+
+def _lc_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+
+    h = md5_int32_sql("w")
+    return rf"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    bits AS (SELECT DISTINCT {h} % 1024 AS bit FROM tok),
+    est AS (
+      SELECT (SELECT count(*) FROM bits) AS bits_set,
+             (SELECT count(DISTINCT w) FROM tok) AS exact)
+    SELECT CAST(1024 AS BIGINT) AS m_bits,
+           CAST(bits_set AS BIGINT) AS bits_set,
+           round(-1024.0 * ln((1024 - bits_set) / 1024.0), 4) AS lc_estimate,
+           CAST(exact AS BIGINT) AS exact_distinct,
+           round((-1024.0 * ln((1024 - bits_set) / 1024.0) - exact)
+                 / exact, 6) AS rel_error
+    FROM est
+"""
+
+
+ORACLES["sketch_linear_counting"] = _lc_oracle()
+
+
+def search_idf_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """IDF formulation audit for the 10 highest-df terms: smoothed
+    (ln(1+N/df)), probabilistic (ln((N-df+.5)/(df+.5))) and BM25
+    (ln(1+(N-df+.5)/(df+.5))) side by side — the probabilistic variant
+    goes NEGATIVE for terms in over half the corpus, which silently
+    flips ranking signs (the practical reason BM25 wraps it in
+    ln(1+x)).  One document-frequency groupBy; floats only in the
+    per-term closing expressions."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), "\\s+"))).alias("w")
+    )
+    n_docs = t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("n"))
+    df_ = d.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = df_.orderBy(F.col("df").desc(), F.col("w").asc()).limit(10)
+    out = top.crossJoin(F.broadcast(n_docs))
+    nn = F.col("n").cast("double")
+    dfc = F.col("df").cast("double")
+    return out.select(
+        "w",
+        F.col("df").cast("long").alias("df"),
+        F.round(F.log(1.0 + nn / dfc), 6).alias("idf_smooth"),
+        F.round(F.log((nn - dfc + 0.5) / (dfc + 0.5)), 6).alias("idf_prob"),
+        F.round(F.log(1.0 + (nn - dfc + 0.5) / (dfc + 0.5)), 6).alias("idf_bm25"),
+        (F.log((nn - dfc + 0.5) / (dfc + 0.5)) < 0).cast("long").alias(
+            "prob_negative"
+        ),
+    ).orderBy(F.col("df").desc(), F.col("w").asc())
+
+
+QUERIES["search_idf_variants"] = search_idf_variants
+
+ORACLES["search_idf_variants"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+      FROM documents),
+    df_ AS (SELECT w, count(*) AS df FROM d GROUP BY 1),
+    top AS (SELECT w, df FROM df_ ORDER BY df DESC, w ASC LIMIT 10),
+    n_ AS (SELECT count(*) AS n FROM documents)
+    SELECT w, CAST(df AS BIGINT) AS df,
+           round(ln(1.0 + n / CAST(df AS DOUBLE)), 6) AS idf_smooth,
+           round(ln((n - df + 0.5) / (df + 0.5)), 6) AS idf_prob,
+           round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6) AS idf_bm25,
+           CAST(ln((n - df + 0.5) / (df + 0.5)) < 0 AS BIGINT) AS prob_negative
+    FROM top CROSS JOIN n_
+    ORDER BY df DESC, w ASC
+"""
+
+
+def join_band_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Band join: customer x supplier pairs with account balances
+    within +-10 dollars, via the bucket trick — equi-join on
+    floor(bal/10) after exploding each supplier row into its 3
+    adjacent buckets, then the exact band filter.  Catalyst plans a
+    partitionable hash join on the bucket key (a naive |a-b|<eps
+    predicate would be a NestedLoop over the cross space — the same
+    lesson as the residue pair grids).  Output: per-region match
+    stats on exact cents."""
+    c = t(spark, sf, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cb"),
+        "c_nationkey",
+    )
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    cr = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "cb", "n_regionkey"
+    )
+    s = t(spark, sf, "supplier").select(
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("sb")
+    )
+    band = 1000  # +-10 dollars in cents
+    sx = s.select(
+        "sb",
+        F.explode(
+            F.array(F.lit(-1), F.lit(0), F.lit(1))
+        ).alias("off"),
+    ).select("sb", (F.floor(F.col("sb") / band) + F.col("off")).alias("bkt"))
+    cx = cr.select("cb", "n_regionkey", F.floor(F.col("cb") / band).alias("bkt"))
+    pairs = cx.join(sx, "bkt").where(
+        F.abs(F.col("cb") - F.col("sb")) <= band
+    )
+    g = pairs.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("cb") - F.col("sb"))).alias("__sad"),
+    )
+    return g.select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("__sad") / F.col("n_pairs") / 100.0, 4).alias(
+            "mean_abs_diff"
+        ),
+    ).orderBy("n_regionkey")
+
+
+QUERIES["join_band_balance"] = join_band_balance
+
+ORACLES["join_band_balance"] = """
+    WITH c AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cb, n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    s AS (SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS sb FROM supplier),
+    sx AS (
+      SELECT sb, CAST(floor(sb / 1000.0) AS BIGINT) + off AS bkt
+      FROM s, unnest([-1, 0, 1]) u(off)),
+    cx AS (
+      SELECT cb, n_regionkey, CAST(floor(cb / 1000.0) AS BIGINT) AS bkt
+      FROM c),
+    pairs AS (
+      SELECT n_regionkey, abs(cb - sb) AS ad
+      FROM cx JOIN sx USING (bkt)
+      WHERE abs(cb - sb) <= 1000)
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(ad) / count(*) / 100.0, 4) AS mean_abs_diff
+    FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- more experimentation / BI aggregates ------------------------------------
+
+
+def agg_delta_method(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    order with the USER as the randomization unit) — the closed-form
+    companion of the staged agg_ratio_jackknife: clustered ratios need
+    var(x) - 2R cov(x,y) + R^2 var(y), not the naive per-row SE.
+    Per-user sums are exact cents BIGINTs; all second moments
+    hi/lo-split; one fixed float expression closes the CI."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum("cents").alias("x"), F.count(F.lit(1)).alias("y")
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        *_split_sum(F.col("x") * F.col("x"), "qxx"),
+        *_split_sum(F.col("x") * F.col("y"), "qxy"),
+        F.sum(F.col("y") * F.col("y")).alias("qyy"),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("sx") / 100.0 / n
+    ybar = F.col("sy") / n
+    vx = (_split_val("qxx", 10000.0) - n * xbar * xbar) / (n - 1)
+    cxy = (_split_val("qxy", 100.0) - n * xbar * ybar) / (n - 1)
+    vy = (F.col("qyy") - n * ybar * ybar) / (n - 1)
+    r = xbar / ybar
+    var_r = (vx - 2.0 * r * cxy + r * r * vy) / (n * ybar * ybar)
+    se = F.sqrt(var_r)
+    return mom.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+QUERIES["agg_delta_method"] = agg_delta_method
+
+ORACLES["agg_delta_method"] = """
+    WITH per AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x,
+             count(*) AS y
+      FROM orders GROUP BY 1),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x // 1073741824) AS qxx_hi, sum(x * x % 1073741824) AS qxx_lo,
+             sum(x * y // 1073741824) AS qxy_hi, sum(x * y % 1073741824) AS qxy_lo,
+             sum(y * y) AS qyy
+      FROM per),
+    f AS (
+      SELECT n, sx / 100.0 / n AS xbar, sy / CAST(n AS DOUBLE) AS ybar,
+             ((CAST(qxx_hi AS DOUBLE) * 1073741824.0 + qxx_lo) / 10000.0
+              - n * (sx / 100.0 / n) * (sx / 100.0 / n)) / (n - 1) AS vx,
+             ((CAST(qxy_hi AS DOUBLE) * 1073741824.0 + qxy_lo) / 100.0
+              - n * (sx / 100.0 / n) * (sy / CAST(n AS DOUBLE))) / (n - 1) AS cxy,
+             (qyy - n * (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+               / (n - 1) AS vy
+      FROM mom),
+    g AS (
+      SELECT n, xbar / ybar AS r,
+             sqrt((vx - 2.0 * (xbar / ybar) * cxy
+                   + (xbar / ybar) * (xbar / ybar) * vy)
+                  / (n * ybar * ybar)) AS se
+      FROM f)
+    SELECT CAST(n AS BIGINT) AS n_users, round(r, 6) AS ratio,
+           round(se, 6) AS se_delta,
+           round(r - 1.96 * se, 6) AS ci_lo,
+           round(r + 1.96 * se, 6) AS ci_hi
+    FROM g
+"""
+
+
+def agg_covariate_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized-mean-difference balance table between the two
+    customer cohorts over three covariates (account balance, order
+    count, mean order value) — the FIRST table of any observational
+    study (|SMD| < 0.1 = balanced; the registered agg_ipw_estimate
+    assumes this check happened).  Per-covariate moments close from
+    exact scaled integers; 3 output rows."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2).alias("variant"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("rev"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "variant",
+            "bal",
+            "cnt",
+            (F.col("rev") / F.col("cnt")).cast("long").alias("avgp"),
+        )
+    )
+    covs = [("acctbal", "bal", 100.0), ("order_count", "cnt", 1.0),
+            ("mean_order_cents", "avgp", 100.0)]
+    outs = []
+    for name, col, scale in covs:
+        g = per.groupBy("variant").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(col).alias("s"),
+            *_split_sum(F.col(col) * F.col(col), "q"),
+        )
+        mean = F.col("s") / scale / F.col("n")
+        var = (
+            _split_val("q", scale * scale)
+            - F.col("s") / scale * (F.col("s") / scale) / F.col("n")
+        ) / (F.col("n") - 1)
+        p = g.select("variant", mean.alias("m"), var.alias("v"))
+        piv = p.agg(
+            F.max(F.when(F.col("variant") == 0, F.col("m"))).alias("m0"),
+            F.max(F.when(F.col("variant") == 0, F.col("v"))).alias("v0"),
+            F.max(F.when(F.col("variant") == 1, F.col("m"))).alias("m1"),
+            F.max(F.when(F.col("variant") == 1, F.col("v"))).alias("v1"),
+        )
+        smd = (F.col("m1") - F.col("m0")) / F.sqrt((F.col("v1") + F.col("v0")) / 2.0)
+        outs.append(
+            piv.select(
+                F.lit(name).alias("covariate"),
+                F.round(F.col("m0"), 4).alias("mean_ctl"),
+                F.round(F.col("m1"), 4).alias("mean_trt"),
+                F.round(smd, 6).alias("smd"),
+                (F.abs(smd) < 0.1).cast("long").alias("balanced"),
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out.orderBy("covariate")
+
+
+QUERIES["agg_covariate_balance"] = agg_covariate_balance
+
+ORACLES["agg_covariate_balance"] = """
+    WITH per AS (
+      SELECT c.variant, c.bal, p.cnt, CAST(p.rev // p.cnt AS BIGINT) AS avgp
+      FROM (SELECT o_custkey, count(*) AS cnt,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders GROUP BY 1) p
+      JOIN (SELECT c_custkey, c_custkey % 2 AS variant,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+            FROM customer) c
+        ON p.o_custkey = c.c_custkey),
+    stat AS (
+      SELECT covariate, variant, count(*) AS n, sum(x) AS s,
+             sum(x * x // 1073741824) AS q_hi, sum(x * x % 1073741824) AS q_lo,
+             max(scale) AS scale
+      FROM (
+        SELECT 'acctbal' AS covariate, variant, bal AS x, 100.0 AS scale FROM per
+        UNION ALL
+        SELECT 'order_count', variant, cnt, 1.0 FROM per
+        UNION ALL
+        SELECT 'mean_order_cents', variant, avgp, 100.0 FROM per)
+      GROUP BY 1, 2),
+    m AS (
+      SELECT covariate, variant, s / scale / n AS m,
+             ((CAST(q_hi AS DOUBLE) * 1073741824.0 + q_lo) / (scale * scale)
+              - s / scale * (s / scale) / n) / (n - 1) AS v
+      FROM stat),
+    piv AS (
+      SELECT covariate,
+             max(CASE WHEN variant = 0 THEN m END) AS m0,
+             max(CASE WHEN variant = 0 THEN v END) AS v0,
+             max(CASE WHEN variant = 1 THEN m END) AS m1,
+             max(CASE WHEN variant = 1 THEN v END) AS v1
+      FROM m GROUP BY 1)
+    SELECT covariate, round(m0, 4) AS mean_ctl, round(m1, 4) AS mean_trt,
+           round((m1 - m0) / sqrt((v1 + v0) / 2.0), 6) AS smd,
+           CAST(abs((m1 - m0) / sqrt((v1 + v0) / 2.0)) < 0.1 AS BIGINT)
+             AS balanced
+    FROM piv ORDER BY covariate
+"""
+
+
+def agg_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit to per-customer order
+    counts: r = m^2/(v - m), p = m/v — the parametric successor to
+    the registered agg_overdispersion readout (it TELLS you the data
+    is overdispersed; this fits the distribution you should use).
+    Counts are tiny integers so even squares need no split; one
+    groupBy then one scalar aggregate."""
+    o = t(spark, sf, "orders").select("o_custkey")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    mom = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s") / n
+    v = (F.col("q") - n * m * m) / (n - 1)
+    r = m * m / (v - m)
+    return mom.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(m, 6).alias("mean"),
+        F.round(v, 6).alias("variance"),
+        F.round(v / m, 6).alias("dispersion"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(m / v, 6).alias("nb_p"),
+        (v > m).cast("long").alias("overdispersed"),
+    )
+
+
+QUERIES["agg_negbin_fit"] = agg_negbin_fit
+
+ORACLES["agg_negbin_fit"] = """
+    WITH per AS (
+      SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1),
+    mom AS (
+      SELECT count(*) AS n, sum(k) AS s, sum(k * k) AS q FROM per),
+    f AS (
+      SELECT n, s / CAST(n AS DOUBLE) AS m,
+             (q - n * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+               / (n - 1) AS v
+      FROM mom)
+    SELECT CAST(n AS BIGINT) AS n_customers, round(m, 6) AS mean,
+           round(v, 6) AS variance, round(v / m, 6) AS dispersion,
+           round(m * m / (v - m), 6) AS nb_r,
+           round(m / v, 6) AS nb_p,
+           CAST(v > m AS BIGINT) AS overdispersed
+    FROM f
+"""
+
+
+def agg_gamma_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Method-of-moments gamma fit to order values (shape = m^2/v,
+    scale = v/m) — the standard positive-skew revenue model; with the
+    staged Jarque-Bera this closes the 'what distribution IS this'
+    loop.  Moments from exact cents (hi/lo-split squares)."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    o = t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    mom = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        *_split_sum(F.col("cents") * F.col("cents"), "q"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s") / 100.0 / n
+    v = (_split_val("q", 10000.0) - n * m * m) / (n - 1)
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 4).alias("mean"),
+        F.round(v, 4).alias("variance"),
+        F.round(m * m / v, 6).alias("gamma_shape"),
+        F.round(v / m, 6).alias("gamma_scale"),
+        F.round(F.sqrt(v) / m, 6).alias("cv"),
+    )
+
+
+QUERIES["agg_gamma_fit"] = agg_gamma_fit
+
+ORACLES["agg_gamma_fit"] = """
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    mom AS (
+      SELECT count(*) AS n, sum(cents) AS s,
+             sum(cents * cents // 1073741824) AS q_hi,
+             sum(cents * cents % 1073741824) AS q_lo
+      FROM o),
+    f AS (
+      SELECT n, s / 100.0 / n AS m,
+             ((CAST(q_hi AS DOUBLE) * 1073741824.0 + q_lo) / 10000.0
+              - n * (s / 100.0 / n) * (s / 100.0 / n)) / (n - 1) AS v
+      FROM mom)
+    SELECT CAST(n AS BIGINT) AS n, round(m, 4) AS mean,
+           round(v, 4) AS variance,
+           round(m * m / v, 6) AS gamma_shape,
+           round(v / m, 6) AS gamma_scale,
+           round(sqrt(v) / m, 6) AS cv
+    FROM f
+"""
+
+
+def agg_price_volume_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-volume-mix revenue bridge between 1996 and 1997 by market
+    segment: dR = dQ*P1 (volume) + dP*Q1 (price) + dQ*dP (mix) — the
+    BI decomposition every revenue review runs, closed per segment
+    from exact cents sums and integer counts on the 5-segment grid."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("yr").isin(1996, 1997))
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "yr")
+        .agg(F.count(F.lit(1)).alias("q"), F.sum("cents").alias("r"))
+    )
+    piv = g.groupBy("c_mktsegment").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("q"))).alias("q2"),
+        F.max(F.when(F.col("yr") == 1997, F.col("r"))).alias("r2"),
+    )
+    p1 = F.col("r1") / 100.0 / F.col("q1")
+    p2 = F.col("r2") / 100.0 / F.col("q2")
+    dq = (F.col("q2") - F.col("q1")).cast("double")
+    dp = p2 - p1
+    return piv.select(
+        "c_mktsegment",
+        F.col("q1").cast("long").alias("orders_1996"),
+        F.col("q2").cast("long").alias("orders_1997"),
+        F.round((F.col("r2") - F.col("r1")) / 100.0, 2).alias("delta_revenue"),
+        F.round(dq * p1, 2).alias("volume_effect"),
+        F.round(dp * F.col("q1"), 2).alias("price_effect"),
+        F.round(dq * dp, 2).alias("mix_effect"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["agg_price_volume_mix"] = agg_price_volume_mix
+
+ORACLES["agg_price_volume_mix"] = """
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+    g AS (
+      SELECT c_mktsegment, yr, count(*) AS q, sum(cents) AS r
+      FROM o JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    piv AS (
+      SELECT c_mktsegment,
+             max(CASE WHEN yr = 1996 THEN q END) AS q1,
+             max(CASE WHEN yr = 1996 THEN r END) AS r1,
+             max(CASE WHEN yr = 1997 THEN q END) AS q2,
+             max(CASE WHEN yr = 1997 THEN r END) AS r2
+      FROM g GROUP BY 1),
+    f AS (
+      SELECT c_mktsegment, q1, q2, r1, r2,
+             r1 / 100.0 / q1 AS p1, r2 / 100.0 / q2 AS p2
+      FROM piv)
+    SELECT c_mktsegment, CAST(q1 AS BIGINT) AS orders_1996,
+           CAST(q2 AS BIGINT) AS orders_1997,
+           round((r2 - r1) / 100.0, 2) AS delta_revenue,
+           round((q2 - q1) * p1, 2) AS volume_effect,
+           round((p2 - p1) * q1, 2) AS price_effect,
+           round((q2 - q1) * (p2 - p1), 2) AS mix_effect
+    FROM f ORDER BY c_mktsegment
+"""
+
+
+# --- multimodal --------------------------------------------------------------
+
+CLR_N_DOCS = 18
+CLR_H, CLR_W = 20, 28
+
+
+def _clr_entries(spark: SparkSession):
+    import numpy as np
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+
+    rows = []
+    for d in range(CLR_N_DOCS):
+        yy, xx = np.mgrid[0:CLR_H, 0:CLR_W]
+        r = (xx * 3 + yy * 5 + 11 * d) % 256
+        g = (xx * 7 + yy * 2 + 5 * d) % 256
+        b = (xx * 5 + yy * 3 + 7 * d) % 256
+        img = np.dstack([r, g, b]).astype(np.uint8)
+        rows.append((d, f"{d}.png", bytearray(encode_png(img))))
+    return spark.createDataFrame(rows, "doc_id long, entry_name string, content binary")
+
+
+_CLR_GRID = f"""
+    d AS (SELECT unnest(range({CLR_N_DOCS})) AS doc_id),
+    px AS (
+      SELECT doc_id, (x * 3 + y * 5 + 11 * doc_id) % 256 AS r,
+             (x * 7 + y * 2 + 5 * doc_id) % 256 AS g,
+             (x * 5 + y * 3 + 7 * doc_id) % 256 AS b
+      FROM d, unnest(range({CLR_H})) u(y), unnest(range({CLR_W})) v(x))
+"""
+
+
+def multimodal_image_colorfulness(spark: SparkSession, sf: str) -> DataFrame:
+    """Hasler-Susstrunk colorfulness metric from REAL decoded pixels:
+    M = sqrt(var_rg + var_yb) + 0.3 * sqrt(mu_rg^2 + mu_yb^2) over the
+    opponent axes rg = R-G, yb = (R+G)/2 - B — the saturation screen
+    an image-curation funnel applies before CLIP budget (grayscale-ish
+    images score near 0).  The Arrow stage emits INTEGER sufficient
+    statistics (working with 2*yb keeps everything integral); the
+    metric closes relationally; the oracle regenerates the same pixels
+    arithmetically."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    entries = _clr_entries(spark)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+                u = (r - g).reshape(-1)
+                v = (r + g - 2 * b).reshape(-1)  # 2*yb, integral
+                out.append(
+                    (
+                        int(did),
+                        int(u.size),
+                        int(u.sum()),
+                        int((u * u).sum()),
+                        int(v.sum()),
+                        int((v * v).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n", "su", "suu", "sv", "svv"]
+            )
+
+    s = entries.mapInPandas(
+        stats, "doc_id long, n long, su long, suu long, sv long, svv long"
+    )
+    n = F.col("n").cast("double")
+    var_u = F.col("suu") / n - (F.col("su") / n) * (F.col("su") / n)
+    var_v = (F.col("svv") / n - (F.col("sv") / n) * (F.col("sv") / n)) / 4.0
+    mu_u = F.col("su") / n
+    mu_v = F.col("sv") / n / 2.0
+    m = F.sqrt(var_u + var_v) + 0.3 * F.sqrt(mu_u * mu_u + mu_v * mu_v)
+    return s.select(
+        "doc_id",
+        F.round(m, 6).alias("colorfulness"),
+        F.round(F.sqrt(var_u + var_v), 6).alias("spread"),
+        (m > 40.0).cast("long").alias("colorful"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_image_colorfulness"] = multimodal_image_colorfulness
+
+ORACLES["multimodal_image_colorfulness"] = f"""
+    WITH {_CLR_GRID},
+    s AS (
+      SELECT doc_id, count(*) AS n, sum(r - g) AS su,
+             sum((r - g) * (r - g)) AS suu,
+             sum(r + g - 2 * b) AS sv,
+             sum((r + g - 2 * b) * (r + g - 2 * b)) AS svv
+      FROM px GROUP BY 1),
+    f AS (
+      SELECT doc_id,
+             suu / CAST(n AS DOUBLE) - (su / CAST(n AS DOUBLE)) * (su / CAST(n AS DOUBLE)) AS var_u,
+             (svv / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))) / 4.0 AS var_v,
+             su / CAST(n AS DOUBLE) AS mu_u,
+             sv / CAST(n AS DOUBLE) / 2.0 AS mu_v
+      FROM s)
+    SELECT doc_id,
+           round(sqrt(var_u + var_v)
+                 + 0.3 * sqrt(mu_u * mu_u + mu_v * mu_v), 6) AS colorfulness,
+           round(sqrt(var_u + var_v), 6) AS spread,
+           CAST(sqrt(var_u + var_v)
+                + 0.3 * sqrt(mu_u * mu_u + mu_v * mu_v) > 40.0 AS BIGINT)
+             AS colorful
+    FROM f ORDER BY doc_id
+"""
+
+
+def multimodal_image_palette(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized-palette profile from REAL decoded pixels: distinct
+    5-bit RGB cells and the top cell's coverage — the
+    synthetic/screenshot screen (tiny palettes = UI captures and
+    flats, the registered multimodal_image_dominant_color's
+    cardinality companion).  The Arrow stage emits two integers per
+    image; the oracle quantizes the same arithmetic pixel grid."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    entries = _clr_entries(spark)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content)).astype(np.int64)
+                q = (
+                    (img[:, :, 0] // 8) * 1024
+                    + (img[:, :, 1] // 8) * 32
+                    + img[:, :, 2] // 8
+                ).reshape(-1)
+                _, counts = np.unique(q, return_counts=True)
+                out.append(
+                    (int(did), int(q.size), int(counts.size), int(counts.max()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_px", "n_colors", "top_cnt"]
+            )
+
+    s = entries.mapInPandas(
+        stats, "doc_id long, n_px long, n_colors long, top_cnt long"
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_colors").cast("long").alias("n_colors"),
+        F.round(F.col("top_cnt") / F.col("n_px"), 6).alias("top_share"),
+        (F.col("n_colors") < 64).cast("long").alias("low_palette"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_image_palette"] = multimodal_image_palette
+
+ORACLES["multimodal_image_palette"] = f"""
+    WITH {_CLR_GRID},
+    q AS (
+      SELECT doc_id, (r // 8) * 1024 + (g // 8) * 32 + (b // 8) AS cell
+      FROM px),
+    cells AS (
+      SELECT doc_id, cell, count(*) AS cnt FROM q GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, count(*) AS n_colors, max(cnt) AS top_cnt,
+             sum(cnt) AS n_px
+      FROM cells GROUP BY 1)
+    SELECT doc_id, CAST(n_colors AS BIGINT) AS n_colors,
+           round(top_cnt / CAST(n_px AS DOUBLE), 6) AS top_share,
+           CAST(n_colors < 64 AS BIGINT) AS low_palette
+    FROM s ORDER BY doc_id
+"""
+
+
+MIR_N_DOCS = 16
+MIR_H, MIR_W = 18, 24
+
+
+def multimodal_image_mirror_symmetry(spark: SparkSession, sf: str) -> DataFrame:
+    """Horizontal mirror-symmetry score from REAL decoded pixels: the
+    mean absolute difference between each pixel and its horizontal
+    mirror (0 = perfectly symmetric) — the cheap screen for mirrored
+    near-duplicates and synthetic reflections an image dedup pass runs
+    before pHash.  Even docs are constructed symmetric, odd docs are
+    not; the Arrow stage emits one integer SAD per image; the oracle
+    regenerates the pixel arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.codecs import encode_png
+    from image_matadata_batchprocessing_aws_spark.multimodal.images import _real_decode
+
+    rows = []
+    for d in range(MIR_N_DOCS):
+        yy, xx = np.mgrid[0:MIR_H, 0:MIR_W]
+        if d % 2 == 0:
+            xe = np.minimum(xx, MIR_W - 1 - xx)
+        else:
+            xe = xx
+        v = ((xe * 3 + yy * 5 + 11 * d) % 256).astype(np.uint8)
+        rows.append((d, f"{d}.png", bytearray(encode_png(np.dstack([v] * 3)))))
+    entries = spark.createDataFrame(
+        rows, "doc_id long, entry_name string, content binary"
+    )
+
+    def sad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, name, content in zip(
+                pdf["doc_id"], pdf["entry_name"], pdf["content"]
+            ):
+                img = _real_decode(name, bytes(content))[:, :, 0].astype(np.int64)
+                half = MIR_W // 2
+                diff = np.abs(img[:, :half] - img[:, ::-1][:, :half])
+                out.append((int(did), int(diff.sum()), int(diff.size)))
+            yield pd.DataFrame(out, columns=["doc_id", "sad", "n_px"])
+
+    s = entries.mapInPandas(sad, "doc_id long, sad long, n_px long")
+    return s.select(
+        "doc_id",
+        F.col("sad").cast("long").alias("sad"),
+        F.round(F.col("sad") / F.col("n_px"), 6).alias("mean_abs_diff"),
+        (F.col("sad") == 0).cast("long").alias("symmetric"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_image_mirror_symmetry"] = multimodal_image_mirror_symmetry
+
+ORACLES["multimodal_image_mirror_symmetry"] = f"""
+    WITH d AS (SELECT unnest(range({MIR_N_DOCS})) AS doc_id),
+    px AS (
+      SELECT doc_id, y, x,
+             ((CASE WHEN doc_id % 2 = 0 THEN least(x, {MIR_W} - 1 - x)
+                    ELSE x END) * 3 + y * 5 + 11 * doc_id) % 256 AS v,
+             ((CASE WHEN doc_id % 2 = 0
+                    THEN least({MIR_W} - 1 - x, x)
+                    ELSE {MIR_W} - 1 - x END) * 3 + y * 5 + 11 * doc_id) % 256
+               AS vm
+      FROM d, unnest(range({MIR_H})) u(y), unnest(range({MIR_W})) w(x)),
+    half AS (
+      SELECT doc_id, abs(v - vm) AS ad FROM px WHERE x < {MIR_W} // 2),
+    s AS (
+      SELECT doc_id, sum(ad) AS sad, count(*) AS n_px FROM half GROUP BY 1)
+    SELECT doc_id, CAST(sad AS BIGINT) AS sad,
+           round(sad / CAST(n_px AS DOUBLE), 6) AS mean_abs_diff,
+           CAST(sad = 0 AS BIGINT) AS symmetric
+    FROM s ORDER BY doc_id
+"""
+
+
+SNR_N_DOCS = 12
+SNR_PERIOD = 100
+
+
+def multimodal_audio_snr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-recording SNR of REAL-decoded PCM16 WAVs carrying a
+    period-100 square wave plus deterministic LCG noise, via the ANOVA
+    phase-folding estimator: between-phase variance is signal power,
+    within-phase variance is noise power — the speech-corpus admission
+    gate next to the registered multimodal_audio_clipping.  The Arrow
+    stage emits four exact integers (n, sum, sum-of-squares, phase-sum
+    squares; sample counts are multiples of the period so phase counts
+    divide exactly); snr_db closes relationally; the oracle
+    regenerates the identical sample stream arithmetically."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from image_matadata_batchprocessing_aws_spark.multimodal.audio import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    P = SNR_PERIOD
+    rows = []
+    for d in range(SNR_N_DOCS):
+        n = 2000 + 400 * (d % 3)  # multiples of the period
+        i = np.arange(n, dtype=np.int64)
+        sq = np.where((i // (P // 2)) % 2 == 0, 6000 + 500 * d, -(6000 + 500 * d))
+        noise = ((i * 1103515245 + 12345 + d * 7919) % 2048) - 1024
+        rows.append((d, f"{d}.wav", bytearray(encode_wav_pcm16(sq + noise, 8000))))
+    audio = spark.createDataFrame(
+        rows, "doc_id long, file_name string, content binary"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                samples, _rate = decode_wav(bytes(content))
+                s = np.asarray(samples, dtype=np.int64).reshape(-1)
+                n = s.size
+                phases = s.reshape(n // P, P)
+                sp = phases.sum(axis=0)  # per-phase sums, exact ints
+                out.append(
+                    (
+                        int(did),
+                        int(n),
+                        int(s.sum()),
+                        int((s * s).sum()),
+                        int((sp * sp).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n", "sx", "sxx", "ssp"])
+
+    s = audio.mapInPandas(stats, "doc_id long, n long, sx long, sxx long, ssp long")
+    n = F.col("n").cast("double")
+    n_per = n / P  # exact: n is a multiple of P
+    between = F.col("ssp") / n_per - (F.col("sx") * F.col("sx")) / n
+    within = F.col("sxx") - F.col("ssp") / n_per
+    snr = 10.0 * F.log10(between / within)
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_samples"),
+        F.round(between / n, 4).alias("signal_power"),
+        F.round(within / n, 4).alias("noise_power"),
+        F.round(snr, 4).alias("snr_db"),
+        (snr > 20.0).cast("long").alias("clean"),
+    ).orderBy("doc_id")
+
+
+QUERIES["multimodal_audio_snr"] = multimodal_audio_snr
+
+ORACLES["multimodal_audio_snr"] = f"""
+    WITH d AS (SELECT unnest(range({SNR_N_DOCS})) AS doc_id),
+    par AS (SELECT doc_id, 2000 + 400 * (doc_id % 3) AS n FROM d),
+    samp AS (
+      SELECT doc_id, i, i % {SNR_PERIOD} AS phase,
+             (CASE WHEN (i // {SNR_PERIOD // 2}) % 2 = 0
+                   THEN 6000 + 500 * doc_id
+                   ELSE -(6000 + 500 * doc_id) END
+              + ((i * 1103515245 + 12345 + doc_id * 7919) % 2048) - 1024) AS x
+      FROM par, unnest(range(n)) u(i)),
+    ph AS (
+      SELECT doc_id, phase, sum(x) AS sp FROM samp GROUP BY 1, 2),
+    agg AS (
+      SELECT s.doc_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             (SELECT sum(sp * sp) FROM ph WHERE ph.doc_id = s.doc_id) AS ssp
+      FROM samp s GROUP BY 1),
+    f AS (
+      SELECT doc_id, n,
+             ssp / (n / CAST({SNR_PERIOD} AS DOUBLE))
+               - CAST(sx AS DOUBLE) * sx / n AS between_,
+             sxx - ssp / (n / CAST({SNR_PERIOD} AS DOUBLE)) AS within_
+      FROM agg)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           round(between_ / n, 4) AS signal_power,
+           round(within_ / n, 4) AS noise_power,
+           round(10.0 * log10(between_ / within_), 4) AS snr_db,
+           CAST(10.0 * log10(between_ / within_) > 20.0 AS BIGINT) AS clean
+    FROM f ORDER BY doc_id
+"""
