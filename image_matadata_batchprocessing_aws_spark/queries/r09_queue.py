@@ -2446,13 +2446,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     threshold BEFORE committing a full LSH run (the registered
     dedup_lsh_tuning tunes bands for a GIVEN threshold; this prices
     the thresholds themselves).  The grid is the equi-key residue
-    join (the r07 lesson), pairs ~ n^2/53 — grow the modulus with
+    join (the r07 lesson), pairs ~ n^2/397 — grow the modulus with
     corpus^2 for a constant sample."""
     d = t(spark, sf, "documents").select(
         "doc_id", F.array_distinct(F.split(F.trim("text"), "\\s+")).alias("ts")
     )
     a, b = d.alias("a"), d.alias("b")
-    m = 53
+    m = 397
     pairs = a.join(
         b,
         ((m - F.col("a.doc_id") % m) % m == F.col("b.doc_id") % m)
@@ -2500,7 +2500,7 @@ ORACLES["dedup_threshold_sweep"] = r"""
                / CAST(len(a.ts) + len(b.ts)
                       - len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS jac
       FROM d a JOIN d b
-        ON (53 - a.doc_id % 53) % 53 = b.doc_id % 53
+        ON (397 - a.doc_id % 397) % 397 = b.doc_id % 397
        AND a.doc_id < b.doc_id),
     agg AS (
       SELECT count(*) AS pairs,
@@ -3428,4 +3428,689 @@ ORACLES["multimodal_audio_snr"] = f"""
            round(10.0 * log10(between_ / within_), 4) AS snr_db,
            CAST(10.0 * log10(between_ / within_) > 20.0 AS BIGINT) AS clean
     FROM f ORDER BY doc_id
+"""
+
+
+# --- graph estimators / final batch ------------------------------------------
+
+
+def graph_wedge_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Wedge-sampled global clustering coefficient (Seshadhri et al.):
+    hash-sample wedges (two edges at a common center), check closure
+    only for the sample, and compare against the exact
+    3*triangles/wedges — the estimator that makes clustering
+    coefficients tractable at 100 TB, audited against truth at test
+    scale.  The closure check (the expensive join) touches ONLY
+    sampled wedges; sampling is a deterministic md5 predicate, so the
+    estimate is rerun-stable."""
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        JACC_ORDER_MOD,
+    )
+
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % JACC_ORDER_MOD == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = a.join(b, "o").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    p1 = adj.select(F.col("v").alias("w"), F.col("n").alias("x"))
+    p2 = adj.select(F.col("v").alias("w"), F.col("n").alias("y"))
+    wedges = p1.join(p2, "w").where(F.col("x") < F.col("y"))
+    # exact: every wedge, closed iff edge (x, y) exists
+    closed_all = wedges.join(
+        edges, (wedges.x == edges.a) & (wedges.y == edges.b), "left_semi"
+    )
+    exact = wedges.agg(F.count(F.lit(1)).alias("wedges")).crossJoin(
+        closed_all.agg(F.count(F.lit(1)).alias("closed"))
+    )
+    # sampled: md5(center, x, y) % 37 == 0
+    samp = wedges.where(
+        md5_int32(F.concat_ws(":", "w", "x", "y")) % 37 == 0
+    )
+    samp_closed = samp.join(
+        edges, (samp.x == edges.a) & (samp.y == edges.b), "left_semi"
+    )
+    sampled = samp.agg(F.count(F.lit(1)).alias("s_wedges")).crossJoin(
+        samp_closed.agg(F.count(F.lit(1)).alias("s_closed"))
+    )
+    out = exact.crossJoin(sampled)
+    c_exact = F.col("closed") / F.col("wedges")
+    c_est = F.col("s_closed") / F.col("s_wedges")
+    return out.select(
+        F.col("wedges").cast("long").alias("wedges"),
+        F.col("s_wedges").cast("long").alias("sampled_wedges"),
+        F.round(c_exact, 6).alias("clustering_exact"),
+        F.round(c_est, 6).alias("clustering_sampled"),
+        F.round(F.abs(c_est - c_exact), 6).alias("abs_error"),
+    )
+
+
+QUERIES["graph_wedge_sampling"] = graph_wedge_sampling
+
+
+def _wedge_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.functions import md5_int32_sql
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        JACC_ORDER_MOD,
+    )
+
+    h = md5_int32_sql(
+        "CAST(w AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)"
+    )
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey
+                FROM lineitem WHERE l_orderkey % {JACC_ORDER_MOD} = 0),
+    edges AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM li a JOIN li b ON a.o = b.o AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT a AS v, b AS n FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    wedges AS (
+      SELECT p1.v AS w, p1.n AS x, p2.n AS y
+      FROM adj p1 JOIN adj p2 ON p1.v = p2.v AND p1.n < p2.n),
+    closed_all AS (
+      SELECT * FROM wedges
+      WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = x AND e.b = y)),
+    samp AS (SELECT * FROM wedges WHERE {h} % 37 = 0),
+    samp_closed AS (
+      SELECT * FROM samp
+      WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = x AND e.b = y)),
+    agg AS (
+      SELECT (SELECT count(*) FROM wedges) AS wedges,
+             (SELECT count(*) FROM closed_all) AS closed,
+             (SELECT count(*) FROM samp) AS s_wedges,
+             (SELECT count(*) FROM samp_closed) AS s_closed)
+    SELECT CAST(wedges AS BIGINT) AS wedges,
+           CAST(s_wedges AS BIGINT) AS sampled_wedges,
+           round(closed / CAST(wedges AS DOUBLE), 6) AS clustering_exact,
+           round(s_closed / CAST(s_wedges AS DOUBLE), 6) AS clustering_sampled,
+           round(abs(s_closed / CAST(s_wedges AS DOUBLE)
+                     - closed / CAST(wedges AS DOUBLE)), 6) AS abs_error
+    FROM agg
+"""
+
+
+ORACLES["graph_wedge_sampling"] = _wedge_oracle()
+
+
+def graph_edge_embeddedness(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-embeddedness histogram: for every co-purchase edge, the
+    number of common neighbors of its endpoints — embeddedness 0 marks
+    LOCAL BRIDGES (the weak ties information flows across,
+    Granovetter), high embeddedness marks redundant intra-community
+    edges.  Common neighbors come from the two-hop equi-join meeting
+    at the shared neighbor (never all pairs); the histogram is
+    cardinality-bounded."""
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        JACC_ORDER_MOD,
+    )
+
+    li = t(spark, sf, "lineitem").where(F.col("l_orderkey") % JACC_ORDER_MOD == 0)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = a.join(b, "o").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    p1 = adj.select(F.col("n").alias("w"), F.col("v").alias("x"))
+    p2 = adj.select(F.col("n").alias("w"), F.col("v").alias("y"))
+    common = (
+        p1.join(p2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("emb"))
+    )
+    scored = edges.join(
+        common, (edges.a == common.x) & (edges.b == common.y), "left"
+    ).select(F.coalesce(F.col("emb"), F.lit(0)).alias("emb"))
+    hist = scored.groupBy("emb").agg(F.count(F.lit(1)).alias("n_edges"))
+    tot = hist.agg(
+        F.sum("n_edges").alias("te"),
+        F.sum(F.when(F.col("emb") == 0, F.col("n_edges")).otherwise(0)).alias(
+            "bridges"
+        ),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("emb").cast("long").alias("embeddedness"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(F.col("n_edges") / F.col("te"), 6).alias("share"),
+            F.col("bridges").cast("long").alias("local_bridges"),
+        )
+        .orderBy("embeddedness")
+        .limit(20)
+    )
+
+
+QUERIES["graph_edge_embeddedness"] = graph_edge_embeddedness
+
+
+def _emb_oracle() -> str:
+    from image_matadata_batchprocessing_aws_spark.queries.graphq import (
+        JACC_ORDER_MOD,
+    )
+
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey
+                FROM lineitem WHERE l_orderkey % {JACC_ORDER_MOD} = 0),
+    edges AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM li a JOIN li b ON a.o = b.o AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT a AS v, b AS n FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    common AS (
+      SELECT p1.v AS x, p2.v AS y, count(*) AS emb
+      FROM adj p1 JOIN adj p2 ON p1.n = p2.n AND p1.v < p2.v
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT coalesce(c.emb, 0) AS emb
+      FROM edges e LEFT JOIN common c ON e.a = c.x AND e.b = c.y),
+    hist AS (SELECT emb, count(*) AS n_edges FROM scored GROUP BY 1),
+    tot AS (
+      SELECT sum(n_edges) AS te,
+             sum(CASE WHEN emb = 0 THEN n_edges ELSE 0 END) AS bridges
+      FROM hist)
+    SELECT CAST(emb AS BIGINT) AS embeddedness,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           round(n_edges / CAST(te AS DOUBLE), 6) AS share,
+           CAST(bridges AS BIGINT) AS local_bridges
+    FROM hist CROSS JOIN tot
+    ORDER BY emb LIMIT 20
+"""
+
+
+ORACLES["graph_edge_embeddedness"] = _emb_oracle()
+
+
+def sample_capped_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Availability-capped proportional budget allocation
+    (waterfilling): give each source budget proportional to its
+    quality weight, capped at its availability, redistributing capped
+    surplus — solved in CLOSED FORM by sorting sources by
+    availability/weight and picking the prefix where the water level
+    lands (one window pass over the 20-source table; no iteration).
+    The mixture-construction step between the registered
+    sample_source_mixture and an actual token budget."""
+    d = t(spark, sf, "documents").select("source", "n_chars")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("avail"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("wq"),
+    )
+    tot = src.agg(
+        F.sum("avail").alias("corpus"), F.sum("wq").alias("wsum")
+    ).select((F.col("corpus") * 0.3).alias("budget"), "wsum")
+    w = Window.orderBy((F.col("avail") / F.col("wq")).asc(), F.col("source").asc())
+    ranked = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        "wq",
+        "budget",
+        (F.col("avail") / F.col("wq")).alias("ratio"),
+        F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "cap_prefix"
+        ),
+        (
+            F.col("wsum")
+            - F.sum("wq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("wq")
+        ).alias("w_suffix"),
+        F.lead(F.col("avail") / F.col("wq")).over(w).alias("next_ratio"),
+    )
+    lam = (F.col("budget") - F.coalesce(F.col("cap_prefix"), F.lit(0.0))) / F.col(
+        "w_suffix"
+    )
+    levels = ranked.select(
+        "source",
+        "avail",
+        "wq",
+        lam.alias("lam"),
+        ((lam >= F.col("ratio") * 0.0)  # lam always valid lower bound at k=1
+         & (F.col("next_ratio").isNull() | (lam <= F.col("next_ratio")))
+         & (lam <= F.col("ratio"))).alias("ok_interior"),
+        F.col("ratio"),
+        F.col("next_ratio"),
+    )
+    # the water level is the FIRST lam (in ratio order) that is <= the
+    # current ratio (every earlier source caps out)
+    pick = (
+        levels.where(F.col("lam") <= F.col("ratio"))
+        .orderBy(F.col("ratio").asc(), F.col("source").asc())
+        .limit(1)
+        .select(F.col("lam").alias("level"))
+    )
+    out = src.crossJoin(F.broadcast(pick)).select(
+        "source",
+        F.col("avail").cast("long").alias("available"),
+        F.round(F.col("wq"), 4).alias("weight"),
+        F.round(F.least(F.col("avail").cast("double"), F.col("level") * F.col("wq")), 4).alias(
+            "allocation"
+        ),
+        (F.col("avail") <= F.col("level") * F.col("wq")).cast("long").alias(
+            "capped"
+        ),
+    )
+    return out.orderBy("source")
+
+
+QUERIES["sample_capped_allocation"] = sample_capped_allocation
+
+ORACLES["sample_capped_allocation"] = """
+    WITH src AS (
+      SELECT source, count(*) AS avail,
+             sum(n_chars) / count(*) AS wq
+      FROM documents GROUP BY 1),
+    tot AS (
+      SELECT sum(avail) * 0.3 AS budget, sum(wq) AS wsum FROM src),
+    ranked AS (
+      SELECT source, avail, wq, budget,
+             avail / wq AS ratio,
+             coalesce(sum(avail) OVER (ORDER BY avail / wq ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS cap_prefix,
+             wsum - sum(wq) OVER (ORDER BY avail / wq ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + wq
+               AS w_suffix
+      FROM src CROSS JOIN tot),
+    levels AS (
+      SELECT source, ratio, (budget - cap_prefix) / w_suffix AS lam
+      FROM ranked),
+    pick AS (
+      SELECT lam AS level FROM levels WHERE lam <= ratio
+      ORDER BY ratio ASC, source ASC LIMIT 1)
+    SELECT source, CAST(avail AS BIGINT) AS available,
+           round(wq, 4) AS weight,
+           round(least(CAST(avail AS DOUBLE), level * wq), 4) AS allocation,
+           CAST(avail <= level * wq AS BIGINT) AS capped
+    FROM src CROSS JOIN pick
+    ORDER BY source
+"""
+
+
+def agg_process_capability(spark: SparkSession, sf: str) -> DataFrame:
+    """Process-capability indices Cp / Cpk of lineitem quantity against
+    the [1, 50] spec band, per line status — the SPC readout that says
+    whether a pipeline stage stays in spec (Cpk < 1 = it ships
+    defects).  Quantities are small integers, so moments are exact
+    without splitting."""
+    li = t(spark, sf, "lineitem").select(
+        "l_linestatus", F.col("l_quantity").cast("long").alias("q")
+    )
+    g = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s") / n
+    sd = F.sqrt((F.col("qq") - n * mu * mu) / (n - 1))
+    cp = (50.0 - 1.0) / (6.0 * sd)
+    cpk = F.least(50.0 - mu, mu - 1.0) / (3.0 * sd)
+    return g.select(
+        "l_linestatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(cp, 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        (cpk < 1.0).cast("long").alias("ships_defects"),
+    ).orderBy("l_linestatus")
+
+
+QUERIES["agg_process_capability"] = agg_process_capability
+
+ORACLES["agg_process_capability"] = """
+    WITH g AS (
+      SELECT l_linestatus, count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS s,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS qq
+      FROM lineitem GROUP BY 1),
+    f AS (
+      SELECT l_linestatus, n, s / CAST(n AS DOUBLE) AS mu,
+             sqrt((qq - n * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+                  / (n - 1)) AS sd
+      FROM g)
+    SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+           round(mu, 6) AS mean, round(sd, 6) AS sd,
+           round(49.0 / (6.0 * sd), 6) AS cp,
+           round(least(50.0 - mu, mu - 1.0) / (3.0 * sd), 6) AS cpk,
+           CAST(least(50.0 - mu, mu - 1.0) / (3.0 * sd) < 1.0 AS BIGINT)
+             AS ships_defects
+    FROM f ORDER BY l_linestatus
+"""
+
+
+def ts_esd_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Generalized ESD outlier sweep (3 unrolled rounds): each round
+    standardizes daily revenue against the CURRENT survivor set, emits
+    the most extreme day's R statistic, and removes it — the
+    multi-outlier-safe generalization of the registered
+    agg_grubbs_outlier (which masks when two outliers shadow each
+    other).  Each round is one exact-moment aggregate plus one ranked
+    pick on the per-day table; rounds are fixed at 3, so the plan is a
+    bounded chain, not iteration."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    o = t(spark, sf, "orders").select(
+        (F.unix_millis(F.date_trunc("day", "o_orderdate")) / F.lit(86400000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day = o.groupBy("d").agg(F.sum("cents").alias("y"))
+    survivors = day
+    outs = []
+    for rnd in (1, 2, 3):
+        mom = survivors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            *_split_sum(F.col("y") * F.col("y"), "q"),
+        )
+        n = F.col("n").cast("double")
+        mu = F.col("s") / n
+        sd = F.sqrt((_split_val("q", 1.0) - n * mu * mu) / (n - 1))
+        scored = survivors.crossJoin(F.broadcast(mom)).select(
+            "d",
+            "y",
+            (F.abs(F.col("y") - mu) / sd).alias("r"),
+        )
+        top = scored.orderBy(F.col("r").desc(), F.col("d").asc()).limit(1)
+        outs.append(
+            top.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("d").cast("long").alias("day"),
+                F.round(F.col("y") / 100.0, 2).alias("revenue"),
+                F.round(F.col("r"), 6).alias("esd_r"),
+            )
+        )
+        top_d = top.select(F.col("d").alias("dd"))
+        survivors = survivors.join(
+            F.broadcast(top_d), survivors.d == F.col("dd"), "left_anti"
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out.orderBy("round")
+
+
+QUERIES["ts_esd_outliers"] = ts_esd_outliers
+
+ORACLES["ts_esd_outliers"] = """
+    WITH day AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000 AS BIGINT) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    m1 AS (
+      SELECT count(*) AS n, sum(y) / CAST(count(*) AS DOUBLE) AS mu,
+             sqrt(((CAST(sum(y * y // 1073741824) AS DOUBLE) * 1073741824.0
+                    + sum(y * y % 1073741824))
+                   - count(*) * (sum(y) / CAST(count(*) AS DOUBLE))
+                     * (sum(y) / CAST(count(*) AS DOUBLE)))
+                  / (count(*) - 1)) AS sd
+      FROM day),
+    t1 AS (
+      SELECT d, y, abs(y - mu) / sd AS r FROM day CROSS JOIN m1
+      ORDER BY r DESC, d ASC LIMIT 1),
+    s2 AS (SELECT * FROM day WHERE d NOT IN (SELECT d FROM t1)),
+    m2 AS (
+      SELECT count(*) AS n, sum(y) / CAST(count(*) AS DOUBLE) AS mu,
+             sqrt(((CAST(sum(y * y // 1073741824) AS DOUBLE) * 1073741824.0
+                    + sum(y * y % 1073741824))
+                   - count(*) * (sum(y) / CAST(count(*) AS DOUBLE))
+                     * (sum(y) / CAST(count(*) AS DOUBLE)))
+                  / (count(*) - 1)) AS sd
+      FROM s2),
+    t2 AS (
+      SELECT d, y, abs(y - mu) / sd AS r FROM s2 CROSS JOIN m2
+      ORDER BY r DESC, d ASC LIMIT 1),
+    s3 AS (SELECT * FROM s2 WHERE d NOT IN (SELECT d FROM t2)),
+    m3 AS (
+      SELECT count(*) AS n, sum(y) / CAST(count(*) AS DOUBLE) AS mu,
+             sqrt(((CAST(sum(y * y // 1073741824) AS DOUBLE) * 1073741824.0
+                    + sum(y * y % 1073741824))
+                   - count(*) * (sum(y) / CAST(count(*) AS DOUBLE))
+                     * (sum(y) / CAST(count(*) AS DOUBLE)))
+                  / (count(*) - 1)) AS sd
+      FROM s3),
+    t3 AS (
+      SELECT d, y, abs(y - mu) / sd AS r FROM s3 CROSS JOIN m3
+      ORDER BY r DESC, d ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, CAST(d AS BIGINT) AS day,
+           round(y / 100.0, 2) AS revenue, round(r, 6) AS esd_r FROM t1
+    UNION ALL
+    SELECT 2, CAST(d AS BIGINT), round(y / 100.0, 2), round(r, 6) FROM t2
+    UNION ALL
+    SELECT 3, CAST(d AS BIGINT), round(y / 100.0, 2), round(r, 6) FROM t3
+    ORDER BY round
+"""
+
+
+def agg_ridge_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Ridge-regularized slope of order value on customer balance at a
+    penalty grid {0, 1e4, 1e6}: b = Sxy / (Sxx + lambda) on centered
+    exact-cents moments — the shrinkage path the registered
+    agg_regression (OLS) sits at the lambda=0 end of.  One moment
+    aggregate; three closing rows."""
+    from image_matadata_batchprocessing_aws_spark.operators.stats import (
+        _split_sum,
+        _split_val,
+    )
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("x")
+    )
+    o = t(spark, sf, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("y")
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    mom = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        *_split_sum(F.col("x") * F.col("x"), "qxx"),
+        *_split_sum(F.col("x") * F.col("y"), "qxy"),
+    )
+    n = F.col("n").cast("double")
+    sxx = _split_val("qxx", 10000.0) - F.col("sx") / 100.0 * (F.col("sx") / 100.0) / n
+    sxy = _split_val("qxy", 10000.0) - F.col("sx") / 100.0 * (F.col("sy") / 100.0) / n
+    rows = []
+    for lam in (0.0, 1e4, 1e6):
+        rows.append(
+            mom.select(
+                F.lit(lam).alias("lam"),
+                F.col("n").cast("long").alias("n"),
+                F.round(sxy / (sxx + F.lit(lam)), 8).alias("ridge_slope"),
+                F.round(
+                    (sxy / (sxx + F.lit(lam))) / (sxy / sxx), 6
+                ).alias("shrinkage"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("lam")
+
+
+QUERIES["agg_ridge_regression"] = agg_ridge_regression
+
+ORACLES["agg_ridge_regression"] = """
+    WITH j AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x // 1073741824) AS qxx_hi, sum(x * x % 1073741824) AS qxx_lo,
+             sum(x * y // 1073741824) AS qxy_hi, sum(x * y % 1073741824) AS qxy_lo
+      FROM j),
+    f AS (
+      SELECT n,
+        (CAST(qxx_hi AS DOUBLE) * 1073741824.0 + qxx_lo) / 10000.0
+          - sx / 100.0 * (sx / 100.0) / n AS sxx,
+        (CAST(qxy_hi AS DOUBLE) * 1073741824.0 + qxy_lo) / 10000.0
+          - sx / 100.0 * (sy / 100.0) / n AS sxy
+      FROM mom),
+    lams AS (SELECT CAST(unnest([0.0, 1e4, 1e6]) AS DOUBLE) AS lam)
+    SELECT lam, CAST(n AS BIGINT) AS n,
+           round(sxy / (sxx + lam), 8) AS ridge_slope,
+           round((sxy / (sxx + lam)) / (sxy / sxx), 6) AS shrinkage
+    FROM f CROSS JOIN lams
+    ORDER BY lam
+"""
+
+
+def search_wand_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """WAND term upper bounds for a fixed 3-term query: per term the
+    max tf*idf any document can contribute, the full-score top-1
+    threshold theta, and the share of term-matching documents whose
+    upper-bound sum cannot reach theta — i.e. the fraction a
+    WAND-style top-1 retrieval SKIPS without scoring (Broder et al.).
+    Postings statistics are one groupBy; everything downstream is
+    term-count-bounded."""
+    terms = ["data", "join", "key"]
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
+    ).where(F.col("w").isin(terms))
+    tf = d.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = t(spark, sf, "documents").agg(F.count(F.lit(1)).alias("nd"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "w", "df", F.log(1.0 + F.col("nd") / F.col("df")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "w").select(
+        "doc_id", "w", "tf", (F.col("tf") * F.col("idf")).alias("sc")
+    )
+    ub = scored.groupBy("w").agg(
+        F.max("tf").alias("max_tf"), F.max("sc").alias("ub")
+    )
+    full = scored.groupBy("doc_id").agg(F.sum("sc").alias("score"))
+    theta = full.agg(F.max("score").alias("theta"))
+    # per doc: sum of UBs of the terms it contains
+    doc_ub = (
+        scored.join(F.broadcast(ub.select("w", "ub")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("ub_sum"))
+    )
+    prune = doc_ub.crossJoin(F.broadcast(theta)).agg(
+        F.count(F.lit(1)).alias("cand"),
+        F.sum((F.col("ub_sum") < F.col("theta")).cast("long")).alias("skippable"),
+    )
+    out = (
+        ub.join(F.broadcast(idf.select("w", "df", "idf")), "w")
+        .crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(prune))
+    )
+    return out.select(
+        "w",
+        F.col("df").cast("long").alias("df"),
+        F.col("max_tf").cast("long").alias("max_tf"),
+        F.round(F.col("ub"), 6).alias("upper_bound"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(F.col("skippable") / F.col("cand"), 6).alias("skippable_share"),
+    ).orderBy("w")
+
+
+QUERIES["search_wand_bounds"] = search_wand_bounds
+
+ORACLES["search_wand_bounds"] = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    d AS (SELECT doc_id, w FROM tok WHERE w IN ('data', 'join', 'key')),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM d GROUP BY 1, 2),
+    idf AS (
+      SELECT w, count(*) AS df,
+             ln(1.0 + (SELECT count(*) FROM documents)
+                / CAST(count(*) AS DOUBLE)) AS idf
+      FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, tf.tf * idf.idf AS sc
+      FROM tf JOIN idf USING (w)),
+    ub AS (SELECT w, max(tf) AS max_tf, max(sc) AS ub FROM scored GROUP BY 1),
+    theta AS (
+      SELECT max(score) AS theta FROM (
+        SELECT doc_id, sum(sc) AS score FROM scored GROUP BY 1)),
+    doc_ub AS (
+      SELECT s.doc_id, sum(u.ub) AS ub_sum
+      FROM scored s JOIN ub u USING (w) GROUP BY 1),
+    prune AS (
+      SELECT count(*) AS cand,
+             sum(CASE WHEN ub_sum < (SELECT theta FROM theta)
+                      THEN 1 ELSE 0 END) AS skippable
+      FROM doc_ub)
+    SELECT ub.w, CAST(idf.df AS BIGINT) AS df,
+           CAST(ub.max_tf AS BIGINT) AS max_tf,
+           round(ub.ub, 6) AS upper_bound,
+           round((SELECT theta FROM theta), 6) AS theta,
+           round(prune.skippable / CAST(prune.cand AS DOUBLE), 6)
+             AS skippable_share
+    FROM ub JOIN idf USING (w) CROSS JOIN prune
+    ORDER BY ub.w
+"""
+
+
+def reco_cold_start(spark: SparkSession, sf: str) -> DataFrame:
+    """Cold-start recommendation table: the top-3 parts per market
+    segment by distinct buyers, with each part's within-segment
+    popularity share — the fallback chain every recommender serves
+    before a user has history (the registered reco_item_cooccurrence
+    needs an anchor item; this needs nothing).  One aggregation to the
+    (segment, part) grid, one window rank; ties break on partkey."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "l_partkey", "o_custkey")
+    )
+    pop = j.groupBy("c_mktsegment", "l_partkey").agg(
+        F.countDistinct("o_custkey").alias("buyers")
+    )
+    seg = pop.groupBy("c_mktsegment").agg(F.sum("buyers").alias("seg_buyers"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("buyers").desc(), F.col("l_partkey").asc()
+    )
+    ranked = pop.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    return (
+        ranked.join(seg, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("rk").cast("long").alias("rank"),
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.col("buyers").cast("long").alias("buyers"),
+            F.round(F.col("buyers") / F.col("seg_buyers"), 6).alias("pop_share"),
+        )
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+QUERIES["reco_cold_start"] = reco_cold_start
+
+ORACLES["reco_cold_start"] = """
+    WITH j AS (
+      SELECT c_mktsegment, l_partkey, o_custkey
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey),
+    pop AS (
+      SELECT c_mktsegment, l_partkey, count(DISTINCT o_custkey) AS buyers
+      FROM j GROUP BY 1, 2),
+    seg AS (
+      SELECT c_mktsegment, sum(buyers) AS seg_buyers FROM pop GROUP BY 1),
+    ranked AS (
+      SELECT c_mktsegment, l_partkey, buyers,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY buyers DESC, l_partkey ASC) AS rk
+      FROM pop)
+    SELECT r.c_mktsegment, CAST(rk AS BIGINT) AS rank,
+           CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(buyers AS BIGINT) AS buyers,
+           round(buyers / CAST(seg_buyers AS DOUBLE), 6) AS pop_share
+    FROM ranked r JOIN seg s ON r.c_mktsegment = s.c_mktsegment
+    WHERE rk <= 3
+    ORDER BY r.c_mktsegment, rk
 """

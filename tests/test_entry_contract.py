@@ -162,6 +162,14 @@ def test_parity_doc_tally_matches_registry():
     )
     assert m5, "PARITY.md r08-queue tally sentence missing"
     assert int(m5.group(1)) == len(r08_queue.QUERIES)
+    # and the r09 staging-queue tally (added r08)
+    from image_matadata_batchprocessing_aws_spark.queries import r09_queue
+
+    m6 = re.search(
+        r"r09 staging queue holds (\d+)\s+\(query, oracle\) pairs", doc
+    )
+    assert m6, "PARITY.md r09-queue tally sentence missing"
+    assert int(m6.group(1)) == len(r09_queue.QUERIES)
 
 
 def test_window_plan_comment_matches_code():
