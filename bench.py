@@ -271,6 +271,45 @@ HEADLINE = [
     "multimodal_webp_lossy_decode",
     "join_geo_radius",
     "ts_holt",
+    # r08 additions (append only): the r08 correctness-window families,
+    # priced the round they get driver rows (VERDICT r7 item 4)
+    "multimodal_vp8_decode",
+    "dedup_lsh_tuning",
+    "agg_bootstrap_ci",
+    "ts_stl_decompose",
+    "eval_bleu_pairs",
+    "etl_orc_roundtrip",
+    "graph_closeness_sampled",
+    "eval_label_errors",
+    "text_vocab_growth",
+    "sample_pack_audit",
+    "graph_assortativity",
+    "graph_mst_boruvka",
+    "text_winnow_fingerprints",
+    "eval_cluster_rand",
+    "sample_length_buckets",
+    "etl_l_diversity",
+    "eval_auc_delong",
+    "etl_pseudonym_referential",
+    "agg_hhi",
+    "etl_k_generalize",
+    "stream_bottomk_sample",
+    "eval_rank_rbo",
+    "agg_dau_mau",
+    "dedup_winnow_pairs",
+    "join_multitouch_attribution",
+    "agg_growth_accounting",
+    "graph_walk_corpus",
+    "agg_ab_proportions",
+    "ts_ohlc_bars",
+    "graph_resource_allocation",
+    "text_textrank_keywords",
+    "eval_lift_gains",
+    "multimodal_image_ssim",
+    "eval_ece",
+    "ts_mann_kendall",
+    "eval_cohens_d",
+    "pipeline_winnow_dedup",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -68,6 +68,14 @@ SHOWCASE = [
     ("text_ngram_novelty", "5-gram lead() windows partitioned per doc; ONE shuffle of distinct (gram, doc); first-occurrence = keyed min"),
     ("agg_ratio_jackknife", "one keyed integer aggregate; every LOO replicate closed-form from the group table — no resampling pass"),
     ("stream_cuped_readout", "pre-period fit = one hi/lo-split aggregate, broadcast; readout = one 2-group aggregate over the same join"),
+    # r08: staged r09-queue scale paths (resolved from the staging
+    # queue until registration)
+    ("join_band_balance", "band join via the 3-bucket explode: HASH join on the bucket key, exact band filter above it — no NestedLoop over the inequality"),
+    ("dedup_sorted_neighborhood", "window-LEAD blocking: candidates are the w-1 sort neighbors — one range-partitioned sort, zero self-joins"),
+    ("agg_permutation_test", "B=64 resamples as ONE map-side explode into a 64-group partial agg — no loop, no RNG state, rerun-stable"),
+    ("graph_wedge_sampling", "wedge sample = deterministic md5 predicate; the closure join (the expensive step) touches sampled wedges only"),
+    ("ts_m4_downsample", "per-bucket first/last/min/max ranks in one window pass over the per-day table; output constant (32 px) at ANY input scale"),
+    ("sample_capped_allocation", "closed-form waterfilling: one sorted window pass finds the water level — no iteration, 20-row closing stage"),
 ]
 
 
@@ -75,9 +83,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-dump", cpus=8)
     qs = dict(all_queries())
-    from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
+    from image_matadata_batchprocessing_aws_spark.queries import (
+        r07_queue,
+        r08_queue,
+        r09_queue,
+    )
 
-    for mod in (r07_queue, r08_queue):  # staged: plans auditable pre-registration
+    for mod in (r07_queue, r08_queue, r09_queue):  # staged: plans auditable pre-registration
         for name, fn in mod.QUERIES.items():
             qs.setdefault(name, fn)
     out = [
