@@ -258,8 +258,12 @@ BOOT_HI_RANK = 29  # ~90th
 
 def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Bootstrap confidence intervals for per-flag mean revenue: 32
-    deterministic hash-weighted replicates (md5(id:b) % 4 copies — the
-    `sample_bootstrap` Poisson proxy, now as a FAMILY of draws), each
+    deterministic hash-weighted replicates — the `sample_bootstrap`
+    Poisson proxy as a FAMILY of draws, each row's 32 weights sliced as
+    disjoint 2-bit fields of TWO md5 hashes (16 replicates per 60-bit
+    hash; one hash per row per family instead of one md5 per
+    (row, replicate) — 16x less hashing, the dominant cost in the r08
+    bench at 14.6 s) — each
     replicate's mean computed from exact integer sufficient statistics
     (cents BIGINT / weight BIGINT -> one double division), CI bounds
     picked as order statistics of the 32 rounded means (rank 4 / 29 ~
@@ -274,12 +278,21 @@ def agg_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("__cents"),
         F.concat_ws(":", "l_orderkey", "l_linenumber").alias("__id"),
+    ).select(
+        "l_returnflag",
+        "__cents",
+        md5_int64(F.col("__id")).alias("__h0"),
+        md5_int64(F.concat_ws(":", "__id", F.lit("~"))).alias("__h1"),
     )
+    half = BOOT_REPS // 2
     reps = li.withColumn(
         "__b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1)))
     ).withColumn(
         "__w",
-        md5_int64(F.concat_ws(":", "__id", "__b")) % 4,
+        F.expr(
+            f"CASE WHEN __b < {half} THEN shiftright(__h0, cast(__b * 2 AS int)) % 4 "
+            f"ELSE shiftright(__h1, cast((__b - {half}) * 2 AS int)) % 4 END"
+        ),
     )
     per_rep = (
         reps.groupBy("l_returnflag", "__b")
@@ -331,10 +344,16 @@ ORACLES["agg_bootstrap_ci"] = f"""
              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
              l_orderkey || ':' || l_linenumber AS id
       FROM lineitem),
+    hashed AS (
+      SELECT l_returnflag, cents,
+             ({_mi64("id")}) AS h0,
+             ({_mi64("id || ':~'")}) AS h1
+      FROM li),
     reps AS (
       SELECT l_returnflag, cents, b,
-             ({_mi64("id || ':' || b")}) % 4 AS w
-      FROM li CROSS JOIN (SELECT unnest(range({BOOT_REPS})) AS b)),
+             (CASE WHEN b < {BOOT_REPS // 2} THEN h0 >> (2 * b)
+                   ELSE h1 >> (2 * (b - {BOOT_REPS // 2})) END) % 4 AS w
+      FROM hashed CROSS JOIN (SELECT unnest(range({BOOT_REPS})) AS b)),
     per_rep AS (
       SELECT l_returnflag, b,
              round(CAST(sum(w * cents) AS DOUBLE) / 100.0 / sum(w), 6)
