@@ -9,9 +9,10 @@ local check, so tolerance here is a footgun, not a feature.
 
 Usage: python tools/check_oracle.py [--staged] [sf_dir] [query ...]
 
-``--staged`` checks the r07 staging queue (queries/r07_queue.py)
-instead of the registered inventory — the single gate covers both
-surfaces (tools/check_queue.py was retired when the r05 queue
+``--staged`` checks every unregistered staging queue
+(queries/r07_queue.py, r08_queue.py, r09_queue.py — currently 150
+pairs) instead of the registered inventory — one gate covers the whole
+staging surface (tools/check_queue.py was retired when the r05 queue
 registered).
 """
 
