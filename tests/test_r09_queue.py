@@ -65,3 +65,39 @@ def test_staged_queries_construct_lazily(spark):
             assert ids == [], f"{name} ran Spark job(s) during construction: {ids}"
     finally:
         sc.setJobGroup("default", "")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # one representative per scale-shape family, pinned at sf0.1
+        # permanently (the r07 animation-pin precedent): day-window
+        # regression, position-join text, residue-grid dedup, grid
+        # duels, and the waterfilling window
+        "agg_durbin_watson",
+        "text_skipgram_cooccur",
+        "dedup_threshold_sweep",
+        "eval_bradley_terry",
+        "sample_capped_allocation",
+    ],
+)
+def test_queue_representatives_oracle_exact_at_sf01(spark, name):
+    """Five representative r09 stagings run oracle-exact at sf0.1 —
+    ten times the driver's check scale — so plan-shape regressions in
+    the families where window partitioning, position joins and residue
+    grids actually carry volume get caught where it matters."""
+    from tools.check_oracle import normalize
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for tbl in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    sdf = r09_queue.QUERIES[name](spark, sf_dir)
+    scols, srows = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = con.execute(r09_queue.ORACLES[name])
+    ocols, orows = normalize(res.fetchall(), [d[0] for d in res.description])
+    assert scols == ocols, (scols, ocols)
+    assert len(srows) == len(orows) and len(srows) > 0
+    assert srows == orows
