@@ -377,3 +377,25 @@ def test_compose_window_pad_ordering():
     assert full == never + ["q05", "q00", "q03", "q09"]
     with pytest.raises(ValueError, match="only 9"):
         compose(names, oracled, last, window_size=10)
+
+
+def test_scan_cache_memoizes_per_session_and_table(spark):
+    """queries/util.t memoizes per (session, resolved sf_dir, table) —
+    added with the ADVICE-r7 laziness fix because spark.read.parquet
+    runs a footer schema-inference job on EVERY call.  Lock the
+    contract: same key returns the identical DataFrame object; a
+    different table or sf_dir misses; relative/absolute paths resolve
+    to one entry."""
+    from image_matadata_batchprocessing_aws_spark.queries.util import t
+
+    a = t(spark, "/root/testdata/sf0.001", "orders")
+    b = t(spark, "/root/testdata/sf0.001", "orders")
+    assert a is b
+    c = t(spark, "/root/testdata/sf0.001/", "orders")  # trailing slash
+    assert a is c
+    d = t(spark, "/root/testdata/sf0.001", "customer")
+    assert d is not a
+    e = t(spark, "/root/testdata/sf0.01", "orders")
+    assert e is not a
+    # the cached frame is a live lazy plan, not a materialization
+    assert a.limit(1).count() == 1
