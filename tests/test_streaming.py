@@ -1578,6 +1578,100 @@ def test_cmh_guardrail_sink_matches_batch_and_resumes(spark, tmp_path):
     assert got2[0].mh_odds_ratio is not None and got2[0].cmh_chi2 is not None
 
 
+def test_bt_leaderboard_sink_matches_batch_and_resumes(spark, tmp_path):
+    """streaming/leaderboard.py: the live Bradley-Terry leaderboard's
+    readout over foreachBatch-merged per-pair win counts is
+    BIT-IDENTICAL to the staged ``eval_bradley_terry`` batch query fed
+    the same duels, across micro-batch splits AND a
+    kill-and-restart-from-checkpoint with votes arriving while the
+    sink is down (the cmh/srm recipe)."""
+    import os
+    import shutil
+
+    from image_matadata_batchprocessing_aws_spark.queries.r09_queue import (
+        eval_bradley_terry,
+    )
+    from image_matadata_batchprocessing_aws_spark.sources.tables import load_table
+    from image_matadata_batchprocessing_aws_spark.streaming.leaderboard import (
+        bt_scores,
+        start_leaderboard_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # the batch twin's duel rows, exactly (nation-month revenue duels)
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "mon", "o_orderpriority")
+        .agg((F.sum("cents") / F.count(F.lit(1))).alias("m"))
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.mon") == F.col("b.mon"))
+            & (F.col("a.o_orderpriority") < F.col("b.o_orderpriority")),
+        )
+        .where(F.col("a.m") != F.col("b.m"))
+        .select(
+            F.col("a.o_orderpriority").alias("pi"),
+            F.col("b.o_orderpriority").alias("pj"),
+            (F.col("a.m") > F.col("b.m")).cast("long").alias("i_wins"),
+            F.unix_millis(F.col("a.mon")).alias("ts"),
+        )
+    )
+    src = _write_chunks(
+        tmp_path,
+        duels,
+        [F.col("ts") % 3 == 0, F.col("ts") % 3 == 1, F.col("ts") % 3 == 2],
+        "bt_src",
+    )
+    files = sorted(glob.glob(f"{src}/chunk_*.parquet"))
+    live = str(tmp_path / "bt_live")
+    os.makedirs(live)
+    for f in files[:2]:
+        shutil.copy(f, live)
+    state_dir, ckpt = str(tmp_path / "bt_state"), str(tmp_path / "bt_ckpt")
+    schema = "pi string, pj string, i_wins long, ts long"
+
+    def stream_src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+
+    def readout_of_latest():
+        state = spark.read.parquet(state_dir)
+        last = state.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        return bt_scores(
+            state.where(F.col("batch_id") == last).drop("batch_id")
+        ).collect()
+
+    q = start_leaderboard_sink(stream_src(), state_dir, ckpt, query_name="bt_a")
+    q.processAllAvailable()
+    q.stop()
+    got1 = readout_of_latest()
+    assert len(got1) == 5 and abs(sum(r.bt_score for r in got1) - 1.0) < 1e-5
+
+    # crash window: the final chunk of votes arrives while the sink is down
+    shutil.copy(files[2], live)
+    q2 = start_leaderboard_sink(stream_src(), state_dir, ckpt, query_name="bt_b")
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = readout_of_latest()
+    # the full-prefix readout is bit-identical to the STAGED batch query
+    exp = eval_bradley_terry(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in exp]
+
+
 def test_ivm_join_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
     """Restart recovery for the IVM join sink: kill after 2 files, add
     the remaining 2 while the query is down, restart from the SAME
