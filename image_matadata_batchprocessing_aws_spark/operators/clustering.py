@@ -117,17 +117,25 @@ def kmeans_train(
     max_iterations: int = 20,
     tol: float = 1e-6,
     salt: str = "kmeans-init",
+    init_centroids: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], int]:
     """Fit k centroids with Lloyd's algorithm; returns ``(centroids,
     iterations_run)``.  Centroids are plain Python lists — broadcast-sized
     state that downstream callers inline into :func:`assign_clusters` or
     feed to ``similarity.ivf_assign`` as a centroid frame.  Init is the
-    deterministic :func:`kmeans_init` traversal."""
+    deterministic :func:`kmeans_init` traversal; a caller that already
+    ran that traversal (e.g. to report SSE against the init) passes the
+    result as ``init_centroids`` so the k+1 init jobs run once, not
+    twice — the fit is identical because the traversal is deterministic."""
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
         raise ValueError("kmeans_train: empty input")
     dim = dim_row["d"]
-    centroids = kmeans_init(df, k, vec_col, id_col, salt)
+    centroids = (
+        [list(c) for c in init_centroids]
+        if init_centroids is not None
+        else kmeans_init(df, k, vec_col, id_col, salt)
+    )
 
     iterations = 0
     for _ in range(max_iterations):

@@ -229,7 +229,12 @@ def jaccard_prefix_pairs(
     from pyspark.sql.window import Window
 
     ex = _exploded_shingles(df, text_col, id_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # per-doc set size map-side from the shingle array (the
+    # ngram_jaccard_pairs move): F.size over distinct-shingle arrays
+    # equals the exploded groupBy count for every doc that can reach the
+    # output (zero-shingle docs never enter the inner joins), minus one
+    # full shuffle (r08)
+    sizes = _shingle_sizes(df, text_col, id_col, n)
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     ranked = (
         ex.join(dfreq, "shingle")

@@ -184,22 +184,25 @@ def pagerank_scaled(
     would localCheckpoint per round like ``connected_components`` to
     truncate lineage.
     """
-    # the edge list is referenced ~2 + 2*iterations times (degree, node
-    # set, and every round's contribution join); localCheckpoint
-    # materializes the caller's edge-build subtree once instead of
-    # re-running it per reference — same lineage-truncation move as
-    # connected_components
+    # the edge list is referenced 3 times (degree, node set, and the
+    # one-time degree attach); localCheckpoint materializes the caller's
+    # edge-build subtree once instead of re-running it per reference —
+    # same lineage-truncation move as connected_components
     edges = edges.localCheckpoint(eager=False)
-    deg, base, ranks = _pr_setup(edges, src, dst, scale)
+    edges_deg, base, ranks = _pr_setup(edges, src, dst, scale)
     for _ in range(iterations):
-        ranks = _pr_round(ranks, deg, edges, base, scale, src, dst)
+        ranks = _pr_round(ranks, edges_deg, base, scale, src, dst)
     return ranks.select("node", F.col("rank_scaled").cast("long").alias("rank_scaled"))
 
 
 def _pr_setup(edges: DataFrame, src: str, dst: str, scale: int):
-    """Shared PageRank prologue: out-degree table, (node, __n) base
-    frame with the broadcast node count, and the uniform start vector."""
+    """Shared PageRank prologue: degree-annotated edge list (the
+    out-degree joined onto every edge ONCE, loop-invariant — r08: each
+    round previously re-joined the rank vector with a separate degree
+    table, one whole extra join per round), (node, __n) base frame with
+    the broadcast node count, and the uniform start vector."""
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    edges_deg = edges.join(deg, src)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -210,32 +213,57 @@ def _pr_setup(edges: DataFrame, src: str, dst: str, scale: int):
     ranks = base.select(
         "node", "__n", F.expr(f"CAST({scale} div __n AS BIGINT)").alias("rank_scaled")
     )
-    return deg, base, ranks
+    return edges_deg, base, ranks
 
 
-def _pr_round(ranks, deg, edges, base, scale, src, dst) -> DataFrame:
-    """One damped power-iteration round in scaled-long arithmetic."""
-    shares = ranks.join(deg, ranks["node"] == deg[src]).select(
-        F.col("node").alias("__src"),
-        F.expr(
-            f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
-        ).alias("__share"),
-    )
+def _pr_round(
+    ranks, edges_deg, base, scale, src, dst, carry_prev: bool = False
+) -> DataFrame:
+    """One damped power-iteration round in scaled-long arithmetic.
+
+    r08 shape: ``edges_deg`` carries the src out-degree, so the share
+    each edge routes is computed in the ONE rank⋈edges join — the old
+    separate rank⋈degree join per round is gone.  The integer
+    expression is unchanged: (rank*85) div (100*deg) depends only on
+    the src row, so summing it per edge is bit-identical to the old
+    compute-once-then-replicate form.
+
+    ``carry_prev`` — converged-loop mode ONLY: re-anchor on the rank
+    vector itself (same row set as ``base``) and ride the previous rank
+    out as ``__prev``, so a convergence probe is a plain aggregate, no
+    node-keyed self-join.  That makes the round reference ``ranks``
+    TWICE, which is only safe when the caller checkpoint-truncates
+    every round (the converged loops do); the fixed-iteration oracle
+    forms chain rounds into ONE lazy plan, where a double reference
+    would double the plan tree per round (2^iterations — the analyzer
+    dies long before 60 unrolled test rounds), so they anchor on the
+    loop-invariant ``base`` and reference ``ranks`` once."""
     incoming = (
-        shares.join(edges, shares["__src"] == edges[src])
-        .groupBy(F.col(dst).alias("node"))
+        ranks.join(edges_deg, ranks["node"] == edges_deg[src])
+        .select(
+            F.col(dst).alias("node"),
+            F.expr(
+                f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
+            ).alias("__share"),
+        )
+        .groupBy("node")
         .agg(F.sum("__share").alias("__inc"))
     )
-    return base.join(incoming, "node", "left").select(
-        "node",
-        "__n",
-        (
-            F.expr(
-                f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __n) AS BIGINT)"
-            )
-            + F.coalesce(F.col("__inc"), F.lit(0))
-        ).alias("rank_scaled"),
+    anchor = (
+        ranks.select("node", "__n", F.col("rank_scaled").alias("__prev"))
+        if carry_prev
+        else base.select("node", "__n")
     )
+    rank_col = (
+        F.expr(
+            f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __n) AS BIGINT)"
+        )
+        + F.coalesce(F.col("__inc"), F.lit(0))
+    ).alias("rank_scaled")
+    joined = anchor.join(incoming, "node", "left")
+    if carry_prev:
+        return joined.select("node", "__n", rank_col, "__prev")
+    return joined.select("node", "__n", rank_col)
 
 
 def pagerank_converged(
@@ -264,26 +292,28 @@ def pagerank_converged(
     the termination criterion is unchanged and the loop merely
     overshoots by at most ``probe_every - 1`` cheap extra rounds.
     Returns (ranks, iterations_run)."""
-    # src-partitioned edges + once-checkpointed loop invariants: each
-    # round's joins then reuse the existing hash partitioning and the
-    # only per-round exchange is the groupBy(dst) share move (see
-    # personalized_pagerank_converged; VERDICT r5 item 5)
+    # src-partitioned edges + once-checkpointed loop invariants: the
+    # degree-annotated edge list is built ONCE (its deg join reuses the
+    # src partitioning, so no extra exchange) and each round is down to
+    # one rank⋈edges join + the groupBy(dst) share move + the node-keyed
+    # re-anchor — the old separate rank⋈degree join per round and the
+    # probe's node-keyed self-join are gone (r08; VERDICT r5 item 5)
     edges = edges.repartition(F.col(src)).localCheckpoint(eager=False)
-    deg, base, ranks = _pr_setup(edges, src, dst, scale)
-    deg = deg.localCheckpoint(eager=False)
-    base = base.localCheckpoint(eager=False)
+    edges_deg, base, ranks = _pr_setup(edges, src, dst, scale)
+    edges_deg = edges_deg.localCheckpoint(eager=False)
     ranks = ranks.localCheckpoint(eager=False)
     for it in range(1, max_iterations + 1):
-        nxt = _pr_round(ranks, deg, edges, base, scale, src, dst).localCheckpoint(
-            eager=False
-        )
-        prev, ranks = ranks, nxt
+        nxt = _pr_round(
+            ranks, edges_deg, base, scale, src, dst, carry_prev=True
+        ).localCheckpoint(eager=False)
+        ranks = nxt
         if it % probe_every and it != max_iterations:
             continue
+        # __prev rides in-frame, so the probe is one aggregate over the
+        # round's own output — same max |Δrank| value as the old
+        # nxt⋈prev self-join (identical row set), one join cheaper
         delta = (
-            nxt.select("node", F.col("rank_scaled").alias("__new"))
-            .join(prev.select("node", F.col("rank_scaled").alias("__old")), "node")
-            .agg(F.max(F.abs(F.col("__new") - F.col("__old"))).alias("d"))
+            nxt.agg(F.max(F.abs(F.col("rank_scaled") - F.col("__prev"))).alias("d"))
             .collect()[0]["d"]
         )
         if delta is not None and delta <= tol_scaled:
@@ -496,6 +526,39 @@ def bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int) -> DataFram
     return visited
 
 
+def bfs_levels_multi(
+    edges: DataFrame, sources: DataFrame, max_depth: int
+) -> DataFrame:
+    """Frontier BFS from MANY seeds in ONE loop: ``sources`` is a
+    (seed_id, node) frame and the result is (seed_id, node, dist) —
+    exactly what running :func:`bfs_levels` once per seed returns, but
+    every round expands ALL seeds' frontiers in one join, so k probes
+    cost one set of ``max_depth`` rounds instead of k (the
+    Eppstein-Wang sampled-centrality shape: at any scale the per-round
+    fixed cost — scheduling, lineage checkpoint, the empty-frontier
+    probe — is paid once, and the joins batch k frontiers into one
+    shuffle).  Per-seed visited sets stay disjoint via the composite
+    (seed_id, node) key."""
+    visited = sources.select("seed_id", "node", F.lit(0).alias("dist")).distinct()
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("seed_id", "node")
+    for depth in range(1, max_depth + 1):
+        expanded = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_nodes = expanded.join(
+            visited.select("seed_id", "node"), ["seed_id", "node"], "left_anti"
+        )
+        new_rows = new_nodes.select("seed_id", "node", F.lit(depth).alias("dist"))
+        visited = visited.unionByName(new_rows).localCheckpoint(eager=True)
+        frontier = visited.where(F.col("dist") == depth).select("seed_id", "node")
+        if frontier.isEmpty():
+            break
+    return visited
+
+
 def personalized_pagerank_scaled(
     edges: DataFrame,
     seeds: DataFrame,
@@ -518,7 +581,23 @@ def personalized_pagerank_scaled(
     they are reported, not dropped, so mass accounting stays visible.
     """
     edges = edges.localCheckpoint(eager=False)
+    edges_deg, base, restart, ranks = _ppr_setup(edges, seeds, src, dst, scale)
+    for _ in range(iterations):
+        ranks = _ppr_round(ranks, edges_deg, base, restart, scale, src, dst)
+    return ranks.select(
+        "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
+    )
+
+
+def _ppr_setup(edges: DataFrame, seeds: DataFrame, src: str, dst: str, scale: int):
+    """Shared personalized-PageRank prologue (r08): degree-annotated
+    edge list (loop-invariant, see :func:`_pr_setup`), the seed-marked
+    base frame, the seed-gated restart expression, and a start vector
+    that CARRIES the per-node seed flag and broadcast seed count — so
+    each round can apply the restart term to its own output without
+    re-joining the base frame."""
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    edges_deg = edges.join(deg, src)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -541,6 +620,8 @@ def personalized_pagerank_scaled(
     ).otherwise(F.lit(0))
     ranks = base.select(
         "node",
+        "__is_seed",
+        "__ns",
         F.when(
             F.col("__is_seed").isNotNull(),
             F.expr(f"CAST({scale} div __ns AS BIGINT)"),
@@ -548,31 +629,42 @@ def personalized_pagerank_scaled(
         .otherwise(F.lit(0))
         .alias("rank_scaled"),
     )
-    for _ in range(iterations):
-        ranks = _ppr_round(ranks, deg, edges, base, restart, scale, src, dst)
-    return ranks.select(
-        "node", F.col("rank_scaled").cast("long").alias("rank_scaled")
-    )
+    return edges_deg, base, restart, ranks
 
 
-def _ppr_round(ranks, deg, edges, base, restart, scale, src, dst) -> DataFrame:
+def _ppr_round(
+    ranks, edges_deg, base, restart, scale, src, dst, carry_prev: bool = False
+) -> DataFrame:
     """One personalized-PageRank round: the ``_pr_round`` fixed-point
-    step with the teleport mass gated to the seed set via ``restart``."""
-    shares = ranks.join(deg, ranks["node"] == deg[src]).select(
-        F.col("node").alias("__src"),
-        F.expr(
-            f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
-        ).alias("__share"),
-    )
+    step with the teleport mass gated to the seed set via ``restart``
+    (same r08 shape and the same ``carry_prev`` contract — see
+    :func:`_pr_round`: the double ``ranks`` reference is only safe
+    under the converged loop's per-round checkpoint truncation; the
+    fixed-iteration oracle form anchors on the loop-invariant
+    ``base``)."""
     incoming = (
-        shares.join(edges, shares["__src"] == edges[src])
-        .groupBy(F.col(dst).alias("node"))
+        ranks.join(edges_deg, ranks["node"] == edges_deg[src])
+        .select(
+            F.col(dst).alias("node"),
+            F.expr(
+                f"CAST((rank_scaled * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __deg) AS BIGINT)"
+            ).alias("__share"),
+        )
+        .groupBy("node")
         .agg(F.sum("__share").alias("__inc"))
     )
-    return base.join(incoming, "node", "left").select(
-        "node",
-        (restart + F.coalesce(F.col("__inc"), F.lit(0))).alias("rank_scaled"),
+    anchor = (
+        ranks.select(
+            "node", "__is_seed", "__ns", F.col("rank_scaled").alias("__prev")
+        )
+        if carry_prev
+        else base.select("node", "__is_seed", "__ns")
     )
+    rank_col = (restart + F.coalesce(F.col("__inc"), F.lit(0))).alias("rank_scaled")
+    joined = anchor.join(incoming, "node", "left")
+    if carry_prev:
+        return joined.select("node", "__is_seed", "__ns", rank_col, "__prev")
+    return joined.select("node", "__is_seed", "__ns", rank_col)
 
 
 def personalized_pagerank_converged(
@@ -601,60 +693,30 @@ def personalized_pagerank_converged(
     non-convergence so a bounded-iterations claim is proved, not hoped.
     """
     # Partition-align the whole loop (VERDICT r5 item 5): edges live
-    # hash-partitioned by src, every derived frame (deg, base, ranks)
-    # by the same key, so each round's three joins reuse the existing
-    # partitioning and the ONLY exchange per round is the groupBy(dst)
-    # that moves the share mass — the irreducible data movement.  The
-    # loop-invariant frames are checkpointed once; without that every
-    # probe job recomputes their groupBy/distinct/semi-join lineage per
-    # pending round, which at small scale costs more than the rounds
-    # themselves.
+    # hash-partitioned by src, the degree join reuses that partitioning
+    # so the degree-annotated edge list is checkpointed already src-keyed,
+    # and each round is down to one rank⋈edges join + the groupBy(dst)
+    # share move (the irreducible data movement) + the node-keyed
+    # re-anchor — the old per-round rank⋈degree join and the probe's
+    # node-keyed self-join are gone (r08).  The loop-invariant frame is
+    # checkpointed once; without that every probe job recomputes its
+    # groupBy/semi-join lineage per pending round, which at small scale
+    # costs more than the rounds themselves.
     edges = edges.repartition(F.col(src)).localCheckpoint(eager=False)
-    deg = edges.groupBy(src).agg(F.count("*").alias("__deg")).localCheckpoint(
-        eager=False
-    )
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    seed_marked = nodes.join(
-        F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()),
-        "node",
-        "left_semi",
-    ).select("node", F.lit(1).alias("__is_seed"))
-    ns1 = seed_marked.agg(F.count("*").alias("__ns"))
-    base = (
-        nodes.join(F.broadcast(seed_marked), "node", "left")
-        .crossJoin(F.broadcast(ns1))
-        .localCheckpoint(eager=False)
-    )
-    restart = F.when(
-        F.col("__is_seed").isNotNull(),
-        F.expr(
-            f"CAST(({scale} * {PR_DAMP_DEN - PR_DAMP_NUM}) div ({PR_DAMP_DEN} * __ns) AS BIGINT)"
-        ),
-    ).otherwise(F.lit(0))
-    ranks = base.select(
-        "node",
-        F.when(
-            F.col("__is_seed").isNotNull(),
-            F.expr(f"CAST({scale} div __ns AS BIGINT)"),
-        )
-        .otherwise(F.lit(0))
-        .alias("rank_scaled"),
-    ).localCheckpoint(eager=False)
+    edges_deg, base, restart, ranks = _ppr_setup(edges, seeds, src, dst, scale)
+    edges_deg = edges_deg.localCheckpoint(eager=False)
+    ranks = ranks.localCheckpoint(eager=False)
     for it in range(1, max_iterations + 1):
         nxt = _ppr_round(
-            ranks, deg, edges, base, restart, scale, src, dst
+            ranks, edges_deg, base, restart, scale, src, dst, carry_prev=True
         ).localCheckpoint(eager=False)
-        prev, ranks = ranks, nxt
+        ranks = nxt
         if it % probe_every and it != max_iterations:
             continue
+        # __prev rides in-frame: the probe aggregates the round's own
+        # output — same max |Δrank| as the old nxt⋈prev self-join
         delta = (
-            nxt.select("node", F.col("rank_scaled").alias("__new"))
-            .join(prev.select("node", F.col("rank_scaled").alias("__old")), "node")
-            .agg(F.max(F.abs(F.col("__new") - F.col("__old"))).alias("d"))
+            nxt.agg(F.max(F.abs(F.col("rank_scaled") - F.col("__prev"))).alias("d"))
             .collect()[0]["d"]
         )
         if delta is not None and delta <= tol_scaled:
@@ -711,17 +773,17 @@ def markov_steady_scaled(
     )
     edges = transitions.select(src, dst, cnt).unionByName(loops)
     edges = edges.localCheckpoint(eager=False)
-    tot = edges.groupBy(src).agg(F.sum(cnt).alias("__tot"))
+    # row-total joined onto the edge list ONCE (loop-invariant — r08,
+    # the _pr_setup move): each round is then a single pi⋈edges join +
+    # groupBy instead of pi⋈tot followed by shares⋈edges
+    edges_tot = edges.join(edges.groupBy(src).agg(F.sum(cnt).alias("__tot")), src)
     n1 = states.agg(F.count("*").alias("__n"))
     pi = states.crossJoin(F.broadcast(n1)).select(
         "state", F.expr(f"CAST({scale} div __n AS BIGINT)").alias("pi_scaled")
     )
     for _ in range(iterations):
-        shares = pi.join(tot, pi["state"] == tot[src]).select(
-            F.col("state").alias("__s"), "pi_scaled", "__tot"
-        )
         pi = (
-            shares.join(edges, F.col("__s") == edges[src])
+            pi.join(edges_tot, pi["state"] == edges_tot[src])
             .select(
                 F.col(dst).alias("state"),
                 F.expr(f"CAST((pi_scaled * {cnt}) div __tot AS BIGINT)").alias("__m"),

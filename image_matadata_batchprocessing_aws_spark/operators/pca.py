@@ -58,6 +58,7 @@ def pca_top_component_scaled(
     q: int = PCA_Q,
     s_scale: int = PCA_S_SCALE,
     v_scale: int = PCA_V_SCALE,
+    mean_q: list[int] | None = None,
 ) -> DataFrame:
     """Top principal component of ``vec_col`` (fixed-length numeric
     arrays) after mean-centering, as ``(dim_idx, loading_scaled)`` —
@@ -68,6 +69,12 @@ def pca_top_component_scaled(
     renormalization, |v| <= v_scale = 1e7, so a matvec term is <= 1e13
     and a d-term sum <= d * 1e13 — 5 orders of headroom at d = 64 and
     safe to d ~ 1e5 dims.
+
+    ``mean_q`` — a caller that already ran the d-row means pass (e.g.
+    the whitening query, which collects it for its own projection
+    literals) passes the q-scaled means so the corpus is scanned once
+    for means, not twice (r08; the ``kmeans_train(init_centroids=...)``
+    move).  The fit is identical: the means pass is deterministic.
     """
     qarr = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * q).cast("long")
@@ -75,16 +82,16 @@ def pca_top_component_scaled(
     base = df.select(qarr.alias("__q"))
 
     # d-row mean table -> bounded literal (the k-means centroid precedent)
-    means = (
-        base.select(F.posexplode("__q").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
-        .select("i", F.expr("sx div n").alias("m"))
-        .collect()
-    )
-    mean_lit = F.array(
-        *[F.lit(int(r["m"])) for r in sorted(means, key=lambda r: r["i"])]
-    )
+    if mean_q is None:
+        means = (
+            base.select(F.posexplode("__q").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .select("i", F.expr("sx div n").alias("m"))
+            .collect()
+        )
+        mean_q = [int(r["m"]) for r in sorted(means, key=lambda r: r["i"])]
+    mean_lit = F.array(*[F.lit(int(m)) for m in mean_q])
 
     cent = base.select(F.zip_with("__q", mean_lit, lambda a, b: a - b).alias("__c"))
 

@@ -170,11 +170,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    # per-row norms below the join (r08): l2_norm once per vector, not
+    # once per pair — dot/(na*nb) is cosine_sim's exact expression tree,
+    # so the round-4 values are bit-identical
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        l2_norm(F.col("e")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        l2_norm(F.col("e")).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = pairs.select(
-        "id_a", "id_b", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4).alias("cosine")
+        "id_a",
+        "id_b",
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb")), 4
+        ).alias("cosine"),
     )
     return sim.where(F.col("cosine") >= COSINE_THRESHOLD)
 

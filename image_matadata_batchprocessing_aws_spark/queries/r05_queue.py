@@ -433,8 +433,10 @@ def pipeline_contrastive_triplets(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _emb(spark, sf)
     cents = _fixed_centroids(e)
+    # both unionAll branches below re-read the pair table — checkpoint
+    # so the cluster-bounded pair search runs once, not twice (r08)
     pairs = semantic_pairs(e, cents, vec_col="e", id_col="vec_id",
-                           threshold=SEM_THRESHOLD)
+                           threshold=SEM_THRESHOLD).localCheckpoint(eager=False)
     # symmetrize, then one positive per anchor (least neighbor id)
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id")
@@ -1196,9 +1198,11 @@ def embedding_whiten_top(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     )
     mean_q = [int(r["m"]) for r in sorted(means, key=lambda r: r["i"])]
+    # the means above double as the PCA pass's centering statistics —
+    # pass them through so the corpus is scanned once for means (r08)
     loadings = [
         int(r["loading_scaled"])
-        for r in pca_top_component_scaled(emb, iterations=PCA_ITERS)
+        for r in pca_top_component_scaled(emb, iterations=PCA_ITERS, mean_q=mean_q)
         .orderBy("dim_idx")
         .collect()
     ]
@@ -1546,22 +1550,30 @@ def decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     n-gram `dedup_decontaminate`.  The eval side broadcasts; the
     per-train max collapses the pair explosion back to one row per
     flagged vector."""
-    from image_matadata_batchprocessing_aws_spark.functions import cosine_sim
+    from image_matadata_batchprocessing_aws_spark.functions import dot, l2_norm
 
     e = t(spark, sf, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    # norms precomputed per ROW below the join (r08): each side's
+    # l2_norm is evaluated once per vector instead of once per PAIR —
+    # dot/(na*nb) is the exact cosine_sim expression tree, so the
+    # doubles (and the round-4 values the oracle matches) are identical
     ev = e.where(F.col("label") == SEMANTIC_DECON_EVAL_LABEL).select(
-        F.col("e").alias("ev")
+        F.col("e").alias("ev"), l2_norm(F.col("e")).alias("__nb")
     )
-    tr = e.where(F.col("label") != SEMANTIC_DECON_EVAL_LABEL)
+    tr = e.where(F.col("label") != SEMANTIC_DECON_EVAL_LABEL).select(
+        "vec_id", "e", l2_norm(F.col("e")).alias("__na")
+    )
     mx = (
         tr.crossJoin(F.broadcast(ev))
         .select(
             "vec_id",
-            F.round(cosine_sim(F.col("e"), F.col("ev")), 4).alias("__c"),
+            F.round(
+                dot(F.col("e"), F.col("ev")) / (F.col("__na") * F.col("__nb")), 4
+            ).alias("__c"),
         )
         .groupBy("vec_id")
         .agg(F.max("__c").alias("max_eval_cosine"))
@@ -2903,9 +2915,12 @@ def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+    # every BFS round joins the frontier against this edge plan —
+    # materialize the orders⋈lineitem build once (r08; the
+    # graph_closeness_sampled move)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     sources = (
         t(spark, sf, "customer")
         .where(F.col("c_custkey") <= BFS_N_SOURCES)

@@ -616,9 +616,9 @@ def graph_closeness_sampled(spark: SparkSession, sf: str) -> DataFrame:
     k probes, each O(E) frontier expansion).  The DuckDB twin unrolls
     the same level sets (distinct frontier minus visited per depth), so
     no recursive walk enumeration ever happens."""
-    from functools import reduce
-
-    from image_matadata_batchprocessing_aws_spark.operators.graph import bfs_levels
+    from image_matadata_batchprocessing_aws_spark.operators.graph import (
+        bfs_levels_multi,
+    )
 
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
@@ -633,19 +633,31 @@ def graph_closeness_sampled(spark: SparkSession, sf: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     ).localCheckpoint(eager=False)
-    outs = []
-    for k in CLOSENESS_SEEDS:
-        seed = spark.createDataFrame([(2 * k + 1,)], "node long")
-        levels = bfs_levels(edges, seed, CLOSENESS_DEPTH)
-        outs.append(
-            levels.where(F.col("dist") > 0).agg(
-                F.lit(k).cast("long").alias("seed_suppkey"),
-                F.count(F.lit(1)).cast("long").alias("n_reached"),
-                F.sum("dist").cast("long").alias("sum_dist"),
-                F.sum(F.expr("1000 div dist")).cast("long").alias("harmonic_milli"),
-            )
+    # all probe seeds ride ONE BFS loop (r08 optimization: one set of
+    # CLOSENESS_DEPTH rounds instead of one per seed — identical level
+    # sets per seed, so the aggregate below is row-for-row the same)
+    seeds = spark.createDataFrame(
+        [(k, 2 * k + 1) for k in CLOSENESS_SEEDS], "seed_id long, node long"
+    )
+    levels = bfs_levels_multi(edges, seeds, CLOSENESS_DEPTH)
+    per_seed = (
+        levels.where(F.col("dist") > 0)
+        .groupBy("seed_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.sum(F.expr("1000 div dist")).cast("long").alias("harmonic_milli"),
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    )
+    # left join back onto the seed list so a seed reaching nothing still
+    # reports (0, NULL, NULL) — the per-seed agg-without-groupBy shape
+    # this replaced
+    return seeds.select("seed_id").join(per_seed, "seed_id", "left").select(
+        F.col("seed_id").cast("long").alias("seed_suppkey"),
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_reached"),
+        "sum_dist",
+        "harmonic_milli",
+    )
 
 
 QUERIES["graph_closeness_sampled"] = graph_closeness_sampled
@@ -2736,6 +2748,9 @@ def eval_lift_gains(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__y").cast("long").alias("pos"),
     )
+    # the 10-row decile table feeds both the totals agg and the output —
+    # checkpoint it so the scan+bin+groupBy runs once, not twice (r08)
+    per = per.localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("n").alias("__nn"), F.sum("pos").alias("__pp")
     )

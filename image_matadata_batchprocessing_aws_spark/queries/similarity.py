@@ -141,16 +141,32 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         sq_dists_array,
     )
 
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        track_persist,
+    )
+
     K_FIT = 4
-    e = t(spark, sf, "embeddings").select(
-        "vec_id", as_double_array("embedding").alias("e")
+    # the fit re-scans this frame ~k+iterations times (init traversal +
+    # one Lloyd round each) — persist the pruned (id, vec) projection so
+    # every pass reads cached columns instead of re-decoding parquet
+    # (released by the caller's release_persisted(), the house pattern)
+    e = track_persist(
+        t(spark, sf, "embeddings").select(
+            "vec_id", as_double_array("embedding").alias("e")
+        )
     )
     # small k / few rounds: each round recompiles the literal-centroid
     # codegen expression, so the fixed cost per round dominates at test
     # scale (at production scale it amortizes over the scan)
     init = kmeans_init(e, K_FIT, vec_col="e", id_col="vec_id")
     cents, iters = kmeans_train(
-        e, k=K_FIT, vec_col="e", id_col="vec_id", max_iterations=6, tol=1e-4
+        e,
+        k=K_FIT,
+        vec_col="e",
+        id_col="vec_id",
+        max_iterations=6,
+        tol=1e-4,
+        init_centroids=init,
     )
     assigned = kmeans_predict(e, cents, "e", "cluster_id").withColumn(
         "__dists", sq_dists_array("e", cents)
@@ -300,11 +316,21 @@ def kmeans_invariants(spark: SparkSession, sf: str) -> DataFrame:
         nearest_sq_dist,
     )
 
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        track_persist,
+    )
+
     K_FIT = 4
-    e = _emb(spark, sf)
+    e = track_persist(_emb(spark, sf))
     init = kmeans_init(e, K_FIT, vec_col="e", id_col="vec_id")
     final, _ = kmeans_train(
-        e, k=K_FIT, vec_col="e", id_col="vec_id", max_iterations=6, tol=1e-4
+        e,
+        k=K_FIT,
+        vec_col="e",
+        id_col="vec_id",
+        max_iterations=6,
+        tol=1e-4,
+        init_centroids=init,
     )
     sse = e.agg(
         F.sum(nearest_sq_dist("e", init)).alias("sse_init"),
