@@ -96,18 +96,41 @@ def pca_top_component_scaled(
     cent = base.select(F.zip_with("__q", mean_lit, lambda a, b: a - b).alias("__c"))
 
     # per-row outer products — UPPER TRIANGLE ONLY (the matrix is
-    # symmetric; the mirror is reconstructed for free driver-side),
-    # halving the explode volume; products quantize back to the input
-    # scale so the scatter sum grows linearly (not quadratically)
-    pairs = cent.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(__c, (ci, i) ->"
-                f" transform(slice(__c, i + 1, size(__c) - i), (cj, jo) ->"
-                f" struct(i AS i, i + jo AS j, (ci * cj) div {int(q)} AS p))))"
-            )
-        ).alias("__s")
-    ).select("__s.i", "__s.j", "__s.p")
+    # symmetric; the mirror is reconstructed for free driver-side).
+    # r08 (guide §4.2): the d^2-per-row explode becomes a vectorized
+    # numpy pass — each task folds its rows' outer products into ONE
+    # d x d int64 accumulator and emits d(d+1)/2 partial rows, so the
+    # only shuffle is partials x partitions (at 100 TB this is the
+    # documented treeAggregate-style production path; the JVM explode
+    # shipped d^2 struct rows PER VECTOR to the hash aggregate).
+    # Bit-exact: products and the truncating div are exact int64 ops
+    # (numpy // floors, so trunc = sign * (|x| // q)), and integer
+    # partial sums are associative — same BIGINTs as the SQL twin.
+    import numpy as np
+
+    def _outer_partials(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__c"]])
+            if acc is None:
+                acc = np.zeros((A.shape[1], A.shape[1]), dtype=np.int64)
+            # chunk rows so the (rows, d, d) intermediate stays small
+            for lo in range(0, A.shape[0], 256):
+                C = A[lo : lo + 256]
+                P = np.einsum("ri,rj->rij", C, C)
+                acc += (np.sign(P) * (np.abs(P) // int(q))).sum(axis=0)
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "p": acc[iu]}
+        )
+
+    pairs = cent.mapInPandas(_outer_partials, "i int, j int, p long")
     scatter = pairs.groupBy("i", "j").agg(F.sum("p").alias("s")).collect()
 
     # The scatter is d^2-bounded — collect it and iterate driver-side

@@ -141,7 +141,16 @@ def pipeline_embedding_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile("__norm", F.lit(EMB_NORM_LO_Q)).alias("__lo"),
         F.percentile("__norm", F.lit(EMB_NORM_HI_Q)).alias("__hi"),
     )
-    gated = (
+    from image_matadata_batchprocessing_aws_spark.operators.caching import (
+        track_persist,
+    )
+
+    # the gate output is consumed by three separate ACTIONS (the
+    # centroid collect, the components checkpoint inside semantic_dedup,
+    # and the final materialization), each of which would re-run the
+    # scan + norm + percentile-broadcast gate — persist it once (r08;
+    # released by the session's release_persisted() hook)
+    gated = track_persist(
         n.crossJoin(F.broadcast(bounds))
         .where((F.col("__norm") >= F.col("__lo")) & (F.col("__norm") <= F.col("__hi")))
         .select("vec_id", "e")
