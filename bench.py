@@ -310,6 +310,59 @@ HEADLINE = [
     "ts_mann_kendall",
     "eval_cohens_d",
     "pipeline_winnow_dedup",
+    # r09 additions (append only): the r09 correctness-window families
+    # (12 final r06-queue + first 38 r07-queue entries), priced the round
+    # they get driver rows (the r08 precedent).  None write files.
+    "multimodal_audio_resample",
+    "sql_api_udf",
+    "agg_power_analysis",
+    "embedding_smote_synth",
+    "text_good_turing",
+    "graph_katz",
+    "eval_fleiss_kappa",
+    "embedding_energy_distance",
+    "agg_new_repeat_revenue",
+    "graph_modularity",
+    "agg_lorenz_deciles",
+    "graph_conductance",
+    "stream_engagement_panel",
+    "multimodal_gif_animation",
+    "multimodal_webp_anim",
+    "eval_brier_decomp",
+    "eval_log_loss",
+    "eval_matthews_corr",
+    "eval_krippendorff",
+    "eval_fdr_bh",
+    "agg_tukey_hsd",
+    "agg_cuped",
+    "agg_diff_in_diff",
+    "agg_mutual_info",
+    "agg_partial_corr",
+    "agg_sprt",
+    "graph_adamic_adar",
+    "embedding_isotropy",
+    "embedding_hubness",
+    "agg_pareto_frontier",
+    "agg_capture_recapture",
+    "agg_cohort_ltv",
+    "ts_bollinger",
+    "ts_sax_symbols",
+    "ts_mase",
+    "ts_ljung_box",
+    "eval_chrf_pairs",
+    "text_burstiness",
+    "sample_kcenter_coreset",
+    "agg_mmd_drift",
+    "multimodal_blur_laplacian",
+    "ts_periodogram",
+    "ts_streaks",
+    "text_zipf_fit",
+    "text_hapax_legomena",
+    "graph_rich_club",
+    "agg_weighted_median",
+    "agg_ipw_estimate",
+    "multimodal_otsu",
+    "etl_consistent_hashing",
 ]
 
 #: The r02 30-query frozen prefix — the only set every recorded round

@@ -88,13 +88,15 @@ def kmeans_init(
     map-side pass + 1-row max_by aggregate per seed — k-1 tiny jobs.
     Unlike a pure hash sample, this cannot drop two seeds into the same
     dense blob, so well-separated clusters each get exactly one seed."""
-    if df.limit(k).count() < k:
-        raise ValueError(f"kmeans_init: k={k} exceeds input row count")
     h = md5_int64(F.concat(F.col(id_col).cast("string"), F.lit("\x1f"), F.lit(salt)))
-    first = (
-        df.select(F.col(vec_col).alias("v"), h.alias("__h")).orderBy("__h").first()
-    )
-    centroids = [[float(x) for x in first["v"]]]
+    # one job serves both the row-count guard and the first seed (r09:
+    # previously a limit(k).count() job THEN an orderBy.first() job) —
+    # take(k) returns up to k rows, so fewer than k rows IS the guard
+    # and row 0 is the min-hash seed, exactly as before
+    head = df.select(F.col(vec_col).alias("v"), h.alias("__h")).orderBy("__h").take(k)
+    if len(head) < k:
+        raise ValueError(f"kmeans_init: k={k} exceeds input row count")
+    centroids = [[float(x) for x in head[0]["v"]]]
     vec = F.col(vec_col)
     tie = F.col(id_col)
     while len(centroids) < k:
@@ -127,15 +129,22 @@ def kmeans_train(
     ran that traversal (e.g. to report SSE against the init) passes the
     result as ``init_centroids`` so the k+1 init jobs run once, not
     twice — the fit is identical because the traversal is deterministic."""
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("kmeans_train: empty input")
-    dim = dim_row["d"]
     centroids = (
         [list(c) for c in init_centroids]
         if init_centroids is not None
         else kmeans_init(df, k, vec_col, id_col, salt)
     )
+    if len(centroids) != k:
+        raise ValueError(
+            f"kmeans_train: init_centroids has {len(centroids)} rows, expected k={k}"
+        )
+    # dimension comes from the centroids (init is a row of the input, so
+    # they agree by construction) — the old select(size(vec)).first()
+    # probe job is gone (r09); mixed-dimension centroids would train the
+    # wrong model silently, so validate instead of probing
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("kmeans_train: init_centroids dimensions disagree")
 
     iterations = 0
     for _ in range(max_iterations):

@@ -236,15 +236,21 @@ def jaccard_prefix_pairs(
     # full shuffle (r08)
     sizes = _shingle_sizes(df, text_col, id_col, n)
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    # set_size for the prefix cutoff rides the SAME id-keyed window
+    # partition the rank already needs (count over the doc's partition ==
+    # F.size of its distinct-shingle array), so the old sizes join — a
+    # second docs scan + an id-keyed join below the window — is gone
+    # (r09; VERDICT r8 item 5).  The final jaccard still reads ``sizes``:
+    # that frame is map-side and joins the tiny pair table, not the
+    # posting list.
+    w_doc = Window.partitionBy(id_col)
     ranked = (
         ex.join(dfreq, "shingle")
-        .join(sizes, id_col)
+        .withColumn("set_size", F.count(F.lit(1)).over(w_doc).cast("long"))
         .withColumn(
             "pos",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("dfreq").asc(), F.col("shingle").asc()
-                )
+                w_doc.orderBy(F.col("dfreq").asc(), F.col("shingle").asc())
             ),
         )
     )

@@ -98,25 +98,56 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def _sig(df: DataFrame):
-        row = df.agg(
+    def _sig_frame(df: DataFrame, tag: int) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("t"),
             F.count("*").alias("n"),
             # decimal sum: exact and overflow-free under ANSI mode
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
+        )
+
+    def _sig(df: DataFrame):
+        row = _sig_frame(df, 0).collect()[0]
         return row["n"], row["h"]
 
     prev = _sig(e)
-    for _ in range(max_iterations):
-        # lazy checkpoint: the signature aggregate below is the action
-        # that materializes it — one job per round for both lineage
-        # truncation and the convergence probe, not two
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _sig(e)
-        if cur == prev:
+    # Batched probes (r09; the pagerank probe-batching pattern): two
+    # star rounds chain lazily, then ONE action (a union of the two
+    # rounds' signature aggregates) both materializes the pending
+    # checkpoints and probes convergence — half the per-round driver
+    # round-trips and job fixed costs.  The probe still compares
+    # ADJACENT rounds' signatures (s1 vs prev, s2 vs s1), so the
+    # fixpoint criterion — and the returned edge set — are IDENTICAL to
+    # the one-round-per-probe form; converging at the odd round merely
+    # wastes the pre-computed even round.
+    it = 0
+    converged = False
+    while it < max_iterations:
+        e1 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        it += 1
+        if it >= max_iterations:
+            if _sig(e1) == prev:
+                e = e1
+                converged = True
             break
-        prev = cur
-    else:
+        e2 = _small_star(_large_star(e1)).localCheckpoint(eager=False)
+        it += 1
+        rows = {
+            r["t"]: (r["n"], r["h"])
+            for r in _sig_frame(e1, 1).unionByName(_sig_frame(e2, 2)).collect()
+        }
+        s1, s2 = rows[1], rows[2]
+        if s1 == prev:
+            e = e1
+            converged = True
+            break
+        if s2 == s1:
+            e = e2
+            converged = True
+            break
+        prev = s2
+        e = e2
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "
             "(large-star/small-star converges in O(log^2 n) — this graph is "

@@ -26,6 +26,7 @@ from image_matadata_batchprocessing_aws_spark.queries import multimodal as _mult
 from image_matadata_batchprocessing_aws_spark.queries import pipeline as _pipeline
 from image_matadata_batchprocessing_aws_spark.queries import r05_queue as _r05_queue
 from image_matadata_batchprocessing_aws_spark.queries import r06_queue as _r06_queue
+from image_matadata_batchprocessing_aws_spark.queries import r07_queue as _r07_queue
 from image_matadata_batchprocessing_aws_spark.queries import relational as _relational
 from image_matadata_batchprocessing_aws_spark.queries import sampling as _sampling
 from image_matadata_batchprocessing_aws_spark.queries import search as _search
@@ -60,30 +61,30 @@ _MODULES = [
     # appends at the END so it drains AFTER the r05 queue without
     # displacing window slots.
     _r06_queue,
+    # r09: the r07-staged queue lands per the locked drain plan
+    # (VERDICT r8 item 10).  Registry 401 -> 451.
+    _r07_queue,
 ]
 
 #: Registry order IS the driver's correctness-check order: the first 50
-#: entries get oracle rows each round.  Round-8 composition (VERDICT r7
-#: item 1): the registry stays at 401 this round (``r07_queue.py`` and
-#: ``r08_queue.py`` stay staged per the drain plan); the window is
-#: exactly what ``tools/compose_window.py`` emits — the 12 remaining
-#: never-driver-checked r05-queue entries
-#: (``etl_fixed_width_roundtrip`` .. ``etl_scd2_audit``) followed by
-#: the first 38 never-checked r06-queue entries in registration order
-#: (``graph_ppr_converged`` .. ``pipeline_winnow_dedup``).  Every
+#: entries get oracle rows each round.  Round-9 composition (VERDICT r8
+#: item 10): the registry grows to 451 this round (``r07_queue.py``
+#: registers; ``r08_queue.py`` / ``r09_queue.py`` stay staged per the
+#: drain plan); the window is exactly what ``tools/compose_window.py``
+#: emits — the 12 remaining never-driver-checked r06-queue entries
+#: (``multimodal_audio_resample`` .. ``graph_conductance``) followed
+#: by the first 38 never-checked r07-queue entries in registration
+#: order (``stream_engagement_panel`` .. ``etl_consistent_hashing``).  Every
 #: window entry is locally oracle-exact at sf0.001 AND sf0.01
 #: (tools/check_oracle.py, 0 failures).  Strict driver-green union
-#: after r07 = 337/401; this window takes the union to 387/401 if all
+#: after r08 = 387/451; this window takes the union to 437/451 if all
 #: 50 land green.
 #:
 #: DRAIN PLAN (keep registry growth <= window drain rate — the r03
-#: lesson): after r08, 0 r05-queue entries plus the 12 r06-queue
-#: entries remain never-driver-checked; r09 registers ``r07_queue.py``
-#: (401 -> 451) and takes those final 12 r06-queue + the first 38
-#: r07-queue entries; r10 registers ``r08_queue.py`` (451 -> 501) and
-#: takes the final 12 r07-queue + the first 38 r08-queue entries
-#: (VERDICT r7 item 2: the previously-unscheduled r08_queue
-#: registration slot); r11 registers ``r09_queue.py`` (501 -> 551) and
+#: lesson): after r09, 0 r06-queue entries plus the 12 r07-queue
+#: entries remain never-driver-checked; r10 registers ``r08_queue.py``
+#: (451 -> 501) and takes those final 12 r07-queue + the first 38
+#: r08-queue entries; r11 registers ``r09_queue.py`` (501 -> 551) and
 #: takes the final 12 r08-queue + the first 38 r09-queue entries.
 #: STEADY STATE from here: each round N stages <= 50 new oracled pairs
 #: in ``queries/r{N+1}_queue.py`` (three-scale-verified via
@@ -96,56 +97,56 @@ _MODULES = [
 #: The window arithmetic here is LOCKED by
 #: ``tests/test_entry_contract.py::test_window_plan_comment_matches_code``.
 _WINDOW = [
-    "etl_fixed_width_roundtrip",
-    "eval_average_precision",
-    "embedding_drift",
-    "funnel_step_latency",
-    "ts_gap_stats",
-    "graph_reciprocity",
-    "agg_engagement_daily",
-    "reco_seq_patterns",
-    "text_rake_keyphrases",
-    "graph_clustering_coeff",
-    "embedding_hard_negatives",
-    "etl_scd2_audit",
-    "graph_ppr_converged",
-    "multimodal_vp8_decode",
-    "dedup_lsh_tuning",
-    "agg_bootstrap_ci",
-    "ts_stl_decompose",
-    "eval_bleu_pairs",
-    "etl_orc_roundtrip",
-    "graph_closeness_sampled",
-    "eval_label_errors",
-    "text_vocab_growth",
-    "sample_pack_audit",
-    "graph_assortativity",
-    "graph_mst_boruvka",
-    "text_winnow_fingerprints",
-    "eval_cluster_rand",
-    "sample_length_buckets",
-    "etl_l_diversity",
-    "eval_auc_delong",
-    "etl_pseudonym_referential",
-    "agg_hhi",
-    "etl_k_generalize",
-    "stream_bottomk_sample",
-    "eval_rank_rbo",
-    "agg_dau_mau",
-    "dedup_winnow_pairs",
-    "join_multitouch_attribution",
-    "agg_growth_accounting",
-    "graph_walk_corpus",
-    "agg_ab_proportions",
-    "ts_ohlc_bars",
-    "graph_resource_allocation",
-    "text_textrank_keywords",
-    "eval_lift_gains",
-    "multimodal_image_ssim",
-    "eval_ece",
-    "ts_mann_kendall",
-    "eval_cohens_d",
-    "pipeline_winnow_dedup",
+    "multimodal_audio_resample",
+    "sql_api_udf",
+    "agg_power_analysis",
+    "embedding_smote_synth",
+    "text_good_turing",
+    "graph_katz",
+    "eval_fleiss_kappa",
+    "embedding_energy_distance",
+    "agg_new_repeat_revenue",
+    "graph_modularity",
+    "agg_lorenz_deciles",
+    "graph_conductance",
+    "stream_engagement_panel",
+    "multimodal_gif_animation",
+    "multimodal_webp_anim",
+    "eval_brier_decomp",
+    "eval_log_loss",
+    "eval_matthews_corr",
+    "eval_krippendorff",
+    "eval_fdr_bh",
+    "agg_tukey_hsd",
+    "agg_cuped",
+    "agg_diff_in_diff",
+    "agg_mutual_info",
+    "agg_partial_corr",
+    "agg_sprt",
+    "graph_adamic_adar",
+    "embedding_isotropy",
+    "embedding_hubness",
+    "agg_pareto_frontier",
+    "agg_capture_recapture",
+    "agg_cohort_ltv",
+    "ts_bollinger",
+    "ts_sax_symbols",
+    "ts_mase",
+    "ts_ljung_box",
+    "eval_chrf_pairs",
+    "text_burstiness",
+    "sample_kcenter_coreset",
+    "agg_mmd_drift",
+    "multimodal_blur_laplacian",
+    "ts_periodogram",
+    "ts_streaks",
+    "text_zipf_fit",
+    "text_hapax_legomena",
+    "graph_rich_club",
+    "agg_weighted_median",
+    "agg_ipw_estimate",
+    "multimodal_otsu",
+    "etl_consistent_hashing",
 ]
 
 #: Rows-only or redundant driver signal; pinned to the very end so they

@@ -77,6 +77,31 @@ def test_kmeans_k_exceeding_rows_raises(spark):
         kmeans_train(df, k=5)
 
 
+def test_kmeans_init_centroids_validated(spark):
+    """ADVICE r8: init_centroids from a different k (or mixed dims)
+    must raise instead of silently training the wrong model."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)], "vec_id long, e array<double>"
+    )
+    with pytest.raises(ValueError, match="expected k"):
+        kmeans_train(df, k=3, init_centroids=[[0.0, 0.0], [1.0, 0.0]])
+    with pytest.raises(ValueError, match="dimensions disagree"):
+        kmeans_train(df, k=2, init_centroids=[[0.0, 0.0], [1.0]])
+
+
+def test_kmeans_init_reuse_matches_internal_init(spark):
+    """The init-reuse path (r08) plus the probe-free dim derivation
+    (r09) must fit the SAME model as the self-init path."""
+    df, _ = _planted(spark, n_per=6)
+    from image_matadata_batchprocessing_aws_spark.operators.clustering import kmeans_init
+
+    init = kmeans_init(df, 3)
+    c1, i1 = kmeans_train(df, k=3, init_centroids=init)
+    c2, i2 = kmeans_train(df, k=3)
+    assert i1 == i2
+    assert c1 == c2
+
+
 def test_kmeans_plan_has_no_python_udf(spark):
     """Assignment must stay JVM-side (whole-stage codegen), never a
     Python UDF."""

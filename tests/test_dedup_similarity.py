@@ -159,6 +159,60 @@ def test_components_empty_edges(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_components_batched_probe_halves_collects(spark, monkeypatch):
+    """r09 probe batching: two star rounds share ONE signature action
+    (a union of the two rounds' aggregates), so a chain that converges
+    at round 2 costs exactly 3 collects — initial signature, one
+    batched probe, the final result — where the one-probe-per-round
+    form took 4.  The fixpoint criterion still compares ADJACENT
+    rounds, so the returned labeling is unchanged (the equality tests
+    above pin that)."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    # 1-2-3 chain: round 1 yields the star forest {(2,1),(3,1)}, round 2
+    # is idempotent -> converges at the round-2 signature
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is the
+    # abstract base; classic sessions instantiate a subclass whose
+    # collect overrides it)
+    cls = type(edges)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert calls["n"] == 3
+
+
+def test_components_raises_when_rounds_exhausted(spark):
+    """The non-convergence guard survives probe batching: a graph that
+    cannot reach its fixpoint inside max_iterations still raises."""
+    import pytest
+
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1)
+
+
+def test_components_odd_max_iterations_tail_probe(spark):
+    """Odd budgets exercise the single-round tail probe: one edge
+    converges at round 1, inside max_iterations=1."""
+    from image_matadata_batchprocessing_aws_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(edges, max_iterations=1).collect()}
+    assert got == {3: 3, 7: 3}
+
+
 def test_components_long_path_converges_in_log_rounds(spark):
     """large-star/small-star: a path graph far longer than the old
     diameter-bounded budget (200 hops >> 30) must converge — and in

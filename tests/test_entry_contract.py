@@ -175,28 +175,28 @@ def test_parity_doc_tally_matches_registry():
 def test_window_plan_comment_matches_code():
     # VERDICT r4 item 6: the in-code window-plan comment drifted in r04
     # ("frozen at 208 / 17 backlog" vs actual 210 / 20+2).  Lock the
-    # r07 comment's arithmetic to the code and the recorded driver
+    # r09 comment's arithmetic to the code and the recorded driver
     # artifacts so it can't drift silently again.
     import json
     import re
 
     from image_matadata_batchprocessing_aws_spark import queries as qpkg
-    from image_matadata_batchprocessing_aws_spark.queries import r05_queue, r06_queue
+    from image_matadata_batchprocessing_aws_spark.queries import r06_queue, r07_queue
 
     reg = qpkg.all_queries()
     oracles = qpkg.all_oracles()
     window = qpkg._WINDOW
     src = open(qpkg.__file__).read()
 
-    # comment claims "stays at 401" and "387/401"
-    m = re.search(r"registry stays at (\d+) this round", src)
+    # comment claims "grows to 451" and "437/451"
+    m = re.search(r"registry grows to (\d+) this round", src)
     assert m and int(m.group(1)) == len(reg)
     m = re.search(r"union to (\d+)/(\d+) if all\n?#?:? ?50 land green", src)
     assert m and int(m.group(2)) == len(reg)
-    # 337 strict green union recorded over r01-r07 + 50 window slots = 387
+    # 387 strict green union recorded over r01-r08 + 50 window slots = 437
     union_green = set()
     checked = set()
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         rows = json.load(open(f"/root/repo/CORRECTNESS_r0{r}.json"))
         checked |= set(rows)
         for k, v in rows.items():
@@ -208,57 +208,56 @@ def test_window_plan_comment_matches_code():
                 union_green.add(k)
     union_green &= set(reg)
     assert int(m.group(1)) == len(union_green | set(window))
-    m = re.search(r"union\n#: after r07 = (\d+)/(\d+)", src)
+    m = re.search(r"union\n#: after r08 = (\d+)/(\d+)", src)
     assert m and int(m.group(1)) == len(union_green)
     assert int(m.group(2)) == len(reg)
     # every window entry is oracled, and none already has a green row
     assert set(window) <= set(oracles)
     assert not set(window) & union_green
     # the window leads with every ever-checked-never-green oracled
-    # query (r08: none — zero ever-checked-never-green after r07)
+    # query (r09: none — zero ever-checked-never-green after r08)
     never_green_checked = (checked & set(oracles)) - union_green
     assert never_green_checked <= set(window)
-    # the 50 slots = ALL 12 remaining never-checked r05-queue entries
-    # (registration order) + the first 38 never-checked r06-queue
+    # the 50 slots = ALL 12 remaining never-checked r06-queue entries
+    # (registration order) + the first 38 never-checked r07-queue
     # entries — exactly what tools/compose_window.py emits
-    never_checked_q5 = [n for n in r05_queue.QUERIES if n not in checked]
     never_checked_q6 = [n for n in r06_queue.QUERIES if n not in checked]
-    assert list(window) == never_checked_q5 + never_checked_q6[: 50 - len(
-        never_checked_q5
+    never_checked_q7 = [n for n in r07_queue.QUERIES if n not in checked]
+    assert list(window) == never_checked_q6 + never_checked_q7[: 50 - len(
+        never_checked_q6
     )]
-    assert len(never_checked_q5) == 12
-    # drain arithmetic: "0 r05-queue entries plus the 12 r06-queue
+    assert len(never_checked_q6) == 12
+    # drain arithmetic: "0 r06-queue entries plus the 12 r07-queue
     # entries remain never-driver-checked" after this window lands
     m = re.search(
-        r"(\d+) r05-queue entries plus the (\d+) r06-queue\n#: entries remain",
+        r"(\d+) r06-queue entries plus the (\d+) r07-queue\n#: entries remain",
         src,
     )
     assert m, "drain-plan sentence missing"
     assert int(m.group(1)) == 0
-    assert int(m.group(2)) == len(never_checked_q6) - (50 - len(never_checked_q5))
-    # r06 queue is REGISTERED (appended at the registry end); r07/r08
-    # queues are NOT yet (they register r09/r10 per the comment)
-    assert set(r06_queue.QUERIES) <= set(reg)
-    from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
+    assert int(m.group(2)) == len(never_checked_q7) - (50 - len(never_checked_q6))
+    # r07 queue is REGISTERED (appended at the registry end); r08/r09
+    # queues are NOT yet (they register r10/r11 per the comment)
+    assert set(r07_queue.QUERIES) <= set(reg)
+    from image_matadata_batchprocessing_aws_spark.queries import r08_queue, r09_queue
 
-    assert not set(r07_queue.QUERIES) & set(reg)
     assert not set(r08_queue.QUERIES) & set(reg)
-    # endgame arithmetic (VERDICT r7 item 2): every staged queue has a
-    # scheduled registration round — r09 registers r07_queue, r10
-    # registers r08_queue, r11 registers r09_queue.  The comment's
-    # registry sizes must tile from the actual queue lengths.
-    m = re.search(r"r09 registers ``r07_queue\.py``\n#: \((\d+) -> (\d+)\)", src)
+    assert not set(r09_queue.QUERIES) & set(reg)
+    # endgame arithmetic: every staged queue has a scheduled
+    # registration round — r10 registers r08_queue, r11 registers
+    # r09_queue.  The comment's registry sizes must tile from the
+    # actual queue lengths.
+    m = re.search(r"r10 registers ``r08_queue\.py``\n#: \((\d+) -> (\d+)\)", src)
     assert m and int(m.group(1)) == len(reg)
-    assert int(m.group(2)) == len(reg) + len(r07_queue.QUERIES)
-    m = re.search(r"r10 registers ``r08_queue\.py`` \((\d+) -> (\d+)\)", src)
-    assert m and int(m.group(1)) == len(reg) + len(r07_queue.QUERIES)
-    assert int(m.group(2)) == len(reg) + len(r07_queue.QUERIES) + len(
-        r08_queue.QUERIES
+    assert int(m.group(2)) == len(reg) + len(r08_queue.QUERIES)
+    m = re.search(r"r11 registers ``r09_queue\.py`` \((\d+) -> (\d+)\)", src)
+    assert m and int(m.group(1)) == len(reg) + len(r08_queue.QUERIES)
+    assert int(m.group(2)) == len(reg) + len(r08_queue.QUERIES) + len(
+        r09_queue.QUERIES
     )
-    assert "r11 registers ``r09_queue.py``" in src
-    # leftover after this window = 12 r06 + 50 r07-staged + 50
-    # r08-staged = exactly two-and-a-half more 50-windows of drain
-    leftover = len(never_checked_q6) - (50 - len(never_checked_q5))
+    # leftover after this window = 12 r07 + 50 r08-staged + 50
+    # r09-staged = exactly two-and-a-half more 50-windows of drain
+    leftover = len(never_checked_q7) - (50 - len(never_checked_q6))
     assert leftover == 12
 
 

@@ -62,11 +62,11 @@ def test_whole_inventory_stays_jvm_side(spark):
 def test_staged_queue_stays_jvm_side(spark):
     """Every staging queue is held to the inventory plan bar BEFORE it
     registers — no row-at-a-time Python sneaks in via a queue.  (The
-    r06 queue registered in r06 but stays covered by the registry-wide
-    sweep above; the live staging surface is r07 + r08.)"""
-    from image_matadata_batchprocessing_aws_spark.queries import r07_queue, r08_queue
+    r07 queue registered in r09 and is covered by the registry-wide
+    sweep above; the live staging surface is r08 + r09.)"""
+    from image_matadata_batchprocessing_aws_spark.queries import r08_queue, r09_queue
 
-    for mod in (r07_queue, r08_queue):
+    for mod in (r08_queue, r09_queue):
         for name, fn in mod.QUERIES.items():
             assert_no_python_udf(fn(spark, SF_CORRECT)), name
 

@@ -20,10 +20,12 @@ from tests.conftest import SF_SMOKE
 
 def test_queue_keys_paired_and_capped():
     assert set(r07_queue.QUERIES) == set(r07_queue.ORACLES)
-    # staged: no collision with the live registry
-    from image_matadata_batchprocessing_aws_spark.queries import all_queries
+    # registered in r09 (drain plan): every queue entry is IN the live
+    # registry (all_queries() itself raises on any name collision)
+    from image_matadata_batchprocessing_aws_spark.queries import all_oracles, all_queries
 
-    assert not set(r07_queue.QUERIES) & set(all_queries())
+    assert set(r07_queue.QUERIES) <= set(all_queries())
+    assert set(r07_queue.ORACLES) <= set(all_oracles())
     # drain-plan cap: stage at most 50 pairs per round (growth <= drain)
     assert len(r07_queue.QUERIES) <= 50
 

@@ -37,19 +37,34 @@ def main() -> None:
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    qs = all_queries()
+    unknown = [n for n in args.queries if n not in qs]
+    if unknown:
+        import difflib
+
+        for n in unknown:
+            close = difflib.get_close_matches(n, qs, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            print(f"unknown query: {n}{hint}", file=sys.stderr)
+        sys.exit(2)
     spark = get_spark(
         app_name="bench-one",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    qs = all_queries()
     for name in args.queries:
         fn = qs[name]
         if args.plans:
             os.makedirs(args.plans, exist_ok=True)
             df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API path (ADVICE r8): capture explain() output
+            # instead of reaching into PythonSQLUtils internals
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
             # elide embedded sketch/model literals (the dump_plans.py rule)
             plan = "\n".join(
                 ln if len(ln) <= 400

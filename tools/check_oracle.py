@@ -10,10 +10,9 @@ local check, so tolerance here is a footgun, not a feature.
 Usage: python tools/check_oracle.py [--staged] [sf_dir] [query ...]
 
 ``--staged`` checks every unregistered staging queue
-(queries/r07_queue.py, r08_queue.py, r09_queue.py — currently 150
-pairs) instead of the registered inventory — one gate covers the whole
-staging surface (tools/check_queue.py was retired when the r05 queue
-registered).
+(queries/r08_queue.py, r09_queue.py — currently 100 pairs) instead of
+the registered inventory — one gate covers the whole staging surface
+(tools/check_queue.py was retired when the r05 queue registered).
 """
 
 from __future__ import annotations
@@ -68,17 +67,17 @@ def main():
 
     if staged:
         # --staged covers EVERY unregistered queue module (one gate for
-        # the whole staging surface; r07_queue registers r09, r08_queue
-        # r10, r09_queue r11 per the drain plan)
+        # the whole staging surface; r07_queue registered in r09, so
+        # the live staging surface is r08_queue (registers r10) +
+        # r09_queue (registers r11) per the drain plan)
         from image_matadata_batchprocessing_aws_spark.queries import (
-            r07_queue,
             r08_queue,
             r09_queue,
         )
 
         qs: dict = {}
         oracles: dict = {}
-        for mod in (r07_queue, r08_queue, r09_queue):
+        for mod in (r08_queue, r09_queue):
             overlap = set(qs) & set(mod.QUERIES)
             if overlap:
                 raise SystemExit(f"staged-queue name collision: {overlap}")
