@@ -65,17 +65,26 @@ def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score: length-normalized token size x
-    (1 - stopword ratio).  Mirrors common LLM-corpus quality filters."""
+    (1 - stopword ratio).  Mirrors common LLM-corpus quality filters.
+
+    ``quality`` rounds via the tie-safe ``floor(x*1e4 + 0.5)/1e4`` form
+    (r09): ``round()`` disagrees between engines exactly when the
+    double's shortest decimal repr lands on a half (Spark rounds the
+    shortest repr HALF_UP, DuckDB rounds the binary value), which is
+    what flipped 0.5659/0.566 at sf0.1.  The floor form is the same
+    chain of correctly-rounded IEEE ops on both engines, so identical
+    input doubles give identical output bits at every scale."""
     toks = tokens(text_col)
     n = F.size(toks)
     stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
     stop_ratio = stop / n
     avg_len = F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / n
+    q = F.least(F.lit(1.0), avg_len / 8.0) * (1.0 - stop_ratio)
     return df.withColumns(
         {
             "n_tokens": n.cast("long"),
             "stop_ratio": F.round(stop_ratio, 4),
-            "quality": F.round(F.least(F.lit(1.0), avg_len / 8.0) * (1.0 - stop_ratio), 4),
+            "quality": F.floor(q * 10000.0 + 0.5) / 10000.0,
         }
     )
 

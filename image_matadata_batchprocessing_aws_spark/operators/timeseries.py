@@ -450,10 +450,16 @@ def holt_trailing(
         ),
         step,
     )
+    # tie-safe rounding (r09): round() splits between engines when the
+    # double's shortest repr lands on a half (one sf0.1 forecast hit
+    # ...0945 -> 66.867095 vs 66.867094); floor(x*1e6 + 0.5)/1e6 is the
+    # same correctly-rounded IEEE chain on both engines
+    lvl = folded["l"] / F.lit(scale)
+    fc = (folded["l"] + folded["t"]) / F.lit(scale)
     return df.withColumns(
         {
-            out_level: F.round(folded["l"] / F.lit(scale), 6),
-            out_forecast: F.round((folded["l"] + folded["t"]) / F.lit(scale), 6),
+            out_level: F.floor(lvl * 1000000.0 + 0.5) / 1000000.0,
+            out_forecast: F.floor(fc * 1000000.0 + 0.5) / 1000000.0,
         }
     )
 
@@ -854,17 +860,22 @@ def changepoint_binseg(
     sst = Q - S * S / nd
     mean_l = cs / (td * F.lit(scale))
     mean_r = (S - cs) / ((nd - td) * F.lit(scale))
+
+    # tie-safe rounding (r09): one sf0.1 mean_right landed on a
+    # shortest-repr half and round() split between the engines;
+    # floor(x*10^d + 0.5)/10^d runs the same IEEE chain on both
+    def rd(c):
+        p = float(10**round_digits)
+        return F.floor(c * p + 0.5) / p
+
     return best.select(
         "key",
         F.col("__n").cast("long").alias("n"),
         F.col("__t").cast("long").alias("split_pos"),
-        F.round(mean_l, round_digits).alias("mean_left"),
-        F.round(mean_r, round_digits).alias("mean_right"),
-        F.round(mean_r - mean_l, round_digits).alias("mean_shift"),
-        F.round(
-            F.when(sst > 0, (sst - F.col("__cost")) / sst),
-            round_digits,
-        ).alias("cost_drop_frac"),
+        rd(mean_l).alias("mean_left"),
+        rd(mean_r).alias("mean_right"),
+        rd(mean_r - mean_l).alias("mean_shift"),
+        rd(F.when(sst > 0, (sst - F.col("__cost")) / sst)).alias("cost_drop_frac"),
     )
 
 
@@ -879,6 +890,7 @@ def changepoint_binseg_sql(
 ) -> str:
     """DuckDB twin of :func:`changepoint_binseg`."""
     scale = float(10**value_digits)
+    rpow = float(10**round_digits)
     return f"""
         WITH base AS (
           SELECT {key_col} AS key,
@@ -916,22 +928,23 @@ def changepoint_binseg_sql(
                                        ORDER BY cost ASC, t ASC) AS rn
           FROM cand)
         SELECT key, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_pos,
-               round(CAST(cs AS DOUBLE) / (CAST(t AS DOUBLE) * {scale}),
-                     {round_digits}) AS mean_left,
-               round((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
-                     / ((CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * {scale}),
-                     {round_digits}) AS mean_right,
-               round((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
+               -- tie-safe rounding: see changepoint_binseg (r09)
+               floor(CAST(cs AS DOUBLE) / (CAST(t AS DOUBLE) * {scale})
+                     * {rpow} + 0.5) / {rpow} AS mean_left,
+               floor((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
                      / ((CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * {scale})
-                     - CAST(cs AS DOUBLE) / (CAST(t AS DOUBLE) * {scale}),
-                     {round_digits}) AS mean_shift,
-               round(CASE WHEN CAST(q AS DOUBLE)
+                     * {rpow} + 0.5) / {rpow} AS mean_right,
+               floor(((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * {scale})
+                     - CAST(cs AS DOUBLE) / (CAST(t AS DOUBLE) * {scale}))
+                     * {rpow} + 0.5) / {rpow} AS mean_shift,
+               floor((CASE WHEN CAST(q AS DOUBLE)
                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                         / CAST(n AS DOUBLE) > 0 THEN
                  ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                      / CAST(n AS DOUBLE)) - cost)
                  / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                     / CAST(n AS DOUBLE)) END, {round_digits})
+                     / CAST(n AS DOUBLE)) END) * {rpow} + 0.5) / {rpow}
                  AS cost_drop_frac
         FROM best WHERE rn = 1
     """

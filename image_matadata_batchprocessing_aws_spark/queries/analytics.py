@@ -213,9 +213,16 @@ def embedding_centroid_label(spark: SparkSession, sf: str) -> DataFrame:
         F.col("label").cast("long").alias("label"),
         F.col("pos").cast("long").alias("pos"),
         F.col("n").cast("long").alias("n"),
-        F.round(
-            F.col("__s").cast("double") / F.lit(scale) / F.col("n").cast("double"),
-            CENTROID_DIGITS,
+        # tie-safe rounding (r09): one sf0.1 mean sat on a shortest-repr
+        # half and round() split between the engines; the floor form is
+        # the same IEEE chain on both sides
+        (
+            F.floor(
+                F.col("__s").cast("double") / F.lit(scale) / F.col("n").cast("double")
+                * F.lit(scale)
+                + 0.5
+            )
+            / F.lit(scale)
         ).alias("dim_mean"),
     )
 
@@ -537,11 +544,15 @@ ORACLES = {
         zc AS (
           SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
                  CAST(n AS BIGINT) AS n_baseline,
+                 -- + 0.0 normalizes DuckDB's round(-tiny) = -0.0 to the
+                 -- +0.0 Spark's BigDecimal round emits (etl_zscore's
+                 -- oracle precedent; one sf0.1 row differed only in
+                 -- zero sign)
                  CASE WHEN n >= {ANOM_MIN_PERIODS} THEN
                    round((CAST(xs AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                          / sqrt((CAST(ss AS DOUBLE)
                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                                / (CAST(n AS DOUBLE) - 1.0)), 4)
+                                / (CAST(n AS DOUBLE) - 1.0)), 4) + 0.0
                  END AS z
           FROM st)
         SELECT event_id, user_id, ts_ms, value, n_baseline, z,
@@ -654,8 +665,9 @@ ORACLES = {
           FROM embeddings, range({EMB_DIM}) t(i))
         SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
                CAST(count(*) AS BIGINT) AS n,
-               round(CAST(sum(xs) AS DOUBLE) / 1000000.0
-                     / CAST(count(*) AS DOUBLE), 6) AS dim_mean
+               floor(CAST(sum(xs) AS DOUBLE) / 1000000.0
+                     / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS dim_mean
         FROM x GROUP BY label, pos
     """,
 }

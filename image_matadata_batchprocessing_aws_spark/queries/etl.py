@@ -840,8 +840,10 @@ ORACLES = {
                            - quantile_cont(c_acctbal, 0.25) AS iqr
                     FROM customer)
         SELECT c_custkey,
+               -- + 0.0: DuckDB round(-tiny) = -0.0 vs Spark's +0.0
+               -- (etl_zscore oracle precedent; one sf0.1 row)
                round(CASE WHEN iqr <> 0 THEN (c_acctbal - m) / iqr
-                          ELSE c_acctbal - m END, 4) AS acctbal_rs
+                          ELSE c_acctbal - m END, 4) + 0.0 AS acctbal_rs
         FROM customer, st
     """,
     "etl_minmax": """

@@ -67,8 +67,9 @@ _PIPELINE_ORACLE = rf"""
       SELECT doc_id, lang, text,
              CAST(len(toks) AS BIGINT) AS n_tokens,
              round(n_stop / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
-             round(least(1.0, (nospace / CAST(len(toks) AS DOUBLE)) / 8.0)
-                   * (1.0 - n_stop / CAST(len(toks) AS DOUBLE)), 4) AS quality
+             floor(least(1.0, (nospace / CAST(len(toks) AS DOUBLE)) / 8.0)
+                   * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0 AS quality
       FROM (
         SELECT doc_id, lang, text,
                string_split_regex(trim(text), '\s+') AS toks,

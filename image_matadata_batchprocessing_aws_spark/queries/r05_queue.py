@@ -5096,8 +5096,8 @@ ORACLES["ts_holt"] = f"""
       FROM rec WHERE k < len(hist)),
     f AS (SELECT user_id, event_id, l, t FROM rec WHERE k = len(hist))
     SELECT user_id, event_id,
-           round(l / 10000.0, 6) AS holt_level,
-           round((l + t) / 10000.0, 6) AS holt_forecast
+           floor(l / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS holt_level,
+           floor((l + t) / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS holt_forecast
     FROM f
 """
 

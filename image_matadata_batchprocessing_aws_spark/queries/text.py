@@ -140,8 +140,9 @@ ORACLES = {
           FROM b)
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-               round(least(1.0, (nospace / CAST(n_tokens AS DOUBLE)) / 8.0)
-                     * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 4) AS quality
+               floor(least(1.0, (nospace / CAST(n_tokens AS DOUBLE)) / 8.0)
+                     * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS quality
         FROM s
     """,
     "text_lang_agg": """

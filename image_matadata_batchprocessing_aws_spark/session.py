@@ -53,6 +53,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # Cluster-parameterized conf overrides (r09, guide §9): scale-
+    # dependent knobs ride ``SPARK_GRAFT_CONF`` ("k=v;k=v") so the SAME
+    # code serves the local driver bench (defaults above, comparable
+    # round over round) and a real cluster (e.g.
+    # ``spark.io.compression.codec=zstd`` — better shuffle ratio once
+    # shuffles leave the page cache and cross a NIC;
+    # ``spark.sql.adaptive.advisoryPartitionSizeInBytes=256m`` — the
+    # 100 MB-1 GB post-shuffle partition band of guide §2.2; at sf0.1
+    # both were measured flat-to-negative locally, so local defaults
+    # stay untouched rather than tuned to local[32]).
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
